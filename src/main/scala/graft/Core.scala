@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Session factory for the graft engine.
+  *
+  * Spark-native re-expression of the capability surface of
+  * grohan2002/datapipeline-dags (see /root/repo/SURVEY.md). Local-mode
+  * defaults here mirror a sane cluster config: AQE on, shuffle
+  * partitions sized to cores (not the 200 default), UTC session time
+  * so results are comparable across engines.
+  */
+object Engine {
+  def session(appName: String = "graft", cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+      // rejects; read as long and rebuild micros in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Lazy handles on the driver-provided TESTDATA parquet tables
+  * (see /root/repo/TESTDATA.md). Reads are plain parquet scans so
+  * Catalyst can push filters and prune columns into the file source.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  /** ts is TIMESTAMP(NANOS) in the parquet footer; Spark reads it as long
+    * (nanosAsLong). Rebuild a TimestampType with integer division — double
+    * division would lose precision above 2^53 ns.
+    */
+  def events: DataFrame = {
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+/** Cross-engine-deterministic numeric helpers.
+  *
+  * Double summation is order-dependent, so `sum(double)` differs in the
+  * last bits between engines (and between shuffle layouts). All TESTDATA
+  * money columns are 2-decimal values, so summing them as exact decimals
+  * and casting the exact result back to double is bit-identical in any
+  * engine and any partitioning — this is also the right answer at 100 TB,
+  * where partial-aggregate ordering is nondeterministic by design.
+  */
+object Num {
+  /** Exact order-independent sum of a decimal-precision double column. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(30, scale))).cast("double")
+
+  /** Exact mean: decimal sum divided by count, evaluated in double. */
+  def davg(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(30, scale))).cast("double") / count(lit(1))
+}

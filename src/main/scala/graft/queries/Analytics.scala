@@ -1,0 +1,478 @@
+package graft.queries
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational/analytic query surface (SURVEY.md §2.6 Engine column).
+  *
+  * The reference outsources all relational algebra to Postgres/MySQL
+  * (postgresql_mysql_sync_dag.py:48-50 does a hand-pushed ranged scan;
+  * everything else is row-at-a-time Python). Here the same surface is
+  * declared with the DataFrame API and Catalyst supplies pushdown,
+  * pruning, join selection, partial aggregation and codegen.
+  *
+  * Every query is paired with ANSI SQL for the DuckDB oracle. Numeric
+  * rules for cross-engine determinism live in [[graft.Num]].
+  */
+object Analytics {
+
+  /** revenue expression shared by the TPC-H-shaped queries */
+  private def rev: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "q1_agg",
+      "TPC-H Q1 shape: scan+filter+hash-agg (partial/final) + sort. " +
+        "Exercises pushdown of the shipdate predicate into the parquet scan.",
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+          CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS avg_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS avg_price,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+      """.trim),
+      (spark, dir) => {
+        val li = Tables(spark, dir).lineitem
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            Num.dsum(col("l_quantity")).as("sum_qty"),
+            Num.dsum(col("l_extendedprice")).as("sum_base_price"),
+            Num.dsum(rev, 6).as("sum_disc_price"),
+            Num.dsum(rev * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+            Num.davg(col("l_quantity")).as("avg_qty"),
+            Num.davg(col("l_extendedprice")).as("avg_price"),
+            count(lit(1)).as("count_order"),
+          )
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+    ),
+    Q(
+      "q2_scan_filter",
+      "Selective scan + projection; both the p_size range and p_type equality " +
+        "must appear in PushedFilters, and ReadSchema must carry only 4 columns.",
+      Some("""
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part WHERE p_size BETWEEN 1 AND 15 AND p_type = 'PROMO'
+        ORDER BY p_partkey
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).part
+          .filter(col("p_size").between(1, 15) && col("p_type") === "PROMO")
+          .select("p_partkey", "p_name", "p_retailprice")
+          .orderBy("p_partkey")
+      },
+    ),
+    Q(
+      "q3_topk_join",
+      "TPC-H Q3 shape: 3-way join, agg, top-k. The customer side is a selective " +
+        "dimension — broadcast, not shuffled. Top-k = TakeOrderedAndProject, no full sort.",
+      Some("""
+        SELECT l_orderkey,
+          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+          o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val cust = t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        t.lineitem
+          .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+          .join(
+            t.orders.filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(Num.dsum(rev, 6).as("revenue"))
+          .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+    ),
+    Q(
+      "q4_join_agg_multi",
+      "TPC-H Q5 shape: 5-way join through two broadcast dims (nation, region), " +
+        "revenue per nation. Region/nation are tiny: broadcast; orders⋈lineitem shuffles on orderkey.",
+      Some("""
+        SELECT n_name,
+          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val asiaNations = t.nation
+          .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        t.lineitem
+          .join(
+            t.orders.filter(
+              col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(Num.dsum(rev, 6).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+    ),
+    Q(
+      "q5_selective_agg",
+      "TPC-H Q6 shape: fully-pushed selective filters, single global aggregate " +
+        "(no shuffle beyond the final 1-row partial merge).",
+      Some("""
+        SELECT
+          CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+          count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).lineitem
+          .filter(
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+          .agg(
+            Num.dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+            count(lit(1)).as("n"))
+      },
+    ),
+    Q(
+      "q6_semi_join",
+      "EXISTS / left-semi join: orders having at least one returned lineitem. " +
+        "Semi-join avoids materializing the probe side's payload columns.",
+      Some("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        ORDER BY o_orderkey
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.orders
+          .join(t.lineitem.filter(col("l_returnflag") === "R"),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+    ),
+    Q(
+      "q7_anti_join",
+      "NOT EXISTS / left-anti join: customers with no urgent orders.",
+      Some("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.customer
+          .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+    ),
+    Q(
+      "q8_distinct_agg",
+      "count(DISTINCT) per group — expands to a two-phase aggregate; " +
+        "the first phase dedups (partial) before the shuffle.",
+      Some("""
+        SELECT l_returnflag,
+          count(DISTINCT l_partkey) AS n_parts,
+          count(DISTINCT l_suppkey) AS n_supps,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).lineitem
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+    ),
+    Q(
+      "q9_topk_sort",
+      "Global top-k: planned as TakeOrderedAndProject (per-partition heap + " +
+        "driver merge), never a full sort at scale.",
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).orders
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(25)
+      },
+    ),
+    Q(
+      "q10_window_rank",
+      "Ranking window: top-3 orders per customer by totalprice. " +
+        "Single shuffle on the partition key; rank filter applied post-window.",
+      Some("""
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          FROM orders) t
+        WHERE rn <= 3 ORDER BY o_custkey, rn
+      """.trim),
+      (spark, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables(spark, dir).orders
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+    ),
+    Q(
+      "q11_window_running",
+      "Running-frame window: cumulative event value + lag per user. Decimal " +
+        "accumulation keeps the running sum order-independent across engines.",
+      Some("""
+        SELECT user_id, event_id,
+          CAST(sum(CAST(value AS DECIMAL(30,2))) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+          lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        FROM events WHERE user_id < 20 ORDER BY user_id, event_id
+      """.trim),
+      (spark, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(spark, dir).events
+          .filter(col("user_id") < 20)
+          .select(
+            col("user_id"), col("event_id"),
+            sum(col("value").cast(DecimalType(30, 2))).over(run).cast("double").as("running_value"),
+            lag(col("value"), 1).over(w).as("prev_value"))
+          .orderBy("user_id", "event_id")
+      },
+    ),
+    Q(
+      "q12_setops",
+      "Set operations: INTERSECT/EXCEPT of customer keys vs. ordering customers.",
+      Some("""
+        WITH both_k AS (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders),
+             no_k   AS (SELECT c_custkey AS k FROM customer EXCEPT    SELECT o_custkey FROM orders)
+        SELECT k, 'both' AS tag FROM both_k
+        UNION ALL
+        SELECT k, 'no_orders' AS tag FROM no_k
+        ORDER BY tag, k
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ck = t.customer.select(col("c_custkey").as("k"))
+        val ok = t.orders.select(col("o_custkey").as("k"))
+        ck.intersect(ok).withColumn("tag", lit("both"))
+          .unionAll(ck.except(ok).withColumn("tag", lit("no_orders")))
+          .orderBy("tag", "k")
+      },
+    ),
+    Q(
+      "q13_rollup",
+      "ROLLUP hierarchy totals with GROUPING flags; null-safe ordering pinned " +
+        "explicitly (engines disagree on default null order).",
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+          CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+          CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).lineitem
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            Num.dsum(col("l_quantity")).as("sum_qty"),
+            grouping(col("l_returnflag")).cast("long").as("g_flag"),
+            grouping(col("l_linestatus")).cast("long").as("g_status"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      },
+    ),
+    Q(
+      "q14_pivot",
+      "Pivot: per-user event-type counts as columns (explicit value list so the " +
+        "plan needs no extra pass to discover pivot values).",
+      Some("""
+        SELECT user_id,
+          count(*) FILTER (WHERE event_type = 'click')    AS click,
+          count(*) FILTER (WHERE event_type = 'error')    AS error,
+          count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+          count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+          count(*) FILTER (WHERE event_type = 'view')     AS view
+        FROM events GROUP BY user_id ORDER BY user_id
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).events
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+          .orderBy("user_id")
+      },
+    ),
+    Q(
+      "q15_having",
+      "Aggregate + HAVING post-filter.",
+      Some("""
+        SELECT p_brand, count(*) AS n,
+          CAST(sum(CAST(p_retailprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM part GROUP BY p_brand HAVING count(*) > 50 ORDER BY p_brand
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).part
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), Num.dsum(col("p_retailprice")).as("sum_price"))
+          .filter(col("n") > 50)
+          .orderBy("p_brand")
+      },
+    ),
+    Q(
+      "q16_scalar_string",
+      "Scalar string functions: upper/substring/concat_ws/length/lpad/LIKE — " +
+        "all codegen'd expressions, no UDFs.",
+      Some("""
+        SELECT c_custkey,
+          upper(c_name) AS uname,
+          substring(c_name, 10, 8) AS cnum,
+          concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat,
+          CAST(length(c_name) AS BIGINT) AS name_len,
+          lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+          (c_mktsegment LIKE 'B%') AS is_building
+        FROM customer WHERE c_custkey < 200 ORDER BY c_custkey
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).customer
+          .filter(col("c_custkey") < 200)
+          .select(
+            col("c_custkey"),
+            upper(col("c_name")).as("uname"),
+            substring(col("c_name"), 10, 8).as("cnum"),
+            concat_ws("-", col("c_mktsegment"), col("c_nationkey").cast("string")).as("seg_nat"),
+            length(col("c_name")).cast("long").as("name_len"),
+            lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+            col("c_mktsegment").like("B%").as("is_building"))
+          .orderBy("c_custkey")
+      },
+    ),
+    Q(
+      "q17_scalar_date",
+      "Scalar date/time functions: extract, truncate, epoch, day difference.",
+      Some("""
+        SELECT o_orderkey,
+          CAST(year(o_orderdate) AS BIGINT) AS yr,
+          CAST(month(o_orderdate) AS BIGINT) AS mo,
+          CAST(day(o_orderdate) AS BIGINT) AS dom,
+          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+          CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+          CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).orders
+          .filter(col("o_orderkey") < 500)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo"),
+            dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+            date_trunc("month", col("o_orderdate")).as("month_start"),
+            unix_timestamp(col("o_orderdate")).as("epoch_s"),
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+          .orderBy("o_orderkey")
+      },
+    ),
+    Q(
+      "q18_events_hourly",
+      "Event-time tumbling aggregation (batch analog of the streaming hourly " +
+        "window; see graft.streaming for the watermarked streaming twin).",
+      Some("""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+          count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).events
+          .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+          .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+          .orderBy("hour_start", "event_type")
+      },
+    ),
+    Q(
+      "q19_events_json",
+      "Semi-structured extraction: JSON path into the props payload " +
+        "(reference parses JSON message bodies at sqs_sensor_dag.py:70).",
+      Some("""
+        SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+        FROM events WHERE event_type = 'purchase' ORDER BY event_id
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).events
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .orderBy("event_id")
+      },
+    ),
+    Q(
+      "q20_scalar_subquery",
+      "Scalar subquery in a predicate (SQL entry path: exercises the parser/" +
+        "analyzer, subquery decorrelation, and the same decimal-exact mean).",
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 1.5 * (
+          SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / count(*) FROM orders)
+        ORDER BY o_orderkey
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.orders.createOrReplaceTempView("orders")
+        spark.sql("""
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_totalprice > 1.5 * (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / count(*) FROM orders)
+          ORDER BY o_orderkey
+        """)
+      },
+    ),
+  )
+}
