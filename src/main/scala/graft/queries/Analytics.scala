@@ -98,7 +98,9 @@ object Analytics {
           .join(
             t.orders.filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp")),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          // customer scales with data size: no broadcast hint — AQE picks
+          // broadcast at small SF and shuffle-hash/sort-merge at 100 TB.
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
           .agg(Num.dsum(rev, 6).as("revenue"))
           .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -135,7 +137,9 @@ object Analytics {
               col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
               col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+          // customer is a fact-scale table (no broadcast hint; see q3 note) —
+          // only the fixed-cardinality dims nation/region get hints.
+          .join(t.customer.select("c_custkey", "c_nationkey"),
             col("o_custkey") === col("c_custkey"))
           .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
           .groupBy("n_name")
@@ -464,14 +468,20 @@ object Analytics {
         ORDER BY o_orderkey
       """.trim),
       (spark, dir) => {
+        // Query-scoped view name: never clobber a caller's "orders" view
+        // (shared-session catalog state). spark.sql analyzes eagerly, so the
+        // view can be dropped as soon as the plan is resolved.
         val t = Tables(spark, dir)
-        t.orders.createOrReplaceTempView("orders")
-        spark.sql("""
-          SELECT o_orderkey, o_totalprice FROM orders
-          WHERE o_totalprice > 1.5 * (
-            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / count(*) FROM orders)
-          ORDER BY o_orderkey
-        """)
+        val view = "graft_q20_orders"
+        t.orders.createOrReplaceTempView(view)
+        try
+          spark.sql(s"""
+            SELECT o_orderkey, o_totalprice FROM $view
+            WHERE o_totalprice > 1.5 * (
+              SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / count(*) FROM $view)
+            ORDER BY o_orderkey
+          """)
+        finally spark.catalog.dropTempView(view)
       },
     ),
   )
