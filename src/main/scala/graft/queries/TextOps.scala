@@ -1,6 +1,359 @@
 package graft.queries
 
-/** Text-analysis & dedup operators over the documents table (filled in below). */
+import graft.Tables
+import graft.operators.TextKit._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and deduplication surface over the `documents` table —
+  * the training-data-pipeline operators a 100 TB corpus needs: token
+  * stats, quality scoring, language-ID, fingerprinting, exact dedup,
+  * n-gram Jaccard near-dup, MinHash+LSH, and SimHash.
+  *
+  * Everything is built from codegen'd built-ins plus Catalyst
+  * higher-order functions (no UDFs); every query has a bit-identical
+  * DuckDB oracle generated from the same [[graft.operators.TextKit]]
+  * constants — hash-matched, not just row-counted, including the LSH
+  * paths.
+  *
+  * Scale design: per-doc feature extraction is narrow (map-side only).
+  * Pairwise similarity NEVER does an n² cross join — candidates come
+  * from one shuffle on a content key (shingle, MinHash band, SimHash
+  * band byte), which is how dedup is laid out on a 1000-executor
+  * cluster; work scales with Σ df² over features, not docs².
+  */
 object TextOps {
-  val qs: Seq[Q] = Seq()
+
+  private val tokS = tokensSpark("text")
+  private val tokD = tokensDuck("text")
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "q21_token_count",
+      "Token counting: whitespace tokens + BPE-ish regex tokens " +
+        "(letter runs / digit runs / single punctuation). Narrow map-only pass.",
+      Some(s"""
+        SELECT doc_id,
+          len(string_split(text, ' ')) AS n_ws,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_re,
+          n_chars,
+          (length(text) = n_chars) AS chars_ok
+        FROM documents ORDER BY doc_id
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).documents.selectExpr(
+          "doc_id",
+          s"CAST(size($tokS) AS BIGINT) AS n_ws",
+          "CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_re",
+          "n_chars",
+          "(CAST(length(text) AS BIGINT) = n_chars) AS chars_ok",
+        ).orderBy("doc_id")
+      },
+    ),
+    Q(
+      "q22_text_quality",
+      "Document quality scoring: stopword ratio, type-token ratio, length " +
+        "score -> weighted quality in [0,1]. Single-division doubles only, so " +
+        "bit-identical across engines and partitionings.",
+      {
+        val stopCondD = markerCountDuck("tok", stopwords)
+        Some(s"""
+          WITH t AS (SELECT doc_id, length(text) AS nc, $tokD AS tok FROM documents),
+          m AS (SELECT doc_id,
+            len(tok) AS n_tokens,
+            CAST(nc - (len(tok) - 1) AS DOUBLE) / CAST(len(tok) AS DOUBLE) AS avg_token_len,
+            CAST($stopCondD AS DOUBLE) / CAST(len(tok) AS DOUBLE) AS stop_ratio,
+            CAST(len(list_distinct(tok)) AS DOUBLE) / CAST(len(tok) AS DOUBLE) AS ttr,
+            least(CAST(len(tok) AS DOUBLE) / 50.0, 1.0) AS len_score
+          FROM t)
+          SELECT doc_id, n_tokens, avg_token_len, stop_ratio, ttr, len_score,
+            (0.35 * stop_ratio) + (0.35 * ttr) + (0.3 * len_score) AS quality
+          FROM m ORDER BY doc_id
+        """.trim)
+      },
+      (spark, dir) => {
+        val stopCondS = markerCountSpark("tok", stopwords)
+        Tables(spark, dir).documents
+          .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS nc", s"$tokS AS tok")
+          .selectExpr(
+            "doc_id",
+            "CAST(size(tok) AS BIGINT) AS n_tokens",
+            "CAST(nc - (size(tok) - 1) AS DOUBLE) / CAST(size(tok) AS DOUBLE) AS avg_token_len",
+            s"CAST($stopCondS AS DOUBLE) / CAST(size(tok) AS DOUBLE) AS stop_ratio",
+            "CAST(size(array_distinct(tok)) AS DOUBLE) / CAST(size(tok) AS DOUBLE) AS ttr",
+            "least(CAST(size(tok) AS DOUBLE) / 50.0, 1.0) AS len_score",
+          )
+          .selectExpr(
+            "doc_id", "n_tokens", "avg_token_len", "stop_ratio", "ttr", "len_score",
+            "(0.35 * stop_ratio) + (0.35 * ttr) + (0.3 * len_score) AS quality",
+          )
+          .orderBy("doc_id")
+      },
+    ),
+    Q(
+      "q23_lang_id",
+      "Marker-based language ID (stopword n-gram heuristic): per-language " +
+        "marker occurrence counts, argmax with fixed tie-break, 'und' when no " +
+        "marker hits. (This synthetic corpus is English-vocabulary word soup, " +
+        "so predictions skew 'en'/'und' — the labeled lang column is random.)",
+      {
+        val counts = langMarkers.map { case (l, ms) => s"${markerCountDuck("tok", ms)} AS s_$l" }.mkString(", ")
+        Some(s"""
+          WITH t AS (SELECT doc_id, lang, $tokD AS tok FROM documents),
+          s AS (SELECT doc_id, lang, $counts FROM t)
+          SELECT doc_id, s_en, s_es, s_de, s_fr,
+            CASE
+              WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+              WHEN s_fr > 0 THEN 'fr'
+              ELSE 'und' END AS pred_lang,
+            lang,
+            (CASE
+              WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+              WHEN s_fr > 0 THEN 'fr'
+              ELSE 'und' END = lang) AS agree
+          FROM s ORDER BY doc_id
+        """.trim)
+      },
+      (spark, dir) => {
+        val counts = langMarkers.map { case (l, ms) => s"${markerCountSpark("tok", ms)} AS s_$l" }
+        val pred = """CASE
+              WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+              WHEN s_fr > 0 THEN 'fr'
+              ELSE 'und' END"""
+        Tables(spark, dir).documents
+          .selectExpr(Seq("doc_id", "lang", s"$tokS AS tok"): _*)
+          .selectExpr(Seq("doc_id", "lang") ++ counts: _*)
+          .selectExpr(
+            "doc_id", "s_en", "s_es", "s_de", "s_fr",
+            s"$pred AS pred_lang", "lang", s"($pred = lang) AS agree",
+          )
+          .orderBy("doc_id")
+      },
+    ),
+    Q(
+      "q24_fingerprint",
+      "Document fingerprinting: md5 content hash, Karp–Rabin polynomial " +
+        "rolling hash mod 2^31-1, and a 1-permutation MinHash over word " +
+        "trigram shingles — all integer-exact cross-engine.",
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, $tokD AS tok FROM documents),
+        s AS (SELECT doc_id, text, ${shinglesDuck("tok")} AS sh FROM t)
+        SELECT doc_id, md5(text) AS md5_hex,
+          ${polyDuck("text")} AS poly_hash,
+          list_min(list_transform(sh, fp_s -> ${polyDuck("fp_s")})) AS min_shingle_hash
+        FROM s ORDER BY doc_id
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).documents
+          .selectExpr("doc_id", "text", s"$tokS AS tok")
+          .selectExpr("doc_id", "text", s"${shinglesSpark("tok")} AS sh")
+          .selectExpr(
+            "doc_id",
+            "md5(text) AS md5_hex",
+            s"${polySpark("text")} AS poly_hash",
+            s"array_min(transform(sh, fp_s -> ${polySpark("fp_s")})) AS min_shingle_hash",
+          )
+          .orderBy("doc_id")
+      },
+    ),
+    Q(
+      "q25_exact_dedup",
+      "Exact deduplication via content-hash groupBy over two 'crawl " +
+        "snapshots' (documents ∪ documents): canonical id = min(doc_id), copy " +
+        "count per hash. One shuffle on the hash — the at-scale layout.",
+      Some("""
+        WITH snaps AS (
+          SELECT doc_id, md5(text) AS content_hash FROM documents
+          UNION ALL
+          SELECT doc_id, md5(text) AS content_hash FROM documents)
+        SELECT content_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+        FROM snaps GROUP BY content_hash ORDER BY canonical_doc_id
+      """.trim),
+      (spark, dir) => {
+        val d = Tables(spark, dir).documents
+          .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        d.unionAll(d)
+          .groupBy("content_hash")
+          .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+          .orderBy("canonical_doc_id")
+      },
+    ),
+    Q(
+      "q26_ngram_jaccard",
+      "N-gram Jaccard near-dup pairs (trigram shingles, j >= 0.3) via " +
+        "inverted-index join on shingle — intersection counts from one " +
+        "shuffle, union by inclusion–exclusion; never a docs² cross join.",
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokD AS tok FROM documents),
+        shi AS (SELECT doc_id, ${shinglesDuck("tok")} AS sh FROM t),
+        sz AS (SELECT doc_id, len(sh) AS nsh, sh FROM shi),
+        ex AS (SELECT doc_id, nsh, unnest(sh) AS s FROM sz),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS na, b.nsh AS nb, count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, n_inter, na + nb - n_inter AS n_union,
+          CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
+        FROM p
+        WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.3
+        ORDER BY doc_a, doc_b
+      """.trim),
+      (spark, dir) => {
+        val ex = Tables(spark, dir).documents
+          .selectExpr("doc_id", s"$tokS AS tok")
+          .selectExpr("doc_id", s"${shinglesSpark("tok")} AS sh")
+          .selectExpr("doc_id", "CAST(size(sh) AS BIGINT) AS nsh", "sh")
+          .select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
+        val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("s"))
+        val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("s"))
+        a.join(b, "s")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b", "na", "nb")
+          .agg(count(lit(1)).as("n_inter"))
+          .select(
+            col("doc_a"), col("doc_b"), col("n_inter"),
+            (col("na") + col("nb") - col("n_inter")).as("n_union"),
+            (col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"))
+          .filter(col("jaccard") >= 0.3)
+          .orderBy("doc_a", "doc_b")
+      },
+    ),
+    Q(
+      "q27_minhash",
+      s"MinHash signatures: $MinhashK linear permutations of the trigram-" +
+        "shingle poly-hash, as one grouped aggregation over exploded " +
+        "shingles (map-side partial mins make the shuffle tiny).",
+      {
+        val mins = (0 until MinhashK).map(i => s"min(${permExpr(i, "x")}) AS m$i").mkString(", ")
+        Some(s"""
+          WITH t AS (SELECT doc_id, $tokD AS tok FROM documents),
+          shi AS (SELECT doc_id, ${shinglesDuck("tok")} AS sh FROM t),
+          ex AS (SELECT doc_id, unnest(sh) AS s FROM shi),
+          hx AS (SELECT doc_id, ${polyDuck("s")} AS x FROM ex)
+          SELECT doc_id, $mins FROM hx GROUP BY doc_id ORDER BY doc_id
+        """.trim)
+      },
+      (spark, dir) => minhashSignatures(spark, dir).orderBy("doc_id"),
+    ),
+    Q(
+      "q28_lsh_candidates",
+      s"MinHash LSH: $LshBands bands × $LshRows rows; candidate pairs " +
+        "share at least one band key (equi-join per band, union, distinct); " +
+        "est_sim = matching-permutation fraction. Only candidate pairs are " +
+        "ever materialized — the LSH contract at 100 TB.",
+      {
+        val mins = (0 until MinhashK).map(i => s"min(${permExpr(i, "x")}) AS m$i").mkString(", ")
+        val bandSelects = (0 until LshBands).map { bnd =>
+          val key = (0 until LshRows).map(r => s"m${bnd * LshRows + r}").mkString(", ")
+          s"SELECT doc_id, $bnd AS band, concat_ws(',', $key) AS bk FROM sig"
+        }.mkString(" UNION ALL ")
+        val matches = (0 until MinhashK).map(i => s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+        Some(s"""
+          WITH t AS (SELECT doc_id, $tokD AS tok FROM documents),
+          shi AS (SELECT doc_id, ${shinglesDuck("tok")} AS sh FROM t),
+          ex AS (SELECT doc_id, unnest(sh) AS s FROM shi),
+          hx AS (SELECT doc_id, ${polyDuck("s")} AS x FROM ex),
+          sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
+          bands AS ($bandSelects),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+          SELECT c.doc_a, c.doc_b,
+            CAST($matches AS BIGINT) AS n_match,
+            CAST($matches AS DOUBLE) / $MinhashK.0 AS est_sim
+          FROM cand c JOIN sig x ON c.doc_a = x.doc_id JOIN sig y ON c.doc_b = y.doc_id
+          ORDER BY doc_a, doc_b
+        """.trim)
+      },
+      (spark, dir) => {
+        val sig = minhashSignatures(spark, dir)
+        val bands = (0 until LshBands).map { bnd =>
+          val key = (0 until LshRows).map(r => s"m${bnd * LshRows + r}").mkString(", ")
+          sig.selectExpr("doc_id", s"$bnd AS band", s"concat_ws(',', $key) AS bk")
+        }.reduce(_ unionAll _)
+        val cand = bands.as("a")
+          .join(bands.as("b"), expr("a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val matches = (0 until MinhashK).map(i => s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+        cand.as("c")
+          .join(sig.as("x"), col("c.doc_a") === col("x.doc_id"))
+          .join(sig.as("y"), col("c.doc_b") === col("y.doc_id"))
+          .selectExpr(
+            "c.doc_a AS doc_a", "c.doc_b AS doc_b",
+            s"CAST($matches AS BIGINT) AS n_match",
+            s"CAST($matches AS DOUBLE) / $MinhashK.0 AS est_sim",
+          )
+          .orderBy("doc_a", "doc_b")
+      },
+    ),
+    Q(
+      "q29_simhash",
+      s"SimHash near-dup pairs: $SimhashBits-bit signature over word-bigram " +
+        "features (±1 per bit, sign-aggregated), candidates from 4 byte-band " +
+        "equi-joins (Manku-style block split), kept at hamming <= 3.",
+      {
+        val sums = (0 until SimhashBits).map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+        val simExpr = (0 until SimhashBits).map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+        val bandSelects = (0 until 4).map(bnd =>
+          s"SELECT doc_id, sim, $bnd AS band, (sim >> ${8 * bnd}) & 255 AS byte FROM sig").mkString(" UNION ALL ")
+        Some(s"""
+          WITH t AS (SELECT doc_id, $tokD AS tok FROM documents),
+          bg AS (SELECT doc_id, ${bigramsDuck("tok")} AS feats FROM t),
+          ex AS (SELECT doc_id, unnest(feats) AS w FROM bg),
+          hh AS (SELECT doc_id, ${polyDuck("w")} AS h FROM ex),
+          s AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
+          sig AS (SELECT doc_id, $simExpr AS sim FROM s),
+          bands AS ($bandSelects),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.sim AS sim_a, b.doc_id AS doc_b, b.sim AS sim_b
+                   FROM bands a JOIN bands b ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+          FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+          ORDER BY doc_a, doc_b
+        """.trim)
+      },
+      (spark, dir) => {
+        val sums = (0 until SimhashBits).map(j =>
+          sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$j"))
+        val simExpr = (0 until SimhashBits).map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+        val sig = Tables(spark, dir).documents
+          .selectExpr("doc_id", s"$tokS AS tok")
+          .selectExpr("doc_id", s"${bigramsSpark("tok")} AS feats")
+          .select(col("doc_id"), explode(col("feats")).as("w"))
+          .withColumn("h", expr(polySpark("w")))
+          .groupBy("doc_id")
+          .agg(sums.head, sums.tail: _*)
+          .selectExpr("doc_id", s"$simExpr AS sim")
+        val bands = (0 until 4).map(bnd =>
+          sig.selectExpr("doc_id", "sim", s"$bnd AS band", s"(shiftright(sim, ${8 * bnd}) & 255) AS byte"))
+          .reduce(_ unionAll _)
+        bands.as("a")
+          .join(bands.as("b"), expr("a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("a.sim").as("sim_a"),
+            col("b.doc_id").as("doc_b"), col("b.sim").as("sim_b"))
+          .distinct()
+          .filter(expr("bit_count(sim_a ^ sim_b) <= 3"))
+          .selectExpr("doc_a", "doc_b", "CAST(bit_count(sim_a ^ sim_b) AS BIGINT) AS hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+    ),
+  )
+
+  /** Shared MinHash signature builder (q27, q28): explode distinct trigram
+    * shingles, poly-hash each once, then K partial-aggregated mins.
+    */
+  private def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until MinhashK).map(i => min(expr(permExpr(i, "x"))).as(s"m$i"))
+    Tables(spark, dir).documents
+      .selectExpr("doc_id", s"$tokS AS tok")
+      .selectExpr("doc_id", s"${shinglesSpark("tok")} AS sh")
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("x", expr(polySpark("s")))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }
