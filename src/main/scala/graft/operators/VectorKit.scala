@@ -1,0 +1,45 @@
+package graft.operators
+
+/** Cross-engine-deterministic vector primitives over `array<float>`
+  * embedding columns, emitted as Spark SQL and DuckDB SQL snippets.
+  *
+  * Determinism contract: every float is widened to double BEFORE any
+  * arithmetic, and every reduction is a strict left fold in index order
+  * (Spark `aggregate`, DuckDB `list_reduce`), so dot products, norms and
+  * cosines are bit-identical in both engines and under any partitioning.
+  * sqrt and a single division are correctly-rounded IEEE-754 ops.
+  *
+  * Scale notes: these are narrow per-row expressions. The similarity
+  * *queries* built on them follow the distributed ANN layouts: broadcast
+  * the (small) query set and stream the corpus once for brute-force
+  * top-k; bucket/probe joins (sign-LSH, IVF) for the candidate-bounded
+  * paths — never an unbounded corpus × corpus product.
+  */
+object VectorKit {
+
+  /** dot(a, b) as a left fold over element products (doubles). */
+  def dotSpark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (zx, zy) -> CAST(zx AS DOUBLE) * CAST(zy AS DOUBLE)), CAST(0.0 AS DOUBLE), (dp_acc, dp_v) -> dp_acc + dp_v)"
+  def dotDuck(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), dp_i -> CAST($a[dp_i] AS DOUBLE) * CAST($b[dp_i] AS DOUBLE))), (dp_x, dp_y) -> dp_x + dp_y)"
+
+  /** Number of sign-random-projection hyperplanes (2^planes buckets). */
+  val LshPlanes = 4
+
+  /** Plane component r(j, i) = Knuth-hash of the flat index, scaled to
+    * [-0.5, 0.5). Integers < 2^32 and the 2^-32 scale are exactly
+    * representable, so the planes are bit-identical constants in both
+    * engines — no RNG, no libm. Stride 64 matches the embedding dim
+    * (components would repeat across planes past dim 64).
+    */
+  def projSpark(v: String, plane: Int): String =
+    s"aggregate(transform(sequence(1, size($v)), pr_i -> CAST(element_at($v, pr_i) AS DOUBLE) * (CAST((($plane * 64 + (pr_i - 1)) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 - 0.5)), CAST(0.0 AS DOUBLE), (pr_a, pr_b) -> pr_a + pr_b)"
+  def projDuck(v: String, plane: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($v) + 1), pr_i -> CAST($v[pr_i] AS DOUBLE) * (CAST((($plane * 64 + (pr_i - 1)) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 - 0.5))), (pr_a, pr_b) -> pr_a + pr_b)"
+
+  /** Sign-LSH bucket id in [0, 2^LshPlanes). */
+  def bucketSpark(v: String): String =
+    (0 until LshPlanes).map(j => s"(CASE WHEN ${projSpark(v, j)} > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+  def bucketDuck(v: String): String =
+    (0 until LshPlanes).map(j => s"(CASE WHEN ${projDuck(v, j)} > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+}
