@@ -1,6 +1,266 @@
 package graft.queries
 
-/** Oracle-checked analogs of the reference's pipeline semantics (filled in below). */
+import graft.{Num, Tables}
+import graft.multimodal.Multimodal
+import graft.operators.{FieldMapping, MappingCompiler}
+import graft.pipeline.{SyncJob, VerifiedUpdates}
+import graft.sources.ExtJson
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked analogs of the reference's pipeline semantics
+  * (SURVEY.md §2.2-§2.5), each driven through the real engine module it
+  * exercises: mapping-schema transform (MappingCompiler), watermark
+  * ranged sync + lifecycle stats (SyncJob), verified-data keyed upsert
+  * (VerifiedUpdates), entity split, enrichment lookup, BSON extended-
+  * JSON round-trip (ExtJson), multimodal feature plumbing (Multimodal),
+  * and gap sessionization (batch twin of the streaming path).
+  */
 object PipelineQueries {
-  val qs: Seq[Q] = Seq()
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "q41_mapping_transform",
+      "Per-tenant mapping-schema transform: config -> compiled projection " +
+        "(rename/cast/derive), fused into the scan by codegen. The " +
+        "CustomerTransformationStep analog (SURVEY §2.2 #11).",
+      Some("""
+        SELECT c_custkey AS contact_id, c_name AS full_name,
+          lower(c_mktsegment) AS segment, c_acctbal AS balance,
+          CAST(c_nationkey AS VARCHAR) AS nation_code
+        FROM customer ORDER BY contact_id
+      """.trim),
+      (spark, dir) => {
+        val mapping = Seq(
+          FieldMapping("c_custkey", "contact_id", Some("bigint")),
+          FieldMapping("c_name", "full_name"),
+          FieldMapping("lower(c_mktsegment)", "segment"),
+          FieldMapping("c_acctbal", "balance", Some("double")),
+          FieldMapping("c_nationkey", "nation_code", Some("string")),
+        )
+        MappingCompiler.transform(Tables(spark, dir).customer, mapping).orderBy("contact_id")
+      },
+    ),
+    Q(
+      "q42_incremental_sync",
+      "Watermark ranged scan: rows after (ts, id) — the CDC-style " +
+        "incremental batch (SURVEY §2.4 #25). The predicate is a Catalyst " +
+        "filter, pushed into the parquet scan (or a JDBC subquery at the " +
+        "real source).",
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+        WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00'
+           OR (o_orderdate = TIMESTAMP '1997-06-01 00:00:00' AND o_orderkey > 3000)
+        ORDER BY o_orderkey
+      """.trim),
+      (spark, dir) => {
+        val wm = SyncJob.Watermark(java.sql.Timestamp.valueOf("1997-06-01 00:00:00"), 3000L)
+        SyncJob.rangedScan(Tables(spark, dir).orders, "o_orderdate", "o_orderkey", wm)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+    ),
+    Q(
+      "q43_sync_stats",
+      "Sync lifecycle bookkeeping: per-batch stats row (records_count, " +
+        "from_id/to_id, advanced watermark, COMPLETED | NO_DATA) — the " +
+        "data_sync_stats row of SURVEY §2.4 #27, incl. the empty-batch path.",
+      Some("""
+        SELECT entity, records_count, from_id, to_id, new_watermark_ts,
+          CASE WHEN records_count = 0 THEN 'NO_DATA' ELSE 'COMPLETED' END AS status
+        FROM (
+          SELECT 'orders' AS entity, count(*) AS records_count,
+            min(o_orderkey) AS from_id, max(o_orderkey) AS to_id,
+            max(o_orderdate) AS new_watermark_ts
+          FROM orders
+          WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00'
+             OR (o_orderdate = TIMESTAMP '1997-06-01 00:00:00' AND o_orderkey > 3000)
+          UNION ALL
+          SELECT 'orders_drained' AS entity, count(*), min(o_orderkey),
+            max(o_orderkey), max(o_orderdate)
+          FROM orders
+          WHERE o_orderdate > TIMESTAMP '2999-01-01 00:00:00')
+        ORDER BY entity
+      """.trim),
+      (spark, dir) => {
+        val orders = Tables(spark, dir).orders
+        val live = SyncJob.rangedScan(orders, "o_orderdate", "o_orderkey",
+          SyncJob.Watermark(java.sql.Timestamp.valueOf("1997-06-01 00:00:00"), 3000L))
+        val drained = SyncJob.rangedScan(orders, "o_orderdate", "o_orderkey",
+          SyncJob.Watermark(java.sql.Timestamp.valueOf("2999-01-01 00:00:00"), 0L))
+        SyncJob.syncStats(live, "o_orderdate", "o_orderkey", "orders")
+          .unionAll(SyncJob.syncStats(drained, "o_orderdate", "o_orderkey", "orders_drained"))
+          .orderBy("entity")
+      },
+    ),
+    Q(
+      "q44_keyed_upsert",
+      "Verified-data corrections: last-writer-wins keyed point updates " +
+        "applied as dedup-to-latest + co-partitioned left join (SURVEY §2.5 " +
+        "#30) — two update versions per key, seq 2 wins.",
+      Some("""
+        SELECT c_custkey, c_name, c_nationkey,
+          CASE WHEN c_custkey % 97 = 0 THEN c_acctbal + 0.5 ELSE c_acctbal END AS c_acctbal,
+          CASE WHEN c_custkey % 97 = 0 THEN 'VERIFIED_V2' ELSE c_mktsegment END AS c_mktsegment
+        FROM customer ORDER BY c_custkey
+      """.trim),
+      (spark, dir) => {
+        val base = Tables(spark, dir).customer
+        val keyed = base.filter(col("c_custkey") % 97 === 0)
+        val upd1 = keyed.select(col("c_custkey"), lit(1L).as("seq"),
+          lit("VERIFIED_V1").as("new_segment"), (col("c_acctbal") + 100.0).as("new_acctbal"))
+        val upd2 = keyed.select(col("c_custkey"), lit(2L).as("seq"),
+          lit("VERIFIED_V2").as("new_segment"), (col("c_acctbal") + 0.5).as("new_acctbal"))
+        VerifiedUpdates(base, upd1.unionAll(upd2), Seq("c_custkey"), "seq",
+          Map("c_mktsegment" -> "new_segment", "c_acctbal" -> "new_acctbal"))
+          .orderBy("c_custkey")
+      },
+    ),
+    Q(
+      "q45_entity_split",
+      "Read+split fan-out: one event stream projected into two typed " +
+        "entity branches with branch-specific transforms, then unioned — " +
+        "the read_input_file split of SURVEY §2.2 #10, as two narrow " +
+        "projections of one scan instead of temp-file materialization.",
+      Some("""
+        SELECT 'contact' AS entity, event_id, user_id,
+          upper(event_type) AS tag, value
+        FROM events WHERE event_type = 'signup'
+        UNION ALL
+        SELECT 'transaction' AS entity, event_id, user_id,
+          'txn-' || CAST(event_id AS VARCHAR) AS tag, value * 100 AS value
+        FROM events WHERE event_type = 'purchase'
+        ORDER BY entity, event_id
+      """.trim),
+      (spark, dir) => {
+        val ev = Tables(spark, dir).events
+        val contacts = ev.filter(col("event_type") === "signup").select(
+          lit("contact").as("entity"), col("event_id"), col("user_id"),
+          upper(col("event_type")).as("tag"), col("value"))
+        val txns = ev.filter(col("event_type") === "purchase").select(
+          lit("transaction").as("entity"), col("event_id"), col("user_id"),
+          concat(lit("txn-"), col("event_id").cast("string")).as("tag"),
+          (col("value") * 100).as("value"))
+        contacts.unionAll(txns).orderBy("entity", "event_id")
+      },
+    ),
+    Q(
+      "q46_enrich_lookup",
+      "EnrichmentStep analog (SURVEY §2.2 #13): derived attributes plus " +
+        "broadcast dimension lookups (nation, region) — fixed-cardinality " +
+        "dims, so the broadcast hint is correct at any scale.",
+      Some("""
+        SELECT c_custkey, c_name, n_name AS nation_name, r_name AS region_name,
+          CASE WHEN c_acctbal < 0 THEN 'delinquent'
+               WHEN c_acctbal < 5000 THEN 'standard' ELSE 'premium' END AS balance_tier,
+          CAST(length(c_name) AS BIGINT) AS name_len
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        ORDER BY c_custkey
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        t.customer
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .select(
+            col("c_custkey"), col("c_name"),
+            col("n_name").as("nation_name"), col("r_name").as("region_name"),
+            when(col("c_acctbal") < 0, "delinquent")
+              .when(col("c_acctbal") < 5000, "standard")
+              .otherwise("premium").as("balance_tier"),
+            length(col("c_name")).cast("long").as("name_len"))
+          .orderBy("c_custkey")
+      },
+    ),
+    Q(
+      "q47_extended_json",
+      "BSON extended-JSON round-trip (SURVEY §1.1): encode $oid/$date/" +
+        "$numberDecimal wrappers from typed columns, re-parse with " +
+        "ExtJson.normalize (from_json + wrapper collapse, all codegen) — " +
+        "the oracle computes the expected scalars directly, so the check " +
+        "proves the round-trip is lossless.",
+      Some("""
+        SELECT o_orderkey,
+          lpad(lower(hex(o_orderkey)), 24, '0') AS _id,
+          o_orderdate AS created,
+          CAST(CAST(o_custkey AS VARCHAR) || '.25' AS DOUBLE) AS amount,
+          o_orderpriority AS priority
+        FROM orders ORDER BY o_orderkey
+      """.trim),
+      (spark, dir) => {
+        import ExtJson._
+        val fields: Seq[(String, Kind)] =
+          Seq("_id" -> Oid, "created" -> Date, "amount" -> Dec, "priority" -> Plain)
+        val encoded = Tables(spark, dir).orders.select(
+          col("o_orderkey"),
+          ExtJson.encode(Seq(
+            ("_id", lpad(lower(hex(col("o_orderkey"))), 24, "0"), Oid),
+            ("created", col("o_orderdate"), Date),
+            ("amount", concat(col("o_custkey").cast("string"), lit(".25")), Dec),
+            ("priority", col("o_orderpriority"), Plain),
+          )).as("js"))
+        encoded
+          .select(col("o_orderkey") +: ExtJson.normalize(col("js"), fields): _*)
+          .orderBy("o_orderkey")
+      },
+    ),
+    Q(
+      "q48_multimodal_features",
+      "Multimodal plumbing: text -> opaque binary payload + metadata, " +
+        "feature extraction via partition-parallel batched decode " +
+        "(mapPartitions; codec stubbed deterministically) — the oracle " +
+        "recomputes byte stats from the source text, proving the binary " +
+        "round-trip and the typed Dataset path.",
+      Some("""
+        SELECT doc_id, 'text/plain' AS modality,
+          CAST(strlen(text) AS BIGINT) AS n_bytes,
+          CAST(list_sum(list_transform(string_split(text, ''), mc -> ascii(mc))) AS BIGINT) AS byte_sum,
+          CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte
+        FROM documents ORDER BY doc_id
+      """.trim),
+      (spark, dir) => {
+        Multimodal.extractFeatures(Multimodal.asMedia(Tables(spark, dir).documents))
+          .drop("feature")
+          .orderBy("doc_id")
+      },
+    ),
+    Q(
+      "q49_sessionize",
+      "Gap-based sessionization (30-min inactivity) per user over events: " +
+        "lag + running break-count windows, then per-session aggregates — " +
+        "the batch twin of the streaming session_window path.",
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, ts, value,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events),
+        b AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+        s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM b)
+        SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+          count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+      """.trim),
+      (spark, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables(spark, dir).events
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("brk",
+            when(col("prev_us").isNull || (unix_micros(col("ts")) - col("prev_us")) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_idx",
+            sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_idx")
+          .agg(
+            min("ts").as("session_start"),
+            max("ts").as("session_end"),
+            count(lit(1)).as("n_events"),
+            Num.dsum(col("value")).as("sum_value"))
+          .orderBy("user_id", "session_idx")
+      },
+    ),
+  )
 }

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BSON Extended-JSON normalization.
+  *
+  * The reference round-trips records through MongoDB Extended JSON
+  * (bson.json_util decode/encode at
+  * /root/reference/parallelized_data_pipeline_dag.py:7,107,116,127,149):
+  * `{"$oid": hex}` -> ObjectId, `{"$date": epochMillis}` -> datetime,
+  * `{"$numberDecimal": "str"}` -> Decimal128. Here the decode is a
+  * plan-time `from_json` with an explicit schema plus collapse
+  * expressions — schema explosion from permissive inference is avoided
+  * by declaring field kinds up front, and the whole normalization stays
+  * inside whole-stage codegen (no UDFs, no Python round-trip).
+  */
+object ExtJson {
+
+  sealed trait Kind { def wrapped: DataType }
+  case object Oid extends Kind { val wrapped: DataType = StructType(Seq(StructField("$oid", StringType))) }
+  case object Date extends Kind { val wrapped: DataType = StructType(Seq(StructField("$date", LongType))) }
+  case object Dec extends Kind { val wrapped: DataType = StructType(Seq(StructField("$numberDecimal", StringType))) }
+  case object Plain extends Kind { val wrapped: DataType = StringType }
+
+  /** Schema for an extended-JSON document with the given field kinds. */
+  def schema(fields: Seq[(String, Kind)]): StructType =
+    StructType(fields.map { case (n, k) => StructField(n, k.wrapped) })
+
+  /** Parse an ext-JSON string column and collapse each wrapper struct to
+    * its scalar: $oid -> lowercase hex string, $date -> TimestampType
+    * (epoch millis), $numberDecimal -> DoubleType via exact string parse.
+    */
+  def normalize(js: Column, fields: Seq[(String, Kind)]): Seq[Column] = {
+    val parsed = from_json(js, schema(fields))
+    fields.map {
+      case (n, Oid)   => lower(parsed.getField(n).getField("$oid")).as(n)
+      case (n, Date)  => timestamp_millis(parsed.getField(n).getField("$date")).as(n)
+      case (n, Dec)   => parsed.getField(n).getField("$numberDecimal").cast(DoubleType).as(n)
+      case (n, Plain) => parsed.getField(n).cast(StringType).as(n)
+    }
+  }
+
+  /** Encode canonical columns back to an ext-JSON document string (the
+    * put_json_file twin, parallelized_data_pipeline_dag.py:113-119).
+    * Deterministic field order = argument order.
+    */
+  def encode(fields: Seq[(String, Column, Kind)]): Column = {
+    val parts = fields.map {
+      case (n, c, Oid)   => concat(lit(s""""$n": {"$$oid": """"), c, lit("\"}"))
+      // cast accepts NTZ sources; under the engine's fixed UTC session
+      // zone the NTZ->instant interpretation is the BSON $date (UTC) one.
+      case (n, c, Date)  => concat(lit(s""""$n": {"$$date": """), unix_millis(c.cast(TimestampType)), lit("}"))
+      case (n, c, Dec)   => concat(lit(s""""$n": {"$$numberDecimal": """"), c, lit("\"}"))
+      case (n, c, Plain) => concat(lit(s""""$n": """"), c, lit("\""))
+    }
+    concat(lit("{"), concat_ws(", ", parts: _*), lit("}"))
+  }
+}
