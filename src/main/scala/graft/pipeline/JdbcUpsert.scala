@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Idempotent JDBC upsert sink — the engine's version of the reference's
+  * per-entity batched MySQL inserts (/root/reference/
+  * postgresql_mysql_sync_dag.py:73-81 [inferred]) and Postgres persist
+  * step (parallelized_data_pipeline_dag.py:322,345 [inferred]).
+  *
+  * Idempotence is the replay-safety half of the sync contract (SURVEY
+  * §3.2): the watermark only advances after the write, so a crash
+  * replays the batch — INSERT ... ON CONFLICT/ON DUPLICATE KEY makes the
+  * replay harmless. Writes run `foreachPartition` with prepared-
+  * statement batches: executor-parallel, one connection per partition,
+  * `batchSize` rows per round trip.
+  *
+  * (No database ships in this container, so `write` is exercised in
+  * tests through the statement-builder and batching seams; the SQL text
+  * and batch loop are the production path.)
+  */
+object JdbcUpsert {
+
+  sealed trait Dialect
+  case object Postgres extends Dialect
+  case object MySql extends Dialect
+
+  /** Upsert statement with `?` placeholders in `cols` order. */
+  def upsertSql(dialect: Dialect, table: String, cols: Seq[String], keys: Seq[String]): String = {
+    require(keys.nonEmpty && keys.forall(cols.contains), s"keys $keys must be a subset of cols $cols")
+    val collist = cols.mkString(", ")
+    val qs = Seq.fill(cols.size)("?").mkString(", ")
+    val updatable = cols.filterNot(keys.contains)
+    dialect match {
+      case Postgres =>
+        val sets = updatable.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+        s"INSERT INTO $table ($collist) VALUES ($qs) ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET $sets"
+      case MySql =>
+        val sets = updatable.map(c => s"$c = VALUES($c)").mkString(", ")
+        s"INSERT INTO $table ($collist) VALUES ($qs) ON DUPLICATE KEY UPDATE $sets"
+    }
+  }
+
+  /** Batching seam: group rows into prepared-statement batches. Pure, so
+    * the executeBatch cadence (every `batchSize` rows + final partial
+    * batch) is unit-testable without a database.
+    */
+  def batches(rows: Iterator[Row], batchSize: Int): Iterator[Seq[Row]] = {
+    require(batchSize > 0, "batchSize must be positive")
+    rows.grouped(batchSize)
+  }
+
+  /** Executor-side writer: one connection per partition, batched
+    * prepared statements, commit per partition.
+    */
+  def write(
+      df: DataFrame,
+      url: String,
+      table: String,
+      keys: Seq[String],
+      dialect: Dialect,
+      batchSize: Int = 1000,
+      props: java.util.Properties = new java.util.Properties,
+  ): Unit = {
+    val cols = df.columns.toSeq
+    val sql = upsertSql(dialect, table, cols, keys)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.prepareStatement(sql)
+        try {
+          batches(rows, batchSize).foreach { batch =>
+            batch.foreach { r =>
+              cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+              st.addBatch()
+            }
+            st.executeBatch()
+          }
+          conn.commit()
+        } finally st.close()
+      } finally conn.close()
+    }
+  }
+}

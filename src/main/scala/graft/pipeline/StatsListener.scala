@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Run-stats side channel + failure alerting.
+  *
+  * The reference logs per-step read/write seconds and writes run-stats
+  * rows to a MySQL stats DB (/root/reference/
+  * parallelized_data_pipeline_dag.py:100,109,118,181-194), and posts
+  * Slack alerts on task failure (dag_utils.py:8-35) — with an
+  * unimplemented `TODO Update the processing status as failed` at
+  * dag_utils.py:34. Here both are one QueryExecutionListener: success
+  * captures duration + observed metrics (`Dataset.observe` — metrics
+  * ride the job, no second scan), failure records a FAILED stats row
+  * (the TODO, done) and notifies an [[AlertSink]].
+  *
+  * AlertSink is pluggable because this container has zero egress; the
+  * production impl posts the webhook, [[LogAlertSink]] records in-proc.
+  */
+final case class StepStat(
+    run_id: String,
+    step: String,
+    status: String,
+    duration_ms: Long,
+    rows: Option[Long],
+)
+
+trait AlertSink extends Serializable {
+  def alert(runId: String, step: String, error: String): Unit
+}
+
+/** In-process alert sink (test/default). */
+final class LogAlertSink extends AlertSink {
+  val alerts = new ConcurrentLinkedQueue[(String, String, String)]
+  override def alert(runId: String, step: String, error: String): Unit =
+    alerts.add((runId, step, error))
+}
+
+final class StatsListener(runId: String, alertSink: AlertSink = new LogAlertSink) extends QueryExecutionListener {
+  private val stats = new ConcurrentLinkedQueue[StepStat]
+
+  /** Rows metric observed under any name starting with this prefix is
+    * picked up as the step's row count.
+    */
+  val ObservePrefix = "graft_"
+
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+    val observed = qe.observedMetrics.collectFirst {
+      case (name, row) if name.startsWith(ObservePrefix) && row.schema.fieldNames.contains("rows") =>
+        (name.stripPrefix(ObservePrefix), row.getAs[Long]("rows"))
+    }
+    val step = observed.map(_._1).getOrElse(funcName)
+    stats.add(StepStat(runId, step, "COMPLETED", durationNs / 1000000L, observed.map(_._2)))
+  }
+
+  override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = {
+    // the dag_utils.py:34 TODO, implemented: failed status row + alert
+    stats.add(StepStat(runId, funcName, "FAILED", 0L, None))
+    alertSink.alert(runId, funcName, exception.getMessage)
+  }
+
+  def snapshot: Seq[StepStat] = stats.asScala.toSeq
+
+  /** Stats as a frame, writable to any stats sink (JDBC/parquet). */
+  def toDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    snapshot.toDF()
+  }
+}

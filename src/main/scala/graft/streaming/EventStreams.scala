@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured-Streaming operators over the event stream — the engine's
+  * replacement for the reference's poll-every-2-minutes micro-batching
+  * (/root/reference/sqs_sensor_dag.py:123-131): `Trigger.ProcessingTime`
+  * gives the cadence, watermarks give bounded state, and all state lives
+  * in the streaming checkpoint (never unbounded driver maps — SURVEY
+  * §7.4). Every operator here is partition-parallel keyed state; at
+  * 100 TB the state store shards with the shuffle partitioning.
+  */
+object EventStreams {
+
+  /** One event row (mirrors the events table schema). */
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
+  /** Per-user running aggregate state for [[runningUserState]]. */
+  final case class UserAgg(user_id: Long, n_events: Long, sum_value: Double, last_event_id: Long)
+
+  /** Streaming twin of q18: tumbling 1-hour event-time windows with a
+    * watermark bounding state; late rows beyond the delay are dropped,
+    * finalized windows are emitted exactly once in append mode.
+    */
+  def hourlyWindowedCounts(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 2))).cast("double").as("sum_value"))
+      .select(col("win.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Event-time session windows (gap-based) per user — the streaming
+    * twin of q49's batch sessionization, via the built-in session_window
+    * (merging-window state, watermark-evicted).
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes", watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"))
+
+  /** Custom keyed state via mapGroupsWithState: per-user running counter
+    * + value sum + last event id, emitted on every update. The
+    * `KeyValueGroupedDataset` state path for semantics the windowed aggs
+    * can't express (SURVEY §2.6 streaming row).
+    */
+  def runningUserState(events: Dataset[EventRow]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(userId, 0L, 0.0, -1L))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            UserAgg(userId, acc.n_events + 1, acc.sum_value + e.value, math.max(acc.last_event_id, e.event_id))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Default output mode for the stateful queries above. */
+  val UpdateMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,245 @@
+package graft
+
+import graft.operators._
+import graft.pipeline._
+import graft.sources.ExtJson
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class TextKitSpec extends SparkSpec {
+  import TextKit._
+
+  test("polynomial hash matches the hand-computed fold and both dialect snippets agree on shape") {
+    // 'abc': ((0*31+97)*31+98)*31+99 mod P = 96354
+    val got = spark.sql(s"SELECT ${polySpark("'abc'")}").collect()(0).getLong(0)
+    assert(got === 96354L)
+  }
+
+  test("shingles: distinct word trigrams in order, 1-based indexing") {
+    val got = spark.sql(s"SELECT ${shinglesSpark("split('a b c d c b a', ' ')")}")
+      .collect()(0).getSeq[String](0)
+    assert(got === Seq("a b c", "b c d", "c d c", "d c b", "c b a"))
+  }
+
+  test("bigrams cover n-1 adjacent pairs") {
+    val got = spark.sql(s"SELECT ${bigramsSpark("split('x y z', ' ')")}").collect()(0).getSeq[String](0)
+    assert(got === Seq("x y", "y z"))
+  }
+
+  test("minhash permutation params are fixed, nonzero literals") {
+    assert(perms.size === MinhashK)
+    assert(perms.forall { case (a, b) => a > 0 && a < P && b >= 0 && b < P })
+    assert(perms.distinct.size === MinhashK)
+  }
+}
+
+class VectorKitSpec extends SparkSpec {
+  import VectorKit._
+
+  test("dot product is an exact left fold in doubles") {
+    val got = spark.sql(s"SELECT ${dotSpark("array(1.0F, 2.0F, 3.0F)", "array(4.0F, 5.0F, 6.0F)")}")
+      .collect()(0).getDouble(0)
+    assert(got === 32.0)
+  }
+
+  test("lsh bucket is stable and within range") {
+    val b = spark.sql(s"SELECT ${bucketSpark("array(0.5F, -0.25F, 0.125F)")}").collect()(0)
+    val v = b.getInt(0)
+    assert(v >= 0 && v < (1 << LshPlanes))
+    val again = spark.sql(s"SELECT ${bucketSpark("array(0.5F, -0.25F, 0.125F)")}").collect()(0).getInt(0)
+    assert(v === again)
+  }
+}
+
+class MappingCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compile: rename, cast, expression source, default on null") {
+    val df = Seq((1L, "alice", Some(10.5)), (2L, "bob", None))
+      .toDF("id", "name", "score")
+    val mapping = Seq(
+      FieldMapping("id", "contact_id", Some("bigint")),
+      FieldMapping("upper(name)", "uname"),
+      FieldMapping("score", "score", Some("double"), default = Some("0.0")),
+    )
+    val out = MappingCompiler.transform(df, mapping).orderBy("contact_id").collect()
+    assert(out.map(_.toSeq).toSeq === Seq(Seq(1L, "ALICE", 10.5), Seq(2L, "BOB", 0.0)))
+  }
+
+  test("fromJson parses tenant config incl optional fields") {
+    val cfg = """[
+      {"src": "a", "dst": "x"},
+      {"src": "lower(b)", "dst": "y", "cast": "string", "default": "'?'"}
+    ]"""
+    val m = MappingCompiler.fromJson(cfg)
+    assert(m === Seq(
+      FieldMapping("a", "x"),
+      FieldMapping("lower(b)", "y", Some("string"), Some("'?'"))))
+  }
+
+  test("fromJson rejects non-array configs") {
+    intercept[IllegalArgumentException](MappingCompiler.fromJson("""{"src": "a"}"""))
+  }
+}
+
+class SyncJobSpec extends SparkSpec {
+  import spark.implicits._
+  import SyncJob._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val table = Seq(
+    (1L, ts("2020-01-01 00:00:00"), "a"),
+    (2L, ts("2020-01-02 00:00:00"), "b"),
+    (3L, ts("2020-01-02 00:00:00"), "c"),
+    (4L, ts("2020-01-03 00:00:00"), "d"),
+  ).toDF("id", "processing_ts", "payload")
+
+  test("ranged scan: strictly-after ts, tie-broken by id") {
+    val got = rangedScan(table, "processing_ts", "id", Watermark(ts("2020-01-02 00:00:00"), 2L))
+      .select("id").as[Long].collect().sorted
+    assert(got === Array(3L, 4L))
+  }
+
+  test("stats lifecycle: COMPLETED with range, NO_DATA on empty") {
+    val live = syncStats(
+      rangedScan(table, "processing_ts", "id", Watermark(ts("2020-01-01 00:00:00"), 1L)),
+      "processing_ts", "id", "contact").collect()(0)
+    assert(live.getAs[String]("status") === "COMPLETED")
+    assert(live.getAs[Long]("records_count") === 3L)
+    assert(live.getAs[Long]("from_id") === 2L && live.getAs[Long]("to_id") === 4L)
+
+    val empty = syncStats(
+      rangedScan(table, "processing_ts", "id", Watermark(ts("2030-01-01 00:00:00"), 0L)),
+      "processing_ts", "id", "contact").collect()(0)
+    assert(empty.getAs[String]("status") === "NO_DATA")
+    assert(empty.isNullAt(empty.fieldIndex("from_id")))
+  }
+
+  test("replay idempotence: advancing then re-scanning from the same watermark re-yields the batch; from the advanced one, nothing") {
+    val wm0 = Watermark(ts("2020-01-01 00:00:00"), 1L)
+    val batch = rangedScan(table, "processing_ts", "id", wm0)
+    val stats = syncStats(batch, "processing_ts", "id", "contact")
+    val wm1 = advance(stats, wm0)
+    assert(wm1 === Watermark(ts("2020-01-03 00:00:00"), 4L))
+    // crash-before-advance replay: same watermark -> identical batch (idempotent upsert absorbs it)
+    val replay = rangedScan(table, "processing_ts", "id", wm0).select("id").as[Long].collect().sorted
+    assert(replay === Array(2L, 3L, 4L))
+    // after advance: drained
+    assert(rangedScan(table, "processing_ts", "id", wm1).isEmpty)
+    assert(advance(syncStats(rangedScan(table, "processing_ts", "id", wm1), "processing_ts", "id", "contact"), wm1) === wm1)
+  }
+}
+
+class VerifiedUpdatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, 10L, "old-a", 1.0),
+    (1L, 11L, "old-b", 2.0),
+    (2L, 10L, "old-c", 3.0),
+  ).toDF("company_id", "external_id", "verified_data", "score")
+
+  test("last writer wins per key; unmatched rows untouched; null update value leaves base") {
+    val updates = Seq(
+      (1L, 10L, 1L, Some("v1"), Some(9.0)),
+      (1L, 10L, 2L, Some("v2"), None), // latest: value null -> score stays
+      (2L, 10L, 5L, Some("v5"), Some(7.5)),
+    ).toDF("company_id", "external_id", "seq", "verified_data_new", "score_new")
+    val out = VerifiedUpdates(base, updates, Seq("company_id", "external_id"), "seq",
+      Map("verified_data" -> "verified_data_new", "score" -> "score_new"))
+      .orderBy("company_id", "external_id").collect()
+    assert(out.map(_.toSeq).toSeq === Seq(
+      Seq(1L, 10L, "v2", 1.0),
+      Seq(1L, 11L, "old-b", 2.0),
+      Seq(2L, 10L, "v5", 7.5)))
+  }
+
+  test("applying the same update batch twice is idempotent") {
+    val updates = Seq((1L, 10L, 1L, "v1")).toDF("company_id", "external_id", "seq", "verified_data_new")
+    val once = VerifiedUpdates(base, updates, Seq("company_id", "external_id"), "seq",
+      Map("verified_data" -> "verified_data_new"))
+    val twice = VerifiedUpdates(once, updates, Seq("company_id", "external_id"), "seq",
+      Map("verified_data" -> "verified_data_new"))
+    assert(once.orderBy("company_id", "external_id").collect().toSeq ===
+      twice.orderBy("company_id", "external_id").collect().toSeq)
+  }
+}
+
+class ExtJsonSpec extends SparkSpec {
+  import spark.implicits._
+  import ExtJson._
+
+  test("encode -> normalize round-trips oid/date/decimal/plain") {
+    val df = Seq((java.sql.Timestamp.valueOf("2021-05-01 12:30:00"), "6058f0e72c0b5a1dc4d71abc", "42.25", "hello"))
+      .toDF("created", "oid", "amount", "note")
+    val fields: Seq[(String, Kind)] = Seq("_id" -> Oid, "created" -> Date, "amount" -> Dec, "note" -> Plain)
+    val encoded = df.select(encode(Seq(
+      ("_id", col("oid"), Oid),
+      ("created", col("created"), Date),
+      ("amount", col("amount"), Dec),
+      ("note", col("note"), Plain))).as("js"))
+    val js = encoded.collect()(0).getString(0)
+    assert(js.contains(""""_id": {"$oid": "6058f0e72c0b5a1dc4d71abc"}"""))
+    assert(js.contains(""""amount": {"$numberDecimal": "42.25"}"""))
+    val out = encoded.select(normalize(col("js"), fields): _*).collect()(0)
+    assert(out.getString(0) === "6058f0e72c0b5a1dc4d71abc")
+    assert(out.getTimestamp(1) === java.sql.Timestamp.valueOf("2021-05-01 12:30:00"))
+    assert(out.getDouble(2) === 42.25)
+    assert(out.getString(3) === "hello")
+  }
+
+  test("normalize tolerates missing fields (null, no schema explosion)") {
+    val js = Seq("""{"_id": {"$oid": "ff"}}""").toDF("js")
+    val out = js.select(normalize(col("js"), Seq("_id" -> Oid, "created" -> Date)): _*).collect()(0)
+    assert(out.getString(0) === "ff")
+    assert(out.isNullAt(1))
+  }
+}
+
+class JdbcUpsertSpec extends SparkSpec {
+  import JdbcUpsert._
+
+  test("postgres upsert text") {
+    assert(upsertSql(Postgres, "t", Seq("k", "a", "b"), Seq("k")) ===
+      "INSERT INTO t (k, a, b) VALUES (?, ?, ?) ON CONFLICT (k) DO UPDATE SET a = EXCLUDED.a, b = EXCLUDED.b")
+  }
+
+  test("mysql upsert text") {
+    assert(upsertSql(MySql, "t", Seq("k1", "k2", "v"), Seq("k1", "k2")) ===
+      "INSERT INTO t (k1, k2, v) VALUES (?, ?, ?) ON DUPLICATE KEY UPDATE v = VALUES(v)")
+  }
+
+  test("keys must be subset of cols") {
+    intercept[IllegalArgumentException](upsertSql(Postgres, "t", Seq("a"), Seq("k")))
+  }
+
+  test("batching: full batches plus final partial") {
+    val rows = (1 to 10).map(i => Row(i)).iterator
+    val sizes = batches(rows, 4).map(_.size).toSeq
+    assert(sizes === Seq(4, 4, 2))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import graft.multimodal.Multimodal
+
+  test("binary payload features match direct byte math") {
+    import spark.implicits._
+    val docs = Seq((7L, "abc")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs)).collect()(0)
+    assert(feats.doc_id === 7L)
+    assert(feats.n_bytes === 3L)
+    assert(feats.byte_sum === (97 + 98 + 99).toLong)
+    assert(feats.head_byte === 97L)
+    assert(feats.feature.toSeq === Seq(3.0, 294.0, (294 % 256).toDouble, 97.0))
+  }
+
+  test("frame sampling strides the payload deterministically") {
+    import spark.implicits._
+    val docs = Seq((1L, "x" * 130)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.asMedia(docs), stride = 64)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(r => (r.getInt(1), r.getInt(2))).toSeq === Seq((0, 0), (1, 64), (2, 128)))
+  }
+}

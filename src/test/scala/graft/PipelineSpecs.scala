@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.FieldMapping
+import graft.pipeline._
+import graft.pipeline.PipelineRunner.PipelineSpec
+import graft.sources.ZipIngest
+import org.apache.spark.sql.functions._
+
+class ZipIngestSpec extends SparkSpec {
+
+  test("zip fixture: metadata + per-entity json-lines members") {
+    val dir = tmpDir("zipingest")
+    val zip = dir.resolve("input.zip")
+    Fixtures.writeZip(zip, Seq(
+      "metadata.json" -> """{"workflow_system_name": "crm", "company_id": 42}""",
+      "contact.json" -> Seq(
+        """{"cid": {"$oid": "aa"}, "name": "alice", "created": {"$date": 1600000000000}}""",
+        """{"cid": {"$oid": "bb"}, "name": "bob", "created": {"$date": 1600000001000}}""",
+      ).mkString("\n"),
+      "transaction.json" -> """{"tid": 1, "amount": {"$numberDecimal": "9.99"}}""",
+    ))
+    val payload = ZipIngest.read(spark, zip.toString)
+    assert(payload.metadata === Map("workflow_system_name" -> "crm", "company_id" -> "42"))
+    assert(payload.entities.keySet === Set("contact", "transaction"))
+    assert(payload.entities("contact").count() === 2L)
+    assert(payload.entities("transaction").count() === 1L)
+  }
+
+  test("metadata parser flattens scalars, ignores nested") {
+    val m = ZipIngest.parseMetadata("""{"a": "x", "n": 5, "f": 1.5, "b": true, "nested": {"k": 1}}""")
+    assert(m === Map("a" -> "x", "n" -> "5", "f" -> "1.5", "b" -> "true"))
+  }
+}
+
+class PipelineRunnerSpec extends SparkSpec {
+
+  test("zip -> split -> transform -> enrich -> persist with concurrent branches, stats, and barrier") {
+    val dir = tmpDir("pipeline")
+    val zip = dir.resolve("input.zip")
+    val sink = dir.resolve("sink").toString
+    Fixtures.writeZip(zip, Seq(
+      "metadata.json" -> """{"workflow_system_name": "crm", "company_id": 42}""",
+      "contact.json" -> Seq(
+        """{"cid": "c1", "name": "alice", "segment": "building"}""",
+        """{"cid": "c2", "name": "bob", "segment": null}""",
+      ).mkString("\n"),
+      "transaction.json" -> Seq(
+        """{"tid": 1, "amount": 9.99}""",
+        """{"tid": 2, "amount": 1.25}""",
+        """{"tid": 3, "amount": 4.50}""",
+      ).mkString("\n"),
+    ))
+    val spec = PipelineSpec(
+      runId = "run_test_1",
+      mappings = Map(
+        "contact" -> Seq(
+          FieldMapping("cid", "contact_id"),
+          FieldMapping("upper(name)", "full_name"),
+          FieldMapping("segment", "segment", default = Some("'unknown'")),
+        ),
+        "transaction" -> Seq(
+          FieldMapping("tid", "txn_id", Some("bigint")),
+          FieldMapping("amount", "amount", Some("double")),
+        ),
+      ),
+      enrichments = Map(
+        "transaction" -> (df => df.withColumn("amount_cents", (col("amount") * 100).cast("bigint"))),
+      ),
+      sinkDir = sink,
+    )
+    val alerts = new LogAlertSink
+    val stats = PipelineRunner.runFromZip(spark, zip.toString, spec, alerts)
+
+    val contacts = spark.read.parquet(s"$sink/contact").orderBy("contact_id").collect()
+    assert(contacts.map(_.toSeq).toSeq === Seq(
+      Seq("c1", "ALICE", "building"), Seq("c2", "BOB", "unknown")))
+    val txns = spark.read.parquet(s"$sink/transaction").orderBy("txn_id").collect()
+    assert(txns.map(_.getAs[Long]("amount_cents")).toSeq === Seq(999L, 125L, 450L))
+
+    // stats side-channel: one COMPLETED row per entity with observed rows
+    val byStep = stats.filter(_.status == "COMPLETED").groupBy(_.step)
+    assert(byStep.contains("contact") && byStep.contains("transaction"))
+    assert(byStep("contact").exists(_.rows.contains(2L)))
+    assert(byStep("transaction").exists(_.rows.contains(3L)))
+    assert(alerts.alerts.isEmpty)
+  }
+
+  test("failing branch raises after the barrier and the alert sink fires (dag_utils TODO)") {
+    import spark.implicits._
+    val dir = tmpDir("pipelinefail")
+    val spec = PipelineSpec(
+      runId = "run_test_2",
+      mappings = Map("bad" -> Seq(FieldMapping("assert_true(x < 0, 'boom')", "chk"), FieldMapping("x", "x"))),
+      sinkDir = dir.resolve("sink").toString,
+    )
+    val alerts = new LogAlertSink
+    val bad = Seq(1L, 2L).toDF("x")
+    intercept[Exception] {
+      PipelineRunner.run(spark, Map("bad" -> bad), spec, alerts)
+    }
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.FieldMapping
+import graft.pipeline.PipelineRunner.PipelineSpec
+import graft.streaming._
+import graft.streaming.EventStreams.EventRow
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpecs extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("hourly windowed counts: watermark finalizes windows in append mode and drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.hourlyWindowedCounts(in.toDF, "2 hours")
+      .writeStream.format("memory").queryName("hourly_t").outputMode("append").start()
+    try {
+      in.addData(
+        EventRow(1, ts("2020-01-01 10:05:00"), 1, "click", 1.5),
+        EventRow(2, ts("2020-01-01 10:20:00"), 2, "click", 2.5),
+        EventRow(3, ts("2020-01-01 11:10:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // watermark now 09:10 -> nothing finalized
+      assert(spark.table("hourly_t").isEmpty)
+      // push watermark past 12:00 (14:30 - 2h = 12:30) so both the 10:00
+      // and 11:00 windows finalize, then offer a LATE row for the 10:00
+      // window, which must be dropped
+      in.addData(EventRow(4, ts("2020-01-01 14:30:00"), 3, "click", 9.0))
+      q.processAllAvailable()
+      in.addData(EventRow(5, ts("2020-01-01 09:59:00"), 9, "click", 99.0)) // late beyond watermark
+      in.addData(EventRow(6, ts("2020-01-01 14:40:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_t")
+        .select("hour_start", "event_type", "n", "sum_value").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains((ts("2020-01-01 10:00:00"), "click", 2L, 4.0)))
+      assert(rows.contains((ts("2020-01-01 11:00:00"), "view", 1L, 1.0)))
+      // the late 09:59 click never lands anywhere
+      assert(!rows.exists { case (_, _, _, s) => s == 99.0 })
+    } finally q.stop()
+  }
+
+  test("session windows merge within gap and split across it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.sessionWindows(in.toDF, "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sessions_t").outputMode("append").start()
+    try {
+      in.addData(
+        EventRow(1, ts("2020-01-01 10:00:00"), 1, "a", 0),
+        EventRow(2, ts("2020-01-01 10:10:00"), 1, "a", 0), // same session
+        EventRow(3, ts("2020-01-01 11:30:00"), 1, "a", 0)) // new session (gap 80m)
+      q.processAllAvailable()
+      in.addData(EventRow(4, ts("2020-01-01 14:00:00"), 2, "a", 0)) // advance watermark
+      q.processAllAvailable()
+      in.addData(EventRow(5, ts("2020-01-01 15:00:00"), 2, "a", 0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_t")
+        .filter(col("user_id") === 1)
+        .select("session_start", "session_end", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(sessions === Set(
+        (ts("2020-01-01 10:00:00"), ts("2020-01-01 10:40:00"), 2L),
+        (ts("2020-01-01 11:30:00"), ts("2020-01-01 12:00:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps a running per-user aggregate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.runningUserState(in.toDS())
+      .writeStream.format("memory").queryName("userstate_t").outputMode("update").start()
+    try {
+      in.addData(
+        EventRow(1, ts("2020-01-01 10:00:00"), 7, "a", 1.0),
+        EventRow(2, ts("2020-01-01 10:01:00"), 7, "a", 2.0))
+      q.processAllAvailable()
+      in.addData(EventRow(9, ts("2020-01-01 10:05:00"), 7, "a", 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("userstate_t")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(rows.contains((7L, 2L, 3.0, 2L)))  // after batch 1
+      assert(rows.contains((7L, 3L, 3.5, 9L)))  // after batch 2
+    } finally q.stop()
+  }
+
+  test("verified-data stream applies LWW point updates to per-entity state tables across batches") {
+    import spark.implicits._
+    val dir = tmpDir("verified")
+    val state = dir.resolve("state").toString
+    Seq((1L, 10L, "orig", "x"), (1L, 11L, "orig", "y"))
+      .toDF("company_id", "external_id", "verified_data", "other")
+      .write.parquet(s"$state/verified_contact")
+
+    val batch1 = Seq(("contact", 1L, 10L, 1L, "fix-1"))
+      .toDF("entity", "company_id", "external_id", "seq", "verified_data")
+    VerifiedStream.applyBatch(spark, batch1, state)
+    val batch2 = Seq(("contact", 1L, 10L, 2L, "fix-2"), ("contact", 1L, 11L, 2L, "fix-3"))
+      .toDF("entity", "company_id", "external_id", "seq", "verified_data")
+    VerifiedStream.applyBatch(spark, batch2, state)
+    // replay batch2 (at-least-once delivery) — must be a no-op
+    VerifiedStream.applyBatch(spark, batch2, state)
+
+    val got = spark.read.parquet(s"$state/verified_contact")
+      .orderBy("external_id").collect().map(_.toSeq).toSeq
+    assert(got === Seq(Seq(1L, 10L, "fix-2", "x"), Seq(1L, 11L, "fix-3", "y")))
+  }
+
+  test("sensor loop: message drop fans out one pipeline run per file (end-to-end reference topology)") {
+    val dir = tmpDir("sensor")
+    val inbox = dir.resolve("inbox")
+    val sink = dir.resolve("sink").toString
+    java.nio.file.Files.createDirectories(inbox)
+    val zip = dir.resolve("drop1.zip")
+    Fixtures.writeZip(zip, Seq(
+      "metadata.json" -> """{"workflow_system_name": "crm", "company_id": 1}""",
+      "contact.json" -> """{"cid": "c9", "name": "zoe"}""",
+    ))
+    java.nio.file.Files.writeString(inbox.resolve("msg1.json"),
+      s"""{"s3_bucket": "local", "s3_file_path": "${zip.toString}"}""")
+
+    val spec = (runId: String, path: String) => PipelineSpec(
+      runId = runId,
+      mappings = Map("contact" -> Seq(
+        FieldMapping("cid", "contact_id"),
+        FieldMapping("upper(name)", "full_name"))),
+      sinkDir = sink,
+    )
+    val q = SensorLoop.start(spark, inbox.toString, dir.resolve("ckpt").toString, spec,
+      trigger = Trigger.AvailableNow())
+    try q.awaitTermination(120000) finally q.stop()
+
+    val contacts = spark.read.parquet(s"$sink/contact").collect()
+    assert(contacts.map(_.toSeq).toSeq === Seq(Seq("c9", "ZOE")))
+  }
+}
