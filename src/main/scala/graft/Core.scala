@@ -22,6 +22,9 @@ object Engine {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // native codegen'd kernels (vec_dot, poly_hash) via the public
+      // extensions hook — see graft.functions.GraftFunctions
+      .withExtensions(graft.functions.GraftFunctions.register)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -30,10 +30,15 @@ object TextKit {
   def tokensDuck(e: String): String  = s"string_split($e, ' ')"
 
   // ---- polynomial rolling hash over characters (Karp–Rabin style) ------
-  // fold left: h = (h*31 + code(c)) mod P. Spark `aggregate` and DuckDB
-  // `list_reduce` are both left folds; DuckDB has no init value, so a 0 is
-  // prepended. ASCII corpus: ascii() == codepoint in both engines.
-  def polySpark(e: String): String =
+  // fold left: h = (h*31 + code(c)) mod P. The engine side uses the
+  // native codegen'd expression (graft.functions.PolyHash) — bit-
+  // identical to the portable HOF fold `aggregate(split(e, ''), 0L,
+  // (acc, c) -> (acc*31 + ascii(c)) % P)` (see polySparkHof, kept for
+  // the equivalence spec). DuckDB `list_reduce` is the same left fold
+  // with the 0 prepended (no init param). ASCII/BMP corpus contract:
+  // ascii() == UTF-16 unit == codepoint.
+  def polySpark(e: String): String = s"graft_poly_hash($e)"
+  def polySparkHof(e: String): String =
     s"aggregate(split($e, ''), CAST(0 AS BIGINT), (ph_acc, ph_c) -> (ph_acc * 31 + ascii(ph_c)) % $P)"
   def polyDuck(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), ph_c -> CAST(ascii(ph_c) AS BIGINT))), (ph_a, ph_b) -> (ph_a * 31 + ph_b) % $P)"

@@ -17,8 +17,13 @@ package graft.operators
   */
 object VectorKit {
 
-  /** dot(a, b) as a left fold over element products (doubles). */
-  def dotSpark(a: String, b: String): String =
+  /** dot(a, b) as a left fold over element products (doubles). Engine
+    * side: native codegen'd kernel (graft.functions.VecDot), bit-
+    * identical to the portable HOF fold (dotSparkHof, kept for the
+    * equivalence spec).
+    */
+  def dotSpark(a: String, b: String): String = s"graft_vec_dot($a, $b)"
+  def dotSparkHof(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (zx, zy) -> CAST(zx AS DOUBLE) * CAST(zy AS DOUBLE)), CAST(0.0 AS DOUBLE), (dp_acc, dp_v) -> dp_acc + dp_v)"
   def dotDuck(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), dp_i -> CAST($a[dp_i] AS DOUBLE) * CAST($b[dp_i] AS DOUBLE))), (dp_x, dp_y) -> dp_x + dp_y)"
@@ -32,8 +37,17 @@ object VectorKit {
     * engines — no RNG, no libm. Stride 64 matches the embedding dim
     * (components would repeat across planes past dim 64).
     */
-  def projSpark(v: String, plane: Int): String =
-    s"aggregate(transform(sequence(1, size($v)), pr_i -> CAST(element_at($v, pr_i) AS DOUBLE) * (CAST((($plane * 64 + (pr_i - 1)) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 - 0.5)), CAST(0.0 AS DOUBLE), (pr_a, pr_b) -> pr_a + pr_b)"
+  def planeComponent(plane: Int, i0: Int): Double =
+    ((plane.toLong * 64 + i0) * 2654435761L % 4294967296L).toDouble / 4294967296.0 - 0.5
+
+  /** Engine side: the plane is a literal double array (exact values,
+    * Double.toString round-trips) dotted with the native kernel — same
+    * multiply-then-fold order as the portable forms.
+    */
+  def projSpark(v: String, plane: Int): String = {
+    val lits = (0 until 64).map(i0 => s"${planeComponent(plane, i0)}D").mkString(", ")
+    s"graft_vec_dot($v, array($lits))"
+  }
   def projDuck(v: String, plane: Int): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($v) + 1), pr_i -> CAST($v[pr_i] AS DOUBLE) * (CAST((($plane * 64 + (pr_i - 1)) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 - 0.5))), (pr_a, pr_b) -> pr_a + pr_b)"
 

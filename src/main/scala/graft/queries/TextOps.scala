@@ -270,24 +270,26 @@ object TextOps {
         """.trim)
       },
       (spark, dir) => {
-        val sig = minhashSignatures(spark, dir)
-        val bands = (0 until LshBands).map { bnd =>
+        // One signature pass feeds a band EXPLODE (4 rows/doc) instead of
+        // a 4-way unionAll (which would re-run the whole signature
+        // subtree per band); the band equi-join carries both signatures,
+        // so candidate similarity needs no extra joins back to sig.
+        val bandKeys = (0 until LshBands).map { bnd =>
           val key = (0 until LshRows).map(r => s"m${bnd * LshRows + r}").mkString(", ")
-          sig.selectExpr("doc_id", s"$bnd AS band", s"concat_ws(',', $key) AS bk")
-        }.reduce(_ unionAll _)
-        val cand = bands.as("a")
+          s"concat_ws(',', $key)"
+        }.mkString(", ")
+        val mcols = (0 until MinhashK).map(i => s"m$i")
+        val bands = minhashSignatures(spark, dir)
+          .selectExpr(("doc_id" +: mcols) :+ s"posexplode(array($bandKeys)) AS (band, bk)": _*)
+        val matches = (0 until MinhashK).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+        bands.as("a")
           .join(bands.as("b"), expr("a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        val matches = (0 until MinhashK).map(i => s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-        cand.as("c")
-          .join(sig.as("x"), col("c.doc_a") === col("x.doc_id"))
-          .join(sig.as("y"), col("c.doc_b") === col("y.doc_id"))
           .selectExpr(
-            "c.doc_a AS doc_a", "c.doc_b AS doc_b",
+            "a.doc_id AS doc_a", "b.doc_id AS doc_b",
             s"CAST($matches AS BIGINT) AS n_match",
             s"CAST($matches AS DOUBLE) / $MinhashK.0 AS est_sim",
           )
+          .distinct()
           .orderBy("doc_a", "doc_b")
       },
     ),
@@ -328,16 +330,15 @@ object TextOps {
           .groupBy("doc_id")
           .agg(sums.head, sums.tail: _*)
           .selectExpr("doc_id", s"$simExpr AS sim")
-        val bands = (0 until 4).map(bnd =>
-          sig.selectExpr("doc_id", "sim", s"$bnd AS band", s"(shiftright(sim, ${8 * bnd}) & 255) AS byte"))
-          .reduce(_ unionAll _)
+        // single-pass band explode (see q28 note on avoiding unionAll)
+        val bandBytes = (0 until 4).map(bnd => s"(shiftright(sim, ${8 * bnd}) & 255)").mkString(", ")
+        val bands = sig.selectExpr("doc_id", "sim", s"posexplode(array($bandBytes)) AS (band, byte)")
         bands.as("a")
           .join(bands.as("b"), expr("a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("a.sim").as("sim_a"),
-            col("b.doc_id").as("doc_b"), col("b.sim").as("sim_b"))
+          .filter(expr("bit_count(a.sim ^ b.sim) <= 3"))
+          .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+            "CAST(bit_count(a.sim ^ b.sim) AS BIGINT) AS hamming")
           .distinct()
-          .filter(expr("bit_count(sim_a ^ sim_b) <= 3"))
-          .selectExpr("doc_a", "doc_b", "CAST(bit_count(sim_a ^ sim_b) AS BIGINT) AS hamming")
           .orderBy("doc_a", "doc_b")
       },
     ),

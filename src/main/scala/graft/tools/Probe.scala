@@ -1,27 +1,36 @@
 package graft.tools
 
-import graft.Engine
+import graft.{Engine, Tables}
+import graft.operators.TextKit._
+import org.apache.spark.sql.functions._
 
-/** Scratch expression-semantics probe (dev only, not part of the API). */
+/** Scratch profiling probe (dev only, not part of the API). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = Engine.session("probe", "2")
-    val sqls = Seq(
-      "SELECT split('abc', '')",
-      "SELECT size(split('a b c', ' '))",
-      "SELECT regexp_extract_all('ab 12 !', '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)",
-      "SELECT aggregate(split('abc', ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % 2147483647)",
-      "SELECT element_at(split('a b c', ' '), 1)",
-      "SELECT array_distinct(transform(sequence(1, 2), i -> concat_ws(' ', element_at(split('a b c d', ' '), i), element_at(split('a b c d', ' '), i+1))))",
-      "SELECT CAST(5 AS BIGINT) ^ CAST(3 AS BIGINT), bit_count(CAST(7 AS BIGINT)), shiftright(CAST(12 AS BIGINT), 2) & 3",
-      "SELECT md5('abc')",
-      "SELECT array_min(transform(array('a','bb'), s -> length(s)))",
-      "SELECT size(filter(split('the a x', ' '), t -> t = 'the' OR t = 'a'))",
-    )
-    sqls.foreach { s =>
-      try println(s + "  =>  " + spark.sql(s).collect().mkString(" | "))
-      catch { case e: Throwable => println(s + "  =>  ERR " + e.getMessage.take(150)) }
+    val spark = Engine.session("probe")
+    val dir = "/root/testdata/sf0.1"
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
     }
+
+    val ex = Tables(spark, dir).documents
+      .selectExpr("doc_id", s"${tokensSpark("text")} AS tok")
+      .selectExpr("doc_id", s"${shinglesSpark("tok")} AS sh")
+      .selectExpr("doc_id", "CAST(size(sh) AS BIGINT) AS nsh", "sh")
+      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
+
+    timed("explode only")(ex.count())
+    val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("s"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("s"))
+    val joined = a.join(b, "s").filter(col("doc_a") < col("doc_b"))
+    timed("join")(joined.count())
+    val grouped = joined.groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("n_inter"))
+    timed("join+group")(grouped.count())
+    timed("join again")(joined.count())
+    joined.explain("formatted")
     spark.stop()
   }
 }

@@ -26,6 +26,14 @@ class TextKitSpec extends SparkSpec {
     assert(got === Seq("x y", "y z"))
   }
 
+  test("native poly_hash kernel is bit-identical to the portable HOF fold on real corpus text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diffs = docs
+      .selectExpr(s"${polySpark("text")} AS a", s"${polySparkHof("text")} AS b")
+      .filter("a <> b").count()
+    assert(diffs === 0L)
+  }
+
   test("minhash permutation params are fixed, nonzero literals") {
     assert(perms.size === MinhashK)
     assert(perms.forall { case (a, b) => a > 0 && a < P && b >= 0 && b < P })
@@ -40,6 +48,16 @@ class VectorKitSpec extends SparkSpec {
     val got = spark.sql(s"SELECT ${dotSpark("array(1.0F, 2.0F, 3.0F)", "array(4.0F, 5.0F, 6.0F)")}")
       .collect()(0).getDouble(0)
     assert(got === 32.0)
+  }
+
+  test("native vec_dot kernel is bit-identical to the portable HOF fold on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e2 = emb.selectExpr("vec_id", "embedding AS e1")
+      .join(emb.selectExpr("vec_id + 1 AS vec_id", "embedding AS e2"), "vec_id")
+    val diffs = e2
+      .selectExpr(s"${dotSpark("e1", "e2")} AS a", s"${dotSparkHof("e1", "e2")} AS b")
+      .filter("a <> b").count()
+    assert(diffs === 0L)
   }
 
   test("lsh bucket is stable and within range") {
