@@ -211,7 +211,10 @@ object TextOps {
           .select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
         val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("s"))
         val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("s"))
-        a.join(b, "s")
+        // SHUFFLE_HASH: build a hash table per partition instead of
+        // sorting both 260k-row shingle streams (measured 5.8s -> 3.3s);
+        // the partial-agg pair counting stays unchanged
+        a.join(b.hint("SHUFFLE_HASH"), "s")
           .filter(col("doc_a") < col("doc_b"))
           .groupBy("doc_a", "doc_b", "na", "nb")
           .agg(count(lit(1)).as("n_inter"))
@@ -283,7 +286,7 @@ object TextOps {
           .selectExpr(("doc_id" +: mcols) :+ s"posexplode(array($bandKeys)) AS (band, bk)": _*)
         val matches = (0 until MinhashK).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
         bands.as("a")
-          .join(bands.as("b"), expr("a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id"))
+          .join(bands.as("b").hint("SHUFFLE_HASH"), expr("a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id"))
           .selectExpr(
             "a.doc_id AS doc_a", "b.doc_id AS doc_b",
             s"CAST($matches AS BIGINT) AS n_match",
@@ -334,7 +337,7 @@ object TextOps {
         val bandBytes = (0 until 4).map(bnd => s"(shiftright(sim, ${8 * bnd}) & 255)").mkString(", ")
         val bands = sig.selectExpr("doc_id", "sim", s"posexplode(array($bandBytes)) AS (band, byte)")
         bands.as("a")
-          .join(bands.as("b"), expr("a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id"))
+          .join(bands.as("b").hint("SHUFFLE_HASH"), expr("a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id"))
           .filter(expr("bit_count(a.sim ^ b.sim) <= 3"))
           .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
             "CAST(bit_count(a.sim ^ b.sim) AS BIGINT) AS hamming")
