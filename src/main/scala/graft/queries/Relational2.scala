@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second relational wave: the operators Spark has no single built-in
+  * for (as-of join, bounded range join) re-expressed as scalable
+  * compositions, plus cube / grouping-sets / ordered list-agg — each
+  * hash-checked against the DuckDB oracle (which uses its native ASOF
+  * JOIN and inequality joins, so the compositions are proven equivalent
+  * to the first-class operators).
+  */
+object Relational2 {
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "q50_asof_join",
+      "As-of join: for every purchase, the latest click of the same user " +
+        "at or before it. Spark composition: union both sides, one shuffle " +
+        "on user_id, running last_value(ignoreNulls) — never a per-row " +
+        "subquery or non-equi join; at 100 TB this is a single sort-merge " +
+        "pass. Oracle uses DuckDB's native ASOF LEFT JOIN, proving the " +
+        "composition implements the operator exactly.",
+      Some("""
+        WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id
+                        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        purchases AS (SELECT user_id, ts, event_id AS purchase_id
+                      FROM events WHERE event_type = 'purchase')
+        SELECT p.purchase_id, p.user_id, p.ts, c.click_id,
+          epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM purchases p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY purchase_id
+      """.trim),
+      (spark, dir) => {
+        val ev = Tables(spark, dir).events
+        // one click per (user, ts): ASOF's tie rows are collapsed
+        // deterministically (max event_id), matching the oracle CTE
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+          .select(col("user_id"), col("ts"), lit(0).as("tag"),
+            col("click_id"), col("ts").as("cts"), lit(null).cast("long").as("purchase_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("tag"),
+            lit(null).cast("long").as("click_id"), lit(null).cast("timestamp").as("cts"),
+            col("event_id").as("purchase_id"))
+        // clicks sort before purchases at equal ts (tag 0 < 1) => ts <= ts matches
+        val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(purchases)
+          .withColumn("asof_click", last("click_id", ignoreNulls = true).over(w))
+          .withColumn("asof_cts", last("cts", ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(
+            col("purchase_id"), col("user_id"), col("ts"),
+            col("asof_click").as("click_id"),
+            (unix_micros(col("ts")) - unix_micros(col("asof_cts"))).as("gap_us"))
+          .orderBy("purchase_id")
+      },
+    ),
+    Q(
+      "q51_range_join",
+      "Bounded range self-join: event pairs of the same user within 60 s. " +
+        "Spark composition: equi-join on (user, 60s time bucket) with the " +
+        "probe side exploded to its two candidate buckets, exact predicate " +
+        "after — candidate volume is bucket-bounded, never users² or " +
+        "events². Oracle runs the plain inequality join.",
+      Some("""
+        SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+          epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a JOIN events b ON a.user_id = b.user_id
+          AND (epoch_us(b.ts) - epoch_us(a.ts)) BETWEEN 0 AND 60000000
+          AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+        ORDER BY event_a, event_b
+      """.trim),
+      (spark, dir) => {
+        val ev = Tables(spark, dir).events
+          .select(col("user_id"), col("event_id"), col("ts"), unix_micros(col("ts")).as("us"))
+        val bucket = expr("us div 60000000").as("bucket")
+        val a = ev.select(col("user_id"), col("event_id").as("event_a"),
+          col("ts").as("ts_a"), col("us").as("us_a"), bucket)
+        val b = ev.select(col("user_id"), col("event_id").as("event_b"),
+          col("ts").as("ts_b"), col("us").as("us_b"),
+          explode(expr("array(us div 60000000, us div 60000000 - 1)")).as("bucket"))
+        a.join(b, Seq("user_id", "bucket"))
+          .filter(
+            (col("us_b") - col("us_a")).between(0L, 60000000L) &&
+            (col("ts_a") < col("ts_b") ||
+              (col("ts_a") === col("ts_b") && col("event_a") < col("event_b"))))
+          .select(col("event_a"), col("event_b"), col("user_id"),
+            (col("us_b") - col("us_a")).as("gap_us"))
+          .orderBy("event_a", "event_b")
+      },
+    ),
+    Q(
+      "q52_cube",
+      "CUBE over (returnflag, linestatus): all 2^2 grouping combinations " +
+        "in one pass (Catalyst Expand + single hash-agg).",
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+          CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+          CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g_flag, g_status
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).lineitem
+          .cube("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            Num.dsum(col("l_quantity")).as("sum_qty"),
+            grouping(col("l_returnflag")).cast("long").as("g_flag"),
+            grouping(col("l_linestatus")).cast("long").as("g_status"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
+            col("g_flag"), col("g_status"))
+      },
+    ),
+    Q(
+      "q53_grouping_sets",
+      "Explicit GROUPING SETS ((rf, ls), (rf), ()): the general form " +
+        "rollup/cube desugar to.",
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+          CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g_flag, g_status
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).lineitem
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            grouping(col("l_returnflag")).cast("long").as("g_flag"),
+            grouping(col("l_linestatus")).cast("long").as("g_status"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
+            col("g_flag"), col("g_status"))
+      },
+    ),
+    Q(
+      "q54_listagg",
+      "Ordered list aggregation: per market segment, the sorted distinct " +
+        "nation keys as one string (deterministic listagg — collect_set is " +
+        "unordered by contract, so the sort happens before concat).",
+      Some("""
+        SELECT c_mktsegment, count(*) AS n,
+          array_to_string(list_sort(array_agg(DISTINCT c_nationkey)), ',') AS nations
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).customer
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n"),
+            concat_ws(",",
+              expr("transform(array_sort(collect_set(c_nationkey)), la_x -> CAST(la_x AS STRING))"))
+              .as("nations"))
+          .orderBy("c_mktsegment")
+      },
+    ),
+    Q(
+      "q55_approx_distinct",
+      "HyperLogLog++ approximate distinct counts per group (the sketch " +
+        "path for 100 TB cardinality estimation). Sketch values are " +
+        "engine-specific, so there is no cross-engine oracle — the spec " +
+        "asserts <= 5% relative error against the exact count instead.",
+      None,
+      (spark, dir) => {
+        Tables(spark, dir).lineitem
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .orderBy("l_returnflag")
+      },
+    ),
+  )
+}

@@ -239,6 +239,20 @@ class JdbcUpsertSpec extends SparkSpec {
   }
 }
 
+class ApproxDistinctSpec extends SparkSpec {
+  test("q55 HLL++ estimates stay within 5% of exact counts (its correctness contract; no cross-engine oracle for sketches)") {
+    val rows = graft.queries.QueryCatalog.byName("q55_approx_distinct")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getAs[String]("l_returnflag")}: approx=$approx exact=$exact")
+    }
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import graft.multimodal.Multimodal
 
