@@ -47,6 +47,7 @@ object GraftFunctions {
 case class VecDot(left: Expression, right: Expression)
   extends BinaryExpression {
 
+  override def prettyName: String = "graft_vec_dot"
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -108,6 +109,7 @@ case class VecDot(left: Expression, right: Expression)
 case class PolyHash(child: Expression)
   extends UnaryExpression {
 
+  override def prettyName: String = "graft_poly_hash"
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.QueryCatalog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan shape assertions for the scale-critical properties:
+  * filters reach the parquet scan, projections prune the read schema,
+  * top-k never plans a full sort, fixed-cardinality dims broadcast.
+  * These are the properties that decide whether a query that passes at
+  * sf0.01 still works at 100 TB — so they are pinned as tests, not just
+  * eyeballed once in explain output.
+  */
+class PlanSpecs extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the adaptive plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p: SparkPlan => p.toString
+    }
+  }
+
+  private def q(name: String): DataFrame = QueryCatalog.byName(name).fn(spark, dir)
+
+  test("q2: both predicates push into the parquet scan and the read schema is pruned to 4 columns") {
+    val p = q("q2_scan_filter").queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(p_size,1)") && p.contains("LessThanOrEqual(p_size,15)"), p)
+    // the PushedFilters list is elided with "..." in toString; the
+    // equality pushdown is visible in DataFilters on the same scan node
+    assert(p.contains("= PROMO)"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("p_partkey", "p_name", "p_retailprice", "p_size", "p_type").forall(readSchema.contains), readSchema)
+    assert(!readSchema.contains("p_brand") && !readSchema.contains("p_retailsize"), readSchema)
+  }
+
+  test("q9: global top-k plans as TakeOrderedAndProject (per-partition heap), not a full sort") {
+    val p = planString(q("q9_topk_sort"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q3: top-k after agg is TakeOrderedAndProject and the filtered customer side broadcasts at this size (AQE choice, not a forced hint)") {
+    val p = planString(q("q3_topk_join"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q4: fixed-cardinality dims (nation x region) broadcast; shipdate-range filter pushes into the orders scan") {
+    val p = planString(q("q4_join_agg_multi"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("q1: aggregation runs partial (map-side) then final — one shuffle of partial states only") {
+    val p = planString(q("q1_agg"))
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair => the string carries two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q42: the watermark range predicate reaches the parquet scan as pushed filters") {
+    val p = q("q42_incremental_sync").queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"), p)
+  }
+
+  test("native kernels appear in the plan (not HOF fallbacks) for similarity queries") {
+    val p = q("q31_knn_brute").queryExecution.executedPlan.toString
+    assert(p.contains("graft_vec_dot"), p)
+    assert(!p.contains("aggregate(zip_with"), p)
+  }
+}

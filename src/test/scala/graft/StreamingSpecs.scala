@@ -112,6 +112,28 @@ class StreamingSpecs extends SparkSpec {
     assert(got === Seq(Seq(1L, 10L, "fix-2", "x"), Seq(1L, 11L, "fix-3", "y")))
   }
 
+  test("batch/stream parity: streaming hourly windows over the events table equal the q18 batch aggregation") {
+    import spark.implicits._
+    val dir = tmpDir("parity")
+    val events = Tables(spark, "/root/testdata/sf0.001").events
+    // stream the normalized events (Tables applies the nanos fix; the
+    // stream source needs a plain µs-timestamp schema)
+    val normPath = dir.resolve("events_norm").toString
+    events.write.mode("overwrite").parquet(normPath)
+    val stream = spark.readStream.schema(events.schema).parquet(normPath)
+    val q = EventStreams.hourlyWindowedCounts(stream)
+      .writeStream.format("memory").queryName("parity_t").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val streaming = spark.table("parity_t")
+      .select("hour_start", "event_type", "n", "sum_value").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = graft.queries.QueryCatalog.byName("q18_events_hourly")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streaming === batch)
+  }
+
   test("sensor loop: message drop fans out one pipeline run per file (end-to-end reference topology)") {
     val dir = tmpDir("sensor")
     val inbox = dir.resolve("inbox")
