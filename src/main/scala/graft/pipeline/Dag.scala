@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.collection.mutable
+import scala.concurrent.{Await, ExecutionContext, Future, Promise}
+import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
+import scala.util.{Failure, Success, Try}
+
+/** Minimal DAG scheduler for Spark jobs — the orchestration layer the
+  * reference delegates to Airflow (task graphs like `read >> transform
+  * >> enrich >> persist` with a fan-in barrier,
+  * /root/reference/parallelized_data_pipeline_dag.py:433-434, and
+  * trigger rules / retry config at :85-97).
+  *
+  * Semantics carried over from the reference:
+  *   - edges = dependencies; a node runs when ALL upstreams succeeded
+  *     (Airflow's ALL_SUCCESS trigger rule, the only one the reference
+  *     uses);
+  *   - independent nodes run concurrently (the "parallelized" entity
+  *     branches) on the caller's ExecutionContext — Spark actions issued
+  *     from different threads become concurrent Spark jobs;
+  *   - a node failure skips its downstream transitively
+  *     (upstream_failed state), runs an `onFailure` callback (the Slack
+  *     alert hook, dag_utils.py:8-35), and fails the run after every
+  *     runnable node finishes — like Airflow, independent branches still
+  *     complete;
+  *   - per-node retries with fixed delay (:88-90 — the reference
+  *     configures retries=0 with a 30-min delay; both are per-DAG
+  *     config here).
+  *
+  * The scheduler is deliberately driver-side control-plane only: nodes
+  * do Spark actions; no data flows through the scheduler.
+  */
+object Dag {
+
+  sealed trait NodeState
+  case object Succeeded extends NodeState
+  final case class FailedState(error: Throwable, attempts: Int) extends NodeState
+  case object UpstreamFailed extends NodeState
+
+  final case class Spec(
+      nodes: Map[String, () => Unit],
+      edges: Seq[(String, String)], // (upstream, downstream)
+      retries: Int = 0,
+      retryDelay: FiniteDuration = 0.seconds,
+      onFailure: (String, Throwable) => Unit = (_, _) => (),
+  ) {
+    require(edges.forall { case (a, b) => nodes.contains(a) && nodes.contains(b) },
+      "edge endpoints must be declared nodes")
+  }
+
+  final case class RunResult(states: Map[String, NodeState]) {
+    def succeeded: Boolean = states.values.forall(_ == Succeeded)
+  }
+
+  /** Validate acyclicity (topological order exists). */
+  def topoOrder(spec: Spec): Seq[String] = {
+    val indeg = mutable.Map(spec.nodes.keys.map(_ -> 0).toSeq: _*)
+    spec.edges.foreach { case (_, b) => indeg(b) += 1 }
+    val queue = mutable.Queue(spec.nodes.keys.filter(indeg(_) == 0).toSeq.sorted: _*)
+    val order = mutable.ArrayBuffer[String]()
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      order += n
+      spec.edges.collect { case (`n`, b) => b }.sorted.foreach { b =>
+        indeg(b) -= 1
+        if (indeg(b) == 0) queue.enqueue(b)
+      }
+    }
+    require(order.size == spec.nodes.size, s"cycle detected among ${spec.nodes.keySet -- order}")
+    order.toSeq
+  }
+
+  def run(spec: Spec, timeout: FiniteDuration = 10.minutes)(implicit ec: ExecutionContext): RunResult = {
+    topoOrder(spec) // cycle check up front
+    val upstreams: Map[String, Seq[String]] =
+      spec.nodes.keys.map(n => n -> spec.edges.collect { case (a, `n`) => a }).toMap
+    val done = mutable.Map[String, Promise[NodeState]](
+      spec.nodes.keys.map(_ -> Promise[NodeState]()).toSeq: _*)
+    val states = new ConcurrentLinkedQueue[(String, NodeState)]
+
+    def attempt(name: String, body: () => Unit, attemptsLeft: Int, attemptNo: Int): NodeState =
+      Try(body()) match {
+        case Success(_) => Succeeded
+        case Failure(e) if attemptsLeft > 0 =>
+          Thread.sleep(spec.retryDelay.toMillis)
+          attempt(name, body, attemptsLeft - 1, attemptNo + 1)
+        case Failure(e) =>
+          spec.onFailure(name, e)
+          FailedState(e, attemptNo)
+      }
+
+    spec.nodes.foreach { case (name, body) =>
+      val upstreamDone = Future.sequence(upstreams(name).map(done(_).future))
+      val result: Future[NodeState] = upstreamDone.map { ups =>
+        val state =
+          if (ups.forall(_ == Succeeded)) attempt(name, body, spec.retries, 1)
+          else UpstreamFailed
+        states.add(name -> state)
+        state
+      }
+      result.onComplete {
+        case Success(s) => done(name).success(s)
+        case Failure(e) => done(name).success(FailedState(e, 1))
+      }
+    }
+
+    Await.result(Future.sequence(done.values.map(_.future)), timeout)
+    RunResult(states.asScala.toMap)
+  }
+}

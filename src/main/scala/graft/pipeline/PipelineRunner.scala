@@ -54,8 +54,12 @@ object PipelineRunner {
     spark.listenerManager.register(listener)
     implicit val ec: ExecutionContext = ExecutionContext.global
     try {
-      val branches = entities.map { case (entity, raw) =>
-        Future {
+      // one DAG node per entity branch (transform+enrich+persist is ONE
+      // Spark plan under lineage — no temp-file stages to schedule); the
+      // scheduler provides the concurrency, the ALL_SUCCESS barrier, and
+      // the failure alert hook (Dag.scala)
+      val nodes = entities.map { case (entity, raw) =>
+        entity -> (() => {
           val cached = raw.cache()
           try {
             val mapped = spec.mappings.get(entity).fold(cached)(m => MappingCompiler.transform(cached, m))
@@ -64,10 +68,17 @@ object PipelineRunner {
               .observe(s"graft_$entity", count(lit(1)).as("rows"))
               .write.mode("overwrite").parquet(s"${spec.sinkDir}/$entity")
           } finally cached.unpersist()
-        }
+          ()
+        })
       }
-      // fan-in barrier (the ALL_SUCCESS complete-task)
-      Await.result(Future.sequence(branches), 10.minutes)
+      val result = Dag.run(Dag.Spec(
+        nodes = nodes,
+        edges = Seq.empty, // branches are independent; Dag.run awaits all
+        onFailure = (step, e) => alertSink.alert(spec.runId, step, e.getMessage)))
+      if (!result.succeeded) {
+        val firstError = result.states.values.collectFirst { case Dag.FailedState(e, _) => e }
+        throw firstError.getOrElse(new RuntimeException(s"pipeline ${spec.runId} failed: ${result.states}"))
+      }
       // QueryExecutionListener callbacks are async; wait (bounded) until
       // every entity branch has reported its stats row
       val deadline = System.nanoTime() + 30.seconds.toNanos
