@@ -4,8 +4,11 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-// (no CodegenFallback — these expressions ship real generated code)
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+// VecDot/PolyHash ship real generated code (per-element loops inside a
+// fused stage); WordNgrams is CodegenFallback on purpose — its eval is
+// already one JVM call per row building an array, where codegen buys
+// nothing but Janino compile time.
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -34,7 +37,76 @@ object GraftFunctions {
       FunctionIdentifier("graft_poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
       (children: Seq[Expression]) => PolyHash(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+      (children: Seq[Expression]) => WordNgrams(children(0), children(1), children(2))))
   }
+}
+
+/** Space-joined word n-grams of a single-space-tokenized text, built in
+  * one pass per row. Value-identical to the composed form
+  * `array_distinct(transform(arrays_zip(slice(split(text, ' '), ...)),
+  * z -> concat_ws(' ', ...)))` (dedup=true keeps first occurrence, like
+  * array_distinct; dedup=false keeps multiplicity) — but evaluated as
+  * one JVM method per row instead of one expression-tree walk per
+  * element. Fewer than n tokens => empty array (matching the oracle's
+  * `range` form). Tokenization contract: split on every single space,
+  * trailing empties kept (Spark split limit=-1 semantics).
+  */
+case class WordNgrams(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_word_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private lazy val n: Int = second.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(s"n must be an integer literal, got $other")
+  }
+  private lazy val dedup: Boolean = third.eval(null).asInstanceOf[Boolean]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == StringType && second.foldable && third.foldable &&
+      (second.dataType == IntegerType || second.dataType == LongType) && third.dataType == BooleanType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_word_ngrams expects (string, int literal, boolean literal)")
+
+  override def nullSafeEval(text: Any, nAny: Any, dedupAny: Any): Any = {
+    val s = text.asInstanceOf[UTF8String].toString
+    // split on every single space, keeping empty segments (limit=-1)
+    val tokens = new java.util.ArrayList[String]()
+    var start = 0
+    var idx = s.indexOf(' ')
+    while (idx >= 0) {
+      tokens.add(s.substring(start, idx))
+      start = idx + 1
+      idx = s.indexOf(' ', start)
+    }
+    tokens.add(s.substring(start))
+    val m = tokens.size - n + 1
+    val out = new java.util.LinkedHashSet[String]()
+    val outList = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(tokens.get(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(tokens.get(i + j)); j += 1 }
+      val g = sb.toString
+      if (dedup) out.add(g) else outList.add(g)
+      i += 1
+    }
+    val items = if (dedup) out.iterator() else outList.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer[UTF8String]()
+    while (items.hasNext) buf += UTF8String.fromString(items.next())
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): WordNgrams =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** Double dot product over two numeric arrays (float or double

@@ -55,6 +55,13 @@ object TextKit {
   // DuckDB oracle form is unchanged.
   def shinglesSpark(tok: String): String =
     s"array_distinct(transform(arrays_zip(slice($tok, 1, size($tok) - 2), slice($tok, 2, size($tok) - 2), slice($tok, 3, size($tok) - 2)), sh_z -> concat_ws(' ', sh_z['0'], sh_z['1'], sh_z['2'])))"
+
+  /** Hot-path forms taking the text column directly: the native
+    * one-pass-per-row expression (graft.functions.WordNgrams),
+    * value-identical to tokenize+compose above (equivalence specs).
+    */
+  def textShinglesSpark(text: String): String = s"graft_word_ngrams($text, 3, true)"
+  def textBigramsSpark(text: String): String = s"graft_word_ngrams($text, 2, false)"
   def shinglesDuck(tok: String): String =
     s"list_distinct(list_transform(range(1, len($tok) - 1), sh_i -> $tok[sh_i] || ' ' || $tok[sh_i + 1] || ' ' || $tok[sh_i + 2]))"
 

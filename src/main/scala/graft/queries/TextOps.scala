@@ -151,8 +151,7 @@ object TextOps {
       """.trim),
       (spark, dir) => {
         Tables(spark, dir).documents
-          .selectExpr("doc_id", "text", s"$tokS AS tok")
-          .selectExpr("doc_id", "text", s"${shinglesSpark("tok")} AS sh")
+          .selectExpr("doc_id", "text", s"${textShinglesSpark("text")} AS sh")
           .selectExpr(
             "doc_id",
             "md5(text) AS md5_hex",
@@ -205,8 +204,7 @@ object TextOps {
       """.trim),
       (spark, dir) => {
         val ex = Tables(spark, dir).documents
-          .selectExpr("doc_id", s"$tokS AS tok")
-          .selectExpr("doc_id", s"${shinglesSpark("tok")} AS sh")
+          .selectExpr("doc_id", s"${textShinglesSpark("text")} AS sh")
           .selectExpr("doc_id", "CAST(size(sh) AS BIGINT) AS nsh", "sh")
           .select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
         val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("s"))
@@ -326,8 +324,7 @@ object TextOps {
           sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$j"))
         val simExpr = (0 until SimhashBits).map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
         val sig = Tables(spark, dir).documents
-          .selectExpr("doc_id", s"$tokS AS tok")
-          .selectExpr("doc_id", s"${bigramsSpark("tok")} AS feats")
+          .selectExpr("doc_id", s"${textBigramsSpark("text")} AS feats")
           .select(col("doc_id"), explode(col("feats")).as("w"))
           .withColumn("h", expr(polySpark("w")))
           .groupBy("doc_id")
@@ -353,8 +350,7 @@ object TextOps {
   private def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val aggs = (0 until MinhashK).map(i => min(expr(permExpr(i, "x"))).as(s"m$i"))
     Tables(spark, dir).documents
-      .selectExpr("doc_id", s"$tokS AS tok")
-      .selectExpr("doc_id", s"${shinglesSpark("tok")} AS sh")
+      .selectExpr("doc_id", s"${textShinglesSpark("text")} AS sh")
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("x", expr(polySpark("s")))
       .groupBy("doc_id")

@@ -26,6 +26,26 @@ class TextKitSpec extends SparkSpec {
     assert(got === Seq("x y", "y z"))
   }
 
+  test("native word-ngrams expression is value-identical to the composed tokenize+zip form on real corpus text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val shDiff = docs.selectExpr(
+      s"${textShinglesSpark("text")} AS a",
+      s"${shinglesSpark(tokensSpark("text"))} AS b").filter("a <> b").count()
+    assert(shDiff === 0L)
+    val bgDiff = docs.selectExpr(
+      s"${textBigramsSpark("text")} AS a",
+      s"${bigramsSpark(tokensSpark("text"))} AS b").filter("a <> b").count()
+    assert(bgDiff === 0L)
+  }
+
+  test("native word-ngrams edge cases: short text -> empty, multiplicity kept when dedup=false") {
+    assert(spark.sql("SELECT graft_word_ngrams('one two', 3, true)").collect()(0).getSeq[String](0).isEmpty)
+    assert(spark.sql("SELECT graft_word_ngrams('a b a b', 2, false)").collect()(0).getSeq[String](0)
+      === Seq("a b", "b a", "a b"))
+    assert(spark.sql("SELECT graft_word_ngrams('a b a b', 2, true)").collect()(0).getSeq[String](0)
+      === Seq("a b", "b a"))
+  }
+
   test("native poly_hash kernel is bit-identical to the portable HOF fold on real corpus text") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val diffs = docs
