@@ -20,7 +20,10 @@ object Bench {
       .foreach(df => df.limit(1).collect())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      // noop sink: executes the FULL projection. count() would let
+      // Catalyst prune payload expressions and sorts, so projection-heavy
+      // queries (fingerprints, scalar funcs) would time a row-count scan.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }

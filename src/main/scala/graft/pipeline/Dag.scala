@@ -5,7 +5,7 @@ import scala.collection.mutable
 import scala.concurrent.{Await, ExecutionContext, Future, Promise}
 import scala.concurrent.duration._
 import scala.jdk.CollectionConverters._
-import scala.util.{Failure, Success, Try}
+import scala.util.{Failure, Success}
 
 /** Minimal DAG scheduler for Spark jobs — the orchestration layer the
   * reference delegates to Airflow (task graphs like `read >> transform
@@ -80,13 +80,16 @@ object Dag {
       spec.nodes.keys.map(_ -> Promise[NodeState]()).toSeq: _*)
     val states = new ConcurrentLinkedQueue[(String, NodeState)]
 
+    // catches ALL throwables (Try/NonFatal would let e.g. a
+    // StackOverflowError escape the Future and the node would vanish
+    // from `states`, turning a failed run into a vacuous success)
     def attempt(name: String, body: () => Unit, attemptsLeft: Int, attemptNo: Int): NodeState =
-      Try(body()) match {
-        case Success(_) => Succeeded
-        case Failure(e) if attemptsLeft > 0 =>
+      (try { body(); None } catch { case e: Throwable => Some(e) }) match {
+        case None => Succeeded
+        case Some(_) if attemptsLeft > 0 =>
           Thread.sleep(spec.retryDelay.toMillis)
           attempt(name, body, attemptsLeft - 1, attemptNo + 1)
-        case Failure(e) =>
+        case Some(e) =>
           spec.onFailure(name, e)
           FailedState(e, attemptNo)
       }
@@ -102,7 +105,12 @@ object Dag {
       }
       result.onComplete {
         case Success(s) => done(name).success(s)
-        case Failure(e) => done(name).success(FailedState(e, 1))
+        case Failure(e) =>
+          // scheduler-level failure (not the node body): still record it
+          val st = FailedState(e, 1)
+          states.add(name -> st)
+          spec.onFailure(name, e)
+          done(name).success(st)
       }
     }
 

@@ -31,9 +31,17 @@ object JdbcUpsert {
     val qs = Seq.fill(cols.size)("?").mkString(", ")
     val updatable = cols.filterNot(keys.contains)
     dialect match {
+      case Postgres if updatable.isEmpty =>
+        // all columns are keys: an empty SET list is a syntax error;
+        // the idempotent form is conflict-ignore
+        s"INSERT INTO $table ($collist) VALUES ($qs) ON CONFLICT (${keys.mkString(", ")}) DO NOTHING"
       case Postgres =>
         val sets = updatable.map(c => s"$c = EXCLUDED.$c").mkString(", ")
         s"INSERT INTO $table ($collist) VALUES ($qs) ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET $sets"
+      case MySql if updatable.isEmpty =>
+        // key-only upsert: re-assign a key to itself (MySQL's portable
+        // no-op form; INSERT IGNORE would also swallow real errors)
+        s"INSERT INTO $table ($collist) VALUES ($qs) ON DUPLICATE KEY UPDATE ${keys.head} = ${keys.head}"
       case MySql =>
         val sets = updatable.map(c => s"$c = VALUES($c)").mkString(", ")
         s"INSERT INTO $table ($collist) VALUES ($qs) ON DUPLICATE KEY UPDATE $sets"

@@ -50,12 +50,15 @@ final class StatsListener(runId: String, alertSink: AlertSink = new LogAlertSink
   val ObservePrefix = "graft_"
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-    val observed = qe.observedMetrics.collectFirst {
+    // only executions carrying this run's observe metric are recorded —
+    // the listener sees EVERY query on the shared session, and unrelated
+    // concurrent work must not be attributed to this run_id
+    qe.observedMetrics.collectFirst {
       case (name, row) if name.startsWith(ObservePrefix) && row.schema.fieldNames.contains("rows") =>
         (name.stripPrefix(ObservePrefix), row.getAs[Long]("rows"))
+    }.foreach { case (step, rows) =>
+      stats.add(StepStat(runId, step, "COMPLETED", durationNs / 1000000L, Some(rows)))
     }
-    val step = observed.map(_._1).getOrElse(funcName)
-    stats.add(StepStat(runId, step, "COMPLETED", durationNs / 1000000L, observed.map(_._2)))
   }
 
   override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = {

@@ -34,22 +34,28 @@ object SyncJob {
     table.filter(rangePredicate(tsCol, idCol, wm))
 
   /** One lifecycle stats row for a batch: (entity, records_count,
-    * from_id, to_id, new watermark ts, status). Empty batch => NO_DATA
-    * with null range — exactly the reference's bookkeeping
+    * from_id, to_id, new watermark (ts, id), status). Empty batch =>
+    * NO_DATA with null range — exactly the reference's bookkeeping
     * (postgresql_mysql_sync_dag.py:64-71,83-101).
+    *
+    * The new watermark id is the max id AMONG ROWS AT the max ts
+    * (lexicographic max over (ts, id)) — pairing max(ts) with the
+    * batch-global max(id) would advance lastId past rows that commit
+    * later at the same timestamp and silently skip them forever.
     */
   def syncStats(batch: DataFrame, tsCol: String, idCol: String, entity: String): DataFrame =
     batch.agg(
       count(lit(1)).as("records_count"),
       min(col(idCol)).as("from_id"),
       max(col(idCol)).as("to_id"),
-      max(col(tsCol)).as("new_watermark_ts"),
+      max(struct(col(tsCol), col(idCol))).as("wm"),
     ).select(
       lit(entity).as("entity"),
       col("records_count"),
       col("from_id"),
       col("to_id"),
-      col("new_watermark_ts"),
+      col("wm").getField(tsCol).as("new_watermark_ts"),
+      col("wm").getField(idCol).as("new_watermark_id"),
       when(col("records_count") === 0, "NO_DATA").otherwise("COMPLETED").as("status"),
     )
 
@@ -57,7 +63,7 @@ object SyncJob {
     * never of the data.
     */
   def advance(stats: DataFrame, prev: Watermark): Watermark = {
-    val r = stats.select("new_watermark_ts", "to_id").collect()(0)
+    val r = stats.select("new_watermark_ts", "new_watermark_id").collect()(0)
     if (r.isNullAt(0)) prev
     else Watermark(r.getTimestamp(0), r.getLong(1))
   }

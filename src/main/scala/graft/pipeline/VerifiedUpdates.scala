@@ -30,7 +30,11 @@ object VerifiedUpdates {
       seqCol: String,
       payload: Map[String, String],
   ): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    // deterministic winner even when two updates share a seq value
+    // (e.g. second-resolution timestamps): tie-break on the payload
+    // columns, so a crash-replay of the same batch picks the same row
+    val tieBreak = payload.values.toSeq.sorted.map(col(_).desc_nulls_last)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc +: tieBreak: _*)
     val latest = updates
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -66,20 +66,27 @@ object PipelineQueries {
         "from_id/to_id, advanced watermark, COMPLETED | NO_DATA) — the " +
         "data_sync_stats row of SURVEY §2.4 #27, incl. the empty-batch path.",
       Some("""
-        SELECT entity, records_count, from_id, to_id, new_watermark_ts,
+        WITH live AS (
+          SELECT * FROM orders
+          WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00'
+             OR (o_orderdate = TIMESTAMP '1997-06-01 00:00:00' AND o_orderkey > 3000)),
+        drained AS (
+          SELECT * FROM orders WHERE o_orderdate > TIMESTAMP '2999-01-01 00:00:00')
+        SELECT entity, records_count, from_id, to_id, new_watermark_ts, new_watermark_id,
           CASE WHEN records_count = 0 THEN 'NO_DATA' ELSE 'COMPLETED' END AS status
         FROM (
           SELECT 'orders' AS entity, count(*) AS records_count,
             min(o_orderkey) AS from_id, max(o_orderkey) AS to_id,
-            max(o_orderdate) AS new_watermark_ts
-          FROM orders
-          WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00'
-             OR (o_orderdate = TIMESTAMP '1997-06-01 00:00:00' AND o_orderkey > 3000)
+            max(o_orderdate) AS new_watermark_ts,
+            max(CASE WHEN o_orderdate = (SELECT max(o_orderdate) FROM live)
+                     THEN o_orderkey END) AS new_watermark_id
+          FROM live
           UNION ALL
           SELECT 'orders_drained' AS entity, count(*), min(o_orderkey),
-            max(o_orderkey), max(o_orderdate)
-          FROM orders
-          WHERE o_orderdate > TIMESTAMP '2999-01-01 00:00:00')
+            max(o_orderkey), max(o_orderdate),
+            max(CASE WHEN o_orderdate = (SELECT max(o_orderdate) FROM drained)
+                     THEN o_orderkey END)
+          FROM drained)
         ORDER BY entity
       """.trim),
       (spark, dir) => {
@@ -201,8 +208,7 @@ object PipelineQueries {
             ("amount", concat(col("o_custkey").cast("string"), lit(".25")), Dec),
             ("priority", col("o_orderpriority"), Plain),
           )).as("js"))
-        encoded
-          .select(col("o_orderkey") +: ExtJson.normalize(col("js"), fields): _*)
+        ExtJson.normalizeDF(encoded, col("js"), fields, keep = Seq("o_orderkey"))
           .orderBy("o_orderkey")
       },
     ),

@@ -42,19 +42,42 @@ object ExtJson {
     }
   }
 
+  /** DataFrame-level normalize: parse ONCE into an intermediate struct
+    * column, then extract fields from it in a second projection. The
+    * per-column [[normalize]] form embeds a full `from_json` in every
+    * output column; the JSON parse is CodegenFallback (no codegen CSE),
+    * so N fields cost N parses per row — measured ~25% of q47's runtime.
+    * Catalyst keeps the two projections separate (from_json is non-cheap
+    * and multiply-referenced, so CollapseProject leaves it), making this
+    * a guaranteed single parse.
+    */
+  def normalizeDF(df: org.apache.spark.sql.DataFrame, js: Column, fields: Seq[(String, Kind)], keep: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val parsed = df.select(keep.map(col) :+ from_json(js, schema(fields)).as("__extjson"): _*)
+    val extracted = fields.map {
+      case (n, Oid)   => lower(col(s"__extjson.$n.`$$oid`")).as(n)
+      case (n, Date)  => timestamp_millis(col(s"__extjson.$n.`$$date`")).as(n)
+      case (n, Dec)   => col(s"__extjson.$n.`$$numberDecimal`").cast(DoubleType).as(n)
+      case (n, Plain) => col(s"__extjson.$n").cast(StringType).as(n)
+    }
+    parsed.select(keep.map(col) ++ extracted: _*)
+  }
+
   /** Encode canonical columns back to an ext-JSON document string (the
     * put_json_file twin, parallelized_data_pipeline_dag.py:113-119).
-    * Deterministic field order = argument order.
+    * Deterministic field order = argument order. Built with to_json over
+    * a named struct so string content is properly JSON-escaped (quotes,
+    * backslashes, control chars) — hand-concatenation would silently
+    * corrupt such values into nulls on re-parse.
     */
   def encode(fields: Seq[(String, Column, Kind)]): Column = {
-    val parts = fields.map {
-      case (n, c, Oid)   => concat(lit(s""""$n": {"$$oid": """"), c, lit("\"}"))
+    val parts: Seq[Column] = fields.map {
+      case (n, c, Oid)   => struct(c.as("$oid")).as(n)
       // cast accepts NTZ sources; under the engine's fixed UTC session
       // zone the NTZ->instant interpretation is the BSON $date (UTC) one.
-      case (n, c, Date)  => concat(lit(s""""$n": {"$$date": """), unix_millis(c.cast(TimestampType)), lit("}"))
-      case (n, c, Dec)   => concat(lit(s""""$n": {"$$numberDecimal": """"), c, lit("\"}"))
-      case (n, c, Plain) => concat(lit(s""""$n": """"), c, lit("\""))
+      case (n, c, Date)  => struct(unix_millis(c.cast(TimestampType)).as("$date")).as(n)
+      case (n, c, Dec)   => struct(c.cast(StringType).as("$numberDecimal")).as(n)
+      case (n, c, Plain) => c.cast(StringType).as(n)
     }
-    concat(lit("{"), concat_ws(", ", parts: _*), lit("}"))
+    to_json(struct(parts: _*))
   }
 }

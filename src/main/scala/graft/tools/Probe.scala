@@ -1,7 +1,8 @@
 package graft.tools
 
 import graft.{Engine, Tables}
-import graft.operators.TextKit._
+import graft.sources.ExtJson
+import graft.sources.ExtJson._
 import org.apache.spark.sql.functions._
 
 /** Scratch profiling probe (dev only, not part of the API). */
@@ -10,49 +11,41 @@ object Probe {
     val spark = Engine.session("probe")
     val dir = "/root/testdata/sf0.1"
 
-    def timed(name: String)(f: => Long): Unit = {
+    def timed(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
-      val n = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+      f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-
-    // warmup
     spark.range(100000L).selectExpr("sum(id)").collect()
-    Tables(spark, dir).documents.limit(1).collect()
 
-    def ex = Tables(spark, dir).documents
-      .selectExpr("doc_id", s"${tokensSpark("text")} AS tok")
-      .selectExpr("doc_id", s"${shinglesSpark("tok")} AS sh")
-      .selectExpr("doc_id", "CAST(size(sh) AS BIGINT) AS nsh", "sh")
-      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
+    val fields: Seq[(String, Kind)] =
+      Seq("_id" -> Oid, "created" -> Date, "amount" -> Dec, "priority" -> Plain)
+    def encoded = Tables(spark, dir).orders.select(
+      col("o_orderkey"),
+      ExtJson.encode(Seq(
+        ("_id", lpad(lower(hex(col("o_orderkey"))), 24, "0"), Oid),
+        ("created", col("o_orderdate"), Date),
+        ("amount", concat(col("o_custkey").cast("string"), lit(".25")), Dec),
+        ("priority", col("o_orderpriority"), Plain),
+      )).as("js"))
 
-    timed("explode only")(ex.count())
-    timed("explode only again")(ex.count())
-    val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("s"))
-    val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("s"))
-    timed("smj join+group") {
-      a.join(b, "s").filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1))).count()
-    }
-    timed("shuffle_hash join+group") {
-      a.join(b.hint("SHUFFLE_HASH"), "s").filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1))).count()
-    }
-    // hash the join key to a bigint first (cheaper shuffle + compare);
-    // results identical because the pair-counting groups by doc ids only
-    val ah = a.withColumn("s", expr("graft_poly_hash(s)"))
-    val bh = b.withColumn("s", expr("graft_poly_hash(s)"))
-    timed("bigint-key join+group") {
-      ah.join(bh.hint("SHUFFLE_HASH"), "s").filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1))).count()
-    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
-    // small-query floor: q1-style agg run twice
-    def q1 = Tables(spark, dir).lineitem
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-      .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)))
-    timed("q1-style cold")(q1.count())
-    timed("q1-style warm")(q1.count())
+    timed("encode only")(noop(encoded))
+    timed("current (4x normalize)")(noop(
+      encoded.select(col("o_orderkey") +: ExtJson.normalize(col("js"), fields): _*)))
+    timed("two-step struct")(noop {
+      encoded
+        .select(col("o_orderkey"), from_json(col("js"), ExtJson.schema(fields)).as("p"))
+        .select(col("o_orderkey"),
+          lower(col("p._id.`$oid`")).as("_id"),
+          timestamp_millis(col("p.created.`$date`")).as("created"),
+          col("p.amount.`$numberDecimal`").cast("double").as("amount"),
+          col("p.priority").as("priority"))
+    })
+    timed("current again")(noop(
+      encoded.select(col("o_orderkey") +: ExtJson.normalize(col("js"), fields): _*)))
     spark.stop()
   }
 }

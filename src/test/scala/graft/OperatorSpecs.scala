@@ -154,6 +154,22 @@ class SyncJobSpec extends SparkSpec {
     assert(empty.isNullAt(empty.fieldIndex("from_id")))
   }
 
+  test("watermark advance pairs max(ts) with the max id AT that ts, not the batch-global max id") {
+    // regression: rows (10:05, id=100) and (10:06, id=5) — a later commit
+    // at 10:06 with id 50 must still be seen, so lastId must be 5, not 100
+    val skewed = Seq(
+      (100L, ts("2020-01-01 10:05:00"), "x"),
+      (5L, ts("2020-01-01 10:06:00"), "y"),
+    ).toDF("id", "processing_ts", "payload")
+    val wm = advance(
+      syncStats(skewed, "processing_ts", "id", "contact"),
+      Watermark(ts("2000-01-01 00:00:00"), 0L))
+    assert(wm === Watermark(ts("2020-01-01 10:06:00"), 5L))
+    val lateCommit = Seq((50L, ts("2020-01-01 10:06:00"), "late"))
+      .toDF("id", "processing_ts", "payload")
+    assert(rangedScan(lateCommit, "processing_ts", "id", wm).count() === 1L)
+  }
+
   test("replay idempotence: advancing then re-scanning from the same watermark re-yields the batch; from the advanced one, nothing") {
     val wm0 = Watermark(ts("2020-01-01 00:00:00"), 1L)
     val batch = rangedScan(table, "processing_ts", "id", wm0)
@@ -218,13 +234,23 @@ class ExtJsonSpec extends SparkSpec {
       ("amount", col("amount"), Dec),
       ("note", col("note"), Plain))).as("js"))
     val js = encoded.collect()(0).getString(0)
-    assert(js.contains(""""_id": {"$oid": "6058f0e72c0b5a1dc4d71abc"}"""))
-    assert(js.contains(""""amount": {"$numberDecimal": "42.25"}"""))
+    assert(js.contains(""""_id":{"$oid":"6058f0e72c0b5a1dc4d71abc"}"""))
+    assert(js.contains(""""amount":{"$numberDecimal":"42.25"}"""))
     val out = encoded.select(normalize(col("js"), fields): _*).collect()(0)
     assert(out.getString(0) === "6058f0e72c0b5a1dc4d71abc")
     assert(out.getTimestamp(1) === java.sql.Timestamp.valueOf("2021-05-01 12:30:00"))
     assert(out.getDouble(2) === 42.25)
     assert(out.getString(3) === "hello")
+  }
+
+  test("encode escapes quotes/backslashes/control chars so hostile values survive the round-trip") {
+    val nasty = "Acme \"West\" \\ Corp\nline2"
+    val df = Seq(Tuple1(nasty)).toDF("note")
+    val out = df
+      .select(encode(Seq(("note", col("note"), Plain))).as("js"))
+      .select(normalize(col("js"), Seq("note" -> Plain)): _*)
+      .collect()(0)
+    assert(out.getString(0) === nasty)
   }
 
   test("normalize tolerates missing fields (null, no schema explosion)") {
@@ -250,6 +276,13 @@ class JdbcUpsertSpec extends SparkSpec {
 
   test("keys must be subset of cols") {
     intercept[IllegalArgumentException](upsertSql(Postgres, "t", Seq("a"), Seq("k")))
+  }
+
+  test("all-key tables produce valid conflict-ignore statements, not an empty SET list") {
+    assert(upsertSql(Postgres, "t", Seq("k1", "k2"), Seq("k1", "k2")) ===
+      "INSERT INTO t (k1, k2) VALUES (?, ?) ON CONFLICT (k1, k2) DO NOTHING")
+    assert(upsertSql(MySql, "t", Seq("k1", "k2"), Seq("k1", "k2")) ===
+      "INSERT INTO t (k1, k2) VALUES (?, ?) ON DUPLICATE KEY UPDATE k1 = k1")
   }
 
   test("batching: full batches plus final partial") {

@@ -110,6 +110,18 @@ class StreamingSpecs extends SparkSpec {
     val got = spark.read.parquet(s"$state/verified_contact")
       .orderBy("external_id").collect().map(_.toSeq).toSeq
     assert(got === Seq(Seq(1L, 10L, "fix-2", "x"), Seq(1L, 11L, "fix-3", "y")))
+
+    // first-seen entity bootstraps an empty table instead of failing the
+    // stream (UPDATE semantics: corrections to missing rows update
+    // nothing, as in the reference); unsafe entity names are skipped
+    val batch3 = Seq(("invoice", 9L, 1L, 1L, "new-entity"), ("../evil", 9L, 1L, 1L, "nope"))
+      .toDF("entity", "company_id", "external_id", "seq", "verified_data")
+    VerifiedStream.applyBatch(spark, batch3, state)
+    assert(spark.read.parquet(s"$state/verified_invoice").isEmpty)
+    import scala.jdk.CollectionConverters._
+    val children = java.nio.file.Files.list(java.nio.file.Paths.get(state)).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(children === Set("verified_contact", "verified_invoice"))
   }
 
   test("batch/stream parity: streaming hourly windows over the events table equal the q18 batch aggregation") {
