@@ -165,6 +165,61 @@ object Relational2 {
       },
     ),
     Q(
+      "q56_setops_all",
+      "Multiset set operations (INTERSECT ALL / EXCEPT ALL): duplicate-" +
+        "preserving membership, the bag-semantics complement to q12.",
+      Some("""
+        WITH lk AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+             ok AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'F')
+        SELECT k, 'inter_all' AS tag, count(*) AS n FROM (SELECT k FROM lk INTERSECT ALL SELECT k FROM ok) GROUP BY k
+        UNION ALL
+        SELECT k, 'except_all' AS tag, count(*) AS n FROM (SELECT k FROM lk EXCEPT ALL SELECT k FROM ok) GROUP BY k
+        ORDER BY tag, k
+      """.trim),
+      (spark, dir) => {
+        val li = Tables(spark, dir).lineitem
+        val lk = li.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k"))
+        val ok = li.filter(col("l_linestatus") === "F").select(col("l_suppkey").as("k"))
+        lk.intersectAll(ok).groupBy("k").agg(count(lit(1)).as("n")).withColumn("tag", lit("inter_all"))
+          .unionByName(
+            lk.exceptAll(ok).groupBy("k").agg(count(lit(1)).as("n")).withColumn("tag", lit("except_all")))
+          .select("k", "tag", "n")
+          .orderBy("tag", "k")
+      },
+    ),
+    Q(
+      "q57_null_semantics",
+      "Null-handling scalar surface: COALESCE, NULLIF, null-safe equality, " +
+        "and null-aware aggregation (count vs count(col)) over a derived " +
+        "nullable column.",
+      Some("""
+        WITH c AS (SELECT c_custkey, c_mktsegment,
+                     NULLIF(c_acctbal, 0.0) AS bal_nz,
+                     CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos
+                   FROM customer)
+        SELECT c_mktsegment,
+          count(*) AS n_rows,
+          count(bal_pos) AS n_nonnull,
+          CAST(sum(CAST(coalesce(bal_pos, 0.0) AS DECIMAL(30,2))) AS DOUBLE) AS sum_pos,
+          count(*) FILTER (WHERE bal_nz IS NOT DISTINCT FROM NULL) AS n_zero_bal
+        FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment
+      """.trim),
+      (spark, dir) => {
+        Tables(spark, dir).customer
+          .select(
+            col("c_mktsegment"),
+            nullif(col("c_acctbal"), lit(0.0)).as("bal_nz"),
+            when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("bal_pos"))
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("bal_pos")).as("n_nonnull"),
+            Num.dsum(coalesce(col("bal_pos"), lit(0.0))).as("sum_pos"),
+            count_if(col("bal_nz") <=> lit(null)).as("n_zero_bal"))
+          .orderBy("c_mktsegment")
+      },
+    ),
+    Q(
       "q55_approx_distinct",
       "HyperLogLog++ approximate distinct counts per group (the sketch " +
         "path for 100 TB cardinality estimation). Sketch values are " +
