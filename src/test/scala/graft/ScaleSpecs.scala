@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Demonstrations-with-proof of the at-scale layout tools: bucketed
+  * co-located joins (no shuffle in the join plan) and salted joins for
+  * skew (identical results, spread partitioning).
+  */
+class ScaleSpecs extends SparkSpec {
+
+  test("bucketed tables join without a shuffle exchange (co-located join)") {
+    val db = "graft_bucket_test"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    // at sf0.001 AQE would broadcast the small side (also shuffle-free,
+    // but it hides the co-location proof); force the sort-merge path the
+    // tables would take at fact-x-fact scale
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = Tables(spark, "/root/testdata/sf0.001")
+      t.orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$db.orders_b")
+      t.lineitem.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.lineitem_b")
+      val joined = spark.table(s"$db.orders_b")
+        .join(spark.table(s"$db.lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val rows = joined.collect()
+      assert(rows.map(_.getLong(1)).sum === t.lineitem.count())
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      // the join itself reads co-located buckets: no Exchange between
+      // the scans and the SortMergeJoin (the only exchange is the
+      // post-join aggregation's)
+      val joinSection = plan.split("HashAggregate").last
+      assert(joinSection.contains("SortMergeJoin"), plan)
+      assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"), plan)
+      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+
+  test("salted join equals the plain join exactly and spreads a hot key over all salts") {
+    import spark.implicits._
+    // hot key: 90% of rows share key 1
+    val skewed = (1L to 2000L).map(i => (if (i % 10 == 0) i % 7 + 2 else 1L, i)).toDF("k", "payload")
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, "d"), (6L, "e"), (7L, "f"), (8L, "g"))
+      .toDF("k", "name")
+    val plain = skewed.join(dim, "k")
+    val salted = Skew.saltedJoin(skewed, dim, "k", salts = 8)
+    assert(salted.columns.toSeq.sorted === plain.columns.toSeq.sorted)
+    assert(salted.count() === plain.count())
+    assert(salted.select("k", "payload", "name").except(plain.select("k", "payload", "name")).isEmpty)
+    assert(plain.select("k", "payload", "name").except(salted.select("k", "payload", "name")).isEmpty)
+    // the hot key's rows really carry multiple salt values
+    val saltSpread = skewed
+      .withColumn("__salt", pmod(xxhash64(struct(skewed.columns.map(col).toSeq: _*)), lit(8)).cast("int"))
+      .filter($"k" === 1L).select("__salt").distinct().count()
+    assert(saltSpread > 4, s"expected the hot key spread over most of 8 salts, got $saltSpread")
+  }
+}
