@@ -18,9 +18,13 @@ object Engine {
     * never silently skew bench/verify vs engine behavior.
     */
   def session(appName: String = "graft", cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    // SPARK_GRAFT_MASTER lets a cluster deployment (spark-submit --master
+    // yarn/k8s) reuse this factory; the local[] default serves the
+    // driver-harness and tests
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
     val spark = SparkSession
       .builder()
-      .master(s"local[$cores]")
+      .master(master)
       .appName(appName)
       // native codegen'd kernels (vec_dot, poly_hash) via the public
       // extensions hook — see graft.functions.GraftFunctions

@@ -92,4 +92,23 @@ object Multimodal {
       posexplode(expr(s"transform(sequence(0, CAST((declared_bytes - 1) / $stride AS INT)), i -> i * $stride)"))
         .as(Seq("frame_idx", "byte_offset")),
     )
+
+  /** Resize/downsample stub: keep every `factor`-th byte of the payload
+    * (stands in for image resizing — the real codec call sits where the
+    * slice loop is; schema, binary round-trip, and the narrow map shape
+    * are the production contract).
+    */
+  def resize(media: DataFrame, factor: Int = 4): Dataset[(Long, Array[Byte], Long)] = {
+    require(factor > 0, "factor must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload", "modality", "declared_bytes")
+      .as[MediaRecord]
+      .map { r =>
+        val out = Array.ofDim[Byte]((r.payload.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
+        (r.doc_id, out, out.length.toLong)
+      }
+  }
 }

@@ -320,6 +320,15 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.feature.toSeq === Seq(3.0, 294.0, (294 % 256).toDouble, 97.0))
   }
 
+  test("resize downsamples the binary payload by stride, keeping the byte round-trip exact") {
+    import spark.implicits._
+    val docs = Seq((3L, "abcdefgh")).toDF("doc_id", "text")
+    val out = Multimodal.resize(Multimodal.asMedia(docs), factor = 3).collect()(0)
+    assert(out._1 === 3L)
+    assert(new String(out._2, "UTF-8") === "adg")
+    assert(out._3 === 3L)
+  }
+
   test("frame sampling strides the payload deterministically") {
     import spark.implicits._
     val docs = Seq((1L, "x" * 130)).toDF("doc_id", "text")
