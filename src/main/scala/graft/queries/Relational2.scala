@@ -220,6 +220,24 @@ object Relational2 {
       },
     ),
     Q(
+      "q58_approx_percentile",
+      "Approximate percentiles (Greenwald-Khanna sketch) of order totals " +
+        "per priority — the quantile path for 100 TB distributions. Sketch " +
+        "values are engine-specific, so no cross-engine oracle; the spec " +
+        "bounds them against exact percentiles instead.",
+      None,
+      (spark, dir) => {
+        Tables(spark, dir).orders
+          .groupBy("o_orderpriority")
+          .agg(
+            approx_percentile(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"),
+            approx_percentile(col("o_totalprice"), lit(0.95), lit(10000)).as("p95_approx"),
+            expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+            expr("percentile(o_totalprice, 0.95)").as("p95_exact"))
+          .orderBy("o_orderpriority")
+      },
+    ),
+    Q(
       "q55_approx_distinct",
       "HyperLogLog++ approximate distinct counts per group (the sketch " +
         "path for 100 TB cardinality estimation). Sketch values are " +

@@ -306,6 +306,38 @@ class ApproxDistinctSpec extends SparkSpec {
   }
 }
 
+class ApproxPercentileSpec extends SparkSpec {
+  test("q58 quantile sketch stays within 2% relative error of exact percentiles") {
+    val rows = graft.queries.QueryCatalog.byName("q58_approx_percentile")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(("p50_approx", "p50_exact"), ("p95_approx", "p95_exact")).foreach { case (a, e) =>
+        val approx = r.getAs[Double](a)
+        val exact = r.getAs[Double](e)
+        assert(math.abs(approx - exact) / exact <= 0.02, s"$a=$approx vs $e=$exact")
+      }
+    }
+  }
+}
+
+class SourceSinkSpec extends SparkSpec {
+  test("json and csv sinks round-trip the event rows (the reference's file source/sink surface)") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("srcsink").toString
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+      .select("event_id", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").json(s"$dir/ev_json")
+    ev.write.mode("overwrite").option("header", "true").csv(s"$dir/ev_csv")
+    val fromJson = spark.read.schema(ev.schema).json(s"$dir/ev_json")
+    val fromCsv = spark.read.schema(ev.schema).option("header", "true").csv(s"$dir/ev_csv")
+    assert(fromJson.count() === ev.count())
+    assert(fromJson.except(ev).isEmpty && ev.except(fromJson).isEmpty)
+    assert(fromCsv.count() === ev.count())
+    assert(fromCsv.except(ev).isEmpty && ev.except(fromCsv).isEmpty)
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import graft.multimodal.Multimodal
 
