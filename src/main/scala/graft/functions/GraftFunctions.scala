@@ -68,11 +68,15 @@ case class WordNgrams(first: Expression, second: Expression, third: Expression)
   private lazy val dedup: Boolean = third.eval(null).asInstanceOf[Boolean]
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (first.dataType == StringType && second.foldable && third.foldable &&
-      (second.dataType == IntegerType || second.dataType == LongType) && third.dataType == BooleanType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      "graft_word_ngrams expects (string, int literal, boolean literal)")
+    if (!(first.dataType == StringType && second.foldable && third.foldable &&
+      (second.dataType == IntegerType || second.dataType == LongType) && third.dataType == BooleanType))
+      TypeCheckResult.TypeCheckFailure(
+        "graft_word_ngrams expects (string, int literal, boolean literal)")
+    else if (second.eval(null) == null || third.eval(null) == null)
+      TypeCheckResult.TypeCheckFailure("graft_word_ngrams: n and dedup must be non-null literals")
+    else if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"graft_word_ngrams: n must be >= 1, got $n")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(text: Any, nAny: Any, dedupAny: Any): Any = {
     val s = text.asInstanceOf[UTF8String].toString
@@ -86,22 +90,24 @@ case class WordNgrams(first: Expression, second: Expression, third: Expression)
       idx = s.indexOf(' ', start)
     }
     tokens.add(s.substring(start))
-    val m = tokens.size - n + 1
-    val out = new java.util.LinkedHashSet[String]()
-    val outList = new java.util.ArrayList[String]()
+    // hot kernel: one container, chosen by the compile-time dedup flag;
+    // first-occurrence order for LinkedHashSet matches array_distinct
+    val m = math.max(tokens.size - n + 1, 0)
+    val sink: java.util.Collection[String] =
+      if (dedup) new java.util.LinkedHashSet[String](m * 2) else new java.util.ArrayList[String](m)
     var i = 0
     while (i < m) {
       val sb = new java.lang.StringBuilder(tokens.get(i))
       var j = 1
       while (j < n) { sb.append(' ').append(tokens.get(i + j)); j += 1 }
-      val g = sb.toString
-      if (dedup) out.add(g) else outList.add(g)
+      sink.add(sb.toString)
       i += 1
     }
-    val items = if (dedup) out.iterator() else outList.iterator()
-    val buf = scala.collection.mutable.ArrayBuffer[UTF8String]()
-    while (items.hasNext) buf += UTF8String.fromString(items.next())
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray[Any])
+    val out = new Array[Any](sink.size)
+    val it = sink.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override protected def withNewChildrenInternal(
@@ -112,7 +118,10 @@ case class WordNgrams(first: Expression, second: Expression, third: Expression)
 /** Double dot product over two numeric arrays (float or double
   * elements), accumulated left-to-right: bit-identical to
   * `aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS
-  * DOUBLE)), 0.0D, (acc, v) -> acc + v)` for equal-length inputs.
+  * DOUBLE)), 0.0D, (acc, v) -> acc + v)` INCLUDING the length-mismatch
+  * case: zip_with null-pads the shorter side, which nulls the fold — so
+  * unequal lengths return null here too (a truncated embedding yields a
+  * detectable null, never a silently-partial dot product).
   * Null/NaN contract: null array -> null; null elements unsupported
   * (embedding columns are dense).
   */
@@ -121,6 +130,7 @@ case class VecDot(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_vec_dot"
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -138,18 +148,21 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    val lf = elemIsFloat(left)
-    val rf = elemIsFloat(right)
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      s += xv * yv
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      val lf = elemIsFloat(left)
+      val rf = elemIsFloat(right)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xv * yv
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -160,12 +173,16 @@ case class VecDot(left: Expression, right: Expression)
     val getR = if (elemIsFloat(right)) (v: String) => s"(double) $v.getFloat($i)" else (v: String) => s"$v.getDouble($i)"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${getL(a)} * ${getR(b)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${getL(a)} * ${getR(b)};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   }

@@ -27,10 +27,19 @@ object Skew {
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // pick a salt column name neither input owns (a user __salt column
+    // must survive the join untouched)
+    val taken = (skewed.columns ++ other.columns).toSet
+    val salt = Iterator.from(0).map(i => s"__graft_salt$i").find(!taken.contains(_)).get
+    // salt from hashable columns only (hash() rejects MapType); the join
+    // key itself is always hashable, so the set is never empty
+    val hashable = skewed.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toSeq
     val saltedLeft = skewed.withColumn(
-      "__salt", pmod(xxhash64(struct(skewed.columns.map(col).toSeq: _*)), lit(salts)).cast("int"))
+      salt, pmod(xxhash64(struct(hashable: _*)), lit(salts)).cast("int"))
     val replicatedRight = other.withColumn(
-      "__salt", explode(sequence(lit(0), lit(salts - 1))))
-    saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+      salt, explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft.join(replicatedRight, Seq(key, salt)).drop(salt)
   }
 }

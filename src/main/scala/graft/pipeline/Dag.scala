@@ -39,6 +39,12 @@ object Dag {
   final case class FailedState(error: Throwable, attempts: Int) extends NodeState
   case object UpstreamFailed extends NodeState
 
+  /** Note: retryDelay burns wall-clock inside the node's slot — size
+    * `run(timeout)` to cover `(retries + 1) * (nodeTime + retryDelay)`
+    * for the slowest chain (the reference's 30-min delay config needs a
+    * correspondingly larger timeout), and size the ExecutionContext for
+    * the expected retry concurrency.
+    */
   final case class Spec(
       nodes: Map[String, () => Unit],
       edges: Seq[(String, String)], // (upstream, downstream)
@@ -80,6 +86,14 @@ object Dag {
       spec.nodes.keys.map(_ -> Promise[NodeState]()).toSeq: _*)
     val states = new ConcurrentLinkedQueue[(String, NodeState)]
 
+    // the alert hook is external I/O (webhook): a throwing hook must
+    // never take the scheduler down with it or double-fire
+    def alertSafely(name: String, e: Throwable): Unit =
+      try spec.onFailure(name, e)
+      catch { case hookErr: Throwable =>
+        System.err.println(s"[dag] onFailure hook failed for $name: ${hookErr.getMessage}")
+      }
+
     // catches ALL throwables (Try/NonFatal would let e.g. a
     // StackOverflowError escape the Future and the node would vanish
     // from `states`, turning a failed run into a vacuous success)
@@ -90,7 +104,7 @@ object Dag {
           Thread.sleep(spec.retryDelay.toMillis)
           attempt(name, body, attemptsLeft - 1, attemptNo + 1)
         case Some(e) =>
-          spec.onFailure(name, e)
+          alertSafely(name, e)
           FailedState(e, attemptNo)
       }
 
@@ -106,11 +120,13 @@ object Dag {
       result.onComplete {
         case Success(s) => done(name).success(s)
         case Failure(e) =>
-          // scheduler-level failure (not the node body): still record it
+          // scheduler-level failure (not the node body — attempt() catches
+          // all of those): record it, complete the promise FIRST so the
+          // run can never hang on a throwing hook, then alert
           val st = FailedState(e, 1)
           states.add(name -> st)
-          spec.onFailure(name, e)
           done(name).success(st)
+          alertSafely(name, e)
       }
     }
 

@@ -22,6 +22,12 @@ object VerifiedUpdates {
   /** Apply `updates` to `base` by `keys`, last writer (max seqCol) wins
     * per key; `payload` maps base-column -> update-column carrying its
     * replacement value (null update values leave the base value).
+    *
+    * `baseSeqCol`: when the base table persists the last-applied seq in
+    * that column, an update only lands if its seq is >= the stored one
+    * (and the stored seq advances). Without it, LWW holds only WITHIN a
+    * batch — an at-least-once source redelivering a stale message in a
+    * LATER batch would regress newer state.
     */
   def apply(
       base: DataFrame,
@@ -29,20 +35,30 @@ object VerifiedUpdates {
       keys: Seq[String],
       seqCol: String,
       payload: Map[String, String],
+      baseSeqCol: Option[String] = None,
   ): DataFrame = {
     // deterministic winner even when two updates share a seq value
     // (e.g. second-resolution timestamps): tie-break on the payload
     // columns, so a crash-replay of the same batch picks the same row
     val tieBreak = payload.values.toSeq.sorted.map(col(_).desc_nulls_last)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc +: tieBreak: _*)
+    val updSeq = "__upd_seq"
     val latest = updates
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
-      .select((keys.map(col) ++ payload.values.map(col)).toSeq: _*)
+      .select(keys.map(col) ++ payload.values.map(col) :+ col(seqCol).as(updSeq): _*)
     val joined = base.join(latest, keys, "left")
-    val applied = payload.foldLeft(joined) { case (df, (baseCol, updCol)) =>
-      df.withColumn(baseCol, coalesce(col(updCol), col(baseCol)))
+    // stale-guard: an update row only applies when its seq is >= the
+    // seq already recorded in the base (missing guard column => always)
+    val fresh = baseSeqCol match {
+      case Some(b) => col(updSeq).isNotNull && (col(b).isNull || col(updSeq) >= col(b))
+      case None    => col(updSeq).isNotNull
+    }
+    val applied0 = payload.foldLeft(joined) { case (df, (baseCol, updCol)) =>
+      df.withColumn(baseCol, when(fresh, coalesce(col(updCol), col(baseCol))).otherwise(col(baseCol)))
+    }
+    val applied = baseSeqCol.fold(applied0) { b =>
+      applied0.withColumn(b, when(fresh, col(updSeq)).otherwise(col(b)))
     }
     applied.select(base.columns.map(col).toSeq: _*)
   }

@@ -52,12 +52,17 @@ object ExtJson {
     * a guaranteed single parse.
     */
   def normalizeDF(df: org.apache.spark.sql.DataFrame, js: Column, fields: Seq[(String, Kind)], keep: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val parsed = df.select(keep.map(col) :+ from_json(js, schema(fields)).as("__extjson"): _*)
+    // intermediate name chosen to never collide with an input column;
+    // fields extracted with getField (not dotted paths), so field names
+    // containing '.' or backticks resolve correctly
+    val tmp = Iterator.from(0).map(i => s"__extjson$i").find(n => !df.columns.contains(n)).get
+    val parsed = df.select(keep.map(col) :+ from_json(js, schema(fields)).as(tmp): _*)
+    val p = col(tmp)
     val extracted = fields.map {
-      case (n, Oid)   => lower(col(s"__extjson.$n.`$$oid`")).as(n)
-      case (n, Date)  => timestamp_millis(col(s"__extjson.$n.`$$date`")).as(n)
-      case (n, Dec)   => col(s"__extjson.$n.`$$numberDecimal`").cast(DoubleType).as(n)
-      case (n, Plain) => col(s"__extjson.$n").cast(StringType).as(n)
+      case (n, Oid)   => lower(p.getField(n).getField("$oid")).as(n)
+      case (n, Date)  => timestamp_millis(p.getField(n).getField("$date")).as(n)
+      case (n, Dec)   => p.getField(n).getField("$numberDecimal").cast(DoubleType).as(n)
+      case (n, Plain) => p.getField(n).cast(StringType).as(n)
     }
     parsed.select(keep.map(col) ++ extracted: _*)
   }

@@ -49,11 +49,16 @@ object VerifiedStream {
       .start()
   }
 
-  /** Schema a bootstrapped (first-seen entity) state table starts with. */
+  /** Schema a bootstrapped (first-seen entity) state table starts with.
+    * verified_seq persists the last-applied message seq per row so LWW
+    * holds ACROSS micro-batches: a stale redelivery in a later batch
+    * (at-least-once delivery) must not regress newer state.
+    */
   private def bootstrapSchema: StructType = StructType(Seq(
     StructField("company_id", LongType),
     StructField("external_id", LongType),
     StructField("verified_data", StringType),
+    StructField("verified_seq", LongType),
   ))
 
   /** Apply one batch of messages to the per-entity state tables.
@@ -73,9 +78,14 @@ object VerifiedStream {
             .select(col("company_id"), col("external_id"), col("seq"),
               col("verified_data").as("verified_data_new"))
           val base = readOrBootstrap(spark, path)
-          val applied = VerifiedUpdates(base, updates, keyCols, "seq",
-            Map("verified_data" -> "verified_data_new"))
-          replaceAtomically(spark, applied, path)
+          // tables created before the seq column existed get it added
+          val guarded =
+            if (base.columns.contains("verified_seq")) base
+            else base.withColumn("verified_seq", lit(null).cast(LongType))
+          val applied = VerifiedUpdates(guarded, updates, keyCols, "seq",
+            Map("verified_data" -> "verified_data_new"),
+            baseSeqCol = Some("verified_seq"))
+          replaceDurably(spark, applied, path)
         case bad =>
           // log-and-continue, the reference's own failure policy (:59-68)
           System.err.println(s"[verified-stream] skipping unsafe entity name: $bad")
@@ -84,11 +94,20 @@ object VerifiedStream {
   }
 
   /** First message for an entity creates its table (empty base) instead
-    * of poison-pilling the stream with a missing-path error.
+    * of poison-pilling the stream with a missing-path error. Before
+    * reading, recover from an interrupted swap (see [[replaceDurably]]):
+    * a missing target with a surviving `.old` means the crash hit
+    * between the two renames — restore the old table; a leftover `.tmp`
+    * is an incomplete write and is discarded (the streaming checkpoint
+    * replays its batch).
     */
   private def readOrBootstrap(spark: SparkSession, path: String): DataFrame = {
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val old = new Path(path + ".old")
+    if (!fs.exists(p) && fs.exists(old)) require(fs.rename(old, p), s"recovery rename failed: $old -> $p")
+    val tmp = new Path(path + ".tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(p)) spark.read.parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], bootstrapSchema)
   }
@@ -96,18 +115,23 @@ object VerifiedStream {
   /** Overwriting the path we just read from would depend on cache
     * residency (evicted blocks would recompute from deleted files).
     * Instead: write the new state next to the old one, then swap with
-    * renames — the temp table is complete and durable before the old
-    * path is touched.
+    * renames. Every transition keeps at least one complete copy on disk
+    * (tmp is durable before target moves; `.old` is only deleted after
+    * the new target lands) and [[readOrBootstrap]] knows how to recover
+    * from a crash at any point between them. Hadoop rename/delete report
+    * failure by RETURNING false — each is checked, so a failed swap
+    * fails the batch (and the un-committed checkpoint replays it)
+    * instead of silently dropping the updates.
     */
-  private def replaceAtomically(spark: SparkSession, df: DataFrame, path: String): Unit = {
+  private def replaceDurably(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val fs = FileSystem.get(new Path(path).toUri, spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + ".tmp")
     val old = new Path(path + ".old")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(old)) require(fs.delete(old, true), s"could not clear $old")
     val target = new Path(path)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(tmp, target)
-    fs.delete(old, true)
+    if (fs.exists(target)) require(fs.rename(target, old), s"rename failed: $target -> $old")
+    require(fs.rename(tmp, target), s"rename failed: $tmp -> $target")
+    if (fs.exists(old)) require(fs.delete(old, true), s"could not clear $old")
   }
 }

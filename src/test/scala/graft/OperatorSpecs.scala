@@ -38,6 +38,11 @@ class TextKitSpec extends SparkSpec {
     assert(bgDiff === 0L)
   }
 
+  test("word-ngrams rejects n < 1 at analysis time, not with a runtime crash") {
+    val e = intercept[Exception](spark.sql("SELECT graft_word_ngrams('a b c', 0, true)").collect())
+    assert(e.getMessage.contains("n must be >= 1"), e.getMessage)
+  }
+
   test("native word-ngrams edge cases: short text -> empty, multiplicity kept when dedup=false") {
     assert(spark.sql("SELECT graft_word_ngrams('one two', 3, true)").collect()(0).getSeq[String](0).isEmpty)
     assert(spark.sql("SELECT graft_word_ngrams('a b a b', 2, false)").collect()(0).getSeq[String](0)
@@ -78,6 +83,13 @@ class VectorKitSpec extends SparkSpec {
       .selectExpr(s"${dotSpark("e1", "e2")} AS a", s"${dotSparkHof("e1", "e2")} AS b")
       .filter("a <> b").count()
     assert(diffs === 0L)
+  }
+
+  test("vec_dot returns null (not a partial sum) for unequal-length arrays, like the composed form") {
+    val r = spark.sql(s"SELECT ${dotSpark("array(1.0F, 2.0F)", "array(3.0F)")}").collect()(0)
+    assert(r.isNullAt(0))
+    val hof = spark.sql(s"SELECT ${dotSparkHof("array(1.0F, 2.0F)", "array(3.0F)")}").collect()(0)
+    assert(hof.isNullAt(0))
   }
 
   test("lsh bucket is stable and within range") {

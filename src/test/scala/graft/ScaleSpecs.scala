@@ -67,4 +67,13 @@ class ScaleSpecs extends SparkSpec {
       .filter($"k" === 1L).select("__salt").distinct().count()
     assert(saltSpread > 4, s"expected the hot key spread over most of 8 salts, got $saltSpread")
   }
+
+  test("salted join leaves a user column named __salt intact") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 42), (1L, "b", 43)).toDF("k", "payload", "__salt")
+    val right = Seq((1L, "dim")).toDF("k", "name")
+    val out = Skew.saltedJoin(left, right, "k", salts = 4)
+    assert(out.columns.contains("__salt"))
+    assert(out.select("__salt").collect().map(_.getInt(0)).sorted.toSeq === Seq(42, 43))
+  }
 }

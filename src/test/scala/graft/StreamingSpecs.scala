@@ -109,7 +109,17 @@ class StreamingSpecs extends SparkSpec {
 
     val got = spark.read.parquet(s"$state/verified_contact")
       .orderBy("external_id").collect().map(_.toSeq).toSeq
-    assert(got === Seq(Seq(1L, 10L, "fix-2", "x"), Seq(1L, 11L, "fix-3", "y")))
+    assert(got === Seq(Seq(1L, 10L, "fix-2", "x", 2L), Seq(1L, 11L, "fix-3", "y", 2L)))
+
+    // cross-batch LWW: a STALE redelivery in a later batch (seq 1 < the
+    // stored seq 2) must not regress the state
+    val stale = Seq(("contact", 1L, 10L, 1L, "fix-1-redelivered"))
+      .toDF("entity", "company_id", "external_id", "seq", "verified_data")
+    VerifiedStream.applyBatch(spark, stale, state)
+    val afterStale = spark.read.parquet(s"$state/verified_contact")
+      .filter(col("external_id") === 10L).collect()(0)
+    assert(afterStale.getString(2) === "fix-2")
+    assert(afterStale.getLong(4) === 2L)
 
     // first-seen entity bootstraps an empty table instead of failing the
     // stream (UPDATE semantics: corrections to missing rows update
@@ -173,6 +183,26 @@ class StreamingSpecs extends SparkSpec {
     writeMsg("m3.json", 3L)
     runOnce()
     assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("verified state survives a crash between the swap renames (recovery from .old)") {
+    import spark.implicits._
+    val dir = tmpDir("verifiedcrash")
+    val state = dir.resolve("state").toString
+    Seq((1L, 10L, "orig", 5L))
+      .toDF("company_id", "external_id", "verified_data", "verified_seq")
+      .write.parquet(s"$state/verified_contact")
+    // simulate the crash window: target renamed to .old, new target never landed
+    val target = java.nio.file.Paths.get(s"$state/verified_contact")
+    java.nio.file.Files.move(target, java.nio.file.Paths.get(s"$state/verified_contact.old"))
+    val batch = Seq(("contact", 1L, 10L, 7L, "post-crash"))
+      .toDF("entity", "company_id", "external_id", "seq", "verified_data")
+    VerifiedStream.applyBatch(spark, batch, state)
+    val rows = spark.read.parquet(s"$state/verified_contact")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    // the pre-crash row was recovered from .old, then the batch applied
+    assert(rows === Seq((10L, "post-crash", 7L)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$state/verified_contact.old")))
   }
 
   test("sensor loop: message drop fans out one pipeline run per file (end-to-end reference topology)") {
