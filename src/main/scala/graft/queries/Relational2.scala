@@ -220,6 +220,34 @@ object Relational2 {
       },
     ),
     Q(
+      "q59_fuzzy_match",
+      "Fuzzy string matching: edit-distance (Levenshtein) near-dup part " +
+        "names, blocked by brand so candidate pairs are bounded per block — " +
+        "the fuzzy-matching pattern for entity resolution; the DP distance " +
+        "is integer-exact cross-engine.",
+      Some("""
+        WITH p AS (SELECT p_partkey, p_brand, p_name FROM part WHERE p_partkey < 500)
+        SELECT a.p_partkey AS part_a, b.p_partkey AS part_b, a.p_brand AS brand,
+          CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ORDER BY part_a, part_b
+      """.trim),
+      (spark, dir) => {
+        val p = Tables(spark, dir).part
+          .filter(col("p_partkey") < 500)
+          .select("p_partkey", "p_brand", "p_name")
+        val a = p.select(col("p_partkey").as("part_a"), col("p_brand").as("brand"), col("p_name").as("name_a"))
+        val b = p.select(col("p_partkey").as("part_b"), col("p_brand").as("brand"), col("p_name").as("name_b"))
+        a.join(b, Seq("brand"))
+          .filter(col("part_a") < col("part_b"))
+          .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+          .filter(col("edit_dist") <= 4)
+          .select("part_a", "part_b", "brand", "edit_dist")
+          .orderBy("part_a", "part_b")
+      },
+    ),
+    Q(
       "q58_approx_percentile",
       "Approximate percentiles (Greenwald-Khanna sketch) of order totals " +
         "per priority — the quantile path for 100 TB distributions. Sketch " +
