@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.TextKit._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis and deduplication surface over the `documents` table —
@@ -342,6 +343,108 @@ object TextOps {
           .orderBy("doc_a", "doc_b")
       },
     ),
+  ) :+ curationQ
+
+  /** q60: the curation capstone — the full training-data filtering flow
+    * over one corpus snapshot, composed from the dedup/quality/lang
+    * operators above. A document survives iff it is (a) the canonical
+    * copy of its exact-content group, (b) not the higher-id member of
+    * any trigram-Jaccard >= 0.5 near-dup pair, (c) above the quality
+    * floor, (d) predicted en/und. Every stage is one shuffle on a
+    * content key; at 100 TB this is the curation DAG as-is.
+    */
+  // lazy: declared after `qs`, which references it at object init
+  private lazy val curationQ = Q(
+    "q60_corpus_curation",
+    "End-to-end corpus curation: exact dedup (content hash) -> near-dup " +
+      "removal (inverted-index trigram Jaccard >= 0.5, higher id dropped) " +
+      "-> quality floor -> language allowlist. The composed LLM-data " +
+      "pipeline, hash-checked end to end.",
+    {
+      val stopCondD = markerCountDuck("tok", stopwords)
+      val counts = langMarkers.map { case (l, ms) => s"${markerCountDuck("tok", ms)} AS s_$l" }.mkString(", ")
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, $tokD AS tok FROM documents),
+        canon AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM t)
+          WHERE rn = 1),
+        shi AS (SELECT doc_id, ${shinglesDuck("tok")} AS sh FROM t),
+        sz AS (SELECT doc_id, len(sh) AS nsh, sh FROM shi),
+        ex AS (SELECT doc_id, nsh, unnest(sh) AS s FROM sz),
+        neardup AS (
+          SELECT DISTINCT b.doc_id
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+          HAVING CAST(count(*) AS DOUBLE) / CAST(a.nsh + b.nsh - count(*) AS DOUBLE) >= 0.5),
+        q AS (SELECT doc_id,
+            CAST($stopCondD AS DOUBLE) / CAST(len(tok) AS DOUBLE) AS stop_ratio,
+            CAST(len(list_distinct(tok)) AS DOUBLE) / CAST(len(tok) AS DOUBLE) AS ttr,
+            least(CAST(len(tok) AS DOUBLE) / 50.0, 1.0) AS len_score,
+            $counts
+          FROM t),
+        scored AS (SELECT doc_id,
+            (0.35 * stop_ratio) + (0.35 * ttr) + (0.3 * len_score) AS quality,
+            CASE
+              WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+              WHEN s_fr > 0 THEN 'fr'
+              ELSE 'und' END AS pred_lang
+          FROM q)
+        SELECT s.doc_id, s.pred_lang, s.quality
+        FROM scored s
+        JOIN canon c ON s.doc_id = c.doc_id
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM neardup)
+          AND s.quality >= 0.5
+          AND s.pred_lang IN ('en', 'und')
+        ORDER BY s.doc_id
+      """.trim)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir).documents
+        .selectExpr("doc_id", "text", s"$tokS AS tok")
+      // (a) canonical copy per content hash
+      val wCanon = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val canon = t.withColumn("rn", row_number().over(wCanon))
+        .filter(col("rn") === 1).select("doc_id")
+      // (b) higher-id members of near-dup pairs (inverted-index Jaccard)
+      val ex = t.selectExpr("doc_id", s"${textShinglesSpark("text")} AS sh")
+        .selectExpr("doc_id", "CAST(size(sh) AS BIGINT) AS nsh", "sh")
+        .select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
+      val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("s"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("s"))
+      val neardup = a.join(b.hint("SHUFFLE_HASH"), "s")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).as("n_inter"))
+        .filter(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double") >= 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      // (c)+(d) quality + language
+      val stopCondS = markerCountSpark("tok", stopwords)
+      val counts = langMarkers.map { case (l, ms) => s"${markerCountSpark("tok", ms)} AS s_$l" }
+      val pred = """CASE
+            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+            WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'und' END"""
+      val scored = t
+        .selectExpr(Seq("doc_id",
+          s"CAST($stopCondS AS DOUBLE) / CAST(size(tok) AS DOUBLE) AS stop_ratio",
+          "CAST(size(array_distinct(tok)) AS DOUBLE) / CAST(size(tok) AS DOUBLE) AS ttr",
+          "least(CAST(size(tok) AS DOUBLE) / 50.0, 1.0) AS len_score") ++ counts: _*)
+        .selectExpr("doc_id",
+          "(0.35 * stop_ratio) + (0.35 * ttr) + (0.3 * len_score) AS quality",
+          s"$pred AS pred_lang")
+      scored
+        .join(canon, "doc_id")
+        .join(neardup, Seq("doc_id"), "left_anti")
+        .filter(col("quality") >= 0.5 && col("pred_lang").isin("en", "und"))
+        .select("doc_id", "pred_lang", "quality")
+        .orderBy("doc_id")
+    },
   )
 
   /** Shared MinHash signature builder (q27, q28): explode distinct trigram
