@@ -396,7 +396,7 @@ object TextOps {
         FROM scored s
         JOIN canon c ON s.doc_id = c.doc_id
         WHERE s.doc_id NOT IN (SELECT doc_id FROM neardup)
-          AND s.quality >= 0.5
+          AND s.quality >= 0.44
           AND s.pred_lang IN ('en', 'und')
         ORDER BY s.doc_id
       """.trim)
@@ -441,7 +441,7 @@ object TextOps {
       scored
         .join(canon, "doc_id")
         .join(neardup, Seq("doc_id"), "left_anti")
-        .filter(col("quality") >= 0.5 && col("pred_lang").isin("en", "und"))
+        .filter(col("quality") >= 0.44 && col("pred_lang").isin("en", "und"))
         .select("doc_id", "pred_lang", "quality")
         .orderBy("doc_id")
     },
