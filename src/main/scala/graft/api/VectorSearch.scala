@@ -1,0 +1,98 @@
+package graft.api
+
+import graft.operators.VectorKit._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public similarity-search API over ANY frame with an id column and an
+  * `array<float|double>` embedding column — the generic form of the
+  * q31–q34 catalog queries, which delegate here (so every function sits
+  * behind the DuckDB oracle gate).
+  *
+  * Scale contract: the query set broadcasts and the corpus streams once
+  * (brute force); IVF prunes to nprobe partitions on the cluster key;
+  * sign-LSH bounds candidate pairs per bucket. No corpus × corpus
+  * products anywhere.
+  */
+object VectorSearch {
+
+  /** Corpus + precomputed L2 norm (computed once, reused on every join
+    * side).
+    */
+  def withNorm(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("nrm", expr(s"sqrt(${dotSpark(vecCol, vecCol)})"))
+
+  /** Exact brute-force cosine top-k: for each row of `queries`
+    * (id + vector), the k nearest corpus rows by cosine (ties broken by
+    * corpus id). Queries are broadcast; self-matches (same id) are
+    * excluded.
+    */
+  def knn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val n = withNorm(corpus, vecCol)
+    val q = withNorm(queries, vecCol)
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col(idCol))
+    n.join(broadcast(q), col(idCol) =!= col("q_id"))
+      .selectExpr("q_id", idCol, s"${dotSpark("qv", vecCol)} / (qn * nrm) AS cosine")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol), col("cosine"))
+  }
+
+  /** IVF-style probed search: `partCol` is the coarse-quantizer
+    * partition key (a label/cluster id); the representative per
+    * partition is the min-id vector (deterministic medoid); each query
+    * probes the `nprobe` nearest partitions and exact-searches only
+    * those.
+    */
+  def annIvf(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, partCol: String,
+      nprobe: Int, k: Int,
+  ): DataFrame = {
+    val n = withNorm(corpus, vecCol)
+    val rid = n.groupBy(partCol).agg(min(idCol).as("__rep_id"))
+    val rep = rid.join(n, rid("__rep_id") === n(idCol))
+      .select(rid(partCol), col(vecCol).as("rv"), col("nrm").as("rn"))
+    val q = withNorm(queries, vecCol)
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
+    val wp = Window.partitionBy("q_id").orderBy(col("pcos").desc, col(partCol))
+    val probe = q.crossJoin(broadcast(rep))
+      .withColumn("pcos", expr(s"${dotSpark("qv", "rv")} / (qn * rn)"))
+      .withColumn("prank", row_number().over(wp).cast("long"))
+      .filter(col("prank") <= nprobe)
+      .select("q_id", "qv", "qn", partCol)
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col(idCol))
+    broadcast(probe).join(n, Seq(partCol))
+      .filter(col(idCol) =!= col("q_id"))
+      .selectExpr("q_id", idCol, s"${dotSpark("qv", vecCol)} / (qn * nrm) AS cosine")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol), col("cosine"))
+  }
+
+  /** Exact cosine-threshold near-duplicate pairs (quadratic candidate
+    * set — the correct-recall baseline; use [[lshNearDups]] at scale).
+    */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val n = withNorm(df, vecCol)
+    val a = n.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val b = n.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .selectExpr("id_a", "id_b", s"${dotSpark("va", "vb")} / (na * nb) AS cosine")
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Sign-LSH bucketed near-dup pairs: candidates only within a bucket
+    * (one shuffle on bucket id), exact cosine on candidates.
+    */
+  def lshNearDups(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val bk = withNorm(df, vecCol).withColumn("bucket", expr(bucketSpark(vecCol)))
+    val a = bk.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"), col("bucket"))
+    val b = bk.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"), col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .selectExpr("id_a", "id_b", "bucket", s"${dotSpark("va", "vb")} / (na * nb) AS cosine")
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -17,14 +17,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** embeddings + precomputed L2 norm (computed once per vector, reused
-    * on both sides of every join).
-    */
-  private def withNorm(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).embeddings.selectExpr(
-      "vec_id", "label", "embedding",
-      s"sqrt(${dotSpark("embedding", "embedding")}) AS nrm")
-
   private val duckNorm =
     s"SELECT vec_id, label, embedding, sqrt(${dotDuck("embedding", "embedding")}) AS nrm FROM embeddings"
 
@@ -45,15 +37,8 @@ object Similarity {
         SELECT q_id, rank, vec_id, cosine FROM r WHERE rank <= 5 ORDER BY q_id, rank
       """.trim),
       (spark, dir) => {
-        val n = withNorm(spark, dir)
-        val q = n.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
-        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-        n.join(broadcast(q), col("vec_id") =!= col("q_id"))
-          .selectExpr("q_id", "vec_id", s"${dotSpark("qv", "embedding")} / (qn * nrm) AS cosine")
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-          .select("q_id", "rank", "vec_id", "cosine")
+        val emb = Tables(spark, dir).embeddings
+        graft.api.VectorSearch.knn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
           .orderBy("q_id", "rank")
       },
     ),
@@ -81,26 +66,9 @@ object Similarity {
         SELECT q_id, rank, vec_id, cosine FROM r WHERE rank <= 5 ORDER BY q_id, rank
       """.trim),
       (spark, dir) => {
-        val n = withNorm(spark, dir)
-        val rid = n.groupBy("label").agg(min("vec_id").as("rep_id"))
-        val rep = rid.join(n, rid("rep_id") === n("vec_id"))
-          .select(rid("label"), col("embedding").as("rv"), col("nrm").as("rn"))
-        val q = n.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
-        val wp = Window.partitionBy("q_id")
-          .orderBy(col("pcos").desc, col("label"))
-        val probe = q.crossJoin(broadcast(rep))
-          .withColumn("pcos", expr(s"${dotSpark("qv", "rv")} / (qn * rn)"))
-          .withColumn("prank", row_number().over(wp).cast("long"))
-          .filter(col("prank") <= 2)
-          .select("q_id", "qv", "qn", "label")
-        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-        broadcast(probe).join(n, Seq("label"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .selectExpr("q_id", "vec_id", s"${dotSpark("qv", "embedding")} / (qn * nrm) AS cosine")
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-          .select("q_id", "rank", "vec_id", "cosine")
+        val emb = Tables(spark, dir).embeddings
+        graft.api.VectorSearch.annIvf(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", nprobe = 2, k = 5)
           .orderBy("q_id", "rank")
       },
     ),
@@ -118,12 +86,8 @@ object Similarity {
         ORDER BY vec_a, vec_b
       """.trim),
       (spark, dir) => {
-        val n = withNorm(spark, dir)
-        val a = n.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na"))
-        val b = n.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nb"))
-        a.join(b, col("vec_a") < col("vec_b"))
-          .selectExpr("vec_a", "vec_b", s"${dotSpark("va", "vb")} / (na * nb) AS cosine")
-          .filter(col("cosine") >= 0.45)
+        graft.api.VectorSearch.cosineNearDups(Tables(spark, dir).embeddings, "vec_id", "embedding", 0.45)
+          .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cosine"))
           .orderBy("vec_a", "vec_b")
       },
     ),
@@ -143,15 +107,8 @@ object Similarity {
         ORDER BY vec_a, vec_b
       """.trim),
       (spark, dir) => {
-        val bk = withNorm(spark, dir)
-          .withColumn("bucket", expr(bucketSpark("embedding")))
-        val a = bk.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
-          col("nrm").as("na"), col("bucket"))
-        val b = bk.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
-          col("nrm").as("nb"), col("bucket").as("bucket_b"))
-        a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
-          .selectExpr("vec_a", "vec_b", "bucket", s"${dotSpark("va", "vb")} / (na * nb) AS cosine")
-          .filter(col("cosine") >= 0.4)
+        graft.api.VectorSearch.lshNearDups(Tables(spark, dir).embeddings, "vec_id", "embedding", 0.4)
+          .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("bucket"), col("cosine"))
           .orderBy("vec_a", "vec_b")
       },
     ),

@@ -72,24 +72,9 @@ object TextOps {
           FROM m ORDER BY doc_id
         """.trim)
       },
-      (spark, dir) => {
-        val stopCondS = markerCountSpark("tok", stopwords)
-        Tables(spark, dir).documents
-          .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS nc", s"$tokS AS tok")
-          .selectExpr(
-            "doc_id",
-            "CAST(size(tok) AS BIGINT) AS n_tokens",
-            "CAST(nc - (size(tok) - 1) AS DOUBLE) / CAST(size(tok) AS DOUBLE) AS avg_token_len",
-            s"CAST($stopCondS AS DOUBLE) / CAST(size(tok) AS DOUBLE) AS stop_ratio",
-            "CAST(size(array_distinct(tok)) AS DOUBLE) / CAST(size(tok) AS DOUBLE) AS ttr",
-            "least(CAST(size(tok) AS DOUBLE) / 50.0, 1.0) AS len_score",
-          )
-          .selectExpr(
-            "doc_id", "n_tokens", "avg_token_len", "stop_ratio", "ttr", "len_score",
-            "(0.35 * stop_ratio) + (0.35 * ttr) + (0.3 * len_score) AS quality",
-          )
-          .orderBy("doc_id")
-      },
+      (spark, dir) =>
+        graft.api.TextCuration.qualityScored(Tables(spark, dir).documents, "doc_id", "text")
+          .orderBy("doc_id"),
     ),
     Q(
       "q23_lang_id",
@@ -120,20 +105,11 @@ object TextOps {
         """.trim)
       },
       (spark, dir) => {
-        val counts = langMarkers.map { case (l, ms) => s"${markerCountSpark("tok", ms)} AS s_$l" }
-        val pred = """CASE
-              WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
-              WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
-              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
-              WHEN s_fr > 0 THEN 'fr'
-              ELSE 'und' END"""
-        Tables(spark, dir).documents
-          .selectExpr(Seq("doc_id", "lang", s"$tokS AS tok"): _*)
-          .selectExpr(Seq("doc_id", "lang") ++ counts: _*)
-          .selectExpr(
-            "doc_id", "s_en", "s_es", "s_de", "s_fr",
-            s"$pred AS pred_lang", "lang", s"($pred = lang) AS agree",
-          )
+        val docs = Tables(spark, dir).documents
+        graft.api.TextCuration.langId(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .selectExpr("doc_id", "s_en", "s_es", "s_de", "s_fr",
+            "pred_lang", "lang", "(pred_lang = lang) AS agree")
           .orderBy("doc_id")
       },
     ),
@@ -177,10 +153,8 @@ object TextOps {
       """.trim),
       (spark, dir) => {
         val d = Tables(spark, dir).documents
-          .select(col("doc_id"), md5(col("text")).as("content_hash"))
-        d.unionAll(d)
-          .groupBy("content_hash")
-          .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+        graft.api.TextCuration.exactDedup(d.unionAll(d), "doc_id", "text")
+          .withColumnRenamed("canonical_id", "canonical_doc_id")
           .orderBy("canonical_doc_id")
       },
     ),
@@ -203,27 +177,11 @@ object TextOps {
         WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.3
         ORDER BY doc_a, doc_b
       """.trim),
-      (spark, dir) => {
-        val ex = Tables(spark, dir).documents
-          .selectExpr("doc_id", s"${textShinglesSpark("text")} AS sh")
-          .selectExpr("doc_id", "CAST(size(sh) AS BIGINT) AS nsh", "sh")
-          .select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
-        val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("s"))
-        val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("s"))
-        // SHUFFLE_HASH: build a hash table per partition instead of
-        // sorting both 260k-row shingle streams (measured 5.8s -> 3.3s);
-        // the partial-agg pair counting stays unchanged
-        a.join(b.hint("SHUFFLE_HASH"), "s")
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b", "na", "nb")
-          .agg(count(lit(1)).as("n_inter"))
-          .select(
-            col("doc_a"), col("doc_b"), col("n_inter"),
-            (col("na") + col("nb") - col("n_inter")).as("n_union"),
-            (col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"))
-          .filter(col("jaccard") >= 0.3)
-          .orderBy("doc_a", "doc_b")
-      },
+      (spark, dir) =>
+        graft.api.TextCuration.jaccardNearDups(Tables(spark, dir).documents, "doc_id", "text", 0.3)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("n_inter"), col("n_union"), col("jaccard"))
+          .orderBy("doc_a", "doc_b"),
     ),
     Q(
       "q27_minhash",
@@ -240,7 +198,9 @@ object TextOps {
           SELECT doc_id, $mins FROM hx GROUP BY doc_id ORDER BY doc_id
         """.trim)
       },
-      (spark, dir) => minhashSignatures(spark, dir).orderBy("doc_id"),
+      (spark, dir) =>
+        graft.api.TextCuration.minhashSignatures(Tables(spark, dir).documents, "doc_id", "text")
+          .orderBy("doc_id"),
     ),
     Q(
       "q28_lsh_candidates",
@@ -271,29 +231,10 @@ object TextOps {
           ORDER BY doc_a, doc_b
         """.trim)
       },
-      (spark, dir) => {
-        // One signature pass feeds a band EXPLODE (4 rows/doc) instead of
-        // a 4-way unionAll (which would re-run the whole signature
-        // subtree per band); the band equi-join carries both signatures,
-        // so candidate similarity needs no extra joins back to sig.
-        val bandKeys = (0 until LshBands).map { bnd =>
-          val key = (0 until LshRows).map(r => s"m${bnd * LshRows + r}").mkString(", ")
-          s"concat_ws(',', $key)"
-        }.mkString(", ")
-        val mcols = (0 until MinhashK).map(i => s"m$i")
-        val bands = minhashSignatures(spark, dir)
-          .selectExpr(("doc_id" +: mcols) :+ s"posexplode(array($bandKeys)) AS (band, bk)": _*)
-        val matches = (0 until MinhashK).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-        bands.as("a")
-          .join(bands.as("b").hint("SHUFFLE_HASH"), expr("a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id"))
-          .selectExpr(
-            "a.doc_id AS doc_a", "b.doc_id AS doc_b",
-            s"CAST($matches AS BIGINT) AS n_match",
-            s"CAST($matches AS DOUBLE) / $MinhashK.0 AS est_sim",
-          )
-          .distinct()
-          .orderBy("doc_a", "doc_b")
-      },
+      (spark, dir) =>
+        graft.api.TextCuration.minhashCandidates(Tables(spark, dir).documents, "doc_id", "text")
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("n_match"), col("est_sim"))
+          .orderBy("doc_a", "doc_b"),
     ),
     Q(
       "q29_simhash",
@@ -320,28 +261,10 @@ object TextOps {
           ORDER BY doc_a, doc_b
         """.trim)
       },
-      (spark, dir) => {
-        val sums = (0 until SimhashBits).map(j =>
-          sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$j"))
-        val simExpr = (0 until SimhashBits).map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
-        val sig = Tables(spark, dir).documents
-          .selectExpr("doc_id", s"${textBigramsSpark("text")} AS feats")
-          .select(col("doc_id"), explode(col("feats")).as("w"))
-          .withColumn("h", expr(polySpark("w")))
-          .groupBy("doc_id")
-          .agg(sums.head, sums.tail: _*)
-          .selectExpr("doc_id", s"$simExpr AS sim")
-        // single-pass band explode (see q28 note on avoiding unionAll)
-        val bandBytes = (0 until 4).map(bnd => s"(shiftright(sim, ${8 * bnd}) & 255)").mkString(", ")
-        val bands = sig.selectExpr("doc_id", "sim", s"posexplode(array($bandBytes)) AS (band, byte)")
-        bands.as("a")
-          .join(bands.as("b").hint("SHUFFLE_HASH"), expr("a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id"))
-          .filter(expr("bit_count(a.sim ^ b.sim) <= 3"))
-          .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
-            "CAST(bit_count(a.sim ^ b.sim) AS BIGINT) AS hamming")
-          .distinct()
-          .orderBy("doc_a", "doc_b")
-      },
+      (spark, dir) =>
+        graft.api.TextCuration.simhashPairs(Tables(spark, dir).documents, "doc_id", "text", maxHamming = 3)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+          .orderBy("doc_a", "doc_b"),
     ),
   ) :+ curationQ
 
@@ -401,62 +324,9 @@ object TextOps {
         ORDER BY s.doc_id
       """.trim)
     },
-    (spark, dir) => {
-      val t = Tables(spark, dir).documents
-        .selectExpr("doc_id", "text", s"$tokS AS tok")
-      // (a) canonical copy per content hash
-      val wCanon = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-      val canon = t.withColumn("rn", row_number().over(wCanon))
-        .filter(col("rn") === 1).select("doc_id")
-      // (b) higher-id members of near-dup pairs (inverted-index Jaccard)
-      val ex = t.selectExpr("doc_id", s"${textShinglesSpark("text")} AS sh")
-        .selectExpr("doc_id", "CAST(size(sh) AS BIGINT) AS nsh", "sh")
-        .select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
-      val a = ex.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("s"))
-      val b = ex.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("s"))
-      val neardup = a.join(b.hint("SHUFFLE_HASH"), "s")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(count(lit(1)).as("n_inter"))
-        .filter(col("n_inter").cast("double") /
-          (col("na") + col("nb") - col("n_inter")).cast("double") >= 0.5)
-        .select(col("doc_b").as("doc_id")).distinct()
-      // (c)+(d) quality + language
-      val stopCondS = markerCountSpark("tok", stopwords)
-      val counts = langMarkers.map { case (l, ms) => s"${markerCountSpark("tok", ms)} AS s_$l" }
-      val pred = """CASE
-            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
-            WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
-            WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
-            WHEN s_fr > 0 THEN 'fr'
-            ELSE 'und' END"""
-      val scored = t
-        .selectExpr(Seq("doc_id",
-          s"CAST($stopCondS AS DOUBLE) / CAST(size(tok) AS DOUBLE) AS stop_ratio",
-          "CAST(size(array_distinct(tok)) AS DOUBLE) / CAST(size(tok) AS DOUBLE) AS ttr",
-          "least(CAST(size(tok) AS DOUBLE) / 50.0, 1.0) AS len_score") ++ counts: _*)
-        .selectExpr("doc_id",
-          "(0.35 * stop_ratio) + (0.35 * ttr) + (0.3 * len_score) AS quality",
-          s"$pred AS pred_lang")
-      scored
-        .join(canon, "doc_id")
-        .join(neardup, Seq("doc_id"), "left_anti")
-        .filter(col("quality") >= 0.44 && col("pred_lang").isin("en", "und"))
-        .select("doc_id", "pred_lang", "quality")
-        .orderBy("doc_id")
-    },
+    (spark, dir) =>
+      graft.api.TextCuration.curate(Tables(spark, dir).documents, "doc_id", "text",
+        jaccardThreshold = 0.5, qualityFloor = 0.44, langs = Seq("en", "und"))
+        .orderBy("doc_id"),
   )
-
-  /** Shared MinHash signature builder (q27, q28): explode distinct trigram
-    * shingles, poly-hash each once, then K partial-aggregated mins.
-    */
-  private def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until MinhashK).map(i => min(expr(permExpr(i, "x"))).as(s"m$i"))
-    Tables(spark, dir).documents
-      .selectExpr("doc_id", s"${textShinglesSpark("text")} AS sh")
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("x", expr(polySpark("s")))
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-  }
 }
