@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import graft.operators.VectorKit._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`array<float>`, dim 64):

@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import graft.operators.TextKit._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis and deduplication surface over the `documents` table —
