@@ -69,6 +69,37 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks within the preceding hour. Watermarks on BOTH sides
+    * bound the buffered state; the interval condition lets Spark evict
+    * clicks older than (purchase watermark - 1 hour). The streaming
+    * counterpart of the batch as-of/range joins (q50/q51).
+    */
+  def purchaseClickJoin(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      watermarkDelay: String = "2 hours",
+  ): DataFrame = {
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("p_ts"), col("click_id"), col("c_ts"))
+  }
+
+  /** Streaming exact dedup on event_id with watermark-bounded state:
+    * duplicates arriving within the delay are dropped, state for ids
+    * older than the watermark is evicted (the streaming half of the
+    * dedup surface — q25 is the batch half).
+    */
+  def dedupEvents(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Default output mode for the stateful queries above. */
   val UpdateMode: OutputMode = OutputMode.Update()
 }

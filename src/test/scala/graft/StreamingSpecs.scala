@@ -185,6 +185,51 @@ class StreamingSpecs extends SparkSpec {
     assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join pairs purchases with the same user's clicks in the prior hour") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pIn = MemoryStream[EventRow]
+    val cIn = MemoryStream[EventRow]
+    val q = EventStreams.purchaseClickJoin(pIn.toDF, cIn.toDF)
+      .writeStream.format("memory").queryName("ssjoin_t").outputMode("append").start()
+    try {
+      cIn.addData(
+        EventRow(1, ts("2020-01-01 09:30:00"), 7, "click", 0), // within the hour
+        EventRow(2, ts("2020-01-01 08:30:00"), 7, "click", 0), // too old
+        EventRow(3, ts("2020-01-01 09:45:00"), 8, "click", 0)) // other user
+      pIn.addData(EventRow(10, ts("2020-01-01 10:00:00"), 7, "purchase", 1))
+      q.processAllAvailable()
+      // advance both watermarks so the joined row finalizes in append mode
+      cIn.addData(EventRow(4, ts("2020-01-01 14:00:00"), 9, "click", 0))
+      pIn.addData(EventRow(11, ts("2020-01-01 14:00:00"), 9, "purchase", 0))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_t")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.contains((10L, 1L)))
+      assert(!rows.contains((10L, 2L)) && !rows.contains((10L, 3L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.dedupEvents(in.toDF)
+      .writeStream.format("memory").queryName("dedup_t").outputMode("append").start()
+    try {
+      in.addData(
+        EventRow(1, ts("2020-01-01 10:00:00"), 1, "click", 1.0),
+        EventRow(1, ts("2020-01-01 10:00:01"), 1, "click", 1.0), // dup id, redelivered
+        EventRow(2, ts("2020-01-01 10:05:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(EventRow(1, ts("2020-01-01 10:00:02"), 1, "click", 1.0)) // dup again, same batch window
+      q.processAllAvailable()
+      val ids = spark.table("dedup_t").select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("verified state survives a crash between the swap renames (recovery from .old)") {
     import spark.implicits._
     val dir = tmpDir("verifiedcrash")
