@@ -18,25 +18,39 @@ object Bench {
     val t = Tables(spark, sfDir)
     Seq(t.lineitem, t.orders, t.customer, t.events, t.documents, t.embeddings)
       .foreach(df => df.limit(1).collect())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // noop sink: executes the FULL projection. count() would let
-      // Catalyst prune payload expressions and sorts, so projection-heavy
-      // queries (fingerprints, scalar funcs) would time a row-count scan.
-      // Best-of-2: suppresses noisy-neighbor interference (this box shows
-      // sustained external load) and reports the amortized steady state a
-      // long-lived session reaches after first-run codegen compilation.
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+    // noop sink: executes the FULL projection. count() would let
+    // Catalyst prune payload expressions and sorts, so projection-heavy
+    // queries (fingerprints, scalar funcs) would time a row-count scan.
+    // Interleaved sweeps (all queries, then again, x3; per-query min
+    // across sweeps): a noisy-neighbor window on this shared box then
+    // poisons at most one sample of each query instead of every sample
+    // of the query that happened to run inside it. Reports the amortized
+    // steady state a long-lived session reaches after codegen compilation.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val failed = scala.collection.mutable.Set.empty[String]
+    for (_ <- 1 to 3; name <- names if !failed(name)) {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (!best.contains(name) || sec < best(name)) best(name) = sec
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += name
       }
-      name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Failures record a -1 sentinel, are excluded from the total, and
+    // force a nonzero exit: a regression into a fast crash must never
+    // read as an improvement.
+    val qs = names.map { n =>
+      val v = if (failed(n)) "-1" else best(n).toString
+      s"\"" + n + "\":" + v
+    }.mkString("{", ",", "}")
+    val total = names.filterNot(failed).map(best).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -47,8 +47,23 @@ object Engine {
   * (see /root/repo/TESTDATA.md). Reads are plain parquet scans so
   * Catalyst can push filters and prune columns into the file source.
   */
+object Tables {
+  /** DataFrames are immutable logical plans, so one handle per
+    * (session, dir, table) is safe to share. Without this cache every
+    * query construction re-lists the directory and re-reads parquet
+    * footers for schema inference — a fixed per-query cost that
+    * dominates at bench scale and is pure waste on a long-lived
+    * cluster session. Keyed on the session instance so a stopped and
+    * recreated session never sees a stale handle.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+}
+
 final case class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  private def t(name: String): DataFrame =
+    Tables.cache.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
   def customer: DataFrame   = t("customer")
