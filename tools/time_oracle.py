@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Per-query DuckDB oracle timings — the denominator of the 2x bench gate.
+
+Usage: python3 tools/time_oracle.py <sfDir> <oracleSqlJson> [outJson]
+
+Registers each TESTDATA parquet as a DuckDB view (same setup as
+tools/check.py), then times every oracle SQL with interleaved sweeps
+(all queries, then again, x3; per-query min across sweeps) — the same
+noise-suppression protocol graft.Bench uses, so the two artifacts are
+comparable. Each query is fully materialized via fetchall() so DuckDB
+cannot defer work past the timer. 32 threads to mirror local[32].
+
+Writes one JSON object {"total": sec, "queries": {name: sec}, "sf": dir,
+"threads": N, "sweeps": 3} to outJson (default ORACLE_TIMES.json next to
+this script's repo root).
+"""
+import duckdb, glob, json, pathlib, sys, time
+
+SWEEPS = 3
+THREADS = 32
+
+
+def main() -> int:
+    sfdir = sys.argv[1]
+    oracle_path = sys.argv[2]
+    out = sys.argv[3] if len(sys.argv) > 3 else str(
+        pathlib.Path(__file__).resolve().parent.parent / "ORACLE_TIMES.json")
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {THREADS}")
+    for p in glob.glob(f"{sfdir}/*.parquet"):
+        con.execute(f"CREATE VIEW {pathlib.Path(p).stem} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(oracle_path))
+    names = sorted(oracle)
+    best = {}
+    failed = []
+    for _ in range(SWEEPS):
+        for name in names:
+            if name in failed:
+                continue
+            t0 = time.perf_counter()
+            try:
+                con.sql(oracle[name]).fetchall()
+            except Exception as e:
+                print(f"[oracle] {name} FAILED: {e}", file=sys.stderr)
+                failed.append(name)
+                continue
+            sec = time.perf_counter() - t0
+            if name not in best or sec < best[name]:
+                best[name] = sec
+    result = {
+        "total": sum(best.values()),
+        "queries": {n: best.get(n, -1) for n in names},
+        "sf": sfdir,
+        "threads": THREADS,
+        "sweeps": SWEEPS,
+        "failed": failed,
+    }
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(json.dumps({"total": result["total"], "n": len(best), "out": out}))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
