@@ -26,7 +26,10 @@ object Bench {
     // poisons at most one sample of each query instead of every sample
     // of the query that happened to run inside it. Reports the amortized
     // steady state a long-lived session reaches after codegen compilation.
+    // optional args = query-name subset, for targeted perf work
+    val only = args.toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     val best = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.Set.empty[String]
     for (_ <- 1 to 3; name <- names if !failed(name)) {

@@ -22,7 +22,7 @@ object Engine {
     // yarn/k8s) reuse this factory; the local[] default serves the
     // driver-harness and tests
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
-    val spark = SparkSession
+    val builder = SparkSession
       .builder()
       .master(master)
       .appName(appName)
@@ -32,12 +32,30 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Size-based coalescing, not core-count-floored: with the default
+      // (parallelismFirst=true) AQE refuses to merge below
+      // defaultParallelism, so a 6-row aggregate still schedules 32
+      // reduce tasks on local[32] — and on a busy cluster the same
+      // floor over-fans small stages. Spark's own docs recommend false
+      // in production; partition count then follows data volume
+      // (advisoryPartitionSizeInBytes), which is the behavior that
+      // holds from sf0.1 to 100 TB.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
       // rejects; read as long and rebuild micros in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Deployment escape hatch: semicolon-separated k=v pairs, applied
+    // last so a cluster submit (or a perf experiment) can override any
+    // default above without a code change.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
+      s.split(';').iterator.filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -41,6 +41,14 @@ object GraftFunctions {
       FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
       (children: Seq[Expression]) => WordNgrams(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ext_json_decode"),
+      new ExpressionInfo(classOf[ExtJsonDecode].getName, "graft_ext_json_decode"),
+      (children: Seq[Expression]) => ExtJsonDecode(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ext_json_encode"),
+      new ExpressionInfo(classOf[ExtJsonEncode].getName, "graft_ext_json_encode"),
+      (children: Seq[Expression]) => ExtJsonEncode(children)))
   }
 }
 

@@ -28,61 +28,100 @@ object ExtJson {
   def schema(fields: Seq[(String, Kind)]): StructType =
     StructType(fields.map { case (n, k) => StructField(n, k.wrapped) })
 
+  private def kindTag(k: Kind): String = k match {
+    case Oid => "oid"; case Date => "date"; case Dec => "dec"; case Plain => "plain"
+  }
+
+  /** Spec literal for the native kernels ("name:kind,..."). Names with
+    * the spec's own separators can't be encoded in it — callers fall
+    * back to the from_json path for those (never seen in BSON exports,
+    * but correctness must not depend on that).
+    */
+  private def specFor(fields: Seq[(String, Kind)]): Option[Column] =
+    if (fields.exists { case (n, _) => n.contains(':') || n.contains(',') }) None
+    else Some(lit(fields.map { case (n, k) => s"$n:${kindTag(k)}" }.mkString(",")))
+
   /** Parse an ext-JSON string column and collapse each wrapper struct to
     * its scalar: $oid -> lowercase hex string, $date -> TimestampType
     * (epoch millis), $numberDecimal -> DoubleType via exact string parse.
+    *
+    * Fast path: one codegen'd pass per row (graft.functions.ExtJsonDecode)
+    * producing the final scalars — Spark's `from_json` is CodegenFallback
+    * (interpreted walk + Jackson per row) and is kept only as the
+    * fallback for field names the spec literal can't carry.
     */
-  def normalize(js: Column, fields: Seq[(String, Kind)]): Seq[Column] = {
-    val parsed = from_json(js, schema(fields))
-    fields.map {
-      case (n, Oid)   => lower(parsed.getField(n).getField("$oid")).as(n)
-      case (n, Date)  => timestamp_millis(parsed.getField(n).getField("$date")).as(n)
-      case (n, Dec)   => parsed.getField(n).getField("$numberDecimal").cast(DoubleType).as(n)
-      case (n, Plain) => parsed.getField(n).cast(StringType).as(n)
+  def normalize(js: Column, fields: Seq[(String, Kind)]): Seq[Column] =
+    specFor(fields) match {
+      case Some(spec) =>
+        val parsed = call_function("graft_ext_json_decode", js, spec)
+        fields.map { case (n, _) => parsed.getField(n).as(n) }
+      case None =>
+        val parsed = from_json(js, schema(fields))
+        fields.map {
+          case (n, Oid)   => lower(parsed.getField(n).getField("$oid")).as(n)
+          case (n, Date)  => timestamp_millis(parsed.getField(n).getField("$date")).as(n)
+          case (n, Dec)   => parsed.getField(n).getField("$numberDecimal").cast(DoubleType).as(n)
+          case (n, Plain) => parsed.getField(n).cast(StringType).as(n)
+        }
     }
-  }
 
-  /** DataFrame-level normalize: parse ONCE into an intermediate struct
-    * column, then extract fields from it in a second projection. The
-    * per-column [[normalize]] form embeds a full `from_json` in every
-    * output column; the JSON parse is CodegenFallback (no codegen CSE),
-    * so N fields cost N parses per row — measured ~25% of q47's runtime.
-    * Catalyst keeps the two projections separate (from_json is non-cheap
-    * and multiply-referenced, so CollapseProject leaves it), making this
-    * a guaranteed single parse.
+  /** DataFrame-level normalize: decode ONCE into an intermediate struct
+    * column, then extract fields from it in a second projection.
+    * Catalyst keeps the two projections separate (the decode is
+    * non-cheap and multiply-referenced, so CollapseProject leaves it),
+    * making this a guaranteed single parse per row.
     */
   def normalizeDF(df: org.apache.spark.sql.DataFrame, js: Column, fields: Seq[(String, Kind)], keep: Seq[String]): org.apache.spark.sql.DataFrame = {
     // intermediate name chosen to never collide with an input column;
     // fields extracted with getField (not dotted paths), so field names
     // containing '.' or backticks resolve correctly
     val tmp = Iterator.from(0).map(i => s"__extjson$i").find(n => !df.columns.contains(n)).get
-    val parsed = df.select(keep.map(col) :+ from_json(js, schema(fields)).as(tmp): _*)
+    val decoded = specFor(fields) match {
+      case Some(spec) => call_function("graft_ext_json_decode", js, spec)
+      case None => from_json(js, schema(fields))
+    }
+    val parsed = df.select(keep.map(col) :+ decoded.as(tmp): _*)
     val p = col(tmp)
-    val extracted = fields.map {
-      case (n, Oid)   => lower(p.getField(n).getField("$oid")).as(n)
-      case (n, Date)  => timestamp_millis(p.getField(n).getField("$date")).as(n)
-      case (n, Dec)   => p.getField(n).getField("$numberDecimal").cast(DoubleType).as(n)
-      case (n, Plain) => p.getField(n).cast(StringType).as(n)
+    val extracted = specFor(fields) match {
+      case Some(_) => fields.map { case (n, _) => p.getField(n).as(n) }
+      case None => fields.map {
+        case (n, Oid)   => lower(p.getField(n).getField("$oid")).as(n)
+        case (n, Date)  => timestamp_millis(p.getField(n).getField("$date")).as(n)
+        case (n, Dec)   => p.getField(n).getField("$numberDecimal").cast(DoubleType).as(n)
+        case (n, Plain) => p.getField(n).cast(StringType).as(n)
+      }
     }
     parsed.select(keep.map(col) ++ extracted: _*)
   }
 
   /** Encode canonical columns back to an ext-JSON document string (the
     * put_json_file twin, parallelized_data_pipeline_dag.py:113-119).
-    * Deterministic field order = argument order. Built with to_json over
-    * a named struct so string content is properly JSON-escaped (quotes,
-    * backslashes, control chars) — hand-concatenation would silently
-    * corrupt such values into nulls on re-parse.
+    * Deterministic field order = argument order. One codegen'd pass per
+    * row (graft.functions.ExtJsonEncode) with proper JSON escaping
+    * (quotes, backslashes, control chars) — hand-concatenation with ||
+    * would silently corrupt such values into nulls on re-parse. Falls
+    * back to to_json for field names the spec literal can't carry.
     */
   def encode(fields: Seq[(String, Column, Kind)]): Column = {
-    val parts: Seq[Column] = fields.map {
-      case (n, c, Oid)   => struct(c.as("$oid")).as(n)
-      // cast accepts NTZ sources; under the engine's fixed UTC session
-      // zone the NTZ->instant interpretation is the BSON $date (UTC) one.
-      case (n, c, Date)  => struct(unix_millis(c.cast(TimestampType)).as("$date")).as(n)
-      case (n, c, Dec)   => struct(c.cast(StringType).as("$numberDecimal")).as(n)
-      case (n, c, Plain) => c.cast(StringType).as(n)
+    specFor(fields.map { case (n, _, k) => (n, k) }) match {
+      case Some(spec) =>
+        val values = fields.map {
+          case (_, c, Oid)   => c.cast(StringType)
+          // cast accepts NTZ sources; under the engine's fixed UTC session
+          // zone the NTZ->instant interpretation is the BSON $date (UTC) one.
+          case (_, c, Date)  => c.cast(TimestampType)
+          case (_, c, Dec)   => c.cast(StringType)
+          case (_, c, Plain) => c.cast(StringType)
+        }
+        call_function("graft_ext_json_encode", spec +: values: _*)
+      case None =>
+        val parts: Seq[Column] = fields.map {
+          case (n, c, Oid)   => struct(c.as("$oid")).as(n)
+          case (n, c, Date)  => struct(unix_millis(c.cast(TimestampType)).as("$date")).as(n)
+          case (n, c, Dec)   => struct(c.cast(StringType).as("$numberDecimal")).as(n)
+          case (n, c, Plain) => c.cast(StringType).as(n)
+        }
+        to_json(struct(parts: _*))
     }
-    to_json(struct(parts: _*))
   }
 }

@@ -271,6 +271,43 @@ class ExtJsonSpec extends SparkSpec {
     assert(out.getString(0) === "ff")
     assert(out.isNullAt(1))
   }
+
+  test("native kernels are byte-identical to the to_json/from_json fallback path") {
+    // a field named with ':' forces the fallback; same data through both
+    // paths must produce identical document bytes and identical scalars
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2021-05-01 12:30:00"), "6058F0E72C0B5A1DC4D71ABC", "0042.2500", "its \"q\"\\"),
+      (java.sql.Timestamp.valueOf("1969-12-31 23:59:59"), "ff", "-1.5e2", "plain")
+    ).toDF("created", "oid", "amount", "note")
+    def enc(noteName: String) = encode(Seq(
+      (noteName, col("note"), Plain), ("_id", col("oid"), Oid),
+      ("created", col("created"), Date), ("amount", col("amount"), Dec)))
+    val fast = df.select(enc("note").as("js")).collect().map(_.getString(0))
+    val slow = df.select(enc("no:te").as("js")).collect().map(_.getString(0).replace("\"no:te\"", "\"note\""))
+    assert(fast.toSeq === slow.toSeq)
+    // decode equivalence, driven off the fast-encoded docs
+    val docs = df.select(enc("note").as("js"))
+    def dec(noteName: String) = Seq(noteName -> Plain, "_id" -> Oid, "created" -> Date, "amount" -> Dec)
+    val fastRows = docs.select(normalize(col("js"), dec("note")): _*).collect()
+    val slowRows = docs.select(col("js"))
+      .withColumn("js", expr("replace(js, '\"note\"', '\"no:te\"')"))
+      .select(normalize(col("js"), dec("no:te")): _*).collect()
+    fastRows.zip(slowRows).foreach { case (f, s) => assert(f.toSeq === s.toSeq) }
+  }
+
+  test("decode: malformed doc -> null struct fields; unknown fields skipped; nested values tolerated") {
+    val fields: Seq[(String, Kind)] = Seq("_id" -> Oid, "created" -> Date, "amount" -> Dec)
+    val out = Seq(
+      """{"_id":{"$oid":"AB"},"junk":{"deep":[1,{"x":"}"}]},"created":{"$date":-1},"amount":{"$numberDecimal":" 7 "}}""",
+      """not json at all""",
+      """{"_id":"bare-string","created":{"$date":1.5},"amount":{"$numberDecimal":"NaNope"}}"""
+    ).toDF("js").select(normalize(col("js"), fields): _*).collect()
+    assert(out(0).getString(0) === "ab")                       // lowercased
+    assert(out(0).getTimestamp(1).getTime === -1L)             // negative millis
+    assert(out(0).getDouble(2) === 7.0)                        // trimmed cast
+    assert((0 to 2).forall(out(1).isNullAt))                   // malformed -> all null
+    assert(out(2).isNullAt(0) && out(2).isNullAt(1) && out(2).isNullAt(2)) // mistyped -> null fields
+  }
 }
 
 class JdbcUpsertSpec extends SparkSpec {
