@@ -23,17 +23,32 @@ object VectorSearch {
   def withNorm(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("nrm", expr(s"sqrt(${dotSpark(vecCol, vecCol)})"))
 
+  /** Broadcasting the query side is only safe when the query set is
+    * genuinely small — an unguarded `broadcast(q)` on a 10M-row query
+    * frame OOMs the driver. The guard counts at most `max + 1` rows
+    * (a bounded probe job, never a full count) and falls back to a
+    * plain distributed join when the bound is exceeded; AQE may still
+    * choose a broadcast at runtime if actual sizes permit, which is the
+    * safe, size-informed version of the same decision.
+    */
+  private def broadcastIfSmall(q: DataFrame, max: Long): DataFrame = {
+    val probe = math.min(math.max(max, 0L) + 1L, Int.MaxValue.toLong).toInt
+    if (q.limit(probe).count() <= max) broadcast(q) else q
+  }
+
   /** Exact brute-force cosine top-k: for each row of `queries`
     * (id + vector), the k nearest corpus rows by cosine (ties broken by
-    * corpus id). Queries are broadcast; self-matches (same id) are
-    * excluded.
+    * corpus id). Query sets up to `maxBroadcastQueries` are broadcast
+    * (corpus streams once, no shuffle); larger sets run a distributed
+    * join. Self-matches (same id) are excluded.
     */
-  def knn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def knn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int,
+          maxBroadcastQueries: Long = 1000000L): DataFrame = {
     val n = withNorm(corpus, vecCol)
     val q = withNorm(queries, vecCol)
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col(idCol))
-    n.join(broadcast(q), col(idCol) =!= col("q_id"))
+    n.join(broadcastIfSmall(q, maxBroadcastQueries), col(idCol) =!= col("q_id"))
       .selectExpr("q_id", idCol, s"${dotSpark("qv", vecCol)} / (qn * nrm) AS cosine")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -50,9 +65,12 @@ object VectorSearch {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, partCol: String,
       nprobe: Int, k: Int,
+      maxBroadcastQueries: Long = 1000000L,
   ): DataFrame = {
     val n = withNorm(corpus, vecCol)
     val rid = n.groupBy(partCol).agg(min(idCol).as("__rep_id"))
+    // representatives are one row per partition key — fixed cardinality,
+    // always safe to broadcast
     val rep = rid.join(n, rid("__rep_id") === n(idCol))
       .select(rid(partCol), col(vecCol).as("rv"), col("nrm").as("rn"))
     val q = withNorm(queries, vecCol)
@@ -64,7 +82,10 @@ object VectorSearch {
       .filter(col("prank") <= nprobe)
       .select("q_id", "qv", "qn", partCol)
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col(idCol))
-    broadcast(probe).join(n, Seq(partCol))
+    // probe is queries x nprobe rows: same driver-memory contract as the
+    // query set itself, so the same guard applies (shuffle equi-join on
+    // partCol when large)
+    broadcastIfSmall(probe, maxBroadcastQueries).join(n, Seq(partCol))
       .filter(col(idCol) =!= col("q_id"))
       .selectExpr("q_id", idCol, s"${dotSpark("qv", vecCol)} / (qn * nrm) AS cosine")
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * partition, not once per row — the JVM analog of a Pandas-UDF
   * `mapInPandas` batch loop).
   *
-  * The actual codec is STUBBED (no image/audio libs in this container):
-  * `decodeStub` derives deterministic pseudo-features from the raw
-  * bytes. The Spark-side plumbing — schema, binary handling, typed
-  * Dataset round-trip, partitioning, batch shape — is real and
-  * oracle-tested (q48).
+  * The image modality uses a REAL codec: javax.imageio PNG encode /
+  * decode / area-average downsample (JDK-builtin, no external libs).
+  * Grayscale PNG is lossless, so decoded-pixel features remain
+  * cross-engine oracle-checkable (q61). Audio/video decode stays
+  * stubbed (`decodeStub` byte stats — no such codec ships with the
+  * JDK); the Spark-side plumbing — schema, binary handling, typed
+  * Dataset round-trip, partitioning, batch shape — is identical for
+  * both and oracle-tested (q48).
   */
 object Multimodal {
 
@@ -76,6 +79,150 @@ object Multimodal {
               byte_sum = feat(1).toLong,
               head_byte = feat(3).toLong,
               feature = feat,
+            )
+          }
+        }
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // Real image codec path (javax.imageio — ships with the JDK, so the
+  // container's missing image libs don't force a stub here). Grayscale
+  // 8-bit PNG is lossless, which gives the rare property of a REAL codec
+  // whose output is still cross-engine oracle-checkable: pixels decoded
+  // from an encoded payload equal the source bytes exactly.
+  // ---------------------------------------------------------------------
+
+  /** Encode raw bytes as a width-fixed grayscale PNG (row-major, zero-
+    * padded final row). Deterministic: same bytes -> same image.
+    */
+  def encodePng(bytes: Array[Byte], width: Int = 64): Array[Byte] = {
+    require(width > 0, "width must be positive")
+    val height = math.max(1, (bytes.length + width - 1) / width)
+    val img = new java.awt.image.BufferedImage(width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val padded =
+      if (bytes.length == width * height) bytes
+      else java.util.Arrays.copyOf(bytes, width * height)
+    img.getRaster.setDataElements(0, 0, width, height, padded)
+    val baos = new java.io.ByteArrayOutputStream(bytes.length + 128)
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Decoded image: dimensions + row-major 8-bit luma. Non-gray inputs
+    * are converted (ITU-R 601 via BufferedImage); undecodable payloads
+    * return None (the DLQ row, not an exception).
+    */
+  final case class DecodedImage(width: Int, height: Int, pixels: Array[Byte])
+
+  def decodeImage(png: Array[Byte]): Option[DecodedImage] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))).map { src =>
+        val gray =
+          if (src.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) src
+          else {
+            val g = new java.awt.image.BufferedImage(src.getWidth, src.getHeight,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val gg = g.createGraphics()
+            try gg.drawImage(src, 0, 0, null) finally gg.dispose()
+            g
+          }
+        val px = new Array[Byte](gray.getWidth * gray.getHeight)
+        gray.getRaster.getDataElements(0, 0, gray.getWidth, gray.getHeight, px)
+        DecodedImage(gray.getWidth, gray.getHeight, px)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Area-average downsample by an integer factor (each output pixel =
+    * floor(mean) of its factor x factor block, partial blocks averaged
+    * over their actual pixels), re-encoded as PNG. The real `resize`;
+    * the byte-stride [[resize]] stub remains only for non-image
+    * payloads.
+    */
+  def resizePng(png: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    require(factor > 0, "factor must be positive")
+    decodeImage(png).map { d =>
+      val ow = math.max(1, d.width / factor)
+      val oh = math.max(1, d.height / factor)
+      val out = new Array[Byte](ow * oh)
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          var sum = 0L
+          var cnt = 0
+          var y = oy * factor
+          val yEnd = math.min((oy + 1) * factor, d.height)
+          while (y < yEnd) {
+            var x = ox * factor
+            val xEnd = math.min((ox + 1) * factor, d.width)
+            while (x < xEnd) {
+              sum += (d.pixels(y * d.width + x) & 0xff)
+              cnt += 1
+              x += 1
+            }
+            y += 1
+          }
+          out(oy * ow + ox) = (sum / cnt).toByte
+          ox += 1
+        }
+        oy += 1
+      }
+      val img = new java.awt.image.BufferedImage(ow, oh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, ow, oh, out)
+      val baos = new java.io.ByteArrayOutputStream(out.length + 128)
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+  }
+
+  /** Image features from REAL decoded pixels. */
+  final case class ImageFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      luma_sum: Long,
+      head_luma: Long,
+  )
+
+  /** Wrap a text table as PNG media: payload = the text bytes rendered
+    * into a grayscale PNG through the real encoder. The ingestion twin
+    * of [[asMedia]] for the image modality.
+    */
+  def asPngMedia(documents: DataFrame, width: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (id, encodePng(bytes, width), "image/png", bytes.length.toLong)
+      }
+      .toDF("doc_id", "payload", "modality", "declared_bytes")
+  }
+
+  /** Partition-parallel REAL decode + feature extraction: ImageIO codec
+    * per row, init-free (the codec is stateless), same batch shape as
+    * [[extractFeatures]]. Zero-padding pixels contribute nothing to
+    * luma_sum, so features over a [[asPngMedia]] payload are exactly the
+    * source-byte stats — the property the DuckDB oracle checks.
+    */
+  def extractImageFeatures(media: DataFrame): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload", "modality", "declared_bytes")
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodeImage(r.payload).map { d =>
+            var sum = 0L
+            var i = 0
+            while (i < d.pixels.length) { sum += (d.pixels(i) & 0xff); i += 1 }
+            ImageFeatures(
+              doc_id = r.doc_id,
+              width = d.width.toLong,
+              height = d.height.toLong,
+              luma_sum = sum,
+              head_luma = if (d.pixels.nonEmpty) (d.pixels(0) & 0xff).toLong else 0L,
             )
           }
         }

@@ -14,17 +14,23 @@ import org.apache.spark.sql.{DataFrame, Row}
   * statement batches: executor-parallel, one connection per partition,
   * `batchSize` rows per round trip.
   *
-  * (No database ships in this container, so `write` is exercised in
-  * tests through the statement-builder and batching seams; the SQL text
-  * and batch loop are the production path.)
+  * The Postgres/MySQL SQL text is spec-tested; `write` itself runs
+  * live in JdbcLiveSpecs against embedded Derby (real connections,
+  * prepared-statement batches, per-partition commits, MERGE upserts) —
+  * the one SQL engine available in this zero-egress container.
   */
 object JdbcUpsert {
 
   sealed trait Dialect
   case object Postgres extends Dialect
   case object MySql extends Dialect
+  /** ANSI-MERGE dialect (Apache Derby syntax) — the embedded engine the
+    * live integration specs run `write` against, since no Postgres/MySQL
+    * server exists in this container. Same write loop, real connections.
+    */
+  case object Derby extends Dialect
 
-  /** Upsert statement with `?` placeholders in `cols` order. */
+  /** Upsert statement with `?` placeholders bound in [[paramCols]] order. */
   def upsertSql(dialect: Dialect, table: String, cols: Seq[String], keys: Seq[String]): String = {
     require(keys.nonEmpty && keys.forall(cols.contains), s"keys $keys must be a subset of cols $cols")
     val collist = cols.mkString(", ")
@@ -45,8 +51,30 @@ object JdbcUpsert {
       case MySql =>
         val sets = updatable.map(c => s"$c = VALUES($c)").mkString(", ")
         s"INSERT INTO $table ($collist) VALUES ($qs) ON DUPLICATE KEY UPDATE $sets"
+      case Derby =>
+        // Derby's only upsert form: MERGE against the 1-row SYSDUMMY1
+        // (a VALUES source is rejected: "must be a base table or table
+        // function"). Parameter markers ARE allowed in the ON clause.
+        val on = keys.map(k => s"$table.$k = ?").mkString(" AND ")
+        val insert = s"WHEN NOT MATCHED THEN INSERT ($collist) VALUES ($qs)"
+        if (updatable.isEmpty)
+          s"MERGE INTO $table USING SYSIBM.SYSDUMMY1 ON $on $insert"
+        else {
+          val sets = updatable.map(c => s"$c = ?").mkString(", ")
+          s"MERGE INTO $table USING SYSIBM.SYSDUMMY1 ON $on WHEN MATCHED THEN UPDATE SET $sets $insert"
+        }
     }
   }
+
+  /** Bind order for [[upsertSql]]'s `?` markers. INSERT-based dialects
+    * bind each column once; Derby's MERGE binds keys (ON), then
+    * non-keys (SET), then all columns (INSERT VALUES).
+    */
+  def paramCols(dialect: Dialect, cols: Seq[String], keys: Seq[String]): Seq[String] =
+    dialect match {
+      case Postgres | MySql => cols
+      case Derby => keys ++ cols.filterNot(keys.contains) ++ cols
+    }
 
   /** Batching seam: group rows into prepared-statement batches. Pure, so
     * the executeBatch cadence (every `batchSize` rows + final partial
@@ -71,6 +99,9 @@ object JdbcUpsert {
   ): Unit = {
     val cols = df.columns.toSeq
     val sql = upsertSql(dialect, table, cols, keys)
+    // statement-parameter position -> row ordinal, resolved once on the
+    // driver (Derby's MERGE binds some columns more than once)
+    val bindOrdinals = paramCols(dialect, cols, keys).map(cols.indexOf).toArray
     df.foreachPartition { (rows: Iterator[Row]) =>
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
@@ -79,7 +110,7 @@ object JdbcUpsert {
         try {
           batches(rows, batchSize).foreach { batch =>
             batch.foreach { r =>
-              cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+              bindOrdinals.indices.foreach(i => st.setObject(i + 1, r.get(bindOrdinals(i))))
               st.addBatch()
             }
             st.executeBatch()

@@ -65,7 +65,7 @@ object PipelineRunner {
             val mapped = spec.mappings.get(entity).fold(cached)(m => MappingCompiler.transform(cached, m))
             val enriched = spec.enrichments.getOrElse(entity, identity[DataFrame] _)(mapped)
             enriched
-              .observe(s"graft_$entity", count(lit(1)).as("rows"))
+              .observe(StatsListener.observeName(spec.runId, entity), count(lit(1)).as("rows"))
               .write.mode("overwrite").parquet(s"${spec.sinkDir}/$entity")
           } finally cached.unpersist()
           ()

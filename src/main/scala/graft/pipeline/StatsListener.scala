@@ -41,18 +41,30 @@ final class LogAlertSink extends AlertSink {
     alerts.add((runId, step, error))
 }
 
+object StatsListener {
+  /** Observe-metric name carrying BOTH the run id and the step: two
+    * concurrent runs sharing one session each see every execution
+    * through their own listener, so a bare step prefix would cross-
+    * attribute metrics between runs. runId is delimited with '/' (never
+    * produced by runId generators here) so step names containing '_'
+    * can't alias another run's prefix.
+    */
+  def observeName(runId: String, step: String): String = s"graft/$runId/$step"
+}
+
 final class StatsListener(runId: String, alertSink: AlertSink = new LogAlertSink) extends QueryExecutionListener {
   private val stats = new ConcurrentLinkedQueue[StepStat]
 
   /** Rows metric observed under any name starting with this prefix is
-    * picked up as the step's row count.
+    * picked up as the step's row count — scoped to THIS run.
     */
-  val ObservePrefix = "graft_"
+  val ObservePrefix: String = StatsListener.observeName(runId, "")
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
     // only executions carrying this run's observe metric are recorded —
-    // the listener sees EVERY query on the shared session, and unrelated
-    // concurrent work must not be attributed to this run_id
+    // the listener sees EVERY query on the shared session, and neither
+    // unrelated work nor ANOTHER run's steps may be attributed to this
+    // run_id
     qe.observedMetrics.collectFirst {
       case (name, row) if name.startsWith(ObservePrefix) && row.schema.fieldNames.contains("rows") =>
         (name.stripPrefix(ObservePrefix), row.getAs[Long]("rows"))

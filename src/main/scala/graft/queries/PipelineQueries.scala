@@ -233,6 +233,27 @@ object PipelineQueries {
       },
     ),
     Q(
+      "q61_image_decode",
+      "REAL image codec end-to-end: render each document's bytes into a " +
+        "grayscale PNG (javax.imageio encode), decode it back through the " +
+        "real ImageIO decoder, and extract pixel features. Gray8 PNG is " +
+        "lossless, so the oracle can recompute luma stats straight from " +
+        "the source text — proving actual decoded pixels, not a stub.",
+      Some("""
+        SELECT doc_id,
+          CAST(64 AS BIGINT) AS width,
+          CAST(greatest(1, CAST(ceil(strlen(text) / 64.0) AS BIGINT)) AS BIGINT) AS height,
+          CAST(list_sum(list_transform(string_split(text, ''), mc -> ascii(mc))) AS BIGINT) AS luma_sum,
+          CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_luma
+        FROM documents ORDER BY doc_id
+      """.trim),
+      (spark, dir) => {
+        Multimodal.extractImageFeatures(Multimodal.asPngMedia(Tables(spark, dir).documents, width = 64))
+          .toDF()
+          .orderBy("doc_id")
+      },
+    ),
+    Q(
       "q49_sessionize",
       "Gap-based sessionization (30-min inactivity) per user over events: " +
         "lag + running break-count windows, then per-session aggregates — " +

@@ -222,9 +222,59 @@ object Relational2 {
     Q(
       "q59_fuzzy_match",
       "Fuzzy string matching: edit-distance (Levenshtein) near-dup part " +
-        "names, blocked by brand so candidate pairs are bounded per block — " +
-        "the fuzzy-matching pattern for entity resolution; the DP distance " +
-        "is integer-exact cross-engine.",
+        "names with LOSSLESS compound blocking (brand x length-band, " +
+        "band width 8 > edit bound 4, each row exploded into its own and " +
+        "the next band, canonical-bucket dedup) — every true pair still " +
+        "shares a block, so results are provably identical to the naive " +
+        "brand-only join while per-block candidates stay bounded. The " +
+        "length prefilter and thresholded Levenshtein (O(n*k) early-exit " +
+        "DP) cut per-pair cost; the oracle is the plain declarative form.",
+      Some("""
+        WITH p AS (SELECT p_partkey, p_brand, p_name FROM part WHERE p_partkey < 500)
+        SELECT a.p_partkey AS part_a, b.p_partkey AS part_b, a.p_brand AS brand,
+          CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ORDER BY part_a, part_b
+      """.trim),
+      (spark, dir) => {
+        // edit_dist <= 4 implies |len(a) - len(b)| <= 4 < W, so a pair's
+        // bands differ by at most 1 and the {band, band+1} explosion
+        // guarantees a shared block: blocking loses nothing.
+        val W = 8
+        val p = Tables(spark, dir).part
+          .filter(col("p_partkey") < 500)
+          .select(col("p_partkey"), col("p_brand"), col("p_name"),
+            floor(length(col("p_name")) / W).as("band"))
+        val a = p.select(col("p_partkey").as("part_a"), col("p_brand").as("brand"),
+            col("p_name").as("name_a"), col("band").as("band_a"))
+          .withColumn("blk", explode(array(col("band_a"), col("band_a") + 1)))
+        val b = p.select(col("p_partkey").as("part_b"), col("p_brand").as("brand"),
+            col("p_name").as("name_b"), col("band").as("band_b"))
+          .withColumn("blk", explode(array(col("band_b"), col("band_b") + 1)))
+        a.join(b, Seq("brand", "blk"))
+          .filter(col("part_a") < col("part_b"))
+          // a same-band pair shares two blocks; count it only in its
+          // canonical one (no distinct, no extra shuffle)
+          .filter(col("blk") === greatest(col("band_a"), col("band_b")))
+          // cheap O(1) prefilter before the DP
+          .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 4)
+          // thresholded Levenshtein: early-exits past the bound (-1)
+          .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b"), 4).cast("long"))
+          .filter(col("edit_dist") >= 0)
+          .select("part_a", "part_b", "brand", "edit_dist")
+          .orderBy("part_a", "part_b")
+      },
+    ),
+    Q(
+      "q62_edit_blocking",
+      "PassJoin-style segment blocking (Li/Deng/Feng, PVLDB'11): bounded " +
+        "edit-distance self-join whose candidates come from an equi-join " +
+        "on (length, segment index, segment content) — pigeonhole gives " +
+        "100% recall, so results are provably identical to the naive " +
+        "quadratic join and the oracle is the same declarative SQL as " +
+        "q59. The scale path for fuzzy matching: no attribute block " +
+        "whose size grows linearly with data.",
       Some("""
         WITH p AS (SELECT p_partkey, p_brand, p_name FROM part WHERE p_partkey < 500)
         SELECT a.p_partkey AS part_a, b.p_partkey AS part_b, a.p_brand AS brand,
@@ -237,13 +287,9 @@ object Relational2 {
         val p = Tables(spark, dir).part
           .filter(col("p_partkey") < 500)
           .select("p_partkey", "p_brand", "p_name")
-        val a = p.select(col("p_partkey").as("part_a"), col("p_brand").as("brand"), col("p_name").as("name_a"))
-        val b = p.select(col("p_partkey").as("part_b"), col("p_brand").as("brand"), col("p_name").as("name_b"))
-        a.join(b, Seq("brand"))
-          .filter(col("part_a") < col("part_b"))
-          .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-          .filter(col("edit_dist") <= 4)
-          .select("part_a", "part_b", "brand", "edit_dist")
+        graft.operators.EditBlocking.editPairs(p, "p_partkey", "p_name", "p_brand", k = 4)
+          .select(col("id_a").as("part_a"), col("id_b").as("part_b"),
+            col("blk").as("brand"), col("edit_dist"))
           .orderBy("part_a", "part_b")
       },
     ),

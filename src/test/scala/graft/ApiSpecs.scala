@@ -48,4 +48,27 @@ class ApiSpecs extends SparkSpec {
     assert(out.map(_.getAs[Long]("vid")).toSeq === Seq(2L, 3L)) // nearest then orthogonal
     assert(out.forall(_.getAs[Long]("q_id") == 1L))
   }
+
+  test("knn/annIvf broadcast guard: oversized query sets plan WITHOUT a query-side broadcast hint, same results") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val corpus = (1L to 40L).map(i => (i, Array(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat), i % 3))
+      .toDF("vid", "vec", "bucket3")
+    val queries = corpus.filter($"vid" <= 5L).select("vid", "vec")
+    def broadcastHints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join => Seq(j.hint.leftHint, j.hint.rightHint).flatten.count(_.strategy.nonEmpty)
+      }.sum
+    val small = VectorSearch.knn(corpus, queries, "vid", "vec", k = 3)
+    val large = VectorSearch.knn(corpus, queries, "vid", "vec", k = 3, maxBroadcastQueries = 2L)
+    assert(broadcastHints(small) > 0, "small query set should carry a broadcast hint")
+    assert(broadcastHints(large) === 0, "oversized query set must not be force-broadcast")
+    assert(small.orderBy("q_id", "rank").collect().toSeq === large.orderBy("q_id", "rank").collect().toSeq)
+    // same contract for the IVF probe side (rep broadcast is fixed-size and exempt)
+    val ivfSmall = VectorSearch.annIvf(corpus, queries, "vid", "vec", "bucket3", nprobe = 2, k = 3)
+    val ivfLarge = VectorSearch.annIvf(corpus, queries, "vid", "vec", "bucket3", nprobe = 2, k = 3,
+      maxBroadcastQueries = 2L)
+    assert(broadcastHints(ivfLarge) < broadcastHints(ivfSmall),
+      "oversized probe set must drop its broadcast hint (rep broadcast remains)")
+    assert(ivfSmall.orderBy("q_id", "rank").collect().toSeq === ivfLarge.orderBy("q_id", "rank").collect().toSeq)
+  }
 }

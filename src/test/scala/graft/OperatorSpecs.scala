@@ -417,4 +417,43 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("frame_idx").collect()
     assert(frames.map(r => (r.getInt(1), r.getInt(2))).toSeq === Seq((0, 0), (1, 64), (2, 128)))
   }
+
+  test("REAL codec: PNG encode -> ImageIO decode round-trips the exact bytes (gray8 is lossless)") {
+    val bytes = (0 until 300).map(i => (i % 251).toByte).toArray
+    val png = Multimodal.encodePng(bytes, width = 64)
+    // it is a real PNG file, not a passthrough
+    assert(png.take(8).toSeq === Seq(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    val d = Multimodal.decodeImage(png).get
+    assert(d.width === 64)
+    assert(d.height === 5) // ceil(300/64), final row zero-padded
+    assert(d.pixels.take(300).toSeq === bytes.toSeq)
+    assert(d.pixels.drop(300).forall(_ == 0))
+  }
+
+  test("REAL codec: area-average resize computes block means (hand-checked 4x4 -> 2x2)") {
+    val img = Array[Byte](
+      10, 20, 30, 40,
+      50, 60, 70, 80,
+      90, 100, 110, 120,
+      (130 & 0xff).toByte, (140 & 0xff).toByte, (150 & 0xff).toByte, (160 & 0xff).toByte)
+    val png = Multimodal.encodePng(img, width = 4)
+    val small = Multimodal.resizePng(png, factor = 2).get
+    val d = Multimodal.decodeImage(small).get
+    assert(d.width === 2 && d.height === 2)
+    // block means: (10+20+50+60)/4=35, (30+40+70+80)/4=55, (90+100+130+140)/4=115, (110+120+150+160)/4=135
+    assert(d.pixels.map(_ & 0xff).toSeq === Seq(35, 55, 115, 135))
+  }
+
+  test("REAL codec: undecodable payloads drop out as None / absent rows, decodable survive") {
+    import spark.implicits._
+    assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
+    val good = Multimodal.encodePng("hello world".getBytes, width = 8)
+    val media = Seq(
+      (1L, good, "image/png", 11L),
+      (2L, "garbage".getBytes, "image/png", 7L),
+    ).toDF("doc_id", "payload", "modality", "declared_bytes")
+    val out = Multimodal.extractImageFeatures(media).collect()
+    assert(out.map(_.doc_id).toSeq === Seq(1L))
+    assert(out(0).luma_sum === "hello world".getBytes.map(_ & 0xff).sum.toLong)
+  }
 }

@@ -99,4 +99,29 @@ class PipelineRunnerSpec extends SparkSpec {
       PipelineRunner.run(spark, Map("bad" -> bad), spec, alerts)
     }
   }
+
+  test("two concurrent runs on one shared session never cross-attribute stats rows") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = tmpDir("pipelineconcurrent")
+    // same ENTITY NAME in both runs: under the old bare step prefix this
+    // is exactly the collision that swapped metrics between runs
+    def spec(runId: String, sink: String) = PipelineSpec(
+      runId = runId,
+      mappings = Map("contact" -> Seq(FieldMapping("x", "x"))),
+      sinkDir = sink,
+    )
+    val dfA = (1L to 7L).toDF("x")
+    val dfB = (1L to 11L).toDF("x")
+    val (statsA, statsB) = Await.result(
+      Future(PipelineRunner.run(spark, Map("contact" -> dfA), spec("runA", dir.resolve("a").toString)))
+        .zip(Future(PipelineRunner.run(spark, Map("contact" -> dfB), spec("runB", dir.resolve("b").toString)))),
+      2.minutes)
+    val a = statsA.filter(_.status == "COMPLETED")
+    val b = statsB.filter(_.status == "COMPLETED")
+    assert(a.map(s => (s.run_id, s.step, s.rows)) === Seq(("runA", "contact", Some(7L))))
+    assert(b.map(s => (s.run_id, s.step, s.rows)) === Seq(("runB", "contact", Some(11L))))
+  }
 }
