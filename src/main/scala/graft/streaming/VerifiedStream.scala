@@ -19,13 +19,30 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * ONE set-oriented upsert per entity via [[VerifiedUpdates]] — not
   * per-row UPDATE round trips. At the real sink this is
   * [[graft.pipeline.JdbcUpsert]]; the local state tables are parquet,
-  * replaced atomically (write-to-temp + rename) so a crash mid-apply
-  * never destroys the only copy of the state.
+  * PARTITIONED BY KEY-HASH BUCKET (`bucket=N` subdirs): a batch
+  * rewrites only the buckets its keys fall in, so a point-update tick
+  * costs O(touched buckets), not a full-table rewrite — the property
+  * that keeps a 2-minute cadence viable when the state table is large.
+  * Every bucket swap is atomic (hidden `.bN.tmp`/`.bN.old` + renames),
+  * so a crash mid-apply never destroys the only copy of any bucket;
+  * the un-committed streaming checkpoint replays the batch and the
+  * cross-batch seq guard makes re-application a no-op. Pre-bucketing
+  * flat tables are migrated in one crash-safe root-level swap on first
+  * touch; `_nbuckets` pins the routing across restarts so a changed
+  * default can never split a key over two buckets.
   */
 object VerifiedStream {
 
   /** Columns every verified-data message carries (:54-58). */
   val keyCols: Seq[String] = Seq("company_id", "external_id")
+
+  /** Buckets a NEW state table is created with. Existing tables keep the
+    * count pinned in their `_nbuckets` marker regardless of this default
+    * (a changed default must never split a key over two buckets). Sized
+    * so each bucket of a large table stays a comfortable rewrite unit;
+    * at 100 TB you'd bootstrap with a few thousand.
+    */
+  val defaultBuckets: Int = 16
 
   /** Entity names become filesystem path segments — restrict to a safe
     * charset (a message with entity='../x' must not escape stateDir).
@@ -37,13 +54,14 @@ object VerifiedStream {
       stateDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("2 minutes"),
+      nBuckets: Int = defaultBuckets,
   ): StreamingQuery = {
     val spark = messages.sparkSession
     messages.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(spark, batch, stateDir)
+        applyBatch(spark, batch, stateDir, nBuckets)
         ()
       }
       .start()
@@ -64,7 +82,12 @@ object VerifiedStream {
   /** Apply one batch of messages to the per-entity state tables.
     * Factored out of the stream for direct testing and replay.
     */
-  def applyBatch(spark: SparkSession, batch: Dataset[Row], stateDir: String): Unit = {
+  def applyBatch(
+      spark: SparkSession,
+      batch: Dataset[Row],
+      stateDir: String,
+      nBuckets: Int = defaultBuckets,
+  ): Unit = {
     // one source scan for the whole fan-out (distinct + per-entity filters)
     val cached = batch.persist()
     try {
@@ -77,15 +100,7 @@ object VerifiedStream {
             .filter(col("entity") === entity)
             .select(col("company_id"), col("external_id"), col("seq"),
               col("verified_data").as("verified_data_new"))
-          val base = readOrBootstrap(spark, path)
-          // tables created before the seq column existed get it added
-          val guarded =
-            if (base.columns.contains("verified_seq")) base
-            else base.withColumn("verified_seq", lit(null).cast(LongType))
-          val applied = VerifiedUpdates(guarded, updates, keyCols, "seq",
-            Map("verified_data" -> "verified_data_new"),
-            baseSeqCol = Some("verified_seq"))
-          replaceDurably(spark, applied, path)
+          applyToTable(spark, updates, path, nBuckets)
         case bad =>
           // log-and-continue, the reference's own failure policy (:59-68)
           System.err.println(s"[verified-stream] skipping unsafe entity name: $bad")
@@ -93,45 +108,170 @@ object VerifiedStream {
     } finally cached.unpersist()
   }
 
-  /** First message for an entity creates its table (empty base) instead
-    * of poison-pilling the stream with a missing-path error. Before
-    * reading, recover from an interrupted swap (see [[replaceDurably]]):
-    * a missing target with a surviving `.old` means the crash hit
-    * between the two renames — restore the old table; a leftover `.tmp`
-    * is an incomplete write and is discarded (the streaming checkpoint
-    * replays its batch).
+  /** Read a state table regardless of layout generation: bucketed tables
+    * come back through partition discovery (the synthetic `bucket`
+    * routing column is dropped), legacy flat tables read as-is.
     */
-  private def readOrBootstrap(spark: SparkSession, path: String): DataFrame = {
-    val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
-    val old = new Path(path + ".old")
-    if (!fs.exists(p) && fs.exists(old)) require(fs.rename(old, p), s"recovery rename failed: $old -> $p")
-    val tmp = new Path(path + ".tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    if (fs.exists(p)) spark.read.parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], bootstrapSchema)
+  def readState(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("bucket")
+
+  /** Key -> bucket routing: Murmur3 over the key columns, mod the count
+    * pinned in the table's `_nbuckets` marker. Deterministic across
+    * sessions and restarts (fixed-seed [[org.apache.spark.sql.functions.hash]]).
+    */
+  private def bucketCol(nb: Int) =
+    pmod(hash(keyCols.map(col): _*), lit(nb)).cast("int")
+
+  private def hadoopFs(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new Path(path).toUri, spark.sparkContext.hadoopConfiguration)
+
+  /** Apply one entity's updates to its bucketed state table: route each
+    * key to `pmod(hash(key), nbuckets)`, read ONLY the touched buckets
+    * as the join base, and swap only those buckets back in — a 1-key
+    * batch costs one bucket read + one bucket rewrite however large the
+    * table is. The touched-bucket list is a driver-side collect bounded
+    * by nbuckets (control-plane metadata, never data).
+    */
+  private def applyToTable(
+      spark: SparkSession,
+      updates: DataFrame,
+      path: String,
+      nBuckets: Int,
+  ): Unit = {
+    val fs = hadoopFs(spark, path)
+    recoverRoot(fs, path)
+    val nb = ensureBucketed(spark, fs, path, nBuckets)
+    recoverBuckets(fs, path)
+
+    val touched = updates.select(bucketCol(nb).as("__b")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val existing = touched.map(b => s"$path/bucket=$b")
+      .filter(d => fs.exists(new Path(d)))
+    // reading the bucket dirs directly (no partition discovery) keeps the
+    // base schema = the data schema; all buckets share one schema because
+    // migration/bootstrap normalize it (incl. verified_seq)
+    val base =
+      if (existing.nonEmpty) spark.read.parquet(existing.toIndexedSeq: _*)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], bootstrapSchema)
+    // tables created before the seq column existed get it added
+    val guarded =
+      if (base.columns.contains("verified_seq")) base
+      else base.withColumn("verified_seq", lit(null).cast(LongType))
+    val applied = VerifiedUpdates(guarded, updates, keyCols, "seq",
+      Map("verified_data" -> "verified_data_new"),
+      baseSeqCol = Some("verified_seq"))
+
+    // write all touched buckets in ONE job into a hidden staging dir
+    // (dot-prefixed => invisible to Spark file listings), then swap each
+    // bucket in atomically. A crash between swaps leaves every bucket
+    // individually consistent; the replayed batch re-applies as a no-op
+    // under the verified_seq guard.
+    val tmpRoot = s"$path/.batch.tmp"
+    applied.withColumn("bucket", bucketCol(nb))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(tmpRoot)
+    touched.foreach { b =>
+      val src = new Path(s"$tmpRoot/bucket=$b")
+      // a touched bucket with an empty result (updates to absent keys on
+      // an absent bucket — UPDATE semantics insert nothing) writes no dir
+      if (fs.exists(src)) {
+        val dst = new Path(s"$path/bucket=$b")
+        val old = new Path(s"$path/.b$b.old")
+        if (fs.exists(dst)) require(fs.rename(dst, old), s"rename failed: $dst -> $old")
+        require(fs.rename(src, dst), s"rename failed: $src -> $dst")
+        if (fs.exists(old)) require(fs.delete(old, true), s"could not clear $old")
+      }
+    }
+    require(fs.delete(new Path(tmpRoot), true) || !fs.exists(new Path(tmpRoot)),
+      s"could not clear $tmpRoot")
   }
 
-  /** Overwriting the path we just read from would depend on cache
-    * residency (evicted blocks would recompute from deleted files).
-    * Instead: write the new state next to the old one, then swap with
-    * renames. Every transition keeps at least one complete copy on disk
-    * (tmp is durable before target moves; `.old` is only deleted after
-    * the new target lands) and [[readOrBootstrap]] knows how to recover
-    * from a crash at any point between them. Hadoop rename/delete report
-    * failure by RETURNING false — each is checked, so a failed swap
-    * fails the batch (and the un-committed checkpoint replays it)
-    * instead of silently dropping the updates.
+  /** Root-level recovery for an interrupted bootstrap or flat->bucketed
+    * migration swap: a missing table with a surviving `.old` restores the
+    * old table; a stray `.old` NEXT TO a live table is a post-swap
+    * leftover and is cleared; a leftover `.tmp` is an incomplete write
+    * and is discarded (the streaming checkpoint replays its batch).
+    * Hadoop rename/delete report failure by RETURNING false — each is
+    * checked, so a failed recovery fails the batch instead of silently
+    * proceeding on half a table.
     */
-  private def replaceDurably(spark: SparkSession, df: DataFrame, path: String): Unit = {
-    val fs = FileSystem.get(new Path(path).toUri, spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path + ".tmp")
+  private def recoverRoot(fs: FileSystem, path: String): Unit = {
+    val p = new Path(path)
     val old = new Path(path + ".old")
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(old)) require(fs.delete(old, true), s"could not clear $old")
-    val target = new Path(path)
-    if (fs.exists(target)) require(fs.rename(target, old), s"rename failed: $target -> $old")
-    require(fs.rename(tmp, target), s"rename failed: $tmp -> $target")
-    if (fs.exists(old)) require(fs.delete(old, true), s"could not clear $old")
+    if (!fs.exists(p) && fs.exists(old)) require(fs.rename(old, p), s"recovery rename failed: $old -> $p")
+    if (fs.exists(p) && fs.exists(old)) require(fs.delete(old, true), s"could not clear $old")
+    val tmp = new Path(path + ".tmp")
+    if (fs.exists(tmp)) require(fs.delete(tmp, true), s"could not clear $tmp")
+  }
+
+  /** Per-bucket recovery: `.bN.old` with no live `bucket=N` means the
+    * crash hit between the two swap renames — restore it; `.bN.old`
+    * next to a live bucket is a post-swap leftover — clear it; any
+    * `.bN.tmp`/staging leftovers are incomplete writes — discard.
+    */
+  private def recoverBuckets(fs: FileSystem, path: String): Unit = {
+    val Old = """^\.b(\d+)\.old$""".r
+    fs.listStatus(new Path(path)).foreach { st =>
+      st.getPath.getName match {
+        case Old(b) =>
+          val target = new Path(s"$path/bucket=$b")
+          if (!fs.exists(target)) require(fs.rename(st.getPath, target), s"recovery rename failed: ${st.getPath} -> $target")
+          else require(fs.delete(st.getPath, true), s"could not clear ${st.getPath}")
+        case name if name == ".batch.tmp" || (name.startsWith(".b") && name.endsWith(".tmp")) =>
+          require(fs.delete(st.getPath, true), s"could not clear ${st.getPath}")
+        case _ => ()
+      }
+    }
+  }
+
+  /** Ensure `path` is a bucketed table, returning its pinned bucket
+    * count. Three cases: an existing bucketed table reads its
+    * `_nbuckets` marker (the marker, not the session default, routes —
+    * a changed default can never split a key over two buckets); a
+    * legacy FLAT table is migrated in one crash-safe root swap
+    * (bucketed copy staged at `path.tmp`, then old root -> `.old`,
+    * staging -> root — [[recoverRoot]] covers every crash window); a
+    * missing table bootstraps empty. Both migration and bootstrap
+    * normalize the schema (verified_seq present) so every bucket of a
+    * table always shares one schema.
+    */
+  private def ensureBucketed(spark: SparkSession, fs: FileSystem, path: String, nBuckets: Int): Int = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val root = new Path(path)
+    val marker = new Path(s"$path/_nbuckets")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val nb = try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+      nb
+    } else if (fs.exists(root)) {
+      val flat = spark.read.parquet(path)
+      val upgraded =
+        if (flat.columns.contains("verified_seq")) flat
+        else flat.withColumn("verified_seq", lit(null).cast(LongType))
+      val tmp = s"$path.tmp"
+      upgraded.withColumn("bucket", bucketCol(nBuckets))
+        .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(tmp)
+      // an empty flat table writes no partition dirs; keep one
+      // footer-only bucket so the table stays readable
+      if (!fs.listStatus(new Path(tmp)).exists(_.getPath.getName.startsWith("bucket=")))
+        upgraded.limit(0).write.mode(SaveMode.Overwrite).parquet(s"$tmp/bucket=0")
+      writeMarker(fs, new Path(s"$tmp/_nbuckets"), nBuckets)
+      val old = new Path(path + ".old")
+      require(fs.rename(root, old), s"rename failed: $root -> $old")
+      require(fs.rename(new Path(tmp), root), s"rename failed: $tmp -> $root")
+      require(fs.delete(old, true), s"could not clear $old")
+      nBuckets
+    } else {
+      val tmp = s"$path.tmp"
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], bootstrapSchema)
+        .write.mode(SaveMode.Overwrite).parquet(s"$tmp/bucket=0")
+      writeMarker(fs, new Path(s"$tmp/_nbuckets"), nBuckets)
+      require(fs.rename(new Path(tmp), root), s"rename failed: $tmp -> $root")
+      nBuckets
+    }
+  }
+
+  private def writeMarker(fs: FileSystem, at: Path, nBuckets: Int): Unit = {
+    val out = fs.create(at, true)
+    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
   }
 }
