@@ -32,15 +32,13 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Size-based coalescing, not core-count-floored: with the default
-      // (parallelismFirst=true) AQE refuses to merge below
-      // defaultParallelism, so a 6-row aggregate still schedules 32
-      // reduce tasks on local[32] — and on a busy cluster the same
-      // floor over-fans small stages. Spark's own docs recommend false
-      // in production; partition count then follows data volume
-      // (advisoryPartitionSizeInBytes), which is the behavior that
-      // holds from sf0.1 to 100 TB.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // AQE partition coalescing stays at the parallelismFirst=true
+      // default deliberately: shuffle BYTES are a bad proxy for shuffle
+      // CPU, and pure size-based coalescing (parallelismFirst=false,
+      // 64 MB advisory) folded the medium-byte but CPU-heavy shingle
+      // joins to 1-2 partitions — measured 2x on q26/q60. At the 100 TB
+      // design point the flag is moot (every real shuffle is far above
+      // advisory x parallelism); at small scale keeping cores busy wins.
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
       // rejects; read as long and rebuild micros in Tables.events.
