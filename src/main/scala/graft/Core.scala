@@ -74,12 +74,32 @@ object Tables {
     */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** A handle caches the FILE LISTING made at first read: table dirs are
+    * treated as immutable for the lifetime of a session (the TESTDATA
+    * contract). A dir rewritten in place mid-session must be
+    * invalidated or the cached handle serves stale/missing files.
+    */
+  def invalidate(dir: String): Unit =
+    cache.keySet.removeIf(_._2 == dir)
+
+  /** Entries for stopped sessions are dead weight (a stopped session's
+    * plans/file indexes can never be reused) and a strong-keyed map
+    * would retain them forever in a long-lived JVM that cycles
+    * sessions — e.g. the test suites. Swept on every cache miss: the
+    * map holds a handful of (session, dir, table) keys, so the sweep is
+    * a few pointer reads, never a listing.
+    */
+  private def sweepStopped(): Unit =
+    cache.keySet.removeIf(_._1.sparkContext.isStopped)
 }
 
 final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
-    Tables.cache.computeIfAbsent((spark, dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+    Tables.cache.computeIfAbsent((spark, dir, name), { _ =>
+      Tables.sweepStopped()
+      spark.read.parquet(s"$dir/$name.parquet")
+    })
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
   def customer: DataFrame   = t("customer")

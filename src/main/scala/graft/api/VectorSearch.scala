@@ -26,14 +26,20 @@ object VectorSearch {
   /** Broadcasting the query side is only safe when the query set is
     * genuinely small — an unguarded `broadcast(q)` on a 10M-row query
     * frame OOMs the driver. The guard counts at most `max + 1` rows
-    * (a bounded probe job, never a full count) and falls back to a
-    * plain distributed join when the bound is exceeded; AQE may still
-    * choose a broadcast at runtime if actual sizes permit, which is the
-    * safe, size-informed version of the same decision.
+    * (a bounded probe job, never a full count) and the caller falls
+    * back to a plain distributed join when the bound is exceeded; AQE
+    * may still choose a broadcast at runtime if actual sizes permit,
+    * which is the safe, size-informed version of the same decision.
+    *
+    * Always probe the CHEAPEST frame whose cardinality bounds the
+    * broadcast side (the raw query input, a narrow scan) — counting a
+    * derived plan such as the IVF probe ranking would execute that
+    * whole subtree twice per call, once for the guard and once for the
+    * join.
     */
-  private def broadcastIfSmall(q: DataFrame, max: Long): DataFrame = {
+  private def atMost(df: DataFrame, max: Long): Boolean = {
     val probe = math.min(math.max(max, 0L) + 1L, Int.MaxValue.toLong).toInt
-    if (q.limit(probe).count() <= max) broadcast(q) else q
+    df.limit(probe).count() <= max
   }
 
   /** Exact brute-force cosine top-k: for each row of `queries`
@@ -48,7 +54,10 @@ object VectorSearch {
     val q = withNorm(queries, vecCol)
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col(idCol))
-    n.join(broadcastIfSmall(q, maxBroadcastQueries), col(idCol) =!= col("q_id"))
+    // guard counts the raw `queries` frame (same cardinality as q, but a
+    // plain scan instead of the norm projection)
+    val qb = if (atMost(queries, maxBroadcastQueries)) broadcast(q) else q
+    n.join(qb, col(idCol) =!= col("q_id"))
       .selectExpr("q_id", idCol, s"${dotSpark("qv", vecCol)} / (qn * nrm) AS cosine")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -82,10 +91,15 @@ object VectorSearch {
       .filter(col("prank") <= nprobe)
       .select("q_id", "qv", "qn", partCol)
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col(idCol))
-    // probe is queries x nprobe rows: same driver-memory contract as the
-    // query set itself, so the same guard applies (shuffle equi-join on
-    // partCol when large)
-    broadcastIfSmall(probe, maxBroadcastQueries).join(n, Seq(partCol))
+    // probe is at most queries x nprobe rows: same driver-memory contract
+    // as the query set itself. The guard counts the RAW query frame
+    // against max/nprobe (a cheap bounded scan) rather than the probe
+    // plan itself — probing the derived plan would run the full
+    // query-by-representative window ranking twice per call.
+    val probeB =
+      if (atMost(queries, maxBroadcastQueries / math.max(nprobe, 1))) broadcast(probe)
+      else probe
+    probeB.join(n, Seq(partCol))
       .filter(col(idCol) =!= col("q_id"))
       .selectExpr("q_id", idCol, s"${dotSpark("qv", vecCol)} / (qn * nrm) AS cosine")
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   * in [l-k, l+k], k+1 segments, start window +-k) — a fixed constant,
   * against block sizes that stay bounded as data grows.
   */
+/** Codegen contract: these row types are TOP-LEVEL, not nested in the
+  * object — a nested case class compiles to `EditBlocking$IndexKey`, and
+  * Janino fails to resolve methods on `$`-named classes, silently
+  * dropping the whole-stage-codegen'd flatMap stages to the interpreted
+  * path (logged ERROR, ~2x slower). Qualified-private keeps them out of
+  * the public API while emitting public classfiles.
+  */
+private[operators] final case class EditIndexKey(id: Long, str: String, blockKey: String, l: Int, seg: Int, content: String)
+private[operators] final case class EditProbeKey(id: Long, str: String, blockKey: String, l2: Int, seg: Int, content: String)
+
 object EditBlocking {
 
   /** Deterministic segment scheme for a string of length `l` with
@@ -46,9 +56,6 @@ object EditBlocking {
     out
   }
 
-  private final case class IndexKey(id: Long, str: String, block: String, l: Int, seg: Int, content: String)
-  private final case class ProbeKey(id: Long, str: String, block: String, l2: Int, seg: Int, content: String)
-
   /** Candidate-verified edit-distance self-join: all pairs (id_a < id_b)
     * with identical `blockCol` and edit distance <= k, exactly — segment
     * blocking generates candidates, thresholded Levenshtein verifies.
@@ -59,20 +66,25 @@ object EditBlocking {
     require(k >= 1, "k must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
+    // drop rows with a null id/string/block BEFORE the flatMaps: the
+    // segment emitters dereference s.length/block, so one null row would
+    // NPE the job — whereas the equivalent naive join silently drops such
+    // rows via null-propagating equality/levenshtein. Match that.
     val rows = df.select(col(idCol).cast("long"), col(strCol).cast("string"), col(blockCol).cast("string"))
+      .filter(col(idCol).isNotNull && col(strCol).isNotNull && col(blockCol).isNotNull)
       .as[(Long, String, String)]
 
     // index side: each string's own segments under its own scheme
-    val index: Dataset[IndexKey] = rows.flatMap { case (id, s, blk) =>
+    val index: Dataset[EditIndexKey] = rows.flatMap { case (id, s, blk) =>
       val l = s.length
       segmentScheme(l, k).iterator.zipWithIndex.map { case ((st, len), i) =>
-        IndexKey(id, s, blk, l, i, s.substring(st, st + len))
+        EditIndexKey(id, s, blk, l, i, s.substring(st, st + len))
       }
     }
     // probe side: for every partner length within +-k, every segment of
     // THAT length's scheme, every +-k start shift that fits — the
     // verbatim-copied segment of any true partner is among these
-    val probe: Dataset[ProbeKey] = rows.flatMap { case (id, s, blk) =>
+    val probe: Dataset[EditProbeKey] = rows.flatMap { case (id, s, blk) =>
       val ls = s.length
       // identical (l2, seg, content) keys join identically — emit once
       val seen = scala.collection.mutable.HashSet.empty[(Int, Int, String)]
@@ -82,7 +94,7 @@ object EditBlocking {
         st <- math.max(0, st2 - k) to math.min(ls - len2, st2 + k)
         sub = s.substring(st, st + len2)
         if seen.add((l2, i, sub))
-      } yield ProbeKey(id, s, blk, l2, i, sub)
+      } yield EditProbeKey(id, s, blk, l2, i, sub)
     }
 
     val cand = index.toDF("id_a", "str_a", "blk", "l", "seg", "content")

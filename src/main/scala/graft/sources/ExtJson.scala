@@ -49,6 +49,14 @@ object ExtJson {
     * producing the final scalars — Spark's `from_json` is CodegenFallback
     * (interpreted walk + Jackson per row) and is kept only as the
     * fallback for field names the spec literal can't carry.
+    *
+    * Known, documented divergence on MISTYPED fields (well-formed JSON
+    * with, e.g., a number where a $oid struct was declared): the kernel
+    * nulls only that field; PERMISSIVE `from_json` nulls every declared
+    * field of the row. The kernel's per-field behavior is the contract —
+    * the fallback is strictly coarser only on inputs that are already
+    * outside the ext-JSON format. Null VALUES (a present field holding
+    * JSON null) decode identically on both paths.
     */
   def normalize(js: Column, fields: Seq[(String, Kind)]): Seq[Column] =
     specFor(fields) match {
@@ -115,10 +123,20 @@ object ExtJson {
         }
         call_function("graft_ext_json_encode", spec +: values: _*)
       case None =>
+        // null wrapper values: the isNotNull guard nulls the whole struct
+        // so to_json (ignoreNullFields) omits the FIELD — matching the
+        // kernel's null-slot behavior. A bare struct(null.as("$oid"))
+        // would instead emit `"name":{}` (only the inner key dropped).
         val parts: Seq[Column] = fields.map {
-          case (n, c, Oid)   => struct(c.as("$oid")).as(n)
-          case (n, c, Date)  => struct(unix_millis(c.cast(TimestampType)).as("$date")).as(n)
-          case (n, c, Dec)   => struct(c.cast(StringType).as("$numberDecimal")).as(n)
+          case (n, c, Oid) =>
+            val s = c.cast(StringType)
+            when(s.isNotNull, struct(s.as("$oid"))).as(n)
+          case (n, c, Date) =>
+            val t = c.cast(TimestampType)
+            when(t.isNotNull, struct(unix_millis(t).as("$date"))).as(n)
+          case (n, c, Dec) =>
+            val s = c.cast(StringType)
+            when(s.isNotNull, struct(s.as("$numberDecimal"))).as(n)
           case (n, c, Plain) => c.cast(StringType).as(n)
         }
         to_json(struct(parts: _*))

@@ -143,7 +143,30 @@ object VerifiedStream {
     val nb = ensureBucketed(spark, fs, path, nBuckets)
     recoverBuckets(fs, path)
 
-    val touched = updates.select(bucketCol(nb).as("__b")).distinct()
+    // Spark's hash() is TYPE-sensitive (hash(1) != hash(1L)): if a
+    // stream batch's key dtypes drift from the stored table's (int vs
+    // bigint after a producer change), hashing the raw batch would route
+    // updates to buckets the matching base rows were never written to —
+    // a silently dropped update. Normalize the batch's key columns to
+    // the STORED key types (one footer read of one bucket dir) before
+    // any routing or joining.
+    val storedBucketDirs = {
+      val p = new Path(path)
+      if (fs.exists(p))
+        fs.listStatus(p).map(_.getPath).filter(_.getName.startsWith("bucket=")).sortBy(_.getName)
+      else Array.empty[Path]
+    }
+    val storedSchema =
+      if (storedBucketDirs.nonEmpty) spark.read.parquet(storedBucketDirs.head.toString).schema
+      else bootstrapSchema
+    val keyType = storedSchema.fields.iterator
+      .filter(f => keyCols.contains(f.name)).map(f => f.name -> f.dataType).toMap
+    val routed = keyCols.foldLeft(updates) { (df, k) =>
+      if (keyType.get(k).forall(_ == df.schema(k).dataType)) df
+      else df.withColumn(k, col(k).cast(keyType(k)))
+    }
+
+    val touched = routed.select(bucketCol(nb).as("__b")).distinct()
       .collect().map(_.getInt(0)).sorted
     val existing = touched.map(b => s"$path/bucket=$b")
       .filter(d => fs.exists(new Path(d)))
@@ -157,7 +180,7 @@ object VerifiedStream {
     val guarded =
       if (base.columns.contains("verified_seq")) base
       else base.withColumn("verified_seq", lit(null).cast(LongType))
-    val applied = VerifiedUpdates(guarded, updates, keyCols, "seq",
+    val applied = VerifiedUpdates(guarded, routed, keyCols, "seq",
       Map("verified_data" -> "verified_data_new"),
       baseSeqCol = Some("verified_seq"))
 
@@ -169,17 +192,20 @@ object VerifiedStream {
     val tmpRoot = s"$path/.batch.tmp"
     applied.withColumn("bucket", bucketCol(nb))
       .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(tmpRoot)
-    touched.foreach { b =>
-      val src = new Path(s"$tmpRoot/bucket=$b")
-      // a touched bucket with an empty result (updates to absent keys on
-      // an absent bucket — UPDATE semantics insert nothing) writes no dir
-      if (fs.exists(src)) {
-        val dst = new Path(s"$path/bucket=$b")
-        val old = new Path(s"$path/.b$b.old")
-        if (fs.exists(dst)) require(fs.rename(dst, old), s"rename failed: $dst -> $old")
-        require(fs.rename(src, dst), s"rename failed: $src -> $dst")
-        if (fs.exists(old)) require(fs.delete(old, true), s"could not clear $old")
-      }
+    // swap in every bucket dir the staging write actually produced — not
+    // the precomputed `touched` list — so rows can never be discarded by
+    // a routing/list mismatch. (A touched bucket with an empty result —
+    // updates to absent keys, UPDATE semantics — writes no dir and is
+    // correctly left alone.)
+    val staged = fs.listStatus(new Path(tmpRoot)).map(_.getPath)
+      .filter(_.getName.startsWith("bucket=")).sortBy(_.getName)
+    staged.foreach { src =>
+      val b = src.getName.stripPrefix("bucket=")
+      val dst = new Path(s"$path/bucket=$b")
+      val old = new Path(s"$path/.b$b.old")
+      if (fs.exists(dst)) require(fs.rename(dst, old), s"rename failed: $dst -> $old")
+      require(fs.rename(src, dst), s"rename failed: $src -> $dst")
+      if (fs.exists(old)) require(fs.delete(old, true), s"could not clear $old")
     }
     require(fs.delete(new Path(tmpRoot), true) || !fs.exists(new Path(tmpRoot)),
       s"could not clear $tmpRoot")

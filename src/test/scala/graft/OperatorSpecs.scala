@@ -277,7 +277,11 @@ class ExtJsonSpec extends SparkSpec {
     // paths must produce identical document bytes and identical scalars
     val df = Seq(
       (java.sql.Timestamp.valueOf("2021-05-01 12:30:00"), "6058F0E72C0B5A1DC4D71ABC", "0042.2500", "its \"q\"\\"),
-      (java.sql.Timestamp.valueOf("1969-12-31 23:59:59"), "ff", "-1.5e2", "plain")
+      (java.sql.Timestamp.valueOf("1969-12-31 23:59:59"), "ff", "-1.5e2", "plain"),
+      // null VALUES: every kind must encode identically on both paths
+      // (field omitted, not "name":{}) and decode back to null scalars
+      (null.asInstanceOf[java.sql.Timestamp], null.asInstanceOf[String], null.asInstanceOf[String], null.asInstanceOf[String]),
+      (null.asInstanceOf[java.sql.Timestamp], "aa", null.asInstanceOf[String], "mixed")
     ).toDF("created", "oid", "amount", "note")
     def enc(noteName: String) = encode(Seq(
       (noteName, col("note"), Plain), ("_id", col("oid"), Oid),

@@ -88,8 +88,16 @@ class ScaleSpecs extends SparkSpec {
       "kettle", "kettles", "akettle", "kettlekettle", "settle", "rattle",
     ).zipWithIndex.map { case (s, i) => (i.toLong, s, "B") }
     val df = strs.toDF("id", "s", "b")
+    // null id/string/block rows must be DROPPED (naive-join semantics:
+    // null-propagating equality/levenshtein), never NPE the job
+    val nullRows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(null, "kettle", "B"),
+        org.apache.spark.sql.Row(900L, null, "B"),
+        org.apache.spark.sql.Row(901L, "kettle", null)),
+      org.apache.spark.sql.types.StructType(df.schema.map(_.copy(nullable = true))))
     for (k <- Seq(1, 2, 4)) {
-      val got = EditBlocking.editPairs(df, "id", "s", "b", k)
+      val got = EditBlocking.editPairs(df.unionByName(nullRows), "id", "s", "b", k)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
       val naive = (for {
         (ida, sa, _) <- strs; (idb, sb, _) <- strs if ida < idb

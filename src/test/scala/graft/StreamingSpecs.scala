@@ -4,6 +4,7 @@ import graft.operators.FieldMapping
 import graft.pipeline.PipelineRunner.PipelineSpec
 import graft.streaming._
 import graft.streaming.EventStreams.EventRow
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -132,6 +133,34 @@ class StreamingSpecs extends SparkSpec {
     val children = java.nio.file.Files.list(java.nio.file.Paths.get(state)).iterator().asScala
       .map(_.getFileName.toString).toSet
     assert(children === Set("verified_contact", "verified_invoice"))
+  }
+
+  test("verified-data updates survive key dtype drift: int-typed batch keys route to the bigint-keyed buckets") {
+    import spark.implicits._
+    val dir = tmpDir("verified_drift")
+    val state = dir.resolve("state").toString
+    // stored table keys are BIGINT; pick a key where hash(int) and
+    // hash(long) route to DIFFERENT buckets, so un-cast routing would
+    // read/write the wrong bucket and silently drop the update
+    val nb = VerifiedStream.defaultBuckets
+    def bucketOf(c: Column): Int =
+      spark.range(1).select(pmod(hash(c, c), lit(nb))).first().getInt(0)
+    val key = (1L to 500L)
+      .find(k => bucketOf(lit(k)) != bucketOf(lit(k.toInt)))
+      .getOrElse(fail("no int/long hash-divergent key under 500"))
+    Seq((key, key, "orig"))
+      .toDF("company_id", "external_id", "verified_data")
+      .write.parquet(s"$state/verified_contact")
+
+    // batch arrives with INT keys (producer type drift)
+    val drifted = Seq(("contact", key.toInt, key.toInt, 1L, "fixed"))
+      .toDF("entity", "company_id", "external_id", "seq", "verified_data")
+    VerifiedStream.applyBatch(spark, drifted, state)
+
+    val got = VerifiedStream.readState(spark, s"$state/verified_contact").collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[String]("verified_data") === "fixed")
+    assert(got(0).getAs[Long]("company_id") === key)
   }
 
   test("batch/stream parity: streaming hourly windows over the events table equal the q18 batch aggregation") {
