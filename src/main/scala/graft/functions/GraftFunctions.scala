@@ -49,6 +49,14 @@ object GraftFunctions {
       FunctionIdentifier("graft_ext_json_encode"),
       new ExpressionInfo(classOf[ExtJsonEncode].getName, "graft_ext_json_encode"),
       (children: Seq[Expression]) => ExtJsonEncode(children)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_unscaled"),
+      new ExpressionInfo(classOf[UnscaledLong].getName, "graft_unscaled"),
+      (children: Seq[Expression]) => UnscaledLong(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dsum128"),
+      new ExpressionInfo(classOf[DecimalSum128].getName, "graft_dsum128"),
+      (children: Seq[Expression]) => DecimalSum128(children(0), children(1))))
   }
 }
 

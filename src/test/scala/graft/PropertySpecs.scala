@@ -71,6 +71,58 @@ class PropertySpecs extends SparkSpec {
     }
   }
 
+  test("dsum128 is bit-identical to sum(CAST AS DECIMAL) for arbitrary doubles, all scales") {
+    import org.apache.spark.sql.functions.{col, sum}
+    import org.apache.spark.sql.types.DecimalType
+    // mix of clean money values, knife-edge half-cases (x.xx5, x.xxxxx05),
+    // negatives, zeros, nulls, and raw arbitrary doubles
+    val vGen: Gen[Option[Double]] = Gen.frequency(
+      4 -> Gen.choose(-99999999L, 99999999L).map(n => Some(n / 100.0)),
+      2 -> Gen.choose(-9999999L, 9999999L).map(n => Some(n / 1000.0)),   // 3 decimals at scale 2 = ties
+      2 -> Gen.choose(-999999999999L, 999999999999L).map(n => Some(n / 1e7)), // 7 decimals at scale 6 = ties
+      // contract: per-row |v * 10^scale| must fit a long (scale 6 => |v| < 9.2e12)
+      1 -> Gen.choose(-1e10, 1e10).map(Some(_)),
+      1 -> Gen.const(None))
+    forAll(Gen.listOfN(200, vGen), n = 5) { vals =>
+      val df = vals.map(v => Tuple1(v.map(Double.box).orNull.asInstanceOf[java.lang.Double]))
+        .toDF("v").selectExpr("CAST(v AS DOUBLE) AS v")
+      for (scale <- Seq(0, 2, 6)) {
+        val fast = df.agg(Num.dsum(col("v"), scale).as("s")).collect()(0)
+        val slowRow = df.agg(sum(col("v").cast(DecimalType(30, scale))).cast("double").as("s")).collect()(0)
+        assert(fast.isNullAt(0) === slowRow.isNullAt(0), s"null-ness diverged at scale $scale")
+        if (!fast.isNullAt(0)) {
+          val f = java.lang.Double.doubleToRawLongBits(fast.getDouble(0))
+          val s = java.lang.Double.doubleToRawLongBits(slowRow.getDouble(0))
+          assert(f === s, s"scale $scale: ${fast.getDouble(0)} != ${slowRow.getDouble(0)} over $vals")
+        }
+      }
+    }
+  }
+
+  test("dsum128 rejects per-row values whose scaled form exceeds the long range, loudly") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(1e14).toDF("v")
+    val e = intercept[org.apache.spark.SparkException] {
+      df.agg(Num.dsum(col("v"), 6)).collect()
+    }
+    def root(t: Throwable): Throwable = if (t.getCause == null) t else root(t.getCause)
+    assert(root(e).isInstanceOf[ArithmeticException])
+  }
+
+  test("dsum128 partitioning-independence: 1-partition and 32-partition sums agree bitwise") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables(spark, dir).lineitem
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.agg(Num.dsum(col("l_extendedprice")).as("a"), Num.dsum(col("l_discount"), 6).as("b")).collect()(0)
+    val one = run(li.repartition(1))
+    val many = run(li.repartition(32))
+    assert(java.lang.Double.doubleToRawLongBits(one.getDouble(0)) ===
+      java.lang.Double.doubleToRawLongBits(many.getDouble(0)))
+    assert(java.lang.Double.doubleToRawLongBits(one.getDouble(1)) ===
+      java.lang.Double.doubleToRawLongBits(many.getDouble(1)))
+  }
+
   test("keyed upsert is idempotent for arbitrary update batches (replay safety)") {
     val updatesGen = Gen.listOf(for {
       key <- Gen.choose(1L, 5L)
