@@ -50,6 +50,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[ExtJsonEncode].getName, "graft_ext_json_encode"),
       (children: Seq[Expression]) => ExtJsonEncode(children)))
     ext.injectFunction((
+      FunctionIdentifier("graft_marker_count"),
+      new ExpressionInfo(classOf[MarkerCount].getName, "graft_marker_count"),
+      (children: Seq[Expression]) => MarkerCount(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_unscaled"),
       new ExpressionInfo(classOf[UnscaledLong].getName, "graft_unscaled"),
       (children: Seq[Expression]) => UnscaledLong(children(0), children(1))))
@@ -250,4 +254,59 @@ case class PolyHash(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
     copy(child = newChild)
+}
+
+/** Count of array elements equal to any of a fixed marker set — the
+  * codegen'd form of `size(filter(tok, t -> t = 'm1' OR ...))` used by
+  * the language-ID and quality kernels (TextKit.markerCountSpark).
+  * The HOF form evaluates its lambda INTERPRETED per element (ArrayFilter
+  * is CodegenFallback), which is the dominant cost of a lang-ID pass at
+  * corpus scale; this is one hash-probe per token inside the fused
+  * stage. Identical semantics: multiplicity counted, null elements not
+  * counted (the lambda's `t = 'm'` is null on null t, and filter drops
+  * null-predicate elements).
+  */
+case class MarkerCount(child: Expression, markersExpr: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = markersExpr
+  override def prettyName: String = "graft_marker_count"
+  override def dataType: DataType = LongType
+
+  private lazy val markers: java.util.HashSet[UTF8String] = {
+    val set = new java.util.HashSet[UTF8String]()
+    markersExpr.eval(null).asInstanceOf[UTF8String].toString
+      .split(',').foreach(m => set.add(UTF8String.fromString(m)))
+    set
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if markersExpr.foldable && markersExpr.dataType == StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<string>, string-literal csv)")
+  }
+
+  /** Called from both eval and generated code. */
+  def count(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && markers.contains(arr.getUTF8String(i))) c += 1L
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = count(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markerCount", this, classOf[MarkerCount].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $ref.count($a);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MarkerCount =
+    copy(child = l, markersExpr = r)
 }

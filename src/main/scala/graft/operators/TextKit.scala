@@ -124,7 +124,15 @@ object TextKit {
   /** `size(filter(tok, t -> t IN markers))` in each dialect, counting
     * marker occurrences with multiplicity.
     */
-  def markerCountSpark(tok: String, markers: Seq[String]): String = {
+  // engine side runs the native kernel (graft.functions.MarkerCount):
+  // the HOF form `size(filter(tok, t -> t = 'm' OR ...))` evaluates its
+  // lambda interpreted per element, which dominates a lang-ID pass; the
+  // kernel is one hash probe per token inside the fused stage, same
+  // semantics (multiplicity, nulls not counted). markerCountSparkHof is
+  // the portable definition, kept for the equivalence spec.
+  def markerCountSpark(tok: String, markers: Seq[String]): String =
+    s"graft_marker_count($tok, '${markers.mkString(",")}')"
+  def markerCountSparkHof(tok: String, markers: Seq[String]): String = {
     val cond = markers.map(m => s"lm_t = '$m'").mkString(" OR ")
     s"CAST(size(filter($tok, lm_t -> $cond)) AS BIGINT)"
   }

@@ -59,6 +59,25 @@ class TextKitSpec extends SparkSpec {
     assert(diffs === 0L)
   }
 
+  test("native marker-count kernel equals the portable HOF filter on real corpus text + edges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val all = (langMarkers.map(_._2) :+ stopwords)
+    all.foreach { ms =>
+      val diffs = docs.selectExpr(s"${tokensSpark("text")} AS tok")
+        .selectExpr(s"${markerCountSpark("tok", ms)} AS a", s"${markerCountSparkHof("tok", ms)} AS b")
+        .filter("a <> b").count()
+      assert(diffs === 0L, s"markers $ms diverged")
+    }
+    // edges: empty array, null elements not counted, null array -> null
+    val edge = spark.sql(
+      "SELECT graft_marker_count(array('the', NULL, 'x', 'the'), 'the,a') AS c, " +
+        "graft_marker_count(CAST(array() AS ARRAY<STRING>), 'the') AS e, " +
+        "graft_marker_count(CAST(NULL AS ARRAY<STRING>), 'the') AS n").collect()(0)
+    assert(edge.getLong(0) === 2L)
+    assert(edge.getLong(1) === 0L)
+    assert(edge.isNullAt(2))
+  }
+
   test("minhash permutation params are fixed, nonzero literals") {
     assert(perms.size === MinhashK)
     assert(perms.forall { case (a, b) => a > 0 && a < P && b >= 0 && b < P })
