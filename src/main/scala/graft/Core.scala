@@ -143,6 +143,31 @@ final case class Tables(spark: SparkSession, dir: String) {
   * engine and any partitioning — this is also the right answer at 100 TB,
   * where partial-aggregate ordering is nondeterministic by design.
   */
+/** Sort placement for expensive row-wise projections.
+  *
+  * `project(base).orderBy(keys)` executes the WHOLE projected plan
+  * twice: Spark's global sort range-partitions its child, and the range
+  * boundaries come from a sampling pass over that child before the real
+  * pass runs (shuffle-less children are recomputed, not reused). When
+  * the projection is expensive per row (JSON round trips, tokenization,
+  * feature extraction) and the sort keys already exist on the base,
+  * sampling the projection is pure waste — at any scale.
+  *
+  * `Sorting.projected` range-partitions the CHEAP base on the sort keys
+  * (the sampling pass then touches only the narrow scan), applies the
+  * projection once per row post-shuffle, and sorts within partitions.
+  * Range partition i holds keys <= partition i+1's, so the result is
+  * the same total order orderBy produces.
+  *
+  * Contract: `project` must be row-wise (no shuffle/agg inside) and
+  * must not need the pre-shuffle partitioning; `keys` must be columns
+  * of `base`.
+  */
+object Sorting {
+  def projected(base: DataFrame, keys: Column*)(project: DataFrame => DataFrame): DataFrame =
+    project(base.repartitionByRange(keys: _*)).sortWithinPartitions(keys: _*)
+}
+
 object Num {
   /** Exact order-independent sum of a decimal-precision double column.
     *

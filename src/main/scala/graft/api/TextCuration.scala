@@ -134,13 +134,17 @@ object TextCuration {
         ELSE 'und' END"""
 
   /** Marker-heuristic language ID: per-language marker counts + the
-    * argmax prediction ('und' on no hits).
+    * argmax prediction ('und' on no hits). `keep` carries extra input
+    * columns through — a caller that needs them alongside the
+    * prediction should pass them here rather than re-joining the
+    * result to the input (a doc-corpus-sized shuffle for columns that
+    * were already in hand).
     */
-  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def langId(df: DataFrame, idCol: String, textCol: String, keep: Seq[String] = Nil): DataFrame = {
     val counts = langMarkers.map { case (l, ms) => s"${markerCountSpark("tok", ms)} AS s_$l" }
-    df.selectExpr(Seq(idCol, s"${tokensSpark(textCol)} AS tok"): _*)
-      .selectExpr(Seq(idCol) ++ counts: _*)
-      .selectExpr(idCol, "s_en", "s_es", "s_de", "s_fr", s"$langPredCase AS pred_lang")
+    df.selectExpr(Seq(idCol, s"${tokensSpark(textCol)} AS tok") ++ keep: _*)
+      .selectExpr(Seq(idCol) ++ counts ++ keep: _*)
+      .selectExpr(Seq(idCol, "s_en", "s_es", "s_de", "s_fr", s"$langPredCase AS pred_lang") ++ keep: _*)
   }
 
   /** The full curation pipeline: exact-dedup canonicals ∖ near-dup

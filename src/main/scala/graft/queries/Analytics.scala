@@ -451,6 +451,9 @@ object Analytics {
         FROM events WHERE event_type = 'purchase' ORDER BY event_id
       """.trim),
       (spark, dir) => {
+        // plain orderBy: the single get_json_object projection is cheap
+        // enough that Sorting.projected's extra range shuffle measured
+        // SLOWER than the sampling double-parse it avoids
         Tables(spark, dir).events
           .filter(col("event_type") === "purchase")
           .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))

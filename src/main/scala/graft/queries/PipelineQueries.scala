@@ -200,16 +200,19 @@ object PipelineQueries {
         import ExtJson._
         val fields: Seq[(String, Kind)] =
           Seq("_id" -> Oid, "created" -> Date, "amount" -> Dec, "priority" -> Plain)
-        val encoded = Tables(spark, dir).orders.select(
-          col("o_orderkey"),
-          ExtJson.encode(Seq(
-            ("_id", lpad(lower(hex(col("o_orderkey"))), 24, "0"), Oid),
-            ("created", col("o_orderdate"), Date),
-            ("amount", concat(col("o_custkey").cast("string"), lit(".25")), Dec),
-            ("priority", col("o_orderpriority"), Plain),
-          )).as("js"))
-        ExtJson.normalizeDF(encoded, col("js"), fields, keep = Seq("o_orderkey"))
-          .orderBy("o_orderkey")
+        // sort via Sorting.projected: a plain orderBy would run the whole
+        // encode+decode pipeline twice (range-boundary sampling pass)
+        graft.Sorting.projected(Tables(spark, dir).orders, col("o_orderkey")) { ord =>
+          val encoded = ord.select(
+            col("o_orderkey"),
+            ExtJson.encode(Seq(
+              ("_id", lpad(lower(hex(col("o_orderkey"))), 24, "0"), Oid),
+              ("created", col("o_orderdate"), Date),
+              ("amount", concat(col("o_custkey").cast("string"), lit(".25")), Dec),
+              ("priority", col("o_orderpriority"), Plain),
+            )).as("js"))
+          ExtJson.normalizeDF(encoded, col("js"), fields, keep = Seq("o_orderkey"))
+        }
       },
     ),
     Q(
@@ -227,6 +230,8 @@ object PipelineQueries {
         FROM documents ORDER BY doc_id
       """.trim),
       (spark, dir) => {
+        // plain orderBy: the stub decode is cheap, so the sampling
+        // double-pass costs less than an extra range shuffle would
         Multimodal.extractFeatures(Multimodal.asMedia(Tables(spark, dir).documents))
           .drop("feature")
           .orderBy("doc_id")
@@ -248,9 +253,10 @@ object PipelineQueries {
         FROM documents ORDER BY doc_id
       """.trim),
       (spark, dir) => {
-        Multimodal.extractImageFeatures(Multimodal.asPngMedia(Tables(spark, dir).documents, width = 64))
-          .toDF()
-          .orderBy("doc_id")
+        // the PNG encode+decode is by far the most expensive projection in
+        // the catalog — absolutely not one to execute twice for sampling
+        graft.Sorting.projected(Tables(spark, dir).documents, col("doc_id"))(d =>
+          Multimodal.extractImageFeatures(Multimodal.asPngMedia(d, width = 64)).toDF())
       },
     ),
     Q(

@@ -41,13 +41,15 @@ object TextOps {
         FROM documents ORDER BY doc_id
       """.trim),
       (spark, dir) => {
-        Tables(spark, dir).documents.selectExpr(
+        // Sorting.projected: orderBy would tokenize every doc twice
+        // (range-boundary sampling executes the projection)
+        graft.Sorting.projected(Tables(spark, dir).documents, col("doc_id"))(_.selectExpr(
           "doc_id",
           s"CAST(size($tokS) AS BIGINT) AS n_ws",
           "CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_re",
           "n_chars",
           "(CAST(length(text) AS BIGINT) = n_chars) AS chars_ok",
-        ).orderBy("doc_id")
+        ))
       },
     ),
     Q(
@@ -72,8 +74,8 @@ object TextOps {
         """.trim)
       },
       (spark, dir) =>
-        graft.api.TextCuration.qualityScored(Tables(spark, dir).documents, "doc_id", "text")
-          .orderBy("doc_id"),
+        graft.Sorting.projected(Tables(spark, dir).documents, col("doc_id"))(
+          graft.api.TextCuration.qualityScored(_, "doc_id", "text")),
     ),
     Q(
       "q23_lang_id",
@@ -104,12 +106,13 @@ object TextOps {
         """.trim)
       },
       (spark, dir) => {
-        val docs = Tables(spark, dir).documents
-        graft.api.TextCuration.langId(docs, "doc_id", "text")
-          .join(docs.select("doc_id", "lang"), "doc_id")
-          .selectExpr("doc_id", "s_en", "s_es", "s_de", "s_fr",
-            "pred_lang", "lang", "(pred_lang = lang) AS agree")
-          .orderBy("doc_id")
+        // keep=lang instead of a re-join (no doc-sized shuffle), sort via
+        // the cheap-base range partitioning
+        graft.Sorting.projected(Tables(spark, dir).documents, col("doc_id")) { docs =>
+          graft.api.TextCuration.langId(docs, "doc_id", "text", keep = Seq("lang"))
+            .selectExpr("doc_id", "s_en", "s_es", "s_de", "s_fr",
+              "pred_lang", "lang", "(pred_lang = lang) AS agree")
+        }
       },
     ),
     Q(
@@ -126,15 +129,14 @@ object TextOps {
         FROM s ORDER BY doc_id
       """.trim),
       (spark, dir) => {
-        Tables(spark, dir).documents
-          .selectExpr("doc_id", "text", s"${textShinglesSpark("text")} AS sh")
-          .selectExpr(
-            "doc_id",
-            "md5(text) AS md5_hex",
-            s"${polySpark("text")} AS poly_hash",
-            s"array_min(transform(sh, fp_s -> ${polySpark("fp_s")})) AS min_shingle_hash",
-          )
-          .orderBy("doc_id")
+        graft.Sorting.projected(Tables(spark, dir).documents, col("doc_id"))(
+          _.selectExpr("doc_id", "text", s"${textShinglesSpark("text")} AS sh")
+            .selectExpr(
+              "doc_id",
+              "md5(text) AS md5_hex",
+              s"${polySpark("text")} AS poly_hash",
+              s"array_min(transform(sh, fp_s -> ${polySpark("fp_s")})) AS min_shingle_hash",
+            ))
       },
     ),
     Q(
