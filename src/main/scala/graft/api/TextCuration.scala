@@ -164,12 +164,29 @@ object TextCuration {
       .filter(col("__rn") === 1).select(idCol)
     val neardup = jaccardNearDups(df, idCol, textCol, jaccardThreshold)
       .select(col("id_b").as(idCol)).distinct()
-    val scored = qualityScored(df, idCol, textCol).select(idCol, "quality")
-    val lang = langId(df, idCol, textCol).select(idCol, "pred_lang")
-    scored
-      .join(lang, idCol)
+    // restrict FIRST, score LAST: the dedup joins only need (id, text
+    // hash / shingles), so quality + lang-ID — the expensive per-doc
+    // passes — run once, fused in one projection, only over the docs
+    // that survive dedup. Same per-row values as qualityScored/langId
+    // (same expressions over the same token array); computing them
+    // pre-join would tokenize every doc twice and add a corpus-sized
+    // shuffle join of the two score frames.
+    val survivors = df
       .join(canon, Seq(idCol))
       .join(neardup, Seq(idCol), "left_anti")
+    val stopCondS = markerCountSpark("tok", stopwords)
+    val counts = langMarkers.map { case (l, ms) => s"${markerCountSpark("tok", ms)} AS s_$l" }
+    survivors
+      .selectExpr(Seq(idCol, s"${tokensSpark(textCol)} AS tok"): _*)
+      .selectExpr(Seq(
+        idCol,
+        s"CAST($stopCondS AS DOUBLE) / CAST(size(tok) AS DOUBLE) AS stop_ratio",
+        "CAST(size(array_distinct(tok)) AS DOUBLE) / CAST(size(tok) AS DOUBLE) AS ttr",
+        "least(CAST(size(tok) AS DOUBLE) / 50.0, 1.0) AS len_score") ++ counts: _*)
+      .selectExpr(
+        idCol,
+        s"$langPredCase AS pred_lang",
+        "(0.35 * stop_ratio) + (0.35 * ttr) + (0.3 * len_score) AS quality")
       .filter(col("quality") >= qualityFloor && col("pred_lang").isin(langs: _*))
       .select(idCol, "pred_lang", "quality")
   }
