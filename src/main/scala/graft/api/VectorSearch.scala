@@ -107,6 +107,127 @@ object VectorSearch {
       .select(col("q_id"), col("rank"), col(idCol), col("cosine"))
   }
 
+  /** Deterministic spherical k-means training for the IVF coarse
+    * quantizer — closes the loop for corpora that arrive WITHOUT a
+    * cluster column ([[annIvf]]'s `partCol`).
+    *
+    * Scale shape: training runs driver-side Lloyd over a BOUNDED,
+    * deterministic sample (the `sampleN` lowest-id vectors — control-
+    * plane work: sampleN x k x dims flops, independent of corpus
+    * size); the full corpus is then labeled in one codegen'd map pass
+    * over broadcast centroid literals ([[withClusters]]). This is the
+    * standard IVF recipe: train on a sample, assign everything once.
+    *
+    * Determinism contract (same reproducibility rules as the LSH
+    * planes): id-ordered sample, farthest-point init (greedy maximin —
+    * first sample vector, then repeatedly the sample point LEAST
+    * similar to its nearest chosen centroid, lowest index on ties: a
+    * spread-out start without RNG), fixed iteration count, max-dot
+    * assignment with lowest-index tie-break, empty clusters keep their
+    * previous centroid. Same inputs -> same centroids on any cluster
+    * layout.
+    */
+  def trainCentroids(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5, sampleN: Int = 4096,
+  ): Array[Array[Double]] = {
+    require(k >= 1 && iters >= 0 && sampleN >= k,
+      s"need sampleN >= k >= 1, iters >= 0 (got k=$k iters=$iters sampleN=$sampleN)")
+    val sample: Array[Array[Double]] = df
+      .orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k, s"corpus has ${sample.length} rows < k=$k")
+    def unit(v: Array[Double]): Array[Double] = {
+      var ss = 0.0; var i = 0
+      while (i < v.length) { ss += v(i) * v(i); i += 1 }
+      val n = math.sqrt(ss)
+      if (n == 0.0) v.clone() else v.map(_ / n)
+    }
+    val unitSample = sample.map(unit)
+    // farthest-point init: maxSim(i) tracks each point's similarity to
+    // its nearest already-chosen centroid; next pick = argmin of that
+    val chosen = new Array[Int](k)
+    chosen(0) = 0
+    val maxSim = Array.fill(sample.length)(Double.NegativeInfinity)
+    for (j <- 1 until k) {
+      val last = unitSample(chosen(j - 1))
+      var i = 0
+      while (i < unitSample.length) {
+        var d = 0.0; var t = 0
+        while (t < last.length) { d += unitSample(i)(t) * last(t); t += 1 }
+        if (d > maxSim(i)) maxSim(i) = d
+        i += 1
+      }
+      var best = -1; var bestSim = Double.PositiveInfinity
+      i = 0
+      while (i < unitSample.length) {
+        if (!chosen.take(j).contains(i) && maxSim(i) < bestSim) { bestSim = maxSim(i); best = i }
+        i += 1
+      }
+      chosen(j) = best
+    }
+    var centroids: Array[Array[Double]] = chosen.map(unitSample(_).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](sample(0).length))
+      val cnts = new Array[Long](k)
+      sample.foreach { x =>
+        var best = 0; var bestD = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < x.length) { d += x(i) * centroids(c)(i); i += 1 }
+          if (d > bestD) { bestD = d; best = c } // strict > = lowest-index ties
+          c += 1
+        }
+        var i = 0
+        while (i < x.length) { sums(best)(i) += x(i); i += 1 }
+        cnts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (cnts(c) == 0L) old else unit(sums(c))
+      }
+    }
+    centroids
+  }
+
+  /** Label every row with its nearest (max-dot, lowest index on ties)
+    * centroid: one codegen'd map pass — k dot-product kernels against
+    * broadcast centroid literals, argmax via struct ordering, no
+    * shuffle, no UDF. Centroids are unit vectors, so max dot = max
+    * cosine for each fixed row.
+    */
+  def withClusters(
+      df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], outCol: String = "cluster",
+  ): DataFrame = {
+    require(centroids.nonEmpty, "no centroids")
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        call_function("graft_vec_dot", col(vecCol).cast("array<double>"),
+          typedLit(c.toSeq)).as("d"),
+        lit(-i).as("ni")) // struct max = max d, then max -i = LOWEST index
+    }
+    df.withColumn(outCol, array_max(array(scored: _*)).getField("ni") * -1)
+  }
+
+  /** IVF over a corpus with no precomputed partition column: train the
+    * quantizer, label corpus and queries, probe. The labeled corpus
+    * should be cached (or written bucketed by `cluster`) when serving
+    * many query batches — training is one-time, labeling is one pass.
+    */
+  def annIvfAuto(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, nprobe: Int, nClusters: Int,
+      iters: Int = 5, sampleN: Int = 4096,
+      maxBroadcastQueries: Long = 1000000L,
+  ): DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nClusters, iters, sampleN)
+    annIvf(withClusters(corpus, vecCol, cents, "__ivf_cluster"), queries,
+      idCol, vecCol, "__ivf_cluster", nprobe, k, maxBroadcastQueries)
+  }
+
   /** Exact cosine-threshold near-duplicate pairs (quadratic candidate
     * set — the correct-recall baseline; use [[lshNearDups]] at scale).
     */

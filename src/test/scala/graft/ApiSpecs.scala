@@ -49,6 +49,33 @@ class ApiSpecs extends SparkSpec {
     assert(out.forall(_.getAs[Long]("q_id") == 1L))
   }
 
+  test("kmeans quantizer: deterministic training, sensible assignment, and full-probe recall = brute force") {
+    // two well-separated direction clusters + a third axis
+    val vecs = ((1L to 20L).map(i => (i, Array(1.0f, (i % 5) * 0.01f))) ++
+      (21L to 40L).map(i => (i, Array(-1.0f, (i % 7) * 0.01f))) ++
+      (41L to 60L).map(i => (i, Array((i % 3) * 0.01f, 1.0f)))).toDF("vid", "vec")
+    val c1 = VectorSearch.trainCentroids(vecs, "vid", "vec", k = 3, iters = 5, sampleN = 60)
+    val c2 = VectorSearch.trainCentroids(vecs, "vid", "vec", k = 3, iters = 5, sampleN = 60)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq, "training must be deterministic")
+    assert(c1.forall(c => math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9),
+      "centroids must be unit vectors")
+    val labeled = VectorSearch.withClusters(vecs, "vec", c1)
+    // every group of same-direction vectors lands in ONE cluster
+    val groups = labeled.withColumn("grp",
+        when($"vid" <= 20L, 0).when($"vid" <= 40L, 1).otherwise(2))
+      .groupBy("grp").agg(countDistinct($"cluster").as("n")).collect()
+    assert(groups.forall(_.getLong(1) === 1L), "each direction group must map to one cluster")
+    assert(labeled.select("cluster").distinct().count() === 3L)
+    // with nprobe = nClusters the IVF path must equal brute-force knn
+    val queries = vecs.filter($"vid".isin(1L, 25L, 45L))
+    val brute = VectorSearch.knn(vecs, queries, "vid", "vec", k = 4)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    val ivf = VectorSearch.annIvfAuto(vecs, queries, "vid", "vec",
+      k = 4, nprobe = 3, nClusters = 3, sampleN = 60)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(ivf === brute, "full-probe IVF must have recall 1 vs brute force")
+  }
+
   test("knn/annIvf broadcast guard: oversized query sets plan WITHOUT a query-side broadcast hint, same results") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val corpus = (1L to 40L).map(i => (i, Array(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat), i % 3))
