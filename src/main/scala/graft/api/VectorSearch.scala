@@ -77,11 +77,13 @@ object VectorSearch {
       maxBroadcastQueries: Long = 1000000L,
   ): DataFrame = {
     val n = withNorm(corpus, vecCol)
-    val rid = n.groupBy(partCol).agg(min(idCol).as("__rep_id"))
     // representatives are one row per partition key — fixed cardinality,
-    // always safe to broadcast
-    val rep = rid.join(n, rid("__rep_id") === n(idCol))
-      .select(rid(partCol), col(vecCol).as("rv"), col("nrm").as("rn"))
+    // always safe to broadcast. min_by picks the min-id row's vector in
+    // the same aggregation (one shuffle; the agg+self-join form cost a
+    // second join stage for the same rows)
+    val rep = n.groupBy(partCol).agg(
+      min_by(col(vecCol), col(idCol)).as("rv"),
+      min_by(col("nrm"), col(idCol)).as("rn"))
     val q = withNorm(queries, vecCol)
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
     val wp = Window.partitionBy("q_id").orderBy(col("pcos").desc, col(partCol))
