@@ -39,11 +39,13 @@ object Dag {
   final case class FailedState(error: Throwable, attempts: Int) extends NodeState
   case object UpstreamFailed extends NodeState
 
-  /** Note: retryDelay burns wall-clock inside the node's slot — size
-    * `run(timeout)` to cover `(retries + 1) * (nodeTime + retryDelay)`
-    * for the slowest chain (the reference's 30-min delay config needs a
-    * correspondingly larger timeout), and size the ExecutionContext for
-    * the expected retry concurrency.
+  /** Note: retryDelay burns wall-clock inside the node's DEADLINE, not
+    * its thread — size `run(timeout)` to cover `(retries + 1) *
+    * (nodeTime + retryDelay)` for the slowest chain (the reference's
+    * 30-min delay config needs a correspondingly larger timeout). The
+    * delay itself is a timer tick: no ExecutionContext thread is parked
+    * while a node waits to retry, so a pool sized for the node
+    * concurrency needs no extra headroom for waiting retries.
     */
   final case class Spec(
       nodes: Map[String, () => Unit],
@@ -55,6 +57,27 @@ object Dag {
     require(edges.forall { case (a, b) => nodes.contains(a) && nodes.contains(b) },
       "edge endpoints must be declared nodes")
   }
+
+  /** One shared daemon timer thread serves every retry delay in the
+    * JVM — delays are O(1) control-plane ticks, so a single thread
+    * handles any number of concurrently waiting nodes.
+    */
+  private val retryTimer = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-dag-retry-timer")
+      t.setDaemon(true)
+      t
+    })
+
+  private def delayTick(d: FiniteDuration): Future[Unit] =
+    if (d.toMillis <= 0) Future.successful(())
+    else {
+      val p = Promise[Unit]()
+      retryTimer.schedule(
+        new Runnable { def run(): Unit = p.success(()) },
+        d.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+      p.future
+    }
 
   final case class RunResult(states: Map[String, NodeState]) {
     def succeeded: Boolean = states.values.forall(_ == Succeeded)
@@ -96,24 +119,29 @@ object Dag {
 
     // catches ALL throwables (Try/NonFatal would let e.g. a
     // StackOverflowError escape the Future and the node would vanish
-    // from `states`, turning a failed run into a vacuous success)
-    def attempt(name: String, body: () => Unit, attemptsLeft: Int, attemptNo: Int): NodeState =
+    // from `states`, turning a failed run into a vacuous success).
+    // A retry waits on the shared timer (delayTick), NOT with a
+    // Thread.sleep on the pool: a 30-min reference-style delay must not
+    // park an ExecutionContext thread per waiting node. The body itself
+    // always runs on the caller's ExecutionContext (the flatMap below),
+    // never on the timer thread.
+    def attempt(name: String, body: () => Unit, attemptsLeft: Int, attemptNo: Int): Future[NodeState] =
       (try { body(); None } catch { case e: Throwable => Some(e) }) match {
-        case None => Succeeded
+        case None => Future.successful(Succeeded)
         case Some(_) if attemptsLeft > 0 =>
-          Thread.sleep(spec.retryDelay.toMillis)
-          attempt(name, body, attemptsLeft - 1, attemptNo + 1)
+          delayTick(spec.retryDelay)
+            .flatMap(_ => attempt(name, body, attemptsLeft - 1, attemptNo + 1))
         case Some(e) =>
           alertSafely(name, e)
-          FailedState(e, attemptNo)
+          Future.successful(FailedState(e, attemptNo))
       }
 
     spec.nodes.foreach { case (name, body) =>
       val upstreamDone = Future.sequence(upstreams(name).map(done(_).future))
-      val result: Future[NodeState] = upstreamDone.map { ups =>
-        val state =
-          if (ups.forall(_ == Succeeded)) attempt(name, body, spec.retries, 1)
-          else UpstreamFailed
+      val result: Future[NodeState] = upstreamDone.flatMap { ups =>
+        if (ups.forall(_ == Succeeded)) attempt(name, body, spec.retries, 1)
+        else Future.successful(UpstreamFailed)
+      }.map { state =>
         states.add(name -> state)
         state
       }

@@ -65,6 +65,26 @@ class DagSpecs extends SparkSpec {
     assert(tries2.get() === 3)
   }
 
+  test("retry delays do not park pool threads: two waiting nodes overlap their delays on a 1-thread pool") {
+    // a blocking (Thread.sleep) retry would serialize the two delays on
+    // the single-thread pool (>= 2s); the timer-based wait overlaps them
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val ec1 = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val t1 = new AtomicInteger(0)
+      val t2 = new AtomicInteger(0)
+      val spec = Spec(
+        nodes = Map(
+          "a" -> (() => { if (t1.incrementAndGet() < 2) throw new RuntimeException("flake-a") }),
+          "b" -> (() => { if (t2.incrementAndGet() < 2) throw new RuntimeException("flake-b") })),
+        edges = Seq.empty, retries = 1, retryDelay = 1.second)
+      val t0 = System.nanoTime()
+      assert(Dag.run(spec)(ec1).succeeded)
+      val wall = (System.nanoTime() - t0) / 1e9
+      assert(wall < 1.8, f"delays serialized: $wall%.2f s on a 1-thread pool (blocking floor = 2 s)")
+    } finally { ec1.shutdown() }
+  }
+
   test("cycles are rejected up front") {
     val spec = Spec(
       nodes = Map("a" -> (() => ()), "b" -> (() => ())),
