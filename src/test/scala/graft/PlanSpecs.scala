@@ -72,4 +72,33 @@ class PlanSpecs extends SparkSpec {
     assert(p.contains("graft_vec_dot"), p)
     assert(!p.contains("aggregate(zip_with"), p)
   }
+
+  test("q1: decimal sums run on the 128-bit accumulator, not BigDecimal Sum buffers") {
+    val p = planString(q("q1_agg"))
+    assert(p.contains("graft_dsum128"), p)
+    // the old path materialized decimal(30,2) casts into the aggregate
+    assert(!p.contains("sum(cast"), p)
+  }
+
+  test("q23: marker counting is the codegen'd kernel, not an interpreted HOF filter") {
+    val p = q("q23_lang_id").queryExecution.executedPlan.toString
+    assert(p.contains("graft_marker_count"), p)
+    assert(!p.contains("filter(tok"), p)
+  }
+
+  test("q47: the range exchange for the sort samples the base scan, not the ext-JSON projection") {
+    // q47's plan is a single chain, so in toString everything after the
+    // range-partitioning exchange line is its child subtree. The ext-JSON
+    // kernels must appear only ABOVE the exchange (post-shuffle
+    // projection): below it they would be EXECUTED TWICE — once by the
+    // range-boundary sampling pass, once for real.
+    val p = planString(q("q47_extended_json"))
+    val at = p.indexOf("rangepartitioning")
+    assert(at >= 0, s"expected a range exchange in\n$p")
+    val above = p.substring(0, at)
+    val below = p.substring(at)
+    assert(above.contains("graft_ext_json"), s"kernels missing above the exchange\n$p")
+    assert(!below.contains("graft_ext_json"),
+      s"ext-JSON work below the range exchange (sampling would run it twice):\n$below")
+  }
 }
