@@ -480,3 +480,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).luma_sum === "hello world".getBytes.map(_ & 0xff).sum.toLong)
   }
 }
+
+class CoreSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("Sorting.projected produces exactly orderBy's row order, keys first to last") {
+    val base = (1L to 5000L).map(i => (i * 7919 % 4999, i)).toDF("k", "i")
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("h", md5(concat_ws(":", $"k", $"i")))
+    val viaOrderBy = proj(base).orderBy("k", "i").collect().toSeq
+    val viaProjected = graft.Sorting.projected(base, col("k"), col("i"))(proj).collect().toSeq
+    assert(viaProjected === viaOrderBy)
+  }
+
+  test("Tables.invalidate drops the cached listing so a rewritten dir is re-read") {
+    val dir = tmpDir("tables_inval").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/region.parquet")
+    val t = Tables(spark, dir)
+    assert(t.region.count() === 1L)
+    // in-place rewrite: the cached handle would serve the stale listing
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    Tables.invalidate(dir)
+    assert(Tables(spark, dir).region.count() === 2L)
+  }
+}
