@@ -180,10 +180,15 @@ object Num {
     * Spark's BigDecimal-backed decimal Sum on the TPC-H Q1 shape, same
     * exact result (equivalence pinned by NumSpecs).
     */
-  def dsum(c: Column, scale: Int = 2): Column =
+  def dsum(c: Column, scale: Int = 2): Column = dsumRaw(c, scale).cast("double")
+
+  /** The aggregate Column BEFORE the final double cast — for window
+    * frames, where `.over(w)` must attach to the aggregate itself
+    * (`dsumRaw(c).over(w).cast("double")`).
+    */
+  def dsumRaw(c: Column, scale: Int = 2): Column =
     call_function("graft_dsum128",
       call_function("graft_unscaled", c.cast("double"), lit(scale)), lit(scale))
-      .cast("double")
 
   /** Exact mean: decimal sum divided by count, evaluated in double. */
   def davg(c: Column, scale: Int = 2): Column =

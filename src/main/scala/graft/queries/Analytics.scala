@@ -283,7 +283,7 @@ object Analytics {
           .filter(col("user_id") < 20)
           .select(
             col("user_id"), col("event_id"),
-            sum(col("value").cast(DecimalType(30, 2))).over(run).cast("double").as("running_value"),
+            Num.dsumRaw(col("value")).over(run).cast("double").as("running_value"),
             lag(col("value"), 1).over(w).as("prev_value"))
           .orderBy("user_id", "event_id")
       },
