@@ -99,6 +99,20 @@ class PropertySpecs extends SparkSpec {
     }
   }
 
+  test("dsum128 carry path: sums far beyond 2^64 in the low word stay bit-identical to decimal Sum") {
+    import org.apache.spark.sql.functions.{col, sum}
+    import org.apache.spark.sql.types.DecimalType
+    // 300 rows of ~9e16 (unscaled ~9e18, near the long edge) push the
+    // accumulator through many lo-word overflows; mixed signs exercise
+    // the sign-extension half of the 128-bit add
+    val vals = Seq.fill(200)(9.0e16) ++ Seq.fill(100)(-8.7e16) ++ Seq(0.01, -0.01, 12345.67)
+    val df = vals.toDF("v")
+    val fast = df.agg(Num.dsum(col("v")).as("s")).collect()(0).getDouble(0)
+    val slow = df.agg(sum(col("v").cast(DecimalType(38, 2))).cast("double").as("s")).collect()(0).getDouble(0)
+    assert(java.lang.Double.doubleToRawLongBits(fast) === java.lang.Double.doubleToRawLongBits(slow),
+      s"$fast != $slow")
+  }
+
   test("dsum128 rejects per-row values whose scaled form exceeds the long range, loudly") {
     import org.apache.spark.sql.functions.col
     val df = Seq(1e14).toDF("v")
