@@ -101,4 +101,25 @@ class PlanSpecs extends SparkSpec {
     assert(!below.contains("graft_ext_json"),
       s"ext-JSON work below the range exchange (sampling would run it twice):\n$below")
   }
+
+  test("catalog-wide join audit: no CartesianProduct; nested-loop joins only where a bounded side is documented") {
+    // BroadcastNestedLoopJoin is legitimate ONLY where one side is
+    // bounded (broadcast query/probe sets, fixed-cardinality reps) or
+    // the query is a documented quadratic recall baseline. Anything
+    // else is an accidental scale regression.
+    val nljAllowed = Set(
+      "q31_knn_brute",          // broadcast query set x corpus (guarded)
+      "q32_ann_ivf",            // broadcast reps + broadcast probe (guarded)
+      "q33_embedding_neardup",  // documented O(n^2) exact recall baseline
+      "q20_scalar_subquery")    // scalar subquery result joined as a 1-row side
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    queries.QueryCatalog.all.foreach { q =>
+      val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"${q.name}: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !nljAllowed(q.name))
+        offenders += s"${q.name}: BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty, s"unexpected unbounded join shapes:\n${offenders.mkString("\n")}")
+  }
 }
