@@ -51,12 +51,18 @@ object TextCuration {
     * shingle hash): columns (id, m0..m15).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val aggs = (0 until MinhashK).map(i => min(expr(permExpr(i, "x"))).as(s"m$i"))
+    // one-pass kernel: all 16 permutation minima per row, no explode and
+    // no shuffle (the composed explode -> groupBy-min form blows up to
+    // docs x shingles rows through an exchange; min is order-independent,
+    // so the kernel is value-identical — equivalence spec'd). Docs with
+    // no shingles return a null signature and are dropped, matching
+    // explode-of-empty.
+    val permsLit = lit(perms.map { case (a, b) => s"$a:$b" }.mkString(","))
     df.selectExpr(s"$idCol AS __id", s"${textShinglesSpark(textCol)} AS sh")
-      .select(col("__id").as(idCol), explode(col("sh")).as("s"))
-      .withColumn("x", expr(polySpark("s")))
-      .groupBy(idCol)
-      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__id").as(idCol),
+        call_function("graft_minhash", col("sh"), permsLit).as("__ms"))
+      .filter(col("__ms").isNotNull)
+      .select(col(idCol) +: (0 until MinhashK).map(i => col("__ms")(i).as(s"m$i")): _*)
   }
 
   /** MinHash-LSH candidate pairs (band equi-join) with the estimated

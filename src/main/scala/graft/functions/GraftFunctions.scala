@@ -54,6 +54,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MarkerCount].getName, "graft_marker_count"),
       (children: Seq[Expression]) => MarkerCount(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinHashSig(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_unscaled"),
       new ExpressionInfo(classOf[UnscaledLong].getName, "graft_unscaled"),
       (children: Seq[Expression]) => UnscaledLong(children(0), children(1))))
@@ -309,4 +313,91 @@ case class MarkerCount(child: Expression, markersExpr: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MarkerCount =
     copy(child = l, markersExpr = r)
+}
+
+/** All MinHash permutation minima of a shingle array in ONE pass per
+  * row: `m_i = min over shingles s of (a_i * polyhash(s) + b_i) mod P`
+  * for the engine's fixed 16 permutations. Value-identical to the
+  * composed form `explode(sh) -> x = graft_poly_hash(s) -> groupBy
+  * min((a_i*x+b_i) % P)` — min is order-independent and the integer
+  * math is the same — but computed as a scalar kernel, so signature
+  * construction needs NO explode and NO shuffle: at corpus scale that
+  * removes a docs x shingles row blow-up through the exchange.
+  * Empty (or all-null-element) shingle arrays return null, matching the
+  * composed form where explode produces no rows for the doc.
+  */
+case class MinHashSig(child: Expression, permsExpr: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = permsExpr
+  override def prettyName: String = "graft_minhash"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private final val P = 2147483647L
+
+  /** perms as "a0:b0,a1:b1,..." — a foldable literal, like the other
+    * kernels' spec strings, so engine and oracle share one source of
+    * truth for the constants.
+    */
+  private lazy val perms: Array[(Long, Long)] =
+    permsExpr.eval(null).asInstanceOf[UTF8String].toString
+      .split(',').map { p =>
+        val Array(a, b) = p.split(':')
+        (a.toLong, b.toLong)
+      }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if permsExpr.foldable && permsExpr.dataType == StringType &&
+      scala.util.Try(perms.nonEmpty).getOrElse(false) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<string>, 'a:b,...' literal)")
+  }
+
+  /** Called from both eval and generated code. Null when no usable
+    * element (explode-of-empty semantics).
+    */
+  def sig(arr: ArrayData): ArrayData = {
+    val k = perms.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        val s = arr.getUTF8String(i).toString
+        var h = 0L
+        var c = 0
+        while (c < s.length) { h = (h * 31L + s.charAt(c).toLong) % P; c += 1 }
+        var j = 0
+        while (j < k) {
+          val v = (perms(j)._1 * h + perms(j)._2) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(mins.map(Long.box))
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = sig(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      s"""
+         |${ev.value} = $ref.sig($a);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSig =
+    copy(child = l, permsExpr = r)
 }

@@ -78,6 +78,26 @@ class TextKitSpec extends SparkSpec {
     assert(edge.isNullAt(2))
   }
 
+  test("native minhash kernel equals the composed explode->groupBy-min form on real corpus text") {
+    import org.apache.spark.sql.functions.{col, explode, expr, min}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val aggs = (0 until MinhashK).map(i => min(expr(permExpr(i, "x"))).as(s"m$i"))
+    val composed = docs
+      .selectExpr("doc_id", s"${textShinglesSpark("text")} AS sh")
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("x", expr(polySpark("s")))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val kernel = graft.api.TextCuration.minhashSignatures(docs, "doc_id", "text")
+    assert(kernel.count() === composed.count())
+    assert(kernel.except(composed).isEmpty && composed.except(kernel).isEmpty,
+      "kernel and composed signatures diverge")
+    // explode-of-empty semantics: a doc with no shingles produces no row
+    import spark.implicits._
+    val tiny = Seq((1L, "only two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sigs = graft.api.TextCuration.minhashSignatures(tiny, "doc_id", "text")
+    assert(sigs.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("minhash permutation params are fixed, nonzero literals") {
     assert(perms.size === MinhashK)
     assert(perms.forall { case (a, b) => a > 0 && a < P && b >= 0 && b < P })
