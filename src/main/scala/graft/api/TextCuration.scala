@@ -91,17 +91,15 @@ object TextCuration {
     * byte-band equi-joins, kept at hamming <= maxHamming.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val sums = (0 until SimhashBits).map(j =>
-      sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$j"))
-    val simExpr = (0 until SimhashBits).map(j =>
-      s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+    // one-pass kernel: per-bit +-1 vote sums and the sign threshold in a
+    // single scalar pass per row — the composed explode -> 31 grouped
+    // sums form pushed docs x features rows through an exchange. Integer
+    // vote sums are order-independent, so values are identical
+    // (equivalence spec). Docs with no features drop, like explode-of-empty.
     val sig = df
       .selectExpr(s"$idCol AS __id", s"${textBigramsSpark(textCol)} AS feats")
-      .select(col("__id").as(idCol), explode(col("feats")).as("w"))
-      .withColumn("h", expr(polySpark("w")))
-      .groupBy(idCol)
-      .agg(sums.head, sums.tail: _*)
-      .selectExpr(idCol, s"$simExpr AS sim")
+      .select(col("__id").as(idCol), call_function("graft_simhash", col("feats")).as("sim"))
+      .filter(col("sim").isNotNull)
     val bandBytes = (0 until 4).map(bnd => s"(shiftright(sim, ${8 * bnd}) & 255)").mkString(", ")
     val bands = sig.selectExpr(idCol, "sim", s"posexplode(array($bandBytes)) AS (band, byte)")
     bands.as("a")

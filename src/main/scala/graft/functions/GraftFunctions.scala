@@ -58,6 +58,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinHashSig(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHashSig(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_unscaled"),
       new ExpressionInfo(classOf[UnscaledLong].getName, "graft_unscaled"),
       (children: Seq[Expression]) => UnscaledLong(children(0), children(1))))
@@ -400,4 +404,77 @@ case class MinHashSig(child: Expression, permsExpr: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSig =
     copy(child = l, permsExpr = r)
+}
+
+/** SimHash signature of a feature array in ONE pass per row: per
+  * feature `h = polyhash(w)`; per bit j of 31, a +-1 vote on whether
+  * bit j of h is set; signature = the bits with positive vote sums.
+  * Value-identical to the composed `explode -> groupBy 31 conditional
+  * sums -> sign` form (integer sums are order-independent), with no
+  * explode and no shuffle. Empty/all-null arrays return null
+  * (explode-of-empty semantics).
+  */
+case class SimHashSig(child: Expression)
+  extends UnaryExpression {
+
+  override def prettyName: String = "graft_simhash"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private final val P = 2147483647L
+  private final val Bits = 31
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>, got $dt")
+  }
+
+  /** Called from both eval and generated code; MinValue = null marker. */
+  def sig(arr: ArrayData): Long = {
+    val votes = new Array[Int](Bits)
+    val n = arr.numElements()
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        val s = arr.getUTF8String(i).toString
+        var h = 0L
+        var c = 0
+        while (c < s.length) { h = (h * 31L + s.charAt(c).toLong) % P; c += 1 }
+        var j = 0
+        while (j < Bits) {
+          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return Long.MinValue
+    var out = 0L
+    var j = 0
+    while (j < Bits) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = sig(a.asInstanceOf[ArrayData])
+    if (v == Long.MinValue) null else v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHashSig", this, classOf[SimHashSig].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = $ref.sig($a);
+         |if (${ev.value} == Long.MIN_VALUE) { ${ev.isNull} = true; ${ev.value} = 0L; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
 }

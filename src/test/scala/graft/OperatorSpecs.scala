@@ -98,6 +98,35 @@ class TextKitSpec extends SparkSpec {
     assert(sigs.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("native simhash kernel equals the composed explode->grouped-vote form on real corpus text") {
+    import org.apache.spark.sql.functions.{col, explode, expr, sum}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sums = (0 until SimhashBits).map(j =>
+      sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$j"))
+    val simExpr = (0 until SimhashBits).map(j =>
+      s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+    val composed = docs
+      .selectExpr("doc_id", s"${textBigramsSpark("text")} AS feats")
+      .select(col("doc_id"), explode(col("feats")).as("w"))
+      .withColumn("h", expr(polySpark("w")))
+      .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .selectExpr("doc_id", s"$simExpr AS sim")
+    val kernel = docs
+      .selectExpr("doc_id", s"${textBigramsSpark("text")} AS feats")
+      .selectExpr("doc_id", "graft_simhash(feats) AS sim")
+      .filter(col("sim").isNotNull)
+    assert(kernel.count() === composed.count())
+    assert(kernel.except(composed).isEmpty && composed.except(kernel).isEmpty,
+      "kernel and composed simhash diverge")
+    // no-feature docs drop; single-word text has no bigrams
+    import spark.implicits._
+    val sigs = Seq((1L, "loner"), (2L, "two words here")).toDF("doc_id", "text")
+      .selectExpr("doc_id", s"${textBigramsSpark("text")} AS feats")
+      .selectExpr("doc_id", "graft_simhash(feats) AS sim")
+      .filter(col("sim").isNotNull)
+    assert(sigs.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("minhash permutation params are fixed, nonzero literals") {
     assert(perms.size === MinhashK)
     assert(perms.forall { case (a, b) => a > 0 && a < P && b >= 0 && b < P })
