@@ -135,7 +135,10 @@ object TextOps {
               "doc_id",
               "md5(text) AS md5_hex",
               s"${polySpark("text")} AS poly_hash",
-              s"array_min(transform(sh, fp_s -> ${polySpark("fp_s")})) AS min_shingle_hash",
+              // identity permutation (1*h+0) of the one-pass kernel ==
+              // min over poly hashes; the transform lambda evaluated
+              // interpreted per shingle
+              "graft_minhash(sh, '1:0')[0] AS min_shingle_hash",
             ))
       },
     ),
