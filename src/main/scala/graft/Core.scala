@@ -93,20 +93,24 @@ object Tables {
   /** Entries for stopped sessions are dead weight (a stopped session's
     * plans/file indexes can never be reused) and a strong-keyed map
     * would retain them forever in a long-lived JVM that cycles
-    * sessions — e.g. the test suites. Swept on every cache miss: the
-    * map holds a handful of (session, dir, table) keys, so the sweep is
-    * a few pointer reads, never a listing.
+    * sessions — e.g. the test suites. Swept on every lookup, BEFORE the
+    * computeIfAbsent: the CHM contract forbids a mapping function from
+    * mutating the map it runs inside (undefined behavior when a stale
+    * key hashes into the bin being computed). The map holds a handful
+    * of (session, dir, table) keys, so the sweep is a few pointer
+    * reads, never a listing.
     */
-  private def sweepStopped(): Unit =
+  private[graft] def sweepStopped(): Unit =
     cache.keySet.removeIf(_._1.sparkContext.isStopped)
 }
 
 final case class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame =
+  private def t(name: String): DataFrame = {
+    Tables.sweepStopped()
     Tables.cache.computeIfAbsent((spark, dir, name), { _ =>
-      Tables.sweepStopped()
       spark.read.parquet(s"$dir/$name.parquet")
     })
+  }
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
   def customer: DataFrame   = t("customer")
@@ -179,6 +183,16 @@ object Num {
     * ([[graft.functions.DecimalSum128]]): ~2x the throughput of
     * Spark's BigDecimal-backed decimal Sum on the TPC-H Q1 shape, same
     * exact result (equivalence pinned by NumSpecs).
+    *
+    * Domain: the input is evaluated as DOUBLE (a decimal or long column
+    * is cast first, so integers above 2^53 lose exactness before
+    * rounding), and each row must satisfy |v·10^scale| < 2^63 — at the
+    * default scale 2 that is |v| < ~9.2e16 per row (the 128-bit bound
+    * applies to the running SUM, which overflows-checked at ~1.7e36).
+    * Rows beyond the per-row bound throw ArithmeticException rather
+    * than silently wrapping; money-valued columns never approach it.
+    * For exact sums of wide decimal/long columns use Spark's builtin
+    * `sum(col.cast("decimal(38,s)"))` instead.
     */
   def dsum(c: Column, scale: Int = 2): Column = dsumRaw(c, scale).cast("double")
 

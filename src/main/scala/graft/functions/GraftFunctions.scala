@@ -291,7 +291,20 @@ case class MarkerCount(child: Expression, markersExpr: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) if markersExpr.foldable && markersExpr.dataType == StringType =>
-      TypeCheckResult.TypeCheckSuccess
+      markersExpr.eval(null) match {
+        case null => TypeCheckResult.TypeCheckFailure(s"$prettyName: markers literal must be non-null")
+        case m =>
+          // the csv carrier can't represent empty markers or markers
+          // containing the delimiter — an empty segment ("a,,b" or a
+          // leading/trailing comma) means the caller's marker set was
+          // silently mangled upstream; fail analysis instead of counting
+          // against a different set than asked for
+          val spec = m.asInstanceOf[UTF8String].toString
+          if (spec.isEmpty || spec.split(",", -1).exists(_.isEmpty))
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName: empty marker in spec '$spec' — markers must be non-empty and comma-free")
+          else TypeCheckResult.TypeCheckSuccess
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects (array<string>, string-literal csv)")
   }
@@ -327,8 +340,14 @@ case class MarkerCount(child: Expression, markersExpr: Expression)
   * math is the same — but computed as a scalar kernel, so signature
   * construction needs NO explode and NO shuffle: at corpus scale that
   * removes a docs x shingles row blow-up through the exchange.
-  * Empty (or all-null-element) shingle arrays return null, matching the
-  * composed form where explode produces no rows for the doc.
+  * Empty shingle arrays return null, matching the composed form where
+  * explode produces no rows for the doc. NULL-ELEMENT caveat: the
+  * kernel skips null shingles, so an ALL-null array also returns null
+  * (and is filtered out downstream), whereas the composed form keeps
+  * such a doc as a row of null m-columns — the engine's shingle
+  * generators never emit null elements (containsNull=false paths), so
+  * the divergence is unreachable in the catalog; it is only observable
+  * if a caller hands the kernel a hand-built array with nulls.
   */
 case class MinHashSig(child: Expression, permsExpr: Expression)
   extends BinaryExpression {
@@ -412,7 +431,11 @@ case class MinHashSig(child: Expression, permsExpr: Expression)
   * Value-identical to the composed `explode -> groupBy 31 conditional
   * sums -> sign` form (integer sums are order-independent), with no
   * explode and no shuffle. Empty/all-null arrays return null
-  * (explode-of-empty semantics).
+  * (explode-of-empty semantics). NULL-ELEMENT caveat: the kernel SKIPS
+  * a null feature, while the composed form's CASE scores it as a -1
+  * vote on every bit (a null condition falls through to ELSE) — the
+  * engine's tokenizers never emit null elements, so the two agree on
+  * every reachable input; the equivalence spec pins the non-null domain.
   */
 case class SimHashSig(child: Expression)
   extends UnaryExpression {

@@ -130,8 +130,15 @@ object TextKit {
   // kernel is one hash probe per token inside the fused stage, same
   // semantics (multiplicity, nulls not counted). markerCountSparkHof is
   // the portable definition, kept for the equivalence spec.
-  def markerCountSpark(tok: String, markers: Seq[String]): String =
+  def markerCountSpark(tok: String, markers: Seq[String]): String = {
+    // markers travel as a comma-joined single-quoted SQL literal in all
+    // three dialects below: a marker containing the delimiter would
+    // silently split into two, and a quote would break the SQL parse.
+    // Word-markers never contain either; fail loudly if one ever does.
+    require(markers.nonEmpty && markers.forall(m => m.nonEmpty && !m.contains(',') && !m.contains('\'')),
+      s"markers must be non-empty and contain no comma/quote: ${markers.mkString("[", ", ", "]")}")
     s"graft_marker_count($tok, '${markers.mkString(",")}')"
+  }
   def markerCountSparkHof(tok: String, markers: Seq[String]): String = {
     val cond = markers.map(m => s"lm_t = '$m'").mkString(" OR ")
     s"CAST(size(filter($tok, lm_t -> $cond)) AS BIGINT)"

@@ -199,6 +199,17 @@ object VerifiedStream {
     // correctly left alone.)
     val staged = fs.listStatus(new Path(tmpRoot)).map(_.getPath)
       .filter(_.getName.startsWith("bucket=")).sortBy(_.getName)
+    // Invariant: staged ⊆ touched. A staged bucket OUTSIDE `touched`
+    // would mean routing drifted between the touched computation and the
+    // write (nondeterministic key exprs); its base rows were never loaded
+    // into `applied`, so swapping it in would replace a full stored
+    // bucket with only this batch's rows — silent data loss. Fail the
+    // batch loudly BEFORE any rename; the streaming checkpoint replays it.
+    val touchedSet = touched.toSet
+    val stray = staged.map(_.getName.stripPrefix("bucket=").toInt).filterNot(touchedSet)
+    require(stray.isEmpty,
+      s"staged buckets ${stray.mkString(",")} not in touched set " +
+        s"${touched.mkString(",")} — nondeterministic routing, refusing to swap")
     staged.foreach { src =>
       val b = src.getName.stripPrefix("bucket=")
       val dst = new Path(s"$path/bucket=$b")

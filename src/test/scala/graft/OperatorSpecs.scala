@@ -78,6 +78,22 @@ class TextKitSpec extends SparkSpec {
     assert(edge.isNullAt(2))
   }
 
+  test("marker spec validation: empty markers rejected at analysis time, unsafe chars at build time") {
+    // a stray separator means the caller's marker set was mangled — the
+    // kernel must fail analysis, not silently count a different set
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_marker_count(array('x'), 'the,,a')").collect())
+    assert(e.getMessage.contains("empty marker"), e.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_marker_count(array('x'), '')").collect())
+    assert(e2.getMessage.contains("empty marker"), e2.getMessage)
+    // builder-side: a marker containing the csv delimiter or SQL quote
+    // cannot travel through the literal carrier — reject, don't mangle
+    intercept[IllegalArgumentException](markerCountSpark("tok", Seq("a,b")))
+    intercept[IllegalArgumentException](markerCountSpark("tok", Seq("it's")))
+    intercept[IllegalArgumentException](markerCountSpark("tok", Seq("")))
+  }
+
   test("native minhash kernel equals the composed explode->groupBy-min form on real corpus text") {
     import org.apache.spark.sql.functions.{col, explode, expr, min}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
