@@ -222,6 +222,53 @@ object VerifiedStream {
       s"could not clear $tmpRoot")
   }
 
+  /** Offline re-bucketing of a verified state table: rewrite every row
+    * into `newBuckets` bucket dirs and re-pin `_nbuckets`. The bucket
+    * count a table was created with (`_nbuckets`) is otherwise pinned
+    * forever — correct for routing, but a table that has grown 100x
+    * since bootstrap ends up with rewrite units 100x the intended size.
+    * This is the operational escape hatch: run it OFFLINE (no concurrent
+    * applyBatch on the same table — the root swap would pull the table
+    * out from under a running batch's reads).
+    *
+    * Crash-safe via the same root-level swap as flat->bucketed
+    * migration: the new layout is staged at `path.tmp`, then
+    * old root -> `.old`, staging -> root. [[recoverRoot]] covers every
+    * window — a crash before the first rename leaves the old table
+    * live (stray `.tmp` discarded); between the renames, `.old` is
+    * restored; after, the leftover `.old` is cleared. Re-running
+    * rebucket after any crash completes the job.
+    *
+    * A legacy flat table is migrated straight to `newBuckets`; a table
+    * already at `newBuckets` is a no-op.
+    */
+  def rebucket(spark: SparkSession, path: String, newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive: $newBuckets")
+    val fs = hadoopFs(spark, path)
+    recoverRoot(fs, path)
+    require(fs.exists(new Path(path)), s"no state table at $path")
+    // flat tables migrate directly to the requested count inside
+    // ensureBucketed; already-bucketed tables report their pinned count
+    val nb = ensureBucketed(spark, fs, path, newBuckets)
+    if (nb != newBuckets) {
+      recoverBuckets(fs, path)
+      val all = readState(spark, path)
+      val tmp = s"$path.tmp"
+      all.withColumn("bucket", bucketCol(newBuckets))
+        .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(tmp)
+      // an empty table writes no partition dirs; keep one footer-only
+      // bucket so the table stays readable (same as migration/bootstrap)
+      if (!fs.listStatus(new Path(tmp)).exists(_.getPath.getName.startsWith("bucket=")))
+        all.limit(0).write.mode(SaveMode.Overwrite).parquet(s"$tmp/bucket=0")
+      writeMarker(fs, new Path(s"$tmp/_nbuckets"), newBuckets)
+      val root = new Path(path)
+      val old = new Path(path + ".old")
+      require(fs.rename(root, old), s"rename failed: $root -> $old")
+      require(fs.rename(new Path(tmp), root), s"rename failed: $tmp -> $root")
+      require(fs.delete(old, true), s"could not clear $old")
+    }
+  }
+
   /** Root-level recovery for an interrupted bootstrap or flat->bucketed
     * migration swap: a missing table with a surviving `.old` restores the
     * old table; a stray `.old` NEXT TO a live table is a post-swap

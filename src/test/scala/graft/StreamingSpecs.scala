@@ -358,6 +358,68 @@ class StreamingSpecs extends SparkSpec {
     assert(!java.nio.file.Files.exists(bucketDir.resolveSibling(s".b$bucketId.old")))
   }
 
+  test("rebucket: 4 -> 16 re-pins the marker, point updates still route, crash mid-swap recovers") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    val dir = tmpDir("rebucket")
+    val state = dir.resolve("state").toString
+    val table = s"$state/verified_contact"
+    // seed a flat table, migrate it at 4 buckets via a first apply
+    (1 to 100).map(i => (1L, i.toLong, s"v$i", 1L))
+      .toDF("company_id", "external_id", "verified_data", "verified_seq")
+      .write.parquet(table)
+    val b1 = Seq(("contact", 1L, 5L, 2L, "m1"))
+      .toDF("entity", "company_id", "external_id", "seq", "verified_data")
+    VerifiedStream.applyBatch(spark, b1, state, nBuckets = 4)
+    def marker(): String =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$table/_nbuckets")), "UTF-8").trim
+    assert(marker() === "4")
+
+    VerifiedStream.rebucket(spark, table, 16)
+    assert(marker() === "16")
+    // every row landed in the bucket dir 16-way routing says it should
+    val misrouted = spark.read.parquet(table)
+      .filter(col("bucket") =!= pmod(hash(col("company_id"), col("external_id")), lit(16)).cast("int"))
+      .count()
+    assert(misrouted === 0L)
+    assert(VerifiedStream.readState(spark, table).count() === 100)
+    // idempotent no-op at the same count
+    VerifiedStream.rebucket(spark, table, 16)
+    assert(marker() === "16")
+
+    // a point update after rebucket rewrites exactly its 16-way bucket
+    def listing(): Map[String, Set[String]] =
+      java.nio.file.Files.list(java.nio.file.Paths.get(table)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("bucket="))
+        .map(d => d.getFileName.toString ->
+          java.nio.file.Files.list(d).iterator().asScala.map(_.getFileName.toString).toSet)
+        .toMap
+    def bucketOf(ext: Long): Int = spark.range(1)
+      .select(pmod(hash(lit(1L), lit(ext)), lit(16)).cast("int")).head().getInt(0)
+    val before = listing()
+    val b2 = Seq(("contact", 1L, 7L, 3L, "m2"))
+      .toDF("entity", "company_id", "external_id", "seq", "verified_data")
+    VerifiedStream.applyBatch(spark, b2, state, nBuckets = 4) // session default ignored: marker routes
+    val after = listing()
+    val changed = (before.keySet ++ after.keySet).filter(k => before.get(k) != after.get(k))
+    assert(changed === Set(s"bucket=${bucketOf(7L)}"))
+    assert(VerifiedStream.readState(spark, table)
+      .filter(col("external_id") === 7L).head().getString(2) === "m2")
+
+    // crash window: root renamed to .old, staging left behind — a
+    // re-run (or the next batch's recoverRoot) restores and completes
+    val root = java.nio.file.Paths.get(table)
+    java.nio.file.Files.move(root, java.nio.file.Paths.get(s"$table.old"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$table.tmp"))
+    VerifiedStream.rebucket(spark, table, 32)
+    assert(marker() === "32")
+    assert(VerifiedStream.readState(spark, table).count() === 100)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$table.old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$table.tmp")))
+  }
+
   test("sensor loop: message drop fans out one pipeline run per file (end-to-end reference topology)") {
     val dir = tmpDir("sensor")
     val inbox = dir.resolve("inbox")
