@@ -230,6 +230,125 @@ object VectorSearch {
       idCol, vecCol, "__ivf_cluster", nprobe, k, maxBroadcastQueries)
   }
 
+  /** Build and persist an IVF index for multi-batch serving: train the
+    * coarse quantizer once, label the corpus once, and write it
+    * PARTITIONED BY CLUSTER so [[annIvfIndexed]] can serve any number
+    * of query batches with no re-training, no re-labeling, and — via
+    * dynamic partition pruning on the cluster dirs — no full-corpus
+    * scan per batch. Layout at `path`:
+    *
+    *   cluster=N/part-*.parquet   labeled corpus (partition dirs = IVF lists)
+    *   _centroids/part-*.parquet  (cluster, centroid) unit vectors
+    *   _schema.json               labeled-corpus schema (serving skips inference)
+    *
+    * The `_centroids` dir and `_schema.json` are underscore-prefixed,
+    * so corpus reads of `path` never see them as data. At 100 TB this
+    * is the standard train-once/serve-many IVF shape: the index build
+    * is one labeling pass + one shuffle-free partitioned write; each
+    * serving batch touches only its probed partitions and launches no
+    * schema-inference or sort jobs (both schemas are pinned at build
+    * time).
+    */
+  def buildIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nClusters: Int, iters: Int = 5, sampleN: Int = 4096,
+  ): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(corpus, idCol, vecCol, nClusters, iters, sampleN)
+    val labeled = withClusters(corpus, vecCol, cents, "cluster")
+    labeled
+      .write.partitionBy("cluster").mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cluster", "centroid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/_centroids")
+    val sp = new org.apache.hadoop.fs.Path(s"$path/_schema.json")
+    val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(sp, true)
+    try out.write(labeled.schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Serve a query batch from a persisted [[buildIvfIndex]] index.
+    * Per batch: read the (tiny) centroid table driver-side, rank
+    * clusters per query with codegen'd dot products against broadcast
+    * centroid literals (no shuffle, no corpus scan — [[annIvf]]'s
+    * representative aggregation over the full corpus is not needed:
+    * the centroids ARE the representatives), keep the top `nprobe`,
+    * and exact-search only those clusters.
+    *
+    * The probed-cluster set is collected with ONE bounded aggregation
+    * over the query batch (≤ nClusters output rows) and pushed into the
+    * corpus read as a STATIC `cluster IN (...)` partition filter — the
+    * file listing itself prunes to the probed `cluster=N` dirs, with no
+    * reliance on the dynamic-partition-pruning heuristic (which skips
+    * plans whose query side has no Filter node, e.g. an already-
+    * collapsed local batch). The same aggregation yields the query
+    * count, so the broadcast guard costs no extra job.
+    *
+    * Same result contract as [[annIvf]] on the same labeling, with
+    * probe ranking scored against the centroid itself (unit norm)
+    * rather than the min-id medoid.
+    */
+  def annIvfIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int, k: Int,
+      maxBroadcastQueries: Long = 1000000L,
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructType}
+    // both schemas were pinned at build time: the centroid table's is a
+    // known literal, the labeled corpus's is in _schema.json (read
+    // driver-side via the filesystem — no inference job either way).
+    // The centroid sort is driver-side too: it's nClusters tiny rows.
+    val centSchema = new StructType()
+      .add("cluster", IntegerType).add("centroid", ArrayType(DoubleType))
+    val cents: Array[Array[Double]] = spark.read.schema(centSchema)
+      .parquet(s"$path/_centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, s"no centroids under $path/_centroids")
+    val sp = new org.apache.hadoop.fs.Path(s"$path/_schema.json")
+    val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(sp)
+    val corpusSchema =
+      try org.apache.spark.sql.types.DataType.fromJson(
+        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+      finally in.close()
+    val q = withNorm(queries, vecCol)
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
+    // per-query cluster ranking as one sorted literal array: struct sort
+    // is (pcos asc, ni asc); reversed = pcos desc, then ni desc = LOWEST
+    // cluster index on ties — the same tie-break annIvf's window uses.
+    // Centroids are unit vectors, so pcos = dot / qn.
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        (call_function("graft_vec_dot", col("qv").cast("array<double>"), typedLit(c.toSeq)) / col("qn")).as("pcos"),
+        lit(-i).as("ni"))
+    }
+    val probe = q
+      .withColumn("__c", explode(slice(reverse(array_sort(array(scored: _*))), 1, nprobe)))
+      .select(col("q_id"), col("qv"), col("qn"), (col("__c.ni") * -1).as("cluster"))
+    // one job over the query batch: per-cluster probe counts. Σcount =
+    // nQueries × nprobe bounds the broadcast; the keys are the probed
+    // partition set. The probe projection re-runs in the join below,
+    // but it is narrow map work (dot products vs literals) on the small
+    // query side — re-computing beats caching or a second control job.
+    val probeStats = probe.groupBy("cluster").count().collect()
+    val probedClusters = probeStats.map(_.getInt(0))
+    val probeRows = probeStats.map(_.getLong(1)).sum
+    val n = withNorm(
+      spark.read.schema(corpusSchema).parquet(path)
+        .filter(col("cluster").isin(probedClusters.map(Int.box): _*)),
+      vecCol)
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col(idCol))
+    val probeB = if (probeRows <= maxBroadcastQueries) broadcast(probe) else probe
+    probeB.join(n, Seq("cluster"))
+      .filter(col(idCol) =!= col("q_id"))
+      .selectExpr("q_id", idCol, s"${dotSpark("qv", vecCol)} / (qn * nrm) AS cosine")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol), col("cosine"))
+  }
+
   /** Exact cosine-threshold near-duplicate pairs (quadratic candidate
     * set — the correct-recall baseline; use [[lshNearDups]] at scale).
     */

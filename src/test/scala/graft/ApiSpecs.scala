@@ -76,6 +76,83 @@ class ApiSpecs extends SparkSpec {
     assert(ivf === brute, "full-probe IVF must have recall 1 vs brute force")
   }
 
+  test("persisted IVF index: serving batches re-train nothing, prune to probed cluster dirs, full-probe recall = brute") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val vecs = ((1L to 20L).map(i => (i, Array(1.0f, (i % 5) * 0.01f))) ++
+      (21L to 40L).map(i => (i, Array(-1.0f, (i % 7) * 0.01f))) ++
+      (41L to 60L).map(i => (i, Array((i % 3) * 0.01f, 1.0f)))).toDF("vid", "vec")
+    val path = tmpDir("ivfidx").resolve("index").toString
+    VectorSearch.buildIvfIndex(vecs, "vid", "vec", path, nClusters = 3, sampleN = 60)
+
+    // index layout: cluster partition dirs + hidden centroid table
+    val children = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val names = Iterator.continually(children).takeWhile(_.hasNext).map(_.next().getFileName.toString).toSet
+    assert(names.count(_.startsWith("cluster=")) === 3, names)
+    assert(names.contains("_centroids"), names)
+
+    val q1 = vecs.filter($"vid".isin(1L, 25L, 45L))
+    // q2 is single-cluster (both vectors ≈ (1, 0)) so nprobe=1 serving
+    // must prune the corpus scan to exactly one cluster=N dir
+    val q2 = vecs.filter($"vid".isin(2L, 3L))
+    // batch 1 warms nothing persistent; batch 2's plan CONSTRUCTION must
+    // launch zero Spark jobs beyond the broadcast-guard probe — training
+    // (sort+limit+collect) is eager and would show up here
+    VectorSearch.annIvfIndexed(spark, path, q1, "vid", "vec", nprobe = 3, k = 4).collect()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        sites.add(j.stageInfos.map(_.name).mkString("[", " | ", "]"))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val served2 =
+      try {
+        val df = VectorSearch.annIvfIndexed(spark, path, q2, "vid", "vec", nprobe = 1, k = 4)
+        // listener delivery is async; wait for the count to stabilize
+        var last = -1
+        var spins = 0
+        while (jobs.get() != last && spins < 20) { last = jobs.get(); Thread.sleep(100); spins += 1 }
+        df
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // centroid read is a driver-side parquet collect (1 tiny file) and the
+    // broadcast guard is a limit-count: allow those bounded control jobs,
+    // but training's 60-row global sort would add several more
+    assert(jobs.get() <= 3,
+      s"serving-plan construction launched ${jobs.get()} jobs — re-training? sites: ${sites.toArray.mkString("; ")}")
+
+    // full-probe recall = brute force (same contract as annIvfAuto)
+    val brute = VectorSearch.knn(vecs, q1, "vid", "vec", k = 4)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    val served = VectorSearch.annIvfIndexed(spark, path, q1, "vid", "vec", nprobe = 3, k = 4)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(served === brute, "full-probe indexed IVF must have recall 1 vs brute force")
+
+    // nprobe=1 single-cluster serving must prune the corpus scan to the
+    // one probed cluster dir — a STATIC `cluster IN (...)` partition
+    // filter, visible in the plan and in the partitions-read metric
+    val plan = served2.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") &&
+      "cluster#\\d+ (=|IN)".r.findFirstIn(plan).isDefined, // 1-element isin folds to =
+      s"corpus scan has no static partition filter:\n$plan")
+    assert(served2.collect().nonEmpty) // and it still answers
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case q: QueryStageExec => findScans(q.plan)
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+    }.flatten
+    val scan = findScans(served2.queryExecution.executedPlan)
+      .find(_.metrics.contains("numPartitions"))
+      .getOrElse(fail(s"no partitioned FileSourceScanExec in:\n$plan"))
+    assert(scan.metrics("numPartitions").value === 1,
+      s"scan read ${scan.metrics("numPartitions").value} partition dirs, want 1 (pruned)")
+  }
+
   test("knn/annIvf broadcast guard: oversized query sets plan WITHOUT a query-side broadcast hint, same results") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val corpus = (1L to 40L).map(i => (i, Array(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat), i % 3))
