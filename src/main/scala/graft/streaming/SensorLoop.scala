@@ -1,11 +1,14 @@
 package graft.streaming
 
-import graft.pipeline.PipelineRunner
+import graft.pipeline.{Dag, PipelineRunner}
 import graft.pipeline.PipelineRunner.PipelineSpec
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import scala.concurrent.ExecutionContext
+import scala.concurrent.duration._
 
 /** File-arrival sensor + dynamic fan-out — the Spark-native
   * re-expression of SQS_SENSOR_DAG + TriggerMultiDagRunOperator
@@ -35,6 +38,18 @@ object SensorLoop {
     * message run the per-file pipeline (zip at s3_file_path) with
     * `specFor(runId, path)`. foreachBatch collects only the tiny message
     * batch to the driver (control plane), never payload data.
+    *
+    * Per-file runs within a batch execute CONCURRENTLY — the reference
+    * triggers one independent DAG run per message
+    * (sqs_sensor_dag.py:34-56), and Airflow runs those in parallel.
+    * Fan-out goes through [[Dag]] as an edge-free node set on a pool of
+    * `maxParallelFiles` threads: each node issues Spark actions (which
+    * parallelize across the cluster themselves), so the bound is on
+    * concurrent driver-side run orchestration, not compute. Any failed
+    * run fails the whole batch AFTER every run has settled (no
+    * cancellation of siblings mid-flight), so the streaming checkpoint
+    * does not commit and the batch replays on restart — the reference's
+    * retry unit is the same (one message = one DAG run).
     */
   def start(
       spark: SparkSession,
@@ -42,7 +57,10 @@ object SensorLoop {
       checkpointDir: String,
       specFor: (String, String) => PipelineSpec,
       trigger: Trigger = Trigger.ProcessingTime("2 minutes"),
+      maxParallelFiles: Int = 4,
+      batchTimeout: FiniteDuration = 10.minutes,
   ): StreamingQuery = {
+    require(maxParallelFiles >= 1, s"maxParallelFiles must be >= 1 (got $maxParallelFiles)")
     val messages = spark.readStream
       .schema(messageSchema)
       .json(inboxDir)
@@ -55,9 +73,22 @@ object SensorLoop {
           .collect()
           .map(_.getString(0))
           .sorted
-        files.zipWithIndex.foreach { case (path, i) =>
-          val runId = s"run_${batchId}_$i"
-          PipelineRunner.runFromZip(spark, path, specFor(runId, path))
+        if (files.nonEmpty) {
+          val nodes: Map[String, () => Unit] = files.zipWithIndex.map { case (path, i) =>
+            val runId = s"run_${batchId}_$i"
+            runId -> { () => PipelineRunner.runFromZip(spark, path, specFor(runId, path)); () }
+          }.toMap
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(maxParallelFiles, files.length))
+          try {
+            val result = Dag.run(Dag.Spec(nodes, Seq.empty), batchTimeout)(
+              ExecutionContext.fromExecutorService(pool))
+            result.states.collectFirst { case (runId, f: Dag.FailedState) => (runId, f) }
+              .foreach { case (runId, f) =>
+                throw new IllegalStateException(
+                  s"pipeline $runId failed after ${f.attempts} attempt(s)", f.error)
+              }
+          } finally pool.shutdownNow()
         }
         ()
       }

@@ -447,4 +447,46 @@ class StreamingSpecs extends SparkSpec {
     val contacts = spark.read.parquet(s"$sink/contact").collect()
     assert(contacts.map(_.toSeq).toSeq === Seq(Seq("c9", "ZOE")))
   }
+
+  test("sensor loop: two files in one batch run their pipelines concurrently (bounded fan-out)") {
+    val dir = tmpDir("sensorpar")
+    val inbox = dir.resolve("inbox")
+    val sink = dir.resolve("sink").toString
+    java.nio.file.Files.createDirectories(inbox)
+    Seq(("drop1", "c1", "ann"), ("drop2", "c2", "bob")).foreach { case (name, cid, who) =>
+      val zip = dir.resolve(s"$name.zip")
+      Fixtures.writeZip(zip, Seq(
+        "metadata.json" -> """{"workflow_system_name": "crm", "company_id": 1}""",
+        "contact.json" -> s"""{"cid": "$cid", "name": "$who"}""",
+      ))
+      java.nio.file.Files.writeString(inbox.resolve(s"$name.json"),
+        s"""{"s3_bucket": "local", "s3_file_path": "${zip.toString}"}""")
+    }
+
+    // rendezvous: each per-file run must reach this barrier while the
+    // other is also in flight. Sequential execution (the old foreach)
+    // would park the first run here until the 30 s timeout, fail the
+    // batch, and fail this test — passing PROVES overlap, not just
+    // ordering luck.
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val spec = (runId: String, path: String) => {
+      barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      PipelineSpec(
+        runId = runId,
+        mappings = Map("contact" -> Seq(
+          FieldMapping("cid", "contact_id"),
+          FieldMapping("upper(name)", "full_name"))),
+        sinkDir = s"$sink/$runId", // per-run sink: concurrent runs never share a dir
+      )
+    }
+    val q = SensorLoop.start(spark, inbox.toString, dir.resolve("ckpt").toString, spec,
+      trigger = Trigger.AvailableNow(), maxParallelFiles = 2)
+    try q.awaitTermination(120000) finally q.stop()
+
+    // deterministic run ids: batch 0, sorted file order → drop1=run_0_0
+    val out = (0 to 1).flatMap { i =>
+      spark.read.parquet(s"$sink/run_0_$i/contact").collect().map(_.toSeq)
+    }.sortBy(_.head.toString)
+    assert(out === Seq(Seq("c1", "ANN"), Seq("c2", "BOB")))
+  }
 }
