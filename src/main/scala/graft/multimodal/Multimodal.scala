@@ -13,14 +13,16 @@ import org.apache.spark.sql.functions._
   * partition, not once per row — the JVM analog of a Pandas-UDF
   * `mapInPandas` batch loop).
   *
-  * The image modality uses a REAL codec: javax.imageio PNG encode /
-  * decode / area-average downsample (JDK-builtin, no external libs).
-  * Grayscale PNG is lossless, so decoded-pixel features remain
-  * cross-engine oracle-checkable (q61). Audio/video decode stays
-  * stubbed (`decodeStub` byte stats — no such codec ships with the
-  * JDK); the Spark-side plumbing — schema, binary handling, typed
-  * Dataset round-trip, partitioning, batch shape — is identical for
-  * both and oracle-tested (q48).
+  * The image and audio modalities use REAL codecs: javax.imageio PNG
+  * encode / decode / area-average downsample and javax.sound.sampled
+  * WAV/PCM encode / decode (both JDK-builtin, no external libs).
+  * Grayscale PNG and 16-bit PCM are lossless, so decoded-pixel /
+  * decoded-sample features remain cross-engine oracle-checkable
+  * (q61, q63). Only video decode stays stubbed (`decodeStub` byte
+  * stats — no video codec ships with the JDK); the Spark-side
+  * plumbing — schema, binary handling, typed Dataset round-trip,
+  * partitioning, batch shape — is identical across modalities and
+  * oracle-tested (q48).
   */
 object Multimodal {
 
@@ -223,6 +225,125 @@ object Multimodal {
               height = d.height.toLong,
               luma_sum = sum,
               head_luma = if (d.pixels.nonEmpty) (d.pixels(0) & 0xff).toLong else 0L,
+            )
+          }
+        }
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // Real audio codec path (javax.sound.sampled — ships with the JDK,
+  // like ImageIO above). 16-bit PCM WAV is lossless, so decoded-sample
+  // features are cross-engine oracle-checkable exactly as PNG luma is
+  // (q63). Only video decode remains a stub: no video codec ships with
+  // the JDK.
+  // ---------------------------------------------------------------------
+
+  /** Decoded audio: sample rate + channel-0 16-bit PCM samples. */
+  final case class DecodedAudio(sampleRate: Int, samples: Array[Short])
+
+  /** Encode 16-bit samples as a mono signed little-endian PCM WAV.
+    * Deterministic and lossless: same samples -> same bytes -> same
+    * samples back.
+    */
+  def encodeWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    require(sampleRate > 0, "sampleRate must be positive")
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream(bytes.length + 64)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Decode a WAV payload through the real javax.sound codec: any PCM
+    * variant the JDK reads is converted to signed 16-bit little-endian;
+    * multi-channel audio keeps channel 0 (deterministic, no resampling).
+    * Undecodable payloads return None (the DLQ row, not an exception).
+    */
+  def decodeWav(wav: Array[Byte]): Option[DecodedAudio] =
+    try {
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val target = new javax.sound.sampled.AudioFormat(
+        src.getFormat.getSampleRate, 16, src.getFormat.getChannels, true, false)
+      val pcm =
+        if (src.getFormat.matches(target)) src
+        else javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+      val raw = pcm.readAllBytes()
+      val ch = target.getChannels
+      val n = raw.length / (2 * ch)
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) { // channel 0 = first frame slot; LE byte pair
+        val base = i * 2 * ch
+        out(i) = ((raw(base) & 0xff) | (raw(base + 1) << 8)).toShort
+        i += 1
+      }
+      Some(DecodedAudio(math.round(target.getSampleRate), out))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None // unsupported conversion
+    }
+
+  /** Audio features from REAL decoded samples. */
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      sample_sum: Long,
+      head_sample: Long,
+  )
+
+  /** Wrap a text table as WAV media: each byte becomes one unsigned
+    * 16-bit sample (0..255), encoded through the real WAV writer. The
+    * audio twin of [[asPngMedia]].
+    */
+  def asWavMedia(documents: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val samples = new Array[Short](bytes.length)
+        var i = 0
+        while (i < bytes.length) { samples(i) = (bytes(i) & 0xff).toShort; i += 1 }
+        (id, encodeWav(samples, sampleRate), "audio/wav", bytes.length.toLong)
+      }
+      .toDF("doc_id", "payload", "modality", "declared_bytes")
+  }
+
+  /** Partition-parallel REAL WAV decode + feature extraction — the audio
+    * twin of [[extractImageFeatures]]. PCM is lossless, so features over
+    * an [[asWavMedia]] payload are exactly the source-byte stats (the
+    * property the DuckDB oracle checks).
+    */
+  def extractAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload", "modality", "declared_bytes")
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodeWav(r.payload).map { d =>
+            var sum = 0L
+            var i = 0
+            while (i < d.samples.length) { sum += d.samples(i); i += 1 }
+            AudioFeatures(
+              doc_id = r.doc_id,
+              sample_rate = d.sampleRate.toLong,
+              n_samples = d.samples.length.toLong,
+              sample_sum = sum,
+              head_sample = if (d.samples.nonEmpty) d.samples(0).toLong else 0L,
             )
           }
         }

@@ -260,6 +260,29 @@ object PipelineQueries {
       },
     ),
     Q(
+      "q63_audio_decode",
+      "REAL audio codec end-to-end: render each document's bytes as " +
+        "unsigned 16-bit samples in a mono PCM WAV (javax.sound.sampled " +
+        "encode), decode back through the real WAV reader, and extract " +
+        "sample features. 16-bit PCM is lossless, so the oracle recomputes " +
+        "sample stats straight from the source text — proving actual " +
+        "decoded samples, not a stub.",
+      Some("""
+        SELECT doc_id,
+          CAST(8000 AS BIGINT) AS sample_rate,
+          CAST(strlen(text) AS BIGINT) AS n_samples,
+          CAST(list_sum(list_transform(string_split(text, ''), mc -> ascii(mc))) AS BIGINT) AS sample_sum,
+          CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_sample
+        FROM documents ORDER BY doc_id
+      """.trim),
+      (spark, dir) => {
+        // WAV encode+decode is an expensive projection like the PNG one:
+        // sort via the projected helper so it runs once, not twice
+        graft.Sorting.projected(Tables(spark, dir).documents, col("doc_id"))(d =>
+          Multimodal.extractAudioFeatures(Multimodal.asWavMedia(d, sampleRate = 8000)).toDF())
+      },
+    ),
+    Q(
       "q49_sessionize",
       "Gap-based sessionization (30-min inactivity) per user over events: " +
         "lag + running break-count windows, then per-session aggregates — " +

@@ -544,6 +544,48 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.doc_id).toSeq === Seq(1L))
     assert(out(0).luma_sum === "hello world".getBytes.map(_ & 0xff).sum.toLong)
   }
+
+  test("REAL codec: WAV encode -> javax.sound decode round-trips exact 16-bit samples") {
+    // full dynamic range, including negatives and the endpoints
+    val samples = Array[Short](0, 1, -1, 255, 256, -256, Short.MaxValue, Short.MinValue, 12345, -12345)
+    val wav = Multimodal.encodeWav(samples, sampleRate = 8000)
+    // it is a real RIFF/WAVE file, not a passthrough
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val d = Multimodal.decodeWav(wav).get
+    assert(d.sampleRate === 8000)
+    assert(d.samples.toSeq === samples.toSeq)
+  }
+
+  test("REAL codec: stereo WAV decodes to channel 0; undecodable audio drops out as None") {
+    // hand-build a stereo 16-bit PCM WAV through the same JDK writer
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val l = Array[Short](100, 200, 300)
+    val r = Array[Short](-7, -8, -9)
+    val bytes = new Array[Byte](l.length * 4)
+    for (i <- l.indices) {
+      bytes(4 * i) = (l(i) & 0xff).toByte; bytes(4 * i + 1) = ((l(i) >> 8) & 0xff).toByte
+      bytes(4 * i + 2) = (r(i) & 0xff).toByte; bytes(4 * i + 3) = ((r(i) >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, l.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val d = Multimodal.decodeWav(baos.toByteArray).get
+    assert(d.samples.toSeq === l.toSeq)
+
+    import spark.implicits._
+    assert(Multimodal.decodeWav("not a wav".getBytes).isEmpty)
+    val good = Multimodal.encodeWav(Array[Short](65, 66, 67), sampleRate = 8000)
+    val media = Seq(
+      (1L, good, "audio/wav", 3L),
+      (2L, "garbage".getBytes, "audio/wav", 7L),
+    ).toDF("doc_id", "payload", "modality", "declared_bytes")
+    val out = Multimodal.extractAudioFeatures(media).collect()
+    assert(out.map(_.doc_id).toSeq === Seq(1L))
+    assert(out(0).sample_sum === (65 + 66 + 67).toLong)
+    assert(out(0).head_sample === 65L)
+  }
 }
 
 class CoreSpec extends SparkSpec {
