@@ -25,11 +25,14 @@ object VectorSearch {
 
   /** Broadcasting the query side is only safe when the query set is
     * genuinely small — an unguarded `broadcast(q)` on a 10M-row query
-    * frame OOMs the driver. The guard counts at most `max + 1` rows
-    * (a bounded probe job, never a full count) and the caller falls
-    * back to a plain distributed join when the bound is exceeded; AQE
-    * may still choose a broadcast at runtime if actual sizes permit,
-    * which is the safe, size-informed version of the same decision.
+    * frame OOMs the driver, and so does a 2k-row frame of 4096-dim
+    * embeddings (row count alone says nothing about bytes). The guard
+    * is therefore byte-aware: ONE bounded job counts at most `max + 1`
+    * rows AND sums vector lengths, and the caller broadcasts only when
+    * both the row bound and the estimated-bytes bound hold, falling
+    * back to a plain distributed join otherwise; AQE may still choose
+    * a broadcast at runtime if actual sizes permit, which is the safe,
+    * size-informed version of the same decision.
     *
     * Always probe the CHEAPEST frame whose cardinality bounds the
     * broadcast side (the raw query input, a narrow scan) — counting a
@@ -37,26 +40,49 @@ object VectorSearch {
     * whole subtree twice per call, once for the guard and once for the
     * join.
     */
-  private def atMost(df: DataFrame, max: Long): Boolean = {
-    val probe = math.min(math.max(max, 0L) + 1L, Int.MaxValue.toLong).toInt
-    df.limit(probe).count() <= max
+  private def boundedSize(df: DataFrame, vecCol: String, maxRows: Long): (Long, Long) = {
+    val probe = math.min(math.max(maxRows, 0L) + 1L, Int.MaxValue.toLong).toInt
+    val r = df.limit(probe).agg(count(lit(1)), sum(size(col(vecCol)))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
+
+  /** Estimated broadcast payload: 8 B per vector element (doubles after
+    * the join-side cast) + ~32 B per row of id/norm/row overhead.
+    */
+  private def estBytes(rows: Long, elems: Long): Long = elems * 8L + rows * 32L
+
+  /** `maxBytes <= 0` (the default) defers to the session's
+    * `spark.sql.autoBroadcastJoinThreshold` — the same knob that sizes
+    * every other broadcast in the plan — with a 10 MiB floor when that
+    * is disabled (-1).
+    */
+  private def resolveMaxBytes(df: DataFrame, maxBytes: Long): Long =
+    if (maxBytes > 0) maxBytes
+    else {
+      val t = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      if (t > 0) t else 10L << 20
+    }
 
   /** Exact brute-force cosine top-k: for each row of `queries`
     * (id + vector), the k nearest corpus rows by cosine (ties broken by
-    * corpus id). Query sets up to `maxBroadcastQueries` are broadcast
-    * (corpus streams once, no shuffle); larger sets run a distributed
-    * join. Self-matches (same id) are excluded.
+    * corpus id). Query sets within BOTH `maxBroadcastQueries` rows and
+    * `maxBroadcastBytes` estimated bytes are broadcast (corpus streams
+    * once, no shuffle); larger or wider sets run a distributed join.
+    * Self-matches (same id) are excluded.
     */
   def knn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int,
-          maxBroadcastQueries: Long = 1000000L): DataFrame = {
+          maxBroadcastQueries: Long = 1000000L, maxBroadcastBytes: Long = -1L): DataFrame = {
     val n = withNorm(corpus, vecCol)
     val q = withNorm(queries, vecCol)
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col(idCol))
-    // guard counts the raw `queries` frame (same cardinality as q, but a
+    // guard probes the raw `queries` frame (same cardinality as q, but a
     // plain scan instead of the norm projection)
-    val qb = if (atMost(queries, maxBroadcastQueries)) broadcast(q) else q
+    val (rows, elems) = boundedSize(queries, vecCol, maxBroadcastQueries)
+    val qb =
+      if (rows <= maxBroadcastQueries &&
+        estBytes(rows, elems) <= resolveMaxBytes(queries, maxBroadcastBytes)) broadcast(q)
+      else q
     n.join(qb, col(idCol) =!= col("q_id"))
       .selectExpr("q_id", idCol, s"${dotSpark("qv", vecCol)} / (qn * nrm) AS cosine")
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -75,6 +101,7 @@ object VectorSearch {
       idCol: String, vecCol: String, partCol: String,
       nprobe: Int, k: Int,
       maxBroadcastQueries: Long = 1000000L,
+      maxBroadcastBytes: Long = -1L,
   ): DataFrame = {
     val n = withNorm(corpus, vecCol)
     // representatives are one row per partition key — fixed cardinality,
@@ -93,13 +120,17 @@ object VectorSearch {
       .filter(col("prank") <= nprobe)
       .select("q_id", "qv", "qn", partCol)
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col(idCol))
-    // probe is at most queries x nprobe rows: same driver-memory contract
-    // as the query set itself. The guard counts the RAW query frame
-    // against max/nprobe (a cheap bounded scan) rather than the probe
-    // plan itself — probing the derived plan would run the full
-    // query-by-representative window ranking twice per call.
+    // probe is at most queries x nprobe rows, each carrying the query
+    // vector: same driver-memory contract as the query set itself,
+    // scaled by nprobe. The guard sizes the RAW query frame (a cheap
+    // bounded scan) and multiplies by nprobe rather than probing the
+    // derived plan — that would run the full query-by-representative
+    // window ranking twice per call.
+    val np = math.max(nprobe, 1)
+    val (rows, elems) = boundedSize(queries, vecCol, maxBroadcastQueries / np)
     val probeB =
-      if (atMost(queries, maxBroadcastQueries / math.max(nprobe, 1))) broadcast(probe)
+      if (rows <= maxBroadcastQueries / np &&
+        estBytes(rows, elems) * np <= resolveMaxBytes(queries, maxBroadcastBytes)) broadcast(probe)
       else probe
     probeB.join(n, Seq(partCol))
       .filter(col(idCol) =!= col("q_id"))
@@ -224,10 +255,11 @@ object VectorSearch {
       k: Int, nprobe: Int, nClusters: Int,
       iters: Int = 5, sampleN: Int = 4096,
       maxBroadcastQueries: Long = 1000000L,
+      maxBroadcastBytes: Long = -1L,
   ): DataFrame = {
     val cents = trainCentroids(corpus, idCol, vecCol, nClusters, iters, sampleN)
     annIvf(withClusters(corpus, vecCol, cents, "__ivf_cluster"), queries,
-      idCol, vecCol, "__ivf_cluster", nprobe, k, maxBroadcastQueries)
+      idCol, vecCol, "__ivf_cluster", nprobe, k, maxBroadcastQueries, maxBroadcastBytes)
   }
 
   /** Build and persist an IVF index for multi-batch serving: train the
@@ -294,6 +326,7 @@ object VectorSearch {
       spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, nprobe: Int, k: Int,
       maxBroadcastQueries: Long = 1000000L,
+      maxBroadcastBytes: Long = -1L,
   ): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructType}
     // both schemas were pinned at build time: the centroid table's is a
@@ -340,7 +373,13 @@ object VectorSearch {
         .filter(col("cluster").isin(probedClusters.map(Int.box): _*)),
       vecCol)
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col(idCol))
-    val probeB = if (probeRows <= maxBroadcastQueries) broadcast(probe) else probe
+    // byte-aware guard with no extra job: probe rows carry the query
+    // vector, and the index pins the dimension (= centroid length)
+    val probeB =
+      if (probeRows <= maxBroadcastQueries &&
+        estBytes(probeRows, probeRows * cents(0).length) <=
+          resolveMaxBytes(queries, maxBroadcastBytes)) broadcast(probe)
+      else probe
     probeB.join(n, Seq("cluster"))
       .filter(col(idCol) =!= col("q_id"))
       .selectExpr("q_id", idCol, s"${dotSpark("qv", vecCol)} / (qn * nrm) AS cosine")

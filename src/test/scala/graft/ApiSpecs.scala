@@ -174,5 +174,27 @@ class ApiSpecs extends SparkSpec {
     assert(broadcastHints(ivfLarge) < broadcastHints(ivfSmall),
       "oversized probe set must drop its broadcast hint (rep broadcast remains)")
     assert(ivfSmall.orderBy("q_id", "rank").collect().toSeq === ivfLarge.orderBy("q_id", "rank").collect().toSeq)
+
+    // BYTE-aware guard: few rows of WIDE vectors must also refuse the
+    // broadcast hint — row count alone would wave a 4096-dim set through
+    val wideCorpus = (1L to 30L).map(i => (i, Array.tabulate(512)(d => ((i + d) % 7).toFloat)))
+      .toDF("vid", "vec")
+    val wideQueries = wideCorpus.filter($"vid" <= 3L) // 3 rows × 512 dims ≈ 12 KB est
+    val wideOk = VectorSearch.knn(wideCorpus, wideQueries, "vid", "vec", k = 3)
+    val wideRefused = VectorSearch.knn(wideCorpus, wideQueries, "vid", "vec", k = 3,
+      maxBroadcastBytes = 4096L)
+    assert(broadcastHints(wideOk) > 0, "wide-but-small-bytes set should still broadcast")
+    assert(broadcastHints(wideRefused) === 0, "byte bound must veto the broadcast hint")
+    assert(wideOk.orderBy("q_id", "rank").collect().toSeq ===
+      wideRefused.orderBy("q_id", "rank").collect().toSeq)
+
+    // the default byte bound follows spark.sql.autoBroadcastJoinThreshold
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "2048")
+      assert(broadcastHints(
+        VectorSearch.knn(wideCorpus, wideQueries, "vid", "vec", k = 3)) === 0,
+        "default guard must honor the session broadcast threshold")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
