@@ -231,9 +231,12 @@ case class ExtJsonDecode(js: Expression, spec: Expression)
       case ExtJsonSpec.Date =>
         parseWrapped("$date", wantString = false) match {
           case tok: String =>
-            // integer millis only, like from_json's LongType field
-            try java.lang.Long.valueOf(java.lang.Long.parseLong(tok) * 1000L)
-            catch { case _: NumberFormatException => null }
+            // integer millis only, like from_json's LongType field.
+            // multiplyExact: millis beyond the micros long range null out
+            // instead of silently wrapping (timestamp_millis THROWS
+            // there — total null-on-overflow is the kernel's contract)
+            try java.lang.Long.valueOf(Math.multiplyExact(java.lang.Long.parseLong(tok), 1000L))
+            catch { case _: NumberFormatException | _: ArithmeticException => null }
           case _ => null
         }
       case ExtJsonSpec.Dec =>

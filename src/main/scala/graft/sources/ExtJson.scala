@@ -50,28 +50,46 @@ object ExtJson {
     * (interpreted walk + Jackson per row) and is kept only as the
     * fallback for field names the spec literal can't carry.
     *
-    * Known, documented divergence on MISTYPED fields (well-formed JSON
-    * with, e.g., a number where a $oid struct was declared): the kernel
-    * nulls only that field; PERMISSIVE `from_json` nulls every declared
-    * field of the row. The kernel's per-field behavior is the contract —
-    * the fallback is strictly coarser only on inputs that are already
-    * outside the ext-JSON format. Null VALUES (a present field holding
-    * JSON null) decode identically on both paths.
+    * Known, documented divergences — all on inputs already outside the
+    * ext-JSON export format, where the kernel's per-field behavior is
+    * the contract (PropertySpecs fuzzes the in-format domain to zero
+    * divergence):
+    *   - MISTYPED fields (well-formed JSON with, e.g., a number where a
+    *     $oid struct was declared): the kernel nulls only that field;
+    *     PERMISSIVE `from_json` nulls every declared field of the row.
+    *   - NON-STRING values under a Plain field: the kernel preserves the
+    *     raw source text (token or nested-JSON substring, whitespace and
+    *     all); Jackson re-renders (numbers as double text: -1.5e2 ->
+    *     "-150.0"; nested JSON re-serialized compact) and rejects
+    *     lexical forms like leading-zero numbers outright (row null).
+    *   - $date millis whose micros form overflows a long: the kernel
+    *     nulls the field (total); the fallback's timestamp_millis THROWS
+    *     at run time.
+    * Null VALUES (a present field holding JSON null) and trailing
+    * garbage after the document (both paths accept it) decode
+    * identically on both paths.
     */
   def normalize(js: Column, fields: Seq[(String, Kind)]): Seq[Column] =
     specFor(fields) match {
       case Some(spec) =>
         val parsed = call_function("graft_ext_json_decode", js, spec)
         fields.map { case (n, _) => parsed.getField(n).as(n) }
-      case None =>
-        val parsed = from_json(js, schema(fields))
-        fields.map {
-          case (n, Oid)   => lower(parsed.getField(n).getField("$oid")).as(n)
-          case (n, Date)  => timestamp_millis(parsed.getField(n).getField("$date")).as(n)
-          case (n, Dec)   => parsed.getField(n).getField("$numberDecimal").cast(DoubleType).as(n)
-          case (n, Plain) => parsed.getField(n).cast(StringType).as(n)
-        }
+      case None => normalizeFallback(js, fields)
     }
+
+  /** The from_json decode path — the fallback `normalize` takes for
+    * field names the kernel spec literal can't carry. Package-visible so
+    * the equivalence property can drive BOTH paths over one input.
+    */
+  private[graft] def normalizeFallback(js: Column, fields: Seq[(String, Kind)]): Seq[Column] = {
+    val parsed = from_json(js, schema(fields))
+    fields.map {
+      case (n, Oid)   => lower(parsed.getField(n).getField("$oid")).as(n)
+      case (n, Date)  => timestamp_millis(parsed.getField(n).getField("$date")).as(n)
+      case (n, Dec)   => parsed.getField(n).getField("$numberDecimal").cast(DoubleType).as(n)
+      case (n, Plain) => parsed.getField(n).cast(StringType).as(n)
+    }
+  }
 
   /** DataFrame-level normalize: decode ONCE into an intermediate struct
     * column, then extract fields from it in a second projection.

@@ -137,6 +137,111 @@ class PropertySpecs extends SparkSpec {
       java.lang.Double.doubleToRawLongBits(many.getDouble(1)))
   }
 
+  test("ext-JSON kernel decode = from_json fallback across a fuzzed in-format grammar") {
+    import graft.sources.ExtJson
+    import graft.sources.ExtJson._
+    import org.apache.spark.sql.functions.col
+
+    val fields: Seq[(String, Kind)] = Seq("a" -> Oid, "b" -> Date, "c" -> Dec, "d" -> Plain)
+
+    // JSON string rendering: minimal escapes, or everything as \uXXXX
+    def jesc(s: String, escAll: Boolean): String = {
+      val sb = new StringBuilder
+      s.foreach {
+        case c if escAll => sb ++= f"\\u${c.toInt}%04x"
+        case '"' => sb ++= "\\\""
+        case '\\' => sb ++= "\\\\"
+        case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
+        case c => sb += c
+      }
+      sb.toString
+    }
+    val ws = Gen.oneOf("", "", "", " ", "  ", "\n", "\t ")
+    val nastyChar = Gen.frequency(
+      8 -> Gen.choose(32.toChar, 126.toChar),
+      2 -> Gen.oneOf('"', '\\', '\n', '\t', 1.toChar, '{', '}', ',', ':', '$'),
+      1 -> Gen.oneOf('é', '中', ' '))
+    val nastyString = for {
+      k <- Gen.choose(0, 10)
+      cs <- Gen.listOfN(k, nastyChar)
+      emoji <- Gen.oneOf("", "😀") // full pair, never a lone surrogate
+    } yield cs.mkString + emoji
+    val quoted = for {
+      s <- nastyString
+      all <- Gen.frequency(4 -> false, 1 -> true)
+    } yield "\"" + jesc(s, all) + "\""
+
+    val oidInner = Gen.frequency(
+      3 -> Gen.listOfN(24, Gen.oneOf("0123456789abcdefABCDEF".toSeq)).map(s => "\"" + s.mkString + "\""),
+      1 -> quoted)
+    // micros form must fit a long on both paths (timestamp_millis throws
+    // beyond it; the kernel nulls — documented out-of-domain divergence)
+    val dateInner = Gen.choose(-9000000000000000L, 9000000000000000L).map(_.toString)
+    val decInner = Gen.frequency(
+      3 -> Gen.choose(-1e9, 1e9).map(d => "\"" + d.toString + "\""),
+      1 -> Gen.oneOf("0.0", "-0.0", "1e308", "1e999", "-1e999", "  7.5  ", "0042.2500",
+        "12345678901234567890123456789.5", ".5", "2.", "3e-5").map(s => "\"" + s + "\""))
+    // Plain stays in-format: string values, JSON null, or compact
+    // escape-free nested with integer leaves (Jackson re-renders floats
+    // and whitespace — the documented raw-text divergence)
+    val plainVal = Gen.frequency(
+      5 -> quoted,
+      1 -> Gen.oneOf("""{"k":[1,{"z":"w"}]}""", """["x",2,{"y":3}]""", """{"n":{"m":7}}"""),
+      1 -> Gen.const("null"))
+
+    // wrapper: optional extra sibling keys, optional missing $key (both
+    // sides -> null), whitespace everywhere
+    def wrapperGen(wkey: String, inner: Gen[String]): Gen[String] = for {
+      in <- inner
+      w1 <- ws; w2 <- ws; w3 <- ws
+      extra <- Gen.frequency(5 -> Gen.const(None), 1 -> Gen.const(Some("\"other\":[1,\"x\"]")))
+      omit <- Gen.frequency(7 -> Gen.const(false), 1 -> Gen.const(true))
+      order <- Gen.oneOf(true, false)
+    } yield {
+      val kv = if (omit) Nil else List("\"" + wkey + "\"" + w1 + ":" + w2 + in)
+      val ex = extra.toList
+      "{" + w3 + (if (order) ex ++ kv else kv ++ ex).mkString(",") + w3 + "}"
+    }
+
+    val junk = for {
+      name <- Gen.oneOf("zz", "q1", "a$", "$oid", "_x")
+      v <- Gen.oneOf("""{"deep":[1,{"x":"}"}],"s":"a,b:c"}""", "[[[]]]",
+        """"a \" junk"""", "12345", "-1.5e2", "true", "null", """{ "sp" : [ 1 , 2 ] }""")
+    } yield ("\"" + name + "\"", v)
+
+    val wellFormed: Gen[String] = for {
+      a <- wrapperGen("$oid", oidInner).map(v => ("\"a\"", v))
+      b <- wrapperGen("$date", dateInner).map(v => ("\"b\"", v))
+      c <- wrapperGen("$numberDecimal", decInner).map(v => ("\"c\"", v))
+      d <- plainVal.map(v => ("\"d\"", v))
+      picks <- Gen.listOfN(4, Gen.choose(0, 5)) // which of a-d survive
+      junks <- Gen.listOfN(2, junk)
+      nJunk <- Gen.choose(0, 2)
+      dup <- Gen.frequency(7 -> Gen.const(None), 1 -> Gen.const(Some(("\"b\"", """{"$date":1}"""))))
+      shuffleSeed <- Gen.choose(0, 1000)
+      w1 <- ws; w2 <- ws; w3 <- ws
+      trail <- Gen.frequency(8 -> Gen.const(""), 1 -> Gen.const(" trailing-garbage"), 1 -> Gen.const("   "))
+    } yield {
+      val declared = Seq(a, b, c, d).zip(picks).collect { case (kv, p) if p > 0 => kv }
+      val entries = declared ++ junks.take(nJunk) ++ dup.toList
+      val perm = new scala.util.Random(shuffleSeed).shuffle(entries)
+      perm.map { case (k, v) => w1 + k + w2 + ":" + w2 + v }
+        .mkString("{", ",", w3 + "}") + trail
+    }
+    val malformed: Gen[String] = Gen.oneOf(
+      "", "   ", "not json at all", "{", """{"a"}""", """{"a":{"$oid":"ff"""", """{"a":}""")
+    val doc = Gen.frequency(9 -> wellFormed, 1 -> malformed)
+
+    forAll(Gen.listOfN(40, doc), n = 15) { docs =>
+      val df = docs.toDF("js")
+      val fast = df.select(ExtJson.normalize(col("js"), fields): _*).collect()
+      val slow = df.select(ExtJson.normalizeFallback(col("js"), fields): _*).collect()
+      docs.lazyZip(fast).lazyZip(slow).foreach { (d, f, s) =>
+        assert(f.toSeq === s.toSeq, s"kernel vs fallback diverged on doc: <$d>")
+      }
+    }
+  }
+
   test("keyed upsert is idempotent for arbitrary update batches (replay safety)") {
     val updatesGen = Gen.listOf(for {
       key <- Gen.choose(1L, 5L)
