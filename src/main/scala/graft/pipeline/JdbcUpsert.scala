@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, Row}
   * replays the batch — INSERT ... ON CONFLICT/ON DUPLICATE KEY makes the
   * replay harmless. Writes run `foreachPartition` with prepared-
   * statement batches: executor-parallel, one connection per partition,
-  * `batchSize` rows per round trip.
+  * `batchSize` rows per round trip, commit per batch with bounded retry
+  * of transient transaction-rollback aborts (concurrent-writer
+  * deadlock/serialization victims).
   *
   * The Postgres/MySQL SQL text is spec-tested; `write` itself runs
   * live in JdbcLiveSpecs against embedded Derby (real connections,
@@ -85,8 +87,25 @@ object JdbcUpsert {
     rows.grouped(batchSize)
   }
 
+  /** Transaction-rollback SQLState class (40xxx): deadlock victim /
+    * serialization failure / lock timeout — the aborts a database
+    * resolves by killing one of several CONCURRENT writers (Derby
+    * 40001/40XL1, Postgres 40001/40P01, MySQL 40001). The transaction
+    * rolled back cleanly, so a bounded re-execution of the same
+    * idempotent batch is the correct response; any other SQLState
+    * propagates and fails the task.
+    */
+  def isTransient(e: java.sql.SQLException): Boolean =
+    Option(e.getSQLState).exists(_.startsWith("40"))
+
   /** Executor-side writer: one connection per partition, batched
-    * prepared statements, commit per partition.
+    * prepared statements, commit per BATCH. Per-batch commit bounds
+    * what a transient abort has to replay to one in-memory batch (a
+    * per-partition transaction would roll back every prior batch of the
+    * partition, which the single-pass row iterator cannot re-produce).
+    * Partial-partition visibility after a crash is harmless by the same
+    * contract that makes crash-replay safe: upserts are idempotent and
+    * the sync watermark advances only after the whole write succeeds.
     */
   def write(
       df: DataFrame,
@@ -96,6 +115,7 @@ object JdbcUpsert {
       dialect: Dialect,
       batchSize: Int = 1000,
       props: java.util.Properties = new java.util.Properties,
+      maxRetries: Int = 3,
   ): Unit = {
     val cols = df.columns.toSeq
     val sql = upsertSql(dialect, table, cols, keys)
@@ -104,20 +124,46 @@ object JdbcUpsert {
     val bindOrdinals = paramCols(dialect, cols, keys).map(cols.indexOf).toArray
     df.foreachPartition { (rows: Iterator[Row]) =>
       val conn = java.sql.DriverManager.getConnection(url, props)
-      try {
-        conn.setAutoCommit(false)
-        val st = conn.prepareStatement(sql)
-        try {
-          batches(rows, batchSize).foreach { batch =>
+      try writePartition(conn, sql, bindOrdinals, rows, batchSize, maxRetries)
+      finally conn.close()
+    }
+  }
+
+  /** One partition's write loop against an open connection; seam for the
+    * live specs to drive with a fault-injecting connection proxy.
+    */
+  private[graft] def writePartition(
+      conn: java.sql.Connection,
+      sql: String,
+      bindOrdinals: Array[Int],
+      rows: Iterator[Row],
+      batchSize: Int,
+      maxRetries: Int,
+  ): Unit = {
+    conn.setAutoCommit(false)
+    val st = conn.prepareStatement(sql)
+    try {
+      batches(rows, batchSize).foreach { batch =>
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try {
             batch.foreach { r =>
               bindOrdinals.indices.foreach(i => st.setObject(i + 1, r.get(bindOrdinals(i))))
               st.addBatch()
             }
             st.executeBatch()
+            conn.commit()
+            done = true
+          } catch {
+            case e: java.sql.SQLException if isTransient(e) && attempt < maxRetries =>
+              attempt += 1
+              try conn.rollback() catch { case _: java.sql.SQLException => () }
+              st.clearBatch()
+              Thread.sleep(50L * attempt) // linear backoff: victims re-collide less
           }
-          conn.commit()
-        } finally st.close()
-      } finally conn.close()
-    }
+        }
+      }
+    } finally st.close()
   }
 }

@@ -5,7 +5,8 @@ import graft.pipeline.JdbcUpsert.Derby
 import org.apache.spark.sql.DataFrame
 
 /** Live end-to-end of the JDBC sink against embedded Derby — real
-  * connections, prepared-statement batches, per-partition commits, MERGE
+  * connections, prepared-statement batches, per-batch commits with
+  * transient-abort retry, MERGE
   * upserts. This is the execution half the Postgres/MySQL SQL-text specs
   * can't cover without a server (none in this zero-egress container);
   * the write loop under test is byte-for-byte the production path of
@@ -71,6 +72,74 @@ class JdbcLiveSpecs extends SparkSpec {
     JdbcUpsert.write(df, url, "pairs", Seq("a", "b"), Derby)
     JdbcUpsert.write(df, url, "pairs", Seq("a", "b"), Derby)
     assert(readAll(url, "SELECT a, b FROM pairs ORDER BY a") === Seq(Seq(1L, 10L), Seq(2L, 20L)))
+  }
+
+  test("transient 40xxx aborts retry per batch to convergence; non-transient and exhausted retries propagate") {
+    import java.lang.reflect.{InvocationHandler, InvocationTargetException, Method, Proxy}
+    import org.apache.spark.sql.Row
+
+    val url = freshDb()
+    withConn(url)(_.createStatement().execute(
+      "CREATE TABLE rt (k BIGINT PRIMARY KEY, v VARCHAR(16))"))
+    val cols = Seq("k", "v")
+    val sql = JdbcUpsert.upsertSql(Derby, "rt", cols, Seq("k"))
+    val ords = JdbcUpsert.paramCols(Derby, cols, Seq("k")).map(cols.indexOf).toArray
+
+    // fault-injecting connection: the first `failures` executeBatch calls
+    // throw a deadlock-victim abort AFTER the real batch was bound — the
+    // retry must rollback, clearBatch, re-bind, and converge
+    def faultyConn(real: java.sql.Connection, failures: java.util.concurrent.atomic.AtomicInteger,
+                   sqlState: String): java.sql.Connection = {
+      def unwrap[A](f: => A): A =
+        try f catch { case e: InvocationTargetException => throw e.getCause }
+      def stProxy(st: java.sql.PreparedStatement): java.sql.PreparedStatement =
+        Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[java.sql.PreparedStatement]),
+          new InvocationHandler {
+            def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = {
+              if (m.getName == "executeBatch" && failures.getAndDecrement() > 0)
+                throw new java.sql.SQLTransactionRollbackException("injected abort", sqlState)
+              unwrap(m.invoke(st, Option(args).getOrElse(Array.empty): _*))
+            }
+          }).asInstanceOf[java.sql.PreparedStatement]
+      Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+        new InvocationHandler {
+          def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = {
+            val r = unwrap(m.invoke(real, Option(args).getOrElse(Array.empty): _*))
+            if (m.getName == "prepareStatement") stProxy(r.asInstanceOf[java.sql.PreparedStatement]) else r
+          }
+        }).asInstanceOf[java.sql.Connection]
+    }
+
+    val rows = (1L to 5L).map(i => Row(i, s"v$i"))
+    // 2 injected deadlocks across 3 batches (batchSize=2): all rows land
+    val fails = new java.util.concurrent.atomic.AtomicInteger(2)
+    withConn(url) { real =>
+      JdbcUpsert.writePartition(faultyConn(real, fails, "40001"), sql, ords,
+        rows.iterator, batchSize = 2, maxRetries = 3)
+    }
+    assert(fails.get() <= 0, "injected aborts were never hit")
+    assert(readAll(url, "SELECT k, v FROM rt ORDER BY k") ===
+      (1L to 5L).map(i => Seq(i, s"v$i")))
+
+    // exhausted retries: more aborts than maxRetries -> propagates
+    val tooMany = new java.util.concurrent.atomic.AtomicInteger(10)
+    val e1 = intercept[java.sql.SQLException] {
+      withConn(url) { real =>
+        JdbcUpsert.writePartition(faultyConn(real, tooMany, "40XL1"), sql, ords,
+          Seq(Row(9L, "x")).iterator, batchSize = 2, maxRetries = 2)
+      }
+    }
+    assert(JdbcUpsert.isTransient(e1)) // it was transient, just exhausted
+    // non-transient (constraint-class) SQLState: no retry, immediate propagate
+    val oneFail = new java.util.concurrent.atomic.AtomicInteger(1)
+    val e2 = intercept[java.sql.SQLException] {
+      withConn(url) { real =>
+        JdbcUpsert.writePartition(faultyConn(real, oneFail, "23505"), sql, ords,
+          Seq(Row(10L, "y")).iterator, batchSize = 2, maxRetries = 3)
+      }
+    }
+    assert(!JdbcUpsert.isTransient(e2))
+    assert(oneFail.get() === 0, "non-transient must fail on the first call, no retries")
   }
 
   test("crash-replay sync loop: watermark advances only after commit, replays are harmless, NO_DATA closes out") {
