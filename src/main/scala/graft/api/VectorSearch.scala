@@ -301,6 +301,24 @@ object VectorSearch {
     finally out.close()
   }
 
+  /** Append new corpus rows to a persisted [[buildIvfIndex]] index
+    * WITHOUT retraining or rewriting existing data: label the new rows
+    * against the frozen centroids (same codegen'd assignment as the
+    * build) and append them into their `cluster=N` partition dirs. The
+    * quantizer stays fixed — the standard IVF maintenance trade-off:
+    * lists drift from optimal as the distribution shifts, but serving
+    * correctness (exact search within probed lists) is unaffected;
+    * rebuild when drift matters. Schema must match the indexed corpus.
+    */
+  def appendToIvfIndex(newRows: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = newRows.sparkSession
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/_centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, s"no centroids under $path/_centroids")
+    withClusters(newRows, vecCol, cents, "cluster")
+      .write.partitionBy("cluster").mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+  }
+
   /** Serve a query batch from a persisted [[buildIvfIndex]] index.
     * Per batch: read the (tiny) centroid table driver-side, rank
     * clusters per query with codegen'd dot products against broadcast

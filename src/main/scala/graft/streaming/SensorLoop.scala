@@ -49,7 +49,10 @@ object SensorLoop {
     * run fails the whole batch AFTER every run has settled (no
     * cancellation of siblings mid-flight), so the streaming checkpoint
     * does not commit and the batch replays on restart — the reference's
-    * retry unit is the same (one message = one DAG run).
+    * retry unit is the same (one message = one DAG run). Per-run
+    * `retries`/`retryDelay` mirror the reference's task-level
+    * default_args (0 retries, 30-min delay configured) and re-run a
+    * failed file's pipeline in place before the batch verdict.
     */
   def start(
       spark: SparkSession,
@@ -59,6 +62,8 @@ object SensorLoop {
       trigger: Trigger = Trigger.ProcessingTime("2 minutes"),
       maxParallelFiles: Int = 4,
       batchTimeout: FiniteDuration = 10.minutes,
+      retries: Int = 0, // the reference's default_args (retries=0, 30-min delay configured)
+      retryDelay: FiniteDuration = 30.minutes,
   ): StreamingQuery = {
     require(maxParallelFiles >= 1, s"maxParallelFiles must be >= 1 (got $maxParallelFiles)")
     val messages = spark.readStream
@@ -81,7 +86,8 @@ object SensorLoop {
           val pool = java.util.concurrent.Executors.newFixedThreadPool(
             math.min(maxParallelFiles, files.length))
           try {
-            val result = Dag.run(Dag.Spec(nodes, Seq.empty), batchTimeout)(
+            val result = Dag.run(Dag.Spec(nodes, Seq.empty, retries = retries, retryDelay = retryDelay),
+              batchTimeout)(
               ExecutionContext.fromExecutorService(pool))
             result.states.collectFirst { case (runId, f: Dag.FailedState) => (runId, f) }
               .foreach { case (runId, f) =>

@@ -153,6 +153,30 @@ class ApiSpecs extends SparkSpec {
       s"scan read ${scan.metrics("numPartitions").value} partition dirs, want 1 (pruned)")
   }
 
+  test("IVF index append: new rows land in their cluster dirs and serve without retraining") {
+    val vecs = ((1L to 10L).map(i => (i, Array(1.0f, i * 0.01f))) ++
+      (11L to 20L).map(i => (i, Array(-1.0f, i * 0.01f)))).toDF("vid", "vec")
+    val path = tmpDir("ivfapp").resolve("index").toString
+    VectorSearch.buildIvfIndex(vecs, "vid", "vec", path, nClusters = 2, sampleN = 20)
+
+    // appended row is near the (1, 0) cluster; it must become findable
+    val extra = Seq((99L, Array(1.0f, 0.05f))).toDF("vid", "vec")
+    VectorSearch.appendToIvfIndex(extra, "vid", "vec", path)
+    assert(spark.read.parquet(path).count() === 21)
+
+    val q = vecs.filter($"vid" === 1L)
+    val served = VectorSearch.annIvfIndexed(spark, path, q, "vid", "vec", nprobe = 2, k = 21)
+      .collect().map(_.getLong(2))
+    assert(served.contains(99L), s"appended row not served: ${served.toSeq}")
+    // and the full-probe result still equals brute force over the grown corpus
+    val grown = vecs.unionAll(extra)
+    val brute = VectorSearch.knn(grown, q, "vid", "vec", k = 5)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    val ivf = VectorSearch.annIvfIndexed(spark, path, q, "vid", "vec", nprobe = 2, k = 5)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(ivf === brute)
+  }
+
   test("knn/annIvf broadcast guard: oversized query sets plan WITHOUT a query-side broadcast hint, same results") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val corpus = (1L to 40L).map(i => (i, Array(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat), i % 3))

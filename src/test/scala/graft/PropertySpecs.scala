@@ -242,6 +242,20 @@ class PropertySpecs extends SparkSpec {
     }
   }
 
+  test("WAV codec round-trips arbitrary 16-bit sample arrays at arbitrary rates, losslessly") {
+    import graft.multimodal.Multimodal
+    val gen = for {
+      n <- Gen.choose(0, 2000)
+      samples <- Gen.listOfN(n, Gen.chooseNum(Short.MinValue, Short.MaxValue))
+      rate <- Gen.oneOf(8000, 11025, 16000, 22050, 44100, 48000, 1)
+    } yield (samples.map(_.toShort).toArray, rate)
+    forAll(gen, n = 25) { case (samples, rate) =>
+      val d = Multimodal.decodeWav(Multimodal.encodeWav(samples, rate)).get
+      assert(d.sampleRate === rate)
+      assert(d.samples.toSeq === samples.toSeq)
+    }
+  }
+
   test("keyed upsert is idempotent for arbitrary update batches (replay safety)") {
     val updatesGen = Gen.listOf(for {
       key <- Gen.choose(1L, 5L)

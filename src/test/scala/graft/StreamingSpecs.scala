@@ -9,6 +9,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+import scala.concurrent.duration._
+
 class StreamingSpecs extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
@@ -488,5 +490,39 @@ class StreamingSpecs extends SparkSpec {
       spark.read.parquet(s"$sink/run_0_$i/contact").collect().map(_.toSeq)
     }.sortBy(_.head.toString)
     assert(out === Seq(Seq("c1", "ANN"), Seq("c2", "BOB")))
+  }
+
+  test("sensor loop: per-run retries re-run a failed file's pipeline in place (reference default_args knob)") {
+    val dir = tmpDir("sensorretry")
+    val inbox = dir.resolve("inbox")
+    val sink = dir.resolve("sink").toString
+    java.nio.file.Files.createDirectories(inbox)
+    val zip = dir.resolve("drop1.zip")
+    Fixtures.writeZip(zip, Seq(
+      "metadata.json" -> """{"workflow_system_name": "crm", "company_id": 1}""",
+      "contact.json" -> """{"cid": "c7", "name": "kim"}""",
+    ))
+    java.nio.file.Files.writeString(inbox.resolve("msg1.json"),
+      s"""{"s3_bucket": "local", "s3_file_path": "${zip.toString}"}""")
+
+    // first attempt of the run blows up before the pipeline starts; the
+    // retry (same runId) must succeed and complete the batch
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val spec = (runId: String, path: String) => {
+      if (attempts.getAndIncrement() == 0) sys.error("transient resolve failure")
+      PipelineSpec(
+        runId = runId,
+        mappings = Map("contact" -> Seq(
+          FieldMapping("cid", "contact_id"),
+          FieldMapping("upper(name)", "full_name"))),
+        sinkDir = sink,
+      )
+    }
+    val q = SensorLoop.start(spark, inbox.toString, dir.resolve("ckpt").toString, spec,
+      trigger = Trigger.AvailableNow(), retries = 1, retryDelay = 0.seconds)
+    try q.awaitTermination(120000) finally q.stop()
+    assert(attempts.get() === 2, "expected exactly one failed attempt plus one retry")
+    assert(spark.read.parquet(s"$sink/contact").collect().map(_.toSeq).toSeq ===
+      Seq(Seq("c7", "KIM")))
   }
 }
