@@ -95,10 +95,10 @@ object Multimodal {
   // from an encoded payload equal the source bytes exactly.
   // ---------------------------------------------------------------------
 
-  /** Encode raw bytes as a width-fixed grayscale PNG (row-major, zero-
-    * padded final row). Deterministic: same bytes -> same image.
+  /** Raw bytes as a width-fixed grayscale image (row-major, zero-padded
+    * final row). Deterministic: same bytes -> same image.
     */
-  def encodePng(bytes: Array[Byte], width: Int = 64): Array[Byte] = {
+  private def toGrayImage(bytes: Array[Byte], width: Int): java.awt.image.BufferedImage = {
     require(width > 0, "width must be positive")
     val height = math.max(1, (bytes.length + width - 1) / width)
     val img = new java.awt.image.BufferedImage(width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -106,6 +106,60 @@ object Multimodal {
       if (bytes.length == width * height) bytes
       else java.util.Arrays.copyOf(bytes, width * height)
     img.getRaster.setDataElements(0, 0, width, height, padded)
+    img
+  }
+
+  /** Any decoded image to row-major 8-bit luma (ITU-R 601 conversion for
+    * non-gray inputs, via BufferedImage).
+    */
+  private def toGrayPixels(src: java.awt.image.BufferedImage): DecodedImage = {
+    val gray =
+      if (src.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) src
+      else {
+        val g = new java.awt.image.BufferedImage(src.getWidth, src.getHeight,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val gg = g.createGraphics()
+        try gg.drawImage(src, 0, 0, null) finally gg.dispose()
+        g
+      }
+    val px = new Array[Byte](gray.getWidth * gray.getHeight)
+    gray.getRaster.getDataElements(0, 0, gray.getWidth, gray.getHeight, px)
+    DecodedImage(gray.getWidth, gray.getHeight, px)
+  }
+
+  /** Partition-scoped PNG codec: `ImageIO.read`/`ImageIO.write` scan the
+    * provider registry and allocate a fresh cache stream PER CALL; a
+    * per-row map pays that ~50k times per partition sweep. This holds
+    * one reader + one writer and re-points them at each payload — the
+    * "codec handles init once per partition" half of the mapInPandas
+    * batch contract, realized.
+    */
+  private final class PngCodec {
+    private val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    private val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    def encode(img: java.awt.image.BufferedImage, sizeHint: Int): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream(sizeHint + 128)
+      val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      try { writer.setOutput(out); writer.write(img); out.flush() } finally out.close()
+      baos.toByteArray
+    }
+    def decode(png: Array[Byte]): Option[DecodedImage] =
+      try {
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(png))
+        try {
+          reader.setInput(in, true, true)
+          Some(toGrayPixels(reader.read(0)))
+        } finally in.close()
+      } catch { case _: java.io.IOException | _: RuntimeException => None }
+  }
+
+  /** Encode raw bytes as a width-fixed grayscale PNG. One-shot form (per
+    * call registry lookup); the partition-parallel paths amortize the
+    * codec via [[PngCodec]].
+    */
+  def encodePng(bytes: Array[Byte], width: Int = 64): Array[Byte] = {
+    val img = toGrayImage(bytes, width)
     val baos = new java.io.ByteArrayOutputStream(bytes.length + 128)
     javax.imageio.ImageIO.write(img, "png", baos)
     baos.toByteArray
@@ -118,22 +172,8 @@ object Multimodal {
   final case class DecodedImage(width: Int, height: Int, pixels: Array[Byte])
 
   def decodeImage(png: Array[Byte]): Option[DecodedImage] =
-    try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))).map { src =>
-        val gray =
-          if (src.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) src
-          else {
-            val g = new java.awt.image.BufferedImage(src.getWidth, src.getHeight,
-              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-            val gg = g.createGraphics()
-            try gg.drawImage(src, 0, 0, null) finally gg.dispose()
-            g
-          }
-        val px = new Array[Byte](gray.getWidth * gray.getHeight)
-        gray.getRaster.getDataElements(0, 0, gray.getWidth, gray.getHeight, px)
-        DecodedImage(gray.getWidth, gray.getHeight, px)
-      }
-    } catch { case _: java.io.IOException => None }
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))).map(toGrayPixels)
+    catch { case _: java.io.IOException => None }
 
   /** Area-average downsample by an integer factor (each output pixel =
     * floor(mean) of its factor x factor block, partial blocks averaged
@@ -195,9 +235,12 @@ object Multimodal {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        (id, encodePng(bytes, width), "image/png", bytes.length.toLong)
+      .mapPartitions { it =>
+        val codec = new PngCodec // init once per partition, not per row
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (id, codec.encode(toGrayImage(bytes, width), bytes.length), "image/png", bytes.length.toLong)
+        }
       }
       .toDF("doc_id", "payload", "modality", "declared_bytes")
   }
@@ -214,8 +257,9 @@ object Multimodal {
     media.select("doc_id", "payload", "modality", "declared_bytes")
       .as[MediaRecord]
       .mapPartitions { it =>
+        val codec = new PngCodec // init once per partition, not per row
         it.flatMap { r =>
-          decodeImage(r.payload).map { d =>
+          codec.decode(r.payload).map { d =>
             var sum = 0L
             var i = 0
             while (i < d.pixels.length) { sum += (d.pixels(i) & 0xff); i += 1 }
@@ -247,6 +291,89 @@ object Multimodal {
     * samples back.
     */
   def encodeWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val (ais, sizeHint) = pcmStream(samples, sampleRate)
+    val baos = new java.io.ByteArrayOutputStream(sizeHint + 64)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Shared decode tail: any PCM variant the JDK reads is converted to
+    * signed 16-bit little-endian; multi-channel audio keeps channel 0
+    * (deterministic, no resampling).
+    */
+  private def decodeAudioStream(src: javax.sound.sampled.AudioInputStream): DecodedAudio = {
+    val target = new javax.sound.sampled.AudioFormat(
+      src.getFormat.getSampleRate, 16, src.getFormat.getChannels, true, false)
+    val pcm =
+      if (src.getFormat.matches(target)) src
+      else javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+    val raw = pcm.readAllBytes()
+    val ch = target.getChannels
+    val n = raw.length / (2 * ch)
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { // channel 0 = first frame slot; LE byte pair
+      val base = i * 2 * ch
+      out(i) = ((raw(base) & 0xff) | (raw(base + 1) << 8)).toShort
+      i += 1
+    }
+    DecodedAudio(math.round(target.getSampleRate), out)
+  }
+
+  /** Decode a WAV payload through the real javax.sound codec.
+    * Undecodable payloads return None (the DLQ row, not an exception).
+    */
+  def decodeWav(wav: Array[Byte]): Option[DecodedAudio] =
+    try Some(decodeAudioStream(javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))))
+    catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None // unsupported conversion
+    }
+
+  /** Partition-scoped WAV codec — the audio twin of [[PngCodec]]: the
+    * SPI provider lists are resolved once per partition and reused,
+    * instead of going through AudioSystem's per-call provider dispatch.
+    * Same real javax.sound readers/writers, same results.
+    */
+  private final class WavCodec {
+    import javax.sound.sampled._
+    private def providers[A](cls: Class[A]): Seq[A] = {
+      val it = java.util.ServiceLoader.load(cls).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[A]
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    }
+    private val writers =
+      providers(classOf[spi.AudioFileWriter]).filter(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+    private val readers = providers(classOf[spi.AudioFileReader])
+    require(writers.nonEmpty && readers.nonEmpty, "no WAV providers in this JDK")
+
+    def encode(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val (ais, sizeHint) = pcmStream(samples, sampleRate)
+      val baos = new java.io.ByteArrayOutputStream(sizeHint + 64)
+      writers.head.write(ais, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    def decode(wav: Array[Byte]): Option[DecodedAudio] = {
+      val it = readers.iterator
+      while (it.hasNext) {
+        try return Some(decodeAudioStream(
+          it.next().getAudioInputStream(new java.io.ByteArrayInputStream(wav))))
+        catch {
+          case _: UnsupportedAudioFileException => // next provider
+          case _: java.io.IOException => return None
+          case _: IllegalArgumentException => return None
+        }
+      }
+      None
+    }
+  }
+
+  /** Mono signed 16-bit little-endian PCM stream over `samples`. */
+  private def pcmStream(samples: Array[Short], sampleRate: Int): (javax.sound.sampled.AudioInputStream, Int) = {
     require(sampleRate > 0, "sampleRate must be positive")
     val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
     val bytes = new Array[Byte](samples.length * 2)
@@ -256,44 +383,9 @@ object Multimodal {
       bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
       i += 1
     }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
-    val baos = new java.io.ByteArrayOutputStream(bytes.length + 64)
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-    baos.toByteArray
+    (new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong), bytes.length)
   }
-
-  /** Decode a WAV payload through the real javax.sound codec: any PCM
-    * variant the JDK reads is converted to signed 16-bit little-endian;
-    * multi-channel audio keeps channel 0 (deterministic, no resampling).
-    * Undecodable payloads return None (the DLQ row, not an exception).
-    */
-  def decodeWav(wav: Array[Byte]): Option[DecodedAudio] =
-    try {
-      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(wav))
-      val target = new javax.sound.sampled.AudioFormat(
-        src.getFormat.getSampleRate, 16, src.getFormat.getChannels, true, false)
-      val pcm =
-        if (src.getFormat.matches(target)) src
-        else javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
-      val raw = pcm.readAllBytes()
-      val ch = target.getChannels
-      val n = raw.length / (2 * ch)
-      val out = new Array[Short](n)
-      var i = 0
-      while (i < n) { // channel 0 = first frame slot; LE byte pair
-        val base = i * 2 * ch
-        out(i) = ((raw(base) & 0xff) | (raw(base + 1) << 8)).toShort
-        i += 1
-      }
-      Some(DecodedAudio(math.round(target.getSampleRate), out))
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-      case _: IllegalArgumentException => None // unsupported conversion
-    }
 
   /** Audio features from REAL decoded samples. */
   final case class AudioFeatures(
@@ -312,12 +404,15 @@ object Multimodal {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val samples = new Array[Short](bytes.length)
-        var i = 0
-        while (i < bytes.length) { samples(i) = (bytes(i) & 0xff).toShort; i += 1 }
-        (id, encodeWav(samples, sampleRate), "audio/wav", bytes.length.toLong)
+      .mapPartitions { it =>
+        val codec = new WavCodec // init once per partition, not per row
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val samples = new Array[Short](bytes.length)
+          var i = 0
+          while (i < bytes.length) { samples(i) = (bytes(i) & 0xff).toShort; i += 1 }
+          (id, codec.encode(samples, sampleRate), "audio/wav", bytes.length.toLong)
+        }
       }
       .toDF("doc_id", "payload", "modality", "declared_bytes")
   }
@@ -333,8 +428,9 @@ object Multimodal {
     media.select("doc_id", "payload", "modality", "declared_bytes")
       .as[MediaRecord]
       .mapPartitions { it =>
+        val codec = new WavCodec // init once per partition, not per row
         it.flatMap { r =>
-          decodeWav(r.payload).map { d =>
+          codec.decode(r.payload).map { d =>
             var sum = 0L
             var i = 0
             while (i < d.samples.length) { sum += d.samples(i); i += 1 }
