@@ -42,7 +42,10 @@ object VectorSearch {
     */
   private def boundedSize(df: DataFrame, vecCol: String, maxRows: Long): (Long, Long) = {
     val probe = math.min(math.max(maxRows, 0L) + 1L, Int.MaxValue.toLong).toInt
-    val r = df.limit(probe).agg(count(lit(1)), sum(size(col(vecCol)))).head()
+    // coalesce: a null vector contributes 0 elements regardless of the
+    // session's size(NULL) semantics (legacy mode returns -1, which
+    // would DEFLATE the estimate)
+    val r = df.limit(probe).agg(count(lit(1)), sum(coalesce(size(col(vecCol)), lit(0)))).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
@@ -301,6 +304,35 @@ object VectorSearch {
     finally out.close()
   }
 
+  /** The index's centroid table, collected and ordered driver-side (it
+    * is nClusters tiny rows) with the pinned literal schema — no
+    * inference job, no Spark sort. Shared by serving and append.
+    */
+  private def loadCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructType}
+    val centSchema = new StructType()
+      .add("cluster", IntegerType).add("centroid", ArrayType(DoubleType))
+    val cents = spark.read.schema(centSchema).parquet(s"$path/_centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, s"no centroids under $path/_centroids")
+    cents
+  }
+
+  /** The labeled-corpus schema pinned at build time ([[buildIvfIndex]]'s
+    * `_schema.json`), read driver-side via the filesystem — no job.
+    */
+  private def loadIndexSchema(
+      spark: org.apache.spark.sql.SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val sp = new org.apache.hadoop.fs.Path(s"$path/_schema.json")
+    val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(sp)
+    try org.apache.spark.sql.types.DataType.fromJson(
+      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    finally in.close()
+  }
+
   /** Append new corpus rows to a persisted [[buildIvfIndex]] index
     * WITHOUT retraining or rewriting existing data: label the new rows
     * against the frozen centroids (same codegen'd assignment as the
@@ -308,14 +340,23 @@ object VectorSearch {
     * quantizer stays fixed — the standard IVF maintenance trade-off:
     * lists drift from optimal as the distribution shifts, but serving
     * correctness (exact search within probed lists) is unaffected;
-    * rebuild when drift matters. Schema must match the indexed corpus.
+    * rebuild when drift matters.
+    *
+    * The labeled rows must match the schema pinned at build time —
+    * checked here (names + types), because a drifted append succeeds at
+    * write time but poisons every future serving batch (the pinned-
+    * schema scan hits a Parquet type mismatch, or nulls out renamed
+    * columns).
     */
   def appendToIvfIndex(newRows: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = newRows.sparkSession
-    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/_centroids")
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
-    require(cents.nonEmpty, s"no centroids under $path/_centroids")
-    withClusters(newRows, vecCol, cents, "cluster")
+    val labeled = withClusters(newRows, vecCol, loadCentroids(spark, path), "cluster")
+    val pinned = loadIndexSchema(spark, path)
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType.catalogString)).toSeq
+    require(shape(labeled.schema) == shape(pinned),
+      s"append schema ${shape(labeled.schema)} does not match the indexed corpus ${shape(pinned)}")
+    labeled
       .write.partitionBy("cluster").mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
   }
 
@@ -346,24 +387,12 @@ object VectorSearch {
       maxBroadcastQueries: Long = 1000000L,
       maxBroadcastBytes: Long = -1L,
   ): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructType}
     // both schemas were pinned at build time: the centroid table's is a
     // known literal, the labeled corpus's is in _schema.json (read
     // driver-side via the filesystem — no inference job either way).
     // The centroid sort is driver-side too: it's nClusters tiny rows.
-    val centSchema = new StructType()
-      .add("cluster", IntegerType).add("centroid", ArrayType(DoubleType))
-    val cents: Array[Array[Double]] = spark.read.schema(centSchema)
-      .parquet(s"$path/_centroids")
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
-    require(cents.nonEmpty, s"no centroids under $path/_centroids")
-    val sp = new org.apache.hadoop.fs.Path(s"$path/_schema.json")
-    val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
-    val in = fs.open(sp)
-    val corpusSchema =
-      try org.apache.spark.sql.types.DataType.fromJson(
-        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
-      finally in.close()
+    val cents = loadCentroids(spark, path)
+    val corpusSchema = loadIndexSchema(spark, path)
     val q = withNorm(queries, vecCol)
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
     // per-query cluster ranking as one sorted literal array: struct sort

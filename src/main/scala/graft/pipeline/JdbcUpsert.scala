@@ -94,9 +94,30 @@ object JdbcUpsert {
     * rolled back cleanly, so a bounded re-execution of the same
     * idempotent batch is the correct response; any other SQLState
     * propagates and fails the task.
+    *
+    * Drivers wrap the real abort: `executeBatch` failures surface as
+    * `BatchUpdateException` whose own SQLState is a batch-level code
+    * (Derby XJ208) with the 40xxx state only on the CHAINED exception —
+    * so the whole `getNextException`/`getCause` graph is walked
+    * (bounded, cycle-safe), not just the top-level state.
     */
-  def isTransient(e: java.sql.SQLException): Boolean =
-    Option(e.getSQLState).exists(_.startsWith("40"))
+  def isTransient(e: java.sql.SQLException): Boolean = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean])
+    def walk(t: Throwable): Boolean =
+      t != null && seen.add(t) && seen.size <= 16 && {
+        (t match {
+          case sq: java.sql.SQLException => Option(sq.getSQLState).exists(_.startsWith("40"))
+          case _ => false
+        }) ||
+        (t match {
+          case sq: java.sql.SQLException => walk(sq.getNextException)
+          case _ => false
+        }) ||
+        walk(t.getCause)
+      }
+    walk(e)
+  }
 
   /** Executor-side writer: one connection per partition, batched
     * prepared statements, commit per BATCH. Per-batch commit bounds

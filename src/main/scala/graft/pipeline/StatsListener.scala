@@ -74,9 +74,20 @@ final class StatsListener(runId: String, alertSink: AlertSink = new LogAlertSink
   }
 
   override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = {
-    // the dag_utils.py:34 TODO, implemented: failed status row + alert
-    stats.add(StepStat(runId, funcName, "FAILED", 0L, None))
-    alertSink.alert(runId, funcName, exception.getMessage)
+    // the dag_utils.py:34 TODO, implemented: failed status row + alert —
+    // scoped to THIS run like onSuccess: every listener sees every failed
+    // query on the shared session, and concurrent runs (sensor fan-out)
+    // must not cross-attribute failures or cross-fire alerts. Scoping
+    // key = this run's observe node in the analyzed plan (observed
+    // METRICS are empty on failure; the plan node is still there).
+    val step = scala.util.Try(qe.analyzed.collectFirst {
+      case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+        if c.name.startsWith(ObservePrefix) => c.name.stripPrefix(ObservePrefix)
+    }).toOption.flatten
+    step.foreach { s =>
+      stats.add(StepStat(runId, s, "FAILED", 0L, None))
+      alertSink.alert(runId, s, exception.getMessage)
+    }
   }
 
   def snapshot: Seq[StepStat] = stats.asScala.toSeq

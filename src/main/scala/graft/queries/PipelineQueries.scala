@@ -253,7 +253,12 @@ object PipelineQueries {
         FROM documents ORDER BY doc_id
       """.trim),
       (spark, dir) => {
-        // the PNG encode+decode is by far the most expensive projection in
+        // Oracle-domain note (here and q63): Spark computes over UTF-8
+        // BYTES; the SQL recomputes via per-CHARACTER ascii(), and
+        // list_sum of an empty list is NULL. The forms coincide exactly
+        // on non-empty ASCII text — which TESTDATA documents are by
+        // construction — and diverge outside it.
+        // The PNG encode+decode is by far the most expensive projection in
         // the catalog — absolutely not one to execute twice for sampling
         graft.Sorting.projected(Tables(spark, dir).documents, col("doc_id"))(d =>
           Multimodal.extractImageFeatures(Multimodal.asPngMedia(d, width = 64)).toDF())

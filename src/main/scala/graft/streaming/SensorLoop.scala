@@ -61,7 +61,12 @@ object SensorLoop {
       specFor: (String, String) => PipelineSpec,
       trigger: Trigger = Trigger.ProcessingTime("2 minutes"),
       maxParallelFiles: Int = 4,
-      batchTimeout: FiniteDuration = 10.minutes,
+      // default is effectively unbounded — a slow-but-progressing batch
+      // must never flip into a deterministic timeout/replay loop (the
+      // pre-fan-out sequential loop had no deadline either). A finite
+      // deadline must cover (retries+1) * (runTime + retryDelay) for the
+      // slowest file (Dag.run's contract).
+      batchTimeout: FiniteDuration = 365.days,
       retries: Int = 0, // the reference's default_args (retries=0, 30-min delay configured)
       retryDelay: FiniteDuration = 30.minutes,
   ): StreamingQuery = {

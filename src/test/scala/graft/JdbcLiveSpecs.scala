@@ -86,8 +86,11 @@ class JdbcLiveSpecs extends SparkSpec {
     val ords = JdbcUpsert.paramCols(Derby, cols, Seq("k")).map(cols.indexOf).toArray
 
     // fault-injecting connection: the first `failures` executeBatch calls
-    // throw a deadlock-victim abort AFTER the real batch was bound — the
-    // retry must rollback, clearBatch, re-bind, and converge
+    // throw AFTER the real batch was bound — the retry must rollback,
+    // clearBatch, re-bind, and converge. Thrown in Derby's REAL shape: a
+    // BatchUpdateException whose own SQLState is the batch-level XJ208,
+    // with the 40xxx abort only on the CHAINED exception (a top-level-
+    // state-only isTransient would miss it and never retry)
     def faultyConn(real: java.sql.Connection, failures: java.util.concurrent.atomic.AtomicInteger,
                    sqlState: String): java.sql.Connection = {
       def unwrap[A](f: => A): A =
@@ -96,8 +99,12 @@ class JdbcLiveSpecs extends SparkSpec {
         Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[java.sql.PreparedStatement]),
           new InvocationHandler {
             def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = {
-              if (m.getName == "executeBatch" && failures.getAndDecrement() > 0)
-                throw new java.sql.SQLTransactionRollbackException("injected abort", sqlState)
+              if (m.getName == "executeBatch" && failures.getAndDecrement() > 0) {
+                val bue = new java.sql.BatchUpdateException(
+                  "injected batch failure", "XJ208", 0, Array.empty[Int])
+                bue.setNextException(new java.sql.SQLTransactionRollbackException("injected abort", sqlState))
+                throw bue
+              }
               unwrap(m.invoke(st, Option(args).getOrElse(Array.empty): _*))
             }
           }).asInstanceOf[java.sql.PreparedStatement]

@@ -98,6 +98,46 @@ class PipelineRunnerSpec extends SparkSpec {
     intercept[Exception] {
       PipelineRunner.run(spark, Map("bad" -> bad), spec, alerts)
     }
+    // the dag_utils TODO behavior: the failure fired an alert attributed
+    // to THIS run and step
+    import scala.jdk.CollectionConverters._
+    assert(alerts.alerts.asScala.exists { case (r, s, _) => r == "run_test_2" && s == "bad" },
+      alerts.alerts.asScala.toSeq.toString)
+  }
+
+  test("a failing run's FAILED row and alert stay scoped to that run under concurrency") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("pipelinefailscope")
+    val goodSpec = PipelineSpec(
+      runId = "runGood",
+      mappings = Map("contact" -> Seq(FieldMapping("x", "x"))),
+      sinkDir = dir.resolve("good").toString)
+    val badSpec = PipelineSpec(
+      runId = "runBad",
+      mappings = Map("contact" -> Seq(FieldMapping("assert_true(x < 0, 'boom')", "chk"), FieldMapping("x", "x"))),
+      sinkDir = dir.resolve("bad").toString)
+    val alertsGood = new LogAlertSink
+    val alertsBad = new LogAlertSink
+    val goodF = Future(PipelineRunner.run(spark, Map("contact" -> (1L to 9L).toDF("x")), goodSpec, alertsGood))
+    val badF = Future(PipelineRunner.run(spark, Map("contact" -> (1L to 3L).toDF("x")), badSpec, alertsBad))
+    val statsGood = Await.result(goodF, 2.minutes)
+    intercept[Exception](Await.result(badF, 2.minutes))
+    // the bad run alerted under ITS id; the healthy run saw neither a
+    // FAILED stats row nor an alert (the shared-session listener must
+    // scope failures by observe node, not record every failed query).
+    // Grace period first: listener delivery is async, and a cross-fired
+    // alert would arrive late — the negative asserts must not pass by
+    // racing it
+    Thread.sleep(1000)
+    assert(alertsBad.alerts.asScala.exists { case (r, s, _) => r == "runBad" && s == "contact" },
+      alertsBad.alerts.asScala.toSeq.toString)
+    assert(alertsGood.alerts.asScala.isEmpty, alertsGood.alerts.asScala.toSeq.toString)
+    assert(!statsGood.exists(_.status == "FAILED"), statsGood.toString)
+    assert(statsGood.exists(s => s.status == "COMPLETED" && s.rows.contains(9L)))
   }
 
   test("two concurrent runs on one shared session never cross-attribute stats rows") {
