@@ -289,6 +289,32 @@ object Analytics {
       },
     ),
     Q(
+      "q64_range_frame",
+      "RANGE-frame window: per-customer sliding 90-day order total over a " +
+        "numeric day key. RANGE frames bound by VALUE distance (all peers " +
+        "included), unlike q11's ROWS frame; decimal accumulation keeps the " +
+        "sliding sum order-independent across engines.",
+      Some("""
+        SELECT o_orderkey, o_custkey,
+          CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+            RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_90d
+        FROM orders ORDER BY o_orderkey
+      """.trim),
+      (spark, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("d")).rangeBetween(-90, 0)
+        Tables(spark, dir).orders
+          .withColumn("d",
+            datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01"))).cast("long"))
+          .select(
+            col("o_orderkey"), col("o_custkey"), col("d"),
+            Num.dsumRaw(col("o_totalprice")).over(w).cast("double").as("sum_90d"))
+          .orderBy("o_orderkey")
+      },
+    ),
+    Q(
       "q12_setops",
       "Set operations: INTERSECT/EXCEPT of customer keys vs. ordering customers.",
       Some("""
