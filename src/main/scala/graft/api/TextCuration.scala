@@ -151,6 +151,132 @@ object TextCuration {
       .selectExpr(Seq(idCol, "s_en", "s_es", "s_de", "s_fr", s"$langPredCase AS pred_lang") ++ keep: _*)
   }
 
+  /** Gopher-style repetition statistics per document: word-bigram
+    * duplicate fraction and top-bigram coverage, plus a `repetitive`
+    * flag on the published thresholds (dup fraction > 0.2 or any single
+    * bigram covering > 0.18 of the text). The standard repeated-content
+    * quality filter for web-scale corpora (Rae et al., Gopher §A1.2).
+    *
+    * Scale shape: explode on (doc, bigram) then two aggregations — the
+    * first groupBy has map-side partial aggregation, so the shuffle
+    * carries one row per DISTINCT (doc, bigram), not per token; work is
+    * proportional to corpus tokens with no join and no n² anywhere.
+    * Counts are integers and the fractions single IEEE divisions, so
+    * results are bit-identical across engines and partitionings.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.selectExpr(idCol, s"${textBigramsSpark(textCol)} AS __bg")
+      .select(col(idCol), explode(col("__bg")).as("__b"))
+      .groupBy(idCol, "__b").agg(count(lit(1)).as("__cnt"))
+      .groupBy(idCol)
+      .agg(
+        sum("__cnt").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max("__cnt").as("top_bigram_n"))
+      .select(
+        col(idCol), col("n_bigrams"), col("n_distinct_bigrams"), col("top_bigram_n"),
+        ((col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams").cast("double"))
+          .as("dup_bigram_frac"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams").cast("double")).as("top_bigram_frac"))
+      .withColumn("repetitive", col("dup_bigram_frac") > 0.2 || col("top_bigram_frac") > 0.18)
+
+  /** Default PII-shaped redaction classes: (name, regex, replacement).
+    * Patterns stay inside the Java ∩ RE2 regex subset (no backrefs, no
+    * lookaround) so engine and any RE2-based oracle agree byte-for-byte.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "[EMAIL]"),
+    ("ipv4", """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b""", "[IP]"),
+  )
+
+  /** Pattern redaction: per-class match counts over the ORIGINAL text
+    * plus the text after redacting every class in sequence. Counting on
+    * the original keeps the per-class stats independent of class order;
+    * the replacement fold is the order given. Narrow map-only pass —
+    * regexes run inside the scan pipeline (codegen'd built-ins), no
+    * shuffle, no UDFs, so the pass costs one corpus scan at any scale.
+    */
+  def redactPatterns(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[(String, String, String)] = PiiPatterns,
+  ): DataFrame = {
+    require(patterns.nonEmpty, "redactPatterns needs at least one (name, regex, replacement) class")
+    val counted = patterns.foldLeft(df.select(col(idCol), col(textCol))) {
+      case (acc, (name, re, _)) =>
+        acc.withColumn(s"n_$name", regexp_count(col(textCol), lit(re)).cast("long"))
+    }
+    val redacted = patterns.foldLeft(col(textCol)) {
+      case (acc, (_, re, repl)) => regexp_replace(acc, lit(re), lit(repl))
+    }
+    counted
+      .withColumn("redacted", redacted)
+      .withColumn("changed", col("redacted") =!= col(textCol))
+      .drop(textCol)
+  }
+
+  /** Benchmark decontamination: for every training document, the number
+    * of its distinct trigram shingles that also occur in `benchmark`
+    * (the held-out eval corpus), and a `contaminated` flag. Standard
+    * n-gram test-set-overlap filtering (GPT-3 appendix C / PaLM style).
+    *
+    * Scale shape: the benchmark shingle set is distinct-reduced and
+    * broadcast (eval sets are orders of magnitude smaller than training
+    * corpora by construction); the training side explodes to (doc,
+    * shingle) and aggregates back with map-side combine — one corpus
+    * scan, no shuffle join against the corpus, no n².
+    */
+  def decontaminate(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+  ): DataFrame = {
+    val benchSh = benchmark
+      .selectExpr(s"${textShinglesSpark(textCol)} AS __sh")
+      .select(explode(col("__sh")).as("__s")).distinct()
+      .withColumn("__hit", lit(1))
+    train
+      .selectExpr(idCol, s"${textShinglesSpark(textCol)} AS __sh")
+      .select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"), explode(col("__sh")).as("__s"))
+      .join(broadcast(benchSh), Seq("__s"), "left")
+      .groupBy(idCol)
+      .agg(max("n_shingles").as("n_shingles"), count(col("__hit")).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** Token-budget sequence packing: concat-then-chunk pack assignment,
+    * the standard LM pre-training layout. Documents are laid out in
+    * `idCol` order within each `shardCol` partition; `pack_id` is the
+    * fixed-`budget` chunk where each document STARTS, `pack_offset` its
+    * token offset inside that chunk, `spans_boundary` whether it crosses
+    * into the next chunk.
+    *
+    * Scale shape: one window (cumulative BIGINT sum) partitioned on the
+    * shard key — shards pack independently, so the shuffle is one
+    * hash-partition on shard and no global sort exists; exact integer
+    * arithmetic makes the assignment deterministic on any cluster.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shardCol: String,
+      budget: Long,
+  ): DataFrame = {
+    require(budget > 0, s"pack budget must be positive: $budget")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    df.select(col(idCol), col(shardCol),
+        size(split(col(textCol), lit(" "))).cast("long").as("n_tokens"))
+      .withColumn("__cum", sum("n_tokens").over(w))
+      .select(
+        col(idCol), col(shardCol), col("n_tokens"),
+        expr(s"(__cum - n_tokens) DIV $budget").as("pack_id"),
+        expr(s"(__cum - n_tokens) % $budget").as("pack_offset"))
+      .withColumn("spans_boundary", col("pack_offset") + col("n_tokens") > budget)
+  }
+
   /** The full curation pipeline: exact-dedup canonicals ∖ near-dup
     * higher-ids, quality floor, language allowlist. Returns
     * (id, pred_lang, quality) for surviving docs.

@@ -447,6 +447,48 @@ object VectorSearch {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Symmetric int8 quantization stats per vector: `scale` = max|x|/127,
+    * each component mapped to round-half-up(x/scale) clamped to
+    * [-127, 127], plus the reconstruction error (`err_l2`, `rmse`) of
+    * dequantizing back. The embedding-compression step of a large ANN
+    * serving stack (16× smaller than float64, 4× smaller than float32).
+    *
+    * Determinism: floats widen to double before any arithmetic; the
+    * round is an explicit floor(x/scale + 0.5) — never a libm/banker's
+    * round — and the squared-error reduction is a strict left fold in
+    * index order, so results are bit-identical across engines and
+    * partitionings. All-zero vectors quantize to scale 0 with zero
+    * error rather than dividing by zero.
+    *
+    * Scale shape: narrow per-row expressions inside the scan pipeline —
+    * no shuffle, no UDFs. `__mx` is materialized one projection below
+    * its uses so the per-element lambda never re-evaluates the max
+    * (multi-referenced non-cheap aliases are not collapsed into
+    * consumers by Catalyst; see the HOF-inlining note in TextKit).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // per-dim quantized value as a SQL snippet over element `qx` (double)
+    def qOf(x: String) = s"greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), floor($x / __scale + 0.5d)))"
+    val sqErr = s"aggregate(transform($vecCol, qx -> " +
+      s"(CAST(qx AS DOUBLE) - ${qOf("CAST(qx AS DOUBLE)")} * __scale) * " +
+      s"(CAST(qx AS DOUBLE) - ${qOf("CAST(qx AS DOUBLE)")} * __scale)), " +
+      "CAST(0.0 AS DOUBLE), (qe_acc, qe_v) -> qe_acc + qe_v)"
+    df.select(col(idCol), col(vecCol),
+        expr(s"array_max(transform($vecCol, qm -> abs(CAST(qm AS DOUBLE))))").as("__mx"))
+      .withColumn("__scale", col("__mx") / 127.0)
+      .selectExpr(
+        idCol,
+        s"CAST(size($vecCol) AS BIGINT) AS n_dims",
+        "__scale AS scale",
+        // scale == 0 iff max|x| == 0 (the all-zero vector): quantized
+        // and reconstructed values are all zero, so the error is zero —
+        // testing scale (not __mx) keeps __mx single-referenced, so
+        // CollapseProject folds it into __scale without duplicating the
+        // array_max pass.
+        s"CASE WHEN __scale = 0.0d THEN 0.0d ELSE sqrt($sqErr) END AS err_l2")
+      .withColumn("rmse", col("err_l2") / sqrt(col("n_dims").cast("double")))
+  }
+
   /** Sign-LSH bucketed near-dup pairs: candidates only within a bucket
     * (one shuffle on bucket id), exact cosine on candidates.
     */

@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.Tables
+import graft.api.{TextCuration, VectorSearch}
+import graft.operators.TextKit._
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond the similarity/dedup family —
+  * the remaining passes a 100 TB LLM-training-data pipeline runs
+  * between raw crawl and tokenizer: repetition-based quality filtering
+  * (Gopher), PII/pattern redaction (C4-style), benchmark
+  * decontamination (GPT-3 appendix C), token-budget sequence packing,
+  * and int8 embedding compression for the ANN serving tier.
+  *
+  * Every query delegates to the public APIs
+  * ([[graft.api.TextCuration]], [[graft.api.VectorSearch]]) and is
+  * hash-matched against a bit-identical DuckDB oracle: counts are
+  * integers, fractions single IEEE divisions, reductions strict left
+  * folds — deterministic under any partitioning.
+  *
+  * Scale design: repetition/redaction/packing/quantization are one
+  * corpus scan each (the only shuffle is the repetition groupBy and the
+  * per-shard packing window); decontamination broadcasts the distinct
+  * benchmark shingle set and streams the training corpus once. No
+  * corpus-sized joins, no n².
+  */
+object Curation {
+
+  /** A redaction class that actually hits this corpus's vocabulary —
+    * exercises the replacement path alongside the zero-hit PII
+    * defaults (the synthetic word-soup contains no emails or IPs,
+    * which the oracle confirms by matching the all-zero counts).
+    */
+  private val termClass: (String, String, String) =
+    ("term", """\b(key|hash|token|secret)\b""", "[TERM]")
+
+  private val packBudget = 256L
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "q65_repetition",
+      "Gopher-style repetition filter signals: per-doc word-bigram " +
+        "duplicate fraction and top-bigram coverage + the repetitive flag. " +
+        "Explode -> two-level aggregation with map-side combine; shuffle " +
+        "carries one row per distinct (doc, bigram).",
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS tok FROM documents),
+        bg AS (SELECT doc_id, unnest(${bigramsDuck("tok")}) AS b FROM t),
+        c AS (SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY doc_id, b),
+        m AS (SELECT doc_id,
+                CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                count(*) AS n_distinct_bigrams,
+                CAST(max(cnt) AS BIGINT) AS top_bigram_n
+              FROM c GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, n_distinct_bigrams, top_bigram_n,
+          CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS dup_bigram_frac,
+          CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac,
+          (CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) > 0.2
+            OR CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) > 0.18) AS repetitive
+        FROM m ORDER BY doc_id
+      """.trim),
+      (spark, dir) =>
+        TextCuration.repetitionStats(Tables(spark, dir).documents, "doc_id", "text")
+          .orderBy("doc_id"),
+    ),
+    Q(
+      "q66_redaction",
+      "Pattern redaction with per-class hit counts: PII defaults " +
+        "(email, IPv4 — zero hits on this corpus, plumbing proven by the " +
+        "matched zero counts) plus a term class that does hit. Counts over " +
+        "the original text, replacements applied in sequence; map-only pass.",
+      {
+        val (_, emailRe, emailRepl) = TextCuration.PiiPatterns(0)
+        val (_, ipRe, ipRepl) = TextCuration.PiiPatterns(1)
+        val (_, termRe, termRepl) = termClass
+        Some(s"""
+          WITH r AS (SELECT doc_id, text,
+            len(regexp_extract_all(text, '$emailRe')) AS n_email,
+            len(regexp_extract_all(text, '$ipRe')) AS n_ipv4,
+            len(regexp_extract_all(text, '$termRe')) AS n_term,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '$emailRe', '$emailRepl', 'g'),
+              '$ipRe', '$ipRepl', 'g'),
+              '$termRe', '$termRepl', 'g') AS redacted
+          FROM documents)
+          SELECT doc_id, n_email, n_ipv4, n_term, redacted,
+            (redacted <> text) AS changed
+          FROM r ORDER BY doc_id
+        """.trim)
+      },
+      (spark, dir) =>
+        // Sorting.projected: a plain orderBy's range sampling would run
+        // the three regex passes twice over every doc
+        graft.Sorting.projected(Tables(spark, dir).documents, col("doc_id"))(
+          TextCuration.redactPatterns(_, "doc_id", "text",
+            TextCuration.PiiPatterns :+ termClass)),
+    ),
+    Q(
+      "q67_decontaminate",
+      "Benchmark decontamination: distinct-trigram overlap of every " +
+        "training doc against the held-out eval set (doc_id % 97 = 0), " +
+        "GPT-3-style. Bench shingle set distinct-reduced and broadcast; " +
+        "training corpus streams once.",
+      Some(s"""
+        WITH sh AS (SELECT doc_id, ${shinglesDuck(tokensDuck("text"))} AS sh FROM documents),
+        b AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
+        e AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0)
+        SELECT e.doc_id,
+          CAST(max(e.n_shingles) AS BIGINT) AS n_shingles,
+          count(b.s) AS n_overlap,
+          (count(b.s) > 0) AS contaminated
+        FROM e LEFT JOIN b ON e.s = b.s
+        GROUP BY e.doc_id ORDER BY e.doc_id
+      """.trim),
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        TextCuration.decontaminate(
+          docs.filter("doc_id % 97 <> 0"), docs.filter("doc_id % 97 = 0"),
+          "doc_id", "text")
+          .orderBy("doc_id")
+      },
+    ),
+    Q(
+      "q68_seq_packing",
+      "Token-budget sequence packing (concat-then-chunk, budget " +
+        s"$packBudget): per-shard cumulative token offsets -> pack id / " +
+        "offset / boundary-span flag. One window partitioned on the shard " +
+        "key, exact BIGINT arithmetic; shards pack independently (no " +
+        "global sort).",
+      Some(s"""
+        WITH t AS (SELECT doc_id, source, len(${tokensDuck("text")}) AS n_tokens FROM documents),
+        c AS (SELECT doc_id, source, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t)
+        SELECT doc_id, source, n_tokens,
+          CAST((cum - n_tokens) // $packBudget AS BIGINT) AS pack_id,
+          CAST((cum - n_tokens) % $packBudget AS BIGINT) AS pack_offset,
+          ((cum - n_tokens) % $packBudget + n_tokens > $packBudget) AS spans_boundary
+        FROM c ORDER BY doc_id
+      """.trim),
+      (spark, dir) =>
+        TextCuration.packSequences(Tables(spark, dir).documents,
+          "doc_id", "text", "source", packBudget)
+          .orderBy("doc_id"),
+    ),
+    Q(
+      "q69_embed_quantize",
+      "Symmetric int8 embedding quantization: per-vector scale " +
+        "(max|x|/127), explicit floor(x/scale + 0.5) rounding, " +
+        "reconstruction error via strict left-fold SSE. Narrow map-only " +
+        "pass — the compression step of an ANN serving tier.",
+      {
+        val qDuck = "greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), " +
+          "CAST(floor(CAST(qx AS DOUBLE) / scale + 0.5) AS BIGINT)))"
+        val errDuck = s"(CAST(qx AS DOUBLE) - $qDuck * scale) * (CAST(qx AS DOUBLE) - $qDuck * scale)"
+        Some(s"""
+          WITH m AS (SELECT vec_id, embedding,
+                       list_max(list_transform(embedding, qm -> abs(CAST(qm AS DOUBLE)))) AS mx
+                     FROM embeddings),
+          s AS (SELECT vec_id, embedding, mx / 127.0 AS scale FROM m),
+          e AS (SELECT vec_id,
+                  CAST(len(embedding) AS BIGINT) AS n_dims,
+                  scale,
+                  CASE WHEN scale = 0.0 THEN 0.0 ELSE
+                    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(embedding, qx -> $errDuck)),
+                      (qe_a, qe_b) -> qe_a + qe_b))
+                  END AS err_l2
+                FROM s)
+          SELECT vec_id, n_dims, scale, err_l2,
+            err_l2 / sqrt(CAST(n_dims AS DOUBLE)) AS rmse
+          FROM e ORDER BY vec_id
+        """.trim)
+      },
+      (spark, dir) =>
+        VectorSearch.quantizeInt8(Tables(spark, dir).embeddings, "vec_id", "embedding")
+          .orderBy("vec_id"),
+    ),
+  )
+}

@@ -1,0 +1,163 @@
+package graft
+
+import graft.api.{TextCuration, VectorSearch}
+import org.apache.spark.sql.functions._
+
+/** Specs for the corpus-curation operators behind q65–q69: repetition
+  * stats, pattern redaction, decontamination, sequence packing, int8
+  * quantization. The catalog entries are oracle-gated at sf0.01; these
+  * pin semantics on hand-computable frames with NON-documents column
+  * names (API genericity) plus the invariants an oracle can't express
+  * (recall vs a naive reference, error bounds, idempotence).
+  */
+class CurationSpecs extends SparkSpec {
+  import spark.implicits._
+
+  // ---- repetitionStats ----------------------------------------------------
+
+  test("repetitionStats: repeated text flags repetitive, diverse text does not, single-token docs drop") {
+    val corpus = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"), // 9 bigrams, all "spam spam"
+      (2L, "one two three four five six seven eight nine ten"), // all distinct
+      (3L, "solo"), // no bigrams -> absent
+    ).toDF("pid", "body")
+    val out = TextCuration.repetitionStats(corpus, "pid", "body")
+      .orderBy("pid").collect()
+    assert(out.length === 2)
+    val r1 = out(0)
+    assert(r1.getLong(1) === 9L)   // n_bigrams
+    assert(r1.getLong(2) === 1L)   // n_distinct_bigrams
+    assert(r1.getLong(3) === 9L)   // top_bigram_n
+    assert(r1.getDouble(4) === 8.0 / 9.0) // dup_bigram_frac
+    assert(r1.getDouble(5) === 1.0)       // top_bigram_frac
+    assert(r1.getBoolean(6))              // repetitive
+    val r2 = out(1)
+    assert(r2.getLong(1) === 9L && r2.getLong(2) === 9L && r2.getLong(3) === 1L)
+    assert(r2.getDouble(4) === 0.0 && !r2.getBoolean(6))
+  }
+
+  // ---- redactPatterns -----------------------------------------------------
+
+  test("redactPatterns: PII classes hit and replace; counts are over the original text; idempotent") {
+    val corpus = Seq(
+      (1L, "contact bob@example.com or admin@test.org at 10.0.0.1 today"),
+      (2L, "nothing sensitive here at all"),
+    ).toDF("pid", "body")
+    val out = TextCuration.redactPatterns(corpus, "pid", "body").orderBy("pid").collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) === 2L) // n_email
+    assert(r1.getLong(2) === 1L) // n_ipv4
+    assert(r1.getString(3) === "contact [EMAIL] or [EMAIL] at [IP] today")
+    assert(r1.getBoolean(4)) // changed
+    val r2 = out(1)
+    assert(r2.getLong(1) === 0L && r2.getLong(2) === 0L && !r2.getBoolean(4))
+
+    // idempotence: redacting the redacted text changes nothing
+    val redacted = Seq((1L, r1.getString(3))).toDF("pid", "body")
+    val again = TextCuration.redactPatterns(redacted, "pid", "body").collect()(0)
+    assert(again.getLong(1) === 0L && again.getLong(2) === 0L && !again.getBoolean(4))
+  }
+
+  test("redactPatterns: class order affects only the replacement fold, not the counts") {
+    // the IP is inside a string an email pattern could swallow if counts
+    // ran on partially-redacted text; both orders must report the same counts
+    val corpus = Seq((1L, "x 1.2.3.4 y a@b.co z")).toDF("pid", "body")
+    val fwd = TextCuration.redactPatterns(corpus, "pid", "body", TextCuration.PiiPatterns).collect()(0)
+    val rev = TextCuration.redactPatterns(corpus, "pid", "body", TextCuration.PiiPatterns.reverse).collect()(0)
+    assert(fwd.getLong(1) === 1L && fwd.getLong(2) === 1L)
+    // reversed column order: n_ipv4 first
+    assert(rev.getLong(1) === 1L && rev.getLong(2) === 1L)
+    assert(fwd.getString(3) === rev.getString(3))
+  }
+
+  // ---- decontaminate ------------------------------------------------------
+
+  test("decontaminate matches a naive driver-side shingle-intersection reference") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "beta gamma delta unrelated words here"),   // shares "beta gamma delta" with bench 1
+      (3L, "totally disjoint content nothing shared at all"),
+      (4L, "alpha beta gamma delta epsilon zeta"),     // identical to bench doc 1
+    )
+    val bench = Seq((10L, "alpha beta gamma delta epsilon zeta"))
+    def shingles(t: String): Set[String] =
+      t.split(" ").toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val benchSet = bench.map(b => shingles(b._2)).reduce(_ ++ _)
+    val expected = docs.map { case (id, t) => id -> shingles(t).count(benchSet) }.toMap
+
+    val out = TextCuration.decontaminate(
+      docs.toDF("pid", "body"), bench.toDF("pid", "body"), "pid", "body")
+      .orderBy("pid").collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(2) === expected(id).toLong, s"doc $id overlap")
+      assert(r.getBoolean(3) === (expected(id) > 0), s"doc $id flag")
+    }
+    // sanity on the fixture itself: one full-overlap, one partial, one clean
+    assert(expected(4L) === shingles(docs(3)._2).size && expected(2L) === 1 && expected(3L) === 0)
+  }
+
+  // ---- packSequences ------------------------------------------------------
+
+  test("packSequences: concat-then-chunk offsets on a hand-computed shard") {
+    val docs = Seq(
+      (1L, "a", ("t " * 100).trim),  // 100 tokens -> pack 0, offset 0
+      (2L, "a", ("t " * 100).trim),  // pack 0, offset 100
+      (3L, "a", ("t " * 100).trim),  // starts at 200, spans into pack 1
+      (4L, "a", ("t " * 60).trim),   // cum 300 -> pack 1, offset 44
+      (5L, "b", ("t " * 10).trim),   // fresh shard: pack 0, offset 0
+    ).toDF("pid", "shard", "body")
+    val out = TextCuration.packSequences(docs, "pid", "body", "shard", budget = 256L)
+      .orderBy("pid").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(out === Array(
+      (1L, 0L, 0L, false),
+      (2L, 0L, 100L, false),
+      (3L, 0L, 200L, true),
+      (4L, 1L, 44L, false),
+      (5L, 0L, 0L, false),
+    ))
+  }
+
+  test("packSequences invariants hold on the sf0.001 documents table") {
+    val budget = 256L
+    val out = TextCuration.packSequences(
+      Tables(spark, "/root/testdata/sf0.001").documents, "doc_id", "text", "source", budget)
+    // offset always inside the pack; span flag consistent with offset+len
+    assert(out.filter(col("pack_offset") < 0 || col("pack_offset") >= budget).isEmpty)
+    assert(out.filter((col("pack_offset") + col("n_tokens") > budget) =!= col("spans_boundary")).isEmpty)
+    // pack_id nondecreasing in id order within each shard
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    assert(out.withColumn("prev", lag("pack_id", 1).over(w))
+      .filter(col("prev").isNotNull && col("pack_id") < col("prev")).isEmpty)
+  }
+
+  // ---- quantizeInt8 -------------------------------------------------------
+
+  test("quantizeInt8: hand-computed scale and error; zero vector is safe") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),
+    ).toDF("vid", "v")
+    val out = VectorSearch.quantizeInt8(vecs, "vid", "v").orderBy("vid").collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) === 3L)
+    assert(r1.getDouble(2) === 1.0 / 127.0) // scale
+    // q = [127, -63, 0]: only the middle dim has error |−0.5 − (−63/127)|
+    val expErr = math.abs(-0.5 - (-63.0 * (1.0 / 127.0)))
+    assert(math.abs(r1.getDouble(3) - expErr) < 1e-15)
+    val r2 = out(1)
+    assert(r2.getDouble(2) === 0.0 && r2.getDouble(3) === 0.0 && r2.getDouble(4) === 0.0)
+  }
+
+  test("quantizeInt8: reconstruction error bounded by sqrt(d) * scale / 2 on random vectors") {
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * (i % 7 + 1)))).toDF("vid", "v")
+    val bad = VectorSearch.quantizeInt8(vecs, "vid", "v")
+      .filter(col("err_l2") > sqrt(col("n_dims").cast("double")) * col("scale") / 2.0 * 1.0000001)
+    assert(bad.isEmpty)
+  }
+}
