@@ -277,6 +277,32 @@ object TextCuration {
       .withColumn("spans_boundary", col("pack_offset") + col("n_tokens") > budget)
   }
 
+  /** Near-dup CLUSTER assignment for the whole corpus: MinHash-LSH
+    * candidate pairs -> connected components -> every doc labeled with
+    * its cluster (cluster id = min doc id in the component; docs in no
+    * pair are their own singleton cluster), plus the cluster size and
+    * a canonical flag. Pairs say "these two look alike"; dedup policy
+    * needs the transitive closure — keep one doc per CLUSTER.
+    *
+    * Scale shape: components via alternating large-star/small-star
+    * ([[graft.operators.ConnectedComponents]], O(log² n) rounds of
+    * key-shuffles); the size is a groupBy + join on cluster_id rather
+    * than a count-over-window so a giant cluster (template spam) hits
+    * AQE's skew-join split instead of serializing one window partition.
+    */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = minhashCandidates(df, idCol, textCol)
+    val comp = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", idCol)
+    val labeled = df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        (col(idCol) === col("cluster_id")).as("is_canonical"))
+  }
+
   /** The full curation pipeline: exact-dedup canonicals ∖ near-dup
     * higher-ids, quality floor, language allowlist. Returns
     * (id, pred_lang, quality) for surviving docs.
