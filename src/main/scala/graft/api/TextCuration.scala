@@ -303,6 +303,65 @@ object TextCuration {
         (col(idCol) === col("cluster_id")).as("is_canonical"))
   }
 
+  /** Deterministic stratified sampling — the domain-mixing step of a
+    * corpus build ("keep 25% of crawl, 100% of wiki, drop spam").
+    * `ratesBp` maps a stratum value to its keep rate in basis points
+    * (0..10000); strata not in the map get `defaultBp`.
+    *
+    * The per-row coin is `poly_hash(id ':' salt) % 10000` — a pure
+    * function of the row id, so the sample is reproducible across
+    * runs, engines, partitionings, and cluster sizes (never
+    * `rand()`), rows keep/drop consistently as rates change (nested
+    * samples: raising a rate only ADDS rows), and distinct `salt`
+    * values draw independent samples. Map-only pass: the rate lookup
+    * is a codegen'd CASE over the fixed map, no join, no shuffle.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      ratesBp: Map[String, Int],
+      defaultBp: Int,
+      salt: String = "",
+  ): DataFrame = {
+    require((ratesBp.values ++ Seq(defaultBp)).forall(bp => bp >= 0 && bp <= 10000),
+      s"rates are basis points in [0, 10000]: $ratesBp default=$defaultBp")
+    require(!salt.contains("'"), s"salt must not contain quotes: $salt")
+    def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+    val cases = ratesBp.toSeq.sortBy(_._1)
+      .map { case (s, bp) => s"WHEN ${sqlStr(s)} THEN ${bp}" }.mkString(" ")
+    val bpExpr = s"CASE $strataCol $cases ELSE $defaultBp END"
+    val coin = s"${polySpark(s"concat(CAST($idCol AS STRING), ':', '$salt')")} % 10000"
+    df.withColumn("sample_coin", expr(coin).cast("long"))
+      .filter(expr(s"sample_coin < $bpExpr"))
+  }
+
+  /** Per-doc top-`k` rarity-weighted terms: score = tf / df (term
+    * frequency over corpus document frequency), rank by (score desc,
+    * term asc). The TF-IDF family with a RATIONAL weight: 1/df is
+    * monotone in the usual ln((N+1)/(df+1)) idf, and a single IEEE
+    * division is correctly rounded — bit-identical across engines —
+    * where ln is not (libm vs JDK differ in the last ulp). Rankings
+    * with mixed tf can order differently than ln-idf; for
+    * cross-engine-exact pipelines that trade is right.
+    *
+    * Scale shape: explode -> (doc, term) partial-agg groupBy, (term)
+    * groupBy for df, shuffle join back on term (zipf-skewed on common
+    * terms — AQE skew split applies; common terms score near zero but
+    * still flow through the join), then one row_number window per doc.
+    */
+  def rarityTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = df.selectExpr(idCol, s"explode(${tokensSpark(textCol)}) AS term")
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
   /** The full curation pipeline: exact-dedup canonicals ∖ near-dup
     * higher-ids, quality floor, language allowlist. Returns
     * (id, pred_lang, quality) for surviving docs.

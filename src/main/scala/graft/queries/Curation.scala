@@ -191,6 +191,49 @@ object Curation {
           .orderBy("doc_id"),
     ),
     Q(
+      "q71_stratified_sample",
+      "Deterministic stratified sampling (domain mixing): per-source keep " +
+        "rates in basis points, coin = poly_hash(id ':' salt) % 10000 — " +
+        "reproducible on any engine/partitioning, nested as rates grow. " +
+        "Map-only pass, rate lookup is a codegen'd CASE (no join).",
+      {
+        val coin = s"${polyDuck("CAST(doc_id AS VARCHAR) || ':mix1'")} % 10000"
+        Some(s"""
+          SELECT doc_id, source, $coin AS sample_coin
+          FROM documents
+          WHERE $coin < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 0
+                        WHEN 'src2' THEN 5000 ELSE 2500 END
+          ORDER BY doc_id
+        """.trim)
+      },
+      (spark, dir) =>
+        TextCuration.stratifiedSample(Tables(spark, dir).documents, "doc_id", "source",
+          Map("src0" -> 10000, "src1" -> 0, "src2" -> 5000), defaultBp = 2500, salt = "mix1")
+          .select("doc_id", "source", "sample_coin")
+          .orderBy("doc_id"),
+    ),
+    Q(
+      "q72_rarity_terms",
+      "Per-doc top-3 rarity-weighted terms: score = tf/df (rational TF-IDF " +
+        "weight — a single correctly-rounded IEEE division keeps it " +
+        "cross-engine exact where ln-idf is not). Explode -> two partial-agg " +
+        "groupBys, shuffle join on term, one row_number window per doc.",
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(${tokensDuck("text")}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                CAST(tf.tf AS DOUBLE) / CAST(dfq.df AS DOUBLE) AS score
+              FROM tf JOIN dfq USING (term)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM s)
+        SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+      """.trim),
+      (spark, dir) =>
+        TextCuration.rarityTerms(Tables(spark, dir).documents, "doc_id", "text", 3)
+          .orderBy("doc_id", "rnk"),
+    ),
+    Q(
       "q69_embed_quantize",
       "Symmetric int8 embedding quantization: per-vector scale " +
         "(max|x|/127), explicit floor(x/scale + 0.5) rounding, " +

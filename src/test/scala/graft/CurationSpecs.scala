@@ -134,6 +134,49 @@ class CurationSpecs extends SparkSpec {
       .filter(col("prev").isNotNull && col("pack_id") < col("prev")).isEmpty)
   }
 
+  // ---- stratifiedSample ---------------------------------------------------
+
+  test("stratifiedSample: rate 0 drops all, 10000 keeps all, samples nest as rates grow") {
+    val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("pid", "grp")
+    def ids(ratesA: Int, ratesB: Int) =
+      TextCuration.stratifiedSample(docs, "pid", "grp", Map("a" -> ratesA, "b" -> ratesB), 0)
+        .select("pid").collect().map(_.getLong(0)).toSet
+    assert(ids(0, 0).isEmpty)
+    assert(ids(10000, 0) === (1L to 400L).filter(_ % 2 == 0).toSet)
+    // nesting: every row kept at 2500 bp survives at 5000 bp
+    val s25 = ids(2500, 2500); val s50 = ids(5000, 5000)
+    assert(s25.subsetOf(s50))
+    // roughly proportional (hash uniformity, generous band)
+    assert(s50.size > s25.size && s25.size > 20 && s50.size < 350)
+    // same salt -> identical; different salt -> different draw
+    val again = TextCuration.stratifiedSample(docs, "pid", "grp", Map("a" -> 2500, "b" -> 2500), 0)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(again === s25)
+    val salted = TextCuration.stratifiedSample(docs, "pid", "grp", Map("a" -> 2500, "b" -> 2500), 0, salt = "x")
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(salted !== s25)
+  }
+
+  // ---- rarityTerms --------------------------------------------------------
+
+  test("rarityTerms: rare terms outrank common ones; ties break on term; k bounds rows") {
+    val docs = Seq(
+      (1L, "common common common unique1"),
+      (2L, "common zz aa"), // aa/zz tie on score 1.0 -> aa first
+      (3L, "common"),
+    ).toDF("pid", "body")
+    val out = TextCuration.rarityTerms(docs, "pid", "body", 2)
+      .orderBy("pid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    // doc 1: unique1 df=1 tf=1 -> score 1.0 beats common tf=3 df=3 -> 1.0... tie!
+    // common: tf=3, df=3 -> 1.0; unique1: 1/1 -> 1.0; tie -> 'common' < 'unique1'
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq === Seq("common", "unique1"))
+    assert(out.filter(_._1 == 2L).map(_._2).toSeq === Seq("aa", "zz"))
+    assert(out.filter(_._1 == 3L).map(_._2).toSeq === Seq("common"))
+    // df of common is 3 everywhere
+    assert(out.filter(_._2 == "common").forall(_._4 == 3L))
+  }
+
   // ---- quantizeInt8 -------------------------------------------------------
 
   test("quantizeInt8: hand-computed scale and error; zero vector is safe") {
