@@ -362,6 +362,34 @@ object TextCuration {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
   }
 
+  /** Sliding-window document chunking — long docs split into fixed
+    * token windows (`size` tokens every `stride`; overlap = size −
+    * stride), the standard pre-tokenizer layout for context-bounded
+    * training and retrieval indexing. One row per (doc, chunk) with
+    * the 0-based token offset, actual token count (the tail chunk may
+    * be short), and the chunk text.
+    *
+    * Map-only: tokenize + integer-sequence explode + slice inside one
+    * scan pipeline — no shuffle, no join; output rows ≈ input tokens /
+    * stride. Exact integer arithmetic and a deterministic string join
+    * keep it oracle-checkable.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String, size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size: size=$size stride=$stride")
+    df.selectExpr(idCol, s"${tokensSpark(textCol)} AS __tok")
+      .selectExpr(idCol, "__tok", "CAST(size(__tok) AS BIGINT) AS __n")
+      .filter(col("__n") >= 1)
+      .selectExpr(idCol, "__tok", "__n",
+        s"explode(sequence(CAST(0 AS BIGINT), __n - 1, CAST($stride AS BIGINT))) AS __s")
+      .selectExpr(
+        idCol,
+        s"__s DIV $stride AS chunk_id",
+        "__s AS chunk_start",
+        s"CAST(least(CAST($size AS BIGINT), __n - __s) AS BIGINT) AS n_chunk_tokens",
+        s"array_join(slice(__tok, CAST(__s + 1 AS INT), $size), ' ') AS chunk_text")
+  }
+
   /** The full curation pipeline: exact-dedup canonicals ∖ near-dup
     * higher-ids, quality floor, language allowlist. Returns
     * (id, pred_lang, quality) for surviving docs.

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order statistics that stay distributed at any group size. */
+object Stats {
+
+  /** Exact per-group median via a VALUE HISTOGRAM — the scale-safe
+    * exact quantile when the value domain is bounded (quantities,
+    * money cents, ratings, ages): one partial-aggregated shuffle
+    * builds the (keys, value, count) histogram, and the cumulative
+    * scan + median selection run over the tiny histogram. A
+    * sort/row_number median funnels every group's raw rows into one
+    * partition — at 100 TB a single group would serialize through one
+    * task; here the corpus-sized pass is a plain groupBy with map-side
+    * combine, and the window only ever sees |distinct values| rows per
+    * group.
+    *
+    * Median of n values = the ((n+1) div 2)-th and (n div 2 + 1)-th
+    * order statistics averaged (equal when n is odd), found as the
+    * first histogram values whose cumulative count reaches those
+    * positions. The average is a single IEEE division over exactly
+    * representable sums, so results are bit-identical cross-engine.
+    * Null values are excluded (SQL aggregate convention — and null
+    * sort position differs between engines, so including them would
+    * break the cross-engine contract).
+    *
+    * Returns one row per key group: (keys..., n_rows, median).
+    */
+  def histogramMedian(df: DataFrame, keyCols: Seq[String], valCol: String): DataFrame = {
+    val kcols = keyCols.map(col)
+    val hist = df
+      .filter(col(valCol).isNotNull)
+      .groupBy((keyCols :+ valCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    hist
+      .withColumn("cum", sum("cnt").over(Window.partitionBy(kcols: _*).orderBy(col(valCol))))
+      .withColumn("n_rows", sum("cnt").over(Window.partitionBy(kcols: _*)))
+      .groupBy(kcols: _*)
+      .agg(
+        max("n_rows").as("n_rows"),
+        min(when(expr("cum >= (n_rows + 1) DIV 2"), col(valCol))).as("__lo"),
+        min(when(expr("cum >= n_rows DIV 2 + 1"), col(valCol))).as("__hi"))
+      .withColumn("median", (col("__lo") + col("__hi")) / 2.0)
+      .drop("__lo", "__hi")
+  }
+}

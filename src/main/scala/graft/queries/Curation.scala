@@ -234,6 +234,28 @@ object Curation {
           .orderBy("doc_id", "rnk"),
     ),
     Q(
+      "q73_doc_chunking",
+      "Sliding-window document chunking (64-token windows every 48): one " +
+        "row per chunk with token offset, actual length, and text — the " +
+        "pre-tokenizer layout for context-bounded training. Map-only: " +
+        "tokenize + integer-sequence explode + slice in one scan pipeline.",
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS tok FROM documents),
+        n AS (SELECT doc_id, tok, CAST(len(tok) AS BIGINT) AS n FROM t WHERE len(tok) >= 1),
+        s AS (SELECT doc_id, tok, n, unnest(generate_series(0, n - 1, 48)) AS st FROM n)
+        SELECT doc_id,
+          CAST(st // 48 AS BIGINT) AS chunk_id,
+          st AS chunk_start,
+          CAST(least(64, n - st) AS BIGINT) AS n_chunk_tokens,
+          array_to_string(tok[st + 1 : st + 64], ' ') AS chunk_text
+        FROM s ORDER BY doc_id, chunk_id
+      """.trim),
+      (spark, dir) =>
+        TextCuration.chunkDocuments(Tables(spark, dir).documents, "doc_id", "text",
+          size = 64, stride = 48)
+          .orderBy("doc_id", "chunk_id"),
+    ),
+    Q(
       "q69_embed_quantize",
       "Symmetric int8 embedding quantization: per-vector scale " +
         "(max|x|/127), explicit floor(x/scale + 0.5) rounding, " +

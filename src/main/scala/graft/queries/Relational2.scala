@@ -312,6 +312,35 @@ object Relational2 {
       },
     ),
     Q(
+      "q74_hist_median",
+      "EXACT per-group median via value histogram: one partial-agg " +
+        "shuffle builds the (group, value, count) histogram; cumulative " +
+        "scan + order-statistic selection run on the tiny histogram — " +
+        "never a per-group raw-row sort (which funnels a 100 TB group " +
+        "through one task). The exact counterpart to q58's sketch path, " +
+        "valid whenever the value domain is bounded.",
+      Some("""
+        WITH h AS (SELECT l_returnflag, l_quantity AS v, count(*) AS cnt
+                   FROM lineitem GROUP BY 1, 2),
+        c AS (SELECT l_returnflag, v, cnt,
+                sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+                sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+              FROM h),
+        m AS (SELECT l_returnflag,
+                CAST(max(n) AS BIGINT) AS n_rows,
+                min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS lo,
+                min(CASE WHEN cum >= n // 2 + 1 THEN v END) AS hi
+              FROM c GROUP BY 1)
+        SELECT l_returnflag, n_rows, (lo + hi) / 2.0 AS median_qty
+        FROM m ORDER BY l_returnflag
+      """.trim),
+      (spark, dir) =>
+        graft.operators.Stats.histogramMedian(
+          Tables(spark, dir).lineitem, Seq("l_returnflag"), "l_quantity")
+          .withColumnRenamed("median", "median_qty")
+          .orderBy("l_returnflag"),
+    ),
+    Q(
       "q55_approx_distinct",
       "HyperLogLog++ approximate distinct counts per group (the sketch " +
         "path for 100 TB cardinality estimation). Sketch values are " +

@@ -177,6 +177,51 @@ class CurationSpecs extends SparkSpec {
     assert(out.filter(_._2 == "common").forall(_._4 == 3L))
   }
 
+  // ---- chunkDocuments -----------------------------------------------------
+
+  test("chunkDocuments: offsets, short tail, full reconstruction at stride == size") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+    ).toDF("pid", "body")
+    // size 4, stride 3: starts 0,3,6,9 -> lengths 4,4,4,1
+    val out = TextCuration.chunkDocuments(docs, "pid", "body", size = 4, stride = 3)
+      .orderBy("pid", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toSeq ===
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+    assert(out.filter(_._1 == 1L).head._5 === "w1 w2 w3 w4")
+    assert(out.filter(_._1 == 1L).last._5 === "w10")
+    assert(out.filter(_._1 == 2L).map(_._5).toSeq === Seq("only three tokens"))
+
+    // stride == size: chunks partition the doc exactly; concatenation
+    // round-trips the original text
+    val exact = TextCuration.chunkDocuments(docs, "pid", "body", size = 4, stride = 4)
+      .orderBy("pid", "chunk_id").collect()
+    val rebuilt = exact.filter(_.getLong(0) == 1L).map(_.getString(4)).mkString(" ")
+    assert(rebuilt === (1 to 10).map(i => s"w$i").mkString(" "))
+    assert(exact.map(r => r.getLong(3)).sum === 13L) // 10 + 3 tokens total, no overlap
+  }
+
+  // ---- histogramMedian ----------------------------------------------------
+
+  test("histogramMedian matches a sort-based reference per group; nulls excluded") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map { i =>
+      val g = s"g${i % 3}"
+      val v: java.lang.Double = if (i % 50 == 0) null else rnd.nextInt(20).toDouble
+      (g, v)
+    }
+    val out = graft.operators.Stats.histogramMedian(rows.toDF("grp", "v"), Seq("grp"), "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val vs = rs.flatMap(r => Option(r._2).map(_.doubleValue)).sorted
+      val n = vs.length
+      val expMed = (vs((n + 1) / 2 - 1) + vs(n / 2 + 1 - 1)) / 2.0
+      assert(out(g) === ((n.toLong, expMed)), s"group $g")
+    }
+  }
+
   // ---- quantizeInt8 -------------------------------------------------------
 
   test("quantizeInt8: hand-computed scale and error; zero vector is safe") {
