@@ -65,25 +65,78 @@ object TextCuration {
       .select(col(idCol) +: (0 until MinhashK).map(i => col("__ms")(i).as(s"m$i")): _*)
   }
 
-  /** MinHash-LSH candidate pairs (band equi-join) with the estimated
-    * similarity (matching-permutation fraction).
+  /** LSH band rows for a corpus: one row per (doc, band) carrying the
+    * full signature and the band key — the join shape of
+    * [[minhashCandidates]] and the storage layout of the persisted
+    * index ([[buildLshIndex]]).
     */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private def lshBands(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bandKeys = (0 until LshBands).map { bnd =>
       val key = (0 until LshRows).map(r => s"m${bnd * LshRows + r}").mkString(", ")
       s"concat_ws(',', $key)"
     }.mkString(", ")
     val mcols = (0 until MinhashK).map(i => s"m$i")
-    val bands = minhashSignatures(df, idCol, textCol)
+    minhashSignatures(df, idCol, textCol)
       .selectExpr((idCol +: mcols) :+ s"posexplode(array($bandKeys)) AS (band, bk)": _*)
+  }
+
+  private def estSimCols(idCol: String): Seq[String] = {
     val matches = (0 until MinhashK).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    Seq(
+      s"a.$idCol AS id_a", s"b.$idCol AS id_b",
+      s"CAST($matches AS BIGINT) AS n_match",
+      s"CAST($matches AS DOUBLE) / $MinhashK.0 AS est_sim")
+  }
+
+  /** MinHash-LSH candidate pairs (band equi-join) with the estimated
+    * similarity (matching-permutation fraction).
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bands = lshBands(df, idCol, textCol)
     bands.as("a")
       .join(bands.as("b").hint("SHUFFLE_HASH"),
         expr(s"a.band = b.band AND a.bk = b.bk AND a.$idCol < b.$idCol"))
-      .selectExpr(
-        s"a.$idCol AS id_a", s"b.$idCol AS id_b",
-        s"CAST($matches AS BIGINT) AS n_match",
-        s"CAST($matches AS DOUBLE) / $MinhashK.0 AS est_sim")
+      .selectExpr(estSimCols(idCol): _*)
+      .distinct()
+  }
+
+  /** Persist the LSH band table for a corpus at `path` — the
+    * train-once/serve-many layout for INCREMENTAL dedup: a new crawl
+    * batch is checked against the stored corpus without re-signing or
+    * re-banding anything already indexed. Written partitioned by band
+    * so a serving join scans each band dir once.
+    */
+  def buildLshIndex(df: DataFrame, idCol: String, textCol: String, path: String): Unit =
+    lshBands(df, idCol, textCol)
+      .write.partitionBy("band").mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Append a new batch's band rows to an existing index (call after
+    * accepting the batch, so the next batch dedups against it too).
+    * The id column and schema must match the index exactly.
+    */
+  def appendToLshIndex(df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val stored = df.sparkSession.read.parquet(path)
+    val add = lshBands(df, idCol, textCol)
+    val want = stored.columns.sorted.toSeq
+    val got = add.columns.sorted.toSeq
+    require(want == got, s"index schema mismatch: stored=$want batch=$got")
+    add.write.partitionBy("band").mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+  }
+
+  /** Candidate near-dup pairs between a NEW batch and the indexed
+    * corpus: (batch id_a, indexed id_b, n_match, est_sim). Only the
+    * batch is signed; the corpus side is the stored band table. Same
+    * shuffle-bounded band equi-join as [[minhashCandidates]] — work
+    * scales with batch size + matching band buckets, not corpus size;
+    * identical ids on both sides (a re-crawled doc) are excluded.
+    */
+  def lshCandidatesIndexed(batch: DataFrame, idCol: String, textCol: String, path: String): DataFrame = {
+    val idx = batch.sparkSession.read.parquet(path)
+    val qb = lshBands(batch, idCol, textCol)
+    qb.as("a")
+      .join(idx.as("b").hint("SHUFFLE_HASH"),
+        expr(s"a.band = b.band AND a.bk = b.bk AND a.$idCol <> b.$idCol"))
+      .selectExpr(estSimCols(idCol): _*)
       .distinct()
   }
 

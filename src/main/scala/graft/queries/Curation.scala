@@ -256,6 +256,45 @@ object Curation {
           .orderBy("doc_id", "chunk_id"),
     ),
     Q(
+      "q75_incremental_lsh",
+      "Incremental near-dup check: a new crawl batch (doc_id % 3 = 0) vs " +
+        "a PERSISTED LSH band index of the existing corpus (the rest) — " +
+        "only the batch is signed, the corpus side reads the stored band " +
+        "table; work scales with batch size, not corpus size. Oracle " +
+        "recomputes the same cross-pairs from scratch.",
+      {
+        val mins = (0 until MinhashK).map(i => s"min(${permExpr(i, "x")}) AS m$i").mkString(", ")
+        val bandSelects = (0 until LshBands).map { bnd =>
+          val key = (0 until LshRows).map(r => s"m${bnd * LshRows + r}").mkString(", ")
+          s"SELECT doc_id, $bnd AS band, concat_ws(',', $key) AS bk FROM sig"
+        }.mkString(" UNION ALL ")
+        val matches = (0 until MinhashK).map(i => s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+        Some(s"""
+          WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS tok FROM documents),
+          shi AS (SELECT doc_id, ${shinglesDuck("tok")} AS sh FROM t),
+          ex AS (SELECT doc_id, unnest(sh) AS s FROM shi),
+          hx AS (SELECT doc_id, ${polyDuck("s")} AS x FROM ex),
+          sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
+          bands AS ($bandSelects),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+                   WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0)
+          SELECT c.id_a, c.id_b,
+            CAST($matches AS BIGINT) AS n_match,
+            CAST($matches AS DOUBLE) / $MinhashK.0 AS est_sim
+          FROM cand c JOIN sig x ON c.id_a = x.doc_id JOIN sig y ON c.id_b = y.doc_id
+          ORDER BY id_a, id_b
+        """.trim)
+      },
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        val tmp = java.nio.file.Files.createTempDirectory("lshidx").toString
+        TextCuration.buildLshIndex(docs.filter("doc_id % 3 <> 0"), "doc_id", "text", tmp)
+        TextCuration.lshCandidatesIndexed(docs.filter("doc_id % 3 = 0"), "doc_id", "text", tmp)
+          .orderBy("id_a", "id_b")
+      },
+    ),
+    Q(
       "q69_embed_quantize",
       "Symmetric int8 embedding quantization: per-vector scale " +
         "(max|x|/127), explicit floor(x/scale + 0.5) rounding, " +

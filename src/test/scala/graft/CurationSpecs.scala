@@ -222,6 +222,43 @@ class CurationSpecs extends SparkSpec {
     }
   }
 
+  // ---- persisted LSH index ------------------------------------------------
+
+  test("lshCandidatesIndexed == full recompute restricted to cross pairs; append extends the corpus") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val (corpusA, batchB, batchC) =
+      (docs.filter("doc_id % 3 = 1"), docs.filter("doc_id % 3 = 2"), docs.filter("doc_id % 3 = 0"))
+    def crossPairs(batchMod: Int, corpusMods: Seq[Int]) =
+      TextCuration.minhashCandidates(docs, "doc_id", "text")
+        .collect().flatMap { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          // full recompute emits a<b; indexed emits (batch, corpus) —
+          // normalize to that orientation
+          Seq((a, b), (b, a)).filter { case (x, y) =>
+            x % 3 == batchMod && corpusMods.contains((y % 3).toInt) }
+            .map { case (x, y) => (x, y, r.getLong(2)) }
+        }.toSet
+
+    val idx = tmpDir("lshidx").toString + "/idx"
+    TextCuration.buildLshIndex(corpusA, "doc_id", "text", idx)
+    val gotB = TextCuration.lshCandidatesIndexed(batchB, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotB === crossPairs(2, Seq(1)), "batch B vs index(A)")
+    assert(gotB.nonEmpty, "fixture must actually produce candidates")
+
+    // accept batch B into the corpus; batch C now dedups against A ∪ B
+    TextCuration.appendToLshIndex(batchB, "doc_id", "text", idx)
+    val gotC = TextCuration.lshCandidatesIndexed(batchC, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotC === crossPairs(0, Seq(1, 2)), "batch C vs index(A+B)")
+
+    // schema guard: an index built with a different id column refuses append
+    intercept[IllegalArgumentException] {
+      TextCuration.appendToLshIndex(
+        batchB.withColumnRenamed("doc_id", "other_id"), "other_id", "text", idx)
+    }
+  }
+
   // ---- quantizeInt8 -------------------------------------------------------
 
   test("quantizeInt8: hand-computed scale and error; zero vector is safe") {
