@@ -389,6 +389,41 @@ object TextCuration {
       .filter(expr(s"sample_coin < $bpExpr"))
   }
 
+  /** Domain-mixing rate planner: given target corpus shares per
+    * stratum and a total token budget, compute the per-stratum keep
+    * rate that [[stratifiedSample]] should run with. For each stratum:
+    * available tokens (aggregated here), the budget slice
+    * (`budget × share_bp / 10000`), the keep rate capped at 10000 bp
+    * when the slice exceeds availability, and the shortfall
+    * (`deficit_tokens` > 0 means the target is unreachable without
+    * up-sampling/epoching — surfaced, never silently absorbed).
+    *
+    * All-integer arithmetic (DIV/caps) so the plan is bit-exact on any
+    * engine. One partial-agg shuffle on the stratum key; the share
+    * lookup is a codegen'd CASE, no join.
+    */
+  def mixingRates(
+      df: DataFrame,
+      strataCol: String,
+      tokenCountCol: String,
+      targetsBp: Map[String, Int],
+      budgetTokens: Long,
+  ): DataFrame = {
+    require(targetsBp.values.forall(bp => bp >= 0 && bp <= 10000) && budgetTokens >= 0,
+      s"target shares are basis points in [0, 10000]: $targetsBp budget=$budgetTokens")
+    def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+    val cases = targetsBp.toSeq.sortBy(_._1)
+      .map { case (s, bp) => s"WHEN ${sqlStr(s)} THEN $bp" }.mkString(" ")
+    df.groupBy(col(strataCol))
+      .agg(sum(col(tokenCountCol)).cast("long").as("available_tokens"))
+      .withColumn("share_bp", expr(s"CAST(CASE $strataCol $cases ELSE 0 END AS BIGINT)"))
+      .withColumn("target_tokens", expr(s"($budgetTokens * share_bp) DIV 10000"))
+      .withColumn("rate_bp",
+        expr("CASE WHEN available_tokens = 0 THEN 0 " +
+          "ELSE least(CAST(10000 AS BIGINT), (target_tokens * 10000) DIV available_tokens) END"))
+      .withColumn("deficit_tokens", expr("greatest(CAST(0 AS BIGINT), target_tokens - available_tokens)"))
+  }
+
   /** Per-doc top-`k` rarity-weighted terms: score = tf / df (term
     * frequency over corpus document frequency), rank by (score desc,
     * term asc). The TF-IDF family with a RATIONAL weight: 1/df is

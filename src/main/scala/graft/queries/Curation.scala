@@ -295,6 +295,38 @@ object Curation {
       },
     ),
     Q(
+      "q76_mixing_rates",
+      "Domain-mixing rate planner: per-source available tokens vs target " +
+        "corpus shares under a 40k-token budget -> keep rate (bp, capped " +
+        "at 100%) + unreachable-target deficit. All-integer arithmetic; " +
+        "one partial-agg shuffle; feeds q71's stratifiedSample.",
+      Some(s"""
+        WITH a AS (SELECT source,
+                     CAST(sum(len(${tokensDuck("text")})) AS BIGINT) AS available_tokens
+                   FROM documents GROUP BY source),
+        p AS (SELECT source, available_tokens,
+                CAST(CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 500
+                     WHEN 'src2' THEN 1500 ELSE 0 END AS BIGINT) AS share_bp
+              FROM a),
+        t AS (SELECT source, available_tokens, share_bp,
+                (40000 * share_bp) // 10000 AS target_tokens
+              FROM p)
+        SELECT source, available_tokens, share_bp, target_tokens,
+          CASE WHEN available_tokens = 0 THEN 0
+               ELSE least(CAST(10000 AS BIGINT), (target_tokens * 10000) // available_tokens) END AS rate_bp,
+          greatest(CAST(0 AS BIGINT), target_tokens - available_tokens) AS deficit_tokens
+        FROM t ORDER BY source
+      """.trim),
+      (spark, dir) =>
+        TextCuration.mixingRates(
+          Tables(spark, dir).documents
+            .selectExpr("source", s"CAST(size(${graft.operators.TextKit.tokensSpark("text")}) AS BIGINT) AS n_tokens"),
+          "source", "n_tokens",
+          Map("src0" -> 4000, "src1" -> 500, "src2" -> 1500),
+          budgetTokens = 40000L)
+          .orderBy("source"),
+    ),
+    Q(
       "q69_embed_quantize",
       "Symmetric int8 embedding quantization: per-vector scale " +
         "(max|x|/127), explicit floor(x/scale + 0.5) rounding, " +

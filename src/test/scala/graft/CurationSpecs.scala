@@ -222,6 +222,27 @@ class CurationSpecs extends SparkSpec {
     }
   }
 
+  // ---- mixingRates --------------------------------------------------------
+
+  test("mixingRates: caps at 100%, reports deficit, zero-share strata get rate 0") {
+    val docs = Seq(
+      ("wiki", 100L), ("wiki", 100L),     // 200 tokens available
+      ("crawl", 4000L),                   // 4000 available
+      ("spam", 500L),
+    ).toDF("src", "n_tok")
+    // budget 2000: wiki target 50% = 1000 > 200 available -> capped + deficit;
+    // crawl target 50% = 1000 of 4000 -> 2500 bp; spam unlisted -> 0
+    val out = TextCuration.mixingRates(docs, "src", "n_tok",
+      Map("wiki" -> 5000, "crawl" -> 5000), budgetTokens = 2000L)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out === Array(
+      ("crawl", 4000L, 1000L, 2500L, 0L),
+      ("spam", 500L, 0L, 0L, 0L),
+      ("wiki", 200L, 1000L, 10000L, 800L),
+    ))
+  }
+
   // ---- persisted LSH index ------------------------------------------------
 
   test("lshCandidatesIndexed == full recompute restricted to cross pairs; append extends the corpus") {
