@@ -130,11 +130,18 @@ object TextCuration {
     * scales with batch size + matching band buckets, not corpus size;
     * identical ids on both sides (a re-crawled doc) are excluded.
     */
-  def lshCandidatesIndexed(batch: DataFrame, idCol: String, textCol: String, path: String): DataFrame = {
-    val idx = batch.sparkSession.read.parquet(path)
+  def lshCandidatesIndexed(batch: DataFrame, idCol: String, textCol: String, path: String): DataFrame =
+    lshCandidatesAgainst(batch, idCol, textCol, batch.sparkSession.read.parquet(path))
+
+  /** Core of [[lshCandidatesIndexed]] with the index as a frame — lets
+    * a caller pre-filter the stored band table (e.g. the streaming
+    * ingester pruning its own in-flight batch partition on replay).
+    */
+  private[graft] def lshCandidatesAgainst(
+      batch: DataFrame, idCol: String, textCol: String, idxBands: DataFrame): DataFrame = {
     val qb = lshBands(batch, idCol, textCol)
     qb.as("a")
-      .join(idx.as("b").hint("SHUFFLE_HASH"),
+      .join(idxBands.as("b").hint("SHUFFLE_HASH"),
         expr(s"a.band = b.band AND a.bk = b.bk AND a.$idCol <> b.$idCol"))
       .selectExpr(estSimCols(idCol): _*)
       .distinct()

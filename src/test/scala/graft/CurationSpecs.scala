@@ -280,6 +280,51 @@ class CurationSpecs extends SparkSpec {
     }
   }
 
+  // ---- DedupStream --------------------------------------------------------
+
+  test("DedupStream: within-batch and cross-batch near-dups drop; replay is idempotent; e2e via MemoryStream") {
+    import graft.streaming.DedupStream
+    val base = "the quick brown fox jumps over the lazy dog again and again today it seems"
+    val b0 = Seq(
+      (1L, base),
+      (2L, base + " ok"),                  // near-dup of 1 (est_sim 0.81) -> drops within batch
+      (3L, "completely different content with no overlap whatsoever in any shingle at all"),
+    )
+    val b1 = Seq(
+      (4L, base.replace("quick", "slow")), // near-dup of accepted 1 (est_sim 0.94) -> index hit
+      (5L, "another entirely unrelated document mentioning nothing similar to previous text"),
+    )
+    val dir = tmpDir("dedupstream").toString
+    val (idx, acc) = (s"$dir/idx", s"$dir/acc")
+    def accepted(): Set[Long] =
+      spark.read.parquet(acc).select("pid").collect().map(_.getLong(0)).toSet
+
+    DedupStream.processBatch(b0.toDF("pid", "body"), 0L, "pid", "body", idx, acc, 0.5)
+    assert(accepted() === Set(1L, 3L))
+    DedupStream.processBatch(b1.toDF("pid", "body"), 1L, "pid", "body", idx, acc, 0.5)
+    assert(accepted() === Set(1L, 3L, 5L))
+
+    // crash-replay of batch 1: same survivors, same dirs, no duplication
+    DedupStream.processBatch(b1.toDF("pid", "body"), 1L, "pid", "body", idx, acc, 0.5)
+    assert(accepted() === Set(1L, 3L, 5L))
+    assert(spark.read.parquet(acc).count() === 3L)
+
+    // end-to-end through a real streaming query, fresh dirs
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = DedupStream.start(in.toDF().toDF("pid", "body"), "pid", "body",
+      s"$dir/idx2", s"$dir/acc2", s"$dir/ckpt",
+      threshold = 0.5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/acc2").select("pid").collect().map(_.getLong(0)).toSet
+      assert(got === Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   // ---- quantizeInt8 -------------------------------------------------------
 
   test("quantizeInt8: hand-computed scale and error; zero vector is safe") {
