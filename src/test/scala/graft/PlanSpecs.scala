@@ -102,6 +102,32 @@ class PlanSpecs extends SparkSpec {
       s"ext-JSON work below the range exchange (sampling would run it twice):\n$below")
   }
 
+  test("q73: chunking is map-only — no exchange anywhere in the plan") {
+    val p = planString(q("q73_doc_chunking"))
+    // one range exchange exists only for the final orderBy; the chunking
+    // itself (tokenize + sequence explode + slice) must add none, so
+    // exactly the sort's exchange appears
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q74: histogram median aggregates partially map-side; no raw-row window/sort") {
+    val p = planString(q("q74_hist_median"))
+    // the corpus-scale groupBy must be partial -> final
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    // the window runs AFTER the histogram agg, never over raw lineitem:
+    // its child subtree must contain the hash aggregate
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, p)
+    assert(p.substring(winIdx).contains("HashAggregate"), p)
+  }
+
+  test("q71: stratified sampling plans no join — rate lookup is a CASE in the filter") {
+    val p = planString(q("q71_stratified_sample"))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("graft_poly_hash"), p)
+  }
+
   test("catalog-wide join audit: no CartesianProduct; nested-loop joins only where a bounded side is documented") {
     // BroadcastNestedLoopJoin is legitimate ONLY where one side is
     // bounded (broadcast query/probe sets, fixed-cardinality reps) or
