@@ -485,6 +485,70 @@ object TextCuration {
         s"array_join(slice(__tok, CAST(__s + 1 AS INT), $size), ' ') AS chunk_text")
   }
 
+  /** Per-domain document cap — at most `k` docs per domain, best
+    * first (`orderCol` descending, id ascending tie-break): the
+    * over-represented-domain guard every web-crawl curation pass runs
+    * (a handful of hosts contribute an outsized share of pages).
+    *
+    * Scale shape: ONE shuffle on the domain key, and the rank filter
+    * is pushed into the exchange — Spark's WindowGroupLimit rewrite
+    * (rank-limit pushdown) inserts a partial group-limit on the map
+    * side, so the shuffle carries at most `k` rows per (input
+    * partition, domain) instead of the whole corpus. The plan shape is
+    * pinned by PlanSpecs.
+    */
+  def capPerDomain(df: DataFrame, idCol: String, domainCol: String, orderCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = Window.partitionBy(domainCol).orderBy(col(orderCol).desc, col(idCol))
+    df.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Corpus-trained add-one-smoothed bigram language-model fluency
+    * score per document — the engine-native stand-in for
+    * perplexity-based quality filtering (CCNet-style): documents whose
+    * bigrams are common in the corpus score high, word-soup scores
+    * low.
+    *
+    * p(w2|w1) = (c(w1 w2) + 1) / (ctx(w1) + V), with ctx(w1) = # of
+    * bigram occurrences starting with w1 and V = unigram vocabulary
+    * size. Per doc: bigram count, minimum probability, and the mean
+    * probability accumulated as a strict left fold in token order —
+    * each p is ONE IEEE division of exact integers and the fold order
+    * is pinned, so results are bit-identical cross-engine (ln-space
+    * scores would not be; same trade as rarityTerms).
+    *
+    * Scale shape: explode → two partial-agg groupBys for the count
+    * tables, shuffle join back on the bigram (zipf-skewed — AQE skew
+    * split applies), one 1-row broadcast for V, then a per-doc groupBy
+    * whose collect_list is bounded by document length. No n², no
+    * corpus-sized broadcast.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df
+      .selectExpr(idCol, s"${tokensSpark(textCol)} AS __tok")
+      .selectExpr(idCol, s"posexplode(${bigramsSpark("__tok")}) AS (pos, bg)")
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bg.selectExpr("substring_index(bg, ' ', 1) AS w1")
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = df
+      .selectExpr(s"explode(${tokensSpark(textCol)}) AS w")
+      .agg(countDistinct(col("w")).as("v"))
+    bg.join(c2, "bg")
+      .withColumn("w1", expr("substring_index(bg, ' ', 1)"))
+      .join(c1, "w1")
+      .join(broadcast(vocab))
+      .withColumn("p", (col("c2") + 1L).cast("double") / (col("c1") + col("v")).cast("double"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        min(col("p")).as("min_prob"),
+        expr("aggregate(sort_array(collect_list(struct(pos, p))), CAST(0.0 AS DOUBLE), (lm_acc, lm_x) -> lm_acc + lm_x.p)").as("__sum"),
+      )
+      .withColumn("avg_prob", col("__sum") / col("n_bigrams").cast("double"))
+      .drop("__sum")
+  }
+
   /** The full curation pipeline: exact-dedup canonicals ∖ near-dup
     * higher-ids, quality floor, language allowlist. Returns
     * (id, pred_lang, quality) for surviving docs.

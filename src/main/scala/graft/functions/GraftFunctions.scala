@@ -69,7 +69,68 @@ object GraftFunctions {
       FunctionIdentifier("graft_dsum128"),
       new ExpressionInfo(classOf[DecimalSum128].getName, "graft_dsum128"),
       (children: Seq[Expression]) => DecimalSum128(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_uninorm"),
+      new ExpressionInfo(classOf[UniNorm].getName, "graft_uninorm"),
+      (children: Seq[Expression]) => UniNorm(children(0), children(1))))
   }
+}
+
+/** Unicode normalization (`java.text.Normalizer`) as a codegen'd
+  * expression: `graft_uninorm(s, 'NFC'|'NFD'|'NFKC'|'NFKD')`. Spark has
+  * no builtin Unicode normalizer while the curation contract (and the
+  * DuckDB oracle's `nfc_normalize`) needs one — canonicalizing crawl
+  * text before hashing/dedup so that composed and decomposed encodings
+  * of the same visible string land in the same dedup bucket.
+  *
+  * The form is a compile-time literal (validated in
+  * checkInputDataTypes), so codegen embeds the resolved enum constant
+  * directly — one library call per row inside the fused stage, no
+  * per-row dispatch. Narrow map-only kernel: safe at any scale.
+  */
+case class UniNorm(child: Expression, formExpr: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = formExpr
+  override def prettyName: String = "graft_uninorm"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType || formExpr.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_uninorm expects (string, string form literal), got (${child.dataType}, ${formExpr.dataType})")
+    else if (!formExpr.foldable || formExpr.eval(null) == null)
+      TypeCheckResult.TypeCheckFailure("graft_uninorm: form must be a non-null string literal")
+    else
+      try {
+        java.text.Normalizer.Form.valueOf(formExpr.eval(null).toString)
+        TypeCheckResult.TypeCheckSuccess
+      } catch {
+        case _: IllegalArgumentException =>
+          TypeCheckResult.TypeCheckFailure(
+            s"graft_uninorm: unknown form '${formExpr.eval(null)}' (want NFC|NFD|NFKC|NFKD)")
+      }
+
+  private lazy val form: java.text.Normalizer.Form =
+    java.text.Normalizer.Form.valueOf(formExpr.eval(null).toString)
+
+  override def nullSafeEval(input: Any, formAny: Any): Any =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(input.asInstanceOf[UTF8String].toString, form))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val formName = form.name()
+    nullSafeCodeGen(ctx, ev, (c, _) => {
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.$formName));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): UniNorm =
+    copy(child = newLeft, formExpr = newRight)
 }
 
 /** Space-joined word n-grams of a single-space-tokenized text, built in

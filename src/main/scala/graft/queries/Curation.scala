@@ -327,6 +327,80 @@ object Curation {
           .orderBy("source"),
     ),
     Q(
+      "q77_corpus_shuffle",
+      "Deterministic corpus shuffle-shard (training-data export layout): " +
+        "md5 shuffle key -> distributed 0-based total-order index -> " +
+        "round-robin shard. No single-partition window: fixed hex-prefix " +
+        "range buckets + per-bucket counts (control-plane) + bucket-local " +
+        "ranks; oracle = the global row_number the layout must equal.",
+      Some("""
+        WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key FROM documents),
+        r AS (SELECT doc_id, shuffle_key,
+                row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS global_pos
+              FROM h)
+        SELECT doc_id, shuffle_key, global_pos, global_pos % 8 AS shard
+        FROM r ORDER BY doc_id
+      """.trim),
+      (spark, dir) =>
+        graft.operators.GlobalOrder.shuffleShard(
+          Tables(spark, dir).documents.select("doc_id"), "doc_id", nshards = 8)
+          .select("doc_id", "shuffle_key", "global_pos", "shard")
+          .orderBy("doc_id"),
+    ),
+    Q(
+      "q78_domain_caps",
+      "Per-domain document cap (over-represented-host guard): keep the " +
+        "top 10 docs per source by n_chars (id tie-break). One shuffle on " +
+        "the domain; the rank filter is pushed map-side by Spark's " +
+        "WindowGroupLimit rewrite (plan pinned), so the exchange carries " +
+        "at most k rows per (partition, domain).",
+      Some("""
+        WITH r AS (SELECT doc_id, source, n_chars,
+                     CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+                   FROM documents)
+        SELECT doc_id, source, n_chars, rnk FROM r WHERE rnk <= 10
+        ORDER BY doc_id
+      """.trim),
+      (spark, dir) =>
+        TextCuration.capPerDomain(
+          Tables(spark, dir).documents.select("doc_id", "source", "n_chars"),
+          "doc_id", "source", "n_chars", k = 10)
+          .orderBy("doc_id"),
+    ),
+    Q(
+      "q80_bigram_lm",
+      "Corpus-trained add-one bigram LM fluency score per doc (the " +
+        "perplexity-filter stand-in): p(w2|w1) = (c2+1)/(ctx+V), per-doc " +
+        "min and mean probability, mean accumulated as a strict left fold " +
+        "in token order — every p one IEEE division of exact integers, so " +
+        "cross-engine hash-exact where ln-space scores are not.",
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS tok FROM documents),
+        b0 AS (SELECT doc_id, ${bigramsDuck("tok")} AS bl FROM t),
+        bp AS (SELECT doc_id, bl, unnest(generate_series(1, len(bl))) AS pos FROM b0),
+        bg AS (SELECT doc_id, pos, bl[pos] AS bgr FROM bp),
+        c2 AS (SELECT bgr, count(*) AS c2 FROM bg GROUP BY bgr),
+        c1 AS (SELECT string_split(bgr, ' ')[1] AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+        vq AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(tok) AS w FROM t)),
+        p AS (SELECT bg.doc_id, bg.pos,
+                CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vq.v AS DOUBLE) AS p
+              FROM bg JOIN c2 ON bg.bgr = c2.bgr
+                      JOIN c1 ON string_split(bg.bgr, ' ')[1] = c1.w1
+                      CROSS JOIN vq),
+        a AS (SELECT doc_id, count(*) AS n_bigrams, min(p) AS min_prob,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
+                  (lm_a, lm_b) -> lm_a + lm_b) AS sum_p
+              FROM p GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, min_prob,
+          sum_p / CAST(n_bigrams AS DOUBLE) AS avg_prob
+        FROM a ORDER BY doc_id
+      """.trim),
+      (spark, dir) =>
+        TextCuration.lmScore(Tables(spark, dir).documents, "doc_id", "text")
+          .select("doc_id", "n_bigrams", "min_prob", "avg_prob")
+          .orderBy("doc_id"),
+    ),
+    Q(
       "q69_embed_quantize",
       "Symmetric int8 embedding quantization: per-vector scale " +
         "(max|x|/127), explicit floor(x/scale + 0.5) rounding, " +

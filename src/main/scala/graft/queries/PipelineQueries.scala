@@ -288,6 +288,38 @@ object PipelineQueries {
       },
     ),
     Q(
+      "q81_video_frames",
+      "REAL multi-frame video codec end-to-end: chop each document's " +
+        "bytes into 16x8 gray frames, encode as ONE animated GIF " +
+        "(javax.imageio multi-frame writer, identity gray palette), parse " +
+        "the container back and FRAME-SAMPLE every 2nd frame through the " +
+        "real reader. Indexed-gray GIF is lossless, so the oracle " +
+        "recomputes sampled-frame byte sums straight from the source text " +
+        "— proving real container parsing + per-frame decode, not a stub.",
+      Some("""
+        WITH f AS (SELECT doc_id, text,
+                     CAST(greatest(1, CAST(ceil(strlen(text) / 128.0) AS BIGINT)) AS BIGINT) AS n_frames,
+                     CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_luma
+                   FROM documents),
+        s AS (SELECT doc_id, text, n_frames, head_luma,
+                unnest(generate_series(0, n_frames - 1, 2)) AS fr
+              FROM f),
+        l AS (SELECT doc_id, n_frames, head_luma,
+                coalesce(list_sum(list_transform(string_split(substr(text, fr * 128 + 1, 128), ''), vc -> ascii(vc))), 0) AS fl
+              FROM s)
+        SELECT doc_id, CAST(max(n_frames) AS BIGINT) AS n_frames,
+          count(*) AS n_sampled, CAST(sum(fl) AS BIGINT) AS luma_sum,
+          CAST(max(head_luma) AS BIGINT) AS head_luma
+        FROM l GROUP BY doc_id ORDER BY doc_id
+      """.trim),
+      (spark, dir) => {
+        // GIF encode+decode is an expensive projection like PNG/WAV:
+        // sort via the projected helper so it runs once, not twice
+        graft.Sorting.projected(Tables(spark, dir).documents, col("doc_id"))(d =>
+          Multimodal.extractVideoFeatures(Multimodal.asGifVideo(d, frameW = 16, frameH = 8), every = 2).toDF())
+      },
+    ),
+    Q(
       "q49_sessionize",
       "Gap-based sessionization (30-min inactivity) per user over events: " +
         "lag + running break-count windows, then per-session aggregates — " +

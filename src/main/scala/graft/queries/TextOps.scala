@@ -270,6 +270,27 @@ object TextOps {
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
           .orderBy("doc_a", "doc_b"),
     ),
+    Q(
+      "q79_normalize",
+      "Unicode NFC canonicalization (pre-dedup text normalization): " +
+        "composed/decomposed encodings of the same visible string must " +
+        "hash identically before dedup. Spark has no builtin normalizer — " +
+        "graft_uninorm is a codegen'd java.text.Normalizer expression; " +
+        "DuckDB's native nfc_normalize is the oracle. Narrow map-only pass.",
+      Some("""
+        SELECT doc_id, nfc_normalize(text) AS norm_text,
+          (nfc_normalize(text) <> text) AS changed,
+          CAST(len(nfc_normalize(text)) AS BIGINT) AS n_chars_norm
+        FROM documents ORDER BY doc_id
+      """.trim),
+      (spark, dir) =>
+        Tables(spark, dir).documents.selectExpr(
+          "doc_id",
+          "graft_uninorm(text, 'NFC') AS norm_text",
+          "(graft_uninorm(text, 'NFC') <> text) AS changed",
+          "CAST(length(graft_uninorm(text, 'NFC')) AS BIGINT) AS n_chars_norm")
+          .orderBy("doc_id"),
+    ),
   ) :+ curationQ
 
   /** q60: the curation capstone — the full training-data filtering flow

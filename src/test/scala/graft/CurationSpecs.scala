@@ -327,6 +327,52 @@ class CurationSpecs extends SparkSpec {
 
   // ---- quantizeInt8 -------------------------------------------------------
 
+  // ---- capPerDomain -------------------------------------------------------
+
+  test("capPerDomain: top-k per domain by order column desc, id tie-break, rnk exposed") {
+    val docs = Seq(
+      (1L, "d1", 10L), (2L, "d1", 30L), (3L, "d1", 30L), (4L, "d1", 5L),
+      (5L, "d2", 7L),
+    ).toDF("pid", "host", "score")
+    val out = TextCuration.capPerDomain(docs, "pid", "host", "score", k = 2)
+      .select("pid", "host", "rnk").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // d1: score 30 twice -> ids 2 then 3; id 1 (rnk 3) dropped. d2: all kept.
+    assert(out === Set((2L, "d1", 1L), (3L, "d1", 2L), (5L, "d2", 1L)))
+  }
+
+  // ---- lmScore ------------------------------------------------------------
+
+  test("lmScore: hand-computed add-one bigram probabilities; partitioning-independent") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c a")).toDF("pid", "body")
+    // bigram counts: "a b"->3, "b a"->1, "c a"->1; contexts: a->3, b->1, c->1; V=3
+    val out = TextCuration.lmScore(docs, "pid", "body")
+      .orderBy("pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val pAB = 4.0 / 6.0 // (3+1)/(3+3)
+    val pBA = 2.0 / 4.0
+    val pCA = 2.0 / 4.0
+    val expected = Seq(
+      (1L, 3L, pBA, (pAB + pBA + pAB) / 3.0), // fold order: a b, b a, a b
+      (2L, 1L, pAB, pAB),
+      (3L, 1L, pCA, pCA),
+    )
+    assert(out === expected)
+    // bit-identical under different input partitioning
+    val repart = TextCuration.lmScore(docs.repartition(5), "pid", "body")
+      .orderBy("pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(repart === expected)
+  }
+
+  test("lmScore: fluent (corpus-typical) docs outscore word-soup on avg probability") {
+    val fluent = (1L to 20L).map(i => (i, "the cat sat on the mat"))
+    val soup = Seq((99L, "zqx wvu tsr qpo nml kji"))
+    val docs = (fluent ++ soup).toDF("pid", "body")
+    val scores = TextCuration.lmScore(docs, "pid", "body")
+      .select("pid", "avg_prob").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(99L), scores)
+  }
+
   test("quantizeInt8: hand-computed scale and error; zero vector is safe") {
     val vecs = Seq(
       (1L, Array(1.0f, -0.5f, 0.0f)),

@@ -586,6 +586,114 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).sample_sum === (65 + 66 + 67).toLong)
     assert(out(0).head_sample === 65L)
   }
+
+  test("REAL codec: multi-frame GIF round-trips every byte value 0..255 exactly (indexed gray is lossless)") {
+    // 2 frames x 128 bytes covering the full byte range
+    val f0 = Array.tabulate[Byte](128)(i => i.toByte)
+    val f1 = Array.tabulate[Byte](128)(i => (i + 128).toByte)
+    val gif = Multimodal.encodeGif(Seq(f0, f1), width = 16)
+    // it is a real GIF container, not a passthrough
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"), gif.take(6).toSeq)
+    val v = Multimodal.decodeGif(gif).get
+    assert(v.frames.length === 2)
+    assert(v.frames(0).width === 16 && v.frames(0).height === 8)
+    assert(v.frames(0).pixels.toSeq === f0.toSeq)
+    assert(v.frames(1).pixels.toSeq === f1.toSeq)
+  }
+
+  test("video frame sampling: every 2nd frame's luma counted, all frames counted, undecodable drops out") {
+    import spark.implicits._
+    // 5 frames of 128 bytes -> samples frames 0,2,4
+    val text = ('a' to 'z').mkString * 25 // 650 chars -> ceil(650/128) = 6 frames
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val media = Multimodal.asGifVideo(docs, frameW = 16, frameH = 8)
+    val out = Multimodal.extractVideoFeatures(media, every = 2).collect()(0)
+    val bytes = text.getBytes("UTF-8")
+    assert(out.n_frames === 6L) // ceil(650/128)
+    assert(out.n_sampled === 3L) // frames 0, 2, 4
+    val expected = Seq(0, 2, 4).map { f =>
+      bytes.slice(f * 128, math.min((f + 1) * 128, bytes.length)).map(_ & 0xff).sum.toLong
+    }.sum
+    assert(out.luma_sum === expected)
+    assert(out.head_luma === 'a'.toLong)
+
+    val bad = Seq((2L, "not a gif".getBytes, "video/gif", 9L))
+      .toDF("doc_id", "payload", "modality", "declared_bytes")
+    assert(Multimodal.extractVideoFeatures(bad).collect().isEmpty)
+  }
+}
+
+class GlobalOrderSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.GlobalOrder
+
+  test("global_pos is the exact row_number of (md5, id) order; shard is round-robin; bucket width doesn't matter") {
+    val df = (1L to 3000L).toDF("id").repartition(7)
+    val expected = df.withColumn("k", md5($"id".cast("string")))
+      .orderBy("k", "id").collect().map(_.getLong(0)).toSeq
+    for (bucketChars <- Seq(1, 2)) {
+      val out = GlobalOrder.shuffleShard(df, "id", nshards = 8, bucketChars = bucketChars)
+        .select("id", "global_pos", "shard").collect()
+      assert(out.length === 3000)
+      val byPos = out.sortBy(_.getLong(1))
+      assert(byPos.map(_.getLong(1)).toSeq === (0L until 3000L), "dense 0-based index")
+      assert(byPos.map(_.getLong(0)).toSeq === expected, s"order mismatch at bucketChars=$bucketChars")
+      assert(out.forall(r => r.getLong(2) === r.getLong(1) % 8), "round-robin shard")
+    }
+  }
+
+  test("shards are balanced to within one row (round-robin over a dense index)") {
+    val df = (1L to 1001L).toDF("id")
+    val sizes = GlobalOrder.shuffleShard(df, "id", nshards = 8)
+      .groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1L, sizes.toSeq)
+  }
+}
+
+class UniNormSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(s: String, form: String): String =
+    Seq(Tuple1(s)).toDF("s").selectExpr(s"graft_uninorm(s, '$form') AS n").collect()(0).getString(0)
+
+  test("NFC composes decomposed sequences; NFD decomposes; NFKC folds compatibility forms") {
+    assert(norm("é", "NFC") === "é") // e + combining acute -> é
+    assert(norm("é", "NFD") === "é")
+    assert(norm("ﬁ", "NFKC") === "fi") // ﬁ ligature
+    assert(norm("①", "NFKC") === "1") // circled one
+    assert(norm("", "NFC") === "")
+    assert(norm("plain ascii 123", "NFC") === "plain ascii 123")
+  }
+
+  test("composed and decomposed encodings of the same visible text dedup together after NFC") {
+    val docs = Seq((1L, "café au lait"), (2L, "café au lait")).toDF("id", "text")
+    val canon = docs.selectExpr("graft_uninorm(text, 'NFC') AS t").distinct().count()
+    assert(canon === 1L)
+    assert(docs.selectExpr("text").distinct().count() === 2L)
+  }
+
+  test("null text -> null; invalid form and non-literal form rejected at analysis time") {
+    val out = Seq(Tuple1(null: String)).toDF("s")
+      .selectExpr("graft_uninorm(s, 'NFC') AS n").collect()(0)
+    assert(out.isNullAt(0))
+    val e1 = intercept[Exception] {
+      Seq(Tuple1("x")).toDF("s").selectExpr("graft_uninorm(s, 'NFX')").collect()
+    }
+    assert(e1.getMessage.contains("NFKC") || e1.getMessage.toLowerCase.contains("uninorm"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Seq(("x", "NFC")).toDF("s", "f").selectExpr("graft_uninorm(s, f)").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("literal") || e2.getMessage.toLowerCase.contains("uninorm"), e2.getMessage)
+  }
+
+  test("matches java.text.Normalizer on corpus text (interpreted and codegen'd paths agree)") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents.limit(50)
+    val rows = docs.selectExpr("text", "graft_uninorm(text, 'NFKC') AS n").collect()
+    rows.foreach { r =>
+      assert(r.getString(1) === java.text.Normalizer.normalize(r.getString(0), java.text.Normalizer.Form.NFKC))
+    }
+  }
 }
 
 class CoreSpec extends SparkSpec {

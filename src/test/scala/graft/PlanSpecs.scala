@@ -128,6 +128,33 @@ class PlanSpecs extends SparkSpec {
     assert(p.contains("graft_poly_hash"), p)
   }
 
+  test("q78: the per-domain rank limit is pushed map-side (WindowGroupLimit before the exchange)") {
+    val p = planString(q("q78_domain_caps"))
+    // Partial mode runs on the scan side of the exchange, Final above it —
+    // the shuffle carries at most k rows per (input partition, domain).
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
+  test("q77: shuffle-shard never plans a single-partition stage; offsets broadcast") {
+    val df = graft.operators.GlobalOrder.shuffleShard(
+      Tables(spark, dir).documents.select("doc_id"), "doc_id", nshards = 8)
+    val p = planString(df)
+    // THE property: the naive row_number-over-everything formulation
+    // plans Exchange SinglePartition (one task sorts the corpus); the
+    // bucketed layout must not.
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // 256-row offset table broadcasts
+  }
+
+  test("q79: Unicode normalization is map-only — codegen'd expression, no exchange before the output sort") {
+    val df = Tables(spark, dir).documents
+      .selectExpr("doc_id", "graft_uninorm(text, 'NFC') AS norm_text")
+    val p = planString(df)
+    assert(p.contains("graft_uninorm"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("catalog-wide join audit: no CartesianProduct; nested-loop joins only where a bounded side is documented") {
     // BroadcastNestedLoopJoin is legitimate ONLY where one side is
     // bounded (broadcast query/probe sets, fixed-cardinality reps) or
@@ -137,7 +164,8 @@ class PlanSpecs extends SparkSpec {
       "q31_knn_brute",          // broadcast query set x corpus (guarded)
       "q32_ann_ivf",            // broadcast reps + broadcast probe (guarded)
       "q33_embedding_neardup",  // documented O(n^2) exact recall baseline
-      "q20_scalar_subquery")    // scalar subquery result joined as a 1-row side
+      "q20_scalar_subquery",    // scalar subquery result joined as a 1-row side
+      "q80_bigram_lm")          // vocabulary size: a broadcast 1-row aggregate side
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     queries.QueryCatalog.all.foreach { q =>
       val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
