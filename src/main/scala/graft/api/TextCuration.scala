@@ -518,27 +518,33 @@ object TextCuration {
     * is pinned, so results are bit-identical cross-engine (ln-space
     * scores would not be; same trade as rarityTerms).
     *
-    * Scale shape: explode → two partial-agg groupBys for the count
-    * tables, shuffle join back on the bigram (zipf-skewed — AQE skew
-    * split applies), one 1-row broadcast for V, then a per-doc groupBy
-    * whose collect_list is bounded by document length. No n², no
-    * corpus-sized broadcast.
+    * Scale shape: train small, score once. The instance-sized exploded
+    * frame feeds exactly ONE partial-agg groupBy (bigram counts) and
+    * ONE probe join; context counts come from re-aggregating the
+    * already-aggregated bigram table (c1(w1) = Σ c2 over bigrams
+    * starting w1 — vocabulary-sized, not corpus-sized), V is a 1-row
+    * broadcast, and the per-bigram probability is attached to the
+    * model table BEFORE the probe join. The per-doc collect_list is
+    * bounded by document length. No n², no corpus-sized broadcast,
+    * and the zipf-skewed probe join is AQE-skew-splittable.
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bg = df
       .selectExpr(idCol, s"${tokensSpark(textCol)} AS __tok")
       .selectExpr(idCol, s"posexplode(${bigramsSpark("__tok")}) AS (pos, bg)")
     val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val c1 = bg.selectExpr("substring_index(bg, ' ', 1) AS w1")
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c1 = c2.withColumn("w1", expr("substring_index(bg, ' ', 1)"))
+      .groupBy("w1").agg(sum("c2").as("c1"))
     val vocab = df
       .selectExpr(s"explode(${tokensSpark(textCol)}) AS w")
       .agg(countDistinct(col("w")).as("v"))
-    bg.join(c2, "bg")
+    val model = c2
       .withColumn("w1", expr("substring_index(bg, ' ', 1)"))
       .join(c1, "w1")
       .join(broadcast(vocab))
       .withColumn("p", (col("c2") + 1L).cast("double") / (col("c1") + col("v")).cast("double"))
+      .select("bg", "p")
+    bg.join(model, "bg")
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_bigrams"),
