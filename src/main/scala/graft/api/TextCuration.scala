@@ -363,6 +363,36 @@ object TextCuration {
         (col(idCol) === col("cluster_id")).as("is_canonical"))
   }
 
+  /** Leakage-safe train/validation split: the split is a pure function
+    * of the NEAR-DUP CLUSTER id, not the document id — near-duplicate
+    * documents land in the same split by construction, so validation
+    * can't contain a near-copy of a training document (the cross-split
+    * contamination a doc-level coin silently permits). `valBp` basis
+    * points of coin space go to 'val', the rest to 'train'; the coin
+    * is the same engine-portable `poly_hash(key ':' salt) % 10000`
+    * as [[stratifiedSample]], so splits are reproducible and salts
+    * draw independent partitions.
+    *
+    * Work = [[dedupClusters]] (LSH banding + O(log² n) label
+    * propagation) plus one map-only coin pass — no shuffle beyond the
+    * clustering itself.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      valBp: Int,
+      salt: String = "",
+  ): DataFrame = {
+    require(valBp >= 0 && valBp <= 10000, s"valBp is basis points in [0, 10000]: $valBp")
+    require(!salt.contains("'"), s"salt must not contain quotes: $salt")
+    val coin = s"${polySpark(s"concat(CAST(cluster_id AS STRING), ':', '$salt')")} % 10000"
+    dedupClusters(df, idCol, textCol)
+      .withColumn("split_coin", expr(coin).cast("long"))
+      .withColumn("split", when(col("split_coin") < valBp, lit("val")).otherwise(lit("train")))
+      .select(col(idCol), col("cluster_id"), col("split_coin"), col("split"))
+  }
+
   /** Deterministic stratified sampling — the domain-mixing step of a
     * corpus build ("keep 25% of crawl, 100% of wiki, drop spam").
     * `ratesBp` maps a stratum value to its keep rate in basis points

@@ -36,6 +36,39 @@ object Curation {
 
   private val packBudget = 256L
 
+  /** Shared recursive-CTE text: MinHash-LSH candidate pairs (q28's
+    * oracle CTEs verbatim — same TextKit dialect helpers, so the
+    * clustering is checked on the exact same edge set the Spark side
+    * derives) -> connected components -> every doc labeled with its
+    * component min. Ends with `lab(doc_id, cluster_id)`; q70 sizes the
+    * clusters, q82 assigns splits on them.
+    */
+  private lazy val clusterLabelCtes: String = {
+    val mins = (0 until MinhashK).map(i => s"min(${permExpr(i, "x")}) AS m$i").mkString(", ")
+    val bandSelects = (0 until LshBands).map { bnd =>
+      val key = (0 until LshRows).map(r => s"m${bnd * LshRows + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(',', $key) AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+        t AS (SELECT doc_id, ${tokensDuck("text")} AS tok FROM documents),
+        shi AS (SELECT doc_id, ${shinglesDuck("tok")} AS sh FROM t),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shi),
+        hx AS (SELECT doc_id, ${polyDuck("s")} AS x FROM ex),
+        sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS eu, doc_b AS ev FROM cand
+                  UNION ALL SELECT doc_b, doc_a FROM cand),
+        walk(node, root) AS (
+          SELECT eu, eu FROM edges
+          UNION
+          SELECT e.ev, w.root FROM walk w JOIN edges e ON e.eu = w.node),
+        comp AS (SELECT node, min(root) AS cluster_id FROM walk GROUP BY node),
+        lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)"""
+  }
+
   val qs: Seq[Q] = Seq(
     Q(
       "q65_repetition",
@@ -151,41 +184,14 @@ object Curation {
         "O(log^2 n) rounds) -> every doc labeled with its cluster id " +
         "(component min), size, and canonical flag. The transitive-closure " +
         "step pair generation alone can't give; oracle = recursive CTE.",
-      {
-        // the candidate-pair CTEs are q28's oracle verbatim (same
-        // TextKit dialect helpers), so the clustering is checked on the
-        // exact same edge set the Spark side derives
-        val mins = (0 until MinhashK).map(i => s"min(${permExpr(i, "x")}) AS m$i").mkString(", ")
-        val bandSelects = (0 until LshBands).map { bnd =>
-          val key = (0 until LshRows).map(r => s"m${bnd * LshRows + r}").mkString(", ")
-          s"SELECT doc_id, $bnd AS band, concat_ws(',', $key) AS bk FROM sig"
-        }.mkString(" UNION ALL ")
-        Some(s"""
-          WITH RECURSIVE
-          t AS (SELECT doc_id, ${tokensDuck("text")} AS tok FROM documents),
-          shi AS (SELECT doc_id, ${shinglesDuck("tok")} AS sh FROM t),
-          ex AS (SELECT doc_id, unnest(sh) AS s FROM shi),
-          hx AS (SELECT doc_id, ${polyDuck("s")} AS x FROM ex),
-          sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
-          bands AS ($bandSelects),
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                   FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
-          edges AS (SELECT doc_a AS eu, doc_b AS ev FROM cand
-                    UNION ALL SELECT doc_b, doc_a FROM cand),
-          walk(node, root) AS (
-            SELECT eu, eu FROM edges
-            UNION
-            SELECT e.ev, w.root FROM walk w JOIN edges e ON e.eu = w.node),
-          comp AS (SELECT node, min(root) AS cluster_id FROM walk GROUP BY node),
-          lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-                  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
-          sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
-          SELECT l.doc_id, l.cluster_id, s.cluster_size,
-            (l.doc_id = l.cluster_id) AS is_canonical
-          FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
-          ORDER BY l.doc_id
-        """.trim)
-      },
+      Some(s"""
+        $clusterLabelCtes,
+        sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+        SELECT l.doc_id, l.cluster_id, s.cluster_size,
+          (l.doc_id = l.cluster_id) AS is_canonical
+        FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
+        ORDER BY l.doc_id
+      """.trim),
       (spark, dir) =>
         TextCuration.dedupClusters(Tables(spark, dir).documents, "doc_id", "text")
           .orderBy("doc_id"),
@@ -325,6 +331,27 @@ object Curation {
           Map("src0" -> 4000, "src1" -> 500, "src2" -> 1500),
           budgetTokens = 40000L)
           .orderBy("source"),
+    ),
+    Q(
+      "q82_leakage_split",
+      "Leakage-safe train/validation split: the split coin hashes the " +
+        "NEAR-DUP CLUSTER id (q70's components), not the doc id — so " +
+        "near-duplicates can never straddle train and val (the doc-level " +
+        "coin's silent contamination). 15% to val; oracle re-derives the " +
+        "clusters via the recursive CTE and applies the same coin.",
+      {
+        val coin = s"${polyDuck("CAST(cluster_id AS VARCHAR) || ':split1'")} % 10000"
+        Some(s"""
+          $clusterLabelCtes
+          SELECT doc_id, cluster_id, $coin AS split_coin,
+            CASE WHEN $coin < 1500 THEN 'val' ELSE 'train' END AS split
+          FROM lab ORDER BY doc_id
+        """.trim)
+      },
+      (spark, dir) =>
+        TextCuration.leakageSafeSplit(Tables(spark, dir).documents, "doc_id", "text",
+          valBp = 1500, salt = "split1")
+          .orderBy("doc_id"),
     ),
     Q(
       "q77_corpus_shuffle",

@@ -340,6 +340,41 @@ class CurationSpecs extends SparkSpec {
     assert(out === Set((2L, "d1", 1L), (3L, "d1", 2L), (5L, "d2", 1L)))
   }
 
+  // ---- leakageSafeSplit ---------------------------------------------------
+
+  test("leakageSafeSplit: near-dup clusters never straddle splits; a doc-level coin would") {
+    // 30 pairs of identical docs (same text => same signatures => same
+    // cluster) + 40 singletons; pair members MUST share a split.
+    val texts = (0 until 30).map(i =>
+      s"alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima pair$i")
+    val docs = (texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i * 2L, t), (i * 2L + 1L, t))
+    } ++ (100L until 140L).map(i =>
+      (i, s"unique$i mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"))
+    ).toDF("pid", "body")
+    val out = TextCuration.leakageSafeSplit(docs, "pid", "body", valBp = 5000, salt = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.length === 100)
+    // every cluster maps to exactly one split
+    val perCluster = out.groupBy(_._2).view.mapValues(_.map(_._4).distinct).toMap
+    assert(perCluster.values.forall(_.length === 1), "a cluster straddles splits")
+    // pair members are in the same cluster, hence same split
+    for (i <- 0 until 30) {
+      val a = out.find(_._1 == i * 2L).get
+      val b = out.find(_._1 == i * 2L + 1L).get
+      assert(a._2 === b._2 && a._4 === b._4, s"pair $i split apart: $a vs $b")
+    }
+    // both splits are populated at 50/50
+    assert(out.map(_._4).distinct.sorted.toSeq === Seq("train", "val"))
+    // and the doc-level coin WOULD have split at least one pair — the
+    // failure mode this operator exists to prevent
+    val docCoin = docs.selectExpr("pid",
+      s"${graft.operators.TextKit.polySpark("concat(CAST(pid AS STRING), ':', 's')")} % 10000 AS c")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) < 5000)).toMap
+    val leaky = (0 until 30).exists(i => docCoin(i * 2L) != docCoin(i * 2L + 1L))
+    assert(leaky, "doc-level coin happened to agree on every pair; strengthen fixture")
+  }
+
   // ---- lmScore ------------------------------------------------------------
 
   test("lmScore: hand-computed add-one bigram probabilities; partitioning-independent") {
