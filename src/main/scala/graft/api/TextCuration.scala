@@ -217,22 +217,21 @@ object TextCuration {
     * bigram covering > 0.18 of the text). The standard repeated-content
     * quality filter for web-scale corpora (Rae et al., Gopher §A1.2).
     *
-    * Scale shape: explode on (doc, bigram) then two aggregations — the
-    * first groupBy has map-side partial aggregation, so the shuffle
-    * carries one row per DISTINCT (doc, bigram), not per token; work is
-    * proportional to corpus tokens with no join and no n² anywhere.
-    * Counts are integers and the fractions single IEEE divisions, so
-    * results are bit-identical across engines and partitionings.
+    * Scale shape: MAP-ONLY — the per-doc bigram counting runs inside
+    * the one-pass `graft_rep_stats` kernel (no explode, no shuffle,
+    * no join; value-identical to the composed explode+groupBy form,
+    * equivalence spec'd), so the pass costs one corpus scan at any
+    * scale. Counts are integers and the fractions single IEEE
+    * divisions, so results are bit-identical across engines and
+    * partitionings.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.selectExpr(idCol, s"${textBigramsSpark(textCol)} AS __bg")
-      .select(col(idCol), explode(col("__bg")).as("__b"))
-      .groupBy(idCol, "__b").agg(count(lit(1)).as("__cnt"))
-      .groupBy(idCol)
-      .agg(
-        sum("__cnt").as("n_bigrams"),
-        count(lit(1)).as("n_distinct_bigrams"),
-        max("__cnt").as("top_bigram_n"))
+    df.selectExpr(idCol, s"graft_rep_stats($textCol) AS __r")
+      .filter(col("__r").isNotNull) // < 2 tokens: no bigrams, no row
+      .select(col(idCol),
+        col("__r.n_bigrams").as("n_bigrams"),
+        col("__r.n_distinct_bigrams").as("n_distinct_bigrams"),
+        col("__r.top_bigram_n").as("top_bigram_n"))
       .select(
         col(idCol), col("n_bigrams"), col("n_distinct_bigrams"), col("top_bigram_n"),
         ((col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams").cast("double"))

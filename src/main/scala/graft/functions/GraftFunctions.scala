@@ -73,7 +73,69 @@ object GraftFunctions {
       FunctionIdentifier("graft_uninorm"),
       new ExpressionInfo(classOf[UniNorm].getName, "graft_uninorm"),
       (children: Seq[Expression]) => UniNorm(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rep_stats"),
+      new ExpressionInfo(classOf[RepStats].getName, "graft_rep_stats"),
+      (children: Seq[Expression]) => RepStats(children.head)))
   }
+}
+
+/** Per-row word-bigram repetition stats in ONE pass:
+  * `struct(n_bigrams, n_distinct_bigrams, top_bigram_n)`, or null when
+  * the doc has fewer than 2 tokens (the explode+groupBy form yields no
+  * row there; callers filter nulls). Value-identical to exploding
+  * `graft_word_ngrams(text, 2, false)` and counting (equivalence
+  * spec) — same WordNgrams tokenization (split on every single space,
+  * empties kept) — but with no explode and no shuffle: the Gopher
+  * repetition signals become a narrow map-only pass, which is the
+  * shape a 100 TB quality-filter sweep needs. CodegenFallback like
+  * WordNgrams: one JVM call per row building a small hash map; codegen
+  * would buy only Janino compile time.
+  */
+case class RepStats(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_rep_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("n_distinct_bigrams", LongType, nullable = false),
+    StructField("top_bigram_n", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"graft_rep_stats expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // split on every single space, keeping empty segments (limit=-1) —
+    // the WordNgrams tokenization, verbatim
+    val tokens = new java.util.ArrayList[String]()
+    var start = 0
+    var idx = s.indexOf(' ')
+    while (idx >= 0) {
+      tokens.add(s.substring(start, idx))
+      start = idx + 1
+      idx = s.indexOf(' ', start)
+    }
+    tokens.add(s.substring(start))
+    val m = tokens.size - 1
+    if (m <= 0) return null
+    val counts = new java.util.HashMap[String, Long](m * 2)
+    var top = 0L
+    var i = 0
+    while (i < m) {
+      val bg = tokens.get(i) + " " + tokens.get(i + 1)
+      val c = counts.getOrDefault(bg, 0L) + 1L
+      counts.put(bg, c)
+      if (c > top) top = c
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(m.toLong, counts.size.toLong, top)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
 }
 
 /** Unicode normalization (`java.text.Normalizer`) as a codegen'd

@@ -74,8 +74,9 @@ object Curation {
       "q65_repetition",
       "Gopher-style repetition filter signals: per-doc word-bigram " +
         "duplicate fraction and top-bigram coverage + the repetitive flag. " +
-        "Explode -> two-level aggregation with map-side combine; shuffle " +
-        "carries one row per distinct (doc, bigram).",
+        "Map-only: the one-pass graft_rep_stats kernel counts bigrams " +
+        "per row — no explode, no shuffle (oracle keeps the composed " +
+        "two-level aggregation form).",
       Some(s"""
         WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS tok FROM documents),
         bg AS (SELECT doc_id, unnest(${bigramsDuck("tok")}) AS b FROM t),

@@ -26,6 +26,29 @@ class TextKitSpec extends SparkSpec {
     assert(got === Seq("x y", "y z"))
   }
 
+  test("native rep-stats kernel equals the composed explode->two-level-count form on real corpus text + edges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .union(spark.createDataFrame(
+        Seq((9001L, "single"), (9002L, ""), (9003L, "a a a a"), (9004L, "x y")))
+        .toDF("doc_id", "text"))
+    val kernel = docs.selectExpr("doc_id", "graft_rep_stats(text) AS r")
+      .filter("r IS NOT NULL")
+      .selectExpr("doc_id", "r.n_bigrams AS n", "r.n_distinct_bigrams AS d", "r.top_bigram_n AS t")
+    val composed = docs
+      .selectExpr("doc_id", s"explode(${textBigramsSpark("text")}) AS b")
+      .groupBy("doc_id", "b").count()
+      .groupBy("doc_id")
+      .agg(sum("count").as("n"), count(lit(1)).as("d"), max("count").as("t"))
+    assert(kernel.exceptAll(composed).count() === 0L)
+    assert(composed.exceptAll(kernel).count() === 0L)
+    // the no-bigram docs drop in both forms
+    assert(kernel.filter("doc_id IN (9001, 9002)").count() === 0L)
+    // hand-check the degenerate repeats
+    val r3 = kernel.filter("doc_id = 9003").collect()(0)
+    assert((r3.getLong(1), r3.getLong(2), r3.getLong(3)) === ((3L, 1L, 3L)))
+  }
+
   test("native word-ngrams expression is value-identical to the composed tokenize+zip form on real corpus text") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val shDiff = docs.selectExpr(

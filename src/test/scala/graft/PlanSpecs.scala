@@ -128,6 +128,15 @@ class PlanSpecs extends SparkSpec {
     assert(p.contains("graft_poly_hash"), p)
   }
 
+  test("q65: repetition stats are map-only — the one-pass kernel, no explode, no aggregate exchange") {
+    val df = graft.api.TextCuration.repetitionStats(
+      Tables(spark, dir).documents, "doc_id", "text")
+    val p = planString(df)
+    assert(p.contains("graft_rep_stats"), p)
+    assert(!p.contains("Generate"), p) // no explode
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("q78: the per-domain rank limit is pushed map-side (WindowGroupLimit before the exchange)") {
     val p = planString(q("q78_domain_caps"))
     // Partial mode runs on the scan side of the exchange, Final above it —
