@@ -356,5 +356,60 @@ object Relational2 {
           .orderBy("l_returnflag")
       },
     ),
+    Q(
+      "q83_unpivot",
+      "Unpivot/melt: the per-user event-type count matrix (q14's pivot) " +
+        "back to long form via Dataset.unpivot — wide-to-long reshaping " +
+        "with explicit measure columns, no generator UDFs. Oracle = the " +
+        "UNION ALL expansion of the same matrix.",
+      Some("""
+        WITH p AS (
+          SELECT user_id,
+            count(*) FILTER (WHERE event_type = 'click')    AS click,
+            count(*) FILTER (WHERE event_type = 'error')    AS error,
+            count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+            count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+            count(*) FILTER (WHERE event_type = 'view')     AS view
+          FROM events GROUP BY user_id)
+        SELECT user_id, event_type, n FROM (
+          SELECT user_id, 'click' AS event_type, click AS n FROM p
+          UNION ALL SELECT user_id, 'error', error FROM p
+          UNION ALL SELECT user_id, 'purchase', purchase FROM p
+          UNION ALL SELECT user_id, 'signup', signup FROM p
+          UNION ALL SELECT user_id, 'view', view FROM p)
+        ORDER BY user_id, event_type
+      """.trim),
+      (spark, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        Tables(spark, dir).events
+          .groupBy("user_id").pivot("event_type", types).agg(count(lit(1)))
+          .na.fill(0L, types)
+          .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+          .orderBy("user_id", "event_type")
+      },
+    ),
+    Q(
+      "q84_gapfill",
+      "LOCF gap-fill resample: per-user hourly grid over each user's own " +
+        "span, last observed value carried onto every grid instant " +
+        "(duplicate timestamps LWW-reduced by event id first). Grid from " +
+        "per-key sequence explode + ONE keyed window — no per-key loops, " +
+        "no self-join; oracle = DuckDB's native ASOF LEFT JOIN.",
+      Some("""
+        WITH e AS (SELECT user_id, ts, arg_max(value, event_id) AS v
+                   FROM events GROUP BY user_id, ts),
+        b AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+                date_trunc('hour', max(ts)) AS t1
+              FROM events GROUP BY user_id),
+        g AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket_ts FROM b)
+        SELECT g.user_id, g.bucket_ts, e.v AS value_locf
+        FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.bucket_ts >= e.ts
+        ORDER BY g.user_id, g.bucket_ts
+      """.trim),
+      (spark, dir) =>
+        graft.operators.TimeSeries.gapFillLocf(
+          Tables(spark, dir).events, "user_id", "ts", "value", "event_id")
+          .orderBy("user_id", "bucket_ts"),
+    ),
   )
 }

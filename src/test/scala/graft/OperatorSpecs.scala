@@ -646,6 +646,52 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TimeSeries
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("gapFillLocf: LWW under duplicate ts, on-grid inclusive, leading nulls, carry across gaps") {
+    val events = Seq(
+      // key a: duplicate ts -> seq 2 wins; 12:00 lands exactly ON a grid instant
+      ("a", t("2024-01-01 10:30:00"), 1.0, 1L),
+      ("a", t("2024-01-01 10:30:00"), 2.0, 2L),
+      ("a", t("2024-01-01 12:00:00"), 5.0, 3L),
+      // key b: single observation after its own truncated grid start
+      ("b", t("2024-01-01 09:15:00"), 7.0, 4L),
+    ).toDF("k", "ts", "v", "seq")
+    val out = TimeSeries.gapFillLocf(events, "k", "ts", "v", "seq")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(out === Set(
+      ("a", "2024-01-01 10:00:00.0", None), // before first observation
+      ("a", "2024-01-01 11:00:00.0", Some(2.0)), // LWW of the 10:30 duplicates
+      ("a", "2024-01-01 12:00:00.0", Some(5.0)), // on-grid observation is visible (ts <= grid)
+      ("b", "2024-01-01 09:00:00.0", None), // grid start precedes the only observation
+    ))
+  }
+
+  test("gapFillLocf: finer steps interpolate the same carried values, never recompute") {
+    val events = Seq(
+      ("a", t("2024-01-01 10:30:00"), 2.0, 1L),
+      ("a", t("2024-01-01 12:00:00"), 5.0, 2L),
+    ).toDF("k", "ts", "v", "seq")
+    val out = TimeSeries.gapFillLocf(events, "k", "ts", "v", "seq", step = "30 minutes")
+      .collect()
+      .map(r => (r.getTimestamp(1).toString, Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(out === Set(
+      ("2024-01-01 10:00:00.0", None),
+      ("2024-01-01 10:30:00.0", Some(2.0)), // inclusive
+      ("2024-01-01 11:00:00.0", Some(2.0)),
+      ("2024-01-01 11:30:00.0", Some(2.0)),
+      ("2024-01-01 12:00:00.0", Some(5.0)),
+    ))
+  }
+}
+
 class GlobalOrderSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
