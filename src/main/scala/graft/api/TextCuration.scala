@@ -147,6 +147,50 @@ object TextCuration {
       .distinct()
   }
 
+  /** Number of hash buckets the persisted phrase index partitions
+    * into: the unit of partition pruning at query time.
+    */
+  val PhraseIndexBuckets = 64
+
+  /** Build a persisted inverted n-gram index for exact phrase search:
+    * one (ngram, id) row per distinct word n-gram per doc, written
+    * partitioned by `bucket = poly_hash(ngram) % PhraseIndexBuckets`.
+    * A phrase query reads exactly ONE bucket directory (static
+    * partition pruning) instead of scanning the corpus — grep at
+    * corpus scale. Build cost: one explode + one partitioned write; no
+    * shuffle (the write is not bucketed-sorted, pruning comes from the
+    * directory layout).
+    */
+  def buildPhraseIndex(df: DataFrame, idCol: String, textCol: String, n: Int, path: String): Unit = {
+    require(n >= 2, s"phrase n-grams need n >= 2: $n")
+    df.selectExpr(idCol, s"explode(graft_word_ngrams($textCol, $n, true)) AS ngram")
+      .selectExpr(idCol, "ngram", s"pmod(graft_poly_hash(ngram), $PhraseIndexBuckets) AS bucket")
+      .write.partitionBy("bucket").mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Exact token-aligned phrase search against a [[buildPhraseIndex]]
+    * index built with n = the phrase's token count: candidate ids come
+    * from the phrase's single index bucket (partition-pruned read +
+    * ngram equality), then candidates are verified against the source
+    * text (space-padded `contains`, the token-aligned containment the
+    * n-gram presence is equivalent to — the verify guards a corrupted
+    * or mismatched index, and is what the oracle recomputes by full
+    * scan). Work: one bucket read + a semi-join of candidate ids
+    * against the corpus — never a corpus scan.
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String, indexPath: String, phrase: String): DataFrame = {
+    require(!phrase.contains("'"), s"phrase must not contain quotes: $phrase")
+    val n = phrase.split(" ", -1).length
+    require(n >= 2, s"phrase must have >= 2 tokens: '$phrase'")
+    val spark = df.sparkSession
+    val candidates = spark.read.parquet(indexPath)
+      .where(expr(s"bucket = pmod(graft_poly_hash('$phrase'), $PhraseIndexBuckets) AND ngram = '$phrase'"))
+      .select(col(idCol))
+    df.join(candidates, Seq(idCol), "left_semi")
+      .filter(expr(s"contains(concat(' ', $textCol, ' '), ' $phrase ')"))
+      .select(col(idCol))
+  }
+
   /** SimHash near-dup pairs over word-bigram features, candidates from
     * byte-band equi-joins, kept at hamming <= maxHamming.
     */

@@ -46,4 +46,39 @@ object Stats {
       .withColumn("median", (col("__lo") + col("__hi")) / 2.0)
       .drop("__lo", "__hi")
   }
+
+  /** Equi-width histogram of a numeric column — the one-pass (plus a
+    * 1-row bounds aggregate) distribution profile a 100 TB data-quality
+    * sweep runs per column. `nb` buckets span [min, max]; bucket =
+    * floor((x − min) / width) clamped so x = max lands in the last
+    * bucket; a degenerate column (min = max) collapses to bucket 0.
+    *
+    * Both the width and the bucket assignment are single IEEE
+    * operations on identical doubles, so bucket ids — and therefore
+    * counts — are bit-identical cross-engine. The bounds row is a
+    * broadcast 1-row side (same pattern as the scalar-subquery and
+    * vocabulary joins); the counting pass is one partial-agg shuffle
+    * of at most `nb` rows per partition.
+    *
+    * Returns (bucket, lo, hi, n) ordered by construction; empty
+    * buckets are absent (counts, not a densified grid).
+    */
+  def equiWidthHistogram(df: DataFrame, valCol: String, nb: Int): DataFrame = {
+    require(nb > 0, s"nb must be positive: $nb")
+    val bounds = df.filter(col(valCol).isNotNull)
+      .agg(min(col(valCol)).cast("double").as("__mn"), max(col(valCol)).cast("double").as("__mx"))
+    df.filter(col(valCol).isNotNull)
+      .join(broadcast(bounds))
+      .withColumn("__w", (col("__mx") - col("__mn")) / nb.toDouble)
+      .withColumn("bucket",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(
+            floor((col(valCol).cast("double") - col("__mn")) / col("__w")).cast("long"),
+            lit(nb - 1L))))
+      .groupBy("bucket")
+      .agg(
+        (min(col("__mn")) + col("bucket") * min(col("__w"))).as("lo"),
+        (min(col("__mn")) + (col("bucket") + 1L) * min(col("__w"))).as("hi"),
+        count(lit(1)).as("n"))
+  }
 }

@@ -411,5 +411,28 @@ object Relational2 {
           Tables(spark, dir).events, "user_id", "ts", "value", "event_id")
           .orderBy("user_id", "bucket_ts"),
     ),
+    Q(
+      "q85_histogram",
+      "Equi-width histogram profile of events.value (20 buckets): " +
+        "1-row bounds aggregate broadcast + one partial-agg counting " +
+        "pass — the per-column distribution profile of a data-quality " +
+        "sweep. Width and bucket ids are single IEEE ops on identical " +
+        "doubles, so counts are bit-identical cross-engine.",
+      Some("""
+        WITH b AS (SELECT CAST(min(value) AS DOUBLE) AS mn, CAST(max(value) AS DOUBLE) AS mx
+                   FROM events WHERE value IS NOT NULL),
+        w AS (SELECT mn, mx, (mx - mn) / 20.0 AS wd FROM b),
+        h AS (SELECT CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                     ELSE least(CAST(floor((CAST(value AS DOUBLE) - mn) / wd) AS BIGINT), 19) END AS bucket,
+                     mn, wd
+              FROM events CROSS JOIN w WHERE value IS NOT NULL)
+        SELECT bucket, min(mn) + bucket * min(wd) AS lo,
+          min(mn) + (bucket + 1) * min(wd) AS hi, count(*) AS n
+        FROM h GROUP BY bucket ORDER BY bucket
+      """.trim),
+      (spark, dir) =>
+        graft.operators.Stats.equiWidthHistogram(Tables(spark, dir).events, "value", nb = 20)
+          .orderBy("bucket"),
+    ),
   )
 }

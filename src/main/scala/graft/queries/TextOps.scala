@@ -271,6 +271,26 @@ object TextOps {
           .orderBy("doc_a", "doc_b"),
     ),
     Q(
+      "q86_phrase_search",
+      "Index-accelerated exact phrase search (grep at corpus scale): a " +
+        "persisted inverted bigram index partitioned by ngram-hash bucket; " +
+        "the query reads ONE bucket (static partition pruning), verifies " +
+        "candidates with token-aligned contains. Oracle = the full-scan " +
+        "padded-contains the index lookup is provably equivalent to.",
+      Some("""
+        SELECT doc_id FROM documents
+        WHERE contains(' ' || text || ' ', ' key hash ')
+        ORDER BY doc_id
+      """.trim),
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        val tmp = java.nio.file.Files.createTempDirectory("phraseidx").toString
+        graft.api.TextCuration.buildPhraseIndex(docs, "doc_id", "text", n = 2, path = tmp)
+        graft.api.TextCuration.phraseSearch(docs, "doc_id", "text", tmp, "key hash")
+          .orderBy("doc_id")
+      },
+    ),
+    Q(
       "q79_normalize",
       "Unicode NFC canonicalization (pre-dedup text normalization): " +
         "composed/decomposed encodings of the same visible string must " +

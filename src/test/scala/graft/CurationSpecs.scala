@@ -327,6 +327,53 @@ class CurationSpecs extends SparkSpec {
 
   // ---- quantizeInt8 -------------------------------------------------------
 
+  // ---- equiWidthHistogram -------------------------------------------------
+
+  test("equiWidthHistogram: hand-computed buckets, max lands in last bucket, degenerate column collapses") {
+    val df = Seq(0.0, 1.0, 2.5, 5.0, 7.5, 10.0).map(Tuple1(_)).toDF("v")
+    // min 0, max 10, 4 buckets of width 2.5; x=10 clamps into bucket 3
+    val out = graft.operators.Stats.equiWidthHistogram(df, "v", nb = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(out === Seq(
+      (0L, 0.0, 2.5, 2L),   // 0.0, 1.0
+      (1L, 2.5, 5.0, 1L),   // 2.5
+      (2L, 5.0, 7.5, 1L),   // 5.0
+      (3L, 7.5, 10.0, 2L),  // 7.5, 10.0 (max clamped)
+    ))
+    val flat = Seq(3.0, 3.0, 3.0).map(Tuple1(_)).toDF("v")
+    val deg = graft.operators.Stats.equiWidthHistogram(flat, "v", nb = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(deg === Seq((0L, 3L)))
+    // nulls excluded
+    val withNull = Seq(Some(1.0), None, Some(2.0)).map(Tuple1(_)).toDF("v")
+    assert(graft.operators.Stats.equiWidthHistogram(withNull, "v", 2)
+      .agg(sum("n")).collect()(0).getLong(0) === 2L)
+  }
+
+  // ---- phrase index -------------------------------------------------------
+
+  test("phraseSearch: index lookup equals the full-scan reference; token-aligned (no substring false hits)") {
+    val docs = Seq(
+      (1L, "alpha key hash beta"),
+      (2L, "key hash"),
+      (3L, "monkey hash value"), // substring 'key hash' but NOT token-aligned
+      (4L, "key value hash"),    // both words, wrong order
+      (5L, "gamma key hash"),
+    ).toDF("pid", "body")
+    val tmp = tmpDir("phraseidx").toString
+    TextCuration.buildPhraseIndex(docs, "pid", "body", n = 2, path = tmp)
+    val hits = TextCuration.phraseSearch(docs, "pid", "body", tmp, "key hash")
+      .collect().map(_.getLong(0)).toSet
+    assert(hits === Set(1L, 2L, 5L))
+    // reference: padded contains over the full corpus
+    val ref = docs.filter("contains(concat(' ', body, ' '), ' key hash ')")
+      .collect().map(_.getLong(0)).toSet
+    assert(hits === ref)
+    // absent phrase -> empty, not an error
+    assert(TextCuration.phraseSearch(docs, "pid", "body", tmp, "delta epsilon").count() === 0L)
+  }
+
   // ---- capPerDomain -------------------------------------------------------
 
   test("capPerDomain: top-k per domain by order column desc, id tie-break, rnk exposed") {

@@ -164,6 +164,19 @@ class PlanSpecs extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q86: the phrase lookup prunes to one index bucket (static partition filter, folded hash literal)") {
+    val docs = Tables(spark, dir).documents
+    val tmp = java.nio.file.Files.createTempDirectory("phraseidx_plan").toString
+    graft.api.TextCuration.buildPhraseIndex(docs, "doc_id", "text", n = 2, path = tmp)
+    val p = planString(
+      graft.api.TextCuration.phraseSearch(docs, "doc_id", "text", tmp, "key hash"))
+    // graft_poly_hash('key hash') constant-folds, so the scan carries a
+    // bucket partition filter — ONE directory read, not an index scan
+    val scanLine = p.linesIterator.find(l => l.contains("PartitionFilters") && l.contains("bucket"))
+    assert(scanLine.isDefined, p)
+    assert(scanLine.get.contains("bucket"), scanLine.get)
+  }
+
   test("catalog-wide join audit: no CartesianProduct; nested-loop joins only where a bounded side is documented") {
     // BroadcastNestedLoopJoin is legitimate ONLY where one side is
     // bounded (broadcast query/probe sets, fixed-cardinality reps) or
@@ -174,7 +187,8 @@ class PlanSpecs extends SparkSpec {
       "q32_ann_ivf",            // broadcast reps + broadcast probe (guarded)
       "q33_embedding_neardup",  // documented O(n^2) exact recall baseline
       "q20_scalar_subquery",    // scalar subquery result joined as a 1-row side
-      "q80_bigram_lm")          // vocabulary size: a broadcast 1-row aggregate side
+      "q80_bigram_lm",          // vocabulary size: a broadcast 1-row aggregate side
+      "q85_histogram")          // min/max bounds: a broadcast 1-row aggregate side
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     queries.QueryCatalog.all.foreach { q =>
       val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
