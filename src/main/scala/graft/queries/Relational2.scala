@@ -434,5 +434,65 @@ object Relational2 {
         graft.operators.Stats.equiWidthHistogram(Tables(spark, dir).events, "value", nb = 20)
           .orderBy("bucket"),
     ),
+    Q(
+      "q87_funnel",
+      "Ordered funnel analysis (view -> click -> purchase) per user: a " +
+        "greedy left-fold state machine over the user's time-ordered " +
+        "event codes — stage advances only on the exact next step. One " +
+        "groupBy; the fold runs over a per-user bounded list, identical " +
+        "integer CASE logic in both engines.",
+      Some("""
+        WITH c AS (SELECT user_id, ts, event_id,
+                     CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                          WHEN 'purchase' THEN 3 ELSE 0 END AS code
+                   FROM events),
+        l AS (SELECT user_id, count(*) AS n_events,
+                list(code ORDER BY ts, event_id) AS codes
+              FROM c GROUP BY user_id)
+        SELECT user_id, n_events,
+          CAST(list_reduce(list_prepend(0, codes),
+            (fa, fc) -> CASE WHEN fc = fa + 1 THEN fa + 1 ELSE fa END) AS BIGINT) AS funnel_stage
+        FROM l ORDER BY user_id
+      """.trim),
+      (spark, dir) =>
+        Tables(spark, dir).events
+          .selectExpr("user_id", "ts", "event_id",
+            "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END AS code")
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            expr("""CAST(aggregate(
+                transform(sort_array(collect_list(struct(ts, event_id, code))), fe -> fe.code),
+                0, (fa, fc) -> CASE WHEN fc = fa + 1 THEN fa + 1 ELSE fa END) AS BIGINT)""")
+              .as("funnel_stage"))
+          .orderBy("user_id"),
+    ),
+    Q(
+      "q88_retention",
+      "Cohort retention: users grouped by first-active day; for each " +
+        "(cohort_day, day_offset) the distinct users active that many " +
+        "days later. Pure integer date arithmetic; distinct-day " +
+        "reduction first so the cohort join carries user-days, not raw " +
+        "events.",
+      Some("""
+        WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        c AS (SELECT user_id, min(d) AS c0 FROM d GROUP BY user_id)
+        SELECT c.c0 AS cohort_day,
+          CAST(datediff('day', c.c0, d.d) AS BIGINT) AS day_offset,
+          count(DISTINCT d.user_id) AS n_users
+        FROM d JOIN c ON d.user_id = c.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """.trim),
+      (spark, dir) => {
+        val days = Tables(spark, dir).events
+          .selectExpr("user_id", "CAST(ts AS DATE) AS d").distinct()
+        val cohort = days.groupBy("user_id").agg(min(col("d")).as("c0"))
+        days.join(cohort, "user_id")
+          .groupBy(col("c0").as("cohort_day"),
+            datediff(col("d"), col("c0")).cast("long").as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+    ),
   )
 }

@@ -692,6 +692,33 @@ class TimeSeriesSpec extends SparkSpec {
   }
 }
 
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel fold: stages advance only in exact order; early/late/repeat events don't") {
+    // mirror of q87's fold over hand-ordered codes
+    def stage(types: Seq[String]): Long = {
+      val df = types.zipWithIndex
+        .map { case (t, i) => (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"), i.toLong, t) }
+        .toDF("user_id", "ts", "event_id", "event_type")
+      df.selectExpr("user_id", "ts", "event_id",
+        "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END AS code")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.expr(
+          """CAST(aggregate(
+             transform(sort_array(collect_list(struct(ts, event_id, code))), fe -> fe.code),
+             0, (fa, fc) -> CASE WHEN fc = fa + 1 THEN fa + 1 ELSE fa END) AS BIGINT)""").as("s"))
+        .collect()(0).getLong(1)
+    }
+    assert(stage(Seq("view", "click", "purchase")) === 3L)
+    assert(stage(Seq("click", "view", "purchase")) === 1L) // click before view doesn't count
+    assert(stage(Seq("view", "purchase", "click", "purchase")) === 3L) // early purchase ignored, later one lands
+    assert(stage(Seq("view", "view", "click")) === 2L) // repeats don't regress or double-advance
+    assert(stage(Seq("purchase")) === 0L)
+    assert(stage(Seq("other", "view")) === 1L)
+  }
+}
+
 class GlobalOrderSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
