@@ -47,6 +47,43 @@ object Stats {
       .drop("__lo", "__hi")
   }
 
+  /** Exact per-group quantiles (lower order statistic: the smallest
+    * value whose cumulative count reaches ceil(q·n)) via the same
+    * VALUE-HISTOGRAM layout as [[histogramMedian]] — the scale-safe
+    * exact p50/p95/p99 profile when the value domain is bounded. One
+    * partial-agg shuffle builds the histogram; the cumulative window
+    * only ever sees |distinct values| rows per group; one output row
+    * per (group, quantile). Positions are exact integers (`ceil(q·n)`
+    * computed as `(n·bp + 9999) div 10000` — positive operands, so
+    * truncating and flooring division agree across engines), and
+    * results carry original values — no interpolation, bit-exact on
+    * any engine.
+    *
+    * `quantilesBp` are basis points (5000 = p50, 9900 = p99).
+    * Returns (keys..., q_bp, n_rows, value).
+    */
+  def histogramQuantiles(df: DataFrame, keyCols: Seq[String], valCol: String, quantilesBp: Seq[Int]): DataFrame = {
+    require(quantilesBp.nonEmpty && quantilesBp.forall(b => b >= 1 && b <= 10000),
+      s"quantiles are basis points in [1, 10000]: $quantilesBp")
+    val kcols = keyCols.map(col)
+    val hist = df
+      .filter(col(valCol).isNotNull)
+      .groupBy((keyCols :+ valCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.partitionBy(kcols: _*).orderBy(col(valCol))))
+      .withColumn("n_rows", sum("cnt").over(Window.partitionBy(kcols: _*)))
+    val picks = quantilesBp.map { bp =>
+      // ceil(bp*n/10000) in pure integer arithmetic (operands positive)
+      min(when(expr(s"cum >= (n_rows * $bp + 9999) DIV 10000"), col(valCol))).as(s"__q$bp")
+    }
+    val aggs = max("n_rows").as("n_rows") +: picks
+    hist.groupBy(kcols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        (keyCols :+ "n_rows") ++ Seq(
+          s"stack(${quantilesBp.size}, ${quantilesBp.map(bp => s"CAST($bp AS BIGINT), __q$bp").mkString(", ")}) AS (q_bp, value)"): _*)
+  }
+
   /** Equi-width histogram of a numeric column — the one-pass (plus a
     * 1-row bounds aggregate) distribution profile a 100 TB data-quality
     * sweep runs per column. `nb` buckets span [min, max]; bucket =

@@ -435,6 +435,34 @@ object Relational2 {
           .orderBy("bucket"),
     ),
     Q(
+      "q89_quantiles",
+      "Exact per-group p50/p95/p99 via the value-histogram layout (q74's " +
+        "median generalized): positions are integer ceil(bp*n/10000), " +
+        "values are originals (no interpolation) — the scale-safe exact " +
+        "latency/size profile; the window sees |distinct values| rows per " +
+        "group, never raw rows.",
+      Some("""
+        WITH h AS (SELECT l_returnflag, l_quantity, count(*) AS cnt FROM lineitem GROUP BY 1, 2),
+        c AS (SELECT l_returnflag, l_quantity, cnt,
+                sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum,
+                sum(cnt) OVER (PARTITION BY l_returnflag) AS n_rows
+              FROM h),
+        p AS (SELECT l_returnflag, CAST(max(n_rows) AS BIGINT) AS n_rows,
+                min(CASE WHEN cum >= (n_rows * 5000 + 9999) // 10000 THEN l_quantity END) AS q5000,
+                min(CASE WHEN cum >= (n_rows * 9500 + 9999) // 10000 THEN l_quantity END) AS q9500,
+                min(CASE WHEN cum >= (n_rows * 9900 + 9999) // 10000 THEN l_quantity END) AS q9900
+              FROM c GROUP BY l_returnflag)
+        SELECT l_returnflag, n_rows, CAST(5000 AS BIGINT) AS q_bp, q5000 AS value FROM p
+        UNION ALL SELECT l_returnflag, n_rows, CAST(9500 AS BIGINT), q9500 FROM p
+        UNION ALL SELECT l_returnflag, n_rows, CAST(9900 AS BIGINT), q9900 FROM p
+        ORDER BY l_returnflag, q_bp
+      """.trim),
+      (spark, dir) =>
+        graft.operators.Stats.histogramQuantiles(
+          Tables(spark, dir).lineitem, Seq("l_returnflag"), "l_quantity", Seq(5000, 9500, 9900))
+          .orderBy("l_returnflag", "q_bp"),
+    ),
+    Q(
       "q87_funnel",
       "Ordered funnel analysis (view -> click -> purchase) per user: a " +
         "greedy left-fold state machine over the user's time-ordered " +

@@ -327,6 +327,25 @@ class CurationSpecs extends SparkSpec {
 
   // ---- quantizeInt8 -------------------------------------------------------
 
+  // ---- histogramQuantiles -------------------------------------------------
+
+  test("histogramQuantiles matches a sort-based order-statistic reference per group") {
+    val rnd = new scala.util.Random(47)
+    val df = (1 to 500).map(i => (if (i % 3 == 0) "g1" else "g2", rnd.nextInt(40).toDouble))
+      .toDF("grp", "v")
+    val bps = Seq(100, 2500, 5000, 9500, 10000)
+    val out = graft.operators.Stats.histogramQuantiles(df, Seq("grp"), "v", bps)
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val byGrp = df.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    for ((g, vs) <- byGrp; bp <- bps) {
+      val pos = (vs.length.toLong * bp + 9999) / 10000 // ceil, 1-based
+      assert(out((g, bp.toLong)) === vs((pos - 1).toInt), s"group $g bp $bp")
+    }
+    // p100 is the max, exactly
+    assert(out(("g1", 10000L)) === byGrp("g1").last)
+  }
+
   // ---- equiWidthHistogram -------------------------------------------------
 
   test("equiWidthHistogram: hand-computed buckets, max lands in last bucket, degenerate column collapses") {
