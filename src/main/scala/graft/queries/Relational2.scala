@@ -435,6 +435,26 @@ object Relational2 {
           .orderBy("bucket"),
     ),
     Q(
+      "q90_zvalue",
+      "Z-order (Morton) clustering key over (p_size, p_partkey mod 1024): " +
+        "pure-integer bit interleaving, the write-side half of " +
+        "multi-dimensional file skipping (Layout.zorder range-partitions " +
+        "on it; ScaleSpecs measures the per-partition bbox shrinkage). " +
+        "Same fully-parenthesized SQL text in both engines.",
+      Some(s"""
+        SELECT p_partkey, CAST(p_size AS BIGINT) AS x, p_partkey % 1024 AS y,
+          CAST(${graft.operators.Layout.zValueSql("p_size", "p_partkey % 1024", 10)} AS BIGINT) AS zval
+        FROM part ORDER BY zval, p_partkey
+      """.trim),
+      (spark, dir) =>
+        Tables(spark, dir).part.selectExpr(
+          "p_partkey",
+          "CAST(p_size AS BIGINT) AS x",
+          "p_partkey % 1024 AS y",
+          s"CAST(${graft.operators.Layout.zValueSql("p_size", "p_partkey % 1024", 10)} AS BIGINT) AS zval")
+          .orderBy("zval", "p_partkey"),
+    ),
+    Q(
       "q89_quantiles",
       "Exact per-group p50/p95/p99 via the value-histogram layout (q74's " +
         "median generalized): positions are integer ceil(bp*n/10000), " +

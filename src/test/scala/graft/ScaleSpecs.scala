@@ -144,4 +144,28 @@ class ScaleSpecs extends SparkSpec {
     assert(compound < brandOnly,
       s"compound blocks ($compound pairs) must be smaller than brand blocks ($brandOnly)")
   }
+
+  test("z-order clustering shrinks per-partition (x,y) bounding boxes vs a hash shuffle (file-skipping locality)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // uniform 2-D grid: both dims 0..255, 64k rows, 16 partitions
+    val df = (0 until 65536).map(i => (i % 256, i / 256)).toDF("x", "y")
+
+    def totalBboxArea(parts: org.apache.spark.sql.DataFrame): Long =
+      parts.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1)).as("area"))
+        .agg(sum("area")).collect()(0).getLong(0)
+
+    val zed = graft.operators.Layout.zorder(df, "x", "y", bits = 8, nParts = 16)
+    val hashed = df.repartition(16, col("x"), col("y"))
+    val zArea = totalBboxArea(zed)
+    val hashArea = totalBboxArea(hashed)
+    // hash shuffle: every partition spans ~the full space (16 * 64k).
+    // z-order: 16 partitions tile the space (total ~= 64k + boundary
+    // slack). Require at least 4x shrinkage — actual is ~16x.
+    assert(zArea * 4 <= hashArea, s"z=$zArea hash=$hashArea")
+    // and the layout is only a reshuffle: same rows exactly
+    assert(zed.exceptAll(df).count() === 0L && df.exceptAll(zed).count() === 0L)
+  }
 }
