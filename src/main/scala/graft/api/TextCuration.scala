@@ -411,6 +411,34 @@ object TextCuration {
         (col(idCol) === col("cluster_id")).as("is_canonical"))
   }
 
+  /** Tokenizer vocabulary builder: the top `topN` corpus tokens by
+    * frequency with rank, cumulative count, and corpus coverage — the
+    * vocab-init / pruning step before BPE training, and the coverage
+    * curve that decides vocab size.
+    *
+    * Scale shape: explode → one partial-agg groupBy on the token, then
+    * the global top-N goes through `orderBy().limit(n)` — Spark plans
+    * TakeOrderedAndProject (per-partition heaps, no full sort), so the
+    * vocabulary-sized frame never funnels through one task. Only the
+    * N surviving rows see the rank/cumulative window (bounded by
+    * `topN`, documented single-partition by construction). Coverage is
+    * one IEEE division of exact BIGINT counts — bit-identical
+    * cross-engine.
+    */
+  def buildVocab(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be positive: $topN")
+    val tf = df.selectExpr(s"explode(${tokensSpark(textCol)}) AS term")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum("cnt").as("total"))
+    val top = tf.orderBy(col("cnt").desc, col("term")).limit(topN)
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    top.join(broadcast(total))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("coverage", col("cum").cast("double") / col("total").cast("double"))
+      .select(col("term"), col("cnt"), col("rnk"), col("cum"), col("coverage"))
+  }
+
   /** Leakage-safe train/validation split: the split is a pure function
     * of the NEAR-DUP CLUSTER id, not the document id — near-duplicate
     * documents land in the same split by construction, so validation

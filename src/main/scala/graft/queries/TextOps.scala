@@ -271,6 +271,31 @@ object TextOps {
           .orderBy("doc_a", "doc_b"),
     ),
     Q(
+      "q91_vocab_build",
+      "Tokenizer vocabulary builder: top-200 corpus tokens with rank, " +
+        "cumulative count, and coverage fraction (the vocab-size curve " +
+        "before BPE training). Global top-N plans TakeOrderedAndProject " +
+        "(per-partition heaps); only the 200 survivors see the rank " +
+        "window; coverage is one division of exact BIGINTs.",
+      Some(s"""
+        WITH t AS (SELECT unnest(${tokensDuck("text")}) AS term FROM documents),
+        c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 200),
+        r AS (SELECT term, cnt,
+                CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rnk,
+                CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              FROM top)
+        SELECT r.term, r.cnt, r.rnk, r.cum,
+          CAST(r.cum AS DOUBLE) / CAST(tot.total AS DOUBLE) AS coverage
+        FROM r CROSS JOIN tot ORDER BY rnk
+      """.trim),
+      (spark, dir) =>
+        graft.api.TextCuration.buildVocab(Tables(spark, dir).documents, "text", topN = 200)
+          .orderBy("rnk"),
+    ),
+    Q(
       "q86_phrase_search",
       "Index-accelerated exact phrase search (grep at corpus scale): a " +
         "persisted inverted bigram index partitioned by ngram-hash bucket; " +

@@ -164,6 +164,11 @@ class PlanSpecs extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q91: the vocabulary top-N plans TakeOrderedAndProject, not a full sort of the term table") {
+    val p = planString(q("q91_vocab_build"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q86: the phrase lookup prunes to one index bucket (static partition filter, folded hash literal)") {
     val docs = Tables(spark, dir).documents
     val tmp = java.nio.file.Files.createTempDirectory("phraseidx_plan").toString
@@ -188,7 +193,8 @@ class PlanSpecs extends SparkSpec {
       "q33_embedding_neardup",  // documented O(n^2) exact recall baseline
       "q20_scalar_subquery",    // scalar subquery result joined as a 1-row side
       "q80_bigram_lm",          // vocabulary size: a broadcast 1-row aggregate side
-      "q85_histogram")          // min/max bounds: a broadcast 1-row aggregate side
+      "q85_histogram",          // min/max bounds: a broadcast 1-row aggregate side
+      "q91_vocab_build")        // total token count: a broadcast 1-row aggregate side
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     queries.QueryCatalog.all.foreach { q =>
       val plan = q.fn(spark, dir).queryExecution.executedPlan.toString

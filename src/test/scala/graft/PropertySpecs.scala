@@ -256,6 +256,45 @@ class PropertySpecs extends SparkSpec {
     }
   }
 
+  test("uninorm is idempotent and agrees with java.text.Normalizer for arbitrary unicode strings") {
+    // strings mixing ascii, combining marks, compatibility chars, surrogates
+    val uniChar: Gen[String] = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf("́", "̈", "̧"), // combining acute/diaeresis/cedilla
+      Gen.oneOf("é", "é", "ﬁ", "①", "ｱ", "½", "Å", "Å"),
+      Gen.oneOf("𝒜", "😀"), // surrogate pairs
+    )
+    val strGen: Gen[String] = Gen.listOfN(12, uniChar).map(_.mkString)
+    val forms = Seq("NFC", "NFD", "NFKC", "NFKD")
+    forAll(strGen, n = 30) { s =>
+      val rows = forms.map(f => s"graft_uninorm(s, '$f') AS $f")
+      val r = Seq(Tuple1(s)).toDF("s").selectExpr(rows: _*).collect()(0)
+      forms.zipWithIndex.foreach { case (f, i) =>
+        val got = r.getString(i)
+        val want = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.valueOf(f))
+        assert(got === want, s"form $f on ${s.map(_.toInt)}")
+        // idempotence: normalizing a normalized string is the identity
+        val again = Seq(Tuple1(got)).toDF("s").selectExpr(s"graft_uninorm(s, '$f') AS n")
+          .collect()(0).getString(0)
+        assert(again === got, s"$f not idempotent")
+      }
+    }
+  }
+
+  test("shuffleShard emits a permutation: dense positions, md5-order, for arbitrary id sets") {
+    val idsGen = Gen.listOf(Gen.choose(1L, 100000L)).map(_.distinct).suchThat(_.nonEmpty)
+    forAll(idsGen, n = 10) { ids =>
+      val df = ids.toDF("id")
+      val out = graft.operators.GlobalOrder.shuffleShard(df, "id", nshards = 4)
+        .select("id", "shuffle_key", "global_pos").collect()
+      assert(out.length === ids.size)
+      val byPos = out.sortBy(_.getLong(2))
+      assert(byPos.map(_.getLong(2)).toSeq === (0L until ids.size.toLong), "dense 0-based")
+      val keysInPosOrder = byPos.map(r => (r.getString(1), r.getLong(0))).toSeq
+      assert(keysInPosOrder === keysInPosOrder.sorted, "position order = (md5, id) order")
+    }
+  }
+
   test("keyed upsert is idempotent for arbitrary update batches (replay safety)") {
     val updatesGen = Gen.listOf(for {
       key <- Gen.choose(1L, 5L)
