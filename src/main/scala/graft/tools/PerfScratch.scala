@@ -12,6 +12,21 @@ object PerfScratch {
     Seq(t.lineitem, t.orders, t.customer, t.events, t.documents, t.embeddings)
       .foreach(df => df.limit(1).collect())
 
+    // plan-dump mode: --plan <query> prints the finalized adaptive plan
+    if (args.headOption.contains("--plan")) {
+      args.drop(1).foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val p = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan.toString
+          case pp => pp.toString
+        }
+        println(s"[scratch-plan] ==== $name ====\n" + p.linesIterator.map("[scratch-plan] " + _).mkString("\n"))
+      }
+      spark.stop()
+      return
+    }
+
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("q12_setops", "q16_scalar_string", "q9_topk_sort", "q5_selective_agg",
