@@ -435,6 +435,32 @@ object Relational2 {
           .orderBy("bucket"),
     ),
     Q(
+      "q92_scd2",
+      "SCD type-2 history from the events change log: per-user versioned " +
+        "values with [valid_from, valid_to) intervals and an is_current " +
+        "flag — LWW under duplicate timestamps, no-op changes collapsed. " +
+        "One shuffle on the key; the LWW aggregate and both window passes " +
+        "share one partitioning.",
+      Some("""
+        WITH lww AS (SELECT user_id, ts AS valid_from, arg_max(value, event_id) AS value
+                     FROM events GROUP BY user_id, ts),
+        ch AS (SELECT user_id, valid_from, value,
+                 lag(value) OVER (PARTITION BY user_id ORDER BY valid_from) AS prev
+               FROM lww),
+        kept AS (SELECT user_id, valid_from, value FROM ch
+                 WHERE prev IS NULL OR value <> prev)
+        SELECT user_id,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from) AS BIGINT) AS version,
+          value, valid_from,
+          lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+          (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL) AS is_current
+        FROM kept ORDER BY user_id, version
+      """.trim),
+      (spark, dir) =>
+        graft.operators.Cdc.scd2History(Tables(spark, dir).events, "user_id", "ts", "value", "event_id")
+          .orderBy("user_id", "version"),
+    ),
+    Q(
       "q90_zvalue",
       "Z-order (Morton) clustering key over (p_size, p_partkey mod 1024): " +
         "pure-integer bit interleaving, the write-side half of " +

@@ -692,6 +692,38 @@ class TimeSeriesSpec extends SparkSpec {
   }
 }
 
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("scd2History: LWW dup timestamps, no-op runs collapse, intervals chain, last version open") {
+    val log = Seq(
+      // key a: 10:00 has two writes (seq 2 wins -> 5.0); 11:00 repeats
+      // 5.0 (no-op, collapses); 12:00 changes to 7.0
+      ("a", t("2024-01-01 10:00:00"), 1.0, 1L),
+      ("a", t("2024-01-01 10:00:00"), 5.0, 2L),
+      ("a", t("2024-01-01 11:00:00"), 5.0, 3L),
+      ("a", t("2024-01-01 12:00:00"), 7.0, 4L),
+      // key b: single change -> one open version
+      ("b", t("2024-01-01 09:00:00"), 2.0, 5L),
+    ).toDF("k", "ts", "v", "seq")
+    val out = graft.operators.Cdc.scd2History(log, "k", "ts", "v", "seq")
+      .orderBy("k", "version").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getTimestamp(3).toString, Option(r.getTimestamp(4)).map(_.toString), r.getBoolean(5)))
+      .toSeq
+    assert(out === Seq(
+      ("a", 1L, 5.0, "2024-01-01 10:00:00.0", Some("2024-01-01 12:00:00.0"), false),
+      ("a", 2L, 7.0, "2024-01-01 12:00:00.0", None, true),
+      ("b", 1L, 2.0, "2024-01-01 09:00:00.0", None, true),
+    ))
+    // intervals tile: version n's valid_to is version n+1's valid_from —
+    // holds by construction over the collapsed rows (checked above: the
+    // 11:00 no-op never opens an interval, so v1 runs 10:00 -> 12:00)
+  }
+}
+
 class FunnelSpec extends SparkSpec {
   import spark.implicits._
 
