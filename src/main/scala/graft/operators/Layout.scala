@@ -31,6 +31,46 @@ object Layout {
     }.mkString("(", " + ", ")")
   }
 
+  /** Compact a parquet directory to ~`targetBytes` files: the
+    * small-files maintenance pass every long-lived table needs (a
+    * streaming sink or over-parallel write leaves thousands of KB-size
+    * files; each costs a task + a footer read + namenode metadata at
+    * every scan). File count = ceil(current bytes / target), data
+    * re-written once via coalesce (no shuffle — partitions merge
+    * without moving rows between executors more than the merge
+    * requires), then an atomic directory swap so readers never see a
+    * half-compacted table.
+    *
+    * Returns (filesBefore, filesAfter). Row content is preserved
+    * exactly (spec-checked); ordering within the table is not a
+    * parquet contract and is not preserved.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val dir = new java.io.File(path)
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.length()).sum
+    val nFiles = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
+    val tmp = path.stripSuffix("/") + ".compact-tmp"
+    spark.read.parquet(path).coalesce(nFiles)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    // atomic swap: retire the old dir, move the new one in
+    val old = new java.io.File(path.stripSuffix("/") + ".compact-old")
+    deleteRec(old)
+    require(dir.renameTo(old), s"could not retire $path")
+    require(new java.io.File(tmp).renameTo(dir), s"could not install $tmp")
+    deleteRec(old)
+    val after = Option(dir.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    (parts.length, after)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(): Unit
+  }
+
   /** Cluster `df` into `nParts` z-ordered range partitions on
     * (xCol, yCol): rows are assigned by z-value range, sorted by
     * z-value within each partition. Writing the result

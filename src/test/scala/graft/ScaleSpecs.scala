@@ -145,6 +145,27 @@ class ScaleSpecs extends SparkSpec {
       s"compound blocks ($compound pairs) must be smaller than brand blocks ($brandOnly)")
   }
 
+  test("compaction merges a fragmented parquet dir to the byte-target file count, rows exactly preserved") {
+    import spark.implicits._
+    val dir = tmpDir("compact").resolve("t").toString
+    val df = (1L to 20000L).map(i => (i, s"row_$i")).toDF("id", "s")
+    df.repartition(64).write.parquet(dir) // 64 small files
+    val bytes = Option(new java.io.File(dir).listFiles()).get
+      .filter(f => f.getName.endsWith(".parquet")).map(_.length()).sum
+    // target a quarter of the data per file -> expect ceil(bytes/target) = 4
+    val (before, after) = graft.operators.Layout.compact(spark, dir, targetBytes = (bytes + 3) / 4)
+    assert(before === 64)
+    assert(after === ((bytes + (bytes + 3) / 4 - 1) / ((bytes + 3) / 4)).toInt)
+    assert(after <= 5 && after >= 1, s"after=$after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 20000L)
+    assert(back.exceptAll(df).count() === 0L && df.exceptAll(back).count() === 0L)
+    // idempotent-ish: compacting again at a huge target -> 1 file, same rows
+    val (_, one) = graft.operators.Layout.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(one === 1)
+    assert(spark.read.parquet(dir).count() === 20000L)
+  }
+
   test("z-order clustering shrinks per-partition (x,y) bounding boxes vs a hash shuffle (file-skipping locality)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
