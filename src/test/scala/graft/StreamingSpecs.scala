@@ -11,6 +11,62 @@ import org.apache.spark.sql.streaming.Trigger
 
 import scala.concurrent.duration._
 
+class AggMaintainSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.AggMaintain
+
+  test("snapshot chain: merges accumulate, newest-batch replay is idempotent, crash tmp is cleared, pruning keeps the merge input") {
+    val dir = tmpDir("aggmaintain").resolve("store").toString
+    def batch(rows: (String, Double)*): org.apache.spark.sql.DataFrame =
+      rows.toDF("k", "v")
+    // exactly-representable doubles so sums are order-proof in the spec
+    AggMaintain.processBatch(batch(("a", 1.0), ("a", 2.0), ("b", 4.0)), 0L, "k", "v", dir)
+    AggMaintain.processBatch(batch(("a", 8.0), ("c", 16.0)), 1L, "k", "v", dir)
+    AggMaintain.processBatch(batch(("b", 32.0)), 2L, "k", "v", dir)
+    def state(): Map[String, (Long, Double)] =
+      AggMaintain.current(spark, dir).get.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expected = Map("a" -> ((3L, 11.0)), "b" -> ((2L, 36.0)), "c" -> ((1L, 16.0)))
+    assert(state() === expected)
+
+    // crash window: a half-staged tmp for the next batch is cleared on retry
+    val crashed = new java.io.File(dir, ".tmp-v3")
+    crashed.mkdirs()
+    new java.io.File(crashed, "part-garbage.parquet").createNewFile()
+
+    // newest-batch replay: batch 2 re-fires (its merge input v=1 must
+    // still exist after pruning) and re-installs the identical snapshot
+    AggMaintain.processBatch(batch(("b", 32.0)), 2L, "k", "v", dir)
+    assert(state() === expected)
+
+    // batch 3 after the crash debris: retry path stages cleanly
+    AggMaintain.processBatch(batch(("c", 64.0)), 3L, "k", "v", dir)
+    assert(state() === Map("a" -> ((3L, 11.0)), "b" -> ((2L, 36.0)), "c" -> ((2L, 80.0))))
+    assert(!crashed.exists(), "crash debris not cleared")
+
+    // empty store reads as None
+    assert(AggMaintain.current(spark, tmpDir("aggmaintain_empty").toString).isEmpty)
+  }
+
+  test("AggMaintain end-to-end via MemoryStream matches a batch recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir("aggmaintain_e2e").toString
+    val in = MemoryStream[(String, Double)]
+    val q = AggMaintain.start(in.toDF().toDF("k", "v"), "k", "v",
+      s"$dir/store", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      in.addData(("x", 1.0), ("y", 2.0)); q.processAllAvailable()
+      in.addData(("x", 4.0)); q.processAllAvailable()
+      in.addData(("z", 8.0), ("x", 16.0)); q.processAllAvailable()
+      val got = AggMaintain.current(spark, s"$dir/store").get.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got === Map("x" -> ((3L, 21.0)), "y" -> ((1L, 2.0)), "z" -> ((1L, 8.0))))
+    } finally q.stop()
+  }
+}
+
 class StreamingSpecs extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
