@@ -256,6 +256,50 @@ class PropertySpecs extends SparkSpec {
     }
   }
 
+  test("GIF codec round-trips arbitrary frame sets losslessly (any byte values, any frame count)") {
+    import graft.multimodal.Multimodal
+    val framesGen = for {
+      n <- Gen.choose(1, 6)
+      frames <- Gen.listOfN(n, Gen.listOfN(64, Gen.choose(0, 255)).map(_.map(_.toByte).toArray))
+    } yield frames
+    forAll(framesGen, n = 15) { frames =>
+      val gif = Multimodal.encodeGif(frames, width = 8)
+      val back = Multimodal.decodeGif(gif).get
+      assert(back.frames.length === frames.length)
+      frames.zip(back.frames).zipWithIndex.foreach { case ((want, got), i) =>
+        assert(got.pixels.toSeq === want.toSeq, s"frame $i")
+      }
+    }
+  }
+
+  test("chunking tiles every document: offsets stride, sizes bound, stride==size reconstructs exactly") {
+    import graft.api.TextCuration
+    val docGen = for {
+      nTok <- Gen.choose(1, 40)
+      toks <- Gen.listOfN(nTok, ident)
+    } yield toks.mkString(" ")
+    val paramGen = for {
+      size <- Gen.choose(1, 12)
+      stride <- Gen.choose(1, size)
+      doc <- docGen
+    } yield (size, stride, doc)
+    forAll(paramGen, n = 25) { case (size, stride, doc) =>
+      val df = Seq((1L, doc)).toDF("pid", "body")
+      val chunks = TextCuration.chunkDocuments(df, "pid", "body", size, stride)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      val toks = doc.split(" ", -1)
+      assert(chunks.nonEmpty)
+      assert(chunks.map(_._2).toSeq === chunks.indices.map(_.toLong * stride), "starts stride")
+      chunks.foreach { case (_, start, n, text) =>
+        assert(n === math.min(size.toLong, toks.length - start))
+        assert(text === toks.slice(start.toInt, start.toInt + size).mkString(" "))
+      }
+      if (stride == size) // exact tiling: concatenation rebuilds the doc
+        assert(chunks.map(_._4).mkString(" ") === doc)
+    }
+  }
+
   test("uninorm is idempotent and agrees with java.text.Normalizer for arbitrary unicode strings") {
     // strings mixing ascii, combining marks, compatibility chars, surrogates
     val uniChar: Gen[String] = Gen.oneOf(
