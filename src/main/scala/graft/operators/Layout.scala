@@ -31,6 +31,26 @@ object Layout {
     }.mkString("(", " + ", ")")
   }
 
+  /** Idempotent partitioned ingestion: write `df` into a
+    * date/key-partitioned parquet table overwriting ONLY the partitions
+    * present in this batch (dynamic partition overwrite), leaving every
+    * other partition untouched. This is the re-ingestion contract a
+    * daily pipeline needs — replaying one day's extract must not
+    * truncate the table (static overwrite mode would) and must not
+    * duplicate rows (append mode would).
+    *
+    * The mode is set on the single write, not session-wide, via the
+    * DataFrameWriter option — no global config mutation.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   /** Compact a parquet directory to ~`targetBytes` files: the
     * small-files maintenance pass every long-lived table needs (a
     * streaming sink or over-parallel write leaves thousands of KB-size
