@@ -478,13 +478,30 @@ object Multimodal {
         writer.setOutput(out)
         writer.prepareWriteSequence(null)
         frames.foreach { f =>
-          writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+          writer.writeToSequence(new javax.imageio.IIOImage(padToReliableHeight(f), null, null), null)
         }
         writer.endWriteSequence()
         out.flush()
       } finally out.close()
       baos.toByteArray
     }
+
+    /** The JDK GIF path silently corrupts frames shorter than 5 rows
+      * (empirically: every pixel from row 1 on decodes as palette 0
+      * whenever height <= 4, any width; height >= 5 round-trips every
+      * byte). Guard: zero-pad short frames to 5 rows before writing —
+      * consistent with the zero-padding convention of every ingest
+      * path here (padding never contributes to luma features), at the
+      * cost of decoded height reading as 5 for shorter frames.
+      */
+    private def padToReliableHeight(f: java.awt.image.BufferedImage): java.awt.image.BufferedImage =
+      if (f.getHeight >= GifMinReliableRows) f
+      else {
+        val w = f.getWidth
+        val px = new Array[Byte](w * f.getHeight)
+        f.getRaster.getDataElements(0, 0, w, f.getHeight, px)
+        toIndexedGrayImage(java.util.Arrays.copyOf(px, w * GifMinReliableRows), w)
+      }
 
     def decodeFrames(gif: Array[Byte]): Option[DecodedVideo] =
       try {
@@ -497,6 +514,11 @@ object Multimodal {
         } finally in.close()
       } catch { case _: java.io.IOException | _: RuntimeException => None }
   }
+
+  /** Minimum frame height the JDK GIF writer+reader round-trips
+    * reliably (see [[GifCodec.padToReliableHeight]]).
+    */
+  private val GifMinReliableRows = 5
 
   /** 256-entry identity gray ramp: palette[i] = (i, i, i). Frames built
     * on this palette hit the GIF writer's indexed fast path — the
@@ -561,6 +583,57 @@ object Multimodal {
     * Undecodable payloads return None (the DLQ row, not an exception).
     */
   def decodeGif(gif: Array[Byte]): Option[DecodedVideo] = new GifCodec().decodeFrames(gif)
+
+  /** Video transcode through the real codec: keep every `every`-th
+    * frame (temporal downsample) and area-average each kept frame by
+    * `factor` (spatial downsample, the [[resizePng]] block-mean), then
+    * re-encode as an animated GIF. The video twin of [[resizePng]] —
+    * the preprocessing pass that normalizes raw clips to a model's
+    * frame rate and resolution. Undecodable payloads return None.
+    * Output frames shorter than the codec's reliable minimum (5 rows)
+    * come back zero-padded to it — see
+    * [[GifCodec.padToReliableHeight]]; luma features are unaffected.
+    */
+  def transcodeGif(gif: Array[Byte], every: Int, factor: Int): Option[Array[Byte]] = {
+    require(every > 0 && factor > 0, "every and factor must be positive")
+    val codec = new GifCodec
+    codec.decodeFrames(gif).map { v =>
+      val kept = v.frames.indices.by(every).map(v.frames(_))
+      val small = kept.map { d =>
+        val ow = math.max(1, d.width / factor)
+        val oh = math.max(1, d.height / factor)
+        val out = new Array[Byte](ow * oh)
+        var oy = 0
+        while (oy < oh) {
+          var ox = 0
+          while (ox < ow) {
+            var sum = 0L
+            var cnt = 0
+            var y = oy * factor
+            val yEnd = math.min((oy + 1) * factor, d.height)
+            while (y < yEnd) {
+              var x = ox * factor
+              val xEnd = math.min((ox + 1) * factor, d.width)
+              while (x < xEnd) {
+                sum += (d.pixels(y * d.width + x) & 0xff)
+                cnt += 1
+                x += 1
+              }
+              y += 1
+            }
+            out(oy * ow + ox) = (sum / cnt).toByte
+            ox += 1
+          }
+          oy += 1
+        }
+        val img = new java.awt.image.BufferedImage(ow, oh,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        img.getRaster.setDataElements(0, 0, ow, oh, out)
+        img
+      }
+      codec.encodeFrames(small, small.map(f => f.getWidth * f.getHeight).sum)
+    }
+  }
 
   /** Video features from REAL decoded frames. */
   final case class VideoFeatures(

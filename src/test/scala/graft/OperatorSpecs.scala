@@ -624,6 +624,35 @@ class MultimodalSpec extends SparkSpec {
     assert(v.frames(1).pixels.toSeq === f1.toSeq)
   }
 
+  test("video transcode: temporal downsample keeps every k-th frame, spatial resize computes block means") {
+    // 4 frames of 16x8; transcode every=2, factor=2 -> frames 0,2 at 8x4,
+    // zero-padded to the codec's reliable 5-row minimum on re-encode
+    val f = (0 until 4).map(k => Array.tabulate[Byte](128)(i => ((k * 40 + i) % 256).toByte))
+    val gif = Multimodal.encodeGif(f, width = 16)
+    val out = Multimodal.transcodeGif(gif, every = 2, factor = 2).get
+    val v = Multimodal.decodeGif(out).get
+    assert(v.frames.length === 2)
+    assert(v.frames.forall(d => d.width === 8 && d.height === 5))
+    def blockMeans(src: Array[Byte]): Seq[Int] =
+      (for (oy <- 0 until 4; ox <- 0 until 8) yield {
+        val vals = for (dy <- 0 until 2; dx <- 0 until 2)
+          yield src((oy * 2 + dy) * 16 + ox * 2 + dx) & 0xff
+        vals.sum / 4
+      })
+    Seq(0, 1).foreach { i =>
+      val want = blockMeans(f(i * 2)) ++ Seq.fill(8)(0) // content rows + zero pad row
+      assert(v.frames(i).pixels.map(_ & 0xff).toSeq === want, s"frame $i")
+    }
+    assert(Multimodal.transcodeGif("junk".getBytes, 2, 2).isEmpty)
+  }
+
+  test("GIF codec: frames below the JDK-reliable 5-row minimum are zero-padded, content bytes exact") {
+    val tiny = Array[Byte](2, 4, 10, 12) // 2x2
+    val d = Multimodal.decodeGif(Multimodal.encodeGif(Seq(tiny), width = 2)).get
+    assert(d.frames(0).width === 2 && d.frames(0).height === 5)
+    assert(d.frames(0).pixels.map(_ & 0xff).toSeq === Seq(2, 4, 10, 12, 0, 0, 0, 0, 0, 0))
+  }
+
   test("video frame sampling: every 2nd frame's luma counted, all frames counted, undecodable drops out") {
     import spark.implicits._
     // 5 frames of 128 bytes -> samples frames 0,2,4
