@@ -661,6 +661,48 @@ object TextCuration {
       .drop("__sum")
   }
 
+  /** The training-data EXPORT pipeline, end to end: exact-dedup
+    * canonicals → deterministic stratified sampling → fixed-window
+    * tiling chunks → reproducible corpus shuffle-shard → per-shard
+    * token packing. The write-side twin of [[curate]] (which filters;
+    * this lays out): the output says, for every surviving chunk,
+    * exactly which shard, position, pack, and offset it trains from —
+    * reproducible on any engine or partitioning.
+    *
+    * Scale: dedup is one shuffle on the content hash; sampling is
+    * map-only; chunking is map-only; the shard index is the
+    * [[graft.operators.GlobalOrder]] fixed-bucket layout (no
+    * single-partition window); packing is one window per shard key.
+    */
+  def exportCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      ratesBp: Map[String, Int],
+      defaultBp: Int,
+      salt: String,
+      chunkTokens: Int,
+      nshards: Int,
+      packBudget: Long,
+  ): DataFrame = {
+    val wCanon = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    val canon = df.withColumn("__rn", row_number().over(wCanon))
+      .filter(col("__rn") === 1).drop("__rn")
+    val sampled = stratifiedSample(canon, idCol, strataCol, ratesBp, defaultBp, salt)
+    val chunks = chunkDocuments(sampled, idCol, textCol, chunkTokens, chunkTokens)
+      .withColumn("__cid", col(idCol) * 1024L + col("chunk_id"))
+    val sharded = graft.operators.GlobalOrder.shuffleShard(chunks, "__cid", nshards)
+    val w = Window.partitionBy("shard").orderBy("global_pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("__cum", sum("n_chunk_tokens").over(w) - col("n_chunk_tokens"))
+      .select(col(idCol), col("chunk_id"), col("shard"), col("global_pos"),
+        expr(s"__cum DIV $packBudget").as("pack_id"),
+        pmod(col("__cum"), lit(packBudget)).as("pack_offset"),
+        col("n_chunk_tokens"))
+  }
+
   /** The full curation pipeline: exact-dedup canonicals ∖ near-dup
     * higher-ids, quality floor, language allowlist. Returns
     * (id, pred_lang, quality) for surviving docs.

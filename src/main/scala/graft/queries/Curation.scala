@@ -334,6 +334,46 @@ object Curation {
           .orderBy("source"),
     ),
     Q(
+      "q93_corpus_export",
+      "The training-data EXPORT capstone, end to end: exact-dedup " +
+        "canonicals -> deterministic stratified sample -> 64-token tiling " +
+        "chunks -> reproducible shuffle-shard (8 shards) -> per-shard " +
+        "256-token packing. Every chunk's (shard, position, pack, offset) " +
+        "hash-checked against the oracle recomputing the whole layout.",
+      {
+        val coin = s"${polyDuck("CAST(doc_id AS VARCHAR) || ':exp1'")} % 10000"
+        Some(s"""
+          WITH canon AS (
+            SELECT doc_id, text, source FROM (
+              SELECT doc_id, text, source,
+                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn = 1),
+          samp AS (SELECT doc_id, text FROM canon
+                   WHERE $coin < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 0 ELSE 5000 END),
+          tk AS (SELECT doc_id, ${tokensDuck("text")} AS tok FROM samp),
+          tn AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n FROM tk WHERE len(tok) >= 1),
+          st AS (SELECT doc_id, n, unnest(generate_series(0, n - 1, 64)) AS s0 FROM tn),
+          ch AS (SELECT doc_id, CAST(s0 // 64 AS BIGINT) AS chunk_id,
+                   CAST(least(64, n - s0) AS BIGINT) AS n_chunk_tokens FROM st),
+          keyed AS (SELECT *, doc_id * 1024 + chunk_id AS cid FROM ch),
+          h AS (SELECT *, md5(CAST(cid AS VARCHAR)) AS shuffle_key FROM keyed),
+          r AS (SELECT *, row_number() OVER (ORDER BY shuffle_key, cid) - 1 AS global_pos FROM h),
+          sh AS (SELECT *, global_pos % 8 AS shard FROM r),
+          p AS (SELECT *, CAST(sum(n_chunk_tokens) OVER (PARTITION BY shard ORDER BY global_pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chunk_tokens AS BIGINT) AS cum
+                FROM sh)
+          SELECT doc_id, chunk_id, shard, global_pos,
+            cum // 256 AS pack_id, cum % 256 AS pack_offset, n_chunk_tokens
+          FROM p ORDER BY doc_id, chunk_id
+        """.trim)
+      },
+      (spark, dir) =>
+        TextCuration.exportCorpus(Tables(spark, dir).documents, "doc_id", "text", "source",
+          Map("src0" -> 10000, "src1" -> 0), defaultBp = 5000, salt = "exp1",
+          chunkTokens = 64, nshards = 8, packBudget = 256L)
+          .orderBy("doc_id", "chunk_id"),
+    ),
+    Q(
       "q82_leakage_split",
       "Leakage-safe train/validation split: the split coin hashes the " +
         "NEAR-DUP CLUSTER id (q70's components), not the doc id — so " +

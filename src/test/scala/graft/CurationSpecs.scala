@@ -393,6 +393,40 @@ class CurationSpecs extends SparkSpec {
     assert(TextCuration.phraseSearch(docs, "pid", "body", tmp, "delta epsilon").count() === 0L)
   }
 
+  // ---- exportCorpus -------------------------------------------------------
+
+  test("exportCorpus layout invariants: dense global order, round-robin shards, per-shard pack arithmetic") {
+    val out = TextCuration.exportCorpus(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text", "source",
+      Map("src0" -> 10000, "src1" -> 0), defaultBp = 5000, salt = "exp1",
+      chunkTokens = 64, nshards = 8, packBudget = 256L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    // global positions are a dense 0-based permutation; shard is round-robin
+    val pos = out.map(_._4).sorted
+    assert(pos.toSeq === (0L until out.length.toLong))
+    assert(out.forall(r => r._3 === r._4 % 8))
+    // per shard, in position order, pack arithmetic is the running token sum
+    out.groupBy(_._3).foreach { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(_._4).foreach { r =>
+        assert(r._5 === cum / 256 && r._6 === cum % 256, s"shard $shard pos ${r._4}")
+        cum += r._7
+      }
+    }
+    // src1 is sampled out entirely; chunks tile their doc (last may be short)
+    val src1Ids = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter("source = 'src1'").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => !src1Ids.contains(r._1)))
+    out.groupBy(_._1).foreach { case (_, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === sorted.indices.map(_.toLong))
+      assert(sorted.init.forall(_._7 === 64L)) // only the tail chunk may be short
+    }
+  }
+
   // ---- capPerDomain -------------------------------------------------------
 
   test("capPerDomain: top-k per domain by order column desc, id tie-break, rnk exposed") {
