@@ -167,8 +167,15 @@ object TextCuration {
     */
   def buildPhraseIndex(df: DataFrame, idCol: String, textCol: String, n: Int, path: String): Unit = {
     require(n >= 2, s"phrase n-grams need n >= 2: $n")
-    df.selectExpr(idCol, s"explode(graft_word_ngrams($textCol, $n, true)) AS ngram")
-      .selectExpr(idCol, "ngram", s"pmod(graft_poly_hash(ngram), $PhraseIndexBuckets) AS bucket")
+    // the index stores only the n-gram HASH, not the string: the search
+    // path re-verifies every candidate against the source text, so hash
+    // collisions cost a candidate row, never a wrong answer — and the
+    // posting list shrinks to two BIGINTs per entry instead of a string
+    // per n-gram, which is what the write (and at corpus scale the
+    // storage) is bounded by
+    df.selectExpr(idCol, s"explode(graft_word_ngrams($textCol, $n, true)) AS __ngram")
+      .selectExpr(idCol, "graft_poly_hash(__ngram) AS nh")
+      .selectExpr(idCol, "nh", s"pmod(nh, $PhraseIndexBuckets) AS bucket")
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
   }
@@ -176,7 +183,7 @@ object TextCuration {
   /** Exact token-aligned phrase search against a [[buildPhraseIndex]]
     * index built with n = the phrase's token count: candidate ids come
     * from the phrase's single index bucket (partition-pruned read +
-    * ngram equality), then candidates are verified against the source
+    * ngram-HASH equality), then candidates are verified against the source
     * text (space-padded `contains`, the token-aligned containment the
     * n-gram presence is equivalent to — the verify guards a corrupted
     * or mismatched index, and is what the oracle recomputes by full
@@ -189,7 +196,7 @@ object TextCuration {
     require(n >= 2, s"phrase must have >= 2 tokens: '$phrase'")
     val spark = df.sparkSession
     val candidates = spark.read.parquet(indexPath)
-      .where(expr(s"bucket = pmod(graft_poly_hash('$phrase'), $PhraseIndexBuckets) AND ngram = '$phrase'"))
+      .where(expr(s"bucket = pmod(graft_poly_hash('$phrase'), $PhraseIndexBuckets) AND nh = graft_poly_hash('$phrase')"))
       .select(col(idCol))
     df.join(candidates, Seq(idCol), "left_semi")
       .filter(expr(s"contains(concat(' ', $textCol, ' '), ' $phrase ')"))
