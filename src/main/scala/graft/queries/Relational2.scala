@@ -461,6 +461,44 @@ object Relational2 {
           .orderBy("user_id", "version"),
     ),
     Q(
+      "q94_pit_join",
+      "Point-in-time join: every purchase picks up the SCD2 dimension " +
+        "version (q92's history) valid AT the purchase timestamp — the " +
+        "union + running-last composition (one keyed shuffle, never a " +
+        "nested-loop inequality join), proven against DuckDB's native " +
+        "ASOF JOIN over the same recomputed history.",
+      Some("""
+        WITH lww AS (SELECT user_id, ts AS valid_from, arg_max(value, event_id) AS value
+                     FROM events GROUP BY user_id, ts),
+        ch AS (SELECT user_id, valid_from, value,
+                 lag(value) OVER (PARTITION BY user_id ORDER BY valid_from) AS prev
+               FROM lww),
+        kept AS (SELECT user_id, valid_from, value FROM ch
+                 WHERE prev IS NULL OR value <> prev),
+        hist AS (SELECT user_id, valid_from, value AS dim_value,
+                   CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from) AS BIGINT) AS version
+                 FROM kept),
+        p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+              WHERE event_type = 'purchase')
+        SELECT p.purchase_id, p.user_id, p.ts,
+          h.version, h.dim_value, h.valid_from AS version_from
+        FROM p ASOF LEFT JOIN hist h
+          ON p.user_id = h.user_id AND p.ts >= h.valid_from
+        ORDER BY purchase_id
+      """.trim),
+      (spark, dir) => {
+        val ev = Tables(spark, dir).events
+        val hist = graft.operators.Cdc.scd2History(ev, "user_id", "ts", "value", "event_id")
+          .selectExpr("user_id", "valid_from", "version", "value AS dim_value",
+            "valid_from AS version_from")
+        val facts = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+        graft.operators.Cdc.pointInTime(facts, hist, "user_id", "ts", "valid_from")
+          .select("purchase_id", "user_id", "ts", "version", "dim_value", "version_from")
+          .orderBy("purchase_id")
+      },
+    ),
+    Q(
       "q90_zvalue",
       "Z-order (Morton) clustering key over (p_size, p_partkey mod 1024): " +
         "pure-integer bit interleaving, the write-side half of " +

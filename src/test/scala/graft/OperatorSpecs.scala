@@ -751,6 +751,27 @@ class CdcSpec extends SparkSpec {
     // holds by construction over the collapsed rows (checked above: the
     // 11:00 no-op never opens an interval, so v1 runs 10:00 -> 12:00)
   }
+
+  test("pointInTime: facts see the version open AT their ts (inclusive); pre-history facts carry nulls") {
+    val dim = Seq(
+      ("a", t("2024-01-01 10:00:00"), 1L, 5.0),
+      ("a", t("2024-01-01 12:00:00"), 2L, 7.0),
+    ).toDF("k", "vfrom", "ver", "dv")
+    val facts = Seq(
+      (100L, "a", t("2024-01-01 09:00:00")), // before first version -> nulls
+      (101L, "a", t("2024-01-01 10:00:00")), // exactly at open -> v1 (inclusive)
+      (102L, "a", t("2024-01-01 11:59:59")), // between -> v1
+      (103L, "a", t("2024-01-01 12:00:00")), // at v2 open -> v2
+      (104L, "a", t("2024-01-01 23:00:00")), // after last -> v2
+    ).toDF("fid", "k", "fts")
+    val out = graft.operators.Cdc.pointInTime(facts, dim, "k", "fts", "vfrom")
+      .orderBy("fid").collect()
+      .map(r => (r.getLong(r.fieldIndex("fid")),
+        if (r.isNullAt(r.fieldIndex("ver"))) None else Some(r.getLong(r.fieldIndex("ver")))))
+      .toSeq
+    assert(out === Seq(
+      (100L, None), (101L, Some(1L)), (102L, Some(1L)), (103L, Some(2L)), (104L, Some(2L))))
+  }
 }
 
 class FunnelSpec extends SparkSpec {
