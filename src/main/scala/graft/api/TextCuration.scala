@@ -697,8 +697,12 @@ object TextCuration {
     val canon = df.withColumn("__rn", row_number().over(wCanon))
       .filter(col("__rn") === 1).drop("__rn")
     val sampled = stratifiedSample(canon, idCol, strataCol, ratesBp, defaultBp, salt)
+    // string chunk key, NOT id*K + chunk_id arithmetic: a packed integer
+    // key silently collides once a doc exceeds K chunks, which at corpus
+    // scale some doc always does — and a collided key breaks the total
+    // order's determinism
     val chunks = chunkDocuments(sampled, idCol, textCol, chunkTokens, chunkTokens)
-      .withColumn("__cid", col(idCol) * 1024L + col("chunk_id"))
+      .withColumn("__cid", concat_ws(":", col(idCol), col("chunk_id")))
     val sharded = graft.operators.GlobalOrder.shuffleShard(chunks, "__cid", nshards)
     val w = Window.partitionBy("shard").orderBy("global_pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -355,8 +355,8 @@ object Curation {
           st AS (SELECT doc_id, n, unnest(generate_series(0, n - 1, 64)) AS s0 FROM tn),
           ch AS (SELECT doc_id, CAST(s0 // 64 AS BIGINT) AS chunk_id,
                    CAST(least(64, n - s0) AS BIGINT) AS n_chunk_tokens FROM st),
-          keyed AS (SELECT *, doc_id * 1024 + chunk_id AS cid FROM ch),
-          h AS (SELECT *, md5(CAST(cid AS VARCHAR)) AS shuffle_key FROM keyed),
+          keyed AS (SELECT *, CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR) AS cid FROM ch),
+          h AS (SELECT *, md5(cid) AS shuffle_key FROM keyed),
           r AS (SELECT *, row_number() OVER (ORDER BY shuffle_key, cid) - 1 AS global_pos FROM h),
           sh AS (SELECT *, global_pos % 8 AS shard FROM r),
           p AS (SELECT *, CAST(sum(n_chunk_tokens) OVER (PARTITION BY shard ORDER BY global_pos

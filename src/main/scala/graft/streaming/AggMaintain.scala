@@ -27,7 +27,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * key-partitioned merge with the snapshot (both sides aggregate-sized
   * — one row per key, not per event). Merge order over batches is
   * fixed by the chain, so even double sums are reproducible for a
-  * given batch sequence.
+  * given batch sequence. The trade-off to know: each merge REWRITES
+  * the whole aggregate table — right while the key space is far
+  * smaller than the event volume (the usual metrics case); when the
+  * key space itself is huge, use the bucketed-store layout
+  * ([[VerifiedStream]]) where a batch rewrites only touched buckets.
   */
 object AggMaintain {
 
@@ -68,7 +72,7 @@ object AggMaintain {
           .groupBy(col(keyCol))
           .agg(sum("cnt").as("cnt"), sum("total").as("total"))
     }
-    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
 
     // install atomically; a replay overwrites the identical snapshot
     val dst = new java.io.File(storeDir, s"v=$batchId")
