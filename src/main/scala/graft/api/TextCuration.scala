@@ -191,7 +191,10 @@ object TextCuration {
     * against the corpus — never a corpus scan.
     */
   def phraseSearch(df: DataFrame, idCol: String, textCol: String, indexPath: String, phrase: String): DataFrame = {
-    require(!phrase.contains("'"), s"phrase must not contain quotes: $phrase")
+    // the phrase lands inside SQL string literals: reject characters the
+    // literal parser would reinterpret (quotes, escapes, control chars)
+    require(!phrase.exists(c => c == '\'' || c == '\\' || c < ' '),
+      s"phrase must not contain quotes, backslashes, or control chars: $phrase")
     val n = phrase.split(" ", -1).length
     require(n >= 2, s"phrase must have >= 2 tokens: '$phrase'")
     val spark = df.sparkSession

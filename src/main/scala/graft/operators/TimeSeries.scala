@@ -45,6 +45,9 @@ object TimeSeries {
       step: String = "1 hour",
       trunc: String = "hour",
   ): DataFrame = {
+    // step is spliced into an interval literal: accept only "<n> <unit>"
+    require(step.matches("""\d+ (second|minute|hour|day|week)s?"""),
+      s"step must be '<n> <unit>' (second/minute/hour/day/week): '$step'")
     val lww = df.groupBy(col(keyCol), col(tsCol).as("__t"))
       .agg(max_by(col(valCol), col(seqCol)).as("__v"))
     val valType = lww.schema("__v").dataType
