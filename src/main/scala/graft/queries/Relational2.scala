@@ -461,6 +461,38 @@ object Relational2 {
           .orderBy("user_id", "version"),
     ),
     Q(
+      "q95_full_outer",
+      "FULL OUTER join (segment reconciliation): high-spend customers vs " +
+        "recently-active customers, unmatched rows surviving from BOTH " +
+        "sides with null payloads and a membership flag. Exact decimal " +
+        "spend via the 128-bit accumulator; one shuffle join on the " +
+        "customer key.",
+      Some("""
+        WITH big AS (SELECT o_custkey AS ck,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_spend
+                     FROM orders GROUP BY 1
+                     HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) > 3100000.0),
+        recent AS (SELECT o_custkey AS ck, count(*) AS n_recent FROM orders
+                   WHERE o_orderdate >= DATE '2001-01-01' GROUP BY 1)
+        SELECT coalesce(b.ck, r.ck) AS custkey, b.total_spend, r.n_recent,
+          (b.ck IS NOT NULL AND r.ck IS NOT NULL) AS in_both
+        FROM big b FULL OUTER JOIN recent r ON b.ck = r.ck
+        ORDER BY custkey
+      """.trim),
+      (spark, dir) => {
+        val orders = Tables(spark, dir).orders
+        val big = orders.groupBy(col("o_custkey").as("ck"))
+          .agg(graft.Num.dsum(col("o_totalprice")).as("total_spend"))
+          .filter(col("total_spend") > 3100000.0)
+        val recent = orders.filter(col("o_orderdate") >= lit("2001-01-01").cast("date"))
+          .groupBy(col("o_custkey").as("ck")).agg(count(lit(1)).as("n_recent"))
+        big.join(recent, Seq("ck"), "full_outer")
+          .select(col("ck").as("custkey"), col("total_spend"), col("n_recent"),
+            (col("total_spend").isNotNull && col("n_recent").isNotNull).as("in_both"))
+          .orderBy("custkey")
+      },
+    ),
+    Q(
       "q94_pit_join",
       "Point-in-time join: every purchase picks up the SCD2 dimension " +
         "version (q92's history) valid AT the purchase timestamp — the " +
