@@ -91,6 +91,17 @@ object EventStreams {
       .select(col("user_id"), col("purchase_id"), col("p_ts"), col("click_id"), col("c_ts"))
   }
 
+  /** Stream–static enrichment: left-join the unbounded stream against
+    * a bounded dimension frame (the streaming twin of the pipeline's
+    * broadcast enrichment step). Stateless on the stream side — every
+    * micro-batch joins the CURRENT dim (re-read per batch if the dim
+    * is a file source), unmatched keys keep null payloads instead of
+    * dropping rows. The dim should be broadcast-sized; Spark plans a
+    * broadcast hash join per micro-batch.
+    */
+  def enrichAgainstStatic(stream: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), "left")
+
   /** Streaming exact dedup on event_id with watermark-bounded state:
     * duplicates arriving within the delay are dropped, state for ids
     * older than the watermark is evicted (the streaming half of the

@@ -272,6 +272,23 @@ class StreamingSpecs extends SparkSpec {
     assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("stream-static enrichment: each micro-batch left-joins the broadcast dim; unmatched keys keep null payloads") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Long)]
+    val out = graft.streaming.EventStreams.enrichAgainstStatic(
+      in.toDF().toDF("user_id", "event_id"), dim, "user_id")
+    val q = out.writeStream.format("memory").queryName("enrich_static").outputMode("append").start()
+    try {
+      in.addData((1L, 100L), (3L, 101L)); q.processAllAvailable()
+      in.addData((2L, 102L)); q.processAllAvailable()
+      val rows = spark.table("enrich_static").collect()
+        .map(r => (r.getLong(1), Option(r.getString(2)))).toSet
+      assert(rows === Set((100L, Some("gold")), (101L, None), (102L, Some("silver"))))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with the same user's clicks in the prior hour") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
