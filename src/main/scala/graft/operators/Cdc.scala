@@ -13,6 +13,33 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** Snapshot reconciliation: diff two keyed table versions into
+    * added / removed / changed rows — the validation step after a
+    * migration, backfill, or CDC replication (the reference's sync
+    * jobs have no way to PROVE the MySQL copy matches Postgres; this
+    * is that proof, distributed).
+    *
+    * One full-outer shuffle join on the key; payloads compare via a
+    * null-safe struct equality (no hashing — false equality is
+    * impossible, and Catalyst compares binary-equal structs without
+    * materializing strings). Unchanged rows are dropped: at scale the
+    * diff is small and the output should be too.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty, "need key and compare columns")
+    val aSide = a.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__a", struct(compareCols.map(col): _*)).select((keyCols :+ "__a").map(col): _*)
+    val bSide = b.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__b", struct(compareCols.map(col): _*)).select((keyCols :+ "__b").map(col): _*)
+    aSide.join(bSide, keyCols, "full_outer")
+      .withColumn("status",
+        when(col("__a").isNull, lit("added"))
+          .when(col("__b").isNull, lit("removed"))
+          .when(!(col("__a") <=> col("__b")), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select((keyCols :+ "status").map(col): _*)
+  }
+
   /** SCD2 history from a change log: one row per (key, version) with
     * `[valid_from, valid_to)` validity and an `is_current` flag on the
     * open interval.

@@ -461,6 +461,40 @@ object Relational2 {
           .orderBy("user_id", "version"),
     ),
     Q(
+      "q96_snapshot_diff",
+      "Snapshot reconciliation: diff two derived event-table versions " +
+        "(old = ids not div by 5; new = ids not div by 3, values doubled " +
+        "on even ids) into added/removed/changed — the post-migration " +
+        "validation the reference's sync jobs can't do. One full-outer " +
+        "shuffle join; null-safe struct comparison, no hashing.",
+      Some("""
+        WITH a AS (SELECT event_id, event_type, value FROM events WHERE event_id % 5 <> 0),
+        b AS (SELECT event_id, event_type,
+                CASE WHEN event_id % 2 = 0 THEN value * 2.0 ELSE value END AS value
+              FROM events WHERE event_id % 3 <> 0)
+        SELECT coalesce(a.event_id, b.event_id) AS event_id,
+          CASE WHEN a.event_id IS NULL THEN 'added'
+               WHEN b.event_id IS NULL THEN 'removed'
+               WHEN a.event_type IS DISTINCT FROM b.event_type
+                 OR a.value IS DISTINCT FROM b.value THEN 'changed' END AS status
+        FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+        WHERE (CASE WHEN a.event_id IS NULL THEN 'added'
+               WHEN b.event_id IS NULL THEN 'removed'
+               WHEN a.event_type IS DISTINCT FROM b.event_type
+                 OR a.value IS DISTINCT FROM b.value THEN 'changed' END) IS NOT NULL
+        ORDER BY event_id
+      """.trim),
+      (spark, dir) => {
+        val ev = Tables(spark, dir).events
+        val a = ev.filter("event_id % 5 <> 0").select("event_id", "event_type", "value")
+        val b = ev.filter("event_id % 3 <> 0")
+          .selectExpr("event_id", "event_type",
+            "CASE WHEN event_id % 2 = 0 THEN value * 2.0 ELSE value END AS value")
+        graft.operators.Cdc.snapshotDiff(a, b, Seq("event_id"), Seq("event_type", "value"))
+          .orderBy("event_id")
+      },
+    ),
+    Q(
       "q95_full_outer",
       "FULL OUTER join (segment reconciliation): high-spend customers vs " +
         "recently-active customers, unmatched rows surviving from BOTH " +

@@ -752,6 +752,22 @@ class CdcSpec extends SparkSpec {
     // 11:00 no-op never opens an interval, so v1 runs 10:00 -> 12:00)
   }
 
+  test("snapshotDiff: added/removed/changed classified; identical rows absent; nulls compare null-safe") {
+    val a = Seq((1L, Some("x"), 1.0), (2L, Some("y"), 2.0), (3L, None: Option[String], 3.0), (4L, Some("z"), 4.0))
+      .toDF("k", "s", "v")
+    val b = Seq((1L, Some("x"), 1.0), (2L, Some("Y"), 2.0), (3L, None: Option[String], 3.0), (5L, Some("w"), 5.0))
+      .toDF("k", "s", "v")
+    val out = graft.operators.Cdc.snapshotDiff(a, b, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 identical -> absent; 3 identical incl. null payload -> absent
+    assert(out === Map(2L -> "changed", 4L -> "removed", 5L -> "added"))
+    // null payload vs value: changed, not a false match
+    val b2 = Seq((3L, Some("now-set"), 3.0)).toDF("k", "s", "v")
+    val d2 = graft.operators.Cdc.snapshotDiff(a.filter("k = 3"), b2, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2 === Map(3L -> "changed"))
+  }
+
   test("pointInTime: facts see the version open AT their ts (inclusive); pre-history facts carry nulls") {
     val dim = Seq(
       ("a", t("2024-01-01 10:00:00"), 1L, 5.0),
