@@ -58,8 +58,11 @@ object Layout {
     * every scan). File count = ceil(current bytes / target), data
     * re-written once via coalesce (no shuffle — partitions merge
     * without moving rows between executors more than the merge
-    * requires), then an atomic directory swap so readers never see a
-    * half-compacted table.
+    * requires), then a retire-and-rename swap so readers never see a
+    * HALF-compacted table. The swap is two renames, not one atomic op:
+    * a reader listing the path exactly between them sees it absent —
+    * this is a single-writer MAINTENANCE op to schedule outside query
+    * windows (the same contract as the verified-store rebucket).
     *
     * Returns (filesBefore, filesAfter). Row content is preserved
     * exactly (spec-checked); ordering within the table is not a
