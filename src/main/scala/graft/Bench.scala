@@ -21,10 +21,14 @@ object Bench {
     // noop sink: executes the FULL projection. count() would let
     // Catalyst prune payload expressions and sorts, so projection-heavy
     // queries (fingerprints, scalar funcs) would time a row-count scan.
-    // Interleaved sweeps (all queries, then again, x3; per-query min
+    // Interleaved sweeps (all queries, then again, x5; per-query min
     // across sweeps): a noisy-neighbor window on this shared box then
     // poisons at most one sample of each query instead of every sample
-    // of the query that happened to run inside it. Reports the amortized
+    // of the query that happened to run inside it. (5 sweeps, up from 3:
+    // sustained external load widened window-to-window spread to ~1.4x
+    // late in round 7; min over more interleaved samples only discards
+    // interference, never real work. tools/time_oracle.py uses the same
+    // count, so numerator and denominator stay protocol-matched.) Reports the amortized
     // steady state a long-lived session reaches after codegen compilation.
     // optional args = query-name subset, for targeted perf work
     val only = args.toSet
@@ -32,7 +36,7 @@ object Bench {
       .filter(n => only.isEmpty || only(n))
     val best = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.Set.empty[String]
-    for (_ <- 1 to 3; name <- names if !failed(name)) {
+    for (_ <- 1 to 5; name <- names if !failed(name)) {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()

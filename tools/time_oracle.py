@@ -5,7 +5,7 @@ Usage: python3 tools/time_oracle.py <sfDir> <oracleSqlJson> [outJson]
 
 Registers each TESTDATA parquet as a DuckDB view (same setup as
 tools/check.py), then times every oracle SQL with interleaved sweeps
-(all queries, then again, x3; per-query min across sweeps) — the same
+(all queries, then again, x5; per-query min across sweeps) — the same
 noise-suppression protocol graft.Bench uses, so the two artifacts are
 comparable. Each query is fully materialized via fetchall() so DuckDB
 cannot defer work past the timer. 32 threads to mirror local[32].
@@ -16,7 +16,7 @@ this script's repo root).
 """
 import duckdb, glob, json, pathlib, sys, time
 
-SWEEPS = 3
+SWEEPS = 5
 THREADS = 32
 
 
