@@ -84,6 +84,51 @@ object Stats {
           s"stack(${quantilesBp.size}, ${quantilesBp.map(bp => s"CAST($bp AS BIGINT), __q$bp").mkString(", ")}) AS (q_bp, value)"): _*)
   }
 
+  /** Data-quality gate (dbt-test / Deequ-style): violation counts for
+    * the three constraint families a pipeline asserts before
+    * publishing a table — NOT NULL columns, unique keys, and
+    * referential integrity against dimension tables. Returns one row
+    * per check: (check, n_violations); a clean table is all zeros and
+    * the caller fails the run on any nonzero.
+    *
+    * Scale shape: all null checks fold into ONE aggregate scan (one
+    * sum-of-isnull per column, no shuffle); each unique key costs one
+    * partial-agg shuffle (duplicates = Σ (count−1) over groups); each
+    * referential check is one left-anti join (broadcast when the dim
+    * is small — Spark's planner decides). Violation COUNTS, not
+    * violating rows: the report stays driver-safe at any scale; chase
+    * rows with a follow-up filter once a check fires.
+    */
+  def dqChecks(
+      df: DataFrame,
+      notNull: Seq[String] = Nil,
+      uniqueKeys: Seq[Seq[String]] = Nil,
+      refs: Seq[(Seq[String], DataFrame, Seq[String])] = Nil,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    require(notNull.nonEmpty || uniqueKeys.nonEmpty || refs.nonEmpty, "no checks given")
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (notNull.nonEmpty) {
+      val sums = notNull.map(c => sum(col(c).isNull.cast("long")).as(c))
+      val row = df.agg(sums.head, sums.tail: _*)
+      parts += row.selectExpr(
+        s"stack(${notNull.size}, ${notNull.map(c => s"'not_null:$c', $c").mkString(", ")}) AS (check, n_violations)")
+    }
+    uniqueKeys.foreach { keys =>
+      parts += df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .agg(coalesce(sum(col("__n") - 1L), lit(0L)).as("n_violations"))
+        .select(lit(s"unique:${keys.mkString(",")}").as("check"), col("n_violations"))
+    }
+    refs.foreach { case (cols, dim, dimCols) =>
+      require(cols.size == dimCols.size, s"ref arity mismatch: $cols vs $dimCols")
+      val cond = cols.zip(dimCols).map { case (a, b) => df(a) <=> dim(b) }.reduce(_ && _)
+      parts += df.join(dim, cond, "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(s"ref:${cols.mkString(",")}").as("check"), col("n_violations"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** Equi-width histogram of a numeric column — the one-pass (plus a
     * 1-row bounds aggregate) distribution profile a 100 TB data-quality
     * sweep runs per column. `nb` buckets span [min, max]; bucket =

@@ -327,6 +327,33 @@ class CurationSpecs extends SparkSpec {
 
   // ---- quantizeInt8 -------------------------------------------------------
 
+  // ---- dqChecks -----------------------------------------------------------
+
+  test("dqChecks: null/unique/referential violation counts on constructed violations; clean table all zeros") {
+    val dim = Seq(1L, 2L, 3L).toDF("dk")
+    val dirty = Seq(
+      (1L, Some("a"), 1L),
+      (1L, Some("b"), 2L),  // duplicate id
+      (2L, None, 3L),       // null name
+      (3L, Some("c"), 9L),  // orphan ref
+      (3L, None, 8L),       // duplicate id + null + orphan
+    ).toDF("id", "name", "fk")
+    val out = graft.operators.Stats.dqChecks(dirty,
+      notNull = Seq("name"),
+      uniqueKeys = Seq(Seq("id")),
+      refs = Seq((Seq("fk"), dim, Seq("dk"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      "not_null:name" -> 2L,
+      "unique:id" -> 2L, // ids 1 and 3 each have one extra row
+      "ref:fk" -> 2L))
+    val clean = Seq((1L, Some("a"), 1L), (2L, Some("b"), 2L)).toDF("id", "name", "fk")
+    val ok = graft.operators.Stats.dqChecks(clean,
+      notNull = Seq("name"), uniqueKeys = Seq(Seq("id")), refs = Seq((Seq("fk"), dim, Seq("dk"))))
+      .collect().map(r => r.getLong(1))
+    assert(ok.forall(_ === 0L))
+  }
+
   // ---- histogramQuantiles -------------------------------------------------
 
   test("histogramQuantiles matches a sort-based order-statistic reference per group") {
