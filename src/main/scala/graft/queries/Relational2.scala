@@ -461,6 +461,54 @@ object Relational2 {
           .orderBy("user_id", "version"),
     ),
     Q(
+      "q97_outliers",
+      "IQR outlier fences per event type (Tukey): quartiles from the " +
+        "exact value-histogram (q89's layout; for a continuous column " +
+        "the histogram is one row per distinct value — still " +
+        "partial-agged, the per-group window sees group-sized input), " +
+        "fences = q1/q3 -/+ 1.5*IQR, per-group outlier counts from one " +
+        "broadcast join of the 5-row fence table back onto the scan. " +
+        "All-rational arithmetic on carried values — cross-engine exact.",
+      Some("""
+        WITH h AS (SELECT event_type, value, count(*) AS cnt FROM events
+                   WHERE value IS NOT NULL GROUP BY 1, 2),
+        c AS (SELECT event_type, value, cnt,
+                sum(cnt) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+                sum(cnt) OVER (PARTITION BY event_type) AS n_rows
+              FROM h),
+        qq AS (SELECT event_type,
+                 min(CASE WHEN cum >= (n_rows * 2500 + 9999) // 10000 THEN value END) AS q1,
+                 min(CASE WHEN cum >= (n_rows * 7500 + 9999) // 10000 THEN value END) AS q3
+               FROM c GROUP BY event_type),
+        f AS (SELECT event_type, q1, q3,
+                q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+              FROM qq)
+        SELECT e.event_type, f.q1, f.q3, f.lo, f.hi,
+          count(*) AS n_rows,
+          CAST(count(*) FILTER (WHERE e.value < f.lo OR e.value > f.hi) AS BIGINT) AS n_outliers
+        FROM events e JOIN f ON e.event_type = f.event_type
+        GROUP BY 1, 2, 3, 4, 5 ORDER BY 1
+      """.trim),
+      (spark, dir) => {
+        val ev = Tables(spark, dir).events
+        val fences = graft.operators.Stats.histogramQuantiles(
+          ev, Seq("event_type"), "value", Seq(2500, 7500))
+          .groupBy("event_type")
+          .agg(
+            max(when(col("q_bp") === 2500L, col("value"))).as("q1"),
+            max(when(col("q_bp") === 7500L, col("value"))).as("q3"))
+          .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+          .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+        ev.join(broadcast(fences), "event_type")
+          .groupBy("event_type", "q1", "q3", "lo", "hi")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum((col("value") < col("lo") || col("value") > col("hi")).cast("long"))
+              .as("n_outliers"))
+          .orderBy("event_type")
+      },
+    ),
+    Q(
       "q96_snapshot_diff",
       "Snapshot reconciliation: diff two derived event-table versions " +
         "(old = ids not div by 5; new = ids not div by 3, values doubled " +
