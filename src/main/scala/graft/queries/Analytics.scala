@@ -408,7 +408,7 @@ object Analytics {
           CAST(length(c_name) AS BIGINT) AS name_len,
           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
           (c_mktsegment LIKE 'B%') AS is_building
-        FROM customer WHERE c_custkey < 200 ORDER BY c_custkey
+        FROM customer WHERE c_custkey < 200
       """.trim),
       (spark, dir) => {
         Tables(spark, dir).customer
@@ -421,7 +421,6 @@ object Analytics {
             length(col("c_name")).cast("long").as("name_len"),
             lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
             col("c_mktsegment").like("B%").as("is_building"))
-          .orderBy("c_custkey")
       },
     ),
     Q(
@@ -435,7 +434,7 @@ object Analytics {
           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since
-        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+        FROM orders WHERE o_orderkey < 500
       """.trim),
       (spark, dir) => {
         Tables(spark, dir).orders
@@ -448,7 +447,6 @@ object Analytics {
             date_trunc("month", col("o_orderdate")).as("month_start"),
             unix_timestamp(col("o_orderdate")).as("epoch_s"),
             datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
-          .orderBy("o_orderkey")
       },
     ),
     Q(
@@ -474,7 +472,7 @@ object Analytics {
         "(reference parses JSON message bodies at sqs_sensor_dag.py:70).",
       Some("""
         SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
-        FROM events WHERE event_type = 'purchase' ORDER BY event_id
+        FROM events WHERE event_type = 'purchase'
       """.trim),
       (spark, dir) => {
         // plain orderBy: the single get_json_object projection is cheap
@@ -483,7 +481,6 @@ object Analytics {
         Tables(spark, dir).events
           .filter(col("event_type") === "purchase")
           .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
-          .orderBy("event_id")
       },
     ),
     Q(

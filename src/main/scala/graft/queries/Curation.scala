@@ -210,14 +210,12 @@ object Curation {
           FROM documents
           WHERE $coin < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 0
                         WHEN 'src2' THEN 5000 ELSE 2500 END
-          ORDER BY doc_id
         """.trim)
       },
       (spark, dir) =>
         TextCuration.stratifiedSample(Tables(spark, dir).documents, "doc_id", "source",
           Map("src0" -> 10000, "src1" -> 0, "src2" -> 5000), defaultBp = 2500, salt = "mix1")
-          .select("doc_id", "source", "sample_coin")
-          .orderBy("doc_id"),
+          .select("doc_id", "source", "sample_coin"),
     ),
     Q(
       "q72_rarity_terms",
@@ -255,12 +253,11 @@ object Curation {
           st AS chunk_start,
           CAST(least(64, n - st) AS BIGINT) AS n_chunk_tokens,
           array_to_string(tok[st + 1 : st + 64], ' ') AS chunk_text
-        FROM s ORDER BY doc_id, chunk_id
+        FROM s
       """.trim),
       (spark, dir) =>
         TextCuration.chunkDocuments(Tables(spark, dir).documents, "doc_id", "text",
-          size = 64, stride = 48)
-          .orderBy("doc_id", "chunk_id"),
+          size = 64, stride = 48),
     ),
     Q(
       "q75_incremental_lsh",

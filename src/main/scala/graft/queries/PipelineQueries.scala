@@ -28,7 +28,7 @@ object PipelineQueries {
         SELECT c_custkey AS contact_id, c_name AS full_name,
           lower(c_mktsegment) AS segment, c_acctbal AS balance,
           CAST(c_nationkey AS VARCHAR) AS nation_code
-        FROM customer ORDER BY contact_id
+        FROM customer
       """.trim),
       (spark, dir) => {
         val mapping = Seq(
@@ -38,7 +38,7 @@ object PipelineQueries {
           FieldMapping("c_acctbal", "balance", Some("double")),
           FieldMapping("c_nationkey", "nation_code", Some("string")),
         )
-        MappingCompiler.transform(Tables(spark, dir).customer, mapping).orderBy("contact_id")
+        MappingCompiler.transform(Tables(spark, dir).customer, mapping)
       },
     ),
     Q(
@@ -51,13 +51,11 @@ object PipelineQueries {
         SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
         WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00'
            OR (o_orderdate = TIMESTAMP '1997-06-01 00:00:00' AND o_orderkey > 3000)
-        ORDER BY o_orderkey
       """.trim),
       (spark, dir) => {
         val wm = SyncJob.Watermark(java.sql.Timestamp.valueOf("1997-06-01 00:00:00"), 3000L)
         SyncJob.rangedScan(Tables(spark, dir).orders, "o_orderdate", "o_orderkey", wm)
           .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-          .orderBy("o_orderkey")
       },
     ),
     Q(
@@ -137,7 +135,6 @@ object PipelineQueries {
         SELECT 'transaction' AS entity, event_id, user_id,
           'txn-' || CAST(event_id AS VARCHAR) AS tag, value * 100 AS value
         FROM events WHERE event_type = 'purchase'
-        ORDER BY entity, event_id
       """.trim),
       (spark, dir) => {
         val ev = Tables(spark, dir).events
@@ -148,7 +145,7 @@ object PipelineQueries {
           lit("transaction").as("entity"), col("event_id"), col("user_id"),
           concat(lit("txn-"), col("event_id").cast("string")).as("tag"),
           (col("value") * 100).as("value"))
-        contacts.unionAll(txns).orderBy("entity", "event_id")
+        contacts.unionAll(txns)
       },
     ),
     Q(
@@ -227,14 +224,14 @@ object PipelineQueries {
           CAST(strlen(text) AS BIGINT) AS n_bytes,
           CAST(list_sum(list_transform(string_split(text, ''), mc -> ascii(mc))) AS BIGINT) AS byte_sum,
           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte
-        FROM documents ORDER BY doc_id
+        FROM documents
       """.trim),
       (spark, dir) => {
-        // plain orderBy: the stub decode is cheap, so the sampling
-        // double-pass costs less than an extra range shuffle would
+        // no output sort: the result contract is a SET (the driver's
+        // comparator canonicalizes), and a map-only query's orderBy
+        // would execute the projection twice for range sampling
         Multimodal.extractFeatures(Multimodal.asMedia(Tables(spark, dir).documents))
           .drop("feature")
-          .orderBy("doc_id")
       },
     ),
     Q(

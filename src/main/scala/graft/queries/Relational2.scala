@@ -202,7 +202,7 @@ object Relational2 {
           count(bal_pos) AS n_nonnull,
           CAST(sum(CAST(coalesce(bal_pos, 0.0) AS DECIMAL(30,2))) AS DOUBLE) AS sum_pos,
           count(*) FILTER (WHERE bal_nz IS NOT DISTINCT FROM NULL) AS n_zero_bal
-        FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment
+        FROM c GROUP BY c_mktsegment
       """.trim),
       (spark, dir) => {
         Tables(spark, dir).customer
@@ -216,7 +216,6 @@ object Relational2 {
             count(col("bal_pos")).as("n_nonnull"),
             Num.dsum(coalesce(col("bal_pos"), lit(0.0))).as("sum_pos"),
             count_if(col("bal_nz") <=> lit(null)).as("n_zero_bal"))
-          .orderBy("c_mktsegment")
       },
     ),
     Q(
@@ -622,15 +621,14 @@ object Relational2 {
       Some(s"""
         SELECT p_partkey, CAST(p_size AS BIGINT) AS x, p_partkey % 1024 AS y,
           CAST(${graft.operators.Layout.zValueSql("p_size", "p_partkey % 1024", 10)} AS BIGINT) AS zval
-        FROM part ORDER BY zval, p_partkey
+        FROM part
       """.trim),
       (spark, dir) =>
         Tables(spark, dir).part.selectExpr(
           "p_partkey",
           "CAST(p_size AS BIGINT) AS x",
           "p_partkey % 1024 AS y",
-          s"CAST(${graft.operators.Layout.zValueSql("p_size", "p_partkey % 1024", 10)} AS BIGINT) AS zval")
-          .orderBy("zval", "p_partkey"),
+          s"CAST(${graft.operators.Layout.zValueSql("p_size", "p_partkey % 1024", 10)} AS BIGINT) AS zval"),
     ),
     Q(
       "q89_quantiles",

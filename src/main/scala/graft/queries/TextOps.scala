@@ -38,18 +38,17 @@ object TextOps {
           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_re,
           n_chars,
           (length(text) = n_chars) AS chars_ok
-        FROM documents ORDER BY doc_id
+        FROM documents
       """.trim),
       (spark, dir) => {
-        // Sorting.projected: orderBy would tokenize every doc twice
-        // (range-boundary sampling executes the projection)
-        graft.Sorting.projected(Tables(spark, dir).documents, col("doc_id"))(_.selectExpr(
+        // no output sort: the result contract is a SET; map-only pass
+        Tables(spark, dir).documents.selectExpr(
           "doc_id",
           s"CAST(size($tokS) AS BIGINT) AS n_ws",
           "CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_re",
           "n_chars",
           "(CAST(length(text) AS BIGINT) = n_chars) AS chars_ok",
-        ))
+        )
       },
     ),
     Q(
@@ -70,12 +69,11 @@ object TextOps {
           FROM t)
           SELECT doc_id, n_tokens, avg_token_len, stop_ratio, ttr, len_score,
             (0.35 * stop_ratio) + (0.35 * ttr) + (0.3 * len_score) AS quality
-          FROM m ORDER BY doc_id
+          FROM m
         """.trim)
       },
       (spark, dir) =>
-        graft.Sorting.projected(Tables(spark, dir).documents, col("doc_id"))(
-          graft.api.TextCuration.qualityScored(_, "doc_id", "text")),
+        graft.api.TextCuration.qualityScored(Tables(spark, dir).documents, "doc_id", "text"),
     ),
     Q(
       "q23_lang_id",
@@ -102,17 +100,16 @@ object TextOps {
               WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
               WHEN s_fr > 0 THEN 'fr'
               ELSE 'und' END = lang) AS agree
-          FROM s ORDER BY doc_id
+          FROM s
         """.trim)
       },
       (spark, dir) => {
-        // keep=lang instead of a re-join (no doc-sized shuffle), sort via
-        // the cheap-base range partitioning
-        graft.Sorting.projected(Tables(spark, dir).documents, col("doc_id")) { docs =>
-          graft.api.TextCuration.langId(docs, "doc_id", "text", keep = Seq("lang"))
-            .selectExpr("doc_id", "s_en", "s_es", "s_de", "s_fr",
-              "pred_lang", "lang", "(pred_lang = lang) AS agree")
-        }
+        // keep=lang instead of a re-join (no doc-sized shuffle); no
+        // output sort — the result contract is a SET, map-only pass
+        graft.api.TextCuration.langId(
+          Tables(spark, dir).documents, "doc_id", "text", keep = Seq("lang"))
+          .selectExpr("doc_id", "s_en", "s_es", "s_de", "s_fr",
+            "pred_lang", "lang", "(pred_lang = lang) AS agree")
       },
     ),
     Q(
@@ -126,12 +123,12 @@ object TextOps {
         SELECT doc_id, md5(text) AS md5_hex,
           ${polyDuck("text")} AS poly_hash,
           list_min(list_transform(sh, fp_s -> ${polyDuck("fp_s")})) AS min_shingle_hash
-        FROM s ORDER BY doc_id
+        FROM s
       """.trim),
       (spark, dir) => {
-        graft.Sorting.projected(Tables(spark, dir).documents, col("doc_id"))(
-          _.selectExpr("doc_id", "text", s"${textShinglesSpark("text")} AS sh")
-            .selectExpr(
+        Tables(spark, dir).documents
+          .selectExpr("doc_id", "text", s"${textShinglesSpark("text")} AS sh")
+          .selectExpr(
               "doc_id",
               "md5(text) AS md5_hex",
               s"${polySpark("text")} AS poly_hash",
@@ -139,7 +136,7 @@ object TextOps {
               // min over poly hashes; the transform lambda evaluated
               // interpreted per shingle
               "graft_minhash(sh, '1:0')[0] AS min_shingle_hash",
-            ))
+          )
       },
     ),
     Q(
@@ -326,7 +323,7 @@ object TextOps {
         SELECT doc_id, nfc_normalize(text) AS norm_text,
           (nfc_normalize(text) <> text) AS changed,
           CAST(len(nfc_normalize(text)) AS BIGINT) AS n_chars_norm
-        FROM documents ORDER BY doc_id
+        FROM documents
       """.trim),
       (spark, dir) =>
         Tables(spark, dir).documents.selectExpr(
@@ -396,7 +393,6 @@ object TextOps {
     },
     (spark, dir) =>
       graft.api.TextCuration.curate(Tables(spark, dir).documents, "doc_id", "text",
-        jaccardThreshold = 0.5, qualityFloor = 0.44, langs = Seq("en", "und"))
-        .orderBy("doc_id"),
+        jaccardThreshold = 0.5, qualityFloor = 0.44, langs = Seq("en", "und")),
   )
 }
