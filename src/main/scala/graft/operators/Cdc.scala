@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Change-data-capture derivations: building slowly-changing-dimension
   * history (SCD type 2) from a keyed change log — the history-keeping
@@ -48,7 +49,9 @@ object Cdc {
     *     (max_by — same contract as the keyed point-update applier);
     *  2. no-op changes collapse: a row opens a version only if its
     *     value differs from the previous change's (runs keep their
-    *     first row);
+    *     first row). The comparison is null-safe (`<=>`): a transition
+    *     TO null opens a version, and a null run collapses like any
+    *     other run;
     *  3. `valid_to` = next version's `valid_from`; null ⇒ current.
     *
     * Scale shape: ONE shuffle on the key — the LWW aggregate and both
@@ -75,25 +78,36 @@ object Cdc {
     * `dim` must be unique per (key, `dimFromCol`) — scd2History output
     * is, by construction. Facts earlier than their key's first version
     * carry nulls. Fact and dim payload column names must not collide.
+    *
+    * Null semantics: the dim payload is carried as ONE struct through a
+    * single `last(ignoreNulls)` — a version is matched atomically, so a
+    * version whose payload column is legitimately NULL yields NULL for
+    * that column (it does NOT inherit the previous version's value),
+    * and one output row can never stitch fields from different
+    * versions. This matches DuckDB ASOF: the joined row's own fields,
+    * nulls included.
     */
   def pointInTime(facts: DataFrame, dim: DataFrame, keyCol: String, factTsCol: String, dimFromCol: String): DataFrame = {
     val factCols = facts.columns.toSeq.filterNot(c => c == keyCol || c == factTsCol)
     val carry = dim.columns.toSeq.filterNot(c => c == keyCol || c == dimFromCol)
     require(factCols.intersect(carry).isEmpty,
       s"fact/dim column collision: ${factCols.intersect(carry).mkString(", ")}")
+    val dimStruct = StructType(carry.map(c => dim.schema(c)))
     val fSide = facts.select(
       Seq(col(keyCol), col(factTsCol).as("__t"), lit(1).as("__tag")) ++
-        factCols.map(col) ++
-        carry.map(c => lit(null).cast(dim.schema(c).dataType).as(c)): _*)
+        factCols.map(col) :+
+        lit(null).cast(dimStruct).as("__d"): _*)
     val dSide = dim.select(
       Seq(col(keyCol), col(dimFromCol).as("__t"), lit(0).as("__tag")) ++
-        factCols.map(c => lit(null).cast(facts.schema(c).dataType).as(c)) ++
-        carry.map(col): _*)
+        factCols.map(c => lit(null).cast(facts.schema(c).dataType).as(c)) :+
+        struct(carry.map(col): _*).as("__d"): _*)
     val w = Window.partitionBy(keyCol).orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    var out = fSide.unionByName(dSide)
-    carry.foreach(c => out = out.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    out.filter(col("__tag") === 1).drop("__tag").withColumnRenamed("__t", factTsCol)
+    fSide.unionByName(dSide)
+      .withColumn("__d", last(col("__d"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(Seq(col(keyCol), col("__t").as(factTsCol)) ++
+        factCols.map(col) ++ carry.map(c => col("__d")(c).as(c)): _*)
   }
 
   def scd2History(df: DataFrame, keyCol: String, tsCol: String, valCol: String, seqCol: String): DataFrame = {
@@ -101,9 +115,11 @@ object Cdc {
       .agg(max_by(col(valCol), col(seqCol)).as("value"))
     val byTs = Window.partitionBy(keyCol).orderBy("valid_from")
     val changes = lww
-      .withColumn("__prev", lag(col("value"), 1).over(byTs))
-      // first row (__prev null) always opens; equal-value runs collapse
-      .filter(col("__prev").isNull || col("value") =!= col("__prev"))
+      // lag over a struct: null ONLY at the first row, so a change TO
+      // null still opens a version (null-safe <=> comparison) — a
+      // bare lag(value) could not tell "first row" from "prev was null"
+      .withColumn("__prev", lag(struct(col("value").as("v")), 1).over(byTs))
+      .filter(col("__prev").isNull || !(col("value") <=> col("__prev")("v")))
       .drop("__prev")
     changes
       .withColumn("version", row_number().over(byTs).cast("long"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Time-series resampling: regular-grid gap-fill with
   * last-observation-carried-forward (LOCF) — the operator family
@@ -32,6 +33,10 @@ object TimeSeries {
     * - An observation exactly ON a grid instant is visible to it
     *   (ts <= grid, ASOF semantics); grid points before the first
     *   observation fill null.
+    * - A NULL observation is still an observation: it is carried as
+    *   NULL (the carry tracks observation PRESENCE via a struct, not
+    *   value non-nullness), exactly like an ASOF LEFT JOIN returning
+    *   the matched row's NULL value.
     *
     * Returns (key, bucket_ts, value_locf). Values are carried, never
     * recomputed, so results are bit-identical cross-engine.
@@ -57,15 +62,20 @@ object TimeSeries {
     val grid = bounds.select(col(keyCol),
       explode(expr(s"sequence(__t0, __t1, interval $step)")).as("__t"))
     // marker orders an observation BEFORE the grid instant it lands on,
-    // so ts <= grid is inclusive (ASOF semantics)
+    // so ts <= grid is inclusive (ASOF semantics). The carried payload
+    // is a one-field struct: non-null whenever an observation EXISTS,
+    // so a null-valued observation carries as null instead of being
+    // skipped over for an older non-null value.
+    val obsStruct = StructType(Seq(StructField("v", valType)))
     val unioned = grid
-      .withColumn("__v", lit(null).cast(valType)).withColumn("__m", lit(1))
-      .unionByName(lww.withColumn("__m", lit(0)))
+      .withColumn("__o", lit(null).cast(obsStruct)).withColumn("__m", lit(1))
+      .unionByName(lww.select(col(keyCol), col("__t"),
+        struct(col("__v").as("v")).as("__o")).withColumn("__m", lit(0)))
     val w = Window.partitionBy(keyCol).orderBy(col("__t"), col("__m"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("__f", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("__f", last(col("__o"), ignoreNulls = true).over(w))
       .filter(col("__m") === 1)
-      .select(col(keyCol), col("__t").as("bucket_ts"), col("__f").as("value_locf"))
+      .select(col(keyCol), col("__t").as("bucket_ts"), col("__f")("v").as("value_locf"))
   }
 }

@@ -444,10 +444,11 @@ object Relational2 {
         WITH lww AS (SELECT user_id, ts AS valid_from, arg_max(value, event_id) AS value
                      FROM events GROUP BY user_id, ts),
         ch AS (SELECT user_id, valid_from, value,
-                 lag(value) OVER (PARTITION BY user_id ORDER BY valid_from) AS prev
+                 lag(value) OVER (PARTITION BY user_id ORDER BY valid_from) AS prev,
+                 row_number() OVER (PARTITION BY user_id ORDER BY valid_from) AS rn
                FROM lww),
         kept AS (SELECT user_id, valid_from, value FROM ch
-                 WHERE prev IS NULL OR value <> prev)
+                 WHERE rn = 1 OR value IS DISTINCT FROM prev)
         SELECT user_id,
           CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from) AS BIGINT) AS version,
           value, valid_from,
@@ -584,10 +585,11 @@ object Relational2 {
         WITH lww AS (SELECT user_id, ts AS valid_from, arg_max(value, event_id) AS value
                      FROM events GROUP BY user_id, ts),
         ch AS (SELECT user_id, valid_from, value,
-                 lag(value) OVER (PARTITION BY user_id ORDER BY valid_from) AS prev
+                 lag(value) OVER (PARTITION BY user_id ORDER BY valid_from) AS prev,
+                 row_number() OVER (PARTITION BY user_id ORDER BY valid_from) AS rn
                FROM lww),
         kept AS (SELECT user_id, valid_from, value FROM ch
-                 WHERE prev IS NULL OR value <> prev),
+                 WHERE rn = 1 OR value IS DISTINCT FROM prev),
         hist AS (SELECT user_id, valid_from, value AS dim_value,
                    CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from) AS BIGINT) AS version
                  FROM kept),

@@ -702,6 +702,27 @@ class TimeSeriesSpec extends SparkSpec {
     ))
   }
 
+  test("gapFillLocf: a NULL observation carries NULL, matching ASOF left-join semantics") {
+    // 10:30 observes null; 11:00/12:00 grid points must see THAT null,
+    // not skip back to 09:30's 1.0 (observation presence, not value
+    // non-nullness, drives the carry)
+    val events = Seq(
+      ("a", t("2024-01-01 09:30:00"), Some(1.0), 1L),
+      ("a", t("2024-01-01 10:30:00"), None: Option[Double], 2L),
+      ("a", t("2024-01-01 12:30:00"), Some(3.0), 3L),
+    ).toDF("k", "ts", "v", "seq")
+    val out = TimeSeries.gapFillLocf(events, "k", "ts", "v", "seq")
+      .collect()
+      .map(r => (r.getTimestamp(1).toString, Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(out === Set(
+      ("2024-01-01 09:00:00.0", None), // before first observation
+      ("2024-01-01 10:00:00.0", Some(1.0)),
+      ("2024-01-01 11:00:00.0", None), // carried from the 10:30 null observation
+      ("2024-01-01 12:00:00.0", None),
+    ))
+  }
+
   test("gapFillLocf: finer steps interpolate the same carried values, never recompute") {
     val events = Seq(
       ("a", t("2024-01-01 10:30:00"), 2.0, 1L),
@@ -752,6 +773,24 @@ class CdcSpec extends SparkSpec {
     // 11:00 no-op never opens an interval, so v1 runs 10:00 -> 12:00)
   }
 
+  test("scd2History: a transition TO null opens a version; null runs collapse (null-safe compare)") {
+    val log = Seq(
+      ("a", t("2024-01-01 10:00:00"), Some(5.0), 1L),
+      ("a", t("2024-01-01 11:00:00"), None: Option[Double], 2L), // change to null -> opens v2
+      ("a", t("2024-01-01 12:00:00"), None: Option[Double], 3L), // null no-op -> collapses
+      ("a", t("2024-01-01 13:00:00"), Some(5.0), 4L), // back to 5.0 -> opens v3
+    ).toDF("k", "ts", "v", "seq")
+    val out = graft.operators.Cdc.scd2History(log, "k", "ts", "v", "seq")
+      .orderBy("version").collect()
+      .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(5)))
+      .toSeq
+    assert(out === Seq(
+      (1L, Some(5.0), false),
+      (2L, None, false), // the null version exists and closes v1
+      (3L, Some(5.0), true),
+    ))
+  }
+
   test("snapshotDiff: added/removed/changed classified; identical rows absent; nulls compare null-safe") {
     val a = Seq((1L, Some("x"), 1.0), (2L, Some("y"), 2.0), (3L, None: Option[String], 3.0), (4L, Some("z"), 4.0))
       .toDF("k", "s", "v")
@@ -787,6 +826,33 @@ class CdcSpec extends SparkSpec {
       .toSeq
     assert(out === Seq(
       (100L, None), (101L, Some(1L)), (102L, Some(1L)), (103L, Some(2L)), (104L, Some(2L))))
+  }
+
+  test("pointInTime: a version is carried atomically — its NULL payload stays NULL, fields never stitch") {
+    // v2 has dv = null but note = 'n2'. A fact at v2 must see (null, n2) —
+    // NOT inherit v1's 5.0 for dv while taking v2's note (per-column
+    // carry would stitch fields from two different versions).
+    val dim = Seq(
+      ("a", t("2024-01-01 10:00:00"), 1L, Some(5.0), Some("n1")),
+      ("a", t("2024-01-01 12:00:00"), 2L, None: Option[Double], Some("n2")),
+      ("a", t("2024-01-01 14:00:00"), 3L, Some(9.0), None: Option[String]),
+    ).toDF("k", "vfrom", "ver", "dv", "note")
+    val facts = Seq(
+      (100L, "a", t("2024-01-01 11:00:00")), // v1 -> (5.0, n1)
+      (101L, "a", t("2024-01-01 13:00:00")), // v2 -> (null, n2): dv NOT inherited from v1
+      (102L, "a", t("2024-01-01 15:00:00")), // v3 -> (9.0, null): note NOT inherited from v2
+    ).toDF("fid", "k", "fts")
+    val out = graft.operators.Cdc.pointInTime(facts, dim, "k", "fts", "vfrom")
+      .orderBy("fid").collect()
+      .map(r => (r.getLong(r.fieldIndex("fid")),
+        r.getLong(r.fieldIndex("ver")),
+        if (r.isNullAt(r.fieldIndex("dv"))) None else Some(r.getDouble(r.fieldIndex("dv"))),
+        Option(r.getAs[String]("note"))))
+      .toSeq
+    assert(out === Seq(
+      (100L, 1L, Some(5.0), Some("n1")),
+      (101L, 2L, None, Some("n2")),
+      (102L, 3L, Some(9.0), None)))
   }
 }
 
