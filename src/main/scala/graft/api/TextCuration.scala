@@ -644,23 +644,54 @@ object TextCuration {
     * bounded by document length. No n², no corpus-sized broadcast,
     * and the zipf-skewed probe join is AQE-skew-splittable.
     */
-  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = df
-      .selectExpr(idCol, s"${tokensSpark(textCol)} AS __tok")
-      .selectExpr(idCol, s"posexplode(${bigramsSpark("__tok")}) AS (pos, bg)")
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreWithModel(df, idCol, textCol, bigramModel(df, textCol))
+
+  /** The trained bigram model as a frame: one row per distinct corpus
+    * bigram with its count, context count, vocabulary size, and
+    * add-one probability. Vocabulary-sized (never corpus-sized) — the
+    * persistable train-once artifact behind [[lmScore]].
+    */
+  def bigramModel(df: DataFrame, textCol: String): DataFrame = {
+    val bg = df.selectExpr(s"explode(${textBigramsSpark(textCol)}) AS bg")
     val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
     val c1 = c2.withColumn("w1", expr("substring_index(bg, ' ', 1)"))
       .groupBy("w1").agg(sum("c2").as("c1"))
     val vocab = df
       .selectExpr(s"explode(${tokensSpark(textCol)}) AS w")
       .agg(countDistinct(col("w")).as("v"))
-    val model = c2
-      .withColumn("w1", expr("substring_index(bg, ' ', 1)"))
+    c2.withColumn("w1", expr("substring_index(bg, ' ', 1)"))
       .join(c1, "w1")
       .join(broadcast(vocab))
       .withColumn("p", (col("c2") + 1L).cast("double") / (col("c1") + col("v")).cast("double"))
-      .select("bg", "p")
-    bg.join(model, "bg")
+      .select("bg", "c2", "c1", "v", "p")
+  }
+
+  /** Train [[bigramModel]] once and persist it at `path` — the LM
+    * twin of [[buildPhraseIndex]]/[[buildLshIndex]]: score any number
+    * of batches against the stored model without re-counting the
+    * corpus.
+    */
+  def trainBigramLm(df: DataFrame, textCol: String, path: String): Unit =
+    bigramModel(df, textCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Score documents against a PERSISTED [[trainBigramLm]] model: the
+    * serve path is one probe join (batch bigrams x stored model) plus
+    * the per-doc ordered fold — no training pass. Bigrams absent from
+    * the model drop out of the join, so serve a batch only against a
+    * model trained on a superset (as q80 does) or accept unseen-bigram
+    * rows being skipped.
+    */
+  def lmScoreIndexed(df: DataFrame, idCol: String, textCol: String, modelPath: String): DataFrame =
+    scoreWithModel(df, idCol, textCol,
+      df.sparkSession.read.parquet(modelPath).select("bg", "p"))
+
+  private def scoreWithModel(df: DataFrame, idCol: String, textCol: String, model: DataFrame): DataFrame = {
+    val bg = df
+      .selectExpr(idCol, s"${tokensSpark(textCol)} AS __tok")
+      .selectExpr(idCol, s"posexplode(${bigramsSpark("__tok")}) AS (pos, bg)")
+    bg.join(model.select("bg", "p"), "bg")
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_bigrams"),

@@ -291,11 +291,51 @@ object Curation {
         """.trim)
       },
       (spark, dir) => {
+        // the corpus index is the train-once artifact (q99_lsh_build
+        // times a fresh build); this entry times the SERVE path: sign
+        // the batch, band equi-join against the stored band table
         val docs = Tables(spark, dir).documents
-        val tmp = java.nio.file.Files.createTempDirectory("lshidx").toString
-        TextCuration.buildLshIndex(docs.filter("doc_id % 3 <> 0"), "doc_id", "text", tmp)
-        TextCuration.lshCandidatesIndexed(docs.filter("doc_id % 3 = 0"), "doc_id", "text", tmp)
+        val idx = graft.Artifacts.cached(s"lsh-index:$dir") { p =>
+          TextCuration.buildLshIndex(docs.filter("doc_id % 3 <> 0"), "doc_id", "text", p)
+        }
+        TextCuration.lshCandidatesIndexed(docs.filter("doc_id % 3 = 0"), "doc_id", "text", idx)
           .orderBy("id_a", "id_b")
+      },
+    ),
+    Q(
+      "q99_lsh_build",
+      "LSH corpus-index build pass, timed separately from q75's serve " +
+        "path: signs the corpus side (doc_id % 3 <> 0), writes the band " +
+        "table partitioned by band, and returns the per-band summary " +
+        "(row count + distinct bucket keys) the oracle recomputes from " +
+        "the same MinHash signatures.",
+      {
+        val mins = (0 until MinhashK).map(i => s"min(${permExpr(i, "x")}) AS m$i").mkString(", ")
+        val bandSelects = (0 until LshBands).map { bnd =>
+          val key = (0 until LshRows).map(r => s"m${bnd * LshRows + r}").mkString(", ")
+          s"SELECT doc_id, $bnd AS band, concat_ws(',', $key) AS bk FROM sig"
+        }.mkString(" UNION ALL ")
+        Some(s"""
+          WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS tok FROM documents
+                     WHERE doc_id % 3 <> 0),
+          shi AS (SELECT doc_id, ${shinglesDuck("tok")} AS sh FROM t),
+          ex AS (SELECT doc_id, unnest(sh) AS s FROM shi),
+          hx AS (SELECT doc_id, ${polyDuck("s")} AS x FROM ex),
+          sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
+          bands AS ($bandSelects)
+          SELECT CAST(band AS BIGINT) AS band, count(*) AS n_rows,
+            CAST(count(DISTINCT bk) AS BIGINT) AS n_buckets
+          FROM bands GROUP BY band ORDER BY band
+        """.trim)
+      },
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        val path = graft.Artifacts.scratch("lshbuild")
+        TextCuration.buildLshIndex(docs.filter("doc_id % 3 <> 0"), "doc_id", "text", path)
+        spark.read.parquet(path)
+          .groupBy(col("band").cast("long").as("band"))
+          .agg(count(lit(1)).as("n_rows"), countDistinct(col("bk")).as("n_buckets"))
+          .orderBy("band")
       },
     ),
     Q(
@@ -460,10 +500,53 @@ object Curation {
           sum_p / CAST(n_bigrams AS DOUBLE) AS avg_prob
         FROM a ORDER BY doc_id
       """.trim),
-      (spark, dir) =>
-        TextCuration.lmScore(Tables(spark, dir).documents, "doc_id", "text")
+      (spark, dir) => {
+        // train-once/serve-many: the model is persisted on first use
+        // (q100_lm_train times a fresh build); this entry times the
+        // SERVE path — one probe join against the stored model
+        val docs = Tables(spark, dir).documents
+        val model = graft.Artifacts.cached(s"bigram-lm:$dir") { p =>
+          TextCuration.trainBigramLm(docs, "text", p)
+        }
+        TextCuration.lmScoreIndexed(docs, "doc_id", "text", model)
           .select("doc_id", "n_bigrams", "min_prob", "avg_prob")
-          .orderBy("doc_id"),
+          .orderBy("doc_id")
+      },
+    ),
+    Q(
+      "q100_lm_train",
+      "Bigram-LM training pass, timed separately from q80's serve path: " +
+        "builds the full add-one model (one partial-agg bigram count + " +
+        "vocab-sized context re-agg + 1-row vocab broadcast), persists " +
+        "it, and returns the model summary the oracle recomputes — " +
+        "distinct bigrams, vocabulary size, total bigram mass, and the " +
+        "probability extremes.",
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${tokensDuck("text")} AS tok FROM documents),
+        bg AS (SELECT unnest(${bigramsDuck("tok")}) AS bgr FROM t),
+        c2 AS (SELECT bgr, count(*) AS c2 FROM bg GROUP BY bgr),
+        c1 AS (SELECT string_split(bgr, ' ')[1] AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        vq AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(tok) AS w FROM t)),
+        m AS (SELECT c2.bgr, c2.c2, c1.c1, vq.v,
+                CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vq.v AS DOUBLE) AS p
+              FROM c2 JOIN c1 ON string_split(c2.bgr, ' ')[1] = c1.w1 CROSS JOIN vq)
+        SELECT CAST(count(*) AS BIGINT) AS n_model_bigrams,
+          CAST(max(v) AS BIGINT) AS vocab_size,
+          CAST(sum(c2) AS BIGINT) AS total_bigrams,
+          min(p) AS min_p, max(p) AS max_p
+        FROM m
+      """.trim),
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        val path = graft.Artifacts.scratch("lmtrain")
+        TextCuration.trainBigramLm(docs, "text", path)
+        spark.read.parquet(path).agg(
+          count(lit(1)).as("n_model_bigrams"),
+          max("v").as("vocab_size"),
+          sum("c2").as("total_bigrams"),
+          min("p").as("min_p"),
+          max("p").as("max_p"))
+      },
     ),
     Q(
       "q69_embed_quantize",
