@@ -29,7 +29,18 @@ object Engine {
       // native codegen'd kernels (vec_dot, poly_hash) via the public
       // extensions hook — see graft.functions.GraftFunctions
       .withExtensions(graft.functions.GraftFunctions.register)
-      .config("spark.sql.shuffle.partitions", cores)
+      // cores/4, not cores: at local scale every shuffle stage launches
+      // one task per partition, and task scheduling dominates sub-GB
+      // shuffles — measured r8 sweep: partitions=8 beats 32 on BOTH the
+      // floor-bound subset (2.77 -> 1.71 s) and the CPU-heavy shuffle
+      // subset (6.67 -> 5.82 s) at sf0.1, because AQE's skew split
+      // still fans the heavy tail out across cores. A cluster
+      // deployment at real scale MUST override (SPARK_GRAFT_EXTRA_CONF
+      // or SPARK_GRAFT_SHUFFLE_PARTITIONS): size to ~2-3x total cores
+      // with partitions sized so each fits in executor memory.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+          math.max(2, cores.toIntOption.getOrElse(32) / 4).toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // AQE partition coalescing stays at the parallelismFirst=true

@@ -643,6 +643,17 @@ object TextCuration {
     * model table BEFORE the probe join. The per-doc collect_list is
     * bounded by document length. No n², no corpus-sized broadcast,
     * and the zipf-skewed probe join is AQE-skew-splittable.
+    *
+    * Hot-key contract: the per-doc ordered fold buffers ONE document's
+    * (pos, p) pairs in its aggregation task — memory is O(longest
+    * single document), never O(corpus) or O(partition). That bound is
+    * structural (a "key" here is one document, and a document is at
+    * most its own token count — unlike per-USER folds, where one bot
+    * key can be unbounded; see [[graft.operators.Funnel]] for that
+    * case). LmHotDocSpec pins a pathologically long document through
+    * this path. Truly pathological single documents (100M+ tokens)
+    * should be length-capped upstream — the curation pipeline's
+    * quality gate drops them anyway.
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreWithModel(df, idCol, textCol, bigramModel(df, textCol))

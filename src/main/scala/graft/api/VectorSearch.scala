@@ -435,10 +435,32 @@ object VectorSearch {
       .select(col("q_id"), col("rank"), col(idCol), col("cosine"))
   }
 
-  /** Exact cosine-threshold near-duplicate pairs (quadratic candidate
-    * set — the correct-recall baseline; use [[lshNearDups]] at scale).
+  /** Default row cap for [[cosineNearDups]]: above this the quadratic
+    * candidate set is certainly a mistake on a real corpus (100k rows
+    * is already 5e9 candidate pairs).
     */
-  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+  val ExactNearDupMaxRows = 100000L
+
+  /** Exact cosine-threshold near-duplicate pairs — the QUADRATIC
+    * correct-recall baseline, O(n²) candidate pairs BY DESIGN. It
+    * exists to measure the recall of the scale paths ([[lshNearDups]],
+    * [[annIvfIndexed]]); it is never the production dedup path.
+    *
+    * Guard: fails fast above `maxRows` input rows (default
+    * [[ExactNearDupMaxRows]]) unless `exactOk = true`, so a caller
+    * cannot point the recall baseline at a real corpus by accident.
+    * The count costs one partial-agg job on the id column — noise next
+    * to the n² join it gates.
+    */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      maxRows: Long = ExactNearDupMaxRows, exactOk: Boolean = false): DataFrame = {
+    if (!exactOk) {
+      val rows = df.select(col(idCol)).count()
+      require(rows <= maxRows,
+        s"cosineNearDups is the O(n²) exact recall baseline and got $rows rows (max $maxRows): " +
+          "use lshNearDups/annIvfIndexed for corpus-scale near-dup, or pass exactOk = true " +
+          "to run the quadratic join deliberately")
+    }
     val n = withNorm(df, vecCol)
     val a = n.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
     val b = n.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))

@@ -54,7 +54,6 @@ object Analytics {
             Num.davg(col("l_extendedprice")).as("avg_price"),
             count(lit(1)).as("count_order"),
           )
-          .orderBy("l_returnflag", "l_linestatus")
       },
     ),
     Q(
@@ -70,7 +69,6 @@ object Analytics {
         Tables(spark, dir).part
           .filter(col("p_size").between(1, 15) && col("p_type") === "PROMO")
           .select("p_partkey", "p_name", "p_retailprice")
-          .orderBy("p_partkey")
       },
     ),
     Q(
@@ -144,7 +142,6 @@ object Analytics {
           .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
           .groupBy("n_name")
           .agg(Num.dsum(rev, 6).as("revenue"))
-          .orderBy(col("revenue").desc, col("n_name"))
       },
     ),
     Q(
@@ -186,7 +183,6 @@ object Analytics {
           .join(t.lineitem.filter(col("l_returnflag") === "R"),
             col("o_orderkey") === col("l_orderkey"), "left_semi")
           .select("o_orderkey", "o_totalprice")
-          .orderBy("o_orderkey")
       },
     ),
     Q(
@@ -205,7 +201,6 @@ object Analytics {
           .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
             col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey", "c_name")
-          .orderBy("c_custkey")
       },
     ),
     Q(
@@ -226,7 +221,6 @@ object Analytics {
             countDistinct(col("l_partkey")).as("n_parts"),
             countDistinct(col("l_suppkey")).as("n_supps"),
             count(lit(1)).as("n"))
-          .orderBy("l_returnflag")
       },
     ),
     Q(
@@ -261,7 +255,6 @@ object Analytics {
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
           .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-          .orderBy("o_custkey", "rn")
       },
     ),
     Q(
@@ -285,7 +278,6 @@ object Analytics {
             col("user_id"), col("event_id"),
             Num.dsumRaw(col("value")).over(run).cast("double").as("running_value"),
             lag(col("value"), 1).over(w).as("prev_value"))
-          .orderBy("user_id", "event_id")
       },
     ),
     Q(
@@ -311,7 +303,6 @@ object Analytics {
           .select(
             col("o_orderkey"), col("o_custkey"), col("d"),
             Num.dsumRaw(col("o_totalprice")).over(w).cast("double").as("sum_90d"))
-          .orderBy("o_orderkey")
       },
     ),
     Q(
@@ -331,7 +322,6 @@ object Analytics {
         val ok = t.orders.select(col("o_custkey").as("k"))
         ck.intersect(ok).withColumn("tag", lit("both"))
           .unionAll(ck.except(ok).withColumn("tag", lit("no_orders")))
-          .orderBy("tag", "k")
       },
     ),
     Q(
@@ -355,7 +345,6 @@ object Analytics {
             Num.dsum(col("l_quantity")).as("sum_qty"),
             grouping(col("l_returnflag")).cast("long").as("g_flag"),
             grouping(col("l_linestatus")).cast("long").as("g_status"))
-          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
       },
     ),
     Q(
@@ -377,7 +366,6 @@ object Analytics {
           .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
           .agg(count(lit(1)))
           .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
-          .orderBy("user_id")
       },
     ),
     Q(
@@ -393,7 +381,6 @@ object Analytics {
           .groupBy("p_brand")
           .agg(count(lit(1)).as("n"), Num.dsum(col("p_retailprice")).as("sum_price"))
           .filter(col("n") > 50)
-          .orderBy("p_brand")
       },
     ),
     Q(
@@ -463,7 +450,6 @@ object Analytics {
         Tables(spark, dir).events
           .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
           .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
-          .orderBy("hour_start", "event_type")
       },
     ),
     Q(

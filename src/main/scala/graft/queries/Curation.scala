@@ -94,8 +94,7 @@ object Curation {
         FROM m ORDER BY doc_id
       """.trim),
       (spark, dir) =>
-        TextCuration.repetitionStats(Tables(spark, dir).documents, "doc_id", "text")
-          .orderBy("doc_id"),
+        TextCuration.repetitionStats(Tables(spark, dir).documents, "doc_id", "text"),
     ),
     Q(
       "q66_redaction",
@@ -151,7 +150,6 @@ object Curation {
         TextCuration.decontaminate(
           docs.filter("doc_id % 97 <> 0"), docs.filter("doc_id % 97 = 0"),
           "doc_id", "text")
-          .orderBy("doc_id")
       },
     ),
     Q(
@@ -175,8 +173,7 @@ object Curation {
       """.trim),
       (spark, dir) =>
         TextCuration.packSequences(Tables(spark, dir).documents,
-          "doc_id", "text", "source", packBudget)
-          .orderBy("doc_id"),
+          "doc_id", "text", "source", packBudget),
     ),
     Q(
       "q70_dedup_clusters",
@@ -194,8 +191,7 @@ object Curation {
         ORDER BY l.doc_id
       """.trim),
       (spark, dir) =>
-        TextCuration.dedupClusters(Tables(spark, dir).documents, "doc_id", "text")
-          .orderBy("doc_id"),
+        TextCuration.dedupClusters(Tables(spark, dir).documents, "doc_id", "text"),
     ),
     Q(
       "q71_stratified_sample",
@@ -235,8 +231,7 @@ object Curation {
         ORDER BY doc_id, rnk
       """.trim),
       (spark, dir) =>
-        TextCuration.rarityTerms(Tables(spark, dir).documents, "doc_id", "text", 3)
-          .orderBy("doc_id", "rnk"),
+        TextCuration.rarityTerms(Tables(spark, dir).documents, "doc_id", "text", 3),
     ),
     Q(
       "q73_doc_chunking",
@@ -299,7 +294,6 @@ object Curation {
           TextCuration.buildLshIndex(docs.filter("doc_id % 3 <> 0"), "doc_id", "text", p)
         }
         TextCuration.lshCandidatesIndexed(docs.filter("doc_id % 3 = 0"), "doc_id", "text", idx)
-          .orderBy("id_a", "id_b")
       },
     ),
     Q(
@@ -335,7 +329,6 @@ object Curation {
         spark.read.parquet(path)
           .groupBy(col("band").cast("long").as("band"))
           .agg(count(lit(1)).as("n_rows"), countDistinct(col("bk")).as("n_buckets"))
-          .orderBy("band")
       },
     ),
     Q(
@@ -367,8 +360,7 @@ object Curation {
             .selectExpr("source", s"CAST(size(${graft.operators.TextKit.tokensSpark("text")}) AS BIGINT) AS n_tokens"),
           "source", "n_tokens",
           Map("src0" -> 4000, "src1" -> 500, "src2" -> 1500),
-          budgetTokens = 40000L)
-          .orderBy("source"),
+          budgetTokens = 40000L),
     ),
     Q(
       "q93_corpus_export",
@@ -407,8 +399,7 @@ object Curation {
       (spark, dir) =>
         TextCuration.exportCorpus(Tables(spark, dir).documents, "doc_id", "text", "source",
           Map("src0" -> 10000, "src1" -> 0), defaultBp = 5000, salt = "exp1",
-          chunkTokens = 64, nshards = 8, packBudget = 256L)
-          .orderBy("doc_id", "chunk_id"),
+          chunkTokens = 64, nshards = 8, packBudget = 256L),
     ),
     Q(
       "q82_leakage_split",
@@ -428,8 +419,7 @@ object Curation {
       },
       (spark, dir) =>
         TextCuration.leakageSafeSplit(Tables(spark, dir).documents, "doc_id", "text",
-          valBp = 1500, salt = "split1")
-          .orderBy("doc_id"),
+          valBp = 1500, salt = "split1"),
     ),
     Q(
       "q77_corpus_shuffle",
@@ -449,8 +439,7 @@ object Curation {
       (spark, dir) =>
         graft.operators.GlobalOrder.shuffleShard(
           Tables(spark, dir).documents.select("doc_id"), "doc_id", nshards = 8)
-          .select("doc_id", "shuffle_key", "global_pos", "shard")
-          .orderBy("doc_id"),
+          .select("doc_id", "shuffle_key", "global_pos", "shard"),
     ),
     Q(
       "q78_domain_caps",
@@ -469,8 +458,7 @@ object Curation {
       (spark, dir) =>
         TextCuration.capPerDomain(
           Tables(spark, dir).documents.select("doc_id", "source", "n_chars"),
-          "doc_id", "source", "n_chars", k = 10)
-          .orderBy("doc_id"),
+          "doc_id", "source", "n_chars", k = 10),
     ),
     Q(
       "q80_bigram_lm",
@@ -510,7 +498,6 @@ object Curation {
         }
         TextCuration.lmScoreIndexed(docs, "doc_id", "text", model)
           .select("doc_id", "n_bigrams", "min_prob", "avg_prob")
-          .orderBy("doc_id")
       },
     ),
     Q(
@@ -578,8 +565,7 @@ object Curation {
         """.trim)
       },
       (spark, dir) =>
-        VectorSearch.quantizeInt8(Tables(spark, dir).embeddings, "vec_id", "embedding")
-          .orderBy("vec_id"),
+        VectorSearch.quantizeInt8(Tables(spark, dir).embeddings, "vec_id", "embedding"),
     ),
   )
 }

@@ -95,7 +95,6 @@ object PipelineQueries {
           SyncJob.Watermark(java.sql.Timestamp.valueOf("2999-01-01 00:00:00"), 0L))
         SyncJob.syncStats(live, "o_orderdate", "o_orderkey", "orders")
           .unionAll(SyncJob.syncStats(drained, "o_orderdate", "o_orderkey", "orders_drained"))
-          .orderBy("entity")
       },
     ),
     Q(
@@ -118,7 +117,6 @@ object PipelineQueries {
           lit("VERIFIED_V2").as("new_segment"), (col("c_acctbal") + 0.5).as("new_acctbal"))
         VerifiedUpdates(base, upd1.unionAll(upd2), Seq("c_custkey"), "seq",
           Map("c_mktsegment" -> "new_segment", "c_acctbal" -> "new_acctbal"))
-          .orderBy("c_custkey")
       },
     ),
     Q(
@@ -175,7 +173,6 @@ object PipelineQueries {
               .when(col("c_acctbal") < 5000, "standard")
               .otherwise("premium").as("balance_tier"),
             length(col("c_name")).cast("long").as("name_len"))
-          .orderBy("c_custkey")
       },
     ),
     Q(
@@ -349,7 +346,6 @@ object PipelineQueries {
             max("ts").as("session_end"),
             count(lit(1)).as("n_events"),
             Num.dsum(col("value")).as("sum_value"))
-          .orderBy("user_id", "session_idx")
       },
     ),
   )

@@ -56,7 +56,6 @@ object Relational2 {
             col("purchase_id"), col("user_id"), col("ts"),
             col("asof_click").as("click_id"),
             (unix_micros(col("ts")) - unix_micros(col("asof_cts"))).as("gap_us"))
-          .orderBy("purchase_id")
       },
     ),
     Q(
@@ -90,7 +89,6 @@ object Relational2 {
               (col("ts_a") === col("ts_b") && col("event_a") < col("event_b"))))
           .select(col("event_a"), col("event_b"), col("user_id"),
             (col("us_b") - col("us_a")).as("gap_us"))
-          .orderBy("event_a", "event_b")
       },
     ),
     Q(
@@ -114,8 +112,6 @@ object Relational2 {
             Num.dsum(col("l_quantity")).as("sum_qty"),
             grouping(col("l_returnflag")).cast("long").as("g_flag"),
             grouping(col("l_linestatus")).cast("long").as("g_status"))
-          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
-            col("g_flag"), col("g_status"))
       },
     ),
     Q(
@@ -139,8 +135,6 @@ object Relational2 {
             count(lit(1)).as("n"),
             grouping(col("l_returnflag")).cast("long").as("g_flag"),
             grouping(col("l_linestatus")).cast("long").as("g_status"))
-          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
-            col("g_flag"), col("g_status"))
       },
     ),
     Q(
@@ -161,7 +155,6 @@ object Relational2 {
             concat_ws(",",
               expr("transform(array_sort(collect_set(c_nationkey)), la_x -> CAST(la_x AS STRING))"))
               .as("nations"))
-          .orderBy("c_mktsegment")
       },
     ),
     Q(
@@ -184,7 +177,6 @@ object Relational2 {
           .unionByName(
             lk.exceptAll(ok).groupBy("k").agg(count(lit(1)).as("n")).withColumn("tag", lit("except_all")))
           .select("k", "tag", "n")
-          .orderBy("tag", "k")
       },
     ),
     Q(
@@ -262,7 +254,6 @@ object Relational2 {
           .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b"), 4).cast("long"))
           .filter(col("edit_dist") >= 0)
           .select("part_a", "part_b", "brand", "edit_dist")
-          .orderBy("part_a", "part_b")
       },
     ),
     Q(
@@ -289,7 +280,6 @@ object Relational2 {
         graft.operators.EditBlocking.editPairs(p, "p_partkey", "p_name", "p_brand", k = 4)
           .select(col("id_a").as("part_a"), col("id_b").as("part_b"),
             col("blk").as("brand"), col("edit_dist"))
-          .orderBy("part_a", "part_b")
       },
     ),
     Q(
@@ -307,7 +297,6 @@ object Relational2 {
             approx_percentile(col("o_totalprice"), lit(0.95), lit(10000)).as("p95_approx"),
             expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
             expr("percentile(o_totalprice, 0.95)").as("p95_exact"))
-          .orderBy("o_orderpriority")
       },
     ),
     Q(
@@ -336,8 +325,7 @@ object Relational2 {
       (spark, dir) =>
         graft.operators.Stats.histogramMedian(
           Tables(spark, dir).lineitem, Seq("l_returnflag"), "l_quantity")
-          .withColumnRenamed("median", "median_qty")
-          .orderBy("l_returnflag"),
+          .withColumnRenamed("median", "median_qty"),
     ),
     Q(
       "q55_approx_distinct",
@@ -352,7 +340,6 @@ object Relational2 {
           .agg(
             approx_count_distinct(col("l_partkey")).as("approx_parts"),
             countDistinct(col("l_partkey")).as("exact_parts"))
-          .orderBy("l_returnflag")
       },
     ),
     Q(
@@ -384,7 +371,6 @@ object Relational2 {
           .groupBy("user_id").pivot("event_type", types).agg(count(lit(1)))
           .na.fill(0L, types)
           .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
-          .orderBy("user_id", "event_type")
       },
     ),
     Q(
@@ -407,8 +393,7 @@ object Relational2 {
       """.trim),
       (spark, dir) =>
         graft.operators.TimeSeries.gapFillLocf(
-          Tables(spark, dir).events, "user_id", "ts", "value", "event_id")
-          .orderBy("user_id", "bucket_ts"),
+          Tables(spark, dir).events, "user_id", "ts", "value", "event_id"),
     ),
     Q(
       "q85_histogram",
@@ -430,8 +415,7 @@ object Relational2 {
         FROM h GROUP BY bucket ORDER BY bucket
       """.trim),
       (spark, dir) =>
-        graft.operators.Stats.equiWidthHistogram(Tables(spark, dir).events, "value", nb = 20)
-          .orderBy("bucket"),
+        graft.operators.Stats.equiWidthHistogram(Tables(spark, dir).events, "value", nb = 20),
     ),
     Q(
       "q92_scd2",
@@ -457,8 +441,7 @@ object Relational2 {
         FROM kept ORDER BY user_id, version
       """.trim),
       (spark, dir) =>
-        graft.operators.Cdc.scd2History(Tables(spark, dir).events, "user_id", "ts", "value", "event_id")
-          .orderBy("user_id", "version"),
+        graft.operators.Cdc.scd2History(Tables(spark, dir).events, "user_id", "ts", "value", "event_id"),
     ),
     Q(
       "q97_outliers",
@@ -505,7 +488,6 @@ object Relational2 {
             count(lit(1)).as("n_rows"),
             sum((col("value") < col("lo") || col("value") > col("hi")).cast("long"))
               .as("n_outliers"))
-          .orderBy("event_type")
       },
     ),
     Q(
@@ -539,7 +521,6 @@ object Relational2 {
           .selectExpr("event_id", "event_type",
             "CASE WHEN event_id % 2 = 0 THEN value * 2.0 ELSE value END AS value")
         graft.operators.Cdc.snapshotDiff(a, b, Seq("event_id"), Seq("event_type", "value"))
-          .orderBy("event_id")
       },
     ),
     Q(
@@ -571,7 +552,6 @@ object Relational2 {
         big.join(recent, Seq("ck"), "full_outer")
           .select(col("ck").as("custkey"), col("total_spend"), col("n_recent"),
             (col("total_spend").isNotNull && col("n_recent").isNotNull).as("in_both"))
-          .orderBy("custkey")
       },
     ),
     Q(
@@ -618,7 +598,6 @@ object Relational2 {
           .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
         graft.operators.Cdc.pointInTime(facts, hist, "user_id", "ts", "valid_from")
           .select("purchase_id", "user_id", "ts", "version", "dim_value", "version_from")
-          .orderBy("purchase_id")
       },
     ),
     Q(
@@ -665,16 +644,18 @@ object Relational2 {
       """.trim),
       (spark, dir) =>
         graft.operators.Stats.histogramQuantiles(
-          Tables(spark, dir).lineitem, Seq("l_returnflag"), "l_quantity", Seq(5000, 9500, 9900))
-          .orderBy("l_returnflag", "q_bp"),
+          Tables(spark, dir).lineitem, Seq("l_returnflag"), "l_quantity", Seq(5000, 9500, 9900)),
     ),
     Q(
       "q87_funnel",
-      "Ordered funnel analysis (view -> click -> purchase) per user: a " +
-        "greedy left-fold state machine over the user's time-ordered " +
-        "event codes — stage advances only on the exact next step. One " +
-        "groupBy; the fold runs over a per-user bounded list, identical " +
-        "integer CASE logic in both engines.",
+      "Ordered funnel analysis (view -> click -> purchase) per user, " +
+        "computed as staged conditional MINs: stage k's match is the " +
+        "earliest code-k event strictly after stage k-1's match — " +
+        "provably the greedy subsequence fold the oracle runs, but with " +
+        "CONSTANT per-key state (no collect_list): a single bot user " +
+        "with 10^8 events costs three min-aggregates, not one task " +
+        "buffering the whole key. All stages share one user_id " +
+        "partitioning.",
       Some("""
         WITH c AS (SELECT user_id, ts, event_id,
                      CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
@@ -688,18 +669,17 @@ object Relational2 {
             (fa, fc) -> CASE WHEN fc = fa + 1 THEN fa + 1 ELSE fa END) AS BIGINT) AS funnel_stage
         FROM l ORDER BY user_id
       """.trim),
-      (spark, dir) =>
-        Tables(spark, dir).events
+      (spark, dir) => {
+        // Greedy-earliest equivalence: the left fold advances at the
+        // FIRST event whose code is stage+1, so stage k is reached iff
+        // m_k = min{(ts,id) : code = k, (ts,id) > m_(k-1)} exists.
+        // Conditional mins keep per-key state constant under hot keys
+        // (FunnelHotKeySpec pins the equivalence and the plan shape).
+        val c = Tables(spark, dir).events
           .selectExpr("user_id", "ts", "event_id",
             "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END AS code")
-          .groupBy("user_id")
-          .agg(
-            count(lit(1)).as("n_events"),
-            expr("""CAST(aggregate(
-                transform(sort_array(collect_list(struct(ts, event_id, code))), fe -> fe.code),
-                0, (fa, fc) -> CASE WHEN fc = fa + 1 THEN fa + 1 ELSE fa END) AS BIGINT)""")
-              .as("funnel_stage"))
-          .orderBy("user_id"),
+        graft.operators.Funnel.stages(c, "user_id", "ts", "event_id", "code", maxStage = 3)
+      },
     ),
     Q(
       "q88_retention",
@@ -725,7 +705,6 @@ object Relational2 {
           .groupBy(col("c0").as("cohort_day"),
             datediff(col("d"), col("c0")).cast("long").as("day_offset"))
           .agg(countDistinct(col("user_id")).as("n_users"))
-          .orderBy("cohort_day", "day_offset")
       },
     ),
   )

@@ -38,7 +38,6 @@ object Similarity {
       (spark, dir) => {
         val emb = Tables(spark, dir).embeddings
         graft.api.VectorSearch.knn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-          .orderBy("q_id", "rank")
       },
     ),
     Q(
@@ -68,7 +67,6 @@ object Similarity {
         val emb = Tables(spark, dir).embeddings
         graft.api.VectorSearch.annIvf(emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", "label", nprobe = 2, k = 5)
-          .orderBy("q_id", "rank")
       },
     ),
     Q(
@@ -87,7 +85,6 @@ object Similarity {
       (spark, dir) => {
         graft.api.VectorSearch.cosineNearDups(Tables(spark, dir).embeddings, "vec_id", "embedding", 0.45)
           .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cosine"))
-          .orderBy("vec_a", "vec_b")
       },
     ),
     Q(
@@ -108,7 +105,6 @@ object Similarity {
       (spark, dir) => {
         graft.api.VectorSearch.lshNearDups(Tables(spark, dir).embeddings, "vec_id", "embedding", 0.4)
           .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("bucket"), col("cosine"))
-          .orderBy("vec_a", "vec_b")
       },
     ),
   )

@@ -156,7 +156,6 @@ object TextOps {
         val d = Tables(spark, dir).documents
         graft.api.TextCuration.exactDedup(d.unionAll(d), "doc_id", "text")
           .withColumnRenamed("canonical_id", "canonical_doc_id")
-          .orderBy("canonical_doc_id")
       },
     ),
     Q(
@@ -181,8 +180,7 @@ object TextOps {
       (spark, dir) =>
         graft.api.TextCuration.jaccardNearDups(Tables(spark, dir).documents, "doc_id", "text", 0.3)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-            col("n_inter"), col("n_union"), col("jaccard"))
-          .orderBy("doc_a", "doc_b"),
+            col("n_inter"), col("n_union"), col("jaccard")),
     ),
     Q(
       "q27_minhash",
@@ -200,8 +198,7 @@ object TextOps {
         """.trim)
       },
       (spark, dir) =>
-        graft.api.TextCuration.minhashSignatures(Tables(spark, dir).documents, "doc_id", "text")
-          .orderBy("doc_id"),
+        graft.api.TextCuration.minhashSignatures(Tables(spark, dir).documents, "doc_id", "text"),
     ),
     Q(
       "q28_lsh_candidates",
@@ -234,8 +231,7 @@ object TextOps {
       },
       (spark, dir) =>
         graft.api.TextCuration.minhashCandidates(Tables(spark, dir).documents, "doc_id", "text")
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("n_match"), col("est_sim"))
-          .orderBy("doc_a", "doc_b"),
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("n_match"), col("est_sim")),
     ),
     Q(
       "q29_simhash",
@@ -264,8 +260,7 @@ object TextOps {
       },
       (spark, dir) =>
         graft.api.TextCuration.simhashPairs(Tables(spark, dir).documents, "doc_id", "text", maxHamming = 3)
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
-          .orderBy("doc_a", "doc_b"),
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming")),
     ),
     Q(
       "q91_vocab_build",
@@ -289,8 +284,7 @@ object TextOps {
         FROM r CROSS JOIN tot ORDER BY rnk
       """.trim),
       (spark, dir) =>
-        graft.api.TextCuration.buildVocab(Tables(spark, dir).documents, "text", topN = 200)
-          .orderBy("rnk"),
+        graft.api.TextCuration.buildVocab(Tables(spark, dir).documents, "text", topN = 200),
     ),
     Q(
       "q86_phrase_search",
@@ -313,7 +307,6 @@ object TextOps {
           graft.api.TextCuration.buildPhraseIndex(docs, "doc_id", "text", n = 2, path = p)
         }
         graft.api.TextCuration.phraseSearch(docs, "doc_id", "text", idx, "key hash")
-          .orderBy("doc_id")
       },
     ),
     Q(
@@ -338,7 +331,6 @@ object TextOps {
         spark.read.parquet(path)
           .groupBy(col("bucket").cast("long").as("bucket"))
           .agg(count(lit(1)).as("n_postings"), countDistinct(col("nh")).as("n_ngrams"))
-          .orderBy("bucket")
       },
     ),
     Q(
@@ -359,8 +351,7 @@ object TextOps {
           "doc_id",
           "graft_uninorm(text, 'NFC') AS norm_text",
           "(graft_uninorm(text, 'NFC') <> text) AS changed",
-          "CAST(length(graft_uninorm(text, 'NFC')) AS BIGINT) AS n_chars_norm")
-          .orderBy("doc_id"),
+          "CAST(length(graft_uninorm(text, 'NFC')) AS BIGINT) AS n_chars_norm"),
     ),
   ) :+ curationQ
 

@@ -57,6 +57,19 @@ object AggMaintain {
   def processBatch(batch: DataFrame, batchId: Long, keyCol: String, valCol: String, storeDir: String): Unit = {
     val spark = batch.sparkSession
     new java.io.File(storeDir).mkdirs()
+    // Chain-regression guard: a snapshot STRICTLY newer than this batch
+    // means the stream was restarted with a fresh checkpoint (batch ids
+    // reset to 0) against a store built by an older chain — merging
+    // would silently fork the chain and later overtake the old head on
+    // the wrong base. Fail fast: resume with the matching checkpoint,
+    // or point at a fresh store dir. (An EQUAL snapshot is the normal
+    // replay window — batch N re-fires only if N never committed — and
+    // re-installs an identical v=N, so == stays allowed.)
+    val newer = snapshots(storeDir).filter(_ > batchId)
+    require(newer.isEmpty,
+      s"chain regression: store $storeDir already holds snapshot v=${newer.max} > batch $batchId " +
+        "(stream restarted with a fresh checkpoint against an existing store); " +
+        "resume with the original checkpoint or use a fresh store dir")
     // clear any crashed half-stage for this batch, then stage fresh
     val tmp = new java.io.File(storeDir, s".tmp-v$batchId")
     deleteRec(tmp)

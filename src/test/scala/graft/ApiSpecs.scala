@@ -38,6 +38,25 @@ class ApiSpecs extends SparkSpec {
     assert(kept === Seq(10L, 13L))
   }
 
+  test("cosineNearDups guard: refuses a corpus above maxRows unless exactOk; small inputs and opt-in run") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)), (3L, Array(0.0f, 1.0f)),
+    ).toDF("vid", "vec")
+    // under the cap: runs, finds the near pair
+    val pairs = VectorSearch.cosineNearDups(vecs, "vid", "vec", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // over the cap: fails fast, pointing at the scale paths
+    val e = intercept[IllegalArgumentException] {
+      VectorSearch.cosineNearDups(vecs, "vid", "vec", 0.9, maxRows = 2L).collect()
+    }
+    assert(e.getMessage.contains("O(n²)") && e.getMessage.contains("lshNearDups"))
+    // explicit opt-in bypasses the count and runs the quadratic join
+    val opted = VectorSearch.cosineNearDups(vecs, "vid", "vec", 0.9, maxRows = 2L, exactOk = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(opted === Set((1L, 2L)))
+  }
+
   test("knn on a (vid, vec) frame returns k ranked neighbors excluding self") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
@@ -151,6 +170,38 @@ class ApiSpecs extends SparkSpec {
       .getOrElse(fail(s"no partitioned FileSourceScanExec in:\n$plan"))
     assert(scan.metrics("numPartitions").value === 1,
       s"scan read ${scan.metrics("numPartitions").value} partition dirs, want 1 (pruned)")
+  }
+
+  test("IVF partial-probe recall curve: stated floors at nprobe 1/2/4 vs the exact baseline, monotone") {
+    // deterministic structured corpus: 8 direction-clusters in 8 dims
+    // with pseudo-random jitter (hash arithmetic, no RNG), 320 vectors
+    val vecs = (0 until 320).map { i =>
+      val v = Array.tabulate(8) { d =>
+        val jitter = ((i * 31 + d * 17) % 97) / 970.0f
+        (if (i % 8 == d) 1.0f else 0.0f) + jitter
+      }
+      (i.toLong, v)
+    }.toDF("vid", "vec")
+    val queries = vecs.filter($"vid" % 32 === 0L) // 10 queries, one per wave
+    val k = 10
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(VectorSearch.knn(vecs, queries, "vid", "vec", k))
+    assert(brute.size === queries.count() * k)
+    val recalls = Seq(1, 2, 4, 8).map { nprobe =>
+      val got = pairs(VectorSearch.annIvfAuto(vecs, queries, "vid", "vec",
+        k = k, nprobe = nprobe, nClusters = 8, sampleN = 320))
+      nprobe -> (got.intersect(brute).size.toDouble / brute.size)
+    }
+    val byProbe = recalls.toMap
+    // stated floors: probing the query's own cluster already finds most
+    // true neighbors on clustered data; widening probes only adds
+    assert(byProbe(1) >= 0.50, s"recall@$k nprobe=1: $recalls")
+    assert(byProbe(2) >= 0.65, s"recall@$k nprobe=2: $recalls")
+    assert(byProbe(4) >= 0.80, s"recall@$k nprobe=4: $recalls")
+    assert(byProbe(8) === 1.0, s"full probe must equal brute force: $recalls")
+    // monotone non-decreasing in probe width
+    assert(recalls.map(_._2) === recalls.map(_._2).sorted, s"recall not monotone: $recalls")
   }
 
   test("IVF index append: new rows land in their cluster dirs and serve without retraining") {

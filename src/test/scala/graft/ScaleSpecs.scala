@@ -212,3 +212,87 @@ class ScaleSpecs extends SparkSpec {
     assert(zed.exceptAll(df).count() === 0L && df.exceptAll(zed).count() === 0L)
   }
 }
+
+/** Hot-key behavior of the two per-group ordered folds the catalog
+  * runs: the funnel (per USER — one bot key can be unbounded, so the
+  * implementation must not buffer a key's events) and the bigram-LM
+  * score (per DOCUMENT — structurally bounded by the doc's own
+  * length, pinned here at a pathological length).
+  */
+class FunnelHotKeySpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("staged-min funnel == greedy left fold on adversarial orderings") {
+    // every advancement subtlety: stage skipping (3 before 2), repeats,
+    // ties broken by seq, codes outside 1..3, progress after regression
+    val rows = Seq(
+      // user 1: full funnel with noise and out-of-order temptations
+      (1L, t("2024-01-01 00:00:00"), 1L, 3), // code 3 before stage 1: no-op
+      (1L, t("2024-01-01 00:00:01"), 2L, 1), // -> stage 1
+      (1L, t("2024-01-01 00:00:02"), 3L, 0), // noise
+      (1L, t("2024-01-01 00:00:03"), 4L, 2), // -> stage 2
+      (1L, t("2024-01-01 00:00:03"), 5L, 3), // same ts, later seq -> stage 3
+      // user 2: stage-2 event only BEFORE its stage-1 match
+      (2L, t("2024-01-01 00:00:00"), 6L, 2),
+      (2L, t("2024-01-01 00:00:01"), 7L, 1),
+      (2L, t("2024-01-01 00:00:02"), 8L, 1), // repeat 1: still stage 1
+      // user 3: no qualifying codes at all
+      (3L, t("2024-01-01 00:00:00"), 9L, 0),
+    ).toDF("user_id", "ts", "event_id", "code")
+    val got = graft.operators.Funnel.stages(rows, "user_id", "ts", "event_id", "code", maxStage = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // oracle: the literal greedy fold, computed in Scala
+    val want = rows.collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, evs) =>
+        val codes = evs.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2))).map(_.getInt(3))
+        u -> ((evs.length.toLong,
+          codes.foldLeft(0L)((s, c) => if (c == s + 1) s + 1 else s)))
+      }
+    assert(got === want)
+  }
+
+  test("hot key: one user with 200k events completes with constant per-key state (no list buffering)") {
+    // a bot key: 200k noise events, the funnel codes buried inside.
+    // The staged-min plan aggregates them map-side; nothing collects
+    // the key's event list into one task buffer.
+    val n = 200000
+    val hot = spark.range(n.toLong).selectExpr(
+      "CAST(42 AS BIGINT) AS user_id",
+      "timestamp_micros(1700000000000000 + id * 1000) AS ts",
+      "id AS event_id",
+      // codes 1,2,3 appear once each, in order, at sparse positions
+      s"CAST(CASE id WHEN 1000 THEN 1 WHEN ${n / 2} THEN 2 WHEN ${n - 5} THEN 3 ELSE 0 END AS INT) AS code")
+    val out = graft.operators.Funnel.stages(hot, "user_id", "ts", "event_id", "code", maxStage = 3)
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === n.toLong && out(0).getLong(2) === 3L)
+    // the plan must contain NO collect_list-style buffering aggregate
+    val plan = graft.operators.Funnel.stages(hot, "user_id", "ts", "event_id", "code", maxStage = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), "funnel plan buffers per-key event lists")
+  }
+}
+
+class LmHotDocSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigram-LM fold is bounded by ONE document's length: a 100k-token doc scores correctly") {
+    // per-doc state is the doc's own (pos, p) list — prove the
+    // pathological single-doc case completes and folds exactly
+    val longDoc = (0 until 100000).map(i => s"w${i % 7}").mkString(" ")
+    val docs = Seq((1L, longDoc), (2L, "w0 w1 w2")).toDF("doc_id", "text")
+    val out = graft.api.TextCuration.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n_bigrams") === 99999L)
+    assert(out(1).getAs[Long]("n_bigrams") === 2L)
+    // probabilities are well-formed and the mean sits inside [min, 1]
+    val avg = out(0).getAs[Double]("avg_prob")
+    val mn = out(0).getAs[Double]("min_prob")
+    assert(mn > 0.0 && mn <= avg && avg <= 1.0)
+  }
+}

@@ -48,6 +48,31 @@ class AggMaintainSpec extends SparkSpec {
     assert(AggMaintain.current(spark, tmpDir("aggmaintain_empty").toString).isEmpty)
   }
 
+  test("chain-regression guard: a fresh-checkpoint restart against an existing store fails fast") {
+    val dir = tmpDir("aggmaintain_regress").resolve("store").toString
+    def batch(rows: (String, Double)*): org.apache.spark.sql.DataFrame =
+      rows.toDF("k", "v")
+    AggMaintain.processBatch(batch(("a", 1.0)), 4L, "k", "v", dir)
+    AggMaintain.processBatch(batch(("a", 2.0)), 5L, "k", "v", dir)
+    // restarted stream with a fresh checkpoint: batch ids reset to 0 —
+    // merging would fork the chain (v=0 from only the new batch) while
+    // current() still serves v=5, then silently overtake on a wrong base
+    val e = intercept[IllegalArgumentException] {
+      AggMaintain.processBatch(batch(("a", 4.0)), 0L, "k", "v", dir)
+    }
+    assert(e.getMessage.contains("chain regression"))
+    // the store is untouched: v=5 still current, no v=0 installed
+    assert(AggMaintain.current(spark, dir).get.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      === Map("a" -> ((2L, 3.0))))
+    assert(!new java.io.File(dir, "v=0").exists())
+    // an EQUAL batch id is the legitimate replay window, not a regression
+    AggMaintain.processBatch(batch(("a", 2.0)), 5L, "k", "v", dir)
+    assert(AggMaintain.current(spark, dir).get.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      === Map("a" -> ((2L, 3.0))))
+  }
+
   test("AggMaintain end-to-end via MemoryStream matches a batch recompute") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
