@@ -107,6 +107,14 @@ object JdbcUpsert {
     def walk(t: Throwable): Boolean =
       t != null && seen.add(t) && seen.size <= 16 && {
         (t match {
+          // 40xxx: the engine aborted one of several concurrent writers.
+          // SQLTimeoutException: OUR statement timeout fired (see
+          // writePartition's setQueryTimeout) — an undetected lock wait
+          // between concurrent MERGE writers observed live on embedded
+          // Derby parks executeBatch forever; the bounded timeout turns
+          // that hang into an abort, and the rolled-back idempotent
+          // batch retries like any other victim.
+          case _: java.sql.SQLTimeoutException => true
           case sq: java.sql.SQLException => Option(sq.getSQLState).exists(_.startsWith("40"))
           case _ => false
         }) ||
@@ -137,6 +145,7 @@ object JdbcUpsert {
       batchSize: Int = 1000,
       props: java.util.Properties = new java.util.Properties,
       maxRetries: Int = 3,
+      queryTimeoutSec: Int = 300,
   ): Unit = {
     val cols = df.columns.toSeq
     val sql = upsertSql(dialect, table, cols, keys)
@@ -145,7 +154,7 @@ object JdbcUpsert {
     val bindOrdinals = paramCols(dialect, cols, keys).map(cols.indexOf).toArray
     df.foreachPartition { (rows: Iterator[Row]) =>
       val conn = java.sql.DriverManager.getConnection(url, props)
-      try writePartition(conn, sql, bindOrdinals, rows, batchSize, maxRetries)
+      try writePartition(conn, sql, bindOrdinals, rows, batchSize, maxRetries, queryTimeoutSec)
       finally conn.close()
     }
   }
@@ -160,9 +169,18 @@ object JdbcUpsert {
       rows: Iterator[Row],
       batchSize: Int,
       maxRetries: Int,
+      queryTimeoutSec: Int = 300,
   ): Unit = {
     conn.setAutoCommit(false)
     val st = conn.prepareStatement(sql)
+    // Bounded statement time: a lock wait the engine never times out
+    // (observed live: two concurrent Derby MERGE writers parking
+    // executeBatch indefinitely in a latch-level wait the 40xxx
+    // deadlock detector does not see) must become an abort-and-retry,
+    // never a hung executor task. The timeout abort rolls back cleanly,
+    // so the idempotent batch replays under the transient-retry path.
+    try st.setQueryTimeout(queryTimeoutSec)
+    catch { case _: java.sql.SQLException => () } // driver may not support it
     try {
       batches(rows, batchSize).foreach { batch =>
         var attempt = 0

@@ -526,6 +526,23 @@ class CurationSpecs extends SparkSpec {
     assert(repart === expected)
   }
 
+  test("lmScoreIndexed serves a PERSISTED model bit-identically to the one-shot lmScore") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c a")).toDF("pid", "body")
+    val path = tmpDir("lmmodel").resolve("model").toString
+    TextCuration.trainBigramLm(docs, "body", path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "n_bigrams", "min_prob", "avg_prob").orderBy("pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(rows(TextCuration.lmScoreIndexed(docs, "pid", "body", path))
+      === rows(TextCuration.lmScore(docs, "pid", "body")))
+    // serving a NEW batch against the stored model: only model bigrams
+    // score (unseen bigrams drop from the probe join, per the contract)
+    val batch = Seq((10L, "a b c a"), (11L, "zz qq")).toDF("pid", "body")
+    val served = rows(TextCuration.lmScoreIndexed(batch, "pid", "body", path))
+    // doc 10: bigrams "a b"(p=4/6), "b c"(unseen, drops), "c a"(p=2/4)
+    assert(served === Seq((10L, 2L, 2.0 / 4.0, (4.0 / 6.0 + 2.0 / 4.0) / 2.0)))
+  }
+
   test("lmScore: fluent (corpus-typical) docs outscore word-soup on avg probability") {
     val fluent = (1L to 20L).map(i => (i, "the cat sat on the mat"))
     val soup = Seq((99L, "zqx wvu tsr qpo nml kji"))

@@ -41,8 +41,12 @@ class JdbcLiveSpecs extends SparkSpec {
       "CREATE TABLE contacts (id BIGINT PRIMARY KEY, name VARCHAR(64), balance DOUBLE)"))
     val df = (1L to 97L).map(i => (i, s"name_$i", i * 1.5)).toDF("id", "name", "balance")
       .repartition(4)
-    // batchSize 10 forces full batches plus a final partial per partition
-    JdbcUpsert.write(df, url, "contacts", Seq("id"), Derby, batchSize = 10)
+    // batchSize 10 forces full batches plus a final partial per
+    // partition. queryTimeoutSec 30: concurrent Derby MERGE writers can
+    // park executeBatch in a latch wait the deadlock detector misses
+    // (observed live under full-suite load) — the bounded timeout turns
+    // that stall into a transient retry instead of a hung suite.
+    JdbcUpsert.write(df, url, "contacts", Seq("id"), Derby, batchSize = 10, queryTimeoutSec = 30)
     val rows = readAll(url, "SELECT id, name, balance FROM contacts ORDER BY id")
     assert(rows.size === 97)
     assert(rows(0) === Seq(1L, "name_1", 1.5))
