@@ -159,6 +159,42 @@ object TextOps {
       },
     ),
     Q(
+      "q101_incremental_exact",
+      "Incremental EXACT re-crawl detection: a new batch (docs %5 " +
+        "re-keyed as re-crawls + docs %7 with genuinely changed text) " +
+        "vs the PERSISTED content-hash index of the corpus — the exact " +
+        "twin of q75's incremental LSH: only the batch is hashed, the " +
+        "corpus side reads the stored (hash, canonical) table; changed " +
+        "texts fall through, re-crawls match their original canonical.",
+      Some("""
+        WITH idx AS (SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id
+                     FROM documents GROUP BY 1),
+        batch AS (
+          SELECT doc_id + 1000000 AS batch_id, md5(text) AS content_hash
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 2000000, md5(text || ' fresh-crawl')
+          FROM documents WHERE doc_id % 7 = 0)
+        SELECT b.batch_id, i.canonical_id, b.content_hash
+        FROM batch b JOIN idx i ON b.content_hash = i.content_hash
+        WHERE b.batch_id <> i.canonical_id
+        ORDER BY batch_id
+      """.trim),
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        val idx = graft.Artifacts.cached(s"hash-index:$dir") { p =>
+          graft.api.TextCuration.buildHashIndex(docs, "doc_id", "text", p)
+        }
+        // re-crawls of %5 pages under new ids + %7 pages whose content
+        // actually changed (must NOT match)
+        val batch = docs.filter("doc_id % 5 = 0")
+          .selectExpr("doc_id + 1000000 AS doc_id", "text")
+          .unionByName(docs.filter("doc_id % 7 = 0")
+            .selectExpr("doc_id + 2000000 AS doc_id", "text || ' fresh-crawl' AS text"))
+        graft.api.TextCuration.exactDupsAgainstIndex(batch, "doc_id", "text", idx)
+      },
+    ),
+    Q(
       "q26_ngram_jaccard",
       "N-gram Jaccard near-dup pairs (trigram shingles, j >= 0.3) via " +
         "inverted-index join on shingle — intersection counts from one " +

@@ -23,6 +23,19 @@ class ApiSpecs extends SparkSpec {
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((10L, 2L), (12L, 1L), (13L, 1L)))
   }
 
+  test("hash index: re-crawls match their canonical, changed/new content falls through, self-canonical excluded") {
+    val path = java.nio.file.Files.createTempDirectory("hashidx").toString + "/idx"
+    TextCuration.buildHashIndex(corpus, "post_id", "body", path)
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and runs away fast"), // re-crawl of 10/11 -> canonical 10
+      (101L, "entirely new content never seen in the corpus before this batch"), // no match
+      (13L, "completely different content about spark shuffles and joins here"), // same id re-ingested -> excluded
+    ).toDF("post_id", "body")
+    val out = TextCuration.exactDupsAgainstIndex(batch, "post_id", "body", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((100L, 10L)))
+  }
+
   test("jaccardNearDups on custom columns finds the near pair and not the unrelated doc") {
     val pairs = TextCuration.jaccardNearDups(corpus, "post_id", "body", 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
