@@ -339,6 +339,27 @@ class PropertySpecs extends SparkSpec {
     }
   }
 
+  test("funnel staged-min equals the greedy subsequence fold for arbitrary event streams") {
+    // (ts offset seconds, code) — codes above maxStage exercise the
+    // "never advances" contract; duplicate offsets exercise the
+    // (ts, seq) tie-break the fold pins
+    val evsGen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0, 12), Gen.chooseNum(0, 5)))
+    forAll(evsGen, n = 12) { evs =>
+      whenever(evs.nonEmpty) {
+        val rows = evs.zipWithIndex.map { case ((off, code), i) =>
+          (1L, new java.sql.Timestamp(1700000000000L + off * 1000L), i.toLong, code)
+        }
+        val out = graft.operators.Funnel.stages(
+          rows.toDF("user_id", "ts", "event_id", "code"),
+          "user_id", "ts", "event_id", "code", maxStage = 3).collect()(0)
+        val want = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+          .foldLeft(0L)((s, c) => if (c == s + 1 && c <= 3) s + 1 else s)
+        assert(out.getLong(1) === rows.length.toLong)
+        assert(out.getLong(2) === want, s"events=$evs")
+      }
+    }
+  }
+
   test("keyed upsert is idempotent for arbitrary update batches (replay safety)") {
     val updatesGen = Gen.listOf(for {
       key <- Gen.choose(1L, 5L)
