@@ -258,6 +258,34 @@ object Analytics {
       },
     ),
     Q(
+      "q102_window_dist",
+      "Distribution window functions over one keyed partitioning: " +
+        "ntile(4) quartile bucket, percent_rank, cume_dist, and dense " +
+        "ranking per customer's orders — all integer rank arithmetic or " +
+        "one IEEE division ((rank-1)/(n-1), rank/n), so cross-engine " +
+        "hash-exact; ONE shuffle on the key serves all four.",
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          percent_rank() OVER w AS pct_rank,
+          cume_dist() OVER w AS cume,
+          CAST(dense_rank() OVER w AS BIGINT) AS drank
+        FROM orders WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+      """.trim),
+      (spark, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables(spark, dir).orders
+          .filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            dense_rank().over(w).cast("long").as("drank"))
+      },
+    ),
+    Q(
       "q11_window_running",
       "Running-frame window: cumulative event value + lag per user. Decimal " +
         "accumulation keeps the running sum order-independent across engines.",
