@@ -213,6 +213,55 @@ class ScaleSpecs extends SparkSpec {
   }
 }
 
+/** The skew story the 100 TB design leans on ("skewed keys → AQE
+  * skew-join") must actually activate, not just be claimed: a
+  * pathological key and thresholds scaled to spec size make AQE's
+  * OptimizeSkewedJoin split the hot partition, and the result stays
+  * exact. Runs on `spark.newSession()` so the lowered thresholds
+  * never leak into the shared test session.
+  */
+class SkewJoinSpec extends SparkSpec {
+
+  test("AQE splits a pathologically skewed shuffle-join partition (skew=true in the final plan); result exact") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // scale the 256 MB-class production thresholds down to spec size so
+    // a ~MB hot partition counts as skewed
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    // enough partitions that the median partition is small next to the
+    // hot one, and no coalescing (it would merge the comparison away)
+    s.conf.set("spark.sql.shuffle.partitions", "16")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // force a shuffle join: broadcast would dodge the skew machinery
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    // left: 200k rows, 75% on key 0 (the bot key); the payload is an
+    // INCOMPRESSIBLE per-row hash — a constant pad would lz4 away and
+    // the hot partition's compressed size would never cross the
+    // threshold the skew detector reads
+    val left = s.range(200000L).selectExpr(
+      "CASE WHEN id % 4 < 3 THEN CAST(0 AS BIGINT) ELSE id % 97 END AS k",
+      "md5(CAST(id AS STRING)) AS pad")
+    val right = s.range(97L).selectExpr("id AS k", "id * 10 AS v")
+    // pad stays in the output so column pruning can't drop it from the shuffle
+    val joined = left.join(right, "k").select("k", "pad", "v")
+    // execute THIS dataset (collect), so its own QueryExecution carries
+    // the final adaptive plan — an agg on top would execute a new one
+    val rows = joined.collect()
+    assert(rows.length === 200000)
+    val expSum = (0L until 200000L).map(i => if (i % 4 < 3) 0L else (i % 97) * 10).sum
+    assert(rows.map(_.getLong(2)).sum === expSum)
+    // the FINAL adaptive plan must have split the hot partition
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), "plan not adaptive-final")
+    assert(plan.contains("skew=true"), s"AQE skew split did not activate:\n${plan.take(2000)}")
+  }
+}
+
 /** Hot-key behavior of the two per-group ordered folds the catalog
   * runs: the funnel (per USER — one bot key can be unbounded, so the
   * implementation must not buffer a key's events) and the bigram-LM
