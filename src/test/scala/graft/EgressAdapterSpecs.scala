@@ -212,5 +212,12 @@ class EgressAdapterSpecs extends AnyFunSuite {
     assert(a !== sign("""{"QueueUrl":"q2"}"""), "body must be bound by the signature")
     assert(a.startsWith("AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20240101/us-east-1/sqs/aws4_request, SignedHeaders="))
     assert(a.contains("SignedHeaders=content-type;host;x-amz-date;x-amz-target"))
+    // cross-implementation pin: the same request signed by an INDEPENDENT
+    // implementation of the published algorithm (python hashlib/hmac,
+    // canonical request -> string-to-sign -> 4-step key derivation)
+    // yields this signature — agreement of two implementations written
+    // separately from the public spec pins the algorithm, not the code
+    assert(a.endsWith("Signature=a1c06183a863365b15948fd1056e934fdb83a46bed8c34719a6a5f7ee1d41596"),
+      s"SigV4 diverged from the independent reference: $a")
   }
 }
