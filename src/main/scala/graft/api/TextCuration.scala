@@ -25,34 +25,45 @@ object TextCuration {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Number of hash-prefix partition dirs in a [[buildHashIndex]]
+    * layout (2 hex chars): the unit of serve-time partition pruning.
+    */
+  val HashIndexBuckets = 256
+
   /** Persist the exact-content hash index of a corpus at `path` — the
     * EXACT twin of [[buildLshIndex]] in the incremental-ingest family:
     * one (content_hash, canonical_id) row per distinct content, so a
     * new crawl batch checks re-crawls against the stored index without
-    * re-hashing anything already indexed. Bucketed into 16 hash-prefix
-    * partition dirs: serving can prune to the batch's buckets, and at
-    * corpus scale each dir stays independently compactable.
+    * re-hashing anything already indexed. Partitioned into
+    * [[HashIndexBuckets]] hash-prefix dirs: serving prunes to the
+    * batch's buckets (a batch smaller than 256 docs cannot touch all
+    * dirs), and each dir stays independently compactable.
     */
   def buildHashIndex(df: DataFrame, idCol: String, textCol: String, path: String): Unit =
     exactDedup(df, idCol, textCol)
-      .withColumn("bucket", expr("conv(substring(content_hash, 1, 1), 16, 10)").cast("int"))
+      .withColumn("bucket", expr("conv(substring(content_hash, 1, 2), 16, 10)").cast("int"))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
 
   /** Exact re-crawl detection for a NEW batch against a
     * [[buildHashIndex]] index: (batch id, indexed canonical id,
     * content_hash) for every batch doc whose content already exists in
-    * the corpus. One hash equi-join of the batch's hashes against the
-    * stored index — work scales with batch size + matched buckets,
-    * never corpus size; a batch row equal to its own indexed canonical
-    * (same id re-ingested) is excluded, matching
-    * [[lshCandidatesIndexed]]'s contract.
+    * the corpus. The batch's distinct bucket set (≤ 256 ints — a
+    * control-plane collect) statically prunes the index scan to the
+    * touched partition dirs, then ONE hash equi-join matches within
+    * them — IO and work scale with batch size + touched buckets, not
+    * corpus size. A batch row equal to its own indexed canonical (same
+    * id re-ingested) is excluded, matching [[lshCandidatesIndexed]]'s
+    * contract.
     */
   def exactDupsAgainstIndex(batch: DataFrame, idCol: String, textCol: String, path: String): DataFrame = {
     val b = batch.select(col(idCol).as("batch_id"), md5(col(textCol)).as("content_hash"))
+      .withColumn("bucket", expr("conv(substring(content_hash, 1, 2), 16, 10)").cast("int"))
+    val touched = b.select("bucket").distinct().collect().map(_.getInt(0))
     val idx = batch.sparkSession.read.parquet(path)
-      .select(col("content_hash"), col("canonical_id"))
-    b.join(idx, "content_hash")
+      .where(col("bucket").isin(touched.map(Int.box): _*))
+      .select(col("bucket"), col("content_hash"), col("canonical_id"))
+    b.join(idx, Seq("bucket", "content_hash"))
       .filter(col("batch_id") =!= col("canonical_id"))
       .select(col("batch_id"), col("canonical_id"), col("content_hash"))
   }

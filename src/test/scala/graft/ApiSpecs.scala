@@ -31,9 +31,15 @@ class ApiSpecs extends SparkSpec {
       (101L, "entirely new content never seen in the corpus before this batch"), // no match
       (13L, "completely different content about spark shuffles and joins here"), // same id re-ingested -> excluded
     ).toDF("post_id", "body")
-    val out = TextCuration.exactDupsAgainstIndex(batch, "post_id", "body", path)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val df = TextCuration.exactDupsAgainstIndex(batch, "post_id", "body", path)
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out === Set((100L, 10L)))
+    // serve-side partition pruning: the 3-row batch touches <= 3 of the
+    // 256 bucket dirs, and the index scan carries that static filter
+    val scan = df.queryExecution.executedPlan.toString.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("bucket"))
+    assert(scan.isDefined && scan.get.contains("bucket"), s"no pruned index scan:\n$scan")
+    assert(!scan.get.contains("PartitionFilters: []"), "index scan not partition-pruned")
   }
 
   test("jaccardNearDups on custom columns finds the near pair and not the unrelated doc") {
