@@ -137,6 +137,13 @@ class PlanSpecs extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q102: all four distribution window functions share ONE exchange (one keyed shuffle serves ntile/percent_rank/cume_dist/dense_rank)") {
+    val p = planString(q("q102_window_dist"))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1, s"expected one exchange, got $exchanges:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("q78: the per-domain rank limit is pushed map-side (WindowGroupLimit before the exchange)") {
     val p = planString(q("q78_domain_caps"))
     // Partial mode runs on the scan side of the exchange, Final above it —
