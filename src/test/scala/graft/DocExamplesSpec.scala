@@ -1,0 +1,74 @@
+package graft
+
+import graft.api.{TextCuration, VectorSearch}
+import graft.operators.{GlobalOrder, Layout, Stats, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** The README's "Using the library" snippet, executed: every call shape
+  * advertised to users runs here on tiny frames, so API drift from the
+  * documentation fails the suite instead of failing a user. Keep in
+  * sync with README.md — same functions, same argument shapes.
+  */
+class DocExamplesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again", "web"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again", "web"),
+    (3L, "an entirely different document about shuffle partitioning today", "books"),
+    (4L, "yet another unique piece of text mentioning joins and scans here", "books"),
+  ).toDF("doc_id", "text", "source")
+
+  test("README corpus-curation block runs as written") {
+    val clean = TextCuration.curate(docs, "doc_id", "text",
+      jaccardThreshold = 0.5, qualityFloor = 0.0, langs = Seq("en", "und"))
+    assert(clean.count() >= 2) // dup 2 dropped, distinct docs survive
+    val clusters = TextCuration.dedupClusters(docs, "doc_id", "text")
+    assert(clusters.count() === 4) // every doc labeled with a cluster id
+    val split = TextCuration.leakageSafeSplit(docs, "doc_id", "text", valBp = 1500)
+    assert(split.columns.contains("split") && split.count() === 4)
+    val packed = TextCuration.packSequences(docs, "doc_id", "text", "source", budget = 2048)
+    assert(packed.count() === 4)
+    val sharded = GlobalOrder.shuffleShard(docs, "doc_id", nshards = 4)
+    assert(sharded.select("shard").distinct().count() <= 4)
+  }
+
+  test("README incremental-index block runs as written") {
+    val base = tmpDir("docexamples").toString
+    val newBatch = Seq((10L, "the quick brown fox jumps over the lazy dog again and again", "web"))
+      .toDF("doc_id", "text", "source")
+    TextCuration.buildLshIndex(docs, "doc_id", "text", s"$base/lsh")
+    val dups = TextCuration.lshCandidatesIndexed(newBatch, "doc_id", "text", s"$base/lsh")
+    assert(dups.count() >= 1) // the re-crawl matches its near-dups
+    TextCuration.buildHashIndex(docs, "doc_id", "text", s"$base/hash")
+    val recrawls = TextCuration.exactDupsAgainstIndex(newBatch, "doc_id", "text", s"$base/hash")
+    assert(recrawls.collect().map(_.getLong(1)).toSet === Set(1L)) // canonical of the dup pair
+  }
+
+  test("README similarity-search block runs as written") {
+    val base = tmpDir("docexamples_ivf").toString
+    val embs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(4)(d => if (i % 4 == d) 1.0f else 0.05f * ((i + d) % 3)))
+    }.toDF("vec_id", "embedding")
+    VectorSearch.buildIvfIndex(embs, "vec_id", "embedding", s"$base/ivf", nClusters = 4, sampleN = 40)
+    val queries = embs.filter($"vec_id" === 0L)
+    val hits = VectorSearch.annIvfIndexed(spark, s"$base/ivf", queries, "vec_id", "embedding",
+      nprobe = 4, k = 5)
+    assert(hits.count() === 5)
+  }
+
+  test("README analytics/profiling block runs as written") {
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0, "click", 1L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 3.0, "click", 2L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2.0, "view", 3L),
+    ).toDF("user_id", "ts", "value", "event_type", "event_id")
+    val p99 = Stats.histogramQuantiles(events, Seq("event_type"), "value", Seq(5000, 9900))
+    assert(p99.count() > 0)
+    val locf = TimeSeries.gapFillLocf(events, "user_id", "ts", "value", "event_id")
+    assert(locf.count() === 4) // user 1: 10,11,12h grid; user 2: 11h
+    val xy = Seq((1, 2), (3, 4), (5, 6)).toDF("x", "y")
+    val tiled = Layout.zorder(xy, "x", "y", bits = 4, nParts = 2)
+    assert(tiled.count() === 3)
+  }
+}
