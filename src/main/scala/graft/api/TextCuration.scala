@@ -90,6 +90,36 @@ object TextCuration {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Per-doc span-level duplication stats: of the doc's distinct
+    * 3-token shingles, how many also occur in at least one OTHER doc
+    * (corpus shingle df >= 2 — the shingle set is distinct per doc, so
+    * df counts documents). Returns (idCol, n_spans, n_dup, dup_frac).
+    *
+    * The span-granular contamination signal behind substring-level
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL'22): doc-level near-dup misses boilerplate
+    * and quoted spans shared across otherwise-distinct pages;
+    * `dup_frac` ranks exactly those. Integer counts + one division —
+    * exact cross-engine.
+    *
+    * Scale shape: explode -> one shuffle on the shingle for df ->
+    * broadcast-ineligible but key-bounded join back on the shingle
+    * (work ~ sum of df per shingle, zipf-skewed: AQE skew split
+    * applies) -> one keyed agg per doc. Never docs².
+    */
+  def spanDupStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = df.selectExpr(s"$idCol AS __id", s"explode(${textShinglesSpark(textCol)}) AS sh")
+    val d = s.groupBy("sh").agg(count(lit(1)).cast("long").as("df"))
+    val dup = sum(when(col("df") >= 2, 1).otherwise(0)).cast("long")
+    s.join(d.hint("SHUFFLE_HASH"), "sh")
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_spans"),
+        dup.as("n_dup"),
+        (dup.cast("double") / count(lit(1)).cast("double")).as("dup_frac"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** MinHash signatures (TextKit.MinhashK permutations of the trigram
     * shingle hash): columns (id, m0..m15).
     */

@@ -522,4 +522,107 @@ object VectorSearch {
       .selectExpr("id_a", "id_b", "bucket", s"${dotSpark("va", "vb")} / (na * nb) AS cosine")
       .filter(col("cosine") >= threshold)
   }
+
+  // ---- greedy k-center (farthest-first) --------------------------------
+
+  /** One row of any element type to exact doubles: embeddings are
+    * float or double arrays; every element widens exactly.
+    */
+  private def toDoubles(v: Seq[Any]): Seq[Double] = v.map {
+    case f: java.lang.Float  => f.toDouble
+    case d: java.lang.Double => d.doubleValue
+    case x => throw new IllegalArgumentException(s"non-float vector element: $x")
+  }
+
+  /** Driver-side twin of the engines' left-fold dot product: products
+    * in index order, accumulated left-to-right — bit-identical to
+    * graft_vec_dot / DuckDB list_reduce on the same (widened) values.
+    */
+  private def dotExact(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** The vector as an exact Spark SQL double-array literal:
+    * Double.toString is shortest-round-trip and the parser reads the
+    * decimal/E-notation text back to the same double (the same contract
+    * [[graft.operators.VectorKit.projSpark]] relies on for the LSH
+    * plane literals).
+    */
+  private def arrLit(v: Seq[Double]): String =
+    v.map(d => s"${d}D").mkString("array(", ", ", ")")
+
+  /** Greedy k-center selection (Gonzalez farthest-first, the classic
+    * 2-approximation): start from `startId`, then k-1 times pick the
+    * point with the smallest best-cosine to any chosen center (= the
+    * farthest point under cosine distance), ties broken by id
+    * ascending. The diversity-maximizing coreset selector a curation
+    * pipeline uses to pick spread-out exemplars — and, unlike k-means,
+    * fully deterministic with EXACT arithmetic: centers are data
+    * vectors (never averaged floats), distances flow through the same
+    * left-fold dot product as every other vector op, so engine and
+    * oracle agree bit-for-bit.
+    *
+    * Scale shape: k passes over the corpus, each one scan + a
+    * TakeOrderedAndProject(1) (per-partition heaps, 1-row driver
+    * merge); the chosen center is re-injected as a LITERAL array, so
+    * no growing join tree and nothing corpus-sized ever reaches the
+    * driver. The running best-cosine column accrues one dot product
+    * per round (pass i evaluates i dots per row — O(n·k²) total, the
+    * textbook bound's constant; fine for the k ≤ a few dozen this
+    * selector is for).
+    *
+    * Returns the centers in selection order: (rank from 1, id, widened
+    * vector).
+    */
+  def kcenters(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               startId: Long): Seq[(Int, Long, Seq[Double])] = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val n = withNorm(corpus, vecCol)
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"), col("nrm"))
+    val first = n.filter(col("__id") === startId).select("__id", "__v").head()
+    val centers = scala.collection.mutable.ArrayBuffer(
+      (1, startId, toDoubles(first.getSeq[Any](1))))
+    def simTo(v: Seq[Double]): String = {
+      val nrm = math.sqrt(dotExact(v, v))
+      s"graft_vec_dot(__v, ${arrLit(v)}) / (nrm * ${nrm}D)"
+    }
+    var cand = n.filter(col("__id") =!= startId)
+      .withColumn("__s", expr(simTo(centers.head._3)))
+    for (i <- 2 to k) {
+      val nxt = cand.orderBy(col("__s").asc, col("__id").asc).limit(1)
+        .select("__id", "__v").head()
+      val (id, v) = (nxt.getLong(0), toDoubles(nxt.getSeq[Any](1)))
+      centers += ((i, id, v))
+      if (i < k)
+        cand = cand.filter(col("__id") =!= id)
+          .withColumn("__s", expr(s"greatest(__s, ${simTo(v)})"))
+    }
+    centers.toSeq
+  }
+
+  /** k-center clustering: select centers with [[kcenters]], then assign
+    * every point to its best center (max cosine, ties to the
+    * earlier-selected center). Returns (idCol, center_id, cosine).
+    *
+    * The assignment is MAP-ONLY: the k centers are literal arrays
+    * folded with `greatest` over (cosine, -rank, center_id) structs —
+    * no join, no shuffle, one corpus scan (struct comparison is
+    * lexicographic, so max cosine wins and rank breaks ties).
+    */
+  def kcenterAssign(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                    startId: Long): DataFrame = {
+    val centers = kcenters(corpus, idCol, vecCol, k, startId)
+    val n = withNorm(corpus, vecCol)
+    val branches = centers.map { case (rank, cid, v) =>
+      val nrm = math.sqrt(dotExact(v, v))
+      s"struct(graft_vec_dot($vecCol, ${arrLit(v)}) / (nrm * ${nrm}D) AS cosine, " +
+        s"CAST(${-rank} AS INT) AS nr, CAST($cid AS BIGINT) AS center_id)"
+    }
+    val best =
+      if (branches.size == 1) branches.head else s"greatest(${branches.mkString(", ")})"
+    n.withColumn("__best", expr(best))
+      .selectExpr(idCol, "__best.center_id AS center_id", "__best.cosine AS cosine")
+  }
 }

@@ -107,5 +107,88 @@ object Similarity {
           .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("bucket"), col("cosine"))
       },
     ),
+    Q(
+      "q103_kcenter",
+      "Greedy k-center clustering (Gonzalez farthest-first, k=4 from " +
+        "vec_id 0): the deterministic, EXACT-arithmetic diversity selector " +
+        "— centers are data vectors, never averaged floats, so unlike " +
+        "k-means every distance is a bit-exact left-fold dot product. " +
+        "Selection = k scans, each ending in a 1-row per-partition-heap " +
+        "top-1; assignment is MAP-ONLY (literal centers folded with " +
+        "greatest over (cosine, -rank) structs — no join, no shuffle).",
+      Some(kcenterOracleSql(k = 4)),
+      (spark, dir) =>
+        graft.api.VectorSearch.kcenterAssign(Tables(spark, dir).embeddings,
+          "vec_id", "embedding", k = 4, startId = 0L),
+    ),
+    Q(
+      "q106_rrf_hybrid",
+      "Hybrid retrieval: BM25 lexical top-50 (q104's scorer) fused with " +
+        "cosine vector top-50 (q31's knn, query = vec 0) by reciprocal-rank " +
+        "fusion, 1/(60+rank) each side (Cormack et al., SIGIR'09). Both " +
+        "input lists are rank-bounded, so the fusion join and final top-20 " +
+        "never touch the corpus.",
+      Some({
+        import graft.operators.{SearchKit, TextKit}
+        s"""
+        WITH ${SearchKit.bm25DuckCtes(TextKit.tokensDuck("text"), Seq("vector", "hash", "join"), 1.2, 0.75)},
+        trank AS (SELECT doc_id, rank AS text_rank FROM brank WHERE rank <= 50),
+        n AS ($duckNorm),
+        q AS (SELECT embedding AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+        vs AS (SELECT p.vec_id, ${dotDuck("p.embedding", "q.qv")} / (p.nrm * q.qn) AS cosine
+               FROM n p CROSS JOIN q WHERE p.vec_id <> 0),
+        vr AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS vec_rank FROM vs),
+        vrank AS (SELECT vec_id, vec_rank FROM vr WHERE vec_rank <= 50),
+        fused AS (SELECT coalesce(t.doc_id, v.vec_id) AS doc_id, t.text_rank, v.vec_rank,
+                    ${SearchKit.rrfTerm("t.text_rank", 60.0)} + ${SearchKit.rrfTerm("v.vec_rank", 60.0)} AS rrf_score
+                  FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.vec_id),
+        fr AS (SELECT doc_id, rrf_score, text_rank, vec_rank,
+                 CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+               FROM fused)
+        SELECT doc_id, rrf_score, text_rank, vec_rank, rank FROM fr WHERE rank <= 20 ORDER BY rank
+      """.trim
+      }),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val text = graft.api.Retrieval.bm25Rank(t.documents, "doc_id", "text",
+          Seq("vector", "hash", "join"), topK = 50)
+        val vec = graft.api.VectorSearch.knn(t.embeddings,
+          t.embeddings.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        graft.api.Retrieval.rrfFuse(
+            text, "doc_id", "rank", vec.select(col("vec_id"), col("rank")), "vec_id", "rank",
+            k0 = 60.0, topK = 20)
+          .select(col("id").as("doc_id"), col("rrf_score"),
+            col("rank_a").as("text_rank"), col("rank_b").as("vec_rank"), col("rank"))
+      },
+    ),
   )
+
+  /** q103's oracle: the same farthest-first chain as the engine, as
+    * k-1 chained CTEs (each c_i a 1-row ORDER BY s, vec_id LIMIT 1;
+    * each d_i folds the new center in with greatest) plus one
+    * assignment ranking. Generated, so k changes in one place.
+    */
+  private def kcenterOracleSql(k: Int): String = {
+    require(k >= 2, s"oracle chain needs k >= 2: $k")
+    def cos(p: String, c: String) = s"${dotDuck(s"$p.embedding", s"$c.embedding")} / ($p.nrm * $c.nrm)"
+    val sb = new StringBuilder
+    sb ++= s"WITH n AS ($duckNorm),\n"
+    sb ++= "c1 AS (SELECT vec_id, embedding, nrm FROM n WHERE vec_id = 0),\n"
+    sb ++= s"d1 AS (SELECT p.vec_id, p.embedding, p.nrm, ${cos("p", "c")} AS s" +
+      " FROM n p CROSS JOIN c1 c WHERE p.vec_id <> c.vec_id),\n"
+    for (i <- 2 to k) {
+      sb ++= s"c$i AS (SELECT vec_id, embedding, nrm FROM d${i - 1} ORDER BY s ASC, vec_id LIMIT 1),\n"
+      if (i < k)
+        sb ++= s"d$i AS (SELECT p.vec_id, p.embedding, p.nrm, greatest(p.s, ${cos("p", "c")}) AS s" +
+          s" FROM d${i - 1} p CROSS JOIN c$i c WHERE p.vec_id <> c.vec_id),\n"
+    }
+    sb ++= (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS center_rank, vec_id, embedding, nrm FROM c$i")
+      .mkString("cen AS (", " UNION ALL ", "),\n")
+    sb ++= s"asn AS (SELECT p.vec_id, c.vec_id AS center_id, ${cos("p", "c")} AS cosine,\n" +
+      s"  row_number() OVER (PARTITION BY p.vec_id ORDER BY ${cos("p", "c")} DESC, c.center_rank) AS rn\n" +
+      "  FROM n p CROSS JOIN cen c)\n"
+    sb ++= "SELECT vec_id, center_id, cosine FROM asn WHERE rn = 1"
+    sb.toString
+  }
 }

@@ -389,7 +389,7 @@ object TextOps {
           "(graft_uninorm(text, 'NFC') <> text) AS changed",
           "CAST(length(graft_uninorm(text, 'NFC')) AS BIGINT) AS n_chars_norm"),
     ),
-  ) :+ curationQ
+  ) ++ (curationQ +: retrievalQs)
 
   /** q60: the curation capstone — the full training-data filtering flow
     * over one corpus snapshot, composed from the dedup/quality/lang
@@ -451,4 +451,45 @@ object TextOps {
       graft.api.TextCuration.curate(Tables(spark, dir).documents, "doc_id", "text",
         jaccardThreshold = 0.5, qualityFloor = 0.44, langs = Seq("en", "und")),
   )
+
+  private lazy val retrievalQs: Seq[Q] = {
+    import graft.operators.SearchKit
+    val bmTerms = Seq("vector", "hash", "join")
+    Seq(
+      Q(
+        "q104_bm25",
+        "BM25 ranked retrieval (rational-idf variant — SearchKit documents " +
+          "the exact-arithmetic trade) for a 3-term query: postings explode " +
+          "filtered to the query terms (work ~ query-term postings, the " +
+          "inverted-index contract), dl rides the groupBy key, df + avgdl " +
+          "broadcast back, top-20 via per-partition heaps.",
+        Some(s"""
+          WITH ${SearchKit.bm25DuckCtes(tokD, bmTerms, 1.2, 0.75)}
+          SELECT doc_id, rank, score FROM brank WHERE rank <= 20 ORDER BY rank
+        """.trim),
+        (spark, dir) =>
+          graft.api.Retrieval.bm25Rank(Tables(spark, dir).documents, "doc_id", "text",
+            bmTerms, topK = 20),
+      ),
+      Q(
+        "q105_span_dup",
+        "Span-level duplication stats (Lee et al. ACL'22 substring-dedup " +
+          "signal): per doc, the fraction of its distinct 3-token shingles " +
+          "occurring in >= 2 docs. One shuffle on the shingle for df, " +
+          "key-bounded join back, one keyed agg — work ~ sum(df), never " +
+          "docs^2. Integer counts + one division: exact cross-engine.",
+        Some(s"""
+          WITH tk AS (SELECT doc_id, $tokD AS tok FROM documents),
+          s AS (SELECT doc_id, unnest(${shinglesDuck("tok")}) AS sh FROM tk),
+          d AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM s GROUP BY sh)
+          SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+            CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+            CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
+          FROM s JOIN d ON s.sh = d.sh GROUP BY s.doc_id
+        """.trim),
+        (spark, dir) =>
+          graft.api.TextCuration.spanDupStats(Tables(spark, dir).documents, "doc_id", "text"),
+      ),
+    )
+  }
 }

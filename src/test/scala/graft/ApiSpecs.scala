@@ -291,4 +291,88 @@ class ApiSpecs extends SparkSpec {
         "default guard must honor the session broadcast threshold")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("kcenters picks farthest-first under cosine distance; assignment is exact and map-only") {
+    // four tight direction groups on the plane; the greedy sweep from
+    // id 1 (east) must pick west (opposite), then one of the two
+    // orthogonals, then the remaining one
+    val vecs = Seq(
+      1L -> Array(1.0f, 0.0f), 2L -> Array(0.995f, 0.1f),     // east
+      11L -> Array(-1.0f, 0.05f), 12L -> Array(-0.99f, 0.0f), // west
+      21L -> Array(0.05f, 1.0f), 22L -> Array(0.0f, 0.995f),  // north
+      31L -> Array(0.0f, -1.0f), 32L -> Array(0.1f, -0.99f),  // south
+    ).toDF("vid", "vec")
+    val centers = VectorSearch.kcenters(vecs, "vid", "vec", k = 4, startId = 1L)
+    assert(centers.map(_._1) === Seq(1, 2, 3, 4), "ranks are selection order")
+    assert(centers.head._2 === 1L)
+    assert(centers(1)._2 === 11L || centers(1)._2 === 12L, "second center is the far (west) group")
+    assert(centers.map(_._2).distinct.size === 4, "centers are distinct points")
+
+    val asn = VectorSearch.kcenterAssign(vecs, "vid", "vec", k = 4, startId = 1L)
+    // every point lands with its own direction group's center
+    val byCenter = asn.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def grp(id: Long) = byCenter(id)
+    assert(grp(1L) === grp(2L) && grp(11L) === grp(12L) &&
+      grp(21L) === grp(22L) && grp(31L) === grp(32L), s"groups must not split: $byCenter")
+    assert(byCenter.values.toSet.size === 4)
+    // centers assign to themselves at cosine exactly dot/nrm² = 1.0-ulp-exact
+    val selfCos = asn.filter(col("vid").isin(centers.map(_._2): _*))
+      .select("cosine").collect().map(_.getDouble(0))
+    assert(selfCos.forall(c => math.abs(c - 1.0) < 1e-12))
+    // scale pin: the assignment pass is MAP-ONLY — no exchange anywhere
+    val plan = asn.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+  }
+
+  test("bm25Rank: tf raises, doc length normalizes, rarity weights; absent-term docs drop out") {
+    import graft.api.Retrieval
+    val docs = Seq(
+      (1L, "spark spark spark runs fast"),          // tf=3, short
+      (2L, "spark runs on a very long cluster with many extra words here now"), // tf=1, long
+      (3L, "nothing relevant at all in this one"),  // no query terms
+      (4L, "spark spark runs fast"),                // tf=2, shortest
+      (5L, "rare spark together"),                  // has the rare term too
+    ).toDF("doc_id", "body")
+    val out = Retrieval.bm25Rank(docs, "doc_id", "body", Seq("spark", "rare"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ranks = out.map(t => t._1 -> t._2).toMap
+    assert(!ranks.contains(3L), "doc without any query term must be absent")
+    assert(ranks(5L) === 1L, "the only doc with the rare term outranks all tf-only docs")
+    assert(ranks(4L) < ranks(2L), "higher tf on a shorter doc must outrank tf=1 on a long doc")
+    // scores strictly ordered by rank, all positive
+    val sorted = out.sortBy(_._2)
+    assert(sorted.sliding(2).forall { case Array(a, b) => a._3 >= b._3 case _ => true })
+    assert(out.forall(_._3 > 0.0))
+  }
+
+  test("rrfFuse: both-list docs beat single-list docs at similar ranks; absent side contributes 0") {
+    import graft.api.Retrieval
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "r")   // lexical list
+    val b = Seq((2L, 1L), (9L, 2L)).toDF("id", "r")             // vector list
+    val out = Retrieval.rrfFuse(a, "id", "r", b, "id", "r", k0 = 60.0, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(2L)._5 === 1L, "doc on both lists fuses to the top")
+    assert(byId(2L)._2 === 1.0 / 62 + 1.0 / 61)
+    assert(byId(1L)._2 === 1.0 / 61, "single-list contribution only")
+    assert(byId(1L)._3 === Some(1L) && byId(1L)._4 === None, "absent list rank stays NULL")
+    assert(byId(9L)._3 === None && byId(9L)._4 === Some(2L))
+    assert(out.length === 4)
+  }
+
+  test("spanDupStats: exact per-doc duplicated-shingle fractions on a crafted corpus") {
+    // doc 1 and 2 share their first trigram only; doc 3 shares nothing
+    val docs = Seq(
+      (1L, "a b c x y"),   // shingles: "a b c", "b c x", "c x y"
+      (2L, "a b c q r"),   // shingles: "a b c", "b c q", "c q r"
+      (3L, "u v w z k"),   // disjoint
+    ).toDF("doc_id", "body")
+    val out = TextCuration.spanDupStats(docs, "doc_id", "body")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((3L, 1L, 1.0 / 3)))
+    assert(out(2L) === ((3L, 1L, 1.0 / 3)))
+    assert(out(3L) === ((3L, 0L, 0.0)))
+  }
 }
