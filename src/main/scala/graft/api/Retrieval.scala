@@ -32,15 +32,38 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  private def validate(terms: Seq[String], topK: Int): Unit = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
+    require(topK > 0, s"topK must be positive: $topK")
+  }
+
+  /** Shared scoring tail for the direct and indexed paths: postings
+    * (idCol, term, tf, dl, df) + the corpus-count and avgdl SQL exprs
+    * -> fused per-doc score -> top-k with ranks. Both paths flow
+    * through the SAME SearchKit arithmetic, so direct and indexed
+    * results are bit-identical.
+    */
+  private def scoreAndTop(postings: DataFrame, idCol: String, terms: Seq[String],
+                          nExpr: String, avgdlExpr: String,
+                          k1: Double, b: Double, topK: Int): DataFrame = {
+    val scored = postings
+      .withColumn("s", expr(SearchKit.bm25Score(nExpr, "df", "tf", "dl", avgdlExpr, k1, b)))
+      .groupBy(col(idCol))
+      .agg(expr(SearchKit.fusedSum(terms, "term", "s")).as("score"))
+    scored.orderBy(col("score").desc, col(idCol)).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("rank"), col("score"))
+  }
+
   /** BM25 top-`topK` docs for `terms`: returns (idCol, rank, score),
     * rank 1 = best, ties broken by id ascending. Docs containing none
     * of the terms are absent (score would be 0).
     */
   def bm25Rank(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
                k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
-    require(terms.nonEmpty, "need at least one query term")
-    require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
-    require(topK > 0, s"topK must be positive: $topK")
+    validate(terms, topK)
     val toks = df.selectExpr(idCol, s"${TextKit.tokensSpark(textCol)} AS __tok")
     val dls = toks.selectExpr(idCol, "CAST(size(__tok) AS BIGINT) AS dl")
     val gl = dls.agg(
@@ -55,17 +78,80 @@ object Retrieval {
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
     val dfq = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
-    val scored = tf
-      .join(broadcast(dfq), "term")
-      .crossJoin(broadcast(gl))
-      .withColumn("s", expr(SearchKit.bm25Score("n", "df", "tf", "dl", "avgdl", k1, b)))
-      .groupBy(col(idCol))
-      .agg(expr(SearchKit.fusedSum(terms, "term", "s")).as("score"))
-    val top = scored.orderBy(col("score").desc, col(idCol)).limit(topK)
-    top
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
-      .select(col(idCol), col("rank"), col("score"))
+    val postings = tf.join(broadcast(dfq), "term").crossJoin(broadcast(gl))
+    scoreAndTop(postings, idCol, terms, "n", "avgdl", k1, b, topK)
+  }
+
+  /** Term-hash partition fan of a persisted BM25 index. */
+  val Bm25IndexBuckets = 64
+
+  /** Persist the full inverted index of a corpus at `path` — the
+    * train-once half of the retrieval family (the phrase/LSH/hash/IVF
+    * index pattern): serve-time queries read only their query terms'
+    * bucket directories and re-tokenize nothing.
+    *
+    * Layout: `path/postings` = one (id, term, tf, dl, df) row per
+    * distinct (doc, term), partitioned by `bucket = pmod(poly_hash(
+    * term), Bm25IndexBuckets)`; `path/stats` = ONE row (n, sum_dl) of
+    * exact BIGINTs, so serve-time avgdl is derived with the same
+    * division the direct path computes. `df` is denormalized onto the
+    * posting row (8 bytes against a string term it already carries) —
+    * serving needs no second table join.
+    *
+    * Build cost: one explode + one (doc, term) shuffle for tf, one
+    * tiny (term) agg broadcast back for df, one bucket repartition for
+    * the write (the same write-shape note as buildPhraseIndex: without
+    * it every task writes every bucket dir). Work ~ corpus tokens —
+    * the one-time price the q104-per-query scan pays on EVERY query.
+    */
+  def buildBm25Index(df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val tf = df
+      .selectExpr(idCol, s"${TextKit.tokensSpark(textCol)} AS __tok")
+      .selectExpr(idCol, "CAST(size(__tok) AS BIGINT) AS dl", "explode(__tok) AS term")
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    tf.join(broadcast(dfq), "term")
+      .withColumn("bucket", expr(s"pmod(graft_poly_hash(term), $Bm25IndexBuckets)"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/postings")
+    df.selectExpr(s"CAST(size(${TextKit.tokensSpark(textCol)}) AS BIGINT) AS dl")
+      .agg(count(lit(1)).cast("long").as("n"), sum("dl").cast("long").as("sum_dl"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats")
+  }
+
+  /** BM25 against a [[buildBm25Index]] index: bit-identical results to
+    * [[bm25Rank]] (same SearchKit arithmetic over the same exact
+    * integers), but the corpus is never touched — the scan reads ONLY
+    * the query terms' bucket dirs via a static `bucket IN (...)`
+    * partition filter (≤ `terms.size` of [[Bm25IndexBuckets]]), then
+    * filters to the terms inside them. Serve work ~ query-term
+    * postings; index and corpus size only move the BUILD cost.
+    *
+    * The term->bucket map is computed by a 1-row-per-term Spark job
+    * with the same hash expression the build ran (control-plane
+    * bounded; no driver-side hash reimplementation to drift).
+    */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession, path: String, idCol: String,
+                  terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                  topK: Int = 20): DataFrame = {
+    validate(terms, topK)
+    val termList = terms.map(SearchKit.sqlStr).mkString(", ")
+    val buckets = spark.sql(
+      s"SELECT DISTINCT CAST(pmod(graft_poly_hash(t), $Bm25IndexBuckets) AS INT) AS b FROM " +
+        s"(SELECT explode(array($termList)) AS t)")
+      .collect().map(_.getInt(0))
+    val st = spark.read.parquet(s"$path/stats").head()
+    val (n, sumDl) = (st.getAs[Long]("n"), st.getAs[Long]("sum_dl"))
+    val postings = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      .filter(expr(s"term IN ($termList)"))
+    scoreAndTop(postings, idCol, terms,
+      s"CAST($n AS BIGINT)",
+      s"(CAST(CAST($sumDl AS BIGINT) AS DOUBLE) / CAST(CAST($n AS BIGINT) AS DOUBLE))",
+      k1, b, topK)
   }
 
   /** Reciprocal-rank fusion: score(doc) = 1/(k0 + rankA) + 1/(k0 +

@@ -490,6 +490,50 @@ object TextOps {
         (spark, dir) =>
           graft.api.TextCuration.spanDupStats(Tables(spark, dir).documents, "doc_id", "text"),
       ),
+      Q(
+        "q107_bm25_indexed",
+        "BM25 served from the PERSISTED inverted index (train-once twin " +
+          "of q104, the phrase/LSH/hash/IVF index pattern): the scan reads " +
+          "only the query terms' bucket dirs (static partition pruning), " +
+          "re-tokenizes nothing, and must be bit-identical to the direct " +
+          "q104 scorer — same oracle SQL gates both.",
+        Some(s"""
+          WITH ${graft.operators.SearchKit.bm25DuckCtes(tokD, bmTerms, 1.2, 0.75)}
+          SELECT doc_id, rank, score FROM brank WHERE rank <= 20 ORDER BY rank
+        """.trim),
+        (spark, dir) => {
+          val docs = Tables(spark, dir).documents
+          val idx = graft.Artifacts.cached(s"bm25-index:$dir") { p =>
+            graft.api.Retrieval.buildBm25Index(docs, "doc_id", "text", p)
+          }
+          graft.api.Retrieval.bm25Indexed(spark, idx, "doc_id", bmTerms, topK = 20)
+        },
+      ),
+      Q(
+        "q108_bm25_build",
+        "BM25 inverted-index build pass, timed separately from q107's " +
+          "serve: tokenize, (doc, term) tf shuffle, df broadcast-join " +
+          "back, 64-way term-hash-bucketed partitioned write + the 1-row " +
+          "exact (n, sum_dl) stats table. Returns the per-bucket posting " +
+          "summary the oracle recomputes from the same hash arithmetic.",
+        Some(s"""
+          WITH tk AS (SELECT doc_id, $tokD AS tok FROM documents),
+          pt AS (SELECT doc_id, unnest(tok) AS term FROM tk),
+          tfq AS (SELECT doc_id, term FROM pt GROUP BY doc_id, term)
+          SELECT ${polyDuck("term")} % ${graft.api.Retrieval.Bm25IndexBuckets} AS bucket,
+            count(*) AS n_postings,
+            CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+          FROM tfq GROUP BY 1 ORDER BY 1
+        """.trim),
+        (spark, dir) => {
+          val docs = Tables(spark, dir).documents
+          val path = graft.Artifacts.scratch("bm25build")
+          graft.api.Retrieval.buildBm25Index(docs, "doc_id", "text", path)
+          spark.read.parquet(s"$path/postings")
+            .groupBy(col("bucket").cast("long").as("bucket"))
+            .agg(count(lit(1)).as("n_postings"), countDistinct(col("term")).as("n_terms"))
+        },
+      ),
     )
   }
 }

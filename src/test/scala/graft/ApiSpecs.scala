@@ -362,6 +362,29 @@ class ApiSpecs extends SparkSpec {
     assert(out.length === 4)
   }
 
+  test("persisted BM25 index: serve is bit-identical to the direct scorer and prunes to the query terms' buckets") {
+    import graft.api.Retrieval
+    val docs = Seq(
+      (1L, "spark spark spark runs fast"),
+      (2L, "spark runs on a very long cluster with many extra words here now"),
+      (3L, "nothing relevant at all in this one"),
+      (4L, "spark spark runs fast"),
+      (5L, "rare spark together"),
+    ).toDF("post_id", "body")
+    val path = tmpDir("bm25idx").toString + "/idx"
+    Retrieval.buildBm25Index(docs, "post_id", "body", path)
+    val terms = Seq("spark", "rare")
+    val direct = Retrieval.bm25Rank(docs, "post_id", "body", terms, topK = 10)
+    val served = Retrieval.bm25Indexed(spark, path, "post_id", terms, topK = 10)
+    assert(served.orderBy("rank").collect().toSeq === direct.orderBy("rank").collect().toSeq,
+      "indexed serve must be bit-identical to the direct scorer")
+    // the postings scan must carry a static bucket partition filter
+    val plan = served.queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(l => l.contains("PartitionFilters") && l.contains("bucket"))
+    assert(scan.isDefined && !scan.get.contains("PartitionFilters: []"),
+      s"postings scan not partition-pruned:\n$plan")
+  }
+
   test("spanDupStats: exact per-doc duplicated-shingle fractions on a crafted corpus") {
     // doc 1 and 2 share their first trigram only; doc 3 shares nothing
     val docs = Seq(
