@@ -105,21 +105,81 @@ object Retrieval {
     * the one-time price the q104-per-query scan pays on EVERY query.
     */
   def buildBm25Index(df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
-    val tf = df
-      .selectExpr(idCol, s"${TextKit.tokensSpark(textCol)} AS __tok")
-      .selectExpr(idCol, "CAST(size(__tok) AS BIGINT) AS dl", "explode(__tok) AS term")
-      .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("long").as("tf"))
+    val tf = batchPostings(df, idCol, textCol)
+    // corpus-vocabulary df: a plain (unhinted) join — the agg output's
+    // runtime size lets AQE broadcast a small vocabulary and fall back
+    // to a shuffle join (with skew split on mega-common terms) for a
+    // web-scale one; a forced broadcast of an unbounded vocab would be
+    // the wrong call at 100 TB
     val dfq = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
-    tf.join(broadcast(dfq), "term")
-      .withColumn("bucket", expr(s"pmod(graft_poly_hash(term), $Bm25IndexBuckets)"))
+    tf.join(dfq, "term")
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/postings")
-    df.selectExpr(s"CAST(size(${TextKit.tokensSpark(textCol)}) AS BIGINT) AS dl")
-      .agg(count(lit(1)).cast("long").as("n"), sum("dl").cast("long").as("sum_dl"))
+    writeStats(df.sparkSession, batchStats(df, textCol), path)
+  }
+
+  /** (id, dl, term, tf, bucket) postings of one frame — the shared
+    * build/append tokenize+tf pass. Bucket is INT to match the type
+    * the partitioned read infers back.
+    */
+  private def batchPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.selectExpr(idCol, s"${TextKit.tokensSpark(textCol)} AS __tok")
+      .selectExpr(idCol, "CAST(size(__tok) AS BIGINT) AS dl", "explode(__tok) AS term")
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("bucket", expr(s"CAST(pmod(graft_poly_hash(term), $Bm25IndexBuckets) AS INT)"))
+
+  private def batchStats(df: DataFrame, textCol: String): (Long, Long) = {
+    val r = df.selectExpr(s"CAST(size(${TextKit.tokensSpark(textCol)}) AS BIGINT) AS dl")
+      .agg(count(lit(1)).cast("long"), coalesce(sum("dl"), lit(0L)).cast("long")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def writeStats(spark: org.apache.spark.sql.SparkSession, st: (Long, Long),
+                         path: String): Unit =
+    spark.sql(s"SELECT CAST(${st._1} AS BIGINT) AS n, CAST(${st._2} AS BIGINT) AS sum_dl")
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats")
+
+  /** Incrementally extend a [[buildBm25Index]] index with a batch of
+    * NEW documents (ids not already indexed — the same append-only
+    * contract as appendToIvfIndex) without touching the rest of the
+    * corpus: a term lives in exactly ONE bucket, so `df` is
+    * bucket-local, and only the batch's touched bucket dirs (bounded
+    * by the bucket fan, collected control-plane) are read back,
+    * merged with the batch's postings, re-df'd, and rewritten via
+    * dynamic partition overwrite; untouched buckets are never read or
+    * written. The 1-row stats table adds the batch's exact (n,
+    * sum_dl). Serving after an append is bit-identical to a fresh
+    * build over the union (spec'd).
+    *
+    * Maintenance contract (same as compaction's): single writer; a
+    * crash between the postings overwrite and the stats write leaves
+    * stats stale by exactly the batch — re-run the same append: the
+    * merged postings are `distinct()`-ed, so a batch already folded
+    * into a touched bucket dedups away (a (id, dl, term, tf) posting
+    * row is a pure function of the doc) and only the stats add lands.
+    */
+  def appendToBm25Index(newRows: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val spark = newRows.sparkSession
+    val batch = batchPostings(newRows, idCol, textCol)
+    val touched = batch.select("bucket").distinct().collect().map(_.getInt(0))
+    if (touched.isEmpty) return
+    val stored = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      .select(col(idCol), col("dl"), col("term"), col("tf"), col("bucket"))
+    val merged = stored.unionByName(batch).distinct()
+    val dfq = merged.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    merged.join(dfq, "term")
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/postings")
+    val old = spark.read.parquet(s"$path/stats").head()
+    val add = batchStats(newRows, textCol)
+    writeStats(spark, (old.getAs[Long]("n") + add._1, old.getAs[Long]("sum_dl") + add._2), path)
   }
 
   /** BM25 against a [[buildBm25Index]] index: bit-identical results to

@@ -522,6 +522,47 @@ object TextCuration {
       .select(col("term"), col("cnt"), col("rnk"), col("cum"), col("coverage"))
   }
 
+  /** Corpus collocation extraction: the top-`topK` adjacent word pairs
+    * by LIFT — p(ab) / (p(a)·p(b)) over token bigram/unigram counts —
+    * with a minimum-count floor against noise pairs. The phrase-vocab /
+    * tokenizer-merge-candidate signal (collocations are what multiword
+    * tokens and BPE merges are made of). Lift is the exponential of
+    * pointwise mutual information: identical ordering, and — unlike
+    * log-PMI — exact cross-engine (integer counts, four
+    * correctly-rounded IEEE ops in a fixed textual order, no libm; the
+    * same trade [[graft.operators.SearchKit]] documents for idf).
+    *
+    * Scale shape: bigram counts = one map-only ngram kernel pass + one
+    * shuffle on the bigram; unigram counts likewise; the pair table
+    * joins the unigram table twice on a term key (AQE broadcasts a
+    * small vocabulary, shuffle+skew-split otherwise); totals are 1-row
+    * broadcast sides; top-k via per-partition heaps.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long, topK: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(topK > 0, s"topK must be positive: $topK")
+    val bgc = df.selectExpr(s"explode(${textBigramsSpark(textCol)}) AS g")
+      .groupBy("g").agg(count(lit(1)).cast("long").as("n_ab"))
+    val unc = df.selectExpr(s"explode(${tokensSpark(textCol)}) AS t")
+      .groupBy("t").agg(count(lit(1)).cast("long").as("n_t"))
+    val tot = unc.agg(sum("n_t").cast("long").as("tt"))
+    val btot = bgc.agg(sum("n_ab").cast("long").as("bt"))
+    val sp = bgc.filter(col("n_ab") >= minCount)
+      .selectExpr("split(g, ' ')[0] AS term_a", "split(g, ' ')[1] AS term_b", "n_ab")
+    val j = sp
+      .join(unc.select(col("t"), col("n_t").as("n_a")), col("term_a") === col("t")).drop("t")
+      .join(unc.select(col("t"), col("n_t").as("n_b")), col("term_b") === col("t")).drop("t")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .withColumn("lift", expr(
+        "(CAST(n_ab AS DOUBLE) / CAST(bt AS DOUBLE))" +
+          " / ((CAST(n_a AS DOUBLE) / CAST(tt AS DOUBLE)) * (CAST(n_b AS DOUBLE) / CAST(tt AS DOUBLE)))"))
+    j.orderBy(col("lift").desc, col("term_a"), col("term_b")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("lift").desc, col("term_a"), col("term_b"))).cast("long"))
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("lift"), col("rank"))
+  }
+
   /** Leakage-safe train/validation split: the split is a pure function
     * of the NEAR-DUP CLUSTER id, not the document id — near-duplicate
     * documents land in the same split by construction, so validation

@@ -534,6 +534,38 @@ object TextOps {
             .agg(count(lit(1)).as("n_postings"), countDistinct(col("term")).as("n_terms"))
         },
       ),
+      Q(
+        "q109_collocations",
+        "Collocation extraction: top-30 adjacent word pairs by LIFT " +
+          "(= exp(PMI); identical ordering, exact cross-engine — no libm " +
+          "log) with a count >= 5 floor. The phrase-vocab / BPE-merge " +
+          "candidate signal. Bigram + unigram counts are each one kernel " +
+          "pass + one shuffle; pair-unigram joins AQE-broadcast on this " +
+          "vocab; totals are 1-row broadcast sides; top-k per-partition heaps.",
+        Some(s"""
+          WITH tk AS (SELECT $tokD AS tok FROM documents),
+          bg AS (SELECT unnest(${bigramsDuck("tok")}) AS g FROM tk),
+          bgc AS (SELECT g, CAST(count(*) AS BIGINT) AS n_ab FROM bg GROUP BY g),
+          un AS (SELECT unnest(tok) AS t FROM tk),
+          unc AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM un GROUP BY t),
+          tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS tt FROM unc),
+          btot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS bt FROM bgc),
+          sp AS (SELECT string_split(g, ' ')[1] AS term_a, string_split(g, ' ')[2] AS term_b, n_ab
+                 FROM bgc WHERE n_ab >= 5),
+          j AS (SELECT sp.term_a, sp.term_b, sp.n_ab, a.n_t AS n_a, b.n_t AS n_b,
+                  (CAST(sp.n_ab AS DOUBLE) / CAST(bt.bt AS DOUBLE))
+                  / ((CAST(a.n_t AS DOUBLE) / CAST(tt.tt AS DOUBLE)) * (CAST(b.n_t AS DOUBLE) / CAST(tt.tt AS DOUBLE))) AS lift
+                FROM sp JOIN unc a ON sp.term_a = a.t JOIN unc b ON sp.term_b = b.t
+                CROSS JOIN tot tt CROSS JOIN btot bt),
+          r AS (SELECT term_a, term_b, n_ab, n_a, n_b, lift,
+                  CAST(row_number() OVER (ORDER BY lift DESC, term_a, term_b) AS BIGINT) AS rank
+                FROM j)
+          SELECT term_a, term_b, n_ab, n_a, n_b, lift, rank FROM r WHERE rank <= 30 ORDER BY rank
+        """.trim),
+        (spark, dir) =>
+          graft.api.TextCuration.collocations(Tables(spark, dir).documents, "text",
+            minCount = 5, topK = 30),
+      ),
     )
   }
 }

@@ -576,4 +576,25 @@ class CurationSpecs extends SparkSpec {
       .filter(col("err_l2") > sqrt(col("n_dims").cast("double")) * col("scale") / 2.0 * 1.0000001)
     assert(bad.isEmpty)
   }
+
+  test("collocations: an always-adjacent pair tops frequent-but-independent pairs; the count floor drops rare pairs") {
+    // 'new york' co-occurs every time either appears; 'the' is frequent
+    // everywhere but pairs independently; 'ad hoc' appears twice (below
+    // the floor of 3)
+    val docs = Seq(
+      (1L, "the new york subway is the busiest in the world today"),
+      (2L, "visiting new york in the winter is the coldest trip ever"),
+      (3L, "new york pizza beats the rest of the country by far"),
+      (4L, "an ad hoc plan beats the committee in the long run"),
+      (5L, "an ad hoc fix saved the day in the end again"),
+    ).toDF("doc_id", "body")
+    val out = TextCuration.collocations(docs, "body", minCount = 3, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(5), r.getLong(6)))
+    assert(out.head._1 === "new" && out.head._2 === "york", s"top pair wrong: ${out.toSeq}")
+    assert(out.head._3 === 3L)
+    assert(!out.exists(t => t._1 == "ad" && t._2 == "hoc"), "below-floor pair must be absent")
+    // lift of the perfect collocation must dominate any 'the'-pair
+    val thePairs = out.filter(t => t._1 == "the" || t._2 == "the")
+    assert(thePairs.forall(_._4 < out.head._4))
+  }
 }

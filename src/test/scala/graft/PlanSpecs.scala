@@ -201,7 +201,10 @@ class PlanSpecs extends SparkSpec {
       "q20_scalar_subquery",    // scalar subquery result joined as a 1-row side
       "q80_bigram_lm",          // vocabulary size: a broadcast 1-row aggregate side
       "q85_histogram",          // min/max bounds: a broadcast 1-row aggregate side
-      "q91_vocab_build")        // total token count: a broadcast 1-row aggregate side
+      "q91_vocab_build",        // total token count: a broadcast 1-row aggregate side
+      "q104_bm25",              // (n, avgdl) corpus stats: a broadcast 1-row aggregate side
+      "q106_rrf_hybrid",        // same 1-row stats side inside its BM25 input list
+      "q109_collocations")      // token/bigram totals: two broadcast 1-row aggregate sides
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     queries.QueryCatalog.all.foreach { q =>
       val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
