@@ -167,7 +167,7 @@ object Retrieval {
     val touched = batch.select("bucket").distinct().collect().map(_.getInt(0))
     if (touched.isEmpty) return
     val stored = spark.read.parquet(s"$path/postings")
-      .where(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      .where(col("bucket").isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
       .select(col(idCol), col("dl"), col("term"), col("tf"), col("bucket"))
     val merged = stored.unionByName(batch).distinct()
     val dfq = merged.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
@@ -206,7 +206,7 @@ object Retrieval {
     val st = spark.read.parquet(s"$path/stats").head()
     val (n, sumDl) = (st.getAs[Long]("n"), st.getAs[Long]("sum_dl"))
     val postings = spark.read.parquet(s"$path/postings")
-      .where(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      .where(col("bucket").isin(buckets.map(Integer.valueOf).toIndexedSeq: _*))
       .filter(expr(s"term IN ($termList)"))
     scoreAndTop(postings, idCol, terms,
       s"CAST($n AS BIGINT)",

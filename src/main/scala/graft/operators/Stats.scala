@@ -163,4 +163,57 @@ object Stats {
         (min(col("__mn")) + (col("bucket") + 1L) * min(col("__w"))).as("hi"),
         count(lit(1)).as("n"))
   }
+
+  /** Column profile (the dbt-docs / deequ-summary shape): one row per
+    * profiled column with row count, null count, exact distinct count,
+    * and min/max — numeric and timestamp columns in `min_num`/`max_num`
+    * (integrals and epoch-micros are exact in a double up to 2^53;
+    * timestamps profile as `unix_micros`), string columns in
+    * `min_str`/`max_str`. The first-look table-health snapshot next to
+    * [[dqChecks]]'s pass/fail gate.
+    *
+    * Scale shape: ONE aggregation pass computes every stat — the
+    * multiple exact count(DISTINCT col) expand to Spark's Expand-based
+    * multi-distinct aggregate (input rows × profiled columns through
+    * one shuffle; the standard profiling cost — prune `cols` on wide
+    * tables, or sample upstream, when that product bites). The 1-wide
+    * result row unpivots map-only via stack().
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    cols.foreach(c => require(types.contains(c), s"no such column: $c"))
+    import org.apache.spark.sql.types._
+    def numExpr(c: String): Option[String] = types(c) match {
+      case _: NumericType => Some(c)
+      // NTZ (how parquet TIMESTAMP without UTC adjustment reads back)
+      // casts through session-UTC TIMESTAMP to the same micros the
+      // oracle's naive epoch_us computes
+      case _: TimestampType => Some(s"unix_micros(CAST($c AS TIMESTAMP))")
+      case _: TimestampNTZType => Some(s"unix_micros(CAST($c AS TIMESTAMP))")
+      case _: DateType => Some(s"CAST(datediff($c, DATE'1970-01-01') AS BIGINT)")
+      case _ => None
+    }
+    val aggs = cols.flatMap { c =>
+      val base = Seq(
+        s"CAST(count($c) AS BIGINT) AS `__nn_$c`",
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS `__ndv_$c`")
+      numExpr(c) match {
+        case Some(e) => base ++ Seq(
+          s"CAST(min($e) AS DOUBLE) AS `__mnn_$c`", s"CAST(max($e) AS DOUBLE) AS `__mxn_$c`",
+          s"CAST(NULL AS STRING) AS `__mns_$c`", s"CAST(NULL AS STRING) AS `__mxs_$c`")
+        case None => base ++ Seq(
+          s"CAST(NULL AS DOUBLE) AS `__mnn_$c`", s"CAST(NULL AS DOUBLE) AS `__mxn_$c`",
+          s"CAST(min($c) AS STRING) AS `__mns_$c`", s"CAST(max($c) AS STRING) AS `__mxs_$c`")
+      }
+    } :+ "CAST(count(*) AS BIGINT) AS `__n`"
+    val wide = df.selectExpr(cols: _*).agg(expr(aggs.head), aggs.tail.map(expr): _*)
+    val stacked = cols.map(c =>
+      s"'$c', `__n` - `__nn_$c`, `__ndv_$c`, `__mnn_$c`, `__mxn_$c`, `__mns_$c`, `__mxs_$c`")
+      .mkString(", ")
+    wide.selectExpr("`__n` AS n",
+        s"stack(${cols.size}, $stacked) AS (col_name, n_null, ndv, min_num, max_num, min_str, max_str)")
+      .select(col("col_name"), col("n"), col("n_null"), col("ndv"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+  }
 }

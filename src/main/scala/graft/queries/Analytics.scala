@@ -524,5 +524,33 @@ object Analytics {
         finally spark.catalog.dropTempView(view)
       },
     ),
+    Q(
+      "q110_profile",
+      "Column profiling (dbt-docs / deequ-summary shape): per-column row " +
+        "count, nulls, EXACT distinct count, min/max (numerics + " +
+        "epoch-micros timestamps as doubles, strings as strings) over " +
+        "five lineitem columns. ONE aggregation pass — the multi-distinct " +
+        "expands through Spark's Expand (rows x profiled cols, the " +
+        "standard profiling cost); the 1-row result unpivots via stack.",
+      Some({
+        def entry(c: String, mn: String, mx: String, mns: String, mxs: String) = s"""
+          SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+            CAST(count(*) - count($c) AS BIGINT) AS n_null,
+            CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+            $mn AS min_num, $mx AS max_num, $mns AS min_str, $mxs AS max_str
+          FROM lineitem"""
+        def num(c: String) = entry(c, s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        def str(c: String) = entry(c, "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+        def ts(c: String) = entry(c, s"CAST(min(epoch_us($c)) AS DOUBLE)",
+          s"CAST(max(epoch_us($c)) AS DOUBLE)", "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+          str("l_returnflag"), ts("l_shipdate")).mkString(" UNION ALL ")
+      }),
+      (spark, dir) =>
+        graft.operators.Stats.profile(Tables(spark, dir).lineitem,
+          Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")),
+    ),
   )
 }

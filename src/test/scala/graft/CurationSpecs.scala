@@ -577,6 +577,27 @@ class CurationSpecs extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("profile: exact per-column counts/ndv/min/max across numeric, string, timestamp, and all-null columns") {
+    val df = Seq(
+      (1L, Some(2.5), "b", "2020-01-01 00:00:01"),
+      (2L, Some(2.5), "a", "2020-01-01 00:00:02"),
+      (3L, None, "c", "2020-01-01 00:00:02"),
+    ).toDF("k", "v", "s", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .withColumn("nul", lit(null).cast("double"))
+    val out = graft.operators.Stats.profile(df, Seq("k", "v", "s", "ts", "nul"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k").getLong(1) === 3L && out("k").getLong(2) === 0L && out("k").getLong(3) === 3L)
+    assert(out("k").getDouble(4) === 1.0 && out("k").getDouble(5) === 3.0)
+    assert(out("v").getLong(2) === 1L, "one null in v")
+    assert(out("v").getLong(3) === 1L, "count(DISTINCT) ignores nulls: one distinct value")
+    assert(out("s").getString(6) === "a" && out("s").getString(7) === "c")
+    assert(out("s").isNullAt(4) && out("s").isNullAt(5), "string column has no numeric min/max")
+    assert(out("ts").getDouble(5) - out("ts").getDouble(4) === 1000000.0, "1s apart in micros")
+    assert(out("nul").getLong(2) === 3L && out("nul").getLong(3) === 0L)
+    assert(out("nul").isNullAt(4) && out("nul").isNullAt(5), "all-null min/max stay null")
+  }
+
   test("collocations: an always-adjacent pair tops frequent-but-independent pairs; the count floor drops rare pairs") {
     // 'new york' co-occurs every time either appears; 'the' is frequent
     // everywhere but pairs independently; 'ad hoc' appears twice (below
