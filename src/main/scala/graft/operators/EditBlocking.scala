@@ -35,6 +35,38 @@ private[operators] final case class EditProbeKey(id: Long, str: String, blockKey
 
 object EditBlocking {
 
+  /** Sorted-neighborhood candidate pairs (Hernández/Stolfo SIGMOD'95,
+    * public literature): rank the corpus in `(keyCol, idCol)` total
+    * order and emit every pair within `w` positions — the third
+    * classic ER blocking scheme next to [[editPairs]]'s pigeonhole
+    * segments and q59's attribute×length-band block. Unlike those two,
+    * SNM is inherently LOSSY blocking: a true pair whose sort keys
+    * land more than `w` apart is missed (the standard multi-pass
+    * answer: union passes over different keys). The contract here is
+    * exactly "pairs within the window", which is what the oracle
+    * recomputes.
+    *
+    * Scale shape: the global rank is [[GlobalOrder.rankByPrefix]]'s
+    * two-pass prefix-bucket layout (no single-partition window, no
+    * sampling); pair generation explodes each row into its `w`
+    * successor positions and equi-joins on the position — one shuffle
+    * on a dense LONG key, `w·n` candidate rows by construction.
+    * Returns (id_a, id_b, key_a, key_b, pos_a, pos_b) with
+    * pos_a < pos_b <= pos_a + w; verification (edit distance, jaccard)
+    * is the caller's.
+    */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, keyCol: String, w: Int,
+                          bucketChars: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1: $w")
+    val ranked = GlobalOrder.rankByPrefix(
+        df.select(col(idCol), col(keyCol)), keyCol, idCol, bucketChars, "pos")
+    val a = ranked.select(col(idCol).as("id_a"), col(keyCol).as("key_a"), col("pos").as("pos_a"))
+      .withColumn("__probe", explode(array((1 to w).map(i => col("pos_a") + i): _*)))
+    val b = ranked.select(col(idCol).as("id_b"), col(keyCol).as("key_b"), col("pos").as("pos_b"))
+    a.join(b, col("__probe") === col("pos_b"))
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"), col("pos_a"), col("pos_b"))
+  }
+
   /** Deterministic segment scheme for a string of length `l` with
     * threshold `k`: `k + 1` segments, first `k + 1 - (l mod (k+1))`
     * of length `l / (k+1)`, the rest one longer (even split, fixed

@@ -42,15 +42,30 @@ object GlobalOrder {
     */
   def shuffleShard(df: DataFrame, idCol: String, nshards: Int, bucketChars: Int = 2): DataFrame = {
     require(nshards > 0, s"nshards must be positive: $nshards")
+    val keyed = df.withColumn("shuffle_key", md5(col(idCol).cast("string")))
+    rankByPrefix(keyed, "shuffle_key", idCol, bucketChars, "global_pos")
+      .withColumn("shard", pmod(col("global_pos"), lit(nshards.toLong)))
+  }
+
+  /** 0-based global position in `(keyCol, idCol)` order for ANY string
+    * key, via the same two-pass prefix-bucket layout (bucket = first
+    * `bucketChars` chars of the key; a string prefix is a key RANGE,
+    * so concatenating bucket-local orders is the total order). Unlike
+    * [[shuffleShard]]'s uniform md5 key, an arbitrary key's prefix
+    * distribution may be skewed — each bucket sorts in one task, so
+    * pick `bucketChars` to make the heaviest prefix fit one task (the
+    * offsets collect stays bounded by the number of DISTINCT prefixes
+    * observed, never data-sized). Ties on the key break by id: the
+    * order is total for distinct ids.
+    */
+  def rankByPrefix(df: DataFrame, keyCol: String, idCol: String, bucketChars: Int,
+                   posCol: String = "pos"): DataFrame = {
     require(bucketChars >= 1 && bucketChars <= 8, s"bucketChars in [1,8]: $bucketChars")
     val spark = df.sparkSession
+    val keyed = df.withColumn("__bucket", substring(col(keyCol), 1, bucketChars))
 
-    val keyed = df
-      .withColumn("shuffle_key", md5(col(idCol).cast("string")))
-      .withColumn("__bucket", substring(col("shuffle_key"), 1, bucketChars))
-
-    // Control-plane collect: ≤ 16^bucketChars rows of (bucket, count) —
-    // bounded by construction, never data-sized.
+    // Control-plane collect: one row per observed key prefix — bounded
+    // by the prefix alphabet, never data-sized.
     val counts = keyed.groupBy("__bucket").count()
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
@@ -61,11 +76,10 @@ object GlobalOrder {
     }
 
     val offDf = spark.createDataFrame(offsets.toSeq).toDF("__bucket", "__offset")
-    val w = Window.partitionBy("__bucket").orderBy(col("shuffle_key"), col(idCol))
+    val w = Window.partitionBy("__bucket").orderBy(col(keyCol), col(idCol))
     keyed
       .join(broadcast(offDf), Seq("__bucket"))
-      .withColumn("global_pos", col("__offset") + row_number().over(w).cast("long") - 1L)
-      .withColumn("shard", pmod(col("global_pos"), lit(nshards.toLong)))
+      .withColumn(posCol, col("__offset") + row_number().over(w).cast("long") - 1L)
       .drop("__bucket", "__offset")
   }
 }

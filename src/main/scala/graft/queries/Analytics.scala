@@ -525,6 +525,37 @@ object Analytics {
       },
     ),
     Q(
+      "q111_transitions",
+      "Clickstream transition matrix (first-order Markov): per ordered " +
+        "(event, next-event) pair within a user's stream, the count and " +
+        "the conditional probability p(to|from) — the path-analysis op " +
+        "behind funnels and next-action models. One shuffle on the user " +
+        "key serves the lead window; the matrix agg and the per-source " +
+        "totals join are event-type-cardinality tiny; one exact division.",
+      Some("""
+        WITH s AS (SELECT user_id, event_type,
+                     lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+                   FROM events),
+        c AS (SELECT event_type AS from_type, nxt AS to_type, CAST(count(*) AS BIGINT) AS n
+              FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        SELECT c.from_type, c.to_type, c.n,
+          CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+        FROM c JOIN t ON c.from_type = t.from_type
+      """.trim),
+      (spark, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val pairs = Tables(spark, dir).events
+          .select(col("event_type").as("from_type"), lead(col("event_type"), 1).over(w).as("to_type"))
+          .filter(col("to_type").isNotNull)
+          .groupBy("from_type", "to_type").agg(count(lit(1)).cast("long").as("n"))
+        val tot = pairs.groupBy(col("from_type")).agg(sum("n").cast("long").as("tot"))
+        pairs.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            (col("n").cast("double") / col("tot").cast("double")).as("p"))
+      },
+    ),
+    Q(
       "q110_profile",
       "Column profiling (dbt-docs / deequ-summary shape): per-column row " +
         "count, nulls, EXACT distinct count, min/max (numerics + " +

@@ -283,6 +283,40 @@ object Relational2 {
       },
     ),
     Q(
+      "q112_sorted_neighbors",
+      "Sorted-neighborhood blocking (Hernandez/Stolfo SIGMOD'95): rank " +
+        "part names in total order via the two-pass prefix-bucket rank " +
+        "(no single-partition window, no sampling), pair every row with " +
+        "its w=10 successors through ONE dense-long equi-join, verify " +
+        "with thresholded Levenshtein. The third ER blocking scheme " +
+        "next to q59's attribute band and q62's pigeonhole segments — " +
+        "inherently lossy by the window contract, which is exactly what " +
+        "the oracle recomputes.",
+      Some("""
+        WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 500),
+        r AS (SELECT p_partkey, p_name,
+                CAST(row_number() OVER (ORDER BY p_name, p_partkey) AS BIGINT) - 1 AS pos
+              FROM p),
+        pr AS (SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+                 a.p_name AS name_a, b.p_name AS name_b, a.pos AS pos_a, b.pos AS pos_b
+               FROM r a JOIN r b ON b.pos BETWEEN a.pos + 1 AND a.pos + 10)
+        SELECT part_a, part_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist,
+          pos_a, pos_b
+        FROM pr WHERE levenshtein(name_a, name_b) <= 4
+      """.trim),
+      (spark, dir) => {
+        val p = Tables(spark, dir).part
+          .filter(col("p_partkey") < 500)
+          .select("p_partkey", "p_name")
+        graft.operators.EditBlocking
+          .sortedNeighborPairs(p, "p_partkey", "p_name", w = 10, bucketChars = 1)
+          .withColumn("edit_dist", levenshtein(col("key_a"), col("key_b")).cast("long"))
+          .filter(col("edit_dist") <= 4)
+          .select(col("id_a").as("part_a"), col("id_b").as("part_b"),
+            col("edit_dist"), col("pos_a"), col("pos_b"))
+      },
+    ),
+    Q(
       "q58_approx_percentile",
       "Approximate percentiles (Greenwald-Khanna sketch) of order totals " +
         "per priority — the quantile path for 100 TB distributions. Sketch " +

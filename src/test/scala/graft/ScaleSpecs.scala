@@ -107,6 +107,32 @@ class ScaleSpecs extends SparkSpec {
     }
   }
 
+  test("rankByPrefix equals a single total order for any key; sorted-neighborhood pairs are exactly the window") {
+    import spark.implicits._
+    import graft.operators.{EditBlocking, GlobalOrder}
+    // keys engineered across prefix-bucket boundaries: shared prefixes,
+    // empty-adjacent shorts, heavy one-prefix skew
+    val rows = Seq(
+      "apple", "applf", "apply", "b", "ba", "bb", "banana", "bananb",
+      "z", "za", "zb", "zc", "zd", "ze", "zf", "zg",
+    ).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = rows.toDF("id", "k")
+    val got = GlobalOrder.rankByPrefix(df, "k", "id", bucketChars = 1, "pos")
+      .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = rows.sortBy { case (id, s) => (s, id) }.zipWithIndex
+      .map { case ((id, _), p) => id -> p.toLong }.toMap
+    assert(got === want, "two-pass prefix rank must equal the global (key, id) order")
+
+    for (w <- Seq(1, 3)) {
+      val pairs = EditBlocking.sortedNeighborPairs(df, "id", "k", w, bucketChars = 1)
+        .select("pos_a", "pos_b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val naive = (for {
+        a <- 0 until rows.size; b <- (a + 1) to math.min(a + w, rows.size - 1)
+      } yield (a.toLong, b.toLong)).sorted
+      assert(pairs === naive, s"w=$w: pairs must be exactly the rank window, across bucket boundaries")
+    }
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) => if (i == 0) j else if (j == 0) i else 0 }
     for (i <- 1 to a.length; j <- 1 to b.length)
