@@ -194,23 +194,39 @@ object Stats {
       case _: DateType => Some(s"CAST(datediff($c, DATE'1970-01-01') AS BIGINT)")
       case _ => None
     }
-    val aggs = cols.flatMap { c =>
-      val base = Seq(
+    // Aggregate-engine split: a min/max over a STRING column carries a
+    // variable-length buffer, which disqualifies HashAggregateExec and
+    // drags the WHOLE aggregate — including the Expand-based distinct
+    // dedup, the expensive part — into SortAggregate (3 sorts of
+    // rows × cols; measured 6.6 s vs 0.3 s at sf0.1). So the expanded
+    // pass carries only fixed-buffer functions (counts, exact ndv,
+    // numeric min/max) and stays hash-aggregated; string min/max run in
+    // a second, UNEXPANDED single-scan aggregate (SortAggregate with an
+    // empty grouping key degenerates to a fold — no sort, no expand)
+    // cross-joined back as a 1-row broadcast side.
+    val hashAggs = cols.flatMap { c =>
+      Seq(
         s"CAST(count($c) AS BIGINT) AS `__nn_$c`",
-        s"CAST(count(DISTINCT $c) AS BIGINT) AS `__ndv_$c`")
-      numExpr(c) match {
-        case Some(e) => base ++ Seq(
-          s"CAST(min($e) AS DOUBLE) AS `__mnn_$c`", s"CAST(max($e) AS DOUBLE) AS `__mxn_$c`",
-          s"CAST(NULL AS STRING) AS `__mns_$c`", s"CAST(NULL AS STRING) AS `__mxs_$c`")
-        case None => base ++ Seq(
-          s"CAST(NULL AS DOUBLE) AS `__mnn_$c`", s"CAST(NULL AS DOUBLE) AS `__mxn_$c`",
-          s"CAST(min($c) AS STRING) AS `__mns_$c`", s"CAST(max($c) AS STRING) AS `__mxs_$c`")
-      }
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS `__ndv_$c`") ++
+        numExpr(c).map(e => Seq(
+          s"CAST(min($e) AS DOUBLE) AS `__mnn_$c`", s"CAST(max($e) AS DOUBLE) AS `__mxn_$c`"))
+          .getOrElse(Seq.empty)
     } :+ "CAST(count(*) AS BIGINT) AS `__n`"
-    val wide = df.selectExpr(cols: _*).agg(expr(aggs.head), aggs.tail.map(expr): _*)
-    val stacked = cols.map(c =>
-      s"'$c', `__n` - `__nn_$c`, `__ndv_$c`, `__mnn_$c`, `__mxn_$c`, `__mns_$c`, `__mxs_$c`")
-      .mkString(", ")
+    val strCols = cols.filter(c => numExpr(c).isEmpty)
+    val strAggs = strCols.flatMap(c => Seq(
+      s"CAST(min($c) AS STRING) AS `__mns_$c`", s"CAST(max($c) AS STRING) AS `__mxs_$c`"))
+    val hashed = df.selectExpr(cols: _*).agg(expr(hashAggs.head), hashAggs.tail.map(expr): _*)
+    val wide =
+      if (strAggs.isEmpty) hashed
+      else hashed.crossJoin(broadcast(
+        df.selectExpr(strCols: _*).agg(expr(strAggs.head), strAggs.tail.map(expr): _*)))
+    val stacked = cols.map { c =>
+      val (mnn, mxn, mns, mxs) = numExpr(c) match {
+        case Some(_) => (s"`__mnn_$c`", s"`__mxn_$c`", "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
+        case None => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", s"`__mns_$c`", s"`__mxs_$c`")
+      }
+      s"'$c', `__n` - `__nn_$c`, `__ndv_$c`, $mnn, $mxn, $mns, $mxs"
+    }.mkString(", ")
     wide.selectExpr("`__n` AS n",
         s"stack(${cols.size}, $stacked) AS (col_name, n_null, ndv, min_num, max_num, min_str, max_str)")
       .select(col("col_name"), col("n"), col("n_null"), col("ndv"),

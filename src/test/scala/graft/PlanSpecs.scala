@@ -204,7 +204,8 @@ class PlanSpecs extends SparkSpec {
       "q91_vocab_build",        // total token count: a broadcast 1-row aggregate side
       "q104_bm25",              // (n, avgdl) corpus stats: a broadcast 1-row aggregate side
       "q106_rrf_hybrid",        // same 1-row stats side inside its BM25 input list
-      "q109_collocations")      // token/bigram totals: two broadcast 1-row aggregate sides
+      "q109_collocations",      // token/bigram totals: two broadcast 1-row aggregate sides
+      "q110_profile")           // string min/max: a broadcast 1-row aggregate side
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     queries.QueryCatalog.all.foreach { q =>
       val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
