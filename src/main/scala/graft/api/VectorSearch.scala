@@ -581,23 +581,30 @@ object VectorSearch {
     require(k >= 1, s"k must be >= 1: $k")
     val n = withNorm(corpus, vecCol)
       .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"), col("nrm"))
-    val first = n.filter(col("__id") === startId).select("__id", "__v").head()
+    val firstRows = n.filter(col("__id") === startId).select("__id", "__v").take(1)
+    require(firstRows.nonEmpty, s"startId $startId not present in the corpus")
     val centers = scala.collection.mutable.ArrayBuffer(
-      (1, startId, toDoubles(first.getSeq[Any](1))))
+      (1, startId, toDoubles(firstRows.head.getSeq[Any](1))))
     def simTo(v: Seq[Double]): String = {
       val nrm = math.sqrt(dotExact(v, v))
       s"graft_vec_dot(__v, ${arrLit(v)}) / (nrm * ${nrm}D)"
     }
     var cand = n.filter(col("__id") =!= startId)
       .withColumn("__s", expr(simTo(centers.head._3)))
-    for (i <- 2 to k) {
+    var exhausted = false
+    for (i <- 2 to k if !exhausted) {
       val nxt = cand.orderBy(col("__s").asc, col("__id").asc).limit(1)
-        .select("__id", "__v").head()
-      val (id, v) = (nxt.getLong(0), toDoubles(nxt.getSeq[Any](1)))
-      centers += ((i, id, v))
-      if (i < k)
-        cand = cand.filter(col("__id") =!= id)
-          .withColumn("__s", expr(s"greatest(__s, ${simTo(v)})"))
+        .select("__id", "__v").take(1)
+      if (nxt.isEmpty) {
+        // fewer distinct points than k: every point is a center already
+        exhausted = true
+      } else {
+        val (id, v) = (nxt.head.getLong(0), toDoubles(nxt.head.getSeq[Any](1)))
+        centers += ((i, id, v))
+        if (i < k)
+          cand = cand.filter(col("__id") =!= id)
+            .withColumn("__s", expr(s"greatest(__s, ${simTo(v)})"))
+      }
     }
     centers.toSeq
   }

@@ -324,6 +324,20 @@ class ApiSpecs extends SparkSpec {
     assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
   }
 
+  test("kcenters edge cases: k beyond the corpus stops at all-centers; missing startId fails fast") {
+    val vecs = Seq(1L -> Array(1.0f, 0.0f), 2L -> Array(0.0f, 1.0f), 3L -> Array(-1.0f, 0.0f))
+      .toDF("vid", "vec")
+    val centers = VectorSearch.kcenters(vecs, "vid", "vec", k = 10, startId = 1L)
+    assert(centers.size === 3, "k > corpus: every point becomes a center, no crash")
+    assert(centers.map(_._2).toSet === Set(1L, 2L, 3L))
+    val asn = VectorSearch.kcenterAssign(vecs, "vid", "vec", k = 10, startId = 1L)
+    assert(asn.count() === 3L)
+    val e = intercept[IllegalArgumentException] {
+      VectorSearch.kcenters(vecs, "vid", "vec", k = 2, startId = 99L)
+    }
+    assert(e.getMessage.contains("startId"))
+  }
+
   test("bm25Rank: tf raises, doc length normalizes, rarity weights; absent-term docs drop out") {
     import graft.api.Retrieval
     val docs = Seq(

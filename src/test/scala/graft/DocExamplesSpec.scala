@@ -57,6 +57,26 @@ class DocExamplesSpec extends SparkSpec {
     assert(hits.count() === 5)
   }
 
+  test("README ranked-retrieval / hybrid-search block runs as written") {
+    import graft.api.Retrieval
+    val base = tmpDir("docexamples_bm25").toString
+    Retrieval.buildBm25Index(docs, "doc_id", "text", s"$base/bm25")
+    val lexical = Retrieval.bm25Indexed(spark, s"$base/bm25", "doc_id",
+      Seq("fox", "shuffle"), topK = 50)
+    assert(lexical.count() === 3) // docs 1, 2 (fox) and 3 (shuffle)
+    val embs = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(4)(d => if (i % 4 == d) 1.0f else 0.05f))
+    }.toDF("vec_id", "embedding")
+    val vecHits = VectorSearch.knn(embs, embs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 50)
+    val fused = Retrieval.rrfFuse(lexical, "doc_id", "rank",
+      vecHits.select("vec_id", "rank"), "vec_id", "rank", topK = 20)
+    assert(fused.columns.toSeq === Seq("id", "rrf_score", "rank_a", "rank_b", "rank"))
+    assert(fused.count() > 0)
+    val diverse = VectorSearch.kcenterAssign(embs, "vec_id", "embedding", k = 8, startId = 0L)
+    assert(diverse.count() === 12)
+  }
+
   test("README analytics/profiling block runs as written") {
     val events = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0, "click", 1L),
@@ -70,5 +90,7 @@ class DocExamplesSpec extends SparkSpec {
     val xy = Seq((1, 2), (3, 4), (5, 6)).toDF("x", "y")
     val tiled = Layout.zorder(xy, "x", "y", bits = 4, nParts = 2)
     assert(tiled.count() === 3)
+    val stats = Stats.profile(events, Seq("value", "event_type", "ts"))
+    assert(stats.count() === 3 && stats.columns.contains("ndv"))
   }
 }
