@@ -78,4 +78,51 @@ object TimeSeries {
       .filter(col("__m") === 1)
       .select(col(keyCol), col("__t").as("bucket_ts"), col("__f")("v").as("value_locf"))
   }
+
+  /** Interval overlap self-join: all pairs of CLOSED intervals
+    * `[startCol, endCol]` that intersect (touching endpoints count,
+    * overlap 0), `id_a < id_b`, with `overlap_us` = exact microsecond
+    * intersection length. The temporal-join family member next to
+    * as-of (q50), bounded-range (q51), and point-in-time (q94):
+    * concurrency/conflict analysis over sessions, bookings, locks.
+    *
+    * Scale shape — the classic bucketized overlap join, NOT an n²
+    * inequality product: each interval explodes into the fixed-width
+    * time buckets it covers (`bucketMicros`, default 1 h), candidates
+    * come from ONE equi-join on the bucket id, and a pair sharing
+    * several buckets is emitted exactly once WITHOUT a distinct
+    * shuffle: only the bucket containing the overlap's start keeps it
+    * (`joined bucket == floor(max(s_a, s_b) / width)` — every
+    * overlapping pair shares that bucket by construction). Work is
+    * Σ occupancy² per bucket; size `bucketMicros` to the data's
+    * interval lengths.
+    *
+    * `carry` columns ride along as `<name>_a` / `<name>_b`. `idCol`
+    * must order consistently (numeric, or strings of equal length) —
+    * it defines which side is `_a`.
+    */
+  def intervalOverlaps(df: DataFrame, idCol: String, startCol: String, endCol: String,
+                       carry: Seq[String] = Nil,
+                       bucketMicros: Long = 3600000000L): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    val iv = df.selectExpr(Seq(
+        idCol,
+        s"unix_micros(CAST($startCol AS TIMESTAMP)) AS __s",
+        s"unix_micros(CAST($endCol AS TIMESTAMP)) AS __e") ++ carry: _*)
+      .filter(col("__s") <= col("__e"))
+    val ex = iv.withColumn("__b",
+      explode(expr(s"sequence(__s DIV ${bucketMicros}L, __e DIV ${bucketMicros}L)")))
+    def side(sfx: String) = ex.select(
+      (Seq(col(idCol).as(s"id$sfx"), col("__s").as(s"__s$sfx"), col("__e").as(s"__e$sfx"),
+        col("__b").as(s"__b$sfx")) ++ carry.map(c => col(c).as(s"$c$sfx"))): _*)
+    side("_a")
+      .join(side("_b").hint("SHUFFLE_HASH"),
+        col("__b_a") === col("__b_b") && col("id_a") < col("id_b") &&
+          col("__s_a") <= col("__e_b") && col("__s_b") <= col("__e_a") &&
+          // dedup-at-source: keep the pair only in its overlap-start bucket
+          col("__b_a") === expr(s"greatest(__s_a, __s_b) DIV ${bucketMicros}L"))
+      .select((Seq(col("id_a"), col("id_b")) ++
+        carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))) :+
+        (least(col("__e_a"), col("__e_b")) - greatest(col("__s_a"), col("__s_b"))).as("overlap_us")): _*)
+  }
 }

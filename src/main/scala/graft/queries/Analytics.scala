@@ -525,6 +525,39 @@ object Analytics {
       },
     ),
     Q(
+      "q113_interval_overlap",
+      "Interval overlap join (bucketized): per-user-per-day activity " +
+        "windows [min ts, max ts], all same-day user pairs whose windows " +
+        "intersect, with the exact microsecond overlap. Candidates come " +
+        "from ONE equi-join on exploded hour buckets — never an n-squared " +
+        "inequality product — and a pair is emitted once WITHOUT a " +
+        "distinct: only its overlap-start bucket keeps it. The oracle is " +
+        "the plain declarative inequality join.",
+      Some("""
+        WITH iv AS (SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS s, max(ts) AS e
+                    FROM events WHERE user_id < 50 GROUP BY user_id, CAST(ts AS DATE))
+        SELECT a.day, a.user_id AS user_a, b.user_id AS user_b,
+          CAST(epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)) AS BIGINT) AS overlap_us
+        FROM iv a JOIN iv b
+          ON a.day = b.day AND a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+      """.trim),
+      (spark, dir) => {
+        // interval identity: user*100000 + epoch-day — same-day pairs
+        // order by user_id, matching the oracle's a.user_id < b.user_id
+        // (cross-day intervals never overlap in time)
+        val iv = Tables(spark, dir).events
+          .filter(col("user_id") < 50)
+          .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+          .agg(min("ts").as("s"), max("ts").as("e"))
+          .withColumn("iv_id",
+            col("user_id") * 100000L + expr("CAST(datediff(day, DATE'1970-01-01') AS BIGINT)"))
+        graft.operators.TimeSeries
+          .intervalOverlaps(iv, "iv_id", "s", "e", carry = Seq("user_id", "day"))
+          .select(col("day_a").as("day"), col("user_id_a").as("user_a"),
+            col("user_id_b").as("user_b"), col("overlap_us"))
+      },
+    ),
+    Q(
       "q111_transitions",
       "Clickstream transition matrix (first-order Markov): per ordered " +
         "(event, next-event) pair within a user's stream, the count and " +

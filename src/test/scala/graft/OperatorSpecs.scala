@@ -909,6 +909,35 @@ class GlobalOrderSpec extends SparkSpec {
   }
 }
 
+class IntervalOverlapSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("bucketized overlap join: containment, touching endpoints, multi-bucket pairs once, disjoint excluded") {
+    val iv = Seq(
+      (1L, ts("2024-01-01 01:00:00"), ts("2024-01-01 09:00:00")), // spans 8 hour-buckets
+      (2L, ts("2024-01-01 03:00:00"), ts("2024-01-01 04:30:00")), // contained in 1
+      (3L, ts("2024-01-01 09:00:00"), ts("2024-01-01 10:00:00")), // touches 1's end exactly
+      (4L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")), // disjoint from all
+    ).toDF("id", "s", "e")
+    val out = graft.operators.TimeSeries.intervalOverlaps(iv, "id", "s", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet === Set((1L, 2L), (1L, 3L)), s"pair set wrong: $out")
+    assert(out((1L, 2L)) === 5400000000L, "containment overlap = the contained interval (1.5 h)")
+    assert(out((1L, 3L)) === 0L, "touching closed endpoints overlap with length 0")
+    // the (1,2) pair shares buckets 3 and 4 — emitted exactly once (no
+    // double rows), which the Map build above would not catch
+    val rows = graft.operators.TimeSeries.intervalOverlaps(iv, "id", "s", "e").count()
+    assert(rows === 2L, "each pair exactly once despite shared buckets")
+    // carry columns ride along suffixed
+    val carried = graft.operators.TimeSeries.intervalOverlaps(
+      iv.withColumn("who", concat(lit("u"), col("id"))), "id", "s", "e", carry = Seq("who"))
+    assert(carried.columns.toSeq === Seq("id_a", "id_b", "who_a", "who_b", "overlap_us"))
+  }
+}
+
 class UniNormSpec extends SparkSpec {
   import spark.implicits._
 
