@@ -936,6 +936,34 @@ class IntervalOverlapSpec extends SparkSpec {
       iv.withColumn("who", concat(lit("u"), col("id"))), "id", "s", "e", carry = Seq("who"))
     assert(carried.columns.toSeq === Seq("id_a", "id_b", "who_a", "who_b", "overlap_us"))
   }
+
+  test("fuzz: overlap pairs equal the naive quadratic join at every bucket width") {
+    val rnd = new scala.util.Random(42)
+    val base = ts("2024-01-01 00:00:00").getTime
+    // 120 random intervals, lengths from seconds to ~2 days, over a week
+    val ivs = (1L to 120L).map { i =>
+      val s = base + rnd.nextInt(7 * 24 * 3600) * 1000L
+      val len = rnd.nextInt(3) match {
+        case 0 => rnd.nextInt(60)             // seconds
+        case 1 => rnd.nextInt(12 * 3600)      // up to half a day
+        case _ => rnd.nextInt(2 * 24 * 3600)  // up to two days
+      }
+      (i, new java.sql.Timestamp(s), new java.sql.Timestamp(s + len * 1000L))
+    }
+    val df = ivs.toDF("id", "s", "e")
+    val naive = (for {
+      (ia, sa, ea) <- ivs; (ib, sb, eb) <- ivs
+      if ia < ib && sa.getTime <= eb.getTime && sb.getTime <= ea.getTime
+    } yield ((ia, ib), (math.min(ea.getTime, eb.getTime) - math.max(sa.getTime, sb.getTime)) * 1000L))
+      .toMap
+    assert(naive.nonEmpty, "fuzz corpus must actually overlap")
+    for (bucket <- Seq(1000000L, 3600000000L, 86400000000L)) { // 1 s, 1 h, 1 d
+      val got = graft.operators.TimeSeries.intervalOverlaps(df, "id", "s", "e",
+          bucketMicros = bucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === naive, s"bucketMicros=$bucket must not change the result")
+    }
+  }
 }
 
 class UniNormSpec extends SparkSpec {
