@@ -190,23 +190,24 @@ object Retrieval {
     * filters to the terms inside them. Serve work ~ query-term
     * postings; index and corpus size only move the BUILD cost.
     *
-    * The term->bucket map is computed by a 1-row-per-term Spark job
-    * with the same hash expression the build ran (control-plane
-    * bounded; no driver-side hash reimplementation to drift).
+    * The bucket filter is written as `pmod(graft_poly_hash('term'),
+    * fan)` LITERALS — the hash of a literal constant-folds during
+    * optimization (the same mechanism q86's phrase lookup is
+    * plan-pinned on), so the scan's partition pruning is static and
+    * no extra job or driver-side hash reimplementation is needed.
     */
   def bm25Indexed(spark: org.apache.spark.sql.SparkSession, path: String, idCol: String,
                   terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                   topK: Int = 20): DataFrame = {
     validate(terms, topK)
     val termList = terms.map(SearchKit.sqlStr).mkString(", ")
-    val buckets = spark.sql(
-      s"SELECT DISTINCT CAST(pmod(graft_poly_hash(t), $Bm25IndexBuckets) AS INT) AS b FROM " +
-        s"(SELECT explode(array($termList)) AS t)")
-      .collect().map(_.getInt(0))
+    val bucketList = terms
+      .map(t => s"pmod(graft_poly_hash(${SearchKit.sqlStr(t)}), $Bm25IndexBuckets)")
+      .mkString(", ")
     val st = spark.read.parquet(s"$path/stats").head()
     val (n, sumDl) = (st.getAs[Long]("n"), st.getAs[Long]("sum_dl"))
     val postings = spark.read.parquet(s"$path/postings")
-      .where(col("bucket").isin(buckets.map(Integer.valueOf).toIndexedSeq: _*))
+      .where(expr(s"bucket IN ($bucketList)"))
       .filter(expr(s"term IN ($termList)"))
     scoreAndTop(postings, idCol, terms,
       s"CAST($n AS BIGINT)",
