@@ -116,7 +116,7 @@ object Retrieval {
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/postings")
-    writeStats(df.sparkSession, batchStats(df, textCol), path)
+    writeStats(df.sparkSession, batchStats(df, textCol), path, batchId = 0L, fresh = true)
   }
 
   /** (id, dl, term, tf, bucket) postings of one frame — the shared
@@ -136,11 +136,21 @@ object Retrieval {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Corpus stats live as one exact (n, sum_dl) row PER APPLIED BATCH
+    * in `stats/batch=<id>` partition dirs; serving sums them (exact
+    * BIGINTs, order-free). This is what makes appends REPLAY-SAFE: a
+    * re-run batch overwrites its own partition instead of double-adding
+    * into a cumulative row — the same deterministic-partition
+    * exactly-once layout as [[graft.streaming.DedupStream]].
+    */
   private def writeStats(spark: org.apache.spark.sql.SparkSession, st: (Long, Long),
-                         path: String): Unit =
-    spark.sql(s"SELECT CAST(${st._1} AS BIGINT) AS n, CAST(${st._2} AS BIGINT) AS sum_dl")
+                         path: String, batchId: Long, fresh: Boolean): Unit =
+    spark.sql(s"SELECT CAST(${st._1} AS BIGINT) AS n, CAST(${st._2} AS BIGINT) AS sum_dl, " +
+        s"CAST($batchId AS BIGINT) AS batch")
       .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats")
+      .write.partitionBy("batch")
+      .option("partitionOverwriteMode", if (fresh) "static" else "dynamic")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/stats")
 
   /** Incrementally extend a [[buildBm25Index]] index with a batch of
     * NEW documents (ids not already indexed — the same append-only
@@ -150,18 +160,22 @@ object Retrieval {
     * by the bucket fan, collected control-plane) are read back,
     * merged with the batch's postings, re-df'd, and rewritten via
     * dynamic partition overwrite; untouched buckets are never read or
-    * written. The 1-row stats table adds the batch's exact (n,
-    * sum_dl). Serving after an append is bit-identical to a fresh
-    * build over the union (spec'd).
+    * written. The batch's exact (n, sum_dl) lands as its OWN
+    * `stats/batch=<id>` row. Serving after an append is bit-identical
+    * to a fresh build over the union (spec'd).
     *
-    * Maintenance contract (same as compaction's): single writer; a
-    * crash between the postings overwrite and the stats write leaves
-    * stats stale by exactly the batch — re-run the same append: the
-    * merged postings are `distinct()`-ed, so a batch already folded
-    * into a touched bucket dedups away (a (id, dl, term, tf) posting
-    * row is a pure function of the doc) and only the stats add lands.
+    * REPLAY-SAFE (single writer): re-running the same (batch, batchId)
+    * — a crash at any point, or a streaming foreachBatch redelivery —
+    * converges: the merged postings are `distinct()`-ed, so a batch
+    * already folded into a touched bucket dedups away (a (id, dl,
+    * term, tf) posting row is a pure function of the doc), and the
+    * stats row overwrites its own batch partition instead of
+    * double-adding. `batchId < 0` (the ad-hoc default) derives
+    * max-applied + 1 — callers wanting replay safety (streaming)
+    * MUST pass their redelivered batch id.
     */
-  def appendToBm25Index(newRows: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+  def appendToBm25Index(newRows: DataFrame, idCol: String, textCol: String, path: String,
+                        batchId: Long = -1L): Unit = {
     val spark = newRows.sparkSession
     val batch = batchPostings(newRows, idCol, textCol)
     val touched = batch.select("bucket").distinct().collect().map(_.getInt(0))
@@ -177,9 +191,11 @@ object Retrieval {
       .option("partitionOverwriteMode", "dynamic")
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/postings")
-    val old = spark.read.parquet(s"$path/stats").head()
-    val add = batchStats(newRows, textCol)
-    writeStats(spark, (old.getAs[Long]("n") + add._1, old.getAs[Long]("sum_dl") + add._2), path)
+    val id =
+      if (batchId >= 0) batchId
+      else spark.read.parquet(s"$path/stats")
+        .agg(max(col("batch").cast("long"))).head().getLong(0) + 1L
+    writeStats(spark, batchStats(newRows, textCol), path, batchId = id, fresh = false)
   }
 
   /** BM25 against a [[buildBm25Index]] index: bit-identical results to
@@ -204,7 +220,9 @@ object Retrieval {
     val bucketList = terms
       .map(t => s"pmod(graft_poly_hash(${SearchKit.sqlStr(t)}), $Bm25IndexBuckets)")
       .mkString(", ")
-    val st = spark.read.parquet(s"$path/stats").head()
+    // per-batch stats rows sum to the corpus totals (exact BIGINTs)
+    val st = spark.read.parquet(s"$path/stats")
+      .agg(sum("n").cast("long").as("n"), sum("sum_dl").cast("long").as("sum_dl")).head()
     val (n, sumDl) = (st.getAs[Long]("n"), st.getAs[Long]("sum_dl"))
     val postings = spark.read.parquet(s"$path/postings")
       .where(expr(s"bucket IN ($bucketList)"))

@@ -420,18 +420,46 @@ class ApiSpecs extends SparkSpec {
     val servedF = Retrieval.bm25Indexed(spark, fresh, "post_id", terms, topK = 10)
     assert(servedA.orderBy("rank").collect().toSeq === servedF.orderBy("rank").collect().toSeq,
       "append must be indistinguishable from a fresh build over the union")
-    // crash-recovery replay: the batch's postings are already folded in;
-    // re-appending the same batch must dedup them (stats drift aside,
-    // which the replay is FOR — so compare against pre-replay stats)
-    val preStats = spark.read.parquet(s"$appended/stats").head()
-    Retrieval.appendToBm25Index(more, "post_id", "body", appended)
+    // replay: re-running the same (batch, batchId) must converge — the
+    // postings dedup and the stats row overwrites its own batch
+    // partition, so totals do NOT double-count
+    def totals() = {
+      val r = spark.read.parquet(s"$appended/stats")
+        .agg(sum("n").cast("long"), sum("sum_dl").cast("long")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val pre = totals()
+    assert(pre._1 === 5L, s"5 docs total: $pre")
+    Retrieval.appendToBm25Index(more, "post_id", "body", appended, batchId = 1L)
     val posts = spark.read.parquet(s"$appended/postings")
     assert(posts.groupBy("post_id", "term").count().filter($"count" > 1).count() === 0L,
       "replayed batch postings must dedup, not double")
-    // the replay re-adds the batch stats (the crash case it exists for
-    // is one where the first stats add never landed); just assert shape
-    assert(spark.read.parquet(s"$appended/stats").count() === 1L)
-    assert(preStats.getAs[Long]("n") === 5L)
+    assert(totals() === pre, "replayed batch stats must overwrite, not double-add")
+    val servedR = Retrieval.bm25Indexed(spark, appended, "post_id", terms, topK = 10)
+    assert(servedR.orderBy("rank").collect().toSeq === servedF.orderBy("rank").collect().toSeq,
+      "serve after replay still equals the fresh build")
+  }
+
+  test("streaming BM25 ingest: bootstrap + per-batch appends serve the growing corpus; redelivery converges") {
+    import graft.api.Retrieval
+    import graft.streaming.RetrievalStream
+    val idx = tmpDir("bm25stream").toString + "/idx"
+    val b0 = Seq((1L, "spark spark spark runs fast"),
+      (2L, "spark runs on a very long cluster with many extra words here now")).toDF("post_id", "body")
+    val b1 = Seq((3L, "nothing relevant at all in this one"),
+      (4L, "spark spark runs fast"), (5L, "rare spark together")).toDF("post_id", "body")
+    RetrievalStream.processBatch(b0, 0L, "post_id", "body", idx) // bootstrap build
+    RetrievalStream.processBatch(b1, 1L, "post_id", "body", idx)
+    val terms = Seq("spark", "rare")
+    val fresh = tmpDir("bm25stream_fresh").toString + "/idx"
+    Retrieval.buildBm25Index(b0.unionByName(b1), "post_id", "body", fresh)
+    def serve(p: String) =
+      Retrieval.bm25Indexed(spark, p, "post_id", terms, topK = 10).orderBy("rank").collect().toSeq
+    assert(serve(idx) === serve(fresh), "streamed index must equal a fresh build over all batches")
+    // redelivery of either batch (crash before checkpoint commit) converges
+    RetrievalStream.processBatch(b1, 1L, "post_id", "body", idx)
+    RetrievalStream.processBatch(b0, 0L, "post_id", "body", idx)
+    assert(serve(idx) === serve(fresh), "redelivered batches must not change the served result")
   }
 
   test("spanDupStats: exact per-doc duplicated-shingle fractions on a crafted corpus") {
