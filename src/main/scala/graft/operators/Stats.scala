@@ -181,6 +181,7 @@ object Stats {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
+    require(cols.distinct.size == cols.size, s"duplicate profile columns: $cols")
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     cols.foreach(c => require(types.contains(c), s"no such column: $c"))
     import org.apache.spark.sql.types._

@@ -103,15 +103,27 @@ object TimeSeries {
     */
   def intervalOverlaps(df: DataFrame, idCol: String, startCol: String, endCol: String,
                        carry: Seq[String] = Nil,
-                       bucketMicros: Long = 3600000000L): DataFrame = {
+                       bucketMicros: Long = 3600000000L,
+                       maxBucketsPerInterval: Int = 1 << 16): DataFrame = {
     require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    require(maxBucketsPerInterval > 0, s"maxBucketsPerInterval must be positive: $maxBucketsPerInterval")
     val iv = df.selectExpr(Seq(
         idCol,
         s"unix_micros(CAST($startCol AS TIMESTAMP)) AS __s",
         s"unix_micros(CAST($endCol AS TIMESTAMP)) AS __e") ++ carry: _*)
       .filter(col("__s") <= col("__e"))
+    // fail fast instead of materializing a runaway per-row array: an
+    // interval 1e6x wider than the bucket means bucketMicros is
+    // mis-sized for the data, and the explode would OOM the task long
+    // before the join got a chance to be the problem
+    val nb = s"((__e DIV ${bucketMicros}L) - (__s DIV ${bucketMicros}L) + 1)"
     val ex = iv.withColumn("__b",
-      explode(expr(s"sequence(__s DIV ${bucketMicros}L, __e DIV ${bucketMicros}L)")))
+      explode(expr(
+        s"CASE WHEN $nb > $maxBucketsPerInterval THEN " +
+          s"sequence(CAST(raise_error(concat('intervalOverlaps: an interval spans ', " +
+          s"CAST($nb AS STRING), ' buckets (> $maxBucketsPerInterval) — raise bucketMicros " +
+          s"or maxBucketsPerInterval')) AS BIGINT), CAST(0 AS BIGINT)) " +
+          s"ELSE sequence(__s DIV ${bucketMicros}L, __e DIV ${bucketMicros}L) END")))
     def side(sfx: String) = ex.select(
       (Seq(col(idCol).as(s"id$sfx"), col("__s").as(s"__s$sfx"), col("__e").as(s"__e$sfx"),
         col("__b").as(s"__b$sfx")) ++ carry.map(c => col(c).as(s"$c$sfx"))): _*)

@@ -937,6 +937,24 @@ class IntervalOverlapSpec extends SparkSpec {
     assert(carried.columns.toSeq === Seq("id_a", "id_b", "who_a", "who_b", "overlap_us"))
   }
 
+  test("runaway-interval guard: a span of > maxBucketsPerInterval buckets fails fast, not OOM") {
+    val iv = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-03-01 00:00:00")), // 60 days
+      (2L, ts("2024-01-01 01:00:00"), ts("2024-01-01 02:00:00")),
+    ).toDF("id", "s", "e")
+    val e = intercept[Exception] {
+      // 1-second buckets x 60 days = ~5.2M buckets > the 1000 cap
+      graft.operators.TimeSeries.intervalOverlaps(iv, "id", "s", "e",
+        bucketMicros = 1000000L, maxBucketsPerInterval = 1000).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("raise bucketMicros"),
+      s"unexpected error: ${e.getMessage}")
+    // same data at day buckets sails through
+    val ok = graft.operators.TimeSeries.intervalOverlaps(iv, "id", "s", "e",
+      bucketMicros = 86400000000L).count()
+    assert(ok === 1L)
+  }
+
   test("fuzz: overlap pairs equal the naive quadratic join at every bucket width") {
     val rnd = new scala.util.Random(42)
     val base = ts("2024-01-01 00:00:00").getTime
@@ -958,8 +976,10 @@ class IntervalOverlapSpec extends SparkSpec {
       .toMap
     assert(naive.nonEmpty, "fuzz corpus must actually overlap")
     for (bucket <- Seq(1000000L, 3600000000L, 86400000000L)) { // 1 s, 1 h, 1 d
+      // 2-day intervals at 1 s buckets legitimately exceed the default
+      // runaway cap — raise it; the guard has its own spec
       val got = graft.operators.TimeSeries.intervalOverlaps(df, "id", "s", "e",
-          bucketMicros = bucket)
+          bucketMicros = bucket, maxBucketsPerInterval = 1 << 20)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       assert(got === naive, s"bucketMicros=$bucket must not change the result")
     }
