@@ -525,6 +525,33 @@ object Analytics {
       },
     ),
     Q(
+      "q114_ewma",
+      "Exponential smoothing: per-user zero-seeded EWMA (alpha = 1/2) of " +
+        "event values in (ts, event_id) order. Halving is an exact " +
+        "exponent shift and both engines fold the same ordered list left " +
+        "to right, so the smoothed values are bit-identical. Same ordered " +
+        "per-key fold family as the funnel (one shuffle on the key; a " +
+        "pathological hot key buffers in one task — the documented " +
+        "contract, FunnelHotKeySpec's bound applies).",
+      Some("""
+        WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS seq
+                   FROM events WHERE user_id < 100 GROUP BY user_id)
+        SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(seq, ew_v -> CAST(ew_v AS DOUBLE))),
+                      (ew_acc, ew_x) -> (ew_acc + ew_x) / 2.0) AS ewma
+        FROM s
+      """.trim),
+      (spark, dir) =>
+        Tables(spark, dir).events
+          .filter(col("user_id") < 100)
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("__seq"))
+          .selectExpr(
+            "user_id",
+            "CAST(size(__seq) AS BIGINT) AS n_events",
+            "aggregate(__seq, CAST(0.0 AS DOUBLE), (ew_acc, ew_x) -> (ew_acc + CAST(ew_x.value AS DOUBLE)) / 2.0) AS ewma"),
+    ),
+    Q(
       "q113_interval_overlap",
       "Interval overlap join (bucketized): per-user-per-day activity " +
         "windows [min ts, max ts], all same-day user pairs whose windows " +
