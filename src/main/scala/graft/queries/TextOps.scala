@@ -566,6 +566,71 @@ object TextOps {
           graft.api.TextCuration.collocations(Tables(spark, dir).documents, "text",
             minCount = 5, topK = 30),
       ),
+      cmSketchQ,
+    )
+  }
+
+  /** q115: the sketch family's EXACT member. A Count-Min counter is an
+    * integer SUM over the terms hashing into it — order-free — so
+    * unlike HLL (q55) or GK percentiles (q58) the entire sketch state
+    * and every estimate is cross-engine bit-identical and hash-gated,
+    * not just error-bounded. Both dialects' hash rows are generated
+    * from the same TextKit permutation constants.
+    */
+  private lazy val cmSketchQ: Q = {
+    import graft.operators.TextKit
+    // width deliberately small so collisions — the sketch's whole error
+    // story — actually occur on this vocabulary; depth = hash rows from
+    // TextKit.perms. (Local, not object fields: `val qs` forces this
+    // lazy during object init, before later field initializers run.)
+    val CmW = 8
+    val CmD = 4
+    val duckHs = (0 until CmD).map { j =>
+      val (a, b) = TextKit.perms(j)
+      s"(($a * ph + $b) % ${TextKit.P}) % $CmW AS h$j"
+    }.mkString(", ")
+    val duckCnts = (0 until CmD).map(j =>
+      s"c$j AS (SELECT h$j AS b, CAST(sum(c) AS BIGINT) AS cnt FROM h GROUP BY h$j)").mkString(", ")
+    val leastE = s"least(${(0 until CmD).map(j => s"c$j.cnt").mkString(", ")})"
+    val joins = (0 until CmD).map(j => s"JOIN c$j ON c$j.b = p.h$j").mkString(" ")
+    Q(
+      "q115_cmsketch",
+      s"Count-Min sketch (Cormode/Muthukrishnan '05): $CmD hash rows x " +
+        s"$CmW counters over corpus term counts, point estimates for the " +
+        "top-30 terms with their overcount vs truth (>= 0 by " +
+        "construction). Counters are order-free integer sums, so the " +
+        "WHOLE sketch is hash-gated — the exact member of the sketch " +
+        "family next to q55/q58's error-gated ones. Counter tables are " +
+        "d x w rows regardless of corpus size; each probe join " +
+        "broadcasts them.",
+      Some(s"""
+        WITH t AS (SELECT unnest(${tokD}) AS term FROM documents),
+        tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY term),
+        h AS (SELECT term, c, $duckHs FROM (SELECT term, c, ${polyDuck("term")} AS ph FROM tc)),
+        $duckCnts,
+        probe AS (SELECT term, c, ${(0 until CmD).map(j => s"h$j").mkString(", ")} FROM h
+                  ORDER BY c DESC, term LIMIT 30)
+        SELECT p.term, p.c AS true_cnt, $leastE AS cm_est, $leastE - p.c AS overcount
+        FROM probe p $joins
+        ORDER BY true_cnt DESC, term
+      """.trim),
+      (spark, dir) => {
+        val tc = Tables(spark, dir).documents
+          .selectExpr(s"explode($tokS) AS term")
+          .groupBy("term").agg(count(lit(1)).cast("long").as("c"))
+        val h = tc
+          .selectExpr("term", "c", s"${polySpark("term")} AS ph")
+          .selectExpr(Seq("term", "c") ++
+            (0 until CmD).map(j => s"(${TextKit.permExpr(j, "ph")}) % $CmW AS h$j"): _*)
+        val probe = h.orderBy(col("c").desc, col("term")).limit(30)
+        val joined = (0 until CmD).foldLeft(probe) { (acc, j) =>
+          val cj = h.groupBy(col(s"h$j").as("b")).agg(sum("c").cast("long").as(s"cnt$j"))
+          acc.join(broadcast(cj), col(s"h$j") === col("b")).drop("b")
+        }
+        val leastS = least((0 until CmD).map(j => col(s"cnt$j")): _*)
+        joined.select(col("term"), col("c").as("true_cnt"), leastS.as("cm_est"),
+          (leastS - col("c")).as("overcount"))
+      },
     )
   }
 }
