@@ -324,6 +324,20 @@ class ApiSpecs extends SparkSpec {
     assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
   }
 
+  test("kcenters is partition-invariant: exact arithmetic makes selection and assignment identical under any layout") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 200L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f))).toDF("vid", "vec")
+    val c1 = VectorSearch.kcenters(vecs, "vid", "vec", k = 5, startId = 1L)
+    val c2 = VectorSearch.kcenters(vecs.repartition(13), "vid", "vec", k = 5, startId = 1L)
+    assert(c1.map(t => (t._1, t._2)) === c2.map(t => (t._1, t._2)), "center selection must not depend on partitioning")
+    assert(c1.map(_._3) === c2.map(_._3), "center vectors bit-identical")
+    val a1 = VectorSearch.kcenterAssign(vecs, "vid", "vec", k = 5, startId = 1L)
+      .orderBy("vid").collect().toSeq
+    val a2 = VectorSearch.kcenterAssign(vecs.repartition(13), "vid", "vec", k = 5, startId = 1L)
+      .orderBy("vid").collect().toSeq
+    assert(a1 === a2, "assignments and cosines bit-identical under repartitioning")
+  }
+
   test("kcenters edge cases: k beyond the corpus stops at all-centers; missing startId fails fast") {
     val vecs = Seq(1L -> Array(1.0f, 0.0f), 2L -> Array(0.0f, 1.0f), 3L -> Array(-1.0f, 0.0f))
       .toDF("vid", "vec")
