@@ -177,6 +177,21 @@ object Retrieval {
   def appendToBm25Index(newRows: DataFrame, idCol: String, textCol: String, path: String,
                         batchId: Long = -1L): Unit = {
     val spark = newRows.sparkSession
+    // Chain-regression guard (AggMaintain's twin), checked BEFORE any
+    // write: an applied batch id STRICTLY newer than this one means the
+    // stream was restarted with a fresh checkpoint against an existing
+    // index — batch ids restart at 0 with NEW documents, so "appending"
+    // would merge the new postings while REPLACING the old batch's
+    // stats/batch=<id> row, silently undercounting (n, sum_dl) and
+    // skewing every BM25 score. Equal stays allowed: that is the
+    // legitimate replay window (batch N re-fires only if N never
+    // committed), and the merge is idempotent for it.
+    val applied = spark.read.parquet(s"$path/stats")
+      .agg(coalesce(max(col("batch").cast("long")), lit(-1L))).head().getLong(0)
+    if (batchId >= 0) require(applied <= batchId,
+      s"chain regression: index $path already holds stats/batch=$applied > batch $batchId " +
+        "— restarted stream with a stale checkpoint? Use a fresh index dir " +
+        "(or the original checkpoint) instead of appending")
     val batch = batchPostings(newRows, idCol, textCol)
     val touched = batch.select("bucket").distinct().collect().map(_.getInt(0))
     if (touched.isEmpty) return
@@ -191,10 +206,7 @@ object Retrieval {
       .option("partitionOverwriteMode", "dynamic")
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/postings")
-    val id =
-      if (batchId >= 0) batchId
-      else spark.read.parquet(s"$path/stats")
-        .agg(max(col("batch").cast("long"))).head().getLong(0) + 1L
+    val id = if (batchId >= 0) batchId else applied + 1L
     writeStats(spark, batchStats(newRows, textCol), path, batchId = id, fresh = false)
   }
 
@@ -220,9 +232,16 @@ object Retrieval {
     val bucketList = terms
       .map(t => s"pmod(graft_poly_hash(${SearchKit.sqlStr(t)}), $Bm25IndexBuckets)")
       .mkString(", ")
-    // per-batch stats rows sum to the corpus totals (exact BIGINTs)
+    // per-batch stats rows sum to the corpus totals (exact BIGINTs).
+    // A corrupt/empty stats table (or a wrong path that happens to
+    // parse) would otherwise surface as a null→NPE or a 0-divisor
+    // avgdl deep in the score expression — diagnose it here, by name.
     val st = spark.read.parquet(s"$path/stats")
       .agg(sum("n").cast("long").as("n"), sum("sum_dl").cast("long").as("sum_dl")).head()
+    require(!st.isNullAt(0) && st.getAs[Long]("n") > 0L,
+      s"BM25 index at $path has an empty or corrupt stats table " +
+        s"(n=${if (st.isNullAt(0)) "null" else st.getAs[Long]("n")}) — " +
+        "was it written by buildBm25Index, and is the path right?")
     val (n, sumDl) = (st.getAs[Long]("n"), st.getAs[Long]("sum_dl"))
     val postings = spark.read.parquet(s"$path/postings")
       .where(expr(s"bucket IN ($bucketList)"))

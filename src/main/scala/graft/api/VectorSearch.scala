@@ -538,6 +538,18 @@ object VectorSearch {
     * in index order, accumulated left-to-right — bit-identical to
     * graft_vec_dot / DuckDB list_reduce on the same (widened) values.
     */
+  /** Reject non-integral id columns by name instead of letting
+    * `cast("long")` null them out (which would surface as a misleading
+    * "startId not present in the corpus" on a fully-populated table).
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op requires an integral id column (byte/short/int/long); " +
+        s"$idCol is ${dt.simpleString} — map it to a long id first")
+  }
+
   private def dotExact(a: Seq[Double], b: Seq[Double]): Double = {
     var acc = 0.0; var i = 0
     while (i < a.length) { acc += a(i) * b(i); i += 1 }
@@ -575,10 +587,17 @@ object VectorSearch {
     *
     * Returns the centers in selection order: (rank from 1, id, widened
     * vector).
+    *
+    * Id contract (here and [[kcenterAssign]]): `idCol` must be an
+    * integral type (byte/short/int/long) — centers are tracked as
+    * longs and ties break on the numeric id. A string or other
+    * non-integral id would cast to null and silently empty the corpus,
+    * so it is rejected up front.
     */
   def kcenters(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
                startId: Long): Seq[(Int, Long, Seq[Double])] = {
     require(k >= 1, s"k must be >= 1: $k")
+    requireIntegralId(corpus, idCol, "kcenters")
     val n = withNorm(corpus, vecCol)
       .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"), col("nrm"))
     val firstRows = n.filter(col("__id") === startId).select("__id", "__v").take(1)

@@ -68,11 +68,22 @@ object GlobalOrder {
     // by the prefix alphabet, never data-sized.
     val counts = keyed.groupBy("__bucket").count()
       .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1)))
+    // A null key has no place in a total order (and would silently drop
+    // through the null-unsafe bucket join below) — reject it by name.
+    require(!counts.exists(_._1 == null),
+      s"rankByPrefix: $keyCol contains nulls — a null key is not rankable; " +
+        "filter or coalesce the key column first")
+    // Driver-side bucket order must agree with the executor-side window
+    // order, which compares UTF-8 BYTES (Spark's binary string order).
+    // Scala's String ordering compares UTF-16 code units, which ranks
+    // U+E000..U+FFFF ABOVE supplementary-plane chars — the opposite of
+    // their UTF-8 byte order — so sort the collected prefixes by
+    // unsigned UTF-8 bytes instead.
+    val sorted = counts.sortWith((a, b) => utf8Less(a._1, b._1))
     val offsets = {
       var acc = 0L
-      counts.map { case (b, c) => val row = (b, acc); acc += c; row }
+      sorted.map { case (b, c) => val row = (b, acc); acc += c; row }
     }
 
     val offDf = spark.createDataFrame(offsets.toSeq).toDF("__bucket", "__offset")
@@ -81,5 +92,21 @@ object GlobalOrder {
       .join(broadcast(offDf), Seq("__bucket"))
       .withColumn(posCol, col("__offset") + row_number().over(w).cast("long") - 1L)
       .drop("__bucket", "__offset")
+  }
+
+  /** Unsigned UTF-8 byte-order comparison — the driver-side mirror of
+    * Spark's `UTF8String.compareTo` binary ordering.
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
   }
 }

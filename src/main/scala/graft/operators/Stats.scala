@@ -184,6 +184,12 @@ object Stats {
     require(cols.distinct.size == cols.size, s"duplicate profile columns: $cols")
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     cols.foreach(c => require(types.contains(c), s"no such column: $c"))
+    // Names are spliced into generated SQL (backtick-quoted aliases,
+    // single-quoted stack literals): a quote/backtick in the name would
+    // escape those contexts and die later as a parser error — reject it
+    // here, where the message can name the offending column.
+    cols.foreach(c => require(!c.exists(ch => ch == '`' || ch == '\''),
+      s"profile column name contains a quote/backtick (unsupported in generated SQL): $c"))
     import org.apache.spark.sql.types._
     def numExpr(c: String): Option[String] = types(c) match {
       case _: NumericType => Some(c)

@@ -350,6 +350,13 @@ class ApiSpecs extends SparkSpec {
       VectorSearch.kcenters(vecs, "vid", "vec", k = 2, startId = 99L)
     }
     assert(e.getMessage.contains("startId"))
+    // a string id would cast("long") to null and silently empty the
+    // corpus — the integral-id contract is enforced by name instead
+    val svecs = Seq("a" -> Array(1.0f, 0.0f), "b" -> Array(0.0f, 1.0f)).toDF("vid", "vec")
+    val te = intercept[IllegalArgumentException] {
+      VectorSearch.kcenters(svecs, "vid", "vec", k = 2, startId = 0L)
+    }
+    assert(te.getMessage.contains("integral id"), te.getMessage)
   }
 
   test("bm25Rank: tf raises, doc length normalizes, rarity weights; absent-term docs drop out") {
@@ -411,6 +418,17 @@ class ApiSpecs extends SparkSpec {
     val scan = plan.linesIterator.find(l => l.contains("PartitionFilters") && l.contains("bucket"))
     assert(scan.isDefined && !scan.get.contains("PartitionFilters: []"),
       s"postings scan not partition-pruned:\n$plan")
+    // an empty/corrupt stats table must fail by index path, not NPE
+    // deep in the score expression
+    val hollow = tmpDir("bm25hollow").toString + "/idx"
+    spark.read.parquet(s"$path/stats").filter(lit(false)).coalesce(1)
+      .write.parquet(s"$hollow/stats")
+    spark.read.parquet(s"$path/postings").limit(1)
+      .write.partitionBy("bucket").parquet(s"$hollow/postings")
+    val he = intercept[IllegalArgumentException] {
+      Retrieval.bm25Indexed(spark, hollow, "post_id", terms, topK = 10)
+    }
+    assert(he.getMessage.contains(hollow), he.getMessage)
   }
 
   test("BM25 index append: build+append == fresh build over the union, and a crashed-append replay dedups") {
@@ -470,10 +488,19 @@ class ApiSpecs extends SparkSpec {
     def serve(p: String) =
       Retrieval.bm25Indexed(spark, p, "post_id", terms, topK = 10).orderBy("rank").collect().toSeq
     assert(serve(idx) === serve(fresh), "streamed index must equal a fresh build over all batches")
-    // redelivery of either batch (crash before checkpoint commit) converges
+    // redelivery of the NEWEST batch (crash before checkpoint commit) converges
     RetrievalStream.processBatch(b1, 1L, "post_id", "body", idx)
-    RetrievalStream.processBatch(b0, 0L, "post_id", "body", idx)
-    assert(serve(idx) === serve(fresh), "redelivered batches must not change the served result")
+    assert(serve(idx) === serve(fresh), "redelivered batch must not change the served result")
+    // an id OLDER than the applied max is NOT a legitimate replay
+    // (structured streaming re-fires only the newest uncommitted batch):
+    // it means a restarted stream with a fresh checkpoint re-counting
+    // ids from 0 over NEW documents — the append must fail fast instead
+    // of replacing batch 0's stats row while keeping its postings
+    val ex = intercept[IllegalArgumentException] {
+      RetrievalStream.processBatch(b0, 0L, "post_id", "body", idx)
+    }
+    assert(ex.getMessage.contains("chain regression"), ex.getMessage)
+    assert(serve(idx) === serve(fresh), "rejected batch must leave the index untouched")
   }
 
   test("spanDupStats: exact per-doc duplicated-shingle fractions on a crafted corpus") {

@@ -596,6 +596,13 @@ class CurationSpecs extends SparkSpec {
     assert(out("ts").getDouble(5) - out("ts").getDouble(4) === 1000000.0, "1s apart in micros")
     assert(out("nul").getLong(2) === 3L && out("nul").getLong(3) === 0L)
     assert(out("nul").isNullAt(4) && out("nul").isNullAt(5), "all-null min/max stay null")
+    // a quote/backtick in a profiled column name would escape the
+    // generated SQL's quoting contexts — rejected at entry, by name
+    val odd = df.withColumnRenamed("s", "s'x")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Stats.profile(odd, Seq("k", "s'x"))
+    }
+    assert(e.getMessage.contains("s'x"), e.getMessage)
   }
 
   test("collocations: an always-adjacent pair tops frequent-but-independent pairs; the count floor drops rare pairs") {

@@ -133,6 +133,29 @@ class ScaleSpecs extends SparkSpec {
     }
   }
 
+  test("rankByPrefix: supplementary-plane keys rank in UTF-8 byte order; null keys are rejected by name") {
+    import spark.implicits._
+    import graft.operators.GlobalOrder
+    // U+FFFD (3-byte UTF-8, ef bf bd) vs U+10400 (4-byte, f0 90 90 80):
+    // Scala's UTF-16 String order puts the surrogate-pair char FIRST
+    // (d801 < fffd), UTF-8 byte order puts it LAST (f0 > ef) — the
+    // driver-side bucket offsets must follow the executor-side order
+    val rows = Seq((1L, "�a"), (2L, "𐐀b"), (3L, "ascii"))
+    val df = rows.toDF("id", "k")
+    val got = GlobalOrder.rankByPrefix(df, "k", "id", bucketChars = 1, "pos")
+      .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // expected: Spark's own global order over the same frame
+    val want = df.orderBy(col("k"), col("id")).select("id").collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, p) => id -> p.toLong }.toMap
+    assert(got === want, "bucket offsets must agree with Spark's binary string order")
+    assert(got(2L) === 2L, "supplementary-plane key sorts LAST in UTF-8 byte order")
+    val e = intercept[IllegalArgumentException] {
+      GlobalOrder.rankByPrefix(
+        (rows :+ (4L, null.asInstanceOf[String])).toDF("id", "k"), "k", "id", 1, "pos")
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) => if (i == 0) j else if (j == 0) i else 0 }
     for (i <- 1 to a.length; j <- 1 to b.length)
