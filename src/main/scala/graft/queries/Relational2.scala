@@ -762,5 +762,149 @@ object Relational2 {
           .agg(countDistinct(col("user_id")).as("n_users"))
       },
     ),
+    Q(
+      "q116_exists_subquery",
+      "Correlated EXISTS / NOT EXISTS predicates (SQL entry path): " +
+        "customers with at least one urgent order and none above 400k. " +
+        "Catalyst decorrelates the two subqueries into one left SEMI and " +
+        "one left ANTI join on the correlation key — each a single keyed " +
+        "shuffle at any scale, never a per-row re-scan.",
+      Some("""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        ORDER BY c_custkey
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // query-scoped view names (q20's convention): never clobber a
+        // caller's views in the shared-session catalog
+        val (cv, ov) = ("graft_q116_customer", "graft_q116_orders")
+        t.customer.createOrReplaceTempView(cv)
+        t.orders.createOrReplaceTempView(ov)
+        try
+          spark.sql(s"""
+            SELECT c_custkey, c_name FROM $cv c
+            WHERE EXISTS (SELECT 1 FROM $ov o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+              AND NOT EXISTS (SELECT 1 FROM $ov o
+                              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          """)
+        finally { spark.catalog.dropTempView(cv); spark.catalog.dropTempView(ov) }
+      },
+    ),
+    Q(
+      "q117_mode",
+      "Per-group mode (most frequent value, ties to the smallest): each " +
+        "customer's modal order priority. Two hash aggregations — count " +
+        "per (group, value), then ONE min_by over a (-n, value) ordering " +
+        "struct — no ranking window, no per-group sort; the tie-break " +
+        "struct is unique per group, so the answer is deterministic on " +
+        "any partitioning.",
+      Some("""
+        WITH c AS (SELECT o_custkey, o_orderpriority, count(*) AS n
+                   FROM orders GROUP BY 1, 2),
+        r AS (SELECT o_custkey, o_orderpriority, n,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY n DESC, o_orderpriority) AS rn
+              FROM c)
+        SELECT o_custkey, o_orderpriority AS mode_priority, n AS n_orders
+        FROM r WHERE rn = 1 ORDER BY o_custkey
+      """.trim),
+      (spark, dir) => {
+        val cnt = Tables(spark, dir).orders
+          .groupBy("o_custkey", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        cnt.groupBy("o_custkey")
+          .agg(min_by(
+            struct(col("o_orderpriority"), col("n")),
+            struct((col("n") * -1L).as("neg_n"), col("o_orderpriority"))).as("m"))
+          .select(col("o_custkey"),
+            col("m.o_orderpriority").as("mode_priority"), col("m.n").as("n_orders"))
+      },
+    ),
+    Q(
+      "q118_rolling_median",
+      "Exact rolling median: per-user trailing-7-row lower median of " +
+        "event values in (ts, event_id) order. No engine has a streaming " +
+        "exact-median window, so both materialize the BOUNDED 7-element " +
+        "frame per row (collect_list / list over ROWS BETWEEN), sort it, " +
+        "and index the lower median — O(w log w) per row with a constant " +
+        "frame buffer, one shuffle on the user key; pure selection, no " +
+        "arithmetic, so doubles hash exactly.",
+      Some("""
+        SELECT user_id, event_id,
+          list_sort(list(value) OVER w)
+            [CAST(ceil(count(value) OVER w / 2.0) AS BIGINT)] AS roll_med
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+      """.trim),
+      (spark, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+        Tables(spark, dir).events.select(
+          col("user_id"), col("event_id"),
+          element_at(sort_array(collect_list(col("value")).over(w)),
+            ceil(count(col("value")).over(w) / 2.0).cast("int")).as("roll_med"))
+      },
+    ),
+    Q(
+      "q119_ratio_share",
+      "Ratio-to-report: each line item's share of its order's revenue. " +
+        "The denominator is an EXACT decimal window sum (order-free) cast " +
+        "to double, so numerator, denominator, and the single IEEE " +
+        "division are bit-identical across engines and partitionings — " +
+        "the percent-of-total pattern without float-sum nondeterminism.",
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          CAST(CAST(l_extendedprice AS DECIMAL(30,2)) AS DOUBLE) /
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2)))
+                 OVER (PARTITION BY l_orderkey) AS DOUBLE) AS revenue_share
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+      """.trim),
+      (spark, dir) => {
+        val w = Window.partitionBy("l_orderkey")
+        val dec = col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(30, 2))
+        Tables(spark, dir).lineitem.select(
+          col("l_orderkey"), col("l_linenumber"),
+          (dec.cast("double") / sum(dec).over(w).cast("double")).as("revenue_share"))
+      },
+    ),
+    Q(
+      "q120_lateral_topn",
+      "Lateral join (correlated table subquery, SQL entry path): each " +
+        "BUILDING-segment customer with their 2 highest-value orders. " +
+        "Catalyst decorrelates the per-customer ORDER BY ... LIMIT into a " +
+        "ranking window over ONE keyed join — the per-group-top-n plan, " +
+        "never a per-customer re-scan of orders.",
+      Some("""
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val (cv, ov) = ("graft_q120_customer", "graft_q120_orders")
+        t.customer.createOrReplaceTempView(cv)
+        t.orders.createOrReplaceTempView(ov)
+        try
+          spark.sql(s"""
+            SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+            FROM $cv c,
+            LATERAL (SELECT o_orderkey, o_totalprice FROM $ov o
+                     WHERE o.o_custkey = c.c_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+            WHERE c.c_mktsegment = 'BUILDING'
+          """)
+        finally { spark.catalog.dropTempView(cv); spark.catalog.dropTempView(ov) }
+      },
+    ),
   )
 }

@@ -189,6 +189,27 @@ class PlanSpecs extends SparkSpec {
     assert(scanLine.get.contains("bucket"), scanLine.get)
   }
 
+  test("q116: correlated EXISTS/NOT EXISTS decorrelate to one semi + one anti hash join — no per-row subquery") {
+    val p = planString(q("q116_exists_subquery"))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q120: the lateral ORDER BY ... LIMIT decorrelates to a ranked join — no per-customer re-scan of orders") {
+    val p = planString(q("q120_lateral_topn"))
+    // the correlated top-2 becomes a window/group-limit over ONE join,
+    // and at this size the customer side broadcasts
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q117: mode plans two hash aggregations, no ranking window") {
+    val p = planString(q("q117_mode"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("catalog-wide join audit: no CartesianProduct; nested-loop joins only where a bounded side is documented") {
     // BroadcastNestedLoopJoin is legitimate ONLY where one side is
     // bounded (broadcast query/probe sets, fixed-cardinality reps) or
