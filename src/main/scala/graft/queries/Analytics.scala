@@ -643,5 +643,54 @@ object Analytics {
         graft.operators.Stats.profile(Tables(spark, dir).lineitem,
           Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")),
     ),
+    Q(
+      "q121_pagerank",
+      "PageRank centrality over the part co-purchase graph (parts linked " +
+        "when they share an order), 5 damped iterations in EXACT scaled-" +
+        "integer arithmetic (graft.operators.PageRank): float PageRank " +
+        "sums are association-dependent, the BIGINT formulation is bit-" +
+        "identical on any partitioning — so an ITERATIVE graph algorithm " +
+        "hash-matches the oracle's chained-CTE power iteration exactly. " +
+        "Per iteration: one keyed join onto the degree-annotated edge " +
+        "list + one partial-agg contribution shuffle, work ∝ |E|.",
+      Some(pagerankOracleSql(iters = 5)),
+      (spark, dir) => {
+        val li = Tables(spark, dir).lineitem
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val edges = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst")
+        graft.operators.PageRank.runInt(edges, "src", "dst", iters = 5)
+          .select(col("node").as("part_id"), col("pr_scaled"))
+      },
+    ),
   )
+
+  /** q121's oracle: the same scaled-integer power iteration as
+    * PageRank.runInt, unrolled as chained CTEs (r0..rN). DuckDB sums
+    * BIGINTs into HUGEINT, so the damp multiply can't overflow
+    * mid-expression; the final CAST back to BIGINT matches the Spark
+    * value domain. Generated so `iters` changes in one place.
+    */
+  private def pagerankOracleSql(iters: Int): String = {
+    val scale = 1000000000000L
+    val (dn, dd) = (85L, 100L)
+    val base = (scale * (dd - dn)) / dd
+    val sb = new StringBuilder
+    sb ++= "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),\n"
+    sb ++= "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM li a " +
+      "JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),\n"
+    sb ++= "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),\n"
+    sb ++= "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),\n"
+    sb ++= s"r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nodes),\n"
+    for (i <- 1 to iters) {
+      sb ++= s"c$i AS (SELECT e.dst, sum(r.rank // d.outdeg) AS s FROM e " +
+        s"JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),\n"
+      sb ++= s"r$i AS (SELECT n.node, CAST($base + ($dn * coalesce(c.s, 0)) // $dd AS BIGINT) AS rank " +
+        s"FROM nodes n LEFT JOIN c$i c ON c.dst = n.node)"
+      sb ++= (if (i < iters) ",\n" else "\n")
+    }
+    sb ++= s"SELECT node AS part_id, rank AS pr_scaled FROM r$iters ORDER BY part_id"
+    sb.toString
+  }
 }

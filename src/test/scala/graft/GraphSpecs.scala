@@ -84,4 +84,53 @@ class GraphSpecs extends SparkSpec {
     // doc 4: singleton, canonical of itself
     assert(out(3) === ((4L, 4L, 1L, true)))
   }
+
+  /** Driver-side mirror of PageRank.runInt's exact integer recurrence. */
+  private def prReference(edges: Seq[(Long, Long)], iters: Int,
+                          scale: Long = 1000000000000L): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val deg = e.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val base = (scale * 15L) / 100L
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = nodes.map(n => n -> (base + (85L * in.getOrElse(n, 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pagerank: exact integer ranks match the driver recurrence; hub outranks leaves; dangling node keeps base mass") {
+    import graft.operators.PageRank
+    // star into 1 (hub), plus 4 -> 5 where 5 has no out-edges (dangling)
+    val edges = Seq((2L, 1L), (3L, 1L), (1L, 2L), (4L, 5L), (2L, 3L))
+    val got = PageRank.runInt(edges.toDF("s", "d"), "s", "d", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = prReference(edges, 5)
+    assert(got === want, "Spark ranks must equal the exact driver recurrence")
+    assert(got(1L) > got(4L), "the hub outranks an unreferenced source")
+    // node 4 receives nothing: rank = base after one iteration, stays
+    assert(got(4L) === (1000000000000L * 15L) / 100L)
+    assert(got(5L) > got(4L), "the dangling sink still accumulates inbound mass")
+  }
+
+  test("pagerank is bit-identical under repartitioning and rejects overflow-risk scales") {
+    import graft.operators.PageRank
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val df = edges.toDF("s", "d")
+    val a = PageRank.runInt(df, "s", "d", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = PageRank.runInt(df.repartition(17), "s", "d", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "integer arithmetic must make ranks partitioning-independent")
+    assert(a === prReference(edges, 4))
+    val e = intercept[IllegalArgumentException] {
+      PageRank.runInt(df, "s", "d", iters = 1, scale = Long.MaxValue / 10)
+    }
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+  }
 }
