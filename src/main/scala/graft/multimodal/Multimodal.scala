@@ -744,4 +744,215 @@ object Multimodal {
         (r.doc_id, out, out.length.toLong)
       }
   }
+
+  // ---------------------------------------------------------------------
+  // Perceptual image hashing (dHash) + cross-encoding dedup (q122).
+  // The hash is a 64-bit GRADIENT signature over the decoded pixels:
+  // split the row-major pixel sequence into 64 equal ranges, bit i = 1
+  // iff range i's average exceeds range i+1's (wraparound), compared by
+  // EXACT cross-multiplication (sum_i·len_j > sum_j·len_i) — no float
+  // averages, so engine and oracle agree bit-for-bit. A monotone
+  // intensity remap (brightness/contrast/gamma re-encode — the variant
+  // class perceptual hashes exist to catch) preserves almost every
+  // gradient sign, so variants land within a couple of bits; spatial
+  // crops/shifts do NOT (the documented limit of dHash/aHash — shingle
+  // or MinHash dedup is the tool for shifted content, q26-q28).
+  // ---------------------------------------------------------------------
+
+  /** 64-bit dHash packed as 4×16-bit bands (for LSH-style blocking:
+    * two hashes within Hamming distance d < 4 must agree on ≥1 band).
+    */
+  final case class ImageHash(img_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Decode → monotone intensity remap (px' = clamp(px·mulNum/mulDen +
+    * add)) → re-encode, all through the real PNG codec: the
+    * "same image, different brightness/contrast encoding" variant a
+    * perceptual dedup must fold together.
+    */
+  def adjustPng(png: Array[Byte], mulNum: Int, mulDen: Int, add: Int): Option[Array[Byte]] = {
+    require(mulNum >= 0 && mulDen > 0, s"bad intensity map: $mulNum/$mulDen")
+    decodeImage(png).map { d =>
+      val out = new Array[Byte](d.pixels.length)
+      var i = 0
+      while (i < out.length) {
+        val v = ((d.pixels(i) & 0xff).toLong * mulNum) / mulDen + add
+        out(i) = math.min(255L, math.max(0L, v)).toByte
+        i += 1
+      }
+      val img = new java.awt.image.BufferedImage(d.width, d.height,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, d.width, d.height, out)
+      val baos = new java.io.ByteArrayOutputStream(out.length + 128)
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+  }
+
+  /** Originals plus a contrast-remapped re-encoding of every image
+    * (variant ids offset by `idOffset`) — the corpus a cross-encoding
+    * dedup query runs on. One partition-scoped codec does the
+    * decode→remap→re-encode per row.
+    */
+  def withContrastVariants(media: DataFrame, mulNum: Int = 3, mulDen: Int = 2,
+                           add: Int = 0, idOffset: Long = 1000000L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(mulNum >= 0 && mulDen > 0, s"bad intensity map: $mulNum/$mulDen")
+    val variants = media.select("doc_id", "payload", "modality", "declared_bytes")
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        val codec = new PngCodec // init once per partition, not per row
+        it.flatMap { r =>
+          codec.decode(r.payload).map { d =>
+            val out = new Array[Byte](d.pixels.length)
+            var i = 0
+            while (i < out.length) {
+              val v = ((d.pixels(i) & 0xff).toLong * mulNum) / mulDen + add
+              out(i) = math.min(255L, math.max(0L, v)).toByte
+              i += 1
+            }
+            val img = new java.awt.image.BufferedImage(d.width, d.height,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            img.getRaster.setDataElements(0, 0, d.width, d.height, out)
+            (r.doc_id + idOffset, codec.encode(img, out.length), r.modality, r.declared_bytes)
+          }
+        }
+      }
+      .toDF("doc_id", "payload", "modality", "declared_bytes")
+    media.select("doc_id", "payload", "modality", "declared_bytes").unionByName(variants)
+  }
+
+  /** Per-image 64-bit dHash over REAL decoded pixels, banded for
+    * blocking. Map-only: one codec decode + one O(pixels) integer pass
+    * per row, nothing shuffled.
+    */
+  def imageDHash(media: DataFrame): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload", "modality", "declared_bytes")
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        val codec = new PngCodec // init once per partition, not per row
+        it.flatMap { r =>
+          codec.decode(r.payload).map { d =>
+            val m = d.pixels.length
+            val cs = new Array[Long](64)
+            val cl = new Array[Long](64)
+            var i = 0
+            while (i < 64) {
+              val lo = (i.toLong * m / 64).toInt
+              val hi = ((i + 1).toLong * m / 64).toInt
+              var s = 0L
+              var j = lo
+              while (j < hi) { s += (d.pixels(j) & 0xff); j += 1 }
+              cs(i) = s; cl(i) = hi - lo
+              i += 1
+            }
+            var bits = 0L
+            i = 0
+            while (i < 64) {
+              val j = (i + 1) % 64
+              // empty ranges (images under 64 px) compare via len 1 so
+              // the product stays defined; exact integer cross-multiply
+              if (cs(i) * math.max(cl(j), 1L) > cs(j) * math.max(cl(i), 1L)) bits |= (1L << i)
+              i += 1
+            }
+            ImageHash(r.doc_id,
+              bits & 0xffffL, (bits >>> 16) & 0xffffL,
+              (bits >>> 32) & 0xffffL, (bits >>> 48) & 0xffffL)
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs by perceptual-hash Hamming distance:
+    * candidates from FOUR 16-bit-band equi-joins (two hashes within
+    * distance < 4 share a band by pigeonhole — 100% recall for
+    * `maxHamming` ≤ 3, never an images² product), exact popcount
+    * verify on candidates. Returns (img_a, img_b, hamming), a < b.
+    */
+  def phashNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding guarantees recall only for maxHamming <= 3: $maxHamming")
+    val a = hashes.toDF("img_a", "a0", "a1", "a2", "a3")
+    val b = hashes.toDF("img_b", "c0", "c1", "c2", "c3")
+    val cands = Seq(("a0", "c0"), ("a1", "c1"), ("a2", "c2"), ("a3", "c3"))
+      .map { case (x, y) =>
+        a.join(b, col(x) === col(y) && col("img_a") < col("img_b"))
+          .select("img_a", "img_b", "a0", "a1", "a2", "a3", "c0", "c1", "c2", "c3")
+      }
+      .reduce(_ unionAll _)
+      .distinct()
+    cands
+      .withColumn("hamming",
+        expr("CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("img_a", "img_b", "hamming")
+  }
+
+  // ---------------------------------------------------------------------
+  // Windowed audio activity (q123): the RMS-energy / silence-ratio
+  // frame statistics a speech pipeline computes before transcription
+  // (voice-activity detection, silence trimming). Frames are fixed
+  // sample windows; a frame is active iff its mean square exceeds a
+  // floor, compared by EXACT cross-multiplication (sum_sq > floor·len)
+  // so engine and oracle agree bit-for-bit.
+  // ---------------------------------------------------------------------
+
+  /** Per-doc frame-energy stats over REAL decoded WAV samples. */
+  final case class AudioActivity(
+      doc_id: Long,
+      n_frames: Long,
+      n_active: Long,
+      total_energy: Long,
+      peak_energy: Long,
+      silence_ratio: Double,
+  )
+
+  /** Frame the decoded samples into `frameLen`-sample windows (last
+    * frame ragged) and mark each active iff mean(sample²) >
+    * `meanSqFloor`. Map-only: one codec decode + one O(samples)
+    * integer pass per row.
+    */
+  def extractAudioActivity(media: DataFrame, frameLen: Int = 160,
+                           meanSqFloor: Long = 9800L): Dataset[AudioActivity] = {
+    require(frameLen > 0, s"frameLen must be positive: $frameLen")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload", "modality", "declared_bytes")
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        val codec = new WavCodec // init once per partition, not per row
+        it.flatMap { r =>
+          codec.decode(r.payload).map { d =>
+            val n = d.samples.length
+            val nFrames = math.max(1L, (n + frameLen - 1L) / frameLen)
+            var f = 0
+            var active = 0L
+            var total = 0L
+            var peak = 0L
+            while (f < nFrames) {
+              val lo = f * frameLen
+              val hi = math.min(lo + frameLen, n)
+              var s = 0L
+              var j = lo
+              while (j < hi) { val v = d.samples(j).toLong; s += v * v; j += 1 }
+              total += s
+              if (s > peak) peak = s
+              if (s > meanSqFloor * (hi - lo)) active += 1
+              f += 1
+            }
+            AudioActivity(
+              doc_id = r.doc_id,
+              n_frames = nFrames,
+              n_active = active,
+              total_energy = total,
+              peak_energy = peak,
+              silence_ratio = (nFrames - active).toDouble / nFrames.toDouble,
+            )
+          }
+        }
+      }
+  }
 }

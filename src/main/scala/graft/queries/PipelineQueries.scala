@@ -314,6 +314,64 @@ object PipelineQueries {
       },
     ),
     Q(
+      "q122_image_phash",
+      "Perceptual-hash image dedup ACROSS ENCODINGS: every document " +
+        "image plus a contrast-remapped re-encoding of it (decode -> " +
+        "px*3/2 clamp -> re-encode through the real PNG codec, variant " +
+        "id = doc_id + 1e6); 64-bit dHash (exact cross-multiplied " +
+        "gradient signs over decoded pixels) packed into 4x16-bit " +
+        "bands; candidate pairs from band equi-joins only (pigeonhole: " +
+        "Hamming <= 3 implies a shared band — 100% recall, never an " +
+        "images^2 product), exact popcount verify. Every original " +
+        "pairs with its re-encoded variant; monotone intensity maps " +
+        "are dHash's invariance class, spatial shifts are its " +
+        "documented limit (shingle dedup covers those, q26-q28).",
+      Some(imagePhashOracleSql),
+      (spark, dir) => {
+        val media = Multimodal.asPngMedia(Tables(spark, dir).documents, width = 64)
+        val corpus = Multimodal.withContrastVariants(media, mulNum = 3, mulDen = 2)
+        Multimodal.phashNearDups(Multimodal.imageDHash(corpus).toDF(), maxHamming = 3)
+      },
+    ),
+    Q(
+      "q123_audio_vad",
+      "Windowed audio activity (VAD front-end): REAL WAV decode, " +
+        "160-sample (20 ms @ 8 kHz) frames, per-frame integer energy " +
+        "sum(s^2); a frame is active iff mean square > 9800 via exact " +
+        "cross-multiplication. Per doc: frame count, active count, " +
+        "total/peak energy, silence ratio — the speech pipeline's " +
+        "silence-trimming statistics, map-only over the corpus.",
+      Some("""
+        WITH s AS (SELECT doc_id,
+                     list_transform(string_split(text, ''), av_c -> ascii(av_c)) AS smp,
+                     strlen(text) AS n
+                   FROM documents),
+        f AS (SELECT doc_id, n, smp,
+                greatest(1, CAST(ceil(n / 160.0) AS BIGINT)) AS n_frames
+              FROM s),
+        u AS (SELECT doc_id, n, smp, n_frames,
+                unnest(generate_series(0, n_frames - 1)) AS fi
+              FROM f),
+        e AS (SELECT doc_id, n_frames, fi,
+                CAST(coalesce(list_sum(list_transform(
+                  smp[fi*160 + 1 : least((fi+1)*160, n)], av_x -> av_x * av_x)), 0) AS BIGINT) AS se,
+                least((fi+1)*160, n) - fi*160 AS flen
+              FROM u),
+        g AS (SELECT doc_id, max(n_frames) AS n_frames,
+                CAST(sum(CASE WHEN se > 9800 * flen THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+                CAST(sum(se) AS BIGINT) AS total_energy,
+                CAST(max(se) AS BIGINT) AS peak_energy
+              FROM e GROUP BY doc_id)
+        SELECT doc_id, n_frames, n_active, total_energy, peak_energy,
+          CAST(n_frames - n_active AS DOUBLE) / CAST(n_frames AS DOUBLE) AS silence_ratio
+        FROM g ORDER BY doc_id
+      """.trim),
+      (spark, dir) => {
+        val media = Multimodal.asWavMedia(Tables(spark, dir).documents, sampleRate = 8000)
+        Multimodal.extractAudioActivity(media, frameLen = 160, meanSqFloor = 9800L).toDF()
+      },
+    ),
+    Q(
       "q49_sessionize",
       "Gap-based sessionization (30-min inactivity) per user over events: " +
         "lag + running break-count windows, then per-session aggregates — " +
@@ -349,4 +407,68 @@ object PipelineQueries {
       },
     ),
   )
+
+  /** q122's oracle: recompute the padded gray pixels from the source
+    * text (Gray8 PNG is lossless — the q61 contract), apply the same
+    * clamped px*3/2 intensity map for the variant, derive the 64
+    * cross-multiplied dHash gradient bits, pack the same 4×16-bit
+    * bands, and mirror the band-equi-join candidate generation +
+    * popcount filter. Every integer op mirrors the Scala kernel
+    * exactly, so the pair set is hash-identical.
+    */
+  private def imagePhashOracleSql: String = {
+    // chunk i of an m-pixel image: 1-based slice [i*m//64+1 .. (i+1)*m//64]
+    def bits(src: String) =
+      s"""SELECT img_id,
+        list_transform(generate_series(0, 63), ph_i ->
+          coalesce(list_sum($src[(ph_i*m)//64 + 1 : ((ph_i+1)*m)//64]), 0)) AS cs,
+        list_transform(generate_series(0, 63), ph_i ->
+          ((ph_i+1)*m)//64 - (ph_i*m)//64) AS cl"""
+    val bandJoin = (0 to 3).map(b =>
+      s"SELECT a.img_id AS img_a, b.img_id AS img_b FROM bands a JOIN bands b " +
+        s"ON a.b$b = b.b$b AND a.img_id < b.img_id").mkString("\n          UNION\n          ")
+    s"""
+        WITH src AS (
+          SELECT doc_id,
+            list_transform(string_split(text, ''), ph_c -> ascii(ph_c)) AS raw,
+            strlen(text) AS n,
+            greatest(1, CAST(ceil(strlen(text) / 64.0) AS BIGINT)) AS h
+          FROM documents),
+        pad AS (
+          SELECT doc_id, 64*h AS m,
+            list_concat(raw, list_transform(generate_series(1, 64*h - n), ph_z -> 0)) AS p
+          FROM src),
+        imgs AS (
+          SELECT doc_id AS img_id, m, p AS px FROM pad
+          UNION ALL
+          SELECT doc_id + 1000000 AS img_id, m,
+            list_transform(p, ph_p -> least(255, greatest(0, (ph_p * 3) // 2))) AS px
+          FROM pad),
+        ch AS (${bits("px")} FROM imgs),
+        bt AS (
+          SELECT img_id,
+            list_transform(generate_series(0, 63), ph_i ->
+              CASE WHEN cs[ph_i+1] * greatest(cl[(ph_i+1) % 64 + 1], 1)
+                        > cs[(ph_i+1) % 64 + 1] * greatest(cl[ph_i+1], 1)
+                   THEN 1 ELSE 0 END) AS b
+          FROM ch),
+        bands AS (
+          SELECT img_id,
+            CAST(list_sum(list_transform(generate_series(0,15), ph_j -> b[ph_j+1]  * (1<<ph_j))) AS BIGINT) AS b0,
+            CAST(list_sum(list_transform(generate_series(0,15), ph_j -> b[ph_j+17] * (1<<ph_j))) AS BIGINT) AS b1,
+            CAST(list_sum(list_transform(generate_series(0,15), ph_j -> b[ph_j+33] * (1<<ph_j))) AS BIGINT) AS b2,
+            CAST(list_sum(list_transform(generate_series(0,15), ph_j -> b[ph_j+49] * (1<<ph_j))) AS BIGINT) AS b3
+          FROM bt),
+        cand AS (
+          $bandJoin),
+        hm AS (
+          SELECT c.img_a, c.img_b,
+            CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+                 bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+          FROM cand c
+          JOIN bands a ON a.img_id = c.img_a
+          JOIN bands b ON b.img_id = c.img_b)
+        SELECT img_a, img_b, hamming FROM hm WHERE hamming <= 3 ORDER BY img_a, img_b
+    """.trim
+  }
 }

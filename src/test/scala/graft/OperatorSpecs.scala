@@ -566,6 +566,59 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).luma_sum === "hello world".getBytes.map(_ & 0xff).sum.toLong)
   }
 
+  test("dHash: brightness/contrast re-encodings land within 2 bits; banding recovers every close pair; shifted content is the documented miss") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(320)((rnd.nextInt(200) + 20).toByte)
+    val docs = Seq(1L -> base, 2L -> Array.fill(320)((rnd.nextInt(200) + 20).toByte))
+      .map { case (id, b) => (id, Multimodal.encodePng(b, width = 64), "image/png", b.length.toLong) }
+      .toDF("doc_id", "payload", "modality", "declared_bytes")
+    val corpus = Multimodal.withContrastVariants(docs, mulNum = 3, mulDen = 2, idOffset = 100L)
+    val hashes = Multimodal.imageDHash(corpus).collect().map(h => h.img_id -> h).toMap
+    assert(hashes.keySet === Set(1L, 2L, 101L, 102L))
+    def hamming(a: Multimodal.ImageHash, b: Multimodal.ImageHash): Long =
+      java.lang.Long.bitCount(a.b0 ^ b.b0) + java.lang.Long.bitCount(a.b1 ^ b.b1) +
+        java.lang.Long.bitCount(a.b2 ^ b.b2) + java.lang.Long.bitCount(a.b3 ^ b.b3)
+    assert(hamming(hashes(1L), hashes(101L)) <= 3,
+      "monotone remap preserves gradient signs up to truncation ties (within the banding radius)")
+    assert(hamming(hashes(1L), hashes(2L)) > 10, "unrelated noise images stay far apart")
+    val pairs = Multimodal.phashNearDups(Multimodal.imageDHash(corpus).toDF(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 101L)), s"variant pair must surface through the band join: $pairs")
+    // banding is LOSSLESS at radius 3 (pigeonhole): the band join must
+    // equal a brute-force hamming join over the same hashes exactly —
+    // iid noise (doc 2) may flip 4+ near-tie gradients under the remap,
+    // in which case BOTH joins drop it; what may never happen is the
+    // band join missing a pair the brute join keeps
+    val all = hashes.values.toSeq
+    val brute = (for { a <- all; b <- all if a.img_id < b.img_id && hamming(a, b) <= 3 }
+      yield (a.img_id, b.img_id)).toSet
+    assert(pairs === brute)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.phashNearDups(Multimodal.imageDHash(corpus).toDF(), maxHamming = 4)
+    }
+    assert(e.getMessage.contains("recall"), e.getMessage)
+  }
+
+  test("audio activity: hand-computed frames — a loud and a silent window split exactly at the cross-multiplied floor") {
+    import spark.implicits._
+    // 4 frames of 4 samples: loud(100), quiet(10), exactly-at-floor, ragged tail
+    val samples = Array[Short](100, 100, 100, 100, 10, 10, 10, 10, 70, 70, 70, 70, 100, 100)
+    val wav = Multimodal.encodeWav(samples, sampleRate = 8000)
+    val media = Seq((7L, wav, "audio/wav", samples.length.toLong))
+      .toDF("doc_id", "payload", "modality", "declared_bytes")
+    // floor 4900: frame mean-squares are 10000, 100, 4900 (boundary: NOT
+    // active, strict >), and the 2-sample tail 10000
+    val out = Multimodal.extractAudioActivity(media, frameLen = 4, meanSqFloor = 4900L).collect()
+    assert(out.length === 1)
+    val a = out.head
+    assert(a.n_frames === 4L)
+    assert(a.n_active === 2L, "boundary frame at exactly the floor stays silent (strict >)")
+    assert(a.total_energy === (4 * 10000 + 4 * 100 + 4 * 4900 + 2 * 10000).toLong)
+    assert(a.peak_energy === 40000L)
+    assert(a.silence_ratio === 0.5)
+  }
+
   test("REAL codec: WAV encode -> javax.sound decode round-trips exact 16-bit samples") {
     // full dynamic range, including negatives and the endpoints
     val samples = Array[Short](0, 1, -1, 255, 256, -256, Short.MaxValue, Short.MinValue, 12345, -12345)
