@@ -469,6 +469,47 @@ object VectorSearch {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023 — public literature, not code): cluster the
+    * corpus, then mark as duplicates only vectors with a
+    * higher-priority near-twin IN THE SAME CLUSTER. The clustering
+    * bounds the candidate set to Σ cluster² instead of corpus² — the
+    * whole point of the method at web scale — at the price of missing
+    * the (rare) near-dup pair the quantizer split across clusters.
+    *
+    * This composition uses [[kcenterAssign]] (deterministic, exact
+    * arithmetic) as the clustering, so the full pipeline — selection,
+    * assignment, within-cluster pairs, keep flags — is bit-identical
+    * across engines and partitionings (q124 is hash-gated end to end).
+    * Duplicate rule: drop v iff some u < v in v's cluster has
+    * cos(u, v) ≥ `minCosine` (greedy keep-lowest-id, the deterministic
+    * stand-in for the paper's keep-farthest-from-centroid).
+    *
+    * Returns (idCol, center_id, keep). Scale shape: assignment is
+    * map-only (literal centers); the pair probe is ONE self-join
+    * shuffled on center_id, and the keep flag is a left anti join on
+    * the dropped set — no corpus² product anywhere.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               startId: Long, minCosine: Double): DataFrame = {
+    val asn = kcenterAssign(corpus, idCol, vecCol, k, startId)
+      .select(col(idCol), col("center_id"))
+    val n = withNorm(corpus, vecCol).join(asn, idCol)
+    val a = n.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      col("nrm").as("na"), col("center_id"))
+    val b = n.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col("nrm").as("nb"), col("center_id"))
+    val dropped = a.join(b, Seq("center_id"))
+      .filter(col("id_a") < col("id_b"))
+      .selectExpr("id_b", s"${dotSpark("va", "vb")} / (na * nb) AS cosine")
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_b").as("__dup"))
+      .distinct()
+    n.join(dropped, col(idCol) === col("__dup"), "left")
+      .select(col(idCol), col("center_id"), col("__dup").isNull.as("keep"))
+  }
+
   /** Symmetric int8 quantization stats per vector: `scale` = max|x|/127,
     * each component mapped to round-half-up(x/scale) clamped to
     * [-127, 127], plus the reconstruction error (`err_l2`, `rmse`) of

@@ -161,7 +161,39 @@ object Similarity {
             col("rank_a").as("text_rank"), col("rank_b").as("vec_rank"), col("rank"))
       },
     ),
+    Q(
+      "q124_semdedup",
+      "SemDeDup-style semantic deduplication (Abbas et al. 2023): " +
+        "k-center-cluster the embeddings (k=8, exact arithmetic), then " +
+        "drop any vector with a lower-id near-twin (cos >= 0.4) IN THE " +
+        "SAME CLUSTER. Clustering bounds candidates to sum(cluster^2) " +
+        "instead of corpus^2 — the method's entire point at web scale; " +
+        "assignment is map-only, the pair probe is one shuffle on " +
+        "center_id. Selection, assignment, pairs, and keep flags are " +
+        "all bit-exact, so the END-TO-END pipeline is hash-gated.",
+      Some(semDedupOracleSql(k = 8, tau = "0.4")),
+      (spark, dir) =>
+        graft.api.VectorSearch.semDedup(Tables(spark, dir).embeddings,
+          "vec_id", "embedding", k = 8, startId = 0L, minCosine = 0.4),
+    ),
   )
+
+  /** q124's oracle: the q103 kcenter chain (k=8) as a subquery, the
+    * same within-cluster pair probe, and NOT IN for the keep flag.
+    */
+  private def semDedupOracleSql(k: Int, tau: String): String =
+    s"""
+      WITH asn AS (SELECT vec_id, center_id FROM (${kcenterOracleSql(k)})),
+      n AS ($duckNorm),
+      dup AS (SELECT DISTINCT b.vec_id AS dup_id
+              FROM asn a JOIN asn b ON a.center_id = b.center_id AND a.vec_id < b.vec_id
+              JOIN n na ON na.vec_id = a.vec_id
+              JOIN n nb ON nb.vec_id = b.vec_id
+              WHERE ${dotDuck("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) >= $tau)
+      SELECT s.vec_id, s.center_id,
+        s.vec_id NOT IN (SELECT dup_id FROM dup) AS keep
+      FROM asn s ORDER BY s.vec_id
+    """.trim
 
   /** q103's oracle: the same farthest-first chain as the engine, as
     * k-1 chained CTEs (each c_i a 1-row ORDER BY s, vec_id LIMIT 1;

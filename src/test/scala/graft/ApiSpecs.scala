@@ -324,6 +324,31 @@ class ApiSpecs extends SparkSpec {
     assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
   }
 
+  test("semDedup: same-cluster near-twins drop greedily by id; a cross-cluster twin is the documented miss") {
+    // east group: 1 and 2 nearly parallel (cos > 0.99) -> 2 drops;
+    // 3 is east-ish but far from both (cos < threshold) -> kept.
+    // 41/42 nearly parallel but engineered to straddle: 41 east-ish,
+    // 42 north-ish — if the quantizer splits them, both survive (the
+    // SemDeDup trade, asserted so the contract is pinned, not hidden)
+    val vecs = Seq(
+      1L -> Array(1.0f, 0.0f), 2L -> Array(0.999f, 0.04f),
+      3L -> Array(0.9f, 0.436f),
+      11L -> Array(-1.0f, 0.0f), 12L -> Array(-0.999f, -0.04f),
+      21L -> Array(0.0f, 1.0f),
+      41L -> Array(0.72f, 0.694f), 42L -> Array(0.694f, 0.72f),
+    ).toDF("vid", "vec")
+    val out = VectorSearch.semDedup(vecs, "vid", "vec", k = 3, startId = 1L, minCosine = 0.99)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.size === 8)
+    assert(!out(2L)._2, "2 has the lower-id near-twin 1 in its cluster")
+    assert(out(1L)._2, "the lowest id of a twin group survives")
+    assert(!out(12L)._2 && out(11L)._2, "west twin group dedups the same way")
+    assert(out(3L)._2, "below-threshold neighbor survives")
+    val (c41, k41) = out(41L); val (c42, k42) = out(42L)
+    if (c41 == c42) assert(k41 && !k42, "same cluster: greedy drop by id")
+    else assert(k41 && k42, "split across clusters: both survive — the documented recall trade")
+  }
+
   test("kcenters is partition-invariant: exact arithmetic makes selection and assignment identical under any layout") {
     val rnd = new scala.util.Random(7)
     val vecs = (1L to 200L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f))).toDF("vid", "vec")
