@@ -664,6 +664,114 @@ object Analytics {
           .select(col("node").as("part_id"), col("pr_scaled"))
       },
     ),
+  ) ++ Seq(skylineQ, regressionQ, ohlcQ)
+
+  private lazy val ohlcQ = Q(
+    "q127_ohlc",
+    "OHLC bar aggregation: per (event_type, hour) the opening/closing " +
+      "value (min_by/max_by over a (ts, event_id) ordering struct — " +
+      "deterministic because event_id is unique, ONE hash aggregation, " +
+      "no ranking window), high/low, trade count, and exact-decimal " +
+      "volume. The time-series bar-building primitive; open/close are " +
+      "pure selection, so doubles hash exactly.",
+    Some("""
+      WITH e AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+                   ts, event_id, value
+                 FROM events),
+      o AS (SELECT *,
+              row_number() OVER (PARTITION BY event_type, hour_start ORDER BY ts, event_id) AS rn_a,
+              row_number() OVER (PARTITION BY event_type, hour_start ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM e)
+      SELECT event_type, hour_start,
+        max(CASE WHEN rn_a = 1 THEN value END) AS bar_open,
+        max(CASE WHEN rn_d = 1 THEN value END) AS bar_close,
+        max(value) AS bar_high, min(value) AS bar_low,
+        count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS volume
+      FROM o GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim),
+    (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("bar_open"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("bar_close"),
+          max(col("value")).as("bar_high"),
+          min(col("value")).as("bar_low"),
+          count(lit(1)).as("n_events"),
+          Num.dsum(col("value")).as("volume")),
+  )
+
+  private lazy val skylineQ = Q(
+    "q125_skyline",
+    "Skyline / Pareto frontier (Börzsönyi et al., ICDE'01): parts not " +
+      "strictly dominated on (price low, size small). The oracle runs " +
+      "the textbook n-squared NOT-EXISTS dominance join; the engine " +
+      "computes the same set with one keyed shuffle + a TWO-PASS " +
+      "distributed running minimum (per-bucket minima collect as " +
+      "control-plane metadata, in-bucket prefix-min windows run " +
+      "parallel) — never a single-partition sort, never an n-squared " +
+      "product. Pure selection/comparison, so the frontier hash-matches " +
+      "on any partitioning and bucket count.",
+    Some("""
+      SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size FROM part p
+      WHERE NOT EXISTS (SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+      ORDER BY p_partkey
+    """.trim),
+    (spark, dir) =>
+      graft.operators.Skyline.skyline2d(Tables(spark, dir).part, "p_retailprice", "p_size")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long").as("p_size")),
+  )
+
+  private lazy val regressionQ = Q(
+    "q126_regression",
+    "Per-group OLS trend: slope/intercept of event value vs hours-" +
+      "since-epoch, per event type. The five sufficient statistics " +
+      "(n, sum x, sum y, sum xy, sum x^2) accumulate as EXACT decimals " +
+      "(order-free, partial-agg map-side); the closed form runs on " +
+      "their double casts in one fixed expression — so a regression " +
+      "over floats is still bit-identical across engines and " +
+      "partitionings. The streaming-friendly shape: sufficient stats, " +
+      "never a second pass over the data.",
+    Some("""
+      WITH e AS (SELECT event_type,
+                   CAST(epoch_us(ts) // 3600000000 AS DECIMAL(20,0)) AS x,
+                   CAST(value AS DECIMAL(30,2)) AS y
+                 FROM events),
+      s AS (SELECT event_type,
+              CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(x) AS DOUBLE) AS sx,
+              CAST(sum(y) AS DOUBLE) AS sy,
+              CAST(sum(x*y) AS DOUBLE) AS sxy,
+              CAST(sum(x*x) AS DOUBLE) AS sxx
+            FROM e GROUP BY event_type)
+      SELECT event_type,
+        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+      FROM s ORDER BY event_type
+    """.trim),
+    (spark, dir) => {
+      // integer DIV, never float division + cast: a double quotient a
+      // hair under the integer would truncate differently than the
+      // oracle's exact `//`. Micros are non-negative, so trunc == floor.
+      val e = Tables(spark, dir).events.select(
+        col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000")
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0)).as("x"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)).as("y"))
+      val s = e.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      s.select(col("event_type"), slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+    },
   )
 
   /** q121's oracle: the same scaled-integer power iteration as

@@ -75,6 +75,10 @@ class DocExamplesSpec extends SparkSpec {
     assert(fused.count() > 0)
     val diverse = VectorSearch.kcenterAssign(embs, "vec_id", "embedding", k = 8, startId = 0L)
     assert(diverse.count() === 12)
+    val kept = VectorSearch.semDedup(embs, "vec_id", "embedding", k = 8, startId = 0L,
+      minCosine = 0.9)
+    assert(kept.columns.toSeq === Seq("vec_id", "center_id", "keep"))
+    assert(kept.count() === 12)
   }
 
   test("README analytics/profiling block runs as written") {
@@ -92,5 +96,12 @@ class DocExamplesSpec extends SparkSpec {
     assert(tiled.count() === 3)
     val stats = Stats.profile(events, Seq("value", "event_type", "ts"))
     assert(stats.count() === 3 && stats.columns.contains("ndv"))
+    val part = Seq((1L, 10.0, 3), (2L, 5.0, 7), (3L, 20.0, 1), (4L, 12.0, 5)).toDF("p_partkey", "p_retailprice", "p_size")
+    val front = graft.operators.Skyline.skyline2d(part, "p_retailprice", "p_size")
+    // 4 (12, 5) is dominated by 1 (10, 3); the staircase 2-1-3 survives
+    assert(front.select("p_partkey").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val ranks = graft.operators.PageRank.runInt(edges, "src", "dst", iters = 10)
+    assert(ranks.count() === 3)
   }
 }

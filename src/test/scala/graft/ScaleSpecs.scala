@@ -133,6 +133,32 @@ class ScaleSpecs extends SparkSpec {
     }
   }
 
+  test("skyline2d equals the brute-force dominance filter: random points, duplicate points, any bucket count / partitioning") {
+    import spark.implicits._
+    import graft.operators.Skyline
+    val rnd = new scala.util.Random(13)
+    // duplicates + collinear ties stress the strict-dominance edge cases
+    val pts = Seq.fill(400)((rnd.nextInt(50).toDouble, rnd.nextInt(50).toDouble)) ++
+      Seq((1.0, 40.0), (1.0, 40.0), (0.0, 49.0), (49.0, 0.0))
+    val df = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }.toDF("id", "x", "y")
+    val brute = pts.zipWithIndex.collect { case ((x, y), i) if !pts.exists { case (qx, qy) =>
+      qx <= x && qy <= y && (qx < x || qy < y) } => i.toLong }.toSet
+    for (buckets <- Seq(1, 7, 64); parts <- Seq(1, 13)) {
+      val got = Skyline.skyline2d(df.repartition(parts), "x", "y", nBuckets = buckets)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got === brute, s"buckets=$buckets parts=$parts")
+    }
+    // duplicate frontier points survive TOGETHER (neither strictly dominates)
+    val dupIds = pts.zipWithIndex.filter(_._1 == (1.0, 40.0)).map(_._2.toLong)
+    if (dupIds.forall(brute.contains))
+      assert(dupIds.size === 2, "both duplicates stay when on the frontier")
+    val e = intercept[IllegalArgumentException] {
+      Skyline.skyline2d(df.unionByName(Seq((999L, null.asInstanceOf[java.lang.Double], 1.0))
+        .toDF("id", "x", "y")), "x", "y")
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+  }
+
   test("rankByPrefix: supplementary-plane keys rank in UTF-8 byte order; null keys are rejected by name") {
     import spark.implicits._
     import graft.operators.GlobalOrder
