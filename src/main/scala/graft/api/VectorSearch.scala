@@ -510,6 +510,44 @@ object VectorSearch {
       .select(col(idCol), col("center_id"), col("__dup").isNull.as("keep"))
   }
 
+  /** Fixed-point grid for [[exactCentroids]]: 2^24 ≈ the float32 ulp at
+    * magnitude 1, so the truncation discards nothing a unit-scale
+    * embedding component reliably carries.
+    */
+  val CentroidFixedPointScale: Long = 1L << 24
+
+  /** Exact per-group centroids — the k-means centroid-update primitive
+    * (and the embedding mean-pooling step), without float-sum
+    * nondeterminism: naive `avg(x_d)` accumulates doubles in partition
+    * order, so two runs of the same update can disagree in the last
+    * bits and a cluster assignment can flip between runs. Decimal
+    * rounding of the inputs is no better CROSS-ENGINE: double→decimal
+    * HALF_UP ties resolve differently per implementation (measured: 1
+    * divergent component in 32k). So components land on a fixed-point
+    * grid instead — `floor(x · 2^24)` is an EXACT power-of-two multiply
+    * + exact floor, the per-dimension sums are plain BIGINTs
+    * (order-free, partial-agg map-side), and the mean is one IEEE
+    * division at the end — bit-identical on any partitioning and
+    * engine (q128 is hash-gated), at 2^-24 resolution ≈ the float ulp
+    * at magnitude 1.
+    *
+    * Returns the flat (labelCol, dim, n_vectors, mean_val) layout —
+    * one row per (group, dimension); `array_agg` back by dim if an
+    * array column is needed. Scale shape: one posexplode (rows ×
+    * dims through a map stage) + one partial-agged shuffle on
+    * (label, dim) — never a per-group vector buffer.
+    */
+  def exactCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val s = CentroidFixedPointScale
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col(labelCol), col("dim").cast("long").as("dim"),
+        expr(s"CAST(floor(CAST(__x AS DOUBLE) * ${s}D) AS BIGINT)").as("__xf"))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(col("__xf")).cast("double") /
+          (count(lit(1)) * lit(s)).cast("double")).as("mean_val"))
+  }
+
   /** Symmetric int8 quantization stats per vector: `scale` = max|x|/127,
     * each component mapped to round-half-up(x/scale) clamped to
     * [-127, 127], plus the reconstruction error (`err_l2`, `rmse`) of

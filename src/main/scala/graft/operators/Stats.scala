@@ -84,6 +84,32 @@ object Stats {
           s"stack(${quantilesBp.size}, ${quantilesBp.map(bp => s"CAST($bp AS BIGINT), __q$bp").mkString(", ")}) AS (q_bp, value)"): _*)
   }
 
+  /** Winsorization: clamp `valCol` into the per-group
+    * [`loBp`, `hiBp`] exact-quantile band (basis points) — the outlier
+    * trim a feature/metrics pipeline applies before aggregation. The
+    * cutoffs come from [[histogramQuantiles]]'s exact integer-position
+    * definition (always actual data values, no interpolation), and the
+    * clamp is least/greatest — pure selection end to end, so the result
+    * hash-matches on any partitioning.
+    *
+    * Scale shape: the quantile pass (histogram layout, |distinct
+    * values| window rows per group) + ONE join of the group-cardinality
+    * cutoff table back onto the rows (AQE broadcasts it when small —
+    * not forced, group cardinality is the caller's domain knowledge).
+    */
+  def winsorize(df: DataFrame, keyCols: Seq[String], valCol: String,
+                loBp: Int, hiBp: Int, outCol: String = "winsorized"): DataFrame = {
+    require(loBp < hiBp, s"need loBp < hiBp: $loBp, $hiBp")
+    val qs = histogramQuantiles(df, keyCols, valCol, Seq(loBp, hiBp))
+    val cuts = qs.groupBy(keyCols.map(col): _*)
+      .agg(
+        max(when(col("q_bp") === loBp, col("value"))).as("__lo"),
+        max(when(col("q_bp") === hiBp, col("value"))).as("__hi"))
+    df.join(cuts, keyCols)
+      .withColumn(outCol, least(greatest(col(valCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Data-quality gate (dbt-test / Deequ-style): violation counts for
     * the three constraint families a pipeline asserts before
     * publishing a table — NOT NULL columns, unique keys, and

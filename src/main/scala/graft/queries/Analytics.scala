@@ -664,7 +664,60 @@ object Analytics {
           .select(col("node").as("part_id"), col("pr_scaled"))
       },
     ),
-  ) ++ Seq(skylineQ, regressionQ, ohlcQ)
+  ) ++ Seq(skylineQ, regressionQ, ohlcQ, centroidsQ, winsorizeQ)
+
+  private lazy val centroidsQ = Q(
+    "q128_centroids",
+    "Exact per-label embedding centroids (the k-means centroid-update / " +
+      "mean-pooling primitive): components land on the 2^-24 fixed-" +
+      "point grid (exact power-of-two multiply + exact floor — decimal " +
+      "rounding would resolve ties differently per engine), sums are " +
+      "plain BIGINTs (order-free, partial-agg map-side), the mean is " +
+      "one IEEE division — so a float centroid is bit-identical on any " +
+      "partitioning, where naive avg() flips last bits between runs. " +
+      "Flat (label, dim) layout: one posexplode + one keyed shuffle, " +
+      "never a per-group vector buffer.",
+    Some("""
+      WITH u AS (SELECT label,
+                   unnest(generate_series(0, len(embedding) - 1)) AS dim,
+                   unnest(list_transform(embedding,
+                     mv_x -> CAST(floor(CAST(mv_x AS DOUBLE) * 16777216.0) AS BIGINT))) AS xf
+                 FROM embeddings)
+      SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n_vectors,
+        CAST(sum(xf) AS DOUBLE) / CAST(count(*) * 16777216 AS DOUBLE) AS mean_val
+      FROM u GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim),
+    (spark, dir) =>
+      graft.api.VectorSearch.exactCentroids(Tables(spark, dir).embeddings, "label", "embedding"),
+  )
+
+  private lazy val winsorizeQ = Q(
+    "q129_winsorize",
+    "Winsorization: clamp event values into the per-type exact " +
+      "[p5, p95] band (q89's integer-position quantiles — always actual " +
+      "data values) via least/greatest. Pure selection end to end; one " +
+      "histogram quantile pass + one broadcast-sized cutoff join back " +
+      "onto the rows. The outlier trim before feature aggregation.",
+    Some("""
+      WITH h AS (SELECT event_type, value, count(*) AS cnt FROM events GROUP BY 1, 2),
+      c AS (SELECT event_type, value, cnt,
+              sum(cnt) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+              sum(cnt) OVER (PARTITION BY event_type) AS n_rows
+            FROM h),
+      p AS (SELECT event_type,
+              min(CASE WHEN cum >= (n_rows * 500 + 9999) // 10000 THEN value END) AS lo,
+              min(CASE WHEN cum >= (n_rows * 9500 + 9999) // 10000 THEN value END) AS hi
+            FROM c GROUP BY event_type)
+      SELECT e.event_id, e.event_type, e.value,
+        least(greatest(e.value, p.lo), p.hi) AS winsorized
+      FROM events e JOIN p ON e.event_type = p.event_type
+      ORDER BY e.event_id
+    """.trim),
+    (spark, dir) =>
+      graft.operators.Stats.winsorize(Tables(spark, dir).events,
+          Seq("event_type"), "value", loBp = 500, hiBp = 9500)
+        .select(col("event_id"), col("event_type"), col("value"), col("winsorized")),
+  )
 
   private lazy val ohlcQ = Q(
     "q127_ohlc",

@@ -349,6 +349,28 @@ class ApiSpecs extends SparkSpec {
     else assert(k41 && k42, "split across clusters: both survive — the documented recall trade")
   }
 
+  test("exactCentroids: hand-computed fixed-point means; bit-identical under repartitioning") {
+    val vecs = Seq(
+      ("a", Array(1.0f, -0.5f)), ("a", Array(0.5f, 0.25f)),
+      ("b", Array(0.125f, 0.0f)),
+    ).toDF("lbl", "vec")
+    val out = VectorSearch.exactCentroids(vecs, "lbl", "vec")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // exact dyadic inputs: floor is the identity on the grid, means exact
+    assert(out(("a", 0L)) === ((2L, 0.75)))
+    assert(out(("a", 1L)) === ((2L, -0.125)))
+    assert(out(("b", 0L)) === ((1L, 0.125)))
+    assert(out(("b", 1L)) === ((1L, 0.0)))
+    val rnd = new scala.util.Random(23)
+    val big = (1 to 500).map(i => (s"g${i % 7}", Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("lbl", "vec")
+    val a = VectorSearch.exactCentroids(big, "lbl", "vec")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val c = VectorSearch.exactCentroids(big.repartition(13), "lbl", "vec")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(a === c, "fixed-point sums make centroids partitioning-independent")
+  }
+
   test("kcenters is partition-invariant: exact arithmetic makes selection and assignment identical under any layout") {
     val rnd = new scala.util.Random(7)
     val vecs = (1L to 200L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f))).toDF("vid", "vec")

@@ -577,6 +577,18 @@ class CurationSpecs extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("winsorize: values clamp to the exact per-group quantile band; interior values pass through untouched") {
+    // group g: 1..20 -> p10 = ceil(0.1*20)=2nd value = 2, p90 = 18th = 18
+    val df = (1 to 20).map(i => ("g", i.toDouble)) :+ (("h", 5.0))
+    val out = graft.operators.Stats.winsorize(df.toDF("k", "v"), Seq("k"), "v",
+        loBp = 1000, hiBp = 9000)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(out(("g", 1.0)) === 2.0, "below-band clamps up to the exact p10 value")
+    assert(out(("g", 20.0)) === 18.0, "above-band clamps down to the exact p90 value")
+    assert(out(("g", 10.0)) === 10.0, "interior values untouched")
+    assert(out(("h", 5.0)) === 5.0, "singleton group: its own value is both cutoffs")
+  }
+
   test("profile: exact per-column counts/ndv/min/max across numeric, string, timestamp, and all-null columns") {
     val df = Seq(
       (1L, Some(2.5), "b", "2020-01-01 00:00:01"),
