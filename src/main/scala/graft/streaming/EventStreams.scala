@@ -34,6 +34,30 @@ object EventStreams {
         sum(col("value").cast(DecimalType(30, 2))).cast("double").as("sum_value"))
       .select(col("win.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming OHLC bars — the streaming twin of q127: per
+    * (event_type, 1-hour tumbling window) the open/close value
+    * (min_by/max_by over the same (ts, event_id) ordering struct as the
+    * batch query — declarative aggregates, so they fold incrementally
+    * in the state store), high/low, count, exact-decimal volume.
+    * Watermark-bounded state, finalized bars emitted once in append
+    * mode. Batch/stream parity is spec'd (same data ⇒ same bars as the
+    * batch aggregation).
+    */
+  def ohlcBars(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("bar_open"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("bar_close"),
+        max(col("value")).as("bar_high"),
+        min(col("value")).as("bar_low"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(30, 2))).cast("double").as("volume"))
+      .select(col("win.start").as("hour_start"), col("event_type"),
+        col("bar_open"), col("bar_close"), col("bar_high"), col("bar_low"),
+        col("n_events"), col("volume"))
+
   /** Event-time session windows (gap-based) per user — the streaming
     * twin of q49's batch sessionization, via the built-in session_window
     * (merging-window state, watermark-evicted).

@@ -128,6 +128,47 @@ class StreamingSpecs extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars: open/close track event order across micro-batches; finalized bars equal the batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.ohlcBars(in.toDF, "2 hours")
+      .writeStream.format("memory").queryName("ohlc_t").outputMode("append").start()
+    val rows = Seq(
+      // out-of-order arrival WITHIN the window across two batches: the
+      // open must still be the earliest (ts, event_id), not first-seen
+      EventRow(2, ts("2020-01-01 10:20:00"), 1, "click", 7.0),
+      EventRow(1, ts("2020-01-01 10:05:00"), 2, "click", 2.0),
+      EventRow(3, ts("2020-01-01 10:50:00"), 1, "click", 4.0),
+      EventRow(4, ts("2020-01-01 10:30:00"), 3, "view", 1.0))
+    try {
+      in.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(2): _*)
+      in.addData(EventRow(9, ts("2020-01-01 14:30:00"), 9, "view", 0.5)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("ohlc_t")
+        .select("hour_start", "event_type", "bar_open", "bar_close", "bar_high", "bar_low", "n_events", "volume")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7))).toSet
+      assert(got.contains((ts("2020-01-01 10:00:00"), "click", 2.0, 4.0, 7.0, 2.0, 3L, 13.0)),
+        s"open=earliest ts, close=latest, across batch boundaries: $got")
+      assert(got.contains((ts("2020-01-01 10:00:00"), "view", 1.0, 1.0, 1.0, 1.0, 1L, 1.0)))
+      // batch/stream parity: the same rows through the batch twin's
+      // aggregation shape give identical finalized bars
+      val batch = rows.toDF()
+        .groupBy(window(col("ts"), "1 hour")("start").as("hour_start"), col("event_type"))
+        .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("bar_open"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("bar_close"),
+          max(col("value")).as("bar_high"), min(col("value")).as("bar_low"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2))).cast("double").as("volume"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7))).toSet
+      assert(batch.subsetOf(got), s"stream bars must equal batch bars: $batch vs $got")
+    } finally q.stop()
+  }
+
   test("session windows merge within gap and split across it") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
