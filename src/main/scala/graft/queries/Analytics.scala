@@ -664,7 +664,104 @@ object Analytics {
           .select(col("node").as("part_id"), col("pr_scaled"))
       },
     ),
-  ) ++ Seq(skylineQ, regressionQ, ohlcQ, centroidsQ, winsorizeQ)
+  ) ++ Seq(skylineQ, regressionQ, ohlcQ, centroidsQ, winsorizeQ,
+    basketPairsQ, trianglesQ, bfsQ)
+
+  /** Shared DuckDB prefix for q130–q132: the thresholded co-purchase
+    * graph (parts are linked when they share ≥ 2 distinct orders —
+    * the ≥ 2 support cut drops the long random-pair tail, keeping the
+    * edge set sparse at every scale factor).
+    */
+  // def, not val: the lazy q130–q132 entries are forced while `qs`
+  // initializes, BEFORE a later-declared val would be assigned (the
+  // object-init trap that bit q115's constants).
+  private def coPurchaseSql: String =
+    """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |p AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS n_co
+      |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+      |e AS (SELECT src, dst FROM p WHERE n_co >= 2)""".stripMargin
+
+  /** Spark twin of [[coPurchaseSql]]'s `e`: src < dst, support ≥ 2. */
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+      .filter(col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("n_co"))
+      .filter(col("n_co") >= 2)
+      .select("src", "dst")
+  }
+
+  private lazy val basketPairsQ = Q(
+    "q130_basket_pairs",
+    "Market-basket association mining: top-100 co-purchased part pairs " +
+      "by support with exact lift = n_co·n_baskets / (n_a·n_b) (all-" +
+      "BIGINT ratio, one IEEE division — bit-identical on any " +
+      "partitioning). One pair self-join ∝ Σ|basket|², one keyed agg, " +
+      "broadcast item counts; top-k plans TakeOrderedAndProject, no " +
+      "full sort. graft.operators.Graph.coOccurrence.",
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      p AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS n_co
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+      n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS nb FROM li),
+      i AS (SELECT pk, CAST(count(*) AS BIGINT) AS ni FROM li GROUP BY 1)
+      SELECT p.src, p.dst, p.n_co,
+        CAST(p.n_co * n.nb AS DOUBLE) / CAST(ia.ni * ib.ni AS DOUBLE) AS lift
+      FROM p JOIN i ia ON ia.pk = p.src JOIN i ib ON ib.pk = p.dst CROSS JOIN n
+      WHERE p.n_co >= 2
+      ORDER BY p.n_co DESC, p.src, p.dst
+      LIMIT 100
+    """.trim),
+    (spark, dir) => {
+      val li = Tables(spark, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.coOccurrence(li, "l_orderkey", "l_partkey", minCo = 2)
+        .orderBy(col("n_co").desc, col("src"), col("dst")).limit(100)
+    },
+  )
+
+  private lazy val trianglesQ = Q(
+    "q131_triangles",
+    "Per-node triangle counts on the co-purchase graph — community " +
+      "density around each part. Spark runs degree-ordered compact-" +
+      "forward (wedges enumerated at their lowest-degree apex, " +
+      "O(|E|^1.5) regardless of hub skew); the oracle runs the naive " +
+      "id-ordered 3-way join — the hash-match is the equivalence " +
+      "theorem between them. graft.operators.Graph.triangleCounts.",
+    Some(coPurchaseSql.replace("WITH RECURSIVE", "WITH") + """,
+      t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM e e1 JOIN e e2 ON e1.dst = e2.src
+            JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      v AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+      SELECT node AS part_id, CAST(count(*) AS BIGINT) AS n_tri FROM v GROUP BY 1
+    """),
+    (spark, dir) =>
+      graft.operators.Graph.triangleCounts(coPurchaseEdges(spark, dir))
+        .select(col("node").as("part_id"), col("n_tri")),
+  )
+
+  private lazy val bfsQ = Q(
+    "q132_bfs",
+    "Bounded BFS: exact hop distances within 3 undirected hops of the " +
+      "co-purchase graph's max-degree part (the influence-neighborhood " +
+      "primitive). Spark iterates frontier-join + anti-join-visited " +
+      "with localCheckpoint-flattened lineage; the oracle is a " +
+      "depth-bounded recursive CTE with min(d) per node — two very " +
+      "different evaluation strategies, one exact integer result.",
+    Some(coPurchaseSql + """,
+      u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      s AS (SELECT src AS node FROM (SELECT src, count(*) AS d FROM u GROUP BY 1
+                                     ORDER BY d DESC, src LIMIT 1)),
+      r AS (SELECT node, 0 AS d FROM s
+            UNION
+            SELECT u.dst, r.d + 1 FROM r JOIN u ON u.src = r.node WHERE r.d < 3)
+      SELECT node AS part_id, CAST(min(d) AS BIGINT) AS hops FROM r GROUP BY 1
+    """),
+    (spark, dir) =>
+      graft.operators.Graph.bfsHops(coPurchaseEdges(spark, dir), maxHops = 3)
+        .select(col("node").as("part_id"), col("hops")),
+  )
 
   private lazy val centroidsQ = Q(
     "q128_centroids",

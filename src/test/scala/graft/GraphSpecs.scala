@@ -133,4 +133,101 @@ class GraphSpecs extends SparkSpec {
     }
     assert(e.getMessage.contains("overflow"), e.getMessage)
   }
+
+  // ---- Graph.triangleCounts ----------------------------------------------
+
+  /** Naive driver-side reference: all node triples over the adjacency set. */
+  private def triReference(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      a <- nodes; b <- adj(a) if b > a; c <- adj(b) if c > b
+      if adj(a).contains(c)
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    counts.toMap
+  }
+
+  test("triangle counts: cliques, hubs, and seeded random graphs match the naive reference") {
+    import graft.operators.Graph
+    // K5: every node is in C(4,2) = 6 triangles
+    val k5 = for (i <- 0 until 5; j <- i + 1 until 5) yield (10L + i, 10L + j)
+    // star: no triangles at all; duplicate + reversed + loop edges tolerated
+    val star = (1L to 6L).map(i => (100L, 100L + i)) ++ Seq((101L, 100L), (100L, 100L))
+    val got = Graph.triangleCounts(((k5 ++ star)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === k5.flatMap(e => Seq(e._1, e._2)).distinct.map(_ -> 6L).toMap,
+      "K5 corners have 6 triangles each; the star contributes none")
+
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val edges = Seq.fill(260)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+      val df = edges.toDF("src", "dst")
+      val a = Graph.triangleCounts(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a === triReference(edges), s"random trial $trial")
+      // degree-orientation must not make the result partitioning-dependent
+      val b = Graph.triangleCounts(df.repartition(13))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a === b, s"repartition trial $trial")
+    }
+  }
+
+  // ---- Graph.bfsHops -----------------------------------------------------
+
+  /** Driver-side BFS from the max-degree (min-id tiebreak) node. */
+  private def bfsReference(edges: Seq[(Long, Long)], maxHops: Int): Map[Long, Long] = {
+    val sym = edges.filter(e => e._1 != e._2).flatMap(e => Seq(e, e.swap)).distinct
+    val adj = sym.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val source = adj.toSeq.map { case (n, vs) => (n, vs.size) }
+      .sortBy { case (n, d) => (-d, n) }.head._1
+    val dist = scala.collection.mutable.Map(source -> 0L)
+    var frontier = Set(source)
+    for (h <- 1 to maxHops) {
+      frontier = frontier.flatMap(adj).filterNot(dist.contains)
+      frontier.foreach(dist(_) = h.toLong)
+    }
+    dist.toMap
+  }
+
+  test("bfs hops: exact shortest distances from the max-degree seed, bounded depth") {
+    import graft.operators.Graph
+    // two chains hanging off a hub (node 0 has degree 4: the seed), plus
+    // a shortcut that makes one node reachable at distance 2 via two paths
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (1L, 5L), (5L, 6L), (6L, 7L), (2L, 5L), (7L, 8L))
+    for (cap <- Seq(0, 1, 3, 8)) {
+      val got = Graph.bfsHops(edges.toDF("src", "dst"), maxHops = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === bfsReference(edges, cap), s"cap=$cap")
+    }
+    val rnd = new scala.util.Random(23)
+    val rand = Seq.fill(200)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val got = Graph.bfsHops(rand.toDF("src", "dst"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === bfsReference(rand, 4), "random graph")
+  }
+
+  // ---- Graph.coOccurrence ------------------------------------------------
+
+  test("co-occurrence: exact pair supports and lift on a hand-checked basket set") {
+    import graft.operators.Graph
+    // baskets: {A,B,C}, {A,B}, {A,C}, {B,C}, {A,B} (duplicate incidence rows tolerated)
+    val rows = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (2L, "B"),
+      (3L, "A"), (3L, "C"),
+      (4L, "B"), (4L, "C"),
+      (5L, "A"), (5L, "B"))
+    val got = Graph.coOccurrence(rows.toDF("basket", "item"), "basket", "item", minCo = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // n_baskets = 5; n_A = 4, n_B = 4, n_C = 3
+    assert(got === Map(
+      ("A", "B") -> ((3L, 3.0 * 5 / (4 * 4))),
+      ("A", "C") -> ((2L, 2.0 * 5 / (4 * 3))),
+      ("B", "C") -> ((2L, 2.0 * 5 / (4 * 3)))), got.toString)
+  }
 }
