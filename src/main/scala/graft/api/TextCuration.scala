@@ -916,4 +916,71 @@ object TextCuration {
       .filter(col("quality") >= qualityFloor && col("pred_lang").isin(langs: _*))
       .select(idCol, "pred_lang", "quality")
   }
+
+  /** Chi-squared term–label association (one-vs-rest): the supervised
+    * feature-selection / domain-signature primitive — which terms are
+    * over-represented in each label's documents relative to the rest of
+    * the corpus. For each (term, label) 2×2 contingency table
+    * (a = label docs containing the term, b = other docs containing it,
+    * c = label docs without it, d = other docs without it):
+    *
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * with (a+b) = df, (c+d) = N−df, (a+c) = n_label, (b+d) = N−n_label.
+    * Numerator and denominator are EXACT BIGINTs (term presence is
+    * doc-level — `array_distinct` before the explode); the single IEEE
+    * division makes the double bit-identical on any partitioning or
+    * engine (q133 is hash-gated). BIGINT headroom caps N at ~10⁷ docs
+    * per corpus shard (N·(ad−bc)² < 2⁶³); beyond that, run per shard on
+    * stratified counts or move the two products to DECIMAL(38,0).
+    *
+    * Returns the top-`topK` terms per label by χ² (ties broken by
+    * term) among terms with document frequency in [minDf, N): columns
+    * (label, term, n_label_docs, df, chi2, rnk). Sparse contingency:
+    * a label is scored only for terms observed in it at least once
+    * (a = 0 rows are never materialized — at corpus scale the dense
+    * |terms|×|labels| cross product is exactly what this layout
+    * avoids; absence-only signals surface via the other labels' rows).
+    *
+    * Scale shape: one explode + two keyed aggregations over the corpus
+    * (the (term,label) and term marginals), then per-(term,label)
+    * scalar math; label marginals broadcast. The rank window partitions
+    * by label but only over the df-filtered term table — never the
+    * corpus.
+    */
+  def chiSquaredTerms(
+      df: DataFrame,
+      textCol: String,
+      labelCol: String,
+      minDf: Long = 5L,
+      topK: Int = 15): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1: $minDf")
+    require(topK > 0, s"topK must be positive: $topK")
+    val docs = df.filter(col(labelCol).isNotNull)
+    val dt = docs.selectExpr(s"$labelCol AS label",
+      s"explode(array_distinct(${tokensSpark(textCol)})) AS term")
+    val a = dt.groupBy("term", "label").agg(count(lit(1)).cast("long").as("n_tl"))
+    val tdf = a.groupBy("term").agg(sum("n_tl").cast("long").as("df"))
+    val nl = docs.groupBy(col(labelCol).as("label")).agg(count(lit(1)).cast("long").as("n_label"))
+    val n = docs.select(count(lit(1)).cast("long").as("n_docs"))
+    val x = a.join(tdf, "term")
+      .filter(col("df") >= minDf)
+      .join(broadcast(nl), "label")
+      .crossJoin(broadcast(n))
+      // a term in every doc, or a single-label corpus, has a zero
+      // marginal — χ² is undefined (and uninformative): drop up front
+      .filter(col("df") < col("n_docs") && col("n_label") < col("n_docs"))
+    val bC = col("df") - col("n_tl")
+    val dC = col("n_docs") - col("n_label") - bC
+    val diff = col("n_tl") * dC - bC * (col("n_label") - col("n_tl"))
+    val num = col("n_docs") * diff * diff
+    val den = col("df") * (col("n_docs") - col("df")) *
+      col("n_label") * (col("n_docs") - col("n_label"))
+    val scored = x.select(col("label"), col("term"),
+      col("n_tl").as("n_label_docs"), col("df"),
+      (num.cast("double") / den.cast("double")).as("chi2"))
+    val w = Window.partitionBy("label").orderBy(col("chi2").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+  }
 }

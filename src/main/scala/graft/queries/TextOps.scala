@@ -389,7 +389,41 @@ object TextOps {
           "(graft_uninorm(text, 'NFC') <> text) AS changed",
           "CAST(length(graft_uninorm(text, 'NFC')) AS BIGINT) AS n_chars_norm"),
     ),
-  ) ++ (curationQ +: retrievalQs)
+  ) ++ (curationQ +: chi2Q +: retrievalQs)
+
+  private lazy val chi2Q = Q(
+    "q133_chi2_terms",
+    "Chi-squared term–label association (one-vs-rest feature selection): " +
+      "top-15 terms per language by χ² = N(ad−bc)²/(df·(N−df)·n_l·(N−n_l)) " +
+      "over doc-level 2×2 contingency counts. Numerator/denominator are " +
+      "exact BIGINTs, one IEEE division — bit-identical on any " +
+      "partitioning. One explode + two keyed aggs over the corpus; the " +
+      "rank window sees only the df-filtered term table. " +
+      "graft.api.TextCuration.chiSquaredTerms.",
+    Some(s"""
+      WITH d AS (SELECT lang AS label, text FROM documents WHERE lang IS NOT NULL),
+      dt AS (SELECT label, unnest(list_distinct(${tokensDuck("text")})) AS term FROM d),
+      a AS (SELECT term, label, CAST(count(*) AS BIGINT) AS n_tl FROM dt GROUP BY 1, 2),
+      tdf AS (SELECT term, CAST(sum(n_tl) AS BIGINT) AS df FROM a GROUP BY 1),
+      nl AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM d GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+      x AS (SELECT a.label, a.term, a.n_tl, tdf.df, nl.n_label, n.n_docs
+            FROM a JOIN tdf USING (term) JOIN nl USING (label) CROSS JOIN n
+            WHERE tdf.df >= 5 AND tdf.df < n.n_docs AND nl.n_label < n.n_docs),
+      s AS (SELECT label, term, n_tl AS n_label_docs, df,
+              CAST(n_docs * (n_tl * (n_docs - n_label - (df - n_tl)) - (df - n_tl) * (n_label - n_tl))
+                          * (n_tl * (n_docs - n_label - (df - n_tl)) - (df - n_tl) * (n_label - n_tl)) AS DOUBLE)
+              / CAST(df * (n_docs - df) * n_label * (n_docs - n_label) AS DOUBLE) AS chi2
+            FROM x),
+      r AS (SELECT label, term, n_label_docs, df, chi2,
+              CAST(row_number() OVER (PARTITION BY label ORDER BY chi2 DESC, term) AS BIGINT) AS rnk
+            FROM s)
+      SELECT label, term, n_label_docs, df, chi2, rnk FROM r WHERE rnk <= 15
+    """.trim),
+    (spark, dir) =>
+      graft.api.TextCuration.chiSquaredTerms(Tables(spark, dir).documents,
+        "text", "lang", minDf = 5L, topK = 15),
+  )
 
   /** q60: the curation capstone — the full training-data filtering flow
     * over one corpus snapshot, composed from the dedup/quality/lang

@@ -637,4 +637,35 @@ class CurationSpecs extends SparkSpec {
     val thePairs = out.filter(t => t._1 == "the" || t._2 == "the")
     assert(thePairs.forall(_._4 < out.head._4))
   }
+
+  test("chiSquaredTerms: exact 2x2 chi-squared against hand-computed tables") {
+    // N=5 (null-label doc excluded), n_x=3, n_y=2; 'the' is in every doc
+    // (df=N -> dropped); within-doc repeats count once (doc-level df)
+    val docs = Seq(
+      (1L, "the apple banana", "x"),
+      (2L, "the apple cherry", "x"),
+      (3L, "the apple apple", "x"),
+      (4L, "the banana cherry", "y"),
+      (5L, "the banana banana", "y"),
+      (6L, "the dropped row", null),
+    ).toDF("doc_id", "text", "label")
+    val got = TextCuration.chiSquaredTerms(docs, "text", "label", minDf = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    // apple: perfectly discriminative for x -> chi2 = N = 5; scored only
+    // where observed (sparse contingency: no ("y","apple") row)
+    assert(got(("x", "apple")) === ((3L, 3L, 5.0, 1L)))
+    assert(!got.contains(("y", "apple")), "labels are scored only for observed terms")
+    // banana: a_x=1,b=2,c=2,d=0 -> 5*16/36; cherry: 5*1/36
+    assert(got(("x", "banana")) === ((1L, 3L, 80.0 / 36.0, 2L)))
+    assert(got(("y", "banana")) === ((2L, 3L, 80.0 / 36.0, 1L)))
+    assert(got(("x", "cherry")) === ((1L, 2L, 5.0 / 36.0, 3L)))
+    assert(got(("y", "cherry")) === ((1L, 2L, 5.0 / 36.0, 2L)))
+    assert(!got.keySet.exists(_._2 == "the"), "df = N terms carry no signal and must be dropped")
+    assert(!got.keySet.exists(_._2 == "dropped"), "null-label docs are excluded")
+    // topK truncation via the rank column
+    val top1 = TextCuration.chiSquaredTerms(docs, "text", "label", minDf = 1L, topK = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(top1.toSet === Set(("x", "apple"), ("y", "banana")))
+  }
 }
