@@ -110,6 +110,38 @@ object Stats {
       .drop("__lo", "__hi")
   }
 
+  /** Robust outlier detection via the median absolute deviation: rows
+    * whose |value − median| exceeds `k`·MAD for their group, where MAD
+    * is the median of the absolute deviations. Unlike mean/stddev
+    * z-scores (q97's IQR family's cousin), the breakdown point is 50% —
+    * half the data can be corrupt before the threshold moves.
+    *
+    * Determinism: medians are [[histogramMedian]]'s exact order
+    * statistics (actual data values, or one IEEE midpoint add for even
+    * n); each deviation is ONE IEEE subtract of identically-computed
+    * doubles; the flag compares against one multiply. Every engine
+    * computes the identical bits, so the flagged row SET hash-matches.
+    *
+    * Scale shape: two histogram-median passes (each one partial-agg
+    * shuffle + a |distinct values|-sized cumulative window per group)
+    * plus two joins of group-cardinality cutoff tables back onto the
+    * rows (AQE broadcasts them when small). Never sorts the raw rows.
+    *
+    * Returns the OUTLIER rows only: input columns + (med, mad).
+    */
+  def madOutliers(df: DataFrame, keyCols: Seq[String], valCol: String, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val med = histogramMedian(df, keyCols, valCol)
+      .select((keyCols.map(col) :+ col("median").as("med")): _*)
+    val dev = df.join(med, keyCols)
+      .withColumn("__dev", abs(col(valCol) - col("med")))
+    val mad = histogramMedian(dev, keyCols, "__dev")
+      .select((keyCols.map(col) :+ col("median").as("mad")): _*)
+    dev.join(mad, keyCols)
+      .filter(col("__dev") > lit(k) * col("mad"))
+      .drop("__dev")
+  }
+
   /** Data-quality gate (dbt-test / Deequ-style): violation counts for
     * the three constraint families a pipeline asserts before
     * publishing a table — NOT NULL columns, unique keys, and

@@ -137,4 +137,45 @@ object TimeSeries {
         carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))) :+
         (least(col("__e_a"), col("__e_b")) - greatest(col("__s_a"), col("__s_b"))).as("overlap_us")): _*)
   }
+
+  /** One-sided CUSUM change detection per key: over the key's values in
+    * `orderCols` order, fold
+    *
+    *   s_i = max(0, s_{i−1} + (x_i − μ_key)),   s_0 = 0
+    *
+    * (μ_key = the key's mean, 2-decimal exact sum / one IEEE division)
+    * and return both the final statistic and its running maximum — a
+    * sustained upward level shift accumulates in `cusum_max` where
+    * mean/stddev summaries wash it out. The same ordered per-key fold
+    * family as q114's EWMA: both engines left-fold the identical
+    * ordered list with identical IEEE ops, so the doubles are
+    * bit-identical on any partitioning.
+    *
+    * Scale shape: one shuffle on the key; each key's sequence buffers
+    * in one task (the documented contract of the fold family — a
+    * pathological hot key is the caller's to pre-split; FunnelHotKeySpec
+    * bounds the family's behavior).
+    *
+    * Returns (key, n_events, mu, cusum_final, cusum_max).
+    */
+  def cusum(df: DataFrame, keyCol: String, orderCols: Seq[String], valCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "cusum needs at least one ordering column")
+    val ordered = orderCols.map(col) :+ col(valCol).as("__v")
+    df.groupBy(col(keyCol))
+      .agg(
+        sort_array(collect_list(struct(ordered: _*))).as("__seq"),
+        (sum(col(valCol).cast(org.apache.spark.sql.types.DecimalType(30, 2))).cast("double") /
+          count(lit(1))).as("mu"))
+      .selectExpr(
+        keyCol,
+        "CAST(size(__seq) AS BIGINT) AS n_events",
+        "mu",
+        "aggregate(__seq, array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), " +
+          "(cs_acc, cs_x) -> array(" +
+          "greatest(element_at(cs_acc, 1) + CAST(cs_x.__v AS DOUBLE) - mu, CAST(0.0 AS DOUBLE)), " +
+          "greatest(element_at(cs_acc, 2), " +
+          "greatest(element_at(cs_acc, 1) + CAST(cs_x.__v AS DOUBLE) - mu, CAST(0.0 AS DOUBLE))))) AS __f")
+      .selectExpr(keyCol, "n_events", "mu",
+        "element_at(__f, 1) AS cusum_final", "element_at(__f, 2) AS cusum_max")
+  }
 }

@@ -665,7 +665,73 @@ object Analytics {
       },
     ),
   ) ++ Seq(skylineQ, regressionQ, ohlcQ, centroidsQ, winsorizeQ,
-    basketPairsQ, trianglesQ, bfsQ)
+    basketPairsQ, trianglesQ, bfsQ, madOutliersQ, cusumQ)
+
+  private lazy val madOutliersQ = Q(
+    "q134_mad_outliers",
+    "Robust outlier detection: events whose |value − median| > 3·MAD " +
+      "for their type (median absolute deviation — 50% breakdown point " +
+      "where q97's mean-based fences have 0%). Two exact histogram-" +
+      "median passes + two broadcast-sized cutoff joins; deviations are " +
+      "single IEEE subtracts of identically-computed doubles, so the " +
+      "flagged SET is bit-identical. graft.operators.Stats.madOutliers.",
+    Some("""
+      WITH h AS (SELECT event_type, value, count(*) AS cnt FROM events GROUP BY 1, 2),
+      c AS (SELECT event_type, value, cnt,
+              sum(cnt) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+              sum(cnt) OVER (PARTITION BY event_type) AS n_rows FROM h),
+      m AS (SELECT event_type,
+              (min(CASE WHEN cum >= (n_rows + 1) // 2 THEN value END)
+               + min(CASE WHEN cum >= n_rows // 2 + 1 THEN value END)) / 2.0 AS med
+            FROM c GROUP BY event_type),
+      d AS (SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+            FROM events e JOIN m USING (event_type)),
+      h2 AS (SELECT event_type, dev, count(*) AS cnt FROM d GROUP BY 1, 2),
+      c2 AS (SELECT event_type, dev, cnt,
+              sum(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+              sum(cnt) OVER (PARTITION BY event_type) AS n_rows FROM h2),
+      m2 AS (SELECT event_type,
+              (min(CASE WHEN cum >= (n_rows + 1) // 2 THEN dev END)
+               + min(CASE WHEN cum >= n_rows // 2 + 1 THEN dev END)) / 2.0 AS mad
+            FROM c2 GROUP BY event_type)
+      SELECT d.event_id, d.event_type, d.value, d.med, m2.mad
+      FROM d JOIN m2 USING (event_type)
+      WHERE d.dev > 3.0 * m2.mad
+    """.trim),
+    (spark, dir) =>
+      graft.operators.Stats.madOutliers(
+        Tables(spark, dir).events.select("event_id", "event_type", "value"),
+        Seq("event_type"), "value", k = 3.0)
+        .select("event_id", "event_type", "value", "med", "mad"),
+  )
+
+  private lazy val cusumQ = Q(
+    "q135_cusum",
+    "CUSUM change detection: per-user one-sided cumulative sum of " +
+      "mean-centered values in (ts, event_id) order — final statistic " +
+      "and running max (a sustained level shift accumulates where " +
+      "mean/stddev wash out). Same bit-exact ordered-fold family as " +
+      "q114's EWMA. graft.operators.TimeSeries.cusum.",
+    Some("""
+      WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS seq,
+                   CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS mu
+                 FROM events WHERE user_id < 100 GROUP BY user_id),
+      f AS (SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events, mu,
+              list_reduce(
+                list_prepend([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                  list_transform(seq, cs_v -> [CAST(cs_v AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+                (cs_acc, cs_x) -> [
+                  greatest(cs_acc[1] + cs_x[1] - mu, CAST(0.0 AS DOUBLE)),
+                  greatest(cs_acc[2],
+                    greatest(cs_acc[1] + cs_x[1] - mu, CAST(0.0 AS DOUBLE)))]) AS f
+            FROM s)
+      SELECT user_id, n_events, mu, f[1] AS cusum_final, f[2] AS cusum_max FROM f
+    """.trim),
+    (spark, dir) =>
+      graft.operators.TimeSeries.cusum(
+        Tables(spark, dir).events.filter(col("user_id") < 100),
+        "user_id", Seq("ts", "event_id"), "value"),
+  )
 
   /** Shared DuckDB prefix for q130–q132: the thresholded co-purchase
     * graph (parts are linked when they share ≥ 2 distinct orders —

@@ -577,6 +577,21 @@ class CurationSpecs extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("madOutliers: hand-checked medians/MAD; only rows beyond k*MAD flagged") {
+    import graft.operators.Stats
+    // group g: values 1..9 plus the spike 100 -> n=10, med=(5+6)/2=5.5,
+    // sorted devs [0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,94.5],
+    // mad=(2.5+2.5)/2=2.5 -> threshold 7.5: only the spike flags
+    val rows = ((1 to 9).map(i => ("g", i.toLong, i.toDouble)) :+ (("g", 10L, 100.0))) ++
+      // group h: constant values -> mad = 0, no deviation, no outliers
+      (1 to 5).map(i => ("h", 100L + i, 7.0))
+    val df = rows.toDF("grp", "id", "v")
+    val got = Stats.madOutliers(df, Seq("grp"), "v", k = 3.0)
+      .select("grp", "id", "v", "med", "mad")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(("g", 10L, 100.0, 5.5, 2.5)), got.toSeq.toString)
+  }
+
   test("winsorize: values clamp to the exact per-group quantile band; interior values pass through untouched") {
     // group g: 1..20 -> p10 = ceil(0.1*20)=2nd value = 2, p90 = 18th = 18
     val df = (1 to 20).map(i => ("g", i.toDouble)) :+ (("h", 5.0))

@@ -732,6 +732,33 @@ class TimeSeriesSpec extends SparkSpec {
 
   private def t(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("cusum: exact fold vs a driver-side reference; bit-identical under repartitioning") {
+    def tm(m: Int) = new java.sql.Timestamp(t("2020-01-01 00:00:00").getTime + m * 60000L)
+    // user 1: level shift upward halfway; user 2: flat
+    val vals1 = Seq(1.0, 2.0, 1.0, 2.0, 8.0, 9.0, 8.0, 9.0)
+    val vals2 = Seq(5.0, 5.0, 5.0)
+    val rows = vals1.zipWithIndex.map { case (v, i) => (1L, tm(i), i.toLong, v) } ++
+      vals2.zipWithIndex.map { case (v, i) => (2L, tm(i), i.toLong, v) }
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    def reference(vs: Seq[Double]): (Double, Double, Double) = {
+      // mirror the engine: mu = decimal(30,2) exact sum / n (values are
+      // 2-decimal already, so plain sum is the same here)
+      val mu = vs.sum / vs.size
+      var (s, mx) = (0.0, 0.0)
+      vs.foreach { v => s = math.max(s + v - mu, 0.0); mx = math.max(mx, s) }
+      (mu, s, mx)
+    }
+    for (d <- Seq(df, df.repartition(7))) {
+      val got = TimeSeries.cusum(d, "user_id", Seq("ts", "event_id"), "value")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      val (mu1, s1, mx1) = reference(vals1)
+      val (mu2, s2, mx2) = reference(vals2)
+      assert(got(1L) === ((vals1.size.toLong, mu1, s1, mx1)), got(1L).toString)
+      assert(got(2L) === ((vals2.size.toLong, mu2, s2, mx2)), got(2L).toString)
+    }
+  }
+
   test("gapFillLocf: LWW under duplicate ts, on-grid inclusive, leading nulls, carry across gaps") {
     val events = Seq(
       // key a: duplicate ts -> seq 2 wins; 12:00 lands exactly ON a grid instant
@@ -1108,4 +1135,5 @@ class CoreSpec extends SparkSpec {
     Tables.invalidate(dir)
     assert(Tables(spark, dir).region.count() === 2L)
   }
+
 }
