@@ -42,4 +42,58 @@ object Skew {
       salt, explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft.join(replicatedRight, Seq(key, salt)).drop(salt)
   }
+
+  /** Key-skew diagnostic — the measurement that decides whether
+    * [[saltedJoin]] (or AQE's skew split) is needed at all: for a
+    * prospective join/group key, the top-`topK` hottest keys with their
+    * row share, plus corpus-wide concentration stats (key count, row
+    * count, max and exact-p99 multiplicity, Gini coefficient of the key
+    * distribution; Gini 0 = uniform, → 1 = one key owns everything).
+    *
+    * Exactness at scale: everything derives from the
+    * frequency-of-frequency table (multiplicity → how many keys have
+    * it), whose size is bounded by the max multiplicity, not the key
+    * count — so the only ordered window runs over that tiny table,
+    * never a global sort of keys. A tie block of `k` keys sharing
+    * multiplicity `c` contributes ranks (cumk−k+1)..cumk, whose rank
+    * sum is (2·cumk−k+1)·k/2 — kept doubled (S2 = Σ c·(2·cumk−k+1)·k,
+    * always an integer) so Gini = (S2 − (n+1)·T) / (n·T) is a ratio of
+    * exact DECIMAL(38,0)s with ONE IEEE division: bit-identical on any
+    * partitioning. p99 multiplicity uses the same
+    * ceil-position-on-cumulative-counts definition as
+    * [[Stats.histogramQuantiles]].
+    *
+    * Returns topK rows: (key..., cnt, share, n_keys, n_rows, max_cnt,
+    * p99_cnt, gini) — summary columns repeated per row.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val f = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).cast("long").as("cnt"))
+    val ff = f.groupBy("cnt").agg(count(lit(1)).cast("long").as("k"))
+    // |distinct multiplicities| rows: a single-partition window here is
+    // safe at any corpus scale (bounded by max multiplicity)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt"))
+    val c = ff.withColumn("cumk", sum("k").over(w))
+    val summary = c.selectExpr(
+      "CAST(cnt AS DECIMAL(38,0)) * CAST(2 * cumk - k + 1 AS DECIMAL(38,0)) * CAST(k AS DECIMAL(38,0)) AS s2p",
+      "cnt", "k", "cumk")
+      .agg(
+        sum("s2p").as("s2"),
+        sum("k").cast("long").as("n_keys"),
+        sum(col("cnt") * col("k")).cast("long").as("n_rows"),
+        max("cnt").as("max_cnt"))
+    val p99 = c.crossJoin(broadcast(summary.select("n_keys")))
+      .filter(expr("cumk >= (n_keys * 9900 + 9999) DIV 10000"))
+      .agg(min("cnt").as("p99_cnt"))
+    val g = summary.crossJoin(broadcast(p99)).selectExpr(
+      "n_keys", "n_rows", "max_cnt", "p99_cnt",
+      "CAST(s2 - CAST(n_keys + 1 AS DECIMAL(38,0)) * CAST(n_rows AS DECIMAL(38,0)) AS DOUBLE) " +
+        "/ CAST(CAST(n_keys AS DECIMAL(38,0)) * CAST(n_rows AS DECIMAL(38,0)) AS DOUBLE) AS gini")
+    f.orderBy(col("cnt").desc, col(keyCol)).limit(topK)
+      .crossJoin(broadcast(g))
+      .withColumn("share", col("cnt").cast("double") / col("n_rows").cast("double"))
+      .select((Seq(col(keyCol), col("cnt"), col("share")) ++
+        Seq("n_keys", "n_rows", "max_cnt", "p99_cnt", "gini").map(col)): _*)
+  }
 }

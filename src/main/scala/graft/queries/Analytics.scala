@@ -665,7 +665,44 @@ object Analytics {
       },
     ),
   ) ++ Seq(skylineQ, regressionQ, ohlcQ, centroidsQ, winsorizeQ,
-    basketPairsQ, trianglesQ, bfsQ, madOutliersQ, cusumQ)
+    basketPairsQ, trianglesQ, bfsQ, madOutliersQ, cusumQ, keySkewQ)
+
+  private lazy val keySkewQ = Q(
+    "q136_key_skew",
+    "Key-skew diagnostic (the measurement behind salting / AQE-split " +
+      "decisions): top-10 hottest user_ids with row share, plus exact " +
+      "corpus stats — key count, max and p99 multiplicity, and the Gini " +
+      "coefficient of the key distribution from the frequency-of-" +
+      "frequency table (the only ordered window runs over |distinct " +
+      "multiplicities| rows, never a global key sort; Gini is a ratio " +
+      "of exact DECIMAL(38,0) rank-block sums, one IEEE division). " +
+      "graft.operators.Skew.keySkewProfile.",
+    Some("""
+      WITH f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+                 FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      ff AS (SELECT cnt, CAST(count(*) AS BIGINT) AS k FROM f GROUP BY 1),
+      c AS (SELECT cnt, k, sum(k) OVER (ORDER BY cnt) AS cumk FROM ff),
+      n AS (SELECT sum(cnt * (2 * cumk - k + 1) * k) AS s2,
+                   CAST(sum(k) AS BIGINT) AS n_keys,
+                   CAST(sum(cnt * k) AS BIGINT) AS n_rows,
+                   CAST(max(cnt) AS BIGINT) AS max_cnt
+            FROM c),
+      p AS (SELECT CAST(min(cnt) AS BIGINT) AS p99_cnt
+            FROM c CROSS JOIN n WHERE cumk >= (n.n_keys * 9900 + 9999) // 10000),
+      g AS (SELECT n.n_keys, n.n_rows, n.max_cnt, p.p99_cnt,
+              CAST(n.s2 - (n.n_keys + 1) * n.n_rows AS DOUBLE)
+                / CAST(n.n_keys * n.n_rows AS DOUBLE) AS gini
+            FROM n CROSS JOIN p)
+      SELECT t.user_id, t.cnt,
+        CAST(t.cnt AS DOUBLE) / CAST(g.n_rows AS DOUBLE) AS share,
+        g.n_keys, g.n_rows, g.max_cnt, g.p99_cnt, g.gini
+      FROM (SELECT user_id, cnt FROM f ORDER BY cnt DESC, user_id LIMIT 10) t
+      CROSS JOIN g
+    """.trim),
+    (spark, dir) =>
+      graft.operators.Skew.keySkewProfile(
+        Tables(spark, dir).events.select("user_id"), "user_id", topK = 10),
+  )
 
   private lazy val madOutliersQ = Q(
     "q134_mad_outliers",

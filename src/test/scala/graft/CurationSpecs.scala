@@ -577,6 +577,29 @@ class CurationSpecs extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("keySkewProfile: hand-checked Gini, p99, heavy hitters; uniform keys score 0") {
+    import graft.operators.Skew
+    // skewed: key 1 x 6 rows, key 2 x 3, key 3 x 1 -> n=3 keys, T=10.
+    // ranks by cnt asc: (3:c1,r1),(2:c3,r2),(1:c6,r3); S=1*1+2*3+3*6=25
+    // gini = (2*25 - 4*10)/(3*10) = 10/30
+    val rows = Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L) ++ Seq[Long]()
+    val got = Skew.keySkewProfile(rows.toDF("key"), "key", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(got.toSeq === Seq(
+      (1L, 6L, 0.6, 3L, 10L, 6L, 6L, 10.0 / 30.0),
+      (2L, 3L, 0.3, 3L, 10L, 6L, 6L, 10.0 / 30.0)), got.toSeq.toString)
+    // uniform distribution: gini exactly 0, p99 = max = 2
+    val uni = (1L to 8L).flatMap(k => Seq(k, k))
+    val u = Skew.keySkewProfile(uni.toDF("key"), "key", topK = 1)
+      .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(u.toSeq === Seq((8L, 16L, 2L, 2L, 0.0)), u.toSeq.toString)
+    // nulls are not keys
+    val withNull = rows.map(Option(_)) :+ (None: Option[Long])
+    assert(Skew.keySkewProfile(withNull.toDF("key"), "key", topK = 5)
+      .collect().map(_.getLong(4)).head === 10L, "null keys excluded from n_rows")
+  }
+
   test("madOutliers: hand-checked medians/MAD; only rows beyond k*MAD flagged") {
     import graft.operators.Stats
     // group g: values 1..9 plus the spike 100 -> n=10, med=(5+6)/2=5.5,
