@@ -138,6 +138,55 @@ object TimeSeries {
         (least(col("__e_a"), col("__e_b")) - greatest(col("__s_a"), col("__s_b"))).as("overlap_us")): _*)
   }
 
+  /** Rolling Pearson correlation between two pre-aggregated series
+    * columns over a trailing `window`-row frame in `orderCol` order —
+    * the co-movement diagnostic between two metrics (e.g. two event
+    * types' daily totals).
+    *
+    * Exactness: `xCol`/`yCol` must be DECIMAL (the caller aggregates
+    * them exactly — DECIMAL(18,2) leaves product headroom); the six
+    * frame sums (Σx, Σy, Σxy, Σx², Σy², n) are then exact decimal
+    * window aggregates, and corr = (n·Σxy − ΣxΣy) /
+    * (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) is a fixed IEEE expression tree
+    * over their double casts — bit-identical on any engine. Rows with
+    * an incomplete frame or a zero variance (corr undefined) are
+    * dropped; the variance guard compares the same doubles both
+    * engines compute, so the emitted row SET matches exactly.
+    *
+    * Scale shape: the input is a pre-aggregated series (one row per
+    * grid instant), so the ordered window runs over series length, not
+    * raw rows — partition by series key upstream when profiling many
+    * series.
+    */
+  def rollingCorr(series: DataFrame, orderCol: String, xCol: String, yCol: String,
+                  window: Int = 7): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    import org.apache.spark.sql.types.DecimalType
+    Seq(xCol, yCol).foreach { c =>
+      require(series.schema(c).dataType.isInstanceOf[DecimalType],
+        s"$c must be DECIMAL for exact frame sums (got ${series.schema(c).dataType})")
+    }
+    val w = Window.orderBy(col(orderCol)).rowsBetween(-(window - 1), Window.currentRow)
+    val x = col(xCol)
+    val y = col(yCol)
+    val framed = series
+      .withColumn("__n", count(lit(1)).over(w).cast("long"))
+      .withColumn("__sx", sum(x).over(w))
+      .withColumn("__sy", sum(y).over(w))
+      .withColumn("__sxy", sum(x * y).over(w))
+      .withColumn("__sxx", sum(x * x).over(w))
+      .withColumn("__syy", sum(y * y).over(w))
+    val nD = col("__n").cast("double")
+    val (sx, sy, sxy, sxx, syy) = (col("__sx").cast("double"), col("__sy").cast("double"),
+      col("__sxy").cast("double"), col("__sxx").cast("double"), col("__syy").cast("double"))
+    val varX = nD * sxx - sx * sx
+    val varY = nD * syy - sy * sy
+    framed
+      .filter(col("__n") === window && varX > 0.0 && varY > 0.0)
+      .select(col(orderCol), col("__n").as("n_rows"),
+        ((nD * sxy - sx * sy) / (sqrt(varX) * sqrt(varY))).as("corr"))
+  }
+
   /** One-sided CUSUM change detection per key: over the key's values in
     * `orderCols` order, fold
     *

@@ -665,7 +665,50 @@ object Analytics {
       },
     ),
   ) ++ Seq(skylineQ, regressionQ, ohlcQ, centroidsQ, winsorizeQ,
-    basketPairsQ, trianglesQ, bfsQ, madOutliersQ, cusumQ, keySkewQ)
+    basketPairsQ, trianglesQ, bfsQ, madOutliersQ, cusumQ, keySkewQ, rollingCorrQ)
+
+  private lazy val rollingCorrQ = Q(
+    "q137_rolling_corr",
+    "Rolling 7-day Pearson correlation between click and view daily " +
+      "revenue totals: the co-movement diagnostic. Daily totals are " +
+      "exact DECIMAL(18,2) sums (one keyed shuffle); the six trailing-" +
+      "frame sums are exact decimal window aggregates over the DAY " +
+      "series (365 rows/year, not raw events); corr is one fixed IEEE " +
+      "expression tree over their double casts. Zero-variance and " +
+      "partial frames are dropped. graft.operators.TimeSeries" +
+      ".rollingCorr.",
+    Some("""
+      WITH d AS (SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(30,2))
+                             ELSE CAST(0.00 AS DECIMAL(30,2)) END) AS DECIMAL(18,2)) AS x,
+               CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(30,2))
+                             ELSE CAST(0.00 AS DECIMAL(30,2)) END) AS DECIMAL(18,2)) AS y
+             FROM events GROUP BY 1),
+      w AS (SELECT day,
+              CAST(count(*) OVER win AS BIGINT) AS n,
+              sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+              sum(x * y) OVER win AS sxy,
+              sum(x * x) OVER win AS sxx, sum(y * y) OVER win AS syy
+            FROM d WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT day, n AS n_rows,
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+      FROM w
+      WHERE n = 7
+        AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+    """.trim),
+    (spark, dir) => {
+      val daily = Tables(spark, dir).events
+        .selectExpr("CAST(ts AS DATE) AS day",
+          "CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(30,2)) ELSE CAST(0.00 AS DECIMAL(30,2)) END AS xv",
+          "CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(30,2)) ELSE CAST(0.00 AS DECIMAL(30,2)) END AS yv")
+        .groupBy("day")
+        .agg(sum("xv").cast(DecimalType(18, 2)).as("x"), sum("yv").cast(DecimalType(18, 2)).as("y"))
+      graft.operators.TimeSeries.rollingCorr(daily, "day", "x", "y", window = 7)
+    },
+  )
 
   private lazy val keySkewQ = Q(
     "q136_key_skew",

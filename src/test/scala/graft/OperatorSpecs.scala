@@ -732,6 +732,31 @@ class TimeSeriesSpec extends SparkSpec {
 
   private def t(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("rollingCorr: ±1 on linear series, constant series dropped, partial frames dropped") {
+    val days = (1 to 10).map(i => java.sql.Date.valueOf(f"2024-01-$i%02d"))
+    def dec(v: Double) = new java.math.BigDecimal(v).setScale(2)
+    // y = 2x (corr +1); z = -x (corr -1); c constant (zero variance)
+    val rows = days.zipWithIndex.map { case (d, i) =>
+      (d, dec(i + 1.0), dec(2.0 * (i + 1)), dec(-(i + 1.0)), dec(5.0)) }
+    val df = rows.toDF("day", "x", "y", "z", "c")
+      .selectExpr("day", "CAST(x AS DECIMAL(18,2)) AS x", "CAST(y AS DECIMAL(18,2)) AS y",
+        "CAST(z AS DECIMAL(18,2)) AS z", "CAST(c AS DECIMAL(18,2)) AS c")
+    import graft.operators.TimeSeries
+    val up = TimeSeries.rollingCorr(df, "day", "x", "y", window = 4)
+      .collect().map(r => r.getDate(0) -> r.getDouble(2)).toMap
+    assert(up.size === 7, "first 3 days have partial frames")
+    assert(up.values.forall(v => math.abs(v - 1.0) < 1e-12), up.toString)
+    val dn = TimeSeries.rollingCorr(df, "day", "x", "z", window = 4)
+      .collect().map(_.getDouble(2))
+    assert(dn.length === 7 && dn.forall(v => math.abs(v + 1.0) < 1e-12), dn.toSeq.toString)
+    assert(TimeSeries.rollingCorr(df, "day", "x", "c", window = 4).count() === 0L,
+      "zero-variance frames are dropped, not NaN")
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.rollingCorr(df.withColumn("x", col("x").cast("double")), "day", "x", "y")
+    }
+    assert(e.getMessage.contains("DECIMAL"), e.getMessage)
+  }
+
   test("cusum: exact fold vs a driver-side reference; bit-identical under repartitioning") {
     def tm(m: Int) = new java.sql.Timestamp(t("2020-01-01 00:00:00").getTime + m * 60000L)
     // user 1: level shift upward halfway; user 2: flat
