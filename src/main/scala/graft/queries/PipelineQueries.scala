@@ -210,6 +210,37 @@ object PipelineQueries {
       },
     ),
     Q(
+      "q138_csv_roundtrip",
+      "CSV sink -> source round trip (graft.sources.CsvIO, pinned " +
+        "RFC-4180 dialect: doubled-quote escaping, NULL sentinel, ISO " +
+        "micros timestamps): orders rows with free-text commas survive " +
+        "write+read losslessly — the oracle reads the parquet truth " +
+        "directly, so the hash-match proves fidelity for bigint/" +
+        "timestamp/double/text. Read takes an explicit schema (never " +
+        "inferSchema's extra full pass); CSV is the landing ramp, " +
+        "parquet the query path.",
+      Some("""
+        SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority,
+          CASE WHEN o_orderkey % 11 = 0 THEN NULL
+               WHEN o_orderkey % 7 = 0 THEN ''
+               ELSE o_orderpriority || ',"' || o_orderstatus || chr(92) || ' x,y '
+          END AS hostile
+        FROM orders
+      """.trim),
+      (spark, dir) => {
+        val src = Tables(spark, dir).orders.selectExpr(
+          "o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority",
+          // commas, quotes, a backslash (chr to keep both SQL dialects
+          // literal-escape-free), leading/trailing spaces, '' vs NULL
+          "CASE WHEN o_orderkey % 11 = 0 THEN NULL " +
+            "WHEN o_orderkey % 7 = 0 THEN '' " +
+            "ELSE concat(o_orderpriority, ',\"', o_orderstatus, chr(92), ' x,y ') END AS hostile")
+        val out = graft.Artifacts.scratch("csvrt")
+        graft.sources.CsvIO.write(src, out)
+        graft.sources.CsvIO.read(spark, out, src.schema)
+      },
+    ),
+    Q(
       "q48_multimodal_features",
       "Multimodal plumbing: text -> opaque binary payload + metadata, " +
         "feature extraction via partition-parallel batched decode " +

@@ -494,6 +494,35 @@ class SourceSinkSpec extends SparkSpec {
     assert(fromCsv.count() === ev.count())
     assert(fromCsv.except(ev).isEmpty && ev.except(fromCsv).isEmpty)
   }
+
+  test("CsvIO pinned dialect: hostile strings, null-vs-empty, whitespace, micros timestamps survive") {
+    import spark.implicits._
+    val dir = tmpDir("csvio").toString
+    val rows = Seq(
+      (1L, Some("""a,"b" c"""), java.sql.Timestamp.valueOf("2024-03-01 01:02:03.123456"), 1.5),
+      (2L, Some("  padded  "), java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), -0.25),
+      (3L, Some(""), java.sql.Timestamp.valueOf("2024-12-31 23:59:59.999999"), 1e-300),
+      (4L, None, java.sql.Timestamp.valueOf("2024-06-06 06:06:06.000001"), 12345.678901),
+      (5L, Some("ends in backslash\\"), java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0.1),
+    ).toDF("id", "s", "ts", "v")
+    graft.sources.CsvIO.write(rows, s"$dir/rt")
+    val back = graft.sources.CsvIO.read(spark, s"$dir/rt", rows.schema)
+    assert(back.count() === 5L)
+    assert(back.except(rows).isEmpty && rows.except(back).isEmpty,
+      back.collect().toSeq.toString)
+    // null and empty string remain DISTINCT through the round trip
+    val m = back.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(m(3L) === Some("") && m(4L) === None)
+    // pinned in-band limitation: a literal string equal to the NULL
+    // sentinel reads back as NULL (no COPY-style escaping in the
+    // writer) — if this ever starts round-tripping, the docs can drop
+    // the caveat
+    val sentinel = Seq((9L, Some("\\N"))).toDF("id", "s")
+    graft.sources.CsvIO.write(sentinel, s"$dir/sent")
+    val sBack = graft.sources.CsvIO.read(spark, s"$dir/sent", sentinel.schema).collect()
+    assert(sBack.length === 1 && sBack.head.isNullAt(1),
+      "documented collision: sentinel-equal data reads as NULL")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
