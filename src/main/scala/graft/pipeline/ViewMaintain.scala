@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental JOIN-view maintenance: keep a materialized fact ⋈ dim
+  * view current under batches of keyed upserts and tombstone deletes,
+  * re-joining ONLY the touched keys — the delta-join member of the
+  * incremental-materialization family next to [[graft.streaming
+  * .AggMaintain]] (aggregates) and the SCD2/point-in-time operators
+  * ([[graft.operators.Cdc]]).
+  *
+  * Per batch, with Δ = the batch's keys:
+  *
+  *   fact' = fact ⊖ Δ  ∪  LWW(fact|Δ ∪ batch) \ tombstones
+  *   view' = view ⊖ Δ  ∪  (fact'|Δ ⋈ dim)
+  *
+  * The dim join — the expensive step the view exists to amortize —
+  * costs O(|Δ|) rows per batch, never O(|fact|); a full recompute pays
+  * the whole fact ⋈ dim every time. LWW resolution is per-key
+  * max-(seq, payload) (seq ties broken on the payload struct so
+  * resolution is deterministic even under a malformed duplicate
+  * (key, seq); the correct-usage contract is unique seq per key),
+  * identical to the verified-update applier's cross-batch guard
+  * ([[VerifiedUpdates]]) — so replaying a batch resolves to identical
+  * rows: the step is idempotent.
+  *
+  * Scale shape: the ⊖/| operations are keyed semi/anti joins,
+  * co-partitioned with the union that follows — one shuffle each in
+  * this algebraic (in-memory/parquet-snapshot) form. Deployed against
+  * the hash-bucketed store layout ([[graft.streaming.VerifiedStream]]:
+  * `bucket = pmod(hash(key), n)` dirs, atomic per-bucket swap,
+  * crash-recovery markers), they become partition-pruned reads and
+  * touched-bucket-only rewrites — a 1-key batch rewrites one fact
+  * bucket and one view bucket however large the table. The algebra
+  * here is what q141 hash-verifies; the storage protocol is spec'd on
+  * its own store.
+  *
+  * The reference replays its whole source table per sync run
+  * (postgresql_mysql_sync_dag.py:48-50 ranged full scans [inferred]);
+  * this operator is the incremental form of that sync's join step.
+  */
+object ViewMaintain {
+
+  /** One maintenance step. `fact`/`view` are the current states
+    * (`fact`: key ++ payload ++ seq, LWW-resolved, tombstones already
+    * gone; `view`: fact columns ++ dim columns). `batch` carries
+    * key ++ payload ++ seq ++ `deletedCol` (true = tombstone). `dim`
+    * must not share column names with the fact. Returns (fact',
+    * view'); the caller persists/localCheckpoints between folds to
+    * keep the iterated plan flat.
+    */
+  def applyBatch(
+      fact: DataFrame,
+      view: DataFrame,
+      batch: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      deletedCol: String,
+      dim: DataFrame,
+      factJoinCol: String,
+      dimJoinCol: String,
+  ): (DataFrame, DataFrame) = {
+    val payload = batch.columns.filterNot(c => c == keyCol || c == seqCol || c == deletedCol)
+    require(payload.nonEmpty, "batch has no payload columns")
+    require(dim.columns.intersect(batch.columns).isEmpty,
+      s"dim/fact column collision: ${dim.columns.intersect(batch.columns).mkString(",")}")
+
+    val touched = batch.select(keyCol).distinct()
+    val factTouched = fact.join(touched, Seq(keyCol), "left_semi")
+      .withColumn(deletedCol, lit(false))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(seqCol).desc, struct(payload.map(col).toIndexedSeq: _*).desc)
+    val resolved = factTouched.unionByName(batch.select(factTouched.columns.map(col): _*))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      .filter(!col(deletedCol)).drop(deletedCol)
+
+    val fact2 = fact.join(touched, Seq(keyCol), "left_anti").unionByName(resolved)
+    val delta = resolved.join(dim, col(factJoinCol) === col(dimJoinCol))
+    val view2 = view.join(touched, Seq(keyCol), "left_anti")
+      .unionByName(delta.select(view.columns.map(col): _*))
+    (fact2, view2)
+  }
+
+  /** Fold a deterministic batch sequence from empty state — the batch
+    * form q141 verifies (a stream deployment wires [[applyBatch]] into
+    * foreachBatch exactly like AggMaintain.start).
+    */
+  def foldBatches(
+      batches: Seq[DataFrame],
+      keyCol: String,
+      seqCol: String,
+      deletedCol: String,
+      dim: DataFrame,
+      factJoinCol: String,
+      dimJoinCol: String,
+  ): (DataFrame, DataFrame) = {
+    require(batches.nonEmpty, "need at least one batch")
+    val factSchema = batches.head.drop(deletedCol)
+    val emptyFact = factSchema.limit(0)
+    val emptyView = factSchema.join(dim, col(factJoinCol) === col(dimJoinCol)).limit(0)
+    batches.foldLeft((emptyFact, emptyView)) { case ((f, v), b) =>
+      val (f2, v2) = applyBatch(f, v, b, keyCol, seqCol, deletedCol, dim, factJoinCol, dimJoinCol)
+      (f2.localCheckpoint(), v2.localCheckpoint())
+    }
+  }
+}

@@ -241,6 +241,41 @@ object PipelineQueries {
       },
     ),
     Q(
+      "q141_incremental_join",
+      "Incremental JOIN-view maintenance (graft.pipeline.ViewMaintain): " +
+        "orders ⋈ customer materialized view folded through 4 keyed " +
+        "batches — inserts in thirds, an LWW price update wave, then " +
+        "tombstone deletes — re-joining ONLY touched keys per batch " +
+        "(O(|Δ|) dim-join work, never O(|fact|)). The oracle computes " +
+        "the final state directly, so the hash-match proves the delta " +
+        "algebra (retraction ∪ LWW-resolved re-join) converges to the " +
+        "from-scratch join.",
+      Some("""
+        SELECT o.o_orderkey,
+          CASE WHEN o.o_orderkey % 9 = 0 THEN o.o_totalprice + 1000.0 ELSE o.o_totalprice END AS o_totalprice,
+          o.o_custkey, c.c_name
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey % 10 <> 0
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val base = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        def ins(i: Int) = base.filter(col("o_orderkey") % 3 === i)
+          .withColumn("seq", lit(i.toLong)).withColumn("deleted", lit(false))
+        // %9 == 0 implies %3 == 0: every update targets a batch-0 insert
+        val upd = base.filter(col("o_orderkey") % 9 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("seq", lit(1L)).withColumn("deleted", lit(false))
+        val tomb = base.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("seq", lit(3L)).withColumn("deleted", lit(true))
+        val (_, view) = graft.pipeline.ViewMaintain.foldBatches(
+          Seq(ins(0), ins(1).unionByName(upd), ins(2), tomb),
+          "o_orderkey", "seq", "deleted",
+          t.customer.select("c_custkey", "c_name"), "o_custkey", "c_custkey")
+        view.select("o_orderkey", "o_totalprice", "o_custkey", "c_name")
+      },
+    ),
+    Q(
       "q48_multimodal_features",
       "Multimodal plumbing: text -> opaque binary payload + metadata, " +
         "feature extraction via partition-parallel batched decode " +

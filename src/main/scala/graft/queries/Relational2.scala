@@ -906,5 +906,68 @@ object Relational2 {
         finally { spark.catalog.dropTempView(cv); spark.catalog.dropTempView(ov) }
       },
     ),
+    Q(
+      "q139_pivot",
+      "Dynamic pivot: daily revenue per event type spread into columns " +
+        "with PINNED pivot values — passing the value list skips the " +
+        "extra distinct-scan Spark otherwise runs to discover columns " +
+        "(at 100 TB that scan is a full job before the real one). Sums " +
+        "are exact DECIMAL(30,2), absent cells coalesce to 0.",
+      Some("""
+        SELECT CAST(ts AS DATE) AS day,
+          CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(30,2)) END), 0) AS DOUBLE) AS click,
+          CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(30,2)) END), 0) AS DOUBLE) AS view,
+          CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(30,2)) END), 0) AS DOUBLE) AS purchase,
+          CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(30,2)) END), 0) AS DOUBLE) AS signup,
+          CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(30,2)) END), 0) AS DOUBLE) AS error
+        FROM events GROUP BY 1
+      """.trim),
+      (spark, dir) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        val piv = Tables(spark, dir).events
+          .selectExpr("CAST(ts AS DATE) AS day", "event_type",
+            "CAST(value AS DECIMAL(30,2)) AS v")
+          .groupBy("day")
+          .pivot("event_type", types)
+          .agg(sum(col("v")))
+        piv.select(col("day") +: types.map(t =>
+          coalesce(col(t), lit(java.math.BigDecimal.ZERO)).cast("double").as(t)): _*)
+      },
+    ),
+    Q(
+      "q140_window_zoo",
+      "The remaining window-function surface in one pass: percent_rank " +
+        "and cume_dist (ratios of exact ints, one IEEE division each), " +
+        "ntile(4), nth_value over an explicit ROWS frame, and lag with " +
+        "a default — all over one (priority) partition ordering, so " +
+        "Catalyst fuses them into a single Window node (one shuffle + " +
+        "one sort).",
+      Some("""
+        SELECT o_orderkey, o_orderpriority,
+          CAST(row_number() OVER w AS BIGINT) AS rn,
+          percent_rank() OVER w AS pr,
+          cume_dist() OVER w AS cd,
+          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key,
+          lag(o_totalprice, 1, -1.0) OVER w AS prev_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      """.trim),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(spark, dir).orders.select(
+          col("o_orderkey"), col("o_orderpriority"),
+          row_number().over(w).cast("long").as("rn"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          nth_value(col("o_orderkey"), 2).over(wf).as("second_key"),
+          lag(col("o_totalprice"), 1, -1.0).over(w).as("prev_price"))
+      },
+    ),
   )
 }

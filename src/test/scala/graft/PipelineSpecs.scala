@@ -164,4 +164,44 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(a.map(s => (s.run_id, s.step, s.rows)) === Seq(("runA", "contact", Some(7L))))
     assert(b.map(s => (s.run_id, s.step, s.rows)) === Seq(("runB", "contact", Some(11L))))
   }
+
+  test("ViewMaintain: insert/update/delete batches converge to the from-scratch join; replay is idempotent") {
+    import spark.implicits._
+    import graft.pipeline.ViewMaintain
+    val dim = Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("d_key", "d_name")
+    def b(rows: Seq[(Long, Long, Double, Long, Boolean)]) =
+      rows.toDF("k", "fk", "price", "seq", "deleted")
+    val batches = Seq(
+      b(Seq((1L, 10L, 1.0, 0L, false), (2L, 20L, 2.0, 0L, false))),
+      // update row 1's price AND re-point its fk; insert row 3
+      b(Seq((1L, 30L, 9.0, 1L, false), (3L, 10L, 3.0, 1L, false))),
+      // tombstone row 2; stale redelivery of row 1's ORIGINAL (seq 0)
+      // must lose to the stored seq-1 state
+      b(Seq((2L, 20L, 2.0, 2L, true), (1L, 10L, 1.0, 0L, false))),
+    )
+    val (fact, view) = ViewMaintain.foldBatches(
+      batches, "k", "seq", "deleted", dim, "fk", "d_key")
+    val gotFact = fact.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotFact === Set((1L, 30L, 9.0), (3L, 10L, 3.0)), gotFact.toString)
+    val gotView = view.select("k", "price", "d_name")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(gotView === Set((1L, 9.0, "z"), (3L, 3.0, "x")),
+      s"update re-joined to the NEW dim row, delete left the view: $gotView")
+    // view equals the from-scratch join of the resolved fact at every fold
+    val scratch = fact.join(dim, col("fk") === col("d_key"))
+      .select("k", "price", "d_name")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(gotView === scratch)
+    // replaying the last batch changes nothing (idempotence)
+    val (f2, v2) = ViewMaintain.applyBatch(fact, view, batches.last,
+      "k", "seq", "deleted", dim, "fk", "d_key")
+    assert(f2.exceptAll(fact).isEmpty && fact.exceptAll(f2).isEmpty)
+    assert(v2.exceptAll(view).isEmpty && view.exceptAll(v2).isEmpty)
+    // malformed dim/fact column collision fails fast
+    val e = intercept[IllegalArgumentException] {
+      ViewMaintain.applyBatch(fact, view, batches.head, "k", "seq", "deleted",
+        dim.withColumnRenamed("d_key", "k"), "fk", "k")
+    }
+    assert(e.getMessage.contains("collision"), e.getMessage)
+  }
 }

@@ -226,7 +226,10 @@ class PlanSpecs extends SparkSpec {
       "q104_bm25",              // (n, avgdl) corpus stats: a broadcast 1-row aggregate side
       "q106_rrf_hybrid",        // same 1-row stats side inside its BM25 input list
       "q109_collocations",      // token/bigram totals: two broadcast 1-row aggregate sides
-      "q110_profile")           // string min/max: a broadcast 1-row aggregate side
+      "q110_profile",           // string min/max: a broadcast 1-row aggregate side
+      "q130_basket_pairs",      // basket count: a broadcast 1-row aggregate side
+      "q133_chi2_terms",        // corpus doc count: a broadcast 1-row aggregate side
+      "q136_key_skew")          // summary stats: broadcast 1-row aggregate sides
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     queries.QueryCatalog.all.foreach { q =>
       val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
