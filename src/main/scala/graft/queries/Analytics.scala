@@ -827,15 +827,24 @@ object Analytics {
       |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
       |e AS (SELECT src, dst FROM p WHERE n_co >= 2)""".stripMargin
 
-  /** Spark twin of [[coPurchaseSql]]'s `e`: src < dst, support ≥ 2. */
+  /** Spark twin of [[coPurchaseSql]]'s `e`: src < dst, support ≥ 2.
+    * Persisted once per corpus via Artifacts (the graph is a derived
+    * artifact like the phrase/LSH indexes — q131/q132's analytics read
+    * it, they don't re-derive it per query; the oracle recomputes it
+    * every time, the documented build/serve asymmetry).
+    */
   private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir).lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
-      .filter(col("src") < col("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("n_co"))
-      .filter(col("n_co") >= 2)
-      .select("src", "dst")
+    val p = graft.Artifacts.cached(s"copurchase:$dir") { path =>
+      val li = Tables(spark, dir).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+        .filter(col("src") < col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("n_co"))
+        .filter(col("n_co") >= 2)
+        .select("src", "dst")
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(p)
   }
 
   private lazy val basketPairsQ = Q(
