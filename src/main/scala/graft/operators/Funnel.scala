@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered funnel analysis with CONSTANT per-key state.
@@ -54,5 +55,46 @@ object Funnel {
       .map(k => s"WHEN __m$k IS NOT NULL THEN $k").mkString(" ")
     acc.selectExpr(keyCol, "n_events",
       s"CAST(CASE $stageExpr ELSE 0 END AS BIGINT) AS funnel_stage")
+  }
+
+  /** User-journey path mining: gap-sessionize (same 30-min inactivity
+    * rule as q49), render each session's first `maxSteps` event types
+    * in (ts, id) order as a `>`-joined path string, and count the
+    * top-`topK` most common journeys — the "what do users actually do"
+    * aggregate behind funnel design. Everything is
+    * string/integer-exact; the step cap bounds both the path-string
+    * length and the per-session buffer (the q114 fold family's hot-key
+    * contract applies to a pathological single session).
+    *
+    * Scale shape: two windows on one user-key shuffle (lag + running
+    * break count — same exchange), one per-session aggregation, one
+    * path aggregation, top-k via TakeOrderedAndProject.
+    */
+  def sessionPaths(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      gapMicros: Long = 1800000000L,
+      maxSteps: Int = 8,
+      topK: Int = 20): DataFrame = {
+    require(gapMicros > 0, s"gapMicros must be positive: $gapMicros")
+    require(maxSteps > 0 && topK > 0, s"maxSteps/topK must be positive: $maxSteps, $topK")
+    val w = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+    events
+      .withColumn("__prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev_us").isNull ||
+          (unix_micros(col(tsCol)) - col("__prev_us")) > gapMicros, 1L).otherwise(0L))
+      .withColumn("__sess",
+        sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("__sess"))
+      .agg(sort_array(collect_list(struct(col(tsCol), col(idCol), col(typeCol).as("__t"))))
+        .as("__seq"))
+      .select(array_join(
+        expr(s"transform(slice(__seq, 1, $maxSteps), sp_x -> sp_x.__t)"), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).cast("long").as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(topK)
   }
 }

@@ -241,6 +241,31 @@ object PipelineQueries {
       },
     ),
     Q(
+      "q142_session_paths",
+      "User-journey path mining (graft.operators.Funnel.sessionPaths): " +
+        "30-min gap sessions (q49's rule), each session's first 8 event " +
+        "types as a '>'-joined path, top-20 journeys by count. Two " +
+        "windows on ONE user-key shuffle, per-session fold, top-k via " +
+        "TakeOrderedAndProject — all string/integer exact.",
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, ts, event_type,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events),
+        b AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+        s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b),
+        p AS (SELECT user_id, sess,
+                array_to_string(list(event_type ORDER BY ts, event_id)[1:8], '>') AS path
+              FROM s GROUP BY user_id, sess)
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
+      """.trim),
+      (spark, dir) =>
+        graft.operators.Funnel.sessionPaths(Tables(spark, dir).events,
+          "user_id", "ts", "event_id", "event_type"),
+    ),
+    Q(
       "q141_incremental_join",
       "Incremental JOIN-view maintenance (graft.pipeline.ViewMaintain): " +
         "orders ⋈ customer materialized view folded through 4 keyed " +

@@ -1013,6 +1013,32 @@ class FunnelSpec extends SparkSpec {
     assert(stage(Seq("purchase")) === 0L)
     assert(stage(Seq("other", "view")) === 1L)
   }
+
+  test("sessionPaths: gap splits sessions, step cap truncates, counts and tie-order exact") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1, session A: a>b ; 40-min gap ; session B: a>b
+      (1L, t("2024-01-01 10:00:00"), 1L, "a"), (1L, t("2024-01-01 10:10:00"), 2L, "b"),
+      (1L, t("2024-01-01 11:00:00"), 3L, "a"), (1L, t("2024-01-01 11:05:00"), 4L, "b"),
+      // user 2, one session: a>b (same path as user 1's)
+      (2L, t("2024-01-01 09:00:00"), 5L, "a"), (2L, t("2024-01-01 09:01:00"), 6L, "b"),
+      // user 3: 5 events but maxSteps=3 -> truncated path c>c>c
+      (3L, t("2024-01-01 09:00:00"), 7L, "c"), (3L, t("2024-01-01 09:01:00"), 8L, "c"),
+      (3L, t("2024-01-01 09:02:00"), 9L, "c"), (3L, t("2024-01-01 09:03:00"), 10L, "c"),
+      (3L, t("2024-01-01 09:04:00"), 11L, "c"),
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.operators.Funnel.sessionPaths(rows, "user_id", "ts", "event_id", "event_type",
+      maxSteps = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("a>b", 3L), ("c>c>c", 1L)), got.toSeq.toString)
+    // exactly-30-min gap does NOT split (strict > contract)
+    val edge = Seq(
+      (9L, t("2024-01-01 10:00:00"), 20L, "x"), (9L, t("2024-01-01 10:30:00"), 21L, "y"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val g2 = graft.operators.Funnel.sessionPaths(edge, "user_id", "ts", "event_id", "event_type")
+      .collect().map(_.getString(0))
+    assert(g2.toSeq === Seq("x>y"))
+  }
 }
 
 class GlobalOrderSpec extends SparkSpec {
