@@ -47,13 +47,13 @@ object ConnectedComponents {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull && col(srcCol) =!= col(dstCol))
       .select(col(srcCol).as("u"), col(dstCol).as("v"))
       .distinct()
-      .localCheckpoint()
+      .transform(Lineage.pin)
     if (e.isEmpty) return e.select(col("u").as("node"), col("v").as("component")).limit(0)
 
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = Lineage.pin(smallStar(largeStar(e)))
       // exact set equality (both sides are distinct): a false "converged"
       // would return a non-star edge set, i.e. wrong components — never
       // trade this check for a cheaper checksum

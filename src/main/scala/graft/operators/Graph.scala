@@ -135,19 +135,19 @@ object Graph {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val sym = und.unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .transform(Lineage.pin)
     val source = sym.groupBy("src").agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("src")).limit(1)
       .select(col("src").as("node"))
-    var dist = source.select(col("node"), lit(0L).as("hops")).localCheckpoint()
+    var dist = Lineage.pin(source.select(col("node"), lit(0L).as("hops")))
     var frontier = dist.select("node")
     var h = 1
     while (h <= maxHops && !frontier.isEmpty) {
       val next = frontier.join(sym, frontier("node") === sym("src"))
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
-        .localCheckpoint()
-      dist = dist.unionAll(next.select(col("node"), lit(h.toLong).as("hops"))).localCheckpoint()
+        .transform(Lineage.pin)
+      dist = Lineage.pin(dist.unionAll(next.select(col("node"), lit(h.toLong).as("hops"))))
       frontier = next.select("node")
       h += 1
     }

@@ -58,15 +58,15 @@ object PageRank {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull && col(srcCol) =!= col(dstCol))
       .select(col(srcCol).as("u"), col(dstCol).as("v"))
       .distinct()
-      .localCheckpoint()
+      .transform(Lineage.pin)
     val deg = e.groupBy("u").agg(count(lit(1)).as("outdeg"))
     // static per-iteration operand: edges annotated with the source's
     // out-degree, pinned once so the loop re-reads blocks, not lineage
-    val ed = e.join(deg, "u").localCheckpoint()
+    val ed = Lineage.pin(e.join(deg, "u"))
     val nodes = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .distinct()
-      .localCheckpoint()
+      .transform(Lineage.pin)
     // loud overflow guard instead of silent Long wrap: the largest sum
     // a node can receive is the whole graph's rank mass (~nNodes·scale),
     // then scaled by dampNum before the divide
@@ -89,7 +89,7 @@ object PageRank {
       // runtime); a few stacked join+agg levels are cheap to replan.
       // Flatten only every 8th hop — deep-iteration runs stay bounded,
       // short runs (the common 5-20) run as ONE job over the loop.
-      if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      if (i % 8 == 0 && i < iters) ranks = Lineage.pin(ranks)
     }
     ranks.select(col("node"), col("rank").as("pr_scaled"))
   }

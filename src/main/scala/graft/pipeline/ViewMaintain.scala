@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Lineage
 
 /** Incremental JOIN-view maintenance: keep a materialized fact ⋈ dim
   * view current under batches of keyed upserts and tombstone deletes,
@@ -102,7 +103,7 @@ object ViewMaintain {
     val emptyView = factSchema.join(dim, col(factJoinCol) === col(dimJoinCol)).limit(0)
     batches.foldLeft((emptyFact, emptyView)) { case ((f, v), b) =>
       val (f2, v2) = applyBatch(f, v, b, keyCol, seqCol, deletedCol, dim, factJoinCol, dimJoinCol)
-      (f2.localCheckpoint(), v2.localCheckpoint())
+      (Lineage.pin(f2), Lineage.pin(v2))
     }
   }
 }
