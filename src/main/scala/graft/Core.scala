@@ -119,7 +119,19 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame = {
     Tables.sweepStopped()
     Tables.cache.computeIfAbsent((spark, dir, name), { _ =>
-      spark.read.parquet(s"$dir/$name.parquet")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      // TESTDATA timestamps have shipped as both isAdjustedToUTC µs
+      // (reads as TimestampType) and naive µs (reads as TIMESTAMP_NTZ);
+      // the engine's contract is TimestampType in the UTC session zone,
+      // where both encodings denote the same wall-clock instant. Cast
+      // NTZ arrivals once at the source so every operator, window and
+      // watermark downstream sees one type regardless of which writer
+      // produced the files.
+      raw.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+      }.foldLeft(raw) { (df, c) =>
+        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+      }
     })
   }
   def region: DataFrame     = t("region")
