@@ -77,6 +77,23 @@ object GraftFunctions {
       FunctionIdentifier("graft_rep_stats"),
       new ExpressionInfo(classOf[RepStats].getName, "graft_rep_stats"),
       (children: Seq[Expression]) => RepStats(children.head)))
+    // Spark's own runtime-filter bloom kernels (spark-catalyst, public
+    // classes), surfaced as callable functions so ScaleJoins can build
+    // an EXPLICIT bloom-pruned semi join: the aggregate builds the
+    // filter distributed (partial blooms merged, never a driver
+    // collect), and might_contain probes it from a scalar subquery.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[aggregate.BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new aggregate.BloomFilterAggregate(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[BloomFilterMightContain].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) =>
+        BloomFilterMightContain(children(0), children(1))))
   }
 }
 

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Zone maps (min/max data skipping) as a first-class operator.
+  *
+  * A 100 TB table answers a selective range predicate fast only if the
+  * engine can SKIP data, not scan-and-filter it. Parquet gives this per
+  * row group on the columns the file happens to be sorted by; a zone map
+  * generalizes it: pick a clustering expression (ingest day, tenant
+  * bucket, z-value — anything coarse and deterministic), collect min/max
+  * of the queried columns per zone once, and at query time consult the
+  * tiny zone-map table first — only zones whose [min,max] envelope
+  * overlaps the predicate are read. The same structure a warehouse
+  * maintains implicitly (the reference's Postgres BRIN-style skip
+  * indexes on its sync targets), expressed as two DataFrame transforms.
+  *
+  * The map is an aggregate (one shuffle at build time, map-side partial)
+  * whose size is O(zones), e.g. a few thousand rows for calendar-month
+  * zones over years of data — always broadcastable at query time.
+  */
+object ZoneMap {
+
+  /** Build the zone map: per distinct `zone` value, row count and
+    * min/max of every tracked column. `zone` must be a deterministic
+    * pure function of the row (it is re-evaluated at prune time).
+    */
+  def build(df: DataFrame, zone: Column, track: Seq[String]): DataFrame = {
+    val stats = track.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    } :+ count(lit(1)).as("zone_rows")
+    df.groupBy(zone.as("zone")).agg(stats.head, stats.tail: _*)
+  }
+
+  /** Scan `df` for rows with `lo <= trackedCol <= hi`, reading only the
+    * zones whose envelope overlaps [lo, hi].
+    *
+    * The zone map is filtered to overlapping zones (a few rows), then
+    * semi-joined back on the zone expression — Catalyst broadcasts the
+    * tiny side, so the big scan is gated by a broadcast hash semi join
+    * on the zone id: the per-row work is one coarse key probe instead of
+    * the full predicate, and on a layout where `zone` is a partition
+    * column this collapses to real partition pruning (the scan never
+    * opens non-overlapping files). The exact predicate still runs on the
+    * surviving zones — zone skipping is an OPTIMIZATION, bit-identical
+    * to the plain filter, which is what makes it safe to apply
+    * mechanically.
+    */
+  def prunedScan(
+      df: DataFrame,
+      zone: Column,
+      zoneMap: DataFrame,
+      trackedCol: String,
+      lo: Column,
+      hi: Column): DataFrame = {
+    val live = zoneMap
+      .filter(col(s"max_$trackedCol") >= lo && col(s"min_$trackedCol") <= hi)
+      .select(col("zone"))
+    df.join(broadcast(live), zone === live("zone"), "left_semi")
+      .filter(col(trackedCol).between(lo, hi))
+  }
+}

@@ -1,0 +1,492 @@
+package graft.queries
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-10 surface: scale-first join strategies (bloom-pruned semi
+  * join, salted skew join, zone-map skipping) and an exact-statistics
+  * analytics family (VWAP, activity streaks, distribution divergence,
+  * Welch's t, Mann-Whitney U, attribution, Benford, functional
+  * dependencies).
+  *
+  * Numeric discipline is the engine's standard one (see [[graft.Num]]):
+  * every aggregate accumulates EXACT integers/decimals — order-free, so
+  * any partitioning and any engine agrees bit-for-bit — and each final
+  * statistic is ONE fixed expression over the exact parts, using only
+  * correctly-rounded IEEE ops (+,-,*,/,sqrt), written identically here
+  * and in the DuckDB oracle SQL.
+  */
+object Advanced {
+
+  private val d30_2 = DecimalType(30, 2)
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "q143_vwap",
+      "Volume-weighted vs time-weighted average price per ship-month and " +
+        "return flag: VWAP = sum(price*qty)/sum(qty) from exact decimal " +
+        "sufficient sums; the spread column exposes volume/price " +
+        "correlation. One map-side-combined aggregation, no joins.",
+      Some("""
+        SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mon,
+          l_returnflag,
+          CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+            / CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS vwap,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS twap,
+          CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS volume
+        FROM lineitem
+        GROUP BY 1, 2
+      """.trim),
+      (spark, dir) => {
+        val li = Tables(spark, dir).lineitem
+        li.groupBy(date_trunc("month", col("l_shipdate")).as("mon"), col("l_returnflag"))
+          .agg(
+            (Num.dsum(col("l_extendedprice") * col("l_quantity"))
+              / Num.dsum(col("l_quantity"))).as("vwap"),
+            Num.davg(col("l_extendedprice")).as("twap"),
+            Num.dsum(col("l_quantity")).as("volume"),
+          )
+      },
+    ),
+    Q(
+      "q144_streaks",
+      "Gaps-and-islands: longest run of consecutive order days per " +
+        "customer. The island id (day-number minus per-customer row " +
+        "number) turns consecutiveness into plain grouping — two " +
+        "partition-local windows + aggregations, no self-join, no " +
+        "quadratic anything; partitions by customer so nothing is global.",
+      Some("""
+        WITH d AS (SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day FROM orders),
+        r AS (SELECT o_custkey, day,
+                date_diff('day', DATE '1970-01-01', day)
+                  - row_number() OVER (PARTITION BY o_custkey ORDER BY day) AS g
+              FROM d),
+        s AS (SELECT o_custkey, g, count(*) AS len FROM r GROUP BY 1, 2)
+        SELECT o_custkey, CAST(max(len) AS BIGINT) AS max_streak,
+          count(*) AS n_streaks, CAST(sum(len) AS BIGINT) AS n_active_days
+        FROM s GROUP BY o_custkey
+      """.trim),
+      (spark, dir) => {
+        val d = Tables(spark, dir).orders
+          .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+          .distinct()
+        val w = Window.partitionBy("o_custkey").orderBy("day")
+        val islands = d
+          .withColumn("g",
+            datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+              - row_number().over(w))
+          .groupBy("o_custkey", "g")
+          .agg(count(lit(1)).as("len"))
+        islands.groupBy("o_custkey").agg(
+          max("len").as("max_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum("len").as("n_active_days"),
+        )
+      },
+    ),
+    Q(
+      "q145_bloom_join",
+      "Bloom-pruned semi join (graft.operators.ScaleJoins): lineitem " +
+        "rows for suppliers in nations 0-4, aggregated per return flag. " +
+        "A distributed bloom aggregate over the supplier keys prunes the " +
+        "fact scan BEFORE the shuffle (scalar-subquery delivery, the " +
+        "InjectRuntimeFilter shape, made explicit); the exact semi join " +
+        "then removes false positives, so the result is bit-identical to " +
+        "the plain IN-subquery the oracle runs.",
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+        GROUP BY l_returnflag
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val dim = t.supplier.filter(col("s_nationkey") < 5).select("s_suppkey")
+        graft.operators.ScaleJoins
+          .bloomPrunedSemiJoin(t.lineitem, "l_suppkey", dim, "s_suppkey",
+            expectedItems = 1L << 20, numBits = 1L << 23)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), Num.dsum(col("l_extendedprice")).as("sum_price"))
+      },
+    ),
+    Q(
+      "q146_salted_join",
+      "Skew-salted equi-join (graft.operators.ScaleJoins): the events " +
+        "fact joined to the customer dimension on user id, fact side " +
+        "salted across 8 reducers by a pure hash of the unique event id " +
+        "(deterministic under retry), dimension replicated per salt. " +
+        "Result is the identical multiset a plain join produces — the " +
+        "salt only changes WHERE rows meet, which is the point when one " +
+        "hot key would otherwise serialize a reducer.",
+      Some("""
+        SELECT c.c_mktsegment, count(*) AS n_events,
+          CAST(sum(CAST(e.value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        graft.operators.ScaleJoins
+          .saltedEquiJoin(t.events, "user_id", col("event_id"),
+            t.customer, "c_custkey", salts = 8)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
+      },
+    ),
+    Q(
+      "q147_mix_divergence",
+      "Training-mix diagnostics per language slice: total-variation " +
+        "distance between the slice's source distribution and the global " +
+        "one, plus Gini source diversity. Both statistics are ratios of " +
+        "EXACT integer aggregates (|c*m - g*n| sums and sum-of-squares), " +
+        "so no transcendental functions and no order-dependent float " +
+        "summation — polynomial divergence measures chosen over " +
+        "KL/entropy precisely because they stay exact distributed.",
+      Some("""
+        WITH c AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+        n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        g AS (SELECT source, count(*) AS g FROM documents GROUP BY 1),
+        m AS (SELECT count(*) AS m FROM documents),
+        grid AS (SELECT n.lang, g.source, n.n, g.g, COALESCE(c.c, 0) AS c, m.m
+                 FROM n CROSS JOIN g CROSS JOIN m
+                 LEFT JOIN c ON c.lang = n.lang AND c.source = g.source),
+        a AS (SELECT lang, n, m,
+                CAST(sum(abs(c * m - g * n)) AS BIGINT) AS tvnum,
+                CAST(sum(c * c) AS BIGINT) AS sc2
+              FROM grid GROUP BY 1, 2, 3)
+        SELECT lang, n AS n_docs,
+          CAST(tvnum AS DOUBLE) / CAST(2 * n * m AS DOUBLE) AS tv_vs_global,
+          CAST(n * n - sc2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini_diversity
+        FROM a
+      """.trim),
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        val c = docs.groupBy("lang", "source").agg(count(lit(1)).as("c"))
+        val n = c.groupBy("lang").agg(sum("c").as("n"))
+        val g = docs.groupBy("source").agg(count(lit(1)).as("g"))
+        val m = docs.agg(count(lit(1)).as("m"))
+        // langs x sources grid so sources ABSENT from a slice still
+        // contribute their |0 - g*n| mass; every side here is tiny
+        // (distinct langs/sources), so the crosses broadcast.
+        val grid = n.crossJoin(g).crossJoin(broadcast(m))
+          .join(c, Seq("lang", "source"), "left")
+          .na.fill(0, Seq("c"))
+        grid
+          .groupBy("lang", "n", "m")
+          .agg(
+            sum(abs(col("c") * col("m") - col("g") * col("n"))).as("tvnum"),
+            sum(col("c") * col("c")).as("sc2"))
+          .select(
+            col("lang"),
+            col("n").as("n_docs"),
+            (col("tvnum").cast("double") / (lit(2) * col("n") * col("m")).cast("double"))
+              .as("tv_vs_global"),
+            ((col("n") * col("n") - col("sc2")).cast("double")
+              / (col("n") * col("n")).cast("double")).as("gini_diversity"),
+          )
+      },
+    ),
+    Q(
+      "q148_welch_ttest",
+      "Welch's unequal-variance t-test comparing event values of the " +
+        "click vs error populations: per-group n/sum/sum-of-squares " +
+        "accumulate as exact decimals (one map-side-combined pass), the " +
+        "t statistic and Welch-Satterthwaite df evaluate in one fixed " +
+        "double expression over them.",
+      Some("""
+        WITH e AS (SELECT event_type, CAST(value AS DECIMAL(30,2)) AS y
+                   FROM events WHERE event_type IN ('click', 'error')),
+        s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(y * y) AS DOUBLE) AS syy
+              FROM e GROUP BY 1),
+        p AS (SELECT
+                max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+                max(CASE WHEN event_type = 'click' THEN sy END) AS sy1,
+                max(CASE WHEN event_type = 'click' THEN syy END) AS syy1,
+                max(CASE WHEN event_type = 'error' THEN n END) AS n2,
+                max(CASE WHEN event_type = 'error' THEN sy END) AS sy2,
+                max(CASE WHEN event_type = 'error' THEN syy END) AS syy2
+              FROM s),
+        v AS (SELECT n1, n2, sy1 / n1 AS m1, sy2 / n2 AS m2,
+                (n1 * syy1 - sy1 * sy1) / (n1 * (n1 - 1)) AS v1,
+                (n2 * syy2 - sy2 * sy2) / (n2 * (n2 - 1)) AS v2
+              FROM p)
+        SELECT CAST(n1 AS BIGINT) AS n1, m1 AS mean1, v1 AS var1,
+          CAST(n2 AS BIGINT) AS n2, m2 AS mean2, v2 AS var2,
+          (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS t_stat,
+          ((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+            / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))
+            AS welch_df
+        FROM v
+      """.trim),
+      (spark, dir) => {
+        val e = Tables(spark, dir).events
+          .filter(col("event_type").isin("click", "error"))
+          .select(col("event_type"), col("value").cast(d30_2).as("y"))
+        val s = e.groupBy("event_type").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum("y").cast("double").as("sy"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
+        val p = s.agg(
+          max(when(col("event_type") === "click", col("n"))).as("n1"),
+          max(when(col("event_type") === "click", col("sy"))).as("sy1"),
+          max(when(col("event_type") === "click", col("syy"))).as("syy1"),
+          max(when(col("event_type") === "error", col("n"))).as("n2"),
+          max(when(col("event_type") === "error", col("sy"))).as("sy2"),
+          max(when(col("event_type") === "error", col("syy"))).as("syy2"))
+        val v = p.select(
+          col("n1"), col("n2"),
+          (col("sy1") / col("n1")).as("m1"),
+          (col("sy2") / col("n2")).as("m2"),
+          ((col("n1") * col("syy1") - col("sy1") * col("sy1"))
+            / (col("n1") * (col("n1") - 1))).as("v1"),
+          ((col("n2") * col("syy2") - col("sy2") * col("sy2"))
+            / (col("n2") * (col("n2") - 1))).as("v2"))
+        val se2 = col("v1") / col("n1") + col("v2") / col("n2")
+        v.select(
+          col("n1").cast("long").as("n1"), col("m1").as("mean1"), col("v1").as("var1"),
+          col("n2").cast("long").as("n2"), col("m2").as("mean2"), col("v2").as("var2"),
+          ((col("m1") - col("m2")) / sqrt(se2)).as("t_stat"),
+          ((se2 * se2)
+            / ((col("v1") / col("n1")) * (col("v1") / col("n1")) / (col("n1") - 1)
+              + (col("v2") / col("n2")) * (col("v2") / col("n2")) / (col("n2") - 1)))
+            .as("welch_df"),
+        )
+      },
+    ),
+    Q(
+      "q149_mann_whitney",
+      "Exact Mann-Whitney U (BUILDING vs MACHINERY account balances) " +
+        "with midrank tie handling: balances are grouped to distinct " +
+        "values first (the distributed heavy lift), so the only ordered " +
+        "pass runs over distinct values, and doubled ranks keep every " +
+        "intermediate an exact integer. z uses the tie-corrected " +
+        "variance in one fixed double expression.",
+      Some("""
+        WITH x AS (SELECT c_mktsegment AS seg, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+                   FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        byval AS (SELECT bal, count(*) AS t,
+                    count(CASE WHEN seg = 'BUILDING' THEN 1 END) AS t1
+                  FROM x GROUP BY bal),
+        ranked AS (SELECT t, t1,
+                     COALESCE(CAST(sum(t) OVER (ORDER BY bal
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                       AS cumbefore
+                   FROM byval),
+        agg AS (SELECT CAST(sum(t1 * (2 * cumbefore + t + 1)) AS BIGINT) AS sr1x2,
+                  CAST(sum(t1) AS BIGINT) AS n1, CAST(sum(t) AS BIGINT) AS n,
+                  CAST(sum(t * t * t - t) AS BIGINT) AS tieterm
+                FROM ranked)
+        SELECT n1, n - n1 AS n2,
+          CAST(sr1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+          CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+            - CAST(sr1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u2,
+          (CAST(sr1x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+             - CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2)
+            / sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12
+                   * (CAST(n + 1 AS DOUBLE)
+                      - CAST(tieterm AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) AS z
+        FROM agg
+      """.trim),
+      (spark, dir) => {
+        val x = Tables(spark, dir).customer
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .select(col("c_mktsegment").as("seg"),
+            col("c_acctbal").cast(DecimalType(12, 2)).as("bal"))
+        val byval = x.groupBy("bal").agg(
+          count(lit(1)).as("t"),
+          count(when(col("seg") === "BUILDING", 1)).as("t1"))
+        // the window runs over DISTINCT balances (already aggregated),
+        // not raw rows — the unpartitioned frame is the algorithm's one
+        // sequential step and its input is |distinct values|, not |rows|
+        val w = Window.orderBy("bal").rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = byval.select(col("t"), col("t1"),
+          coalesce(sum("t").over(w), lit(0L)).as("cumbefore"))
+        val agg = ranked.agg(
+          sum(col("t1") * (lit(2) * col("cumbefore") + col("t") + 1)).as("sr1x2"),
+          sum("t1").as("n1"), sum("t").as("n"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("tieterm"))
+        val u1x2 = col("sr1x2") - col("n1") * (col("n1") + 1)
+        val n1d = col("n1").cast("double")
+        val n2d = (col("n") - col("n1")).cast("double")
+        val nd = col("n").cast("double")
+        agg.select(
+          col("n1"), (col("n") - col("n1")).as("n2"),
+          (u1x2.cast("double") / 2).as("u1"),
+          (n1d * n2d - u1x2.cast("double") / 2).as("u2"),
+          ((u1x2.cast("double") / 2 - n1d * n2d / 2)
+            / sqrt(n1d * n2d / 12
+              * ((col("n") + 1).cast("double")
+                - col("tieterm").cast("double") / (nd * (col("n") - 1).cast("double")))))
+            .as("z"),
+        )
+      },
+    ),
+    Q(
+      "q150_attribution",
+      "Last-touch attribution: each purchase credits the user's most " +
+        "recent preceding non-purchase event. One per-user ordered " +
+        "window with an ignore-nulls last() — no self-join, no range " +
+        "scan per purchase; ts ties break on the unique event id so " +
+        "replays attribute identically.",
+      Some("""
+        WITH a AS (SELECT event_type, value,
+            last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
+          FROM events)
+        SELECT COALESCE(src, 'none') AS touch, count(*) AS purchases,
+          CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS attributed_value
+        FROM a WHERE event_type = 'purchase' GROUP BY 1
+      """.trim),
+      (spark, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables(spark, dir).events
+          .withColumn("src",
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("src"), lit("none")).as("touch"))
+          .agg(count(lit(1)).as("purchases"),
+            Num.dsum(col("value")).as("attributed_value"))
+      },
+    ),
+    Q(
+      "q151_benford",
+      "Benford first-digit audit of order totals: the leading digit " +
+        "comes from exact integer cents (string head of a BIGINT — no " +
+        "log10 near power-of-ten boundaries), expected mass uses the " +
+        "nine Benford constants as fixed double literals, and each " +
+        "digit's chi-square contribution is row-local so nothing " +
+        "depends on float summation order.",
+      Some("""
+        WITH v AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+                   FROM orders WHERE o_totalprice > 0),
+        c AS (SELECT digit, count(*) AS observed FROM v GROUP BY digit),
+        n AS (SELECT count(*) AS n FROM v),
+        e AS (SELECT digit, observed, n,
+                CAST(n AS DOUBLE) * (CASE digit
+                  WHEN 1 THEN CAST(0.301029995663981 AS DOUBLE)
+                  WHEN 2 THEN CAST(0.176091259055681 AS DOUBLE)
+                  WHEN 3 THEN CAST(0.1249387366083 AS DOUBLE)
+                  WHEN 4 THEN CAST(0.0969100130080564 AS DOUBLE)
+                  WHEN 5 THEN CAST(0.0791812460476248 AS DOUBLE)
+                  WHEN 6 THEN CAST(0.0669467896306132 AS DOUBLE)
+                  WHEN 7 THEN CAST(0.0579919469776867 AS DOUBLE)
+                  WHEN 8 THEN CAST(0.0511525224473813 AS DOUBLE)
+                  WHEN 9 THEN CAST(0.0457574905606751 AS DOUBLE) END)
+                AS expected
+              FROM c CROSS JOIN n)
+        SELECT digit, observed, expected,
+          (CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected)
+            / expected AS chi2_contrib
+        FROM e
+      """.trim),
+      (spark, dir) => {
+        // 15 significant digits, NOT full double precision: DuckDB
+        // parses a longer literal as DECIMAL whose int64 mantissa
+        // exceeds 2^53, and its decimal->double cast then double-rounds
+        // (measured: 1-ulp drift on digit 3). At 15 digits both the
+        // mantissa and 10^scale are exact doubles, so literal/10^scale
+        // is ONE correctly-rounded division — identical to this
+        // strtod-parsed constant in any engine.
+        val benford = Map(
+          1 -> 0.301029995663981, 2 -> 0.176091259055681, 3 -> 0.1249387366083,
+          4 -> 0.0969100130080564, 5 -> 0.0791812460476248, 6 -> 0.0669467896306132,
+          7 -> 0.0579919469776867, 8 -> 0.0511525224473813, 9 -> 0.0457574905606751)
+        val v = Tables(spark, dir).orders
+          .filter(col("o_totalprice") > 0)
+          .select(substring(
+            (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+              .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        val c = v.groupBy("digit").agg(count(lit(1)).as("observed"))
+        val n = v.agg(count(lit(1)).as("n"))
+        val pd = benford.foldLeft(lit(null).cast("double")) { case (acc, (d, p)) =>
+          when(col("digit") === d, lit(p)).otherwise(acc)
+        }
+        val e = c.crossJoin(broadcast(n))
+          .withColumn("expected", col("n").cast("double") * pd)
+        e.select(col("digit"), col("observed"), col("expected"),
+          ((col("observed").cast("double") - col("expected"))
+            * (col("observed").cast("double") - col("expected"))
+            / col("expected")).as("chi2_contrib"))
+      },
+    ),
+    Q(
+      "q152_fd_check",
+      "Functional-dependency profiling: for a panel of candidate A->B " +
+        "dependencies across the schema, count determinant values whose " +
+        "dependent is not unique. Each candidate is one grouped " +
+        "count-distinct — fully distributed, exact, and the union of " +
+        "candidates shares nothing, so the panel parallelizes trivially.",
+      Some(
+        Seq(
+          ("orders", "o_orderkey", "o_custkey"),
+          ("lineitem", "l_orderkey", "l_returnflag"),
+          ("lineitem", "l_partkey", "l_suppkey"),
+          ("customer", "c_custkey", "c_mktsegment"),
+          ("events", "user_id", "event_type"),
+          ("documents", "doc_id", "lang"),
+          ("nation", "n_nationkey", "n_regionkey"),
+        ).map { case (t, a, b) =>
+          s"""SELECT '$t' AS tbl, '$a' AS det, '$b' AS dep, count(*) AS n_keys,
+             |  CAST(count(CASE WHEN d > 1 THEN 1 END) AS BIGINT) AS violating_keys,
+             |  count(CASE WHEN d > 1 THEN 1 END) = 0 AS holds
+             |FROM (SELECT $a, count(DISTINCT $b) AS d FROM $t GROUP BY $a)""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "")),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val candidates = Seq(
+          ("orders", t.orders, "o_orderkey", "o_custkey"),
+          ("lineitem", t.lineitem, "l_orderkey", "l_returnflag"),
+          ("lineitem", t.lineitem, "l_partkey", "l_suppkey"),
+          ("customer", t.customer, "c_custkey", "c_mktsegment"),
+          ("events", t.events, "user_id", "event_type"),
+          ("documents", t.documents, "doc_id", "lang"),
+          ("nation", t.nation, "n_nationkey", "n_regionkey"),
+        )
+        candidates.map { case (name, df, a, b) =>
+          df.groupBy(col(a)).agg(countDistinct(col(b)).as("d"))
+            .agg(
+              count(lit(1)).as("n_keys"),
+              count(when(col("d") > 1, 1)).as("violating_keys"))
+            .select(
+              lit(name).as("tbl"), lit(a).as("det"), lit(b).as("dep"),
+              col("n_keys"), col("violating_keys"),
+              (col("violating_keys") === 0).as("holds"))
+        }.reduce(_.unionAll(_))
+      },
+    ),
+    Q(
+      "q153_zonemap",
+      "Zone-map (min/max skip index) build over lineitem with calendar-" +
+        "month zones (graft.operators.ZoneMap): per zone, row count and " +
+        "min/max of ship date and price. O(zones) output, one map-side-" +
+        "combined aggregate — the query-time half (prunedScan: overlap-" +
+        "filter the map, broadcast-semi-join the survivors) is exercised " +
+        "by ZoneMapSpec, where it must be bit-identical to the plain " +
+        "filter it accelerates.",
+      Some("""
+        SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS zone,
+          min(l_shipdate) AS min_l_shipdate, max(l_shipdate) AS max_l_shipdate,
+          min(l_extendedprice) AS min_l_extendedprice,
+          max(l_extendedprice) AS max_l_extendedprice,
+          count(*) AS zone_rows
+        FROM lineitem GROUP BY 1
+      """.trim),
+      (spark, dir) => {
+        graft.operators.ZoneMap.build(
+          Tables(spark, dir).lineitem,
+          date_trunc("month", col("l_shipdate")),
+          Seq("l_shipdate", "l_extendedprice"))
+      },
+    ),
+  )
+}

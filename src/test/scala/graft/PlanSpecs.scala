@@ -229,7 +229,9 @@ class PlanSpecs extends SparkSpec {
       "q110_profile",           // string min/max: a broadcast 1-row aggregate side
       "q130_basket_pairs",      // basket count: a broadcast 1-row aggregate side
       "q133_chi2_terms",        // corpus doc count: a broadcast 1-row aggregate side
-      "q136_key_skew")          // summary stats: broadcast 1-row aggregate sides
+      "q136_key_skew",          // summary stats: broadcast 1-row aggregate sides
+      "q147_mix_divergence",    // langs x sources x 1-row total: all bounded aggregate sides
+      "q151_benford")           // corpus row count: a broadcast 1-row aggregate side
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     queries.QueryCatalog.all.foreach { q =>
       val plan = q.fn(spark, dir).queryExecution.executedPlan.toString

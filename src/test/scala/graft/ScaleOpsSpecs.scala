@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.{ScaleJoins, ZoneMap}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The round-10 scale operators: bloom-pruned semi join, salted skew
+  * join, zone-map skipping. Each must be BIT-IDENTICAL to the plain
+  * operator it accelerates (the pruning/salting is pure optimization),
+  * and each must demonstrably do its scale job on data shaped to need
+  * it (a bloom that prunes, a salt that spreads a hot key, a zone map
+  * that skips zones).
+  */
+class ScaleJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).toIndexedSeq.sorted
+
+  test("bloomPrunedSemiJoin is bit-identical to a plain left-semi join") {
+    val big = (1L to 5000L).map(i => (i % 400, s"payload$i")).toDF("k", "v")
+    val small = Seq(7L, 13L, 42L, 399L, 1000L).toDF("sk") // 1000 matches nothing
+    val got = ScaleJoins.bloomPrunedSemiJoin(big, "k", small, "sk", 1L << 12, 1L << 16)
+    val want = big.join(small, big("k") === small("sk"), "left_semi")
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.count() > 0)
+  }
+
+  test("bloom semi join result is exact even when the filter is sized to false-positive heavily") {
+    val big = (1L to 20000L).toDF("k")
+    val small = (1L to 50L).map(_ * 397L).toDF("sk")
+    // 64 bits for 50 keys: the bloom WILL pass wrong keys; the exact
+    // semi join after it must still remove every false positive.
+    val got = ScaleJoins.bloomPrunedSemiJoin(big, "k", small, "sk", 50L, 64L)
+    val want = big.join(small, big("k") === small("sk"), "left_semi")
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
+  test("the bloom actually prunes: non-matching keys fail might_contain before any join") {
+    // probe the registered kernels directly (scalar-subquery delivery,
+    // the only form might_contain accepts): filter built over 100 keys,
+    // probed with 10000 keys of which 100 match. A working bloom passes
+    // the 100 members plus a small false-positive tail -- far below the
+    // 10000 a broken (always-true) filter would pass.
+    (0L until 100L).toDF("k").createOrReplaceTempView("bloom_keys")
+    (0L until 10000L).toDF("p").createOrReplaceTempView("bloom_probe")
+    val passed = try {
+      spark.sql(
+        """SELECT count(*) AS c FROM bloom_probe
+          |WHERE graft_bloom_contains(
+          |  (SELECT graft_bloom_agg(xxhash64(k), 100L, 4096L) FROM bloom_keys),
+          |  xxhash64(p))""".stripMargin).head().getLong(0)
+    } finally {
+      spark.catalog.dropTempView("bloom_keys")
+      spark.catalog.dropTempView("bloom_probe")
+    }
+    assert(passed >= 100, s"bloom dropped true members: $passed")
+    assert(passed < 400, s"bloom passed $passed of 10000 - not pruning")
+  }
+
+  test("saltedEquiJoin is the identical multiset to the plain join, incl. duplicate dim keys") {
+    // hot key 7 carries half the fact; dim has a DUPLICATE key so join
+    // multiplicity (2 output rows per matching fact row) must survive
+    val fact = ((1L to 1000L).map(i => (7L, i)) ++ (1L to 1000L).map(i => (i % 50, 10000L + i)))
+      .toDF("k", "eid")
+    val dim = (Seq((7L, "hot"), (7L, "hot2")) ++ (0L until 50L).map(i => (i, s"d$i")))
+      .toDF("dk", "name")
+    val got = ScaleJoins.saltedEquiJoin(fact, "k", col("eid"), dim, "dk", salts = 8)
+    val want = fact.join(dim, fact("k") === dim("dk"), "inner")
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
+  test("the salt spreads the hot key across all salts, deterministically across reruns") {
+    val fact = (1L to 1000L).map(i => (7L, i)).toDF("k", "eid")
+    val salted = fact.withColumn("s", pmod(xxhash64(col("eid")), lit(8L)))
+    val spread = salted.select("s").distinct().count()
+    assert(spread == 8, s"hot key landed on $spread of 8 salts")
+    // determinism: the same rows salt identically on a second evaluation
+    // (retry safety -- a partial recompute must not re-deal the cards)
+    val a = salted.groupBy("s").count().collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = salted.groupBy("s").count().collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+}
+
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = (1 to 3650).map { i =>
+    (i / 100, i.toLong, s"row$i") // zone = i/100: 37 zones, values clustered by zone
+  }.toDF("z", "x", "payload")
+
+  test("build: one row per zone with exact min/max/count") {
+    val zm = ZoneMap.build(df, col("z"), Seq("x"))
+    assert(zm.count() == 37)
+    val z5 = zm.filter(col("zone") === 5).head()
+    assert(z5.getAs[Long]("min_x") == 500L && z5.getAs[Long]("max_x") == 599L
+      && z5.getAs[Long]("zone_rows") == 100L)
+  }
+
+  test("prunedScan is bit-identical to the plain range filter, across range shapes") {
+    val zm = ZoneMap.build(df, col("z"), Seq("x"))
+    for ((lo, hi) <- Seq((250L, 449L), (1L, 3650L), (4000L, 5000L), (100L, 100L))) {
+      val got = ZoneMap.prunedScan(df, col("z"), zm, "x", lit(lo), lit(hi))
+        .collect().map(_.toSeq.mkString("|")).sorted
+      val want = df.filter(col("x").between(lo, hi))
+        .collect().map(_.toSeq.mkString("|")).sorted
+      assert(got.sameElements(want), s"range [$lo,$hi]")
+    }
+  }
+
+  test("a narrow range consults few zones, and the gate is a broadcast semi join") {
+    val zm = ZoneMap.build(df, col("z"), Seq("x"))
+    val live = zm.filter(col("max_x") >= 250L && col("min_x") <= 449L)
+    assert(live.count() == 3, "zone envelope filter must keep only overlapping zones")
+    val plan = ZoneMap.prunedScan(df, col("z"), zm, "x", lit(250L), lit(449L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"zone gate should be a broadcast semi join, got:\n$plan")
+  }
+}
