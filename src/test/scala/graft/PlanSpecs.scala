@@ -210,6 +210,38 @@ class PlanSpecs extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q145: the bloom filter evaluates on the fact side BEFORE the exact semi join") {
+    val p = planString(q("q145_bloom_join"))
+    assert(p.contains("might_contain"), p)
+    // the bloom probe must gate the SCAN side (a Filter above the
+    // lineitem scan), not run after the join — that ordering is the
+    // entire point of the operator at scale
+    val probeIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe should sit below the semi join in the plan tree:\n$p")
+  }
+
+  test("q146: the salted join keys on BOTH the natural key and the salt") {
+    val p = planString(q("q146_salted_join"))
+    assert(p.contains("__graft_salt"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q153: the zone-map build is one partial+final aggregate pair over the scan — no join, no window") {
+    val p = planString(q("q153_zonemap"))
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q143: VWAP is one map-side-combined aggregation over the pruned scan") {
+    val p = planString(q("q143_vwap"))
+    assert(!p.contains("Join"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_suppkey"), readSchema)
+  }
+
   test("catalog-wide join audit: no CartesianProduct; nested-loop joins only where a bounded side is documented") {
     // BroadcastNestedLoopJoin is legitimate ONLY where one side is
     // bounded (broadcast query/probe sets, fixed-cardinality reps) or
