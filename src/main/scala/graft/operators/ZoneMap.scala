@@ -47,6 +47,32 @@ object ZoneMap {
     * to the plain filter, which is what makes it safe to apply
     * mechanically.
     */
+  /** Merge two zone maps built with the same zone expression and
+    * tracked columns — min-of-mins / max-of-maxes / sum-of-counts per
+    * zone. min/max/sum are associative and commutative, so a zone map
+    * maintains INCREMENTALLY: build one over each arriving batch
+    * (map-only over the new data) and fold with merge, never re-scanning
+    * history. This is the same fold contract as
+    * [[graft.pipeline.ViewMaintain.foldBatches]]; a streaming ingest
+    * calls it per micro-batch from foreachBatch. Tracked-column names
+    * are recovered from the schema (`min_*` / `max_*` / `zone_rows`),
+    * so callers can't accidentally merge maps with different specs —
+    * mismatched schemas fail the union loudly.
+    *
+    * Deletes are the documented limit, as for any min/max sketch: a
+    * removed row can leave a zone envelope wider than the live data,
+    * which keeps pruning CORRECT (envelopes only over-approximate) but
+    * less selective; rebuild affected zones to re-tighten.
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame = {
+    val stats = a.schema.fieldNames.toSeq.collect {
+      case c if c.startsWith("min_") => min(col(c)).as(c)
+      case c if c.startsWith("max_") => max(col(c)).as(c)
+      case "zone_rows" => sum(col("zone_rows")).as("zone_rows")
+    }
+    a.unionByName(b).groupBy("zone").agg(stats.head, stats.tail: _*)
+  }
+
   def prunedScan(
       df: DataFrame,
       zone: Column,

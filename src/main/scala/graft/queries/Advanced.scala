@@ -465,6 +465,73 @@ object Advanced {
       },
     ),
     Q(
+      "q154_cohort_ltv",
+      "Cohort lifetime-value matrix: customers cohorted by first-order " +
+        "month, revenue and active-customer counts per (cohort, age) " +
+        "cell. Month ids are exact integers (y*12+m), the cohort map is " +
+        "one keyed aggregate joined back on the customer key — the " +
+        "retention-revenue triangle every growth dashboard draws, exact " +
+        "at any partitioning.",
+      Some("""
+        WITH o AS (SELECT o_custkey, o_totalprice,
+                     CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS om
+                   FROM orders),
+        c AS (SELECT o_custkey, min(om) AS cm FROM o GROUP BY 1),
+        j AS (SELECT o.o_custkey, o.o_totalprice, o.om, c.cm
+              FROM o JOIN c ON o.o_custkey = c.o_custkey)
+        SELECT cm AS cohort_ym, om - cm AS age_months,
+          CAST(count(DISTINCT o_custkey) AS BIGINT) AS active_customers,
+          count(*) AS orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        FROM j GROUP BY 1, 2
+      """.trim),
+      (spark, dir) => {
+        val o = Tables(spark, dir).orders.select(
+          col("o_custkey"), col("o_totalprice"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("om"))
+        val cohort = o.groupBy("o_custkey").agg(min("om").as("cm"))
+        o.join(cohort, "o_custkey")
+          .groupBy(col("cm").as("cohort_ym"), (col("om") - col("cm")).as("age_months"))
+          .agg(
+            countDistinct("o_custkey").as("active_customers"),
+            count(lit(1)).as("orders"),
+            Num.dsum(col("o_totalprice")).as("revenue"))
+      },
+    ),
+    Q(
+      "q155_mom_growth",
+      "Month-over-month revenue growth per order priority: monthly " +
+        "exact-decimal totals (one keyed aggregate over raw orders), " +
+        "then a lag window over the TINY monthly series — the ordered " +
+        "pass runs on O(priorities x months) rows, never raw data. " +
+        "Growth is one IEEE division of identically-computed doubles.",
+      Some("""
+        WITH m AS (SELECT o_orderpriority,
+                     CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+                   FROM orders GROUP BY 1, 2),
+        w AS (SELECT o_orderpriority, ym, revenue,
+                lag(revenue) OVER (PARTITION BY o_orderpriority ORDER BY ym) AS prev_revenue
+              FROM m)
+        SELECT o_orderpriority, ym, revenue, prev_revenue,
+          (revenue - prev_revenue) / prev_revenue AS mom_growth
+        FROM w WHERE prev_revenue IS NOT NULL
+      """.trim),
+      (spark, dir) => {
+        val m = Tables(spark, dir).orders
+          .groupBy(col("o_orderpriority"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("ym"))
+          .agg(Num.dsum(col("o_totalprice")).as("revenue"))
+        val w = Window.partitionBy("o_orderpriority").orderBy("ym")
+        m.withColumn("prev_revenue", lag("revenue", 1).over(w))
+          .filter(col("prev_revenue").isNotNull)
+          .withColumn("mom_growth",
+            (col("revenue") - col("prev_revenue")) / col("prev_revenue"))
+      },
+    ),
+    Q(
       "q153_zonemap",
       "Zone-map (min/max skip index) build over lineitem with calendar-" +
         "month zones (graft.operators.ZoneMap): per zone, row count and " +

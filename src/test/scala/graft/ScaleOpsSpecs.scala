@@ -109,6 +109,23 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("incremental maintenance: per-batch builds folded with merge equal the from-scratch build") {
+    val batches = Seq(
+      df.filter(col("x") <= 1000),
+      df.filter(col("x") > 1000 && col("x") <= 2500), // splits zones 10 and 25 across batches
+      df.filter(col("x") > 2500))
+    val folded = batches.map(b => ZoneMap.build(b, col("z"), Seq("x"))).reduce(ZoneMap.merge)
+    val full = ZoneMap.build(df, col("z"), Seq("x"))
+    val f = folded.collect().map(_.toSeq.mkString("|")).sorted
+    val g = full.collect().map(_.toSeq.mkString("|")).sorted
+    assert(f.sameElements(g))
+    // and the merged map serves pruned scans identically
+    val got = ZoneMap.prunedScan(df, col("z"), folded, "x", lit(950L), lit(1100L))
+      .collect().map(_.toSeq.mkString("|")).sorted
+    val want = df.filter(col("x").between(950L, 1100L)).collect().map(_.toSeq.mkString("|")).sorted
+    assert(got.sameElements(want))
+  }
+
   test("a narrow range consults few zones, and the gate is a broadcast semi join") {
     val zm = ZoneMap.build(df, col("z"), Seq("x"))
     val live = zm.filter(col("max_x") >= 250L && col("min_x") <= 449L)
