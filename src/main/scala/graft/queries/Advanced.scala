@@ -532,6 +532,105 @@ object Advanced {
       },
     ),
     Q(
+      "q156_acf",
+      "Autocorrelation function of daily purchase revenue at lags 1-7: " +
+        "the raw events collapse to exact-decimal daily totals first " +
+        "(one keyed aggregate), the lag alignment is ONE equi-join of " +
+        "the tiny day series against its shifted self (days x 7 rows, " +
+        "never raw events), and each lag's Pearson r comes from exact " +
+        "decimal sufficient sums in one fixed double expression — the " +
+        "seasonality probe (lag-7 spikes = weekly cycle), exact at any " +
+        "partitioning.",
+      Some("""
+        WITH daily AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+                         sum(CAST(value AS DECIMAL(30,2))) AS v
+                       FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        pairs AS (SELECT l.lag, a.v AS x, b.v AS y
+                  FROM daily a
+                  CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7]) AS lag) l
+                  JOIN daily b ON b.d = a.d - l.lag),
+        s AS (SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+                CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                CAST(sum(x * y) AS DOUBLE) AS sxy,
+                CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy
+              FROM pairs GROUP BY 1)
+        SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+          (n * sxy - sx * sy)
+            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS acf
+        FROM s
+      """.trim),
+      (spark, dir) => {
+        val daily = Tables(spark, dir).events
+          .filter(col("event_type") === "purchase")
+          .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("d"))
+          .agg(sum(col("value").cast(d30_2)).as("v"))
+        val lags = spark.range(1, 8).select(col("id").cast("int").as("lag"))
+        val shifted = daily.select(col("d").as("bd"), col("v").as("y"))
+        val pairs = daily.crossJoin(broadcast(lags))
+          .join(shifted, col("bd") === col("d") - col("lag"))
+          .select(col("lag"), col("v").as("x"), col("y"))
+        val s = pairs.groupBy("lag").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
+        s.select(
+          col("lag"), col("n").cast("long").as("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("acf"),
+        )
+      },
+    ),
+    Q(
+      "q157_interarrival",
+      "Point-process burstiness per event type: inter-arrival gaps as " +
+        "exact integer microseconds (one lag window per type key over " +
+        "(ts, event_id) order), then mean gap and coefficient of " +
+        "variation from exact integer sufficient sums — CV >> 1 marks " +
+        "bursty arrivals vs a Poisson stream's CV of 1. One keyed " +
+        "shuffle; the fixed double expression runs on per-type totals.",
+      Some("""
+        WITH g AS (SELECT event_type,
+                     epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+                   FROM events),
+        s AS (SELECT event_type, CAST(count(gap) AS DOUBLE) AS n,
+                CAST(sum(gap) AS DOUBLE) AS sg,
+                CAST(sum(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sgg
+              FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+          sg / n / 1000000 AS mean_gap_sec,
+          sqrt(n * sgg - sg * sg)
+            / sqrt(n - 1) / sqrt(n) / (sg / n) AS cv
+        FROM s
+      """.trim),
+      (spark, dir) => {
+        val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        val g = Tables(spark, dir).events
+          .select(col("event_type"),
+            (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap"))
+          .filter(col("gap").isNotNull)
+        // gap^2 sums overflow BIGINT at scale (1e8-microsecond gaps
+        // square to 1e16; x rows), so squares accumulate as exact
+        // DECIMAL(38,0) — order-free — with ONE double conversion after
+        val dec38 = DecimalType(38, 0)
+        val s = g.groupBy("event_type").agg(
+          count(col("gap")).cast("double").as("n"),
+          sum("gap").cast("double").as("sg"),
+          sum(col("gap").cast(dec38) * col("gap").cast(dec38)).cast("double").as("sgg"))
+        s.select(
+          col("event_type"), col("n").cast("long").as("n_gaps"),
+          (col("sg") / col("n") / 1000000).as("mean_gap_sec"),
+          (sqrt(col("n") * col("sgg") - col("sg") * col("sg"))
+            / sqrt(col("n") - 1) / sqrt(col("n"))
+            / (col("sg") / col("n"))).as("cv"),
+        )
+      },
+    ),
+    Q(
       "q153_zonemap",
       "Zone-map (min/max skip index) build over lineitem with calendar-" +
         "month zones (graft.operators.ZoneMap): per zone, row count and " +
