@@ -55,60 +55,15 @@ object AggMaintain {
     * spec-able without a streaming harness).
     */
   def processBatch(batch: DataFrame, batchId: Long, keyCol: String, valCol: String, storeDir: String): Unit = {
-    val spark = batch.sparkSession
-    new java.io.File(storeDir).mkdirs()
-    // Chain-regression guard: a snapshot STRICTLY newer than this batch
-    // means the stream was restarted with a fresh checkpoint (batch ids
-    // reset to 0) against a store built by an older chain — merging
-    // would silently fork the chain and later overtake the old head on
-    // the wrong base. Fail fast: resume with the matching checkpoint,
-    // or point at a fresh store dir. (An EQUAL snapshot is the normal
-    // replay window — batch N re-fires only if N never committed — and
-    // re-installs an identical v=N, so == stays allowed.)
-    val newer = snapshots(storeDir).filter(_ > batchId)
-    require(newer.isEmpty,
-      s"chain regression: store $storeDir already holds snapshot v=${newer.max} > batch $batchId " +
-        "(stream restarted with a fresh checkpoint against an existing store); " +
-        "resume with the original checkpoint or use a fresh store dir")
-    // clear any crashed half-stage for this batch, then stage fresh
-    val tmp = new java.io.File(storeDir, s".tmp-v$batchId")
-    deleteRec(tmp)
-
-    val prev = snapshots(storeDir).filter(_ < batchId).maxOption
     val bAgg = batch.groupBy(col(keyCol))
       .agg(count(lit(1)).as("cnt"), sum(col(valCol).cast("double")).as("total"))
-    val merged = prev match {
-      case None => bAgg
-      case Some(m) =>
-        spark.read.parquet(s"$storeDir/v=$m")
-          .unionByName(bAgg)
-          .groupBy(col(keyCol))
-          .agg(sum("cnt").as("cnt"), sum("total").as("total"))
-    }
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
-
-    // install atomically; a replay overwrites the identical snapshot
-    val dst = new java.io.File(storeDir, s"v=$batchId")
-    deleteRec(dst)
-    require(tmp.renameTo(dst), s"could not install snapshot v=$batchId")
-    // prune snapshots strictly older than the merge input — the input
-    // itself stays so a replay of THIS batch can re-derive v=batchId
-    prev.foreach(m => snapshots(storeDir).filter(_ < m)
-      .foreach(old => deleteRec(new java.io.File(storeDir, s"v=$old"))))
+    SnapshotChain.step(storeDir, batchId, bAgg, (prev, b) =>
+      prev.unionByName(b)
+        .groupBy(col(keyCol))
+        .agg(sum("cnt").as("cnt"), sum("total").as("total")))
   }
 
   /** The newest complete snapshot as a DataFrame (empty store ⇒ None). */
   def current(spark: SparkSession, storeDir: String): Option[DataFrame] =
-    snapshots(storeDir).maxOption.map(m => spark.read.parquet(s"$storeDir/v=$m"))
-
-  private def snapshots(storeDir: String): Seq[Long] =
-    Option(new java.io.File(storeDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
-      .toSeq
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-    f.delete(): Unit
-  }
+    SnapshotChain.current(spark, storeDir)
 }

@@ -126,6 +126,32 @@ class ZoneMapSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("streaming maintenance: chained batches converge to the full build; replay is idempotent; chain regression fails fast") {
+    import graft.streaming.ZoneMapStream
+    val dir = tmpDir("zonemap_stream").toString
+    val batches = Seq(
+      df.filter(col("x") <= 1200),
+      df.filter(col("x") > 1200 && col("x") <= 2400),
+      df.filter(col("x") > 2400))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      ZoneMapStream.processBatch(b, i.toLong, col("z"), Seq("x"), dir)
+    }
+    def snap(): Seq[String] =
+      ZoneMapStream.current(spark, dir).get.collect().map(_.toSeq.mkString("|")).toIndexedSeq.sorted
+    val full = ZoneMap.build(df, col("z"), Seq("x"))
+      .collect().map(_.toSeq.mkString("|")).toIndexedSeq.sorted
+    assert(snap() == full)
+    // replay of the newest batch (the structured-streaming replay
+    // window) must re-install an identical snapshot
+    ZoneMapStream.processBatch(batches(2), 2L, col("z"), Seq("x"), dir)
+    assert(snap() == full)
+    // a fresh checkpoint against the old store must fail fast, not fork
+    val e = intercept[IllegalArgumentException] {
+      ZoneMapStream.processBatch(batches(0), 0L, col("z"), Seq("x"), dir)
+    }
+    assert(e.getMessage.contains("chain regression"), e.getMessage)
+  }
+
   test("a narrow range consults few zones, and the gate is a broadcast semi join") {
     val zm = ZoneMap.build(df, col("z"), Seq("x"))
     val live = zm.filter(col("max_x") >= 250L && col("min_x") <= 449L)
