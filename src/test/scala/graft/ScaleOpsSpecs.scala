@@ -126,6 +126,26 @@ class ZoneMapSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("on a zone-partitioned layout the pruned scan skips partitions (dynamic partition pruning), not just rows") {
+    val dir = tmpDir("zonemap_layout").toString
+    df.write.mode("overwrite").partitionBy("z").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val zm = ZoneMap.build(stored, col("z"), Seq("x"))
+    val scan = ZoneMap.prunedScan(stored, col("z"), zm, "x", lit(250L), lit(449L))
+    val got = scan.collect().map(r => (r.getAs[Long]("x"), r.getAs[String]("payload"))).sorted
+    val want = df.filter(col("x").between(250L, 449L))
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[String]("payload"))).sorted
+    assert(got.sameElements(want))
+    // the zone gate must reach the SCAN as a partition filter: Spark's
+    // dynamic partition pruning turns the broadcast semi join on the
+    // partition column into file-level skipping — the 100 TB behavior
+    // (non-overlapping zones are never opened), visible in the plan
+    val plan = scan.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(l => l.contains("PartitionFilters") && l.contains("z#"))
+    assert(scanLine.exists(l => l.contains("dynamicpruning")),
+      s"expected a dynamicpruning PartitionFilter on the zone column, got:\n$plan")
+  }
+
   test("streaming maintenance: chained batches converge to the full build; replay is idempotent; chain regression fails fast") {
     import graft.streaming.ZoneMapStream
     val dir = tmpDir("zonemap_stream").toString
