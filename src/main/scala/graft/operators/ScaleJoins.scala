@@ -74,10 +74,8 @@ object ScaleJoins {
            |         FROM $smallV s),
            |        xxhash64(b.$bigKey))""".stripMargin)
       // exact semi join over the survivors removes bloom false positives
-      pruned.join(
-        small.select(col(smallKey)).distinct(),
-        pruned(bigKey) === col(smallKey),
-        "left_semi")
+      val dimKeys = small.select(col(smallKey)).distinct()
+      pruned.join(dimKeys, pruned(bigKey) === dimKeys(smallKey), "left_semi")
     } finally {
       spark.catalog.dropTempView(bigV)
       spark.catalog.dropTempView(smallV)

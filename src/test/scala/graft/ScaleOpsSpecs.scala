@@ -36,6 +36,14 @@ class ScaleJoinSpec extends SparkSpec {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("bloom semi join disambiguates when both sides use the SAME key column name") {
+    val big = (1L to 2000L).map(i => i % 97).toDF("k")
+    val small = Seq(3L, 11L, 96L).toDF("k")
+    val got = ScaleJoins.bloomPrunedSemiJoin(big, "k", small, "k", 1L << 10, 1L << 14)
+    val want = big.join(small.withColumnRenamed("k", "sk"), col("k") === col("sk"), "left_semi")
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
   test("the bloom actually prunes: non-matching keys fail might_contain before any join") {
     // probe the registered kernels directly (scalar-subquery delivery,
     // the only form might_contain accepts): filter built over 100 keys,
