@@ -378,4 +378,44 @@ class PropertySpecs extends SparkSpec {
       }
     }
   }
+
+  test("salted join equals the plain join for arbitrary data, duplicate keys, and salt counts") {
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      salts <- Gen.choose(1, 12)
+      fact <- Gen.listOf(Gen.zip(Gen.choose(0L, 8L), Gen.choose(0L, 1000000L)))
+      dim <- Gen.listOf(Gen.zip(Gen.choose(0L, 10L), ident)) // keys beyond fact range + dup keys
+    } yield (salts, fact, dim)
+    forAll(gen, n = 15) { case (salts, fact, dim) =>
+      whenever(fact.nonEmpty && dim.nonEmpty) {
+        val f = fact.toDF("k", "eid")
+        val d = dim.toDF("dk", "name")
+        val got = graft.operators.ScaleJoins.saltedEquiJoin(f, "k", col("eid"), d, "dk", salts)
+          .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+        val want = f.join(d, f("k") === d("dk"), "inner")
+          .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+        assert(got === want, s"salts=$salts")
+      }
+    }
+  }
+
+  test("zone-map pruned scan equals the plain range filter for arbitrary data, zones, and ranges") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val gen = for {
+      zdiv <- Gen.choose(1L, 50L) // zone granularity
+      xs <- Gen.nonEmptyListOf(Gen.choose(-500L, 500L))
+      lo <- Gen.choose(-600L, 600L)
+      span <- Gen.choose(0L, 400L)
+    } yield (zdiv, xs, lo, lo + span)
+    forAll(gen, n = 15) { case (zdiv, xs, lo, hi) =>
+      val df = xs.zipWithIndex.map { case (x, i) => (x, i.toLong) }.toDF("x", "id")
+      val zone = col("x") / lit(zdiv) // integer div semantics differ for negatives but ANY pure fn is a valid zone
+      val zm = graft.operators.ZoneMap.build(df, zone, Seq("x"))
+      val got = graft.operators.ZoneMap.prunedScan(df, zone, zm, "x", lit(lo), lit(hi))
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      val want = df.filter(col("x").between(lo, hi))
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(got === want, s"zdiv=$zdiv range=[$lo,$hi]")
+    }
+  }
 }
