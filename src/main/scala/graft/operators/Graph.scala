@@ -60,12 +60,33 @@ object Graph {
       baskets: DataFrame,
       basketCol: String,
       itemCol: String,
-      minCo: Long = 2L): DataFrame = {
+      minCo: Long = 2L,
+      maxBasketSize: Long = 10000L): DataFrame = {
     require(minCo >= 1, s"minCo must be >= 1: $minCo")
-    val li = baskets
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2: $maxBasketSize")
+    // Pinned (materialized once): the deduped incidence list feeds the
+    // size audit, both pair-join sides, the item counts and the basket
+    // count — pinning makes the audit a cheap scan of computed blocks
+    // instead of a second distinct shuffle, and the consumers below
+    // read the same blocks. (Reliable-checkpoint deployments flip the
+    // session flag — see Lineage.)
+    val li = Lineage.pin(baskets
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("ok"), col(itemCol).as("pk"))
-      .distinct()
+      .distinct())
+    // The pair join below is Σ|basket|² — one pathological mega-basket
+    // (a null-like sentinel id, a catch-all tenant) dominates it
+    // QUADRATICALLY and melts a stage hours in. The size audit is one
+    // cheap linear aggregate over the deduped rows, evaluated EAGERLY
+    // so the failure lands before the quadratic stage is ever planned;
+    // callers with legitimately huge baskets raise the cap knowingly.
+    val over = li.groupBy(col("ok")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > maxBasketSize)
+      .limit(1).collect()
+    require(over.isEmpty,
+      s"basket ${over.headOption.map(_.get(0)).getOrElse("")} holds ${over.headOption.map(_.get(1)).getOrElse("")} " +
+        s"distinct items > maxBasketSize=$maxBasketSize — the pair join is quadratic per basket; " +
+        "filter/cap the basket upstream or raise maxBasketSize deliberately")
     val pairs = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
       .filter(col("src") < col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("n_co"))

@@ -230,4 +230,18 @@ class GraphSpecs extends SparkSpec {
       ("A", "C") -> ((2L, 2.0 * 5 / (4 * 3))),
       ("B", "C") -> ((2L, 2.0 * 5 / (4 * 3)))), got.toString)
   }
+
+  test("co-occurrence: a mega-basket fails fast BEFORE the quadratic pair join (r9 watch item)") {
+    import graft.operators.Graph
+    // basket 0 is a pathological catch-all holding 50 distinct items
+    val rows = (1L to 50L).map(i => (0L, s"item$i")) ++ Seq((1L, "a"), (1L, "b"))
+    val e = intercept[IllegalArgumentException] {
+      Graph.coOccurrence(rows.toDF("basket", "item"), "basket", "item",
+        minCo = 1, maxBasketSize = 20).collect()
+    }
+    assert(e.getMessage.contains("maxBasketSize") && e.getMessage.contains("50"), e.getMessage)
+    // raising the cap deliberately lets the same data through
+    assert(Graph.coOccurrence(rows.toDF("basket", "item"), "basket", "item",
+      minCo = 1, maxBasketSize = 50).count() > 0)
+  }
 }
