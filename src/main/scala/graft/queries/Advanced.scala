@@ -631,6 +631,41 @@ object Advanced {
       },
     ),
     Q(
+      "q158_abc",
+      "ABC / Pareto classification of parts by revenue " +
+        "(graft.operators.Pareto): exact cumulative revenue share in " +
+        "descending order, classes cut at 70/90%. The oracle runs the " +
+        "textbook single global window; the engine computes the SAME " +
+        "exact cumulative through monotone revenue bands — per-band " +
+        "totals prefix-summed over |bands| rows, parallel in-band " +
+        "windows — so nothing ever moves through one partition. Class " +
+        "cuts compare cross-multiplied decimals; only the reported " +
+        "share pays a double division.",
+      Some("""
+        WITH r AS (SELECT l_partkey,
+                     sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS rev
+                   FROM lineitem GROUP BY 1),
+        t AS (SELECT sum(rev) AS total FROM r),
+        w AS (SELECT l_partkey, rev,
+                sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM r)
+        SELECT l_partkey, CAST(rev AS DOUBLE) AS measure_value,
+          CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+          CASE WHEN cum * 100 <= total * 70 THEN 'A'
+               WHEN cum * 100 <= total * 90 THEN 'B'
+               ELSE 'C' END AS abc
+        FROM w CROSS JOIN t
+      """.trim),
+      (spark, dir) => {
+        val rev = Tables(spark, dir).lineitem
+          .groupBy("l_partkey")
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(30, 6))).as("rev"))
+        graft.operators.Pareto.abcClassify(rev, "l_partkey", col("rev"), bandWidth = 10000L)
+      },
+    ),
+    Q(
       "q153_zonemap",
       "Zone-map (min/max skip index) build over lineitem with calendar-" +
         "month zones (graft.operators.ZoneMap): per zone, row count and " +

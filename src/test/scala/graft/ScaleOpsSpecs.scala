@@ -91,6 +91,34 @@ class ScaleJoinSpec extends SparkSpec {
   }
 }
 
+class ParetoSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Pareto
+  import java.math.{BigDecimal => JBD}
+
+  test("banded two-pass cumulative equals the naive global order, incl. ties and tiny bands") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map(k => (k, BigDecimal(rnd.nextInt(100000)) / 100 + (k % 7))) // dup measures across keys
+    val df = rows.toDF("k", "m").select(col("k"), col("m").cast("decimal(30,6)").as("m"))
+    for (bw <- Seq(1L, 100L, 1000000L)) { // 1 = one band per unit; huge = ONE band (degenerates to the naive plan)
+      val got = Pareto.abcClassify(df, "k", col("m"), bandWidth = bw)
+        .collect().map(r => (r.getLong(0), r.getDouble(2), r.getString(3))).sortBy(_._1)
+      // naive reference: exact BigDecimal accumulation in (m desc, k) order
+      val total = rows.map(_._2).sum
+      var cum = BigDecimal(0)
+      val want = rows.sortBy { case (k, m) => (-m, k) }.map { case (k, m) =>
+        cum += m
+        val abc = if (cum * 100 <= total * 70) "A" else if (cum * 100 <= total * 90) "B" else "C"
+        (k, (new JBD(cum.bigDecimal.toString).doubleValue()) / (new JBD(total.bigDecimal.toString).doubleValue()), abc)
+      }.sortBy(_._1)
+      got.zip(want).foreach { case ((gk, gs, gc), (wk, ws, wc)) =>
+        assert(gk == wk && gc == wc, s"bw=$bw key=$gk class $gc != $wc")
+        assert(math.abs(gs - ws) < 1e-12, s"bw=$bw key=$gk share $gs != $ws")
+      }
+    }
+  }
+}
+
 class ZoneMapSpec extends SparkSpec {
   import spark.implicits._
 
