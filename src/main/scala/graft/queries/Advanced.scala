@@ -666,6 +666,38 @@ object Advanced {
       },
     ),
     Q(
+      "q159_hll_merge",
+      "Sketch ALGEBRA (the 100 TB rollup property q55's direct path " +
+        "doesn't exercise): hourly Datasketches-HLL sketches of " +
+        "distinct users per event type MERGE into daily estimates via " +
+        "hll_union_agg — pre-aggregated rollups answer coarser distinct " +
+        "queries without touching raw data again. Sketch bytes are " +
+        "engine-specific, so the oracled output is q55's error-gate " +
+        "shape: exact daily distincts plus whether the MERGED estimate " +
+        "landed within 5% — a drifting merge hash-mismatches the " +
+        "oracle's literal trues.",
+      Some("""
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+          true AS merged_within_5pct
+        FROM events GROUP BY 1, 2
+      """.trim),
+      (spark, dir) => {
+        val ev = Tables(spark, dir).events
+        val hourly = ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val daily = hourly
+          .groupBy(col("event_type"), date_trunc("day", col("hour")).as("day"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = ev.groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        exact.join(daily, Seq("event_type", "day"))
+          .select(col("event_type"), col("day"), col("exact_users"),
+            (abs(col("est").cast("double") - col("exact_users").cast("double"))
+              / col("exact_users").cast("double") <= 0.05).as("merged_within_5pct"))
+      },
+    ),
+    Q(
       "q153_zonemap",
       "Zone-map (min/max skip index) build over lineitem with calendar-" +
         "month zones (graft.operators.ZoneMap): per zone, row count and " +
