@@ -219,6 +219,35 @@ object TextOps {
             col("n_inter"), col("n_union"), col("jaccard")),
     ),
     Q(
+      "q160_jaccard_prefix",
+      "Exact Jaccard near-dup pairs (j >= 0.6) via PPJoin-style PREFIX " +
+        "FILTERING (TextCuration.jaccardNearDupsPrefix): shingles " +
+        "ordered rarest-first globally, only each doc's provably-" +
+        "sufficient prefix feeds the candidate join, exact per-pair " +
+        "array-intersect verification after. Same result as the full " +
+        "inverted index (the oracle runs it), from a fraction of the " +
+        "candidate pairs — the LOSSLESS exact-similarity scale path " +
+        "next to q27/q28's MinHash recall trade.",
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokD AS tok FROM documents),
+        shi AS (SELECT doc_id, ${shinglesDuck("tok")} AS sh FROM t),
+        sz AS (SELECT doc_id, len(sh) AS nsh, sh FROM shi),
+        ex AS (SELECT doc_id, nsh, unnest(sh) AS s FROM sz),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS na, b.nsh AS nb, count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, n_inter, na + nb - n_inter AS n_union,
+          CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
+        FROM p
+        WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.6
+        ORDER BY doc_a, doc_b
+      """.trim),
+      (spark, dir) =>
+        graft.api.TextCuration.jaccardNearDupsPrefix(Tables(spark, dir).documents, "doc_id", "text", 0.6)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("n_inter"), col("n_union"), col("jaccard")),
+    ),
+    Q(
       "q27_minhash",
       s"MinHash signatures: $MinhashK linear permutations of the trigram-" +
         "shingle poly-hash, as one grouped aggregation over exploded " +

@@ -91,6 +91,44 @@ class ScaleJoinSpec extends SparkSpec {
   }
 }
 
+class PrefixFilterSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.api.TextCuration
+
+  // near-dup clusters (shared sentences, small edits) + unrelated docs,
+  // with heavy shared boilerplate so the full inverted index suffers
+  private val docs = {
+    val boiler = "all rights reserved terms of service apply to every page of this site"
+    val bodies = Seq(
+      s"the quick brown fox jumps over the lazy dog $boiler",
+      s"the quick brown fox jumps over the lazy cat $boiler", // near-dup of 0
+      s"the quick brown fox jumps over the lazy dog $boiler", // exact dup of 0
+      s"completely different content about spark query planning and shuffles $boiler",
+      s"another unrelated document mentioning catalyst optimizer internals $boiler",
+      s"short text $boiler",
+    )
+    bodies.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("prefix-filtered Jaccard join equals the full inverted-index join at several thresholds") {
+    for (t <- Seq(0.4, 0.6, 0.8)) {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b", "n_inter", "n_union")
+          .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      val full = canon(TextCuration.jaccardNearDups(docs, "doc_id", "text", t))
+      val pref = canon(TextCuration.jaccardNearDupsPrefix(docs, "doc_id", "text", t))
+      assert(pref === full, s"threshold $t")
+      if (t == 0.6) assert(full.nonEmpty, "fixture must actually contain near-dups")
+    }
+  }
+
+  test("the prefix actually prunes: fewer candidate pairs than the full index on boilerplate-heavy data") {
+    val (prefPairs, fullPairs) = TextCuration.prefixCandidateStats(docs, "doc_id", "text", 0.8)
+    assert(prefPairs < fullPairs,
+      s"prefix candidates ($prefPairs) should undercut the full index ($fullPairs)")
+  }
+}
+
 class ParetoSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Pareto
