@@ -84,6 +84,13 @@ object ScaleJoins {
 
   /** Inner equi-join with the fact side salted across `salts` reducers.
     *
+    * The GENERAL form of [[Skew.saltedJoin]]: distinct key names on the
+    * two sides (each side keeps its own key column in the output, as
+    * with any expression join) and a caller-chosen `distributor` for
+    * the salt — pick the cheapest unique column instead of hashing the
+    * whole row. Use [[Skew.saltedJoin]] when both sides share the key
+    * name and the USING-style merged key column is wanted.
+    *
     * A shuffled hash/sort-merge join partitions both sides by the join
     * key, so one hot key (a null-like sentinel tenant, a bot user, a
     * default SKU) serializes its entire volume through one task. AQE's

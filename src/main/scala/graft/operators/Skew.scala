@@ -24,6 +24,11 @@ object Skew {
     * `skewed.join(other, key)` exactly; only the physical distribution
     * changes. The salt is deterministic (hash of the whole row), so
     * replays produce identical partitioning.
+    *
+    * USING-style convenience (same key name both sides, merged key
+    * column in the output, no distributor to choose). For distinct key
+    * names or a cheaper explicit salt distributor, use the general
+    * [[ScaleJoins.saltedEquiJoin]].
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
