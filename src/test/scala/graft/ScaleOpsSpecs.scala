@@ -246,6 +246,31 @@ class ZoneMapSpec extends SparkSpec {
     assert(e.getMessage.contains("chain regression"), e.getMessage)
   }
 
+  test("ZoneMapStream end-to-end via MemoryStream: the live skip index matches a batch rebuild and serves pruned scans") {
+    import graft.streaming.ZoneMapStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir("zonemap_e2e").toString
+    val in = MemoryStream[(Int, Long, String)]
+    val q = ZoneMapStream.start(in.toDF().toDF("z", "x", "payload"),
+      col("z"), Seq("x"), s"$dir/store", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      val all = (1 to 3650).map(i => (i / 100, i.toLong, s"row$i"))
+      in.addData(all.take(1500)); q.processAllAvailable()
+      in.addData(all.slice(1500, 2600)); q.processAllAvailable()
+      in.addData(all.drop(2600)); q.processAllAvailable()
+      val live = ZoneMapStream.current(spark, s"$dir/store").get
+      val want = ZoneMap.build(df, col("z"), Seq("x"))
+        .collect().map(_.toSeq.mkString("|")).sorted
+      assert(live.collect().map(_.toSeq.mkString("|")).sorted.sameElements(want))
+      val got = ZoneMap.prunedScan(df, col("z"), live, "x", lit(1200L), lit(1350L))
+        .collect().map(_.toSeq.mkString("|")).sorted
+      val plain = df.filter(col("x").between(1200L, 1350L)).collect().map(_.toSeq.mkString("|")).sorted
+      assert(got.sameElements(plain))
+    } finally q.stop()
+  }
+
   test("a narrow range consults few zones, and the gate is a broadcast semi join") {
     val zm = ZoneMap.build(df, col("z"), Seq("x"))
     val live = zm.filter(col("max_x") >= 250L && col("min_x") <= 449L)
