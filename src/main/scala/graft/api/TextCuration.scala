@@ -132,10 +132,18 @@ object TextCuration {
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <=
         col("nsh") - ceil(lit(threshold * threshold) * col("nsh") - lit(1e-9)) + 1)
-      .select("__id", "s")
-    val cand = prefix.select(col("__id").as("id_a"), col("s"))
-      .join(prefix.select(col("__id").as("id_b"), col("s")).hint("SHUFFLE_HASH"), "s")
-      .filter(col("id_a") < col("id_b"))
+      .select("__id", "nsh", "s")
+    // size filter (Arasu et al. VLDB'06): J >= t forces t·|x| <= |y|
+    // (and symmetrically), so size-incompatible prefix collisions are
+    // dropped IN the candidate join — epsilon-permissive on the double
+    // compare (keeping a false candidate is safe, dropping a true one
+    // is not; the exact verification below settles it either way).
+    val cand = prefix.select(col("__id").as("id_a"), col("nsh").as("pna"), col("s"))
+      .join(prefix.select(col("__id").as("id_b"), col("nsh").as("pnb"), col("s"))
+        .hint("SHUFFLE_HASH"), "s")
+      .filter(col("id_a") < col("id_b")
+        && col("pnb").cast("double") >= lit(threshold) * col("pna").cast("double") - lit(1e-9)
+        && col("pna").cast("double") >= lit(threshold) * col("pnb").cast("double") - lit(1e-9))
       .select("id_a", "id_b").distinct()
     // Exact verification on the CANDIDATE-RESTRICTED inverted index:
     // shingle the corpus once (ex above is reused), keep only candidate
