@@ -698,6 +698,44 @@ object Advanced {
       },
     ),
     Q(
+      "q161_join_blowup",
+      "Join-explosion predictor (the measure-before-you-join companion " +
+        "to q136's skew profile): exact output cardinality of the " +
+        "events self-join on user id (sum of per-key frequency squares " +
+        "— what q113-style same-key pair joins actually cost) plus the " +
+        "top-10 contributing keys with their share. One keyed count, " +
+        "one tiny aggregate, top-k via TakeOrderedAndProject; at 100 TB " +
+        "this runs in seconds and decides whether the real join needs " +
+        "bucketizing or salting BEFORE it is attempted.",
+      Some("""
+        WITH f AS (SELECT user_id, count(*) AS f FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(f * f) AS BIGINT) AS total_pairs,
+                CAST(count(*) AS BIGINT) AS n_keys
+              FROM f)
+        SELECT f.user_id, CAST(f.f AS BIGINT) AS f,
+          CAST(f.f * f.f AS BIGINT) AS pairs,
+          CAST(f.f * f.f AS DOUBLE) / CAST(t.total_pairs AS DOUBLE) AS share,
+          t.total_pairs, t.n_keys
+        FROM f CROSS JOIN t
+        ORDER BY pairs DESC, user_id LIMIT 10
+      """.trim),
+      (spark, dir) => {
+        val f = Tables(spark, dir).events
+          .groupBy("user_id").agg(count(lit(1)).as("f"))
+        val t = f.agg(
+          sum(col("f") * col("f")).as("total_pairs"),
+          count(lit(1)).as("n_keys"))
+        f.crossJoin(broadcast(t))
+          .select(col("user_id"), col("f"),
+            (col("f") * col("f")).as("pairs"),
+            ((col("f") * col("f")).cast("double") / col("total_pairs").cast("double"))
+              .as("share"),
+            col("total_pairs"), col("n_keys"))
+          .orderBy(col("pairs").desc, col("user_id"))
+          .limit(10)
+      },
+    ),
+    Q(
       "q153_zonemap",
       "Zone-map (min/max skip index) build over lineitem with calendar-" +
         "month zones (graft.operators.ZoneMap): per zone, row count and " +

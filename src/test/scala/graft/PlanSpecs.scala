@@ -265,7 +265,8 @@ class PlanSpecs extends SparkSpec {
       "q147_mix_divergence",    // langs x sources x 1-row total: all bounded aggregate sides
       "q151_benford",           // corpus row count: a broadcast 1-row aggregate side
       "q156_acf",               // broadcast 7-row lag table against the aggregated day series
-      "q158_abc")               // grand-total: a broadcast 1-row aggregate side
+      "q158_abc",               // grand-total: a broadcast 1-row aggregate side
+      "q161_join_blowup")       // total-pairs: a broadcast 1-row aggregate side
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     queries.QueryCatalog.all.foreach { q =>
       val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
