@@ -489,12 +489,30 @@ object VectorSearch {
     * Returns (idCol, center_id, keep). Scale shape: assignment is
     * map-only (literal centers); the pair probe is ONE self-join
     * shuffled on center_id, and the keep flag is a left anti join on
-    * the dropped set — no corpus² product anywhere.
+    * the dropped set — no corpus² product anywhere — PROVIDED the
+    * clustering actually divided the corpus. That is what
+    * `maxClusterSize` enforces: Σ cluster² is only sub-quadratic when
+    * no cluster is a catch-all, and a k too small for the corpus (or a
+    * degenerate embedding space) silently re-creates corpus² inside
+    * one cluster. The audit is one linear aggregate over the
+    * assignment, evaluated EAGERLY so the failure lands before the
+    * pair join is ever planned (the [[graft.operators.Graph]]
+    * mega-basket pattern); callers with legitimately huge clusters
+    * raise the cap knowingly — or raise k, which is the real fix.
     */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-               startId: Long, minCosine: Double): DataFrame = {
+               startId: Long, minCosine: Double,
+               maxClusterSize: Long = 200000L): DataFrame = {
     val asn = kcenterAssign(corpus, idCol, vecCol, k, startId)
       .select(col(idCol), col("center_id"))
+    val over = asn.groupBy(col("center_id")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > maxClusterSize)
+      .limit(1).collect()
+    require(over.isEmpty,
+      s"semDedup cluster ${over.headOption.map(_.get(0)).getOrElse("")} holds " +
+        s"${over.headOption.map(_.get(1)).getOrElse("")} vectors > maxClusterSize=$maxClusterSize — " +
+        "the within-cluster pair join is quadratic per cluster; raise k (preferred) " +
+        "or raise maxClusterSize deliberately")
     val n = withNorm(corpus, vecCol).join(asn, idCol)
     val a = n.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       col("nrm").as("na"), col("center_id"))

@@ -42,6 +42,47 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Eager mega-basket audit shared by every Σ|basket|² pair join here:
+    * one linear aggregate over the deduped (basket, item) incidence,
+    * collected BEFORE the quadratic stage is planned, failing loudly
+    * with the offending basket. `li` must have columns (ok, pk).
+    */
+  private def auditBasketSizes(li: DataFrame, maxBasketSize: Long): Unit = {
+    val over = li.groupBy(col("ok")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > maxBasketSize)
+      .limit(1).collect()
+    require(over.isEmpty,
+      s"basket ${over.headOption.map(_.get(0)).getOrElse("")} holds ${over.headOption.map(_.get(1)).getOrElse("")} " +
+        s"distinct items > maxBasketSize=$maxBasketSize — the pair join is quadratic per basket; " +
+        "filter/cap the basket upstream or raise maxBasketSize deliberately")
+  }
+
+  /** Co-membership edge list: one directed edge per ordered pair of
+    * DISTINCT items sharing a basket (both directions emitted; one edge
+    * per shared basket, so pairs sharing k baskets carry weight k) —
+    * the adjacency shape [[PageRank.runInt]] consumes for co-purchase
+    * centrality (q121 builds the part graph from lineitem with it).
+    * Same Σ|basket|² hazard as [[coOccurrence]], same EAGER mega-basket
+    * audit: the failure lands before the quadratic join is ever
+    * planned, instead of a stage melting hours into a 100 TB run on a
+    * sentinel catch-all basket.
+    */
+  def coMembershipEdges(
+      baskets: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasketSize: Long = 10000L): DataFrame = {
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2: $maxBasketSize")
+    val li = Lineage.pin(baskets
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("ok"), col(itemCol).as("pk"))
+      .distinct())
+    auditBasketSizes(li, maxBasketSize)
+    li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+  }
+
   /** Market-basket co-occurrence with lift.
     *
     * Input: one row per (basket, item) incidence (duplicates tolerated —
@@ -80,13 +121,7 @@ object Graph {
     // cheap linear aggregate over the deduped rows, evaluated EAGERLY
     // so the failure lands before the quadratic stage is ever planned;
     // callers with legitimately huge baskets raise the cap knowingly.
-    val over = li.groupBy(col("ok")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz") > maxBasketSize)
-      .limit(1).collect()
-    require(over.isEmpty,
-      s"basket ${over.headOption.map(_.get(0)).getOrElse("")} holds ${over.headOption.map(_.get(1)).getOrElse("")} " +
-        s"distinct items > maxBasketSize=$maxBasketSize — the pair join is quadratic per basket; " +
-        "filter/cap the basket upstream or raise maxBasketSize deliberately")
+    auditBasketSizes(li, maxBasketSize)
     val pairs = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
       .filter(col("src") < col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("n_co"))

@@ -35,7 +35,12 @@ object Pareto {
     * @param keyCol    unique entity key (tie-break; uniqueness is the
     *                  caller's contract, as for any deterministic rank)
     * @param measure   exact DECIMAL column (cast upstream; doubles
-    *                  would make the running sums order-dependent)
+    *                  would make the running sums order-dependent).
+    *                  Must be NON-NULL and NON-NEGATIVE: banding uses
+    *                  truncating integer `div`, which is only monotone
+    *                  for measures >= 0, and a null measure has no
+    *                  defined rank. Violations fail the job eagerly
+    *                  (one linear aggregate) before any shuffle.
     * @param bandWidth coarse band width in measure units — size so
     *                  bands ≫ cores while each band's rows fit a task
     * @param aPct      class A cut as a percent of total (inclusive)
@@ -51,6 +56,14 @@ object Pareto {
     require(bandWidth >= 1, s"bandWidth must be >= 1: $bandWidth")
     require(0 < aPct && aPct < bPct && bPct < 100, s"need 0 < aPct < bPct < 100: $aPct, $bPct")
     val base = df.select(col(keyCol), measure.as("m"))
+    // Eager audit (same pattern as Graph.coOccurrence's mega-basket cap):
+    // a null measure would silently vanish in the band join, a negative
+    // one silently mis-bands — both must fail loudly, not classify.
+    val bad = base
+      .agg(count(when(col("m").isNull || col("m") < 0, 1)).as("bad"))
+      .head().getLong(0)
+    require(bad == 0L,
+      s"abcClassify requires non-null, non-negative measures; found $bad violating row(s)")
     // integer `div` on the FLOORED measure: exact banding, no decimal
     // division whose rounding could flip a boundary row's band.
     // Non-negative measures assumed (div truncates toward zero).

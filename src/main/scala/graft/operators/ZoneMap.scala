@@ -33,20 +33,6 @@ object ZoneMap {
     df.groupBy(zone.as("zone")).agg(stats.head, stats.tail: _*)
   }
 
-  /** Scan `df` for rows with `lo <= trackedCol <= hi`, reading only the
-    * zones whose envelope overlaps [lo, hi].
-    *
-    * The zone map is filtered to overlapping zones (a few rows), then
-    * semi-joined back on the zone expression — Catalyst broadcasts the
-    * tiny side, so the big scan is gated by a broadcast hash semi join
-    * on the zone id: the per-row work is one coarse key probe instead of
-    * the full predicate, and on a layout where `zone` is a partition
-    * column this collapses to real partition pruning (the scan never
-    * opens non-overlapping files). The exact predicate still runs on the
-    * surviving zones — zone skipping is an OPTIMIZATION, bit-identical
-    * to the plain filter, which is what makes it safe to apply
-    * mechanically.
-    */
   /** Merge two zone maps built with the same zone expression and
     * tracked columns — min-of-mins / max-of-maxes / sum-of-counts per
     * zone. min/max/sum are associative and commutative, so a zone map
@@ -73,6 +59,31 @@ object ZoneMap {
     a.unionByName(b).groupBy("zone").agg(stats.head, stats.tail: _*)
   }
 
+  /** Scan `df` for rows with `lo <= trackedCol <= hi`, reading only the
+    * zones whose envelope overlaps [lo, hi].
+    *
+    * The zone map is filtered to overlapping zones (a few rows), then
+    * semi-joined back on the zone expression — Catalyst broadcasts the
+    * tiny side, so the big scan is gated by a broadcast hash semi join
+    * on the zone id: the per-row work is one coarse key probe instead of
+    * the full predicate, and on a layout where `zone` is a partition
+    * column this collapses to real partition pruning (the scan never
+    * opens non-overlapping files). The exact predicate still runs on the
+    * surviving zones — zone skipping is an OPTIMIZATION, bit-identical
+    * to the plain filter, which is what makes it safe to apply
+    * mechanically. A row whose zone expression evaluates to null (e.g. a
+    * null tenant bucket) belongs to the null-zone envelope [[build]]
+    * keeps (groupBy retains a null group) — zone and tracked column are
+    * independent, so such rows must survive whenever trackedCol is in
+    * range. A single null-safe `<=>` join would express that but defeats
+    * dynamic partition pruning (DPP requires a null-intolerant key), so
+    * the gate splits: non-null zones keep the `===` broadcast semi join
+    * (DPP fires on partitioned layouts), and the null group unions in
+    * through its own branch, kept iff a live null-zone envelope exists —
+    * a trivially-true semi probe against a <= 1-row broadcast, and on a
+    * zone-partitioned layout the `isNull` filter statically prunes that
+    * branch to the lone null partition.
+    */
   def prunedScan(
       df: DataFrame,
       zone: Column,
@@ -83,7 +94,10 @@ object ZoneMap {
     val live = zoneMap
       .filter(col(s"max_$trackedCol") >= lo && col(s"min_$trackedCol") <= hi)
       .select(col("zone"))
-    df.join(broadcast(live), zone === live("zone"), "left_semi")
-      .filter(col(trackedCol).between(lo, hi))
+    val liveNonNull = live.filter(col("zone").isNotNull)
+    val keptNonNull = df.join(broadcast(liveNonNull), zone === liveNonNull("zone"), "left_semi")
+    val liveNull = live.filter(col("zone").isNull)
+    val keptNull = df.filter(zone.isNull).join(broadcast(liveNull), lit(true), "left_semi")
+    keptNonNull.unionByName(keptNull).filter(col(trackedCol).between(lo, hi))
   }
 }

@@ -154,12 +154,15 @@ object Advanced {
                  FROM n CROSS JOIN g CROSS JOIN m
                  LEFT JOIN c ON c.lang = n.lang AND c.source = g.source),
         a AS (SELECT lang, n, m,
-                CAST(sum(abs(c * m - g * n)) AS BIGINT) AS tvnum,
-                CAST(sum(c * c) AS BIGINT) AS sc2
+                sum(abs(CAST(c AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))
+                      - CAST(g AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))) AS tvnum,
+                sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS sc2
               FROM grid GROUP BY 1, 2, 3)
         SELECT lang, n AS n_docs,
-          CAST(tvnum AS DOUBLE) / CAST(2 * n * m AS DOUBLE) AS tv_vs_global,
-          CAST(n * n - sc2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini_diversity
+          CAST(tvnum AS DOUBLE)
+            / (2 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) AS tv_vs_global,
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sc2 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini_diversity
         FROM a
       """.trim),
       (spark, dir) => {
@@ -174,18 +177,24 @@ object Advanced {
         val grid = n.crossJoin(g).crossJoin(broadcast(m))
           .join(c, Seq("lang", "source"), "left")
           .na.fill(0, Seq("c"))
+        // c*m / g*n products overflow BIGINT at the 100 TB design point
+        // (counts to 1e11 each); accumulate exact DECIMAL(38,0) — the
+        // q157 pattern — with one double conversion per output column.
+        val dec38 = DecimalType(38, 0)
         grid
           .groupBy("lang", "n", "m")
           .agg(
-            sum(abs(col("c") * col("m") - col("g") * col("n"))).as("tvnum"),
-            sum(col("c") * col("c")).as("sc2"))
+            sum(abs(col("c").cast(dec38) * col("m").cast(dec38)
+              - col("g").cast(dec38) * col("n").cast(dec38))).as("tvnum"),
+            sum(col("c").cast(dec38) * col("c").cast(dec38)).as("sc2"))
           .select(
             col("lang"),
             col("n").as("n_docs"),
-            (col("tvnum").cast("double") / (lit(2) * col("n") * col("m")).cast("double"))
+            (col("tvnum").cast("double")
+              / (lit(2) * col("n").cast("double") * col("m").cast("double")))
               .as("tv_vs_global"),
-            ((col("n") * col("n") - col("sc2")).cast("double")
-              / (col("n") * col("n")).cast("double")).as("gini_diversity"),
+            ((col("n").cast("double") * col("n").cast("double") - col("sc2").cast("double"))
+              / (col("n").cast("double") * col("n").cast("double"))).as("gini_diversity"),
           )
       },
     ),
@@ -709,12 +718,14 @@ object Advanced {
         "bucketizing or salting BEFORE it is attempted.",
       Some("""
         WITH f AS (SELECT user_id, count(*) AS f FROM events GROUP BY 1),
-        t AS (SELECT CAST(sum(f * f) AS BIGINT) AS total_pairs,
+        t AS (SELECT CAST(sum(CAST(f AS DECIMAL(38,0)) * CAST(f AS DECIMAL(38,0)))
+                       AS BIGINT) AS total_pairs,
                 CAST(count(*) AS BIGINT) AS n_keys
               FROM f)
         SELECT f.user_id, CAST(f.f AS BIGINT) AS f,
-          CAST(f.f * f.f AS BIGINT) AS pairs,
-          CAST(f.f * f.f AS DOUBLE) / CAST(t.total_pairs AS DOUBLE) AS share,
+          CAST(CAST(f.f AS DECIMAL(38,0)) * CAST(f.f AS DECIMAL(38,0)) AS BIGINT) AS pairs,
+          CAST(CAST(f.f AS DECIMAL(38,0)) * CAST(f.f AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(t.total_pairs AS DOUBLE) AS share,
           t.total_pairs, t.n_keys
         FROM f CROSS JOIN t
         ORDER BY pairs DESC, user_id LIMIT 10
@@ -722,14 +733,20 @@ object Advanced {
       (spark, dir) => {
         val f = Tables(spark, dir).events
           .groupBy("user_id").agg(count(lit(1)).as("f"))
+        // f*f sums overflow BIGINT at the 100 TB design point (a 1e9-row
+        // hot key alone squares to 1e18); accumulate exact DECIMAL(38,0)
+        // — the q157 pattern — so a blowup never wraps silently. The
+        // boundary BIGINT cast is presentation; out-of-range goes null
+        // (Spark non-ANSI) / errors (oracle) rather than wrapping.
+        val dec38 = DecimalType(38, 0)
         val t = f.agg(
-          sum(col("f") * col("f")).as("total_pairs"),
+          sum(col("f").cast(dec38) * col("f").cast(dec38)).cast("long").as("total_pairs"),
           count(lit(1)).as("n_keys"))
         f.crossJoin(broadcast(t))
           .select(col("user_id"), col("f"),
-            (col("f") * col("f")).as("pairs"),
-            ((col("f") * col("f")).cast("double") / col("total_pairs").cast("double"))
-              .as("share"),
+            (col("f").cast(dec38) * col("f").cast(dec38)).cast("long").as("pairs"),
+            ((col("f").cast(dec38) * col("f").cast(dec38)).cast("double")
+              / col("total_pairs").cast("double")).as("share"),
             col("total_pairs"), col("n_keys"))
           .orderBy(col("pairs").desc, col("user_id"))
           .limit(10)

@@ -655,11 +655,12 @@ object Analytics {
         "list + one partial-agg contribution shuffle, work ∝ |E|.",
       Some(pagerankOracleSql(iters = 5)),
       (spark, dir) => {
-        val li = Tables(spark, dir).lineitem
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-        val edges = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
-          .filter(col("src") =!= col("dst"))
-          .select("src", "dst")
+        // edge build via the audited helper: the (orderkey, partkey)
+        // self-join is Σ|order|² — fine on TPC-H's ≤7-lineitem orders,
+        // quadratic death on a 100 TB corpus with a sentinel order, so
+        // the eager mega-basket audit gates it (VERDICT r10 watch #2)
+        val edges = graft.operators.Graph.coMembershipEdges(
+          Tables(spark, dir).lineitem, "l_orderkey", "l_partkey")
         graft.operators.PageRank.runInt(edges, "src", "dst", iters = 5)
           .select(col("node").as("part_id"), col("pr_scaled"))
       },

@@ -349,6 +349,24 @@ class ApiSpecs extends SparkSpec {
     else assert(k41 && k42, "split across clusters: both survive — the documented recall trade")
   }
 
+  test("semDedup: a catch-all cluster fails the eager size audit before the quadratic pair join") {
+    // k far too small for the corpus: every vector lands in one cluster,
+    // so Σ cluster² degenerates to corpus² — must fail loudly, eagerly.
+    val rnd = new scala.util.Random(17)
+    val skewed = (1L to 64L).map { i =>
+      i -> Array(1.0f + rnd.nextFloat() * 0.01f, rnd.nextFloat() * 0.01f)
+    }.toDF("vid", "vec")
+    val e = intercept[IllegalArgumentException] {
+      VectorSearch.semDedup(skewed, "vid", "vec", k = 1, startId = 1L,
+        minCosine = 0.99, maxClusterSize = 32L)
+    }
+    assert(e.getMessage.contains("maxClusterSize"))
+    // same corpus under the cap (or with an honest k) runs fine
+    val ok = VectorSearch.semDedup(skewed, "vid", "vec", k = 1, startId = 1L,
+      minCosine = 0.99, maxClusterSize = 64L)
+    assert(ok.count() === 64L)
+  }
+
   test("exactCentroids: hand-computed fixed-point means; bit-identical under repartitioning") {
     val vecs = Seq(
       ("a", Array(1.0f, -0.5f)), ("a", Array(0.5f, 0.25f)),

@@ -244,4 +244,24 @@ class GraphSpecs extends SparkSpec {
     assert(Graph.coOccurrence(rows.toDF("basket", "item"), "basket", "item",
       minCo = 1, maxBasketSize = 50).count() > 0)
   }
+
+  test("coMembershipEdges: exact weighted edge list, and a mega-basket fails the same eager audit (q121's edge build)") {
+    import graft.operators.Graph
+    // baskets {A,B,C} and {A,B}: pair (A,B) shares 2 baskets -> weight 2
+    val rows = Seq((1L, "A"), (1L, "B"), (1L, "C"), (2L, "A"), (2L, "B"), (2L, "B"))
+    val got = Graph.coMembershipEdges(rows.toDF("basket", "item"), "basket", "item")
+      .groupBy("src", "dst").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === Map(
+      ("A", "B") -> 2L, ("B", "A") -> 2L,
+      ("A", "C") -> 1L, ("C", "A") -> 1L,
+      ("B", "C") -> 1L, ("C", "B") -> 1L), got.toString)
+    // the pathological catch-all order dies BEFORE the quadratic join
+    val mega = (1L to 50L).map(i => (0L, s"item$i")) ++ Seq((1L, "a"), (1L, "b"))
+    val e = intercept[IllegalArgumentException] {
+      Graph.coMembershipEdges(mega.toDF("basket", "item"), "basket", "item",
+        maxBasketSize = 20)
+    }
+    assert(e.getMessage.contains("maxBasketSize"), e.getMessage)
+  }
 }

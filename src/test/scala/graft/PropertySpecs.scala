@@ -409,7 +409,11 @@ class PropertySpecs extends SparkSpec {
     } yield (zdiv, xs, lo, lo + span)
     forAll(gen, n = 15) { case (zdiv, xs, lo, hi) =>
       val df = xs.zipWithIndex.map { case (x, i) => (x, i.toLong) }.toDF("x", "id")
-      val zone = col("x") / lit(zdiv) // integer div semantics differ for negatives but ANY pure fn is a valid zone
+      // zone is null for x in [-100,0): a null zone group must survive
+      // pruning like any other (the ADVICE r10 null-gate regression)
+      val zone = org.apache.spark.sql.functions
+        .when(col("x") >= -100 && col("x") < 0, lit(null))
+        .otherwise(col("x") / lit(zdiv)) // integer div semantics differ for negatives but ANY pure fn is a valid zone
       val zm = graft.operators.ZoneMap.build(df, zone, Seq("x"))
       val got = graft.operators.ZoneMap.prunedScan(df, zone, zm, "x", lit(lo), lit(hi))
         .collect().map(_.toSeq.mkString("|")).sorted.toSeq

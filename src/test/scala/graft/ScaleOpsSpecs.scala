@@ -155,6 +155,21 @@ class ParetoSpec extends SparkSpec {
       }
     }
   }
+
+  test("null or negative measures fail loudly instead of silently vanishing / mis-banding") {
+    val withNull = Seq((1L, Option(BigDecimal(10))), (2L, None), (3L, Option(BigDecimal(5))))
+      .toDF("k", "m").select(col("k"), col("m").cast("decimal(30,6)").as("m"))
+    val e1 = intercept[IllegalArgumentException] {
+      Pareto.abcClassify(withNull, "k", col("m"), bandWidth = 10L)
+    }
+    assert(e1.getMessage.contains("non-null"))
+    val withNeg = Seq((1L, BigDecimal(10)), (2L, BigDecimal(-3)))
+      .toDF("k", "m").select(col("k"), col("m").cast("decimal(30,6)").as("m"))
+    val e2 = intercept[IllegalArgumentException] {
+      Pareto.abcClassify(withNeg, "k", col("m"), bandWidth = 10L)
+    }
+    assert(e2.getMessage.contains("non-negative"))
+  }
 }
 
 class ZoneMapSpec extends SparkSpec {
@@ -180,6 +195,25 @@ class ZoneMapSpec extends SparkSpec {
       val want = df.filter(col("x").between(lo, hi))
         .collect().map(_.toSeq.mkString("|")).sorted
       assert(got.sameElements(want), s"range [$lo,$hi]")
+    }
+  }
+
+  test("rows whose zone expression is null still survive the gate (null-safe equality): bit-identical incl. a null zone") {
+    // zone and tracked column are independent: a null tenant bucket can
+    // still hold rows whose x is squarely in range. The <=> gate must
+    // keep them; === would drop the whole null-zone group silently.
+    val withNullZone = df.select(
+      when(col("z") === 3, lit(null).cast("int")).otherwise(col("z")).as("z"),
+      col("x"), col("payload"))
+    val zm = ZoneMap.build(withNullZone, col("z"), Seq("x"))
+    for ((lo, hi) <- Seq((250L, 449L), (310L, 360L), (1L, 3650L))) {
+      val got = ZoneMap.prunedScan(withNullZone, col("z"), zm, "x", lit(lo), lit(hi))
+        .collect().map(_.toSeq.mkString("|")).sorted
+      val want = withNullZone.filter(col("x").between(lo, hi))
+        .collect().map(_.toSeq.mkString("|")).sorted
+      assert(got.sameElements(want), s"range [$lo,$hi] with null zone")
+      assert(got.exists(_.startsWith("null|")) || lo > 399 || hi < 300,
+        s"range [$lo,$hi] should include null-zone rows (x in 300..399)")
     }
   }
 
