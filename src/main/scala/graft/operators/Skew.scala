@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation: salted equi-join.
@@ -100,5 +100,91 @@ object Skew {
       .withColumn("share", col("cnt").cast("double") / col("n_rows").cast("double"))
       .select((Seq(col(keyCol), col("cnt"), col("share")) ++
         Seq("n_keys", "n_rows", "max_cnt", "p99_cnt", "gini").map(col)): _*)
+  }
+
+  /** What [[autoPlan]] decided and the measurements that decided it —
+    * returned alongside the joined frame so pipelines can log/assert the
+    * routing instead of trusting it blindly.
+    *
+    * `strategy` ∈ {"broadcast", "salted", "plain"}; `imbalance` is the
+    * hot key's row count divided by the average per-reducer load
+    * (n_rows / shuffle partitions) — 1.0 means the hot key fills exactly
+    * one average reducer, `skewFactor`× that engages salting.
+    */
+  final case class AutoPlanDecision(
+      strategy: String,
+      dimRows: Long,
+      factRows: Long,
+      maxKeyRows: Long,
+      imbalance: Double,
+      salts: Int)
+
+  /** The closed skew loop: measure, then pick the join plan the
+    * measurements justify — the diagnostic ([[keySkewProfile]]) and the
+    * mitigations ([[ScaleJoins.saltedEquiJoin]], broadcast) wired
+    * together instead of left as separate manual tools.
+    *
+    * Decision procedure (each step one control-plane-bounded job):
+    *
+    *  1. `dim.count() <= broadcastMaxRows` → '''broadcast''' the dim:
+    *     no fact shuffle at all, skew irrelevant. The row cap is the
+    *     caller's safety contract exactly as in
+    *     [[graft.api.VectorSearch]]'s byte-aware guard — default 1 M
+    *     rows stays well under executor memory for any sane dim width.
+    *  2. Otherwise profile the fact key ([[keySkewProfile]], topK=1 —
+    *     one keyed count + the tiny frequency-of-frequency pass) and
+    *     compute `imbalance = max_cnt / (n_rows / shufflePartitions)`:
+    *     how many average reducer loads the hottest key alone carries.
+    *     Above `skewFactor` → '''salted''' via
+    *     [[ScaleJoins.saltedEquiJoin]], with
+    *     `salts = ceil(imbalance)` capped at `maxSalts` — just enough
+    *     replication to bring the hot key back to ~average load, never
+    *     a blanket dim × 64 blowup on mild skew.
+    *  3. Else → '''plain''' shuffle join (AQE still handles residual
+    *     runtime skew in the sort-merge case).
+    *
+    * All three branches produce the IDENTICAL inner-join multiset with
+    * the same column layout (fact columns then dim columns, both key
+    * columns kept); only the physical distribution differs. The
+    * measurement jobs are deterministic, so replays route identically.
+    *
+    * At 100 TB the two measurement jobs cost one scan of the dim and
+    * one partial-agged keyed count of the fact — noise against a
+    * mis-planned hot-key join that serializes terabytes through one
+    * reducer, which is the failure this closes out.
+    */
+  def autoPlan(
+      fact: DataFrame,
+      factKey: String,
+      distributor: Column,
+      dim: DataFrame,
+      dimKey: String,
+      broadcastMaxRows: Long = 1000000L,
+      skewFactor: Double = 4.0,
+      maxSalts: Int = 64): (DataFrame, AutoPlanDecision) = {
+    require(broadcastMaxRows >= 0, s"broadcastMaxRows must be >= 0: $broadcastMaxRows")
+    require(skewFactor > 0, s"skewFactor must be positive: $skewFactor")
+    require(maxSalts >= 2, s"maxSalts must be >= 2: $maxSalts")
+    val dimRows = dim.count()
+    if (dimRows <= broadcastMaxRows) {
+      val joined = fact.join(broadcast(dim), fact(factKey) === dim(dimKey), "inner")
+      (joined, AutoPlanDecision("broadcast", dimRows, -1L, -1L, 0.0, 1))
+    } else {
+      val prof = keySkewProfile(fact, factKey, topK = 1)
+        .select(col("max_cnt"), col("n_rows")).collect()
+      val (maxCnt, nRows) =
+        if (prof.isEmpty) (0L, 0L) else (prof(0).getLong(0), prof(0).getLong(1))
+      val parts = fact.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val imbalance =
+        if (nRows == 0L) 0.0 else maxCnt.toDouble * parts.toDouble / nRows.toDouble
+      if (imbalance > skewFactor) {
+        val salts = math.min(maxSalts.toLong, math.ceil(imbalance).toLong).toInt
+        val joined = ScaleJoins.saltedEquiJoin(fact, factKey, distributor, dim, dimKey, salts)
+        (joined, AutoPlanDecision("salted", dimRows, nRows, maxCnt, imbalance, salts))
+      } else {
+        val joined = fact.join(dim, fact(factKey) === dim(dimKey), "inner")
+        (joined, AutoPlanDecision("plain", dimRows, nRows, maxCnt, imbalance, 1))
+      }
+    }
   }
 }

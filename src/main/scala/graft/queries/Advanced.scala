@@ -776,5 +776,78 @@ object Advanced {
           Seq("l_shipdate", "l_extendedprice"))
       },
     ),
+    Q(
+      "q162_autoplan_join",
+      "The closed skew loop (graft.operators.Skew.autoPlan): measure, " +
+        "then route — dim row count decides broadcast, the key-skew " +
+        "profile (q136's diagnostic) decides salted (q146's mitigation) " +
+        "vs plain. Here the measurement finds customer small and picks " +
+        "the broadcast branch — the RIGHT plan for this shape, chosen by " +
+        "data, not by the query author; AutoPlanSpec proves the salted " +
+        "branch engages on a hot-key corpus with identical results. " +
+        "All three branches are result-identical by construction.",
+      Some("""
+        SELECT c.c_mktsegment, count(*) AS n_events,
+          CAST(sum(CAST(e.value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+      """.trim),
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val (joined, _) = graft.operators.Skew.autoPlan(
+          t.events, "user_id", col("event_id"), t.customer, "c_custkey")
+        joined.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
+      },
+    ),
+    Q(
+      "q163_scalejoin_flagship",
+      "The scale-join family composed into ONE plan (VERDICT r10 next-" +
+        "round #7): a zone-map-gated range scan of lineitem (q153's " +
+        "skip index, broadcast-semi zone gate), bloom-pruned semi join " +
+        "against the urgent orders (q145's pre-shuffle prune, scalar-" +
+        "subquery delivery), and a salted join to part feeding the " +
+        "brand aggregation (q146's skew spread) — proving the operators " +
+        "compose instead of living as separate demos. FlagshipPlanSpec " +
+        "pins all three physical shapes in the one executed plan. At " +
+        "100 TB: the zone gate prunes scan I/O first (partition pruning " +
+        "on a zoned layout), the bloom cuts the semi join's shuffle " +
+        "bytes, and the salt bounds the worst reducer.",
+      Some("""
+        SELECT p.p_brand, count(*) AS n_items,
+          CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-06-30'
+          AND l.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY 1
+      """.trim),
+      (spark, dir) => flagshipPlan(Tables(spark, dir)),
+    ),
   )
+
+  /** q163's plan, shared with FlagshipPlanSpec's plan pins. The zone
+    * map is built inline here (one extra aggregate over lineitem); a
+    * deployment keeps it persisted and streaming-maintained
+    * (ZoneMapStream), so query time pays only the tiny overlap filter.
+    */
+  def flagshipPlan(t: Tables): org.apache.spark.sql.DataFrame = {
+    import graft.operators.{ScaleJoins, ZoneMap}
+    val zone = date_trunc("month", col("l_shipdate"))
+    val lo = to_timestamp(lit("1995-01-01"))
+    val hi = to_timestamp(lit("1995-06-30"))
+    val zm = ZoneMap.build(t.lineitem, zone, Seq("l_shipdate"))
+    val scanned = ZoneMap.prunedScan(t.lineitem, zone, zm, "l_shipdate", lo, hi)
+    val urgent = t.orders
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val semi = ScaleJoins.bloomPrunedSemiJoin(
+      scanned, "l_orderkey", urgent, "o_orderkey",
+      expectedItems = 1L << 20, numBits = 1L << 23)
+    ScaleJoins
+      .saltedEquiJoin(semi, "l_partkey", col("l_orderkey"), t.part, "p_partkey", salts = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))"))
+          .cast("double").as("revenue"))
+  }
 }

@@ -129,6 +129,131 @@ class PrefixFilterSpec extends SparkSpec {
   }
 }
 
+/** q163: the scale-join family composed into one plan. The pin is that
+  * all three physical shapes — the zone gate's broadcast semi join, the
+  * bloom's scalar-subquery filter, the salt's (key, salt) join — appear
+  * in the ONE executed plan, and the result equals the plain
+  * filter+semi+join expression bit for bit.
+  */
+class FlagshipPlanSpec extends SparkSpec {
+
+  test("q163 composes zone gate + bloom prune + salted join in one plan, result-identical to the plain expression") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val df = graft.queries.Advanced.flagshipPlan(t)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_contains") || plan.contains("bloom"),
+      s"expected the bloom runtime filter in the plan:\n$plan")
+    assert(plan.contains("__graft_salt"), s"expected the salted join in the plan:\n$plan")
+    assert(plan.toLowerCase.contains("leftsemi"),
+      s"expected the zone/bloom semi gates in the plan:\n$plan")
+    val lo = to_timestamp(lit("1995-01-01")); val hi = to_timestamp(lit("1995-06-30"))
+    val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val plain = t.lineitem
+      .filter(col("l_shipdate").between(lo, hi))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))"))
+          .cast("double").as("revenue"))
+    val got = df.collect().map(_.toSeq.mkString("|")).sorted
+    val want = plain.collect().map(_.toSeq.mkString("|")).sorted
+    assert(got.sameElements(want))
+    assert(got.nonEmpty)
+  }
+}
+
+/** SQL twins: beyond the shared oracle gate (CORRECTNESS), the twin and
+  * its DSL original must agree with EACH OTHER on the same session —
+  * the parser/analyzer path and the DataFrame path are one engine.
+  */
+class SqlTwinSpec extends SparkSpec {
+
+  private val pairs = Seq(
+    "q164_sql_agg" -> "q1_agg",
+    "q166_sql_topk_join" -> "q3_topk_join",
+    "q172_sql_window_rank" -> "q10_window_rank",
+    "q173_sql_setops" -> "q12_setops",
+    "q178_sql_grouping_sets" -> "q53_grouping_sets",
+  )
+
+  test("spark.sql twins return exactly their DataFrame originals' rows") {
+    val dir = "/root/testdata/sf0.001"
+    for ((twin, orig) <- pairs) {
+      val got = graft.queries.QueryCatalog.byName(twin).fn(spark, dir)
+        .collect().map(_.toSeq.mkString("|")).sorted
+      val want = graft.queries.QueryCatalog.byName(orig).fn(spark, dir)
+        .collect().map(_.toSeq.mkString("|")).sorted
+      assert(got.sameElements(want), s"$twin != $orig")
+      assert(got.nonEmpty, s"$twin returned no rows")
+    }
+  }
+}
+
+class AutoPlanSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Skew
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).toIndexedSeq.sorted
+
+  // hot-key fact: key 7 carries ~80% of rows — the shape that
+  // serializes one reducer in a plain shuffle join
+  private val hotFact = ((1L to 8000L).map(i => (7L, i)) ++
+    (1L to 2000L).map(i => (i % 500 + 100L, i + 100000L))).toDF("k", "rowid")
+  private val dim = (1L to 700L).map(i => (i, s"dim$i")).toDF("dk", "dv")
+
+  // imbalance depends on the session's shuffle-partition count (the
+  // decision is relative to average reducer load), so the spec derives
+  // the threshold from the live conf instead of assuming 32
+  private def parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+  private def hotImbalance = 8000.0 * parts / 10000.0
+
+  test("hot-key corpus: the salted path engages above the threshold and is result-identical to the plain join") {
+    // broadcastMaxRows = 0 forces the measurement past the broadcast
+    // shortcut, so the skew profile decides
+    val (joined, d) = Skew.autoPlan(hotFact, "k", col("rowid"), dim, "dk",
+      broadcastMaxRows = 0L, skewFactor = hotImbalance / 2)
+    assert(d.strategy === "salted", d.toString)
+    assert(d.salts > 1 && d.imbalance > hotImbalance / 2, d.toString)
+    assert(d.maxKeyRows === 8000L && d.factRows === 10000L, d.toString)
+    val want = hotFact.join(dim, hotFact("k") === dim("dk"), "inner")
+    assert(sortedRows(joined) == sortedRows(want))
+    // plan pin: the join physically runs on (key, salt)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_salt"), s"expected a salted join plan:\n$plan")
+  }
+
+  test("uniform corpus: stays a plain shuffle join (no pointless dim replication)") {
+    // 500 equal keys: hottest share = 1/500, imbalance = parts/500 << threshold
+    val uniform = (1L to 10000L).map(i => (i % 500 + 100L, i)).toDF("k", "rowid")
+    val (joined, d) = Skew.autoPlan(uniform, "k", col("rowid"), dim, "dk",
+      broadcastMaxRows = 0L, skewFactor = hotImbalance / 2)
+    assert(d.strategy === "plain", d.toString)
+    val want = uniform.join(dim, uniform("k") === dim("dk"), "inner")
+    assert(sortedRows(joined) == sortedRows(want))
+    assert(!joined.queryExecution.executedPlan.toString.contains("__graft_salt"))
+  }
+
+  test("small dim: broadcasts regardless of fact skew (no fact shuffle at all)") {
+    val (joined, d) = Skew.autoPlan(hotFact, "k", col("rowid"), dim, "dk")
+    assert(d.strategy === "broadcast" && d.dimRows === 700L, d.toString)
+    val want = hotFact.join(dim, hotFact("k") === dim("dk"), "inner")
+    assert(sortedRows(joined) == sortedRows(want))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected a broadcast hash join:\n$plan")
+  }
+
+  test("salts scale with the measured imbalance, capped at maxSalts") {
+    val (_, d) = Skew.autoPlan(hotFact, "k", col("rowid"), dim, "dk",
+      broadcastMaxRows = 0L, skewFactor = hotImbalance / 2, maxSalts = 2)
+    assert(d.salts === 2, d.toString) // ceil(imbalance) >= 2 -> capped at 2
+    val (_, d2) = Skew.autoPlan(hotFact, "k", col("rowid"), dim, "dk",
+      broadcastMaxRows = 0L, skewFactor = hotImbalance / 2, maxSalts = 10000)
+    assert(d2.salts === math.ceil(d2.imbalance).toInt && d2.salts < 10000, d2.toString)
+  }
+}
+
 class ParetoSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Pareto
