@@ -118,12 +118,13 @@ object VerifiedStream {
   /** Key -> bucket routing: Murmur3 over the key columns, mod the count
     * pinned in the table's `_nbuckets` marker. Deterministic across
     * sessions and restarts (fixed-seed [[org.apache.spark.sql.functions.hash]]).
+    * Protocol primitives live in [[BucketStore]] (extracted r11 so
+    * [[ViewMaintainStream]] shares the same storage discipline).
     */
-  private def bucketCol(nb: Int) =
-    pmod(hash(keyCols.map(col): _*), lit(nb)).cast("int")
+  private def bucketCol(nb: Int) = BucketStore.bucketCol(keyCols, nb)
 
   private def hadoopFs(spark: SparkSession, path: String): FileSystem =
-    FileSystem.get(new Path(path).toUri, spark.sparkContext.hadoopConfiguration)
+    BucketStore.hadoopFs(spark, path)
 
   /** Apply one entity's updates to its bucketed state table: route each
     * key to `pmod(hash(key), nbuckets)`, read ONLY the touched buckets
@@ -150,15 +151,7 @@ object VerifiedStream {
     // a silently dropped update. Normalize the batch's key columns to
     // the STORED key types (one footer read of one bucket dir) before
     // any routing or joining.
-    val storedBucketDirs = {
-      val p = new Path(path)
-      if (fs.exists(p))
-        fs.listStatus(p).map(_.getPath).filter(_.getName.startsWith("bucket=")).sortBy(_.getName)
-      else Array.empty[Path]
-    }
-    val storedSchema =
-      if (storedBucketDirs.nonEmpty) spark.read.parquet(storedBucketDirs.head.toString).schema
-      else bootstrapSchema
+    val storedSchema = BucketStore.storedSchema(spark, fs, path, bootstrapSchema)
     val keyType = storedSchema.fields.iterator
       .filter(f => keyCols.contains(f.name)).map(f => f.name -> f.dataType).toMap
     val routed = keyCols.foldLeft(updates) { (df, k) =>
@@ -184,42 +177,12 @@ object VerifiedStream {
       Map("verified_data" -> "verified_data_new"),
       baseSeqCol = Some("verified_seq"))
 
-    // write all touched buckets in ONE job into a hidden staging dir
-    // (dot-prefixed => invisible to Spark file listings), then swap each
-    // bucket in atomically. A crash between swaps leaves every bucket
-    // individually consistent; the replayed batch re-applies as a no-op
-    // under the verified_seq guard.
-    val tmpRoot = s"$path/.batch.tmp"
-    applied.withColumn("bucket", bucketCol(nb))
-      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(tmpRoot)
-    // swap in every bucket dir the staging write actually produced — not
-    // the precomputed `touched` list — so rows can never be discarded by
-    // a routing/list mismatch. (A touched bucket with an empty result —
-    // updates to absent keys, UPDATE semantics — writes no dir and is
-    // correctly left alone.)
-    val staged = fs.listStatus(new Path(tmpRoot)).map(_.getPath)
-      .filter(_.getName.startsWith("bucket=")).sortBy(_.getName)
-    // Invariant: staged ⊆ touched. A staged bucket OUTSIDE `touched`
-    // would mean routing drifted between the touched computation and the
-    // write (nondeterministic key exprs); its base rows were never loaded
-    // into `applied`, so swapping it in would replace a full stored
-    // bucket with only this batch's rows — silent data loss. Fail the
-    // batch loudly BEFORE any rename; the streaming checkpoint replays it.
-    val touchedSet = touched.toSet
-    val stray = staged.map(_.getName.stripPrefix("bucket=").toInt).filterNot(touchedSet)
-    require(stray.isEmpty,
-      s"staged buckets ${stray.mkString(",")} not in touched set " +
-        s"${touched.mkString(",")} — nondeterministic routing, refusing to swap")
-    staged.foreach { src =>
-      val b = src.getName.stripPrefix("bucket=")
-      val dst = new Path(s"$path/bucket=$b")
-      val old = new Path(s"$path/.b$b.old")
-      if (fs.exists(dst)) require(fs.rename(dst, old), s"rename failed: $dst -> $old")
-      require(fs.rename(src, dst), s"rename failed: $src -> $dst")
-      if (fs.exists(old)) require(fs.delete(old, true), s"could not clear $old")
-    }
-    require(fs.delete(new Path(tmpRoot), true) || !fs.exists(new Path(tmpRoot)),
-      s"could not clear $tmpRoot")
+    // Stage + atomic per-bucket swap via the shared protocol. UPDATE
+    // semantics: a touched bucket with an empty staged result (updates
+    // to absent keys) is correctly left alone; replay of an interrupted
+    // batch re-applies as a no-op under the verified_seq guard.
+    BucketStore.stageAndSwap(fs, path, applied, keyCols, nb, touched.toIndexedSeq,
+      emptyTouchedIsDelete = false)
   }
 
   /** Offline re-bucketing of a verified state table: rewrite every row
@@ -269,93 +232,27 @@ object VerifiedStream {
     }
   }
 
-  /** Root-level recovery for an interrupted bootstrap or flat->bucketed
-    * migration swap: a missing table with a surviving `.old` restores the
-    * old table; a stray `.old` NEXT TO a live table is a post-swap
-    * leftover and is cleared; a leftover `.tmp` is an incomplete write
-    * and is discarded (the streaming checkpoint replays its batch).
-    * Hadoop rename/delete report failure by RETURNING false — each is
-    * checked, so a failed recovery fails the batch instead of silently
-    * proceeding on half a table.
+  /** Root/bucket recovery and bucketed bootstrap/migration — the
+    * [[BucketStore]] protocol with the verified-specific schema rules
+    * plugged in: a migrated legacy flat table gains the verified_seq
+    * column (both migration and bootstrap normalize the schema so
+    * every bucket of a table always shares one schema).
     */
-  private def recoverRoot(fs: FileSystem, path: String): Unit = {
-    val p = new Path(path)
-    val old = new Path(path + ".old")
-    if (!fs.exists(p) && fs.exists(old)) require(fs.rename(old, p), s"recovery rename failed: $old -> $p")
-    if (fs.exists(p) && fs.exists(old)) require(fs.delete(old, true), s"could not clear $old")
-    val tmp = new Path(path + ".tmp")
-    if (fs.exists(tmp)) require(fs.delete(tmp, true), s"could not clear $tmp")
-  }
+  private def recoverRoot(fs: FileSystem, path: String): Unit =
+    BucketStore.recoverRoot(fs, path)
 
-  /** Per-bucket recovery: `.bN.old` with no live `bucket=N` means the
-    * crash hit between the two swap renames — restore it; `.bN.old`
-    * next to a live bucket is a post-swap leftover — clear it; any
-    * `.bN.tmp`/staging leftovers are incomplete writes — discard.
-    */
-  private def recoverBuckets(fs: FileSystem, path: String): Unit = {
-    val Old = """^\.b(\d+)\.old$""".r
-    fs.listStatus(new Path(path)).foreach { st =>
-      st.getPath.getName match {
-        case Old(b) =>
-          val target = new Path(s"$path/bucket=$b")
-          if (!fs.exists(target)) require(fs.rename(st.getPath, target), s"recovery rename failed: ${st.getPath} -> $target")
-          else require(fs.delete(st.getPath, true), s"could not clear ${st.getPath}")
-        case name if name == ".batch.tmp" || (name.startsWith(".b") && name.endsWith(".tmp")) =>
-          require(fs.delete(st.getPath, true), s"could not clear ${st.getPath}")
-        case _ => ()
-      }
-    }
-  }
+  private def recoverBuckets(fs: FileSystem, path: String): Unit =
+    BucketStore.recoverBuckets(fs, path)
 
-  /** Ensure `path` is a bucketed table, returning its pinned bucket
-    * count. Three cases: an existing bucketed table reads its
-    * `_nbuckets` marker (the marker, not the session default, routes —
-    * a changed default can never split a key over two buckets); a
-    * legacy FLAT table is migrated in one crash-safe root swap
-    * (bucketed copy staged at `path.tmp`, then old root -> `.old`,
-    * staging -> root — [[recoverRoot]] covers every crash window); a
-    * missing table bootstraps empty. Both migration and bootstrap
-    * normalize the schema (verified_seq present) so every bucket of a
-    * table always shares one schema.
-    */
-  private def ensureBucketed(spark: SparkSession, fs: FileSystem, path: String, nBuckets: Int): Int = {
-    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    val root = new Path(path)
-    val marker = new Path(s"$path/_nbuckets")
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val nb = try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
-      nb
-    } else if (fs.exists(root)) {
-      val flat = spark.read.parquet(path)
-      val upgraded =
+  private def ensureBucketed(spark: SparkSession, fs: FileSystem, path: String, nBuckets: Int): Int =
+    BucketStore.ensureBucketed(
+      spark, fs, path, nBuckets, keyCols,
+      bootstrap = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], bootstrapSchema),
+      normalizeFlat = flat =>
         if (flat.columns.contains("verified_seq")) flat
-        else flat.withColumn("verified_seq", lit(null).cast(LongType))
-      val tmp = s"$path.tmp"
-      upgraded.withColumn("bucket", bucketCol(nBuckets))
-        .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(tmp)
-      // an empty flat table writes no partition dirs; keep one
-      // footer-only bucket so the table stays readable
-      if (!fs.listStatus(new Path(tmp)).exists(_.getPath.getName.startsWith("bucket=")))
-        upgraded.limit(0).write.mode(SaveMode.Overwrite).parquet(s"$tmp/bucket=0")
-      writeMarker(fs, new Path(s"$tmp/_nbuckets"), nBuckets)
-      val old = new Path(path + ".old")
-      require(fs.rename(root, old), s"rename failed: $root -> $old")
-      require(fs.rename(new Path(tmp), root), s"rename failed: $tmp -> $root")
-      require(fs.delete(old, true), s"could not clear $old")
-      nBuckets
-    } else {
-      val tmp = s"$path.tmp"
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], bootstrapSchema)
-        .write.mode(SaveMode.Overwrite).parquet(s"$tmp/bucket=0")
-      writeMarker(fs, new Path(s"$tmp/_nbuckets"), nBuckets)
-      require(fs.rename(new Path(tmp), root), s"rename failed: $tmp -> $root")
-      nBuckets
-    }
-  }
+        else flat.withColumn("verified_seq", lit(null).cast(LongType)),
+    )
 
-  private def writeMarker(fs: FileSystem, at: Path, nBuckets: Int): Unit = {
-    val out = fs.create(at, true)
-    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
-  }
+  private def writeMarker(fs: FileSystem, at: Path, nBuckets: Int): Unit =
+    BucketStore.writeMarker(fs, at, nBuckets)
 }
