@@ -126,6 +126,81 @@ object EventStreams {
   def enrichAgainstStatic(stream: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
     stream.join(broadcast(dim), Seq(keyCol), "left")
 
+  /** Buffered state for [[sessionPathsStream]]: the user's not-yet-
+    * finalizable events (bounded by the watermark horizon — everything
+    * older than watermark - gap has already been emitted and dropped).
+    */
+  final case class SessEvent(ts_us: Long, event_id: Long, event_type: String)
+  final case class SessBuffer(buf: List[SessEvent])
+
+  /** One closed session: q142's path semantics (first `pathLen` event
+    * types in (ts, event_id) order, '>'-joined).
+    */
+  final case class ClosedSession(
+      user_id: Long, session_start_us: Long, session_end_us: Long,
+      n_events: Long, path: String)
+
+  /** Streaming twin of q142's session-path mining, via
+    * flatMapGroupsWithState + EventTimeTimeout — the state-API variant
+    * the windowed aggs genuinely cannot express: session_window can
+    * count, but a per-session ORDERED PAYLOAD (the journey path) needs
+    * custom state. Per user, events buffer in keyed state; when the
+    * watermark passes a session's last event + gap, NO arrival can
+    * extend or merge it (any future event has ts >= watermark >= end +
+    * gap, so it starts a later session) — the session is final and is
+    * emitted EXACTLY ONCE with its path, then dropped from state. The
+    * timeout re-fires the group at (last event + gap) even with no new
+    * data, so quiet users still flush.
+    *
+    * Scale shape: state is partition-parallel keyed by user and bounded
+    * by the watermark horizon (buffered events ≤ one delay window per
+    * user); a hot user buffers one session tail, never history. Late
+    * events inside the delay re-sort within the buffer (out-of-order
+    * arrivals can legally merge two provisional gaps — which is exactly
+    * why closing must wait for the watermark, not wall clock).
+    */
+  def sessionPathsStream(
+      events: Dataset[EventRow],
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "2 hours",
+      pathLen: Int = 8,
+  ): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    def splitByGap(sorted: List[SessEvent]): List[List[SessEvent]] =
+      sorted.foldLeft(List.empty[List[SessEvent]]) {
+        case (Nil, e) => List(List(e))
+        case (cur :: done, e) =>
+          if (e.ts_us - cur.head.ts_us > gapUs) List(e) :: cur :: done
+          else (e :: cur) :: done
+        // sessions and their events accumulate REVERSED (prepend)
+      }.map(_.reverse).reverse
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessBuffer, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessBuffer]) =>
+          val fresh = rows.map(e => SessEvent(
+            e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L,
+            e.event_id, e.event_type)).toList
+          val buf = state.getOption.map(_.buf).getOrElse(Nil) ++ fresh
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val sessions = splitByGap(buf.sortBy(e => (e.ts_us, e.event_id)))
+          val (closed, open) = sessions.partition(_.last.ts_us + gapUs <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessBuffer(open.flatten))
+            val lastEndMs = open.map(_.last.ts_us).max / 1000L + gapUs / 1000L
+            state.setTimeoutTimestamp(math.max(lastEndMs, wmUs / 1000L + 1L))
+          }
+          closed.iterator.map { s =>
+            ClosedSession(userId, s.head.ts_us, s.last.ts_us, s.length.toLong,
+              s.take(pathLen).map(_.event_type).mkString(">"))
+          }
+      }
+  }
+
   /** Streaming exact dedup on event_id with watermark-bounded state:
     * duplicates arriving within the delay are dropped, state for ids
     * older than the watermark is evicted (the streaming half of the

@@ -195,6 +195,43 @@ class StreamingSpecs extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState session paths: watermark-closed sessions emit once with q142's path semantics") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.sessionPathsStream(in.toDS(), gapMinutes = 30, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("sesspaths_t").outputMode("append").start()
+    try {
+      // user 1: two sessions (80-minute gap); second arrives OUT OF
+      // ORDER (event 5 before event 4 in event time)
+      in.addData(
+        EventRow(1, ts("2020-01-01 10:00:00"), 1, "a", 0),
+        EventRow(2, ts("2020-01-01 10:10:00"), 1, "b", 0),
+        EventRow(5, ts("2020-01-01 11:40:00"), 1, "d", 0),
+        EventRow(4, ts("2020-01-01 11:30:00"), 1, "c", 0))
+      q.processAllAvailable()
+      // nothing can close yet: watermark is 10:40 (max 11:40 - 1h)
+      assert(spark.table("sesspaths_t").isEmpty)
+      // advance the watermark far enough to close both sessions
+      in.addData(EventRow(9, ts("2020-01-01 16:00:00"), 2, "z", 0))
+      q.processAllAvailable()
+      in.addData(EventRow(10, ts("2020-01-01 17:00:00"), 2, "z", 0))
+      q.processAllAvailable()
+      val got = spark.table("sesspaths_t")
+        .filter(col("user_id") === 1)
+        .select("path", "n_events", "session_start_us", "session_end_us").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      def us(s: String) = ts(s).getTime * 1000L
+      assert(got === Set(
+        ("a>b", 2L, us("2020-01-01 10:00:00"), us("2020-01-01 10:10:00")),
+        ("c>d", 2L, us("2020-01-01 11:30:00"), us("2020-01-01 11:40:00"))),
+        s"out-of-order events must re-sort inside the session: $got")
+      // exactly-once: each session appears a single time in the sink
+      val n = spark.table("sesspaths_t").filter(col("user_id") === 1).count()
+      assert(n == 2L, s"sessions must emit exactly once, got $n rows")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps a running per-user aggregate across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

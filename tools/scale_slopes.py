@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Scale-slope artifact (VERDICT r10 next-round #6): per-query and
+per-family timings across sf0.001 / sf0.01 / sf0.1 (10x data per step),
+classifying each query as
+
+  - flat        : dominated by Spark's fixed per-job floor (planning,
+                  codegen, task launch) — absolute time stays under
+                  FLAT_ABS_SEC and grows < FLAT_RATIO across a 10x data
+                  step. These are the queries whose oracle ratios look
+                  bad (the DuckDB floor is ~5-50 ms) for reasons that
+                  have nothing to do with the plan.
+  - sublinear   : grows, but slower than the data (pushdown/pruning/
+                  top-k cutting work per row).
+  - linear-ish  : within [LINEAR_LO, LINEAR_HI]x across a 10x step —
+                  the scan/shuffle-bound steady state that extrapolates
+                  safely to cluster scale.
+  - superlinear : > LINEAR_HI x across a 10x step — flagged for plan
+                  review.
+
+Classification uses the LAST step (sf0.01 -> sf0.1), the step least
+polluted by the fixed floor; both step ratios are reported.
+
+Usage:
+  python3 tools/scale_slopes.py <bench_sf0.001.json> <bench_sf0.01.json> \
+      <bench_sf0.1.json> [out.json]
+
+Each input is a graft.Bench artifact ({"queries": {name: sec, ...}});
+writes SCALE_SLOPES.json (default) with per-query rows, family rollups,
+and a summary. Failed queries (-1 sentinels) are excluded and listed.
+"""
+import json
+import re
+import sys
+
+FLAT_ABS_SEC = 0.45   # under ~450 ms at sf0.1 = job-floor territory
+FLAT_RATIO = 2.0      # <2x across a 10x data step
+LINEAR_LO, LINEAR_HI = 2.0, 14.0  # 10x data, some fixed cost amortized
+
+FAMILIES = [
+    ("sql-twin", r"_sql_"),
+    ("dedup", r"dedup|minhash|simhash|jaccard|lsh|shingle|neardup|exact_dup"),
+    ("ann-embedding", r"ann|ivf|knn|cosine|centroid|coreset|kcenter|quantiz|embed"),
+    ("multimodal", r"image|audio|gif|png|wav|phash|dhash|vad|frame"),
+    ("graph", r"pagerank|triangle|bfs|basket|cooccur|component"),
+    ("retrieval", r"bm25|rrf|colloc|retriev|span"),
+    ("text", r"token|lang|quality|fingerprint|text|doc_|corpus|pack|mix|export|chi2|boiler"),
+    ("streaming-incremental", r"incremental|stream|watermark|sync|cdc|scd|asof|session"),
+    ("scale-join", r"bloom|salt|skew|zonemap|autoplan|flagship|blowup"),
+    ("window-timeseries", r"window|running|rolling|ewma|ohlc|acf|streak|cusum|funnel|retention|interarrival|vwap",),
+    ("stats-diagnostics", r"profile|benford|welch|mannwhitney|hll|abc|pareto|mad|winsor|quantile|regression|corr|mode|histogram|fd_check|ltv|growth|attribution",),
+    ("relational", r".*"),
+]
+
+
+def family(name: str) -> str:
+    for fam, pat in FAMILIES:
+        if re.search(pat, name):
+            return fam
+    return "relational"
+
+
+def classify(t1: float, t2: float, t3: float) -> str:
+    r32 = t3 / t2 if t2 > 0 else float("inf")
+    if t3 <= FLAT_ABS_SEC and r32 < FLAT_RATIO:
+        return "flat"
+    if r32 < LINEAR_LO:
+        return "sublinear"
+    if r32 <= LINEAR_HI:
+        return "linear-ish"
+    return "superlinear"
+
+
+def main() -> int:
+    p1, p2, p3 = sys.argv[1], sys.argv[2], sys.argv[3]
+    out = sys.argv[4] if len(sys.argv) > 4 else "SCALE_SLOPES.json"
+    b = [json.load(open(p))["queries"] for p in (p1, p2, p3)]
+    names = sorted(set(b[0]) & set(b[1]) & set(b[2]))
+    failed = sorted(n for n in names if any(bi[n] < 0 for bi in b))
+    rows = {}
+    for n in names:
+        if n in failed:
+            continue
+        t1, t2, t3 = b[0][n], b[1][n], b[2][n]
+        rows[n] = {
+            "family": family(n),
+            "sec_sf0.001": round(t1, 4),
+            "sec_sf0.01": round(t2, 4),
+            "sec_sf0.1": round(t3, 4),
+            "ratio_0.001_to_0.01": round(t2 / t1, 2) if t1 > 0 else None,
+            "ratio_0.01_to_0.1": round(t3 / t2, 2) if t2 > 0 else None,
+            "class": classify(t1, t2, t3),
+        }
+    fams = {}
+    for n, r in rows.items():
+        f = fams.setdefault(r["family"], {"n": 0, "sec_sf0.001": 0.0,
+                                          "sec_sf0.01": 0.0, "sec_sf0.1": 0.0,
+                                          "classes": {}})
+        f["n"] += 1
+        for k in ("sec_sf0.001", "sec_sf0.01", "sec_sf0.1"):
+            f[k] = round(f[k] + r[k], 4)
+        f["classes"][r["class"]] = f["classes"].get(r["class"], 0) + 1
+    for f in fams.values():
+        f["ratio_0.01_to_0.1"] = (round(f["sec_sf0.1"] / f["sec_sf0.01"], 2)
+                                  if f["sec_sf0.01"] > 0 else None)
+    counts = {}
+    for r in rows.values():
+        counts[r["class"]] = counts.get(r["class"], 0) + 1
+    doc = {
+        "inputs": {"sf0.001": p1, "sf0.01": p2, "sf0.1": p3},
+        "thresholds": {"flat_abs_sec": FLAT_ABS_SEC, "flat_ratio": FLAT_RATIO,
+                       "linear_lo": LINEAR_LO, "linear_hi": LINEAR_HI},
+        "summary": {
+            "n_queries": len(rows),
+            "classes": counts,
+            "failed": failed,
+            "superlinear": sorted(n for n, r in rows.items()
+                                  if r["class"] == "superlinear"),
+        },
+        "families": {k: fams[k] for k in sorted(fams)},
+        "queries": rows,
+    }
+    json.dump(doc, open(out, "w"), indent=1, sort_keys=False)
+    print(f"wrote {out}: {len(rows)} queries, classes {counts}")
+    if failed:
+        print(f"FAILED (excluded): {failed}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
