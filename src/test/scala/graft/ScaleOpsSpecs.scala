@@ -254,6 +254,55 @@ class AutoPlanSpec extends SparkSpec {
   }
 }
 
+/** Bucketed co-located joins: the pre-shuffled layout must (a) return
+  * exactly the rows of the plain join and (b) plan WITHOUT exchanges —
+  * the write-once-shuffle-never-again contract that matters when the
+  * same big ⋈ big join runs every sync tick.
+  */
+class BucketedJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Bucketing
+
+  test("same-count bucketed tables join with no Exchange and no Sort; result equals the plain join") {
+    val a = (1L to 5000L).map(i => (i % 700, s"a$i")).toDF("k", "av")
+    val b = (1L to 3000L).map(i => (i % 900, s"b$i")).toDF("bk", "bv")
+    val ta = "graft_bucketspec_a"; val tb = "graft_bucketspec_b"
+    try {
+      Bucketing.writeBucketed(a, ta, "k", 8)
+      Bucketing.writeBucketed(b, tb, "bk", 8)
+      val joined = Bucketing.bucketedEquiJoin(spark, ta, tb, "k", "bk")
+      // result identity with the plain (unbucketed) join
+      val got = joined.collect().map(_.toSeq.mkString("|")).sorted
+      val want = a.join(b, a("k") === b("bk")).collect().map(_.toSeq.mkString("|")).sorted
+      assert(got.sameElements(want))
+      // plan pin: SortMergeJoin directly over bucketed scans — the
+      // shuffle was paid at write time, so no Exchange may appear (AQE
+      // keeps the join un-exchanged; disable broadcast to force SMJ)
+      val plan = withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        Bucketing.bucketedEquiJoin(spark, ta, tb, "k", "bk")
+          .queryExecution.executedPlan.toString
+      }
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a co-located join:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"scan must be bucket-aware:\n$plan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $ta")
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+    }
+  }
+
+  private def withSqlConf[T](kv: (String, String)*)(body: => T): T = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
+
 class ParetoSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Pareto
