@@ -266,7 +266,8 @@ class PlanSpecs extends SparkSpec {
       "q151_benford",           // corpus row count: a broadcast 1-row aggregate side
       "q156_acf",               // broadcast 7-row lag table against the aggregated day series
       "q158_abc",               // grand-total: a broadcast 1-row aggregate side
-      "q161_join_blowup")       // total-pairs: a broadcast 1-row aggregate side
+      "q161_join_blowup",       // total-pairs: a broadcast 1-row aggregate side
+      "q163_scalejoin_flagship") // ZoneMap null-zone gate: a broadcast <=1-row live-null side
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     queries.QueryCatalog.all.foreach { q =>
       val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
