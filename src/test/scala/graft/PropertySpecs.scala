@@ -399,6 +399,32 @@ class PropertySpecs extends SparkSpec {
     }
   }
 
+  test("autoPlan equals the plain join for arbitrary data regardless of which branch the measurements pick") {
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      // key range 0..3 with hot key 0: skewed enough to flip branches
+      hot <- Gen.choose(0, 60)
+      rest <- Gen.listOf(Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 1000000L)))
+      dim <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 5L), ident))
+      bcast <- Gen.oneOf(0L, 1000000L) // force past / allow the broadcast shortcut
+      factor <- Gen.choose(1, 40).map(_ / 10.0)
+    } yield (hot, rest, dim, bcast, factor)
+    forAll(gen, n = 12) { case (hot, rest, dim, bcast, factor) =>
+      val fact = (List.fill(hot)((0L, -1L)) ++ rest)
+      whenever(fact.nonEmpty) {
+        val f = fact.toDF("k", "eid")
+        val d = dim.toDF("dk", "name")
+        val (joined, dec) = graft.operators.Skew.autoPlan(
+          f, "k", col("eid"), d, "dk",
+          broadcastMaxRows = bcast, skewFactor = factor, maxSalts = 8)
+        val got = joined.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+        val want = f.join(d, f("k") === d("dk"), "inner")
+          .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+        assert(got === want, s"decision=$dec")
+      }
+    }
+  }
+
   test("zone-map pruned scan equals the plain range filter for arbitrary data, zones, and ranges") {
     import org.apache.spark.sql.functions.{col, lit}
     val gen = for {

@@ -84,6 +84,29 @@ class ViewMaintainStreamSpec extends SparkSpec {
     assert(v.getDouble(0) == 7.0 && v.getString(1) == "y")
   }
 
+  test("bucket-retire crash window: a .bN.old left by an interrupted retirement is restored, and the replayed batch re-retires it") {
+    val dir = tmpDir("vms_crash").toString
+    run(dir, batches.take(2))
+    // tombstone key 3 (sole occupant of its bucket) -> its bucket retires
+    val kb = spark.range(1).select(pmod(hash(lit(3L)), lit(4)).cast("int")).head().getInt(0)
+    val tomb = b(Seq((3L, 10L, 3.0, 9L, true)))
+    run(dir, Seq(tomb))
+    val bucketDir = new java.io.File(s"$dir/fact/bucket=$kb")
+    assert(!bucketDir.exists(), "the tombstoned key's bucket must be retired")
+    // simulate the crash window: the rename to .old happened but the
+    // delete did not — recovery must restore it (conservative), and the
+    // replayed batch must re-retire it and re-converge
+    val old = new java.io.File(s"$dir/fact/.b$kb.old")
+    // a stale copy of the bucket: key 3's pre-tombstone row
+    b(Seq((3L, 10L, 3.0, 1L, false))).drop("deleted")
+      .coalesce(1).write.mode("overwrite").parquet(old.getPath)
+    run(dir, Seq(tomb)) // the checkpoint replays exactly this batch
+    assert(!new java.io.File(s"$dir/fact/bucket=$kb").exists(),
+      "replay after the crash window must re-retire the bucket")
+    assert(!old.exists(), "the .old debris must be cleared")
+    assert(ViewMaintainStream.currentFact(spark, dir).filter(col("k") === 3L).isEmpty)
+  }
+
   test("end-to-end via MemoryStream: the maintained view equals the from-scratch join of the resolved fact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
