@@ -20,14 +20,10 @@ class ScaleSpecs extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val t = Tables(spark, "/root/testdata/sf0.001")
-      t.orders.write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(s"$db.orders_b")
-      t.lineitem.write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(s"$db.lineitem_b")
-      val joined = spark.table(s"$db.orders_b")
-        .join(spark.table(s"$db.lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      graft.operators.Bucketing.writeBucketed(t.orders, s"$db.orders_b", "o_orderkey", 8)
+      graft.operators.Bucketing.writeBucketed(t.lineitem, s"$db.lineitem_b", "l_orderkey", 8)
+      val joined = graft.operators.Bucketing
+        .bucketedEquiJoin(spark, s"$db.orders_b", s"$db.lineitem_b", "o_orderkey", "l_orderkey")
         .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
       val rows = joined.collect()
       assert(rows.map(_.getLong(1)).sum === t.lineitem.count())
