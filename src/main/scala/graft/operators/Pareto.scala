@@ -55,7 +55,10 @@ object Pareto {
       bPct: Int = 90): DataFrame = {
     require(bandWidth >= 1, s"bandWidth must be >= 1: $bandWidth")
     require(0 < aPct && aPct < bPct && bPct < 100, s"need 0 < aPct < bPct < 100: $aPct, $bPct")
-    val base = df.select(col(keyCol), measure.as("m"))
+    // Pinned: the (possibly expensive) upstream plan computes ONCE and
+    // feeds both the eager audit and the banding below — without the
+    // pin the audit would silently re-run the whole upstream aggregate.
+    val base = Lineage.pin(df.select(col(keyCol), measure.as("m")))
     // Eager audit (same pattern as Graph.coOccurrence's mega-basket cap):
     // a null measure would silently vanish in the band join, a negative
     // one silently mis-bands — both must fail loudly, not classify.
