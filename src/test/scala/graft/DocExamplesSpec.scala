@@ -81,6 +81,27 @@ class DocExamplesSpec extends SparkSpec {
     assert(kept.count() === 12)
   }
 
+  test("README scale-first-joins block runs as written") {
+    import graft.operators.{Bucketing, Skew}
+    val events = (1L to 400L).map(i => (i % 20, i)).toDF("user_id", "event_id")
+    val customers = (0L to 19L).map(i => (i, s"c$i")).toDF("c_custkey", "c_name")
+    val (joined, decision) = Skew.autoPlan(events, "user_id", col("event_id"),
+      customers, "c_custkey")
+    assert(decision.strategy === "broadcast" && joined.count() === 400L)
+    val orders = (1L to 300L).map(i => (i, s"o$i")).toDF("o_orderkey", "o_v")
+    val lineitem = (1L to 900L).map(i => (i % 300 + 1, i)).toDF("l_orderkey", "l_no")
+    try {
+      Bucketing.writeBucketed(orders, "docex_orders_b", "o_orderkey", 4)
+      Bucketing.writeBucketed(lineitem, "docex_lineitem_b", "l_orderkey", 4)
+      val colocated = Bucketing.bucketedEquiJoin(spark, "docex_orders_b", "docex_lineitem_b",
+        "o_orderkey", "l_orderkey")
+      assert(colocated.count() === 900L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS docex_orders_b")
+      spark.sql("DROP TABLE IF EXISTS docex_lineitem_b")
+    }
+  }
+
   test("README analytics/profiling block runs as written") {
     val events = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0, "click", 1L),

@@ -171,9 +171,19 @@ class SqlTwinSpec extends SparkSpec {
 
   private val pairs = Seq(
     "q164_sql_agg" -> "q1_agg",
+    "q165_sql_scan_filter" -> "q2_scan_filter",
     "q166_sql_topk_join" -> "q3_topk_join",
+    "q167_sql_selective_agg" -> "q5_selective_agg",
+    "q168_sql_semi_join" -> "q6_semi_join",
+    "q169_sql_anti_join" -> "q7_anti_join",
+    "q170_sql_distinct_agg" -> "q8_distinct_agg",
+    "q171_sql_topk_sort" -> "q9_topk_sort",
     "q172_sql_window_rank" -> "q10_window_rank",
     "q173_sql_setops" -> "q12_setops",
+    "q174_sql_pivot" -> "q14_pivot",
+    "q175_sql_having" -> "q15_having",
+    "q176_sql_scalar_date" -> "q17_scalar_date",
+    "q177_sql_events_hourly" -> "q18_events_hourly",
     "q178_sql_grouping_sets" -> "q53_grouping_sets",
   )
 
@@ -185,7 +195,9 @@ class SqlTwinSpec extends SparkSpec {
       val want = graft.queries.QueryCatalog.byName(orig).fn(spark, dir)
         .collect().map(_.toSeq.mkString("|")).sorted
       assert(got.sameElements(want), s"$twin != $orig")
-      assert(got.nonEmpty, s"$twin returned no rows")
+      // HAVING-style twins can be legitimately empty at sf0.001; the
+      // CORRECTNESS gate at sf0.01 covers the non-empty case
+      assert(got.nonEmpty || want.isEmpty, s"$twin returned no rows")
     }
   }
 }
