@@ -227,4 +227,42 @@ object TimeSeries {
       .selectExpr(keyCol, "n_events", "mu",
         "element_at(__f, 1) AS cusum_final", "element_at(__f, 2) AS cusum_max")
   }
+
+  /** Exact trailing-window distinct actives — the DAU/WAU/MAU family:
+    * for every calendar day with any activity, how many distinct
+    * entities were active at least once in the `windowDays`-day window
+    * ending that day.
+    *
+    * The naive forms melt at scale: `count(DISTINCT) OVER (RANGE ...)`
+    * keeps a per-frame distinct set (and most engines refuse it), and
+    * the days × events range self-join the oracle runs is
+    * O(|days| · |events|). This computes the SAME counts linearly via
+    * coverage inversion: dedupe to (entity, activity-day), explode each
+    * activity day into the `windowDays` report days it covers (entity
+    * active on d ⟹ counted for every day in [d, d+w-1]), dedupe the
+    * covered pairs, and count per report day restricted to days that
+    * themselves saw activity. Rows ≈ w · |entity-days| through map-side
+    * explode + two keyed dedup shuffles — all equi-operations, exact
+    * BIGINT counts, no inequality join anywhere.
+    */
+  def rollingActives(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      windowDays: Int = 7,
+  ): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val ud = df
+      .select(to_date(col(tsCol)).as("__d"), col(entityCol).as("__e"))
+      .filter(col("__d").isNotNull && col("__e").isNotNull)
+      .distinct()
+    val covered = ud
+      .select(col("__e"),
+        explode(sequence(col("__d"), date_add(col("__d"), windowDays - 1))).as("day"))
+      .distinct()
+    val activeDays = ud.select(col("__d").as("day")).distinct()
+    covered.join(activeDays, "day")
+      .groupBy("day")
+      .agg(count(lit(1)).cast("long").as(s"actives_${windowDays}d"))
+  }
 }

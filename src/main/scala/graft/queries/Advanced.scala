@@ -824,6 +824,27 @@ object Advanced {
       """.trim),
       (spark, dir) => flagshipPlan(Tables(spark, dir)),
     ),
+    Q(
+      "q179_rolling_actives",
+      "Exact trailing-7-day distinct active users per day (the DAU/WAU " +
+        "growth metric) via coverage inversion " +
+        "(graft.operators.TimeSeries.rollingActives): each (user, " +
+        "activity-day) covers the 7 report days it makes the user " +
+        "active for — map-side explode + two keyed dedups, rows = " +
+        "7 x |user-days|, all equi-joins. The oracle runs the textbook " +
+        "days x events range join (O(|days|*|events|)); the engine " +
+        "form is the one that survives 100 TB, and the hash-match " +
+        "proves the inversion exact.",
+      Some("""
+        WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        days AS (SELECT DISTINCT d AS day FROM ud)
+        SELECT day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS actives_7d
+        FROM days JOIN ud u ON u.d BETWEEN day - 6 AND day
+        GROUP BY 1
+      """.trim),
+      (spark, dir) => graft.operators.TimeSeries.rollingActives(
+        Tables(spark, dir).events, "user_id", "ts", windowDays = 7),
+    ),
   )
 
   /** q163's plan, shared with FlagshipPlanSpec's plan pins. The zone

@@ -358,6 +358,34 @@ class ParetoSpec extends SparkSpec {
   }
 }
 
+class RollingActivesSpec extends SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+
+  test("coverage inversion equals the brute-force trailing-window distinct count, incl. gaps and window=1") {
+    val rnd = new scala.util.Random(31)
+    // sparse activity with day gaps: users 0..9 over ~40 days
+    val rows = (1 to 300).map { i =>
+      val day = rnd.nextInt(40) * (if (rnd.nextBoolean()) 1 else 3) % 40
+      (rnd.nextInt(10).toLong, Timestamp.valueOf(f"2024-01-${day % 28 + 1}%02d ${rnd.nextInt(24)}%02d:00:00"))
+    }
+    val df = rows.toDF("user_id", "ts")
+    for (w <- Seq(1, 7)) {
+      val got = graft.operators.TimeSeries.rollingActives(df, "user_id", "ts", w)
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+      // brute force: for each activity day D, |{u : u active in [D-w+1, D]}|
+      val ud = rows.map { case (u, ts) => (u, ts.toLocalDateTime.toLocalDate) }.distinct
+      val days = ud.map(_._2).distinct
+      val want = days.map { d =>
+        d.toString -> ud.filter { case (_, ad) =>
+          !ad.isAfter(d) && ad.isAfter(d.minusDays(w))
+        }.map(_._1).distinct.size.toLong
+      }.toMap
+      assert(got === want, s"window=$w")
+    }
+  }
+}
+
 class ZoneMapSpec extends SparkSpec {
   import spark.implicits._
 
