@@ -503,8 +503,12 @@ object VectorSearch {
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
                startId: Long, minCosine: Double,
                maxClusterSize: Long = 200000L): DataFrame = {
-    val asn = kcenterAssign(corpus, idCol, vecCol, k, startId)
-      .select(col(idCol), col("center_id"))
+    // pinned: the assignment scan (k dot products per row, the most
+    // expensive map stage here) computes ONCE and feeds both the eager
+    // audit and the pair-join path — the Pareto.abcClassify pattern
+    val asn = graft.operators.Lineage.pin(
+      kcenterAssign(corpus, idCol, vecCol, k, startId)
+        .select(col(idCol), col("center_id")))
     val over = asn.groupBy(col("center_id")).agg(count(lit(1)).as("sz"))
       .filter(col("sz") > maxClusterSize)
       .limit(1).collect()

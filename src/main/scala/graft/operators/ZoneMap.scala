@@ -62,27 +62,28 @@ object ZoneMap {
   /** Scan `df` for rows with `lo <= trackedCol <= hi`, reading only the
     * zones whose envelope overlaps [lo, hi].
     *
-    * The zone map is filtered to overlapping zones (a few rows), then
-    * semi-joined back on the zone expression — Catalyst broadcasts the
-    * tiny side, so the big scan is gated by a broadcast hash semi join
-    * on the zone id: the per-row work is one coarse key probe instead of
-    * the full predicate, and on a layout where `zone` is a partition
-    * column this collapses to real partition pruning (the scan never
-    * opens non-overlapping files). The exact predicate still runs on the
-    * surviving zones — zone skipping is an OPTIMIZATION, bit-identical
-    * to the plain filter, which is what makes it safe to apply
-    * mechanically. A row whose zone expression evaluates to null (e.g. a
-    * null tenant bucket) belongs to the null-zone envelope [[build]]
-    * keeps (groupBy retains a null group) — zone and tracked column are
-    * independent, so such rows must survive whenever trackedCol is in
-    * range. A single null-safe `<=>` join would express that but defeats
-    * dynamic partition pruning (DPP requires a null-intolerant key), so
-    * the gate splits: non-null zones keep the `===` broadcast semi join
-    * (DPP fires on partitioned layouts), and the null group unions in
-    * through its own branch, kept iff a live null-zone envelope exists —
-    * a trivially-true semi probe against a <= 1-row broadcast, and on a
-    * zone-partitioned layout the `isNull` filter statically prunes that
-    * branch to the lone null partition.
+    * The zone map is filtered to overlapping zones and COLLECTED — the
+    * map is control-plane-sized by construction (O(zones), "a few
+    * thousand rows for calendar-month zones over years of data"), the
+    * same boundedness class as VerifiedStream's touched-bucket list, so
+    * this is a metadata read, never a data collect. The gate is then a
+    * single LITERAL filter on the zone expression: `zone IN (live
+    * zones)` (an `InSet` once the list is non-tiny), plus `zone IS
+    * NULL` iff a live null-zone envelope exists (a null tenant bucket
+    * with in-range rows must survive — zone and tracked column are
+    * independent). On a layout where `zone` is a partition column the
+    * IN lands in the scan's PartitionFilters as STATIC partition
+    * pruning — non-overlapping files are never opened, with none of
+    * the broadcast/DPP machinery a semi-join gate needs (r10 shipped
+    * that design; the literal gate evaluates the map ONCE, prunes at
+    * PLANNING time rather than runtime, and handles the null zone in
+    * the same filter). The exact predicate still runs on the surviving
+    * zones — zone skipping is an OPTIMIZATION, bit-identical to the
+    * plain filter, which is what makes it safe to apply mechanically.
+    *
+    * Eager: the zone-map plan executes at call time (one tiny job);
+    * persisted/streaming-maintained maps ([[ZoneMapStream]]) make that
+    * a footer-sized parquet read.
     */
   def prunedScan(
       df: DataFrame,
@@ -94,10 +95,13 @@ object ZoneMap {
     val live = zoneMap
       .filter(col(s"max_$trackedCol") >= lo && col(s"min_$trackedCol") <= hi)
       .select(col("zone"))
-    val liveNonNull = live.filter(col("zone").isNotNull)
-    val keptNonNull = df.join(broadcast(liveNonNull), zone === liveNonNull("zone"), "left_semi")
-    val liveNull = live.filter(col("zone").isNull)
-    val keptNull = df.filter(zone.isNull).join(broadcast(liveNull), lit(true), "left_semi")
-    keptNonNull.unionByName(keptNull).filter(col(trackedCol).between(lo, hi))
+      .collect().map(_.get(0))
+    val (nullZone, liveZones) = live.partition(_ == null)
+    val gate =
+      if (liveZones.isEmpty && nullZone.isEmpty) lit(false)
+      else if (liveZones.isEmpty) zone.isNull
+      else if (nullZone.isEmpty) zone.isin(liveZones.toIndexedSeq: _*)
+      else zone.isin(liveZones.toIndexedSeq: _*) || zone.isNull
+    df.filter(gate).filter(col(trackedCol).between(lo, hi))
   }
 }

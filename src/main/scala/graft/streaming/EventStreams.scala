@@ -152,19 +152,32 @@ object EventStreams {
     * timeout re-fires the group at (last event + gap) even with no new
     * data, so quiet users still flush.
     *
-    * Scale shape: state is partition-parallel keyed by user and bounded
-    * by the watermark horizon (buffered events ≤ one delay window per
-    * user); a hot user buffers one session tail, never history. Late
-    * events inside the delay re-sort within the buffer (out-of-order
-    * arrivals can legally merge two provisional gaps — which is exactly
-    * why closing must wait for the watermark, not wall clock).
+    * Scale shape: state is partition-parallel keyed by user; per key it
+    * holds the open-session tail, which the gap rule bounds for any
+    * user who ever pauses. A key that NEVER pauses longer than the gap
+    * (a bot heartbeating every minute) would otherwise grow its buffer
+    * forever, so `maxSessionEvents` force-closes such a session at the
+    * cap and starts fresh — the standard sessionizer trade (chopped
+    * mega-sessions), deterministic under replay because the decision is
+    * a pure function of the buffered state. Late events inside the
+    * delay re-sort within the buffer (out-of-order arrivals can legally
+    * merge two provisional gaps — which is exactly why closing must
+    * wait for the watermark, not wall clock).
+    *
+    * Close condition is STRICT (`end + gap < watermark`): an event
+    * carrying ts == watermark is not guaranteed dropped as late, and at
+    * exactly end + gap the split rule (`> gap`) would still merge it —
+    * `<=` could emit a session a legal arrival then extends (a
+    * split-session / exactly-once violation at the boundary).
     */
   def sessionPathsStream(
       events: Dataset[EventRow],
       gapMinutes: Int = 30,
       watermarkDelay: String = "2 hours",
       pathLen: Int = 8,
+      maxSessionEvents: Int = 100000,
   ): Dataset[ClosedSession] = {
+    require(maxSessionEvents >= 1, s"maxSessionEvents must be >= 1: $maxSessionEvents")
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     def splitByGap(sorted: List[SessEvent]): List[List[SessEvent]] =
@@ -187,11 +200,19 @@ object EventStreams {
           val buf = state.getOption.map(_.buf).getOrElse(Nil) ++ fresh
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val sessions = splitByGap(buf.sortBy(e => (e.ts_us, e.event_id)))
-          val (closed, open) = sessions.partition(_.last.ts_us + gapUs <= wmUs)
+          val (matured, open0) = sessions.partition(_.last.ts_us + gapUs < wmUs)
+          // cap: an open session at/over the cap force-closes NOW (its
+          // later events would only be chopped again), keeping per-key
+          // state bounded for never-pausing keys
+          val (oversize, open) = open0.partition(_.length >= maxSessionEvents)
+          val closed = matured ++ oversize
           if (open.isEmpty) state.remove()
           else {
             state.update(SessBuffer(open.flatten))
-            val lastEndMs = open.map(_.last.ts_us).max / 1000L + gapUs / 1000L
+            // ceiling ms: flooring could fire the timeout <1 ms before
+            // the strict micro-precision close condition holds, leaving
+            // the session stranded until the next watermark advance
+            val lastEndMs = (open.map(_.last.ts_us).max + gapUs + 999L) / 1000L
             state.setTimeoutTimestamp(math.max(lastEndMs, wmUs / 1000L + 1L))
           }
           closed.iterator.map { s =>

@@ -448,7 +448,7 @@ class ZoneMapSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
-  test("on a zone-partitioned layout the pruned scan skips partitions (dynamic partition pruning), not just rows") {
+  test("on a zone-partitioned layout the pruned scan skips partitions (static partition pruning), not just rows") {
     val dir = tmpDir("zonemap_layout").toString
     df.write.mode("overwrite").partitionBy("z").parquet(dir)
     val stored = spark.read.parquet(dir)
@@ -458,14 +458,15 @@ class ZoneMapSpec extends SparkSpec {
     val want = df.filter(col("x").between(250L, 449L))
       .collect().map(r => (r.getAs[Long]("x"), r.getAs[String]("payload"))).sorted
     assert(got.sameElements(want))
-    // the zone gate must reach the SCAN as a partition filter: Spark's
-    // dynamic partition pruning turns the broadcast semi join on the
-    // partition column into file-level skipping — the 100 TB behavior
-    // (non-overlapping zones are never opened), visible in the plan
+    // the zone gate must reach the SCAN as a partition filter: the
+    // literal IN over the live zones prunes files at PLANNING time —
+    // the 100 TB behavior (non-overlapping zones are never opened),
+    // visible as a non-empty PartitionFilters on the zone column
     val plan = scan.queryExecution.executedPlan.toString
     val scanLine = plan.linesIterator.find(l => l.contains("PartitionFilters") && l.contains("z#"))
-    assert(scanLine.exists(l => l.contains("dynamicpruning")),
-      s"expected a dynamicpruning PartitionFilter on the zone column, got:\n$plan")
+    assert(scanLine.exists(l => !l.contains("PartitionFilters: []")),
+      s"expected a static PartitionFilter on the zone column, got:\n$plan")
+    assert(!plan.contains("Join"), s"the literal gate needs no join machinery:\n$plan")
   }
 
   test("streaming maintenance: chained batches converge to the full build; replay is idempotent; chain regression fails fast") {
@@ -519,13 +520,15 @@ class ZoneMapSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("a narrow range consults few zones, and the gate is a broadcast semi join") {
+  test("a narrow range consults few zones, and the gate is a literal filter (no join machinery)") {
     val zm = ZoneMap.build(df, col("z"), Seq("x"))
     val live = zm.filter(col("max_x") >= 250L && col("min_x") <= 449L)
     assert(live.count() == 3, "zone envelope filter must keep only overlapping zones")
-    val plan = ZoneMap.prunedScan(df, col("z"), zm, "x", lit(250L), lit(449L))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      s"zone gate should be a broadcast semi join, got:\n$plan")
+    val scan = ZoneMap.prunedScan(df, col("z"), zm, "x", lit(250L), lit(449L))
+    val plan = scan.queryExecution.executedPlan.toString
+    // the gate is a literal predicate: no join, no exchange anywhere
+    // (on this local relation Catalyst folds it into the scan itself)
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"zone gate should be a pure filter over the scan, got:\n$plan")
   }
 }

@@ -232,6 +232,40 @@ class StreamingSpecs extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session paths: an event at EXACTLY end+gap merges (strict close boundary), and the size cap force-closes a never-pausing key") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.sessionPathsStream(in.toDS(), gapMinutes = 30,
+      watermarkDelay = "1 hour", maxSessionEvents = 4)
+      .writeStream.format("memory").queryName("sessbound_t").outputMode("append").start()
+    try {
+      // user 1: second event lands at exactly first+gap — same session
+      // under the batch split rule (> gap splits), so the stream must
+      // not have closed the first event's session before it arrived
+      in.addData(EventRow(1, ts("2020-01-01 10:00:00"), 1, "a", 0))
+      q.processAllAvailable()
+      in.addData(EventRow(2, ts("2020-01-01 10:30:00"), 1, "b", 0))
+      q.processAllAvailable()
+      in.addData(EventRow(9, ts("2020-01-01 15:00:00"), 2, "z", 0)) // flush watermark
+      q.processAllAvailable()
+      in.addData(EventRow(10, ts("2020-01-01 16:00:00"), 2, "z", 0))
+      q.processAllAvailable()
+      val u1 = spark.table("sessbound_t").filter(col("user_id") === 1)
+        .select("path", "n_events").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(u1 === Set(("a>b", 2L)), s"exact-gap event must merge, got $u1")
+      // user 5: 5 events a minute apart (never pauses) with cap 4 —
+      // the session force-closes WITHOUT its end+gap passing the
+      // watermark (events sit above the current 15:00 watermark)
+      in.addData((1 to 5).map(i =>
+        EventRow(20 + i, ts(f"2020-01-01 16:0$i%d:00"), 5, "h", 0)): _*)
+      q.processAllAvailable()
+      val u5 = spark.table("sessbound_t").filter(col("user_id") === 5)
+        .select("n_events").collect().map(_.getLong(0)).toSeq
+      assert(u5 === Seq(5L), s"cap must force-close the oversize session, got $u5")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps a running per-user aggregate across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

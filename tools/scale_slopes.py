@@ -74,7 +74,11 @@ def main() -> int:
     p1, p2, p3 = sys.argv[1], sys.argv[2], sys.argv[3]
     out = sys.argv[4] if len(sys.argv) > 4 else "SCALE_SLOPES.json"
     b = [json.load(open(p))["queries"] for p in (p1, p2, p3)]
+    # union, not intersection: a query missing from any one input must
+    # surface as excluded, not silently vanish from the artifact's scope
+    union = sorted(set(b[0]) | set(b[1]) | set(b[2]))
     names = sorted(set(b[0]) & set(b[1]) & set(b[2]))
+    missing = sorted(set(union) - set(names))
     failed = sorted(n for n in names if any(bi[n] < 0 for bi in b))
     rows = {}
     for n in names:
@@ -113,6 +117,7 @@ def main() -> int:
             "n_queries": len(rows),
             "classes": counts,
             "failed": failed,
+            "missing_from_an_input": missing,
             "superlinear": sorted(n for n, r in rows.items()
                                   if r["class"] == "superlinear"),
         },
@@ -123,6 +128,8 @@ def main() -> int:
     print(f"wrote {out}: {len(rows)} queries, classes {counts}")
     if failed:
         print(f"FAILED (excluded): {failed}")
+    if missing:
+        print(f"MISSING from an input (excluded): {missing}")
     return 0
 
 
