@@ -758,9 +758,10 @@ object Advanced {
         "month zones (graft.operators.ZoneMap): per zone, row count and " +
         "min/max of ship date and price. O(zones) output, one map-side-" +
         "combined aggregate — the query-time half (prunedScan: overlap-" +
-        "filter the map, broadcast-semi-join the survivors) is exercised " +
-        "by ZoneMapSpec, where it must be bit-identical to the plain " +
-        "filter it accelerates.",
+        "filter the map, gate the scan with a literal IN over the live " +
+        "zones = static partition pruning) is exercised by ZoneMapSpec, " +
+        "where it must be bit-identical to the plain filter it " +
+        "accelerates.",
       Some("""
         SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS zone,
           min(l_shipdate) AS min_l_shipdate, max(l_shipdate) AS max_l_shipdate,
@@ -804,7 +805,7 @@ object Advanced {
       "q163_scalejoin_flagship",
       "The scale-join family composed into ONE plan (VERDICT r10 next-" +
         "round #7): a zone-map-gated range scan of lineitem (q153's " +
-        "skip index, broadcast-semi zone gate), bloom-pruned semi join " +
+        "skip index, literal static-pruning zone gate), bloom-pruned semi join " +
         "against the urgent orders (q145's pre-shuffle prune, scalar-" +
         "subquery delivery), and a salted join to part feeding the " +
         "brand aggregation (q146's skew spread) — proving the operators " +

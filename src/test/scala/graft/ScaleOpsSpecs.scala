@@ -130,7 +130,7 @@ class PrefixFilterSpec extends SparkSpec {
 }
 
 /** q163: the scale-join family composed into one plan. The pin is that
-  * all three physical shapes — the zone gate's broadcast semi join, the
+  * all three physical shapes — the zone gate's literal scan filter, the
   * bloom's scalar-subquery filter, the salt's (key, salt) join — appear
   * in the ONE executed plan, and the result equals the plain
   * filter+semi+join expression bit for bit.
