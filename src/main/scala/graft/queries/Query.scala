@@ -22,7 +22,7 @@ final case class Q(
 object QueryCatalog {
   /** Full registry, assembled per module. SparkEntry flattens this. */
   lazy val all: Seq[Q] =
-    Analytics.qs ++ Relational2.qs ++ TextOps.qs ++ Similarity.qs ++ Curation.qs ++ PipelineQueries.qs ++ Advanced.qs ++ SqlTwins.qs
+    Analytics.qs ++ Relational2.qs ++ TextOps.qs ++ Similarity.qs ++ Curation.qs ++ PipelineQueries.qs ++ Advanced.qs ++ SqlTwins.qs ++ Storage.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

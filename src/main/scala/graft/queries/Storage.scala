@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.Tables
+import graft.sources.ManifestTable
+import org.apache.spark.sql.functions._
+
+/** Storage-layer queries: the transactional manifest table format
+  * ([[graft.sources.ManifestTable]]) exercised through its two read
+  * paths — planning-time file skipping and time travel — each gated by
+  * the same DuckDB oracle as a plain scan of the source table, because
+  * the format's whole contract is that going through it changes
+  * NOTHING about query results, only about how few files are opened
+  * and what a reader can see mid-write.
+  *
+  * The reference gets snapshot semantics from Postgres transactions
+  * (`/root/reference/postgresql_mysql_sync_dag.py:48-50`); a file-based
+  * lake at 100 TB rebuilds them from atomic manifest commits.
+  */
+object Storage {
+
+  private val d30_2 = "CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE)"
+
+  /** events, committed once per (session, sf dir) into a manifest table
+    * range-clustered on ts — tight per-file envelopes so the skipping
+    * path has something to skip. Two commits split at Jan 20 so history
+    * has a mid-month version boundary for time travel.
+    */
+  private def eventsTable(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"manifest-events:$dir") { p =>
+      val ev = Tables(spark, dir).events
+      val split = lit("2024-01-20 00:00:00").cast("timestamp")
+      ManifestTable.commit(
+        ev.filter(col("ts") < split).repartitionByRange(10, col("ts")), p, track = Seq("ts"))
+      ManifestTable.commit(
+        ev.filter(col("ts") >= split).repartitionByRange(6, col("ts")), p, track = Seq("ts")): Unit
+    }
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "q180_manifest_prune",
+      "Manifest-table pruned range scan: resolve the committed per-file " +
+        "min/max envelopes (O(files) metadata, one tiny local job), open " +
+        "ONLY the files overlapping a 3-of-30-day ts window, run the " +
+        "exact predicate on the survivors, aggregate. Bit-identical to " +
+        "the plain filter by contract — the oracle scans the raw table — " +
+        "while the manifest path opens ~2 of 16 range-clustered files " +
+        "(ManifestTableSpec pins the skipping on livePaths).",
+      Some(s"""
+        SELECT event_type, count(*) AS n, $d30_2 AS sum_value
+        FROM events
+        WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                     AND TIMESTAMP '2024-01-12 23:59:59.999999'
+        GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        val t = eventsTable(spark, dir)
+        ManifestTable.prunedScan(spark, t, "ts",
+            lit("2024-01-10 00:00:00").cast("timestamp"),
+            lit("2024-01-12 23:59:59.999999").cast("timestamp"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+              .cast("double").as("sum_value"))
+      },
+    ),
+    Q(
+      "q181_time_travel",
+      "Snapshot-isolation time travel: the same aggregate against the " +
+        "mid-month committed version (asOf v1 = rows landed before Jan " +
+        "20) and against the head — each read resolves ONE manifest's " +
+        "file list, so a snapshot is complete-or-invisible regardless " +
+        "of in-flight writers. The oracle reconstructs both snapshots " +
+        "from the commit split predicate.",
+      Some(s"""
+        SELECT 'v1' AS snap, count(*) AS n, $d30_2 AS sum_value
+        FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        UNION ALL
+        SELECT 'head' AS snap, count(*) AS n, $d30_2 AS sum_value
+        FROM events
+      """.trim),
+      (spark, dir) => {
+        val t = eventsTable(spark, dir)
+        def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.agg(count(lit(1)).as("n"),
+              sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+                .cast("double").as("sum_value"))
+            .select(lit(tag).as("snap"), col("n"), col("sum_value"))
+        agg(ManifestTable.snapshot(spark, t, asOf = Some(1L)), "v1")
+          .unionByName(agg(ManifestTable.snapshot(spark, t), "head"))
+      },
+    ),
+  )
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.sources.ManifestTable
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ingest into a [[graft.sources.ManifestTable]]: every
+  * micro-batch lands as one atomic manifest commit, so downstream
+  * readers — interactive pruned scans included — always see a complete
+  * snapshot, never a torn directory listing mid-write.
+  *
+  * Exactly-once comes from the commit protocol itself, not the sink:
+  * the batch id is carried as the manifest's `txn` marker, and a
+  * REPLAYED batch (structured streaming re-fires only batches that
+  * never acked) short-circuits inside [[ManifestTable.commit]] before
+  * staging any data — zero duplicate rows AND zero orphan files, the
+  * same guarantee class as [[SnapshotChain]] with commit arbitration
+  * done by atomic manifest creation instead of version dirs.
+  *
+  * Each commit also collects per-file min/max of `track` over the NEW
+  * batch only (map-side, no history re-scan), so file-skipping stats
+  * stay fresh as data lands — the manifest-level sibling of
+  * [[ZoneMapStream]]'s zone envelopes. Periodic
+  * [[ManifestTable.compact]] folds the accumulated small batch files
+  * into range-clustered ones transactionally.
+  */
+object ManifestStream {
+
+  def start(
+      stream: DataFrame,
+      dir: String,
+      track: Seq[String],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+  ): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch.toDF(), batchId, dir, track)
+      }
+      .start()
+
+  /** One idempotent append step (public so replay/crash windows are
+    * spec-able without a streaming harness).
+    */
+  def processBatch(batch: DataFrame, batchId: Long, dir: String, track: Seq[String]): Unit =
+    ManifestTable.commit(batch, dir, track, txn = Some(s"stream-$batchId")): Unit
+}

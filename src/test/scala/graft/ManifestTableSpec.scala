@@ -1,0 +1,197 @@
+package graft
+
+import graft.sources.ManifestTable
+import graft.streaming.ManifestStream
+import org.apache.spark.sql.functions._
+
+/** The transactional table format: atomic snapshot visibility,
+  * optimistic concurrent appends, file-skipping stats, time travel,
+  * expiry GC + vacuum, and the streaming append sink's exactly-once
+  * replay window.
+  */
+class ManifestTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir() = tmpDir("manifest").toString
+
+  test("commit + snapshot round-trips the data, schema pinned") {
+    val dir = freshDir()
+    val df = (1 to 100).map(i => (i.toLong, s"r$i", i * 1.5)).toDF("id", "s", "v")
+    val v = ManifestTable.commit(df, dir, track = Seq("id"))
+    assert(v == 1L)
+    val back = ManifestTable.snapshot(spark, dir)
+    // parquet reads relax nullability; names and types must pin exactly
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("append commits accumulate; asOf time travel reads each version") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 50).toDF("id").select($"id".cast("long")), dir, Seq("id"))
+    ManifestTable.commit((51 to 80).toDF("id").select($"id".cast("long")), dir, Seq("id"))
+    assert(ManifestTable.snapshot(spark, dir).count() == 80)
+    assert(ManifestTable.snapshot(spark, dir, asOf = Some(1L)).count() == 50)
+    // replace truncates atomically; history still reaches the appends
+    ManifestTable.replace((100 to 102).toDF("id").select($"id".cast("long")), dir, Seq("id"))
+    assert(ManifestTable.snapshot(spark, dir).count() == 3)
+    assert(ManifestTable.snapshot(spark, dir, asOf = Some(2L)).count() == 80)
+  }
+
+  test("staged-but-uncommitted data is invisible (atomic visibility)") {
+    val dir = freshDir()
+    ManifestTable.commit(Seq(1L).toDF("id"), dir, Seq("id"))
+    // simulate a crashed commit: data staged, no manifest installed
+    Seq(2L, 3L).toDF("id").write.parquet(s"$dir/data/c-crashed")
+    assert(ManifestTable.snapshot(spark, dir).count() == 1)
+    assert(ManifestTable.latestVersion(dir).contains(1L))
+    // vacuum respects the grace age: a "fresh" orphan survives...
+    ManifestTable.vacuum(dir)
+    assert(new java.io.File(s"$dir/data/c-crashed").exists())
+    // ...and is reclaimed once past it
+    ManifestTable.vacuum(dir, minAgeMs = -1L)
+    assert(!new java.io.File(s"$dir/data/c-crashed").exists())
+    assert(ManifestTable.snapshot(spark, dir).count() == 1)
+  }
+
+  test("concurrent appends both land exactly once (optimistic loop)") {
+    val dir = freshDir()
+    ManifestTable.commit(Seq(0L).toDF("id"), dir, Seq("id"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val fs = Seq((1 to 40).map(_.toLong), (41 to 90).map(_.toLong)).map { rows =>
+      scala.concurrent.Future {
+        barrier.await() // maximize the race window on the commit loop
+        ManifestTable.commit(rows.toDF("id"), dir, Seq("id"))
+      }
+    }
+    val vs = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(fs), scala.concurrent.duration.Duration("120s"))
+    pool.shutdown()
+    assert(vs.toSet == Set(2L, 3L), s"both writers must win distinct versions, got $vs")
+    val ids = ManifestTable.snapshot(spark, dir).as[Long].collect().sorted
+    assert(ids.toSeq == (0L to 90L), "nothing lost, nothing doubled")
+  }
+
+  test("pruned scan is bit-identical to the plain filter and opens fewer files") {
+    val dir = freshDir()
+    val df = (1 to 10000).map(i => (i.toLong, (i % 7).toDouble)).toDF("id", "v")
+    // range-clustered staging => tight per-file envelopes
+    ManifestTable.commit(df.repartitionByRange(8, $"id"), dir, Seq("id", "v"))
+    val all = ManifestTable.manifest(dir, None).files.map(_.path)
+    assert(all.size >= 8)
+    val live = ManifestTable.livePaths(spark, dir, "id", lit(2000L), lit(2999L))
+    assert(live.size < all.size / 2, s"narrow range must skip most files (${live.size}/${all.size})")
+    val pruned = ManifestTable.prunedScan(spark, dir, "id", lit(2000L), lit(2999L))
+      .orderBy("id").collect().toSeq
+    val plain = ManifestTable.snapshot(spark, dir)
+      .filter($"id".between(2000L, 2999L)).orderBy("id").collect().toSeq
+    assert(pruned == plain)
+    // empty range resolves to zero files, correct empty frame w/ schema
+    val none = ManifestTable.prunedScan(spark, dir, "id", lit(999999L), lit(999999L))
+    assert(none.count() == 0 && none.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("all-null tracked column files are skipped — BETWEEN cannot match them") {
+    val dir = freshDir()
+    val withVals = Seq((1L, Some(10L)), (2L, Some(20L))).toDF("id", "t")
+    val allNull = Seq((3L, None: Option[Long]), (4L, None: Option[Long])).toDF("id", "t")
+    ManifestTable.commit(withVals, dir, Seq("t"))
+    ManifestTable.commit(allNull, dir, Seq("t"))
+    val live = ManifestTable.livePaths(spark, dir, "t", lit(0L), lit(100L))
+    val m = ManifestTable.manifest(dir, None)
+    assert(live.size < m.files.size, "the all-null file must not be opened")
+    assert(ManifestTable.prunedScan(spark, dir, "t", lit(0L), lit(100L)).count() == 2)
+  }
+
+  test("timestamp envelopes round-trip through the string stats exactly") {
+    val dir = freshDir()
+    val df = spark.range(0, 1000)
+      .select($"id", timestamp_micros(
+        lit(1704067200000000L) + ($"id" * 97000000L + lit(123456L))).as("ts"))
+    ManifestTable.commit(df.repartitionByRange(6, $"ts"), dir, Seq("ts"))
+    val lo = lit("2024-01-01 05:00:00").cast("timestamp")
+    val hi = lit("2024-01-01 09:00:00").cast("timestamp")
+    val pruned = ManifestTable.prunedScan(spark, dir, "ts", lo, hi).orderBy("id").collect().toSeq
+    val plain = ManifestTable.snapshot(spark, dir).filter($"ts".between(lo, hi))
+      .orderBy("id").collect().toSeq
+    assert(pruned == plain && pruned.nonEmpty)
+    assert(ManifestTable.livePaths(spark, dir, "ts", lo, hi).size <
+      ManifestTable.manifest(dir, None).files.size)
+  }
+
+  test("compact folds small commits into range-clustered files transactionally") {
+    val dir = freshDir()
+    (0 until 5).foreach { b =>
+      ManifestTable.commit(
+        ((b * 100) until ((b + 1) * 100)).map(_.toLong).toDF("id"), dir, Seq("id"))
+    }
+    val before = ManifestTable.snapshot(spark, dir).as[Long].collect().sorted.toSeq
+    val v = ManifestTable.compact(spark, dir, clusterBy = "id", numFiles = 2)
+    assert(v == 6L)
+    val after = ManifestTable.snapshot(spark, dir).as[Long].collect().sorted.toSeq
+    assert(after == before, "compaction must not change content")
+    // post-compaction pruning works off the fresh tight envelopes
+    val live = ManifestTable.livePaths(spark, dir, "id", lit(0L), lit(10L))
+    assert(live.size <= ManifestTable.manifest(dir, None).files.size / 2)
+    // pre-compaction version still time-travels
+    assert(ManifestTable.snapshot(spark, dir, asOf = Some(5L)).count() == 500)
+  }
+
+  test("expireSnapshots drops history, GCs only unreferenced files, keeps the head") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 10).map(_.toLong).toDF("id"), dir, Seq("id"))
+    ManifestTable.replace((11 to 15).map(_.toLong).toDF("id"), dir, Seq("id"))
+    val v1Files = ManifestTable.manifest(dir, Some(1L)).files.map(_.path)
+    ManifestTable.expireSnapshots(dir, keepLast = 1)
+    assert(ManifestTable.versions(dir).sorted == Seq(2L))
+    // the expired version's files are gone; reading it fails loudly
+    assert(v1Files.forall(p => !new java.io.File(p).exists()))
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.snapshot(spark, dir, asOf = Some(1L))
+    }
+    assert(e.getMessage.contains("expired"))
+    assert(ManifestTable.snapshot(spark, dir).count() == 5)
+  }
+
+  test("expire keeps files still referenced by retained snapshots (append chains share files)") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 10).map(_.toLong).toDF("id"), dir, Seq("id"))
+    ManifestTable.commit((11 to 20).map(_.toLong).toDF("id"), dir, Seq("id"))
+    // v2 references v1's files too; expiring v1 must delete NOTHING
+    ManifestTable.expireSnapshots(dir, keepLast = 1)
+    assert(ManifestTable.snapshot(spark, dir).as[Long].collect().sorted.toSeq == (1L to 20L))
+  }
+
+  test("streaming append sink: replayed batch is a no-op (no dup rows, no orphan files)") {
+    val dir = freshDir()
+    ManifestStream.processBatch(Seq(1L, 2L).toDF("id"), batchId = 0L, dir, Seq("id"))
+    ManifestStream.processBatch(Seq(3L).toDF("id"), batchId = 1L, dir, Seq("id"))
+    val dataDirs = Option(new java.io.File(dir, "data").listFiles()).get.length
+    // crash window: batch 1 re-fires after a lost ack
+    ManifestStream.processBatch(Seq(3L).toDF("id"), batchId = 1L, dir, Seq("id"))
+    assert(ManifestTable.snapshot(spark, dir).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(ManifestTable.latestVersion(dir).contains(2L), "replay must not mint a version")
+    assert(Option(new java.io.File(dir, "data").listFiles()).get.length == dataDirs,
+      "replay must not stage orphan data")
+  }
+
+  test("end-to-end stream -> manifest commits -> converges to the batch table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = freshDir()
+    val ckpt = tmpDir("manifest-ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = ManifestStream.start(mem.toDF().withColumnRenamed("value", "id"), dir, Seq("id"), ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    mem.addData(1L to 100L: _*)
+    q.awaitTermination(60000)
+    val q2 = ManifestStream.start(mem.toDF().withColumnRenamed("value", "id"), dir, Seq("id"), ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    mem.addData(101L to 150L: _*)
+    q2.awaitTermination(60000)
+    assert(ManifestTable.snapshot(spark, dir).as[Long].collect().sorted.toSeq == (1L to 150L))
+  }
+}
