@@ -35,6 +35,41 @@ object Storage {
         ev.filter(col("ts") >= split).repartitionByRange(6, col("ts")), p, track = Seq("ts")): Unit
     }
 
+  /** orders committed once per (session, sf dir) range-clustered on
+    * o_orderkey, then MERGED: every 97th key's row replaced (price
+    * doubled, priority restamped), every 101st key mirrored to a
+    * negated-key insert. Clustering means the update keys spread
+    * across all files here (worst case); a time-clustered table with
+    * recent-key updates rewrites only the tail files — the spec pins
+    * that file-granularity on ManifestTable directly.
+    */
+  private def mergedOrders(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"manifest-orders-merge:$dir") { p =>
+      val o = Tables(spark, dir).orders
+      ManifestTable.commit(
+        o.repartitionByRange(8, col("o_orderkey")), p, track = Seq("o_orderkey"))
+      val updates = o.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderpriority", lit("X-MERGED"))
+      // key 0 is its own negation — it stays an update, not an insert
+      val inserts = o.filter(col("o_orderkey") % 101 === 0 && col("o_orderkey") =!= 0)
+        .withColumn("o_orderkey", -col("o_orderkey"))
+      ManifestTable.merge(updates.unionByName(inserts), p, keys = Seq("o_orderkey")): Unit
+    }
+
+  /** events committed once per (session, sf dir) range-clustered on ts,
+    * then row-level DELETEd: clicks before Jan 15. ts-clustering means
+    * only the pre-Jan-15 files rewrite; later files keep their entries.
+    */
+  private def deletedEvents(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"manifest-events-delete:$dir") { p =>
+      val ev = Tables(spark, dir).events
+      ManifestTable.commit(ev.repartitionByRange(10, col("ts")), p, track = Seq("ts"))
+      ManifestTable.delete(spark, p,
+        col("event_type") === "click" &&
+          col("ts") < lit("2024-01-15 00:00:00").cast("timestamp")): Unit
+    }
+
   val qs: Seq[Q] = Seq(
     Q(
       "q180_manifest_prune",
@@ -87,6 +122,70 @@ object Storage {
             .select(lit(tag).as("snap"), col("n"), col("sum_value"))
         agg(ManifestTable.snapshot(spark, t, asOf = Some(1L)), "v1")
           .unionByName(agg(ManifestTable.snapshot(spark, t), "head"))
+      },
+    ),
+    Q(
+      "q182_merge_upsert",
+      "Transactional MERGE (upsert) into the manifest table: every 97th " +
+        "order's row replaced whole (price doubled, priority restamped), " +
+        "every 101st mirrored to a negated-key insert; matched files " +
+        "rewrite copy-on-write, the manifest swaps atomically, and the " +
+        "oracle recomputes the merged state relationally from the raw " +
+        "table — upsert correctness reduces to anti-join ∪ source.",
+      Some("""
+        WITH src AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice * 2 AS o_totalprice, o_orderdate,
+                 'X-MERGED' AS o_orderpriority
+          FROM orders WHERE o_orderkey % 97 = 0
+          UNION ALL
+          SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey <> 0
+        ),
+        merged AS (
+          SELECT * FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = o.o_orderkey)
+          UNION ALL
+          SELECT * FROM src
+        )
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
+               count(CASE WHEN o_orderpriority = 'X-MERGED' THEN 1 END) AS n_merged
+        FROM merged GROUP BY o_orderstatus
+      """.trim),
+      (spark, dir) => {
+        val t = mergedOrders(spark, dir)
+        ManifestTable.snapshot(spark, t)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+              .cast("double").as("sum_price"),
+            count(when(col("o_orderpriority") === "X-MERGED", 1)).as("n_merged"))
+      },
+    ),
+    Q(
+      "q183_row_delete",
+      "Row-level DELETE from the manifest table (clicks before Jan 15) " +
+        "as file-granular copy-on-write: the ts-clustered layout means " +
+        "only pre-cutoff files rewrite, later files keep their exact " +
+        "manifest entries, and readers on the old head keep a complete " +
+        "snapshot. The oracle applies SQL DELETE keep-semantics " +
+        "(survive on FALSE or NULL) to the raw table.",
+      Some(s"""
+        SELECT event_type, count(*) AS n, $d30_2 AS sum_value
+        FROM events
+        WHERE NOT COALESCE(
+          event_type = 'click' AND ts < TIMESTAMP '2024-01-15 00:00:00', FALSE)
+        GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        val t = deletedEvents(spark, dir)
+        ManifestTable.snapshot(spark, t)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+              .cast("double").as("sum_value"))
       },
     ),
   )

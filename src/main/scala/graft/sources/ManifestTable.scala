@@ -121,7 +121,7 @@ object ManifestTable {
       require(missing.isEmpty, s"tracked column(s) ${missing.mkString(", ")} not in schema")
       val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
       df.write.parquet(stage)
-      val newFiles = collectStats(spark, stage, track)
+      val newFiles = collectStats(spark, stage, track, df.schema)
       var committed = -1L
       while (committed < 0) {
         // another writer with OUR txn can't exist (txn ids are per-stream,
@@ -138,17 +138,148 @@ object ManifestTable {
     }
   }
 
+  // ------------------------------------------------------ row-level writes
+
+  /** Row-level DELETE with SQL semantics (rows where `cond` evaluates
+    * TRUE are removed; FALSE and NULL rows survive), as file-granular
+    * copy-on-write: one pass over the head snapshot finds the files
+    * that contain at least one matching row (O(files) metadata
+    * collected, never data), ONLY those files are rewritten without
+    * their matching rows, and the new manifest swaps the rewritten
+    * entries in atomically. Files with no matching row keep their
+    * exact existing entries — at 100 TB a selective delete rewrites a
+    * handful of files, not the table, and the touched-file scan reads
+    * only the columns `cond` references (column pruning reaches the
+    * parquet scan).
+    *
+    * Isolation: the delete is computed against the head snapshot at
+    * call time. Concurrent APPENDS rebase cleanly (their files are
+    * untouched and survive); a concurrent writer that REMOVED one of
+    * the files this delete rewrites ([[replace]], [[compact]], another
+    * delete/merge) is a genuine write-write conflict and raises
+    * `ConcurrentModificationException` rather than silently resurrecting
+    * or double-deleting rows — the caller re-reads and retries, the
+    * same contract Iceberg gives serializable row-level operations.
+    *
+    * Returns the committed version; if no file contains a matching row
+    * the table is untouched and the head version returns as-is. `txn`
+    * gives streaming replays exactly-once semantics as in [[commit]].
+    */
+  def delete(spark: SparkSession, dir: String, cond: Column, txn: Option[String] = None): Long =
+    txn.flatMap(committedTxn(dir, _)).getOrElse {
+      val head = manifest(dir, None)
+      val snap = readFiles(spark, head.schemaJson, head.files.map(_.path))
+      val touched = snap.where(cond)
+        .select(input_file_name().as("path")).distinct()
+        .collect().map(r => stripScheme(r.getString(0))).toSet
+      if (touched.isEmpty) head.version
+      else {
+        // keep = NOT-deleted: survive on FALSE **or NULL** cond (SQL DELETE)
+        val kept = readFiles(spark, head.schemaJson, touched.toSeq)
+          .where(coalesce(!cond, lit(true)))
+        installRewrite(kept, dir, head, touched, txn)
+      }
+    }
+
+  /** MERGE (upsert) of `source` into the table on key columns `keys`:
+    * target rows whose key appears in the source are REPLACED by the
+    * source row (whole-row semantics — project/derive columns before
+    * calling), source rows with no matching target row are appended.
+    * Copy-on-write at file granularity like [[delete]]: the touched
+    * files are found with a key-only semi join (the target side reads
+    * just the key columns; a small source broadcasts under AQE), only
+    * those files rewrite, and the surviving target rows union the
+    * whole source into one staged write + one atomic manifest swap.
+    *
+    * `source` must carry exactly the table's columns (any order) and
+    * UNIQUE keys — a duplicate-key source would make "the" replacing
+    * row nondeterministic, so it fails eagerly with the duplicate
+    * count. Same conflict/rebase/`txn` contract as [[delete]].
+    */
+  def merge(source: DataFrame, dir: String, keys: Seq[String], txn: Option[String] = None): Long = {
+    val spark = source.sparkSession
+    txn.flatMap(committedTxn(dir, _)).getOrElse {
+      val head = manifest(dir, None)
+      val schema = DataFrameSchema.fromJson(head.schemaJson)
+      require(source.columns.sorted.sameElements(schema.fieldNames.sorted),
+        s"source columns [${source.columns.sorted.mkString(", ")}] must match table " +
+          s"columns [${schema.fieldNames.sorted.mkString(", ")}]")
+      val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      src.schema.fields.zip(schema.fields).foreach { case (s, t) =>
+        require(s.dataType == t.dataType,
+          s"source column ${s.name}: ${s.dataType} != table's ${t.dataType}")
+      }
+      val badKeys = keys.filterNot(schema.fieldNames.contains)
+      require(badKeys.isEmpty, s"key column(s) ${badKeys.mkString(", ")} not in schema")
+      val Array(nSrc, nKeys) = src
+        .agg(count(lit(1)), count_distinct(struct(keys.map(col).toIndexedSeq: _*)))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      require(nSrc == nKeys,
+        s"merge source has ${nSrc - nKeys} duplicate-key row(s); keys must be unique")
+      val snap = readFiles(spark, head.schemaJson, head.files.map(_.path))
+      val srcKeys = src.select(keys.map(col).toIndexedSeq: _*).distinct()
+      val touched = snap
+        .select((input_file_name().as("path") +: keys.map(col)).toIndexedSeq: _*)
+        .join(srcKeys, keys, "left_semi")
+        .select("path").distinct()
+        .collect().map(r => stripScheme(r.getString(0))).toSet
+      val kept =
+        if (touched.isEmpty) src // pure insert: no target row matches
+        else readFiles(spark, head.schemaJson, touched.toSeq)
+          .join(srcKeys, keys, "left_anti")
+          .unionByName(src)
+      installRewrite(kept, dir, head, touched, txn)
+    }
+  }
+
+  /** Stage `rewritten` and swap it for `removed`'s manifest entries in
+    * one optimistic commit: on every attempt the CURRENT head is
+    * re-resolved, concurrent appends rebase (their entries carry
+    * over), and a head that no longer references one of `removed`
+    * fails with `ConcurrentModificationException` — the rewrite was
+    * computed against files that are no longer the truth.
+    */
+  private[graft] def installRewrite(
+      rewritten: DataFrame, dir: String, base: Manifest,
+      removed: Set[String], txn: Option[String]): Long = {
+    val spark = rewritten.sparkSession
+    val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
+    rewritten.write.parquet(stage)
+    val newFiles = collectStats(spark, stage, base.track, rewritten.schema)
+    var committed = -1L
+    while (committed < 0) {
+      val headV = latestVersion(dir).getOrElse(
+        throw new java.util.ConcurrentModificationException(s"table $dir vanished mid-commit"))
+      val cur = manifest(dir, Some(headV))
+      val curPaths = cur.files.map(_.path).toSet
+      val gone = removed.filterNot(curPaths)
+      if (gone.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent writer removed ${gone.size} file(s) this rewrite depends on " +
+            s"(e.g. ${gone.head}); re-read the head and retry")
+      val m = Manifest(cur.version + 1, Some(cur.version), txn, base.schemaJson, base.track,
+        cur.files.filterNot(f => removed(f.path)) ++ newFiles)
+      committed = tryInstall(dir, m)
+    }
+    committed
+  }
+
   /** Stats for every part file of a freshly staged commit dir: one
     * Spark job over the NEW data grouped by `input_file_name()` —
     * min/max string-cast per tracked column plus the row count. The
     * same one-scan build cost as [[graft.operators.ZoneMap.build]],
     * paid once per commit, amortized over every later pruned read.
+    * The schema is pinned so a staging dir with ZERO part files (a
+    * rewrite that deleted every row of its input) reads as an empty
+    * frame instead of failing schema inference.
     */
-  private def collectStats(spark: SparkSession, stage: String, track: Seq[String]): Seq[FileEntry] = {
+  private def collectStats(
+      spark: SparkSession, stage: String, track: Seq[String],
+      schema: StructType): Seq[FileEntry] = {
     val aggs = track.flatMap { c =>
       Seq(min(col(c).cast("string")).as(s"min_$c"), max(col(c).cast("string")).as(s"max_$c"))
     } :+ count(lit(1)).as("rows")
-    spark.read.parquet(stage)
+    spark.read.schema(schema).parquet(stage)
       .groupBy(input_file_name().as("path"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()

@@ -178,6 +178,103 @@ class ManifestTableSpec extends SparkSpec {
       "replay must not stage orphan data")
   }
 
+  test("delete rewrites only touched files; SQL null semantics; no-match is a no-op") {
+    val dir = freshDir()
+    // 4 range-clustered files over id 1..400; v is null on a stripe
+    val df = (1 to 400).map(i => (i.toLong, if (i % 10 == 0) None else Some(i.toLong)))
+      .toDF("id", "v")
+    ManifestTable.commit(df.repartitionByRange(4, $"id"), dir, Seq("id"))
+    val before = ManifestTable.manifest(dir, None).files.map(_.path).toSet
+    // cond true only inside one file's range; null v rows there must SURVIVE
+    val v2 = ManifestTable.delete(spark, dir, $"v".between(1L, 50L))
+    assert(v2 == 2L)
+    val after = ManifestTable.manifest(dir, None)
+    val untouchedKept = before.intersect(after.files.map(_.path).toSet)
+    assert(untouchedKept.size == 3, s"exactly one file rewrites, got ${4 - untouchedKept.size}")
+    val ids = ManifestTable.snapshot(spark, dir).select("id").as[Long].collect().sorted.toSeq
+    val expect = (1L to 400L).filterNot(i => i >= 1 && i <= 50 && i % 10 != 0)
+    assert(ids == expect, "null-cond rows survive a DELETE (SQL semantics)")
+    // no row matches: table untouched, head version returned as-is
+    assert(ManifestTable.delete(spark, dir, $"id" > 10000L) == 2L)
+    assert(ManifestTable.versions(dir).sorted == Seq(1L, 2L))
+  }
+
+  test("delete that empties a file drops its entry (zero-part staging)") {
+    val dir = freshDir()
+    ManifestTable.commit(
+      (1 to 100).map(_.toLong).toDF("id").repartitionByRange(2, $"id"), dir, Seq("id"))
+    val nFiles = ManifestTable.manifest(dir, None).files.size
+    ManifestTable.delete(spark, dir, $"id" <= 50L)
+    val m = ManifestTable.manifest(dir, None)
+    assert(m.files.size < nFiles, "fully-deleted file's entry must drop")
+    assert(ManifestTable.snapshot(spark, dir).as[Long].collect().sorted.toSeq == (51L to 100L))
+  }
+
+  test("merge replaces matched keys, appends new ones, rewrites only touched files") {
+    val dir = freshDir()
+    val df = (1 to 300).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+    ManifestTable.commit(df.repartitionByRange(3, $"id"), dir, Seq("id"))
+    val before = ManifestTable.manifest(dir, None).files.map(_.path).toSet
+    // updates hit ONLY the first file's range; inserts carry fresh keys
+    val src = (Seq((5L, -5.0), (10L, -10.0)) ++ Seq((1001L, 7.0))).toDF("id", "v")
+    val v2 = ManifestTable.merge(src, dir, keys = Seq("id"))
+    assert(v2 == 2L)
+    val after = ManifestTable.manifest(dir, None).files.map(_.path).toSet
+    assert(before.intersect(after).size == 2, "two untouched files keep their entries")
+    val back = ManifestTable.snapshot(spark, dir).as[(Long, Double)].collect().toMap
+    assert(back.size == 301)
+    assert(back(5L) == -5.0 && back(10L) == -10.0 && back(1001L) == 7.0)
+    assert(back(6L) == 6.0, "non-matched rows in the rewritten file survive")
+    // pure insert (no key matches): no existing file rewrites
+    val v3 = ManifestTable.merge(Seq((2002L, 1.0)).toDF("id", "v"), dir, Seq("id"))
+    assert(v3 == 3L)
+    val files3 = ManifestTable.manifest(dir, None).files.map(_.path).toSet
+    assert(after.subsetOf(files3), "pure insert must not rewrite any file")
+  }
+
+  test("merge rejects duplicate-key sources and schema mismatches eagerly") {
+    val dir = freshDir()
+    ManifestTable.commit(Seq((1L, 1.0)).toDF("id", "v"), dir, Seq("id"))
+    val dup = intercept[IllegalArgumentException] {
+      ManifestTable.merge(Seq((7L, 1.0), (7L, 2.0)).toDF("id", "v"), dir, Seq("id"))
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    val cols = intercept[IllegalArgumentException] {
+      ManifestTable.merge(Seq((7L, "x")).toDF("id", "other"), dir, Seq("id"))
+    }
+    assert(cols.getMessage.contains("must match table"))
+    assert(ManifestTable.latestVersion(dir).contains(1L), "failed merges commit nothing")
+  }
+
+  test("merge replay via txn is exactly-once; rewrite rebases over concurrent appends") {
+    val dir = freshDir()
+    ManifestTable.commit(Seq((1L, 1.0)).toDF("id", "v"), dir, Seq("id"))
+    val v = ManifestTable.merge(Seq((1L, 9.0)).toDF("id", "v"), dir, Seq("id"), txn = Some("b7"))
+    assert(ManifestTable.merge(Seq((1L, 9.0)).toDF("id", "v"), dir, Seq("id"), txn = Some("b7")) == v,
+      "replayed txn returns the committed version without re-writing")
+    assert(ManifestTable.versions(dir).size == 2)
+    // rebase: resolve the head, let an append land, then install the rewrite
+    val base = ManifestTable.manifest(dir, None)
+    ManifestTable.commit(Seq((50L, 5.0)).toDF("id", "v"), dir, Seq("id"))
+    ManifestTable.installRewrite(
+      Seq((1L, 99.0)).toDF("id", "v"), dir, base, base.files.map(_.path).toSet, None)
+    val back = ManifestTable.snapshot(spark, dir).as[(Long, Double)].collect().toMap
+    assert(back == Map(1L -> 99.0, 50L -> 5.0), "concurrent append must survive the rewrite")
+  }
+
+  test("rewrite against files a concurrent writer removed fails loudly") {
+    val dir = freshDir()
+    ManifestTable.commit(Seq((1L, 1.0)).toDF("id", "v"), dir, Seq("id"))
+    val base = ManifestTable.manifest(dir, None)
+    // concurrent compaction replaces the file set the rewrite depends on
+    ManifestTable.replace(Seq((1L, 1.0)).toDF("id", "v"), dir, Seq("id"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.installRewrite(
+        Seq((1L, 2.0)).toDF("id", "v"), dir, base, base.files.map(_.path).toSet, None)
+    }
+    assert(e.getMessage.contains("concurrent writer removed"))
+  }
+
   test("end-to-end stream -> manifest commits -> converges to the batch table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = freshDir()
