@@ -612,6 +612,86 @@ object VectorSearch {
       .withColumn("rmse", col("err_l2") / sqrt(col("n_dims").cast("double")))
   }
 
+  // ---- product quantization ---------------------------------------------
+
+  /** The k seed vectors (smallest ids) pivoted to one wide broadcastable
+    * row `__s0..__s{k-1}` — the deterministic PQ codebook. Seeds instead
+    * of trained centroids keeps every downstream number reproducible in
+    * ANY engine (the same design choice as q32's min-id medoid coarse
+    * quantizer); the codebook is an input, so a Lloyd-trained one drops
+    * in without touching encode/serve.
+    */
+  private def seedRow(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val seeds = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), col(vecCol))
+      .withColumn("__code",
+        row_number().over(Window.orderBy(col(idCol))) - 1)
+    val aggs = (0 until k).map(c =>
+      first(when(col("__code") === c, col(vecCol)), ignoreNulls = true).as(s"__s$c"))
+    seeds.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Product-quantization encode: split each `dim`-dim vector into `m`
+    * subspaces and store, per subspace, the index of the nearest (L2)
+    * of `k` codebook vectors — `dim * 4` bytes of floats become `m`
+    * small ints. This is the memory arithmetic that serves
+    * billion-vector ANN from RAM: at dim=64/m=8 the corpus compresses
+    * 32x, and reranking reads the original vectors for finalists only.
+    *
+    * Plan shape: ONE map-only projection — the codebook crosses in as
+    * a single broadcast row, each code an argmin over k subspace
+    * distances (index-order folds, so codes are engine-reproducible;
+    * ties break to the smallest code via array_position-of-min).
+    */
+  def pqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val codes = (0 until m).map { j =>
+      val dists = (0 until k)
+        .map(c => l2SubSpark(vecCol, s"__s$c", j * sub, sub)).mkString(", ")
+      s"CAST(array_position(array($dists), array_min(array($dists))) - 1 AS INT)"
+    }.mkString(", ")
+    corpus.crossJoin(broadcast(seedRow(corpus, idCol, vecCol, k)))
+      .selectExpr(idCol, s"array($codes) AS codes")
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query scores a
+    * corpus row as the sum over subspaces of the exact L2² between the
+    * QUERY subvector and the row's CODEBOOK subvector — the query side
+    * stays unquantized, the corpus side is m code lookups, never the
+    * original vector. Here the per-(query,subspace,code) distances
+    * evaluate inline against the broadcast codebook row; a large-scale
+    * serve precomputes them once per query (the m*k LUT) — same
+    * arithmetic, amortized.
+    *
+    * Plan: codes are one map pass ([[pqEncode]]), queries broadcast,
+    * ranking is a per-query window — corpus streams once, no
+    * corpus x corpus product.
+    */
+  def pqAdcSearch(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, topK: Int): DataFrame = {
+    val sub = dim / m
+    val enc = pqEncode(corpus, idCol, vecCol, dim, m, k)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val adc = (0 until m).map { j =>
+      val cases = (0 until k)
+        .map(c => s"WHEN $c THEN ${l2SubSpark("qv", s"__s$c", j * sub, sub)}")
+        .mkString(" ")
+      s"(CASE element_at(codes, ${j + 1}) $cases END)"
+    }.mkString(" + ")
+    enc
+      .join(broadcast(q), col(idCol) =!= col("q_id"))
+      .crossJoin(broadcast(seedRow(corpus, idCol, vecCol, k)))
+      .selectExpr("q_id", idCol, s"$adc AS adc")
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("q_id").orderBy(col("adc"), col(idCol))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col(idCol), col("adc"))
+  }
+
   /** Sign-LSH bucketed near-dup pairs: candidates only within a bucket
     * (one shuffle on bucket id), exact cosine on candidates.
     */

@@ -29,6 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftFunctions {
 
   def register(ext: SparkSessionExtensions): Unit = {
+    // planning-time file skipping over manifest-tracked tables — see
+    // graft.plans.ManifestSkipping (conf-gated, fall-back-safe)
+    ext.injectOptimizerRule(graft.plans.ManifestSkipping.apply)
     ext.injectFunction((
       FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),

@@ -28,6 +28,23 @@ object VectorKit {
   def dotDuck(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($a) + 1), dp_i -> CAST($a[dp_i] AS DOUBLE) * CAST($b[dp_i] AS DOUBLE))), (dp_x, dp_y) -> dp_x + dp_y)"
 
+  /** Squared L2 distance between the 1-based windows
+    * `[off+1, off+len]` of two vectors — the subspace metric product
+    * quantization encodes/serves with. Same determinism contract as
+    * [[dotSpark]]/[[dotDuck]]: every element widened to double, the
+    * diff squared with identical IEEE ops, reduced by a strict left
+    * fold in index order, so both engines produce bit-identical
+    * distances.
+    */
+  def l2SubSpark(a: String, b: String, off: Int, len: Int): String =
+    s"aggregate(zip_with(slice($a, ${off + 1}, $len), slice($b, ${off + 1}, $len), " +
+      s"(lx, ly) -> (CAST(lx AS DOUBLE) - CAST(ly AS DOUBLE)) * (CAST(lx AS DOUBLE) - CAST(ly AS DOUBLE))), " +
+      s"CAST(0.0 AS DOUBLE), (l2_a, l2_v) -> l2_a + l2_v)"
+  def l2SubDuck(a: String, b: String, off: Int, len: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${len + 1}), " +
+      s"l2_i -> (CAST($a[l2_i + $off] AS DOUBLE) - CAST($b[l2_i + $off] AS DOUBLE)) * " +
+      s"(CAST($a[l2_i + $off] AS DOUBLE) - CAST($b[l2_i + $off] AS DOUBLE)))), (l2_x, l2_y) -> l2_x + l2_y)"
+
   /** Number of sign-random-projection hyperplanes (2^planes buckets). */
   val LshPlanes = 4
 

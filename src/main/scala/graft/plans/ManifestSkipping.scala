@@ -1,0 +1,250 @@
+package graft.plans
+
+import graft.sources.ManifestTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Planning-time file skipping for manifest-tracked tables, injected
+  * into the optimizer — the rule Iceberg/Delta ship as `PrepareScan`:
+  * a SQL user who just writes `WHERE ts BETWEEN ...` over a
+  * [[ManifestTable.snapshot]] view gets the same file pruning
+  * [[ManifestTable.prunedScan]] gives API callers, automatically.
+  *
+  * Mechanics: a `Filter` directly over a parquet `LogicalRelation`
+  * whose every file lives under a manifest table's `data/` layout is
+  * rewritten to scan ONLY the files whose committed min/max envelope
+  * can satisfy the filter's range/equality/IN conjuncts on tracked
+  * columns. The `Filter` node itself is always retained, so the
+  * transform is bit-identical by construction — pruning only removes
+  * files that cannot contribute a row, decided from the same manifest
+  * stats `prunedScan` consults, evaluated driver-side with Spark's own
+  * `Cast` + interpreted orderings (no extra jobs at plan time).
+  *
+  * Safety envelope (each guard falls back to "don't touch the plan"):
+  *  - only plain, non-streaming, non-partitioned parquet relations;
+  *  - only when EVERY file resolves to a live manifest entry — a file
+  *    with no stats (foreign file, expired manifest) keeps the scan
+  *    unpruned rather than guessing;
+  *  - only top-level AND-conjuncts of `<,<=,>,>=,=,<=>,IN` between a
+  *    bare column and a literal of the same type — anything else
+  *    (OR, IS NULL, casts, expressions) contributes no constraint;
+  *  - a file whose envelope is null (no non-null value in the column)
+  *    is skipped for range/equality constraints, which null rows can
+  *    never satisfy — IS NULL never reaches a constraint, so files
+  *    holding only nulls are prunable exactly when provably dead;
+  *  - fixpoint-stable: when nothing new prunes, the plan returns
+  *    unchanged (reference-equal), so the optimizer batch terminates.
+  *
+  * At 100 TB this turns "scan 40,000 files, let parquet row-group
+  * stats save you at runtime" into "open the 12 overlapping files" —
+  * listing, footer reads, and task scheduling all shrink with it.
+  * Disable per-session with `spark.graft.manifestSkipping.enabled`.
+  */
+case class ManifestSkipping(spark: SparkSession)
+  extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!spark.conf.get("spark.graft.manifestSkipping.enabled", "true").toBoolean) plan
+    else plan.transform {
+      case f @ Filter(cond, l: LogicalRelation) =>
+        l.relation match {
+          case fsRel: HadoopFsRelation
+              if !l.isStreaming && fsRel.partitionSchema.isEmpty =>
+            prunedRelation(cond, l, fsRel).map(nl => f.copy(child = nl)).getOrElse(f)
+          case _ => f
+        }
+    }
+
+  /** Some(relation over fewer files) when at least one file proves
+    * dead; None to leave the plan untouched.
+    */
+  private def prunedRelation(
+      cond: Expression, l: LogicalRelation, fsRel: HadoopFsRelation): Option[LogicalRelation] = {
+    val files = fsRel.location.inputFiles
+    if (files.isEmpty) return None
+    val stats = ManifestSkipping.statsFor(files)
+    if (stats == null) return None // not (all) manifest-backed
+    val constraints = extract(cond, l)
+    if (constraints.isEmpty) return None
+    val survived = files.filter { f =>
+      val entry = stats(ManifestSkipping.stripScheme(f))
+      constraints.forall(_.mayMatch(entry))
+    }
+    if (survived.length == files.length) None
+    else {
+      val idx = new InMemoryFileIndex(
+        spark, survived.map(new Path(_)).toIndexedSeq, fsRel.options, Some(fsRel.dataSchema))
+      Some(l.copy(relation = fsRel.copy(location = idx)(spark)))
+    }
+  }
+
+  /** One per usable conjunct: can a file with this envelope hold a
+    * matching row? Bounds compare with Spark's interpreted ordering
+    * for the column's type; a null envelope can never satisfy a
+    * range/equality/IN predicate (those are null-rejecting).
+    */
+  private sealed trait Constraint { def mayMatch(e: ManifestSkipping.Stats): Boolean }
+
+  private final case class Range(
+      col: String, dt: DataType,
+      lo: Option[Any], loStrict: Boolean,
+      hi: Option[Any], hiStrict: Boolean) extends Constraint {
+    private val ord = TypeUtils.getInterpretedOrdering(dt)
+    def mayMatch(e: ManifestSkipping.Stats): Boolean =
+      if (!e.tracked(col)) true // no envelope committed: cannot skip
+      else (e.mn(col), e.mx(col)) match {
+        case (Some(mn), Some(mx)) =>
+          val fMin = ManifestSkipping.castStat(mn, dt)
+          val fMax = ManifestSkipping.castStat(mx, dt)
+          fMin != null && fMax != null && // uncastable stat: never skip
+            lo.forall(v => if (loStrict) ord.gt(fMax, v) else ord.gteq(fMax, v)) &&
+            hi.forall(v => if (hiStrict) ord.lt(fMin, v) else ord.lteq(fMin, v))
+        case _ => false // no non-null value in the file: range can't match
+      }
+  }
+
+  private final case class InList(col: String, dt: DataType, values: Seq[Any]) extends Constraint {
+    private val ord = TypeUtils.getInterpretedOrdering(dt)
+    def mayMatch(e: ManifestSkipping.Stats): Boolean =
+      if (!e.tracked(col)) true
+      else (e.mn(col), e.mx(col)) match {
+        case (Some(mn), Some(mx)) =>
+          val fMin = ManifestSkipping.castStat(mn, dt)
+          val fMax = ManifestSkipping.castStat(mx, dt)
+          fMin == null || fMax == null ||
+            values.exists(v => ord.gteq(v, fMin) && ord.lteq(v, fMax))
+        case _ => false
+      }
+  }
+
+  /** Tracked-column constraints from the filter's top-level conjuncts.
+    * Only shapes whose skip decision is provably sound contribute;
+    * everything else is ignored (the retained Filter still runs it).
+    */
+  private def extract(cond: Expression, l: LogicalRelation): Seq[Constraint] = {
+    // orderable scalar types whose string stats round-trip through Cast
+    def scalar(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    def name(e: Expression): Option[(String, DataType)] = e match {
+      case a: AttributeReference if scalar(a.dataType) => Some((a.name, a.dataType))
+      case _ => None
+    }
+    def lv(e: Expression): Option[Any] = e match {
+      case Literal(v, _) if v != null => Some(v)
+      case _ => None
+    }
+    splitConjunctivePredicates(cond).flatMap {
+      case GreaterThan(a, v) => for ((c, t) <- name(a); x <- lv(v))
+        yield Range(c, t, Some(x), loStrict = true, None, hiStrict = false)
+      case GreaterThanOrEqual(a, v) => for ((c, t) <- name(a); x <- lv(v))
+        yield Range(c, t, Some(x), loStrict = false, None, hiStrict = false)
+      case LessThan(a, v) => for ((c, t) <- name(a); x <- lv(v))
+        yield Range(c, t, None, loStrict = false, Some(x), hiStrict = true)
+      case LessThanOrEqual(a, v) => for ((c, t) <- name(a); x <- lv(v))
+        yield Range(c, t, None, loStrict = false, Some(x), hiStrict = false)
+      // literal-on-the-left mirrors
+      case GreaterThan(v: Literal, a) => for ((c, t) <- name(a); x <- lv(v))
+        yield Range(c, t, None, loStrict = false, Some(x), hiStrict = true)
+      case GreaterThanOrEqual(v: Literal, a) => for ((c, t) <- name(a); x <- lv(v))
+        yield Range(c, t, None, loStrict = false, Some(x), hiStrict = false)
+      case LessThan(v: Literal, a) => for ((c, t) <- name(a); x <- lv(v))
+        yield Range(c, t, Some(x), loStrict = true, None, hiStrict = false)
+      case LessThanOrEqual(v: Literal, a) => for ((c, t) <- name(a); x <- lv(v))
+        yield Range(c, t, Some(x), loStrict = false, None, hiStrict = false)
+      case EqualTo(a, v) => (for ((c, t) <- name(a); x <- lv(v))
+        yield Range(c, t, Some(x), loStrict = false, Some(x), hiStrict = false))
+        .orElse(for ((c, t) <- name(v); x <- lv(a))
+          yield Range(c, t, Some(x), loStrict = false, Some(x), hiStrict = false))
+      case EqualNullSafe(a, v) => (for ((c, t) <- name(a); x <- lv(v))
+        yield Range(c, t, Some(x), loStrict = false, Some(x), hiStrict = false))
+        .orElse(for ((c, t) <- name(v); x <- lv(a))
+          yield Range(c, t, Some(x), loStrict = false, Some(x), hiStrict = false))
+      case In(a, vs) if vs.nonEmpty && vs.forall(v => lv(v).isDefined) =>
+        name(a).map { case (c, t) => InList(c, t, vs.flatMap(lv)) }
+      case org.apache.spark.sql.catalyst.expressions.InSet(a, hset) if hset.nonEmpty && !hset.contains(null) =>
+        name(a).map { case (c, t) => InList(c, t, hset.toSeq) }
+      case _ => None
+    }
+  }
+}
+
+object ManifestSkipping {
+
+  /** Per-file envelopes. A column absent from the maps but present in
+    * `track` is a NULL envelope (JSON rendering omits None values —
+    * the file has no non-null value there); a column not in `track`
+    * has no envelope at all and can never justify a skip. Constraints
+    * check [[tracked]] first and read via [[mn]]/[[mx]].
+    */
+  final case class Stats(
+      track: Seq[String],
+      rawMins: Map[String, Option[String]], rawMaxs: Map[String, Option[String]]) {
+    def tracked(col: String): Boolean = track.contains(col)
+    def mn(col: String): Option[String] = rawMins.getOrElse(col, None)
+    def mx(col: String): Option[String] = rawMaxs.getOrElse(col, None)
+  }
+
+  // keyed by (tableDir, live manifest versions) so new commits refresh
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[Long]), Map[String, Stats]]()
+
+  /** Stats for every file, or null when any file is not resolvable to
+    * a live manifest entry (foreign scan, expired snapshot) — the
+    * caller then leaves the plan alone.
+    */
+  private[plans] def statsFor(files: Array[String]): Map[String, Stats] = {
+    val byDir = files.map(stripScheme).groupBy(tableDirOf)
+    if (byDir.contains(None)) return null
+    val all = byDir.keys.flatten.map { dir =>
+      dir -> cache.computeIfAbsent((dir, ManifestTable.versions(dir).sorted), { _ =>
+        ManifestTable.versions(dir).flatMap { v =>
+          val m = ManifestTable.manifest(dir, Some(v))
+          m.files.map(f => f.path -> Stats(m.track, f.mins, f.maxs))
+        }.toMap
+      })
+    }.toMap
+    val resolved = files.map { f =>
+      val p = stripScheme(f)
+      tableDirOf(p).flatMap(all(_).get(p).map(p -> _))
+    }
+    if (resolved.exists(_.isEmpty)) null else resolved.flatten.toMap
+  }
+
+  /** `<table>/data/c-<uuid>/part-*.parquet` -> Some(table dir) iff the
+    * table dir has a manifest log.
+    */
+  private def tableDirOf(path: String): Option[String] = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).flatMap(c => Option(c.getParent)).flatMap { dataDir =>
+      Option(dataDir.getParent).collect {
+        case t if dataDir.getFileName.toString == "data" &&
+          p.getParent.getFileName.toString.startsWith("c-") &&
+          java.nio.file.Files.isDirectory(t.resolve("_manifests")) => t.toString
+      }
+    }
+  }
+
+  private[plans] def stripScheme(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
+  /** A committed string stat cast back to the column's type with
+    * Spark's own cast in the session zone — the inverse of how commit
+    * collected it (`CAST(x AS STRING)`), evaluated driver-side.
+    */
+  private[plans] def castStat(s: String, dt: DataType): Any =
+    if (dt == StringType) UTF8String.fromString(s)
+    else Cast(Literal(UTF8String.fromString(s), StringType), dt,
+      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)).eval(null)
+}

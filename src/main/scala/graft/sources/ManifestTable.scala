@@ -129,13 +129,53 @@ object ManifestTable {
         val head = latestVersion(dir)
         val parentFiles =
           if (replace) Seq.empty
-          else head.map(v => manifest(dir, Some(v)).files).getOrElse(Seq.empty)
+          else head.map { v =>
+            val parent = manifest(dir, Some(v))
+            validateEvolution(parent, df.schema, track)
+            parent.files
+          }.getOrElse(Seq.empty)
         val v = head.getOrElse(0L) + 1
         val m = Manifest(v, head, txn, df.schema.json, track, parentFiles ++ newFiles)
         committed = tryInstall(dir, m)
       }
       committed
     }
+  }
+
+  /** ADDITIVE schema evolution on append: the incoming frame must carry
+    * every parent column with its exact type; extra columns are new —
+    * the snapshot schema moves to the append's, and files committed
+    * before the column existed read it as NULL (the parquet reader
+    * fills absent columns), which is exactly Iceberg/Delta `ADD
+    * COLUMN` semantics with zero file rewrites. Dropping or retyping a
+    * column via append is rejected — old data would silently vanish or
+    * fail at read; use [[replace]] (a full rewrite) to restructure.
+    *
+    * The track list must also match the parent's exactly: a tracked
+    * column some entries lack stats for is indistinguishable from a
+    * null envelope, and pruning would skip live files. Evolving the
+    * skipping spec is a [[replace]]/[[compact]] (which recollects
+    * stats for every file it writes).
+    */
+  private def validateEvolution(
+      parent: Manifest, incoming: StructType, track: Seq[String]): Unit = {
+    val parentSchema = DataFrameSchema.fromJson(parent.schemaJson)
+    val incomingByName = incoming.fields.map(f => f.name -> f.dataType).toMap
+    parentSchema.fields.foreach { f =>
+      incomingByName.get(f.name) match {
+        case None => throw new IllegalArgumentException(
+          s"append drops column ${f.name}; appends may only ADD columns " +
+            "(use replace to restructure)")
+        case Some(dt) if dt != f.dataType => throw new IllegalArgumentException(
+          s"append retypes column ${f.name}: ${f.dataType} -> $dt; " +
+            "appends may only ADD columns (use replace to restructure)")
+        case _ => ()
+      }
+    }
+    require(track.toSet == parent.track.toSet,
+      s"append changes the tracked columns ${parent.track.mkString(", ")} -> " +
+        s"${track.mkString(", ")}; stats would be inconsistent across files " +
+        "(use replace/compact to evolve the skipping spec)")
   }
 
   // ------------------------------------------------------ row-level writes
@@ -276,8 +316,13 @@ object ManifestTable {
   private def collectStats(
       spark: SparkSession, stage: String, track: Seq[String],
       schema: StructType): Seq[FileEntry] = {
+    // min/max on the NATIVE type, cast to string only for storage —
+    // casting first would rank lexicographically ("999" > "1250") and
+    // commit envelopes that under/overstate numeric columns, making
+    // pruning silently wrong on mixed-width values
     val aggs = track.flatMap { c =>
-      Seq(min(col(c).cast("string")).as(s"min_$c"), max(col(c).cast("string")).as(s"max_$c"))
+      Seq(min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
     } :+ count(lit(1)).as("rows")
     spark.read.schema(schema).parquet(stage)
       .groupBy(input_file_name().as("path"))

@@ -46,4 +46,43 @@ object ManifestStream {
     */
   def processBatch(batch: DataFrame, batchId: Long, dir: String, track: Seq[String]): Unit =
     ManifestTable.commit(batch, dir, track, txn = Some(s"stream-$batchId")): Unit
+
+  /** Streaming CDC apply: every micro-batch MERGEs into the table on
+    * `keys` — matched rows replaced whole, new keys appended, only the
+    * files holding matched keys rewritten ([[ManifestTable.merge]]'s
+    * copy-on-write). The lake-table ending of the reference's verified
+    * point-update pipeline (`sqs_verified_sensor_dag.py`'s keyed
+    * applier): upstream dedupes each batch to one row per key (LWW by
+    * sequence — [[graft.pipeline.VerifiedUpdates]]); this sink makes
+    * the apply transactional, exactly-once under replay (batch-id txn
+    * markers, same window as [[processBatch]]), and snapshot-isolated
+    * for concurrent readers.
+    */
+  def startUpsert(
+      stream: DataFrame,
+      dir: String,
+      keys: Seq[String],
+      track: Seq[String],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+  ): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        upsertBatch(batch.toDF(), batchId, dir, keys, track)
+      }
+      .start()
+
+  /** One idempotent upsert step. The FIRST batch bootstraps the table
+    * (a merge needs a head snapshot to merge into); both paths carry
+    * the same txn marker, so a crash between "committed" and "acked"
+    * replays as a no-op regardless of which path ran.
+    */
+  def upsertBatch(
+      batch: DataFrame, batchId: Long, dir: String, keys: Seq[String], track: Seq[String]): Unit =
+    ManifestTable.latestVersion(dir) match {
+      case None => ManifestTable.commit(batch, dir, track, txn = Some(s"upsert-$batchId")): Unit
+      case Some(_) => ManifestTable.merge(batch, dir, keys, txn = Some(s"upsert-$batchId")): Unit
+    }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import graft.sources.ManifestTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** The injected optimizer rule ([[graft.plans.ManifestSkipping]]):
+  * automatic planning-time file skipping for filters over
+  * manifest-tracked scans, with every safety guard pinned — foreign
+  * scans untouched, unsupported predicate shapes untouched, results
+  * bit-identical to the unpruned plan.
+  */
+class ManifestSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Files the OPTIMIZED plan will open — the rule's observable. */
+  private def plannedFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.inputFiles.toSeq
+        case _ => Seq.empty
+      }
+    }.flatten
+
+  private def mkTable(n: Int = 1000, files: Int = 5): String = {
+    val dir = tmpDir("skiprule").toString
+    val df = (1 to n).map(i => (i.toLong, s"s${i % 13}", i * 1.5)).toDF("id", "cat", "v")
+    ManifestTable.commit(df.repartitionByRange(files, $"id"), dir, track = Seq("id", "cat"))
+    dir
+  }
+
+  test("range filter over a snapshot prunes files, result identical to unpruned") {
+    val dir = mkTable()
+    val snap = ManifestTable.snapshot(spark, dir)
+    val q = snap.filter($"id".between(100L, 199L))
+    val all = plannedFiles(snap)
+    val pruned = plannedFiles(q)
+    assert(all.size == 5)
+    assert(pruned.size < all.size, s"must skip files (${pruned.size}/${all.size})")
+    val expect = spark.conf.get("spark.graft.manifestSkipping.enabled", "true")
+    try {
+      spark.conf.set("spark.graft.manifestSkipping.enabled", "false")
+      val off = ManifestTable.snapshot(spark, dir).filter($"id".between(100L, 199L))
+      assert(plannedFiles(off).size == all.size, "conf off => no pruning")
+      assert(q.orderBy("id").collect().toSeq == off.orderBy("id").collect().toSeq)
+    } finally spark.conf.set("spark.graft.manifestSkipping.enabled", expect)
+  }
+
+  test("equality and IN prune; strict bounds prune the boundary file") {
+    val dir = mkTable()
+    val snap = ManifestTable.snapshot(spark, dir)
+    assert(plannedFiles(snap.filter($"id" === 42L)).size == 1)
+    assert(plannedFiles(snap.filter($"id".isin(5L, 7L, 11L))).size == 1)
+    assert(plannedFiles(snap.filter($"id" === 42L)).nonEmpty)
+    // file boundaries are range-clustered; > max-of-file-1 must drop it
+    val m = ManifestTable.manifest(dir, None)
+    val firstMax = m.files.map(_.maxs("id").get.toLong).min
+    val gt = snap.filter($"id" > lit(firstMax))
+    assert(plannedFiles(gt).size == 4, "strict > at a file's max skips that file")
+    assert(gt.count() == 1000 - firstMax)
+  }
+
+  test("sql over a temp view gets the same automatic pruning") {
+    val dir = mkTable()
+    ManifestTable.snapshot(spark, dir).createOrReplaceTempView("skip_t")
+    val q = spark.sql("SELECT count(*) AS n, sum(v) AS sv FROM skip_t WHERE id BETWEEN 1 AND 99")
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.length
+    }
+    assert(scans == Seq(1), s"SQL path must prune to the one overlapping file, got $scans")
+    assert(q.collect()(0).getLong(0) == 99L)
+  }
+
+  test("guards: foreign parquet, OR, IS NULL, untracked columns stay unpruned") {
+    val dir = mkTable()
+    val snap = ManifestTable.snapshot(spark, dir)
+    // plain (non-manifest) parquet: untouched
+    val plainDir = tmpDir("plainpq").toString
+    (1 to 100).map(_.toLong).toDF("id").repartitionByRange(4, $"id").write
+      .mode("overwrite").parquet(plainDir)
+    val plain = spark.read.parquet(plainDir).filter($"id" < 10L)
+    assert(plannedFiles(plain).size == 4, "foreign scan must not be touched")
+    // OR across columns: no sound conjunct constraint -> unpruned
+    assert(plannedFiles(snap.filter($"id" < 10L || $"cat" === "s1")).size == 5)
+    // IS NULL never becomes a constraint
+    assert(plannedFiles(snap.filter($"id".isNull)).size == 5)
+    // untracked column (v): no envelope -> unpruned
+    assert(plannedFiles(snap.filter($"v" < 10.0)).size == 5)
+    // but an AND of (tracked range, untracked) still prunes on the tracked half
+    assert(plannedFiles(snap.filter($"id" < 10L && $"v" > 0.0)).size == 1)
+  }
+
+  test("null-envelope files are skipped for ranges, kept for IS NULL queries") {
+    val dir = tmpDir("skipnull").toString
+    ManifestTable.commit(
+      Seq((1L, Some(10L)), (2L, Some(20L))).toDF("id", "t").repartition(1), dir, Seq("t"))
+    ManifestTable.commit(
+      Seq((3L, None: Option[Long]), (4L, None: Option[Long])).toDF("id", "t").repartition(1),
+      dir, Seq("t"))
+    val snap = ManifestTable.snapshot(spark, dir)
+    assert(plannedFiles(snap).size == 2)
+    val ranged = snap.filter($"t".between(0L, 100L))
+    assert(plannedFiles(ranged).size == 1, "all-null envelope can never satisfy BETWEEN")
+    assert(ranged.count() == 2)
+    val nulls = snap.filter($"t".isNull)
+    assert(plannedFiles(nulls).size == 2, "IS NULL must not prune")
+    assert(nulls.count() == 2)
+  }
+
+  test("timestamp stats round-trip through the rule's driver-side cast") {
+    val dir = tmpDir("skipts").toString
+    val df = spark.range(0, 1000)
+      .select($"id", timestamp_micros(lit(1704067200000000L) + $"id" * 60000000L).as("ts"))
+    ManifestTable.commit(df.repartitionByRange(5, $"ts"), dir, Seq("ts"))
+    val snap = ManifestTable.snapshot(spark, dir)
+    val lo = lit("2024-01-01 01:00:00").cast("timestamp")
+    val hi = lit("2024-01-01 02:00:00").cast("timestamp")
+    val q = snap.filter($"ts".between(lo, hi))
+    assert(plannedFiles(q).size < 5)
+    assert(q.count() ==
+      snap.filter($"ts".between(lo, hi) || lit(false)).count(), "pruned == unpruned count")
+  }
+
+  test("rewritten tables (delete/merge) keep pruning off the refreshed manifest") {
+    val dir = mkTable()
+    ManifestTable.delete(spark, dir, $"id" <= 200L)
+    val snap = ManifestTable.snapshot(spark, dir)
+    val q = snap.filter($"id".between(900L, 999L))
+    assert(plannedFiles(q).size == 1, "post-delete manifest entries drive pruning")
+    assert(q.count() == 100)
+  }
+}

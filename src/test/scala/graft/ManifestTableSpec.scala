@@ -94,6 +94,17 @@ class ManifestTableSpec extends SparkSpec {
     assert(none.count() == 0 && none.schema.fieldNames.toSeq == Seq("id", "v"))
   }
 
+  test("numeric envelopes are native-ordered, not lexicographic (mixed-width values)") {
+    val dir = freshDir()
+    // one file holding 900..1300: a string-ranked max would be "999",
+    // understating the envelope and wrongly skipping [1000,1300] probes
+    ManifestTable.commit((900 to 1300).map(_.toLong).toDF("id").repartition(1), dir, Seq("id"))
+    val m = ManifestTable.manifest(dir, None)
+    assert(m.files.head.mins("id").contains("900") && m.files.head.maxs("id").contains("1300"))
+    val hit = ManifestTable.prunedScan(spark, dir, "id", lit(1200L), lit(1250L))
+    assert(hit.count() == 51, "mixed-width numeric range must not be skipped")
+  }
+
   test("all-null tracked column files are skipped — BETWEEN cannot match them") {
     val dir = freshDir()
     val withVals = Seq((1L, Some(10L)), (2L, Some(20L))).toDF("id", "t")
@@ -273,6 +284,52 @@ class ManifestTableSpec extends SparkSpec {
         Seq((1L, 2.0)).toDF("id", "v"), dir, base, base.files.map(_.path).toSet, None)
     }
     assert(e.getMessage.contains("concurrent writer removed"))
+  }
+
+  test("additive schema evolution: appends may add columns, never drop or retype") {
+    val dir = freshDir()
+    ManifestTable.commit(Seq((1L, "a")).toDF("id", "s"), dir, Seq("id"))
+    // add a column: old files read it as NULL, snapshot schema moves
+    ManifestTable.commit(Seq((2L, "b", Some(9.5))).toDF("id", "s", "score"), dir, Seq("id"))
+    val back = ManifestTable.snapshot(spark, dir).orderBy("id")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(back == Seq((1L, "a", None), (2L, "b", Some(9.5))))
+    // dropping a column is rejected
+    val drop = intercept[IllegalArgumentException] {
+      ManifestTable.commit(Seq((3L, 1.0)).toDF("id", "score"), dir, Seq("id"))
+    }
+    assert(drop.getMessage.contains("drops column"))
+    // retyping is rejected
+    val retype = intercept[IllegalArgumentException] {
+      ManifestTable.commit(Seq((4, "c", 1.0)).toDF("id", "s", "score"), dir, Seq("id"))
+    }
+    assert(retype.getMessage.contains("retypes column"))
+    // changing the tracked columns on append is rejected (stat holes)
+    val tr = intercept[IllegalArgumentException] {
+      ManifestTable.commit(Seq((5L, "d", Some(1.0))).toDF("id", "s", "score"), dir, Seq("score"))
+    }
+    assert(tr.getMessage.contains("tracked columns"))
+    // replace may restructure freely
+    ManifestTable.replace(Seq((9L, true)).toDF("id", "flag"), dir, Seq("id"))
+    assert(ManifestTable.snapshot(spark, dir).columns.toSeq == Seq("id", "flag"))
+  }
+
+  test("streaming upsert sink: bootstrap, LWW apply, exactly-once replay") {
+    val dir = freshDir()
+    // batch 0 bootstraps the table
+    ManifestStream.upsertBatch(
+      Seq((1L, "v1"), (2L, "v1")).toDF("k", "v"), 0L, dir, Seq("k"), Seq("k"))
+    // batch 1 updates k=2, inserts k=3
+    ManifestStream.upsertBatch(
+      Seq((2L, "v2"), (3L, "v2")).toDF("k", "v"), 1L, dir, Seq("k"), Seq("k"))
+    val want = Map(1L -> "v1", 2L -> "v2", 3L -> "v2")
+    assert(ManifestTable.snapshot(spark, dir).as[(Long, String)].collect().toMap == want)
+    val vHead = ManifestTable.latestVersion(dir).get
+    // crash window: batch 1 re-fires; no new version, no state change
+    ManifestStream.upsertBatch(
+      Seq((2L, "v2"), (3L, "v2")).toDF("k", "v"), 1L, dir, Seq("k"), Seq("k"))
+    assert(ManifestTable.latestVersion(dir).contains(vHead), "replay must not mint a version")
+    assert(ManifestTable.snapshot(spark, dir).as[(Long, String)].collect().toMap == want)
   }
 
   test("end-to-end stream -> manifest commits -> converges to the batch table") {
