@@ -176,7 +176,63 @@ object Similarity {
         graft.api.VectorSearch.semDedup(Tables(spark, dir).embeddings,
           "vec_id", "embedding", k = 8, startId = 0L, minCosine = 0.4),
     ),
+    Q(
+      "q184_pq_adc",
+      "Product-quantization ANN with asymmetric distance (Jégou et al. " +
+        "2011): 64-dim vectors encode to 8 subspace codes against a " +
+        "deterministic 4-seed codebook (32x compression — the memory " +
+        "arithmetic that serves billion-vector ANN from RAM); queries " +
+        "score corpus rows as the sum of exact subspace L2² to the " +
+        "CODED centroids, never the original vectors. Encode is one " +
+        "map-only pass over a broadcast codebook row; serve streams " +
+        "the corpus once per broadcast query set. Codes, distances and " +
+        "the final ranking are all index-order-fold exact, so the " +
+        "whole approximate pipeline is hash-gated like q32/q34.",
+      Some(pqOracleSql(dim = 64, m = 8, k = 4, nQueries = 10, topK = 5)),
+      (spark, dir) => {
+        val emb = Tables(spark, dir).embeddings
+        graft.api.VectorSearch.pqAdcSearch(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim = 64, m = 8, k = 4, topK = 5)
+      },
+    ),
   )
+
+  /** q184's oracle: seed codebook via scalar subqueries, per-subspace
+    * argmin codes (list_position of min — first index on ties, the
+    * same smallest-code tie-break as array_position), ADC sum via
+    * CASE over the committed code. Generated so (dim, m, k) change in
+    * one place; every distance is the identical index-order fold as
+    * the engine's l2SubSpark.
+    */
+  private def pqOracleSql(dim: Int, m: Int, k: Int, nQueries: Int, topK: Int): String = {
+    val sub = dim / m
+    val seedCols = (0 until k).map(c =>
+      s"(SELECT embedding FROM embeddings WHERE vec_id = $c) AS s$c").mkString(",\n  ")
+    val codes = (0 until m).map { j =>
+      val ds = (0 until k).map(c => l2SubDuck("e.embedding", s"s$c", j * sub, sub)).mkString(", ")
+      s"CAST(list_position([$ds], list_aggregate([$ds], 'min')) - 1 AS INT)"
+    }.mkString(",\n    ")
+    val adc = (0 until m).map { j =>
+      val cases = (0 until k)
+        .map(c => s"WHEN $c THEN ${l2SubDuck("q.qv", s"s$c", j * sub, sub)}").mkString(" ")
+      s"(CASE c.codes[${j + 1}] $cases END)"
+    }.mkString("\n      + ")
+    s"""
+      WITH sw AS (SELECT
+        $seedCols),
+      enc AS (SELECT e.vec_id, [
+        $codes] AS codes
+        FROM embeddings e CROSS JOIN sw),
+      q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $nQueries),
+      s AS (SELECT q.q_id, c.vec_id,
+        $adc AS adc
+        FROM enc c CROSS JOIN q CROSS JOIN sw WHERE c.vec_id <> q.q_id),
+      r AS (SELECT q_id, vec_id, adc,
+              CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rank
+            FROM s)
+      SELECT q_id, rank, vec_id, adc FROM r WHERE rank <= $topK ORDER BY q_id, rank
+    """.trim
+  }
 
   /** q124's oracle: the q103 kcenter chain (k=8) as a subquery, the
     * same within-cluster pair probe, and NOT IN for the keep flag.

@@ -87,6 +87,41 @@ class ApiSpecs extends SparkSpec {
     assert(out.forall(_.getAs[Long]("q_id") == 1L))
   }
 
+  test("PQ encode: codes per subspace hit the nearest seed; ADC retrieves same-cluster rows first") {
+    // 4 well-separated anchors in R^8; ids 1..4 ARE the anchors (so the
+    // 4 smallest ids give one codebook entry per cluster), ids 5+ are
+    // small deterministic perturbations of an anchor
+    def anchor(c: Int): Array[Float] = {
+      val a = Array.fill(8)(0.0f); a(c * 2) = 1.0f; a(c * 2 + 1) = 0.5f; a
+    }
+    val rows = (0 until 4).map(c => ((c + 1).toLong, anchor(c))) ++
+      (5L to 40L).map { i =>
+        val c = ((i - 5) % 4).toInt
+        val v = anchor(c).clone(); v((i % 8).toInt) = v((i % 8).toInt) + 0.05f
+        (i, v)
+      }
+    val corpus = rows.toDF("vid", "vec")
+    val enc = VectorSearch.pqEncode(corpus, "vid", "vec", dim = 8, m = 4, k = 4)
+      .orderBy("vid").collect()
+    assert(enc.length == 40)
+    val codes = enc.map(r => r.getAs[Long]("vid") -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 4)))
+    // the anchor rows encode to themselves in the subspace that carries
+    // their spike (anchor c spikes dims 2c..2c+1 = subspace c)
+    (0 until 4).foreach { c =>
+      assert(codes((c + 1).toLong)(c) == c, s"anchor $c must code to seed $c in subspace $c")
+    }
+    // ADC: each perturbed row's nearest neighbors come from its own cluster
+    val got = VectorSearch.pqAdcSearch(corpus, corpus.filter($"vid" >= 5L && $"vid" <= 8L),
+      "vid", "vec", dim = 8, m = 4, k = 4, topK = 3).collect()
+    got.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val hit = r.getAs[Long]("vid")
+      val qc = (q - 5) % 4
+      val hitc = if (hit <= 4) hit - 1 else (hit - 5) % 4
+      assert(qc == hitc, s"query $q (cluster $qc) retrieved $hit (cluster $hitc) at rank ${r.getAs[Long]("rank")}")
+    }
+  }
+
   test("kmeans quantizer: deterministic training, sensible assignment, and full-probe recall = brute force") {
     // two well-separated direction clusters + a third axis
     val vecs = ((1L to 20L).map(i => (i, Array(1.0f, (i % 5) * 0.01f))) ++
