@@ -188,5 +188,45 @@ object Storage {
               .cast("double").as("sum_value"))
       },
     ),
+    Q(
+      "q185_change_feed",
+      "Row-level change feed across the MERGE commit (Delta-CDF-style): " +
+        "only files added/removed between the two manifests are read, " +
+        "and rows a copy-on-write rewrite merely CARRIED (untouched " +
+        "rows of rewritten files) cancel in the two-way EXCEPT ALL — " +
+        "the feed is exactly the update pairs (old row out, new row " +
+        "in) plus the fresh inserts. The oracle reconstructs the same " +
+        "delta relationally from the merge source definition.",
+      Some("""
+        WITH src AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice * 2 AS o_totalprice, o_orderdate,
+                 'X-MERGED' AS o_orderpriority
+          FROM orders WHERE o_orderkey % 97 = 0
+          UNION ALL
+          SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey <> 0
+        ),
+        feed AS (
+          SELECT 'insert' AS change, o_orderstatus, o_totalprice FROM src
+          UNION ALL
+          SELECT 'delete' AS change, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 97 = 0
+        )
+        SELECT change, o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM feed GROUP BY change, o_orderstatus
+      """.trim),
+      (spark, dir) => {
+        val t = mergedOrders(spark, dir)
+        ManifestTable.changes(spark, t, fromV = 1L, toV = 2L)
+          .groupBy(col("_change").as("change"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+              .cast("double").as("sum_price"))
+          .select(col("change"), col("o_orderstatus"), col("n"), col("sum_price"))
+      },
+    ),
   )
 }

@@ -108,6 +108,52 @@ object ManifestTable {
     replace(df.repartitionByRange(numFiles, col(clusterBy)), dir, head.track)
   }
 
+  /** Incremental binpack maintenance: fold only the files smaller than
+    * `minRows` into `numFiles` range-clustered replacements, leaving
+    * larger files untouched. Streaming ingest accumulates one small
+    * file per micro-batch; a full [[compact]] rewrites the whole table
+    * to fix that, which at 100 TB is exactly what you must not do —
+    * this rewrites O(small-file rows) and commits through the same
+    * conflict-checked swap as delete/merge, so it can run continuously
+    * beside ingest (concurrent appends rebase).
+    */
+  def compactSmall(
+      spark: SparkSession, dir: String, clusterBy: String,
+      minRows: Long, numFiles: Int): Long = {
+    val head = manifest(dir, None)
+    val small = head.files.filter(_.rows < minRows).map(_.path)
+    if (small.size <= 1) head.version // nothing to fold
+    else {
+      val df = readFiles(spark, head.schemaJson, small)
+      installRewrite(df.repartitionByRange(numFiles, col(clusterBy)), dir, head, small.toSet, None)
+    }
+  }
+
+  /** Row-level change feed between two committed versions (Delta CDF /
+    * Iceberg changelog): every row inserted and every row deleted going
+    * `fromV` -> `toV`; an update surfaces as its delete+insert pair.
+    *
+    * File-granular by construction: rows in files PRESENT IN BOTH
+    * manifests cannot have changed (files are immutable), so only the
+    * added/removed file lists are read, and copy-on-write noise — a
+    * merge rewrites a file, copying its untouched rows — cancels in the
+    * multiset difference (`EXCEPT ALL` both ways). Work is bounded by
+    * the touched files, never the table; at 100 TB a selective merge's
+    * feed reads a handful of files. Both sides read with `toV`'s schema
+    * (additive evolution fills pre-existence columns with NULL).
+    */
+  def changes(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"need fromV < toV, got $fromV -> $toV")
+    val a = manifest(dir, Some(fromV))
+    val b = manifest(dir, Some(toV))
+    val aPaths = a.files.map(_.path).toSet
+    val bPaths = b.files.map(_.path).toSet
+    val ins = readFiles(spark, b.schemaJson, b.files.map(_.path).filterNot(aPaths))
+    val del = readFiles(spark, b.schemaJson, a.files.map(_.path).filterNot(bPaths))
+    ins.exceptAll(del).withColumn("_change", lit("insert"))
+      .unionByName(del.exceptAll(ins).withColumn("_change", lit("delete")))
+  }
+
   private def commitFiles(
       df: DataFrame, dir: String, track: Seq[String],
       txn: Option[String], replace: Boolean): Long = {

@@ -332,6 +332,44 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.snapshot(spark, dir).as[(Long, String)].collect().toMap == want)
   }
 
+  test("changes: update pairs + inserts + deletes; carried rewrite rows cancel") {
+    val dir = freshDir()
+    ManifestTable.commit(
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(1), dir, Seq("k"))
+    // merge: update k=7 (same file carries 99 untouched rows), insert k=200
+    ManifestTable.merge(Seq((7L, "NEW"), (200L, "x")).toDF("k", "v"), dir, Seq("k"))
+    val feed = ManifestTable.changes(spark, dir, 1L, 2L)
+      .as[(Long, String, String)].collect().toSet
+    assert(feed == Set((7L, "v7", "delete"), (7L, "NEW", "insert"), (200L, "x", "insert")),
+      s"carried rows must cancel, got $feed")
+    // delete commit: feed is deletes only
+    ManifestTable.delete(spark, dir, $"k" <= 3L)
+    val feed2 = ManifestTable.changes(spark, dir, 2L, 3L)
+      .as[(Long, String, String)].collect().toSet
+    assert(feed2 == Set((1L, "v1", "delete"), (2L, "v2", "delete"), (3L, "v3", "delete")))
+    // spanning feed composes both commits
+    val span = ManifestTable.changes(spark, dir, 1L, 3L)
+    assert(span.filter($"_change" === "delete").count() == 4)
+    assert(span.filter($"_change" === "insert").count() == 2)
+  }
+
+  test("compactSmall folds only sub-threshold files; large files keep their entries") {
+    val dir = freshDir()
+    ManifestTable.commit(
+      (1 to 1000).map(_.toLong).toDF("id").repartition(1), dir, Seq("id"))
+    (1001 to 1005).foreach(i =>
+      ManifestTable.commit(Seq(i.toLong).toDF("id").repartition(1), dir, Seq("id")))
+    val big = ManifestTable.manifest(dir, None).files.filter(_.rows >= 100).map(_.path)
+    assert(big.size == 1 && ManifestTable.manifest(dir, None).files.size == 6)
+    val v = ManifestTable.compactSmall(spark, dir, clusterBy = "id", minRows = 100L, numFiles = 1)
+    val after = ManifestTable.manifest(dir, Some(v))
+    assert(after.files.size == 2, "5 small files fold to 1; the big file stays")
+    assert(after.files.map(_.path).contains(big.head), "large file entry untouched")
+    assert(ManifestTable.snapshot(spark, dir).as[Long].collect().sorted.toSeq == (1L to 1005L))
+    // idempotent: nothing small left to fold
+    assert(ManifestTable.compactSmall(spark, dir, "id", 100L, 1) == v)
+  }
+
   test("end-to-end stream -> manifest commits -> converges to the batch table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = freshDir()
