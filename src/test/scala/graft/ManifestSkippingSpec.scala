@@ -122,6 +122,29 @@ class ManifestSkippingSpec extends SparkSpec {
       snap.filter($"ts".between(lo, hi) || lit(false)).count(), "pruned == unpruned count")
   }
 
+  test("z-order clustered manifest prunes on BOTH dimensions (multi-column skipping)") {
+    val dir = tmpDir("skipz").toString
+    // 32x32 grid z-order clustered into 16 files: each file covers a
+    // compact 2-D region, so a narrow range on EITHER column overlaps
+    // only a few files — the write-side layout q90/Layout.zorder
+    // computes, consumed here by the manifest stats + the rule
+    val grid = spark.range(0, 1024).selectExpr(
+      "id", "id % 32 AS x", "id DIV 32 AS y",
+      s"${graft.operators.Layout.zValueSql("id % 32", "id DIV 32", 5)} AS zv")
+    ManifestTable.commit(grid.repartitionByRange(16, col("zv")), dir, Seq("x", "y"))
+    val snap = ManifestTable.snapshot(spark, dir)
+    assert(plannedFiles(snap).size == 16)
+    val qx = snap.filter($"x".between(0L, 3L))
+    val qy = snap.filter($"y".between(28L, 31L))
+    assert(plannedFiles(qx).size <= 8, s"x-range must skip >= half (${plannedFiles(qx).size}/16)")
+    assert(plannedFiles(qy).size <= 8, s"y-range must skip >= half (${plannedFiles(qy).size}/16)")
+    assert(qx.count() == 128 && qy.count() == 128)
+    // the conjunction prunes to the intersection of both envelopes
+    val qxy = snap.filter($"x".between(0L, 3L) && $"y".between(28L, 31L))
+    assert(plannedFiles(qxy).size <= plannedFiles(qx).size.min(plannedFiles(qy).size))
+    assert(qxy.count() == 16)
+  }
+
   test("rewritten tables (delete/merge) keep pruning off the refreshed manifest") {
     val dir = mkTable()
     ManifestTable.delete(spark, dir, $"id" <= 200L)
