@@ -37,6 +37,18 @@ object GraftFunctions {
       new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_vec_l2sub"),
+      new ExpressionInfo(classOf[VecL2Sub].getName, "graft_vec_l2sub"),
+      (children: Seq[Expression]) => {
+        def litInt(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_vec_l2sub $what must be an int literal, got $other")
+        }
+        VecL2Sub(children(0), children(1),
+          litInt(children(2), "off"), litInt(children(3), "len"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
       (children: Seq[Expression]) => PolyHash(children.head)))
@@ -643,4 +655,90 @@ case class SimHashSig(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSig =
     copy(child = newChild)
+}
+
+/** Subspace squared-L2 distance over the 1-based element window
+  * `[off+1, off+len]` of two dense float/double arrays — the inner
+  * kernel of product-quantization encode/serve
+  * ([[graft.api.VectorSearch.pqEncode]]): m × k of these per row is
+  * the hot loop of a corpus-wide encode sweep, so it runs as a
+  * codegen'd JIT loop instead of an interpreted HOF fold. Value
+  * contract is IDENTICAL to VectorKit.l2SubSparkHof (equivalence
+  * spec): widen each element to double, subtract, square with the
+  * same IEEE ops, accumulate in index order.
+  *
+  * `off`/`len` must be foldable int literals (the builder enforces
+  * it): a subspace geometry is a plan-time constant, and baking it
+  * into the generated code keeps the loop branch-free. A window
+  * extending past either array yields null (the dense-embedding
+  * contract makes that a data error worth surfacing, not padding).
+  */
+case class VecL2Sub(left: Expression, right: Expression, off: Int, len: Int)
+  extends BinaryExpression {
+
+  override def prettyName: String = "graft_vec_l2sub"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (!(ok(left.dataType) && ok(right.dataType)))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_vec_l2sub expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+    else if (off < 0 || len < 0)
+      TypeCheckResult.TypeCheckFailure(s"graft_vec_l2sub window must be non-negative: off=$off len=$len")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (off + len > x.numElements() || off + len > y.numElements()) null
+    else {
+      val lf = elemIsFloat(left)
+      val rf = elemIsFloat(right)
+      var s = 0.0
+      var i = off
+      val end = off + len
+      while (i < end) {
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        val d = xv - yv
+        s += d * d
+        i += 1
+      }
+      s
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.freshName("l2S")
+    val i = ctx.freshName("l2I")
+    val d = ctx.freshName("l2D")
+    val getL = if (elemIsFloat(left)) (v: String) => s"(double) $v.getFloat($i)" else (v: String) => s"$v.getDouble($i)"
+    val getR = if (elemIsFloat(right)) (v: String) => s"(double) $v.getFloat($i)" else (v: String) => s"$v.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |if (${off + len} > $a.numElements() || ${off + len} > $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = $off; $i < ${off + len}; $i++) {
+         |    double $d = ${getL(a)} - ${getR(b)};
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecL2Sub =
+    copy(left = newLeft, right = newRight)
 }

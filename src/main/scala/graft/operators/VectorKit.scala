@@ -37,6 +37,8 @@ object VectorKit {
     * distances.
     */
   def l2SubSpark(a: String, b: String, off: Int, len: Int): String =
+    s"graft_vec_l2sub($a, $b, $off, $len)"
+  def l2SubSparkHof(a: String, b: String, off: Int, len: Int): String =
     s"aggregate(zip_with(slice($a, ${off + 1}, $len), slice($b, ${off + 1}, $len), " +
       s"(lx, ly) -> (CAST(lx AS DOUBLE) - CAST(ly AS DOUBLE)) * (CAST(lx AS DOUBLE) - CAST(ly AS DOUBLE))), " +
       s"CAST(0.0 AS DOUBLE), (l2_a, l2_v) -> l2_a + l2_v)"

@@ -192,6 +192,22 @@ class VectorKitSpec extends SparkSpec {
     assert(diffs === 0L)
   }
 
+  test("native vec_l2sub kernel is bit-identical to the portable HOF fold across every subspace") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e2 = emb.selectExpr("vec_id", "embedding AS e1")
+      .join(emb.selectExpr("vec_id + 1 AS vec_id", "embedding AS e2"), "vec_id")
+    (0 until 8).foreach { j =>
+      val diffs = e2
+        .selectExpr(s"${l2SubSpark("e1", "e2", j * 8, 8)} AS a",
+          s"${l2SubSparkHof("e1", "e2", j * 8, 8)} AS b")
+        .filter("a <> b").count()
+      assert(diffs === 0L, s"subspace $j")
+    }
+    // window past either array end: null (a data error surfaced, not padded)
+    val oob = spark.sql(s"SELECT graft_vec_l2sub(array(1.0F, 2.0F), array(3.0F, 4.0F), 1, 5)").collect()(0)
+    assert(oob.isNullAt(0))
+  }
+
   test("vec_dot returns null (not a partial sum) for unequal-length arrays, like the composed form") {
     val r = spark.sql(s"SELECT ${dotSpark("array(1.0F, 2.0F)", "array(3.0F)")}").collect()(0)
     assert(r.isNullAt(0))
