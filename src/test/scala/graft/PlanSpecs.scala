@@ -267,7 +267,8 @@ class PlanSpecs extends SparkSpec {
       "q156_acf",               // broadcast 7-row lag table against the aggregated day series
       "q158_abc",               // grand-total: a broadcast 1-row aggregate side
       "q161_join_blowup",       // total-pairs: a broadcast 1-row aggregate side
-      "q163_scalejoin_flagship") // ZoneMap null-zone gate: a broadcast <=1-row live-null side
+      "q163_scalejoin_flagship", // ZoneMap null-zone gate: a broadcast <=1-row live-null side
+      "q184_pq_adc")            // broadcast query set x coded corpus + broadcast 1-row codebook
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     queries.QueryCatalog.all.foreach { q =>
       val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
