@@ -626,6 +626,9 @@ object VectorSearch {
       .select(col(idCol), col(vecCol))
       .withColumn("__code",
         row_number().over(Window.orderBy(col(idCol))) - 1)
+    // fewer than k rows would leave null codebook columns and null
+    // distances downstream — fail eagerly (the k-row probe is bounded)
+    require(seeds.count() == k, s"PQ codebook needs $k seed rows; corpus has fewer")
     val aggs = (0 until k).map(c =>
       first(when(col("__code") === c, col(vecCol)), ignoreNulls = true).as(s"__s$c"))
     seeds.agg(aggs.head, aggs.tail: _*)
@@ -645,7 +648,12 @@ object VectorSearch {
     */
   def pqEncode(
       corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int, k: Int): DataFrame = {
+      dim: Int, m: Int, k: Int): DataFrame =
+    encodeWith(corpus, idCol, vecCol, dim, m, k, seedRow(corpus, idCol, vecCol, k))
+
+  private def encodeWith(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, codebookRow: DataFrame): DataFrame = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
     val codes = (0 until m).map { j =>
@@ -653,7 +661,7 @@ object VectorSearch {
         .map(c => l2SubSpark(vecCol, s"__s$c", j * sub, sub)).mkString(", ")
       s"CAST(array_position(array($dists), array_min(array($dists))) - 1 AS INT)"
     }.mkString(", ")
-    corpus.crossJoin(broadcast(seedRow(corpus, idCol, vecCol, k)))
+    corpus.crossJoin(broadcast(codebookRow))
       .selectExpr(idCol, s"array($codes) AS codes")
   }
 
@@ -674,7 +682,10 @@ object VectorSearch {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, k: Int, topK: Int): DataFrame = {
     val sub = dim / m
-    val enc = pqEncode(corpus, idCol, vecCol, dim, m, k)
+    // ONE codebook row (and its eager seed-count audit) shared by the
+    // encode pass and the ADC scorer
+    val sw = seedRow(corpus, idCol, vecCol, k)
+    val enc = encodeWith(corpus, idCol, vecCol, dim, m, k, sw)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
     val adc = (0 until m).map { j =>
       val cases = (0 until k)
@@ -684,7 +695,7 @@ object VectorSearch {
     }.mkString(" + ")
     enc
       .join(broadcast(q), col(idCol) =!= col("q_id"))
-      .crossJoin(broadcast(seedRow(corpus, idCol, vecCol, k)))
+      .crossJoin(broadcast(sw))
       .selectExpr("q_id", idCol, s"$adc AS adc")
       .withColumn("rank",
         row_number().over(Window.partitionBy("q_id").orderBy(col("adc"), col(idCol))).cast("long"))

@@ -205,6 +205,9 @@ object ManifestSkipping {
     * caller then leaves the plan alone.
     */
   private[plans] def statsFor(files: Array[String]): Map[String, Stats] = {
+    // cheap early-out before touching every path: almost every scan in a
+    // session is NOT manifest-backed, and the rule runs on each of them
+    if (tableDirOf(stripScheme(files(0))).isEmpty) return null
     val byDir = files.map(stripScheme).groupBy(tableDirOf)
     if (byDir.contains(None)) return null
     val all = byDir.keys.flatten.map { dir =>

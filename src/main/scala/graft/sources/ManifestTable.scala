@@ -255,6 +255,13 @@ object ManifestTable {
     txn.flatMap(committedTxn(dir, _)).getOrElse {
       val head = manifest(dir, None)
       val snap = readFiles(spark, head.schemaJson, head.files.map(_.path))
+      // cond evaluates twice (find touched files, then rewrite them); a
+      // nondeterministic predicate could rewrite a different row set
+      // than it matched — reject rather than corrupt (analysis only,
+      // no job: the projection is never executed)
+      require(
+        snap.select(cond.as("__c")).queryExecution.analyzed.expressions.forall(_.deterministic),
+        s"delete condition must be deterministic: $cond")
       val touched = snap.where(cond)
         .select(input_file_name().as("path")).distinct()
         .collect().map(r => stripScheme(r.getString(0))).toSet
@@ -297,9 +304,16 @@ object ManifestTable {
       }
       val badKeys = keys.filterNot(schema.fieldNames.contains)
       require(badKeys.isEmpty, s"key column(s) ${badKeys.mkString(", ")} not in schema")
-      val Array(nSrc, nKeys) = src
-        .agg(count(lit(1)), count_distinct(struct(keys.map(col).toIndexedSeq: _*)))
+      // one eager audit job: unique keys (else "the" replacing row is
+      // nondeterministic) and non-null keys (a null key never equi-joins,
+      // so the row could neither replace nor be replaced — it would
+      // silently append on every merge)
+      val nullKeyCond = keys.map(col(_).isNull).reduce(_ || _)
+      val Array(nSrc, nKeys, nNull) = src
+        .agg(count(lit(1)), count_distinct(struct(keys.map(col).toIndexedSeq: _*)),
+          count(when(nullKeyCond, 1)))
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      require(nNull == 0, s"merge source has $nNull row(s) with a null key; keys must be non-null")
       require(nSrc == nKeys,
         s"merge source has ${nSrc - nKeys} duplicate-key row(s); keys must be unique")
       val snap = readFiles(spark, head.schemaJson, head.files.map(_.path))
@@ -431,6 +445,14 @@ object ManifestTable {
     readFiles(spark, m.schemaJson, live)
       .filter(col(trackedCol).between(lo, hi))
   }
+
+  /** Register the table (at `asOf` or the head) as a temp view — the
+    * one-liner that makes the whole format SQL-first: filters typed
+    * against the view prune files automatically through the injected
+    * [[graft.plans.ManifestSkipping]] optimizer rule.
+    */
+  def createView(spark: SparkSession, dir: String, name: String, asOf: Option[Long] = None): Unit =
+    snapshot(spark, dir, asOf).createOrReplaceTempView(name)
 
   /** The file paths a pruned scan would open — the skipping proof
     * surface for specs and plan audits (compare against the snapshot's

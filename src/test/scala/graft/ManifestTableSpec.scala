@@ -257,6 +257,21 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.latestVersion(dir).contains(1L), "failed merges commit nothing")
   }
 
+  test("eager guards: nondeterministic delete cond and null merge keys are rejected") {
+    val dir = freshDir()
+    ManifestTable.commit(Seq((1L, 1.0)).toDF("id", "v"), dir, Seq("id"))
+    val nd = intercept[IllegalArgumentException] {
+      ManifestTable.delete(spark, dir, rand() < 0.5)
+    }
+    assert(nd.getMessage.contains("deterministic"))
+    val nk = intercept[IllegalArgumentException] {
+      ManifestTable.merge(
+        Seq((None: Option[Long], 2.0)).toDF("id", "v"), dir, Seq("id"))
+    }
+    assert(nk.getMessage.contains("null key"))
+    assert(ManifestTable.latestVersion(dir).contains(1L), "rejected ops commit nothing")
+  }
+
   test("merge replay via txn is exactly-once; rewrite rebases over concurrent appends") {
     val dir = freshDir()
     ManifestTable.commit(Seq((1L, 1.0)).toDF("id", "v"), dir, Seq("id"))
