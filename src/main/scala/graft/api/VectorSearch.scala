@@ -631,7 +631,9 @@ object VectorSearch {
     require(seeds.count() == k, s"PQ codebook needs $k seed rows; corpus has fewer")
     val aggs = (0 until k).map(c =>
       first(when(col("__code") === c, col(vecCol)), ignoreNulls = true).as(s"__s$c"))
-    seeds.agg(aggs.head, aggs.tail: _*)
+    // pin the 1-row result: every broadcast reference (encode AND the
+    // ADC scorer) would otherwise re-run the corpus top-k + pivot
+    graft.operators.Lineage.pin(seeds.agg(aggs.head, aggs.tail: _*))
   }
 
   /** Product-quantization encode: split each `dim`-dim vector into `m`

@@ -146,15 +146,11 @@ case class ManifestSkipping(spark: SparkSession)
       case _ => None
     }
     splitConjunctivePredicates(cond).flatMap {
-      case GreaterThan(a, v) => for ((c, t) <- name(a); x <- lv(v))
-        yield Range(c, t, Some(x), loStrict = true, None, hiStrict = false)
-      case GreaterThanOrEqual(a, v) => for ((c, t) <- name(a); x <- lv(v))
-        yield Range(c, t, Some(x), loStrict = false, None, hiStrict = false)
-      case LessThan(a, v) => for ((c, t) <- name(a); x <- lv(v))
-        yield Range(c, t, None, loStrict = false, Some(x), hiStrict = true)
-      case LessThanOrEqual(a, v) => for ((c, t) <- name(a); x <- lv(v))
-        yield Range(c, t, None, loStrict = false, Some(x), hiStrict = false)
-      // literal-on-the-left mirrors
+      // literal-on-the-left mirrors MUST precede the general cases: a
+      // pattern like GreaterThan(a, v) binds a to ANY left child
+      // (including a literal), so with the general case first the
+      // mirrors would be unreachable and `WHERE 100 > id` would never
+      // prune (constraint lost — still correct, silently unskipped)
       case GreaterThan(v: Literal, a) => for ((c, t) <- name(a); x <- lv(v))
         yield Range(c, t, None, loStrict = false, Some(x), hiStrict = true)
       case GreaterThanOrEqual(v: Literal, a) => for ((c, t) <- name(a); x <- lv(v))
@@ -163,6 +159,14 @@ case class ManifestSkipping(spark: SparkSession)
         yield Range(c, t, Some(x), loStrict = true, None, hiStrict = false)
       case LessThanOrEqual(v: Literal, a) => for ((c, t) <- name(a); x <- lv(v))
         yield Range(c, t, Some(x), loStrict = false, None, hiStrict = false)
+      case GreaterThan(a, v) => for ((c, t) <- name(a); x <- lv(v))
+        yield Range(c, t, Some(x), loStrict = true, None, hiStrict = false)
+      case GreaterThanOrEqual(a, v) => for ((c, t) <- name(a); x <- lv(v))
+        yield Range(c, t, Some(x), loStrict = false, None, hiStrict = false)
+      case LessThan(a, v) => for ((c, t) <- name(a); x <- lv(v))
+        yield Range(c, t, None, loStrict = false, Some(x), hiStrict = true)
+      case LessThanOrEqual(a, v) => for ((c, t) <- name(a); x <- lv(v))
+        yield Range(c, t, None, loStrict = false, Some(x), hiStrict = false)
       case EqualTo(a, v) => (for ((c, t) <- name(a); x <- lv(v))
         yield Range(c, t, Some(x), loStrict = false, Some(x), hiStrict = false))
         .orElse(for ((c, t) <- name(v); x <- lv(a))
@@ -196,7 +200,10 @@ object ManifestSkipping {
     def mx(col: String): Option[String] = rawMaxs.getOrElse(col, None)
   }
 
-  // keyed by (tableDir, live manifest versions) so new commits refresh
+  // keyed by (tableDir, live manifest versions) so new commits refresh;
+  // stale entries for the same dir are EVICTED on refresh — a streaming
+  // table commits every trigger, and keeping one full per-file stats
+  // map per historical version set is an unbounded driver leak
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, Seq[Long]), Map[String, Stats]]()
 
@@ -211,7 +218,11 @@ object ManifestSkipping {
     val byDir = files.map(stripScheme).groupBy(tableDirOf)
     if (byDir.contains(None)) return null
     val all = byDir.keys.flatten.map { dir =>
-      dir -> cache.computeIfAbsent((dir, ManifestTable.versions(dir).sorted), { _ =>
+      val key = (dir, ManifestTable.versions(dir).sorted)
+      // evict superseded snapshots of this dir BEFORE the insert (CHM
+      // forbids mutating inside the mapping function)
+      cache.keySet.removeIf(k => k._1 == dir && k != key)
+      dir -> cache.computeIfAbsent(key, { _ =>
         ManifestTable.versions(dir).flatMap { v =>
           val m = ManifestTable.manifest(dir, Some(v))
           m.files.map(f => f.path -> Stats(m.track, f.mins, f.maxs))
@@ -242,12 +253,20 @@ object ManifestSkipping {
   private[plans] def stripScheme(p: String): String =
     if (p.startsWith("file:")) new java.net.URI(p).getPath else p
 
-  /** A committed string stat cast back to the column's type with
-    * Spark's own cast in the session zone — the inverse of how commit
-    * collected it (`CAST(x AS STRING)`), evaluated driver-side.
+  /** A committed stat string back to the column's INTERNAL value —
+    * the driver-side inverse of ManifestTable's stat serialization.
+    * Instant timestamps are stored as epoch micros (zone-free), which
+    * IS TimestampType's internal Long representation; everything else
+    * round-trips through Spark's own cast. A malformed stat yields
+    * null, which constraints treat as "never skip".
     */
-  private[plans] def castStat(s: String, dt: DataType): Any =
-    if (dt == StringType) UTF8String.fromString(s)
-    else Cast(Literal(UTF8String.fromString(s), StringType), dt,
-      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)).eval(null)
+  private[plans] def castStat(s: String, dt: DataType): Any = dt match {
+    case StringType => UTF8String.fromString(s)
+    case TimestampType =>
+      try java.lang.Long.valueOf(s.trim)
+      catch { case _: NumberFormatException => null }
+    case _ =>
+      Cast(Literal(UTF8String.fromString(s), StringType), dt,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)).eval(null)
+  }
 }

@@ -99,13 +99,21 @@ object ManifestTable {
     commitFiles(df, dir, track, txn, replace = true)
 
   /** Rewrite the current snapshot into `numFiles` range-clustered files
-    * on `clusterBy` (tight envelopes ⇒ maximal skipping) as one
-    * replacing commit.
+    * on `clusterBy` (tight envelopes ⇒ maximal skipping). Commits
+    * through the conflict-checked rewrite swap, NOT [[replace]]: a
+    * compaction races ingest by design ("run beside ingest"), and a
+    * replacing commit would silently erase any append that landed
+    * between reading the head and installing the rewrite — here such
+    * appends rebase (their files carry over untouched), and a
+    * concurrent writer that removed a compacted file raises
+    * `ConcurrentModificationException` instead of losing its work.
     */
   def compact(spark: SparkSession, dir: String, clusterBy: String, numFiles: Int): Long = {
     val head = manifest(dir, None)
+    if (head.files.isEmpty) return head.version
     val df = readFiles(spark, head.schemaJson, head.files.map(_.path))
-    replace(df.repartitionByRange(numFiles, col(clusterBy)), dir, head.track)
+    installRewrite(df.repartitionByRange(numFiles, col(clusterBy)),
+      dir, head, head.files.map(_.path).toSet, None)
   }
 
   /** Incremental binpack maintenance: fold only the files smaller than
@@ -328,7 +336,11 @@ object ManifestTable {
         else readFiles(spark, head.schemaJson, touched.toSeq)
           .join(srcKeys, keys, "left_anti")
           .unionByName(src)
-      installRewrite(kept, dir, head, touched, txn)
+      // appends that land mid-merge rebase cleanly ONLY if they cannot
+      // collide with the merged keys — else the table would end up with
+      // duplicate keys, the very nondeterminism the source audit
+      // rejects. installRewrite probes appended files' key columns.
+      installRewrite(kept, dir, head, touched, txn, Some((srcKeys, keys)))
     }
   }
 
@@ -338,14 +350,24 @@ object ManifestTable {
     * over), and a head that no longer references one of `removed`
     * fails with `ConcurrentModificationException` — the rewrite was
     * computed against files that are no longer the truth.
+    *
+    * `appendKeyConflict = Some((srcKeys, keyCols))` additionally
+    * validates, per attempt, that files APPENDED since `base` contain
+    * none of the given keys (reading only the appended files' key
+    * columns — bounded work): a key-overlapping append rebased under a
+    * merge would leave duplicate keys, so it raises instead. Predicate
+    * rewrites (delete/compaction) pass None — an append landing
+    * mid-operation is simply newer data under snapshot isolation.
     */
   private[graft] def installRewrite(
       rewritten: DataFrame, dir: String, base: Manifest,
-      removed: Set[String], txn: Option[String]): Long = {
+      removed: Set[String], txn: Option[String],
+      appendKeyConflict: Option[(DataFrame, Seq[String])] = None): Long = {
     val spark = rewritten.sparkSession
     val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
     rewritten.write.parquet(stage)
     val newFiles = collectStats(spark, stage, base.track, rewritten.schema)
+    val basePaths = base.files.map(_.path).toSet
     var committed = -1L
     while (committed < 0) {
       val headV = latestVersion(dir).getOrElse(
@@ -357,6 +379,19 @@ object ManifestTable {
         throw new java.util.ConcurrentModificationException(
           s"concurrent writer removed ${gone.size} file(s) this rewrite depends on " +
             s"(e.g. ${gone.head}); re-read the head and retry")
+      appendKeyConflict.foreach { case (srcKeys, keyCols) =>
+        val appended = cur.files.map(_.path).filterNot(basePaths)
+        if (appended.nonEmpty) {
+          val clash = readFiles(spark, cur.schemaJson, appended)
+            .select(keyCols.map(col).toIndexedSeq: _*)
+            .join(srcKeys, keyCols, "left_semi")
+            .limit(1).count()
+          if (clash > 0)
+            throw new java.util.ConcurrentModificationException(
+              "concurrent append contains key(s) this merge replaces; rebasing would " +
+                "duplicate keys — re-read the head and retry the merge")
+        }
+      }
       val m = Manifest(cur.version + 1, Some(cur.version), txn, base.schemaJson, base.track,
         cur.files.filterNot(f => removed(f.path)) ++ newFiles)
       committed = tryInstall(dir, m)
@@ -376,13 +411,13 @@ object ManifestTable {
   private def collectStats(
       spark: SparkSession, stage: String, track: Seq[String],
       schema: StructType): Seq[FileEntry] = {
-    // min/max on the NATIVE type, cast to string only for storage —
-    // casting first would rank lexicographically ("999" > "1250") and
-    // commit envelopes that under/overstate numeric columns, making
-    // pruning silently wrong on mixed-width values
+    // min/max on the NATIVE type, serialized only for storage — casting
+    // first would rank lexicographically ("999" > "1250") and commit
+    // envelopes that under/overstate numeric columns, making pruning
+    // silently wrong on mixed-width values
     val aggs = track.flatMap { c =>
-      Seq(min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c"))
+      Seq(statString(min(col(c)), schema(c).dataType).as(s"min_$c"),
+        statString(max(col(c)), schema(c).dataType).as(s"max_$c"))
     } :+ count(lit(1)).as("rows")
     spark.read.schema(schema).parquet(stage)
       .groupBy(input_file_name().as("path"))
@@ -397,18 +432,56 @@ object ManifestTable {
       }.toSeq
   }
 
-  /** Atomically claim version `m.version`: stage the JSON beside the
-    * manifest dir, then `ATOMIC_MOVE` onto the versioned name — the
-    * filesystem arbitrates the race; FileAlreadyExists means another
-    * writer won and the caller re-reads the head and retries. Returns
-    * the version on success, -1 on lost race.
+  /** Serialize one stat value for the manifest. Instant-semantics
+    * timestamps store EPOCH MICROS, not a formatted string: `CAST(ts
+    * AS STRING)` renders the session-LOCAL wall clock with no zone
+    * qualifier, so a reader session in another zone — or a stat
+    * landing in the fall-back DST hour of the SAME zone — would
+    * reconstruct a shifted envelope and silently skip live files.
+    * Micros are zone-free and order-preserving (unix_micros is
+    * monotone, so micros-of-min == min-of-micros). TIMESTAMP_NTZ and
+    * DATE render zone-independently already and stay on the generic
+    * cast.
     */
-  private def tryInstall(dir: String, m: Manifest): Long = {
+  private def statString(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.TimestampType => unix_micros(c).cast("string")
+    case _ => c.cast("string")
+  }
+
+  /** The inverse: a stored stat string back to a comparable Column of
+    * the tracked column's type.
+    */
+  private[graft] def statColumn(s: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType => timestamp_micros(s.cast("long"))
+      case _ => s.cast(dt)
+    }
+
+  /** Atomically claim version `m.version`: stage the JSON beside the
+    * manifest dir, then HARD-LINK it onto the versioned name — link(2)
+    * is the POSIX atomic create-if-absent (it fails with EEXIST when
+    * another writer already owns the name, and the linked name appears
+    * with its full content, never torn). An `ATOMIC_MOVE` here would be
+    * WRONG: POSIX rename(2) silently REPLACES an existing target, so a
+    * lost race would overwrite the winner's manifest and drop its
+    * files from the table. FileAlreadyExists means another writer won
+    * and the caller re-reads the head and retries. Returns the version
+    * on success, -1 on lost race. Filesystems without hard links fall
+    * back to O_EXCL create (still exclusive; visibility of the write
+    * itself is then the documented weaker guarantee).
+    */
+  private[graft] def tryInstall(dir: String, m: Manifest): Long = {
+    val bytes = render(m).getBytes("UTF-8")
     val tmp = java.nio.file.Paths.get(dir, "_manifests", s".tmp-${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.write(tmp, render(m).getBytes("UTF-8"))
+    java.nio.file.Files.write(tmp, bytes)
     val dst = java.nio.file.Paths.get(dir, "_manifests", manifestName(m.version))
     try {
-      java.nio.file.Files.move(tmp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      try java.nio.file.Files.createLink(dst, tmp)
+      catch {
+        case _: UnsupportedOperationException =>
+          java.nio.file.Files.write(dst, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+      }
+      java.nio.file.Files.deleteIfExists(tmp)
       m.version
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -485,7 +558,7 @@ object ManifestTable {
       StructType(Seq(
         StructField("path", StringType), StructField("mn", StringType), StructField("mx", StringType))))
     entries
-      .filter(col("mx").cast(typ) >= lo && col("mn").cast(typ) <= hi)
+      .filter(statColumn(col("mx"), typ) >= lo && statColumn(col("mn"), typ) <= hi)
       .collect().map(_.getString(0)).toIndexedSeq
   }
 
@@ -563,8 +636,20 @@ object ManifestTable {
     parse(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
   }
 
+  /** Manifests are immutable per (dir, version), so the txn marker is
+    * memoized after one parse — without this, every txn-carrying
+    * streaming commit re-parses EVERY retained manifest (each
+    * O(total files) JSON) and ingest goes quadratic in batch count
+    * until expiry. Entries are a ~50-byte Option per version; even a
+    * week of one-minute batches is a few MB, reclaimed with the JVM.
+    */
+  private val txnCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[String]]()
+
   private def committedTxn(dir: String, txn: String): Option[Long] =
-    versions(dir).sorted.reverse.find(v => manifest(dir, Some(v)).txn.contains(txn))
+    versions(dir).sorted.reverse.find { v =>
+      txnCache.computeIfAbsent((dir, v), _ => manifest(dir, Some(v)).txn).contains(txn)
+    }
 
   private def render(m: Manifest): String = {
     import org.json4s.JsonDSL._

@@ -61,6 +61,17 @@ class ManifestSkippingSpec extends SparkSpec {
     assert(gt.count() == 1000 - firstMax)
   }
 
+  test("literal-on-the-left comparisons prune too") {
+    val dir = mkTable()
+    ManifestTable.snapshot(spark, dir).createOrReplaceTempView("skip_mirror")
+    val q = spark.sql("SELECT count(*) AS n FROM skip_mirror WHERE 100 > id")
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.length
+    }
+    assert(scans == Seq(1), s"'100 > id' must prune like 'id < 100', got $scans")
+    assert(q.collect()(0).getLong(0) == 99L)
+  }
+
   test("sql over a temp view gets the same automatic pruning") {
     val dir = mkTable()
     ManifestTable.snapshot(spark, dir).createOrReplaceTempView("skip_t")

@@ -288,6 +288,87 @@ class ManifestTableSpec extends SparkSpec {
     assert(back == Map(1L -> 99.0, 50L -> 5.0), "concurrent append must survive the rewrite")
   }
 
+  test("tryInstall loses cleanly: claiming an existing version returns -1 and never clobbers the winner") {
+    val dir = freshDir()
+    ManifestTable.commit(Seq(1L).toDF("id"), dir, Seq("id"))
+    val winner = ManifestTable.manifest(dir, Some(1L))
+    // a racing writer re-attempts version 1 with DIFFERENT content: the
+    // claim must fail (-1), not silently replace (POSIX rename would)
+    val loser = winner.copy(txn = Some("loser"), files = Seq.empty)
+    assert(ManifestTable.tryInstall(dir, loser) == -1L)
+    val after = ManifestTable.manifest(dir, Some(1L))
+    assert(after.txn == winner.txn && after.files.map(_.path) == winner.files.map(_.path),
+      "the winner's manifest must survive a lost race untouched")
+  }
+
+  test("compact rebases concurrent appends instead of erasing them") {
+    val dir = freshDir()
+    (0 until 3).foreach(b =>
+      ManifestTable.commit(((b * 10) until (b * 10 + 10)).map(_.toLong).toDF("id"), dir, Seq("id")))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val fCompact = scala.concurrent.Future {
+      barrier.await(); ManifestTable.compact(spark, dir, "id", numFiles = 1)
+    }
+    val fAppend = scala.concurrent.Future {
+      barrier.await()
+      (0 until 4).foreach(i =>
+        ManifestTable.commit(Seq((100 + i).toLong).toDF("id"), dir, Seq("id")))
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(fCompact, fAppend)),
+      scala.concurrent.duration.Duration("120s"))
+    pool.shutdown()
+    val ids = ManifestTable.snapshot(spark, dir).as[Long].collect().sorted.toSeq
+    assert(ids == ((0L to 29L) ++ (100L to 103L)),
+      s"every append racing the compaction must survive, got ${ids.size} rows")
+  }
+
+  test("merge refuses to rebase over an append that contains a merged key") {
+    val dir = freshDir()
+    ManifestTable.commit(Seq((1L, "a")).toDF("k", "v"), dir, Seq("k"))
+    val base = ManifestTable.manifest(dir, None)
+    // concurrent append lands key 7 AFTER the merge resolved its head
+    ManifestTable.commit(Seq((7L, "appended")).toDF("k", "v"), dir, Seq("k"))
+    val srcKeys = Seq(7L).toDF("k")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.installRewrite(
+        Seq((1L, "a"), (7L, "merged")).toDF("k", "v"), dir, base,
+        base.files.map(_.path).toSet, None, Some((srcKeys, Seq("k"))))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    // a NON-overlapping append rebases fine under the same probe
+    val base2 = ManifestTable.manifest(dir, None)
+    ManifestTable.commit(Seq((50L, "other")).toDF("k", "v"), dir, Seq("k"))
+    ManifestTable.installRewrite(
+      Seq((1L, "a2"), (7L, "m2")).toDF("k", "v"), dir, base2,
+      base2.files.map(_.path).toSet, None, Some((Seq(7L).toDF("k"), Seq("k"))))
+    val back = ManifestTable.snapshot(spark, dir).as[(Long, String)].collect().toMap
+    assert(back == Map(1L -> "a2", 7L -> "m2", 50L -> "other"))
+  }
+
+  test("timestamp envelopes are zone-independent (epoch-micros stats)") {
+    val dir = freshDir()
+    val df = spark.range(0, 100)
+      .select($"id", timestamp_micros(lit(1704067200000000L) + $"id" * 3600000000L).as("ts"))
+    ManifestTable.commit(df.repartitionByRange(4, $"ts"), dir, Seq("ts"))
+    val zone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // a reader in a DIFFERENT zone must prune against the same instants
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val lo = timestamp_micros(lit(1704067200000000L + 10L * 3600000000L))
+      val hi = timestamp_micros(lit(1704067200000000L + 20L * 3600000000L))
+      val pruned = ManifestTable.prunedScan(spark, dir, "ts", lo, hi)
+        .orderBy("id").collect().toSeq
+      val plain = ManifestTable.snapshot(spark, dir).filter($"ts".between(lo, hi))
+        .orderBy("id").collect().toSeq
+      assert(pruned == plain && pruned.size == 11,
+        "cross-zone reader must see the identical row set")
+    } finally spark.conf.set("spark.sql.session.timeZone", zone)
+  }
+
   test("rewrite against files a concurrent writer removed fails loudly") {
     val dir = freshDir()
     ManifestTable.commit(Seq((1L, 1.0)).toDF("id", "v"), dir, Seq("id"))
