@@ -636,6 +636,70 @@ object VectorSearch {
     graft.operators.Lineage.pin(seeds.agg(aggs.head, aggs.tail: _*))
   }
 
+  /** Per-subspace Lloyd k-means PQ codebooks — the trained upgrade of
+    * the seed codebook, same scale recipe as [[trainCentroids]]:
+    * training is driver-side over a BOUNDED deterministic sample (the
+    * `sampleN` lowest-id vectors; sampleN x k x dim flops per
+    * iteration, independent of corpus size), then encode/serve are the
+    * same distributed passes. Init per subspace = the first k distinct
+    * subvectors in id order; an emptied cluster keeps its previous
+    * centroid; ties break to the lowest code. Returns the codebook as
+    * the same 1-row broadcastable frame [[pqEncode]]'s seed path
+    * builds (`__s<c>` = the concatenation across subspaces of
+    * centroid c — per-subspace argmin makes the concatenated columns
+    * exactly a product codebook), so the trained book drops into
+    * [[pqEncodeWith]]/[[pqAdcSearchWith]] unchanged.
+    */
+  def pqTrain(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int = 10, sampleN: Int = 4096): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val sample = corpus.orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(r => toDoubles(r.getSeq[Any](0)).toArray)
+    require(sample.length >= k, s"PQ training needs >= $k sample vectors, got ${sample.length}")
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      var cents = pts.map(_.toSeq).distinct.take(k).map(_.toArray)
+      if (cents.length < k) // degenerate subspace: pad with repeats
+        cents = Array.tabulate(k)(c => cents(c % cents.length).clone())
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Long](k)
+        pts.foreach { p =>
+          var best = 0; var bd = l2(p, cents(0)); var c = 1
+          while (c < k) { val d = l2(p, cents(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+          counts(best) += 1
+          var i = 0; while (i < sub) { sums(best)(i) += p(i); i += 1 }
+        }
+        cents = Array.tabulate(k)(c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c)))
+      }
+      cents
+    }
+    val spark = corpus.sparkSession
+    val cols = (0 until k).map { c =>
+      val full = (0 until m).flatMap(j => books(j)(c))
+      expr(s"array(${full.map(d => s"${d}D").mkString(", ")})").as(s"__s$c")
+    }
+    graft.operators.Lineage.pin(spark.range(1).select(cols: _*))
+  }
+
+  /** [[pqEncode]] with an explicit codebook row (seeded or
+    * [[pqTrain]]ed).
+    */
+  def pqEncodeWith(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, codebookRow: DataFrame): DataFrame =
+    encodeWith(corpus, idCol, vecCol, dim, m, k, codebookRow)
+
   /** Product-quantization encode: split each `dim`-dim vector into `m`
     * subspaces and store, per subspace, the index of the nearest (L2)
     * of `k` codebook vectors — `dim * 4` bytes of floats become `m`
@@ -682,11 +746,19 @@ object VectorSearch {
     */
   def pqAdcSearch(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int, k: Int, topK: Int): DataFrame = {
+      dim: Int, m: Int, k: Int, topK: Int): DataFrame =
+    pqAdcSearchWith(corpus, queries, idCol, vecCol, dim, m, k, topK,
+      seedRow(corpus, idCol, vecCol, k))
+
+  /** [[pqAdcSearch]] with an explicit codebook row (seeded or
+    * [[pqTrain]]ed) — ONE codebook shared by the encode pass and the
+    * ADC scorer.
+    */
+  def pqAdcSearchWith(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, topK: Int, codebookRow: DataFrame): DataFrame = {
     val sub = dim / m
-    // ONE codebook row (and its eager seed-count audit) shared by the
-    // encode pass and the ADC scorer
-    val sw = seedRow(corpus, idCol, vecCol, k)
+    val sw = codebookRow
     val enc = encodeWith(corpus, idCol, vecCol, dim, m, k, sw)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
     val adc = (0 until m).map { j =>

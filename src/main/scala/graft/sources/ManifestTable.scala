@@ -616,6 +616,16 @@ object ManifestTable {
       .foreach(deleteRec)
   }
 
+  /** O(metadata) table statistics from the manifest alone — no data
+    * read: (version, file count, row count). The commit-time `rows`
+    * per file makes COUNT(*)-class questions (and planner sizing
+    * decisions) free, the way a warehouse's catalog stats do.
+    */
+  def tableStats(dir: String, asOf: Option[Long] = None): (Long, Long, Long) = {
+    val m = manifest(dir, asOf)
+    (m.version, m.files.size.toLong, m.files.map(_.rows).sum)
+  }
+
   def versions(dir: String): Seq[Long] =
     Option(new java.io.File(dir, "_manifests").listFiles()).getOrElse(Array.empty)
       .map(_.getName).filter(n => n.startsWith("m-") && n.endsWith(".json"))

@@ -122,6 +122,32 @@ class ApiSpecs extends SparkSpec {
     }
   }
 
+  test("trained PQ codebook recovers clusters a degenerate seed codebook cannot") {
+    // all 4 smallest ids sit in cluster 0, so the SEED codebook is
+    // degenerate (all entries near one anchor); Lloyd training on the
+    // sample must still discover all 4 anchors
+    def anchor(c: Int): Array[Float] = {
+      val a = Array.fill(8)(0.0f); a(c * 2) = 1.0f; a(c * 2 + 1) = 0.5f; a
+    }
+    val rows = (1L to 4L).map { i =>
+      val v = anchor(0).clone(); v((i % 8).toInt) += 0.01f * i; (i, v)
+    } ++ (5L to 44L).map { i =>
+      val c = ((i - 5) % 4).toInt
+      val v = anchor(c).clone(); v((i % 8).toInt) = v((i % 8).toInt) + 0.05f
+      (i, v)
+    }
+    val corpus = rows.toDF("vid", "vec")
+    val book = VectorSearch.pqTrain(corpus, "vid", "vec", dim = 8, m = 4, k = 4, iters = 8, sampleN = 44)
+    val got = VectorSearch.pqAdcSearchWith(corpus, corpus.filter($"vid" >= 9L && $"vid" <= 12L),
+      "vid", "vec", dim = 8, m = 4, k = 4, topK = 3, book).collect()
+    def clusterOf(id: Long): Long = if (id <= 4) 0L else (id - 5) % 4
+    got.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val hit = r.getAs[Long]("vid")
+      assert(clusterOf(q) == clusterOf(hit),
+        s"trained-book ADC: query $q (cluster ${clusterOf(q)}) retrieved $hit (cluster ${clusterOf(hit)})")
+    }
+  }
+
   test("kmeans quantizer: deterministic training, sensible assignment, and full-probe recall = brute force") {
     // two well-separated direction clusters + a third axis
     val vecs = ((1L to 20L).map(i => (i, Array(1.0f, (i % 5) * 0.01f))) ++

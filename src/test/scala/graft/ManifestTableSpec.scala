@@ -482,4 +482,61 @@ class ManifestTableSpec extends SparkSpec {
     q2.awaitTermination(60000)
     assert(ManifestTable.snapshot(spark, dir).as[Long].collect().sorted.toSeq == (1L to 150L))
   }
+
+  test("model-based property: random commit/delete/merge/compact sequences match an in-memory model at every version") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    sealed trait Op
+    case class Commit(rows: Map[Long, Long]) extends Op
+    case class Delete(lo: Long, hi: Long) extends Op
+    case class Merge(rows: Map[Long, Long]) extends Op
+    case object Compact extends Op
+
+    val rowsGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 999L)))
+    val opGen: Gen[Op] = Gen.frequency(
+      4 -> rowsGen.map(Commit(_)),
+      2 -> Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)).map { case (a, b) =>
+        Delete(math.min(a, b), math.max(a, b)) },
+      3 -> rowsGen.map(Merge(_)),
+      1 -> Gen.const(Compact))
+    val seqGen = Gen.choose(3, 7).flatMap(n => Gen.listOfN(n, opGen))
+
+    (0 until 6).foreach { trial =>
+      val ops = seqGen.apply(Gen.Parameters.default, Seed(trial.toLong)).get
+      val dir = freshDir()
+      // model: multiset of (k, v) rows; commits APPEND (dup keys legal
+      // in the table), deletes drop matching rows, merges upsert by key
+      var model = Vector.empty[(Long, Long)]
+      var history = Vector.empty[(Long, Vector[(Long, Long)])]
+      def df(rows: Map[Long, Long]) = rows.toSeq.toDF("k", "v")
+      ops.foreach {
+        case Commit(rows) if rows.nonEmpty =>
+          val v = ManifestTable.commit(df(rows), dir, Seq("k"))
+          model = model ++ rows.toVector
+          history :+= (v, model)
+        case Commit(_) => ()
+        case Delete(lo, hi) if history.nonEmpty =>
+          val v = ManifestTable.delete(spark, dir, $"k".between(lo, hi))
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+          history :+= (v, model)
+        case Merge(rows) if history.nonEmpty && rows.nonEmpty =>
+          val v = ManifestTable.merge(df(rows), dir, Seq("k"))
+          model = model.filterNot { case (k, _) => rows.contains(k) } ++ rows.toVector
+          history :+= (v, model)
+        case Merge(_) => ()
+        case Compact if history.nonEmpty =>
+          val v = ManifestTable.compact(spark, dir, "k", numFiles = 2)
+          history :+= (v, model)
+        case _ => ()
+      }
+      // every recorded version must read back as its model state —
+      // snapshot isolation means later ops never disturb old versions
+      history.foreach { case (v, want) =>
+        val got = ManifestTable.snapshot(spark, dir, asOf = Some(v))
+          .as[(Long, Long)].collect().toVector
+        assert(got.sorted == want.sorted,
+          s"trial $trial v=$v: got ${got.size} rows, want ${want.size} (ops: $ops)")
+      }
+    }
+  }
 }
