@@ -728,6 +728,51 @@ object TextCuration {
       .filter(expr(s"sample_coin < $bpExpr"))
   }
 
+  /** Weighted sampling WITHOUT replacement, deterministic (the ticket
+    * model, Efraimidis–Spirakis with discrete coins and no libm): each
+    * row holds `weightCol` integer tickets, ticket i's value is
+    * `poly_hash(id ':' i ':' salt)`, the row's priority is its BEST
+    * ticket (array_max over a generated sequence — map-only, no
+    * explode, no shuffle), and the sample is the top `n` rows by
+    * (priority desc, id). A doubled weight doubles the tickets and so
+    * the selection pressure; the draw is reproducible across engines,
+    * partitionings and runs, and distinct salts draw independent
+    * samples — the quality-weighted corpus subsampling a data-mixing
+    * pipeline runs at full scale, where the only non-map work is the
+    * top-n (TakeOrderedAndProject: per-partition heaps, never a
+    * global sort).
+    *
+    * `weightCol` must be an integer in [1, maxWeight] (tickets
+    * materialize per row in the expression); rows violating that fail
+    * the generated sequence loudly rather than sampling wrongly.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      n: Int,
+      maxWeight: Int = 64,
+      salt: String = "",
+  ): DataFrame = {
+    require(n >= 1, s"sample size must be >= 1: $n")
+    require(!salt.contains("'"), s"salt must not contain quotes: $salt")
+    val ticket = polySpark(
+      s"concat(CAST($idCol AS STRING), ':', CAST(ws_i AS STRING), ':', '$salt')")
+    val priority =
+      s"array_max(transform(sequence(1L, CAST($weightCol AS BIGINT)), ws_i -> $ticket))"
+    val guarded = df.filter(
+      expr(s"$weightCol >= 1 AND $weightCol <= $maxWeight OR " +
+        s"raise_error(concat('weightedSample: weight out of [1, $maxWeight]: ', " +
+        s"CAST($weightCol AS STRING)))"))
+    import org.apache.spark.sql.expressions.Window
+    guarded
+      .withColumn("priority", expr(priority).cast("long"))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(n)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("priority").desc, col(idCol))).cast("long"))
+  }
+
   /** Domain-mixing rate planner: given target corpus shares per
     * stratum and a total token budget, compute the per-stratum keep
     * rate that [[stratifiedSample]] should run with. For each stratum:

@@ -567,5 +567,33 @@ object Curation {
       (spark, dir) =>
         VectorSearch.quantizeInt8(Tables(spark, dir).embeddings, "vec_id", "embedding"),
     ),
+    Q(
+      "q186_weighted_sample",
+      "Deterministic weighted sampling without replacement (the " +
+        "Efraimidis-Spirakis ticket model with integer coins, no libm): " +
+        "each doc holds w tickets (w = 1 + min(7, len/500) — a " +
+        "quality-weight stand-in), ticket i hashes (id, i, salt), the " +
+        "doc's priority is its best ticket, sample = top-60 by " +
+        "(priority, id). Map-only priorities (generated sequence + " +
+        "array_max, no explode), top-n via per-partition heaps. " +
+        "Doubling a doc's weight doubles its tickets — selection " +
+        "pressure scales with weight, reproducibly on any engine.",
+      Some(s"""
+        WITH w AS (SELECT doc_id, 1 + least(7, length(text) // 500) AS w FROM documents),
+        p AS (SELECT doc_id, w,
+                list_aggregate(list_transform(range(1, w + 1),
+                  ws_i -> ${polyDuck("CAST(doc_id AS VARCHAR) || ':' || CAST(ws_i AS VARCHAR) || ':ws1'")}),
+                  'max') AS priority
+              FROM w)
+        SELECT doc_id, w, priority,
+          CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS BIGINT) AS rk
+        FROM p ORDER BY priority DESC, doc_id LIMIT 60
+      """.trim),
+      (spark, dir) => {
+        val weighted = Tables(spark, dir).documents
+          .selectExpr("doc_id", "CAST(1 + least(7, length(text) div 500) AS BIGINT) AS w")
+        TextCuration.weightedSample(weighted, "doc_id", "w", n = 60, salt = "ws1")
+      },
+    ),
   )
 }

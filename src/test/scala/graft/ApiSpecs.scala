@@ -122,6 +122,30 @@ class ApiSpecs extends SparkSpec {
     }
   }
 
+  test("weightedSample: priorities monotone in weight, partition-invariant, guarded") {
+    val docs = (1L to 200L).map(i => (i, 1L + (i % 8))).toDF("id", "w")
+    val hi = TextCuration.weightedSample(docs, "id", "w", n = 200, salt = "s1")
+      .select($"id", $"priority").as[(Long, Long)].collect().toMap
+    // same ids with weight 1: every priority must be <= the weighted one
+    // (a bigger weight only ADDS tickets — the nested-sample property)
+    val lo = TextCuration.weightedSample(
+        docs.withColumn("w", lit(1L)), "id", "w", n = 200, salt = "s1")
+      .select($"id", $"priority").as[(Long, Long)].collect().toMap
+    assert(lo.forall { case (id, p) => p <= hi(id) })
+    assert(hi.exists { case (id, p) => p > lo(id) }, "extra tickets must win somewhere")
+    // reproducible under any physical layout
+    val a = TextCuration.weightedSample(docs, "id", "w", n = 25, salt = "s1").collect().toSeq
+    val b = TextCuration.weightedSample(docs.repartition(7), "id", "w", n = 25, salt = "s1")
+      .collect().toSeq
+    assert(a == b)
+    // out-of-range weights fail loudly, never sample wrongly
+    val e = intercept[Exception] {
+      TextCuration.weightedSample(
+        docs.withColumn("w", lit(0L)), "id", "w", n = 5).collect()
+    }
+    assert(e.getMessage.contains("weight out of"))
+  }
+
   test("trained PQ codebook recovers clusters a degenerate seed codebook cannot") {
     // all 4 smallest ids sit in cluster 0, so the SEED codebook is
     // degenerate (all entries near one anchor); Lloyd training on the

@@ -483,6 +483,36 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.snapshot(spark, dir).as[Long].collect().sorted.toSeq == (1L to 150L))
   }
 
+  test("maintenance beside ingest: streaming appends racing compactSmall lose nothing") {
+    val dir = freshDir()
+    ManifestStream.processBatch(Seq(0L).toDF("id"), 0L, dir, Seq("id"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val ingest = scala.concurrent.Future {
+      barrier.await()
+      (1 to 12).foreach(b =>
+        ManifestStream.processBatch(Seq(b.toLong).toDF("id"), b.toLong, dir, Seq("id")))
+    }
+    val maintain = scala.concurrent.Future {
+      barrier.await()
+      (0 until 4).foreach { _ =>
+        ManifestTable.compactSmall(spark, dir, clusterBy = "id", minRows = 100L, numFiles = 1): Unit
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(ingest, maintain)),
+      scala.concurrent.duration.Duration("180s"))
+    pool.shutdown()
+    assert(ManifestTable.snapshot(spark, dir).as[Long].collect().sorted.toSeq == (0L to 12L),
+      "every batch must survive interleaved compaction")
+    // replay of an already-compacted batch is still a no-op
+    val head = ManifestTable.latestVersion(dir)
+    ManifestStream.processBatch(Seq(5L).toDF("id"), 5L, dir, Seq("id"))
+    assert(ManifestTable.latestVersion(dir) == head)
+  }
+
   test("model-based property: random commit/delete/merge/compact sequences match an in-memory model at every version") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
