@@ -32,6 +32,8 @@ object GraftFunctions {
     // planning-time file skipping over manifest-tracked tables — see
     // graft.plans.ManifestSkipping (conf-gated, fall-back-safe)
     ext.injectOptimizerRule(graft.plans.ManifestSkipping.apply)
+    // the sort-merge AS-OF JOIN physical operator — see graft.plans.AsofJoin
+    ext.injectPlannerStrategy(graft.plans.AsofJoinStrategy.apply)
     ext.injectFunction((
       FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),

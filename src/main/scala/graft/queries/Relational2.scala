@@ -59,6 +59,41 @@ object Relational2 {
       },
     ),
     Q(
+      "q187_asof_exec",
+      "The same as-of join through the engine's CUSTOM PHYSICAL OPERATOR " +
+        "(graft.plans.AsofJoinExec — logical node + injected planner " +
+        "strategy + sort-merge exec): children hash-cluster on the key " +
+        "and sort (key, time), then ONE forward merge pass per partition " +
+        "with a single buffered candidate row — no union blowup, no " +
+        "window machinery, no post-filter. Same oracle as q50 (DuckDB's " +
+        "native ASOF LEFT JOIN), so the composed form, the custom exec, " +
+        "and the reference semantics are proven pairwise identical.",
+      Some("""
+        WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id
+                        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        purchases AS (SELECT user_id, ts, event_id AS purchase_id
+                      FROM events WHERE event_type = 'purchase')
+        SELECT p.purchase_id, p.user_id, p.ts, c.click_id,
+          epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM purchases p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY purchase_id
+      """.trim),
+      (spark, dir) => {
+        val ev = Tables(spark, dir).events
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id").as("c_user"), col("ts").as("cts"))
+          .agg(max("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+        graft.plans.AsofJoin.asof(purchases, clicks,
+            leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+            leftTime = "ts", rightTime = "cts")
+          .select(col("purchase_id"), col("user_id"), col("ts"), col("click_id"),
+            (unix_micros(col("ts")) - unix_micros(col("cts"))).as("gap_us"))
+      },
+    ),
+    Q(
       "q51_range_join",
       "Bounded range self-join: event pairs of the same user within 60 s. " +
         "Spark composition: equi-join on (user, 60s time bucket) with the " +
