@@ -68,9 +68,18 @@ object AsofJoin {
     def resolve(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
-    val plan = AsofJoinPlan(lp, rp,
-      leftKeys.map(resolve(lp, _)), rightKeys.map(resolve(rp, _)),
-      resolve(lp, leftTime), resolve(rp, rightTime))
+    val (lks, rks) = (leftKeys.map(resolve(lp, _)), rightKeys.map(resolve(rp, _)))
+    val (lts, rts) = (resolve(lp, leftTime), resolve(rp, rightTime))
+    // the merge compares evaluated values with type-derived orderings —
+    // a left/right type mismatch would ClassCastException mid-pass;
+    // require exactness up front (cast upstream to align)
+    lks.zip(rks).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"key type mismatch: ${a.name}: ${a.dataType} vs ${b.name}: ${b.dataType}")
+    }
+    require(lts.dataType == rts.dataType,
+      s"time type mismatch: ${lts.name}: ${lts.dataType} vs ${rts.name}: ${rts.dataType}")
+    val plan = AsofJoinPlan(lp, rp, lks, rks, lts, rts)
     GraftSqlBridge.ofRows(spark, plan)
   }
 }
