@@ -777,6 +777,91 @@ object VectorSearch {
       .select(col("q_id"), col("rank"), col(idCol), col("adc"))
   }
 
+  /** IVF + PQ composed serving (IVFADC — Jégou et al. 2011 §IV, the
+    * layout behind billion-vector FAISS indexes): the inverted file
+    * bounds WHICH rows each query scores (only the `nprobe` nearest
+    * coarse partitions), and product quantization bounds WHAT each
+    * scored row reads (`m` small codes of its RESIDUAL to the coarse
+    * representative — never the original vector). Residual encoding is
+    * what distinguishes IVFADC from flat PQ ([[pqAdcSearch]]): codes
+    * spend their bits on the within-partition offset, which is where
+    * the information is once the coarse id is known.
+    *
+    * Determinism contract (hash-gated end to end like q32/q184): the
+    * coarse representative is the min-id medoid per partition, the
+    * codebook is the residual of the k lowest-id corpus rows, every
+    * subspace distance is the exact index-order left fold
+    * ([[graft.operators.VectorKit.l2SubSpark]]), argmin ties break to
+    * the smallest code, probe/rank ties to the smallest partition/id.
+    *
+    * Plan shape at 100 TB: reps and codebook are fixed-cardinality
+    * broadcasts; residual + encode are ONE map pass over the corpus;
+    * the probe list (queries x nprobe) broadcasts into an equi-join on
+    * the partition key — with the corpus laid out by `partCol`, that
+    * join is partition-pruned, so per-query work is nprobe partitions
+    * of m-byte codes. No corpus x corpus product anywhere.
+    */
+  def ivfPqSearch(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, partCol: String,
+      dim: Int, m: Int, k: Int, nprobe: Int, topK: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    require(nprobe >= 1 && topK >= 1, s"need nprobe >= 1 and topK >= 1: $nprobe, $topK")
+    requireIntegralId(corpus, idCol, "ivfPqSearch")
+    val sub = dim / m
+    def resExpr(v: String, r: String) =
+      s"zip_with($v, $r, (rx, ry) -> CAST(rx AS DOUBLE) - CAST(ry AS DOUBLE))"
+    // coarse reps: deterministic min-id medoid per partition key —
+    // fixed cardinality, always broadcastable
+    val rep = corpus.groupBy(partCol).agg(min_by(col(vecCol), col(idCol)).as("rv"))
+    // residual corpus: one broadcast join + map-only subtraction
+    val cres = corpus.join(broadcast(rep), Seq(partCol))
+      .selectExpr(partCol, idCol, s"${resExpr(vecCol, "rv")} AS res")
+    // codebook = residuals of the k lowest-id rows, pivoted to the same
+    // 1-row broadcastable shape as pqEncode's seed book, then pinned so
+    // encode and the ADC scorer share ONE computed codebook
+    val seeds = cres.orderBy(col(idCol)).limit(k)
+      .withColumn("__code", row_number().over(Window.orderBy(col(idCol))) - 1)
+    require(seeds.count() == k, s"IVF-PQ codebook needs $k seed rows; corpus has fewer")
+    val aggs = (0 until k).map(c =>
+      first(when(col("__code") === c, col("res")), ignoreNulls = true).as(s"__s$c"))
+    val sw = graft.operators.Lineage.pin(seeds.agg(aggs.head, aggs.tail: _*))
+    // encode: argmin over k subspace distances, per subspace — map-only
+    val codes = (0 until m).map { j =>
+      val dists = (0 until k)
+        .map(c => l2SubSpark("res", s"__s$c", j * sub, sub)).mkString(", ")
+      s"CAST(array_position(array($dists), array_min(array($dists))) - 1 AS INT)"
+    }.mkString(", ")
+    val enc = cres.crossJoin(broadcast(sw))
+      .selectExpr(partCol, idCol, s"array($codes) AS codes")
+    // probe: rank coarse partitions by full-vector L2 to the rep, keep
+    // nprobe, and carry the query's RESIDUAL to each probed rep — the
+    // ADC left operand
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val wp = Window.partitionBy("q_id").orderBy(col("pdist"), col(partCol))
+    val probe = q.crossJoin(broadcast(rep))
+      .withColumn("pdist", expr(l2SubSpark("qv", "rv", 0, dim)))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nprobe)
+      .selectExpr("q_id", partCol, s"${resExpr("qv", "rv")} AS qres")
+    // ADC within probed partitions only: score = sum over subspaces of
+    // exact L2² between the query residual and the row's CODED centroid
+    val adc = (0 until m).map { j =>
+      val cases = (0 until k)
+        .map(c => s"WHEN $c THEN ${l2SubSpark("qres", s"__s$c", j * sub, sub)}")
+        .mkString(" ")
+      s"(CASE element_at(codes, ${j + 1}) $cases END)"
+    }.mkString(" + ")
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col(idCol))
+    enc.join(broadcast(probe), Seq(partCol))
+      .filter(col(idCol) =!= col("q_id"))
+      .crossJoin(broadcast(sw))
+      .selectExpr("q_id", idCol, s"$adc AS adc")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col(idCol), col("adc"))
+  }
+
   /** Sign-LSH bucketed near-dup pairs: candidates only within a bucket
     * (one shuffle on bucket id), exact cosine on candidates.
     */

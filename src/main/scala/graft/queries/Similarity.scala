@@ -195,7 +195,80 @@ object Similarity {
           "vec_id", "embedding", dim = 64, m = 8, k = 4, topK = 5)
       },
     ),
+    Q(
+      "q188_ivfpq",
+      "IVF + PQ composed (IVFADC, Jégou et al. 2011 §IV — the " +
+        "billion-vector FAISS serving layout): the inverted file bounds " +
+        "WHICH rows a query scores (nprobe=2 coarse label partitions, " +
+        "min-id medoid reps), PQ bounds WHAT each scored row reads (8 " +
+        "codes of its RESIDUAL to the coarse rep — residual encoding is " +
+        "what separates IVFADC from q184's flat PQ: the bits encode the " +
+        "within-partition offset once the coarse id is known). Reps and " +
+        "codebook broadcast; residual+encode are ONE corpus map pass; " +
+        "the probe list equi-joins on the partition key (partition-" +
+        "pruned on a clustered layout), so per-query work is nprobe " +
+        "partitions of m-byte codes. Every distance is the exact index-" +
+        "order fold, so the COMPOSED pipeline is hash-gated end to end.",
+      Some(ivfPqOracleSql(dim = 64, m = 8, k = 4, nprobe = 2, nQueries = 10, topK = 5)),
+      (spark, dir) => {
+        val emb = Tables(spark, dir).embeddings
+        graft.api.VectorSearch.ivfPqSearch(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", dim = 64, m = 8, k = 4, nprobe = 2, topK = 5)
+      },
+    ),
   )
+
+  /** q188's oracle: the q32 rep chain (min-id medoid per label), the
+    * residual transform as an explicit per-index list_transform, q184's
+    * argmin-code/ADC generators over RESIDUALS, probe ranked by exact
+    * full-vector L2. Generated so (dim, m, k, nprobe) change in one
+    * place; seeds assume the dense 0-based vec_id TESTDATA layout
+    * (same assumption as q184's `vec_id = c` scalar subqueries).
+    */
+  private def ivfPqOracleSql(dim: Int, m: Int, k: Int, nprobe: Int,
+                             nQueries: Int, topK: Int): String = {
+    val sub = dim / m
+    def res(v: String, r: String) =
+      s"list_transform(range(1, ${dim + 1}), ri -> CAST($v[ri] AS DOUBLE) - CAST($r[ri] AS DOUBLE))"
+    val seedCols = (0 until k).map(c =>
+      s"(SELECT res FROM cres WHERE vec_id = $c) AS s$c").mkString(",\n  ")
+    val codes = (0 until m).map { j =>
+      val ds = (0 until k).map(c => l2SubDuck("c.res", s"s$c", j * sub, sub)).mkString(", ")
+      s"CAST(list_position([$ds], list_aggregate([$ds], 'min')) - 1 AS INT)"
+    }.mkString(",\n    ")
+    val adc = (0 until m).map { j =>
+      val cases = (0 until k)
+        .map(c => s"WHEN $c THEN ${l2SubDuck("p.qres", s"s$c", j * sub, sub)}").mkString(" ")
+      s"(CASE c.codes[${j + 1}] $cases END)"
+    }.mkString("\n      + ")
+    s"""
+      WITH rid AS (SELECT label, min(vec_id) AS rep_id FROM embeddings GROUP BY label),
+      rep AS (SELECT r.label, e.embedding AS rv FROM rid r JOIN embeddings e ON e.vec_id = r.rep_id),
+      cres AS (SELECT e.label, e.vec_id, ${res("e.embedding", "r.rv")} AS res
+               FROM embeddings e JOIN rep r ON e.label = r.label),
+      sw AS (SELECT
+        $seedCols),
+      enc AS (SELECT c.label, c.vec_id, [
+        $codes] AS codes
+        FROM cres c CROSS JOIN sw),
+      q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $nQueries),
+      pr0 AS (SELECT q.q_id, r.label, q.qv, r.rv,
+                ${l2SubDuck("q.qv", "r.rv", 0, dim)} AS pdist
+              FROM q CROSS JOIN rep r),
+      pr AS (SELECT q_id, label, qv, rv,
+               row_number() OVER (PARTITION BY q_id ORDER BY pdist, label) AS prank
+             FROM pr0),
+      probe AS (SELECT q_id, label, ${res("qv", "rv")} AS qres FROM pr WHERE prank <= $nprobe),
+      s AS (SELECT p.q_id, c.vec_id,
+        $adc AS adc
+        FROM enc c JOIN probe p ON c.label = p.label CROSS JOIN sw
+        WHERE c.vec_id <> p.q_id),
+      r AS (SELECT q_id, vec_id, adc,
+              CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rank
+            FROM s)
+      SELECT q_id, rank, vec_id, adc FROM r WHERE rank <= $topK ORDER BY q_id, rank
+    """.trim
+  }
 
   /** q184's oracle: seed codebook via scalar subqueries, per-subspace
     * argmin codes (list_position of min — first index on ties, the

@@ -122,6 +122,50 @@ class ApiSpecs extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: probed-cluster recall, partition invariance, no cartesian in the plan") {
+    // 4 well-separated clusters in R^8, labeled; ids 0..3 are the
+    // anchors (and the min-id medoid of their label), ids 4+ perturb
+    // their cluster's anchor
+    def anchor(c: Int): Array[Float] = {
+      val a = Array.fill(8)(0.0f); a(c * 2) = 1.0f; a(c * 2 + 1) = 0.5f; a
+    }
+    val rows = (0 until 4).map(c => (c.toLong, s"c$c", anchor(c))) ++
+      (4L to 43L).map { i =>
+        val c = (i % 4).toInt
+        val v = anchor(c).clone(); v((i % 8).toInt) = v((i % 8).toInt) + 0.05f
+        (i, s"c$c", v)
+      }
+    val corpus = rows.toDF("vid", "lab", "vec")
+    val queries = corpus.filter($"vid" >= 4L && $"vid" <= 7L)
+    val got = VectorSearch.ivfPqSearch(corpus, queries,
+      "vid", "vec", "lab", dim = 8, m = 4, k = 4, nprobe = 1, topK = 3)
+    val hits = got.collect()
+    assert(hits.length == 4 * 3)
+    // nprobe=1 probes the query's own cluster (its rep is nearest), so
+    // every hit shares the query's cluster
+    hits.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val hit = r.getAs[Long]("vid")
+      assert(q % 4 == hit % 4,
+        s"query $q (cluster ${q % 4}) retrieved $hit (cluster ${hit % 4}) at rank ${r.getAs[Long]("rank")}")
+    }
+    // deterministic under any physical layout
+    val again = VectorSearch.ivfPqSearch(corpus.repartition(7), queries,
+      "vid", "vec", "lab", dim = 8, m = 4, k = 4, nprobe = 1, topK = 3).collect()
+    assert(hits.sortBy(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.sortBy(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // candidate join is an equi-join on the partition key — never a
+    // cartesian over the corpus (the only nested-loop is the bounded
+    // 1-row codebook broadcast)
+    val phys = got.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"), "IVF-PQ must not plan a cartesian product")
+    // misshaped subspace split fails at plan time
+    val e = intercept[IllegalArgumentException] {
+      VectorSearch.ivfPqSearch(corpus, queries, "vid", "vec", "lab",
+        dim = 8, m = 3, k = 4, nprobe = 1, topK = 3)
+    }
+    assert(e.getMessage.contains("split evenly"))
+  }
+
   test("weightedSample: priorities monotone in weight, partition-invariant, guarded") {
     val docs = (1L to 200L).map(i => (i, 1L + (i % 8))).toDF("id", "w")
     val hi = TextCuration.weightedSample(docs, "id", "w", n = 200, salt = "s1")
