@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.sources.ManifestTable
+import graft.sources.{ManifestTable, MemberIndex}
 import org.apache.spark.sql.functions._
 
 /** Storage-layer queries: the transactional manifest table format
@@ -68,6 +68,21 @@ object Storage {
       ManifestTable.delete(spark, p,
         col("event_type") === "click" &&
           col("ts") < lit("2024-01-15 00:00:00").cast("timestamp")): Unit
+    }
+
+  /** orders committed once per (session, sf dir) range-clustered on
+    * o_orderdate — so every file's ORDERKEY envelope spans the whole
+    * key domain (keys arrive shuffled in date order) and min/max can
+    * skip nothing for a key lookup — then member-indexed on
+    * o_orderkey. The worst case for envelopes is exactly where the
+    * membership fingerprint earns its keep.
+    */
+  private def keyIndexedOrders(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"manifest-orders-memberix:$dir") { p =>
+      val o = Tables(spark, dir).orders
+      ManifestTable.commit(
+        o.repartitionByRange(8, col("o_orderdate")), p, track = Seq("o_orderdate"))
+      MemberIndex.build(spark, p, "o_orderkey"): Unit
     }
 
   val qs: Seq[Q] = Seq(
@@ -226,6 +241,31 @@ object Storage {
             sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
               .cast("double").as("sum_price"))
           .select(col("change"), col("o_orderstatus"), col("n"), col("sum_price"))
+      },
+    ),
+    Q(
+      "q189_member_lookup",
+      "Point lookup through a per-file MEMBERSHIP index " +
+        "(graft.sources.MemberIndex — the parquet/Iceberg-bloom role): " +
+        "orders range-clustered on o_orderdate, so every file's " +
+        "ORDERKEY envelope spans the whole domain and min/max skips " +
+        "nothing — the Bloom fingerprints (no false negatives, fp-rate " +
+        "only costs I/O) resolve the 5-key lookup to the few files " +
+        "that can match, from O(files) metadata. The exact IN " +
+        "predicate runs on the survivors, so the result is " +
+        "bit-identical to the plain filter the oracle runs; " +
+        "MemberIndexSpec pins the superset contract, the skipping, " +
+        "and O(changed-files) incremental maintenance.",
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey IN (11, 222, 333, 444, 555)
+        ORDER BY o_orderkey
+      """.trim),
+      (spark, dir) => {
+        val t = keyIndexedOrders(spark, dir)
+        MemberIndex.lookup(spark, t, "o_orderkey", Seq(11L, 222L, 333L, 444L, 555L))
+          .orderBy("o_orderkey")
       },
     ),
   )

@@ -1,0 +1,221 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-file MEMBERSHIP fingerprints for a [[ManifestTable]] column —
+  * the point-lookup analogue of the manifest's min/max envelopes, in
+  * the role parquet/Iceberg bloom filters play: "find THIS key" on a
+  * column the table is NOT clustered by.
+  *
+  * Why min/max is not enough: a table range-clustered on time has tight
+  * `ts` envelopes but every file's key envelope spans the whole key
+  * domain (keys arrive shuffled in time), so an equality lookup on the
+  * key opens every file. A per-file Bloom bitset answers "might this
+  * file contain k?" with NO false negatives — a lookup opens only the
+  * files whose fingerprint matches, and the exact predicate still runs
+  * on the survivors, so the result is bit-identical to the plain
+  * filter. False positives cost only I/O, never correctness.
+  *
+  * The index is a DERIVED SIDECAR, not part of the commit protocol:
+  * it lives under `dir/_index/member-<col>/ix-<version>.json`, can be
+  * (re)built for any retained snapshot, and is maintained
+  * INCREMENTALLY — building version N hashes only the files that a
+  * prior index has not covered (a copy-on-write commit touches few
+  * files, so maintenance is O(changed files), the same
+  * touched-bucket-only discipline as the LSH/BM25 index appends).
+  * A missing or stale index can always fall back to the full file
+  * list; nothing transactional depends on it.
+  *
+  * Sizing (`bits` per file, `probes` hash functions): false-positive
+  * rate ≈ (1 - e^(-probes·n/bits))^probes for n distinct keys per
+  * file. The 256 Ki-bit default holds fp ≈ 1% at ~20k keys/file;
+  * at a real 100 TB layout (~1M keys/file) size bits to ~8·n (1 MB of
+  * fingerprint per GB-scale file — the arithmetic parquet's own
+  * bloom filters use). Hashing is Spark's xxhash64 — engine-internal
+  * only, so no cross-engine determinism contract is needed: the
+  * fingerprint never decides a RESULT, only which files are read.
+  */
+object MemberIndex {
+
+  /** One built index: fingerprints per live data file of one snapshot. */
+  final case class Index(
+      version: Long,
+      column: String,
+      bits: Int,
+      probes: Int,
+      files: Map[String, String])
+
+  /** Build (or reuse) the index for `column` at snapshot `asOf` (head
+    * by default) and return the indexed version. Incremental: files
+    * already fingerprinted by the most recent prior index with the
+    * same (bits, probes) carry over without being read; only new files
+    * are scanned — one map pass + one tiny per-file distinct-position
+    * aggregate (O(bits) metadata per file on the driver, the same
+    * control-plane contract as the manifest's stats).
+    */
+  def build(
+      spark: SparkSession, dir: String, column: String,
+      bits: Int = 1 << 18, probes: Int = 3,
+      asOf: Option[Long] = None): Long = {
+    require(bits >= 64 && probes >= 1, s"need bits >= 64 and probes >= 1: $bits, $probes")
+    val m = ManifestTable.manifest(dir, asOf)
+    val schema = DataFrameSchema.fromJson(m.schemaJson)
+    require(schema.fieldNames.contains(column),
+      s"column $column is not in the committed schema (${schema.fieldNames.mkString(", ")})")
+    if (load(dir, column, m.version).exists(ix => ix.bits == bits && ix.probes == probes))
+      return m.version
+    val carried: Map[String, String] =
+      priorIndex(dir, column, bits, probes, m.version) match {
+        case Some(prior) =>
+          val live = m.files.map(_.path).toSet
+          prior.files.filter { case (p, _) => live.contains(p) }
+        case None => Map.empty
+      }
+    val newPaths = m.files.map(_.path).filterNot(carried.contains)
+    val fresh: Map[String, String] =
+      if (newPaths.isEmpty) Map.empty
+      else {
+        val posCols = (0 until probes).map(i =>
+          pmod(xxhash64(lit(i), col(column)), lit(bits.toLong)).cast("int"))
+        val grouped = spark.read.schema(schema).parquet(newPaths: _*)
+          .filter(col(column).isNotNull) // NULL never equals a lookup key
+          .select(input_file_name().as("path"), explode(array(posCols: _*)).as("pos"))
+          .groupBy("path")
+          .agg(collect_set(col("pos")).as("ps"))
+          .collect()
+          .map(r => stripScheme(r.getString(0)) -> toHex(r.getSeq[Int](1), bits))
+          .toMap
+        // a live file with ZERO non-null values never groups — its
+        // fingerprint is the empty bitset (matches nothing), not a gap
+        // that would force the fallback path
+        newPaths.map(p => p -> grouped.getOrElse(p, toHex(Nil, bits))).toMap
+      }
+    val ix = Index(m.version, column, bits, probes, carried ++ fresh)
+    write(dir, ix)
+    m.version
+  }
+
+  /** The files of snapshot `asOf` that MAY contain any of `keys` —
+    * resolved from O(files) metadata, no data I/O. Superset contract:
+    * every file that truly contains a key is returned (Bloom has no
+    * false negatives); extra files are possible and harmless. Requires
+    * [[build]] for the snapshot (fail loudly rather than silently scan
+    * everything — the caller chose an indexed read).
+    */
+  def candidatePaths(
+      spark: SparkSession, dir: String, column: String, keys: Seq[Any],
+      asOf: Option[Long] = None): Seq[String] = {
+    require(keys.nonEmpty && keys.forall(_ != null), "need non-null lookup keys")
+    val m = ManifestTable.manifest(dir, asOf)
+    val ix = load(dir, column, m.version).getOrElse(throw new IllegalStateException(
+      s"no member index for $column at v=${m.version} of $dir — run MemberIndex.build first"))
+    val dt = DataFrameSchema.fromJson(m.schemaJson)(column).dataType
+    // hash the keys through the SAME Spark expressions that built the
+    // fingerprints (one 1-row local job) — never a re-implementation
+    // that could drift from xxhash64's semantics
+    val posCols = (0 until ix.probes).map(i =>
+      pmod(xxhash64(lit(i), col("__k")), lit(ix.bits.toLong)).cast("int"))
+    val keyPos: Seq[Seq[Int]] = keys.map { k =>
+      spark.range(1).select(lit(k).cast(dt).as("__k"))
+        .select(array(posCols: _*)).head().getSeq[Int](0)
+    }
+    m.files.map(_.path).filter { p =>
+      val hex = ix.files.getOrElse(p, throw new IllegalStateException(
+        s"member index for $column at v=${m.version} is missing file $p — rebuild"))
+      keyPos.exists(ps => ps.forall(bitSet(hex, _)))
+    }
+  }
+
+  /** Point lookup `column IN (keys)` opening only fingerprint-matching
+    * files — bit-identical to the same filter over the full snapshot.
+    */
+  def lookup(
+      spark: SparkSession, dir: String, column: String, keys: Seq[Any],
+      asOf: Option[Long] = None): DataFrame = {
+    val m = ManifestTable.manifest(dir, asOf)
+    val schema = DataFrameSchema.fromJson(m.schemaJson)
+    val paths = candidatePaths(spark, dir, column, keys, asOf)
+    val base =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(paths: _*)
+    base.filter(col(column).isin(keys: _*))
+  }
+
+  // ------------------------------------------------------------- internals
+
+  private def ixDir(dir: String, column: String) =
+    java.nio.file.Paths.get(dir, "_index", s"member-$column")
+
+  private def ixName(v: Long) = f"ix-$v%012d.json"
+
+  private def load(dir: String, column: String, v: Long): Option[Index] = {
+    val p = ixDir(dir, column).resolve(ixName(v))
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(parse(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")))
+  }
+
+  /** Newest prior index with compatible sizing, if any. */
+  private def priorIndex(
+      dir: String, column: String, bits: Int, probes: Int, before: Long): Option[Index] = {
+    val d = ixDir(dir, column)
+    if (!java.nio.file.Files.exists(d)) return None
+    val versions = d.toFile.list().toSeq
+      .collect { case n if n.startsWith("ix-") && n.endsWith(".json") =>
+        n.stripPrefix("ix-").stripSuffix(".json").toLong }
+      .filter(_ < before).sorted.reverse
+    versions.iterator.flatMap(v => load(dir, column, v))
+      .find(ix => ix.bits == bits && ix.probes == probes)
+  }
+
+  /** Atomic create-if-absent (the index for a (dir, column, version) is
+    * immutable once built — concurrent builders converge on whichever
+    * landed first, both correct because the build is deterministic).
+    */
+  private def write(dir: String, ix: Index): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val d = ixDir(dir, ix.column)
+    java.nio.file.Files.createDirectories(d)
+    val body = JsonMethods.compact(JsonMethods.render(
+      ("version" -> ix.version) ~ ("column" -> ix.column) ~ ("bits" -> ix.bits) ~
+        ("probes" -> ix.probes) ~ ("files" -> ix.files)))
+    try java.nio.file.Files.write(d.resolve(ixName(ix.version)),
+      body.getBytes("UTF-8"), java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  private def parse(s: String): Index = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val j = JsonMethods.parse(s)
+    Index(
+      (j \ "version").extract[Long],
+      (j \ "column").extract[String],
+      (j \ "bits").extract[Int],
+      (j \ "probes").extract[Int],
+      (j \ "files").extract[Map[String, String]])
+  }
+
+  /** Distinct bit positions -> fixed-width lowercase hex (4 bits per
+    * char, position 0 = LSB of the last char, so width = bits/4).
+    */
+  private def toHex(positions: Seq[Int], bits: Int): String = {
+    val nibbles = new Array[Int]((bits + 3) / 4)
+    positions.foreach { p => nibbles(p >> 2) |= 1 << (p & 3) }
+    val sb = new StringBuilder(nibbles.length)
+    var i = nibbles.length - 1
+    while (i >= 0) { sb.append(Character.forDigit(nibbles(i), 16)); i -= 1 }
+    sb.toString
+  }
+
+  private def bitSet(hex: String, pos: Int): Boolean = {
+    val nib = Character.digit(hex.charAt(hex.length - 1 - (pos >> 2)), 16)
+    (nib & (1 << (pos & 3))) != 0
+  }
+
+  private def stripScheme(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+}
