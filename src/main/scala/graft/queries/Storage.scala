@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.sources.{ManifestTable, MemberIndex}
+import graft.sources.{ChangeFeedView, ManifestTable, MemberIndex}
 import org.apache.spark.sql.functions._
 
 /** Storage-layer queries: the transactional manifest table format
@@ -266,6 +266,48 @@ object Storage {
         val t = keyIndexedOrders(spark, dir)
         MemberIndex.lookup(spark, t, "o_orderkey", Seq(11L, 222L, 333L, 444L, 555L))
           .orderBy("o_orderkey")
+      },
+    ),
+    Q(
+      "q190_cdf_view",
+      "Incremental aggregate-view maintenance from the change feed " +
+        "(graft.sources.ChangeFeedView — retraction-based IVM over the " +
+        "storage layer's CDF): the per-status revenue rollup is " +
+        "materialized at v1, then ADVANCED across the MERGE commit by " +
+        "folding only q185's feed rows (+1/-1 signed counts, exact " +
+        "DECIMAL signed sums — cancel-pairs retract updates, " +
+        "zero-count keys drop exactly) — never rescanning the table. " +
+        "The oracle recomputes the merged state relationally, so the " +
+        "hash match proves feed-fold == full recompute, bit for bit. " +
+        "At 100 TB: a selective merge advances the view by reading a " +
+        "handful of copy-on-write files instead of re-aggregating " +
+        "everything.",
+      Some("""
+        WITH src AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice * 2 AS o_totalprice, o_orderdate,
+                 'X-MERGED' AS o_orderpriority
+          FROM orders WHERE o_orderkey % 97 = 0
+          UNION ALL
+          SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey <> 0
+        ),
+        merged AS (
+          SELECT * FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = o.o_orderkey)
+          UNION ALL
+          SELECT * FROM src
+        )
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM merged GROUP BY o_orderstatus
+      """.trim),
+      (spark, dir) => {
+        val t = mergedOrders(spark, dir)
+        val atV1 = ChangeFeedView.init(spark, t, Seq("o_orderstatus"), "o_totalprice", asOf = Some(1L))
+        ChangeFeedView.advance(spark, atV1, t, Seq("o_orderstatus"), "o_totalprice", 1L, 2L)
+          .select(col("o_orderstatus"), col("n"), col("total").cast("double").as("sum_price"))
       },
     ),
   )

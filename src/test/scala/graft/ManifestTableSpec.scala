@@ -449,6 +449,34 @@ class ManifestTableSpec extends SparkSpec {
     assert(span.filter($"_change" === "insert").count() == 2)
   }
 
+  test("ChangeFeedView: feed-folded rollup == full recompute at every version, deletes retract exactly") {
+    import graft.sources.ChangeFeedView
+    val dir = freshDir()
+    val base = (1 to 100).map(i => (i.toLong, s"g${i % 3}", i * 1.01)).toDF("k", "g", "v")
+    ManifestTable.commit(base.repartition(4), dir, Seq("k"))
+    // v2: merge (updates shift values, inserts add a key)
+    ManifestTable.merge(
+      Seq((7L, "g1", 700.0), (8L, "g2", 800.0), (200L, "g0", 5.5)).toDF("k", "g", "v"),
+      dir, Seq("k"))
+    // v3: delete a slice (including all of one group's low keys)
+    ManifestTable.delete(spark, dir, $"k" <= 9L)
+    def direct(v: Long) = ChangeFeedView.init(spark, dir, Seq("g"), "v", asOf = Some(v))
+      .orderBy("g").collect().toSeq
+    val v1 = ChangeFeedView.init(spark, dir, Seq("g"), "v", asOf = Some(1L))
+    val v2 = ChangeFeedView.advance(spark, v1, dir, Seq("g"), "v", 1L, 2L)
+    assert(v2.orderBy("g").collect().toSeq == direct(2L), "v1 + feed(1->2) must equal recompute at v2")
+    val v3 = ChangeFeedView.advance(spark, v2, dir, Seq("g"), "v", 2L, 3L)
+    assert(v3.orderBy("g").collect().toSeq == direct(3L), "chained advance must equal recompute at v3")
+    // spanning advance composes commits
+    val v3span = ChangeFeedView.advance(spark, v1, dir, Seq("g"), "v", 1L, 3L)
+    assert(v3span.orderBy("g").collect().toSeq == direct(3L))
+    // full retraction of a key drops it from the view exactly
+    ManifestTable.delete(spark, dir, $"g" === "g1")
+    val v4 = ChangeFeedView.advance(spark, v3, dir, Seq("g"), "v", 3L, 4L)
+    assert(v4.filter($"g" === "g1").count() == 0, "fully-retracted group must drop out")
+    assert(v4.orderBy("g").collect().toSeq == direct(4L))
+  }
+
   test("compactSmall folds only sub-threshold files; large files keep their entries") {
     val dir = freshDir()
     ManifestTable.commit(
