@@ -846,6 +846,46 @@ object Advanced {
       (spark, dir) => graft.operators.TimeSeries.rollingActives(
         Tables(spark, dir).events, "user_id", "ts", windowDays = 7),
     ),
+    Q(
+      "q191_sharded_topk",
+      "Distributed top-10 frequent users from TRUNCATED per-day " +
+        "summaries with deterministic error bounds (graft.operators." +
+        "TopFrequent — the TPUT / SpaceSaving-merge layout): each day " +
+        "keeps only its exact top-5 user counts plus eps = the largest " +
+        "dropped count; merged bounds lb/ub come from O(days x 5) " +
+        "summary rows, and ONE semi-join-bounded exact recount of the " +
+        "candidates closes the gap. Unlike stream-order Misra-Gries, " +
+        "every step (exact shard counts, key-tie truncation, eps max) " +
+        "reproduces bit-identically on any engine, so the WHOLE " +
+        "summary algebra is hash-gated — the oracle recomputes " +
+        "summaries, bounds, verify, and the lb<=n<=ub containment. At " +
+        "100 TB the full key space never converges on one node: " +
+        "summaries are metadata-sized, the verify pass is " +
+        "candidate-pruned.",
+      Some("""
+        WITH counts AS (SELECT CAST(ts AS DATE) AS shard, user_id, count(*) AS cnt
+                        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, user_id) AS rk
+                   FROM counts),
+        eps AS (SELECT shard, max(cnt) AS eps FROM ranked WHERE rk > 5 GROUP BY shard),
+        summ AS (SELECT r.shard, r.user_id, r.cnt, COALESCE(e.eps, 0) AS eps
+                 FROM ranked r LEFT JOIN eps e USING (shard) WHERE r.rk <= 5),
+        te AS (SELECT COALESCE(sum(eps), 0) AS te FROM (SELECT DISTINCT shard, eps FROM summ)),
+        bounds AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS lb,
+                     CAST(sum(cnt) + (any_value(te.te) - sum(eps)) AS BIGINT) AS ub
+                   FROM summ CROSS JOIN te GROUP BY user_id),
+        exact AS (SELECT e.user_id, count(*) AS n FROM events e
+                  WHERE e.user_id IN (SELECT user_id FROM bounds) GROUP BY 1),
+        r AS (SELECT b.user_id, x.n, b.lb, b.ub,
+                CAST(row_number() OVER (ORDER BY x.n DESC, b.user_id) AS BIGINT) AS rank
+              FROM exact x JOIN bounds b USING (user_id))
+        SELECT rank, user_id, n, lb, ub, (lb <= n AND n <= ub) AS bounds_ok
+        FROM r WHERE rank <= 10 ORDER BY rank
+      """.trim),
+      (spark, dir) => graft.operators.TopFrequent.topK(
+        Tables(spark, dir).events.withColumn("shard", to_date(col("ts"))),
+        "shard", "user_id", c = 5, k = 10),
+    ),
   )
 
   /** q163's plan, shared with FlagshipPlanSpec's plan pins. The zone

@@ -1232,4 +1232,44 @@ class CoreSpec extends SparkSpec {
     assert(Tables(spark, dir).region.count() === 2L)
   }
 
+  test("TopFrequent: bounds contain exact counts, above-Σeps keys always surface, truncation is real") {
+    // adversarial spread: key 777 appears 3x in EVERY one of 12 shards —
+    // never in a shard's top-2 (locals 4x+), but its total (36) beats
+    // every local key's total (each local key lives in ONE shard)
+    val rows =
+      (0 until 12).flatMap { s =>
+        Seq.fill(3)((s, 777L)) ++                          // the hidden heavy hitter
+          (0 until 6).flatMap(j => Seq.fill(4 + j)((s, (s * 100 + j).toLong))) // shard-local keys
+      }
+    val df = rows.toDF("shard", "key")
+    val summ = TopFrequent.shardSummaries(df, "shard", "key", c = 2)
+    // truncation really dropped keys (eps > 0 on every shard)
+    assert(summ.filter($"eps" <= 0L).count() == 0)
+    val top = TopFrequent.topK(df, "shard", "key", c = 2, k = 3).collect()
+    // every reported bound contains the exact count
+    assert(top.forall(_.getAs[Boolean]("bounds_ok")))
+    // Σ eps = 12 shards x (largest dropped = 7-count key... ) — key 777's
+    // total 36 exceeds any possible Σ-eps hideout only if it surfaces; at
+    // c=2 each shard keeps counts {9,8} and drops {7,...,4,3}: eps=7 per
+    // shard, Σeps=84 > 36, so 777 may legitimately hide — the HONEST
+    // contract is that anything ABOVE Σeps must appear. Make one: key
+    // 999 with 8 rows in every shard (total 96 > 84) lands in every
+    // shard's top-2 tie region and must be a candidate and rank first.
+    val df2 = df.unionByName((0 until 12).flatMap(s => Seq.fill(8)((s, 999L))).toDF("shard", "key"))
+    val top2 = TopFrequent.topK(df2, "shard", "key", c = 2, k = 3).collect()
+    assert(top2.head.getAs[Long]("key") == 999L && top2.head.getAs[Long]("n") == 96L)
+    assert(top2.forall(_.getAs[Boolean]("bounds_ok")))
+    // the summary-only estimate ranks by lb and carries sane bounds
+    val est = TopFrequent.estimateTopK(df2, "shard", "key", c = 2, k = 3).collect()
+    assert(est.head.getAs[Long]("key") == 999L)
+    assert(est.forall(r => r.getAs[Long]("lb") <= r.getAs[Long]("ub")))
+    // exact top-k parity when nothing can hide: c large enough to keep everything
+    val full = TopFrequent.topK(df2, "shard", "key", c = 100, k = 5).collect()
+    val plain = df2.groupBy("key").count().orderBy($"count".desc, $"key").limit(5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full.map(r => (r.getAs[Long]("key"), r.getAs[Long]("n"))).toSeq == plain)
+    assert(full.forall(r => r.getAs[Long]("lb") == r.getAs[Long]("n")
+      && r.getAs[Long]("ub") == r.getAs[Long]("n")))
+  }
+
 }
