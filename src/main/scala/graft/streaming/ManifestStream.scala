@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.sources.ManifestTable
+import graft.sources.{ManifestTable, MemberIndex}
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -46,6 +46,49 @@ object ManifestStream {
     */
   def processBatch(batch: DataFrame, batchId: Long, dir: String, track: Seq[String]): Unit =
     ManifestTable.commit(batch, dir, track, txn = Some(s"stream-$batchId")): Unit
+
+  /** Ingest with a hot point-lookup index: each micro-batch commits
+    * atomically AND advances the per-file membership index
+    * ([[graft.sources.MemberIndex]]) for `indexCol` — the incremental
+    * build fingerprints only the files this batch added (prior
+    * fingerprints carry over untouched), so index maintenance costs
+    * O(batch), never O(table), exactly the touched-bucket discipline of
+    * the LSH/BM25/zone-map streaming maintainers.
+    *
+    * Crash windows are self-healing, not transactional: a crash between
+    * commit and index build leaves version N unindexed; the NEXT batch's
+    * build covers N's files too (it fingerprints everything the newest
+    * prior index misses), and a replayed batch re-runs both steps
+    * idempotently (txn-marked commit short-circuits; the index build is
+    * deterministic create-if-absent). Readers that need a key lookup
+    * before the index catches up fall back to the manifest's full file
+    * list — the index is derived, never load-bearing for correctness.
+    */
+  def startIndexed(
+      stream: DataFrame,
+      dir: String,
+      track: Seq[String],
+      indexCol: String,
+      checkpointDir: String,
+      bits: Int = 1 << 18,
+      probes: Int = 3,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+  ): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        indexedBatch(batch.toDF(), batchId, dir, track, indexCol, bits, probes)
+      }
+      .start()
+
+  /** One commit + index-advance step (public for replay/crash specs). */
+  def indexedBatch(
+      batch: DataFrame, batchId: Long, dir: String, track: Seq[String],
+      indexCol: String, bits: Int, probes: Int): Unit = {
+    ManifestTable.commit(batch, dir, track, txn = Some(s"stream-$batchId"))
+    MemberIndex.build(batch.sparkSession, dir, indexCol, bits, probes): Unit
+  }
 
   /** Streaming CDC apply: every micro-batch MERGEs into the table on
     * `keys` — matched rows replaced whole, new keys appended, only the

@@ -77,6 +77,33 @@ class MemberIndexSpec extends SparkSpec {
     assert(MemberIndex.lookup(spark, dir, "key", Seq(9001L), asOf = Some(1L)).count() == 0)
   }
 
+  test("streaming indexed ingest: per-batch commit + O(batch) index advance, replay idempotent, crash window self-heals") {
+    import graft.streaming.ManifestStream
+    val dir = freshDir()
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(k => (k, s"p$k")).toDF("key", "payload")
+    // two indexed batches
+    ManifestStream.indexedBatch(batch(1, 50), 0L, dir, Seq("key"), "key", 1 << 14, 3)
+    ManifestStream.indexedBatch(batch(51, 90), 1L, dir, Seq("key"), "key", 1 << 14, 3)
+    assert(MemberIndex.lookup(spark, dir, "key", Seq(7L, 77L)).count() == 2)
+    // replay of the newest batch: commit short-circuits on the txn
+    // marker, the index build is a create-if-absent no-op
+    val head = ManifestTable.latestVersion(dir).get
+    ManifestStream.indexedBatch(batch(51, 90), 1L, dir, Seq("key"), "key", 1 << 14, 3)
+    assert(ManifestTable.latestVersion(dir).contains(head))
+    assert(MemberIndex.lookup(spark, dir, "key", Seq(77L)).count() == 1)
+    // crash window: a commit lands WITHOUT its index step (plain
+    // processBatch) — the next indexed batch's build covers it too
+    ManifestStream.processBatch(batch(91, 95), 2L, dir, Seq("key"))
+    ManifestStream.indexedBatch(batch(96, 99), 3L, dir, Seq("key"), "key", 1 << 14, 3)
+    assert(MemberIndex.lookup(spark, dir, "key", Seq(93L, 97L)).count() == 2)
+    // the indexed lookup equals the plain filter over the head snapshot
+    val want = ManifestTable.snapshot(spark, dir)
+      .filter($"key".isin(7L, 77L, 93L, 97L)).orderBy("key").collect().toSeq
+    assert(MemberIndex.lookup(spark, dir, "key", Seq(7L, 77L, 93L, 97L))
+      .orderBy("key").collect().toSeq == want)
+  }
+
   test("guards: unbuilt index and unknown column fail loudly; null keys rejected") {
     val dir = freshDir()
     scatteredTable(dir, 50)

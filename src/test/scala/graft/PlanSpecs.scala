@@ -268,7 +268,9 @@ class PlanSpecs extends SparkSpec {
       "q158_abc",               // grand-total: a broadcast 1-row aggregate side
       "q161_join_blowup",       // total-pairs: a broadcast 1-row aggregate side
       "q163_scalejoin_flagship", // ZoneMap null-zone gate: a broadcast <=1-row live-null side
-      "q184_pq_adc")            // broadcast query set x coded corpus + broadcast 1-row codebook
+      "q184_pq_adc",            // broadcast query set x coded corpus + broadcast 1-row codebook
+      "q188_ivfpq",             // broadcast 1-row residual codebook (probe side is an equi-join)
+      "q191_sharded_topk")      // Σ-eps total: a broadcast 1-row aggregate side
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     queries.QueryCatalog.all.foreach { q =>
       val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
