@@ -85,6 +85,21 @@ object Storage {
       MemberIndex.build(spark, p, "o_orderkey"): Unit
     }
 
+  /** A separate merged-orders table that is then RESTORED to v1 —
+    * separate from [[mergedOrders]] because restore moves the HEAD,
+    * and q182/q185/q190 read that table's post-merge state.
+    */
+  private def restoredOrders(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"manifest-orders-restore:$dir") { p =>
+      val o = Tables(spark, dir).orders
+      ManifestTable.commit(
+        o.repartitionByRange(8, col("o_orderkey")), p, track = Seq("o_orderkey"))
+      val bad = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 100) // the fat-finger load
+      ManifestTable.merge(bad, p, keys = Seq("o_orderkey"))
+      ManifestTable.restore(p, toVersion = 1L): Unit
+    }
+
   val qs: Seq[Q] = Seq(
     Q(
       "q180_manifest_prune",
@@ -308,6 +323,31 @@ object Storage {
         val atV1 = ChangeFeedView.init(spark, t, Seq("o_orderstatus"), "o_totalprice", asOf = Some(1L))
         ChangeFeedView.advance(spark, atV1, t, Seq("o_orderstatus"), "o_totalprice", 1L, 2L)
           .select(col("o_orderstatus"), col("n"), col("total").cast("double").as("sum_price"))
+      },
+    ),
+    Q(
+      "q192_restore",
+      "Metadata-only RESTORE (ManifestTable.restore — Delta's RESTORE " +
+        "semantics): a fat-finger merge multiplies every 7th order's " +
+        "price by 100, then the table rolls back to v1 by committing a " +
+        "new manifest that references v1's files VERBATIM — zero data " +
+        "copied or rewritten, the bad commit stays time-travelable for " +
+        "the audit trail, and GC keeps every file the restored head " +
+        "references. The aggregate over the restored head must equal " +
+        "the plain pre-merge rollup the oracle computes — at 100 TB the " +
+        "alternative to this O(1) undo is rewriting the table.",
+      Some("""
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY o_orderstatus
+      """.trim),
+      (spark, dir) => {
+        val t = restoredOrders(spark, dir)
+        ManifestTable.snapshot(spark, t)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+              .cast("double").as("sum_price"))
       },
     ),
   )

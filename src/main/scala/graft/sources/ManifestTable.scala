@@ -162,6 +162,34 @@ object ManifestTable {
       .unionByName(del.exceptAll(ins).withColumn("_change", lit("delete")))
   }
 
+  /** RESTORE the table to the content of an older retained snapshot —
+    * metadata-only and O(1) data I/O: a new manifest version is
+    * committed whose file list, schema, and track spec are `toVersion`'s
+    * verbatim. Nothing is copied or rewritten; history stays linear and
+    * auditable (the bad commits remain time-travelable until expiry,
+    * and the restore itself is one more version, not a log rewrite) —
+    * Delta's RESTORE semantics. The undo for a bad merge/delete/load:
+    * at 100 TB the alternative is re-writing the table.
+    *
+    * Concurrency: the optimistic install loop means a restore racing an
+    * append linearizes like any commit — whichever lands second is the
+    * table's content. A restore DISCARDS commits after `toVersion` by
+    * intent; that is what the operation means.
+    */
+  def restore(dir: String, toVersion: Long): Long = {
+    val src = manifest(dir, Some(toVersion)) // throws if expired/absent
+    var committed = -1L
+    while (committed < 0) {
+      val head = latestVersion(dir)
+      require(head.exists(_ >= toVersion), s"cannot restore $dir forward to v=$toVersion")
+      if (head.contains(toVersion)) return toVersion // already there
+      val v = head.get + 1
+      committed = tryInstall(dir,
+        Manifest(v, head, None, src.schemaJson, src.track, src.files))
+    }
+    committed
+  }
+
   private def commitFiles(
       df: DataFrame, dir: String, track: Seq[String],
       txn: Option[String], replace: Boolean): Long = {

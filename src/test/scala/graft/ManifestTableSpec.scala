@@ -449,6 +449,35 @@ class ManifestTableSpec extends SparkSpec {
     assert(span.filter($"_change" === "insert").count() == 2)
   }
 
+  test("restore: metadata-only rollback — content reverts, history stays, GC keeps restored files") {
+    val dir = freshDir()
+    val base = (1 to 60).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    ManifestTable.commit(base.repartition(3), dir, Seq("k"))
+    ManifestTable.merge(Seq((5L, "BAD"), (999L, "BAD")).toDF("k", "v"), dir, Seq("k"))
+    ManifestTable.delete(spark, dir, $"k" <= 10L)
+    val dataDirsBefore = Option(new java.io.File(dir, "data").listFiles()).get.length
+    // rollback: new head = v1's content, nothing copied
+    val v = ManifestTable.restore(dir, 1L)
+    assert(v == 4L)
+    assert(Option(new java.io.File(dir, "data").listFiles()).get.length == dataDirsBefore,
+      "restore must not write data")
+    assert(ManifestTable.snapshot(spark, dir).orderBy("k").collect().toSeq ==
+      base.orderBy("k").collect().toSeq)
+    // the bad commits remain time-travelable
+    assert(ManifestTable.snapshot(spark, dir, asOf = Some(3L)).filter($"k" === 5L).count() == 0)
+    // restoring to the head is a no-op; restoring forward is rejected
+    assert(ManifestTable.restore(dir, 4L) == 4L)
+    assert(ManifestTable.latestVersion(dir).contains(4L))
+    intercept[IllegalArgumentException](ManifestTable.restore(dir, 9L))
+    // life goes on: appends after a restore stack on the restored content
+    ManifestTable.commit(Seq((100L, "new")).toDF("k", "v"), dir, Seq("k"))
+    assert(ManifestTable.snapshot(spark, dir).count() == 61)
+    // expiry + vacuum never collect files the restored head references
+    ManifestTable.expireSnapshots(dir, keepLast = 2)
+    ManifestTable.vacuum(dir, minAgeMs = -1L)
+    assert(ManifestTable.snapshot(spark, dir).orderBy("k").collect().length == 61)
+  }
+
   test("ChangeFeedView: feed-folded rollup == full recompute at every version, deletes retract exactly") {
     import graft.sources.ChangeFeedView
     val dir = freshDir()
