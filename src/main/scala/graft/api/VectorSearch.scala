@@ -777,6 +777,34 @@ object VectorSearch {
       .select(col("q_id"), col("rank"), col(idCol), col("adc"))
   }
 
+  /** Hard-negative mining for contrastive training (the batch-mining
+    * step behind triplet/InfoNCE data prep — Xiong et al. 2021's ANCE
+    * retrieves hard negatives exactly this way): for each anchor, the
+    * `k` most-similar corpus vectors with a DIFFERENT label — maximally
+    * confusing non-matches, which carry far more gradient signal than
+    * random negatives. Same plan shape as [[knn]] (broadcast anchors,
+    * stream the corpus once, per-anchor ranking window); the label
+    * inequality rides the join condition, so mismatched pairs are
+    * dropped before they reach the window. Exact left-fold cosines —
+    * hash-gated like every similarity op.
+    */
+  def hardNegatives(
+      corpus: DataFrame, anchors: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val n = withNorm(corpus, vecCol)
+    val q = withNorm(anchors, vecCol)
+      .select(col(idCol).as("q_id"), col(labelCol).as("q_label"),
+        col(vecCol).as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col(idCol))
+    n.join(broadcast(q), col(idCol) =!= col("q_id") && col(labelCol) =!= col("q_label"))
+      .selectExpr("q_id", "q_label", idCol, labelCol,
+        s"${dotSpark("qv", vecCol)} / (qn * nrm) AS cosine")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("rank"), col(idCol),
+        col(labelCol).as("neg_label"), col("cosine"))
+  }
+
   /** IVF + PQ composed serving (IVFADC — Jégou et al. 2011 §IV, the
     * layout behind billion-vector FAISS indexes): the inverted file
     * bounds WHICH rows each query scores (only the `nprobe` nearest

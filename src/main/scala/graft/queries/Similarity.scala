@@ -216,6 +216,35 @@ object Similarity {
           "vec_id", "embedding", "label", dim = 64, m = 8, k = 4, nprobe = 2, topK = 5)
       },
     ),
+    Q(
+      "q193_hard_negatives",
+      "Hard-negative mining for contrastive training (the ANCE/DPR " +
+        "data-prep step): for each of 10 anchors, the top-5 most-" +
+        "similar embeddings with a DIFFERENT label — maximally " +
+        "confusing non-matches, the negatives that actually move a " +
+        "contrastive loss. Same scale shape as q31 (broadcast anchors, " +
+        "one corpus stream, per-anchor ranking window) with the label " +
+        "inequality riding the join condition so mismatches drop " +
+        "before the window. Exact left-fold cosines: hash-gated.",
+      Some(s"""
+        WITH n AS ($duckNorm),
+        q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv, nrm AS qn
+              FROM n WHERE vec_id < 10),
+        s AS (SELECT q.q_id, q.q_label, p.vec_id, p.label AS neg_label,
+                ${dotDuck("q.qv", "p.embedding")} / (q.qn * p.nrm) AS cosine
+              FROM q JOIN n p ON p.vec_id <> q.q_id AND p.label <> q.q_label),
+        r AS (SELECT q_id, q_label, vec_id, neg_label, cosine,
+                CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+              FROM s)
+        SELECT q_id, q_label, rank, vec_id, neg_label, cosine
+        FROM r WHERE rank <= 5 ORDER BY q_id, rank
+      """.trim),
+      (spark, dir) => {
+        val emb = Tables(spark, dir).embeddings
+        graft.api.VectorSearch.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", k = 5)
+      },
+    ),
   )
 
   /** q188's oracle: the q32 rep chain (min-id medoid per label), the
