@@ -265,4 +265,29 @@ object TimeSeries {
       .groupBy("day")
       .agg(count(lit(1)).cast("long").as(s"actives_${windowDays}d"))
   }
+
+  /** OHLC resampling bars (candlesticks): per group, the first/highest/
+    * lowest/last value plus count and exact-decimal turnover — the
+    * standard downsample a metrics store serves charts from. Open and
+    * close are keyed by (tsCol, seqCol) with `seqCol` a unique
+    * tiebreak, so bars are deterministic even when timestamps collide
+    * (a float `min_by(ts)` alone would be partition-order-dependent on
+    * ties). Plan: ONE hash aggregation — `min_by`/`max_by` over the
+    * tiebreak struct, no window, no sort; partial aggregation runs
+    * map-side, which is what makes this a single cheap pass over 100 TB
+    * of raw events.
+    */
+  def ohlc(df: DataFrame, groupCols: Seq[String], tsCol: String, seqCol: String,
+           valCol: String): DataFrame = {
+    val key = struct(col(tsCol), col(seqCol))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        min_by(col(valCol), key).as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max_by(col(valCol), key).as("close"),
+        count(lit(1)).as("volume"),
+        sum(col(valCol).cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+          .cast("double").as("turnover"))
+  }
 }

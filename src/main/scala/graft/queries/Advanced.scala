@@ -886,6 +886,35 @@ object Advanced {
         Tables(spark, dir).events.withColumn("shard", to_date(col("ts"))),
         "shard", "user_id", c = 5, k = 10),
     ),
+    Q(
+      "q195_ohlc",
+      "OHLC candlestick resampling (graft.operators.TimeSeries.ohlc): " +
+        "per (event_type, day), the first/highest/lowest/last value " +
+        "plus count and exact-decimal turnover — the downsample a " +
+        "metrics store serves charts from. Open/close key on the " +
+        "(ts, event_id) struct so bars are deterministic even under " +
+        "timestamp collisions. ONE hash aggregation — min_by/max_by " +
+        "over the tiebreak struct, partial map-side, no window, no " +
+        "sort: a single cheap pass over 100 TB of raw events. The " +
+        "oracle computes the same bars through first/last windows.",
+      Some("""
+        WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value, ts, event_id FROM events),
+        r AS (SELECT *,
+                row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rn_a,
+                row_number() OVER (PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM e)
+        SELECT event_type, day,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high, min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(*) AS volume,
+               CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS turnover
+        FROM r GROUP BY event_type, day
+      """.trim),
+      (spark, dir) => graft.operators.TimeSeries.ohlc(
+        Tables(spark, dir).events.withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "ts", "event_id", "value"),
+    ),
   )
 
   /** q163's plan, shared with FlagshipPlanSpec's plan pins. The zone

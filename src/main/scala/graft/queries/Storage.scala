@@ -326,6 +326,39 @@ object Storage {
       },
     ),
     Q(
+      "q194_sql_manifest",
+      "The SQL-first storage path end to end: the manifest table " +
+        "registers as a plain temp view (ManifestTable.createView) and " +
+        "the user just TYPES a range query — the injected " +
+        "graft.plans.ManifestSkipping optimizer rule rewrites the scan " +
+        "to the files whose committed envelopes overlap, automatically, " +
+        "with the Filter retained so the transform is bit-identical by " +
+        "construction. Same oracle as q180 proves view+rule == explicit " +
+        "prunedScan == raw-table filter; ManifestSkippingSpec pins the " +
+        "file-level pruning and the fallback guards. This is how an " +
+        "analyst actually consumes the lake: SQL against a view, " +
+        "skipping for free.",
+      Some(s"""
+        SELECT event_type, count(*) AS n, $d30_2 AS sum_value
+        FROM events
+        WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                     AND TIMESTAMP '2024-01-12 23:59:59.999999'
+        GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        val t = eventsTable(spark, dir)
+        ManifestTable.createView(spark, t, "manifest_events_v")
+        spark.sql("""
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+          FROM manifest_events_v
+          WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                       AND TIMESTAMP '2024-01-12 23:59:59.999999'
+          GROUP BY event_type
+        """)
+      },
+    ),
+    Q(
       "q192_restore",
       "Metadata-only RESTORE (ManifestTable.restore — Delta's RESTORE " +
         "semantics): a fat-finger merge multiplies every 7th order's " +
