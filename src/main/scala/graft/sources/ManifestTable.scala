@@ -203,24 +203,72 @@ object ManifestTable {
       require(missing.isEmpty, s"tracked column(s) ${missing.mkString(", ")} not in schema")
       val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
       df.write.parquet(stage)
-      val newFiles = collectStats(spark, stage, track, df.schema)
-      var committed = -1L
-      while (committed < 0) {
-        // another writer with OUR txn can't exist (txn ids are per-stream,
-        // single-flight); other writers just move the head we append to
-        val head = latestVersion(dir)
-        val parentFiles =
-          if (replace) Seq.empty
-          else head.map { v =>
-            val parent = manifest(dir, Some(v))
-            validateEvolution(parent, df.schema, track)
-            parent.files
-          }.getOrElse(Seq.empty)
-        val v = head.getOrElse(0L) + 1
-        val m = Manifest(v, head, txn, df.schema.json, track, parentFiles ++ newFiles)
-        committed = tryInstall(dir, m)
+      installStaged(spark, dir, df.schema, track, txn, stage, replace)
+    }
+  }
+
+  /** Stats + optimistic install for an already-staged write — the
+    * publish half shared by [[commitFiles]] and [[commitAudited]].
+    */
+  private def installStaged(
+      spark: SparkSession, dir: String, schema: StructType, track: Seq[String],
+      txn: Option[String], stage: String, replace: Boolean): Long = {
+    val newFiles = collectStats(spark, stage, track, schema)
+    var committed = -1L
+    while (committed < 0) {
+      // another writer with OUR txn can't exist (txn ids are per-stream,
+      // single-flight); other writers just move the head we append to
+      val head = latestVersion(dir)
+      val parentFiles =
+        if (replace) Seq.empty
+        else head.map { v =>
+          val parent = manifest(dir, Some(v))
+          validateEvolution(parent, schema, track)
+          parent.files
+        }.getOrElse(Seq.empty)
+      val v = head.getOrElse(0L) + 1
+      val m = Manifest(v, head, txn, schema.json, track, parentFiles ++ newFiles)
+      committed = tryInstall(dir, m)
+    }
+    committed
+  }
+
+  /** Write-audit-publish (Iceberg's WAP discipline, as one call): stage
+    * `df`, run `audit` against the STAGED files — exactly the bytes
+    * that would become visible, so the gate can never drift from the
+    * published data — and install the manifest only if no audit row
+    * reports violations. A failed audit deletes the staging dir and
+    * throws; the table head is untouched and NO version was created,
+    * so downstream readers (and incremental consumers keyed on
+    * versions) never observe the bad batch even transiently — the
+    * property per-table quarantine queries can't give you.
+    *
+    * `audit` returns a frame with a long `n_violations` column (e.g.
+    * [[graft.operators.Stats.dqChecks]]); any row with
+    * `n_violations > 0` aborts, and the offending check rows ride the
+    * exception message. The audit pass is one extra scan of the BATCH
+    * (never the table); `txn` gives the same exactly-once replay
+    * window as [[commit]].
+    */
+  def commitAudited(
+      df: DataFrame, dir: String, track: Seq[String],
+      audit: DataFrame => DataFrame, txn: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    new java.io.File(dir, "data").mkdirs()
+    new java.io.File(dir, "_manifests").mkdirs()
+    txn.flatMap(committedTxn(dir, _)).getOrElse {
+      val missing = track.filterNot(df.schema.fieldNames.contains)
+      require(missing.isEmpty, s"tracked column(s) ${missing.mkString(", ")} not in schema")
+      val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
+      df.write.parquet(stage)
+      val staged = spark.read.schema(df.schema).parquet(stage)
+      val bad = audit(staged).filter(col("n_violations") > 0).collect()
+      if (bad.nonEmpty) {
+        deleteRec(new java.io.File(stage))
+        throw new IllegalStateException(
+          s"audit failed, commit aborted (head untouched): ${bad.mkString("; ")}")
       }
-      committed
+      installStaged(spark, dir, df.schema, track, txn, stage, replace = false)
     }
   }
 

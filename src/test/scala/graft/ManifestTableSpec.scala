@@ -449,6 +449,33 @@ class ManifestTableSpec extends SparkSpec {
     assert(span.filter($"_change" === "insert").count() == 2)
   }
 
+  test("write-audit-publish: failing audit aborts with head untouched and staging reclaimed; passing audit publishes") {
+    val dir = freshDir()
+    def audit(batch: org.apache.spark.sql.DataFrame) =
+      graft.operators.Stats.dqChecks(batch, notNull = Seq("v"), uniqueKeys = Seq(Seq("k")))
+    ManifestTable.commitAudited(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, Seq("k"), audit)
+    assert(ManifestTable.latestVersion(dir).contains(1L))
+    // bad batch: a null v AND a duplicate key — abort, no version, no orphan
+    val e = intercept[IllegalStateException] {
+      ManifestTable.commitAudited(
+        Seq((3L, null: String), (4L, "d"), (4L, "dd")).toDF("k", "v"), dir, Seq("k"), audit)
+    }
+    assert(e.getMessage.contains("audit failed"))
+    assert(ManifestTable.latestVersion(dir).contains(1L), "failed audit must not move the head")
+    assert(ManifestTable.snapshot(spark, dir).count() == 2)
+    // the staged bad data was reclaimed immediately (not left for vacuum)
+    val dataDirs = Option(new java.io.File(dir, "data").listFiles()).get.filter(_.isDirectory)
+    assert(dataDirs.length == 1, s"bad staging must be deleted, found ${dataDirs.length} dirs")
+    // clean batch publishes; txn replay short-circuits without re-audit
+    val v = ManifestTable.commitAudited(
+      Seq((5L, "e")).toDF("k", "v"), dir, Seq("k"), audit, txn = Some("wap-1"))
+    assert(v == 2L)
+    val v2 = ManifestTable.commitAudited(
+      Seq((5L, "e")).toDF("k", "v"), dir, Seq("k"), audit, txn = Some("wap-1"))
+    assert(v2 == 2L && ManifestTable.snapshot(spark, dir).count() == 3)
+  }
+
   test("restore: metadata-only rollback — content reverts, history stays, GC keeps restored files") {
     val dir = freshDir()
     val base = (1 to 60).map(i => (i.toLong, s"v$i")).toDF("k", "v")

@@ -270,7 +270,8 @@ class PlanSpecs extends SparkSpec {
       "q163_scalejoin_flagship", // ZoneMap null-zone gate: a broadcast <=1-row live-null side
       "q184_pq_adc",            // broadcast query set x coded corpus + broadcast 1-row codebook
       "q188_ivfpq",             // broadcast 1-row residual codebook (probe side is an equi-join)
-      "q191_sharded_topk")      // Σ-eps total: a broadcast 1-row aggregate side
+      "q191_sharded_topk",      // Σ-eps total: a broadcast 1-row aggregate side
+      "q193_hard_negatives")    // broadcast anchor set x corpus (q31's guarded knn shape)
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     queries.QueryCatalog.all.foreach { q =>
       val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
