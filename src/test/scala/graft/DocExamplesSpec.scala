@@ -125,4 +125,42 @@ class DocExamplesSpec extends SparkSpec {
     val ranks = graft.operators.PageRank.runInt(edges, "src", "dst", iters = 10)
     assert(ranks.count() === 3)
   }
+
+  test("README transactional-lake-table block runs as written") {
+    import graft.sources.{ChangeFeedView, ManifestTable, MemberIndex}
+    val lake = tmpDir("docexamples_lake").toString
+    val batch = Seq(
+      (11L, "O", 10.0, java.sql.Date.valueOf("2024-01-02")),
+      (222L, "F", 20.0, java.sql.Date.valueOf("2024-01-05")),
+      (333L, "O", 30.0, java.sql.Date.valueOf("2024-01-09")),
+    ).toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    ManifestTable.commitAudited(batch, lake, track = Seq("o_orderdate"),
+      audit = b => Stats.dqChecks(b, notNull = Seq("o_orderkey"),
+        uniqueKeys = Seq(Seq("o_orderkey"))))
+    MemberIndex.build(spark, lake, "o_orderkey")
+    val rows = MemberIndex.lookup(spark, lake, "o_orderkey", Seq(11L, 222L))
+    assert(rows.count() === 2)
+    val view = ChangeFeedView.init(spark, lake, Seq("o_orderstatus"), "o_totalprice")
+    ManifestTable.merge(Seq((11L, "F", 99.0, java.sql.Date.valueOf("2024-01-02")))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"), lake, Seq("o_orderkey"))
+    val v2 = ChangeFeedView.advance(spark, view, lake,
+      Seq("o_orderstatus"), "o_totalprice", fromV = 1L, toV = 2L)
+    assert(v2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === Map("O" -> 1L, "F" -> 2L))
+    assert(ManifestTable.restore(lake, toVersion = 1L) === 3L)
+    assert(ManifestTable.snapshot(spark, lake).count() === 3)
+  }
+
+  test("README composed-ANN block runs as written") {
+    val embs = (0 until 24).map { i =>
+      (i.toLong, s"c${i % 2}", Array.tabulate(8)(d => if (d / 4 == i % 2) 1.0f + 0.01f * i else 0.0f))
+    }.toDF("vec_id", "label", "embedding")
+    val queries = embs.filter($"vec_id" < 2L)
+    val ivfpq = VectorSearch.ivfPqSearch(embs, queries, "vec_id", "embedding", "label",
+      dim = 8, m = 2, k = 2, nprobe = 1, topK = 5)
+    assert(ivfpq.count() === 10)
+    val negs = VectorSearch.hardNegatives(embs, queries, "vec_id", "embedding", "label", k = 5)
+    assert(negs.count() === 10)
+    // a hard negative never shares the anchor's label
+    assert(negs.filter($"q_label" === $"neg_label").count() === 0)
+  }
 }
