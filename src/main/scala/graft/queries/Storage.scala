@@ -100,6 +100,25 @@ object Storage {
       ManifestTable.restore(p, toVersion = 1L): Unit
     }
 
+  /** events committed once per (session, sf dir), then MERGE-ON-READ
+    * deleted: three users tombstoned by key (O(keys) bytes written,
+    * zero data files rewritten), then one of them re-inserted as a
+    * single late event — the sequence-number case that separates MoR
+    * from a naive global anti join.
+    */
+  private def morEvents(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"manifest-events-mor:$dir") { p =>
+      val ev = Tables(spark, dir).events
+      ManifestTable.commit(ev.repartitionByRange(10, col("ts")), p, track = Seq("ts"))
+      ManifestTable.deleteByKey(
+        spark.range(3).select((col("id") + 1).as("user_id")), p, Seq("user_id"))
+      // user 2 comes back: one fresh deterministic row (min event_id),
+      // landing with a seq above the tombstone's
+      ManifestTable.commit(
+        ev.filter(col("user_id") === 2L).orderBy("event_id").limit(1)
+          .withColumn("event_type", lit("returned")), p, track = Seq("ts")): Unit
+    }
+
   val qs: Seq[Q] = Seq(
     Q(
       "q180_manifest_prune",
@@ -323,6 +342,43 @@ object Storage {
         val atV1 = ChangeFeedView.init(spark, t, Seq("o_orderstatus"), "o_totalprice", asOf = Some(1L))
         ChangeFeedView.advance(spark, atV1, t, Seq("o_orderstatus"), "o_totalprice", 1L, 2L)
           .select(col("o_orderstatus"), col("n"), col("total").cast("double").as("sum_price"))
+      },
+    ),
+    Q(
+      "q196_mor_delete",
+      "MERGE-ON-READ equality deletes (ManifestTable.deleteByKey — the " +
+        "write-cheap sibling of q183's copy-on-write): tombstoning " +
+        "three users writes O(keys) bytes and rewrites NOTHING; every " +
+        "reader applies the tombstones through one sequence-scoped " +
+        "anti join (delete seq > file seq), so a user re-inserted " +
+        "AFTER the delete is never shadowed — the Iceberg " +
+        "sequence-number rule, which a naive global anti join gets " +
+        "wrong. The oracle reconstructs the same state relationally " +
+        "(NOT IN plus the deterministic re-insert), so MoR read " +
+        "semantics are hash-gated; the spec additionally pins the " +
+        "zero-rewrite commit, materializeDeletes equivalence, and the " +
+        "CoW/feed guards. At 100 TB: GDPR-class deletes in kilobytes, " +
+        "debt repaid on the maintenance cadence.",
+      Some(s"""
+        WITH re AS (
+          SELECT event_id, ts, user_id, 'returned' AS event_type, value, props
+          FROM events WHERE user_id = 2
+          ORDER BY event_id LIMIT 1
+        ),
+        snap AS (
+          SELECT * FROM events WHERE user_id NOT IN (1, 2, 3)
+          UNION ALL SELECT * FROM re
+        )
+        SELECT event_type, count(*) AS n, $d30_2 AS sum_value
+        FROM snap GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        val t = morEvents(spark, dir)
+        ManifestTable.snapshot(spark, t)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+              .cast("double").as("sum_value"))
       },
     ),
     Q(

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** A transactional manifest-tracked parquet table — the storage-layer
   * commit protocol a 100 TB ingest needs, in the shape Iceberg/Delta
@@ -60,13 +60,26 @@ object ManifestTable {
   /** One data file plus its commit-time statistics: `mins`/`maxs` hold
     * the string-cast min/max per tracked column; a `None` envelope means
     * the file has NO non-null value in that column (min/max ignore
-    * nulls), so a range predicate can never match it.
+    * nulls), so a range predicate can never match it. `seq` is the
+    * version at which the file ENTERED the table (carried verbatim
+    * across later manifests) — the sequence number that scopes
+    * merge-on-read deletes: a delete committed at version d removes
+    * key-matching rows only from files with `seq < d`, so re-inserting
+    * a deleted key later is never shadowed by the old tombstone
+    * (Iceberg's data-sequence-number rule).
     */
   final case class FileEntry(
       path: String,
       rows: Long,
       mins: Map[String, Option[String]],
-      maxs: Map[String, Option[String]])
+      maxs: Map[String, Option[String]],
+      seq: Long = 0L)
+
+  /** One merge-on-read equality-delete file: `rows` distinct key tuples
+    * (columns = the manifest's `deleteKeys`), applying to data files
+    * with `seq` strictly below this entry's.
+    */
+  final case class DeleteEntry(path: String, rows: Long, seq: Long)
 
   final case class Manifest(
       version: Long,
@@ -74,7 +87,9 @@ object ManifestTable {
       txn: Option[String],
       schemaJson: String,
       track: Seq[String],
-      files: Seq[FileEntry])
+      files: Seq[FileEntry],
+      deleteKeys: Seq[String] = Nil,
+      deleteFiles: Seq[DeleteEntry] = Nil)
 
   // ---------------------------------------------------------------- commit
 
@@ -110,6 +125,7 @@ object ManifestTable {
     */
   def compact(spark: SparkSession, dir: String, clusterBy: String, numFiles: Int): Long = {
     val head = manifest(dir, None)
+    requireNoMorDeletes(head, "compact")
     if (head.files.isEmpty) return head.version
     val df = readFiles(spark, head.schemaJson, head.files.map(_.path))
     installRewrite(df.repartitionByRange(numFiles, col(clusterBy)),
@@ -129,6 +145,7 @@ object ManifestTable {
       spark: SparkSession, dir: String, clusterBy: String,
       minRows: Long, numFiles: Int): Long = {
     val head = manifest(dir, None)
+    requireNoMorDeletes(head, "compactSmall")
     val small = head.files.filter(_.rows < minRows).map(_.path)
     if (small.size <= 1) head.version // nothing to fold
     else {
@@ -154,6 +171,11 @@ object ManifestTable {
     require(fromV < toV, s"need fromV < toV, got $fromV -> $toV")
     val a = manifest(dir, Some(fromV))
     val b = manifest(dir, Some(toV))
+    // a merge-on-read delete changes CONTENT without changing the data
+    // file lists this feed diffs — silently empty feeds would be wrong
+    require(a.deleteFiles == b.deleteFiles,
+      s"change feed $fromV -> $toV crosses merge-on-read delete commits; " +
+        "run materializeDeletes (a tracked copy-on-write commit) first")
     val aPaths = a.files.map(_.path).toSet
     val bPaths = b.files.map(_.path).toSet
     val ins = readFiles(spark, b.schemaJson, b.files.map(_.path).filterNot(aPaths))
@@ -185,7 +207,8 @@ object ManifestTable {
       if (head.contains(toVersion)) return toVersion // already there
       val v = head.get + 1
       committed = tryInstall(dir,
-        Manifest(v, head, None, src.schemaJson, src.track, src.files))
+        Manifest(v, head, None, src.schemaJson, src.track, src.files,
+          src.deleteKeys, src.deleteFiles))
     }
     committed
   }
@@ -219,15 +242,17 @@ object ManifestTable {
       // another writer with OUR txn can't exist (txn ids are per-stream,
       // single-flight); other writers just move the head we append to
       val head = latestVersion(dir)
-      val parentFiles =
-        if (replace) Seq.empty
-        else head.map { v =>
-          val parent = manifest(dir, Some(v))
-          validateEvolution(parent, schema, track)
-          parent.files
-        }.getOrElse(Seq.empty)
+      val parent = if (replace) None else head.map(v => manifest(dir, Some(v)))
+      parent.foreach(p => validateEvolution(p, schema, track))
       val v = head.getOrElse(0L) + 1
-      val m = Manifest(v, head, txn, schema.json, track, parentFiles ++ newFiles)
+      // appends carry the parent's pending merge-on-read deletes: the
+      // new files enter with seq = v > every pending delete's seq, so
+      // fresh rows are never shadowed; replace clears them (the content
+      // they applied to is gone)
+      val m = Manifest(v, head, txn, schema.json, track,
+        parent.map(_.files).getOrElse(Seq.empty) ++ newFiles.map(_.copy(seq = v)),
+        parent.map(_.deleteKeys).getOrElse(Nil),
+        parent.map(_.deleteFiles).getOrElse(Nil))
       committed = tryInstall(dir, m)
     }
     committed
@@ -338,6 +363,7 @@ object ManifestTable {
   def delete(spark: SparkSession, dir: String, cond: Column, txn: Option[String] = None): Long =
     txn.flatMap(committedTxn(dir, _)).getOrElse {
       val head = manifest(dir, None)
+      requireNoMorDeletes(head, "delete")
       val snap = readFiles(spark, head.schemaJson, head.files.map(_.path))
       // cond evaluates twice (find touched files, then rewrite them); a
       // nondeterministic predicate could rewrite a different row set
@@ -356,6 +382,118 @@ object ManifestTable {
           .where(coalesce(!cond, lit(true)))
         installRewrite(kept, dir, head, touched, txn)
       }
+    }
+
+  private def requireNoMorDeletes(m: Manifest, op: String): Unit =
+    require(m.deleteFiles.isEmpty,
+      s"$op on a table with ${m.deleteFiles.size} pending merge-on-read delete file(s); " +
+        "run materializeDeletes first — a copy-on-write rewrite computed from raw file " +
+        "bytes would resurrect tombstoned rows")
+
+  /** MERGE-ON-READ equality delete — the WRITE-cheap sibling of the
+    * copy-on-write [[delete]]: committing removes NOTHING from data
+    * files; it stages only the distinct key tuples (`keyRows`, columns
+    * = `keys`) as a tombstone file and appends a [[DeleteEntry]] to the
+    * manifest. Cost is O(|keys deleted|) bytes written — kilobytes
+    * where a CoW delete rewrites gigabytes — which is why lakes expose
+    * both: MoR for frequent fine-grained deletes (GDPR erasure, CDC
+    * retractions), CoW/[[materializeDeletes]] to fold the read-side
+    * debt back down.
+    *
+    * Read-side semantics (applied by every reader via the snapshot
+    * path): a delete committed at version d removes key-matching rows
+    * from files with `seq < d` ONLY — re-inserting a deleted key later
+    * is never shadowed (Iceberg's sequence-number rule; spec'd). One
+    * key spec per table at a time: mixing key shapes would make "which
+    * tombstone applies" ambiguous. CoW operations (delete/merge/
+    * compact) refuse while deletes are pending — they rewrite from raw
+    * file bytes and would resurrect tombstoned rows — and [[changes]]
+    * refuses to diff across a MoR commit rather than produce a
+    * silently-empty feed.
+    */
+  def deleteByKey(
+      keyRows: DataFrame, dir: String, keys: Seq[String],
+      txn: Option[String] = None): Long = {
+    val spark = keyRows.sparkSession
+    require(keys.nonEmpty, "need at least one key column")
+    txn.flatMap(committedTxn(dir, _)).getOrElse {
+      val head = manifest(dir, None)
+      val schema = DataFrameSchema.fromJson(head.schemaJson)
+      val missing = keys.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty, s"key column(s) ${missing.mkString(", ")} not in schema")
+      require(head.deleteKeys.isEmpty || head.deleteKeys == keys,
+        s"table already has pending deletes keyed by [${head.deleteKeys.mkString(", ")}]; " +
+          "materialize before switching key spec")
+      require(keyRows.columns.sorted.sameElements(keys.sorted),
+        s"keyRows columns [${keyRows.columns.sorted.mkString(", ")}] must be exactly the keys")
+      val typed = keyRows.select(keys.map(k => col(k).cast(schema(k).dataType)).toIndexedSeq: _*)
+      val nNull = typed.filter(keys.map(col(_).isNull).reduce(_ || _)).limit(1).count()
+      require(nNull == 0, "delete keys must be non-null (a null key never equi-joins)")
+      val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
+      typed.distinct().write.parquet(stage)
+      val keySchema = StructType(keys.map(k => schema(k)))
+      val staged = spark.read.schema(keySchema).parquet(stage)
+        .groupBy(input_file_name().as("p")).agg(count(lit(1)).as("n"))
+        .collect().map(r => stripScheme(r.getString(0)) -> r.getLong(1))
+      var committed = -1L
+      while (committed < 0) {
+        val cur = manifest(dir, None)
+        require(cur.deleteKeys.isEmpty || cur.deleteKeys == keys,
+          "concurrent writer switched the delete key spec; retry against the new head")
+        val v = cur.version + 1
+        val m = cur.copy(version = v, parent = Some(cur.version), txn = txn,
+          deleteKeys = keys,
+          deleteFiles = cur.deleteFiles ++ staged.map { case (p, n) => DeleteEntry(p, n, v) })
+        committed = tryInstall(dir, m)
+      }
+      committed
+    }
+  }
+
+  /** Fold pending merge-on-read deletes back into the data files: the
+    * files that actually hold tombstoned rows (found with one bounded
+    * probe) rewrite without them, untouched files carry their entries,
+    * and the new manifest drops the tombstones — after which the CoW
+    * operations and the change feed are available again. This is the
+    * read-debt repayment half of the MoR bargain, the role Iceberg's
+    * rewrite-data-files action plays; run it on the maintenance cadence,
+    * not per delete.
+    */
+  def materializeDeletes(spark: SparkSession, dir: String, txn: Option[String] = None): Long =
+    txn.flatMap(committedTxn(dir, _)).getOrElse {
+      val head = manifest(dir, None)
+      if (head.deleteFiles.isEmpty) return head.version
+      val allPaths = head.files.map(_.path)
+      // bounded probe: which files still hold a tombstoned row?
+      val affected = morDoomedPaths(spark, head, allPaths)
+      var committed = -1L
+      var staged: Option[(Seq[FileEntry], Set[String])] = None
+      if (affected.nonEmpty) {
+        val kept = appliedRead(spark, head, affected.toSeq)
+        val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
+        kept.write.parquet(stage)
+        staged = Some((collectStats(spark, stage, head.track,
+          DataFrameSchema.fromJson(head.schemaJson)), affected))
+      }
+      while (committed < 0) {
+        val cur = manifest(dir, None)
+        require(cur.deleteFiles == head.deleteFiles,
+          "concurrent writer changed the pending deletes mid-materialize; retry")
+        val gone = affected.filterNot(cur.files.map(_.path).toSet)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent writer removed ${gone.size} file(s) this materialize depends on")
+        val v = cur.version + 1
+        val files = staged match {
+          case Some((newFiles, removed)) =>
+            cur.files.filterNot(f => removed(f.path)) ++ newFiles.map(_.copy(seq = v))
+          case None => cur.files
+        }
+        val m = cur.copy(version = v, parent = Some(cur.version), txn = txn,
+          files = files, deleteKeys = Nil, deleteFiles = Nil)
+        committed = tryInstall(dir, m)
+      }
+      committed
     }
 
   /** MERGE (upsert) of `source` into the table on key columns `keys`:
@@ -377,6 +515,7 @@ object ManifestTable {
     val spark = source.sparkSession
     txn.flatMap(committedTxn(dir, _)).getOrElse {
       val head = manifest(dir, None)
+      requireNoMorDeletes(head, "merge")
       val schema = DataFrameSchema.fromJson(head.schemaJson)
       require(source.columns.sorted.sameElements(schema.fieldNames.sorted),
         s"source columns [${source.columns.sorted.mkString(", ")}] must match table " +
@@ -468,8 +607,9 @@ object ManifestTable {
                 "duplicate keys — re-read the head and retry the merge")
         }
       }
-      val m = Manifest(cur.version + 1, Some(cur.version), txn, base.schemaJson, base.track,
-        cur.files.filterNot(f => removed(f.path)) ++ newFiles)
+      val v = cur.version + 1
+      val m = Manifest(v, Some(cur.version), txn, base.schemaJson, base.track,
+        cur.files.filterNot(f => removed(f.path)) ++ newFiles.map(_.copy(seq = v)))
       committed = tryInstall(dir, m)
     }
     committed
@@ -574,7 +714,59 @@ object ManifestTable {
     */
   def snapshot(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
     val m = manifest(dir, asOf)
-    readFiles(spark, m.schemaJson, m.files.map(_.path))
+    appliedRead(spark, m, m.files.map(_.path))
+  }
+
+  /** Read `paths` of snapshot `m` with pending merge-on-read deletes
+    * APPLIED: each data row carries its file's sequence number, each
+    * delete row its delete file's, and one anti join on the delete keys
+    * (with the `deleteSeq > fileSeq` scoping condition) removes exactly
+    * the tombstoned rows. Sequence lookups ride the globally-unique
+    * part-file NAME (paths embed a per-job UUID), so no
+    * `input_file_name()` scheme normalization is needed. With no
+    * pending deletes this is the plain pinned-schema read.
+    */
+  private[sources] def appliedRead(
+      spark: SparkSession, m: Manifest, paths: Seq[String]): DataFrame =
+    if (m.deleteFiles.isEmpty || paths.isEmpty) readFiles(spark, m.schemaJson, paths)
+    else morJoin(spark, m, paths, "left_anti").drop("__bname", "__fname", "__fseq")
+
+  /** The rows/files pending deletes still REMOVE from `paths` — the
+    * bounded probe [[materializeDeletes]] plans its rewrite set from.
+    */
+  private def morDoomedPaths(spark: SparkSession, m: Manifest, paths: Seq[String]): Set[String] =
+    if (m.deleteFiles.isEmpty || paths.isEmpty) Set.empty
+    else morJoin(spark, m, paths, "left_semi")
+      .select("__bname").distinct()
+      .collect().map(_.getString(0))
+      .toSet match {
+        case names => paths.filter(p => names(p.substring(p.lastIndexOf('/') + 1))).toSet
+      }
+
+  private def morJoin(
+      spark: SparkSession, m: Manifest, paths: Seq[String], joinType: String): DataFrame = {
+    def fname(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    def seqDf(rows: Seq[(String, Long)], nameCol: String, seqCol: String) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (n, s) => org.apache.spark.sql.Row(n, s) }, 1),
+        StructType(Seq(StructField(nameCol, StringType), StructField(seqCol, LongType))))
+    val schema = DataFrameSchema.fromJson(m.schemaJson)
+    val keySchema = StructType(m.deleteKeys.map(k => schema(k)))
+    val fileNameExpr = element_at(split(input_file_name(), "/"), -1)
+    val fSeq = seqDf(m.files.filter(f => paths.contains(f.path))
+      .map(f => fname(f.path) -> f.seq), "__fname", "__fseq")
+    val dSeq = seqDf(m.deleteFiles.map(d => fname(d.path) -> d.seq), "__dname", "__dseq")
+    val dels = spark.read.schema(keySchema).parquet(m.deleteFiles.map(_.path): _*)
+      .withColumn("__dname", fileNameExpr)
+      .join(dSeq, "__dname")
+      .select((m.deleteKeys.map(k => col(k).as(s"__d_$k")) :+ col("__dseq")): _*)
+    val withSeq = readFiles(spark, m.schemaJson, paths)
+      .withColumn("__bname", fileNameExpr)
+      .join(fSeq, col("__bname") === col("__fname"))
+    val cond = m.deleteKeys.map(k => withSeq(k) === dels(s"__d_$k")).reduce(_ && _) &&
+      dels("__dseq") > withSeq("__fseq")
+    withSeq.join(dels, cond, joinType)
   }
 
   /** Scan rows with `lo <= trackedCol <= hi` opening only files whose
@@ -591,7 +783,7 @@ object ManifestTable {
       lo: Column, hi: Column, asOf: Option[Long] = None): DataFrame = {
     val m = manifest(dir, asOf)
     val live = overlappingPaths(spark, m, trackedCol, lo, hi)
-    readFiles(spark, m.schemaJson, live)
+    appliedRead(spark, m, live)
       .filter(col(trackedCol).between(lo, hi))
   }
 
@@ -659,8 +851,9 @@ object ManifestTable {
     val dropped = drop.map(v => manifest(dir, Some(v)))
     drop.foreach(v => java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(dir, "_manifests", manifestName(v))): Unit)
-    val kept = versions(dir).flatMap(v => manifest(dir, Some(v)).files.map(_.path)).toSet
-    dropped.flatMap(_.files.map(_.path)).distinct
+    def allPaths(m: Manifest) = m.files.map(_.path) ++ m.deleteFiles.map(_.path)
+    val kept = versions(dir).flatMap(v => allPaths(manifest(dir, Some(v)))).toSet
+    dropped.flatMap(allPaths).distinct
       .filterNot(kept)
       .foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)): Unit)
     // commit dirs whose every DATA file is gone fold away — only then
@@ -683,7 +876,10 @@ object ManifestTable {
     */
   def vacuum(dir: String, minAgeMs: Long = 24L * 3600 * 1000): Unit = {
     val referenced = versions(dir)
-      .flatMap(v => manifest(dir, Some(v)).files.map(_.path))
+      .flatMap { v =>
+        val m = manifest(dir, Some(v))
+        m.files.map(_.path) ++ m.deleteFiles.map(_.path)
+      }
       .map(p => java.nio.file.Paths.get(p).getParent.getFileName.toString)
       .toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -741,13 +937,16 @@ object ManifestTable {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val files = m.files.map { f =>
-      ("path" -> f.path) ~ ("rows" -> f.rows) ~
+      ("path" -> f.path) ~ ("rows" -> f.rows) ~ ("seq" -> f.seq) ~
         ("mins" -> f.mins.map { case (k, v) => k -> v }) ~
         ("maxs" -> f.maxs.map { case (k, v) => k -> v })
     }
+    val dels = m.deleteFiles.map(d =>
+      ("path" -> d.path) ~ ("rows" -> d.rows) ~ ("seq" -> d.seq))
     JsonMethods.compact(JsonMethods.render(
       ("version" -> m.version) ~ ("parent" -> m.parent) ~ ("txn" -> m.txn) ~
-        ("schema" -> m.schemaJson) ~ ("track" -> m.track) ~ ("files" -> files)))
+        ("schema" -> m.schemaJson) ~ ("track" -> m.track) ~ ("files" -> files) ~
+        ("deleteKeys" -> m.deleteKeys) ~ ("deleteFiles" -> dels)))
   }
 
   private def parse(s: String): Manifest = {
@@ -766,7 +965,15 @@ object ManifestTable {
           (f \ "path").extract[String],
           (f \ "rows").extract[Long],
           (f \ "mins").extract[Map[String, Option[String]]],
-          (f \ "maxs").extract[Map[String, Option[String]]])
+          (f \ "maxs").extract[Map[String, Option[String]]],
+          (f \ "seq").extractOpt[Long].getOrElse(0L))
+      },
+      (j \ "deleteKeys").extractOpt[Seq[String]].getOrElse(Nil),
+      (j \ "deleteFiles").extractOpt[Seq[JValue]].getOrElse(Nil).map { d =>
+        DeleteEntry(
+          (d \ "path").extract[String],
+          (d \ "rows").extract[Long],
+          (d \ "seq").extract[Long])
       })
   }
 

@@ -134,13 +134,11 @@ object MemberIndex {
       spark: SparkSession, dir: String, column: String, keys: Seq[Any],
       asOf: Option[Long] = None): DataFrame = {
     val m = ManifestTable.manifest(dir, asOf)
-    val schema = DataFrameSchema.fromJson(m.schemaJson)
     val paths = candidatePaths(spark, dir, column, keys, asOf)
-    val base =
-      if (paths.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(paths: _*)
-    base.filter(col(column).isin(keys: _*))
+    // the applied read honors pending merge-on-read deletes — an
+    // index-routed lookup must never resurrect a tombstoned row
+    ManifestTable.appliedRead(spark, m, paths)
+      .filter(col(column).isin(keys: _*))
   }
 
   // ------------------------------------------------------------- internals

@@ -449,6 +449,72 @@ class ManifestTableSpec extends SparkSpec {
     assert(span.filter($"_change" === "insert").count() == 2)
   }
 
+  test("merge-on-read deletes: O(keys) commit, sequence-scoped application, re-insert never shadowed, materialize pays the debt") {
+    val dir = freshDir()
+    val base = (1 to 100).map(i => (i.toLong, s"g${i % 4}", i * 1.0)).toDF("k", "g", "v")
+    ManifestTable.commit(base.repartitionByRange(4, $"k"), dir, Seq("k"))
+    val dataDirs0 = Option(new java.io.File(dir, "data").listFiles()).get.count(_.isDirectory)
+    // MoR delete: nothing rewrites, one tombstone file lands
+    ManifestTable.deleteByKey(Seq(7L, 8L, 50L).toDF("k"), dir, Seq("k"))
+    val m2 = ManifestTable.manifest(dir, None)
+    assert(m2.deleteFiles.size == 1 && m2.deleteFiles.head.rows == 3)
+    assert(m2.files.map(_.path) == ManifestTable.manifest(dir, Some(1L)).files.map(_.path),
+      "MoR delete must not touch data files")
+    // every reader path applies the tombstones
+    assert(ManifestTable.snapshot(spark, dir).count() == 97)
+    assert(ManifestTable.snapshot(spark, dir).filter($"k".isin(7L, 8L, 50L)).count() == 0)
+    assert(ManifestTable.prunedScan(spark, dir, "k", lit(1L), lit(10L)).count() == 8)
+    // time travel before the delete still sees the rows
+    assert(ManifestTable.snapshot(spark, dir, asOf = Some(1L)).count() == 100)
+    // sequence rule: re-inserting key 7 AFTER the delete is never shadowed
+    ManifestTable.commit(Seq((7L, "g7", 777.0)).toDF("k", "g", "v"), dir, Seq("k"))
+    val re = ManifestTable.snapshot(spark, dir).filter($"k" === 7L).collect()
+    assert(re.length == 1 && re.head.getDouble(2) == 777.0, "re-insert must win over the older tombstone")
+    // a second MoR delete stacks; CoW ops and the feed refuse while pending
+    ManifestTable.deleteByKey(Seq(9L).toDF("k"), dir, Seq("k"))
+    assert(ManifestTable.snapshot(spark, dir).count() == 96 + 1) // 100 - 4 deleted + 1 re-insert... (7,8,50 old; 9) + new 7
+    intercept[IllegalArgumentException](ManifestTable.delete(spark, dir, $"k" === 1L))
+    intercept[IllegalArgumentException](
+      ManifestTable.merge(Seq((1L, "g", 0.0)).toDF("k", "g", "v"), dir, Seq("k")))
+    intercept[IllegalArgumentException](ManifestTable.compact(spark, dir, "k", 2))
+    intercept[IllegalArgumentException](ManifestTable.changes(spark, dir, 1L, 4L))
+    // materialize: rewrites only affected files, drops tombstones, content identical
+    val before = ManifestTable.snapshot(spark, dir).orderBy("k", "v").collect().toSeq
+    val v5 = ManifestTable.materializeDeletes(spark, dir)
+    val m5 = ManifestTable.manifest(dir, None)
+    assert(m5.deleteFiles.isEmpty && m5.deleteKeys.isEmpty)
+    assert(ManifestTable.snapshot(spark, dir).orderBy("k", "v").collect().toSeq == before,
+      "materialize must not change table content")
+    // the untouched file (keys 76..100 range, no tombstoned keys) carried its entry
+    val carried = ManifestTable.manifest(dir, Some(1L)).files.map(_.path)
+      .intersect(m5.files.map(_.path))
+    assert(carried.nonEmpty, "files without tombstoned rows must carry, not rewrite")
+    // CoW ops work again; GC never reclaims live tombstones but sweeps them post-expiry
+    assert(ManifestTable.delete(spark, dir, $"k" === 2L) == v5 + 1)
+    ManifestTable.expireSnapshots(dir, keepLast = 1)
+    ManifestTable.vacuum(dir, minAgeMs = -1L)
+    assert(ManifestTable.snapshot(spark, dir).count() == before.size - 1)
+    val _ = dataDirs0
+  }
+
+  test("MoR delete guards: wrong key columns, null keys, key-spec switch all fail loudly") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
+    intercept[IllegalArgumentException](
+      ManifestTable.deleteByKey(Seq(1L).toDF("nope"), dir, Seq("nope")))
+    intercept[IllegalArgumentException](
+      ManifestTable.deleteByKey(Seq((1L, "x")).toDF("k", "v"), dir, Seq("k")))
+    intercept[IllegalArgumentException](
+      ManifestTable.deleteByKey(Seq(Option.empty[java.lang.Long]).toDF("k"), dir, Seq("k")))
+    ManifestTable.deleteByKey(Seq(1L).toDF("k"), dir, Seq("k"))
+    intercept[IllegalArgumentException](
+      ManifestTable.deleteByKey(Seq("v1").toDF("v"), dir, Seq("v")))
+    // idempotent replay via txn
+    val v = ManifestTable.deleteByKey(Seq(2L).toDF("k"), dir, Seq("k"), txn = Some("mor-1"))
+    assert(ManifestTable.deleteByKey(Seq(2L).toDF("k"), dir, Seq("k"), txn = Some("mor-1")) == v)
+    assert(ManifestTable.snapshot(spark, dir).count() == 8)
+  }
+
   test("write-audit-publish: failing audit aborts with head untouched and staging reclaimed; passing audit publishes") {
     val dir = freshDir()
     def audit(batch: org.apache.spark.sql.DataFrame) =
