@@ -128,4 +128,34 @@ object ManifestStream {
       case None => ManifestTable.commit(batch, dir, track, txn = Some(s"upsert-$batchId")): Unit
       case Some(_) => ManifestTable.merge(batch, dir, keys, txn = Some(s"upsert-$batchId")): Unit
     }
+
+  /** Streaming RETRACTION apply: each micro-batch of key tuples lands
+    * as one merge-on-read delete commit ([[ManifestTable.deleteByKey]])
+    * — O(batch keys) bytes written per batch, zero data files touched,
+    * exactly-once under replay via the batch-id txn marker. The erasure
+    * half of a CDC pipeline ([[startUpsert]] being the upsert half):
+    * deletion requests stream in, readers see them immediately through
+    * the sequence-scoped tombstone join, and the rewrite cost is paid
+    * later, once, by a scheduled [[ManifestTable.materializeDeletes]] —
+    * not per batch. Empty batches commit nothing.
+    */
+  def startDeletes(
+      keyStream: DataFrame,
+      dir: String,
+      keys: Seq[String],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+  ): StreamingQuery =
+    keyStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        deleteBatch(batch.toDF(), batchId, dir, keys)
+      }
+      .start()
+
+  /** One idempotent retraction step (public for replay/crash specs). */
+  def deleteBatch(batch: DataFrame, batchId: Long, dir: String, keys: Seq[String]): Unit =
+    if (!batch.isEmpty)
+      ManifestTable.deleteByKey(batch, dir, keys, txn = Some(s"mordel-$batchId")): Unit
 }

@@ -497,6 +497,25 @@ class ManifestTableSpec extends SparkSpec {
     val _ = dataDirs0
   }
 
+  test("streaming retraction sink: per-batch MoR delete commits, replay no-ops, materialize closes the loop") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
+    ManifestStream.deleteBatch(Seq(5L, 6L).toDF("k"), 0L, dir, Seq("k"))
+    ManifestStream.deleteBatch(Seq(7L).toDF("k"), 1L, dir, Seq("k"))
+    assert(ManifestTable.snapshot(spark, dir).count() == 47)
+    // replay of batch 1: txn marker short-circuits, nothing stacks twice
+    val head = ManifestTable.latestVersion(dir).get
+    ManifestStream.deleteBatch(Seq(7L).toDF("k"), 1L, dir, Seq("k"))
+    assert(ManifestTable.latestVersion(dir).contains(head))
+    // empty batches commit nothing
+    ManifestStream.deleteBatch(Seq.empty[Long].toDF("k"), 2L, dir, Seq("k"))
+    assert(ManifestTable.latestVersion(dir).contains(head))
+    // maintenance closes the loop
+    ManifestTable.materializeDeletes(spark, dir)
+    assert(ManifestTable.manifest(dir, None).deleteFiles.isEmpty)
+    assert(ManifestTable.snapshot(spark, dir).count() == 47)
+  }
+
   test("MoR delete guards: wrong key columns, null keys, key-spec switch all fail loudly") {
     val dir = freshDir()
     ManifestTable.commit((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
