@@ -891,7 +891,10 @@ object ManifestTable {
   /** O(metadata) table statistics from the manifest alone — no data
     * read: (version, file count, row count). The commit-time `rows`
     * per file makes COUNT(*)-class questions (and planner sizing
-    * decisions) free, the way a warehouse's catalog stats do.
+    * decisions) free, the way a warehouse's catalog stats do. With
+    * pending merge-on-read deletes the row count is an UPPER BOUND
+    * (tombstoned rows still sit in their files until
+    * [[materializeDeletes]]); exact counts come from the snapshot.
     */
   def tableStats(dir: String, asOf: Option[Long] = None): (Long, Long, Long) = {
     val m = manifest(dir, asOf)

@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
   * A missing or stale index can always fall back to the full file
   * list; nothing transactional depends on it.
   *
+  * Merge-on-read deletes need no index maintenance: tombstoned rows
+  * stay fingerprinted (a false positive at worst — extra file opened),
+  * and [[lookup]] reads through the manifest's applied path, so it can
+  * never resurrect a deleted row.
+  *
   * Sizing (`bits` per file, `probes` hash functions): false-positive
   * rate ≈ (1 - e^(-probes·n/bits))^probes for n distinct keys per
   * file. The 256 Ki-bit default holds fp ≈ 1% at ~20k keys/file;

@@ -148,6 +148,11 @@ class DocExamplesSpec extends SparkSpec {
     assert(v2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === Map("O" -> 1L, "F" -> 2L))
     assert(ManifestTable.restore(lake, toVersion = 1L) === 3L)
     assert(ManifestTable.snapshot(spark, lake).count() === 3)
+    val erasureKeys = Seq(222L).toDF("o_orderkey")
+    ManifestTable.deleteByKey(erasureKeys, lake, Seq("o_orderkey"))
+    assert(ManifestTable.snapshot(spark, lake).count() === 2)
+    ManifestTable.materializeDeletes(spark, lake)
+    assert(ManifestTable.snapshot(spark, lake).count() === 2)
   }
 
   test("README composed-ANN block runs as written") {
