@@ -588,6 +588,15 @@ object ManifestTable {
       val headV = latestVersion(dir).getOrElse(
         throw new java.util.ConcurrentModificationException(s"table $dir vanished mid-commit"))
       val cur = manifest(dir, Some(headV))
+      // a merge-on-read delete that landed since this rewrite was
+      // computed would either be dropped or stop applying to the
+      // rewritten files (their fresh seq outranks the tombstone's) —
+      // both silently resurrect rows, so refuse and let the caller
+      // re-read and recompute
+      if (cur.deleteFiles.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          "concurrent merge-on-read delete landed mid-rewrite; " +
+            "materializeDeletes / recompute against the new head")
       val curPaths = cur.files.map(_.path).toSet
       val gone = removed.filterNot(curPaths)
       if (gone.nonEmpty)
@@ -754,7 +763,8 @@ object ManifestTable {
     val schema = DataFrameSchema.fromJson(m.schemaJson)
     val keySchema = StructType(m.deleteKeys.map(k => schema(k)))
     val fileNameExpr = element_at(split(input_file_name(), "/"), -1)
-    val fSeq = seqDf(m.files.filter(f => paths.contains(f.path))
+    val pathSet = paths.toSet
+    val fSeq = seqDf(m.files.filter(f => pathSet(f.path))
       .map(f => fname(f.path) -> f.seq), "__fname", "__fseq")
     val dSeq = seqDf(m.deleteFiles.map(d => fname(d.path) -> d.seq), "__dname", "__dseq")
     val dels = spark.read.schema(keySchema).parquet(m.deleteFiles.map(_.path): _*)

@@ -117,14 +117,16 @@ object MemberIndex {
       s"no member index for $column at v=${m.version} of $dir — run MemberIndex.build first"))
     val dt = DataFrameSchema.fromJson(m.schemaJson)(column).dataType
     // hash the keys through the SAME Spark expressions that built the
-    // fingerprints (one 1-row local job) — never a re-implementation
-    // that could drift from xxhash64's semantics
+    // fingerprints (ONE local job over a |keys|-row literal plan) —
+    // never a re-implementation that could drift from xxhash64's
+    // semantics
     val posCols = (0 until ix.probes).map(i =>
       pmod(xxhash64(lit(i), col("__k")), lit(ix.bits.toLong)).cast("int"))
-    val keyPos: Seq[Seq[Int]] = keys.map { k =>
-      spark.range(1).select(lit(k).cast(dt).as("__k"))
-        .select(array(posCols: _*)).head().getSeq[Int](0)
-    }
+    val keyPos: Seq[Seq[Int]] = keys
+      .map(k => spark.range(1).select(lit(k).cast(dt).as("__k")))
+      .reduce(_ unionByName _)
+      .select(array(posCols: _*))
+      .collect().map(_.getSeq[Int](0)).toSeq
     m.files.map(_.path).filter { p =>
       val hex = ix.files.getOrElse(p, throw new IllegalStateException(
         s"member index for $column at v=${m.version} is missing file $p — rebuild"))

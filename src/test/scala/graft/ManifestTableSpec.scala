@@ -516,6 +516,23 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.snapshot(spark, dir).count() == 47)
   }
 
+  test("a CoW rewrite refuses to install over a tombstone that landed mid-rewrite") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 40).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
+    val base = ManifestTable.manifest(dir, None)
+    // the rewrite is computed against v1...
+    val kept = ManifestTable.snapshot(spark, dir).filter($"k" =!= 3L)
+    // ...then a merge-on-read delete lands before it installs: committing
+    // the rewrite would give its files a fresh seq that outranks the
+    // tombstone — rows would silently resurrect
+    ManifestTable.deleteByKey(Seq(10L).toDF("k"), dir, Seq("k"))
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.installRewrite(kept, dir, base, base.files.map(_.path).toSet, None)
+    }
+    // table state is untouched by the refused install
+    assert(ManifestTable.snapshot(spark, dir).count() == 39) // 40 - tombstoned 10
+  }
+
   test("MoR delete guards: wrong key columns, null keys, key-spec switch all fail loudly") {
     val dir = freshDir()
     ManifestTable.commit((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
