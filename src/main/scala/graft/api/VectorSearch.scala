@@ -777,6 +777,41 @@ object VectorSearch {
       .select(col("q_id"), col("rank"), col(idCol), col("adc"))
   }
 
+  /** The measure→route loop for similarity search, closing the ANN
+    * family the way [[graft.operators.Skew.autoPlan]] closes the join
+    * family: measure the corpus (one O(metadata) bounded count), then
+    * pick the serving layout the data actually warrants —
+    *
+    *  - `brute`: corpus small enough to stream per query set — the
+    *    exact answer IS the cheap answer, an index would only add
+    *    build cost and recall risk;
+    *  - `ivf`: a partition/cluster column exists — probe the nprobe
+    *    nearest coarse partitions ([[annIvf]]), partition-pruned on a
+    *    clustered layout;
+    *  - `ivf-trained`: no cluster column — train the deterministic
+    *    spherical-k-means coarse quantizer on a bounded sample and
+    *    assign in one map pass ([[annIvfAuto]]).
+    *
+    * Returns (results, decision) with the SAME output shape
+    * (q_id, rank, id, cosine) on every branch, so callers compose
+    * without caring which plan won; the decision string is the audit
+    * surface specs pin. The brute threshold is rows-based because the
+    * brute cost is corpus × queries streaming work — size it to what
+    * one executor wave comfortably scans.
+    */
+  def annRoute(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      partCol: Option[String] = None, nprobe: Int = 2,
+      bruteMaxRows: Long = 200000L, trainK: Int = 16): (DataFrame, String) = {
+    val (rows, _) = boundedSize(corpus, vecCol, bruteMaxRows)
+    if (rows <= bruteMaxRows)
+      (knn(corpus, queries, idCol, vecCol, k), "brute")
+    else partCol match {
+      case Some(pc) => (annIvf(corpus, queries, idCol, vecCol, pc, nprobe, k), "ivf")
+      case None => (annIvfAuto(corpus, queries, idCol, vecCol, k, nprobe, trainK), "ivf-trained")
+    }
+  }
+
   /** Hard-negative mining for contrastive training (the batch-mining
     * step behind triplet/InfoNCE data prep — Xiong et al. 2021's ANCE
     * retrieves hard negatives exactly this way): for each anchor, the

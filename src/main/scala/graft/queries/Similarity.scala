@@ -217,6 +217,35 @@ object Similarity {
       },
     ),
     Q(
+      "q197_ann_route",
+      "The closed measure→route loop for similarity search " +
+        "(VectorSearch.annRoute — q162's autoplan discipline applied " +
+        "to the ANN family): one bounded O(metadata) corpus probe " +
+        "decides brute (small corpus: the exact answer IS the cheap " +
+        "answer) vs IVF probed (cluster column present) vs " +
+        "IVF-with-trained-quantizer (no cluster column) — the RIGHT " +
+        "serving layout chosen by data, not by the query author; all " +
+        "branches share one output shape. Here the probe finds the " +
+        "corpus under the brute threshold and routes there, so the " +
+        "entry shares q31's exact oracle; ApiSpecs pins that the " +
+        "IVF branches engage (and stay recall-correct) above it.",
+      Some(s"""
+        WITH n AS ($duckNorm),
+        q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        s AS (SELECT q_id, vec_id, ${dotDuck("qv", "embedding")} / (qn * nrm) AS cosine
+              FROM q JOIN n ON vec_id <> q_id),
+        r AS (SELECT q_id, vec_id, cosine,
+                CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+              FROM s)
+        SELECT q_id, rank, vec_id, cosine FROM r WHERE rank <= 5 ORDER BY q_id, rank
+      """.trim),
+      (spark, dir) => {
+        val emb = Tables(spark, dir).embeddings
+        graft.api.VectorSearch.annRoute(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, partCol = Some("label"))._1
+      },
+    ),
+    Q(
       "q193_hard_negatives",
       "Hard-negative mining for contrastive training (the ANCE/DPR " +
         "data-prep step): for each of 10 anchors, the top-5 most-" +

@@ -166,6 +166,40 @@ class ApiSpecs extends SparkSpec {
     assert(e.getMessage.contains("split evenly"))
   }
 
+  test("annRoute: brute under the threshold, ivf with a cluster column, trained ivf without — one output shape") {
+    def anchor(c: Int): Array[Float] = {
+      val a = Array.fill(8)(0.0f); a(c * 2) = 1.0f; a(c * 2 + 1) = 0.5f; a
+    }
+    val rows = (0L to 39L).map { i =>
+      val c = (i % 4).toInt
+      val v = anchor(c).clone(); v((i % 8).toInt) = v((i % 8).toInt) + 0.05f
+      (i, s"c$c", v)
+    }
+    val corpus = rows.toDF("vid", "lab", "vec")
+    val queries = corpus.filter($"vid" < 2L)
+    // small corpus: exact brute, regardless of the cluster column
+    val (rBrute, dBrute) = VectorSearch.annRoute(corpus, queries, "vid", "vec", k = 3,
+      partCol = Some("lab"))
+    assert(dBrute == "brute")
+    val exact = VectorSearch.knn(corpus, queries, "vid", "vec", k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(rBrute.collect().map(_.toSeq).toSet == exact)
+    // above the threshold with a cluster column: probed IVF
+    val (rIvf, dIvf) = VectorSearch.annRoute(corpus, queries, "vid", "vec", k = 3,
+      partCol = Some("lab"), nprobe = 4, bruteMaxRows = 10L)
+    assert(dIvf == "ivf")
+    // full probe width == exact recall (the annIvf contract)
+    assert(rIvf.collect().map(_.toSeq).toSet == exact)
+    // above the threshold without a cluster column: trained quantizer
+    val (rTrained, dTrained) = VectorSearch.annRoute(corpus, queries, "vid", "vec", k = 3,
+      nprobe = 4, bruteMaxRows = 10L, trainK = 4)
+    assert(dTrained == "ivf-trained")
+    assert(rTrained.collect().map(_.toSeq).toSet == exact)
+    // one output shape on every branch
+    assert(rBrute.columns.toSeq == rIvf.columns.toSeq
+      && rIvf.columns.toSeq == rTrained.columns.toSeq)
+  }
+
   test("weightedSample: priorities monotone in weight, partition-invariant, guarded") {
     val docs = (1L to 200L).map(i => (i, 1L + (i % 8))).toDF("id", "w")
     val hi = TextCuration.weightedSample(docs, "id", "w", n = 200, salt = "s1")
