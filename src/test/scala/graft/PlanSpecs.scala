@@ -271,7 +271,8 @@ class PlanSpecs extends SparkSpec {
       "q184_pq_adc",            // broadcast query set x coded corpus + broadcast 1-row codebook
       "q188_ivfpq",             // broadcast 1-row residual codebook (probe side is an equi-join)
       "q191_sharded_topk",      // Σ-eps total: a broadcast 1-row aggregate side
-      "q193_hard_negatives")    // broadcast anchor set x corpus (q31's guarded knn shape)
+      "q193_hard_negatives",    // broadcast anchor set x corpus (q31's guarded knn shape)
+      "q197_ann_route")         // routes to brute at TESTDATA scale = q31's guarded knn shape
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     queries.QueryCatalog.all.foreach { q =>
       val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
