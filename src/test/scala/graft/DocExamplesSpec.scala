@@ -167,5 +167,8 @@ class DocExamplesSpec extends SparkSpec {
     assert(negs.count() === 10)
     // a hard negative never shares the anchor's label
     assert(negs.filter($"q_label" === $"neg_label").count() === 0)
+    val (hits2, plan) = VectorSearch.annRoute(embs, queries, "vec_id", "embedding", k = 5,
+      partCol = Some("label"))
+    assert(plan == "brute" && hits2.count() === 10)
   }
 }

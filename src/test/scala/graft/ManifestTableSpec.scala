@@ -516,6 +516,27 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.snapshot(spark, dir).count() == 47)
   }
 
+  test("SQL over a snapshot view with pending MoR deletes stays correct (rule falls back, tombstones still apply)") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 60).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .repartitionByRange(4, $"k"), dir, Seq("k"))
+    ManifestTable.deleteByKey(Seq(10L, 20L).toDF("k"), dir, Seq("k"))
+    // the snapshot is now a join plan, not a bare parquet relation, so
+    // the ManifestSkipping rule cannot (and must not) rewrite it — the
+    // typed SQL answer still reflects the tombstones exactly
+    ManifestTable.createView(spark, dir, "mor_view")
+    val got = spark.sql("SELECT count(*) AS n, sum(v) AS s FROM mor_view WHERE k BETWEEN 5 AND 25")
+      .collect().head
+    // keys 5..25 minus {10, 20}: 19 rows; sum of 2k over survivors
+    assert(got.getLong(0) == 19)
+    assert(got.getDouble(1) == (5 to 25).filterNot(Set(10, 20)).map(_ * 2.0).sum)
+    // after materialize the view is a bare relation again and prunes
+    ManifestTable.materializeDeletes(spark, dir)
+    ManifestTable.createView(spark, dir, "mor_view")
+    val again = spark.sql("SELECT count(*) AS n FROM mor_view WHERE k BETWEEN 5 AND 25").collect().head
+    assert(again.getLong(0) == 19)
+  }
+
   test("a CoW rewrite refuses to install over a tombstone that landed mid-rewrite") {
     val dir = freshDir()
     ManifestTable.commit((1 to 40).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
