@@ -720,7 +720,7 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.latestVersion(dir) == head)
   }
 
-  test("model-based property: random commit/delete/merge/compact sequences match an in-memory model at every version") {
+  test("model-based property: random commit/delete/merge/compact/MoR-delete/materialize sequences match an in-memory model at every version") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
     sealed trait Op
@@ -728,6 +728,8 @@ class ManifestTableSpec extends SparkSpec {
     case class Delete(lo: Long, hi: Long) extends Op
     case class Merge(rows: Map[Long, Long]) extends Op
     case object Compact extends Op
+    case class MorDelete(keys: Set[Long]) extends Op
+    case object Materialize extends Op
 
     val rowsGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 999L)))
     val opGen: Gen[Op] = Gen.frequency(
@@ -735,7 +737,9 @@ class ManifestTableSpec extends SparkSpec {
       2 -> Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)).map { case (a, b) =>
         Delete(math.min(a, b), math.max(a, b)) },
       3 -> rowsGen.map(Merge(_)),
-      1 -> Gen.const(Compact))
+      1 -> Gen.const(Compact),
+      2 -> Gen.nonEmptyListOf(Gen.choose(0L, 30L)).map(ks => MorDelete(ks.toSet)),
+      1 -> Gen.const(Materialize))
     val seqGen = Gen.choose(3, 7).flatMap(n => Gen.listOfN(n, opGen))
 
     (0 until 6).foreach { trial =>
@@ -746,6 +750,14 @@ class ManifestTableSpec extends SparkSpec {
       var model = Vector.empty[(Long, Long)]
       var history = Vector.empty[(Long, Vector[(Long, Long)])]
       def df(rows: Map[Long, Long]) = rows.toSeq.toDF("k", "v")
+      // CoW operations refuse while merge-on-read deletes are pending —
+      // model the maintenance cadence by materializing first (which is
+      // itself a content-preserving version the history checks)
+      def materializeIfPending(): Unit =
+        if (ManifestTable.manifest(dir, None).deleteFiles.nonEmpty) {
+          val v = ManifestTable.materializeDeletes(spark, dir)
+          history :+= (v, model)
+        }
       ops.foreach {
         case Commit(rows) if rows.nonEmpty =>
           val v = ManifestTable.commit(df(rows), dir, Seq("k"))
@@ -753,16 +765,26 @@ class ManifestTableSpec extends SparkSpec {
           history :+= (v, model)
         case Commit(_) => ()
         case Delete(lo, hi) if history.nonEmpty =>
+          materializeIfPending()
           val v = ManifestTable.delete(spark, dir, $"k".between(lo, hi))
           model = model.filterNot { case (k, _) => k >= lo && k <= hi }
           history :+= (v, model)
         case Merge(rows) if history.nonEmpty && rows.nonEmpty =>
+          materializeIfPending()
           val v = ManifestTable.merge(df(rows), dir, Seq("k"))
           model = model.filterNot { case (k, _) => rows.contains(k) } ++ rows.toVector
           history :+= (v, model)
         case Merge(_) => ()
         case Compact if history.nonEmpty =>
+          materializeIfPending()
           val v = ManifestTable.compact(spark, dir, "k", numFiles = 2)
+          history :+= (v, model)
+        case MorDelete(keys) if history.nonEmpty =>
+          val v = ManifestTable.deleteByKey(keys.toSeq.toDF("k"), dir, Seq("k"))
+          model = model.filterNot { case (k, _) => keys(k) }
+          history :+= (v, model)
+        case Materialize if history.nonEmpty =>
+          val v = ManifestTable.materializeDeletes(spark, dir)
           history :+= (v, model)
         case _ => ()
       }
