@@ -119,6 +119,28 @@ object Storage {
           .withColumn("event_type", lit("returned")), p, track = Seq("ts")): Unit
     }
 
+  /** events committed, three users MoR-tombstoned, then — with the
+    * tombstones STILL pending — a CoW MERGE (every 500th visible event
+    * restamped) and a CoW DELETE (user 5's purchases): the coexistence
+    * surface a steady retraction stream needs, no forced
+    * materialization cycle between ops. Both rewrites compute through
+    * the applied view and carry the tombstones forward.
+    */
+  private def morCowEvents(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"manifest-events-morcow:$dir") { p =>
+      val ev = Tables(spark, dir).events
+      ManifestTable.commit(ev.repartitionByRange(10, col("ts")), p, track = Seq("ts"))
+      ManifestTable.deleteByKey(
+        spark.range(3).select((col("id") + 1).as("user_id")), p, Seq("user_id"))
+      val src = ManifestTable.snapshot(spark, p)
+        .filter(col("event_id") % 500 === 0)
+        .withColumn("value", col("value") * 2)
+        .withColumn("event_type", lit("mor-merged"))
+      ManifestTable.merge(src, p, keys = Seq("event_id"))
+      ManifestTable.delete(spark, p,
+        col("user_id") === 5L && col("event_type") === "purchase"): Unit
+    }
+
   val qs: Seq[Q] = Seq(
     Q(
       "q180_manifest_prune",
@@ -412,6 +434,97 @@ object Storage {
                        AND TIMESTAMP '2024-01-12 23:59:59.999999'
           GROUP BY event_type
         """)
+      },
+    ),
+    Q(
+      "q200_mor_cow_coexist",
+      "MoR/CoW coexistence (the Iceberg regime): with three users' " +
+        "equality-delete tombstones PENDING, a copy-on-write MERGE " +
+        "(every 500th visible event restamped, value doubled) and then " +
+        "a CoW DELETE (user 5's purchases) run directly — no forced " +
+        "materializeDeletes between ops. Both rewrites compute through " +
+        "the applied view (tombstoned rows fold out of rewritten files, " +
+        "whose fresh sequence number the old tombstones never outrank) " +
+        "and CARRY the pending tombstones, which keep applying to " +
+        "untouched files on read. The oracle recomputes the whole " +
+        "chain relationally, so coexistence semantics are hash-gated. " +
+        "At 100 TB: a steady GDPR/CDC retraction stream no longer " +
+        "serializes every upsert behind a table-scale materialization.",
+      Some(s"""
+        WITH vis AS (SELECT * FROM events WHERE user_id NOT IN (1, 2, 3)),
+        src AS (
+          SELECT event_id, ts, user_id, 'mor-merged' AS event_type,
+                 value * 2 AS value, props
+          FROM vis WHERE event_id % 500 = 0
+        ),
+        merged AS (
+          SELECT * FROM vis v
+          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.event_id = v.event_id)
+          UNION ALL SELECT * FROM src
+        ),
+        fin AS (
+          SELECT * FROM merged
+          WHERE NOT COALESCE(user_id = 5 AND event_type = 'purchase', FALSE)
+        )
+        SELECT event_type, count(*) AS n, $d30_2 AS sum_value
+        FROM fin GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        val t = morCowEvents(spark, dir)
+        ManifestTable.snapshot(spark, t)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+              .cast("double").as("sum_value"))
+      },
+    ),
+    Q(
+      "q201_mor_feed",
+      "Change feed ACROSS merge-on-read tombstone commits: the span " +
+        "v1 -> head crosses the deleteByKey, the merge, and the CoW " +
+        "delete; tombstone-killed rows of files untouched by any " +
+        "rewrite surface as 'delete' rows via a bounded probe (only " +
+        "shared files that actually hold a newly-tombstoned row are " +
+        "read, each at BOTH endpoints' applied views, the multiset " +
+        "difference being exactly the newly-dead rows), while the " +
+        "rewritten files' carried rows cancel in the file-diff half as " +
+        "before. The oracle computes the same net diff as snapshot(v1) " +
+        "EXCEPT ALL snapshot(head) both ways — feed == net state " +
+        "delta, bit for bit, even across MoR boundaries.",
+      Some(s"""
+        WITH vis AS (SELECT * FROM events WHERE user_id NOT IN (1, 2, 3)),
+        src AS (
+          SELECT event_id, ts, user_id, 'mor-merged' AS event_type,
+                 value * 2 AS value, props
+          FROM vis WHERE event_id % 500 = 0
+        ),
+        merged AS (
+          SELECT * FROM vis v
+          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.event_id = v.event_id)
+          UNION ALL SELECT * FROM src
+        ),
+        fin AS (
+          SELECT * FROM merged
+          WHERE NOT COALESCE(user_id = 5 AND event_type = 'purchase', FALSE)
+        ),
+        ins AS (SELECT * FROM fin EXCEPT ALL SELECT * FROM events),
+        del AS (SELECT * FROM events EXCEPT ALL SELECT * FROM fin),
+        feed AS (
+          SELECT 'insert' AS change, event_type, value FROM ins
+          UNION ALL
+          SELECT 'delete' AS change, event_type, value FROM del
+        )
+        SELECT change, event_type, count(*) AS n, $d30_2 AS sum_value
+        FROM feed GROUP BY change, event_type
+      """.trim),
+      (spark, dir) => {
+        val t = morCowEvents(spark, dir)
+        ManifestTable.changes(spark, t, 1L, ManifestTable.latestVersion(t).get)
+          .groupBy(col("_change").as("change"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+              .cast("double").as("sum_value"))
+          .select(col("change"), col("event_type"), col("n"), col("sum_value"))
       },
     ),
     Q(

@@ -39,15 +39,30 @@ object ChangeFeedView {
 
   private val Dec = DecimalType(30, 2)
 
+  /** The rollup reserves `n`/`total` for its outputs and reads the
+    * feed's `_change` marker — a table column with one of those names
+    * would make the merge ambiguous or silently wrong, so reject up
+    * front rather than let analysis half-catch it.
+    */
+  private def requireNoReserved(keys: Seq[String], valCol: String): Unit = {
+    val reserved = Set("n", "total", "_change")
+    val clash = (keys :+ valCol).filter(reserved)
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} collide with the view's reserved " +
+        "outputs (n, total, _change); alias them before materializing")
+  }
+
   /** The materialized rollup (`keys…, n, total`) at snapshot `asOf` —
     * the one full-scan baseline an incremental chain starts from.
     */
   def init(
       spark: SparkSession, dir: String, keys: Seq[String], valCol: String,
-      asOf: Option[Long] = None): DataFrame =
+      asOf: Option[Long] = None): DataFrame = {
+    requireNoReserved(keys, valCol)
     ManifestTable.snapshot(spark, dir, asOf)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(col(valCol).cast(Dec)).as("total"))
+  }
 
   /** Advance `view` (shaped like [[init]]'s output) across the commit
     * range `fromV -> toV` using only the change feed. One feed-sized
@@ -57,6 +72,7 @@ object ChangeFeedView {
   def advance(
       spark: SparkSession, view: DataFrame, dir: String,
       keys: Seq[String], valCol: String, fromV: Long, toV: Long): DataFrame = {
+    requireNoReserved(keys, valCol)
     val feed = ManifestTable.changes(spark, dir, fromV, toV)
     val signedVal = when(col("_change") === "insert", col(valCol).cast(Dec))
       .otherwise(-col(valCol).cast(Dec))

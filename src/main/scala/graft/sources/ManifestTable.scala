@@ -125,11 +125,13 @@ object ManifestTable {
     */
   def compact(spark: SparkSession, dir: String, clusterBy: String, numFiles: Int): Long = {
     val head = manifest(dir, None)
-    requireNoMorDeletes(head, "compact")
     if (head.files.isEmpty) return head.version
-    val df = readFiles(spark, head.schemaJson, head.files.map(_.path))
+    // the applied read folds pending merge-on-read tombstones into the
+    // rewrite, so a full compaction doubles as materializeDeletes: every
+    // file is rewritten post-tombstone, and the new manifest clears them
+    val df = appliedRead(spark, head, head.files.map(_.path))
     installRewrite(df.repartitionByRange(numFiles, col(clusterBy)),
-      dir, head, head.files.map(_.path).toSet, None)
+      dir, head, head.files.map(_.path).toSet, None, clearDeletes = true)
   }
 
   /** Incremental binpack maintenance: fold only the files smaller than
@@ -145,11 +147,14 @@ object ManifestTable {
       spark: SparkSession, dir: String, clusterBy: String,
       minRows: Long, numFiles: Int): Long = {
     val head = manifest(dir, None)
-    requireNoMorDeletes(head, "compactSmall")
     val small = head.files.filter(_.rows < minRows).map(_.path)
     if (small.size <= 1) head.version // nothing to fold
     else {
-      val df = readFiles(spark, head.schemaJson, small)
+      // applied read: folded files drop their tombstoned rows (fresh seq
+      // outranks the tombstones); untouched files keep theirs, so the
+      // pending deletes CARRY in the new manifest (default) and still
+      // apply to them on read
+      val df = appliedRead(spark, head, small)
       installRewrite(df.repartitionByRange(numFiles, col(clusterBy)), dir, head, small.toSet, None)
     }
   }
@@ -169,19 +174,47 @@ object ManifestTable {
     */
   def changes(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV < toV, s"need fromV < toV, got $fromV -> $toV")
-    val a = manifest(dir, Some(fromV))
     val b = manifest(dir, Some(toV))
-    // a merge-on-read delete changes CONTENT without changing the data
-    // file lists this feed diffs — silently empty feeds would be wrong
-    require(a.deleteFiles == b.deleteFiles,
-      s"change feed $fromV -> $toV crosses merge-on-read delete commits; " +
-        "run materializeDeletes (a tracked copy-on-write commit) first")
+    // both sides read with toV's schema (additive evolution fills
+    // pre-existence columns with NULL) — the from-side manifest keeps
+    // its own file/delete lists but adopts the newer schema
+    val a = manifest(dir, Some(fromV)).copy(schemaJson = b.schemaJson)
+    // Pending merge-on-read tombstones may GROW across the range (each
+    // is immutable once committed, so superset == "only added"): the
+    // rows they newly kill surface as 'delete' feed rows below. A range
+    // where tombstones DISAPPEAR crosses a materializeDeletes, replace,
+    // or restore boundary — which of those happened is not recoverable
+    // from the endpoints, so refuse rather than guess.
+    val aDel = a.deleteFiles.toSet
+    require(a.deleteFiles.forall(b.deleteFiles.contains),
+      s"change feed $fromV -> $toV crosses a boundary that REMOVED merge-on-read " +
+        "delete files (materializeDeletes, replace, or restore); diff sub-ranges " +
+        "that do not cross it")
+    val newDeletes = b.deleteFiles.filterNot(aDel)
     val aPaths = a.files.map(_.path).toSet
     val bPaths = b.files.map(_.path).toSet
-    val ins = readFiles(spark, b.schemaJson, b.files.map(_.path).filterNot(aPaths))
-    val del = readFiles(spark, b.schemaJson, a.files.map(_.path).filterNot(bPaths))
-    ins.exceptAll(del).withColumn("_change", lit("insert"))
-      .unionByName(del.exceptAll(ins).withColumn("_change", lit("delete")))
+    // file-diff half: each side read through ITS OWN endpoint's applied
+    // view, so a row already tombstoned at fromV never shows as deleted
+    // and a row born tombstoned at toV never shows as inserted
+    val ins = appliedRead(spark, b, b.files.map(_.path).filterNot(aPaths))
+    val del = appliedRead(spark, a, a.files.map(_.path).filterNot(bPaths))
+    // tombstone half: rows of files PRESENT AT BOTH endpoints that the
+    // range's NEW tombstones kill = visible-at-a minus visible-at-b,
+    // restricted (bounded probe) to the shared files that actually hold
+    // a newly-tombstoned row — work stays O(touched files)
+    val tomb: DataFrame =
+      if (newDeletes.isEmpty) readFiles(spark, b.schemaJson, Nil)
+      else {
+        val shared = a.files.filter(f => bPaths(f.path))
+        val probe = b.copy(files = shared, deleteFiles = newDeletes)
+        val doomed = morDoomedPaths(spark, probe, shared.map(_.path)).toSeq
+        if (doomed.isEmpty) readFiles(spark, b.schemaJson, Nil)
+        else appliedRead(spark, a.copy(files = shared), doomed)
+          .exceptAll(appliedRead(spark, b.copy(files = shared), doomed))
+      }
+    val delAll = del.unionByName(tomb)
+    ins.exceptAll(delAll).withColumn("_change", lit("insert"))
+      .unionByName(delAll.exceptAll(ins).withColumn("_change", lit("delete")))
   }
 
   /** RESTORE the table to the content of an older retained snapshot —
@@ -286,14 +319,19 @@ object ManifestTable {
       require(missing.isEmpty, s"tracked column(s) ${missing.mkString(", ")} not in schema")
       val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
       df.write.parquet(stage)
-      val staged = spark.read.schema(df.schema).parquet(stage)
-      val bad = audit(staged).filter(col("n_violations") > 0).collect()
-      if (bad.nonEmpty) {
-        deleteRec(new java.io.File(stage))
-        throw new IllegalStateException(
+      // ANY failure between staging and install — a violating audit, a
+      // throwing audit callback (analysis error, missing n_violations
+      // column), or a rejected install — reclaims the staging dir, so
+      // "staging reclaimed on abort" holds without waiting for vacuum
+      try {
+        val staged = spark.read.schema(df.schema).parquet(stage)
+        val bad = audit(staged).filter(col("n_violations") > 0).collect()
+        if (bad.nonEmpty) throw new IllegalStateException(
           s"audit failed, commit aborted (head untouched): ${bad.mkString("; ")}")
+        installStaged(spark, dir, df.schema, track, txn, stage, replace = false)
+      } catch {
+        case e: Throwable => deleteRec(new java.io.File(stage)); throw e
       }
-      installStaged(spark, dir, df.schema, track, txn, stage, replace = false)
     }
   }
 
@@ -363,8 +401,13 @@ object ManifestTable {
   def delete(spark: SparkSession, dir: String, cond: Column, txn: Option[String] = None): Long =
     txn.flatMap(committedTxn(dir, _)).getOrElse {
       val head = manifest(dir, None)
-      requireNoMorDeletes(head, "delete")
-      val snap = readFiles(spark, head.schemaJson, head.files.map(_.path))
+      // the APPLIED view (pending merge-on-read tombstones removed, file
+      // name retained for attribution): both the touched-file probe and
+      // the rewrite see post-tombstone content, so a CoW delete composes
+      // with pending MoR deletes instead of refusing — rewritten files
+      // enter with a fresh seq the old tombstones never apply to, and
+      // untouched files keep theirs (the carried tombstones still apply)
+      val snap = appliedReadWithFile(spark, head, head.files.map(_.path))
       // cond evaluates twice (find touched files, then rewrite them); a
       // nondeterministic predicate could rewrite a different row set
       // than it matched — reject rather than corrupt (analysis only,
@@ -372,23 +415,18 @@ object ManifestTable {
       require(
         snap.select(cond.as("__c")).queryExecution.analyzed.expressions.forall(_.deterministic),
         s"delete condition must be deterministic: $cond")
+      val byName = head.files.map(f => fileBasename(f.path) -> f.path).toMap
       val touched = snap.where(cond)
-        .select(input_file_name().as("path")).distinct()
-        .collect().map(r => stripScheme(r.getString(0))).toSet
+        .select("__bname").distinct()
+        .collect().map(r => byName(r.getString(0))).toSet
       if (touched.isEmpty) head.version
       else {
         // keep = NOT-deleted: survive on FALSE **or NULL** cond (SQL DELETE)
-        val kept = readFiles(spark, head.schemaJson, touched.toSeq)
+        val kept = appliedRead(spark, head, touched.toSeq)
           .where(coalesce(!cond, lit(true)))
         installRewrite(kept, dir, head, touched, txn)
       }
     }
-
-  private def requireNoMorDeletes(m: Manifest, op: String): Unit =
-    require(m.deleteFiles.isEmpty,
-      s"$op on a table with ${m.deleteFiles.size} pending merge-on-read delete file(s); " +
-        "run materializeDeletes first — a copy-on-write rewrite computed from raw file " +
-        "bytes would resurrect tombstoned rows")
 
   /** MERGE-ON-READ equality delete — the WRITE-cheap sibling of the
     * copy-on-write [[delete]]: committing removes NOTHING from data
@@ -406,10 +444,14 @@ object ManifestTable {
     * is never shadowed (Iceberg's sequence-number rule; spec'd). One
     * key spec per table at a time: mixing key shapes would make "which
     * tombstone applies" ambiguous. CoW operations (delete/merge/
-    * compact) refuse while deletes are pending — they rewrite from raw
-    * file bytes and would resurrect tombstoned rows — and [[changes]]
-    * refuses to diff across a MoR commit rather than produce a
-    * silently-empty feed.
+    * compact) COEXIST with pending deletes: they compute through the
+    * applied view, so rewritten files fold their tombstoned rows out
+    * (fresh seq outranks the tombstones) while untouched files keep
+    * applying the carried tombstones on read — a retraction stream
+    * never forces a materialization cycle before the next upsert.
+    * [[changes]] likewise diffs across tombstone-ADDING commits
+    * (newly-killed rows surface as 'delete' feed rows); only ranges
+    * where tombstones disappear (materialize/replace/restore) refuse.
     */
   def deleteByKey(
       keyRows: DataFrame, dir: String, keys: Seq[String],
@@ -435,6 +477,12 @@ object ManifestTable {
       val staged = spark.read.schema(keySchema).parquet(stage)
         .groupBy(input_file_name().as("p")).agg(count(lit(1)).as("n"))
         .collect().map(r => stripScheme(r.getString(0)) -> r.getLong(1))
+      // an EMPTY key frame stages zero part files; committing it would
+      // set deleteKeys with no DeleteEntry — a version that wedges any
+      // later deleteByKey with a different key spec (materializeDeletes
+      // would early-return without clearing the spec). No keys = no
+      // delete = no version.
+      if (staged.isEmpty) { deleteRec(new java.io.File(stage)); return head.version }
       var committed = -1L
       while (committed < 0) {
         val cur = manifest(dir, None)
@@ -462,7 +510,10 @@ object ManifestTable {
   def materializeDeletes(spark: SparkSession, dir: String, txn: Option[String] = None): Long =
     txn.flatMap(committedTxn(dir, _)).getOrElse {
       val head = manifest(dir, None)
-      if (head.deleteFiles.isEmpty) return head.version
+      // deleteKeys with no DeleteEntry (a legacy empty-key-frame commit)
+      // still wedges later key-spec switches — fall through and commit
+      // the clearing version instead of early-returning past it
+      if (head.deleteFiles.isEmpty && head.deleteKeys.isEmpty) return head.version
       val allPaths = head.files.map(_.path)
       // bounded probe: which files still hold a tombstoned row?
       val affected = morDoomedPaths(spark, head, allPaths)
@@ -515,7 +566,6 @@ object ManifestTable {
     val spark = source.sparkSession
     txn.flatMap(committedTxn(dir, _)).getOrElse {
       val head = manifest(dir, None)
-      requireNoMorDeletes(head, "merge")
       val schema = DataFrameSchema.fromJson(head.schemaJson)
       require(source.columns.sorted.sameElements(schema.fieldNames.sorted),
         s"source columns [${source.columns.sorted.mkString(", ")}] must match table " +
@@ -539,16 +589,20 @@ object ManifestTable {
       require(nNull == 0, s"merge source has $nNull row(s) with a null key; keys must be non-null")
       require(nSrc == nKeys,
         s"merge source has ${nSrc - nKeys} duplicate-key row(s); keys must be unique")
-      val snap = readFiles(spark, head.schemaJson, head.files.map(_.path))
+      // applied view: a tombstoned target row neither marks its file
+      // touched nor survives a rewrite — to the merge the visible table
+      // is the truth, exactly as if the tombstones were materialized
+      val snap = appliedReadWithFile(spark, head, head.files.map(_.path))
       val srcKeys = src.select(keys.map(col).toIndexedSeq: _*).distinct()
+      val byName = head.files.map(f => fileBasename(f.path) -> f.path).toMap
       val touched = snap
-        .select((input_file_name().as("path") +: keys.map(col)).toIndexedSeq: _*)
+        .select((col("__bname") +: keys.map(col)).toIndexedSeq: _*)
         .join(srcKeys, keys, "left_semi")
-        .select("path").distinct()
-        .collect().map(r => stripScheme(r.getString(0))).toSet
+        .select("__bname").distinct()
+        .collect().map(r => byName(r.getString(0))).toSet
       val kept =
         if (touched.isEmpty) src // pure insert: no target row matches
-        else readFiles(spark, head.schemaJson, touched.toSeq)
+        else appliedRead(spark, head, touched.toSeq)
           .join(srcKeys, keys, "left_anti")
           .unionByName(src)
       // appends that land mid-merge rebase cleanly ONLY if they cannot
@@ -577,7 +631,8 @@ object ManifestTable {
   private[graft] def installRewrite(
       rewritten: DataFrame, dir: String, base: Manifest,
       removed: Set[String], txn: Option[String],
-      appendKeyConflict: Option[(DataFrame, Seq[String])] = None): Long = {
+      appendKeyConflict: Option[(DataFrame, Seq[String])] = None,
+      clearDeletes: Boolean = false): Long = {
     val spark = rewritten.sparkSession
     val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
     rewritten.write.parquet(stage)
@@ -588,15 +643,18 @@ object ManifestTable {
       val headV = latestVersion(dir).getOrElse(
         throw new java.util.ConcurrentModificationException(s"table $dir vanished mid-commit"))
       val cur = manifest(dir, Some(headV))
-      // a merge-on-read delete that landed since this rewrite was
-      // computed would either be dropped or stop applying to the
+      // the rewrite was computed through base's APPLIED view — base's
+      // pending tombstones are already folded into the staged files, so
+      // they carry forward (or clear, for a full rewrite) safely. A
+      // merge-on-read delete that landed SINCE then is a different
+      // story: it would either be dropped or stop applying to the
       // rewritten files (their fresh seq outranks the tombstone's) —
       // both silently resurrect rows, so refuse and let the caller
       // re-read and recompute
-      if (cur.deleteFiles.nonEmpty)
+      if (cur.deleteFiles != base.deleteFiles || cur.deleteKeys != base.deleteKeys)
         throw new java.util.ConcurrentModificationException(
           "concurrent merge-on-read delete landed mid-rewrite; " +
-            "materializeDeletes / recompute against the new head")
+            "recompute against the new head (or materializeDeletes)")
       val curPaths = cur.files.map(_.path).toSet
       val gone = removed.filterNot(curPaths)
       if (gone.nonEmpty)
@@ -618,7 +676,9 @@ object ManifestTable {
       }
       val v = cur.version + 1
       val m = Manifest(v, Some(cur.version), txn, base.schemaJson, base.track,
-        cur.files.filterNot(f => removed(f.path)) ++ newFiles.map(_.copy(seq = v)))
+        cur.files.filterNot(f => removed(f.path)) ++ newFiles.map(_.copy(seq = v)),
+        if (clearDeletes) Nil else base.deleteKeys,
+        if (clearDeletes) Nil else base.deleteFiles)
       committed = tryInstall(dir, m)
     }
     committed
@@ -739,6 +799,20 @@ object ManifestTable {
       spark: SparkSession, m: Manifest, paths: Seq[String]): DataFrame =
     if (m.deleteFiles.isEmpty || paths.isEmpty) readFiles(spark, m.schemaJson, paths)
     else morJoin(spark, m, paths, "left_anti").drop("__bname", "__fname", "__fseq")
+
+  /** [[appliedRead]] keeping each row's source-file basename as
+    * `__bname` — the attribution column the CoW delete/merge probes use
+    * to find touched files THROUGH the applied view (after the MoR anti
+    * join, `input_file_name()` is no longer creditable to a scan).
+    */
+  private def appliedReadWithFile(
+      spark: SparkSession, m: Manifest, paths: Seq[String]): DataFrame =
+    if (m.deleteFiles.isEmpty || paths.isEmpty)
+      readFiles(spark, m.schemaJson, paths)
+        .withColumn("__bname", element_at(split(input_file_name(), "/"), -1))
+    else morJoin(spark, m, paths, "left_anti").drop("__fname", "__fseq")
+
+  private def fileBasename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
   /** The rows/files pending deletes still REMOVE from `paths` — the
     * bounded probe [[materializeDeletes]] plans its rewrite set from.

@@ -141,7 +141,12 @@ object MemberIndex {
       spark: SparkSession, dir: String, column: String, keys: Seq[Any],
       asOf: Option[Long] = None): DataFrame = {
     val m = ManifestTable.manifest(dir, asOf)
-    val paths = candidatePaths(spark, dir, column, keys, asOf)
+    // pin BOTH phases to the one resolved snapshot: with asOf = None a
+    // concurrent commit landing between two head reads would apply
+    // version N+1's candidate paths against version N's manifest — the
+    // applied read's sequence join then silently drops rows from files
+    // the older manifest lacks
+    val paths = candidatePaths(spark, dir, column, keys, asOf = Some(m.version))
     // the applied read honors pending merge-on-read deletes — an
     // index-routed lookup must never resurrect a tombstoned row
     ManifestTable.appliedRead(spark, m, paths)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.ManifestTable
+import graft.sources.{ChangeFeedView, ManifestTable}
 import graft.streaming.ManifestStream
 import org.apache.spark.sql.functions._
 
@@ -470,31 +470,54 @@ class ManifestTableSpec extends SparkSpec {
     ManifestTable.commit(Seq((7L, "g7", 777.0)).toDF("k", "g", "v"), dir, Seq("k"))
     val re = ManifestTable.snapshot(spark, dir).filter($"k" === 7L).collect()
     assert(re.length == 1 && re.head.getDouble(2) == 777.0, "re-insert must win over the older tombstone")
-    // a second MoR delete stacks; CoW ops and the feed refuse while pending
+    // a second MoR delete stacks; CoW ops now COMPOSE with the pending
+    // tombstones instead of refusing
     ManifestTable.deleteByKey(Seq(9L).toDF("k"), dir, Seq("k"))
-    assert(ManifestTable.snapshot(spark, dir).count() == 96 + 1) // 100 - 4 deleted + 1 re-insert... (7,8,50 old; 9) + new 7
-    intercept[IllegalArgumentException](ManifestTable.delete(spark, dir, $"k" === 1L))
-    intercept[IllegalArgumentException](
-      ManifestTable.merge(Seq((1L, "g", 0.0)).toDF("k", "g", "v"), dir, Seq("k")))
-    intercept[IllegalArgumentException](ManifestTable.compact(spark, dir, "k", 2))
-    intercept[IllegalArgumentException](ManifestTable.changes(spark, dir, 1L, 4L))
+    assert(ManifestTable.snapshot(spark, dir).count() == 96 + 1) // 100 - {7,8,50,9} + re-inserted 7
+    // the change feed across the tombstone-ADDING commit surfaces the
+    // newly-killed row as a delete (bounded to the files that hold it)
+    val morFeed = ManifestTable.changes(spark, dir, 3L, 4L).collect()
+    assert(morFeed.length == 1 && morFeed.head.getLong(0) == 9L
+      && morFeed.head.getString(3) == "delete",
+      s"feed across a MoR delete must be exactly the killed row, got ${morFeed.toSeq}")
+    // CoW DELETE with tombstones pending: computes through the applied
+    // view, carries the tombstones, and the rewritten file's fresh seq
+    // means the old tombstones never re-apply to it
+    val v5 = ManifestTable.delete(spark, dir, $"k" === 1L)
+    val m5del = ManifestTable.manifest(dir, None)
+    assert(m5del.deleteFiles.size == 2, "pending tombstones must carry across a CoW delete")
+    assert(ManifestTable.snapshot(spark, dir).count() == 96)
+    assert(ManifestTable.snapshot(spark, dir).filter($"k".isin(7L, 8L, 9L, 50L)).count() == 1,
+      "only the re-inserted key 7 survives; carried tombstones still apply to untouched files")
+    // MERGE with tombstones pending: tombstoned keys are invisible to
+    // the upsert (update key 2, insert key 200)
+    ManifestTable.merge(
+      Seq((2L, "gX", 222.0), (200L, "gN", 200.0)).toDF("k", "g", "v"), dir, Seq("k"))
+    assert(ManifestTable.snapshot(spark, dir).count() == 97)
+    assert(ManifestTable.snapshot(spark, dir).filter($"k" === 2L).head().getDouble(2) == 222.0)
+    assert(ManifestTable.snapshot(spark, dir).filter($"k" === 9L).count() == 0)
+    // feed ranges where tombstones DISAPPEAR (materialize/restore) refuse
+    // with the boundary diagnosis
     // materialize: rewrites only affected files, drops tombstones, content identical
     val before = ManifestTable.snapshot(spark, dir).orderBy("k", "v").collect().toSeq
-    val v5 = ManifestTable.materializeDeletes(spark, dir)
-    val m5 = ManifestTable.manifest(dir, None)
-    assert(m5.deleteFiles.isEmpty && m5.deleteKeys.isEmpty)
+    val v7 = ManifestTable.materializeDeletes(spark, dir)
+    val m7 = ManifestTable.manifest(dir, None)
+    assert(m7.deleteFiles.isEmpty && m7.deleteKeys.isEmpty)
     assert(ManifestTable.snapshot(spark, dir).orderBy("k", "v").collect().toSeq == before,
       "materialize must not change table content")
+    val boundary = intercept[IllegalArgumentException](
+      ManifestTable.changes(spark, dir, 4L, v7))
+    assert(boundary.getMessage.contains("REMOVED merge-on-read"))
     // the untouched file (keys 76..100 range, no tombstoned keys) carried its entry
     val carried = ManifestTable.manifest(dir, Some(1L)).files.map(_.path)
-      .intersect(m5.files.map(_.path))
+      .intersect(m7.files.map(_.path))
     assert(carried.nonEmpty, "files without tombstoned rows must carry, not rewrite")
-    // CoW ops work again; GC never reclaims live tombstones but sweeps them post-expiry
-    assert(ManifestTable.delete(spark, dir, $"k" === 2L) == v5 + 1)
+    // post-materialize CoW still works; GC sweeps expired tombstones
+    assert(ManifestTable.delete(spark, dir, $"k" === 2L) == v7 + 1)
     ManifestTable.expireSnapshots(dir, keepLast = 1)
     ManifestTable.vacuum(dir, minAgeMs = -1L)
     assert(ManifestTable.snapshot(spark, dir).count() == before.size - 1)
-    val _ = dataDirs0
+    val _ = (dataDirs0, v5)
   }
 
   test("streaming retraction sink: per-batch MoR delete commits, replay no-ops, materialize closes the loop") {
@@ -570,6 +593,69 @@ class ManifestTableSpec extends SparkSpec {
     val v = ManifestTable.deleteByKey(Seq(2L).toDF("k"), dir, Seq("k"), txn = Some("mor-1"))
     assert(ManifestTable.deleteByKey(Seq(2L).toDF("k"), dir, Seq("k"), txn = Some("mor-1")) == v)
     assert(ManifestTable.snapshot(spark, dir).count() == 8)
+  }
+
+  test("empty-key MoR delete commits nothing and never wedges a later key-spec switch") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
+    val head = ManifestTable.latestVersion(dir).get
+    // an empty key frame must be a no-op: no version, no deleteKeys set
+    assert(ManifestTable.deleteByKey(
+      Seq.empty[Long].toDF("k"), dir, Seq("k")) == head)
+    val m = ManifestTable.manifest(dir, None)
+    assert(m.version == head && m.deleteKeys.isEmpty && m.deleteFiles.isEmpty)
+    // ...so a later delete with a DIFFERENT key spec is not wedged
+    ManifestTable.deleteByKey(Seq("v3").toDF("v"), dir, Seq("v"))
+    assert(ManifestTable.snapshot(spark, dir).count() == 9)
+    ManifestTable.materializeDeletes(spark, dir)
+    // a LEGACY keys-but-no-files manifest (written before the empty-frame
+    // short-circuit) is unwedged by materializeDeletes clearing the spec
+    val h = ManifestTable.manifest(dir, None)
+    assert(ManifestTable.tryInstall(dir,
+      h.copy(version = h.version + 1, parent = Some(h.version),
+        deleteKeys = Seq("k"), deleteFiles = Nil)) > 0)
+    assert(ManifestTable.manifest(dir, None).deleteKeys == Seq("k"))
+    ManifestTable.materializeDeletes(spark, dir)
+    val cleared = ManifestTable.manifest(dir, None)
+    assert(cleared.deleteKeys.isEmpty && cleared.deleteFiles.isEmpty)
+    ManifestTable.deleteByKey(Seq("v5").toDF("v"), dir, Seq("v"))
+    assert(ManifestTable.snapshot(spark, dir).count() == 8)
+  }
+
+  test("compact with pending tombstones folds them in and clears the delete state") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 40).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      .repartitionByRange(4, $"k"), dir, Seq("k"))
+    ManifestTable.deleteByKey(Seq(3L, 17L, 33L).toDF("k"), dir, Seq("k"))
+    val want = ManifestTable.snapshot(spark, dir).orderBy("k").collect().toSeq
+    ManifestTable.compact(spark, dir, "k", numFiles = 2)
+    val m = ManifestTable.manifest(dir, None)
+    assert(m.deleteFiles.isEmpty && m.deleteKeys.isEmpty,
+      "a full rewrite has applied every tombstone — carrying them would be dead weight")
+    assert(ManifestTable.snapshot(spark, dir).orderBy("k").collect().toSeq == want)
+  }
+
+  test("a THROWING audit callback reclaims staging like a failing audit does") {
+    val dir = freshDir()
+    ManifestTable.commit(Seq((1L, "a")).toDF("k", "v"), dir, Seq("k"))
+    val dirs0 = Option(new java.io.File(dir, "data").listFiles()).get.count(_.isDirectory)
+    intercept[RuntimeException](ManifestTable.commitAudited(
+      Seq((2L, "b")).toDF("k", "v"), dir, Seq("k"),
+      audit = _ => throw new RuntimeException("user bug in the audit")))
+    val dirs1 = Option(new java.io.File(dir, "data").listFiles()).get.count(_.isDirectory)
+    assert(dirs1 == dirs0, "staging must be reclaimed when the audit itself throws")
+    assert(ManifestTable.snapshot(spark, dir).count() == 1, "head untouched")
+  }
+
+  test("ChangeFeedView rejects key/value columns that collide with its reserved outputs") {
+    val dir = freshDir()
+    ManifestTable.commit(Seq((1L, 2.0, "x", 5.0)).toDF("n", "total", "g", "amt"), dir, Seq("n"))
+    intercept[IllegalArgumentException](
+      ChangeFeedView.init(spark, dir, Seq("n"), "amt"))
+    intercept[IllegalArgumentException](
+      ChangeFeedView.init(spark, dir, Seq("g"), "total"))
+    // non-colliding columns are fine
+    assert(ChangeFeedView.init(spark, dir, Seq("g"), "amt").count() == 1)
   }
 
   test("write-audit-publish: failing audit aborts with head untouched and staging reclaimed; passing audit publishes") {
@@ -750,14 +836,9 @@ class ManifestTableSpec extends SparkSpec {
       var model = Vector.empty[(Long, Long)]
       var history = Vector.empty[(Long, Vector[(Long, Long)])]
       def df(rows: Map[Long, Long]) = rows.toSeq.toDF("k", "v")
-      // CoW operations refuse while merge-on-read deletes are pending —
-      // model the maintenance cadence by materializing first (which is
-      // itself a content-preserving version the history checks)
-      def materializeIfPending(): Unit =
-        if (ManifestTable.manifest(dir, None).deleteFiles.nonEmpty) {
-          val v = ManifestTable.materializeDeletes(spark, dir)
-          history :+= (v, model)
-        }
+      // CoW operations COMPOSE with pending merge-on-read deletes (they
+      // compute through the applied view and carry the tombstones), so
+      // the sequences interleave freely — no forced materialize cadence
       ops.foreach {
         case Commit(rows) if rows.nonEmpty =>
           val v = ManifestTable.commit(df(rows), dir, Seq("k"))
@@ -765,18 +846,15 @@ class ManifestTableSpec extends SparkSpec {
           history :+= (v, model)
         case Commit(_) => ()
         case Delete(lo, hi) if history.nonEmpty =>
-          materializeIfPending()
           val v = ManifestTable.delete(spark, dir, $"k".between(lo, hi))
           model = model.filterNot { case (k, _) => k >= lo && k <= hi }
           history :+= (v, model)
         case Merge(rows) if history.nonEmpty && rows.nonEmpty =>
-          materializeIfPending()
           val v = ManifestTable.merge(df(rows), dir, Seq("k"))
           model = model.filterNot { case (k, _) => rows.contains(k) } ++ rows.toVector
           history :+= (v, model)
         case Merge(_) => ()
         case Compact if history.nonEmpty =>
-          materializeIfPending()
           val v = ManifestTable.compact(spark, dir, "k", numFiles = 2)
           history :+= (v, model)
         case MorDelete(keys) if history.nonEmpty =>
