@@ -785,6 +785,12 @@ object VectorSearch {
     *  - `brute`: corpus small enough to stream per query set — the
     *    exact answer IS the cheap answer, an index would only add
     *    build cost and recall risk;
+    *  - `ivf-indexed`: a persisted [[buildIvfIndex]] artifact exists
+    *    whose pinned schema matches the corpus — serve from it
+    *    ([[annIvfIndexed]]): no training, no labeling, the scan prunes
+    *    to the probed `cluster=N` partition dirs. A missing/torn/
+    *    drifted index silently falls through to a rebuild path: the
+    *    index is an optimization, never a correctness dependency;
     *  - `ivf`: a partition/cluster column exists — probe the nprobe
     *    nearest coarse partitions ([[annIvf]]), partition-pruned on a
     *    clustered layout;
@@ -802,15 +808,46 @@ object VectorSearch {
   def annRoute(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int,
       partCol: Option[String] = None, nprobe: Int = 2,
-      bruteMaxRows: Long = 200000L, trainK: Int = 16): (DataFrame, String) = {
+      bruteMaxRows: Long = 200000L, trainK: Int = 16,
+      indexPath: Option[String] = None): (DataFrame, String) = {
     val (rows, _) = boundedSize(corpus, vecCol, bruteMaxRows)
     if (rows <= bruteMaxRows)
       (knn(corpus, queries, idCol, vecCol, k), "brute")
-    else partCol match {
-      case Some(pc) => (annIvf(corpus, queries, idCol, vecCol, pc, nprobe, k), "ivf")
-      case None => (annIvfAuto(corpus, queries, idCol, vecCol, k, nprobe, trainK), "ivf-trained")
+    else indexPath.filter(servableIndex(corpus.sparkSession, _, corpus.schema)) match {
+      // a built [[buildIvfIndex]] beats every rebuild path: serving
+      // reads the tiny centroid table + only the probed cluster=N
+      // partition dirs, with zero training and zero corpus labeling
+      // per call — the train-once/serve-many shape a deployment runs.
+      // The corpus argument is NOT scanned on this branch (the index
+      // IS the corpus); the schema check pins that they agree.
+      case Some(p) =>
+        (annIvfIndexed(corpus.sparkSession, p, queries, idCol, vecCol, nprobe, k), "ivf-indexed")
+      case None => partCol match {
+        case Some(pc) => (annIvf(corpus, queries, idCol, vecCol, pc, nprobe, k), "ivf")
+        case None => (annIvfAuto(corpus, queries, idCol, vecCol, k, nprobe, trainK), "ivf-trained")
+      }
     }
   }
+
+  /** Is a [[buildIvfIndex]] artifact at `path` servable for a corpus of
+    * this schema? True iff the pinned labeled-corpus schema is exactly
+    * the corpus schema plus the `cluster` label (the [[appendToIvfIndex]]
+    * shape guard) and the centroid table loads. Any failure — missing
+    * dir, torn build, drifted schema — routes to a rebuild path instead
+    * of failing the query: an index is an OPTIMIZATION, never a
+    * correctness dependency.
+    */
+  private def servableIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpusSchema: org.apache.spark.sql.types.StructType): Boolean =
+    try {
+      val pinned = loadIndexSchema(spark, path)
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType.catalogString)).toSeq
+      val want = shape(corpusSchema) :+
+        ("cluster" -> org.apache.spark.sql.types.IntegerType.catalogString)
+      shape(pinned) == want && loadCentroids(spark, path).nonEmpty
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Hard-negative mining for contrastive training (the batch-mining
     * step behind triplet/InfoNCE data prep — Xiong et al. 2021's ANCE

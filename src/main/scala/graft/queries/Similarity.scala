@@ -246,6 +246,42 @@ object Similarity {
       },
     ),
     Q(
+      "q198_ann_route_indexed",
+      "The measure→route loop SERVING FROM A PERSISTED INDEX (the " +
+        "branch a real 100 TB deployment runs): annRoute finds the " +
+        "corpus above the brute threshold and a built buildIvfIndex " +
+        "artifact whose pinned schema matches — so it serves via " +
+        "annIvfIndexed with ZERO training, ZERO corpus labeling and a " +
+        "static cluster IN (...) partition filter (only probed " +
+        "cluster=N dirs are listed), instead of re-training the coarse " +
+        "quantizer per call. Probing ALL nClusters here makes indexed " +
+        "serving exactly equal to the brute answer, so the whole " +
+        "routed path is hash-gated against q31's exact oracle; " +
+        "ApiSpecs pins the selective-probe recall, the decision " +
+        "string, and the fall-through on a torn/drifted index.",
+      Some(s"""
+        WITH n AS ($duckNorm),
+        q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        s AS (SELECT q_id, vec_id, ${dotDuck("qv", "embedding")} / (qn * nrm) AS cosine
+              FROM q JOIN n ON vec_id <> q_id),
+        r AS (SELECT q_id, vec_id, cosine,
+                CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+              FROM s)
+        SELECT q_id, rank, vec_id, cosine FROM r WHERE rank <= 5 ORDER BY q_id, rank
+      """.trim),
+      (spark, dir) => {
+        val emb = Tables(spark, dir).embeddings
+        val ix = graft.Artifacts.cached(s"ivf-route-index:$dir") { p =>
+          graft.api.VectorSearch.buildIvfIndex(emb, "vec_id", "embedding", p, nClusters = 4)
+        }
+        val (res, decision) = graft.api.VectorSearch.annRoute(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+          nprobe = 4, bruteMaxRows = 10L, indexPath = Some(ix))
+        assert(decision == "ivf-indexed", s"route must serve from the index, got $decision")
+        res
+      },
+    ),
+    Q(
       "q193_hard_negatives",
       "Hard-negative mining for contrastive training (the ANCE/DPR " +
         "data-prep step): for each of 10 anchors, the top-5 most-" +

@@ -198,6 +198,42 @@ class ApiSpecs extends SparkSpec {
     // one output shape on every branch
     assert(rBrute.columns.toSeq == rIvf.columns.toSeq
       && rIvf.columns.toSeq == rTrained.columns.toSeq)
+
+    // a persisted index outranks every rebuild path: serve via
+    // annIvfIndexed with no training and a static partition filter
+    val ixPath = graft.Artifacts.scratch("route-ivf")
+    VectorSearch.buildIvfIndex(corpus, "vid", "vec", ixPath, nClusters = 4, sampleN = 40)
+    val (rIx, dIx) = VectorSearch.annRoute(corpus, queries, "vid", "vec", k = 3,
+      nprobe = 4, bruteMaxRows = 10L, indexPath = Some(ixPath))
+    assert(dIx == "ivf-indexed")
+    assert(rIx.columns.toSeq == rBrute.columns.toSeq)
+    // full probe width == exact recall, same as the other branches
+    assert(rIx.collect().map(_.toSeq).toSet == exact)
+    // the served plan prunes to the probed cluster partition dirs via a
+    // static IN filter — no corpus-wide listing, no training jobs
+    val planned = VectorSearch.annIvfIndexed(spark, ixPath, queries, "vid", "vec",
+      nprobe = 1, k = 3)
+    val scanText = planned.queryExecution.executedPlan.toString
+    assert(scanText.contains("cluster") && scanText.contains("IN"),
+      s"expected a static cluster IN partition filter in:\n$scanText")
+    // selective probe still returns k results per query (recall is
+    // probabilistic; shape and boundedness are the contract)
+    assert(planned.groupBy("q_id").count().collect().forall(_.getLong(1) == 3))
+    // a torn/missing index silently falls through to a rebuild branch
+    val (rFall, dFall) = VectorSearch.annRoute(corpus, queries, "vid", "vec", k = 3,
+      partCol = Some("lab"), nprobe = 4, bruteMaxRows = 10L,
+      indexPath = Some(ixPath + "-nonexistent"))
+    assert(dFall == "ivf")
+    assert(rFall.collect().map(_.toSeq).toSet == exact)
+    // a drifted schema (extra column) is rejected by the shape pin
+    val (_, dDrift) = VectorSearch.annRoute(
+      corpus.withColumn("extra", lit(1)), queries, "vid", "vec", k = 3,
+      partCol = Some("lab"), nprobe = 4, bruteMaxRows = 10L, indexPath = Some(ixPath))
+    assert(dDrift == "ivf", "an index pinned to a different corpus schema must not serve")
+    // under the brute threshold the index is still ignored — exact wins
+    val (_, dSmall) = VectorSearch.annRoute(corpus, queries, "vid", "vec", k = 3,
+      indexPath = Some(ixPath))
+    assert(dSmall == "brute")
   }
 
   test("weightedSample: priorities monotone in weight, partition-invariant, guarded") {
