@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.sources.ManifestTable
+import graft.sources.{ManifestTable, MemberIndex}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
@@ -73,9 +73,32 @@ case class ManifestSkipping(spark: SparkSession)
     if (stats == null) return None // not (all) manifest-backed
     val constraints = extract(cond, l)
     if (constraints.isEmpty) return None
+    // equality/IN conjuncts additionally consult the Bloom sidecar
+    // (MemberIndex) when one exists for the column: a point lookup on a
+    // column the table is NOT clustered by has useless min/max envelopes,
+    // and the membership fingerprint (no false negatives) is exactly
+    // what prunes it. Index + per-value bit positions resolve ONCE per
+    // (table dir, column) — position hashing runs the same xxhash64
+    // expressions the build ran, evaluated driver-side.
+    val memberChecks = extractMember(cond)
+    val tableDirs: Seq[String] = stats.values.map(_.dir).toSet.toSeq
+    val bloom: Map[(String, String), (MemberIndex.Index, Seq[Seq[Int]])] =
+      tableDirs.flatMap { d =>
+        memberChecks.flatMap { case (c, dt, vals) =>
+          MemberIndex.newest(d, c).map(ix =>
+            ((d, c), (ix, vals.map(v => MemberIndex.positionsOf(ix, v, dt)))))
+        }
+      }.toMap
     val survived = files.filter { f =>
-      val entry = stats(ManifestSkipping.stripScheme(f))
-      constraints.forall(_.mayMatch(entry))
+      val p = ManifestSkipping.stripScheme(f)
+      val entry = stats(p)
+      constraints.forall(_.mayMatch(entry)) &&
+        memberChecks.forall { case (c, _, _) =>
+          bloom.get((entry.dir, c)) match {
+            case Some((ix, poss)) => poss.exists(ps => MemberIndex.mightContain(ix, p, ps))
+            case None => true // no index for this column: cannot skip
+          }
+        }
     }
     if (survived.length == files.length) None
     else {
@@ -182,6 +205,36 @@ case class ManifestSkipping(spark: SparkSession)
       case _ => None
     }
   }
+
+  /** The point-lookup conjuncts (equality / IN between a bare column
+    * and non-null literals) eligible for Bloom-sidecar consultation.
+    * Same soundness envelope as [[extract]]'s shapes: a file is
+    * skipped only when NO predicate value can be present (no false
+    * negatives in the fingerprint), and the retained Filter still runs
+    * the exact predicate on survivors.
+    */
+  private def extractMember(cond: Expression): Seq[(String, DataType, Seq[Any])] = {
+    def name(e: Expression): Option[(String, DataType)] = e match {
+      case a: AttributeReference => Some((a.name, a.dataType))
+      case _ => None
+    }
+    def lv(e: Expression): Option[Any] = e match {
+      case Literal(v, _) if v != null => Some(v)
+      case _ => None
+    }
+    splitConjunctivePredicates(cond).flatMap {
+      case EqualTo(a, v) => (for ((c, t) <- name(a); x <- lv(v)) yield (c, t, Seq(x)))
+        .orElse(for ((c, t) <- name(v); x <- lv(a)) yield (c, t, Seq(x)))
+      case EqualNullSafe(a, v) => (for ((c, t) <- name(a); x <- lv(v)) yield (c, t, Seq(x)))
+        .orElse(for ((c, t) <- name(v); x <- lv(a)) yield (c, t, Seq(x)))
+      case In(a, vs) if vs.nonEmpty && vs.forall(v => lv(v).isDefined) =>
+        name(a).map { case (c, t) => (c, t, vs.flatMap(lv)) }
+      case org.apache.spark.sql.catalyst.expressions.InSet(a, hset)
+          if hset.nonEmpty && !hset.contains(null) =>
+        name(a).map { case (c, t) => (c, t, hset.toSeq) }
+      case _ => None
+    }
+  }
 }
 
 object ManifestSkipping {
@@ -193,6 +246,7 @@ object ManifestSkipping {
     * check [[tracked]] first and read via [[mn]]/[[mx]].
     */
   final case class Stats(
+      dir: String,
       track: Seq[String],
       rawMins: Map[String, Option[String]], rawMaxs: Map[String, Option[String]]) {
     def tracked(col: String): Boolean = track.contains(col)
@@ -225,7 +279,7 @@ object ManifestSkipping {
       dir -> cache.computeIfAbsent(key, { _ =>
         ManifestTable.versions(dir).flatMap { v =>
           val m = ManifestTable.manifest(dir, Some(v))
-          m.files.map(f => f.path -> Stats(m.track, f.mins, f.maxs))
+          m.files.map(f => f.path -> Stats(dir, m.track, f.mins, f.maxs))
         }.toMap
       })
     }.toMap
@@ -250,7 +304,7 @@ object ManifestSkipping {
     }
   }
 
-  private[plans] def stripScheme(p: String): String =
+  private[graft] def stripScheme(p: String): String =
     if (p.startsWith("file:")) new java.net.URI(p).getPath else p
 
   /** A committed stat string back to the column's INTERNAL value —

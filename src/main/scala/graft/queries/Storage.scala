@@ -325,6 +325,37 @@ object Storage {
       },
     ),
     Q(
+      "q199_sql_member_prune",
+      "q189's point lookup as PLAIN SQL: the analyst types `WHERE " +
+        "o_orderkey IN (...)` against the snapshot view and the " +
+        "injected ManifestSkipping rule consults the Bloom sidecar " +
+        "(MemberIndex) for the equality/IN conjunct — key-position " +
+        "hashing runs the very xxhash64 expressions the build ran, " +
+        "evaluated driver-side, so planner-side and executor-side " +
+        "fingerprints can never drift. The table is date-clustered, so " +
+        "every file's KEY envelope spans the whole domain and min/max " +
+        "skips nothing — only the membership fingerprint prunes. Same " +
+        "oracle as q189 proves SQL+rule == explicit indexed lookup == " +
+        "raw filter; ManifestSkippingSpec pins rule-side candidates == " +
+        "API-side candidatePaths and fresh-unindexed-file safety.",
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey IN (11, 222, 333, 444, 555)
+        ORDER BY o_orderkey
+      """.trim),
+      (spark, dir) => {
+        val t = keyIndexedOrders(spark, dir)
+        ManifestTable.createView(spark, t, "member_orders_v")
+        spark.sql("""
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice, o_orderdate, o_orderpriority
+          FROM member_orders_v WHERE o_orderkey IN (11, 222, 333, 444, 555)
+          ORDER BY o_orderkey
+        """)
+      },
+    ),
+    Q(
       "q190_cdf_view",
       "Incremental aggregate-view maintenance from the change feed " +
         "(graft.sources.ChangeFeedView — retraction-based IVM over the " +

@@ -153,6 +153,60 @@ object MemberIndex {
       .filter(col(column).isin(keys: _*))
   }
 
+  // ---------------------------------------------- planner-facing surface
+
+  /** The newest built index for (dir, column), if any — the lookup the
+    * injected [[graft.plans.ManifestSkipping]] rule uses to give plain
+    * `spark.sql` point predicates the same file skipping [[lookup]]
+    * gives API callers. Per-file fingerprints are content digests of
+    * IMMUTABLE files, so an entry stays valid for any snapshot that
+    * still references the file — the rule may consult an index built
+    * at an older version and simply finds no entry for newer files
+    * (which then cannot be skipped). Parsed index documents are
+    * memoized by path (they are immutable once written).
+    */
+  private[graft] def newest(dir: String, column: String): Option[Index] = {
+    val d = ixDir(dir, column)
+    if (!java.nio.file.Files.exists(d)) return None
+    Option(d.toFile.list()).getOrElse(Array.empty).toSeq
+      .collect { case n if n.startsWith("ix-") && n.endsWith(".json") =>
+        n.stripPrefix("ix-").stripSuffix(".json").toLong }
+      .sorted.reverse.iterator
+      .map(v => parseCache.computeIfAbsent(d.resolve(ixName(v)).toString, { p =>
+        parse(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8"))
+      }))
+      .nextOption()
+  }
+
+  private val parseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Index]()
+
+  /** Driver-side bit positions for one INTERNAL Catalyst value — the
+    * EXACT expressions the build ran (`pmod(xxhash64(lit(i), col),
+    * bits)`), evaluated interpreted, so planner-side hashing can never
+    * drift from executor-side fingerprinting. `dt` must be the
+    * column's committed type (the caller compares attribute types).
+    */
+  private[graft] def positionsOf(ix: Index, value: Any, dt: org.apache.spark.sql.types.DataType): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    (0 until ix.probes).map { i =>
+      val h = XxHash64(Seq(
+        Literal(i, org.apache.spark.sql.types.IntegerType),
+        Literal(value, dt)), 42L).eval(null).asInstanceOf[Long]
+      (((h % ix.bits) + ix.bits) % ix.bits).toInt
+    }
+  }
+
+  /** May file `path` contain a value hashing to `positions`? TRUE when
+    * the file has no fingerprint (not indexed yet — cannot skip).
+    */
+  private[graft] def mightContain(ix: Index, path: String, positions: Seq[Int]): Boolean =
+    ix.files.get(path) match {
+      case Some(hex) => positions.forall(bitSet(hex, _))
+      case None => true
+    }
+
   // ------------------------------------------------------------- internals
 
   private def ixDir(dir: String, column: String) =

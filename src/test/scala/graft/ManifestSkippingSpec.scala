@@ -164,4 +164,48 @@ class ManifestSkippingSpec extends SparkSpec {
     assert(plannedFiles(q).size == 1, "post-delete manifest entries drive pruning")
     assert(q.count() == 100)
   }
+
+  test("equality/IN on a member-indexed column prunes via the Bloom sidecar, plain SQL included") {
+    val dir = tmpDir("skipbloom").toString
+    // cluster by v so the KEY envelopes span the whole domain in every
+    // file — min/max can skip nothing for a key lookup; only the
+    // membership fingerprint can
+    val df = (1 to 1000).map(i => (i.toLong, ((i * 613) % 1000).toLong)).toDF("k", "v")
+    ManifestTable.commit(df.repartitionByRange(5, $"v"), dir, track = Seq("v"))
+    graft.sources.MemberIndex.build(spark, dir, "k")
+    val snap = ManifestTable.snapshot(spark, dir)
+    val all = plannedFiles(snap)
+    assert(all.size == 5)
+    // envelope-only pruning is powerless here; the Bloom skips files
+    val q = snap.filter($"k".isin(11L, 222L))
+    val pruned = plannedFiles(q)
+    assert(pruned.size < all.size,
+      s"Bloom sidecar must prune a key lookup (${pruned.size}/${all.size})")
+    // result identical with the rule off (bit-identical contract)
+    val expect = spark.conf.get("spark.graft.manifestSkipping.enabled", "true")
+    try {
+      spark.conf.set("spark.graft.manifestSkipping.enabled", "false")
+      val off = ManifestTable.snapshot(spark, dir).filter($"k".isin(11L, 222L))
+      assert(q.orderBy("k").collect().toSeq == off.orderBy("k").collect().toSeq)
+    } finally spark.conf.set("spark.graft.manifestSkipping.enabled", expect)
+    // the candidate set agrees with the API-side lookup's superset
+    val apiPaths = graft.sources.MemberIndex
+      .candidatePaths(spark, dir, "k", Seq(11L, 222L)).toSet
+    assert(pruned.map(p => graft.plans.ManifestSkipping.stripScheme(p)).toSet == apiPaths,
+      "rule-side and API-side candidate sets must agree")
+    // plain SQL against a view gets it automatically
+    snap.createOrReplaceTempView("bloom_view")
+    val sq = spark.sql("SELECT k, v FROM bloom_view WHERE k IN (11, 222)")
+    assert(plannedFiles(sq).size == pruned.size)
+    assert(sq.collect().map(_.getLong(0)).sorted.toSeq == Seq(11L, 222L))
+    // files appended AFTER the index was built cannot be skipped (no
+    // fingerprint) but never break correctness
+    ManifestTable.commit(Seq((2000L, 1L)).toDF("k", "v"), dir, Seq("v"))
+    val snap2 = ManifestTable.snapshot(spark, dir)
+    val q2 = snap2.filter($"k" === 2000L)
+    assert(q2.count() == 1, "unindexed fresh file must survive the Bloom pass")
+    assert(plannedFiles(q2).exists(_.contains("c-")), "fresh file stays in the scan")
+    // equality on a column with NO index: untouched (no skip, no error)
+    assert(plannedFiles(snap2.filter($"v" === 999L)).nonEmpty)
+  }
 }
