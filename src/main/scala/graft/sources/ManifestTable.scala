@@ -41,14 +41,24 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * Layout under `dir/`:
   * {{{
   *   data/c-<uuid>/part-*.parquet   one immutable dir per commit attempt
-  *   _manifests/m-<%012d v>.json    one JSON doc per committed version
+  *   _manifests/m-<%012d v>.json    one small HEAD doc per version
+  *   _manifests/seg-<uuid>.json     immutable file-list segments
   * }}}
   *
-  * A manifest is self-contained (full file list, not a delta): one read
-  * resolves a snapshot, and expiring old versions never rewrites newer
-  * ones. Metadata is O(total files) per version — the regime where
-  * Iceberg splits into manifest lists; the protocol here is the same,
-  * the indirection layer is just not needed at catalog-demo scale.
+  * The file list uses MANIFEST-LIST INDIRECTION (Iceberg's
+  * manifest-file split): the head stores segment NAMES plus the
+  * delete/txn/schema metadata; each segment is an immutable JSON array
+  * of file entries. A commit reuses every parent segment whose files
+  * all survive and writes ONE new segment for the delta, so committing
+  * against a million-file table writes O(changed files) manifest
+  * bytes, not O(total); when live segments exceed [[MaxSegments]] they
+  * fold into one (amortized O(1) per commit). Readers resolve a
+  * snapshot from the head + segments, re-parsing only segments not in
+  * the immutable-entry cache — a commit loop re-reads O(Δ). A manifest
+  * is still logically self-contained (segments are never deltas
+  * against other versions), so expiring old versions never rewrites
+  * newer ones, and legacy inline-file-list heads read unchanged and
+  * upgrade on their next commit.
   *
   * Stats round-trip through strings with SPARK casts on both sides
   * (`CAST(x AS STRING)` at collect, `CAST(lit(s) AS type)` at prune), so
@@ -742,21 +752,25 @@ object ManifestTable {
       case _ => s.cast(dt)
     }
 
-  /** Atomically claim version `m.version`: stage the JSON beside the
-    * manifest dir, then HARD-LINK it onto the versioned name — link(2)
-    * is the POSIX atomic create-if-absent (it fails with EEXIST when
-    * another writer already owns the name, and the linked name appears
-    * with its full content, never torn). An `ATOMIC_MOVE` here would be
-    * WRONG: POSIX rename(2) silently REPLACES an existing target, so a
-    * lost race would overwrite the winner's manifest and drop its
-    * files from the table. FileAlreadyExists means another writer won
-    * and the caller re-reads the head and retries. Returns the version
-    * on success, -1 on lost race. Filesystems without hard links fall
-    * back to O_EXCL create (still exclusive; visibility of the write
-    * itself is then the documented weaker guarantee).
+  /** Atomically claim version `m.version`: write the file-list SEGMENTS
+    * first (immutable side files, unreferenced until the head lands),
+    * stage the head JSON beside the manifest dir, then HARD-LINK it
+    * onto the versioned name — link(2) is the POSIX atomic
+    * create-if-absent (it fails with EEXIST when another writer already
+    * owns the name, and the linked name appears with its full content,
+    * never torn). An `ATOMIC_MOVE` here would be WRONG: POSIX rename(2)
+    * silently REPLACES an existing target, so a lost race would
+    * overwrite the winner's manifest and drop its files from the table.
+    * FileAlreadyExists means another writer won; the freshly written
+    * segment (referenced only by OUR failed head) is deleted and the
+    * caller re-reads the head and retries. Returns the version on
+    * success, -1 on lost race. Filesystems without hard links fall back
+    * to O_EXCL create (still exclusive; visibility of the write itself
+    * is then the documented weaker guarantee).
     */
   private[graft] def tryInstall(dir: String, m: Manifest): Long = {
-    val bytes = render(m).getBytes("UTF-8")
+    val (segNames, freshSeg) = writeSegments(dir, m)
+    val bytes = renderHead(m, segNames).getBytes("UTF-8")
     val tmp = java.nio.file.Paths.get(dir, "_manifests", s".tmp-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.write(tmp, bytes)
     val dst = java.nio.file.Paths.get(dir, "_manifests", manifestName(m.version))
@@ -770,7 +784,48 @@ object ManifestTable {
       m.version
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        java.nio.file.Files.deleteIfExists(tmp); -1L
+        java.nio.file.Files.deleteIfExists(tmp)
+        freshSeg.foreach(java.nio.file.Files.deleteIfExists(_): Unit)
+        -1L
+    }
+  }
+
+  /** Beyond this many live segments a commit folds them into one —
+    * amortized-O(1) per commit (the vector-doubling argument), keeping
+    * snapshot resolution O(segments ≤ 64 reads), all but the newest
+    * served from the immutable-segment cache.
+    */
+  private val MaxSegments = 64
+
+  /** The manifest-list indirection (Iceberg's manifest-file split): the
+    * per-version FILE LIST lives in immutable `seg-<uuid>.json` side
+    * files; the head stores only segment NAMES. A commit reuses every
+    * parent segment whose files all survive and writes ONE new segment
+    * holding the leftover (new + surviving-from-broken-segment)
+    * entries — so an append to a million-file table writes O(batch)
+    * manifest bytes, not O(total files), and readers re-parse only the
+    * segments they have not already cached (file entries are immutable
+    * per path, which is what makes both reuses sound). Returns the
+    * head's segment name list and the newly created segment (for
+    * lost-race cleanup).
+    */
+  private def writeSegments(dir: String, m: Manifest): (Seq[String], Option[java.nio.file.Path]) = {
+    if (m.files.isEmpty) return (Nil, None)
+    val parentSegs: Seq[(String, Seq[String])] =
+      m.parent.toSeq.flatMap(v => segComposition(dir, v))
+    val present = m.files.map(_.path).toSet
+    val intact = parentSegs.filter { case (_, paths) => paths.forall(present) }
+    val keep = if (intact.size >= MaxSegments) Nil else intact
+    val covered = keep.iterator.flatMap(_._2).toSet
+    val leftover = m.files.filterNot(f => covered(f.path))
+    if (leftover.isEmpty) (keep.map(_._1), None)
+    else {
+      val name = s"seg-${java.util.UUID.randomUUID()}.json"
+      val p = java.nio.file.Paths.get(dir, "_manifests", name)
+      java.nio.file.Files.write(p, renderSegment(leftover).getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      segCache.put((dir, name), leftover)
+      (keep.map(_._1) :+ name, Some(p))
     }
   }
 
@@ -933,6 +988,7 @@ object ManifestTable {
     val drop = vs.dropRight(keepLast)
     if (drop.isEmpty) return
     val dropped = drop.map(v => manifest(dir, Some(v)))
+    val droppedSegs = drop.flatMap(v => segComposition(dir, v).map(_._1)).toSet
     drop.foreach(v => java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(dir, "_manifests", manifestName(v))): Unit)
     def allPaths(m: Manifest) = m.files.map(_.path) ++ m.deleteFiles.map(_.path)
@@ -940,6 +996,14 @@ object ManifestTable {
     dropped.flatMap(allPaths).distinct
       .filterNot(kept)
       .foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)): Unit)
+    // segment files referenced only by dropped heads fold away too
+    // (heads went first, so a crash here leaves re-collectable orphans,
+    // never a head pointing at a deleted segment)
+    val keptSegs = versions(dir).flatMap(v => segComposition(dir, v).map(_._1)).toSet
+    droppedSegs.filterNot(keptSegs).foreach { n =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "_manifests", n))
+      segCache.remove((dir, n)): Unit
+    }
     // commit dirs whose every DATA file is gone fold away — only then
     // are their write markers (_SUCCESS, .crc) swept; live dirs are
     // untouched
@@ -1002,7 +1066,7 @@ object ManifestTable {
     val p = java.nio.file.Paths.get(dir, "_manifests", manifestName(v))
     require(java.nio.file.Files.exists(p),
       s"snapshot v=$v of $dir does not exist or was expired (live: ${versions(dir).sorted.mkString(", ")})")
-    parse(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    parse(dir, new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
   }
 
   /** Manifests are immutable per (dir, version), so the txn marker is
@@ -1020,41 +1084,93 @@ object ManifestTable {
       txnCache.computeIfAbsent((dir, v), _ => manifest(dir, Some(v)).txn).contains(txn)
     }
 
-  private def render(m: Manifest): String = {
+  private def renderHead(m: Manifest, segNames: Seq[String]): String = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    val files = m.files.map { f =>
-      ("path" -> f.path) ~ ("rows" -> f.rows) ~ ("seq" -> f.seq) ~
-        ("mins" -> f.mins.map { case (k, v) => k -> v }) ~
-        ("maxs" -> f.maxs.map { case (k, v) => k -> v })
-    }
     val dels = m.deleteFiles.map(d =>
       ("path" -> d.path) ~ ("rows" -> d.rows) ~ ("seq" -> d.seq))
     JsonMethods.compact(JsonMethods.render(
       ("version" -> m.version) ~ ("parent" -> m.parent) ~ ("txn" -> m.txn) ~
-        ("schema" -> m.schemaJson) ~ ("track" -> m.track) ~ ("files" -> files) ~
+        ("schema" -> m.schemaJson) ~ ("track" -> m.track) ~
+        ("segments" -> segNames) ~
         ("deleteKeys" -> m.deleteKeys) ~ ("deleteFiles" -> dels)))
   }
 
-  private def parse(s: String): Manifest = {
+  private def renderSegment(entries: Seq[FileEntry]): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(entries.map { f =>
+      ("path" -> f.path) ~ ("rows" -> f.rows) ~ ("seq" -> f.seq) ~
+        ("mins" -> f.mins.map { case (k, v) => k -> v }) ~
+        ("maxs" -> f.maxs.map { case (k, v) => k -> v })
+    }))
+  }
+
+  /** Immutable-segment entry cache: a (dir, segment-name) pair is
+    * written exactly once (CREATE_NEW), so entries never go stale; a
+    * snapshot resolution re-parses only segments it has not seen.
+    * Evicted for a dir when [[expireSnapshots]] drops segments there.
+    */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[FileEntry]]()
+
+  private def entriesOf(j: org.json4s.JValue): Seq[FileEntry] = {
+    import org.json4s._
+    implicit val fmt: Formats = DefaultFormats
+    j.extract[Seq[JValue]].map { f =>
+      FileEntry(
+        (f \ "path").extract[String],
+        (f \ "rows").extract[Long],
+        (f \ "mins").extract[Map[String, Option[String]]],
+        (f \ "maxs").extract[Map[String, Option[String]]],
+        (f \ "seq").extractOpt[Long].getOrElse(0L))
+    }
+  }
+
+  private def loadSegment(dir: String, name: String): Seq[FileEntry] =
+    segCache.computeIfAbsent((dir, name), { _ =>
+      import org.json4s.jackson.JsonMethods
+      val p = java.nio.file.Paths.get(dir, "_manifests", name)
+      entriesOf(JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")))
+    })
+
+  /** Segment composition (name -> member paths) of version `v`'s head,
+    * Nil for a legacy inline-file-list head — the reuse map
+    * [[writeSegments]] diffs a child commit against.
+    */
+  private def segComposition(dir: String, v: Long): Seq[(String, Seq[String])] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val p = java.nio.file.Paths.get(dir, "_manifests", manifestName(v))
+    if (!java.nio.file.Files.exists(p)) return Nil
+    val j = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    (j \ "segments").extractOpt[Seq[String]].getOrElse(Nil)
+      .map(n => n -> loadSegment(dir, n).map(_.path))
+  }
+
+  private def parse(dir: String, s: String): Manifest = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmt: Formats = DefaultFormats
     val j = JsonMethods.parse(s)
+    // new heads carry segment names; legacy heads carry the inline
+    // "files" list — both resolve to the same in-memory Manifest, so a
+    // pre-segmentation table reads (and upgrades on its next commit)
+    // with no migration step. JNothing is matched explicitly: json4s
+    // extracts an ABSENT key to Some(Nil) for collection types, which
+    // would silently read a legacy table as empty.
+    val files = (j \ "segments") match {
+      case JNothing => entriesOf(j \ "files")
+      case seg => seg.extract[Seq[String]].flatMap(loadSegment(dir, _))
+    }
     Manifest(
       (j \ "version").extract[Long],
       (j \ "parent").extractOpt[Long],
       (j \ "txn").extractOpt[String],
       (j \ "schema").extract[String],
       (j \ "track").extract[Seq[String]],
-      (j \ "files").extract[Seq[JValue]].map { f =>
-        FileEntry(
-          (f \ "path").extract[String],
-          (f \ "rows").extract[Long],
-          (f \ "mins").extract[Map[String, Option[String]]],
-          (f \ "maxs").extract[Map[String, Option[String]]],
-          (f \ "seq").extractOpt[Long].getOrElse(0L))
-      },
+      files,
       (j \ "deleteKeys").extractOpt[Seq[String]].getOrElse(Nil),
       (j \ "deleteFiles").extractOpt[Seq[JValue]].getOrElse(Nil).map { d =>
         DeleteEntry(

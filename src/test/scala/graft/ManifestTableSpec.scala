@@ -595,6 +595,116 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.snapshot(spark, dir).count() == 8)
   }
 
+  test("legacy inline-file-list heads read unchanged and upgrade to segments on the next commit") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
+    val m1 = ManifestTable.manifest(dir, None)
+    // rewrite v1's head in the PRE-SEGMENTATION format: inline "files",
+    // no "segments" key — exactly what an old table has on disk
+    val inline = {
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
+      val files = m1.files.map { f =>
+        ("path" -> f.path) ~ ("rows" -> f.rows) ~ ("seq" -> f.seq) ~
+          ("mins" -> f.mins.map { case (k, v) => k -> v }) ~
+          ("maxs" -> f.maxs.map { case (k, v) => k -> v })
+      }
+      JsonMethods.compact(JsonMethods.render(
+        ("version" -> m1.version) ~ ("parent" -> m1.parent) ~ ("txn" -> m1.txn) ~
+          ("schema" -> m1.schemaJson) ~ ("track" -> m1.track) ~ ("files" -> files)))
+    }
+    val mdir = new java.io.File(dir, "_manifests")
+    // drop v1's head AND its segments, install the legacy head
+    mdir.listFiles().foreach(f => f.delete(): Unit)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_manifests", f"m-${1L}%012d.json"),
+      inline.getBytes("UTF-8"))
+    // reads resolve identically from the inline list
+    val back = ManifestTable.manifest(dir, None)
+    assert(back.files == m1.files)
+    assert(ManifestTable.snapshot(spark, dir).count() == 20)
+    // the next commit writes the NEW format (head + one segment) and
+    // the chain keeps working
+    ManifestTable.commit(Seq((21L, "v21")).toDF("k", "v"), dir, Seq("k"))
+    assert(ManifestTable.snapshot(spark, dir).count() == 21)
+    val segs = mdir.list().count(_.startsWith("seg-"))
+    assert(segs >= 1, "upgraded commit must write segmented metadata")
+    assert(ManifestTable.snapshot(spark, dir, asOf = Some(1L)).count() == 20,
+      "time travel to the legacy version still works")
+  }
+
+  test("segmented commits write O(delta) manifest bytes, not O(total files)") {
+    val dir = freshDir()
+    val mdir = new java.io.File(dir, "_manifests")
+    def manifestBytes: Map[String, Long] =
+      Option(mdir.listFiles()).getOrElse(Array.empty)
+        .map(f => f.getName -> f.length()).toMap
+    var segCosts = Vector.empty[Long]
+    (1 to 30).foreach { i =>
+      val before = manifestBytes
+      ManifestTable.commit(Seq((i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
+      val after = manifestBytes
+      // file-entry bytes this commit wrote = the fresh segment(s) only;
+      // the head carries names, not entries
+      segCosts :+= after.collect {
+        case (n, sz) if n.startsWith("seg-") && !before.contains(n) => sz
+      }.sum
+    }
+    // ENTRY bytes per commit are O(delta): the 30th single-file commit
+    // writes one 1-entry segment, same as the 5th — never the full list
+    assert(segCosts(29) <= segCosts(4) * 2,
+      s"segment cost grew with table size: commit5=${segCosts(4)} B, commit30=${segCosts(29)} B")
+    // total new metadata (head + segment) stays far below re-rendering
+    // the full file list (what the legacy inline format wrote per
+    // commit ≈ the sum of all live segments)
+    val fullListBytes = manifestBytes.collect { case (n, sz) if n.startsWith("seg-") => sz }.sum
+    val headBytes = manifestBytes(f"m-${30L}%012d.json")
+    assert(headBytes + segCosts(29) < fullListBytes,
+      s"commit 30 wrote ${headBytes + segCosts(29)} B, inline would write ~$fullListBytes B")
+    // the head is bounded by the segment FOLD, not by file count: with
+    // MaxSegments=64 names of ~60 B it can never exceed a few KB
+    assert(headBytes < 8192, s"head must stay O(segments): $headBytes B")
+    assert(ManifestTable.snapshot(spark, dir).count() == 30)
+    assert(ManifestTable.manifest(dir, None).files.size == 30)
+    // a rewrite (delete) touches ONE file: only broken segments rewrite
+    val before = manifestBytes
+    ManifestTable.delete(spark, dir, $"k" === 15L)
+    val after = manifestBytes
+    val rewriteSegCost = after.collect {
+      case (n, sz) if n.startsWith("seg-") && !before.contains(n) => sz
+    }.sum
+    assert(rewriteSegCost < fullListBytes / 4,
+      s"selective delete rewrote O(table) entry metadata: $rewriteSegCost B")
+    assert(ManifestTable.snapshot(spark, dir).count() == 29)
+  }
+
+  test("segment fold: beyond MaxSegments live segments a commit folds them, amortized O(1)") {
+    val dir = freshDir()
+    val mdir = new java.io.File(dir, "_manifests")
+    (1 to 70).foreach { i =>
+      ManifestTable.commit(Seq((i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
+    }
+    // 70 single-file commits crossed the 64-segment fold at least once:
+    // the head's live segment count is far below the commit count
+    val head = ManifestTable.manifest(dir, None)
+    assert(head.files.size == 70)
+    val liveSegs = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmt: Formats = DefaultFormats
+      val j = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_manifests", f"m-${head.version}%012d.json")), "UTF-8"))
+      (j \ "segments").extract[Seq[String]]
+    }
+    assert(liveSegs.size < 64, s"fold must bound live segments, got ${liveSegs.size}")
+    assert(ManifestTable.snapshot(spark, dir).count() == 70)
+    // expire drops unreferenced segments with the heads that owned them
+    ManifestTable.expireSnapshots(dir, keepLast = 1)
+    val segsOnDisk = mdir.list().count(_.startsWith("seg-"))
+    assert(segsOnDisk == liveSegs.size,
+      s"expire must GC segments referenced only by dropped heads: $segsOnDisk vs ${liveSegs.size}")
+  }
+
   test("empty-key MoR delete commits nothing and never wedges a later key-spec switch") {
     val dir = freshDir()
     ManifestTable.commit((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
