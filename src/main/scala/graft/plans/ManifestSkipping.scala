@@ -21,10 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * whose every file lives under a manifest table's `data/` layout is
   * rewritten to scan ONLY the files whose committed min/max envelope
   * can satisfy the filter's range/equality/IN conjuncts on tracked
-  * columns. The `Filter` node itself is always retained, so the
-  * transform is bit-identical by construction — pruning only removes
-  * files that cannot contribute a row, decided from the same manifest
-  * stats `prunedScan` consults, evaluated driver-side with Spark's own
+  * columns. Equality/IN conjuncts additionally consult the per-file
+  * Bloom sidecar ([[MemberIndex]]) when one exists for the column. The
+  * `Filter` node itself is always retained, so the transform is
+  * bit-identical by construction — pruning only removes files that
+  * cannot contribute a row, decided from the same manifest stats
+  * `prunedScan` consults, evaluated driver-side with Spark's own
   * `Cast` + interpreted orderings (no extra jobs at plan time).
   *
   * Safety envelope (each guard falls back to "don't touch the plan"):
@@ -42,13 +44,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - fixpoint-stable: when nothing new prunes, the plan returns
   *    unchanged (reference-equal), so the optimizer batch terminates.
   *
+  * The same constraint machinery serves the DSv2 catalog path
+  * ([[graft.sources.GraftCatalog]]) through [[ManifestSkipping.survivors]],
+  * so `spark.sql` against a catalog table and against a snapshot view
+  * prune identically.
+  *
   * At 100 TB this turns "scan 40,000 files, let parquet row-group
   * stats save you at runtime" into "open the 12 overlapping files" —
   * listing, footer reads, and task scheduling all shrink with it.
   * Disable per-session with `spark.graft.manifestSkipping.enabled`.
   */
 case class ManifestSkipping(spark: SparkSession)
-  extends Rule[LogicalPlan] with PredicateHelper {
+  extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!spark.conf.get("spark.graft.manifestSkipping.enabled", "true").toBoolean) plan
@@ -71,7 +78,45 @@ case class ManifestSkipping(spark: SparkSession)
     if (files.isEmpty) return None
     val stats = ManifestSkipping.statsFor(files)
     if (stats == null) return None // not (all) manifest-backed
-    val constraints = extract(cond, l)
+    val survived = ManifestSkipping.survivors(cond, files.toIndexedSeq, stats)
+      .getOrElse(return None)
+    if (survived.length == files.length) None
+    else {
+      val idx = new InMemoryFileIndex(
+        spark, survived.map(new Path(_)).toIndexedSeq, fsRel.options, Some(fsRel.dataSchema))
+      Some(l.copy(relation = fsRel.copy(location = idx)(spark)))
+    }
+  }
+}
+
+object ManifestSkipping extends PredicateHelper {
+
+  /** Per-file envelopes. A column absent from the maps but present in
+    * `track` is a NULL envelope (JSON rendering omits None values —
+    * the file has no non-null value there); a column not in `track`
+    * has no envelope at all and can never justify a skip. Constraints
+    * check [[Stats.tracked]] first and read via [[Stats.mn]]/[[Stats.mx]].
+    * `dir` locates the owning table for Bloom-sidecar lookups.
+    */
+  final case class Stats(
+      dir: String,
+      track: Seq[String],
+      rawMins: Map[String, Option[String]], rawMaxs: Map[String, Option[String]]) {
+    def tracked(col: String): Boolean = track.contains(col)
+    def mn(col: String): Option[String] = rawMins.getOrElse(col, None)
+    def mx(col: String): Option[String] = rawMaxs.getOrElse(col, None)
+  }
+
+  /** The files of `files` that MAY satisfy `cond` per the committed
+    * envelopes + Bloom sidecars; None when the filter contributes no
+    * usable constraint (caller leaves the scan alone). `files` may
+    * carry a URI scheme; returned entries preserve the caller's form.
+    * Shared by the injected V1 rule and the DSv2 catalog scan builder —
+    * one soundness envelope, two entry points.
+    */
+  private[graft] def survivors(
+      cond: Expression, files: Seq[String], stats: Map[String, Stats]): Option[Seq[String]] = {
+    val constraints = extract(cond)
     if (constraints.isEmpty) return None
     // equality/IN conjuncts additionally consult the Bloom sidecar
     // (MemberIndex) when one exists for the column: a point lookup on a
@@ -89,8 +134,8 @@ case class ManifestSkipping(spark: SparkSession)
             ((d, c), (ix, vals.map(v => MemberIndex.positionsOf(ix, v, dt)))))
         }
       }.toMap
-    val survived = files.filter { f =>
-      val p = ManifestSkipping.stripScheme(f)
+    Some(files.filter { f =>
+      val p = stripScheme(f)
       val entry = stats(p)
       constraints.forall(_.mayMatch(entry)) &&
         memberChecks.forall { case (c, _, _) =>
@@ -99,13 +144,7 @@ case class ManifestSkipping(spark: SparkSession)
             case None => true // no index for this column: cannot skip
           }
         }
-    }
-    if (survived.length == files.length) None
-    else {
-      val idx = new InMemoryFileIndex(
-        spark, survived.map(new Path(_)).toIndexedSeq, fsRel.options, Some(fsRel.dataSchema))
-      Some(l.copy(relation = fsRel.copy(location = idx)(spark)))
-    }
+    })
   }
 
   /** One per usable conjunct: can a file with this envelope hold a
@@ -113,19 +152,19 @@ case class ManifestSkipping(spark: SparkSession)
     * for the column's type; a null envelope can never satisfy a
     * range/equality/IN predicate (those are null-rejecting).
     */
-  private sealed trait Constraint { def mayMatch(e: ManifestSkipping.Stats): Boolean }
+  private sealed trait Constraint { def mayMatch(e: Stats): Boolean }
 
   private final case class Range(
       col: String, dt: DataType,
       lo: Option[Any], loStrict: Boolean,
       hi: Option[Any], hiStrict: Boolean) extends Constraint {
     private val ord = TypeUtils.getInterpretedOrdering(dt)
-    def mayMatch(e: ManifestSkipping.Stats): Boolean =
+    def mayMatch(e: Stats): Boolean =
       if (!e.tracked(col)) true // no envelope committed: cannot skip
       else (e.mn(col), e.mx(col)) match {
         case (Some(mn), Some(mx)) =>
-          val fMin = ManifestSkipping.castStat(mn, dt)
-          val fMax = ManifestSkipping.castStat(mx, dt)
+          val fMin = castStat(mn, dt)
+          val fMax = castStat(mx, dt)
           fMin != null && fMax != null && // uncastable stat: never skip
             lo.forall(v => if (loStrict) ord.gt(fMax, v) else ord.gteq(fMax, v)) &&
             hi.forall(v => if (hiStrict) ord.lt(fMin, v) else ord.lteq(fMin, v))
@@ -135,12 +174,12 @@ case class ManifestSkipping(spark: SparkSession)
 
   private final case class InList(col: String, dt: DataType, values: Seq[Any]) extends Constraint {
     private val ord = TypeUtils.getInterpretedOrdering(dt)
-    def mayMatch(e: ManifestSkipping.Stats): Boolean =
+    def mayMatch(e: Stats): Boolean =
       if (!e.tracked(col)) true
       else (e.mn(col), e.mx(col)) match {
         case (Some(mn), Some(mx)) =>
-          val fMin = ManifestSkipping.castStat(mn, dt)
-          val fMax = ManifestSkipping.castStat(mx, dt)
+          val fMin = castStat(mn, dt)
+          val fMax = castStat(mx, dt)
           fMin == null || fMax == null ||
             values.exists(v => ord.gteq(v, fMin) && ord.lteq(v, fMax))
         case _ => false
@@ -151,7 +190,7 @@ case class ManifestSkipping(spark: SparkSession)
     * Only shapes whose skip decision is provably sound contribute;
     * everything else is ignored (the retained Filter still runs it).
     */
-  private def extract(cond: Expression, l: LogicalRelation): Seq[Constraint] = {
+  private def extract(cond: Expression): Seq[Constraint] = {
     // orderable scalar types whose string stats round-trip through Cast
     def scalar(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | FloatType |
@@ -200,7 +239,7 @@ case class ManifestSkipping(spark: SparkSession)
           yield Range(c, t, Some(x), loStrict = false, Some(x), hiStrict = false))
       case In(a, vs) if vs.nonEmpty && vs.forall(v => lv(v).isDefined) =>
         name(a).map { case (c, t) => InList(c, t, vs.flatMap(lv)) }
-      case org.apache.spark.sql.catalyst.expressions.InSet(a, hset) if hset.nonEmpty && !hset.contains(null) =>
+      case InSet(a, hset) if hset.nonEmpty && !hset.contains(null) =>
         name(a).map { case (c, t) => InList(c, t, hset.toSeq) }
       case _ => None
     }
@@ -229,29 +268,10 @@ case class ManifestSkipping(spark: SparkSession)
         .orElse(for ((c, t) <- name(v); x <- lv(a)) yield (c, t, Seq(x)))
       case In(a, vs) if vs.nonEmpty && vs.forall(v => lv(v).isDefined) =>
         name(a).map { case (c, t) => (c, t, vs.flatMap(lv)) }
-      case org.apache.spark.sql.catalyst.expressions.InSet(a, hset)
-          if hset.nonEmpty && !hset.contains(null) =>
+      case InSet(a, hset) if hset.nonEmpty && !hset.contains(null) =>
         name(a).map { case (c, t) => (c, t, hset.toSeq) }
       case _ => None
     }
-  }
-}
-
-object ManifestSkipping {
-
-  /** Per-file envelopes. A column absent from the maps but present in
-    * `track` is a NULL envelope (JSON rendering omits None values —
-    * the file has no non-null value there); a column not in `track`
-    * has no envelope at all and can never justify a skip. Constraints
-    * check [[tracked]] first and read via [[mn]]/[[mx]].
-    */
-  final case class Stats(
-      dir: String,
-      track: Seq[String],
-      rawMins: Map[String, Option[String]], rawMaxs: Map[String, Option[String]]) {
-    def tracked(col: String): Boolean = track.contains(col)
-    def mn(col: String): Option[String] = rawMins.getOrElse(col, None)
-    def mx(col: String): Option[String] = rawMaxs.getOrElse(col, None)
   }
 
   // keyed by (tableDir, live manifest versions) so new commits refresh;

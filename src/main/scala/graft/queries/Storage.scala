@@ -141,6 +141,22 @@ object Storage {
         col("user_id") === 5L && col("event_type") === "purchase"): Unit
     }
 
+  /** A catalog WAREHOUSE containing lake/events as a manifest table
+    * (same two-commit Jan-20 split as [[eventsTable]]) — the fixture
+    * behind the DSv2 `graft.lake.events` SQL entry.
+    */
+  private def catalogWarehouse(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"catalog-warehouse:$dir") { wh =>
+      val p = s"$wh/lake/events"
+      new java.io.File(p).mkdirs()
+      val ev = Tables(spark, dir).events
+      val split = lit("2024-01-20 00:00:00").cast("timestamp")
+      ManifestTable.commit(
+        ev.filter(col("ts") < split).repartitionByRange(10, col("ts")), p, track = Seq("ts"))
+      ManifestTable.commit(
+        ev.filter(col("ts") >= split).repartitionByRange(6, col("ts")), p, track = Seq("ts")): Unit
+    }
+
   val qs: Seq[Q] = Seq(
     Q(
       "q180_manifest_prune",
@@ -556,6 +572,51 @@ object Storage {
             sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
               .cast("double").as("sum_value"))
           .select(col("change"), col("event_type"), col("n"), col("sum_value"))
+      },
+    ),
+    Q(
+      "q202_catalog_sql",
+      "The storage layer as a REAL catalog citizen (graft.sources." +
+        "GraftCatalog, a DataSource V2 TableCatalog): `SELECT ... FROM " +
+        "graft.lake.events` needs no createView and no injected-rule " +
+        "dependency — the catalog resolves warehouse/lake/events to the " +
+        "manifest table, `VERSION AS OF 1` rides the engine's OWN " +
+        "time-travel syntax into the snapshot log, and the V2 scan " +
+        "builder prunes files with the SAME envelope+Bloom machinery as " +
+        "the optimizer rule before delegating to Spark's " +
+        "ParquetScanBuilder (parquet pushdown + ReadSchema pruning " +
+        "still engage on survivors — GraftCatalogSpec pins both plus " +
+        "the file pruning). Oracle reconstructs head-window and " +
+        "v1-snapshot rollups relationally: catalog SQL == view SQL == " +
+        "API reads, bit for bit.",
+      Some(s"""
+        SELECT 'head' AS snap, event_type, count(*) AS n, $d30_2 AS sum_value
+        FROM events
+        WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                     AND TIMESTAMP '2024-01-12 23:59:59.999999'
+        GROUP BY event_type
+        UNION ALL
+        SELECT 'v1' AS snap, event_type, count(*) AS n, $d30_2 AS sum_value
+        FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        val wh = catalogWarehouse(spark, dir)
+        spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        spark.sql("""
+          SELECT 'head' AS snap, event_type, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+          FROM graft.lake.events
+          WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                       AND TIMESTAMP '2024-01-12 23:59:59.999999'
+          GROUP BY event_type
+          UNION ALL
+          SELECT 'v1' AS snap, event_type, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+          FROM graft.lake.events VERSION AS OF 1
+          GROUP BY event_type
+        """)
       },
     ),
     Q(

@@ -1,0 +1,117 @@
+package graft
+
+import graft.sources.{ManifestTable, MemberIndex}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.functions._
+
+/** The DSv2 TableCatalog ([[graft.sources.GraftCatalog]]): SQL against
+  * `graft.<ns>.<table>` with no view registration, VERSION AS OF time
+  * travel, and manifest pruning (envelopes + Bloom) engaged inside the
+  * V2 scan builder.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = tmpDir("graft-warehouse").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", w)
+    w
+  }
+
+  private def mkTable(ns: String, name: String, files: Int = 5): String = {
+    val dir = s"$warehouse/$ns/$name"
+    new java.io.File(dir).mkdirs()
+    val df = (1 to 1000).map(i => (i.toLong, ((i * 613) % 1000).toLong, s"s${i % 13}"))
+      .toDF("id", "k", "cat")
+    ManifestTable.commit(df.repartitionByRange(files, $"id"), dir, track = Seq("id"))
+    dir
+  }
+
+  /** Files the executed V2 plan will open. */
+  private def scannedFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan match {
+        case p: ParquetScan => p.fileIndex.inputFiles.toSeq
+        case _ => Seq.empty
+      }
+    }.flatten
+
+  test("SELECT through the catalog: no view registration, committed schema, correct rows") {
+    val dir = mkTable("lake", "items")
+    val got = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM graft.lake.items").head()
+    assert(got.getLong(0) == 1000 && got.getLong(1) == (1L to 1000L).sum)
+    // identical to the API read
+    val api = ManifestTable.snapshot(spark, dir).agg(count(lit(1)), sum("id")).head()
+    assert(api.getLong(0) == 1000 && api.getLong(1) == got.getLong(1))
+  }
+
+  test("VERSION AS OF rides the engine's time-travel syntax") {
+    val dir = mkTable("lake", "tt")
+    ManifestTable.commit(Seq((2000L, 0L, "x")).toDF("id", "k", "cat"), dir, Seq("id"))
+    assert(spark.sql("SELECT count(*) FROM graft.lake.tt").head().getLong(0) == 1001)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.tt VERSION AS OF 1").head().getLong(0) == 1000)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft.lake.tt VERSION AS OF 99").collect())
+    assert(e.getMessage.contains("99"))
+  }
+
+  test("range predicates prune files inside the V2 scan; result bit-identical") {
+    mkTable("lake", "pruned")
+    val q = spark.sql("SELECT id, cat FROM graft.lake.pruned WHERE id BETWEEN 100 AND 199")
+    val files = scannedFiles(q)
+    assert(files.nonEmpty && files.size < 5,
+      s"V2 scan must open only overlapping files, opened ${files.size}/5")
+    assert(q.count() == 100)
+    // rows identical to the unpruned raw read
+    val raw = ManifestTable.snapshot(spark, mkTableDir("lake", "pruned"))
+      .filter($"id".between(100L, 199L)).select("id", "cat")
+    assert(q.orderBy("id").collect().toSeq == raw.orderBy("id").collect().toSeq)
+  }
+
+  private def mkTableDir(ns: String, name: String): String = s"$warehouse/$ns/$name"
+
+  test("member-index Bloom pruning engages for catalog point lookups too") {
+    val dir = mkTable("lake", "bloomed")
+    MemberIndex.build(spark, dir, "k")
+    val q = spark.sql("SELECT id, k FROM graft.lake.bloomed WHERE k IN (11, 222)")
+    val files = scannedFiles(q)
+    assert(files.size < 5, s"Bloom must prune the V2 point lookup (${files.size}/5)")
+    assert(q.collect().map(_.getLong(1)).sorted.toSeq == Seq(11L, 222L))
+  }
+
+  test("parquet-level pushdown and column pruning still engage on the survivors") {
+    mkTable("lake", "pushed")
+    val q = spark.sql("SELECT cat FROM graft.lake.pushed WHERE id = 42")
+    val scanStr = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }.mkString("\n")
+    assert(scanStr.contains("PushedFilters") && scanStr.contains("id"),
+      s"parquet pushdown missing from:\n$scanStr")
+    val read = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan match { case p: ParquetScan => p.readDataSchema.fieldNames.toSeq }
+    }.flatten
+    assert(read.toSet == Set("id", "cat"), s"column pruning must reach the scan: $read")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq(s"s${42 % 13}"))
+  }
+
+  test("catalog surface: listTables, missing tables, read-only DML, MoR refusal") {
+    mkTable("lake", "listed")
+    val names = spark.sql("SHOW TABLES IN graft.lake").collect().map(_.getString(1)).toSet
+    assert(names.contains("listed"))
+    val missing = intercept[Exception](spark.sql("SELECT * FROM graft.lake.nope").collect())
+    assert(missing.getMessage.toLowerCase.contains("table"))
+    val ro = intercept[Exception](
+      spark.sql("CREATE TABLE graft.lake.newt (x INT) USING parquet").collect())
+    assert(ro.getMessage.contains("read-only"))
+    // pending MoR deletes refuse with a pointer at the applied readers
+    val dir = mkTable("lake", "mor")
+    ManifestTable.deleteByKey(Seq(1L).toDF("id"), dir, Seq("id"))
+    val e = intercept[Exception](spark.sql("SELECT * FROM graft.lake.mor").collect())
+    assert(e.getMessage.contains("merge-on-read"))
+    ManifestTable.materializeDeletes(spark, dir)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.mor").head().getLong(0) == 999)
+  }
+}
