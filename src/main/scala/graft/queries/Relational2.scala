@@ -94,6 +94,56 @@ object Relational2 {
       },
     ),
     Q(
+      "q203_asof_stream",
+      "The as-of family DEPLOYED AS A STREAM (graft.streaming." +
+        "AsofEnrichStream — q50/q187's temporal join in its serving " +
+        "shape): purchases arrive in micro-batches, each batch resolves " +
+        "the CURRENT versioned click dimension (one manifest head read, " +
+        "O(segments) metadata) and runs the custom sort-merge AsofJoin " +
+        "exec within the batch — a fact is never enriched by a " +
+        "dimension version dated after its event time — then appends " +
+        "exactly-once (txn-marked commits, replays no-op). With the " +
+        "dimension fixed across batches the union of batch outputs must " +
+        "equal the one-shot batch as-of join, so the STREAMING " +
+        "deployment shares q50's native-ASOF oracle verbatim; " +
+        "StreamingSpecs pins the late-arriving-dimension semantics " +
+        "(later batches see the new version, emitted rows never " +
+        "rewrite) and the replay window.",
+      Some("""
+        WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id
+                        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        purchases AS (SELECT user_id, ts, event_id AS purchase_id
+                      FROM events WHERE event_type = 'purchase')
+        SELECT p.purchase_id, p.user_id, p.ts, c.click_id,
+          epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM purchases p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY purchase_id
+      """.trim),
+      (spark, dir) => {
+        val out = graft.Artifacts.cached(s"asof-stream:$dir") { base =>
+          val ev = Tables(spark, dir).events
+          val dimDir = s"$base/dim"
+          val outDir = s"$base/out"
+          val clicks = ev.filter(col("event_type") === "click")
+            .groupBy(col("user_id").as("c_user"), col("ts").as("cts"))
+            .agg(max("event_id").as("click_id"))
+          graft.sources.ManifestTable.commit(clicks, dimDir, track = Seq("cts"))
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+          (0 until 3).foreach { b =>
+            graft.streaming.AsofEnrichStream.processBatch(
+              purchases.filter(pmod(col("purchase_id"), lit(3)) === b), b.toLong, dimDir,
+              leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+              leftTime = "ts", rightTime = "cts", outDir = outDir, track = Seq("ts"))
+          }
+        }
+        graft.sources.ManifestTable.snapshot(spark, s"$out/out")
+          .select(col("purchase_id"), col("user_id"), col("ts"), col("click_id"),
+            (unix_micros(col("ts")) - unix_micros(col("cts"))).as("gap_us"))
+      },
+    ),
+    Q(
       "q51_range_join",
       "Bounded range self-join: event pairs of the same user within 60 s. " +
         "Spark composition: equi-join on (user, 60s time bucket) with the " +

@@ -92,6 +92,47 @@ class AggMaintainSpec extends SparkSpec {
   }
 }
 
+class AsofEnrichStreamSpec extends SparkSpec {
+  import graft.sources.ManifestTable
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  test("within-batch event time; late dim versions reach later batches only; replay no-ops") {
+    val base = tmpDir("asofstream").toString
+    val dimDir = s"$base/dim"
+    val outDir = s"$base/out"
+    def enrich(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      AsofEnrichStream.processBatch(batch, id, dimDir,
+        leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+        leftTime = "ts", rightTime = "cts", outDir = outDir, track = Seq("ts"))
+    // dimension v1: one version at t=10
+    ManifestTable.commit(Seq((1L, ts(10), 100L)).toDF("c_user", "cts", "click_id"),
+      dimDir, Seq("cts"))
+    // batch 0: t=20 matches v1's t=10 row; t=5 predates every version -> null
+    enrich(Seq((1L, ts(20), 1000L), (1L, ts(5), 1001L))
+      .toDF("user_id", "ts", "purchase_id"), 0L)
+    // a LATE dimension version lands (t=15, click 200)...
+    ManifestTable.commit(Seq((1L, ts(15), 200L)).toDF("c_user", "cts", "click_id"),
+      dimDir, Seq("cts"))
+    // ...batch 1 at the same event time now sees it; batch 2 at t=12 must
+    // NOT (event time < the new version's time — as-of, not latest)
+    enrich(Seq((1L, ts(20), 1002L)).toDF("user_id", "ts", "purchase_id"), 1L)
+    enrich(Seq((1L, ts(12), 1003L)).toDF("user_id", "ts", "purchase_id"), 2L)
+    val out = ManifestTable.snapshot(spark, outDir)
+      .select($"purchase_id", $"click_id").as[(Long, Option[Long])].collect().toMap
+    assert(out(1000L).contains(100L), "emitted rows keep their enrichment — no rewrite")
+    assert(out(1001L).isEmpty, "facts before every dimension version stay null-enriched")
+    assert(out(1002L).contains(200L), "later batches see the late dimension version")
+    assert(out(1003L).contains(100L), "a future-dated version never enriches an older fact")
+    // replayed batch short-circuits on the txn marker: no duplicate rows
+    val head = ManifestTable.latestVersion(outDir)
+    enrich(Seq((1L, ts(20), 1002L)).toDF("user_id", "ts", "purchase_id"), 1L)
+    assert(ManifestTable.latestVersion(outDir) == head)
+    assert(ManifestTable.snapshot(spark, outDir).count() == 4)
+  }
+}
+
 class StreamingSpecs extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
