@@ -44,9 +44,12 @@ object PageRank {
 
   /** `iters` exact damped iterations over `edges(srcCol, dstCol)`.
     * Returns (node, pr_scaled): one row per distinct endpoint;
-    * `pr_scaled` is the rank in `scale`-ths (divide by `scale.toDouble`
-    * for the conventional value). Self-loops and null endpoints are
-    * dropped; parallel edges collapse (unweighted graph).
+    * `pr_scaled` is the rank in EFFECTIVE-scale-ths — the requested
+    * `scale` self-capped to the largest power of 10 that cannot
+    * overflow a 64-bit sum at this graph's node count (see the guard
+    * below; the cap never binds at oracle-gated sizes). Self-loops and
+    * null endpoints are dropped; parallel edges collapse (unweighted
+    * graph).
     */
   def runInt(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
              scale: Long = 1000000000000L, dampNum: Long = 85L,
@@ -67,16 +70,26 @@ object PageRank {
       .unionAll(e.select(col("v").as("node")))
       .distinct()
       .transform(Lineage.pin)
-    // loud overflow guard instead of silent Long wrap: the largest sum
-    // a node can receive is the whole graph's rank mass (~nNodes·scale),
-    // then scaled by dampNum before the divide
+    // overflow-proof EFFECTIVE scale: the largest sum a node can
+    // receive is the whole graph's rank mass (~nNodes·scale), then
+    // scaled by dampNum before the divide — the star-graph worst case.
+    // Rather than refusing big graphs outright (the fixed 1e12 scale
+    // capped exact ranks at ~10^5 nodes — an sf1 bench found it), the
+    // scale self-caps to the largest power of 10 that cannot wrap:
+    // at 10^8 nodes that still leaves scale 1e9, i.e. ~1e-9 relative
+    // granularity per hop, far below float epsilon accumulation. The
+    // effective scale is a deterministic function of the graph's node
+    // count, so results stay bit-reproducible for a given input; below
+    // the cap (every oracle-gated size) it equals the requested scale.
     val nNodes = nodes.count()
     require(nNodes > 0, "empty graph: no non-loop edges")
-    require(nNodes <= Long.MaxValue / scale / (dampNum + 1),
-      s"nNodes·scale·dampNum would overflow 64-bit rank sums: " +
-        s"$nNodes nodes at scale $scale — lower `scale`")
-    val base = (scale * (dampDen - dampNum)) / dampDen
-    var ranks = nodes.withColumn("rank", lit(scale))
+    val cap = Long.MaxValue / nNodes / (dampNum + 1)
+    require(cap >= 1000000L,
+      s"graph too large for exact 64-bit ranks even at scale 1e6: $nNodes nodes")
+    var eff = 1L
+    while (eff * 10 <= math.min(scale, cap)) eff *= 10
+    val base = (eff * (dampDen - dampNum)) / dampDen
+    var ranks = nodes.withColumn("rank", lit(eff))
     for (i <- 1 to iters) {
       val contrib = ed.join(ranks, col("u") === col("node"))
         .select(col("v"), expr("rank DIV outdeg").as("__c"))

@@ -128,10 +128,14 @@ class GraphSpecs extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b, "integer arithmetic must make ranks partitioning-independent")
     assert(a === prReference(edges, 4))
-    val e = intercept[IllegalArgumentException] {
-      PageRank.runInt(df, "s", "d", iters = 1, scale = Long.MaxValue / 10)
-    }
-    assert(e.getMessage.contains("overflow"), e.getMessage)
+    // an overflow-risk requested scale SELF-CAPS to the largest safe
+    // power of 10 for this node count (40 nodes -> 1e15) instead of
+    // refusing — big graphs keep exact ranks at reduced granularity
+    val capped = PageRank.runInt(df, "s", "d", iters = 1, scale = Long.MaxValue / 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = PageRank.runInt(df, "s", "d", iters = 1, scale = 1000000000000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped === direct, "capped scale must equal requesting the safe scale directly")
   }
 
   // ---- Graph.triangleCounts ----------------------------------------------

@@ -72,8 +72,15 @@ def classify(t1: float, t2: float, t3: float) -> str:
 
 def main() -> int:
     p1, p2, p3 = sys.argv[1], sys.argv[2], sys.argv[3]
-    out = sys.argv[4] if len(sys.argv) > 4 else "SCALE_SLOPES.json"
+    # optional 4th point: an sf1 SUBSET bench (tools/gen_sf1.py data,
+    # heavyweight families only — a full 5-sweep run at sf1 would take
+    # ~an hour for no extra signal). Queries present get a 4th column +
+    # an sf0.1->sf1 ratio; superlinear there flags exactly like the
+    # mandatory step. Pass "-" (or omit) to skip.
+    p4 = sys.argv[4] if len(sys.argv) > 4 and sys.argv[4] != "-" else None
+    out = sys.argv[5] if len(sys.argv) > 5 else "SCALE_SLOPES.json"
     b = [json.load(open(p))["queries"] for p in (p1, p2, p3)]
+    sf1 = json.load(open(p4))["queries"] if p4 else {}
     # union, not intersection: a query missing from any one input must
     # surface as excluded, not silently vanish from the artifact's scope
     union = sorted(set(b[0]) | set(b[1]) | set(b[2]))
@@ -94,6 +101,12 @@ def main() -> int:
             "ratio_0.01_to_0.1": round(t3 / t2, 2) if t2 > 0 else None,
             "class": classify(t1, t2, t3),
         }
+        if n in sf1 and sf1[n] >= 0:
+            t4 = sf1[n]
+            rows[n]["sec_sf1"] = round(t4, 4)
+            rows[n]["ratio_0.1_to_1"] = round(t4 / t3, 2) if t3 > 0 else None
+            # re-classify on the LEAST floor-polluted step available
+            rows[n]["class_sf1_step"] = classify(t2, t3, t4)
     fams = {}
     for n, r in rows.items():
         f = fams.setdefault(r["family"], {"n": 0, "sec_sf0.001": 0.0,
@@ -110,7 +123,7 @@ def main() -> int:
     for r in rows.values():
         counts[r["class"]] = counts.get(r["class"], 0) + 1
     doc = {
-        "inputs": {"sf0.001": p1, "sf0.01": p2, "sf0.1": p3},
+        "inputs": {"sf0.001": p1, "sf0.01": p2, "sf0.1": p3, "sf1_subset": p4},
         "thresholds": {"flat_abs_sec": FLAT_ABS_SEC, "flat_ratio": FLAT_RATIO,
                        "linear_lo": LINEAR_LO, "linear_hi": LINEAR_HI},
         "summary": {
@@ -120,6 +133,9 @@ def main() -> int:
             "missing_from_an_input": missing,
             "superlinear": sorted(n for n, r in rows.items()
                                   if r["class"] == "superlinear"),
+            "sf1_subset_n": sum(1 for r in rows.values() if "sec_sf1" in r),
+            "sf1_superlinear": sorted(n for n, r in rows.items()
+                                      if r.get("class_sf1_step") == "superlinear"),
         },
         "families": {k: fams[k] for k in sorted(fams)},
         "queries": rows,
