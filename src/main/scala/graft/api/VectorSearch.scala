@@ -974,6 +974,42 @@ object VectorSearch {
       .filter(col("cosine") >= threshold)
   }
 
+  /** [[lshNearDups]] with the plane count DERIVED FROM THE CORPUS —
+    * the scale path the sf1 slope run motivated: with the fixed
+    * 4-plane/16-bucket config, bucket occupancy grows linearly with
+    * the corpus and within-bucket candidate pairs quadratically (10x
+    * data measured ~35x work). Here `planes = ceil(log2(n /
+    * targetBucketRows))` (clamped to [[graft.operators.VectorKit.LshPlanes]]
+    * .. `maxPlanes`), so expected occupancy stays ~`targetBucketRows`
+    * and candidate volume ~n·target — LINEAR in the corpus. The count
+    * probe is one bounded aggregate (O(1) result rows).
+    *
+    * The knob is the standard sign-LSH occupancy/recall trade: each
+    * extra plane halves expected bucket size AND adds one more sign
+    * agreement a pair must satisfy (per-pair recall (1 - θ/π)^planes),
+    * so callers choose `targetBucketRows` by how much recall the
+    * downstream near-dup sweep needs; the chosen count returns with
+    * the frame for auditability (the q162/q197 decision-string
+    * discipline).
+    */
+  def lshNearDupsAuto(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      targetBucketRows: Long = 250L, maxPlanes: Int = 16): (DataFrame, Int) = {
+    require(targetBucketRows >= 1 && maxPlanes >= graft.operators.VectorKit.LshPlanes,
+      s"need targetBucketRows >= 1 and maxPlanes >= ${graft.operators.VectorKit.LshPlanes}")
+    val n = df.count()
+    var planes = graft.operators.VectorKit.LshPlanes
+    while (planes < maxPlanes && (n >> planes) > targetBucketRows) planes += 1
+    val bk = withNorm(df, vecCol)
+      .withColumn("bucket", expr(graft.operators.VectorKit.bucketSpark(vecCol, planes)))
+    val a = bk.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"), col("bucket"))
+    val b = bk.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"), col("bucket").as("bucket_b"))
+    val pairs = a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .selectExpr("id_a", "id_b", "bucket", s"${dotSpark("va", "vb")} / (na * nb) AS cosine")
+      .filter(col("cosine") >= threshold)
+    (pairs, planes)
+  }
+
   // ---- greedy k-center (farthest-first) --------------------------------
 
   /** One row of any element type to exact doubles: embeddings are

@@ -70,9 +70,15 @@ object VectorKit {
   def projDuck(v: String, plane: Int): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len($v) + 1), pr_i -> CAST($v[pr_i] AS DOUBLE) * (CAST((($plane * 64 + (pr_i - 1)) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 - 0.5))), (pr_a, pr_b) -> pr_a + pr_b)"
 
-  /** Sign-LSH bucket id in [0, 2^LshPlanes). */
-  def bucketSpark(v: String): String =
-    (0 until LshPlanes).map(j => s"(CASE WHEN ${projSpark(v, j)} > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
-  def bucketDuck(v: String): String =
-    (0 until LshPlanes).map(j => s"(CASE WHEN ${projDuck(v, j)} > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+  /** Sign-LSH bucket id in [0, 2^planes). `planes` defaults to the
+    * catalog-pinned [[LshPlanes]]; scale paths pass a corpus-derived
+    * count ([[graft.api.VectorSearch.lshNearDupsAuto]]) because FIXED
+    * plane counts make bucket occupancy grow linearly with the corpus
+    * and candidate pairs quadratically — the sf1 slope run measured
+    * exactly that cliff.
+    */
+  def bucketSpark(v: String, planes: Int = LshPlanes): String =
+    (0 until planes).map(j => s"(CASE WHEN ${projSpark(v, j)} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+  def bucketDuck(v: String, planes: Int = LshPlanes): String =
+    (0 until planes).map(j => s"(CASE WHEN ${projDuck(v, j)} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 }

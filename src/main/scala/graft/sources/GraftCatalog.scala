@@ -72,13 +72,18 @@ class GraftCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
 
-  /** `VERSION AS OF <v>` — the SQL spelling of snapshot time travel. */
+  /** `VERSION AS OF <v>` / `VERSION AS OF '<tag>'` — the SQL spelling
+    * of snapshot time travel; a non-numeric version string resolves as
+    * an immutable named tag ([[ManifestTable.tag]]).
+    */
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(
       try version.toLong
       catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"VERSION AS OF wants a numeric snapshot version, got '$version'")
+        ManifestTable.resolveTag(dirOf(ident), version).getOrElse(
+          throw new IllegalArgumentException(
+            s"VERSION AS OF: '$version' is neither a numeric snapshot version nor " +
+              s"a tag of $ident (tags: ${ManifestTable.tags(dirOf(ident)).keys.mkString(", ")})"))
       }))
 
   private def load(ident: Identifier, asOf: Option[Long]): Table = {

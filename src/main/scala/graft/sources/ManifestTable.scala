@@ -227,6 +227,28 @@ object ManifestTable {
       .unionByName(delAll.exceptAll(ins).withColumn("_change", lit("delete")))
   }
 
+  /** [[changes]] whenever the range supports the file-bounded feed,
+    * falling back to a full APPLIED-SNAPSHOT multiset diff when the
+    * range crosses a tombstone-removing boundary (materializeDeletes /
+    * replace / restore) that the bounded feed refuses. The fallback is
+    * always correct — both endpoints read through their applied views,
+    * and the two-way EXCEPT ALL is by definition the net row delta —
+    * but it is TABLE-sized work, which is acceptable exactly because
+    * those boundaries are rare maintenance events, not per-commit
+    * occurrences. Incremental consumers ([[graft.streaming.ChangeFeedStream]])
+    * use this so a maintenance window never wedges the cursor.
+    */
+  def netChanges(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame =
+    try changes(spark, dir, fromV, toV)
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("REMOVED merge-on-read") =>
+        val a = snapshot(spark, dir, Some(fromV))
+        val b = snapshot(spark, dir, Some(toV))
+        b.exceptAll(a).withColumn("_change", lit("insert"))
+          .unionByName(a.exceptAll(b).withColumn("_change", lit("delete")))
+    }
+
   /** RESTORE the table to the content of an older retained snapshot —
     * metadata-only and O(1) data I/O: a new manifest version is
     * committed whose file list, schema, and track spec are `toVersion`'s
@@ -985,7 +1007,10 @@ object ManifestTable {
   def expireSnapshots(dir: String, keepLast: Int): Unit = {
     require(keepLast >= 1, "must retain at least the head snapshot")
     val vs = versions(dir).sorted
-    val drop = vs.dropRight(keepLast)
+    // a tag IS the promise the snapshot stays readable — tagged
+    // versions survive expiry until the tag is dropped
+    val tagged = tags(dir).values.toSet
+    val drop = vs.dropRight(keepLast).filterNot(tagged)
     if (drop.isEmpty) return
     val dropped = drop.map(v => manifest(dir, Some(v)))
     val droppedSegs = drop.flatMap(v => segComposition(dir, v).map(_._1)).toSet
@@ -1048,6 +1073,59 @@ object ManifestTable {
     val m = manifest(dir, asOf)
     (m.version, m.files.size.toLong, m.files.map(_.rows).sum)
   }
+
+  // ---------------------------------------------------------------- refs
+
+  /** Create an immutable named TAG for a retained snapshot (Iceberg's
+    * tag refs): `snapshot(..., asOf = resolveTag(...))`, the catalog's
+    * `VERSION AS OF 'name'`, and audit trails all resolve the name to
+    * the pinned version. Tags are create-if-absent (atomic, racing
+    * creators converge on whoever landed) and immutable — re-pointing
+    * a name would silently change what an audit referenced, so a taken
+    * name with a DIFFERENT version fails loudly; [[dropTag]] removes
+    * one. [[expireSnapshots]] refuses to expire a tagged version: a
+    * tag is precisely the promise that the snapshot stays readable.
+    */
+  def tag(dir: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"tag names are [A-Za-z0-9_-]+: '$name'")
+    require(versions(dir).contains(version),
+      s"cannot tag absent/expired version $version of $dir")
+    val p = java.nio.file.Paths.get(dir, "_manifests", s"ref-$name.json")
+    val body = s"""{"name":"$name","version":$version}"""
+    try java.nio.file.Files.write(p, body.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val existing = resolveTag(dir, name)
+        require(existing.contains(version),
+          s"tag '$name' already pins v=${existing.getOrElse(-1L)}; tags are immutable " +
+            "(drop it first if the old name must move)")
+    }
+  }
+
+  def resolveTag(dir: String, name: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(dir, "_manifests", s"ref-$name.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmt: Formats = DefaultFormats
+      Some((JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        \ "version").extract[Long])
+    }
+  }
+
+  def dropTag(dir: String, name: String): Boolean =
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "_manifests", s"ref-$name.json"))
+
+  def tags(dir: String): Map[String, Long] =
+    Option(new java.io.File(dir, "_manifests").listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case n if n.startsWith("ref-") && n.endsWith(".json") =>
+        n.stripPrefix("ref-").stripSuffix(".json") }
+      .flatMap(n => resolveTag(dir, n).map(n -> _)).toMap
 
   def versions(dir: String): Seq[Long] =
     Option(new java.io.File(dir, "_manifests").listFiles()).getOrElse(Array.empty)

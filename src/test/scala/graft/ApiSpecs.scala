@@ -236,6 +236,46 @@ class ApiSpecs extends SparkSpec {
     assert(dSmall == "brute")
   }
 
+  test("lshNearDupsAuto: plane count scales with the corpus, bounding candidate volume; recall intact at fixed size") {
+    def vec(seed: Int): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(64)(rnd.nextFloat() - 0.5f)
+    }
+    def corpus(n: Int) = (0 until n).map(i => (i.toLong, vec(i))).toDF("vid", "vec")
+    // small corpus: auto == the fixed catalog config (4 planes)
+    val small = corpus(300)
+    val (smallPairs, smallPlanes) = VectorSearch.lshNearDupsAuto(small, "vid", "vec", 0.4,
+      targetBucketRows = 10)
+    assert(smallPlanes > graft.operators.VectorKit.LshPlanes,
+      "300 rows over a 10-row occupancy target must add planes")
+    val (_, basePlanes) = VectorSearch.lshNearDupsAuto(corpus(100), "vid", "vec", 0.4,
+      targetBucketRows = 250)
+    assert(basePlanes == graft.operators.VectorKit.LshPlanes,
+      "under the target the catalog-pinned plane count holds (oracle compatibility)")
+    // 10x the corpus: planes grow, and the CANDIDATE volume (within-
+    // bucket pairs) grows ~linearly instead of quadratically
+    def candidates(df: org.apache.spark.sql.DataFrame, planes: Int): Long = {
+      val bk = df.withColumn("bucket",
+        expr(graft.operators.VectorKit.bucketSpark("vec", planes)))
+      bk.groupBy("bucket").count()
+        .agg(sum(expr("count * (count - 1) DIV 2"))).head().getLong(0)
+    }
+    val big = corpus(3000)
+    val (_, bigPlanes) = VectorSearch.lshNearDupsAuto(big, "vid", "vec", 0.4,
+      targetBucketRows = 10)
+    assert(bigPlanes > smallPlanes, "10x corpus must add planes")
+    val fixedCand = candidates(big, graft.operators.VectorKit.LshPlanes)
+    val autoCand = candidates(big, bigPlanes)
+    assert(autoCand * 4 < fixedCand,
+      s"auto planes must cut candidate volume: $autoCand vs fixed-plane $fixedCand")
+    // found pairs are a SUBSET of the fixed-plane pairs (more sign
+    // agreements required), and every reported cosine is exact
+    val fixed = VectorSearch.lshNearDups(small, "vid", "vec", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val auto = smallPairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto.subsetOf(fixed), "extra planes only ever REMOVE candidate pairs")
+  }
+
   test("weightedSample: priorities monotone in weight, partition-invariant, guarded") {
     val docs = (1L to 200L).map(i => (i, 1L + (i % 8))).toDF("id", "w")
     val hi = TextCuration.weightedSample(docs, "id", "w", n = 200, salt = "s1")

@@ -58,6 +58,18 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("99"))
   }
 
+  test("VERSION AS OF '<tag>' resolves immutable named refs through SQL") {
+    val dir = mkTable("lake", "tagged")
+    ManifestTable.commit(Seq((2001L, 0L, "x")).toDF("id", "k", "cat"), dir, Seq("id"))
+    ManifestTable.tag(dir, "pre-load", 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.tagged VERSION AS OF 'pre-load'")
+      .head().getLong(0) == 1000)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.tagged").head().getLong(0) == 1001)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft.lake.tagged VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("neither a numeric snapshot version nor a tag"))
+  }
+
   test("range predicates prune files inside the V2 scan; result bit-identical") {
     mkTable("lake", "pruned")
     val q = spark.sql("SELECT id, cat FROM graft.lake.pruned WHERE id BETWEEN 100 AND 199")

@@ -705,6 +705,52 @@ class ManifestTableSpec extends SparkSpec {
       s"expire must GC segments referenced only by dropped heads: $segsOnDisk vs ${liveSegs.size}")
   }
 
+  test("tags: immutable named refs resolve, survive expiry, and refuse silent re-pointing") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
+    ManifestTable.commit(Seq((11L, "v11")).toDF("k", "v"), dir, Seq("k"))
+    ManifestTable.commit(Seq((12L, "v12")).toDF("k", "v"), dir, Seq("k"))
+    ManifestTable.tag(dir, "audit-q1", 1L)
+    assert(ManifestTable.resolveTag(dir, "audit-q1").contains(1L))
+    assert(ManifestTable.tags(dir) == Map("audit-q1" -> 1L))
+    // same (name, version) converges; different version refuses
+    ManifestTable.tag(dir, "audit-q1", 1L)
+    intercept[IllegalArgumentException](ManifestTable.tag(dir, "audit-q1", 2L))
+    intercept[IllegalArgumentException](ManifestTable.tag(dir, "bad name!", 1L))
+    intercept[IllegalArgumentException](ManifestTable.tag(dir, "gone", 99L))
+    // expiry keeps the tagged snapshot readable
+    ManifestTable.expireSnapshots(dir, keepLast = 1)
+    assert(ManifestTable.snapshot(spark, dir, asOf = Some(1L)).count() == 10,
+      "a tagged snapshot must survive expiry")
+    assert(!ManifestTable.versions(dir).contains(2L), "untagged old versions still expire")
+    // dropping the tag releases it to the next expiry
+    assert(ManifestTable.dropTag(dir, "audit-q1"))
+    ManifestTable.expireSnapshots(dir, keepLast = 1)
+    intercept[Exception](ManifestTable.snapshot(spark, dir, asOf = Some(1L)).count())
+  }
+
+  test("netChanges crosses maintenance boundaries the bounded feed refuses, via full applied diff") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
+    ManifestTable.deleteByKey(Seq(3L, 7L).toDF("k"), dir, Seq("k"))
+    ManifestTable.materializeDeletes(spark, dir)
+    ManifestTable.commit(Seq((21L, "v21")).toDF("k", "v"), dir, Seq("k"))
+    val head = ManifestTable.latestVersion(dir).get
+    // a range STARTING at the tombstoned version loses those delete
+    // files across the materialize — the bounded feed refuses it...
+    intercept[IllegalArgumentException](ManifestTable.changes(spark, dir, 2L, head))
+    // ...netChanges answers it as the net applied diff (the tombstoned
+    // rows were already invisible at v2, so only the insert remains)
+    val feed = ManifestTable.netChanges(spark, dir, 2L, head)
+      .select($"k", $"_change").as[(Long, String)].collect().toSet
+    assert(feed == Set((21L, "insert")), s"got $feed")
+    // clean-endpoint ranges crossing the SAME materialize stay on the
+    // file-bounded path and carry the tombstone deletes correctly
+    val bounded = ManifestTable.netChanges(spark, dir, 1L, head)
+      .select($"k", $"_change").as[(Long, String)].collect().toSet
+    assert(bounded == Set((3L, "delete"), (7L, "delete"), (21L, "insert")), s"got $bounded")
+  }
+
   test("empty-key MoR delete commits nothing and never wedges a later key-spec switch") {
     val dir = freshDir()
     ManifestTable.commit((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))

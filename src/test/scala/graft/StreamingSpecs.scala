@@ -133,6 +133,54 @@ class AsofEnrichStreamSpec extends SparkSpec {
   }
 }
 
+class ChangeFeedStreamSpec extends SparkSpec {
+  import graft.sources.ManifestTable
+  import spark.implicits._
+
+  test("cursor drains commit ranges, replays at-least-once, and crosses maintenance windows") {
+    val base = tmpDir("cdfstream").toString
+    val dir = s"$base/table"
+    val state = s"$base/cursor"
+    ManifestTable.commit((1 to 10).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), dir, Seq("k"))
+    ChangeFeedStream.init(state, ManifestTable.latestVersion(dir).get)
+    // re-running the deployment script must not rewind a live cursor
+    ChangeFeedStream.init(state, 0L)
+    assert(ChangeFeedStream.cursor(state).contains(1L))
+    // idle poll: no sink call, no advance
+    var calls = Vector.empty[(Set[(Long, String)], Long, Long)]
+    def sink(df: org.apache.spark.sql.DataFrame, from: Long, to: Long): Unit =
+      calls :+= ((df.select($"k", $"_change").as[(Long, String)].collect().toSet, from, to))
+    assert(ChangeFeedStream.poll(spark, dir, state, sink).isEmpty && calls.isEmpty)
+    // two commits drain as ONE range
+    ManifestTable.merge(Seq((3L, 333.0), (11L, 11.0)).toDF("k", "v"), dir, Seq("k"))
+    ManifestTable.deleteByKey(Seq(5L).toDF("k"), dir, Seq("k"))
+    assert(ChangeFeedStream.poll(spark, dir, state, sink).contains((1L, 3L)))
+    assert(calls.last._1 == Set((3L, "insert"), (3L, "delete"), (11L, "insert"), (5L, "delete")),
+      s"got ${calls.last._1}")
+    // crash between sink and advance == re-delivery of the same range
+    calls = Vector.empty
+    ManifestTable.commit(Seq((12L, 12.0)).toDF("k", "v"), dir, Seq("k"))
+    var boom = true
+    intercept[RuntimeException](ChangeFeedStream.poll(spark, dir, state,
+      (df, f, t) => { sink(df, f, t); if (boom) throw new RuntimeException("sink crash") }))
+    assert(ChangeFeedStream.cursor(state).contains(3L), "cursor must NOT advance past a failed sink")
+    boom = false
+    assert(ChangeFeedStream.poll(spark, dir, state,
+      (df, f, t) => { sink(df, f, t); if (boom) throw new RuntimeException("sink crash") })
+      .contains((3L, 4L)))
+    assert(calls.map(c => (c._2, c._3)) == Vector((3L, 4L), (3L, 4L)),
+      "failed range re-delivers identically (at-least-once)")
+    // a materialize boundary does not wedge the cursor (netChanges fallback)
+    ManifestTable.materializeDeletes(spark, dir)
+    ManifestTable.commit(Seq((13L, 13.0)).toDF("k", "v"), dir, Seq("k"))
+    calls = Vector.empty
+    assert(ChangeFeedStream.poll(spark, dir, state, sink).isDefined)
+    assert(calls.last._1 == Set((13L, "insert")),
+      s"maintenance-only commits contribute no rows; got ${calls.last._1}")
+    assert(ChangeFeedStream.poll(spark, dir, state, sink).isEmpty, "drained")
+  }
+}
+
 class StreamingSpecs extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
