@@ -620,6 +620,75 @@ object Storage {
       },
     ),
     Q(
+      "q204_cdf_consumer",
+      "The lake's CDC story CLOSED END TO END: a long-lived consumer " +
+        "(graft.streaming.ChangeFeedStream) holds a durable version " +
+        "cursor on the orders table and, across a MERGE (every 97th " +
+        "price doubled), a merge-on-read key delete (every 89th key " +
+        "tombstoned — O(keys) bytes), and a CoW DELETE composing with " +
+        "the pending tombstones (price > 450k), each poll drains " +
+        "exactly the unseen commits as insert/delete rows and FOLDS " +
+        "them into the materialized per-status rollup " +
+        "(ChangeFeedView.fold — signed counts, exact DECIMAL signed " +
+        "sums). The oracle recomputes the final state relationally, so " +
+        "cursor-driven fold == full recompute, bit for bit; " +
+        "ChangeFeedStreamSpec pins the delivery contract (advance " +
+        "after sink, crash re-delivery, maintenance crossings). At " +
+        "100 TB each poll reads only the files its commits touched — " +
+        "the downstream view never rescans the table.",
+      Some("""
+        WITH src AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice * 2 AS o_totalprice, o_orderdate,
+                 'X-MERGED' AS o_orderpriority
+          FROM orders WHERE o_orderkey % 97 = 0
+        ),
+        merged AS (
+          SELECT * FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = o.o_orderkey)
+          UNION ALL SELECT * FROM src
+        ),
+        afterdel AS (SELECT * FROM merged WHERE o_orderkey % 89 <> 0),
+        fin AS (
+          SELECT * FROM afterdel
+          WHERE NOT COALESCE(o_totalprice > 450000, FALSE)
+        )
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM fin GROUP BY o_orderstatus
+      """.trim),
+      (spark, dir) => {
+        val out = graft.Artifacts.cached(s"cdf-consumer:$dir") { base =>
+          val t = s"$base/table"
+          val cur = s"$base/cursor"
+          val o = Tables(spark, dir).orders
+          ManifestTable.commit(o.repartitionByRange(8, col("o_orderkey")), t, Seq("o_orderkey"))
+          graft.streaming.ChangeFeedStream.init(cur, ManifestTable.latestVersion(t).get)
+          var view = ChangeFeedView.init(spark, t, Seq("o_orderstatus"), "o_totalprice")
+          def drain(): Unit =
+            graft.streaming.ChangeFeedStream.poll(spark, t, cur, (feed, _, _) =>
+              view = graft.operators.Lineage.pin(
+                ChangeFeedView.fold(view, feed, Seq("o_orderstatus"), "o_totalprice"))): Unit
+          // merge, then poll; MoR delete + CoW delete land BETWEEN polls
+          // so one poll drains a multi-commit range
+          val upd = o.filter(col("o_orderkey") % 97 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2)
+            .withColumn("o_orderpriority", lit("X-MERGED"))
+          ManifestTable.merge(upd, t, keys = Seq("o_orderkey"))
+          drain()
+          ManifestTable.deleteByKey(
+            ManifestTable.snapshot(spark, t).filter(col("o_orderkey") % 89 === 0)
+              .select("o_orderkey").distinct(), t, Seq("o_orderkey"))
+          ManifestTable.delete(spark, t, col("o_totalprice") > 450000)
+          drain()
+          view.write.parquet(s"$base/view")
+        }
+        spark.read.parquet(s"$out/view")
+          .select(col("o_orderstatus"), col("n"),
+            col("total").cast("double").as("sum_price"))
+      },
+    ),
+    Q(
       "q192_restore",
       "Metadata-only RESTORE (ManifestTable.restore — Delta's RESTORE " +
         "semantics): a fat-finger merge multiplies every 7th order's " +

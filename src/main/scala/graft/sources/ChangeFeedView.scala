@@ -71,9 +71,17 @@ object ChangeFeedView {
     */
   def advance(
       spark: SparkSession, view: DataFrame, dir: String,
-      keys: Seq[String], valCol: String, fromV: Long, toV: Long): DataFrame = {
+      keys: Seq[String], valCol: String, fromV: Long, toV: Long): DataFrame =
+    fold(view, ManifestTable.changes(spark, dir, fromV, toV), keys, valCol)
+
+  /** The merge half of [[advance]] on an ALREADY-DELIVERED feed frame
+    * (rows with a `_change` marker) — the entry point a long-lived
+    * consumer uses with [[graft.streaming.ChangeFeedStream]]'s per-poll
+    * deliveries, where the stream owns the version range and the view
+    * just folds whatever arrives.
+    */
+  def fold(view: DataFrame, feed: DataFrame, keys: Seq[String], valCol: String): DataFrame = {
     requireNoReserved(keys, valCol)
-    val feed = ManifestTable.changes(spark, dir, fromV, toV)
     val signedVal = when(col("_change") === "insert", col(valCol).cast(Dec))
       .otherwise(-col(valCol).cast(Dec))
     val sign = when(col("_change") === "insert", 1L).otherwise(-1L)
