@@ -33,10 +33,16 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * Both are catalog entries against the same DuckDB native ASOF
   * oracle (q50/q187), so the trade is measured, not guessed.
   *
-  * Scale contract: children are hash-clustered on the keys and sorted
-  * (keys asc, time asc) — EnsureRequirements inserts exactly the same
-  * exchanges a SortMergeJoin would get; AQE still re-plans partition
-  * counts. The merge never buffers more than ONE candidate right row.
+  * Scale contract: TWO physical routes, picked by the strategy the
+  * way JoinSelection picks equi-join execs. A broadcast-sized right
+  * side plans as [[BroadcastAsofJoinExec]]: the dim ships whole, each
+  * task builds a per-key time-sorted index once, and the FACT side is
+  * never shuffled or sorted — upstream partitioning survives the
+  * join. Larger dims take the shuffled sort-merge [[AsofJoinExec]]:
+  * children hash-cluster on the keys and sort (keys asc, time asc) —
+  * EnsureRequirements inserts exactly the same exchanges a
+  * SortMergeJoin would get; AQE still re-plans partition counts. The
+  * merge never buffers more than ONE candidate right row.
   *
   * Semantics notes (spec-pinned): null keys never match (SQL equi-join
   * rule); null times never match; among right rows tied on (keys,
@@ -104,14 +110,134 @@ case class AsofJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner strategy, injected via SparkSessionExtensions. */
+/** Planner strategy, injected via SparkSessionExtensions. Routes by
+  * the right (dimension) side's size statistics — the same decision
+  * JoinSelection makes for equi-joins: a dimension under the session's
+  * `autoBroadcastJoinThreshold` plans as [[BroadcastAsofJoinExec]]
+  * (the fact side is NEVER shuffled or sorted — the plan you want at
+  * 100 TB, where dimensions are almost always broadcastable), anything
+  * larger as the shuffled sort-merge [[AsofJoinExec]]. Disable the
+  * broadcast path per session with `spark.graft.asofBroadcast.enabled`
+  * (specs use it to pin the merge exec).
+  */
 case class AsofJoinStrategy(spark: SparkSession)
   extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      val thresh = spark.sessionState.conf.autoBroadcastJoinThreshold
+      val enabled = spark.conf.get("spark.graft.asofBroadcast.enabled", "true").toBoolean
+      val exec =
+        if (enabled && thresh > 0 && r.stats.sizeInBytes <= thresh)
+          BroadcastAsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt)
+        else AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt)
+      exec :: Nil
     case _ => Nil
   }
+}
+
+/** Broadcast as-of exec for broadcast-sized right sides: the right
+  * rows arrive whole via a broadcast exchange; each task builds a
+  * per-key time-sorted index ONCE (O(|dim| log |dim|), dim small by
+  * admission) and then streams its left partition with a binary search
+  * per row — NO shuffle, NO sort, and no required distribution on the
+  * fact side, so upstream partitioning (bucketing, a previous
+  * aggregation's clustering) is preserved through the join. Same
+  * semantics as [[AsofJoinExec]], spec-pinned row-identical: null
+  * keys/times never match, unmatched lefts keep null right columns,
+  * and among right rows tied on (key, time) the LAST in sort order
+  * wins (the stable sort keeps ties in input order; the search takes
+  * the rightmost).
+  */
+case class BroadcastAsofJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression)
+  extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKeys
+    val rk = rightKeys
+    val lt = leftTime
+    val rt = rightTime
+    val timeType = leftTime.dataType
+    val out = output
+    val bc = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val lTimeEval = BindReferences.bindReference(lt, lOut)
+      val rTimeEval = BindReferences.bindReference(rt, rOut)
+      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+      // per-task index: key -> (times sorted asc, rows in the same
+      // order); a STABLE sort keeps equal times in input order so the
+      // rightmost match reproduces the merge exec's last-tie-wins
+      val index = new java.util.HashMap[UnsafeRow, (Array[Any], Array[InternalRow])]()
+      locally {
+        val grouped = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
+        bc.value.foreach { r =>
+          val k = rKeyProj(r)
+          if (!k.anyNull) {
+            val t = rTimeEval.eval(r)
+            if (t != null) {
+              var buf = grouped.get(k)
+              if (buf == null) {
+                buf = scala.collection.mutable.ArrayBuffer.empty[(Any, InternalRow)]
+                grouped.put(k.copy(), buf)
+              }
+              buf += ((t, r.copy()))
+            }
+          }
+        }
+        grouped.forEach { (k, buf) =>
+          val sorted = buf.sortWith((a, b) => timeOrd.lt(a._1, b._1)) // stable
+          index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray)): Unit
+        }
+      }
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(out, out)
+      lIter.map { l =>
+        val lKey = lKeyProj(l)
+        val matched: InternalRow =
+          if (lKey.anyNull) nullRight
+          else {
+            val lTimeV = lTimeEval.eval(l)
+            if (lTimeV == null) nullRight
+            else index.get(lKey) match {
+              case null => nullRight
+              case (times, rows) =>
+                // rightmost idx with times(idx) <= lTimeV: binary search
+                // for the first index with time > lTimeV, answer idx-1
+                var lo = 0
+                var hi = times.length
+                while (lo < hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (timeOrd.lteq(times(mid), lTimeV)) lo = mid + 1 else hi = mid
+                }
+                if (lo == 0) nullRight else rows(lo - 1)
+            }
+          }
+        resultProj(joined(l, matched))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsofJoinExec =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Sort-merge as-of exec: per co-partition, one forward pass over both

@@ -55,6 +55,69 @@ class AsofJoinSpec extends SparkSpec {
     assert(!plan.contains("Window"), "no window machinery in the custom plan")
   }
 
+  test("broadcast route: small dims plan BroadcastAsofJoinExec, row-identical to the merge exec, fact side unshuffled") {
+    val ev = events
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id".as("c_user"), $"ts".as("cts"))
+      .agg(max("event_id").as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id".as("purchase_id"))
+    def run() = AsofJoin.asof(purchases, clicks,
+      leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+      leftTime = "ts", rightTime = "cts")
+    // default: the dim is under the broadcast threshold -> broadcast exec
+    val b = run()
+    val bPlan = b.queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastAsofJoin"), s"expected broadcast route:\n$bPlan")
+    assert(bPlan.contains("BroadcastExchange"), "dim must ship via a broadcast exchange")
+    // the fact side takes NO exchange on this path (its scan partitions
+    // flow straight into the join)
+    val factExchanges = b.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(factExchanges.isEmpty, "broadcast as-of must not shuffle either side")
+    // forced merge path: same rows
+    val old = spark.conf.get("spark.graft.asofBroadcast.enabled", "true")
+    val m = try {
+      spark.conf.set("spark.graft.asofBroadcast.enabled", "false")
+      val m0 = run()
+      assert(m0.queryExecution.executedPlan.toString.contains("AsofJoin ") ||
+        !m0.queryExecution.executedPlan.toString.contains("BroadcastAsofJoin"),
+        "disabled knob must fall back to the sort-merge exec")
+      m0.orderBy("purchase_id", "click_id").collect().toSeq
+    } finally spark.conf.set("spark.graft.asofBroadcast.enabled", old)
+    assert(b.orderBy("purchase_id", "click_id").collect().toSeq == m,
+      "broadcast and merge execs must be row-identical")
+  }
+
+  test("broadcast exec edges: null keys/times, unmatched lefts, last-tie-wins — identical to the merge exec") {
+    val right = Seq(
+      (Some(1L), Some(10L), "r10a"), (Some(1L), Some(10L), "r10b"), // tie on (key, time)
+      (Some(1L), Some(20L), "r20"), (None, Some(5L), "rnull"),
+      (Some(2L), Option.empty[Long], "tnull"),
+    ).toDF("rk", "rt", "payload")
+    val left = Seq(
+      (Some(1L), Some(15L)), (Some(1L), Some(10L)), (Some(1L), Some(5L)),
+      (Some(2L), Some(100L)), (None, Some(50L)), (Some(1L), Option.empty[Long]),
+    ).toDF("k", "t")
+    def run() = AsofJoin.asof(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .select($"k", $"t", $"payload").collect().map(_.toSeq).toSet
+    val b = run()
+    val old = spark.conf.get("spark.graft.asofBroadcast.enabled", "true")
+    val m = try {
+      spark.conf.set("spark.graft.asofBroadcast.enabled", "false")
+      run()
+    } finally spark.conf.set("spark.graft.asofBroadcast.enabled", old)
+    assert(b == m, s"broadcast vs merge mismatch:\n$b\nvs\n$m")
+    // last tie wins on both paths
+    assert(b.contains(Seq(1L, 15L, "r10b")) && b.contains(Seq(1L, 10L, "r10b")))
+    // null key / null time / pre-history lefts keep null payloads
+    assert(b.contains(Seq(1L, 5L, null)) && b.contains(Seq(null, 50L, null))
+      && b.contains(Seq(1L, null, null)))
+    // a key whose only dim rows carry null times never matches
+    assert(b.contains(Seq(2L, 100L, null)))
+  }
+
   test("semantic edges: null keys/times never match; unmatched lefts keep nulls; last tie wins") {
     val right = Seq(
       (Some(1L), Some(10L), "r10"), (Some(1L), Some(20L), "r20"),
