@@ -689,6 +689,47 @@ object Storage {
       },
     ),
     Q(
+      "q205_row_update",
+      "Row-level UPDATE (ManifestTable.update — the third DML member " +
+        "beside q183's DELETE and q182's MERGE): early error events get " +
+        "value *= 2, evaluated against the OLD row, with SQL " +
+        "semantics (FALSE and NULL conditions leave rows untouched) and " +
+        "the committed type pinned per SET column. File-granular " +
+        "copy-on-write through the applied view: the ts-clustered " +
+        "layout means only pre-cutoff files rewrite, later files keep " +
+        "their manifest entries, concurrent appends rebase, and pending " +
+        "MoR tombstones compose (spec-pinned). The oracle applies the " +
+        "same CASE rewrite relationally — UPDATE correctness reduces to " +
+        "a projection identity.",
+      Some(s"""
+        WITH upd AS (
+          SELECT event_id, ts, user_id, event_type,
+                 CASE WHEN COALESCE(event_type = 'error'
+                             AND ts < TIMESTAMP '2024-01-10 00:00:00', FALSE)
+                      THEN value * 2 ELSE value END AS value,
+                 props
+          FROM events
+        )
+        SELECT event_type, count(*) AS n, $d30_2 AS sum_value
+        FROM upd GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        val t = graft.Artifacts.cached(s"manifest-events-update:$dir") { p =>
+          val ev = Tables(spark, dir).events
+          ManifestTable.commit(ev.repartitionByRange(10, col("ts")), p, track = Seq("ts"))
+          ManifestTable.update(spark, p,
+            col("event_type") === "error" &&
+              col("ts") < lit("2024-01-10 00:00:00").cast("timestamp"),
+            Map("value" -> col("value") * 2)): Unit
+        }
+        ManifestTable.snapshot(spark, t)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+              .cast("double").as("sum_value"))
+      },
+    ),
+    Q(
       "q192_restore",
       "Metadata-only RESTORE (ManifestTable.restore — Delta's RESTORE " +
         "semantics): a fat-finger merge multiplies every 7th order's " +

@@ -460,6 +460,60 @@ object ManifestTable {
       }
     }
 
+  /** Row-level UPDATE with SQL semantics — the third member of the DML
+    * triad beside [[delete]] and [[merge]]: rows where `cond` evaluates
+    * TRUE get each column in `set` replaced by its expression
+    * (evaluated against the OLD row, so `set("price" -> col("price") *
+    * 2)` works); FALSE/NULL rows are untouched. File-granular
+    * copy-on-write exactly like [[delete]]: only files containing a
+    * matching row rewrite (found through the applied view — composes
+    * with pending merge-on-read tombstones, which carry forward), the
+    * swap is one atomic manifest commit, and concurrent appends rebase.
+    * Update expressions must keep each column's type (a retype would
+    * silently fork the schema from the manifest's) and must be
+    * deterministic (cond and the expressions evaluate twice: the
+    * touched-file probe and the rewrite).
+    */
+  def update(
+      spark: SparkSession, dir: String, cond: Column,
+      set: Map[String, Column], txn: Option[String] = None): Long =
+    txn.flatMap(committedTxn(dir, _)).getOrElse {
+      require(set.nonEmpty, "UPDATE needs at least one SET column")
+      val head = manifest(dir, None)
+      val schema = DataFrameSchema.fromJson(head.schemaJson)
+      val missing = set.keys.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty, s"SET column(s) ${missing.mkString(", ")} not in schema")
+      val snap = appliedReadWithFile(spark, head, head.files.map(_.path))
+      val exprs = cond +: set.values.toSeq
+      require(
+        snap.select(exprs.zipWithIndex.map { case (c, i) => c.as(s"__e$i") }: _*)
+          .queryExecution.analyzed.expressions.forall(_.deterministic),
+        "update condition and SET expressions must be deterministic")
+      // type pin: each SET expression must keep the column's committed type
+      val probe = snap.select(set.map { case (k, c) => c.as(k) }.toSeq: _*)
+      set.keys.foreach { k =>
+        val got = probe.schema(k).dataType
+        require(got == schema(k).dataType,
+          s"SET retypes column $k: ${schema(k).dataType} -> $got; cast the expression")
+      }
+      val byName = head.files.map(f => fileBasename(f.path) -> f.path).toMap
+      val touched = snap.where(cond)
+        .select("__bname").distinct()
+        .collect().map(r => byName(r.getString(0))).toSet
+      if (touched.isEmpty) head.version
+      else {
+        val updatedCols = schema.fieldNames.map { f =>
+          set.get(f) match {
+            case Some(e) => when(coalesce(cond, lit(false)), e).otherwise(col(f)).as(f)
+            case None => col(f)
+          }
+        }
+        val rewritten = appliedRead(spark, head, touched.toSeq)
+          .select(updatedCols.toIndexedSeq: _*)
+        installRewrite(rewritten, dir, head, touched, txn)
+      }
+    }
+
   /** MERGE-ON-READ equality delete — the WRITE-cheap sibling of the
     * copy-on-write [[delete]]: committing removes NOTHING from data
     * files; it stages only the distinct key tuples (`keyRows`, columns

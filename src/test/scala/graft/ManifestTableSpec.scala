@@ -705,6 +705,48 @@ class ManifestTableSpec extends SparkSpec {
       s"expire must GC segments referenced only by dropped heads: $segsOnDisk vs ${liveSegs.size}")
   }
 
+  test("UPDATE: touched-file CoW, SQL null-cond semantics, type pin, composes with pending tombstones") {
+    val dir = freshDir()
+    val base = (1 to 100).map(i =>
+      (i.toLong, s"g${i % 4}", if (i % 10 == 0) None else Some(i * 1.0)))
+      .toDF("k", "g", "v")
+    ManifestTable.commit(base.repartitionByRange(4, $"k"), dir, Seq("k"))
+    val before = ManifestTable.manifest(dir, None)
+    // update rows 1..25 (first range file): only that file rewrites
+    ManifestTable.update(spark, dir, $"k" <= 25L, Map("v" -> ($"v" * 2)))
+    val after = ManifestTable.manifest(dir, None)
+    assert(before.files.map(_.path).intersect(after.files.map(_.path)).size >= 2,
+      "UPDATE must rewrite only files containing a matching row (upper ranges carry)")
+    val got = ManifestTable.snapshot(spark, dir).orderBy("k")
+      .select($"k", $"v").as[(Long, Option[Double])].collect()
+    got.foreach { case (k, v) =>
+      val want = if (k % 10 == 0) None else Some(if (k <= 25) k * 2.0 else k * 1.0)
+      assert(v == want, s"k=$k: got $v want $want")
+    }
+    // a NULL condition row is untouched (SQL UPDATE semantics): cond on
+    // v is null for the k%10 rows — their g must not change
+    ManifestTable.update(spark, dir, $"v" > 1000.0, Map("g" -> lit("huge")))
+    assert(ManifestTable.snapshot(spark, dir).filter($"g" === "huge").count() == 0)
+    // retype and unknown-column guards
+    intercept[IllegalArgumentException](
+      ManifestTable.update(spark, dir, $"k" === 1L, Map("v" -> lit("oops"))))
+    intercept[IllegalArgumentException](
+      ManifestTable.update(spark, dir, $"k" === 1L, Map("nope" -> lit(1.0))))
+    intercept[IllegalArgumentException](
+      ManifestTable.update(spark, dir, rand() > 0.5, Map("v" -> lit(1.0))))
+    // composes with pending MoR tombstones: tombstoned rows neither
+    // match nor resurrect; the tombstones carry
+    ManifestTable.deleteByKey(Seq(30L, 31L).toDF("k"), dir, Seq("k"))
+    ManifestTable.update(spark, dir, $"k".between(28L, 34L), Map("v" -> lit(-1.0)))
+    val m = ManifestTable.manifest(dir, None)
+    assert(m.deleteFiles.size == 1, "pending tombstones must carry across an UPDATE")
+    val win = ManifestTable.snapshot(spark, dir)
+      .filter($"k".between(28L, 34L)).select($"k", $"v").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(!win.contains(30L) && !win.contains(31L), "tombstoned keys stay deleted")
+    assert(Seq(28L, 29L, 32L, 33L, 34L).forall(k => win(k).contains(-1.0)))
+  }
+
   test("tags: immutable named refs resolve, survive expiry, and refuse silent re-pointing") {
     val dir = freshDir()
     ManifestTable.commit((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
