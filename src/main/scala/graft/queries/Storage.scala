@@ -730,6 +730,44 @@ object Storage {
       },
     ),
     Q(
+      "q206_pos_delete",
+      "POSITIONAL merge-on-read deletes (ManifestTable.deleteWhere — " +
+        "the Iceberg-v2-positional / Delta-deletion-vector role, " +
+        "completing the tombstone pair next to q196's equality " +
+        "deletes): DELETE WHERE for an arbitrary predicate writes only " +
+        "(file-basename, row-index) pairs — named by the parquet " +
+        "reader's own _metadata.row_index — and rewrites NOTHING; " +
+        "readers remove exactly the named rows with one anti join. " +
+        "Path-scoping replaces the sequence rule: a file rewritten by " +
+        "any CoW op gets a new basename, so stale pairs can never " +
+        "re-apply. The oracle applies the same predicate relationally, " +
+        "so positional-MoR read semantics are hash-gated; the spec " +
+        "additionally pins zero-rewrite commits, stacking with " +
+        "equality tombstones, feed visibility, and materialize folding " +
+        "both kinds. At 100 TB: predicate deletes in kilobytes where " +
+        "CoW rewrites gigabytes, debt repaid on the maintenance " +
+        "cadence.",
+      Some(s"""
+        SELECT event_type, count(*) AS n, $d30_2 AS sum_value
+        FROM events
+        WHERE NOT COALESCE(event_type = 'view' AND value > 50, FALSE)
+        GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        val t = graft.Artifacts.cached(s"manifest-events-posdel:$dir") { p =>
+          val ev = Tables(spark, dir).events
+          ManifestTable.commit(ev.repartitionByRange(10, col("ts")), p, track = Seq("ts"))
+          ManifestTable.deleteWhere(spark, p,
+            col("event_type") === "view" && col("value") > 50): Unit
+        }
+        ManifestTable.snapshot(spark, t)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+              .cast("double").as("sum_value"))
+      },
+    ),
+    Q(
       "q192_restore",
       "Metadata-only RESTORE (ManifestTable.restore — Delta's RESTORE " +
         "semantics): a fat-finger merge multiplies every 7th order's " +

@@ -90,7 +90,7 @@ class GraftCatalog extends TableCatalog {
     val dir = dirOf(ident)
     if (ManifestTable.latestVersion(dir).isEmpty) throw new NoSuchTableException(ident)
     val m = ManifestTable.manifest(dir, asOf)
-    require(m.deleteFiles.isEmpty,
+    require(!m.hasMorDeletes,
       s"catalog table $ident has pending merge-on-read deletes a bare scan cannot apply; " +
         "read via ManifestTable.snapshot/createView (applied) or run materializeDeletes")
     GraftLakeTable(ident.toString, dir, m)

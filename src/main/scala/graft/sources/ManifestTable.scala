@@ -85,9 +85,13 @@ object ManifestTable {
       maxs: Map[String, Option[String]],
       seq: Long = 0L)
 
-  /** One merge-on-read equality-delete file: `rows` distinct key tuples
-    * (columns = the manifest's `deleteKeys`), applying to data files
-    * with `seq` strictly below this entry's.
+  /** One merge-on-read delete file. For EQUALITY deletes: `rows`
+    * distinct key tuples (columns = the manifest's `deleteKeys`),
+    * applying to data files with `seq` strictly below this entry's.
+    * For POSITIONAL deletes (`posDeleteFiles`): `rows` (file-basename,
+    * row-index) pairs naming exact physical rows — no seq scoping
+    * needed, because a rewritten file gets a NEW basename and the old
+    * tombstones can never re-apply (the Iceberg v2 path-scoping rule).
     */
   final case class DeleteEntry(path: String, rows: Long, seq: Long)
 
@@ -99,7 +103,10 @@ object ManifestTable {
       track: Seq[String],
       files: Seq[FileEntry],
       deleteKeys: Seq[String] = Nil,
-      deleteFiles: Seq[DeleteEntry] = Nil)
+      deleteFiles: Seq[DeleteEntry] = Nil,
+      posDeleteFiles: Seq[DeleteEntry] = Nil) {
+    def hasMorDeletes: Boolean = deleteFiles.nonEmpty || posDeleteFiles.nonEmpty
+  }
 
   // ---------------------------------------------------------------- commit
 
@@ -196,11 +203,14 @@ object ManifestTable {
     // or restore boundary — which of those happened is not recoverable
     // from the endpoints, so refuse rather than guess.
     val aDel = a.deleteFiles.toSet
-    require(a.deleteFiles.forall(b.deleteFiles.contains),
+    val aPos = a.posDeleteFiles.toSet
+    require(a.deleteFiles.forall(b.deleteFiles.contains)
+      && a.posDeleteFiles.forall(b.posDeleteFiles.contains),
       s"change feed $fromV -> $toV crosses a boundary that REMOVED merge-on-read " +
         "delete files (materializeDeletes, replace, or restore); diff sub-ranges " +
-        "that do not cross it")
+        "that do not cross it (or use netChanges)")
     val newDeletes = b.deleteFiles.filterNot(aDel)
+    val newPosDeletes = b.posDeleteFiles.filterNot(aPos)
     val aPaths = a.files.map(_.path).toSet
     val bPaths = b.files.map(_.path).toSet
     // file-diff half: each side read through ITS OWN endpoint's applied
@@ -213,10 +223,11 @@ object ManifestTable {
     // restricted (bounded probe) to the shared files that actually hold
     // a newly-tombstoned row — work stays O(touched files)
     val tomb: DataFrame =
-      if (newDeletes.isEmpty) readFiles(spark, b.schemaJson, Nil)
+      if (newDeletes.isEmpty && newPosDeletes.isEmpty) readFiles(spark, b.schemaJson, Nil)
       else {
         val shared = a.files.filter(f => bPaths(f.path))
-        val probe = b.copy(files = shared, deleteFiles = newDeletes)
+        val probe = b.copy(files = shared,
+          deleteFiles = newDeletes, posDeleteFiles = newPosDeletes)
         val doomed = morDoomedPaths(spark, probe, shared.map(_.path)).toSeq
         if (doomed.isEmpty) readFiles(spark, b.schemaJson, Nil)
         else appliedRead(spark, a.copy(files = shared), doomed)
@@ -273,7 +284,7 @@ object ManifestTable {
       val v = head.get + 1
       committed = tryInstall(dir,
         Manifest(v, head, None, src.schemaJson, src.track, src.files,
-          src.deleteKeys, src.deleteFiles))
+          src.deleteKeys, src.deleteFiles, src.posDeleteFiles))
     }
     committed
   }
@@ -317,7 +328,8 @@ object ManifestTable {
       val m = Manifest(v, head, txn, schema.json, track,
         parent.map(_.files).getOrElse(Seq.empty) ++ newFiles.map(_.copy(seq = v)),
         parent.map(_.deleteKeys).getOrElse(Nil),
-        parent.map(_.deleteFiles).getOrElse(Nil))
+        parent.map(_.deleteFiles).getOrElse(Nil),
+        parent.map(_.posDeleteFiles).getOrElse(Nil))
       committed = tryInstall(dir, m)
     }
     committed
@@ -584,6 +596,92 @@ object ManifestTable {
     }
   }
 
+  /** MERGE-ON-READ positional delete — write-cheap `DELETE WHERE` for
+    * arbitrary predicates (the Iceberg v2 positional-delete / Delta
+    * deletion-vector role): rows matching `cond` are named by exact
+    * (file-basename, row-index) pairs — the parquet reader's own
+    * `_metadata.row_index` — and committing stages only those pairs as
+    * a tombstone file. NOTHING rewrites; cost is O(matching rows)
+    * pairs of bytes where the CoW [[delete]] rewrites whole files.
+    * Readers apply the pairs with one anti join; a file later
+    * rewritten by any CoW operation gets a NEW basename, so stale
+    * pairs can never re-apply (path-scoping replaces the equality
+    * deletes' sequence rule). Unlike [[deleteByKey]] there is no
+    * key-spec constraint — positional tombstones stack freely beside
+    * equality tombstones; [[materializeDeletes]] folds both.
+    *
+    * Choose by write/read balance: [[delete]] (CoW) pays the rewrite
+    * now and reads clean; this pays O(rows) now and one anti join per
+    * read until materialization. Same determinism requirement as
+    * [[delete]] (cond evaluates once here, but a nondeterministic cond
+    * names an unreproducible row set).
+    */
+  def deleteWhere(
+      spark: SparkSession, dir: String, cond: Column,
+      txn: Option[String] = None): Long =
+    txn.flatMap(committedTxn(dir, _)).getOrElse {
+      val head = manifest(dir, None)
+      if (head.files.isEmpty) return head.version
+      val snap = appliedReadWithFile(spark, head, head.files.map(_.path))
+      require(
+        snap.select(cond.as("__c")).queryExecution.analyzed.expressions.forall(_.deterministic),
+        s"deleteWhere condition must be deterministic: $cond")
+      val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
+      // name the doomed rows: (basename, row_index) straight off the
+      // applied view, so already-tombstoned rows are never re-named
+      posAppliedWithIdx(spark, head)
+        .where(cond)
+        .select(col("__bname").as("__dbname"), col("__rowidx").as("__dpos"))
+        .write.parquet(stage)
+      val staged = spark.read.schema(posDeleteSchema).parquet(stage)
+        .groupBy(input_file_name().as("p")).agg(count(lit(1)).as("n"))
+        .collect().map(r => stripScheme(r.getString(0)) -> r.getLong(1))
+      if (staged.isEmpty) { deleteRec(new java.io.File(stage)); return head.version }
+      var committed = -1L
+      while (committed < 0) {
+        val cur = manifest(dir, None)
+        // the named (file, pos) pairs are only meaningful against the
+        // files they were computed from — a concurrent rewrite that
+        // removed one would orphan (harmlessly) or, worse, the rows
+        // could have been recomputed; require the file set to contain
+        // every target (appends are fine: they add files)
+        val curNames = cur.files.map(f => fileBasename(f.path)).toSet
+        val targetNames = spark.read.schema(posDeleteSchema).parquet(staged.map(_._1): _*)
+          .select("__dbname").distinct().collect().map(_.getString(0))
+        val gone = targetNames.filterNot(curNames)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent writer rewrote ${gone.length} file(s) this positional delete names")
+        val v = cur.version + 1
+        val m = cur.copy(version = v, parent = Some(cur.version), txn = txn,
+          posDeleteFiles = cur.posDeleteFiles ++ staged.map { case (p, n) => DeleteEntry(p, n, v) })
+        committed = tryInstall(dir, m)
+      }
+      committed
+    }
+
+  /** The applied view WITH row positions still attached (equality
+    * tombstones applied on top of positional ones) — what
+    * [[deleteWhere]] names its doomed rows from.
+    */
+  private def posAppliedWithIdx(spark: SparkSession, m: Manifest): DataFrame = {
+    val paths = m.files.map(_.path)
+    val withB = readFiles(spark, m.schemaJson, paths)
+      .withColumn("__bname", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("__rowidx", col("_metadata.row_index"))
+    val pos =
+      if (m.posDeleteFiles.isEmpty) withB
+      else {
+        val dels = spark.read.schema(posDeleteSchema)
+          .parquet(m.posDeleteFiles.map(_.path): _*)
+        withB.join(dels,
+          col("__bname") === col("__dbname") && col("__rowidx") === col("__dpos"),
+          "left_anti")
+      }
+    if (m.deleteFiles.isEmpty) pos
+    else morJoin(spark, m, pos, paths, "left_anti").drop("__fname", "__fseq")
+  }
+
   /** Fold pending merge-on-read deletes back into the data files: the
     * files that actually hold tombstoned rows (found with one bounded
     * probe) rewrite without them, untouched files carry their entries,
@@ -599,9 +697,10 @@ object ManifestTable {
       // deleteKeys with no DeleteEntry (a legacy empty-key-frame commit)
       // still wedges later key-spec switches — fall through and commit
       // the clearing version instead of early-returning past it
-      if (head.deleteFiles.isEmpty && head.deleteKeys.isEmpty) return head.version
+      if (!head.hasMorDeletes && head.deleteKeys.isEmpty) return head.version
       val allPaths = head.files.map(_.path)
-      // bounded probe: which files still hold a tombstoned row?
+      // bounded probe: which files still hold a tombstoned row (either
+      // delete kind)?
       val affected = morDoomedPaths(spark, head, allPaths)
       var committed = -1L
       var staged: Option[(Seq[FileEntry], Set[String])] = None
@@ -614,7 +713,7 @@ object ManifestTable {
       }
       while (committed < 0) {
         val cur = manifest(dir, None)
-        require(cur.deleteFiles == head.deleteFiles,
+        require(cur.deleteFiles == head.deleteFiles && cur.posDeleteFiles == head.posDeleteFiles,
           "concurrent writer changed the pending deletes mid-materialize; retry")
         val gone = affected.filterNot(cur.files.map(_.path).toSet)
         if (gone.nonEmpty)
@@ -627,7 +726,7 @@ object ManifestTable {
           case None => cur.files
         }
         val m = cur.copy(version = v, parent = Some(cur.version), txn = txn,
-          files = files, deleteKeys = Nil, deleteFiles = Nil)
+          files = files, deleteKeys = Nil, deleteFiles = Nil, posDeleteFiles = Nil)
         committed = tryInstall(dir, m)
       }
       committed
@@ -737,7 +836,8 @@ object ManifestTable {
       // rewritten files (their fresh seq outranks the tombstone's) —
       // both silently resurrect rows, so refuse and let the caller
       // re-read and recompute
-      if (cur.deleteFiles != base.deleteFiles || cur.deleteKeys != base.deleteKeys)
+      if (cur.deleteFiles != base.deleteFiles || cur.deleteKeys != base.deleteKeys ||
+        cur.posDeleteFiles != base.posDeleteFiles)
         throw new java.util.ConcurrentModificationException(
           "concurrent merge-on-read delete landed mid-rewrite; " +
             "recompute against the new head (or materializeDeletes)")
@@ -764,7 +864,8 @@ object ManifestTable {
       val m = Manifest(v, Some(cur.version), txn, base.schemaJson, base.track,
         cur.files.filterNot(f => removed(f.path)) ++ newFiles.map(_.copy(seq = v)),
         if (clearDeletes) Nil else base.deleteKeys,
-        if (clearDeletes) Nil else base.deleteFiles)
+        if (clearDeletes) Nil else base.deleteFiles,
+        if (clearDeletes) Nil else base.posDeleteFiles)
       committed = tryInstall(dir, m)
     }
     committed
@@ -928,38 +1029,93 @@ object ManifestTable {
     */
   private[sources] def appliedRead(
       spark: SparkSession, m: Manifest, paths: Seq[String]): DataFrame =
-    if (m.deleteFiles.isEmpty || paths.isEmpty) readFiles(spark, m.schemaJson, paths)
-    else morJoin(spark, m, paths, "left_anti").drop("__bname", "__fname", "__fseq")
+    appliedReadWithFile(spark, m, paths).drop("__bname")
 
   /** [[appliedRead]] keeping each row's source-file basename as
-    * `__bname` — the attribution column the CoW delete/merge probes use
-    * to find touched files THROUGH the applied view (after the MoR anti
-    * join, `input_file_name()` is no longer creditable to a scan).
+    * `__bname` — the attribution column the CoW delete/merge/update
+    * probes use to find touched files THROUGH the applied view (after
+    * the MoR anti joins, `input_file_name()` is no longer creditable
+    * to a scan). Positional tombstones (exact (basename, row-index)
+    * pairs) apply first via one anti join; equality tombstones apply
+    * on top via the sequence-scoped [[morJoin]].
     */
   private def appliedReadWithFile(
-      spark: SparkSession, m: Manifest, paths: Seq[String]): DataFrame =
-    if (m.deleteFiles.isEmpty || paths.isEmpty)
-      readFiles(spark, m.schemaJson, paths)
+      spark: SparkSession, m: Manifest, paths: Seq[String]): DataFrame = {
+    if (!m.hasMorDeletes || paths.isEmpty)
+      return readFiles(spark, m.schemaJson, paths)
         .withColumn("__bname", element_at(split(input_file_name(), "/"), -1))
-    else morJoin(spark, m, paths, "left_anti").drop("__fname", "__fseq")
+    val base = posApplied(spark, m, paths)
+    if (m.deleteFiles.isEmpty) base
+    else morJoin(spark, m, base, paths, "left_anti").drop("__fname", "__fseq")
+  }
+
+  /** `paths` with POSITIONAL tombstones applied (and `__bname`
+    * attached): the parquet reader's own `_metadata.row_index` names
+    * each physical row — the same mechanism Iceberg v2 positional
+    * deletes and Delta deletion vectors key on — and one anti join on
+    * (basename, row-index) removes exactly the named rows. Tombstones
+    * referencing files no longer in `paths` match nothing (dead weight
+    * until [[materializeDeletes]] folds them).
+    */
+  private def posApplied(spark: SparkSession, m: Manifest, paths: Seq[String]): DataFrame = {
+    val withB = readFiles(spark, m.schemaJson, paths)
+      .withColumn("__bname", element_at(split(input_file_name(), "/"), -1))
+    if (m.posDeleteFiles.isEmpty) withB
+    else {
+      val dels = spark.read.schema(posDeleteSchema)
+        .parquet(m.posDeleteFiles.map(_.path): _*)
+      withB.withColumn("__rowidx", col("_metadata.row_index"))
+        .join(dels,
+          col("__bname") === col("__dbname") && col("__rowidx") === col("__dpos"),
+          "left_anti")
+        .drop("__rowidx")
+    }
+  }
+
+  private val posDeleteSchema = StructType(Seq(
+    StructField("__dbname", StringType), StructField("__dpos", LongType)))
 
   private def fileBasename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
   /** The rows/files pending deletes still REMOVE from `paths` — the
     * bounded probe [[materializeDeletes]] plans its rewrite set from.
     */
-  private def morDoomedPaths(spark: SparkSession, m: Manifest, paths: Seq[String]): Set[String] =
-    if (m.deleteFiles.isEmpty || paths.isEmpty) Set.empty
-    else morJoin(spark, m, paths, "left_semi")
-      .select("__bname").distinct()
-      .collect().map(_.getString(0))
-      .toSet match {
-        case names => paths.filter(p => names(p.substring(p.lastIndexOf('/') + 1))).toSet
+  /** The files of `paths` that still hold a tombstoned row under
+    * EITHER delete kind — the bounded probe [[materializeDeletes]]
+    * plans its rewrite set from: equality-doomed files via one
+    * key-semi morJoin, positional-doomed files straight from the
+    * tombstones' distinct target names (O(files) metadata).
+    */
+  private def morDoomedPaths(spark: SparkSession, m: Manifest, paths: Seq[String]): Set[String] = {
+    if (!m.hasMorDeletes || paths.isEmpty) return Set.empty
+    val byName = paths.map(p => fileBasename(p) -> p).toMap
+    val eqDoomed: Set[String] =
+      if (m.deleteFiles.isEmpty) Set.empty
+      else {
+        val base = readFiles(spark, m.schemaJson, paths)
+          .withColumn("__bname", element_at(split(input_file_name(), "/"), -1))
+        morJoin(spark, m, base, paths, "left_semi")
+          .select("__bname").distinct()
+          .collect().map(_.getString(0)).toSet
       }
+    val posDoomed: Set[String] =
+      if (m.posDeleteFiles.isEmpty) Set.empty
+      else spark.read.schema(posDeleteSchema)
+        .parquet(m.posDeleteFiles.map(_.path): _*)
+        .select("__dbname").distinct()
+        .collect().map(_.getString(0)).toSet
+    (eqDoomed ++ posDoomed).flatMap(byName.get)
+  }
 
+  /** Sequence-scoped EQUALITY-delete join against an already-built
+    * `base` frame (data columns + `__bname` — possibly with positional
+    * tombstones pre-applied): each data row carries its file's
+    * sequence number, each delete row its delete file's, and the join
+    * condition is key equality AND `deleteSeq > fileSeq`.
+    */
   private def morJoin(
-      spark: SparkSession, m: Manifest, paths: Seq[String], joinType: String): DataFrame = {
-    def fname(p: String) = p.substring(p.lastIndexOf('/') + 1)
+      spark: SparkSession, m: Manifest, base: DataFrame,
+      paths: Seq[String], joinType: String): DataFrame = {
     def seqDf(rows: Seq[(String, Long)], nameCol: String, seqCol: String) =
       spark.createDataFrame(
         spark.sparkContext.parallelize(
@@ -970,15 +1126,13 @@ object ManifestTable {
     val fileNameExpr = element_at(split(input_file_name(), "/"), -1)
     val pathSet = paths.toSet
     val fSeq = seqDf(m.files.filter(f => pathSet(f.path))
-      .map(f => fname(f.path) -> f.seq), "__fname", "__fseq")
-    val dSeq = seqDf(m.deleteFiles.map(d => fname(d.path) -> d.seq), "__dname", "__dseq")
+      .map(f => fileBasename(f.path) -> f.seq), "__fname", "__fseq")
+    val dSeq = seqDf(m.deleteFiles.map(d => fileBasename(d.path) -> d.seq), "__dname", "__dseq")
     val dels = spark.read.schema(keySchema).parquet(m.deleteFiles.map(_.path): _*)
       .withColumn("__dname", fileNameExpr)
       .join(dSeq, "__dname")
       .select((m.deleteKeys.map(k => col(k).as(s"__d_$k")) :+ col("__dseq")): _*)
-    val withSeq = readFiles(spark, m.schemaJson, paths)
-      .withColumn("__bname", fileNameExpr)
-      .join(fSeq, col("__bname") === col("__fname"))
+    val withSeq = base.join(fSeq, col("__bname") === col("__fname"))
     val cond = m.deleteKeys.map(k => withSeq(k) === dels(s"__d_$k")).reduce(_ && _) &&
       dels("__dseq") > withSeq("__fseq")
     withSeq.join(dels, cond, joinType)
@@ -1070,7 +1224,8 @@ object ManifestTable {
     val droppedSegs = drop.flatMap(v => segComposition(dir, v).map(_._1)).toSet
     drop.foreach(v => java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(dir, "_manifests", manifestName(v))): Unit)
-    def allPaths(m: Manifest) = m.files.map(_.path) ++ m.deleteFiles.map(_.path)
+    def allPaths(m: Manifest) =
+      m.files.map(_.path) ++ m.deleteFiles.map(_.path) ++ m.posDeleteFiles.map(_.path)
     val kept = versions(dir).flatMap(v => allPaths(manifest(dir, Some(v)))).toSet
     dropped.flatMap(allPaths).distinct
       .filterNot(kept)
@@ -1105,7 +1260,7 @@ object ManifestTable {
     val referenced = versions(dir)
       .flatMap { v =>
         val m = manifest(dir, Some(v))
-        m.files.map(_.path) ++ m.deleteFiles.map(_.path)
+        m.files.map(_.path) ++ m.deleteFiles.map(_.path) ++ m.posDeleteFiles.map(_.path)
       }
       .map(p => java.nio.file.Paths.get(p).getParent.getFileName.toString)
       .toSet
@@ -1219,13 +1374,14 @@ object ManifestTable {
   private def renderHead(m: Manifest, segNames: Seq[String]): String = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    val dels = m.deleteFiles.map(d =>
+    def delJson(ds: Seq[DeleteEntry]) = ds.map(d =>
       ("path" -> d.path) ~ ("rows" -> d.rows) ~ ("seq" -> d.seq))
     JsonMethods.compact(JsonMethods.render(
       ("version" -> m.version) ~ ("parent" -> m.parent) ~ ("txn" -> m.txn) ~
         ("schema" -> m.schemaJson) ~ ("track" -> m.track) ~
         ("segments" -> segNames) ~
-        ("deleteKeys" -> m.deleteKeys) ~ ("deleteFiles" -> dels)))
+        ("deleteKeys" -> m.deleteKeys) ~ ("deleteFiles" -> delJson(m.deleteFiles)) ~
+        ("posDeleteFiles" -> delJson(m.posDeleteFiles))))
   }
 
   private def renderSegment(entries: Seq[FileEntry]): String = {
@@ -1304,12 +1460,19 @@ object ManifestTable {
       (j \ "track").extract[Seq[String]],
       files,
       (j \ "deleteKeys").extractOpt[Seq[String]].getOrElse(Nil),
-      (j \ "deleteFiles").extractOpt[Seq[JValue]].getOrElse(Nil).map { d =>
-        DeleteEntry(
-          (d \ "path").extract[String],
-          (d \ "rows").extract[Long],
-          (d \ "seq").extract[Long])
-      })
+      delEntries(j \ "deleteFiles"),
+      delEntries(j \ "posDeleteFiles"))
+  }
+
+  private def delEntries(j: org.json4s.JValue): Seq[DeleteEntry] = {
+    import org.json4s._
+    implicit val fmt: Formats = DefaultFormats
+    j.extractOpt[Seq[JValue]].getOrElse(Nil).map { d =>
+      DeleteEntry(
+        (d \ "path").extract[String],
+        (d \ "rows").extract[Long],
+        (d \ "seq").extract[Long])
+    }
   }
 
   private def stripScheme(p: String): String =

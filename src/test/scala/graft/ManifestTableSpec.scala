@@ -747,6 +747,51 @@ class ManifestTableSpec extends SparkSpec {
     assert(Seq(28L, 29L, 32L, 33L, 34L).forall(k => win(k).contains(-1.0)))
   }
 
+  test("positional MoR deletes: O(rows) tombstones, path-scoped application, stack with equality deletes, materialize folds both") {
+    val dir = freshDir()
+    val base = (1 to 100).map(i => (i.toLong, s"g${i % 4}", i * 1.0)).toDF("k", "g", "v")
+    ManifestTable.commit(base.repartitionByRange(4, $"k"), dir, Seq("k"))
+    val files1 = ManifestTable.manifest(dir, None).files.map(_.path)
+    // DELETE WHERE as positional tombstones: nothing rewrites
+    ManifestTable.deleteWhere(spark, dir, $"v" > 90.0)
+    val m2 = ManifestTable.manifest(dir, None)
+    assert(m2.files.map(_.path) == files1, "positional delete must not touch data files")
+    assert(m2.posDeleteFiles.size == 1 && m2.posDeleteFiles.head.rows == 10)
+    assert(ManifestTable.snapshot(spark, dir).count() == 90)
+    assert(ManifestTable.snapshot(spark, dir).agg(max("v")).head().getDouble(0) == 90.0)
+    // no-match condition: no version committed
+    val h2 = ManifestTable.latestVersion(dir).get
+    assert(ManifestTable.deleteWhere(spark, dir, $"v" > 1e9) == h2)
+    // stacks freely with equality deletes (no key-spec constraint)
+    ManifestTable.deleteByKey(Seq(5L, 6L).toDF("k"), dir, Seq("k"))
+    ManifestTable.deleteWhere(spark, dir, $"k" === 7L)
+    assert(ManifestTable.snapshot(spark, dir).count() == 87)
+    // already-tombstoned rows are never re-named: a second sweep of the
+    // same predicate is a no-op version-wise
+    val h4 = ManifestTable.latestVersion(dir).get
+    assert(ManifestTable.deleteWhere(spark, dir, $"k" === 7L) == h4)
+    // time travel before the deletes still sees everything
+    assert(ManifestTable.snapshot(spark, dir, asOf = Some(1L)).count() == 100)
+    // CoW UPDATE composes: rewritten files fold their tombstoned rows
+    // out; pos tombstones CARRY for untouched files
+    ManifestTable.update(spark, dir, $"k" === 10L, Map("v" -> lit(1000.0)))
+    val m5 = ManifestTable.manifest(dir, None)
+    assert(m5.posDeleteFiles.size == 2, "pos tombstones carry across a CoW rewrite")
+    assert(ManifestTable.snapshot(spark, dir).count() == 87)
+    assert(ManifestTable.snapshot(spark, dir).filter($"k" === 7L).count() == 0,
+      "tombstones on the REWRITTEN file were folded in; on others they still apply")
+    // the change feed surfaces positionally-killed rows as deletes
+    val feed = ManifestTable.changes(spark, dir, 1L, 2L)
+      .select($"k", $"_change").as[(Long, String)].collect().toSet
+    assert(feed == (91L to 100L).map(k => (k, "delete")).toSet, s"got $feed")
+    // materialize folds BOTH kinds and clears them
+    val before = ManifestTable.snapshot(spark, dir).orderBy("k").collect().toSeq
+    ManifestTable.materializeDeletes(spark, dir)
+    val m6 = ManifestTable.manifest(dir, None)
+    assert(!m6.hasMorDeletes && m6.deleteKeys.isEmpty)
+    assert(ManifestTable.snapshot(spark, dir).orderBy("k").collect().toSeq == before)
+  }
+
   test("tags: immutable named refs resolve, survive expiry, and refuse silent re-pointing") {
     val dir = freshDir()
     ManifestTable.commit((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
@@ -1013,6 +1058,7 @@ class ManifestTableSpec extends SparkSpec {
     case class Merge(rows: Map[Long, Long]) extends Op
     case object Compact extends Op
     case class MorDelete(keys: Set[Long]) extends Op
+    case class PosDelete(lo: Long, hi: Long) extends Op
     case object Materialize extends Op
 
     val rowsGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 999L)))
@@ -1023,6 +1069,8 @@ class ManifestTableSpec extends SparkSpec {
       3 -> rowsGen.map(Merge(_)),
       1 -> Gen.const(Compact),
       2 -> Gen.nonEmptyListOf(Gen.choose(0L, 30L)).map(ks => MorDelete(ks.toSet)),
+      2 -> Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)).map { case (a, b) =>
+        PosDelete(math.min(a, b), math.max(a, b)) },
       1 -> Gen.const(Materialize))
     val seqGen = Gen.choose(3, 7).flatMap(n => Gen.listOfN(n, opGen))
 
@@ -1058,6 +1106,10 @@ class ManifestTableSpec extends SparkSpec {
         case MorDelete(keys) if history.nonEmpty =>
           val v = ManifestTable.deleteByKey(keys.toSeq.toDF("k"), dir, Seq("k"))
           model = model.filterNot { case (k, _) => keys(k) }
+          history :+= (v, model)
+        case PosDelete(lo, hi) if history.nonEmpty =>
+          val v = ManifestTable.deleteWhere(spark, dir, $"k".between(lo, hi))
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi }
           history :+= (v, model)
         case Materialize if history.nonEmpty =>
           val v = ManifestTable.materializeDeletes(spark, dir)
