@@ -768,6 +768,53 @@ object Storage {
       },
     ),
     Q(
+      "q207_maintenance",
+      "The table MAINTENANCE CADENCE end to end (ManifestTable." +
+        "maintain — materialize MoR debt, binpack small files, expire " +
+        "history, vacuum staging, in that fixed order): events land as " +
+        "6 micro-batch-sized commits plus one equality and one " +
+        "positional tombstone commit, then one maintain() call folds " +
+        "the tombstones, compacts the small files into ts-clustered " +
+        "replacements, and drops expired history — after which the " +
+        "table is ONE clean snapshot whose rows are IDENTICAL to what " +
+        "the raw data implies. The oracle recomputes that state " +
+        "relationally, so maintenance content-neutrality is hash-gated " +
+        "— the property that lets it run unattended beside ingest at " +
+        "100 TB (each step is the same conflict-checked commit it is " +
+        "standalone: races rebase or fail loudly, never corrupt).",
+      Some(s"""
+        SELECT event_type, count(*) AS n, $d30_2 AS sum_value
+        FROM events
+        WHERE user_id NOT IN (1, 2)
+          AND NOT COALESCE(event_type = 'error' AND value < 5, FALSE)
+        GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        val t = graft.Artifacts.cached(s"manifest-events-maint:$dir") { p =>
+          val ev = Tables(spark, dir).events
+          // micro-batch-shaped ingest: 6 small commits
+          (0 until 6).foreach { b =>
+            ManifestTable.commit(ev.filter(pmod(col("event_id"), lit(6)) === b), p,
+              track = Seq("ts")): Unit
+          }
+          ManifestTable.deleteByKey(
+            spark.range(2).select((col("id") + 1).as("user_id")), p, Seq("user_id"))
+          ManifestTable.deleteWhere(spark, p,
+            col("event_type") === "error" && col("value") < 5)
+          ManifestTable.maintain(spark, p, clusterBy = "ts",
+            smallFileRows = 1000000L, targetFiles = 4, keepLast = 1,
+            vacuumMinAgeMs = -1L): Unit
+        }
+        val m = ManifestTable.manifest(t, None)
+        assert(!m.hasMorDeletes, "maintenance must fold all tombstones")
+        ManifestTable.snapshot(spark, t)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+              .cast("double").as("sum_value"))
+      },
+    ),
+    Q(
       "q192_restore",
       "Metadata-only RESTORE (ManifestTable.restore — Delta's RESTORE " +
         "semantics): a fat-finger merge multiplies every 7th order's " +

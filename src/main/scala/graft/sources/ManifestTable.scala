@@ -1270,6 +1270,34 @@ object ManifestTable {
       .foreach(deleteRec)
   }
 
+  /** The MAINTENANCE CADENCE as one call — what a production table
+    * runs on a schedule beside live ingest (Iceberg's
+    * rewrite-data-files + expire-snapshots maintenance jobs, and the
+    * role the reference's 5-minute sync DAG plays for its Postgres
+    * tables): (1) [[materializeDeletes]] repays the merge-on-read read
+    * debt, (2) [[compactSmall]] folds the small files streaming ingest
+    * accumulates into range-clustered replacements, (3)
+    * [[expireSnapshots]] drops history past `keepLast` (tagged
+    * versions survive), (4) [[vacuum]] reclaims crashed staging past
+    * the grace age. Order matters and is fixed: materialize first so
+    * compaction sees clean files; expiry after both so their inputs
+    * stay readable mid-run; vacuum last. Each step is the same
+    * conflict-checked commit it is standalone, so maintenance racing
+    * ingest rebases or fails loudly, never corrupts. CONTENT-NEUTRAL
+    * by construction — the head's visible rows are identical before
+    * and after (q207 hash-gates exactly that).
+    */
+  def maintain(
+      spark: SparkSession, dir: String, clusterBy: String,
+      smallFileRows: Long = 100000L, targetFiles: Int = 8,
+      keepLast: Int = 3, vacuumMinAgeMs: Long = 24L * 3600 * 1000): Long = {
+    materializeDeletes(spark, dir)
+    val v = compactSmall(spark, dir, clusterBy, smallFileRows, targetFiles)
+    expireSnapshots(dir, keepLast)
+    vacuum(dir, vacuumMinAgeMs)
+    math.max(v, latestVersion(dir).getOrElse(v))
+  }
+
   /** O(metadata) table statistics from the manifest alone — no data
     * read: (version, file count, row count). The commit-time `rows`
     * per file makes COUNT(*)-class questions (and planner sizing
