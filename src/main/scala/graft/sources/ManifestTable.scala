@@ -300,10 +300,23 @@ object ManifestTable {
     txn.flatMap(committedTxn(dir, _)).getOrElse {
       val missing = track.filterNot(df.schema.fieldNames.contains)
       require(missing.isEmpty, s"tracked column(s) ${missing.mkString(", ")} not in schema")
+      requireNoReservedColumns(df.schema)
       val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
       df.write.parquet(stage)
       installStaged(spark, dir, df.schema, track, txn, stage, replace)
     }
+  }
+
+  /** `__`-prefixed names are the table machinery's internal namespace
+    * (`__bname` file attribution, `__rowidx` positions, the MoR join's
+    * seq columns) — a data column there would silently collide with
+    * the applied-read pipeline, so commits reject them up front.
+    */
+  private def requireNoReservedColumns(schema: StructType): Unit = {
+    val bad = schema.fieldNames.filter(_.startsWith("__"))
+    require(bad.isEmpty,
+      s"column name(s) ${bad.mkString(", ")} use the reserved __ prefix " +
+        "(internal to the manifest table's delete/attribution machinery); rename them")
   }
 
   /** Stats + optimistic install for an already-staged write — the
@@ -361,6 +374,7 @@ object ManifestTable {
     txn.flatMap(committedTxn(dir, _)).getOrElse {
       val missing = track.filterNot(df.schema.fieldNames.contains)
       require(missing.isEmpty, s"tracked column(s) ${missing.mkString(", ")} not in schema")
+      requireNoReservedColumns(df.schema)
       val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
       df.write.parquet(stage)
       // ANY failure between staging and install — a violating audit, a

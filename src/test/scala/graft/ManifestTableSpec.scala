@@ -792,6 +792,16 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.snapshot(spark, dir).orderBy("k").collect().toSeq == before)
   }
 
+  test("reserved __ column names are rejected at commit (they would collide with the MoR machinery)") {
+    val dir = freshDir()
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.commit(Seq((1L, "x")).toDF("k", "__bname"), dir, Seq("k")))
+    assert(e.getMessage.contains("reserved __ prefix"))
+    intercept[IllegalArgumentException](
+      ManifestTable.commitAudited(Seq((1L, "x")).toDF("k", "__rowidx"), dir, Seq("k"),
+        audit = b => b.select(count(lit(1)).cast("long").as("n_violations")).filter(lit(false))))
+  }
+
   test("tags: immutable named refs resolve, survive expiry, and refuse silent re-pointing") {
     val dir = freshDir()
     ManifestTable.commit((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
