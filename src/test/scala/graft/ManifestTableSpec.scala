@@ -1092,10 +1092,26 @@ class ManifestTableSpec extends SparkSpec {
       var model = Vector.empty[(Long, Long)]
       var history = Vector.empty[(Long, Vector[(Long, Long)])]
       def df(rows: Map[Long, Long]) = rows.toSeq.toDF("k", "v")
+      // a cursor-driven CDF consumer rides along: after every op it
+      // drains the feed and folds into a materialized per-key rollup —
+      // random sequences thus ALSO fuzz ChangeFeedStream + fold across
+      // MoR-adding ranges and the netChanges maintenance fallback
+      val cursorDir = freshDir()
+      var view: Option[org.apache.spark.sql.DataFrame] = None
+      def consume(): Unit = if (history.nonEmpty) {
+        if (view.isEmpty) {
+          graft.streaming.ChangeFeedStream.init(cursorDir, history.head._1)
+          view = Some(ChangeFeedView.init(spark, dir, Seq("k"), "v",
+            asOf = Some(history.head._1)))
+        }
+        graft.streaming.ChangeFeedStream.poll(spark, dir, cursorDir, (feed, _, _) =>
+          view = Some(graft.operators.Lineage.pin(
+            ChangeFeedView.fold(view.get, feed, Seq("k"), "v")))): Unit
+      }
       // CoW operations COMPOSE with pending merge-on-read deletes (they
       // compute through the applied view and carry the tombstones), so
       // the sequences interleave freely — no forced materialize cadence
-      ops.foreach {
+      ops.foreach { op => (op: @unchecked) match {
         case Commit(rows) if rows.nonEmpty =>
           val v = ManifestTable.commit(df(rows), dir, Seq("k"))
           model = model ++ rows.toVector
@@ -1125,7 +1141,7 @@ class ManifestTableSpec extends SparkSpec {
           val v = ManifestTable.materializeDeletes(spark, dir)
           history :+= (v, model)
         case _ => ()
-      }
+      }; consume() }
       // every recorded version must read back as its model state —
       // snapshot isolation means later ops never disturb old versions
       history.foreach { case (v, want) =>
@@ -1133,6 +1149,15 @@ class ManifestTableSpec extends SparkSpec {
           .as[(Long, Long)].collect().toVector
         assert(got.sorted == want.sorted,
           s"trial $trial v=$v: got ${got.size} rows, want ${want.size} (ops: $ops)")
+      }
+      // the riding consumer's folded rollup must equal the model's
+      view.foreach { vdf =>
+        val got = vdf.select($"k", $"n", $"total".cast("double"))
+          .as[(Long, Long, Double)].collect().toSet
+        val want = model.groupBy(_._1).map { case (k, rows) =>
+          (k, rows.size.toLong, rows.map(_._2.toDouble).sum) }.toSet
+        assert(got == want,
+          s"trial $trial: consumer rollup diverged from the model (ops: $ops)")
       }
     }
   }
