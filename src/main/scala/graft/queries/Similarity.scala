@@ -282,6 +282,38 @@ object Similarity {
       },
     ),
     Q(
+      "q208_lsh_auto",
+      "Sign-LSH near-dups with the plane count DERIVED FROM THE CORPUS " +
+        "(VectorSearch.lshNearDupsAuto — the sf1 slope run's lever " +
+        "delivered as the serving path): one bounded count probe picks " +
+        "planes = ceil(log2(n / targetBucketRows)), so expected bucket " +
+        "occupancy stays at the target and candidate volume scales " +
+        "LINEARLY with the corpus, where q34's fixed 16-bucket config " +
+        "grows pairs quadratically. At oracle scales the derived count " +
+        "coincides with the pinned 4-plane config (asserted — the " +
+        "q197/q198 decision-pin discipline), so the routed path shares " +
+        "q34's oracle verbatim; ApiSpecs pins the scaling behavior " +
+        "above the target (planes grow, candidates shrink >4x at 10x " +
+        "corpus, extra planes only ever REMOVE candidate pairs).",
+      Some(s"""
+        WITH n AS ($duckNorm),
+        bk AS (SELECT vec_id, embedding, nrm, ${bucketDuck("embedding")} AS bucket FROM n)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+          ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+        ORDER BY vec_a, vec_b
+      """.trim),
+      (spark, dir) => {
+        val (pairs, planes) = graft.api.VectorSearch.lshNearDupsAuto(
+          Tables(spark, dir).embeddings, "vec_id", "embedding", 0.4)
+        assert(planes == graft.operators.VectorKit.LshPlanes,
+          s"at oracle scale the derived plane count must match the pinned config, got $planes")
+        pairs.select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+          col("bucket"), col("cosine"))
+      },
+    ),
+    Q(
       "q193_hard_negatives",
       "Hard-negative mining for contrastive training (the ANCE/DPR " +
         "data-prep step): for each of 10 anchors, the top-5 most-" +
