@@ -52,12 +52,23 @@ object ChangeFeedStream {
         n.stripPrefix("cur-").stripSuffix(".json").toLong }
       .maxOption
 
-  private def advanceCursor(stateDir: String, v: Long): Unit =
+  private def advanceCursor(stateDir: String, v: Long): Unit = {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(stateDir, f"cur-$v%012d.json"),
       s"""{"version":$v}""".getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE_NEW): Unit
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    // retire superseded markers (keep the newest two: the new head and
+    // one predecessor, so a torn delete can never leave zero markers) —
+    // a year of minutely polls must not mean half a million tiny files
+    Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case n if n.startsWith("cur-") && n.endsWith(".json") =>
+        n.stripPrefix("cur-").stripSuffix(".json").toLong }
+      .sorted.dropRight(2)
+      .foreach(old => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(stateDir, f"cur-$old%012d.json")): Unit)
+  }
 
   /** Drain everything committed past the cursor: hand the feed rows
     * (with `_change` in {insert, delete}) plus the (from, to] range to

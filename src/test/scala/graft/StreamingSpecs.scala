@@ -178,6 +178,11 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(calls.last._1 == Set((13L, "insert")),
       s"maintenance-only commits contribute no rows; got ${calls.last._1}")
     assert(ChangeFeedStream.poll(spark, dir, state, sink).isEmpty, "drained")
+    // marker retirement: a long poll history keeps at most two cursor
+    // files on disk, and the surviving max is still the cursor
+    val markers = new java.io.File(state).list().count(_.startsWith("cur-"))
+    assert(markers <= 2, s"superseded cursor markers must retire, found $markers")
+    assert(ChangeFeedStream.cursor(state).contains(ManifestTable.latestVersion(dir).get))
   }
 }
 
