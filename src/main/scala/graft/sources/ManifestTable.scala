@@ -1130,11 +1130,19 @@ object ManifestTable {
   private def morJoin(
       spark: SparkSession, m: Manifest, base: DataFrame,
       paths: Seq[String], joinType: String): DataFrame = {
-    def seqDf(rows: Seq[(String, Long)], nameCol: String, seqCol: String) =
+    // seq maps are LOCAL relations with real size stats, and their
+    // joins carry explicit broadcast hints: they are O(files) /
+    // O(delete files) metadata rows at ANY table size. An RDD-backed
+    // frame here would report UNKNOWN (≈infinite) size and flip the
+    // planner into broadcasting the FACT side of the __bname join — a
+    // plan that works at spec scale and broadcasts the whole table at
+    // 100 TB (caught by a plan audit of this very join).
+    def seqDf(rows: Seq[(String, Long)], nameCol: String, seqCol: String) = {
+      import scala.jdk.CollectionConverters._
       spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          rows.map { case (n, s) => org.apache.spark.sql.Row(n, s) }, 1),
+        rows.map { case (n, s) => org.apache.spark.sql.Row(n, s) }.asJava,
         StructType(Seq(StructField(nameCol, StringType), StructField(seqCol, LongType))))
+    }
     val schema = DataFrameSchema.fromJson(m.schemaJson)
     val keySchema = StructType(m.deleteKeys.map(k => schema(k)))
     val fileNameExpr = element_at(split(input_file_name(), "/"), -1)
@@ -1144,9 +1152,9 @@ object ManifestTable {
     val dSeq = seqDf(m.deleteFiles.map(d => fileBasename(d.path) -> d.seq), "__dname", "__dseq")
     val dels = spark.read.schema(keySchema).parquet(m.deleteFiles.map(_.path): _*)
       .withColumn("__dname", fileNameExpr)
-      .join(dSeq, "__dname")
+      .join(broadcast(dSeq), "__dname")
       .select((m.deleteKeys.map(k => col(k).as(s"__d_$k")) :+ col("__dseq")): _*)
-    val withSeq = base.join(fSeq, col("__bname") === col("__fname"))
+    val withSeq = base.join(broadcast(fSeq), col("__bname") === col("__fname"))
     val cond = m.deleteKeys.map(k => withSeq(k) === dels(s"__d_$k")).reduce(_ && _) &&
       dels("__dseq") > withSeq("__fseq")
     withSeq.join(dels, cond, joinType)

@@ -802,6 +802,28 @@ class ManifestTableSpec extends SparkSpec {
         audit = b => b.select(count(lit(1)).cast("long").as("n_violations")).filter(lit(false))))
   }
 
+  test("applied reads never shuffle the fact side: tombstone joins broadcast the metadata sides") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 1000).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      .repartitionByRange(4, $"k"), dir, Seq("k"))
+    ManifestTable.deleteWhere(spark, dir, $"v" > 990.0)
+    ManifestTable.deleteByKey(Seq(5L).toDF("k"), dir, Seq("k"))
+    val snap = ManifestTable.snapshot(spark, dir)
+    assert(snap.count() == 989)
+    // at 100 TB the fact side must stream ONCE through broadcast joins
+    // of the metadata-sized seq maps and tombstones — an RDD-backed seq
+    // frame once reported unknown (infinite) size here and flipped the
+    // planner into broadcasting the FACT side / sort-merging the anti
+    // join (caught by a plan audit; this spec keeps it caught)
+    val shuffles = snap.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"applied read must not shuffle:\n${snap.queryExecution.executedPlan}")
+    val planStr = snap.queryExecution.executedPlan.toString
+    assert(!planStr.contains("SortMergeJoin"), "tombstone joins must broadcast at this scale")
+  }
+
   test("tags: immutable named refs resolve, survive expiry, and refuse silent re-pointing") {
     val dir = freshDir()
     ManifestTable.commit((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
