@@ -42,7 +42,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * with a pointer at the applied-read entry points, because a bare
   * parquet scan cannot express the sequence-scoped anti join.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catName: String = "graft"
 
@@ -86,6 +86,16 @@ class GraftCatalog extends TableCatalog {
               s"a tag of $ident (tags: ${ManifestTable.tags(dirOf(ident)).keys.mkString(", ")})"))
       }))
 
+  /** `TIMESTAMP AS OF <t>` — Spark hands the literal as epoch micros;
+    * resolution is the monotonized commit-clock scan
+    * ([[ManifestTable.versionAt]]).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    if (ManifestTable.latestVersion(dir).isEmpty) throw new NoSuchTableException(ident)
+    load(ident, Some(ManifestTable.versionAt(dir, timestampMicros)))
+  }
+
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
     val dir = dirOf(ident)
     if (ManifestTable.latestVersion(dir).isEmpty) throw new NoSuchTableException(ident)
@@ -104,6 +114,38 @@ class GraftCatalog extends TableCatalog {
       s"$op: the graft catalog is read-only — write through the transactional " +
         "API (ManifestTable.commit/merge/delete/commitAudited), which carries " +
         "the txn/audit surface a SQL DML statement would bypass")
+
+  // ---- namespaces: directories under the warehouse that are not
+  // themselves manifest tables (SHOW NAMESPACES / USE support)
+  private def isTable(d: java.io.File) = new java.io.File(d, "_manifests").isDirectory
+
+  override def listNamespaces(): Array[Array[String]] =
+    Option(new java.io.File(warehouse).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !isTable(d))
+      .map(d => Array(d.getName))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val base = namespace.foldLeft(warehouse)((a, b) => s"$a/$b")
+    Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !isTable(d))
+      .map(d => namespace :+ d.getName)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    val base = namespace.foldLeft(warehouse)((a, b) => s"$a/$b")
+    if (!new java.io.File(base).isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        catName +: namespace.toSeq)
+    java.util.Map.of("location", base)
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: java.util.Map[String, String]): Unit =
+    readOnly("CREATE NAMESPACE")
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    readOnly("ALTER NAMESPACE")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    readOnly("DROP NAMESPACE")
 
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],

@@ -104,7 +104,13 @@ object ManifestTable {
       files: Seq[FileEntry],
       deleteKeys: Seq[String] = Nil,
       deleteFiles: Seq[DeleteEntry] = Nil,
-      posDeleteFiles: Seq[DeleteEntry] = Nil) {
+      posDeleteFiles: Seq[DeleteEntry] = Nil,
+      /** Wall-clock commit time in epoch micros, stamped at head
+        * install (provenance for `TIMESTAMP AS OF`; never
+        * result-bearing). None on legacy heads — resolution falls back
+        * to the head file's mtime.
+        */
+      commitTsMicros: Option[Long] = None) {
     def hasMorDeletes: Boolean = deleteFiles.nonEmpty || posDeleteFiles.nonEmpty
   }
 
@@ -1386,6 +1392,32 @@ object ManifestTable {
         n.stripPrefix("ref-").stripSuffix(".json") }
       .flatMap(n => resolveTag(dir, n).map(n -> _)).toMap
 
+  /** The newest version committed at or before `micros` (epoch
+    * microseconds) — the resolution behind SQL `TIMESTAMP AS OF`.
+    * Commit times are the heads' stamped wall clocks (legacy heads
+    * fall back to file mtime) MONOTONIZED over the version order, so
+    * a clock regression between commits can never make time travel
+    * non-monotonic (Delta applies the same clamp). Fails loudly when
+    * `micros` predates the first retained commit.
+    */
+  def versionAt(dir: String, micros: Long): Long = {
+    val vs = versions(dir).sorted
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    var best = -1L
+    var running = Long.MinValue
+    vs.foreach { v =>
+      val ts = manifest(dir, Some(v)).commitTsMicros.getOrElse {
+        java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(dir, "_manifests", manifestName(v))).toMillis * 1000L
+      }
+      running = math.max(running, ts)
+      if (running <= micros) best = v
+    }
+    require(best >= 0,
+      s"TIMESTAMP AS OF $micros predates the first retained commit of $dir")
+    best
+  }
+
   def versions(dir: String): Seq[Long] =
     Option(new java.io.File(dir, "_manifests").listFiles()).getOrElse(Array.empty)
       .map(_.getName).filter(n => n.startsWith("m-") && n.endsWith(".json"))
@@ -1428,6 +1460,7 @@ object ManifestTable {
       ("path" -> d.path) ~ ("rows" -> d.rows) ~ ("seq" -> d.seq))
     JsonMethods.compact(JsonMethods.render(
       ("version" -> m.version) ~ ("parent" -> m.parent) ~ ("txn" -> m.txn) ~
+        ("ts" -> System.currentTimeMillis() * 1000L) ~
         ("schema" -> m.schemaJson) ~ ("track" -> m.track) ~
         ("segments" -> segNames) ~
         ("deleteKeys" -> m.deleteKeys) ~ ("deleteFiles" -> delJson(m.deleteFiles)) ~
@@ -1511,7 +1544,8 @@ object ManifestTable {
       files,
       (j \ "deleteKeys").extractOpt[Seq[String]].getOrElse(Nil),
       delEntries(j \ "deleteFiles"),
-      delEntries(j \ "posDeleteFiles"))
+      delEntries(j \ "posDeleteFiles"),
+      (j \ "ts").extractOpt[Long])
   }
 
   private def delEntries(j: org.json4s.JValue): Seq[DeleteEntry] = {

@@ -70,6 +70,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("neither a numeric snapshot version nor a tag"))
   }
 
+  test("TIMESTAMP AS OF resolves monotonized commit clocks; SHOW NAMESPACES lists warehouse dirs") {
+    val dir = mkTable("lake", "ts_travel")
+    Thread.sleep(1100)
+    val mid = java.time.format.DateTimeFormatter
+      .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    Thread.sleep(1100)
+    ManifestTable.commit(Seq((3000L, 0L, "x")).toDF("id", "k", "cat"), dir, Seq("id"))
+    assert(spark.sql(s"SELECT count(*) FROM graft.lake.ts_travel TIMESTAMP AS OF '$mid'")
+      .head().getLong(0) == 1000, "mid-history timestamp must resolve to v1")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.ts_travel").head().getLong(0) == 1001)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft.lake.ts_travel TIMESTAMP AS OF '1999-01-01 00:00:00'")
+        .collect())
+    assert(e.getMessage.contains("predates"))
+    // namespaces: the lake dir lists; tables do not appear as namespaces
+    val ns = spark.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0)).toSet
+    assert(ns.contains("lake"), s"got $ns")
+    val e2 = intercept[Exception](
+      spark.sql("CREATE NAMESPACE graft.newns").collect())
+    assert(e2.getMessage.contains("read-only"))
+  }
+
   test("range predicates prune files inside the V2 scan; result bit-identical") {
     mkTable("lake", "pruned")
     val q = spark.sql("SELECT id, cat FROM graft.lake.pruned WHERE id BETWEEN 100 AND 199")
