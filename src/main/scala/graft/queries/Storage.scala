@@ -153,6 +153,7 @@ object Storage {
       val split = lit("2024-01-20 00:00:00").cast("timestamp")
       ManifestTable.commit(
         ev.filter(col("ts") < split).repartitionByRange(10, col("ts")), p, track = Seq("ts"))
+      Thread.sleep(3) // distinct commit clocks so q209's TIMESTAMP AS OF can separate v1/v2
       ManifestTable.commit(
         ev.filter(col("ts") >= split).repartitionByRange(6, col("ts")), p, track = Seq("ts")): Unit
     }
@@ -812,6 +813,44 @@ object Storage {
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
               .cast("double").as("sum_value"))
+      },
+    ),
+    Q(
+      "q209_ts_travel",
+      "SQL `TIMESTAMP AS OF` through the catalog: manifest heads stamp " +
+        "their commit wall clock (provenance-only epoch micros; legacy " +
+        "heads fall back to file mtime), and resolution monotonizes the " +
+        "clocks over version order (Delta's clamp) so a clock " +
+        "regression can never make time travel non-monotonic. The " +
+        "query derives the v1 commit instant FROM THE TABLE'S OWN " +
+        "METADATA and asks for that moment — which must resolve to " +
+        "exactly the v1 snapshot the oracle reconstructs from the " +
+        "commit-split predicate. Same contract as q202's VERSION AS OF " +
+        "with the analyst-friendlier spelling.",
+      Some(s"""
+        SELECT event_type, count(*) AS n, $d30_2 AS sum_value
+        FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        val wh = catalogWarehouse(spark, dir)
+        spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        // 1ms before v2's stamped clock: >= v1's stamp (the fixture
+        // guarantees a >=3ms gap), strictly before v2 — resolves to v1
+        val target = ManifestTable.manifest(s"$wh/lake/events", Some(2L))
+          .commitTsMicros.getOrElse(
+            throw new IllegalStateException("fresh commits must stamp a clock")) - 1000L
+        val lit = java.time.format.DateTimeFormatter
+          .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS").withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochSecond(
+            target / 1000000L, (target % 1000000L) * 1000L))
+        spark.sql(s"""
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+          FROM graft.lake.events TIMESTAMP AS OF '$lit'
+          GROUP BY event_type
+        """)
       },
     ),
     Q(
