@@ -32,6 +32,10 @@ object GraftFunctions {
     // planning-time file skipping over manifest-tracked tables — see
     // graft.plans.ManifestSkipping (conf-gated, fall-back-safe)
     ext.injectOptimizerRule(graft.plans.ManifestSkipping.apply)
+    // merge-on-read delete application for DSv2 catalog reads — see
+    // graft.plans.MorApplyRewrite (tables without pending tombstones
+    // never match; the V2 scan fast path is untouched)
+    ext.injectResolutionRule(graft.plans.MorApplyRewrite.apply)
     // the sort-merge AS-OF JOIN physical operator — see graft.plans.AsofJoin
     ext.injectPlannerStrategy(graft.plans.AsofJoinStrategy.apply)
     ext.injectFunction((

@@ -46,8 +46,10 @@ object PageRank {
     * Returns (node, pr_scaled): one row per distinct endpoint;
     * `pr_scaled` is the rank in EFFECTIVE-scale-ths — the requested
     * `scale` self-capped to the largest power of 10 that cannot
-    * overflow a 64-bit sum at this graph's node count (see the guard
-    * below; the cap never binds at oracle-gated sizes). Self-loops and
+    * overflow a 64-bit sum at this graph's node count
+    * ([[effectiveScale]]; the cap never binds at oracle-gated sizes).
+    * The effective scale is stamped on the `pr_scaled` column as
+    * metadata ([[scaleOf]] reads it back). Self-loops and
     * null endpoints are dropped; parallel edges collapse (unweighted
     * graph).
     */
@@ -83,11 +85,7 @@ object PageRank {
     // the cap (every oracle-gated size) it equals the requested scale.
     val nNodes = nodes.count()
     require(nNodes > 0, "empty graph: no non-loop edges")
-    val cap = Long.MaxValue / nNodes / (dampNum + 1)
-    require(cap >= 1000000L,
-      s"graph too large for exact 64-bit ranks even at scale 1e6: $nNodes nodes")
-    var eff = 1L
-    while (eff * 10 <= math.min(scale, cap)) eff *= 10
+    val eff = effectiveScale(nNodes, scale, dampNum)
     val base = (eff * (dampDen - dampNum)) / dampDen
     var ranks = nodes.withColumn("rank", lit(eff))
     for (i <- 1 to iters) {
@@ -104,6 +102,47 @@ object PageRank {
       // short runs (the common 5-20) run as ONE job over the loop.
       if (i % 8 == 0 && i < iters) ranks = Lineage.pin(ranks)
     }
-    ranks.select(col("node"), col("rank").as("pr_scaled"))
+    // the effective scale rides the result as column metadata: a caller
+    // dividing pr_scaled without it would reconstruct ranks off by
+    // powers of 10 whenever the overflow cap bound (or a non-power-of-10
+    // request rounded down) — scaleOf reads it back without re-deriving
+    // the cap formula
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(ScaleMetadataKey, eff).build()
+    ranks.select(col("node"), col("rank").as("pr_scaled", md))
+  }
+
+  /** Metadata key under which [[runInt]] records the effective scale on
+    * the `pr_scaled` column.
+    */
+  val ScaleMetadataKey = "graft.pagerank.scale"
+
+  /** The scale [[runInt]] actually uses for a graph of `nNodes` nodes:
+    * the largest power of 10 that is <= the requested `scale` AND cannot
+    * overflow a 64-bit sum at this node count (star-graph worst case —
+    * one node receiving the whole graph's rank mass, times dampNum
+    * before the divide). Deterministic in (nNodes, scale, dampNum), so
+    * callers can size requests up front; below the cap (every
+    * oracle-gated size) it equals the requested scale rounded down to a
+    * power of 10.
+    */
+  def effectiveScale(nNodes: Long, scale: Long = 1000000000000L, dampNum: Long = 85L): Long = {
+    require(nNodes > 0 && scale > 0 && dampNum > 0, s"need positive args: $nNodes, $scale, $dampNum")
+    val cap = Long.MaxValue / nNodes / (dampNum + 1)
+    require(cap >= 1000000L,
+      s"graph too large for exact 64-bit ranks even at scale 1e6: $nNodes nodes")
+    var eff = 1L
+    while (eff * 10 <= math.min(scale, cap)) eff *= 10
+    eff
+  }
+
+  /** Read the effective scale [[runInt]] stamped on a result — the
+    * divisor that converts `pr_scaled` back to ~1.0-normalized ranks.
+    */
+  def scaleOf(ranks: DataFrame): Long = {
+    val md = ranks.schema("pr_scaled").metadata
+    require(md.contains(ScaleMetadataKey),
+      "frame carries no pagerank scale metadata (not a runInt result, or reshaped)")
+    md.getLong(ScaleMetadataKey)
   }
 }

@@ -1,0 +1,62 @@
+package graft.plans
+
+import graft.sources.{GraftLakeTable, ManifestTable}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Merge-on-read delete application for the DSv2 catalog path — the
+  * missing half of [[graft.sources.GraftCatalog]]'s read surface: a
+  * bare V2 parquet scan cannot express the sequence-scoped anti joins
+  * pending equality/positional tombstones require, so (pre-r13) the
+  * catalog refused such tables outright and pointed at the API reads.
+  * This analyzer rule closes that gap the way Iceberg's Spark
+  * integration does (its scans plan delete-file application into the
+  * read): a [[DataSourceV2Relation]] whose resolved snapshot carries
+  * pending tombstones is rewritten, AT RESOLUTION TIME, into the same
+  * applied-read logical plan [[ManifestTable.snapshot]] builds —
+  * positional tombstones anti-joined on (file, row-index), equality
+  * tombstones through the sequence-scoped key join — re-aliased to the
+  * relation's own output attributes so downstream references bind
+  * unchanged.
+  *
+  * `SELECT ... FROM graft.lake.t` (and `VERSION/TIMESTAMP AS OF`) is
+  * then bit-identical to the applied snapshot with NO caller-side
+  * ceremony, and one retraction stream no longer forces
+  * materializeDeletes before every SQL read.
+  *
+  * Scale shape: the rewrite itself is O(1) plan surgery per relation;
+  * the resulting plan is the applied read's — tombstone side of the
+  * joins is O(deleted keys) and explicitly broadcast, data side stays
+  * a parquet scan that Catalyst still pushes filters/column pruning
+  * into (predicates on data columns migrate through the anti joins'
+  * left side). Tables WITHOUT pending tombstones never match, keeping
+  * the envelope+Bloom-pruned fast path of the V2 scan builder.
+  *
+  * Registered via `SparkSessionExtensions.injectResolutionRule`
+  * (Engine.session). A session that configures the catalog WITHOUT the
+  * extensions fails loudly at planning instead of returning
+  * un-applied rows — [[GraftLakeTable.newScanBuilder]] refuses
+  * tombstone-carrying snapshots, which after this rule is unreachable
+  * except in exactly that misconfiguration.
+  */
+case class MorApplyRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case r: DataSourceV2Relation =>
+      r.table match {
+        case t: GraftLakeTable if t.m.hasMorDeletes =>
+          val applied = ManifestTable.snapshot(spark, t.dir, Some(t.m.version))
+          val child = applied.queryExecution.analyzed
+          val byName = child.output.map(a => a.name -> a).toMap
+          // keep the relation's exprIds: every downstream reference
+          // resolved against the V2 relation's output must still bind
+          Project(
+            r.output.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)),
+            child)
+        case _ => r
+      }
+  }
+}

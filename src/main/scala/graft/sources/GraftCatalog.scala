@@ -38,9 +38,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * hands the executor a pre-pruned file list — the Iceberg/Delta
   * catalog contract. Reads only (the write path is the transactional
   * commit API: `commit`/`merge`/`delete`/WAP — a SQL INSERT would
-  * bypass the audit/txn surface); pending merge-on-read deletes refuse
-  * with a pointer at the applied-read entry points, because a bare
-  * parquet scan cannot express the sequence-scoped anti join.
+  * bypass the audit/txn surface). Pending merge-on-read deletes read
+  * correctly through the injected [[graft.plans.MorApplyRewrite]]
+  * resolution rule (the applied-read anti joins replace the bare scan
+  * before planning); only a session missing the engine's extensions
+  * refuses such tables, loudly, at planning time.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -99,11 +101,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
     val dir = dirOf(ident)
     if (ManifestTable.latestVersion(dir).isEmpty) throw new NoSuchTableException(ident)
-    val m = ManifestTable.manifest(dir, asOf)
-    require(!m.hasMorDeletes,
-      s"catalog table $ident has pending merge-on-read deletes a bare scan cannot apply; " +
-        "read via ManifestTable.snapshot/createView (applied) or run materializeDeletes")
-    GraftLakeTable(ident.toString, dir, m)
+    // pending merge-on-read deletes are fine here: the injected
+    // resolution rule (graft.plans.MorApplyRewrite) replaces the V2
+    // relation with the applied-read plan before planning; a session
+    // WITHOUT the extensions fails loudly in newScanBuilder instead of
+    // returning un-applied rows
+    GraftLakeTable(ident.toString, dir, ManifestTable.manifest(dir, asOf))
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -172,8 +175,17 @@ final case class GraftLakeTable(
     java.util.Map.of("provider", "graft-manifest", "location", dir,
       "version", m.version.toString)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // unreachable when graft.plans.MorApplyRewrite is injected (it
+    // rewrites tombstone-carrying relations before planning); a foreign
+    // session that configured the catalog without the engine's
+    // extensions must fail loudly here rather than scan un-applied rows
+    require(!m.hasMorDeletes,
+      s"catalog table $tableName has pending merge-on-read deletes a bare V2 scan " +
+        "cannot apply; build the session with graft's extensions (Engine.session / " +
+        "GraftFunctions.register) or read via ManifestTable.snapshot/createView")
     new GraftLakeScanBuilder(SparkSession.active, dir, m, options)
+  }
 }
 
 /** Scan builder: Catalyst filters push down here FIRST (planning-time

@@ -260,8 +260,15 @@ object ManifestTable {
     catch {
       case e: IllegalArgumentException
           if e.getMessage != null && e.getMessage.contains("REMOVED merge-on-read") =>
-        val a = snapshot(spark, dir, Some(fromV))
-        val b = snapshot(spark, dir, Some(toV))
+        // the from side reads through toV's schema, mirroring changes():
+        // a range that crosses BOTH a tombstone-removing boundary and an
+        // additive schema change would otherwise fail the EXCEPT ALL on
+        // column count (additive evolution fills pre-existence columns
+        // with NULL on the older files)
+        val mB = manifest(dir, Some(toV))
+        val mA = manifest(dir, Some(fromV)).copy(schemaJson = mB.schemaJson)
+        val a = appliedRead(spark, mA, mA.files.map(_.path))
+        val b = appliedRead(spark, mB, mB.files.map(_.path))
         b.exceptAll(a).withColumn("_change", lit("insert"))
           .unionByName(a.exceptAll(b).withColumn("_change", lit("delete")))
     }
@@ -982,7 +989,14 @@ object ManifestTable {
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         java.nio.file.Files.deleteIfExists(tmp)
-        freshSeg.foreach(java.nio.file.Files.deleteIfExists(_): Unit)
+        // the fresh segment is referenced only by OUR failed head: delete
+        // the file AND its cache entry (writeSegments populated it
+        // eagerly) — under sustained contention a stale entry per lost
+        // race would otherwise accumulate for files that no longer exist
+        freshSeg.foreach { p =>
+          java.nio.file.Files.deleteIfExists(p)
+          segCache.remove((dir, p.getFileName.toString)): Unit
+        }
         -1L
     }
   }
@@ -1246,7 +1260,11 @@ object ManifestTable {
     // a tag IS the promise the snapshot stays readable — tagged
     // versions survive expiry until the tag is dropped
     val tagged = tags(dir).values.toSet
-    val drop = vs.dropRight(keepLast).filterNot(tagged)
+    // a registered cursor pin is an incremental consumer's base: every
+    // version >= the oldest pin stays, so a lagging consumer's next
+    // bounded change feed is always computable (drop the pin to release)
+    val minPin = cursorPins(dir).values.minOption.getOrElse(Long.MaxValue)
+    val drop = vs.dropRight(keepLast).filterNot(tagged).filter(_ < minPin)
     if (drop.isEmpty) return
     val dropped = drop.map(v => manifest(dir, Some(v)))
     val droppedSegs = drop.flatMap(v => segComposition(dir, v).map(_._1)).toSet
@@ -1391,6 +1409,58 @@ object ManifestTable {
       .collect { case n if n.startsWith("ref-") && n.endsWith(".json") =>
         n.stripPrefix("ref-").stripSuffix(".json") }
       .flatMap(n => resolveTag(dir, n).map(n -> _)).toMap
+
+  /** Register (or advance) a named CURSOR PIN at `version` — the
+    * movable sibling of a [[tag]], playing the role Iceberg branch
+    * retention / Delta's CDF retention window play for incremental
+    * consumers: [[expireSnapshots]] retains every version >= the oldest
+    * registered pin, so a lagging [[graft.streaming.ChangeFeedStream]]
+    * consumer's base snapshot is never expired out from under it and
+    * its bounded change feed stays computable. Monotonic (max wins) and
+    * torn-write-safe by the same create-if-absent marker scheme the
+    * stream's own cursor files use; a consumer that unsubscribes drops
+    * its pin ([[dropCursorPin]]) so retention can move again.
+    */
+  def pinCursor(dir: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"cursor pin names are [A-Za-z0-9_-]+: '$name'")
+    require(version >= 0, s"cursor pin version must be >= 0: $version")
+    new java.io.File(dir, "_manifests").mkdirs()
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_manifests", f"pin-$name-$version%012d.json"),
+      s"""{"name":"$name","version":$version}""".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    // retire superseded markers (keep the newest two so a torn delete
+    // can never leave zero markers for a still-registered consumer)
+    pinVersions(dir, name).sorted.dropRight(2).foreach(old =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "_manifests", f"pin-$name-$old%012d.json")): Unit)
+  }
+
+  /** Every registered cursor pin, resolved to its newest marker. */
+  def cursorPins(dir: String): Map[String, Long] =
+    Option(new java.io.File(dir, "_manifests").listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case n if n.startsWith("pin-") && n.endsWith(".json") =>
+        val body = n.stripPrefix("pin-").stripSuffix(".json")
+        val cut = body.lastIndexOf('-')
+        body.substring(0, cut) -> body.substring(cut + 1).toLong }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+
+  private def pinVersions(dir: String, name: String): Seq[Long] =
+    Option(new java.io.File(dir, "_manifests").listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case n if n.startsWith(s"pin-$name-") && n.endsWith(".json") =>
+        n.stripPrefix(s"pin-$name-").stripSuffix(".json").toLong }.toSeq
+
+  /** Unregister a consumer's pin (all its markers); retention moves on. */
+  def dropCursorPin(dir: String, name: String): Boolean = {
+    val vs = pinVersions(dir, name)
+    vs.foreach(v => java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "_manifests", f"pin-$name-$v%012d.json")): Unit)
+    vs.nonEmpty
+  }
 
   /** The newest version committed at or before `micros` (epoch
     * microseconds) — the resolution behind SQL `TIMESTAMP AS OF`.

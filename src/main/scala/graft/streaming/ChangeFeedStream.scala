@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.sources.ManifestTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Incremental CHANGE-FEED consumer for a [[ManifestTable]] — the
@@ -29,12 +30,28 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    [[ManifestTable.netChanges]]' full applied-snapshot diff — the
   *    cursor never wedges at a maintenance window; the fallback is
   *    table-sized work reserved for exactly those rare crossings.
+  *  - RETENTION cannot wedge the cursor either: every poll registers
+  *    a table-side CURSOR PIN ([[ManifestTable.pinCursor]]) at its
+  *    base version, which [[ManifestTable.expireSnapshots]] respects —
+  *    a lagging consumer's base snapshot stays retained until it
+  *    drains (the Iceberg-branch-retention role). If the base was
+  *    nonetheless expired (a pre-pin legacy cursor, or an operator
+  *    dropped the pin), the poll RE-BASELINES instead of throwing:
+  *    the sink receives the FULL head snapshot as `_change = 'insert'`
+  *    rows with `from = `[[Rebaseline]] — a sentinel the sink MUST
+  *    check, resetting its downstream state before folding, because a
+  *    re-baseline is a replacement, not a delta.
   *
   * Scale shape: a poll is O(commits drained) metadata + the touched
   * files of those commits; an idle poll (cursor == head) is ONE head
   * resolution, no jobs.
   */
 object ChangeFeedStream {
+
+  /** `from` value of a re-baseline delivery: the frame is the full head
+    * snapshot as inserts, not a delta — the sink resets its state first.
+    */
+  val Rebaseline: Long = -1L
 
   /** Initialize the cursor at `fromVersion` (consumption starts with
     * the NEXT commit). No-op if a cursor already exists — replaying a
@@ -43,6 +60,25 @@ object ChangeFeedStream {
   def init(stateDir: String, fromVersion: Long): Unit = {
     new java.io.File(stateDir).mkdirs()
     if (cursor(stateDir).isEmpty) advanceCursor(stateDir, fromVersion)
+  }
+
+  /** [[init]] that ALSO registers the table-side retention pin up
+    * front, closing the init-to-first-poll window in which a
+    * maintenance run could expire the base version.
+    */
+  def init(dir: String, stateDir: String, fromVersion: Long): Unit = {
+    init(stateDir, fromVersion)
+    ManifestTable.pinCursor(dir, pinName(stateDir), cursor(stateDir).getOrElse(fromVersion))
+  }
+
+  /** Stable per-consumer pin name derived from the cursor's state
+    * directory (the consumer's identity).
+    */
+  def pinName(stateDir: String): String = {
+    val canonical = new java.io.File(stateDir).getAbsolutePath
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(canonical.getBytes("UTF-8"))
+    "cdf-" + digest.take(6).map(b => f"$b%02x").mkString
   }
 
   def cursor(stateDir: String): Option[Long] =
@@ -74,6 +110,15 @@ object ChangeFeedStream {
     * (with `_change` in {insert, delete}) plus the (from, to] range to
     * `sink`, then advance. Returns the drained range, or None when the
     * cursor is already at the head (idle poll: one metadata read).
+    *
+    * Every call (idle ones included) refreshes the table-side retention
+    * pin, so even a consumer initialized through the legacy
+    * `init(stateDir, from)` self-registers on its first poll. If the
+    * base version was expired anyway, the delivery is a RE-BASELINE:
+    * `sink(full head snapshot as inserts, Rebaseline, head)` — at-least-
+    * once still holds (crash before advance re-delivers the baseline),
+    * and the sink's [[Rebaseline]] check makes it state-reset-then-fold
+    * rather than double-count.
     */
   def poll(
       spark: SparkSession, dir: String, stateDir: String,
@@ -81,10 +126,26 @@ object ChangeFeedStream {
     val from = cursor(stateDir).getOrElse(
       throw new IllegalStateException(s"no cursor under $stateDir — call init first"))
     val head = ManifestTable.latestVersion(dir).getOrElse(return None)
-    if (head <= from) return None
-    sink(ManifestTable.netChanges(spark, dir, from, head), from, head)
+    if (head <= from) {
+      // idle poll: still (re-)register the pin so retention can never
+      // outrun this consumer — one tiny create-if-absent marker
+      ManifestTable.pinCursor(dir, pinName(stateDir), from)
+      return None
+    }
+    val (feed, effFrom) =
+      if (ManifestTable.versions(dir).contains(from))
+        (ManifestTable.netChanges(spark, dir, from, head), from)
+      else
+        // the base version is gone (expired before this consumer was
+        // pinned): net changes from an unknown base are uncomputable,
+        // so deliver the whole head snapshot as inserts, flagged by the
+        // Rebaseline sentinel — recoverable, documented, loud in range
+        (ManifestTable.snapshot(spark, dir, Some(head))
+          .withColumn("_change", lit("insert")), Rebaseline)
+    sink(feed, effFrom, head)
     advanceCursor(stateDir, head)
-    Some((from, head))
+    ManifestTable.pinCursor(dir, pinName(stateDir), head)
+    Some((effFrom, head))
   }
 
   /** Continuous deployment: poll on a trigger cadence (a 1-row rate

@@ -132,7 +132,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(q.collect().map(_.getString(0)).toSeq == Seq(s"s${42 % 13}"))
   }
 
-  test("catalog surface: listTables, missing tables, read-only DML, MoR refusal") {
+  test("catalog surface: listTables, missing tables, read-only DML") {
     mkTable("lake", "listed")
     val names = spark.sql("SHOW TABLES IN graft.lake").collect().map(_.getString(1)).toSet
     assert(names.contains("listed"))
@@ -141,12 +141,35 @@ class GraftCatalogSpec extends SparkSpec {
     val ro = intercept[Exception](
       spark.sql("CREATE TABLE graft.lake.newt (x INT) USING parquet").collect())
     assert(ro.getMessage.contains("read-only"))
-    // pending MoR deletes refuse with a pointer at the applied readers
+  }
+
+  test("pending MoR deletes APPLY through catalog SQL (MorApplyRewrite), incl. time travel") {
     val dir = mkTable("lake", "mor")
-    ManifestTable.deleteByKey(Seq(1L).toDF("id"), dir, Seq("id"))
-    val e = intercept[Exception](spark.sql("SELECT * FROM graft.lake.mor").collect())
-    assert(e.getMessage.contains("merge-on-read"))
+    // equality tombstones (seq-scoped) + a positional tombstone stack
+    ManifestTable.deleteByKey(Seq(1L, 5L, 900L).toDF("id"), dir, Seq("id"))
+    ManifestTable.deleteWhere(spark, dir, $"id" === 10L)
+    val morV = ManifestTable.latestVersion(dir).get
+    assert(ManifestTable.manifest(dir, None).hasMorDeletes)
+    // bare SQL read == applied snapshot, bit for bit
+    assert(spark.sql("SELECT count(*) FROM graft.lake.mor").head().getLong(0) == 996)
+    val got = spark.sql(
+      "SELECT cat, count(*) AS n, sum(id) AS s FROM graft.lake.mor GROUP BY cat ORDER BY cat")
+      .collect().toSeq
+    val want = ManifestTable.snapshot(spark, dir)
+      .groupBy("cat").agg(count(lit(1)).as("n"), sum("id").as("s"))
+      .orderBy("cat").collect().toSeq
+    assert(got == want)
+    // a re-inserted key is NOT shadowed by the old tombstone through SQL
+    // either (sequence rule holds on the rewritten plan)
+    ManifestTable.commit(Seq((5L, 0L, "back")).toDF("id", "k", "cat"), dir, Seq("id"))
+    assert(spark.sql("SELECT count(*) FROM graft.lake.mor WHERE id = 5").head().getLong(0) == 1)
+    // VERSION AS OF a tombstone-carrying snapshot applies ITS tombstones
+    assert(spark.sql(s"SELECT count(*) FROM graft.lake.mor VERSION AS OF $morV")
+      .head().getLong(0) == 996)
+    // materialization folds the debt; the V2 fast path serves again
     ManifestTable.materializeDeletes(spark, dir)
-    assert(spark.sql("SELECT count(*) FROM graft.lake.mor").head().getLong(0) == 999)
+    val clean = spark.sql("SELECT cat FROM graft.lake.mor WHERE id = 42")
+    assert(scannedFiles(clean).nonEmpty, "clean table must plan through the V2 scan")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.mor").head().getLong(0) == 997)
   }
 }

@@ -131,11 +131,20 @@ class GraphSpecs extends SparkSpec {
     // an overflow-risk requested scale SELF-CAPS to the largest safe
     // power of 10 for this node count (40 nodes -> 1e15) instead of
     // refusing — big graphs keep exact ranks at reduced granularity
-    val capped = PageRank.runInt(df, "s", "d", iters = 1, scale = Long.MaxValue / 10)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cappedDf = PageRank.runInt(df, "s", "d", iters = 1, scale = Long.MaxValue / 10)
+    val capped = cappedDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val direct = PageRank.runInt(df, "s", "d", iters = 1, scale = 1000000000000000L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(capped === direct, "capped scale must equal requesting the safe scale directly")
+    // the EFFECTIVE scale is surfaced, not silently substituted: column
+    // metadata carries it (scaleOf), and effectiveScale is the same
+    // deterministic function callers can size against up front
+    val nNodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong
+    assert(PageRank.scaleOf(cappedDf) == PageRank.effectiveScale(nNodes, Long.MaxValue / 10))
+    assert(PageRank.scaleOf(PageRank.runInt(df, "s", "d", iters = 1)) == 1000000000000L,
+      "below the cap the stamped scale equals the requested power of 10")
+    // a non-power-of-10 request surfaces its rounded-down effective value
+    assert(PageRank.effectiveScale(nNodes, 2500L) == 1000L)
   }
 
   // ---- Graph.triangleCounts ----------------------------------------------

@@ -870,6 +870,54 @@ class ManifestTableSpec extends SparkSpec {
     assert(bounded == Set((3L, "delete"), (7L, "delete"), (21L, "insert")), s"got $bounded")
   }
 
+  test("netChanges fallback reads the from side through toV's schema (evolution + boundary)") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
+    ManifestTable.deleteByKey(Seq(3L, 7L).toDF("k"), dir, Seq("k")) // v2: tombstones pending
+    ManifestTable.materializeDeletes(spark, dir) // v3: tombstones REMOVED
+    // v4: ADDITIVE schema evolution lands after the boundary
+    ManifestTable.commit(Seq((21L, "v21", "x")).toDF("k", "v", "extra"), dir, Seq("k"))
+    val head = ManifestTable.latestVersion(dir).get
+    // the range starts AT the tombstoned version and crosses BOTH the
+    // materialize boundary and the schema change: the bounded feed
+    // refuses, and the fallback must adopt toV's schema for the from
+    // side (old files read `extra` as NULL) instead of failing the
+    // EXCEPT ALL on column count
+    intercept[IllegalArgumentException](ManifestTable.changes(spark, dir, 2L, head))
+    val feed = ManifestTable.netChanges(spark, dir, 2L, head)
+      .select($"k", $"_change", $"extra").as[(Long, String, Option[String])].collect().toSet
+    assert(feed == Set((21L, "insert", Some("x"))), s"got $feed")
+  }
+
+  test("lost commit race evicts the fresh segment from disk AND the segment cache") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
+    val head = ManifestTable.manifest(dir, None)
+    val manifests = new java.io.File(dir, "_manifests")
+    def segsOnDisk() = manifests.list().filter(_.startsWith("seg-")).toSet
+    val before = segsOnDisk()
+    // collide on the SAME version: parent=None forces a fresh segment
+    // (no reuse map), and the install must lose the race
+    val loser = head.copy(parent = None,
+      files = head.files.map(f => f.copy(path = f.path + ".ghost")))
+    assert(ManifestTable.tryInstall(dir, loser) == -1L)
+    assert(segsOnDisk() == before, "the loser's fresh segment file must be deleted")
+    // the eagerly-populated cache entry must go with it — under
+    // sustained contention stale entries would otherwise accumulate
+    val fld = ManifestTable.getClass.getDeclaredFields
+      .find(_.getName.endsWith("segCache")).get
+    fld.setAccessible(true)
+    val cache = fld.get(ManifestTable)
+      .asInstanceOf[java.util.concurrent.ConcurrentHashMap[(String, String), _]]
+    val stale = cache.keySet().iterator()
+    var leaked = List.empty[String]
+    while (stale.hasNext) {
+      val (d, n) = stale.next()
+      if (d == dir && !before(n)) leaked ::= n
+    }
+    assert(leaked.isEmpty, s"lost-race segment entries leaked in segCache: $leaked")
+  }
+
   test("empty-key MoR delete commits nothing and never wedges a later key-spec switch") {
     val dir = freshDir()
     ManifestTable.commit((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))

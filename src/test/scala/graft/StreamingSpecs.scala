@@ -184,6 +184,49 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(markers <= 2, s"superseded cursor markers must retire, found $markers")
     assert(ChangeFeedStream.cursor(state).contains(ManifestTable.latestVersion(dir).get))
   }
+
+  test("retention pins protect a lagging cursor; an expired base re-baselines, never wedges") {
+    val base = tmpDir("cdfpin").toString
+    val dir = s"$base/table"
+    val state = s"$base/cursor"
+    ManifestTable.commit((1 to 6).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), dir, Seq("k"))
+    // pin-registering init: the consumer's base survives aggressive expiry
+    ChangeFeedStream.init(dir, state, ManifestTable.latestVersion(dir).get)
+    assert(ManifestTable.cursorPins(dir).values.toSeq == Seq(1L))
+    (1 to 4).foreach(i =>
+      ManifestTable.commit(Seq((100L + i, i * 1.0)).toDF("k", "v"), dir, Seq("k")))
+    ManifestTable.expireSnapshots(dir, keepLast = 1)
+    assert(ManifestTable.versions(dir).sorted == Seq(1L, 2L, 3L, 4L, 5L),
+      "every version >= the pin must survive keepLast=1 expiry")
+    var calls = Vector.empty[(Set[(Long, String)], Long, Long)]
+    def sink(df: org.apache.spark.sql.DataFrame, from: Long, to: Long): Unit =
+      calls :+= ((df.select($"k", $"_change").as[(Long, String)].collect().toSet, from, to))
+    // lagging drain still runs the BOUNDED feed (base retained)
+    assert(ChangeFeedStream.poll(spark, dir, state, sink).contains((1L, 5L)))
+    assert(calls.last._2 == 1L && calls.last._1 ==
+      (1 to 4).map(i => (100L + i, "insert")).toSet)
+    // pin advanced with the cursor; older versions now expirable
+    assert(ManifestTable.cursorPins(dir).values.toSeq == Seq(5L))
+    // simulate a pre-pin legacy consumer: drop the pin, expire the base
+    ManifestTable.commit(Seq((200L, 2.0)).toDF("k", "v"), dir, Seq("k"))
+    ManifestTable.dropCursorPin(dir, ChangeFeedStream.pinName(state))
+    ManifestTable.expireSnapshots(dir, keepLast = 1)
+    assert(!ManifestTable.versions(dir).contains(5L), "base version expired")
+    calls = Vector.empty
+    // poll RE-BASELINES: full head snapshot as inserts, flagged by sentinel
+    assert(ChangeFeedStream.poll(spark, dir, state, sink)
+      .contains((ChangeFeedStream.Rebaseline, 6L)))
+    val (rows, from, to) = calls.last
+    assert(from == ChangeFeedStream.Rebaseline && to == 6L)
+    assert(rows == ManifestTable.snapshot(spark, dir).select($"k").as[Long]
+      .collect().toSet.map((k: Long) => (k, "insert")), s"got $rows")
+    // cursor advanced and re-pinned: the NEXT poll is a normal bounded delta
+    assert(ManifestTable.cursorPins(dir).values.toSeq == Seq(6L))
+    ManifestTable.commit(Seq((300L, 3.0)).toDF("k", "v"), dir, Seq("k"))
+    calls = Vector.empty
+    assert(ChangeFeedStream.poll(spark, dir, state, sink).contains((6L, 7L)))
+    assert(calls.last._1 == Set((300L, "insert")))
+  }
 }
 
 class StreamingSpecs extends SparkSpec {
