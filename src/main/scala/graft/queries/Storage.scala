@@ -141,6 +141,46 @@ object Storage {
         col("user_id") === 5L && col("event_type") === "purchase"): Unit
     }
 
+  /** events whose history interleaves data commits with a MAINTENANCE
+    * materialization: tombstone three users (v2), land a late
+    * 'returned' row (v3), fold the tombstones (v4 — state-preserving,
+    * removes the delete files the bounded feed keys on), then land a
+    * 'replayed' batch (v5). The fixture behind the STITCHED change
+    * feed: a consumer whose cursor predates the maintenance window.
+    */
+  private def maintainedFeedEvents(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"manifest-events-maintfeed:$dir") { p =>
+      val ev = Tables(spark, dir).events
+      ManifestTable.commit(ev.repartitionByRange(10, col("ts")), p, track = Seq("ts"))
+      ManifestTable.deleteByKey(
+        spark.range(3).select((col("id") + 1).as("user_id")), p, Seq("user_id"))
+      ManifestTable.commit(
+        ev.filter(col("user_id") === 2L).orderBy("event_id").limit(1)
+          .withColumn("event_type", lit("returned")), p, track = Seq("ts"))
+      ManifestTable.materializeDeletes(spark, p)
+      ManifestTable.commit(
+        ev.filter(col("user_id") === 4L)
+          .withColumn("event_id", -col("event_id"))
+          .withColumn("event_type", lit("replayed")), p, track = Seq("ts")): Unit
+    }
+
+  /** A catalog warehouse whose lake/morevents table has PENDING
+    * merge-on-read tombstones (same construction as [[morEvents]]) —
+    * the fixture behind the MorApplyRewrite SQL entry.
+    */
+  private def catalogMorWarehouse(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"catalog-warehouse-mor:$dir") { wh =>
+      val p = s"$wh/lake/morevents"
+      new java.io.File(p).mkdirs()
+      val ev = Tables(spark, dir).events
+      ManifestTable.commit(ev.repartitionByRange(10, col("ts")), p, track = Seq("ts"))
+      ManifestTable.deleteByKey(
+        spark.range(3).select((col("id") + 1).as("user_id")), p, Seq("user_id"))
+      ManifestTable.commit(
+        ev.filter(col("user_id") === 2L).orderBy("event_id").limit(1)
+          .withColumn("event_type", lit("returned")), p, track = Seq("ts")): Unit
+    }
+
   /** A catalog WAREHOUSE containing lake/events as a manifest table
     * (same two-commit Jan-20 split as [[eventsTable]]) — the fixture
     * behind the DSv2 `graft.lake.events` SQL entry.
@@ -851,6 +891,97 @@ object Storage {
           FROM graft.lake.events TIMESTAMP AS OF '$lit'
           GROUP BY event_type
         """)
+      },
+    ),
+    Q(
+      "q210_catalog_mor_sql",
+      "Pending merge-on-read deletes THROUGH plain catalog SQL: the " +
+        "graftmor.lake.morevents table carries live equality tombstones " +
+        "(three users, one re-inserted above the tombstone's sequence) " +
+        "and the user just types SELECT — the injected " +
+        "graft.plans.MorApplyRewrite resolution rule swaps the DSv2 " +
+        "relation for the applied-read plan (positional anti join + " +
+        "sequence-scoped key join) at analysis time, re-aliased onto " +
+        "the relation's own output so downstream references bind " +
+        "unchanged. Same oracle as q196 proves catalog SQL == applied " +
+        "API read, bit for bit, WITHOUT materializeDeletes — so at " +
+        "100 TB a steady retraction stream never forces a maintenance " +
+        "cycle between SQL reads. GraftCatalogSpec pins the rewrite " +
+        "(incl. time travel) and the loud no-extensions refusal.",
+      Some(s"""
+        WITH re AS (
+          SELECT event_id, ts, user_id, 'returned' AS event_type, value, props
+          FROM events WHERE user_id = 2
+          ORDER BY event_id LIMIT 1
+        ),
+        snap AS (
+          SELECT * FROM events WHERE user_id NOT IN (1, 2, 3)
+          UNION ALL SELECT * FROM re
+        )
+        SELECT event_type, count(*) AS n, $d30_2 AS sum_value
+        FROM snap GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        val wh = catalogMorWarehouse(spark, dir)
+        spark.conf.set("spark.sql.catalog.graftmor", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftmor.warehouse", wh)
+        assert(ManifestTable.manifest(s"$wh/lake/morevents", None).hasMorDeletes,
+          "fixture must have PENDING tombstones — the point is reading through them")
+        spark.sql("""
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+          FROM graftmor.lake.morevents
+          GROUP BY event_type
+        """)
+      },
+    ),
+    Q(
+      "q211_maintained_feed",
+      "The change feed STITCHED across a maintenance window: the " +
+        "consumer's cursor (v1) predates a materializeDeletes (v4) that " +
+        "removed the delete files the bounded feed keys on — " +
+        "previously a table-sized applied-snapshot diff. The v4 head's " +
+        "state-preserving `op` marker (applied view == parent's, by " +
+        "construction) lets netChanges split the range AT the boundary, " +
+        "run the file-bounded feed on each side, and fold the pieces " +
+        "with multiset cancellation — reading only the files the REAL " +
+        "commits touched, never the materialize rewrite, never the " +
+        "untouched table. The oracle reconstructs the exact net feed " +
+        "(three users' deletes, the returned row, the replayed batch), " +
+        "so stitch == truth is hash-gated; ManifestTableSpec pins " +
+        "boundedness on inputFiles. At 100 TB: the routine maintenance " +
+        "cadence costs a lagging consumer O(touched files), not a " +
+        "table scan.",
+      Some(s"""
+        WITH del AS (
+          SELECT event_type, 'delete' AS change, value
+          FROM events WHERE user_id IN (1, 2, 3)
+        ),
+        ret AS (
+          SELECT 'returned' AS event_type, 'insert' AS change, value
+          FROM (SELECT value, event_id FROM events WHERE user_id = 2
+                ORDER BY event_id LIMIT 1)
+        ),
+        rep AS (
+          SELECT 'replayed' AS event_type, 'insert' AS change, value
+          FROM events WHERE user_id = 4
+        ),
+        feed AS (
+          SELECT * FROM del UNION ALL SELECT * FROM ret UNION ALL SELECT * FROM rep
+        )
+        SELECT change, event_type, count(*) AS n, $d30_2 AS sum_value
+        FROM feed GROUP BY change, event_type
+      """.trim),
+      (spark, dir) => {
+        val t = maintainedFeedEvents(spark, dir)
+        assert(ManifestTable.manifest(t, Some(4L)).statePreserving,
+          "the materialize commit must carry the state-preserving marker")
+        val head = ManifestTable.latestVersion(t).get
+        ManifestTable.netChanges(spark, t, 1L, head)
+          .groupBy(col("_change").as("change"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+              .cast("double").as("sum_value"))
       },
     ),
     Q(

@@ -110,9 +110,24 @@ object ManifestTable {
         * result-bearing). None on legacy heads — resolution falls back
         * to the head file's mtime.
         */
-      commitTsMicros: Option[Long] = None) {
+      commitTsMicros: Option[Long] = None,
+      /** Operation marker, stamped only by STATE-PRESERVING maintenance
+        * rewrites ("materialize", "compact"): commits whose applied
+        * view is bit-identical to their parent's. The Iceberg
+        * snapshot-summary `operation` field's role here is to let
+        * [[netChanges]] stitch a BOUNDED feed across tombstone-removing
+        * maintenance boundaries instead of falling back to a
+        * table-sized diff — sound exactly because the marked commit
+        * changes no visible row. None on every data-changing commit
+        * (and every legacy head).
+        */
+      op: Option[String] = None) {
     def hasMorDeletes: Boolean = deleteFiles.nonEmpty || posDeleteFiles.nonEmpty
+    /** applied(this) == applied(parent): no visible row changed. */
+    def statePreserving: Boolean = op.exists(StatePreservingOps)
   }
+
+  private val StatePreservingOps = Set("materialize", "compact")
 
   // ---------------------------------------------------------------- commit
 
@@ -154,7 +169,11 @@ object ManifestTable {
     // file is rewritten post-tombstone, and the new manifest clears them
     val df = appliedRead(spark, head, head.files.map(_.path))
     installRewrite(df.repartitionByRange(numFiles, col(clusterBy)),
-      dir, head, head.files.map(_.path).toSet, None, clearDeletes = true)
+      dir, head, head.files.map(_.path).toSet, None, clearDeletes = true,
+      // state-preserving: every file rewrites through the applied view,
+      // so no visible row changes — the marker lets netChanges stitch a
+      // bounded feed across this tombstone-clearing boundary
+      op = Some("compact"))
   }
 
   /** Incremental binpack maintenance: fold only the files smaller than
@@ -244,34 +263,93 @@ object ManifestTable {
       .unionByName(delAll.exceptAll(ins).withColumn("_change", lit("delete")))
   }
 
-  /** [[changes]] whenever the range supports the file-bounded feed,
-    * falling back to a full APPLIED-SNAPSHOT multiset diff when the
-    * range crosses a tombstone-removing boundary (materializeDeletes /
-    * replace / restore) that the bounded feed refuses. The fallback is
-    * always correct — both endpoints read through their applied views,
-    * and the two-way EXCEPT ALL is by definition the net row delta —
-    * but it is TABLE-sized work, which is acceptable exactly because
-    * those boundaries are rare maintenance events, not per-commit
-    * occurrences. Incremental consumers ([[graft.streaming.ChangeFeedStream]])
-    * use this so a maintenance window never wedges the cursor.
+  /** [[changes]] whenever the range supports the file-bounded feed;
+    * when the range crosses a tombstone-removing boundary the bounded
+    * feed refuses, the fallback ladder is:
+    *
+    *  1. STITCH, still bounded: if every such boundary in the range is
+    *     a STATE-PRESERVING maintenance commit (`op` marker:
+    *     materializeDeletes / full compact — applied view identical to
+    *     the parent's), the range splits AT the boundaries, each
+    *     sub-range runs the bounded [[changes]], and the pieces fold
+    *     with multiset cancellation (a row inserted in one piece and
+    *     deleted in a later one nets out). Exact because the boundary
+    *     commits contribute zero visible-row delta by construction —
+    *     so the routine maintenance cadence ([[maintain]]) costs a
+    *     consumer O(touched files of the REAL commits), never a
+    *     table-sized diff.
+    *  2. Full APPLIED-SNAPSHOT multiset diff: for boundaries that
+    *     genuinely rewrite state ([[replace]], [[restore]]) or ranges
+    *     whose interior versions were expired (the boundaries cannot
+    *     be located). Always correct — both endpoints read through
+    *     their applied views, the two-way EXCEPT ALL is by definition
+    *     the net row delta — but TABLE-sized, acceptable exactly
+    *     because those events are rare and deliberate.
+    *
+    * Incremental consumers ([[graft.streaming.ChangeFeedStream]]) use
+    * this so a maintenance window never wedges the cursor.
     */
   def netChanges(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame =
     try changes(spark, dir, fromV, toV)
     catch {
       case e: IllegalArgumentException
           if e.getMessage != null && e.getMessage.contains("REMOVED merge-on-read") =>
-        // the from side reads through toV's schema, mirroring changes():
-        // a range that crosses BOTH a tombstone-removing boundary and an
-        // additive schema change would otherwise fail the EXCEPT ALL on
-        // column count (additive evolution fills pre-existence columns
-        // with NULL on the older files)
-        val mB = manifest(dir, Some(toV))
-        val mA = manifest(dir, Some(fromV)).copy(schemaJson = mB.schemaJson)
-        val a = appliedRead(spark, mA, mA.files.map(_.path))
-        val b = appliedRead(spark, mB, mB.files.map(_.path))
-        b.exceptAll(a).withColumn("_change", lit("insert"))
-          .unionByName(a.exceptAll(b).withColumn("_change", lit("delete")))
+        stitchedChanges(spark, dir, fromV, toV).getOrElse {
+          // the from side reads through toV's schema, mirroring changes():
+          // a range that crosses BOTH a tombstone-removing boundary and an
+          // additive schema change would otherwise fail the EXCEPT ALL on
+          // column count (additive evolution fills pre-existence columns
+          // with NULL on the older files)
+          val mB = manifest(dir, Some(toV))
+          val mA = manifest(dir, Some(fromV)).copy(schemaJson = mB.schemaJson)
+          val a = appliedRead(spark, mA, mA.files.map(_.path))
+          val b = appliedRead(spark, mB, mB.files.map(_.path))
+          b.exceptAll(a).withColumn("_change", lit("insert"))
+            .unionByName(a.exceptAll(b).withColumn("_change", lit("delete")))
+        }
     }
+
+  /** The bounded cross-boundary feed (ladder step 1 of [[netChanges]]):
+    * Some(feed) when every tombstone-removing boundary in (fromV, toV]
+    * carries a state-preserving `op` marker and all interior versions
+    * are still retained (needed to locate the boundaries), None
+    * otherwise. Work: O(commits in range) head metadata to find the
+    * cut points — the same cost an incremental consumer already pays
+    * per poll — plus the touched files of each sub-range's bounded
+    * [[changes]]; the final cancellation is O(|feed rows|).
+    */
+  private def stitchedChanges(
+      spark: SparkSession, dir: String, fromV: Long, toV: Long): Option[DataFrame] = {
+    val live = versions(dir).toSet
+    if (!(fromV to toV).forall(live)) return None
+    val ms = (fromV to toV).map(v => v -> manifest(dir, Some(v))).toMap
+    val removers = (fromV + 1 to toV).filter { v =>
+      val (p, c) = (ms(v - 1), ms(v))
+      !p.deleteFiles.forall(c.deleteFiles.contains) ||
+        !p.posDeleteFiles.forall(c.posDeleteFiles.contains)
+    }
+    if (removers.isEmpty || !removers.forall(v => ms(v).statePreserving)) return None
+    // split at the boundaries: applied(b) == applied(b-1) for every cut
+    // b, so the sub-range feeds compose exactly; no remover sits inside
+    // a sub-range by construction, so each bounded changes() holds
+    val los = fromV +: removers
+    val his = removers.map(_ - 1) :+ toV
+    val feeds = los.zip(his).collect { case (lo, hi) if lo < hi =>
+      changes(spark, dir, lo, hi)
+    }
+    if (feeds.isEmpty) // every sub-range degenerate: no visible change at all
+      return Some(readFiles(spark, ms(toV).schemaJson, Nil).withColumn("_change", lit("insert")))
+    // fold with multiset cancellation; allowMissingColumns bridges
+    // additive evolution between sub-ranges (older pieces read pre-
+    // existence columns as NULL, exactly as a toV-schema read would)
+    val all = feeds.reduce(_.unionByName(_, allowMissingColumns = true))
+    val ins = all.filter(col("_change") === "insert").drop("_change")
+    val del = all.filter(col("_change") === "delete").drop("_change")
+    val cols = DataFrameSchema.fromJson(ms(toV).schemaJson).fieldNames.toIndexedSeq
+    Some(ins.exceptAll(del).withColumn("_change", lit("insert"))
+      .unionByName(del.exceptAll(ins).withColumn("_change", lit("delete")))
+      .select((cols.map(col) :+ col("_change")): _*))
+  }
 
   /** RESTORE the table to the content of an older retained snapshot —
     * metadata-only and O(1) data I/O: a new manifest version is
@@ -616,7 +694,8 @@ object ManifestTable {
         val v = cur.version + 1
         val m = cur.copy(version = v, parent = Some(cur.version), txn = txn,
           deleteKeys = keys,
-          deleteFiles = cur.deleteFiles ++ staged.map { case (p, n) => DeleteEntry(p, n, v) })
+          deleteFiles = cur.deleteFiles ++ staged.map { case (p, n) => DeleteEntry(p, n, v) },
+          op = None)
         committed = tryInstall(dir, m)
       }
       committed
@@ -681,7 +760,8 @@ object ManifestTable {
             s"concurrent writer rewrote ${gone.length} file(s) this positional delete names")
         val v = cur.version + 1
         val m = cur.copy(version = v, parent = Some(cur.version), txn = txn,
-          posDeleteFiles = cur.posDeleteFiles ++ staged.map { case (p, n) => DeleteEntry(p, n, v) })
+          posDeleteFiles = cur.posDeleteFiles ++ staged.map { case (p, n) => DeleteEntry(p, n, v) },
+          op = None)
         committed = tryInstall(dir, m)
       }
       committed
@@ -753,7 +833,11 @@ object ManifestTable {
           case None => cur.files
         }
         val m = cur.copy(version = v, parent = Some(cur.version), txn = txn,
-          files = files, deleteKeys = Nil, deleteFiles = Nil, posDeleteFiles = Nil)
+          files = files, deleteKeys = Nil, deleteFiles = Nil, posDeleteFiles = Nil,
+          // state-preserving marker: the applied view is unchanged, which
+          // is what lets netChanges stitch a bounded feed across this
+          // tombstone-removing boundary
+          op = Some("materialize"))
         committed = tryInstall(dir, m)
       }
       committed
@@ -844,7 +928,8 @@ object ManifestTable {
       rewritten: DataFrame, dir: String, base: Manifest,
       removed: Set[String], txn: Option[String],
       appendKeyConflict: Option[(DataFrame, Seq[String])] = None,
-      clearDeletes: Boolean = false): Long = {
+      clearDeletes: Boolean = false,
+      op: Option[String] = None): Long = {
     val spark = rewritten.sparkSession
     val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
     rewritten.write.parquet(stage)
@@ -892,7 +977,8 @@ object ManifestTable {
         cur.files.filterNot(f => removed(f.path)) ++ newFiles.map(_.copy(seq = v)),
         if (clearDeletes) Nil else base.deleteKeys,
         if (clearDeletes) Nil else base.deleteFiles,
-        if (clearDeletes) Nil else base.posDeleteFiles)
+        if (clearDeletes) Nil else base.posDeleteFiles,
+        op = op)
       committed = tryInstall(dir, m)
     }
     committed
@@ -1534,7 +1620,7 @@ object ManifestTable {
         ("schema" -> m.schemaJson) ~ ("track" -> m.track) ~
         ("segments" -> segNames) ~
         ("deleteKeys" -> m.deleteKeys) ~ ("deleteFiles" -> delJson(m.deleteFiles)) ~
-        ("posDeleteFiles" -> delJson(m.posDeleteFiles))))
+        ("posDeleteFiles" -> delJson(m.posDeleteFiles)) ~ ("op" -> m.op)))
   }
 
   private def renderSegment(entries: Seq[FileEntry]): String = {
@@ -1615,7 +1701,8 @@ object ManifestTable {
       (j \ "deleteKeys").extractOpt[Seq[String]].getOrElse(Nil),
       delEntries(j \ "deleteFiles"),
       delEntries(j \ "posDeleteFiles"),
-      (j \ "ts").extractOpt[Long])
+      (j \ "ts").extractOpt[Long],
+      (j \ "op").extractOpt[String])
   }
 
   private def delEntries(j: org.json4s.JValue): Seq[DeleteEntry] = {

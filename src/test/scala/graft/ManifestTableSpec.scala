@@ -870,7 +870,63 @@ class ManifestTableSpec extends SparkSpec {
     assert(bounded == Set((3L, "delete"), (7L, "delete"), (21L, "insert")), s"got $bounded")
   }
 
-  test("netChanges fallback reads the from side through toV's schema (evolution + boundary)") {
+  test("stitched netChanges across a MATERIALIZE boundary is bounded: only touched files read") {
+    val dir = freshDir()
+    // 4 range-clustered files over k=1..20
+    ManifestTable.commit((1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, $"k"), dir, Seq("k"))
+    val v1Files = ManifestTable.manifest(dir, Some(1L)).files.map(_.path).toSet
+    ManifestTable.deleteByKey(Seq(3L, 4L).toDF("k"), dir, Seq("k")) // v2: one file's range
+    ManifestTable.commit(Seq((21L, "v21")).toDF("k", "v"), dir, Seq("k")) // v3
+    ManifestTable.materializeDeletes(spark, dir) // v4: state-preserving, tombstones REMOVED
+    assert(ManifestTable.manifest(dir, Some(4L)).statePreserving)
+    ManifestTable.commit(Seq((22L, "v22")).toDF("k", "v"), dir, Seq("k")) // v5
+    val feed = ManifestTable.netChanges(spark, dir, 1L, 5L)
+    val got = feed.select($"k", $"_change").as[(Long, String)].collect().toSet
+    assert(got == Set((3L, "delete"), (4L, "delete"), (21L, "insert"), (22L, "insert")))
+    // boundedness: the stitch reads the two appended files plus the ONE
+    // shared file the tombstone probe needs — never the materialize
+    // rewrite's replacement file, never the 3 untouched v1 files
+    val read = feed.inputFiles.map(_.replaceFirst("^file:", "")).toSet
+    val rewritten = ManifestTable.manifest(dir, Some(4L)).files.map(_.path).toSet -- v1Files
+    assert(rewritten.nonEmpty && read.intersect(rewritten).isEmpty,
+      s"stitched feed must not read the materialize rewrite: ${read.intersect(rewritten)}")
+    val tombed = v1Files.filter(read) // shared files the probe actually opened
+    assert(tombed.size <= 1, s"probe must open only the file holding k=3,4: $tombed")
+  }
+
+  test("stitched netChanges across a full COMPACT boundary (tombstones cleared in the rewrite)") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, $"k"), dir, Seq("k"))
+    ManifestTable.deleteByKey(Seq(5L).toDF("k"), dir, Seq("k")) // v2
+    ManifestTable.compact(spark, dir, "k", 2) // v3: full rewrite, clears tombstones
+    assert(ManifestTable.manifest(dir, Some(3L)).statePreserving)
+    ManifestTable.commit(Seq((30L, "v30")).toDF("k", "v"), dir, Seq("k")) // v4
+    val got = ManifestTable.netChanges(spark, dir, 1L, 4L)
+      .select($"k", $"_change").as[(Long, String)].collect().toSet
+    assert(got == Set((5L, "delete"), (30L, "insert")), s"got $got")
+  }
+
+  test("netChanges across a RESTORE boundary still falls back (restore is state-CHANGING)") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
+    ManifestTable.deleteByKey(Seq(3L, 7L).toDF("k"), dir, Seq("k")) // v2: 18 visible
+    ManifestTable.restore(dir, 1L) // v3: tombstones REMOVED, rows 3 and 7 resurrect
+    assert(!ManifestTable.manifest(dir, Some(3L)).statePreserving)
+    val got = ManifestTable.netChanges(spark, dir, 2L, 3L)
+      .select($"k", $"_change").as[(Long, String)].collect().toSet
+    assert(got == Set((3L, "insert"), (7L, "insert")), s"got $got")
+    // the fallback (not the stitch) must ALSO bridge additive evolution:
+    // range (2, 4] crosses the restore AND a schema change
+    ManifestTable.commit(Seq((21L, "v21", "x")).toDF("k", "v", "extra"), dir, Seq("k")) // v4
+    val evolved = ManifestTable.netChanges(spark, dir, 2L, 4L)
+      .select($"k", $"_change", $"extra").as[(Long, String, Option[String])].collect().toSet
+    assert(evolved == Set((3L, "insert", None), (7L, "insert", None), (21L, "insert", Some("x"))),
+      s"got $evolved")
+  }
+
+  test("netChanges stitches through toV's schema (evolution + materialize boundary)") {
     val dir = freshDir()
     ManifestTable.commit((1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
     ManifestTable.deleteByKey(Seq(3L, 7L).toDF("k"), dir, Seq("k")) // v2: tombstones pending
