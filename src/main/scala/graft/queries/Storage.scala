@@ -181,6 +181,27 @@ object Storage {
           .withColumn("event_type", lit("returned")), p, track = Seq("ts")): Unit
     }
 
+  /** A warehouse whose lake/evsql table is built ENTIRELY through SQL
+    * DML — CTAS (v1+v2), INSERT INTO (v3), then a self-reading INSERT
+    * OVERWRITE (v4) — the fixture behind the catalog write-path entry.
+    */
+  private def catalogSqlWarehouse(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"catalog-warehouse-sqlw:$dir") { wh =>
+      spark.conf.set("spark.sql.catalog.graftw", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftw.warehouse", wh)
+      new java.io.File(s"$wh/lake").mkdirs()
+      Tables(spark, dir).events.createOrReplaceTempView("ev_src_sqlw")
+      val cols = "event_id, ts, user_id, event_type, value"
+      spark.sql("CREATE TABLE graftw.lake.evsql PARTITIONED BY (ts) AS " +
+        s"SELECT $cols FROM ev_src_sqlw WHERE user_id <= 50")
+      spark.sql(s"INSERT INTO graftw.lake.evsql SELECT $cols FROM ev_src_sqlw WHERE user_id > 50")
+      // self-reading overwrite: the staged write materializes from the old
+      // snapshot's (immutable) files BEFORE the manifest swap, so reading
+      // the table being overwritten is safe by construction
+      spark.sql("INSERT OVERWRITE graftw.lake.evsql " +
+        s"SELECT $cols FROM graftw.lake.evsql WHERE user_id % 7 <> 3"): Unit
+    }
+
   /** A catalog WAREHOUSE containing lake/events as a manifest table
     * (same two-commit Jan-20 split as [[eventsTable]]) — the fixture
     * behind the DSv2 `graft.lake.events` SQL entry.
@@ -932,6 +953,44 @@ object Storage {
                  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
           FROM graftmor.lake.morevents
           GROUP BY event_type
+        """)
+      },
+    ),
+    Q(
+      "q212_catalog_write_sql",
+      "The catalog WRITE path: lake/evsql is built entirely through " +
+        "SQL DML — CTAS with PARTITIONED BY declaring the stat-tracked " +
+        "column, INSERT INTO appending the rest, and a SELF-READING " +
+        "INSERT OVERWRITE dropping one user cohort — each statement " +
+        "riding the same transactional surface as an API commit " +
+        "(executors stage parquet, driver installs the manifest via " +
+        "atomic create-if-absent; envelope stats collected at commit " +
+        "time, so SQL-written files prune — GraftCatalogSpec pins 1-of-4 " +
+        "file scans and the two-racing-inserts convergence). The " +
+        "readback joins the head against VERSION AS OF 3 (the " +
+        "pre-overwrite snapshot), hash-gating both the final content " +
+        "and the overwrite's time-travel-preserved history against the " +
+        "oracle's reconstruction.",
+      Some(s"""
+        WITH cur AS (
+          SELECT event_type, count(*) AS n, $d30_2 AS sum_value
+          FROM events WHERE user_id % 7 <> 3 GROUP BY event_type
+        ),
+        pre AS (SELECT count(*) AS pre_overwrite_rows FROM events)
+        SELECT cur.event_type, cur.n, cur.sum_value, pre.pre_overwrite_rows
+        FROM cur CROSS JOIN pre
+      """.trim),
+      (spark, dir) => {
+        val wh = catalogSqlWarehouse(spark, dir)
+        spark.conf.set("spark.sql.catalog.graftw", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftw.warehouse", wh)
+        spark.sql("""
+          SELECT cur.event_type, cur.n, cur.sum_value, pre.pre_overwrite_rows
+          FROM (SELECT event_type, count(*) AS n,
+                       CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+                FROM graftw.lake.evsql GROUP BY event_type) cur
+          CROSS JOIN (SELECT count(*) AS pre_overwrite_rows
+                      FROM graftw.lake.evsql VERSION AS OF 3) pre
         """)
       },
     ),

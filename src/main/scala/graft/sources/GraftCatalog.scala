@@ -2,15 +2,17 @@ package graft.sources
 
 import graft.plans.ManifestSkipping
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{And, Expression}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -36,13 +38,36 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Scale shape: table resolution is one head read (O(segments)
   * metadata); planning consults O(files) driver-side stats rows and
   * hands the executor a pre-pruned file list — the Iceberg/Delta
-  * catalog contract. Reads only (the write path is the transactional
-  * commit API: `commit`/`merge`/`delete`/WAP — a SQL INSERT would
-  * bypass the audit/txn surface). Pending merge-on-read deletes read
-  * correctly through the injected [[graft.plans.MorApplyRewrite]]
-  * resolution rule (the applied-read anti joins replace the bare scan
-  * before planning); only a session missing the engine's extensions
-  * refuses such tables, loudly, at planning time.
+  * catalog contract. Pending merge-on-read deletes read correctly
+  * through the injected [[graft.plans.MorApplyRewrite]] resolution
+  * rule (the applied-read anti joins replace the bare scan before
+  * planning); only a session missing the engine's extensions refuses
+  * such tables, loudly, at planning time.
+  *
+  * DML rides the SAME transactional surface as the API:
+  *
+  * {{{
+  *   CREATE TABLE graft.lake.t (id BIGINT, v STRING) PARTITIONED BY (id)
+  *   CREATE TABLE graft.lake.t PARTITIONED BY (ts) AS SELECT ...
+  *   INSERT INTO graft.lake.t SELECT ...
+  *   INSERT OVERWRITE graft.lake.t SELECT ...
+  * }}}
+  *
+  * `INSERT INTO` is [[ManifestTable.commit]] and `INSERT OVERWRITE`
+  * is [[ManifestTable.replace]] — executors write the parquet files,
+  * the driver installs the manifest through the same optimistic
+  * atomic-create loop as every API commit, per-file envelope stats
+  * are collected at commit time, so a SQL-written table prunes
+  * exactly like an API-written one, and an insert into a table with
+  * pending merge-on-read deletes lands with a HIGHER sequence number
+  * than the tombstones (fresh rows are never shadowed). `PARTITIONED
+  * BY` here declares the stat-TRACKED columns (manifest envelopes +
+  * planning-time skipping), not directory fan-out: physical
+  * clustering is a layout concern ([[ManifestTable.compact]]), and a
+  * 100 TB table prunes from O(files) metadata rows either way — only
+  * identity transforms are accepted, loudly. Schema surgery
+  * (ALTER/RENAME) stays with the typed API, where evolution rules are
+  * enforced ([[ManifestTable]]'s additive-only append contract).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -112,11 +137,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     ManifestTable.latestVersion(dirOf(ident)).isDefined
 
-  private def readOnly(op: String): Nothing =
+  private def unsupported(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$op: the graft catalog is read-only — write through the transactional " +
-        "API (ManifestTable.commit/merge/delete/commitAudited), which carries " +
-        "the txn/audit surface a SQL DML statement would bypass")
+      s"$op: not supported through the graft catalog — use the typed API " +
+        "(ManifestTable), where evolution and maintenance rules are enforced")
 
   // ---- namespaces: directories under the warehouse that are not
   // themselves manifest tables (SHOW NAMESPACES / USE support)
@@ -143,37 +167,86 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def createNamespace(
-      namespace: Array[String], metadata: java.util.Map[String, String]): Unit =
-    readOnly("CREATE NAMESPACE")
+      namespace: Array[String], metadata: java.util.Map[String, String]): Unit = {
+    val base = namespace.foldLeft(warehouse)((a, b) => s"$a/$b")
+    if (!new java.io.File(base).mkdirs() && !new java.io.File(base).isDirectory)
+      throw new IllegalStateException(s"cannot create namespace directory $base")
+  }
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
-    readOnly("ALTER NAMESPACE")
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    readOnly("DROP NAMESPACE")
+    unsupported("ALTER NAMESPACE")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val base = new java.io.File(namespace.foldLeft(warehouse)((a, b) => s"$a/$b"))
+    if (!base.isDirectory) false
+    else {
+      if (!cascade && Option(base.list()).exists(_.nonEmpty))
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      deleteRecursively(base.toPath); true
+    }
+  }
 
+  /** CREATE TABLE / the DDL half of CTAS: an identity `PARTITIONED BY`
+    * column becomes a stat-TRACKED column (manifest envelopes +
+    * planning-time skipping — the pruning a directory layout would
+    * have bought, from O(files) metadata instead of path fan-out);
+    * non-identity transforms are refused loudly. Installs an EMPTY
+    * version-1 snapshot via the same atomic create-if-absent as every
+    * commit, so racing writers can never each think they created it.
+    */
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table = readOnly("CREATE TABLE")
+      properties: java.util.Map[String, String]): Table = {
+    val track = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"CREATE TABLE $ident: only identity PARTITIONED BY columns are supported " +
+          s"(got ${t.describe()}); they declare the manifest's stat-tracked columns")
+      t.references.head.fieldNames.mkString(".")
+    }
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident.toString)
+    ManifestTable.createEmpty(dirOf(ident), schema, track)
+    load(ident, None)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+    unsupported("ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (ManifestTable.latestVersion(dir).isEmpty) false
+    else { deleteRecursively(java.nio.file.Paths.get(dir)); true }
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly("RENAME TABLE")
+    unsupported("RENAME TABLE")
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+  }
 }
 
-/** One resolved snapshot as a V2 table: the committed schema, batch
-  * reads only, scans built by [[GraftLakeScanBuilder]].
+/** One resolved snapshot as a V2 table: the committed schema, scans
+  * built by [[GraftLakeScanBuilder]], writes routed through the
+  * transactional commit API by [[GraftLakeWriteBuilder]].
   */
 final case class GraftLakeTable(
     tableName: String, dir: String, m: ManifestTable.Manifest)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
   override def schema(): StructType = DataFrameSchema.fromJson(m.schemaJson)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def properties(): java.util.Map[String, String] =
     java.util.Map.of("provider", "graft-manifest", "location", dir,
       "version", m.version.toString)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftLakeWriteBuilder(dir, m)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // unreachable when graft.plans.MorApplyRewrite is injected (it
@@ -185,6 +258,37 @@ final case class GraftLakeTable(
         "cannot apply; build the session with graft's extensions (Engine.session / " +
         "GraftFunctions.register) or read via ManifestTable.snapshot/createView")
     new GraftLakeScanBuilder(SparkSession.active, dir, m, options)
+  }
+}
+
+/** Write builder: `INSERT INTO` → [[ManifestTable.commit]] (append),
+  * `INSERT OVERWRITE` → [[ManifestTable.replace]] (atomic
+  * truncate-and-load; the old head stays time-travel-readable). The
+  * V1 adapter hands over an analyzed DataFrame that Spark has already
+  * schema-validated and cast against the table schema — the EXECUTION
+  * is unchanged from an API commit: executors write the staged
+  * parquet in parallel, envelope stats are collected with one
+  * control-plane pass over the NEW files only, and the driver
+  * installs the next manifest through the optimistic atomic-create
+  * loop (two racing SQL inserts both land, nothing doubled). Appends
+  * inherit the parent's track spec AND its pending merge-on-read
+  * tombstones with a higher data sequence, so SQL inserts compose
+  * with the row-level API exactly like API appends do.
+  */
+final class GraftLakeWriteBuilder(dir: String, m: ManifestTable.Manifest)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
+        if (overwrite || overwriteFlag) ManifestTable.replace(data, dir, m.track)
+        else ManifestTable.commit(data, dir, m.track): Unit
+      }
+    }
   }
 }
 

@@ -141,6 +141,26 @@ object ManifestTable {
   def commit(df: DataFrame, dir: String, track: Seq[String], txn: Option[String] = None): Long =
     commitFiles(df, dir, track, txn, replace = false)
 
+  /** CREATE TABLE (the catalog's DDL entry): install version 1 as an
+    * EMPTY snapshot carrying the committed schema and track spec, so
+    * `INSERT INTO` has a typed table to validate against before any
+    * data lands. Creation rides the same atomic create-if-absent as
+    * every commit — racing a concurrent first commit (or another
+    * CREATE) loses loudly instead of overwriting it.
+    */
+  def createEmpty(dir: String, schema: StructType, track: Seq[String]): Long = {
+    val missing = track.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"tracked column(s) ${missing.mkString(", ")} not in schema")
+    requireNoReservedColumns(schema)
+    new java.io.File(dir, "data").mkdirs()
+    new java.io.File(dir, "_manifests").mkdirs()
+    require(latestVersion(dir).isEmpty, s"manifest table already exists at $dir")
+    val v = tryInstall(dir, Manifest(1L, None, None, schema.json, track, Seq.empty))
+    if (v < 0) throw new IllegalStateException(
+      s"manifest table already exists at $dir (lost the creation race)")
+    v
+  }
+
   /** Replace the table content with `df` in one atomic snapshot —
     * truncate-and-load, or transactional COMPACTION: readers on the old
     * head keep their complete snapshot, time travel still reaches it,

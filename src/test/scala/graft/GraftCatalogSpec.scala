@@ -88,9 +88,10 @@ class GraftCatalogSpec extends SparkSpec {
     // namespaces: the lake dir lists; tables do not appear as namespaces
     val ns = spark.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0)).toSet
     assert(ns.contains("lake"), s"got $ns")
-    val e2 = intercept[Exception](
-      spark.sql("CREATE NAMESPACE graft.newns").collect())
-    assert(e2.getMessage.contains("read-only"))
+    spark.sql("CREATE NAMESPACE graft.newns")
+    val ns2 = spark.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0)).toSet
+    assert(ns2.contains("newns"), s"got $ns2")
+    spark.sql("DROP NAMESPACE graft.newns")
   }
 
   test("range predicates prune files inside the V2 scan; result bit-identical") {
@@ -132,15 +133,104 @@ class GraftCatalogSpec extends SparkSpec {
     assert(q.collect().map(_.getString(0)).toSeq == Seq(s"s${42 % 13}"))
   }
 
-  test("catalog surface: listTables, missing tables, read-only DML") {
+  test("catalog surface: listTables, missing tables, unsupported DDL stays loud") {
     mkTable("lake", "listed")
     val names = spark.sql("SHOW TABLES IN graft.lake").collect().map(_.getString(1)).toSet
     assert(names.contains("listed"))
     val missing = intercept[Exception](spark.sql("SELECT * FROM graft.lake.nope").collect())
     assert(missing.getMessage.toLowerCase.contains("table"))
-    val ro = intercept[Exception](
-      spark.sql("CREATE TABLE graft.lake.newt (x INT) USING parquet").collect())
-    assert(ro.getMessage.contains("read-only"))
+    val alter = intercept[Exception](
+      spark.sql("ALTER TABLE graft.lake.listed ADD COLUMN extra INT").collect())
+    assert(alter.getMessage.contains("not supported through the graft catalog"))
+  }
+
+  test("CREATE TABLE + INSERT INTO: SQL writes ride the transactional commit") {
+    spark.sql(
+      "CREATE TABLE graft.lake.sqlw (id BIGINT, k BIGINT, cat STRING) PARTITIONED BY (id)")
+    val dir = mkTableDir("lake", "sqlw")
+    assert(ManifestTable.manifest(dir, None).track == Seq("id"), "PARTITIONED BY -> track spec")
+    spark.sql("INSERT INTO graft.lake.sqlw SELECT id, id * 7 AS k, 'a' AS cat " +
+      "FROM range(1, 1001)")
+    assert(spark.sql("SELECT count(*), sum(id) FROM graft.lake.sqlw").head() ==
+      org.apache.spark.sql.Row(1000L, (1L to 1000L).sum))
+    // identical through the API read — same table, same commit protocol
+    assert(ManifestTable.snapshot(spark, dir).count() == 1000)
+    // second insert appends (v3), first version still time-travels
+    spark.sql("INSERT INTO graft.lake.sqlw VALUES (2000, 0, 'b')")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sqlw").head().getLong(0) == 1001)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sqlw VERSION AS OF 2")
+      .head().getLong(0) == 1000)
+  }
+
+  test("SQL-written files carry envelope stats: the V2 scan prunes them like API commits") {
+    spark.sql("CREATE TABLE graft.lake.sqlpruned (id BIGINT, v STRING) PARTITIONED BY (id)")
+    // 4 range-disjoint inserts = 4 files with tight id envelopes
+    for (lo <- Seq(0, 1000, 2000, 3000))
+      spark.sql(s"INSERT INTO graft.lake.sqlpruned SELECT id, 'x' FROM range($lo, ${lo + 1000})")
+    val q = spark.sql("SELECT id FROM graft.lake.sqlpruned WHERE id BETWEEN 2100 AND 2200")
+    assert(scannedFiles(q).size == 1,
+      s"insert-time envelopes must prune to 1 file, got ${scannedFiles(q).size}")
+    assert(q.count() == 101)
+  }
+
+  test("INSERT OVERWRITE is an atomic replace; history stays readable") {
+    mkTable("lake", "sqlow")
+    spark.sql("INSERT OVERWRITE graft.lake.sqlow SELECT id, id AS k, 'z' AS cat FROM range(5)")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sqlow").head().getLong(0) == 5)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sqlow VERSION AS OF 1")
+      .head().getLong(0) == 1000, "pre-overwrite snapshot must still time-travel")
+  }
+
+  test("CTAS: one statement creates, tracks, and loads") {
+    mkTable("lake", "ctas_src")
+    spark.sql("CREATE TABLE graft.lake.ctas_dst PARTITIONED BY (id) AS " +
+      "SELECT id, cat FROM graft.lake.ctas_src WHERE id <= 100")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.ctas_dst").head().getLong(0) == 100)
+    assert(ManifestTable.manifest(mkTableDir("lake", "ctas_dst"), None).track == Seq("id"))
+    val dup = intercept[Exception](
+      spark.sql("CREATE TABLE graft.lake.ctas_dst (x INT)").collect())
+    assert(dup.getMessage.toLowerCase.contains("exists"), s"got: ${dup.getMessage}")
+    val bucketed = intercept[Exception](
+      spark.sql("CREATE TABLE graft.lake.bad (id BIGINT) PARTITIONED BY (bucket(4, id))")
+        .collect())
+    assert(bucketed.getMessage.contains("identity"), s"got: ${bucketed.getMessage}")
+  }
+
+  test("SQL insert into a table with PENDING MoR tombstones: sequence rule holds") {
+    val dir = mkTable("lake", "sqlmor")
+    ManifestTable.deleteByKey(Seq(5L, 6L).toDF("id"), dir, Seq("id"))
+    assert(ManifestTable.manifest(dir, None).hasMorDeletes)
+    // the SQL append lands ABOVE the tombstone's sequence: the re-inserted
+    // key is visible while the original row stays deleted
+    spark.sql("INSERT INTO graft.lake.sqlmor VALUES (5, 99, 'back')")
+    assert(ManifestTable.manifest(dir, None).hasMorDeletes, "append must keep the tombstones")
+    val rows = spark.sql("SELECT k FROM graft.lake.sqlmor WHERE id IN (5, 6)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(99L), s"got $rows")
+  }
+
+  test("two racing SQL inserts both land (optimistic commit loop)") {
+    spark.sql("CREATE TABLE graft.lake.sqlrace (id BIGINT) PARTITIONED BY (id)")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = (0 until 2).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            spark.sql(s"INSERT INTO graft.lake.sqlrace SELECT id FROM range(${i * 100}, ${i * 100 + 100})")
+        })
+      }
+      fs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sqlrace").head().getLong(0) == 200,
+      "both racing inserts must land, nothing doubled")
+  }
+
+  test("DROP TABLE removes the table; dropping a missing table reports false") {
+    mkTable("lake", "dropme")
+    spark.sql("DROP TABLE graft.lake.dropme")
+    assert(!new java.io.File(mkTableDir("lake", "dropme")).exists())
+    val e = intercept[Exception](spark.sql("SELECT * FROM graft.lake.dropme").collect())
+    assert(e.getMessage.toLowerCase.contains("table"))
   }
 
   test("pending MoR deletes APPLY through catalog SQL (MorApplyRewrite), incl. time travel") {
