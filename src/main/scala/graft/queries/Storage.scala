@@ -202,6 +202,25 @@ object Storage {
         s"SELECT $cols FROM graftw.lake.evsql WHERE user_id % 7 <> 3"): Unit
     }
 
+  /** A warehouse whose lake/evdel table is CTAS'd from events and then
+    * trimmed by a SQL `DELETE FROM` — the fixture behind the catalog
+    * row-level-delete entry.
+    */
+  private def catalogDeleteWarehouse(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"catalog-warehouse-sqldel:$dir") { wh =>
+      spark.conf.set("spark.sql.catalog.graftd", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftd.warehouse", wh)
+      new java.io.File(s"$wh/lake").mkdirs()
+      Tables(spark, dir).events.createOrReplaceTempView("ev_src_sqldel")
+      spark.sql("CREATE TABLE graftd.lake.evdel PARTITIONED BY (user_id) AS " +
+        "SELECT event_id, ts, user_id, event_type, value FROM ev_src_sqldel")
+      // DELETE conditions must translate to pushed source filters
+      // (column-vs-literal algebra); richer predicates go through the
+      // API delete, which takes an arbitrary Column
+      spark.sql("DELETE FROM graftd.lake.evdel " +
+        "WHERE event_type = 'click' AND user_id BETWEEN 20 AND 60"): Unit
+    }
+
   /** A catalog WAREHOUSE containing lake/events as a manifest table
     * (same two-commit Jan-20 split as [[eventsTable]]) — the fixture
     * behind the DSv2 `graft.lake.events` SQL entry.
@@ -991,6 +1010,43 @@ object Storage {
                 FROM graftw.lake.evsql GROUP BY event_type) cur
           CROSS JOIN (SELECT count(*) AS pre_overwrite_rows
                       FROM graftw.lake.evsql VERSION AS OF 3) pre
+        """)
+      },
+    ),
+    Q(
+      "q213_catalog_delete_sql",
+      "SQL row-level DELETE through the catalog (SupportsDelete -> the " +
+        "file-granular CoW delete): the condition arrives as pushed " +
+        "source filters, translates to the engine's delete algebra " +
+        "(untranslatable conditions refused loudly in canDeleteWhere), " +
+        "one column-pruned metadata pass finds the files holding " +
+        "matching rows, ONLY those are rewritten, and the manifest " +
+        "swaps atomically — at 100 TB a selective DELETE FROM rewrites " +
+        "a handful of files while the pre-delete snapshot keeps " +
+        "time-traveling (the readback joins VERSION AS OF 2 to pin " +
+        "that). Oracle reconstructs the surviving multiset from raw " +
+        "events.",
+      Some(s"""
+        WITH cur AS (
+          SELECT event_type, count(*) AS n, $d30_2 AS sum_value
+          FROM events WHERE NOT (event_type = 'click' AND user_id BETWEEN 20 AND 60)
+          GROUP BY event_type
+        ),
+        pre AS (SELECT count(*) AS pre_delete_rows FROM events)
+        SELECT cur.event_type, cur.n, cur.sum_value, pre.pre_delete_rows
+        FROM cur CROSS JOIN pre
+      """.trim),
+      (spark, dir) => {
+        val wh = catalogDeleteWarehouse(spark, dir)
+        spark.conf.set("spark.sql.catalog.graftd", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftd.warehouse", wh)
+        spark.sql("""
+          SELECT cur.event_type, cur.n, cur.sum_value, pre.pre_delete_rows
+          FROM (SELECT event_type, count(*) AS n,
+                       CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+                FROM graftd.lake.evdel GROUP BY event_type) cur
+          CROSS JOIN (SELECT count(*) AS pre_delete_rows
+                      FROM graftd.lake.evdel VERSION AS OF 2) pre
         """)
       },
     ),

@@ -12,7 +12,8 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate,
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -228,13 +229,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
+object GraftCatalog {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+
+  /** Source-filter → Column translation for the DELETE path: Some for
+    * the filter algebra [[ManifestTable.delete]] can express (the SQL
+    * null semantics line up — a NULL-valued comparison is not TRUE, so
+    * the row survives on both sides), None for anything else, which
+    * makes [[GraftLakeTable.canDeleteWhere]] refuse the statement
+    * up front.
+    */
+  private[sources] def filterColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) => for { a <- filterColumn(l); b <- filterColumn(r) } yield a && b
+    case sources.Or(l, r) => for { a <- filterColumn(l); b <- filterColumn(r) } yield a || b
+    case sources.Not(c) => filterColumn(c).map(!_)
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}
+
 /** One resolved snapshot as a V2 table: the committed schema, scans
   * built by [[GraftLakeScanBuilder]], writes routed through the
   * transactional commit API by [[GraftLakeWriteBuilder]].
   */
 final case class GraftLakeTable(
     tableName: String, dir: String, m: ManifestTable.Manifest)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = tableName
   override def schema(): StructType = DataFrameSchema.fromJson(m.schemaJson)
@@ -247,6 +281,24 @@ final case class GraftLakeTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftLakeWriteBuilder(dir, m)
+
+  /** SQL `DELETE FROM ... WHERE ...` → [[ManifestTable.delete]]: the
+    * file-granular copy-on-write delete (touched files found from one
+    * column-pruned metadata pass, ONLY those rewritten, atomic manifest
+    * swap — a selective 100 TB delete rewrites a handful of files).
+    * Spark hands the condition as source filters; a condition it
+    * cannot translate is refused in [[canDeleteWhere]], loudly, rather
+    * than silently deleting the wrong rows.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(GraftCatalog.filterColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.toSeq.flatMap(GraftCatalog.filterColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    ManifestTable.delete(SparkSession.active, dir, cond): Unit
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // unreachable when graft.plans.MorApplyRewrite is injected (it

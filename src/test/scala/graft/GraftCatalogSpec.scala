@@ -225,6 +225,28 @@ class GraftCatalogSpec extends SparkSpec {
       "both racing inserts must land, nothing doubled")
   }
 
+  test("DELETE FROM through the catalog: file-granular CoW, history preserved") {
+    val dir = mkTable("lake", "sqldel")
+    val before = ManifestTable.manifest(dir, None).files.map(_.path).toSet
+    spark.sql("DELETE FROM graft.lake.sqldel WHERE id BETWEEN 100 AND 150 AND cat = 's5'")
+    val expectGone = (100L to 150L).count(i => s"s${i % 13}" == "s5")
+    assert(expectGone > 0)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sqldel").head().getLong(0) ==
+      1000L - expectGone)
+    // file-granular: untouched range files keep their exact entries
+    val after = ManifestTable.manifest(dir, None).files.map(_.path).toSet
+    assert(before.intersect(after).nonEmpty, "files without matching rows must survive as-is")
+    // pre-delete snapshot still time-travels
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sqldel VERSION AS OF 1")
+      .head().getLong(0) == 1000)
+    // NULL-semantics: a NULL comparison is not TRUE -> row survives
+    spark.sql("CREATE TABLE graft.lake.sqldel_null (id BIGINT, k BIGINT)")
+    spark.sql("INSERT INTO graft.lake.sqldel_null VALUES (1, 10), (2, NULL), (3, 30)")
+    spark.sql("DELETE FROM graft.lake.sqldel_null WHERE k < 99999999")
+    assert(spark.sql("SELECT id FROM graft.lake.sqldel_null").collect().map(_.getLong(0)).toSeq
+      == Seq(2L), "only the NULL-k row may survive a k < inf delete")
+  }
+
   test("DROP TABLE removes the table; dropping a missing table reports false") {
     mkTable("lake", "dropme")
     spark.sql("DROP TABLE graft.lake.dropme")
