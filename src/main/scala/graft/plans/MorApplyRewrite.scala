@@ -44,19 +44,35 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   */
 case class MorApplyRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case r: DataSourceV2Relation =>
-      r.table match {
-        case t: GraftLakeTable if t.m.hasMorDeletes =>
-          val applied = ManifestTable.snapshot(spark, t.dir, Some(t.m.version))
-          val child = applied.queryExecution.analyzed
-          val byName = child.output.map(a => a.name -> a).toMap
-          // keep the relation's exprIds: every downstream reference
-          // resolved against the V2 relation's output must still bind
-          Project(
-            r.output.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)),
-            child)
-        case _ => r
-      }
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // row-level DML (UPDATE / MERGE / DELETE) must keep its TARGET a
+    // real V2 relation: swapping it for the applied-read plan here
+    // would leave Spark's rewrite rules nothing to plan against (an
+    // opaque "table does not support UPDATE" failure). The target
+    // refuses tombstone-carrying tables itself, with an actionable
+    // message (GraftLakeTable.newRowLevelOperationBuilder); SOURCE
+    // relations (e.g. MERGE USING another lake table) still rewrite
+    // through the recursive apply on the source subtree.
+    case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+      u.withNewChildren(Seq(u.table))
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+      d.withNewChildren(Seq(d.table))
+    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+      m.withNewChildren(Seq(m.targetTable, apply(m.sourceTable)))
+    case _ => plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation =>
+        r.table match {
+          case t: GraftLakeTable if t.m.hasMorDeletes =>
+            val applied = ManifestTable.snapshot(spark, t.dir, Some(t.m.version))
+            val child = applied.queryExecution.analyzed
+            val byName = child.output.map(a => a.name -> a).toMap
+            // keep the relation's exprIds: every downstream reference
+            // resolved against the V2 relation's output must still bind
+            Project(
+              r.output.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)),
+              child)
+          case _ => r
+        }
+    }
   }
 }

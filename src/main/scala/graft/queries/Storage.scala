@@ -221,6 +221,40 @@ object Storage {
         "WHERE event_type = 'click' AND user_id BETWEEN 20 AND 60"): Unit
     }
 
+  /** A warehouse whose lake/evupd table is CTAS'd from events and then
+    * reshaped by a SQL UPDATE (flag one cohort's clicks) and a SQL
+    * MERGE INTO (late corrections + replayed inserts from a staged
+    * source view) — the fixture behind the catalog row-level-write
+    * entries.
+    */
+  private def catalogUpdateWarehouse(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"catalog-warehouse-sqlupd:$dir") { wh =>
+      spark.conf.set("spark.sql.catalog.graftu", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftu.warehouse", wh)
+      new java.io.File(s"$wh/lake").mkdirs()
+      Tables(spark, dir).events.createOrReplaceTempView("ev_src_sqlupd")
+      spark.sql("CREATE TABLE graftu.lake.evupd PARTITIONED BY (user_id) AS " +
+        "SELECT event_id, ts, user_id, event_type, value FROM ev_src_sqlupd")
+      // group-based CoW UPDATE: only files whose user_id envelope
+      // overlaps [10, 40] are rewritten
+      spark.sql("UPDATE graftu.lake.evupd SET event_type = 'flagged', value = 0.0 " +
+        "WHERE event_type = 'click' AND user_id BETWEEN 10 AND 40")
+      // MERGE: corrections double matched purchase values for one user
+      // band; unmatched correction rows insert as 'adjustment'
+      spark.sql("""
+        MERGE INTO graftu.lake.evupd t
+        USING (SELECT event_id, ts, user_id, event_type, value * 2 AS value
+               FROM ev_src_sqlupd WHERE event_type = 'purchase' AND user_id BETWEEN 50 AND 70
+               UNION ALL
+               SELECT -event_id AS event_id, ts, user_id, 'adjustment' AS event_type, value
+               FROM ev_src_sqlupd WHERE event_type = 'purchase' AND user_id BETWEEN 50 AND 55) s
+        ON t.event_id = s.event_id
+        WHEN MATCHED THEN UPDATE SET t.value = s.value
+        WHEN NOT MATCHED THEN INSERT (event_id, ts, user_id, event_type, value)
+          VALUES (s.event_id, s.ts, s.user_id, s.event_type, s.value)
+      """): Unit
+    }
+
   /** A catalog WAREHOUSE containing lake/events as a manifest table
     * (same two-commit Jan-20 split as [[eventsTable]]) — the fixture
     * behind the DSv2 `graft.lake.events` SQL entry.
@@ -1047,6 +1081,61 @@ object Storage {
                 FROM graftd.lake.evdel GROUP BY event_type) cur
           CROSS JOIN (SELECT count(*) AS pre_delete_rows
                       FROM graftd.lake.evdel VERSION AS OF 2) pre
+        """)
+      },
+    ),
+    Q(
+      "q214_catalog_rowlevel_sql",
+      "SQL UPDATE and MERGE INTO through the catalog " +
+        "(SupportsRowLevelOperations, group-based copy-on-write): the " +
+        "UPDATE's pushed condition prunes the rewrite to the files " +
+        "whose envelopes can hold a matching row, the MERGE reads its " +
+        "corrections from a staged source view and lands matched " +
+        "doubled values + unmatched 'adjustment' inserts in ONE atomic " +
+        "commit, and Spark's own rewrite rules drive both through the " +
+        "operation's scan (which records the planned file set) and the " +
+        "NATIVE batch write (executor tasks stream parquet, driver " +
+        "swaps exactly the planned files, conflict-checked). The " +
+        "readback also rides the _version metadata column (max = head " +
+        "version 4) and VERSION AS OF 2 (pre-DML content preserved) — " +
+        "all hash-gated against the oracle's reconstruction of " +
+        "flag-update + merge algebra.",
+      Some(s"""
+        WITH base AS (
+          SELECT event_id, user_id,
+            CASE WHEN event_type = 'click' AND user_id BETWEEN 10 AND 40
+                 THEN 'flagged' ELSE event_type END AS event_type,
+            CASE WHEN event_type = 'click' AND user_id BETWEEN 10 AND 40 THEN 0.0
+                 WHEN event_type = 'purchase' AND user_id BETWEEN 50 AND 70 THEN value * 2
+                 ELSE value END AS value
+          FROM events
+        ),
+        adj AS (
+          SELECT -event_id AS event_id, user_id, 'adjustment' AS event_type, value
+          FROM events WHERE event_type = 'purchase' AND user_id BETWEEN 50 AND 55
+        ),
+        fin AS (SELECT * FROM base UNION ALL SELECT * FROM adj),
+        cur AS (
+          SELECT event_type, count(*) AS n, $d30_2 AS sum_value
+          FROM fin GROUP BY event_type
+        ),
+        pre AS (SELECT count(*) AS pre_rows FROM events)
+        SELECT cur.event_type, cur.n, cur.sum_value, pre.pre_rows,
+               CAST(4 AS BIGINT) AS head_version
+        FROM cur CROSS JOIN pre
+      """.trim),
+      (spark, dir) => {
+        val wh = catalogUpdateWarehouse(spark, dir)
+        spark.conf.set("spark.sql.catalog.graftu", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftu.warehouse", wh)
+        spark.sql("""
+          SELECT cur.event_type, cur.n, cur.sum_value, pre.pre_rows, hv.head_version
+          FROM (SELECT event_type, count(*) AS n,
+                       CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+                FROM graftu.lake.evupd GROUP BY event_type) cur
+          CROSS JOIN (SELECT count(*) AS pre_rows
+                      FROM graftu.lake.evupd VERSION AS OF 2) pre
+          CROSS JOIN (SELECT max(_version) AS head_version FROM graftu.lake.evupd) hv
         """)
       },
     ),

@@ -2,18 +2,19 @@ package graft.sources
 
 import graft.plans.ManifestSkipping
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{And, Expression}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -268,27 +269,46 @@ object GraftCatalog {
   */
 final case class GraftLakeTable(
     tableName: String, dir: String, m: ManifestTable.Manifest)
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   override def name(): String = tableName
   override def schema(): StructType = DataFrameSchema.fromJson(m.schemaJson)
+
+  /** `_version`: the manifest snapshot version serving the row — a
+    * CONSTANT per scan, appended by the reader wrapper when requested
+    * (`SELECT _version, * FROM graft.lake.t`). Doubles as the
+    * metadata attribute the row-level operations require
+    * ([[GraftRowLevelOperation.requiredMetadataAttributes]]), which
+    * routes their physical write through Spark's projecting task — the
+    * same contract Iceberg's `_spec_id`/`_partition` serve.
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(new MetadataColumn {
+    override def name(): String = GraftLakeTable.VersionColumn
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String = "manifest snapshot version serving this row"
+  })
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def properties(): java.util.Map[String, String] =
     java.util.Map.of("provider", "graft-manifest", "location", dir,
       "version", m.version.toString)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftLakeWriteBuilder(dir, m)
+    new GraftLakeWriteBuilder(dir, m, info)
 
   /** SQL `DELETE FROM ... WHERE ...` → [[ManifestTable.delete]]: the
     * file-granular copy-on-write delete (touched files found from one
     * column-pruned metadata pass, ONLY those rewritten, atomic manifest
     * swap — a selective 100 TB delete rewrites a handful of files).
     * Spark hands the condition as source filters; a condition it
-    * cannot translate is refused in [[canDeleteWhere]], loudly, rather
-    * than silently deleting the wrong rows.
+    * cannot translate is refused in [[canDeleteWhere]] — and falls
+    * back to the group-based row-level rewrite
+    * ([[newRowLevelOperationBuilder]]) instead of failing.
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(GraftCatalog.filterColumn(_).isDefined)
@@ -298,6 +318,36 @@ final case class GraftLakeTable(
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     ManifestTable.delete(SparkSession.active, dir, cond): Unit
+  }
+
+  /** SQL `UPDATE` / `MERGE INTO` (and DELETEs whose condition the
+    * filter algebra can't express) as GROUP-BASED COPY-ON-WRITE, the
+    * file-granular regime Iceberg standardized: Spark rewrites the
+    * statement into a plan that reads the affected rows through the
+    * operation's own scan and writes back the FULL new content of the
+    * affected groups; here a group is one data file, the scan prunes
+    * to the files that can hold a matching row (envelope + Bloom
+    * constraint analysis on the pushed condition), and the write's
+    * commit atomically swaps exactly the planned files for their
+    * staged replacements — with the same concurrent-writer conflict
+    * checks as the API rewrite path. A selective 100 TB UPDATE
+    * rewrites a handful of files; an un-prunable MERGE rewrites the
+    * scanned table, which is the documented CoW trade (the API's
+    * [[ManifestTable.merge]] is the key-bounded alternative).
+    *
+    * Tables with PENDING merge-on-read tombstones are refused here:
+    * the rewrite plan reads through the bare V2 scan, which cannot
+    * apply them — materialize first, or use the API, which can.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(!m.hasMorDeletes,
+      s"${info.command} on $tableName: table has pending merge-on-read deletes the " +
+        "copy-on-write rewrite cannot apply; run ManifestTable.materializeDeletes " +
+        "first, or use the typed API (merge/update/delete), which applies them")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new GraftRowLevelOperation(dir, m, info.command)
+    }
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -313,34 +363,73 @@ final case class GraftLakeTable(
   }
 }
 
-/** Write builder: `INSERT INTO` → [[ManifestTable.commit]] (append),
-  * `INSERT OVERWRITE` → [[ManifestTable.replace]] (atomic
-  * truncate-and-load; the old head stays time-travel-readable). The
-  * V1 adapter hands over an analyzed DataFrame that Spark has already
-  * schema-validated and cast against the table schema — the EXECUTION
-  * is unchanged from an API commit: executors write the staged
-  * parquet in parallel, envelope stats are collected with one
-  * control-plane pass over the NEW files only, and the driver
-  * installs the next manifest through the optimistic atomic-create
-  * loop (two racing SQL inserts both land, nothing doubled). Appends
-  * inherit the parent's track spec AND its pending merge-on-read
-  * tombstones with a higher data sequence, so SQL inserts compose
-  * with the row-level API exactly like API appends do.
+/** Write builder: `INSERT INTO` → append, `INSERT OVERWRITE` →
+  * atomic truncate-and-load (the old head stays time-travel-
+  * readable) — both as the NATIVE batch write ([[GraftBatchWrite]]):
+  * executor tasks stream their partitions straight into staged
+  * parquet files, and the driver's commit turns them into the next
+  * manifest version through the optimistic atomic-create loop (two
+  * racing SQL inserts both land, nothing doubled). Appends inherit
+  * the parent's track spec AND its pending merge-on-read tombstones
+  * with a higher data sequence, so SQL inserts compose with the
+  * row-level API exactly like API appends do.
   */
-final class GraftLakeWriteBuilder(dir: String, m: ManifestTable.Manifest)
+final class GraftLakeWriteBuilder(
+    dir: String, m: ManifestTable.Manifest, info: LogicalWriteInfo)
   extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
-      override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
-        if (overwrite || overwriteFlag) ManifestTable.replace(data, dir, m.track)
-        else ManifestTable.commit(data, dir, m.track): Unit
-      }
-    }
+  override def build(): Write = new GraftWrite(
+    SparkSession.active, dir, info.schema(), m.track, overwrite, info.queryId())
+}
+
+object GraftLakeTable {
+  /** Name of the constant-per-snapshot metadata column. */
+  val VersionColumn = "_version"
+}
+
+/** One SQL UPDATE / MERGE INTO / rewrite-DELETE as a group-based
+  * copy-on-write operation (see
+  * [[GraftLakeTable.newRowLevelOperationBuilder]]): Spark drives both
+  * sides through THIS instance, which is what links them — the scan
+  * records the file list it planned (post envelope/Bloom pruning of
+  * the pushed condition), and the write's commit swaps exactly those
+  * files for the staged replacements, conflict-checked against
+  * writers that raced in between.
+  */
+final class GraftRowLevelOperation(
+    dir: String, m: ManifestTable.Manifest, cmd: RowLevelOperation.Command)
+  extends RowLevelOperation {
+
+  @volatile private var planned: Seq[String] = null
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-manifest CoW $cmd $dir"
+
+  /** Requesting `_version` is what routes the physical ReplaceData
+    * write through Spark's projecting task (the plain task hands the
+    * writer the rewrite plan's raw output, `__row_operation` column
+    * included); with a metadata attribute present, data rows are
+    * projected back to the table schema before they reach the writer.
+    */
+  override def requiredMetadataAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(GraftLakeTable.VersionColumn))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLakeScanBuilder(SparkSession.active, dir, m, options,
+      onPlanned = fs => planned = fs)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    override def build(): Write = new GraftBatchWrite(
+      SparkSession.active, dir, info.schema(), m.track,
+      GraftWrites.ReplaceFiles(m, () => {
+        require(planned != null,
+          s"row-level $cmd write committed before its scan was planned")
+        planned.toSet
+      }))
   }
 }
 
@@ -355,7 +444,12 @@ final class GraftLakeWriteBuilder(dir: String, m: ManifestTable.Manifest)
   */
 final class GraftLakeScanBuilder(
     spark: SparkSession, dir: String, m: ManifestTable.Manifest,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    /** Invoked with the SURVIVING file list when the scan is built —
+      * how a row-level operation learns which files its write must
+      * replace ([[GraftRowLevelOperation]]).
+      */
+    onPlanned: Seq[String] => Unit = _ => ())
   extends ScanBuilder with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns {
 
   private val schema = DataFrameSchema.fromJson(m.schemaJson)
@@ -383,11 +477,68 @@ final class GraftLakeScanBuilder(
         ManifestSkipping.survivors(cond, all, stats).getOrElse(all)
       case _ => all
     }
+    onPlanned(paths)
     val idx = new InMemoryFileIndex(
       spark, paths.map(new Path(_)), Map.empty[String, String], Some(schema))
+    // `_version` (the constant-per-snapshot metadata column) never
+    // reaches the parquet reader: it is stripped here and appended by
+    // the wrapping reader below, in the exact position the required
+    // schema puts it (Spark appends metadata columns after data ones)
+    val wantsVersion = required.fieldNames.contains(GraftLakeTable.VersionColumn)
+    val dataRequired =
+      if (wantsVersion)
+        StructType(required.fields.filterNot(_.name == GraftLakeTable.VersionColumn))
+      else required
     val psb = ParquetScanBuilder(spark, idx, schema, schema, options)
     psb.pushFilters(pushed)
-    psb.pruneColumns(required)
-    psb.build()
+    psb.pruneColumns(dataRequired)
+    val scan = psb.build()
+    if (wantsVersion) {
+      require(required.fields.last.name == GraftLakeTable.VersionColumn,
+        s"metadata column ${GraftLakeTable.VersionColumn} must be required last, " +
+          s"got ${required.fieldNames.mkString(", ")}")
+      new ConstLongAppendScan(scan, required, m.version)
+    } else scan
+  }
+}
+
+/** Wraps a scan to append one constant LONG column to every row —
+  * how the `_version` metadata column materializes without touching
+  * parquet bytes. Row-granular (the wrapper disables columnar reads
+  * for this scan only), which is fine where it is used: metadata-
+  * column projections and the row-level operations' rewrite reads.
+  */
+final class ConstLongAppendScan(
+    inner: Scan, out: StructType, value: Long)
+  extends Scan with org.apache.spark.sql.connector.read.Batch {
+
+  override def readSchema(): StructType = out
+  override def description(): String = s"${inner.description()} +const(${out.fields.last.name}=$value)"
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  private lazy val b = inner.toBatch
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+    b.planInputPartitions()
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new ConstLongAppendReaderFactory(b.createReaderFactory(), value)
+}
+
+final class ConstLongAppendReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory, value: Long)
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean = false
+
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val r = inner.createReader(p)
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      private val const = InternalRow(value)
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = joined(r.get(), const)
+      override def close(): Unit = r.close()
+    }
   }
 }

