@@ -116,7 +116,18 @@ object Retrieval {
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/postings")
-    writeStats(df.sparkSession, batchStats(df, textCol), path, batchId = 0L, fresh = true)
+    // (n, sum_dl) WITHOUT a second tokenize pass over the corpus: dl
+    // rides every posting row just written, so sum_dl is a 2-column
+    // pruned read of the index (distinct (id, dl) — dl is per-doc
+    // constant), and n is a 1-column count of the SOURCE (zero-token
+    // docs have no posting rows but still count toward n and avgdl's
+    // denominator, exactly as the direct path's tokenize-time count)
+    val spark = df.sparkSession
+    val n = df.select(col(idCol)).count()
+    val sumDl = spark.read.parquet(s"$path/postings")
+      .select(col(idCol), col("dl")).distinct()
+      .agg(coalesce(sum("dl"), lit(0L)).cast("long")).head().getLong(0)
+    writeStats(spark, (n, sumDl), path, batchId = 0L, fresh = true)
   }
 
   /** (id, dl, term, tf, bucket) postings of one frame — the shared
