@@ -15,7 +15,7 @@ import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A DataSource V2 `TableCatalog` over [[ManifestTable]] directories —
@@ -67,9 +67,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * planning-time skipping), not directory fan-out: physical
   * clustering is a layout concern ([[ManifestTable.compact]]), and a
   * 100 TB table prunes from O(files) metadata rows either way — only
-  * identity transforms are accepted, loudly. Schema surgery
-  * (ALTER/RENAME) stays with the typed API, where evolution rules are
-  * enforced ([[ManifestTable]]'s additive-only append contract).
+  * identity transforms are accepted, loudly. `ALTER TABLE ADD
+  * COLUMN` is additive evolution as a metadata-only commit; every
+  * other schema surgery (drop/rename/retype) is a rewrite in
+  * disguise and stays refused, pointing at the typed API.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -209,8 +210,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     load(ident, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    unsupported("ALTER TABLE")
+  /** `ALTER TABLE ... ADD COLUMN(S)`: additive evolution as a
+    * metadata-only commit ([[ManifestTable.addColumns]] — zero data
+    * I/O, old snapshots keep their committed schemas). Every other
+    * change class is a rewrite in disguise and stays refused.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"ALTER TABLE $ident: only top-level columns can be added " +
+            s"(got ${a.fieldNames.mkString(".")})")
+        require(a.isNullable,
+          s"ALTER TABLE $ident: new column ${a.fieldNames.head} must be nullable " +
+            "(pre-evolution files have no value for it)")
+        StructField(a.fieldNames.head, a.dataType, nullable = true)
+      case other => unsupported(s"ALTER TABLE (${other.getClass.getSimpleName})")
+    }
+    ManifestTable.addColumns(dirOf(ident), adds)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

@@ -141,6 +141,33 @@ object ManifestTable {
   def commit(df: DataFrame, dir: String, track: Seq[String], txn: Option[String] = None): Long =
     commitFiles(df, dir, track, txn, replace = false)
 
+  /** ALTER TABLE ADD COLUMN: additive schema evolution as a
+    * METADATA-ONLY commit — the new manifest carries the extended
+    * schema over the parent's exact file list (zero data I/O; readers
+    * fill the new columns with NULL on pre-evolution files, which is
+    * why only nullable adds are legal). Older snapshots keep their
+    * committed schemas — time travel reads the world as it was.
+    * Everything else (drops, renames, retypes) stays refused: those
+    * are rewrites, not metadata ([[replace]]).
+    */
+  def addColumns(dir: String, fields: Seq[StructField]): Long = {
+    require(fields.nonEmpty, "no columns to add")
+    requireNoReservedColumns(StructType(fields))
+    fields.foreach(f => require(f.nullable,
+      s"new column ${f.name} must be nullable: pre-evolution files have no value for it"))
+    var committed = -1L
+    while (committed < 0) {
+      val cur = manifest(dir, None)
+      val schema = DataFrameSchema.fromJson(cur.schemaJson)
+      val clash = fields.map(_.name).filter(schema.fieldNames.contains)
+      require(clash.isEmpty, s"column(s) ${clash.mkString(", ")} already exist")
+      val m = cur.copy(version = cur.version + 1, parent = Some(cur.version), txn = None,
+        schemaJson = StructType(schema.fields ++ fields).json, op = None)
+      committed = tryInstall(dir, m)
+    }
+    committed
+  }
+
   /** CREATE TABLE (the catalog's DDL entry): install version 1 as an
     * EMPTY snapshot carrying the committed schema and track spec, so
     * `INSERT INTO` has a typed table to validate against before any
@@ -446,12 +473,31 @@ object ManifestTable {
       val head = latestVersion(dir)
       val parent = if (replace) None else head.map(v => manifest(dir, Some(v)))
       parent.foreach(p => validateEvolution(p, schema, track))
+      // an append may only WIDEN nullability, never tighten it: a batch
+      // whose analyzed schema marks an evolved column non-null (a
+      // VALUES literal, a NOT NULL source) must not flip the TABLE
+      // schema — older files have no value for columns added after
+      // them (read as NULL), and a non-null declaration would both
+      // fail those reads and let Catalyst rewrite count(col) into
+      // count(*). New columns are forced nullable for the same reason.
+      val tableSchema = parent match {
+        case Some(p) =>
+          val pByName = DataFrameSchema.fromJson(p.schemaJson)
+            .fields.map(f => f.name -> f).toMap
+          StructType(schema.fields.map { f =>
+            pByName.get(f.name) match {
+              case Some(pf) => f.copy(nullable = pf.nullable || f.nullable)
+              case None => f.copy(nullable = true)
+            }
+          })
+        case None => schema
+      }
       val v = head.getOrElse(0L) + 1
       // appends carry the parent's pending merge-on-read deletes: the
       // new files enter with seq = v > every pending delete's seq, so
       // fresh rows are never shadowed; replace clears them (the content
       // they applied to is gone)
-      val m = Manifest(v, head, txn, schema.json, track,
+      val m = Manifest(v, head, txn, tableSchema.json, track,
         parent.map(_.files).getOrElse(Seq.empty) ++ newFiles.map(_.copy(seq = v)),
         parent.map(_.deleteKeys).getOrElse(Nil),
         parent.map(_.deleteFiles).getOrElse(Nil),

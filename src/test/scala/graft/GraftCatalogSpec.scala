@@ -140,7 +140,7 @@ class GraftCatalogSpec extends SparkSpec {
     val missing = intercept[Exception](spark.sql("SELECT * FROM graft.lake.nope").collect())
     assert(missing.getMessage.toLowerCase.contains("table"))
     val alter = intercept[Exception](
-      spark.sql("ALTER TABLE graft.lake.listed ADD COLUMN extra INT").collect())
+      spark.sql("ALTER TABLE graft.lake.listed RENAME COLUMN cat TO category").collect())
     assert(alter.getMessage.contains("not supported through the graft catalog"))
   }
 
@@ -341,6 +341,26 @@ class GraftCatalogSpec extends SparkSpec {
     val files = scannedFiles(
       spark.sql("SELECT id FROM graft.lake.streamed WHERE id = 3"))
     assert(files.size <= 1, s"streamed-file envelopes must prune, scanned ${files.size}")
+  }
+
+  test("ALTER TABLE ADD COLUMN: metadata-only evolution, old snapshots keep their schema") {
+    val dir = mkTable("lake", "evolved")
+    val filesBefore = ManifestTable.manifest(dir, None).files
+    spark.sql("ALTER TABLE graft.lake.evolved ADD COLUMN note STRING")
+    // zero data I/O: the evolved manifest carries the parent's exact files
+    assert(ManifestTable.manifest(dir, None).files == filesBefore)
+    // old rows read NULL; inserts land values; old snapshot keeps 3 columns
+    spark.sql("INSERT INTO graft.lake.evolved VALUES (5000, 1, 'z', 'annotated')")
+    val r = spark.sql(
+      "SELECT count(*), count(note) FROM graft.lake.evolved").head()
+    assert(r.getLong(0) == 1001 && r.getLong(1) == 1, s"got $r")
+    assert(spark.sql("SELECT * FROM graft.lake.evolved VERSION AS OF 1")
+      .schema.fieldNames.toSeq == Seq("id", "k", "cat"))
+    // non-additive surgery stays refused
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.lake.evolved DROP COLUMN note").collect())
+    assert(e.getMessage.contains("not supported through the graft catalog"),
+      s"got: ${e.getMessage}")
   }
 
   test("DROP TABLE removes the table; dropping a missing table reports false") {

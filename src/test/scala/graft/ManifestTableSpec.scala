@@ -870,6 +870,31 @@ class ManifestTableSpec extends SparkSpec {
     assert(bounded == Set((3L, "delete"), (7L, "delete"), (21L, "insert")), s"got $bounded")
   }
 
+  test("addColumns: metadata-only evolution; appends can widen but never tighten nullability") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 6).map(i => (i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
+    val files = ManifestTable.manifest(dir, None).files
+    ManifestTable.addColumns(dir, Seq(
+      org.apache.spark.sql.types.StructField("note", org.apache.spark.sql.types.StringType)))
+    // zero data I/O, old rows read NULL
+    assert(ManifestTable.manifest(dir, None).files == files)
+    val snap = ManifestTable.snapshot(spark, dir)
+    assert(snap.schema("note").nullable && snap.filter($"note".isNull).count() == 6)
+    // an append whose analyzed schema marks note NON-NULL (literal
+    // values) must not tighten the table schema: old files would fail
+    // to read and count(note) would rewrite to count(*)
+    ManifestTable.commit(Seq((7L, "v7", "hello")).toDF("k", "v", "note"), dir, Seq("k"))
+    val after = ManifestTable.snapshot(spark, dir)
+    assert(after.schema("note").nullable, "append tightened nullability")
+    assert(after.count() == 7 && after.filter($"note".isNotNull).count() == 1)
+    // non-nullable add refused; duplicate add refused
+    intercept[IllegalArgumentException](ManifestTable.addColumns(dir, Seq(
+      org.apache.spark.sql.types.StructField("strict", org.apache.spark.sql.types.LongType,
+        nullable = false))))
+    intercept[IllegalArgumentException](ManifestTable.addColumns(dir, Seq(
+      org.apache.spark.sql.types.StructField("note", org.apache.spark.sql.types.StringType))))
+  }
+
   test("stitched netChanges across a MATERIALIZE boundary is bounded: only touched files read") {
     val dir = freshDir()
     // 4 range-clustered files over k=1..20
