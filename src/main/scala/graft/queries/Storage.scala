@@ -1213,5 +1213,68 @@ object Storage {
               .cast("double").as("sum_price"))
       },
     ),
+    Q(
+      "q215_catalog_stream_read",
+      "The catalog's streaming READ half (spark.readStream.table over " +
+        "a manifest table — graft.sources.GraftMicroBatchStream, " +
+        "manifest versions as offsets): stream #1 delivers the " +
+        "initial snapshot (events before Jan 20) to a parquet sink and " +
+        "stops; a second commit appends the rest; stream #2 RESTARTS " +
+        "from the same checkpoint and delivers exactly the files the " +
+        "new commit appended — the offset log makes replay plan the " +
+        "identical file list, so the sink holds every event exactly " +
+        "once across the restart. The aggregate over the sink is " +
+        "hash-gated against the oracle's full-table rollup: a " +
+        "duplicated snapshot, a re-streamed file, or a missed commit " +
+        "all flip counts. At 100 TB: an idle poll is one head " +
+        "resolution, a drain is O(commits) metadata + appended bytes, " +
+        "and the stream's retention pin keeps a lagging consumer's " +
+        "commits alive (GraftStreamReadSpec pins change-commit " +
+        "refusal, skipChangeCommits, and maintenance-commit skipping).",
+      Some(s"""
+        SELECT event_type, count(*) AS n, $d30_2 AS sum_value
+        FROM events GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        val out = streamedEvents(spark, dir)
+        spark.read.parquet(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+              .cast("double").as("sum_value"))
+      },
+    ),
   )
+
+  /** Built once per (session, sf dir): a catalog table committed in
+    * two halves, consumed by TWO runs of a checkpointed
+    * `readStream.table` stream into one parquet sink — run #1 takes
+    * the initial snapshot, run #2 restarts after the second commit and
+    * drains exactly the appended files. Returns the sink directory;
+    * its content is the exactly-once union the q215 oracle gates.
+    */
+  private def streamedEvents(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"catalog-stream-read:$dir") { p =>
+      val wh = s"$p/wh"
+      spark.conf.set("spark.sql.catalog.graftstr", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftstr.warehouse", wh)
+      val tdir = s"$wh/lake/evstream"
+      new java.io.File(tdir).mkdirs()
+      val ev = Tables(spark, dir).events
+      val split = lit("2024-01-20 00:00:00").cast("timestamp")
+      ManifestTable.commit(
+        ev.filter(col("ts") < split).repartition(4), tdir, track = Seq("ts"))
+      def drain(): Unit = {
+        val q = spark.readStream.table("graftstr.lake.evstream")
+          .writeStream.format("parquet")
+          .option("path", s"$p/out")
+          .option("checkpointLocation", s"$p/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain() // initial snapshot
+      ManifestTable.commit(
+        ev.filter(col("ts") >= split).repartition(3), tdir, track = Seq("ts"))
+      drain() // checkpointed restart: appended files only
+    } + "/out"
 }

@@ -311,6 +311,7 @@ final case class GraftLakeTable(
   })
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
   override def properties(): java.util.Map[String, String] =
@@ -376,8 +377,10 @@ final case class GraftLakeTable(
     // extensions must fail loudly here rather than scan un-applied rows
     require(!m.hasMorDeletes,
       s"catalog table $tableName has pending merge-on-read deletes a bare V2 scan " +
-        "cannot apply; build the session with graft's extensions (Engine.session / " +
-        "GraftFunctions.register) or read via ManifestTable.snapshot/createView")
+        "cannot apply; batch reads need the engine's extensions (Engine.session / " +
+        "GraftFunctions.register — MorApplyRewrite applies the tombstones); " +
+        "streaming reads and extension-less sessions: run " +
+        "ManifestTable.materializeDeletes first, or read via snapshot/createView")
     new GraftLakeScanBuilder(SparkSession.active, dir, m, options)
   }
 }
@@ -517,8 +520,36 @@ final class GraftLakeScanBuilder(
         s"metadata column ${GraftLakeTable.VersionColumn} must be required last, " +
           s"got ${required.fieldNames.mkString(", ")}")
       new ConstLongAppendScan(scan, required, m.version)
-    } else scan
+    } else new GraftLakeScan(scan, spark, dir, m, options, pushed, dataRequired)
   }
+}
+
+/** The catalog's built scan: batch reads delegate verbatim to Spark's
+  * own parquet scan over the pre-pruned survivor files (plans,
+  * metrics, and columnar decoding are untouched); a STREAMING read
+  * (`spark.readStream.table`) gets the manifest-version-offset
+  * micro-batch source ([[GraftMicroBatchStream]]) instead.
+  */
+final class GraftLakeScan(
+    inner: Scan, spark: SparkSession, dir: String, m: ManifestTable.Manifest,
+    options: CaseInsensitiveStringMap,
+    pushed: Seq[Expression], required: StructType) extends Scan {
+
+  /** The delegated parquet scan (plan-inspection hook for specs). */
+  private[graft] def underlying: Scan = inner
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String = inner.description()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(spark, dir, m, options, pushed, required, checkpointLocation)
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.reportDriverMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
 }
 
 /** Wraps a scan to append one constant LONG column to every row —

@@ -95,6 +95,18 @@ object ManifestTable {
     */
   final case class DeleteEntry(path: String, rows: Long, seq: Long)
 
+  /** One committed column rename. `v` is the rename commit's version:
+    * data files with `seq < v` were written under `from`, files with
+    * `seq >= v` under `to` — the file's own data sequence (its entry
+    * version) decides which name its bytes carry, so readers group
+    * files by rename era instead of needing Iceberg-style field IDs
+    * in the parquet footers. Renamed-away names are RETIRED forever
+    * (old files still physically hold them); re-adding one would
+    * resurrect the old bytes under the new column, so
+    * [[addColumns]]/[[renameColumn]] refuse retired names eagerly.
+    */
+  final case class RenameStep(v: Long, from: String, to: String)
+
   final case class Manifest(
       version: Long,
       parent: Option[Long],
@@ -121,10 +133,23 @@ object ManifestTable {
         * changes no visible row. None on every data-changing commit
         * (and every legacy head).
         */
-      op: Option[String] = None) {
+      op: Option[String] = None,
+      /** Committed column renames, ascending by version (see
+        * [[RenameStep]]). Empty for every table that never renamed.
+        */
+      renames: Seq[RenameStep] = Nil,
+      /** Names no column may ever (re)use: renamed-away and dropped
+        * column names, whose bytes old files still hold.
+        */
+      retired: Seq[String] = Nil) {
     def hasMorDeletes: Boolean = deleteFiles.nonEmpty || posDeleteFiles.nonEmpty
     /** applied(this) == applied(parent): no visible row changed. */
     def statePreserving: Boolean = op.exists(StatePreservingOps)
+    /** Does at least one LIVE file predate at least one rename (i.e.
+      * a single fixed-schema scan would mis-read it)?
+      */
+    def renamesApply: Boolean =
+      renames.nonEmpty && files.exists(f => renames.exists(_.v > f.seq))
   }
 
   private val StatePreservingOps = Set("materialize", "compact")
@@ -244,7 +269,13 @@ object ManifestTable {
       // pending deletes CARRY in the new manifest (default) and still
       // apply to them on read
       val df = appliedRead(spark, head, small)
-      installRewrite(df.repartitionByRange(numFiles, col(clusterBy)), dir, head, small.toSet, None)
+      // state-preserving: the folded files rewrite through the applied
+      // view and untouched files keep their carried tombstones, so no
+      // visible row changes — the marker lets netChanges stitch a
+      // bounded feed and a streaming read skip the rewrite, same as a
+      // full compact
+      installRewrite(df.repartitionByRange(numFiles, col(clusterBy)),
+        dir, head, small.toSet, None, op = Some("compact"))
     }
   }
 
@@ -267,7 +298,8 @@ object ManifestTable {
     // both sides read with toV's schema (additive evolution fills
     // pre-existence columns with NULL) — the from-side manifest keeps
     // its own file/delete lists but adopts the newer schema
-    val a = manifest(dir, Some(fromV)).copy(schemaJson = b.schemaJson)
+    val a = manifest(dir, Some(fromV)).copy(schemaJson = b.schemaJson,
+      renames = b.renames, retired = b.retired)
     // Pending merge-on-read tombstones may GROW across the range (each
     // is immutable once committed, so superset == "only added"): the
     // rows they newly kill surface as 'delete' feed rows below. A range
@@ -348,7 +380,8 @@ object ManifestTable {
           // column count (additive evolution fills pre-existence columns
           // with NULL on the older files)
           val mB = manifest(dir, Some(toV))
-          val mA = manifest(dir, Some(fromV)).copy(schemaJson = mB.schemaJson)
+          val mA = manifest(dir, Some(fromV)).copy(schemaJson = mB.schemaJson,
+            renames = mB.renames, retired = mB.retired)
           val a = appliedRead(spark, mA, mA.files.map(_.path))
           val b = appliedRead(spark, mB, mB.files.map(_.path))
           b.exceptAll(a).withColumn("_change", lit("insert"))
@@ -422,7 +455,8 @@ object ManifestTable {
       val v = head.get + 1
       committed = tryInstall(dir,
         Manifest(v, head, None, src.schemaJson, src.track, src.files,
-          src.deleteKeys, src.deleteFiles, src.posDeleteFiles))
+          src.deleteKeys, src.deleteFiles, src.posDeleteFiles,
+          renames = src.renames, retired = src.retired))
     }
     committed
   }
@@ -501,7 +535,11 @@ object ManifestTable {
         parent.map(_.files).getOrElse(Seq.empty) ++ newFiles.map(_.copy(seq = v)),
         parent.map(_.deleteKeys).getOrElse(Nil),
         parent.map(_.deleteFiles).getOrElse(Nil),
-        parent.map(_.posDeleteFiles).getOrElse(Nil))
+        parent.map(_.posDeleteFiles).getOrElse(Nil),
+        // appends inherit the rename chain (their files carry seq = v,
+        // past every step); replace starts clean — no old file survives
+        renames = parent.map(_.renames).getOrElse(Nil),
+        retired = parent.map(_.retired).getOrElse(Nil))
       committed = tryInstall(dir, m)
     }
     committed
@@ -1056,12 +1094,20 @@ object ManifestTable {
         }
       }
       val v = cur.version + 1
+      // a concurrent schema change (add/rename/drop) would make the
+      // staged rewrite's bytes stale — its files were written under
+      // base's schema and name era
+      if (cur.schemaJson != base.schemaJson || cur.renames != base.renames)
+        throw new java.util.ConcurrentModificationException(
+          s"$dir: schema evolved (v${base.version} -> v${cur.version}) while this " +
+            "rewrite was staged; re-plan against the new head")
       val m = Manifest(v, Some(cur.version), txn, base.schemaJson, base.track,
         cur.files.filterNot(f => removed(f.path)) ++ newFiles.map(_.copy(seq = v)),
         if (clearDeletes) Nil else base.deleteKeys,
         if (clearDeletes) Nil else base.deleteFiles,
         if (clearDeletes) Nil else base.posDeleteFiles,
-        op = op)
+        op = op,
+        renames = cur.renames, retired = cur.retired)
       committed = tryInstall(dir, m)
     }
     committed
@@ -1703,7 +1749,10 @@ object ManifestTable {
         ("schema" -> m.schemaJson) ~ ("track" -> m.track) ~
         ("segments" -> segNames) ~
         ("deleteKeys" -> m.deleteKeys) ~ ("deleteFiles" -> delJson(m.deleteFiles)) ~
-        ("posDeleteFiles" -> delJson(m.posDeleteFiles)) ~ ("op" -> m.op)))
+        ("posDeleteFiles" -> delJson(m.posDeleteFiles)) ~ ("op" -> m.op) ~
+        ("renames" -> m.renames.map(r =>
+          ("v" -> r.v) ~ ("from" -> r.from) ~ ("to" -> r.to))) ~
+        ("retired" -> m.retired)))
   }
 
   private def renderSegment(entries: Seq[FileEntry]): String = {
@@ -1785,7 +1834,16 @@ object ManifestTable {
       delEntries(j \ "deleteFiles"),
       delEntries(j \ "posDeleteFiles"),
       (j \ "ts").extractOpt[Long],
-      (j \ "op").extractOpt[String])
+      (j \ "op").extractOpt[String],
+      ((j \ "renames") match {
+        case JNothing => Nil
+        case r => r.extract[Seq[JValue]].map(s => RenameStep(
+          (s \ "v").extract[Long], (s \ "from").extract[String], (s \ "to").extract[String]))
+      }),
+      ((j \ "retired") match {
+        case JNothing => Nil
+        case r => r.extract[Seq[String]]
+      }))
   }
 
   private def delEntries(j: org.json4s.JValue): Seq[DeleteEntry] = {

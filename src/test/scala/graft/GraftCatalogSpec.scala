@@ -33,7 +33,10 @@ class GraftCatalogSpec extends SparkSpec {
   /** Files the executed V2 plan will open. */
   private def scannedFiles(df: DataFrame): Seq[String] =
     df.queryExecution.executedPlan.collect {
-      case b: BatchScanExec => b.scan match {
+      case b: BatchScanExec => (b.scan match {
+        case g: graft.sources.GraftLakeScan => g.underlying
+        case o => o
+      }) match {
         case p: ParquetScan => p.fileIndex.inputFiles.toSeq
         case _ => Seq.empty
       }
@@ -127,7 +130,10 @@ class GraftCatalogSpec extends SparkSpec {
     assert(scanStr.contains("PushedFilters") && scanStr.contains("id"),
       s"parquet pushdown missing from:\n$scanStr")
     val read = q.queryExecution.executedPlan.collect {
-      case b: BatchScanExec => b.scan match { case p: ParquetScan => p.readDataSchema.fieldNames.toSeq }
+      case b: BatchScanExec => (b.scan match {
+        case g: graft.sources.GraftLakeScan => g.underlying
+        case o => o
+      }) match { case p: ParquetScan => p.readDataSchema.fieldNames.toSeq }
     }.flatten
     assert(read.toSet == Set("id", "cat"), s"column pruning must reach the scan: $read")
     assert(q.collect().map(_.getString(0)).toSeq == Seq(s"s${42 % 13}"))

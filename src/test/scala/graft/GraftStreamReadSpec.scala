@@ -1,0 +1,153 @@
+package graft
+
+import graft.sources.ManifestTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The catalog's streaming READ half ([[graft.sources.GraftMicroBatchStream]]):
+  * `spark.readStream.table` over a manifest table with manifest-version
+  * offsets — initial snapshot, append-only increments, change-commit
+  * refusal/skip, exactly-once across checkpointed restarts, and the
+  * retention pin that keeps a lagging stream's commits alive.
+  */
+class GraftStreamReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = tmpDir("graft-sr-warehouse").toString
+    spark.conf.set("spark.sql.catalog.graftsr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftsr.warehouse", w)
+    w
+  }
+
+  private def mkTable(name: String, ids: Range): String = {
+    val dir = s"$warehouse/lake/$name"
+    new java.io.File(dir).mkdirs()
+    ManifestTable.commit(
+      ids.map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(2),
+      dir, track = Seq("id"))
+    dir
+  }
+
+  private def append(dir: String, ids: Range): Unit =
+    ManifestTable.commit(
+      ids.map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(1),
+      dir, track = Seq("id")): Unit
+
+  private def startInto(
+      mem: String, table: String, ckpt: java.nio.file.Path,
+      options: Map[String, String] = Map.empty): StreamingQuery = {
+    var r = spark.readStream
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    r.table(table).writeStream
+      .format("memory").queryName(mem)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+  }
+
+  private def memIds(mem: String): Seq[Long] =
+    spark.table(mem).select("id").as[Long].collect().toSeq.sorted
+
+  test("initial snapshot, then append-only increments; exactly-once across restart") {
+    val dir = mkTable("ev", 1 to 10)
+    append(dir, 11 to 15)
+    val ckpt = tmpDir("sr-ckpt")
+    val out = tmpDir("sr-out").toString
+    def sinkIds(): Seq[Long] =
+      spark.read.parquet(out).select("id").as[Long].collect().toSeq.sorted
+    def drain(): Unit = {
+      val q = spark.readStream.table("graftsr.lake.ev").writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(sinkIds() == (1L to 15L), "first batch = full snapshot at start version")
+    // restart from the same checkpoint: only NEW commits, no re-delivery
+    append(dir, 16 to 20)
+    append(dir, 21 to 25)
+    drain()
+    assert(sinkIds() == (1L to 25L),
+      s"restart must deliver exactly the unseen commits once, got ${sinkIds().size} rows")
+    // an idle restart delivers nothing
+    drain()
+    assert(sinkIds() == (1L to 25L), "idle restart must re-deliver nothing")
+    // the stream registered and advanced a retention pin (the pin is a
+    // FLOOR — the source's commit callback fires on the next trigger,
+    // so it may lag the delivered offset by one batch; lagging retains
+    // more, never less)
+    val pins = ManifestTable.cursorPins(dir)
+    assert(pins.exists { case (n, v) => n.startsWith("stream-") && v >= 2 },
+      s"stream must pin its processed version for retention, got $pins")
+  }
+
+  test("a change commit is refused loudly by default; skipChangeCommits skips it wholesale") {
+    val dir = mkTable("chg", 1 to 10)
+    val ckpt = tmpDir("sr-chg-ckpt")
+    val q = startInto("sr_chg", "graftsr.lake.chg", ckpt)
+    try {
+      q.processAllAvailable()
+      assert(memIds("sr_chg") == (1L to 10L))
+      ManifestTable.delete(spark, dir, col("id") === 3L)
+      append(dir, 11 to 12)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = Option(e.getCause).map(_.toString).getOrElse(e.toString)
+      assert(msg.contains("not append-only") && msg.contains("skipChangeCommits"),
+        s"refusal must name the contract and the opt-out, got: $msg")
+    } finally q.stop()
+    // fresh checkpoint with the opt-out: delete commit skipped, appends flow.
+    // NOTE the documented trade: the skipped commit's file REWRITES are
+    // skipped too, so the snapshot it started from is what was delivered.
+    val q2 = startInto("sr_chg2", "graftsr.lake.chg", tmpDir("sr-chg-ckpt2"),
+      Map("skipChangeCommits" -> "true", "startingVersion" -> "2"))
+    try {
+      q2.processAllAvailable()
+      assert(memIds("sr_chg2") == (11L to 12L),
+        s"change commit skipped, append delivered: ${memIds("sr_chg2")}")
+    } finally q2.stop()
+  }
+
+  test("state-preserving maintenance commits stream nothing (no duplicates)") {
+    val dir = mkTable("mnt", 1 to 6)
+    // many small files so compactSmall has work
+    append(dir, 7 to 7); append(dir, 8 to 8); append(dir, 9 to 9)
+    val ckpt = tmpDir("sr-mnt-ckpt")
+    val q = startInto("sr_mnt", "graftsr.lake.mnt", ckpt)
+    try {
+      q.processAllAvailable()
+      assert(memIds("sr_mnt") == (1L to 9L))
+      val before = ManifestTable.latestVersion(dir).get
+      ManifestTable.compactSmall(spark, dir, clusterBy = "id", minRows = 1000, numFiles = 1)
+      assert(ManifestTable.latestVersion(dir).get > before, "fixture must actually compact")
+      assert(ManifestTable.manifest(dir, None).statePreserving)
+      append(dir, 10 to 12)
+      q.processAllAvailable()
+      assert(memIds("sr_mnt") == (1L to 12L),
+        s"compaction rewrites carry only delivered rows — must not re-stream: ${memIds("sr_mnt")}")
+    } finally q.stop()
+  }
+
+  test("startingVersion streams changes-only from that commit; MoR snapshot start refused") {
+    val dir = mkTable("sv", 1 to 10) // v1
+    append(dir, 11 to 13) // v2
+    append(dir, 14 to 15) // v3
+    val q = startInto("sr_sv", "graftsr.lake.sv", tmpDir("sr-sv-ckpt"),
+      Map("startingVersion" -> "2"))
+    try {
+      q.processAllAvailable()
+      assert(memIds("sr_sv") == (11L to 15L),
+        s"startingVersion=2 must deliver v2..head, no snapshot: ${memIds("sr_sv")}")
+    } finally q.stop()
+    // a starting snapshot with pending MoR tombstones cannot be applied by a bare scan
+    ManifestTable.deleteByKey(Seq(3L).toDF("id"), dir, keys = Seq("id"))
+    val e = intercept[Exception] {
+      val q2 = startInto("sr_sv2", "graftsr.lake.sv", tmpDir("sr-sv-ckpt2"))
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(e.toString.contains("merge-on-read") ||
+      Option(e.getCause).exists(_.toString.contains("merge-on-read")),
+      s"MoR snapshot start must refuse loudly, got $e")
+  }
+}
