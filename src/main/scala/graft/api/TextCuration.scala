@@ -222,6 +222,54 @@ object TextCuration {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** CHARACTER-level exact-substring duplication profile: for each
+    * doc, how many of its length-`L` character windows appear VERBATIM
+    * in at least one other document — the exact-substring member of
+    * the dedup family (the C4/RefinedWeb "remove any three-sentence
+    * span seen before" policy generalized to fixed-length windows;
+    * [[spanDupStats]] is the token-shingle cousin). Returns
+    * (idCol, n_windows, dup_windows) — integer counts, exact
+    * cross-engine.
+    *
+    * Scale shape — two passes so raw window STRINGS never shuffle for
+    * the (overwhelming) non-duplicated majority:
+    *  1. every window projects to its 8-byte `xxhash64` in the map
+    *     stage; one shuffle of distinct (hash, doc) pairs finds hashes
+    *     seen in >= 2 docs (candidate spans, tiny under real-world
+    *     duplication rates);
+    *  2. ONLY candidate positions re-derive their strings (semi join
+    *     on the hash), group by the string itself — killing hash
+    *     collisions, so the result is EXACT, the hash is purely a
+    *     prefilter — and verify >= 2 distinct docs before counting a
+    *     window as duplicated.
+    * Work is O(total chars) map-side + shuffles bounded by distinct
+    * hashes and candidate spans; never docs², never a full-string
+    * shuffle of the clean corpus.
+    */
+  def substringDupProfile(df: DataFrame, idCol: String, textCol: String, L: Int): DataFrame = {
+    require(L >= 4, s"window length $L too short to mean anything")
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= L)
+    val win = base.select(col("__id"), col("__t"),
+      explode(sequence(lit(1), length(col("__t")) - (L - 1))).as("__i"))
+    val hashed = win.select(col("__id"), col("__t"), col("__i"),
+      expr(s"xxhash64(substring(__t, __i, $L))").as("__h"))
+    val dupHash = hashed.select("__h", "__id").distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__hdf"))
+      .filter(col("__hdf") >= 2).select("__h")
+    val cand = hashed.join(dupHash.hint("SHUFFLE_HASH"), Seq("__h"), "left_semi")
+      .select(col("__id"), expr(s"substring(__t, __i, $L)").as("__g"))
+    val verified = cand.select("__g", "__id").distinct()
+      .groupBy("__g").agg(count(lit(1)).as("__gdf"))
+      .filter(col("__gdf") >= 2).select("__g")
+    val perDoc = cand.join(verified.hint("SHUFFLE_HASH"), Seq("__g"), "left_semi")
+      .groupBy("__id").agg(count(lit(1)).cast("long").as("dup_windows"))
+    base.select(col("__id"), (length(col("__t")) - (L - 1)).cast("long").as("n_windows"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+  }
+
   /** MinHash signatures (TextKit.MinhashK permutations of the trigram
     * shingle hash): columns (id, m0..m15).
     */

@@ -101,11 +101,34 @@ object ManifestSkipping extends PredicateHelper {
   final case class Stats(
       dir: String,
       track: Seq[String],
-      rawMins: Map[String, Option[String]], rawMaxs: Map[String, Option[String]]) {
-    def tracked(col: String): Boolean = track.contains(col)
-    def mn(col: String): Option[String] = rawMins.getOrElse(col, None)
-    def mx(col: String): Option[String] = rawMaxs.getOrElse(col, None)
+      rawMins: Map[String, Option[String]], rawMaxs: Map[String, Option[String]],
+      /** Current column name -> its HISTORICAL names (newest first),
+        * from the manifest's rename chain: a pre-rename file's envelope
+        * is keyed under the name its bytes carry. Retired names are
+        * never reused, so at most one key matches per file — the alias
+        * walk cannot pick up a stranger's envelope.
+        */
+      aliases: Map[String, Seq[String]] = Map.empty) {
+    private def keys(col: String): Seq[String] = col +: aliases.getOrElse(col, Nil)
+    /** A column prunes if the CURRENT name is tracked, or if it is a
+      * historical alias of a tracked column (filters pushed under a
+      * rename-era projection arrive in era names — those hit the old
+      * files' stat keys directly).
+      */
+    def tracked(col: String): Boolean =
+      track.contains(col) ||
+        aliases.exists { case (cur, hs) => hs.contains(col) && track.contains(cur) }
+    def mn(col: String): Option[String] =
+      keys(col).collectFirst { case k if rawMins.contains(k) => rawMins(k) }.flatten
+    def mx(col: String): Option[String] =
+      keys(col).collectFirst { case k if rawMaxs.contains(k) => rawMaxs(k) }.flatten
   }
+
+  /** The rename-alias map for `m`'s committed schema (empty for the
+    * overwhelmingly common never-renamed table).
+    */
+  private[graft] def aliasesOf(m: ManifestTable.Manifest): Map[String, Seq[String]] =
+    ManifestTable.renameAliases(m)
 
   /** The files of `files` that MAY satisfy `cond` per the committed
     * envelopes + Bloom sidecars; None when the filter contributes no
@@ -299,7 +322,7 @@ object ManifestSkipping extends PredicateHelper {
       dir -> cache.computeIfAbsent(key, { _ =>
         ManifestTable.versions(dir).flatMap { v =>
           val m = ManifestTable.manifest(dir, Some(v))
-          m.files.map(f => f.path -> Stats(dir, m.track, f.mins, f.maxs))
+          m.files.map(f => f.path -> Stats(dir, m.track, f.mins, f.maxs, aliasesOf(m)))
         }.toMap
       })
     }.toMap

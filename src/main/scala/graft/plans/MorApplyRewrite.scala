@@ -62,7 +62,10 @@ case class MorApplyRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => plan.resolveOperatorsUp {
       case r: DataSourceV2Relation =>
         r.table match {
-          case t: GraftLakeTable if t.m.hasMorDeletes =>
+          // same treatment for rename-era tables: a single fixed-schema
+          // scan would read pre-rename files' renamed columns as NULL;
+          // the snapshot plan groups files by rename era instead
+          case t: GraftLakeTable if t.m.hasMorDeletes || t.m.renamesApply =>
             val applied = ManifestTable.snapshot(spark, t.dir, Some(t.m.version))
             val child = applied.queryExecution.analyzed
             val byName = child.output.map(a => a.name -> a).toMap

@@ -1244,7 +1244,71 @@ object Storage {
               .cast("double").as("sum_value"))
       },
     ),
+    Q(
+      "q216_catalog_rename_sql",
+      "ALTER TABLE RENAME COLUMN as METADATA-ONLY schema evolution " +
+        "(ManifestTable.renameColumn — zero data I/O where a naive " +
+        "lake rename rewrites the table): lake/evren commits January's " +
+        "events under the original `value` column, SQL renames it to " +
+        "`amount`, and the rest of the month appends under the NEW " +
+        "name. Old files keep their bytes under the old physical name; " +
+        "the committed rename chain groups live files by NAME ERA, " +
+        "reads each era under the names its bytes carry, and projects " +
+        "back to the committed schema (one extra scan per era, never " +
+        "per file — SchemaEvolutionSpec pins zero files written and " +
+        "era-pushed envelope pruning). Plain SQL gets the era-union " +
+        "plan through the injected rewrite rule; VERSION AS OF 1 still " +
+        "reads the old schema. Hash-gated: a mis-grouped era would " +
+        "NULL out half the amounts.",
+      Some(s"""
+        WITH cur AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_amount
+          FROM events GROUP BY event_type
+        ),
+        pre AS (
+          SELECT count(*) AS pre_rename_rows FROM events
+          WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        )
+        SELECT cur.event_type, cur.n, cur.sum_amount, pre.pre_rename_rows
+        FROM cur CROSS JOIN pre
+      """.trim),
+      (spark, dir) => {
+        val wh = renamedEvents(spark, dir)
+        spark.conf.set("spark.sql.catalog.graftren", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftren.warehouse", wh)
+        spark.sql("""
+          SELECT cur.event_type, cur.n, cur.sum_amount, pre.pre_rename_rows
+          FROM (SELECT event_type, count(*) AS n,
+                       CAST(sum(CAST(amount AS DECIMAL(30,2))) AS DOUBLE) AS sum_amount
+                FROM graftren.lake.evren GROUP BY event_type) cur
+          CROSS JOIN (SELECT count(*) AS pre_rename_rows
+                      FROM graftren.lake.evren VERSION AS OF 1) pre
+        """)
+      },
+    ),
   )
+
+  /** Built once per (session, sf dir): events committed pre-rename
+    * (January under `value`), SQL-renamed to `amount`, the rest
+    * appended under the new name — two live name eras.
+    */
+  private def renamedEvents(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"catalog-rename:$dir") { p =>
+      val wh = s"$p/wh"
+      spark.conf.set("spark.sql.catalog.graftren", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftren.warehouse", wh)
+      val tdir = s"$wh/lake/evren"
+      new java.io.File(tdir).mkdirs()
+      val ev = Tables(spark, dir).events
+      val split = lit("2024-01-20 00:00:00").cast("timestamp")
+      ManifestTable.commit(
+        ev.filter(col("ts") < split).repartition(4), tdir, track = Seq("ts"))
+      spark.sql("ALTER TABLE graftren.lake.evren RENAME COLUMN value TO amount")
+      ManifestTable.commit(
+        ev.filter(col("ts") >= split).withColumnRenamed("value", "amount")
+          .repartition(3), tdir, track = Seq("ts"))
+    } + "/wh"
 
   /** Built once per (session, sf dir): a catalog table committed in
     * two halves, consumed by TWO runs of a checkpointed

@@ -554,6 +554,53 @@ object TextOps {
           graft.api.TextCuration.spanDupStats(Tables(spark, dir).documents, "doc_id", "text"),
       ),
       Q(
+        "q217_substring_dedup",
+        "CHARACTER-level exact-substring duplication (the C4/RefinedWeb " +
+          "remove-any-span-seen-before policy as a profile; q105 is the " +
+          "token-shingle cousin): per source, how many 30-char windows " +
+          "appear verbatim in >= 2 docs. Two-pass hash-prefilter shape " +
+          "(TextCuration.substringDupProfile): every window ships only " +
+          "its 8-byte xxhash64 through the df shuffle; ONLY positions " +
+          "whose hash repeats re-derive their strings and verify by the " +
+          "STRING itself (collisions killed — the hash is a prefilter, " +
+          "the result exact). At 100 TB the clean majority of a corpus " +
+          "never shuffles raw text; work ~ total chars map-side + " +
+          "candidate spans. Hash-gated against DuckDB's direct " +
+          "generate_series/substr reconstruction.",
+        Some("""
+          WITH pos AS (
+            SELECT i FROM generate_series(1, 4096) AS t(i)
+          ),
+          wins AS (
+            SELECT doc_id, source, substr(text, CAST(i AS INT), 30) AS g
+            FROM documents JOIN pos ON i <= CAST(length(text) AS BIGINT) - 29
+            WHERE length(text) >= 30
+          ),
+          dup AS (SELECT g FROM wins GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+          per AS (
+            SELECT w.doc_id, w.source, CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(count(d.g) AS BIGINT) AS dup_windows
+            FROM wins w LEFT JOIN dup d ON w.g = d.g
+            GROUP BY w.doc_id, w.source
+          )
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN dup_windows > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_dup,
+                 CAST(sum(dup_windows) AS BIGINT) AS dup_windows,
+                 CAST(sum(n_windows) AS BIGINT) AS n_windows
+          FROM per GROUP BY source
+        """.trim),
+        (spark, dir) => {
+          val docs = Tables(spark, dir).documents
+          graft.api.TextCuration.substringDupProfile(docs, "doc_id", "text", L = 30)
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(count(lit(1)).cast("long").as("n_docs"),
+              sum(when(col("dup_windows") > 0, 1).otherwise(0)).cast("long").as("docs_with_dup"),
+              sum(col("dup_windows")).cast("long").as("dup_windows"),
+              sum(col("n_windows")).cast("long").as("n_windows"))
+        },
+      ),
+      Q(
         "q107_bm25_indexed",
         "BM25 served from the PERSISTED inverted index (train-once twin " +
           "of q104, the phrase/LSH/hash/IVF index pattern): the scan reads " +

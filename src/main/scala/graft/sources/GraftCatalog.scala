@@ -100,7 +100,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(d => Identifier.of(namespace, d.getName))
   }
 
-  override def loadTable(ident: Identifier): Table = load(ident, None)
+  override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: `SELECT * FROM graft.lake.`t$history``
+    // (and $files / $refs) — driver-local scans over resolved manifest
+    // metadata, O(versions)/O(files) control-plane rows at any scale
+    val cut = ident.name.lastIndexOf('$')
+    if (cut > 0) {
+      val (base, suffix) = (ident.name.substring(0, cut), ident.name.substring(cut + 1))
+      val baseIdent = Identifier.of(ident.namespace(), base)
+      if (GraftMetaTables.Suffixes.contains(suffix)) {
+        if (!tableExists(baseIdent)) throw new NoSuchTableException(baseIdent)
+        return GraftMetaTables(ident.toString, dirOf(baseIdent), suffix)
+      }
+    }
+    load(ident, None)
+  }
 
   /** `VERSION AS OF <v>` / `VERSION AS OF '<tag>'` — the SQL spelling
     * of snapshot time travel; a non-numeric version string resolves as
@@ -210,24 +224,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     load(ident, None)
   }
 
-  /** `ALTER TABLE ... ADD COLUMN(S)`: additive evolution as a
-    * metadata-only commit ([[ManifestTable.addColumns]] — zero data
-    * I/O, old snapshots keep their committed schemas). Every other
-    * change class is a rewrite in disguise and stays refused.
+  /** `ALTER TABLE ... ADD / RENAME / DROP COLUMN(S)`: all three are
+    * METADATA-ONLY commits — zero data I/O at any table size
+    * ([[ManifestTable.addColumns]] / [[ManifestTable.renameColumn]] /
+    * [[ManifestTable.dropColumns]]; old snapshots keep their committed
+    * schemas, old files keep their bytes, the rename chain tells
+    * readers which name each file's bytes carry, and retired names can
+    * never be re-added). Retypes and other schema surgery remain
+    * refused — those really are rewrites.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val adds = changes.map {
+    val dir = dirOf(ident)
+    def top(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"ALTER TABLE $ident: only top-level columns can be $what " +
+          s"(got ${fieldNames.mkString(".")})")
+      fieldNames.head
+    }
+    val adds = changes.collect {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          s"ALTER TABLE $ident: only top-level columns can be added " +
-            s"(got ${a.fieldNames.mkString(".")})")
         require(a.isNullable,
           s"ALTER TABLE $ident: new column ${a.fieldNames.head} must be nullable " +
             "(pre-evolution files have no value for it)")
-        StructField(a.fieldNames.head, a.dataType, nullable = true)
+        StructField(top(a.fieldNames, "added"), a.dataType, nullable = true)
+    }
+    val others = changes.filterNot(_.isInstanceOf[TableChange.AddColumn]).map {
+      case r: TableChange.RenameColumn => () =>
+        ManifestTable.renameColumn(dir, top(r.fieldNames, "renamed"), r.newName): Unit
+      case d: TableChange.DeleteColumn => () =>
+        ManifestTable.dropColumns(dir, Seq(top(d.fieldNames, "dropped"))): Unit
       case other => unsupported(s"ALTER TABLE (${other.getClass.getSimpleName})")
     }
-    ManifestTable.addColumns(dirOf(ident), adds)
+    if (adds.nonEmpty) ManifestTable.addColumns(dir, adds)
+    others.foreach(_.apply())
     loadTable(ident)
   }
 
@@ -365,6 +394,10 @@ final case class GraftLakeTable(
       s"${info.command} on $tableName: table has pending merge-on-read deletes the " +
         "copy-on-write rewrite cannot apply; run ManifestTable.materializeDeletes " +
         "first, or use the typed API (merge/update/delete), which applies them")
+    require(!m.renamesApply,
+      s"${info.command} on $tableName: table has files predating a column rename, " +
+        "which the rewrite's bare scan would mis-read; run ManifestTable.compact " +
+        "first (rewrites every file into the current name era), or use the typed API")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new GraftRowLevelOperation(dir, m, info.command)
     }
@@ -375,12 +408,13 @@ final case class GraftLakeTable(
     // rewrites tombstone-carrying relations before planning); a foreign
     // session that configured the catalog without the engine's
     // extensions must fail loudly here rather than scan un-applied rows
-    require(!m.hasMorDeletes,
-      s"catalog table $tableName has pending merge-on-read deletes a bare V2 scan " +
-        "cannot apply; batch reads need the engine's extensions (Engine.session / " +
-        "GraftFunctions.register — MorApplyRewrite applies the tombstones); " +
-        "streaming reads and extension-less sessions: run " +
-        "ManifestTable.materializeDeletes first, or read via snapshot/createView")
+    require(!m.hasMorDeletes && !m.renamesApply,
+      s"catalog table $tableName has pending merge-on-read deletes and/or " +
+        "pre-rename files a bare V2 scan cannot read correctly; batch reads need " +
+        "the engine's extensions (Engine.session / GraftFunctions.register — " +
+        "MorApplyRewrite swaps in the applied-read plan); streaming reads and " +
+        "extension-less sessions: run ManifestTable.materializeDeletes / compact " +
+        "first, or read via snapshot/createView")
     new GraftLakeScanBuilder(SparkSession.active, dir, m, options)
   }
 }
@@ -495,7 +529,8 @@ final class GraftLakeScanBuilder(
     val paths = pushed.reduceOption(And) match {
       case Some(cond) if enabled =>
         val stats = m.files.map(f =>
-          f.path -> ManifestSkipping.Stats(dir, m.track, f.mins, f.maxs)).toMap
+          f.path -> ManifestSkipping.Stats(
+            dir, m.track, f.mins, f.maxs, ManifestSkipping.aliasesOf(m))).toMap
         ManifestSkipping.survivors(cond, all, stats).getOrElse(all)
       case _ => all
     }
@@ -533,10 +568,26 @@ final class GraftLakeScanBuilder(
 final class GraftLakeScan(
     inner: Scan, spark: SparkSession, dir: String, m: ManifestTable.Manifest,
     options: CaseInsensitiveStringMap,
-    pushed: Seq[Expression], required: StructType) extends Scan {
+    pushed: Seq[Expression], required: StructType)
+  extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** The delegated parquet scan (plan-inspection hook for specs). */
   private[graft] def underlying: Scan = inner
+
+  /** Statistics pass through from the delegated parquet scan (post
+    * manifest pruning, so a selective filter shrinks the estimate) —
+    * hiding them would make every catalog table look default-huge and
+    * kill Catalyst's automatic broadcast-join selection.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
 
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String = inner.description()

@@ -97,10 +97,11 @@ final class GraftMicroBatchStream(
         // commit `sv` itself is the first thing delivered
         GraftStreamOffset(sv - 1, snapshotDone = true)
       case None =>
-        require(!startManifest.hasMorDeletes,
+        require(!startManifest.hasMorDeletes && !startManifest.renamesApply,
           s"streaming read of $dir: the starting snapshot has pending merge-on-read " +
-            "deletes a streaming scan cannot apply; run ManifestTable.materializeDeletes " +
-            "first (or start from a later version with option(\"startingVersion\", N))")
+            "deletes and/or pre-rename files a streaming scan cannot read; run " +
+            "ManifestTable.materializeDeletes / compact first (or start from a later " +
+            "version with option(\"startingVersion\", N))")
         GraftStreamOffset(startManifest.version, snapshotDone = false)
     }
     ManifestTable.pinCursor(dir, pinName, math.max(off.version, 0L))
@@ -135,9 +136,9 @@ final class GraftMicroBatchStream(
       if (start.version >= 1) manifestAt(start.version) else null
     if (!start.snapshotDone) {
       require(parent != null, s"streaming read of $dir: no snapshot at v${start.version}")
-      require(!parent.hasMorDeletes,
+      require(!parent.hasMorDeletes && !parent.renamesApply,
         s"streaming read of $dir: starting snapshot v${start.version} has pending " +
-          "merge-on-read deletes a streaming scan cannot apply")
+          "merge-on-read deletes and/or pre-rename files a streaming scan cannot read")
       out ++= parent.files.map(_.path)
     }
     ((start.version + 1) to end.version).foreach { v =>
@@ -153,6 +154,17 @@ final class GraftMicroBatchStream(
           (parent != null &&
             (mv.deleteFiles.map(_.path).toSet -- parent.deleteFiles.map(_.path).toSet).nonEmpty ||
             (mv.posDeleteFiles.map(_.path).toSet -- parent.posDeleteFiles.map(_.path).toSet).nonEmpty)
+      // batches read with the schema captured at stream (re)start.
+      // Additive evolution is safe either way (extra columns are
+      // ignored / missing ones read NULL); a RENAME or DROP landing
+      // after this stream captured its schema is not — names shifted
+      // under the offsets
+      if (mv.renames.size > startManifest.renames.size ||
+          mv.retired.size > startManifest.retired.size)
+        throw new IllegalStateException(
+          s"streaming read of $dir: commit v$v renamed or dropped a column after " +
+            "this stream captured its schema; restart the stream from a fresh " +
+            "checkpoint (or startingVersion after the change) to pick up the new schema")
       if (mv.statePreserving) {
         // rewrite of already-delivered rows: nothing new to stream
       } else if (removed.nonEmpty || newTombstones) {
@@ -163,6 +175,14 @@ final class GraftMicroBatchStream(
             "\"true\") to skip such commits, or consume the change feed " +
             "(graft.streaming.ChangeFeedStream) for full CDC semantics")
       } else {
+        // a file written BEFORE a rename this stream's schema already
+        // carries cannot be read under the current names (restart
+        // lagging across a rename boundary)
+        val misread = added.filter(f => startManifest.renames.exists(_.v > f.seq))
+        if (misread.nonEmpty) throw new IllegalStateException(
+          s"streaming read of $dir: commit v$v's files predate a column rename; " +
+            "this stream's checkpoint lags across the rename boundary — restart " +
+            "from a fresh checkpoint (initial snapshot reads every era correctly)")
         out ++= added.map(_.path)
       }
       parent = mv

@@ -186,8 +186,84 @@ object ManifestTable {
       val schema = DataFrameSchema.fromJson(cur.schemaJson)
       val clash = fields.map(_.name).filter(schema.fieldNames.contains)
       require(clash.isEmpty, s"column(s) ${clash.mkString(", ")} already exist")
+      val ghost = fields.map(_.name).filter(cur.retired.contains)
+      require(ghost.isEmpty,
+        s"column name(s) ${ghost.mkString(", ")} are retired (renamed away or " +
+          "dropped): old data files still physically hold bytes under them, and " +
+          "re-adding the name would resurrect those bytes as the new column")
       val m = cur.copy(version = cur.version + 1, parent = Some(cur.version), txn = None,
         schemaJson = StructType(schema.fields ++ fields).json, op = None)
+      committed = tryInstall(dir, m)
+    }
+    committed
+  }
+
+  /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit — zero data
+    * I/O at any table size, where a naive lake rename is a full
+    * rewrite. Old files keep their bytes under the old physical name;
+    * the committed [[RenameStep]] chain tells readers which name each
+    * file's bytes carry (its entry sequence vs the step's version), so
+    * [[readData]] groups live files by rename ERA, reads each era under
+    * its own names, and selects back to the committed schema — one
+    * extra scan per era, never per file, and new files always scan
+    * plain. The old name is retired forever ([[Manifest.retired]]):
+    * re-adding it would resurrect the old bytes. Envelope stats keyed
+    * under the old name keep pruning through the alias-aware lookup in
+    * [[graft.plans.ManifestSkipping]].
+    */
+  def renameColumn(dir: String, from: String, to: String): Long = {
+    require(from != to, s"rename $from -> $to is a no-op")
+    requireNoReservedColumns(StructType(Seq(StructField(to, StringType))))
+    var committed = -1L
+    while (committed < 0) {
+      val cur = manifest(dir, None)
+      val schema = DataFrameSchema.fromJson(cur.schemaJson)
+      require(schema.fieldNames.contains(from), s"no such column: $from")
+      require(!schema.fieldNames.contains(to), s"column $to already exists")
+      require(!cur.retired.contains(to),
+        s"column name $to is retired (renamed away or dropped); old files still " +
+          "hold bytes under it — pick a fresh name")
+      require(!(cur.hasMorDeletes && cur.deleteKeys.contains(from)),
+        s"cannot rename delete-key column $from while merge-on-read tombstones are " +
+          "pending (their key files are written under the old name); run " +
+          "materializeDeletes first")
+      val v = cur.version + 1
+      val m = cur.copy(version = v, parent = Some(cur.version), txn = None,
+        schemaJson = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)).json,
+        track = cur.track.map(t => if (t == from) to else t),
+        deleteKeys = cur.deleteKeys.map(k => if (k == from) to else k),
+        op = None,
+        renames = cur.renames :+ RenameStep(v, from, to),
+        retired = cur.retired :+ from)
+      committed = tryInstall(dir, m)
+    }
+    committed
+  }
+
+  /** ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the column
+    * leaves the committed schema; old files' physical bytes are simply
+    * never requested again (name-based projection). The dropped name
+    * is retired — re-adding it would resurrect those bytes. Older
+    * snapshots keep their schemas (time travel still sees the column).
+    */
+  def dropColumns(dir: String, names: Seq[String]): Long = {
+    require(names.nonEmpty, "no columns to drop")
+    var committed = -1L
+    while (committed < 0) {
+      val cur = manifest(dir, None)
+      val schema = DataFrameSchema.fromJson(cur.schemaJson)
+      val missing = names.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty, s"no such column(s): ${missing.mkString(", ")}")
+      require(schema.fields.length > names.size, "cannot drop every column")
+      require(!(cur.hasMorDeletes && cur.deleteKeys.exists(names.contains)),
+        s"cannot drop delete-key column(s) while merge-on-read tombstones are " +
+          "pending; run materializeDeletes first")
+      val m = cur.copy(version = cur.version + 1, parent = Some(cur.version), txn = None,
+        schemaJson = StructType(schema.fields.filterNot(f => names.contains(f.name))).json,
+        track = cur.track.filterNot(names.contains),
+        op = None,
+        retired = cur.retired ++ names)
       committed = tryInstall(dir, m)
     }
     committed
@@ -879,9 +955,7 @@ object ManifestTable {
     */
   private def posAppliedWithIdx(spark: SparkSession, m: Manifest): DataFrame = {
     val paths = m.files.map(_.path)
-    val withB = readFiles(spark, m.schemaJson, paths)
-      .withColumn("__bname", element_at(split(input_file_name(), "/"), -1))
-      .withColumn("__rowidx", col("_metadata.row_index"))
+    val withB = readData(spark, m, paths, withBname = true, withRowIdx = true)
     val pos =
       if (m.posDeleteFiles.isEmpty) withB
       else {
@@ -1083,7 +1157,7 @@ object ManifestTable {
       appendKeyConflict.foreach { case (srcKeys, keyCols) =>
         val appended = cur.files.map(_.path).filterNot(basePaths)
         if (appended.nonEmpty) {
-          val clash = readFiles(spark, cur.schemaJson, appended)
+          val clash = readData(spark, cur, appended)
             .select(keyCols.map(col).toIndexedSeq: _*)
             .join(srcKeys, keyCols, "left_semi")
             .limit(1).count()
@@ -1291,8 +1365,7 @@ object ManifestTable {
   private def appliedReadWithFile(
       spark: SparkSession, m: Manifest, paths: Seq[String]): DataFrame = {
     if (!m.hasMorDeletes || paths.isEmpty)
-      return readFiles(spark, m.schemaJson, paths)
-        .withColumn("__bname", element_at(split(input_file_name(), "/"), -1))
+      return readData(spark, m, paths, withBname = true)
     val base = posApplied(spark, m, paths)
     if (m.deleteFiles.isEmpty) base
     else morJoin(spark, m, base, paths, "left_anti").drop("__fname", "__fseq")
@@ -1307,14 +1380,13 @@ object ManifestTable {
     * until [[materializeDeletes]] folds them).
     */
   private def posApplied(spark: SparkSession, m: Manifest, paths: Seq[String]): DataFrame = {
-    val withB = readFiles(spark, m.schemaJson, paths)
-      .withColumn("__bname", element_at(split(input_file_name(), "/"), -1))
+    val withB = readData(spark, m, paths,
+      withBname = true, withRowIdx = m.posDeleteFiles.nonEmpty)
     if (m.posDeleteFiles.isEmpty) withB
     else {
       val dels = spark.read.schema(posDeleteSchema)
         .parquet(m.posDeleteFiles.map(_.path): _*)
-      withB.withColumn("__rowidx", col("_metadata.row_index"))
-        .join(dels,
+      withB.join(dels,
           col("__bname") === col("__dbname") && col("__rowidx") === col("__dpos"),
           "left_anti")
         .drop("__rowidx")
@@ -1341,8 +1413,7 @@ object ManifestTable {
     val eqDoomed: Set[String] =
       if (m.deleteFiles.isEmpty) Set.empty
       else {
-        val base = readFiles(spark, m.schemaJson, paths)
-          .withColumn("__bname", element_at(split(input_file_name(), "/"), -1))
+        val base = readData(spark, m, paths, withBname = true)
         morJoin(spark, m, base, paths, "left_semi")
           .select("__bname").distinct()
           .collect().map(_.getString(0)).toSet
@@ -1454,6 +1525,72 @@ object ManifestTable {
     entries
       .filter(statColumn(col("mx"), typ) >= lo && statColumn(col("mn"), typ) <= hi)
       .collect().map(_.getString(0)).toIndexedSeq
+  }
+
+  /** Current column name -> its HISTORICAL names (newest first) from
+    * `m`'s rename chain — the alias walk planning-time stat lookups
+    * use ([[graft.plans.ManifestSkipping.Stats]]). Empty for the
+    * overwhelmingly common never-renamed table.
+    */
+  private[graft] def renameAliases(m: Manifest): Map[String, Seq[String]] =
+    if (m.renames.isEmpty) Map.empty
+    else DataFrameSchema.fromJson(m.schemaJson).fieldNames.flatMap { cur =>
+      val hist = Seq.newBuilder[String]
+      var n = cur
+      m.renames.reverseIterator.foreach(st => if (st.to == n) { n = st.from; hist += n })
+      val h = hist.result()
+      if (h.isEmpty) None else Some(cur -> h)
+    }.toMap
+
+  /** Read data `paths` of `m` with its rename chain applied, optionally
+    * attaching the applied-read machinery's attribution columns
+    * (`__bname` file basename, `__rowidx` parquet row index — the
+    * latter must be captured INSIDE each scan because `_metadata` does
+    * not survive a projection). Files group by rename ERA — how many
+    * steps postdate their entry sequence; each era reads under the
+    * names its bytes physically carry and projects back to the
+    * committed schema. One extra scan per LIVE era (bounded by the
+    * number of renames, not files); tables that never renamed take the
+    * single-scan fast path unchanged.
+    */
+  private[sources] def readData(
+      spark: SparkSession, m: Manifest, paths: Seq[String],
+      withBname: Boolean = false, withRowIdx: Boolean = false): DataFrame = {
+    def finish(df: DataFrame): DataFrame = {
+      val b = if (withBname)
+        df.withColumn("__bname", element_at(split(input_file_name(), "/"), -1))
+      else df
+      if (withRowIdx) b.withColumn("__rowidx", col("_metadata.row_index")) else b
+    }
+    if (m.renames.isEmpty || paths.isEmpty)
+      return finish(readFiles(spark, m.schemaJson, paths))
+    val schema = DataFrameSchema.fromJson(m.schemaJson)
+    val seqOf = m.files.map(f => f.path -> f.seq).toMap
+    val steps = m.renames.sortBy(_.v)
+    def eraOf(p: String): Int = {
+      // unknown files (not in m.files — e.g. a concurrent append probe)
+      // are always fresher than every step
+      val s = seqOf.getOrElse(p, Long.MaxValue)
+      steps.indexWhere(_.v > s) match { case -1 => steps.length; case i => i }
+    }
+    val extras = (if (withBname) Seq(col("__bname")) else Nil) ++
+      (if (withRowIdx) Seq(col("__rowidx")) else Nil)
+    val parts = paths.groupBy(eraOf).toSeq.sortBy(_._1).map { case (i, ps) =>
+      val applicable = steps.drop(i)
+      val eraName: Map[String, String] = schema.fieldNames.map { curName =>
+        var n = curName
+        applicable.reverseIterator.foreach(st => if (st.to == n) n = st.from)
+        curName -> n
+      }.toMap
+      if (eraName.forall { case (a, b) => a == b })
+        finish(readFiles(spark, m.schemaJson, ps))
+      else {
+        val eraSchema = StructType(schema.fields.map(f => f.copy(name = eraName(f.name))))
+        finish(readFiles(spark, eraSchema.json, ps))
+          .select(schema.fieldNames.toIndexedSeq.map(c => col(eraName(c)).as(c)) ++ extras: _*)
+      }
+    }
+    parts.reduce(_.unionByName(_))
   }
 
   private def readFiles(spark: SparkSession, schemaJson: String, paths: Seq[String]): DataFrame = {

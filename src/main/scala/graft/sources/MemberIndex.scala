@@ -83,7 +83,10 @@ object MemberIndex {
       else {
         val posCols = (0 until probes).map(i =>
           pmod(xxhash64(lit(i), col(column)), lit(bits.toLong)).cast("int"))
-        val grouped = spark.read.schema(schema).parquet(newPaths: _*)
+        // era-aware read: a pre-rename file's bytes live under the old
+        // physical name; a plain fixed-schema read would fingerprint it
+        // as all-NULL — an EMPTY bitset, i.e. Bloom FALSE NEGATIVES
+        val grouped = ManifestTable.readData(spark, m, newPaths)
           .filter(col(column).isNotNull) // NULL never equals a lookup key
           .select(input_file_name().as("path"), explode(array(posCols: _*)).as("pos"))
           .groupBy("path")

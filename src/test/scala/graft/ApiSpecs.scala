@@ -820,4 +820,22 @@ class ApiSpecs extends SparkSpec {
     assert(out(2L) === ((3L, 1L, 1.0 / 3)))
     assert(out(3L) === ((3L, 0L, 0.0)))
   }
+
+  test("substringDupProfile: exact window counts; shared span found; short docs excluded") {
+    val shared = "THE-QUICK-BROWN-FOX!" // 20 chars, L = 10 -> 11 windows inside it
+    val docs = Seq(
+      (1L, s"aaaaa${shared}bbbbb"),  // 30 chars
+      (2L, s"cc${shared}ddddddd"),   // 29 chars
+      (3L, "completely unrelated text here zz"), // 33 chars, no shared 10-gram
+      (4L, "tiny"),                  // < L: excluded entirely
+    ).toDF("doc_id", "body")
+    val out = TextCuration.substringDupProfile(docs, "doc_id", "body", L = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: 30-10+1 = 21 windows; the 11 windows fully inside `shared`
+    // also occur in doc2 (same bytes), surrounding windows differ
+    assert(out(1L) === ((21L, 11L)), s"got ${out(1L)}")
+    assert(out(2L) === ((20L, 11L)), s"got ${out(2L)}")
+    assert(out(3L) === ((24L, 0L)))
+    assert(!out.contains(4L), "docs shorter than L have no windows")
+  }
 }

@@ -139,15 +139,50 @@ class GraftCatalogSpec extends SparkSpec {
     assert(q.collect().map(_.getString(0)).toSeq == Seq(s"s${42 % 13}"))
   }
 
+  test("small catalog tables report real statistics and auto-broadcast in joins") {
+    mkTable("lake", "dimstats")
+    val big = spark.range(0, 100000).toDF("id")
+    val j = big.join(spark.sql("SELECT id, cat FROM graft.lake.dimstats"), "id")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"a 1000-row catalog dim must broadcast (scan stats hidden?):\n$plan")
+  }
+
+  test("metadata tables: $history / $files / $refs are driver-local queryable relations") {
+    val dir = mkTable("lake", "meta") // v1: 5 files, 1000 rows
+    ManifestTable.commit(Seq((2000L, 0L, "x")).toDF("id", "k", "cat"), dir, Seq("id")) // v2
+    ManifestTable.tag(dir, "rel1", 1L)
+    val h = spark.sql(
+      "SELECT version, parent, state_preserving, data_files, data_rows " +
+        "FROM graft.lake.`meta$history` ORDER BY version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(h(1).getLong(1) == 1L && !h(1).getBoolean(2))
+    assert(h(0).getLong(3) == 5L && h(0).getLong(4) == 1000L)
+    assert(h(1).getLong(3) == 6L && h(1).getLong(4) == 1001L)
+    val f = spark.sql(
+      "SELECT count(*) AS n, sum(rows) AS r, min(mins['id']) AS lo " +
+        "FROM graft.lake.`meta$files`").head()
+    assert(f.getLong(0) == 6L && f.getLong(1) == 1001L && f.getString(2) == "1")
+    val refs = spark.sql("SELECT name, type, version FROM graft.lake.`meta$refs`")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.contains(("rel1", "tag", 1L)), s"got ${refs.toSeq}")
+    // unknown suffix and missing base stay loud
+    val bad = intercept[Exception](spark.sql("SELECT * FROM graft.lake.`meta$nope`").collect())
+    assert(bad.getMessage.contains("nope"))
+    intercept[Exception](spark.sql("SELECT * FROM graft.lake.`ghost$history`").collect())
+  }
+
   test("catalog surface: listTables, missing tables, unsupported DDL stays loud") {
     mkTable("lake", "listed")
     val names = spark.sql("SHOW TABLES IN graft.lake").collect().map(_.getString(1)).toSet
     assert(names.contains("listed"))
     val missing = intercept[Exception](spark.sql("SELECT * FROM graft.lake.nope").collect())
     assert(missing.getMessage.toLowerCase.contains("table"))
+    // retypes are rewrites in disguise and stay refused (rename/drop
+    // are now metadata-only features — see the ALTER TABLE specs)
     val alter = intercept[Exception](
-      spark.sql("ALTER TABLE graft.lake.listed RENAME COLUMN cat TO category").collect())
-    assert(alter.getMessage.contains("not supported through the graft catalog"))
+      spark.sql("ALTER TABLE graft.lake.listed ALTER COLUMN cat TYPE BIGINT").collect())
+    assert(alter.getMessage.toLowerCase.contains("not supported"))
   }
 
   test("CREATE TABLE + INSERT INTO: SQL writes ride the transactional commit") {
@@ -362,11 +397,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(r.getLong(0) == 1001 && r.getLong(1) == 1, s"got $r")
     assert(spark.sql("SELECT * FROM graft.lake.evolved VERSION AS OF 1")
       .schema.fieldNames.toSeq == Seq("id", "k", "cat"))
-    // non-additive surgery stays refused
+    // retypes stay refused (rename/drop are metadata-only features now)
     val e = intercept[Exception](
-      spark.sql("ALTER TABLE graft.lake.evolved DROP COLUMN note").collect())
-    assert(e.getMessage.contains("not supported through the graft catalog"),
-      s"got: ${e.getMessage}")
+      spark.sql("ALTER TABLE graft.lake.evolved ALTER COLUMN note TYPE INT").collect())
+    assert(e.getMessage.toLowerCase.contains("not supported"), s"got: ${e.getMessage}")
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN through SQL: metadata-only, era-union reads, retired refused") {
+    spark.sql("CREATE TABLE graft.lake.ren (id BIGINT, v STRING) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graft.lake.ren VALUES (1, 'a'), (2, 'b')")
+    val dir = mkTableDir("lake", "ren")
+    val filesBefore = ManifestTable.manifest(dir, None).files.map(_.path).toSet
+    spark.sql("ALTER TABLE graft.lake.ren RENAME COLUMN v TO val")
+    assert(ManifestTable.manifest(dir, None).files.map(_.path).toSet == filesBefore,
+      "SQL rename must write no data")
+    spark.sql("INSERT INTO graft.lake.ren VALUES (3, 'c')")
+    // plain SQL reads BOTH eras (MorApplyRewrite swaps in the era-union plan)
+    val got = spark.sql("SELECT id, val FROM graft.lake.ren ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")), s"era-union SQL read: $got")
+    // time travel sees the era's own schema
+    assert(spark.sql("SELECT * FROM graft.lake.ren VERSION AS OF 2").columns.toSeq ==
+      Seq("id", "v"))
+    // drop + retired-name refusal
+    spark.sql("ALTER TABLE graft.lake.ren ADD COLUMN note STRING")
+    spark.sql("ALTER TABLE graft.lake.ren DROP COLUMN note")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.lake.ren ADD COLUMN v STRING"))
+    assert(e.getMessage.contains("retired"), s"resurrecting a renamed-away name: $e")
+    assert(spark.sql("SELECT * FROM graft.lake.ren").columns.toSeq == Seq("id", "val"))
   }
 
   test("DROP TABLE removes the table; dropping a missing table reports false") {

@@ -275,7 +275,8 @@ class PlanSpecs extends SparkSpec {
       "q197_ann_route",         // routes to brute at TESTDATA scale = q31's guarded knn shape
       "q212_catalog_write_sql", // VERSION AS OF row count: a broadcast 1-row aggregate side
       "q213_catalog_delete_sql", // pre-delete row count: a broadcast 1-row aggregate side
-      "q214_catalog_rowlevel_sql") // 1-row pre-DML count + 1-row max(_version) sides
+      "q214_catalog_rowlevel_sql", // 1-row pre-DML count + 1-row max(_version) sides
+      "q216_catalog_rename_sql") // VERSION AS OF 1 row count: a broadcast 1-row aggregate side
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     queries.QueryCatalog.all.foreach { q =>
       val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
