@@ -290,4 +290,51 @@ object TimeSeries {
         sum(col(valCol).cast(org.apache.spark.sql.types.DecimalType(30, 2)))
           .cast("double").as("turnover"))
   }
+
+  /** Classical seasonal decomposition, the day-of-week effect (the
+    * moving-average member of the STL family, exact-arithmetic
+    * variant): per key, (1) the daily series aggregates with exact
+    * DECIMAL sums, (2) the trend is a CENTERED 7-day moving window
+    * (only days with the full window qualify — the textbook
+    * even-handed treatment of series edges), (3) the seasonal effect
+    * per ISO weekday is the mean detrended deviation. Every
+    * intermediate stays exact: the deviation is computed as
+    * `7*daily - sum7` (no division), so the ONLY floating step is the
+    * final mean — one IEEE division of an exact DECIMAL sum,
+    * bit-identical cross-engine (the q114/q126/q127 arithmetic
+    * discipline).
+    *
+    * Scale shape: one keyed day-aggregation shuffle, one 7-row-frame
+    * window per key (days-per-key rows, thousands at most — never raw
+    * events), one final tiny rollup. The raw table is touched once.
+    *
+    * Returns (keyCol, isodow, n_days, seasonal) — `seasonal` in value
+    * units; Σ n·seasonal ≈ 0 per key by construction.
+    */
+  def seasonalDow(df: DataFrame, keyCol: String, tsCol: String, valCol: String): DataFrame = {
+    // integer CENTS end to end: decimal input-rounding pinned once
+    // (the d30_2 discipline), then every sum/multiply is BIGINT —
+    // engines cannot disagree on promotion or scale
+    val cents = (col(valCol).cast(org.apache.spark.sql.types.DecimalType(30, 2))
+      * lit(100)).cast("long")
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(sum(cents).as("__daily"))
+    val w = Window.partitionBy(keyCol).orderBy("__day").rowsBetween(-3, 3)
+    // ROWS frame over the daily series == the 7-day centered window on
+    // contiguous daily data; rows with fewer than 7 frame members are
+    // the series edges and drop out exactly like the textbook centered
+    // MA leaves NaN edges (and identically in the oracle's ROWS frame)
+    val detrended = daily
+      .withColumn("__sum7", sum(col("__daily")).over(w))
+      .withColumn("__n7", count(lit(1)).over(w))
+      .filter(col("__n7") === 7)
+      .withColumn("__dev", col("__daily") * lit(7L) - col("__sum7"))
+    detrended
+      .groupBy(col(keyCol), (expr("weekday(__day)") + 1).cast("long").as("isodow"))
+      .agg(
+        count(lit(1)).cast("long").as("n_days"),
+        (sum(col("__dev")).cast("double") / lit(100.0) / lit(7.0) /
+          count(lit(1)).cast("double")).as("seasonal"))
+  }
 }

@@ -357,7 +357,7 @@ object ManifestSkipping extends PredicateHelper {
     * round-trips through Spark's own cast. A malformed stat yields
     * null, which constraints treat as "never skip".
     */
-  private[plans] def castStat(s: String, dt: DataType): Any = dt match {
+  private[graft] def castStat(s: String, dt: DataType): Any = dt match {
     case StringType => UTF8String.fromString(s)
     case TimestampType =>
       try java.lang.Long.valueOf(s.trim)

@@ -666,7 +666,89 @@ object Analytics {
       },
     ),
   ) ++ Seq(skylineQ, regressionQ, ohlcQ, centroidsQ, winsorizeQ,
-    basketPairsQ, trianglesQ, bfsQ, madOutliersQ, cusumQ, keySkewQ, rollingCorrQ)
+    basketPairsQ, trianglesQ, bfsQ, recursiveSqlQ, seasonalQ, madOutliersQ, cusumQ,
+    keySkewQ, rollingCorrQ)
+
+  private lazy val seasonalQ = Q(
+    "q219_seasonal_dow",
+    "Classical seasonal decomposition (the centered-moving-average STL " +
+      "member, exact-arithmetic variant): per event_type the daily " +
+      "series aggregates in integer CENTS, the trend is a centered " +
+      "7-ROW window (edges drop out, textbook MA semantics), the " +
+      "day-of-week effect is the mean detrended deviation computed as " +
+      "7*daily - sum7 — NO division until the final mean, so the only " +
+      "floating step is one IEEE division chain of exact BIGINTs, " +
+      "bit-identical cross-engine (the q114/q126/q127 discipline). One " +
+      "keyed day shuffle + one days-per-key window; raw events are " +
+      "touched once.",
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT)) AS BIGINT) AS daily
+        FROM events GROUP BY 1, 2
+      ),
+      t AS (
+        SELECT event_type, day, daily,
+               sum(daily) OVER w AS sum7, count(*) OVER w AS n7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      ),
+      d AS (SELECT event_type, day, daily * 7 - sum7 AS dev FROM t WHERE n7 = 7)
+      SELECT event_type, CAST(extract(isodow FROM day) AS BIGINT) AS isodow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(dev) AS DOUBLE) / 100.0 / 7.0 / CAST(count(*) AS DOUBLE) AS seasonal
+      FROM d GROUP BY 1, 2
+    """.trim),
+    (spark, dir) =>
+      graft.operators.TimeSeries.seasonalDow(
+        Tables(spark, dir).events, "event_type", "ts", "value"),
+  )
+
+  /** q132's BFS re-entered through Spark's OWN recursive-CTE executor
+    * (`WITH RECURSIVE`, new in Spark 4 — the UnionLoop operator): the
+    * engine iterates anchor ∪ step until the depth guard empties the
+    * frontier, vs q132's hand-rolled frontier-join loop. Same graph,
+    * same oracle, third evaluation strategy — exact integer agreement
+    * pins all three. UNION ALL recursion enumerates WALKS, so the
+    * depth bound (< 3) is what keeps a cyclic graph finite; the
+    * min(d)-per-node rollup collapses walk multiplicity exactly like
+    * the oracle's UNION-dedup recursion.
+    */
+  private lazy val recursiveSqlQ = Q(
+    "q218_recursive_sql",
+    "Bounded BFS as a SQL-string recursive CTE run by Spark's native " +
+      "WITH RECURSIVE executor (UnionLoop): anchor = the co-purchase " +
+      "graph's max-degree part, step = one undirected hop, depth < 3. " +
+      "Shares q132's oracle verbatim — Spark's frontier-join loop, " +
+      "Spark's recursive executor, and DuckDB's recursive CTE must " +
+      "agree on exact hop counts.",
+    Some(coPurchaseSql + """,
+      u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      s AS (SELECT src AS node FROM (SELECT src, count(*) AS d FROM u GROUP BY 1
+                                     ORDER BY d DESC, src LIMIT 1)),
+      r AS (SELECT node, 0 AS d FROM s
+            UNION
+            SELECT u.dst, r.d + 1 FROM r JOIN u ON u.src = r.node WHERE r.d < 3)
+      SELECT node AS part_id, CAST(min(d) AS BIGINT) AS hops FROM r GROUP BY 1
+    """),
+    (spark, dir) => {
+      coPurchaseEdges(spark, dir).createOrReplaceTempView("copurchase_edges")
+      spark.sql("""
+        WITH RECURSIVE
+        u AS (SELECT src, dst FROM copurchase_edges
+              UNION SELECT dst, src FROM copurchase_edges),
+        s AS (SELECT src AS node FROM (SELECT src, count(*) AS d FROM u
+                                       GROUP BY src ORDER BY d DESC, src LIMIT 1)),
+        r(node, d) AS (
+          SELECT node, 0 FROM s
+          UNION ALL
+          SELECT u.dst, r.d + 1 FROM r JOIN u ON u.src = r.node WHERE r.d < 3
+        )
+        SELECT node AS part_id, CAST(min(d) AS BIGINT) AS hops FROM r GROUP BY node
+      """)
+    },
+  )
 
   private lazy val rollingCorrQ = Q(
     "q137_rolling_corr",

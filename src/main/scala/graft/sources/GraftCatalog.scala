@@ -318,9 +318,24 @@ object GraftCatalog {
 final case class GraftLakeTable(
     tableName: String, dir: String, m: ManifestTable.Manifest)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-  with SupportsRowLevelOperations with SupportsMetadataColumns {
+  with SupportsRowLevelOperations with SupportsMetadataColumns
+  with TruncatableTable {
 
   override def name(): String = tableName
+
+  /** SQL `TRUNCATE TABLE` → an atomic empty [[ManifestTable.replace]]:
+    * the truncated state is one new manifest referencing zero files,
+    * the old head stays time-travel-readable until expiry, pending
+    * merge-on-read tombstones clear (the content they applied to is
+    * gone) — O(1) metadata at any table size.
+    */
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
+    ManifestTable.replace(empty, dir, m.track)
+    true
+  }
   override def schema(): StructType = DataFrameSchema.fromJson(m.schemaJson)
 
   /** `_version`: the manifest snapshot version serving the row — a
@@ -506,11 +521,98 @@ final class GraftLakeScanBuilder(
       * replace ([[GraftRowLevelOperation]]).
       */
     onPlanned: Seq[String] => Unit = _ => ())
-  extends ScanBuilder with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val schema = DataFrameSchema.fromJson(m.schemaJson)
   private var pushed: Seq[Expression] = Nil
   private var required: StructType = schema
+  private var aggAnswer: Option[(StructType, InternalRow)] = None
+
+  /** `SELECT count(*) / min(tracked) / max(tracked) FROM t` answered
+    * from MANIFEST METADATA — per-file row counts and commit-time
+    * envelope stats — with ZERO file I/O: the Iceberg
+    * metadata-aggregate optimization; at 100 TB a bare count(*) is an
+    * O(files) driver fold instead of a cluster job. Declined (falls
+    * back to the normal scan) whenever correctness would need data:
+    * residual filters, GROUP BY, pending tombstones, live rename
+    * eras, float/double min/max (NaN ordering poisons envelope
+    * comparisons — the same reason Iceberg refuses), untracked
+    * columns, or any stat that fails to cast back to its native type.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggAnswer = tryManifestAggregate(agg)
+    aggAnswer.isDefined
+  }
+
+  /** Safe under BOTH contracts: complete (Spark drops its agg — our
+    * row is the final answer) and partial (Spark re-aggregates — a
+    * single total row is a fixed point of sum/min/max re-aggregation).
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (aggAnswer.isEmpty) aggAnswer = tryManifestAggregate(agg)
+    aggAnswer.isDefined
+  }
+
+  private def tryManifestAggregate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.types._
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    if (m.hasMorDeletes || m.renamesApply) return None
+    if (!spark.conf.get("spark.graft.manifestAgg.enabled", "true").toBoolean) return None
+    val aliases = ManifestSkipping.aliasesOf(m)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+            if nr.fieldNames.length == 1 =>
+          schema.fields.find(_.name == nr.fieldNames.head)
+        case _ => None
+      }
+    def envelopeSafe(dt: DataType): Boolean = dt match {
+      // no floats (NaN poisons envelope ordering — Iceberg refuses too)
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           BooleanType | DateType | TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    val totalRows: Long = m.files.map(_.rows).sum
+    // Some(value-or-null) = answerable; None = decline the whole push
+    def bound(f: StructField, wantMin: Boolean): Option[Any] = {
+      if (!m.track.contains(f.name) || !envelopeSafe(f.dataType)) return None
+      val keys = f.name +: aliases.getOrElse(f.name, Nil)
+      val present = m.files.flatMap { fe =>
+        val mp = if (wantMin) fe.mins else fe.maxs
+        keys.collectFirst { case k if mp.contains(k) => mp(k) }.flatten
+      }
+      val cast = present.map(s => ManifestSkipping.castStat(s, f.dataType))
+      if (cast.exists(_ == null)) return None // uncastable stat: decline
+      if (cast.isEmpty) Some(null) // no non-null value anywhere
+      else {
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(f.dataType).asInstanceOf[Ordering[Any]]
+        Some(if (wantMin) cast.min(ord) else cast.max(ord))
+      }
+    }
+    val values: Seq[Option[Any]] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(totalRows)
+      case c: Count if !c.isDistinct =>
+        // count(col) == count(*) only when the column cannot be null
+        colOf(c.column).filter(!_.nullable).map(_ => totalRows)
+      case mn: Min => colOf(mn.column).flatMap(bound(_, wantMin = true))
+      case mx: Max => colOf(mx.column).flatMap(bound(_, wantMin = false))
+      case _ => None
+    }
+    if (values.exists(_.isEmpty)) return None
+    val outSchema = org.apache.spark.sql.execution.datasources.AggregatePushDownUtils
+      .getSchemaForPushedAggregation(agg, schema, Set.empty, Nil)
+      .getOrElse(return None)
+    Some((outSchema,
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(values.map(_.get))))
+  }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushed = filters
@@ -524,6 +626,9 @@ final class GraftLakeScanBuilder(
     required = requiredSchema
 
   override def build(): Scan = {
+    aggAnswer.foreach { case (aggSchema, row) =>
+      return new GraftAggScan(s"graft-manifest-agg $dir v${m.version}", aggSchema, row)
+    }
     val all = m.files.map(_.path)
     val enabled = spark.conf.get("spark.graft.manifestSkipping.enabled", "true").toBoolean
     val paths = pushed.reduceOption(And) match {
@@ -535,8 +640,6 @@ final class GraftLakeScanBuilder(
       case _ => all
     }
     onPlanned(paths)
-    val idx = new InMemoryFileIndex(
-      spark, paths.map(new Path(_)), Map.empty[String, String], Some(schema))
     // `_version` (the constant-per-snapshot metadata column) never
     // reaches the parquet reader: it is stripped here and appended by
     // the wrapping reader below, in the exact position the required
@@ -546,16 +649,22 @@ final class GraftLakeScanBuilder(
       if (wantsVersion)
         StructType(required.fields.filterNot(_.name == GraftLakeTable.VersionColumn))
       else required
-    val psb = ParquetScanBuilder(spark, idx, schema, schema, options)
-    psb.pushFilters(pushed)
-    psb.pruneColumns(dataRequired)
-    val scan = psb.build()
+    def parquetScan(ps: Seq[String]): Scan = {
+      val idx = new InMemoryFileIndex(
+        spark, ps.map(new Path(_)), Map.empty[String, String], Some(schema))
+      val psb = ParquetScanBuilder(spark, idx, schema, schema, options)
+      psb.pushFilters(pushed)
+      psb.pruneColumns(dataRequired)
+      psb.build()
+    }
+    val scan = parquetScan(paths)
     if (wantsVersion) {
       require(required.fields.last.name == GraftLakeTable.VersionColumn,
         s"metadata column ${GraftLakeTable.VersionColumn} must be required last, " +
           s"got ${required.fieldNames.mkString(", ")}")
       new ConstLongAppendScan(scan, required, m.version)
-    } else new GraftLakeScan(scan, spark, dir, m, options, pushed, dataRequired)
+    } else new GraftLakeScan(scan, spark, dir, m, options, pushed, dataRequired,
+      paths, parquetScan)
   }
 }
 
@@ -568,11 +677,73 @@ final class GraftLakeScanBuilder(
 final class GraftLakeScan(
     inner: Scan, spark: SparkSession, dir: String, m: ManifestTable.Manifest,
     options: CaseInsensitiveStringMap,
-    pushed: Seq[Expression], required: StructType)
-  extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    pushed: Seq[Expression], required: StructType,
+    plannedPaths: Seq[String] = Nil,
+    rebuild: Seq[String] => Scan = null)
+  extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** The CURRENT delegated parquet scan — swapped when a runtime
+    * filter prunes the file list ([[filter]]).
+    */
+  @volatile private var current: Scan = inner
 
   /** The delegated parquet scan (plan-inspection hook for specs). */
-  private[graft] def underlying: Scan = inner
+  private[graft] def underlying: Scan = current
+
+  // ---- runtime file pruning (the lake's dynamic-partition-pruning
+  // analog): a join against a filtered dim hands the fact scan its
+  // join-key values AT EXECUTION (Spark's DPP subquery machinery —
+  // SupportsRuntimeFiltering); the same envelope+Bloom survivor
+  // analysis that serves planning-time filters then drops every fact
+  // file that cannot hold a matching key, BEFORE any task launches.
+  // At 100 TB a star join touching one dim slice reads that slice's
+  // fact files only — the other files are never opened.
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    m.track.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    if (rebuild == null || plannedPaths.isEmpty) return
+    val schema = DataFrameSchema.fromJson(m.schemaJson)
+    def attr(n: String) =
+      schema.fields.find(_.name == n).map(f =>
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(n, f.dataType)())
+    def catalystOf(f: Filter): Option[Expression] = f match {
+      case sources.In(a, vs) =>
+        val nn = vs.filter(_ != null)
+        if (nn.isEmpty) None
+        else attr(a).map(ar => org.apache.spark.sql.catalyst.expressions.In(
+          ar, nn.toIndexedSeq.map(v => org.apache.spark.sql.catalyst.expressions.Literal(v))))
+      case sources.EqualTo(a, v) if v != null =>
+        attr(a).map(ar => org.apache.spark.sql.catalyst.expressions.EqualTo(
+          ar, org.apache.spark.sql.catalyst.expressions.Literal(v)))
+      case _ => None // best-effort: unknown shapes prune nothing
+    }
+    val conds = filters.toSeq.flatMap(catalystOf)
+    conds.reduceOption(And).foreach { cond =>
+      val stats = m.files.map(f => f.path -> ManifestSkipping.Stats(
+        dir, m.track, f.mins, f.maxs, ManifestSkipping.aliasesOf(m))).toMap
+      ManifestSkipping.survivors(cond, plannedPaths, stats).foreach { s =>
+        if (s.length < plannedPaths.length) {
+          GraftLakeScan.lastRuntimePrune.set((plannedPaths.length, s.length))
+          current = rebuild(s)
+        }
+      }
+    }
+  }
+
+  /** Delegation reads `current` AT PLAN TIME, so the runtime-pruned
+    * scan is what plans partitions regardless of when the enclosing
+    * exec materialized this Batch.
+    */
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+        current.toBatch.planInputPartitions()
+      override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        current.toBatch.createReaderFactory()
+    }
 
   /** Statistics pass through from the delegated parquet scan (post
     * manifest pruning, so a selective filter shrinks the estimate) —
@@ -590,17 +761,39 @@ final class GraftLakeScan(
     }
 
   override def readSchema(): StructType = inner.readSchema()
-  override def description(): String = inner.description()
-  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+  override def description(): String = current.description()
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(spark, dir, m, options, pushed, required, checkpointLocation)
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     inner.supportedCustomMetrics()
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-    inner.reportDriverMetrics()
+    current.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     inner.columnarSupportMode()
+}
+
+object GraftLakeScan {
+  /** Spec observability for runtime pruning: (planned, survived) of
+    * the most recent runtime-filter application in this JVM. Runtime
+    * pruning happens inside Spark's execution machinery where the spec
+    * cannot reach the scan instance through AQE re-planning; a test
+    * hook beats exposing internals on the public surface.
+    */
+  private[graft] val lastRuntimePrune =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)](null)
+}
+
+/** The one-row answer of a manifest-metadata aggregate pushdown
+  * ([[GraftLakeScanBuilder.supportCompletePushDown]]): a driver-local
+  * scan, zero file I/O, zero tasks.
+  */
+final class GraftAggScan(
+    desc: String, out: StructType, row: InternalRow)
+  extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = out
+  override def description(): String = desc
+  override def rows(): Array[InternalRow] = Array(row)
 }
 
 /** Wraps a scan to append one constant LONG column to every row —

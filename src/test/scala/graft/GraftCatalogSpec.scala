@@ -428,6 +428,65 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.lake.ren").columns.toSeq == Seq("id", "val"))
   }
 
+  test("count/min/max answered from manifest metadata: zero file reads") {
+    mkTable("lake", "aggpush")
+    val q = spark.sql(
+      "SELECT count(*) AS c, min(id) AS lo, max(id) AS hi FROM graft.lake.aggpush")
+    val r = q.head()
+    assert(r.getLong(0) == 1000L && r.getLong(1) == 1L && r.getLong(2) == 1000L)
+    // the LocalScan answer renders as a driver-local LocalTableScan —
+    // no BatchScan, no parquet, no tasks against data files
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"the aggregate must be answered from metadata, got:\n$plan")
+    // with a residual filter the push declines and the scan answers
+    val f = spark.sql("SELECT count(*) FROM graft.lake.aggpush WHERE id <= 100")
+    assert(f.head().getLong(0) == 100L)
+    assert(f.queryExecution.executedPlan.toString.contains("BatchScan"))
+    // min/max on an UNTRACKED column declines but stays correct
+    val u = spark.sql("SELECT max(cat) AS m FROM graft.lake.aggpush")
+    assert(u.head().getString(0) == "s9")
+    assert(u.queryExecution.executedPlan.toString.contains("BatchScan"))
+  }
+
+  test("runtime file pruning: a filtered dim join prunes fact files at execution (lake DPP)") {
+    // star shape: the fact must dwarf the dim so the DIM broadcasts
+    // (DPP reuses that broadcast); the fact also reports real stats now
+    val dir = s"$warehouse/lake/dppfact"
+    new java.io.File(dir).mkdirs()
+    ManifestTable.commit(
+      (1 to 50000).map(i => (i.toLong, s"payload-$i-${"x" * 40}"))
+        .toDF("id", "v").repartitionByRange(5, $"id"),
+      dir, track = Seq("id"))
+    // parquet-backed dim: a local relation would constant-fold the
+    // selective filter away and leave DPP nothing to key on
+    val dimPath = tmpDir("dpp-dim").toString + "/d"
+    (1 to 50000 by 100).map(i => (i.toLong, if (i <= 6000) "hot" else "cold"))
+      .toDF("id", "temp").write.parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dpp_dim")
+    graft.sources.GraftLakeScan.lastRuntimePrune.set(null)
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM graft.lake.dppfact f " +
+        "JOIN dpp_dim d ON f.id = d.id WHERE d.temp = 'hot'")
+    assert(q.head().getLong(0) == 60L)
+    val pruned = graft.sources.GraftLakeScan.lastRuntimePrune.get()
+    assert(pruned != null && pruned._2 < pruned._1,
+      s"the dim's hot ids (<= 6000) cover 1 of 5 range files — runtime pruning " +
+        s"must have engaged, got $pruned\n${q.queryExecution.executedPlan}")
+  }
+
+  test("TRUNCATE TABLE: atomic empty replace, history stays time-travelable") {
+    val dir = mkTable("lake", "trunc")
+    spark.sql("TRUNCATE TABLE graft.lake.trunc")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.trunc").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.trunc VERSION AS OF 1")
+      .head().getLong(0) == 1000L, "pre-truncate snapshot stays readable")
+    assert(ManifestTable.manifest(dir, None).files.isEmpty)
+    // the table stays writable with the committed schema
+    spark.sql("INSERT INTO graft.lake.trunc VALUES (1, 2, 'x')")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.trunc").head().getLong(0) == 1L)
+  }
+
   test("DROP TABLE removes the table; dropping a missing table reports false") {
     mkTable("lake", "dropme")
     spark.sql("DROP TABLE graft.lake.dropme")
