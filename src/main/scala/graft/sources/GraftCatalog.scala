@@ -72,7 +72,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * other schema surgery (drop/rename/retype) is a rewrite in
   * disguise and stays refused, pointing at the typed API.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = "graft"
 
@@ -268,6 +269,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     unsupported("RENAME TABLE")
+
+  // ---- SQL stored procedures (CALL graft.system.<proc>(...)) — the
+  // Iceberg-style maintenance surface, bound to the typed API's
+  // transactional code paths ([[GraftProcedures]])
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (ident.namespace().toSeq != Seq(GraftProcedures.Namespace))
+      throw new IllegalArgumentException(
+        s"no such procedure: $ident (procedures live under ${GraftProcedures.Namespace})")
+    GraftProcedures.load(catName, () => warehouse, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq != Seq(GraftProcedures.Namespace)) Array.empty
+    else GraftProcedures.list().map(Identifier.of(namespace, _))
 
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._

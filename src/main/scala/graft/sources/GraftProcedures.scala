@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL stored procedures for lake maintenance — Spark 4's
+  * `ProcedureCatalog` surface, the `CALL` statements Iceberg ships
+  * (`expire_snapshots`, `rewrite_data_files`, ...), bound to the
+  * engine's transactional maintenance API:
+  *
+  * {{{
+  *   CALL graft.system.maintain(table => 'lake.events', cluster_by => 'ts')
+  *   CALL graft.system.expire_snapshots(table => 'lake.events', keep_last => 3)
+  *   CALL graft.system.compact(table => 'lake.events', cluster_by => 'ts', num_files => 8)
+  *   CALL graft.system.materialize_deletes(table => 'lake.events')
+  *   CALL graft.system.tag(table => 'lake.events', name => 'rel-1', version => 4)
+  *   CALL graft.system.rollback(table => 'lake.events', version => 2)
+  * }}}
+  *
+  * Each procedure is one call into the SAME code path the typed API
+  * runs (atomic manifest swaps, conflict checks, retention pins all
+  * hold), and returns its resulting head version as a one-row scan —
+  * an operator can drive the whole maintenance cadence from SQL.
+  */
+object GraftProcedures {
+
+  val Namespace = "system"
+
+  def list(): Array[String] = Array(
+    "maintain", "expire_snapshots", "compact", "materialize_deletes", "tag", "rollback")
+
+  def load(catalogName: String, warehouse: () => String, name: String): UnboundProcedure = {
+    def dirOf(table: String): String =
+      table.split('.').foldLeft(warehouse())((a, b) => s"$a/$b")
+    def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+    name match {
+      case "maintain" => proc(name, "run the full maintenance cadence; returns the head version",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("cluster_by", StringType).build(),
+          ProcedureParameter.in("small_file_rows", LongType).defaultValue("100000").build(),
+          ProcedureParameter.in("target_files", IntegerType).defaultValue("8").build(),
+          ProcedureParameter.in("keep_last", IntegerType).defaultValue("3").build()),
+        r => ManifestTable.maintain(SparkSession.active, dirOf(str(r, 0)), str(r, 1),
+          r.getLong(2), r.getInt(3), r.getInt(4)))
+      case "expire_snapshots" => proc(name, "drop old snapshots (tags and cursor pins retained)",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("keep_last", IntegerType).defaultValue("3").build()),
+        r => {
+          ManifestTable.expireSnapshots(dirOf(str(r, 0)), r.getInt(1))
+          ManifestTable.latestVersion(dirOf(str(r, 0))).getOrElse(-1L)
+        })
+      case "compact" => proc(name, "full clustering rewrite (also materializes pending deletes)",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("cluster_by", StringType).build(),
+          ProcedureParameter.in("num_files", IntegerType).defaultValue("8").build()),
+        r => ManifestTable.compact(SparkSession.active, dirOf(str(r, 0)), str(r, 1), r.getInt(2)))
+      case "materialize_deletes" => proc(name, "fold pending merge-on-read tombstones into data files",
+        Seq(ProcedureParameter.in("table", StringType).build()),
+        r => ManifestTable.materializeDeletes(SparkSession.active, dirOf(str(r, 0))))
+      case "tag" => proc(name, "name an immutable snapshot ref (kept by expiry)",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("version", LongType).build()),
+        r => {
+          ManifestTable.tag(dirOf(str(r, 0)), str(r, 1), r.getLong(2))
+          r.getLong(2)
+        })
+      case "rollback" => proc(name, "metadata-only RESTORE to an older version",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("version", LongType).build()),
+        r => ManifestTable.restore(dirOf(str(r, 0)), r.getLong(1)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"no such procedure: $Namespace.$other (known: ${list().mkString(", ")})")
+    }
+  }
+
+  private def proc(
+      procName: String, doc: String,
+      params: Seq[ProcedureParameter], run: InternalRow => Long): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = doc
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = doc
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val v = run(input)
+          java.util.List.of[Scan](new GraftAggScan(
+            s"graft-procedure $procName",
+            StructType(Seq(StructField("version", LongType, nullable = false))),
+            InternalRow(v))).iterator()
+        }
+      }
+    }
+}

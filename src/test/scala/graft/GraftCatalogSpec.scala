@@ -487,6 +487,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.lake.trunc").head().getLong(0) == 1L)
   }
 
+  test("CALL graft.system procedures: the maintenance surface from SQL") {
+    val dir = mkTable("lake", "proc") // v1: 1000 rows
+    ManifestTable.deleteByKey(Seq(5L).toDF("id"), dir, keys = Seq("id")) // v2: MoR tombstone
+    val v = spark.sql("CALL graft.system.materialize_deletes(table => 'lake.proc')")
+      .head().getLong(0)
+    assert(v == 3L && !ManifestTable.manifest(dir, None).hasMorDeletes,
+      "the procedure must run the real materialization")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.proc").head().getLong(0) == 999L)
+    spark.sql("CALL graft.system.tag(table => 'lake.proc', name => 'pre', version => 1)")
+    assert(ManifestTable.tags(dir)("pre") == 1L)
+    spark.sql("CALL graft.system.rollback(table => 'lake.proc', version => 1)")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.proc").head().getLong(0) == 1000L)
+    // named + defaulted args through the full cadence
+    val head = spark.sql(
+      "CALL graft.system.maintain(table => 'lake.proc', cluster_by => 'id')")
+      .head().getLong(0)
+    assert(head == ManifestTable.latestVersion(dir).get)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.proc").head().getLong(0) == 1000L,
+      "maintenance is content-neutral")
+    val bad = intercept[Exception](
+      spark.sql("CALL graft.system.nope(table => 'lake.proc')").collect())
+    assert(bad.getMessage.contains("nope"), bad.getMessage)
+  }
+
   test("DROP TABLE removes the table; dropping a missing table reports false") {
     mkTable("lake", "dropme")
     spark.sql("DROP TABLE graft.lake.dropme")
