@@ -231,20 +231,20 @@ object TextCuration {
     * (idCol, n_windows, dup_windows) — integer counts, exact
     * cross-engine.
     *
-    * Scale shape — two passes so raw window STRINGS never shuffle for
-    * the (overwhelming) non-duplicated majority:
-    *  1. every window projects to its 8-byte `xxhash64` in the map
-    *     stage; one shuffle of distinct (hash, doc) pairs finds hashes
-    *     seen in >= 2 docs (candidate spans, tiny under real-world
-    *     duplication rates);
-    *  2. ONLY candidate positions re-derive their strings (semi join
-    *     on the hash), group by the string itself — killing hash
-    *     collisions, so the result is EXACT, the hash is purely a
-    *     prefilter — and verify >= 2 distinct docs before counting a
-    *     window as duplicated.
-    * Work is O(total chars) map-side + shuffles bounded by distinct
-    * hashes and candidate spans; never docs², never a full-string
-    * shuffle of the clean corpus.
+    * Scale shape — hash-prefilter then string-exact verify, with the
+    * DOCUMENTS never entering a shuffle:
+    *  1. every window derives its L-char string + 8-byte `xxhash64` in
+    *     one map pass and drops the source text; the
+    *     document-frequency shuffle prunes to (hash, doc) pairs and a
+    *     map-side-combined min/max-doc aggregate finds hashes seen in
+    *     >= 2 docs (no distinct pass, no count-distinct expand);
+    *  2. candidate windows (semi join on the hash) verify by the
+    *     STRING itself — one window pass partitioned by gram kills
+    *     hash collisions, so the result is EXACT and the hash purely a
+    *     prefilter.
+    * Work is O(total chars) map-side; shuffles carry 16-byte pairs for
+    * every window but L-byte grams only for candidates; the 10-100x
+    * larger documents never ship. Never docs².
     */
   def substringDupProfile(df: DataFrame, idCol: String, textCol: String, L: Int): DataFrame = {
     require(L >= 4, s"window length $L too short to mean anything")
@@ -252,17 +252,29 @@ object TextCuration {
       .filter(length(col("__t")) >= L)
     val win = base.select(col("__id"), col("__t"),
       explode(sequence(lit(1), length(col("__t")) - (L - 1))).as("__i"))
-    val hashed = win.select(col("__id"), col("__t"), col("__i"),
-      expr(s"xxhash64(substring(__t, __i, $L))").as("__h"))
-    val dupHash = hashed.select("__h", "__id").distinct()
-      .groupBy("__h").agg(count(lit(1)).as("__hdf"))
-      .filter(col("__hdf") >= 2).select("__h")
+    // derive the window string + hash in the SAME map pass and drop the
+    // document text immediately: nothing downstream ever ships `__t` —
+    // the df shuffle prunes to (hash, doc), the candidate shuffle ships
+    // (doc, gram) = L + 16 bytes, never the 10-100x larger documents
+    val hashed = win.select(col("__id"),
+      expr(s"substring(__t, __i, $L)").as("__g"))
+      .withColumn("__h", xxhash64(col("__g")))
+    // "seen in >= 2 distinct docs" == min(doc) != max(doc): ONE
+    // aggregation with map-side partial combine — no distinct shuffle,
+    // no count-distinct expand
+    val dupHash = hashed.groupBy("__h")
+      .agg(min(col("__id")).as("__mn"), max(col("__id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx")).select("__h")
     val cand = hashed.join(dupHash.hint("SHUFFLE_HASH"), Seq("__h"), "left_semi")
-      .select(col("__id"), expr(s"substring(__t, __i, $L)").as("__g"))
-    val verified = cand.select("__g", "__id").distinct()
-      .groupBy("__g").agg(count(lit(1)).as("__gdf"))
-      .filter(col("__gdf") >= 2).select("__g")
-    val perDoc = cand.join(verified.hint("SHUFFLE_HASH"), Seq("__g"), "left_semi")
+      .select(col("__id"), col("__g"))
+    // string-exact verification as ONE window pass over the candidates
+    // (min/max over the gram partition) instead of a second aggregate +
+    // semi join — the candidate pipeline is derived once, not thrice
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+    val perDoc = cand
+      .withColumn("__gmn", min(col("__id")).over(wg))
+      .withColumn("__gmx", max(col("__id")).over(wg))
+      .filter(col("__gmn") =!= col("__gmx"))
       .groupBy("__id").agg(count(lit(1)).cast("long").as("dup_windows"))
     base.select(col("__id"), (length(col("__t")) - (L - 1)).cast("long").as("n_windows"))
       .join(perDoc, Seq("__id"), "left")
