@@ -1245,6 +1245,75 @@ object Storage {
       },
     ),
     Q(
+      "q220_star_dpp",
+      "Runtime file pruning end to end (the lake's dynamic-partition-" +
+        "pruning analog, SupportsRuntimeV2Filtering): a 12-file lake " +
+        "fact range-clustered on l_orderkey joins a parquet dim whose " +
+        "key_quartile selection localizes the matching keys — Spark's " +
+        "DPP machinery hands the fact scan the dim's join-key values " +
+        "AT EXECUTION (the dim broadcast is reused as the pruning " +
+        "subquery), and the envelope survivor analysis drops the ~9 " +
+        "fact files that cannot hold a matching key before any task " +
+        "launches (GraftCatalogSpec pins planned-vs-survived). At " +
+        "100 TB a star join touching one dim slice opens that slice's " +
+        "fact files only. Oracle reconstructs the dim inline with " +
+        "identical integer-division bucketing.",
+      Some("""
+        WITH dim AS (
+          SELECT o_orderkey,
+                 LEAST(3, (o_orderkey * 4) // (SELECT max(o_orderkey) + 1 FROM orders))
+                   AS key_quartile,
+                 o_orderpriority
+          FROM orders
+        )
+        SELECT count(*) AS n,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM lineitem l JOIN dim d ON l.l_orderkey = d.o_orderkey
+        WHERE d.key_quartile = 1 AND d.o_orderpriority <> '3-MEDIUM'
+      """.trim),
+      (spark, dir) => {
+        val p = dppWarehouse(spark, dir)
+        spark.conf.set("spark.sql.catalog.graftdpp", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftdpp.warehouse", s"$p/wh")
+        spark.read.parquet(s"$p/dim").createOrReplaceTempView("dpp_order_dim")
+        spark.sql("""
+          SELECT count(*) AS n,
+                 CAST(sum(CAST(l.l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+                 CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+          FROM graftdpp.lake.li l JOIN dpp_order_dim d ON l.l_orderkey = d.o_orderkey
+          WHERE d.key_quartile = 1 AND d.o_orderpriority <> '3-MEDIUM'
+        """)
+      },
+    ),
+    Q(
+      "q221_metadata_agg",
+      "Aggregates answered from MANIFEST METADATA with zero file I/O " +
+        "(SupportsPushDownAggregates): a filterless count(*)/min/max " +
+        "over a catalog table folds per-file row counts and commit-" +
+        "time envelope stats into a driver-local one-row scan — no " +
+        "BatchScan, no tasks, the Iceberg metadata-aggregate " +
+        "optimization; at 100 TB a bare count(*) is an O(files) " +
+        "driver fold instead of a cluster job. The query fn asserts " +
+        "the plan IS the LocalTableScan answer, and the hash gate " +
+        "proves the metadata numbers equal the oracle's full scan.",
+      Some("""
+        SELECT count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts FROM events
+      """.trim),
+      (spark, dir) => {
+        val p = aggWarehouse(spark, dir)
+        spark.conf.set("spark.sql.catalog.graftagg", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftagg.warehouse", s"$p/wh")
+        val df = spark.sql(
+          "SELECT count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts " +
+            "FROM graftagg.lake.evagg")
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+          s"metadata aggregate must answer without a scan, got:\n$plan")
+        df
+      },
+    ),
+    Q(
       "q216_catalog_rename_sql",
       "ALTER TABLE RENAME COLUMN as METADATA-ONLY schema evolution " +
         "(ManifestTable.renameColumn — zero data I/O where a naive " +
@@ -1288,6 +1357,43 @@ object Storage {
       },
     ),
   )
+
+  /** Built once per (session, sf dir): a star pair for the runtime-
+    * pruning query — lineitem as a lake fact range-clustered on
+    * l_orderkey (12 files), and a parquet dim labeling each order with
+    * its orderkey QUARTILE (a non-key attribute whose selection is
+    * key-localized, the shape DPP exists for).
+    */
+  private def dppWarehouse(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"catalog-dpp:$dir") { p =>
+      val wh = s"$p/wh"
+      val fact = s"$wh/lake/li"
+      new java.io.File(fact).mkdirs()
+      val li = Tables(spark, dir).lineitem
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      ManifestTable.commit(
+        li.repartitionByRange(12, col("l_orderkey")), fact, track = Seq("l_orderkey"))
+      val o = Tables(spark, dir).orders
+      val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+      // pure INTEGER division (div/`//`) so both engines bucket
+      // identically — double division rounds at quartile boundaries
+      o.select(col("o_orderkey"),
+          least(lit(3L), expr(s"(o_orderkey * 4) div ${maxKey + 1}")).as("key_quartile"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$p/dim")
+    }
+
+  /** Built once per (session, sf dir): events as a catalog table with
+    * ts tracked — the metadata-aggregate query's fixture.
+    */
+  private def aggWarehouse(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"catalog-agg:$dir") { p =>
+      val wh = s"$p/wh"
+      val t = s"$wh/lake/evagg"
+      new java.io.File(t).mkdirs()
+      ManifestTable.commit(
+        Tables(spark, dir).events.repartitionByRange(6, col("ts")), t, track = Seq("ts")): Unit
+    }
 
   /** Built once per (session, sf dir): events committed pre-rename
     * (January under `value`), SQL-renamed to `amount`, the rest

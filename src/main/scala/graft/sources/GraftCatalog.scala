@@ -613,21 +613,29 @@ final class GraftLakeScanBuilder(
         Some(if (wantMin) cast.min(ord) else cast.max(ord))
       }
     }
-    val values: Seq[Option[Any]] = agg.aggregateExpressions().toSeq.map {
-      case _: CountStar => Some(totalRows)
+    // one (output field, value) per aggregate expression — schema built
+    // here, NOT via parquet's AggregatePushDownUtils, which refuses
+    // timestamp min/max for parquet-footer reasons (INT96/rebase modes)
+    // that do not apply to commit-time envelope stats
+    val cols: Seq[Option[(StructField, Any)]] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count(*)", LongType, nullable = false), totalRows))
       case c: Count if !c.isDistinct =>
         // count(col) == count(*) only when the column cannot be null
-        colOf(c.column).filter(!_.nullable).map(_ => totalRows)
-      case mn: Min => colOf(mn.column).flatMap(bound(_, wantMin = true))
-      case mx: Max => colOf(mx.column).flatMap(bound(_, wantMin = false))
+        colOf(c.column).filter(!_.nullable).map(f =>
+          (StructField(s"count(${f.name})", LongType, nullable = false), totalRows))
+      case mn: Min => colOf(mn.column).flatMap(f =>
+        bound(f, wantMin = true).map(v =>
+          (StructField(s"min(${f.name})", f.dataType), v)))
+      case mx: Max => colOf(mx.column).flatMap(f =>
+        bound(f, wantMin = false).map(v =>
+          (StructField(s"max(${f.name})", f.dataType), v)))
       case _ => None
     }
-    if (values.exists(_.isEmpty)) return None
-    val outSchema = org.apache.spark.sql.execution.datasources.AggregatePushDownUtils
-      .getSchemaForPushedAggregation(agg, schema, Set.empty, Nil)
-      .getOrElse(return None)
-    Some((outSchema,
-      org.apache.spark.sql.catalyst.InternalRow.fromSeq(values.map(_.get))))
+    if (cols.exists(_.isEmpty)) return None
+    val resolved = cols.map(_.get)
+    Some((StructType(resolved.map(_._1)),
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(resolved.map(_._2))))
   }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
