@@ -1210,7 +1210,7 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.latestVersion(dir) == head)
   }
 
-  test("model-based property: random commit/delete/merge/compact/MoR-delete/materialize sequences match an in-memory model at every version") {
+  test("model-based property: random commit/delete/merge/compact/MoR-delete/materialize/RENAME sequences match an in-memory model at every version") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
     sealed trait Op
@@ -1221,6 +1221,7 @@ class ManifestTableSpec extends SparkSpec {
     case class MorDelete(keys: Set[Long]) extends Op
     case class PosDelete(lo: Long, hi: Long) extends Op
     case object Materialize extends Op
+    case object Rename extends Op
 
     val rowsGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 999L)))
     val opGen: Gen[Op] = Gen.frequency(
@@ -1232,7 +1233,12 @@ class ManifestTableSpec extends SparkSpec {
       2 -> Gen.nonEmptyListOf(Gen.choose(0L, 30L)).map(ks => MorDelete(ks.toSet)),
       2 -> Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)).map { case (a, b) =>
         PosDelete(math.min(a, b), math.max(a, b)) },
-      1 -> Gen.const(Materialize))
+      1 -> Gen.const(Materialize),
+      // metadata-only column rename interleaves freely with DML: the
+      // era-grouped read, the feed's head-chain adoption, and the CoW
+      // rewrites must all stay model-exact across name boundaries (the
+      // VALUE column renames; the delete-key column is guarded)
+      2 -> Gen.const(Rename))
     val seqGen = Gen.choose(3, 7).flatMap(n => Gen.listOfN(n, opGen))
 
     (0 until 6).foreach { trial =>
@@ -1242,7 +1248,9 @@ class ManifestTableSpec extends SparkSpec {
       // in the table), deletes drop matching rows, merges upsert by key
       var model = Vector.empty[(Long, Long)]
       var history = Vector.empty[(Long, Vector[(Long, Long)])]
-      def df(rows: Map[Long, Long]) = rows.toSeq.toDF("k", "v")
+      var curVal = "v" // current name of the value column (renames retire old names)
+      var renameN = 0
+      def df(rows: Map[Long, Long]) = rows.toSeq.toDF("k", curVal)
       // a cursor-driven CDF consumer rides along: after every op it
       // drains the feed and folds into a materialized per-key rollup —
       // random sequences thus ALSO fuzz ChangeFeedStream + fold across
@@ -1252,12 +1260,12 @@ class ManifestTableSpec extends SparkSpec {
       def consume(): Unit = if (history.nonEmpty) {
         if (view.isEmpty) {
           graft.streaming.ChangeFeedStream.init(cursorDir, history.head._1)
-          view = Some(ChangeFeedView.init(spark, dir, Seq("k"), "v",
+          view = Some(ChangeFeedView.init(spark, dir, Seq("k"), curVal,
             asOf = Some(history.head._1)))
         }
         graft.streaming.ChangeFeedStream.poll(spark, dir, cursorDir, (feed, _, _) =>
           view = Some(graft.operators.Lineage.pin(
-            ChangeFeedView.fold(view.get, feed, Seq("k"), "v")))): Unit
+            ChangeFeedView.fold(view.get, feed, Seq("k"), curVal)))): Unit
       }
       // CoW operations COMPOSE with pending merge-on-read deletes (they
       // compute through the applied view and carry the tombstones), so
@@ -1290,6 +1298,12 @@ class ManifestTableSpec extends SparkSpec {
           history :+= (v, model)
         case Materialize if history.nonEmpty =>
           val v = ManifestTable.materializeDeletes(spark, dir)
+          history :+= (v, model)
+        case Rename if history.nonEmpty =>
+          renameN += 1
+          val to = s"v_$renameN" // retired names can never be reused
+          val v = ManifestTable.renameColumn(dir, curVal, to)
+          curVal = to
           history :+= (v, model)
         case _ => ()
       }; consume() }
