@@ -76,9 +76,58 @@ final class GraftMicroBatchStream(
     spark: SparkSession, dir: String, startManifest: ManifestTable.Manifest,
     options: CaseInsensitiveStringMap,
     pushed: Seq[Expression], required: StructType,
-    checkpointLocation: String) extends MicroBatchStream {
+    checkpointLocation: String) extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private val skipChangeCommits = options.getBoolean("skipChangeCommits", false)
+
+  /** `option("maxFilesPerTrigger", N)`: admission control for
+    * backfills — a stream starting against a long table history drains
+    * it in bounded micro-batches instead of one giant catch-up batch
+    * (Delta's knob of the same name). The limit closes over whole
+    * COMMITS: a batch admits versions until their cumulative appended
+    * file count reaches N (at least one version always admits, so a
+    * single oversized commit cannot wedge the stream). The initial
+    * snapshot counts its file total the same way.
+    */
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    Option(options.get("maxFilesPerTrigger"))
+      .map(n => org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles(n.toInt))
+      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+  }
+
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftStreamOffset]
+    val head = ManifestTable.latestVersion(dir).getOrElse(startManifest.version)
+    val end = GraftStreamOffset(math.max(head, startManifest.version), snapshotDone = true)
+    limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        var budget = mf.maxFiles().toLong
+        var v = s.version
+        var snapDone = s.snapshotDone
+        if (!snapDone) {
+          // the snapshot is one indivisible admission
+          budget -= ManifestTable.manifest(dir, Some(v)).files.size
+          snapDone = true
+        }
+        var parentPaths: Set[String] =
+          if (v >= 1) ManifestTable.manifest(dir, Some(v)).files.map(_.path).toSet
+          else Set.empty
+        while (v < end.version && budget > 0) {
+          val mv = ManifestTable.manifest(dir, Some(v + 1))
+          val added = mv.files.count(f => !parentPaths.contains(f.path))
+          // change/maintenance commits admit freely (they stream nothing
+          // or fail loudly in planInputPartitions either way)
+          budget -= added
+          parentPaths = mv.files.map(_.path).toSet
+          v += 1
+        }
+        GraftStreamOffset(v, snapDone)
+      case _ => end
+    }
+  }
 
   /** Pin name derived from the checkpoint location — stable across
     * restarts of the same query, distinct across queries.
@@ -150,10 +199,11 @@ final class GraftMicroBatchStream(
         if (parent == null) Nil
         else parent.files.map(_.path).filterNot(mv.files.map(_.path).toSet)
       val newTombstones =
-        (parent == null && mv.hasMorDeletes) ||
-          (parent != null &&
-            (mv.deleteFiles.map(_.path).toSet -- parent.deleteFiles.map(_.path).toSet).nonEmpty ||
-            (mv.posDeleteFiles.map(_.path).toSet -- parent.posDeleteFiles.map(_.path).toSet).nonEmpty)
+        if (parent == null) mv.hasMorDeletes
+        else (mv.deleteFiles.map(_.path).toSet --
+            parent.deleteFiles.map(_.path).toSet).nonEmpty ||
+          (mv.posDeleteFiles.map(_.path).toSet --
+            parent.posDeleteFiles.map(_.path).toSet).nonEmpty
       // batches read with the schema captured at stream (re)start.
       // Additive evolution is safe either way (extra columns are
       // ignored / missing ones read NULL); a RENAME or DROP landing

@@ -158,6 +158,35 @@ class GraftStreamReadSpec extends SparkSpec {
       s"the reader must see every published row exactly once: $got")
   }
 
+  test("maxFilesPerTrigger: a backfill drains in bounded micro-batches, content identical") {
+    val dir = mkTable("rate", 1 to 10) // v1: 2 files
+    append(dir, 11 to 12) // v2: 1 file
+    append(dir, 13 to 14) // v3: 1 file
+    append(dir, 15 to 16) // v4: 1 file
+    val out = tmpDir("rate-out").toString
+    // startingVersion=1 makes the whole history a CHANGES backfill (a
+    // head-snapshot start is one indivisible admission by design)
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .option("startingVersion", "1")
+      .table("graftsr.lake.rate").writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("rate-ckpt").toString).start()
+    try {
+      q.processAllAvailable()
+      // one micro-batch per commit under the 1-file budget
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 4,
+        s"1-file budget must split the backfill per commit, got ${batches.length} " +
+          s"batches: ${batches.map(_.numInputRows).mkString(",")}")
+      assert(batches.head.numInputRows == 10,
+        "v1 (two files) is still one admission: at least one version per batch")
+    } finally q.stop()
+    val got = spark.read.parquet(out).select("id").as[Long].collect().toSeq.sorted
+    assert(got == (1L to 16L), s"rate limiting must not change content: $got")
+    ManifestTable.cursorPins(dir) // (pins exercised; content is the contract)
+  }
+
   test("startingVersion streams changes-only from that commit; MoR snapshot start refused") {
     val dir = mkTable("sv", 1 to 10) // v1
     append(dir, 11 to 13) // v2
