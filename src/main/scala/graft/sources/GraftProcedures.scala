@@ -32,7 +32,8 @@ object GraftProcedures {
   val Namespace = "system"
 
   def list(): Array[String] = Array(
-    "maintain", "expire_snapshots", "compact", "materialize_deletes", "tag", "rollback")
+    "maintain", "expire_snapshots", "compact", "materialize_deletes", "tag", "rollback",
+    "vacuum")
 
   def load(catalogName: String, warehouse: () => String, name: String): UnboundProcedure = {
     def dirOf(table: String): String =
@@ -79,6 +80,14 @@ object GraftProcedures {
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("version", LongType).build()),
         r => ManifestTable.restore(dirOf(str(r, 0)), r.getLong(1)))
+      case "vacuum" => proc(name, "delete unreferenced data files older than min_age_hours",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("min_age_hours", LongType).defaultValue("24").build()),
+        r => {
+          ManifestTable.vacuum(dirOf(str(r, 0)), r.getLong(1) * 3600L * 1000L)
+          ManifestTable.latestVersion(dirOf(str(r, 0))).getOrElse(-1L)
+        })
       case other =>
         throw new IllegalArgumentException(
           s"no such procedure: $Namespace.$other (known: ${list().mkString(", ")})")

@@ -506,6 +506,11 @@ class GraftCatalogSpec extends SparkSpec {
     assert(head == ManifestTable.latestVersion(dir).get)
     assert(spark.sql("SELECT count(*) FROM graft.lake.proc").head().getLong(0) == 1000L,
       "maintenance is content-neutral")
+    spark.sql("CALL graft.system.vacuum(table => 'lake.proc', min_age_hours => 24)")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.proc").head().getLong(0) == 1000L,
+      "vacuum with the default grace age must not touch live data")
+    val shown = spark.sql("SHOW PROCEDURES IN graft.system").collect()
+    assert(shown.length >= 7, s"SHOW PROCEDURES must list the surface, got ${shown.length}")
     val bad = intercept[Exception](
       spark.sql("CALL graft.system.nope(table => 'lake.proc')").collect())
     assert(bad.getMessage.contains("nope"), bad.getMessage)
