@@ -568,13 +568,16 @@ object TextOps {
           "candidate spans. Hash-gated against DuckDB's direct " +
           "generate_series/substr reconstruction.",
         Some("""
-          WITH pos AS (
-            SELECT i FROM generate_series(1, 4096) AS t(i)
-          ),
-          wins AS (
+          WITH wins AS (
+            -- per-doc position list (scalar generate_series takes column
+            -- args, unlike the table function) — no fixed length cap, so
+            -- arbitrarily long documents enumerate every window
             SELECT doc_id, source, substr(text, CAST(i AS INT), 30) AS g
-            FROM documents JOIN pos ON i <= CAST(length(text) AS BIGINT) - 29
-            WHERE length(text) >= 30
+            FROM (
+              SELECT doc_id, source, text,
+                unnest(generate_series(CAST(1 AS BIGINT), CAST(length(text) AS BIGINT) - 29)) AS i
+              FROM documents WHERE length(text) >= 30
+            )
           ),
           dup AS (SELECT g FROM wins GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
           per AS (

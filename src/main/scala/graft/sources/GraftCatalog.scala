@@ -256,6 +256,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ManifestTable.dropColumns(dir, Seq(top(d.fieldNames, "dropped"))): Unit
       case other => unsupported(s"ALTER TABLE (${other.getClass.getSimpleName})")
     }
+    // Pre-validate the WHOLE change set against the current snapshot so a
+    // multi-change ALTER either fully applies or fully fails — without
+    // this, the second of two renames failing (say, targeting a retired
+    // name) would leave the first committed with no rollback. Each step
+    // still re-validates inside its own optimistic commit loop; this
+    // closes the deterministic-failure window, not the (rare, loud)
+    // concurrent-writer race.
+    locally {
+      val cur = ManifestTable.manifest(dir, None)
+      var names = DataFrameSchema.fromJson(cur.schemaJson).fieldNames.toVector
+      var retired = cur.retired.toSet
+      def requireFresh(n: String, what: String): Unit = {
+        require(!n.startsWith("__") && n != GraftLakeTable.VersionColumn,
+          s"ALTER TABLE $ident: column name $n is reserved ($what)")
+        require(!names.contains(n), s"ALTER TABLE $ident: column $n already exists ($what)")
+        require(!retired(n),
+          s"ALTER TABLE $ident: column name $n is retired (renamed away or dropped); " +
+            s"old files still hold bytes under it — pick a fresh name ($what)")
+      }
+      // simulate in APPLICATION order: all adds land first, then the rest
+      adds.foreach { f => requireFresh(f.name, "ADD COLUMN"); names :+= f.name }
+      changes.foreach {
+        case _: TableChange.AddColumn => ()
+        case r: TableChange.RenameColumn =>
+          val from = top(r.fieldNames, "renamed")
+          require(names.contains(from), s"ALTER TABLE $ident: no such column: $from")
+          requireFresh(r.newName, "RENAME COLUMN")
+          names = names.map(n => if (n == from) r.newName else n); retired += from
+        case d: TableChange.DeleteColumn =>
+          val n = top(d.fieldNames, "dropped")
+          require(names.contains(n), s"ALTER TABLE $ident: no such column: $n")
+          require(names.size > 1, s"ALTER TABLE $ident: cannot drop every column")
+          names = names.filterNot(_ == n); retired += n
+        case _ => ()
+      }
+    }
     if (adds.nonEmpty) ManifestTable.addColumns(dir, adds)
     others.foreach(_.apply())
     loadTable(ident)

@@ -565,6 +565,12 @@ object ManifestTable {
     require(bad.isEmpty,
       s"column name(s) ${bad.mkString(", ")} use the reserved __ prefix " +
         "(internal to the manifest table's delete/attribution machinery); rename them")
+    // `_version` is the catalog's metadata column (Iceberg reserves its
+    // metadata names the same way): a data column of that name would be
+    // silently shadowed by the constant snapshot version on read.
+    val meta = schema.fieldNames.filter(_ == "_version")
+    require(meta.isEmpty,
+      "column name _version is reserved for the snapshot-version metadata column; rename it")
   }
 
   /** Stats + optimistic install for an already-staged write — the
@@ -1655,12 +1661,22 @@ object ManifestTable {
     * default grace far exceeds any commit loop).
     */
   def vacuum(dir: String, minAgeMs: Long = 24L * 3600 * 1000): Unit = {
+    // Mark the TOP-LEVEL data/ segment of every referenced file, not its
+    // immediate parent: streaming epochs nest one level deeper
+    // (data/c-stream-<uuid>/e<epoch>/part-*.parquet), and marking only
+    // "e<epoch>" would leave "c-stream-<uuid>" looking unreferenced.
+    val dataRoot = java.nio.file.Paths.get(dir, "data").toAbsolutePath.normalize
     val referenced = versions(dir)
       .flatMap { v =>
         val m = manifest(dir, Some(v))
         m.files.map(_.path) ++ m.deleteFiles.map(_.path) ++ m.posDeleteFiles.map(_.path)
       }
-      .map(p => java.nio.file.Paths.get(p).getParent.getFileName.toString)
+      .flatMap { p =>
+        val ap = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+        if (ap.startsWith(dataRoot) && ap.getNameCount > dataRoot.getNameCount + 1)
+          Some(ap.getName(dataRoot.getNameCount).toString)
+        else Option(ap.getParent).map(_.getFileName.toString)
+      }
       .toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     Option(new java.io.File(dir, "data").listFiles()).getOrElse(Array.empty)
@@ -1804,7 +1820,12 @@ object ManifestTable {
     Option(new java.io.File(dir, "_manifests").listFiles()).getOrElse(Array.empty)
       .map(_.getName)
       .collect { case n if n.startsWith(s"pin-$name-") && n.endsWith(".json") =>
-        n.stripPrefix(s"pin-$name-").stripSuffix(".json").toLong }.toSeq
+        n.stripPrefix(s"pin-$name-").stripSuffix(".json") }
+      // names may themselves contain '-' ("a" prefixes "a-b"), so only a
+      // remainder that IS the 12-digit zero-padded version tail belongs
+      // to this name — anything else is a longer name's marker
+      .filter(rest => rest.nonEmpty && rest.forall(_.isDigit))
+      .map(_.toLong).toSeq
 
   /** Unregister a consumer's pin (all its markers); retention moves on. */
   def dropCursorPin(dir: String, name: String): Boolean = {

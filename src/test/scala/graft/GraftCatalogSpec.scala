@@ -553,4 +553,75 @@ class GraftCatalogSpec extends SparkSpec {
     assert(scannedFiles(clean).nonEmpty, "clean table must plan through the V2 scan")
     assert(spark.sql("SELECT count(*) FROM graft.lake.mor").head().getLong(0) == 997)
   }
+
+  test("vacuum never collects streaming-write data (nested epoch staging dirs)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql("CREATE TABLE graft.lake.vacstream (id BIGINT, v STRING) PARTITIONED BY (id)")
+    val dir = mkTableDir("lake", "vacstream")
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", tmpDir("vacstream-ckpt").toString)
+      .toTable("graft.lake.vacstream")
+    try {
+      in.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      in.addData((3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.sql("SELECT count(*) FROM graft.lake.vacstream").head().getLong(0) == 3)
+    // streamed files live at data/c-stream-<uuid>/e<epoch>/part-*; a vacuum
+    // keyed on IMMEDIATE parent names would see the top-level stream dir as
+    // unreferenced and delete committed data
+    ManifestTable.vacuum(dir, minAgeMs = -1L)
+    assert(spark.sql("SELECT sum(id) FROM graft.lake.vacstream").head().getLong(0) == 6L,
+      "vacuum must keep manifest-referenced streaming epochs readable")
+    // and a genuinely-orphaned sibling stream dir IS collected
+    val orphan = new java.io.File(dir, "data/c-stream-orphan/e0")
+    orphan.mkdirs()
+    java.nio.file.Files.write(orphan.toPath.resolve("part-junk.parquet"), Array[Byte](1))
+    ManifestTable.vacuum(dir, minAgeMs = -1L)
+    assert(!new java.io.File(dir, "data/c-stream-orphan").exists(),
+      "unreferenced stream staging must still be reclaimed")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.vacstream").head().getLong(0) == 3)
+  }
+
+  test("_version is a reserved column name: CREATE / ADD COLUMN / RENAME-to all refuse") {
+    val e1 = intercept[Exception](
+      spark.sql("CREATE TABLE graft.lake.badv (id BIGINT, _version BIGINT)"))
+    assert(e1.getMessage.contains("_version"), s"got: ${e1.getMessage}")
+    mkTable("lake", "resv")
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.lake.resv ADD COLUMN _version BIGINT"))
+    assert(e2.getMessage.contains("reserved"), s"got: ${e2.getMessage}")
+    val e3 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.lake.resv RENAME COLUMN cat TO _version"))
+    assert(e3.getMessage.contains("reserved"), s"got: ${e3.getMessage}")
+    // the metadata column still serves
+    assert(spark.sql("SELECT max(_version) FROM graft.lake.resv").head().getLong(0) == 1L)
+  }
+
+  test("multi-change ALTER TABLE is all-or-nothing: a failing change applies none") {
+    mkTable("lake", "atomalt")
+    spark.sql("ALTER TABLE graft.lake.atomalt RENAME COLUMN cat TO category")
+    val schemaBefore = ManifestTable.manifest(mkTableDir("lake", "atomalt"), None).schemaJson
+    val vBefore = ManifestTable.latestVersion(mkTableDir("lake", "atomalt")).get
+    // second rename targets the retired name 'cat' -> whole ALTER must fail
+    // with the FIRST rename not applied either
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = Identifier.of(Array("lake"), "atomalt")
+    val e = intercept[Exception](cat.alterTable(ident,
+      TableChange.renameColumn(Array("k"), "kk"),
+      TableChange.renameColumn(Array("category"), "cat")))
+    assert(e.getMessage.contains("retired"), s"got: ${e.getMessage}")
+    val dir = mkTableDir("lake", "atomalt")
+    assert(ManifestTable.latestVersion(dir).get == vBefore,
+      "failed multi-change ALTER must commit nothing")
+    assert(ManifestTable.manifest(dir, None).schemaJson == schemaBefore)
+    // and a valid multi-change set still applies as a whole
+    cat.alterTable(ident,
+      TableChange.renameColumn(Array("k"), "kk"),
+      TableChange.deleteColumn(Array("category"), java.lang.Boolean.FALSE))
+    assert(spark.table("graft.lake.atomalt").columns.toSeq == Seq("id", "kk"))
+  }
 }

@@ -54,6 +54,22 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.snapshot(spark, dir).count() == 1)
   }
 
+  test("cursor pins with dash-prefixed names never collide (a vs a-b)") {
+    val dir = freshDir()
+    ManifestTable.commit(Seq(1L).toDF("id"), dir, Seq("id"))
+    // 'a' is a dash-prefix of 'a-b': the longer name's marker must not be
+    // parsed as a marker of the shorter one
+    ManifestTable.pinCursor(dir, "a", 1L)
+    ManifestTable.pinCursor(dir, "a-b", 3L)
+    ManifestTable.pinCursor(dir, "a", 2L) // retire step walks a's markers only
+    assert(ManifestTable.cursorPins(dir) == Map("a" -> 2L, "a-b" -> 3L))
+    assert(ManifestTable.dropCursorPin(dir, "a"))
+    assert(ManifestTable.cursorPins(dir) == Map("a-b" -> 3L),
+      "dropping 'a' must not take 'a-b' markers with it")
+    assert(ManifestTable.dropCursorPin(dir, "a-b"))
+    assert(ManifestTable.cursorPins(dir).isEmpty)
+  }
+
   test("concurrent appends both land exactly once (optimistic loop)") {
     val dir = freshDir()
     ManifestTable.commit(Seq(0L).toDF("id"), dir, Seq("id"))
