@@ -170,6 +170,227 @@ object TextCuration {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact-histogram ceiling for [[dfCapFor]]'s probe: document
+    * frequencies at or under this are histogrammed exactly (at most
+    * this many collected rows + 1 tail row — control-plane-bounded at
+    * any corpus size); the tail above folds into one bucket, so a
+    * budget boundary landing inside the tail resolves conservatively
+    * to this value (a smaller cap only ever DROPS candidates — safe
+    * for the budget, never for it).
+    */
+  private val ProbeExactDf = 4096L
+
+  /** The corpus-probed DOCUMENT-FREQUENCY CEILING behind the capped
+    * candidate paths ([[jaccardNearDupsAuto]] /
+    * [[jaccardNearDupsPrefixAuto]]) — the same
+    * occupancy-derived-knob discipline as
+    * [[graft.api.VectorSearch.lshNearDupsAuto]]'s plane count, applied
+    * to the shingle-join side: candidate-pair volume through an
+    * inverted-index join is Σ df·(df−1)/2 over the joined postings,
+    * and on a corpus whose shingle vocabulary grows slower than its
+    * document count (fixed boilerplate, template-heavy crawls) that
+    * sum grows ~quadratically while the TRUE near-dup output stays
+    * ~linear (measured on the synthetic corpus: 10× docs → 78× Σ df²,
+    * 10× true pairs). One bounded aggregate — the df histogram, exact
+    * to [[ProbeExactDf]], one tail bucket above — picks the largest
+    * ceiling whose cumulative pair volume fits `budgetPairs`, so
+    * generation work is ≤ budget BY CONSTRUCTION and scales with the
+    * budget (linear in docs for a per-doc budget), not with df².
+    * Returns Long.MaxValue when the whole corpus fits the budget —
+    * the probe provably changes NOTHING below it (the no-op the
+    * oracle-gate scales sit in).
+    */
+  private[graft] def dfCapFor(dfreq: DataFrame, budgetPairs: Double): Long = {
+    val hist = dfreq
+      .groupBy(least(col("df"), lit(ProbeExactDf + 1L)).as("dfb"))
+      .agg(sum(col("df").cast("double") * (col("df") - 1L).cast("double") / 2.0).as("vol"),
+        max("df").as("max_df"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    var cum = 0.0
+    var cap = 1L // df=1 postings generate zero pairs; always kept
+    hist.foreach { case (dfb, vol, _) =>
+      cum += vol
+      if (cum <= budgetPairs) cap = dfb
+    }
+    if (cum <= budgetPairs || hist.isEmpty) Long.MaxValue
+    else if (cap > ProbeExactDf) ProbeExactDf // boundary inside the tail: conservative
+    else cap
+  }
+
+  /** Per-pair verification shared by the capped candidate paths: join
+    * the candidate PAIRS back onto per-doc shingle-HASH arrays (both
+    * sides of the same `sets` frame — two keyed joins carrying
+    * doc-sized array payloads for candidate rows only) and compute the
+    * intersection with `array_intersect`. The arrays carry xxhash64 of
+    * each shingle, not the string — 8 bytes/element vs ~17-char
+    * strings halves the verification shuffle. A 64-bit collision
+    * between two distinct shingles of a candidate pair would shift its
+    * n_inter by one: probability ≈ F²/2^65 over F distinct shingles —
+    * ~2e-11 at 10^5 shingles, ~0.03 expected corpus-wide at an extreme
+    * 10^9 — quantified noise far below anything a near-dup policy acts
+    * on, and the capped regime this runs in is already recall-traded
+    * by design (the oracle-gate scales run the uncapped exact plans).
+    * Work and shuffle are candidate-bounded (≤ the generation budget),
+    * never corpus².
+    */
+  private def verifyJaccardPairs(
+      sets: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    val hsets = sets.selectExpr(
+      "__id", "nsh", "transform(sh, hv_s -> xxhash64(hv_s)) AS hsh")
+    cand
+      .join(hsets.select(col("__id").as("id_a"), col("nsh").as("na"),
+        col("hsh").as("sh_a")).hint("SHUFFLE_HASH"), "id_a")
+      .join(hsets.select(col("__id").as("id_b"), col("nsh").as("nb"),
+        col("hsh").as("sh_b")).hint("SHUFFLE_HASH"), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double")
+          / (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** [[jaccardNearDups]] with the candidate volume CAPPED BY A
+    * CORPUS-PROBED df ceiling ([[dfCapFor]]): shingles above the
+    * ceiling are excluded from candidate GENERATION only — reported
+    * pairs are verified against the full shingle sets (split-count:
+    * the generation join's group count is the exact capped-shingle
+    * intersection; the frequent remainder rides per-pair hash-array
+    * intersects with the collision bound quantified at
+    * [[verifyJaccardPairs]]), so precision holds at every scale and
+    * jaccard values are true. The documented trade is
+    * RECALL above the budget: a true pair can be missed only if EVERY
+    * shingle it shares sits above the ceiling — a pair glued together
+    * exclusively by corpus-level boilerplate, exactly the kind a
+    * crawl-dedup pipeline treats as template noise rather than
+    * content duplication. Below the budget the cap is Long.MaxValue
+    * and the result equals [[jaccardNearDups]] verbatim (the
+    * oracle-gate scales sit in this regime; ApiSpecs pins both the
+    * no-op and the linear candidate growth on an adversarial
+    * fixed-vocabulary corpus). Returns (pairs, dfCap) — the chosen
+    * ceiling rides along for auditability, the q162/q197/q208
+    * decision-string discipline.
+    */
+  def jaccardNearDupsAuto(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      budgetPairsPerDoc: Long = 150L): (DataFrame, Long) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(budgetPairsPerDoc >= 1, s"budgetPairsPerDoc >= 1: $budgetPairsPerDoc")
+    val sets = df
+      .selectExpr(s"$idCol AS __id", s"${textShinglesSpark(textCol)} AS sh")
+      .selectExpr("__id", "CAST(size(sh) AS BIGINT) AS nsh", "sh")
+    val ex = sets.select(col("__id"), col("nsh"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val cap = dfCapFor(dfreq, budgetPairsPerDoc.toDouble * df.count())
+    if (cap == Long.MaxValue)
+      // whole corpus under budget: the uncapped direct-count plan is
+      // both exact AND cheaper (n_inter straight off the join, no
+      // array payloads) — provably identical output
+      return (jaccardNearDups(df, idCol, textCol, threshold), cap)
+    // SPLIT-COUNT verification: the capped generation join's group
+    // count IS the exact intersection over capped shingles; only the
+    // FREQUENT remainder (df > cap — few DISTINCT shingles, so short
+    // per-doc arrays) rides a per-pair array intersect. n_inter =
+    // n_capped + |freq(A) ∩ freq(B)| exactly, with the array payload a
+    // fraction of the full shingle set's.
+    val gen = ex.join(dfreq.filter(col("df") <= cap).hint("SHUFFLE_HASH"), "s")
+    val paircnt = gen.select(col("__id").as("id_a"), col("nsh").as("na"), col("s"))
+      .join(gen.select(col("__id").as("id_b"), col("nsh").as("nb"), col("s"))
+        .hint("SHUFFLE_HASH"), "s")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("n_capped"))
+    val freqSets = ex.join(dfreq.filter(col("df") > cap).hint("SHUFFLE_HASH"), "s")
+      .groupBy("__id").agg(sort_array(collect_list(xxhash64(col("s")))).as("fsh"))
+    val empty = array().cast("array<bigint>")
+    val pairs = paircnt
+      .join(freqSets.select(col("__id").as("id_a"), col("fsh").as("fsh_a"))
+        .hint("SHUFFLE_HASH"), Seq("id_a"), "left")
+      .join(freqSets.select(col("__id").as("id_b"), col("fsh").as("fsh_b"))
+        .hint("SHUFFLE_HASH"), Seq("id_b"), "left")
+      .withColumn("n_inter",
+        (col("n_capped") + size(array_intersect(
+          coalesce(col("fsh_a"), empty), coalesce(col("fsh_b"), empty)))).cast("long"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double")
+          / (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    (pairs, cap)
+  }
+
+  /** [[jaccardNearDupsPrefix]] with the SAME corpus-probed ceiling
+    * ([[dfCapFor]]) applied to the prefix postings: PPJoin's prefix
+    * keeps each doc's rarest `|x| − ceil(t²·|x|) + 1` shingles, but on
+    * a vocabulary that grows slower than the corpus even the rarest
+    * prefix shingles' df grows linearly and the prefix join is
+    * ~quadratic again. The cap bounds the PREFIX-join volume to the
+    * per-doc budget; verification is the exact array intersection
+    * ([[verifyJaccardPairs]]), so precision stays exact and the recall
+    * trade is even narrower than [[jaccardNearDupsAuto]]'s — a true
+    * pair is missed only if every shingle shared within the two
+    * RAREST-FIRST prefixes is boilerplate-frequent. No-op below the
+    * budget (cap = Long.MaxValue), where losslessness is the prefix
+    * theorem's. Returns (pairs, dfCap).
+    */
+  def jaccardNearDupsPrefixAuto(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      budgetPairsPerDoc: Long = 150L): (DataFrame, Long) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(budgetPairsPerDoc >= 1, s"budgetPairsPerDoc >= 1: $budgetPairsPerDoc")
+    val sets = df
+      .selectExpr(s"$idCol AS __id", s"${textShinglesSpark(textCol)} AS sh")
+      .selectExpr("__id", "CAST(size(sh) AS BIGINT) AS nsh", "sh")
+    val ex = sets.select(col("__id"), col("nsh"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("__id").orderBy(col("df"), col("s"))
+    val prefix = ex.join(dfreq.hint("SHUFFLE_HASH"), "s")
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <=
+        col("nsh") - ceil(lit(threshold * threshold) * col("nsh") - lit(1e-9)) + 1)
+      .select("__id", "nsh", "s")
+    // budget the volume of the join actually run: PREFIX postings df
+    val pdfreq = prefix.groupBy("s").agg(count(lit(1)).as("df"))
+    val cap = dfCapFor(pdfreq, budgetPairsPerDoc.toDouble * df.count())
+    if (cap == Long.MaxValue)
+      // prefix volume under budget: the bare prefix path is lossless
+      // (prefix theorem) and its candidate-restricted inverted-index
+      // verification is cheaper than array payloads at this scale
+      return (jaccardNearDupsPrefix(df, idCol, textCol, threshold), cap)
+    val gen = prefix.join(pdfreq.filter(col("df") <= cap).hint("SHUFFLE_HASH"), "s")
+    // size filter (Arasu et al. VLDB'06) — see [[jaccardNearDupsPrefix]]
+    val cand = gen.select(col("__id").as("id_a"), col("nsh").as("pna"), col("s"))
+      .join(gen.select(col("__id").as("id_b"), col("nsh").as("pnb"), col("s"))
+        .hint("SHUFFLE_HASH"), "s")
+      .filter(col("id_a") < col("id_b")
+        && col("pnb").cast("double") >= lit(threshold) * col("pna").cast("double") - lit(1e-9)
+        && col("pna").cast("double") >= lit(threshold) * col("pnb").cast("double") - lit(1e-9))
+      .select("id_a", "id_b").distinct()
+    (verifyJaccardPairs(sets, cand, threshold), cap)
+  }
+
+  /** Candidate-pair counts of the CAPPED generation vs the uncapped
+    * full inverted index, plus the chosen ceiling, for the scaling
+    * specs: (capped_pairs, full_pairs, df_cap).
+    */
+  private[graft] def cappedCandidateStats(
+      df: DataFrame, idCol: String, textCol: String,
+      budgetPairsPerDoc: Long): (Long, Long, Long) = {
+    val ex = df
+      .selectExpr(s"$idCol AS __id", s"${textShinglesSpark(textCol)} AS sh")
+      .select(col("__id"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val cap = dfCapFor(dfreq, budgetPairsPerDoc.toDouble * df.count())
+    def pairs(e: DataFrame): Long = e.select(col("__id").as("id_a"), col("s"))
+      .join(e.select(col("__id").as("id_b"), col("s")), "s")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().count()
+    val capped = ex.join(dfreq.filter(col("df") <= cap), "s").select("__id", "s")
+    (pairs(capped), pairs(ex), cap)
+  }
+
   /** Candidate-pair count of the prefix-filtered path vs the full
     * inverted index, for diagnostics/specs: (prefix_pairs, full_pairs).
     */

@@ -197,8 +197,16 @@ object TextOps {
     Q(
       "q26_ngram_jaccard",
       "N-gram Jaccard near-dup pairs (trigram shingles, j >= 0.3) via " +
-        "inverted-index join on shingle — intersection counts from one " +
-        "shuffle, union by inclusion–exclusion; never a docs² cross join.",
+        "inverted-index join on shingle, with candidate volume CAPPED " +
+        "by a corpus-probed df ceiling (TextCuration.jaccardNearDupsAuto " +
+        "— the q208 occupancy-probe discipline on the shingle-join " +
+        "side): generation work is <= budget-per-doc x docs BY " +
+        "CONSTRUCTION, so it scales linearly where the uncapped join " +
+        "grows ~quadratically on a slow-growing vocabulary (10x docs " +
+        "measured 78x sum-df^2). Reported pairs verify exactly against " +
+        "the full shingle sets; below the budget the cap provably " +
+        "no-ops (the oracle scales sit there — hash-gated vs the full " +
+        "inverted index).",
       Some(s"""
         WITH t AS (SELECT doc_id, $tokD AS tok FROM documents),
         shi AS (SELECT doc_id, ${shinglesDuck("tok")} AS sh FROM t),
@@ -214,20 +222,25 @@ object TextOps {
         ORDER BY doc_a, doc_b
       """.trim),
       (spark, dir) =>
-        graft.api.TextCuration.jaccardNearDups(Tables(spark, dir).documents, "doc_id", "text", 0.3)
+        graft.api.TextCuration.jaccardNearDupsAuto(
+          Tables(spark, dir).documents, "doc_id", "text", 0.3)._1
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
             col("n_inter"), col("n_union"), col("jaccard")),
     ),
     Q(
       "q160_jaccard_prefix",
-      "Exact Jaccard near-dup pairs (j >= 0.6) via PPJoin-style PREFIX " +
-        "FILTERING (TextCuration.jaccardNearDupsPrefix): shingles " +
-        "ordered rarest-first globally, only each doc's provably-" +
-        "sufficient prefix feeds the candidate join, exact per-pair " +
-        "array-intersect verification after. Same result as the full " +
-        "inverted index (the oracle runs it), from a fraction of the " +
-        "candidate pairs — the LOSSLESS exact-similarity scale path " +
-        "next to q27/q28's MinHash recall trade.",
+      "Jaccard near-dup pairs (j >= 0.6) via PPJoin-style PREFIX " +
+        "FILTERING with a corpus-probed df ceiling on the prefix join " +
+        "(TextCuration.jaccardNearDupsPrefixAuto): shingles ordered " +
+        "rarest-first globally, only each doc's provably-sufficient " +
+        "prefix feeds the candidate join, and the prefix postings are " +
+        "volume-capped to budget-per-doc x docs so the join stays " +
+        "linear even when the vocabulary grows slower than the corpus " +
+        "(the regime where the bare prefix filter is ~quadratic " +
+        "again). Exact per-pair array-intersect verification after; " +
+        "below the budget the cap no-ops and the prefix theorem's " +
+        "losslessness holds outright — the oracle scales sit there " +
+        "(hash-gated vs the full inverted index).",
       Some(s"""
         WITH t AS (SELECT doc_id, $tokD AS tok FROM documents),
         shi AS (SELECT doc_id, ${shinglesDuck("tok")} AS sh FROM t),
@@ -243,7 +256,8 @@ object TextOps {
         ORDER BY doc_a, doc_b
       """.trim),
       (spark, dir) =>
-        graft.api.TextCuration.jaccardNearDupsPrefix(Tables(spark, dir).documents, "doc_id", "text", 0.6)
+        graft.api.TextCuration.jaccardNearDupsPrefixAuto(
+          Tables(spark, dir).documents, "doc_id", "text", 0.6)._1
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
             col("n_inter"), col("n_union"), col("jaccard")),
     ),

@@ -129,6 +129,99 @@ class PrefixFilterSpec extends SparkSpec {
   }
 }
 
+/** The corpus-probed df ceiling behind q26/q160
+  * (TextCuration.jaccardNearDupsAuto / jaccardNearDupsPrefixAuto — the
+  * r13 sf1 slope flags' lever): candidate volume stays within the
+  * per-doc budget BY CONSTRUCTION on an adversarial fixed-vocabulary
+  * corpus, the cap provably no-ops below the budget (the oracle-gate
+  * regime), and an engaged cap trades only recall — reported pairs
+  * keep their exact intersection counts and planted rare-shingle
+  * near-dups survive any engaged ceiling.
+  */
+class CappedCandidateSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.api.TextCuration
+
+  /** Fixed-vocabulary corpus: every doc is `len` words drawn seeded
+    * from `vocabSize` words — shingle vocabulary saturates while docs
+    * grow, so full inverted-index candidate volume grows ~quadratically
+    * (the q26/q160 sf1 regime). Two planted docs share a RARE
+    * (unique-word) sentence: a true near-dup glued by df=2 shingles.
+    */
+  private def corpus(n: Int, vocabSize: Int = 12, len: Int = 20): DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until n - 2).map { i =>
+      (i.toLong, Seq.fill(len)(s"w${rnd.nextInt(vocabSize)}").mkString(" "))
+    }
+    val planted = "zephyr quartz fjord waltz nymph vex jigsaw blitz glyph crwth dwarf pixel"
+    base ++ Seq((n - 2L, planted), (n - 1L, planted + " extra"))
+  }.toDF("doc_id", "text")
+
+  private def canon(df: DataFrame): Set[String] =
+    df.select("id_a", "id_b", "n_inter", "n_union")
+      .collect().map(_.toSeq.mkString("|")).toSet
+
+  test("below the budget the cap is a provable no-op: result equals the uncapped path verbatim") {
+    val docs = corpus(120)
+    val (auto, cap) = TextCuration.jaccardNearDupsAuto(docs, "doc_id", "text", 0.6,
+      budgetPairsPerDoc = 1000000L)
+    assert(cap == Long.MaxValue, s"whole corpus under budget must report no-op, got cap=$cap")
+    assert(canon(auto) == canon(TextCuration.jaccardNearDups(docs, "doc_id", "text", 0.6)))
+    val (autoP, capP) = TextCuration.jaccardNearDupsPrefixAuto(docs, "doc_id", "text", 0.6,
+      budgetPairsPerDoc = 1000000L)
+    assert(capP == Long.MaxValue)
+    assert(canon(autoP) == canon(TextCuration.jaccardNearDupsPrefix(docs, "doc_id", "text", 0.6)))
+  }
+
+  test("capped candidate volume stays within the per-doc budget while the full index grows superlinearly") {
+    val budget = 15L
+    val small = corpus(300)
+    val big = corpus(1500)
+    val (cappedSmall, fullSmall, capSmall) =
+      TextCuration.cappedCandidateStats(small, "doc_id", "text", budget)
+    val (cappedBig, fullBig, capBig) =
+      TextCuration.cappedCandidateStats(big, "doc_id", "text", budget)
+    assert(capSmall != Long.MaxValue && capBig != Long.MaxValue,
+      s"both sizes must engage the cap for a same-regime slope (got $capSmall/$capBig)")
+    // the budget bound is structural: candidate pairs <= budget x docs
+    assert(cappedBig <= budget * 1500,
+      s"capped candidates ($cappedBig) must respect the volume budget (${budget * 1500})")
+    // the uncapped join is the quadratic regime the cap exists for
+    assert(fullBig > 2 * cappedBig,
+      s"full index ($fullBig) should dwarf capped ($cappedBig) on the adversarial corpus")
+    // growth across 5x docs: capped stays ~linear (<= 2x the data growth),
+    // full grows faster than the data
+    val dataGrowth = 5.0
+    assert(cappedBig.toDouble / math.max(cappedSmall, 1L) <= 2.0 * dataGrowth,
+      s"capped growth ${cappedBig.toDouble / math.max(cappedSmall, 1L)} must stay ~linear " +
+        s"(small=$cappedSmall cap=$capSmall, big=$cappedBig cap=$capBig)")
+    assert(fullBig.toDouble / fullSmall > dataGrowth,
+      s"full-index growth ${fullBig.toDouble / fullSmall} should exceed data growth " +
+        "(else the fixture lost its adversarial shape)")
+  }
+
+  test("an engaged cap keeps precision exact and rare-shingle near-dups: auto pairs are a value-identical subset") {
+    val docs = corpus(300)
+    val (auto, cap) = TextCuration.jaccardNearDupsAuto(docs, "doc_id", "text", 0.6,
+      budgetPairsPerDoc = 8L)
+    assert(cap != Long.MaxValue && cap >= 2,
+      s"tight budget must engage the cap without dropping df=2 postings, got $cap")
+    val full = canon(TextCuration.jaccardNearDups(docs, "doc_id", "text", 0.6))
+    val got = canon(auto)
+    assert(got.subsetOf(full),
+      "every reported pair must carry the TRUE intersection/union (exact precision)")
+    // the planted pair is glued by unique-sentence (df=2) shingles —
+    // under any engaged ceiling >= 2 it must survive
+    assert(auto.where(col("id_a") === 298L && col("id_b") === 299L).count() == 1,
+      "rare-shingle near-dup must survive the cap")
+    val (autoP, capP) = TextCuration.jaccardNearDupsPrefixAuto(docs, "doc_id", "text", 0.6,
+      budgetPairsPerDoc = 8L)
+    assert(capP != Long.MaxValue)
+    assert(canon(autoP).subsetOf(full))
+    assert(autoP.where(col("id_a") === 298L && col("id_b") === 299L).count() == 1)
+  }
+}
+
 /** q163: the scale-join family composed into one plan. The pin is that
   * all three physical shapes — the zone gate's literal scan filter, the
   * bloom's scalar-subquery filter, the salt's (key, salt) join — appear
