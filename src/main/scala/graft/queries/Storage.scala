@@ -252,6 +252,43 @@ object Storage {
         WHEN MATCHED THEN UPDATE SET t.value = s.value
         WHEN NOT MATCHED THEN INSERT (event_id, ts, user_id, event_type, value)
           VALUES (s.event_id, s.ts, s.user_id, s.event_type, s.value)
+      """)
+      // NOT MATCHED BY SOURCE: a reconciliation sweep — clicks in the
+      // 95-99 user band with no counterpart in the (user-95-only)
+      // source are deleted; the matched band survives untouched
+      spark.sql("""
+        MERGE INTO graftu.lake.evupd t
+        USING (SELECT event_id FROM ev_src_sqlupd
+               WHERE event_type = 'click' AND user_id = 95) s
+        ON t.event_id = s.event_id
+        WHEN NOT MATCHED BY SOURCE
+          AND t.event_type = 'click' AND t.user_id BETWEEN 95 AND 99 THEN DELETE
+      """): Unit
+    }
+
+  /** A catalog warehouse whose lake/evmor table runs the q196 erasure
+    * lifecycle ENTIRELY from SQL: CTAS, `CALL graft.system
+    * .delete_by_key` (equality tombstones from a registered keys view —
+    * O(keys) bytes, zero data files rewritten), then a plain INSERT
+    * INTO re-inserting one 'returned' row ABOVE the tombstones'
+    * sequence.
+    */
+  private def catalogMorSqlWarehouse(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.Artifacts.cached(s"catalog-warehouse-morsql:$dir") { wh =>
+      spark.conf.set("spark.sql.catalog.graftg", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftg.warehouse", wh)
+      new java.io.File(s"$wh/lake").mkdirs()
+      Tables(spark, dir).events.createOrReplaceTempView("ev_src_morsql")
+      spark.sql("CREATE TABLE graftg.lake.evmor PARTITIONED BY (ts) AS " +
+        "SELECT * FROM ev_src_morsql")
+      spark.range(3).select((col("id") + 1).as("user_id"))
+        .createOrReplaceTempView("gdpr_keys_morsql")
+      spark.sql("CALL graftg.system.delete_by_key(table => 'lake.evmor', " +
+        "key_col => 'user_id', source => 'gdpr_keys_morsql')")
+      spark.sql("""
+        INSERT INTO graftg.lake.evmor
+        SELECT event_id, ts, user_id, 'returned' AS event_type, value, props
+        FROM ev_src_morsql WHERE user_id = 2 ORDER BY event_id LIMIT 1
       """): Unit
     }
 
@@ -563,6 +600,43 @@ object Storage {
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
               .cast("double").as("sum_value"))
+      },
+    ),
+    Q(
+      "q222_sql_mor_delete",
+      "q196's GDPR-erasure lifecycle with EVERY step SQL: CTAS into the " +
+        "catalog, CALL graft.system.delete_by_key (the merge-on-read " +
+        "procedure — keys streamed from a registered view, O(keys) " +
+        "bytes written, ZERO data files rewritten, where DELETE FROM " +
+        "routes to copy-on-write), a plain INSERT INTO re-inserting a " +
+        "'returned' row above the tombstones' sequence, and a plain " +
+        "SELECT readback (MorApplyRewrite applies the tombstones " +
+        "seq-scoped — the re-insert is never shadowed). Same oracle as " +
+        "q196: the SQL surface and the typed API reach the identical " +
+        "state. GraftCatalogSpec pins the zero-rewrite commit and the " +
+        "procedure's argument guards.",
+      Some(s"""
+        WITH re AS (
+          SELECT event_id, ts, user_id, 'returned' AS event_type, value, props
+          FROM events WHERE user_id = 2
+          ORDER BY event_id LIMIT 1
+        ),
+        snap AS (
+          SELECT * FROM events WHERE user_id NOT IN (1, 2, 3)
+          UNION ALL SELECT * FROM re
+        )
+        SELECT event_type, count(*) AS n, $d30_2 AS sum_value
+        FROM snap GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        val wh = catalogMorSqlWarehouse(spark, dir)
+        spark.conf.set("spark.sql.catalog.graftg", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftg.warehouse", wh)
+        spark.sql("""
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+          FROM graftg.lake.evmor GROUP BY event_type
+        """)
       },
     ),
     Q(
@@ -1092,14 +1166,18 @@ object Storage {
         "whose envelopes can hold a matching row, the MERGE reads its " +
         "corrections from a staged source view and lands matched " +
         "doubled values + unmatched 'adjustment' inserts in ONE atomic " +
-        "commit, and Spark's own rewrite rules drive both through the " +
-        "operation's scan (which records the planned file set) and the " +
-        "NATIVE batch write (executor tasks stream parquet, driver " +
-        "swaps exactly the planned files, conflict-checked). The " +
-        "readback also rides the _version metadata column (max = head " +
-        "version 4) and VERSION AS OF 2 (pre-DML content preserved) — " +
-        "all hash-gated against the oracle's reconstruction of " +
-        "flag-update + merge algebra.",
+        "commit, a second MERGE runs the full three-family clause set " +
+        "with NOT MATCHED BY SOURCE deleting target-only rows in a " +
+        "reconciliation band, and Spark's own rewrite rules drive all " +
+        "of it through the operation's scan (which records the planned " +
+        "file set) and the NATIVE batch write (executor tasks stream " +
+        "parquet, driver swaps exactly the planned files, " +
+        "conflict-checked). The readback also rides the _version " +
+        "metadata column (max = head version 5) and VERSION AS OF 2 " +
+        "(pre-DML content preserved) — all hash-gated against the " +
+        "oracle's reconstruction of flag-update + merge algebra, the " +
+        "BY-SOURCE delete composed as an anti-join (DuckDB lacks the " +
+        "clause).",
       Some(s"""
         WITH base AS (
           SELECT event_id, user_id,
@@ -1115,13 +1193,21 @@ object Storage {
           FROM events WHERE event_type = 'purchase' AND user_id BETWEEN 50 AND 55
         ),
         fin AS (SELECT * FROM base UNION ALL SELECT * FROM adj),
+        -- NOT MATCHED BY SOURCE delete as an anti-join: clicks in the
+        -- 95-99 band survive only when the (user-95) source matches
+        fin2 AS (
+          SELECT * FROM fin f
+          WHERE NOT (f.event_type = 'click' AND f.user_id BETWEEN 95 AND 99)
+             OR f.event_id IN (SELECT event_id FROM events
+                               WHERE event_type = 'click' AND user_id = 95)
+        ),
         cur AS (
           SELECT event_type, count(*) AS n, $d30_2 AS sum_value
-          FROM fin GROUP BY event_type
+          FROM fin2 GROUP BY event_type
         ),
         pre AS (SELECT count(*) AS pre_rows FROM events)
         SELECT cur.event_type, cur.n, cur.sum_value, pre.pre_rows,
-               CAST(4 AS BIGINT) AS head_version
+               CAST(5 AS BIGINT) AS head_version
         FROM cur CROSS JOIN pre
       """.trim),
       (spark, dir) => {

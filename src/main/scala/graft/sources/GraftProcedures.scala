@@ -33,7 +33,7 @@ object GraftProcedures {
 
   def list(): Array[String] = Array(
     "maintain", "expire_snapshots", "compact", "materialize_deletes", "tag", "rollback",
-    "vacuum")
+    "vacuum", "delete_by_key")
 
   def load(catalogName: String, warehouse: () => String, name: String): UnboundProcedure = {
     def dirOf(table: String): String =
@@ -80,6 +80,38 @@ object GraftProcedures {
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("version", LongType).build()),
         r => ManifestTable.restore(dirOf(str(r, 0)), r.getLong(1)))
+      case "delete_by_key" => proc(name,
+        "merge-on-read erasure from SQL: tombstone rows by key (O(keys) bytes " +
+          "written, ZERO data files rewritten — where DELETE FROM routes to " +
+          "copy-on-write). Keys come from `keys` (comma-separated literals) or " +
+          "`source` (a table/view whose key_col column lists them — the " +
+          "GDPR-stream path); readers apply the tombstones seq-scoped, " +
+          "materialize_deletes repays the debt on the maintenance cadence",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("key_col", StringType).build(),
+          ProcedureParameter.in("keys", StringType).defaultValue("''").build(),
+          ProcedureParameter.in("source", StringType).defaultValue("''").build()),
+        r => {
+          val spark = SparkSession.active
+          import org.apache.spark.sql.functions.col
+          val dir = dirOf(str(r, 0))
+          val keyCol = str(r, 1)
+          val csv = str(r, 2)
+          val source = str(r, 3)
+          require(csv.nonEmpty ^ source.nonEmpty,
+            "delete_by_key needs exactly one of `keys` (literal list) or `source` (view name)")
+          val keyRows =
+            if (source.nonEmpty) spark.table(source).select(col(keyCol))
+            else {
+              val ks = csv.split(',').map(_.trim).filter(_.nonEmpty).toIndexedSeq
+              require(ks.nonEmpty, "empty `keys` list")
+              spark.createDataset(ks)(org.apache.spark.sql.Encoders.STRING).toDF(keyCol)
+            }
+          // deleteByKey casts to the committed key type and refuses nulls
+          // (a literal that fails its cast surfaces as the null refusal)
+          ManifestTable.deleteByKey(keyRows, dir, Seq(keyCol))
+        })
       case "vacuum" => proc(name, "delete unreferenced data files older than min_age_hours",
         Seq(
           ProcedureParameter.in("table", StringType).build(),

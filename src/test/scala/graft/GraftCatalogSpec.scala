@@ -332,6 +332,35 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 0)
   }
 
+  test("SQL MERGE INTO ... NOT MATCHED BY SOURCE: update/delete of target-only rows in the same atomic commit") {
+    val dir = mkTable("lake", "sqlmrg_nbs")
+    Seq((5L, 500L, "src"), (6000L, 1L, "src"))
+      .toDF("id", "k", "cat").createOrReplaceTempView("mrg_nbs_src")
+    spark.sql("""
+      MERGE INTO graft.lake.sqlmrg_nbs t USING mrg_nbs_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.k = s.k, t.cat = s.cat
+      WHEN NOT MATCHED THEN INSERT (id, k, cat) VALUES (s.id, s.k, s.cat)
+      WHEN NOT MATCHED BY SOURCE AND t.id > 995 THEN DELETE
+    """)
+    // matched update + unmatched insert + target-only deletes, one commit
+    assert(spark.sql("SELECT k FROM graft.lake.sqlmrg_nbs WHERE id = 5").head().getLong(0) == 500L)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sqlmrg_nbs WHERE id = 6000").head().getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sqlmrg_nbs WHERE id > 995 AND id < 6000")
+      .head().getLong(0) == 0, "target-only rows beyond the source must be deleted")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sqlmrg_nbs").head().getLong(0) == 996)
+    assert(ManifestTable.latestVersion(dir).get == 2L, "whole MERGE = one commit")
+    // NOT MATCHED BY SOURCE ... UPDATE marks target-only rows
+    spark.sql("""
+      MERGE INTO graft.lake.sqlmrg_nbs t USING mrg_nbs_src s ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE AND t.id <= 3 THEN UPDATE SET t.cat = 'stale'
+    """)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sqlmrg_nbs WHERE cat = 'stale'")
+      .head().getLong(0) == 3)
+    // pre-merge snapshot untouched
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sqlmrg_nbs VERSION AS OF 1")
+      .head().getLong(0) == 1000)
+  }
+
   test("row-level SQL ops refuse tables with pending MoR tombstones, loudly") {
     val dir = mkTable("lake", "sqlupd_mor")
     ManifestTable.deleteByKey(Seq(3L).toDF("id"), dir, Seq("id"))
@@ -514,6 +543,41 @@ class GraftCatalogSpec extends SparkSpec {
     val bad = intercept[Exception](
       spark.sql("CALL graft.system.nope(table => 'lake.proc')").collect())
     assert(bad.getMessage.contains("nope"), bad.getMessage)
+  }
+
+  test("CALL graft.system.delete_by_key: O(keys) SQL erasure, zero data files rewritten") {
+    val dir = mkTable("lake", "gdpr")
+    val dataBefore = ManifestTable.manifest(dir, None).files.map(_.path).toSet
+    // literal key list
+    val v = spark.sql("CALL graft.system.delete_by_key(" +
+      "table => 'lake.gdpr', key_col => 'id', keys => '5, 7')").head().getLong(0)
+    assert(v == 2L)
+    val m = ManifestTable.manifest(dir, None)
+    assert(m.files.map(_.path).toSet == dataBefore,
+      "merge-on-read erasure must rewrite ZERO data files")
+    assert(m.hasMorDeletes && m.deleteFiles.nonEmpty)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.gdpr").head().getLong(0) == 998L)
+    // keys from a registered view — the GDPR-stream path
+    Seq(9L, 10L).toDF("id").createOrReplaceTempView("gdpr_ids")
+    spark.sql("CALL graft.system.delete_by_key(" +
+      "table => 'lake.gdpr', key_col => 'id', source => 'gdpr_ids')")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.gdpr WHERE id IN (5,7,9,10)")
+      .head().getLong(0) == 0L)
+    assert(ManifestTable.manifest(dir, None).files.map(_.path).toSet == dataBefore)
+    // a later INSERT of an erased key is never shadowed (seq rule via SQL)
+    spark.sql("INSERT INTO graft.lake.gdpr VALUES (5, 0, 'back')")
+    assert(spark.sql("SELECT cat FROM graft.lake.gdpr WHERE id = 5").head().getString(0) == "back")
+    // guards: exactly one key source; unknown column refused
+    val both = intercept[Exception](spark.sql("CALL graft.system.delete_by_key(" +
+      "table => 'lake.gdpr', key_col => 'id', keys => '1', source => 'gdpr_ids')").collect())
+    assert(both.getMessage.contains("exactly one"), both.getMessage)
+    val badCol = intercept[Exception](spark.sql("CALL graft.system.delete_by_key(" +
+      "table => 'lake.gdpr', key_col => 'nope', keys => '1')").collect())
+    assert(badCol.getMessage.contains("nope"), badCol.getMessage)
+    // maintenance repays the debt; content unchanged
+    spark.sql("CALL graft.system.materialize_deletes(table => 'lake.gdpr')")
+    assert(!ManifestTable.manifest(dir, None).hasMorDeletes)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.gdpr").head().getLong(0) == 997L)
   }
 
   test("DROP TABLE removes the table; dropping a missing table reports false") {
