@@ -470,20 +470,15 @@ final case class GraftLakeTable(
     }
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // unreachable when graft.plans.MorApplyRewrite is injected (it
-    // rewrites tombstone-carrying relations before planning); a foreign
-    // session that configured the catalog without the engine's
-    // extensions must fail loudly here rather than scan un-applied rows
-    require(!m.hasMorDeletes && !m.renamesApply,
-      s"catalog table $tableName has pending merge-on-read deletes and/or " +
-        "pre-rename files a bare V2 scan cannot read correctly; batch reads need " +
-        "the engine's extensions (Engine.session / GraftFunctions.register — " +
-        "MorApplyRewrite swaps in the applied-read plan); streaming reads and " +
-        "extension-less sessions: run ManifestTable.materializeDeletes / compact " +
-        "first, or read via snapshot/createView")
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // MoR/rename-era guards live on the BATCH surface (GraftLakeScan
+    // .toBatch): batch reads of such tables are rewritten by the
+    // injected MorApplyRewrite before planning (extension-less sessions
+    // fail loudly there instead of scanning un-applied rows), while the
+    // STREAMING surface reads rename eras natively (per-era scan
+    // templates in GraftMicroBatchStream) and enforces its own MoR
+    // rules at the offset level
     new GraftLakeScanBuilder(SparkSession.active, dir, m, options)
-  }
 }
 
 /** Write builder: `INSERT INTO` → append, `INSERT OVERWRITE` →
@@ -797,13 +792,27 @@ final class GraftLakeScan(
     * scan is what plans partitions regardless of when the enclosing
     * exec materialized this Batch.
     */
-  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+    // unreachable when graft.plans.MorApplyRewrite is injected (it
+    // rewrites tombstone-/rename-era-carrying relations before
+    // planning); a foreign session that configured the catalog without
+    // the engine's extensions must fail loudly here rather than scan
+    // un-applied rows or mis-read pre-rename bytes. The STREAMING
+    // surface never reaches this — it reads rename eras natively
+    require(!m.hasMorDeletes && !m.renamesApply,
+      s"catalog table at $dir has pending merge-on-read deletes and/or " +
+        "pre-rename files a bare V2 scan cannot read correctly; batch reads need " +
+        "the engine's extensions (Engine.session / GraftFunctions.register — " +
+        "MorApplyRewrite swaps in the applied-read plan); extension-less " +
+        "sessions: run ManifestTable.materializeDeletes / compact " +
+        "first, or read via snapshot/createView")
     new org.apache.spark.sql.connector.read.Batch {
       override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
         current.toBatch.planInputPartitions()
       override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
         current.toBatch.createReaderFactory()
     }
+  }
 
   /** Statistics pass through from the delegated parquet scan (post
     * manifest pruning, so a selective filter shrinks the estimate) —

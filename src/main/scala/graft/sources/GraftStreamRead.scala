@@ -71,6 +71,17 @@ object GraftStreamOffset {
   * batches — so vectorized decoding and row-group pushdown behave
   * exactly as on the batch path. Files written before an additive
   * schema evolution read the added columns as NULL, same as batch.
+  *
+  * SCHEMA EVOLUTION ACROSS RENAME/DROP: the stream captures its schema
+  * at (re)start, and files from OLDER name eras read through per-era
+  * scan templates (the committed rename chain is the column-mapping
+  * metadata — [[GraftEraReaderFactory]]), so a starting snapshot or a
+  * resumed checkpoint spanning rename boundaries delivers every era
+  * correctly. A rename/drop landing MID-RUN still fails loudly — the
+  * running query's plan is bound to the old names — but a plain
+  * RESTART on the same checkpoint re-baselines onto the new schema and
+  * resumes from the exact boundary (Delta's schema-tracking restart
+  * contract), exactly-once intact.
   */
 final class GraftMicroBatchStream(
     spark: SparkSession, dir: String, startManifest: ManifestTable.Manifest,
@@ -146,10 +157,10 @@ final class GraftMicroBatchStream(
         // commit `sv` itself is the first thing delivered
         GraftStreamOffset(sv - 1, snapshotDone = true)
       case None =>
-        require(!startManifest.hasMorDeletes && !startManifest.renamesApply,
+        require(!startManifest.hasMorDeletes,
           s"streaming read of $dir: the starting snapshot has pending merge-on-read " +
-            "deletes and/or pre-rename files a streaming scan cannot read; run " +
-            "ManifestTable.materializeDeletes / compact first (or start from a later " +
+            "deletes a streaming scan cannot apply; run " +
+            "ManifestTable.materializeDeletes first (or start from a later " +
             "version with option(\"startingVersion\", N))")
         GraftStreamOffset(startManifest.version, snapshotDone = false)
     }
@@ -170,8 +181,9 @@ final class GraftMicroBatchStream(
     * retention contract spelled out (the stream's own pin prevents
     * this unless an operator dropped it).
     */
-  private def batchFiles(start: GraftStreamOffset, end: GraftStreamOffset): Seq[String] = {
-    val out = Seq.newBuilder[String]
+  private def batchFiles(
+      start: GraftStreamOffset, end: GraftStreamOffset): Seq[(String, Long)] = {
+    val out = Seq.newBuilder[(String, Long)]
     def manifestAt(v: Long): ManifestTable.Manifest =
       try ManifestTable.manifest(dir, Some(v))
       catch {
@@ -185,10 +197,10 @@ final class GraftMicroBatchStream(
       if (start.version >= 1) manifestAt(start.version) else null
     if (!start.snapshotDone) {
       require(parent != null, s"streaming read of $dir: no snapshot at v${start.version}")
-      require(!parent.hasMorDeletes && !parent.renamesApply,
+      require(!parent.hasMorDeletes,
         s"streaming read of $dir: starting snapshot v${start.version} has pending " +
-          "merge-on-read deletes and/or pre-rename files a streaming scan cannot read")
-      out ++= parent.files.map(_.path)
+          "merge-on-read deletes a streaming scan cannot apply")
+      out ++= parent.files.map(f => (f.path, f.seq))
     }
     ((start.version + 1) to end.version).foreach { v =>
       val mv = manifestAt(v)
@@ -204,17 +216,21 @@ final class GraftMicroBatchStream(
             parent.deleteFiles.map(_.path).toSet).nonEmpty ||
           (mv.posDeleteFiles.map(_.path).toSet --
             parent.posDeleteFiles.map(_.path).toSet).nonEmpty
-      // batches read with the schema captured at stream (re)start.
-      // Additive evolution is safe either way (extra columns are
-      // ignored / missing ones read NULL); a RENAME or DROP landing
-      // after this stream captured its schema is not — names shifted
-      // under the offsets
+      // Batches read with the schema captured at stream (re)start; the
+      // per-ERA reader maps every OLDER era's physical names onto it
+      // (the rename chain is the column-mapping metadata), so a restart
+      // lagging across rename boundaries resumes exactly where it was.
+      // A rename/drop landing mid-RUN still fails: the running query's
+      // downstream plan is bound to the old names — the restart
+      // RE-BASELINES onto the new schema from this exact boundary
+      // (offsets preserved; Delta's schema-tracking restart contract).
       if (mv.renames.size > startManifest.renames.size ||
           mv.retired.size > startManifest.retired.size)
         throw new IllegalStateException(
           s"streaming read of $dir: commit v$v renamed or dropped a column after " +
-            "this stream captured its schema; restart the stream from a fresh " +
-            "checkpoint (or startingVersion after the change) to pick up the new schema")
+            "this stream captured its schema; RESTART the stream on the same " +
+            "checkpoint — it re-baselines onto the new schema and resumes from " +
+            "this boundary (pre-rename files read via the rename chain)")
       if (mv.statePreserving) {
         // rewrite of already-delivered rows: nothing new to stream
       } else if (removed.nonEmpty || newTombstones) {
@@ -225,32 +241,71 @@ final class GraftMicroBatchStream(
             "\"true\") to skip such commits, or consume the change feed " +
             "(graft.streaming.ChangeFeedStream) for full CDC semantics")
       } else {
-        // a file written BEFORE a rename this stream's schema already
-        // carries cannot be read under the current names (restart
-        // lagging across a rename boundary)
-        val misread = added.filter(f => startManifest.renames.exists(_.v > f.seq))
-        if (misread.nonEmpty) throw new IllegalStateException(
-          s"streaming read of $dir: commit v$v's files predate a column rename; " +
-            "this stream's checkpoint lags across the rename boundary — restart " +
-            "from a fresh checkpoint (initial snapshot reads every era correctly)")
-        out ++= added.map(_.path)
+        out ++= added.map(f => (f.path, f.seq))
       }
       parent = mv
     }
     out.result()
   }
 
-  /** A parquet Batch over exactly `paths`, with the enclosing scan's
-    * pushed filters and pruned columns — one call plans partitions,
-    * the zero-path template builds the shared reader factory.
+  // ---- per-ERA parquet reading ------------------------------------------
+  // The stream's output schema is fixed at (re)start (startManifest's
+  // committed names). Files written before a rename hold their bytes
+  // under the era's OLD names: each era gets its own parquet scan whose
+  // required columns are the era-physical names IN THE SAME ORDER, so
+  // the produced InternalRows line up positionally with the stream
+  // schema — no per-row projection, one extra scan template per era,
+  // bounded by the rename count, never by files. Tables that never
+  // renamed take the single-scan fast path unchanged.
+
+  private val streamSchema = DataFrameSchema.fromJson(startManifest.schemaJson)
+  private val renameSteps = startManifest.renames.sortBy(_.v)
+  private val currentEra = renameSteps.length
+
+  private def eraOf(seq: Long): Int =
+    renameSteps.indexWhere(_.v > seq) match {
+      case -1 => currentEra
+      case i  => i
+    }
+
+  /** current name -> the physical name era-`era` files carry. */
+  private def eraNameMap(era: Int): Map[String, String] = {
+    val applicable = renameSteps.drop(era)
+    streamSchema.fieldNames.map { curName =>
+      var n = curName
+      applicable.reverseIterator.foreach(st => if (st.to == n) n = st.from)
+      curName -> n
+    }.toMap
+  }
+
+  /** A parquet Batch over exactly `paths` of one name era, with the
+    * enclosing scan's pushed filters (attribute names rewritten to the
+    * era; pruning is I/O-only — the plan re-evaluates every filter) and
+    * pruned columns — one call plans partitions, the zero-path template
+    * builds the shared reader factory.
     */
-  private def parquetBatch(paths: Seq[String]): Batch = {
-    val schema = DataFrameSchema.fromJson(startManifest.schemaJson)
+  private def parquetBatch(paths: Seq[String], era: Int): Batch = {
+    val nameMap = eraNameMap(era)
+    val identity = nameMap.forall { case (a, b) => a == b }
+    val schema =
+      if (identity) streamSchema
+      else StructType(streamSchema.fields.map(f => f.copy(name = nameMap(f.name))))
+    val req =
+      if (identity) required
+      else StructType(required.fields.map(f =>
+        f.copy(name = nameMap.getOrElse(f.name, f.name))))
+    val push =
+      if (identity) pushed
+      else pushed.map(_.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if nameMap.contains(a.name) && nameMap(a.name) != a.name =>
+          a.withName(nameMap(a.name))
+      })
     val idx = new InMemoryFileIndex(
       spark, paths.map(new Path(_)), Map.empty[String, String], Some(schema))
     val psb = ParquetScanBuilder(spark, idx, schema, schema, options)
-    psb.pushFilters(pushed)
-    psb.pruneColumns(required)
+    psb.pushFilters(push)
+    psb.pruneColumns(req)
     psb.build().toBatch
   }
 
@@ -261,11 +316,20 @@ final class GraftMicroBatchStream(
     // commit AFTER s — pin before reading so expiry can't race the scan
     ManifestTable.pinCursor(dir, pinName, math.max(s.version, 0L))
     val files = batchFiles(s, e)
-    if (files.isEmpty) Array.empty else parquetBatch(files).planInputPartitions()
+    if (files.isEmpty) Array.empty
+    else if (renameSteps.isEmpty)
+      parquetBatch(files.map(_._1), currentEra).planInputPartitions()
+    else files.groupBy { case (_, seq) => eraOf(seq) }.toArray.sortBy(_._1).flatMap {
+      case (era, fs) =>
+        parquetBatch(fs.map(_._1), era).planInputPartitions()
+          .map(p => GraftEraInputPartition(era, p): InputPartition)
+    }
   }
 
   private lazy val readerFactory: PartitionReaderFactory =
-    parquetBatch(Nil).createReaderFactory()
+    if (renameSteps.isEmpty) parquetBatch(Nil, currentEra).createReaderFactory()
+    else new GraftEraReaderFactory(
+      (0 to currentEra).map(e => e -> parquetBatch(Nil, e).createReaderFactory()).toMap)
 
   override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
@@ -281,4 +345,39 @@ final class GraftMicroBatchStream(
   }
 
   override def stop(): Unit = ()
+}
+
+/** An input partition tagged with the NAME ERA its files belong to, so
+  * the one shared streaming reader factory can route it to the scan
+  * template whose required-column names match the files' bytes.
+  */
+final case class GraftEraInputPartition(era: Int, inner: InputPartition)
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** One parquet reader factory per name era, dispatched by the
+  * partition's era tag. Each delegate was planned with the era's
+  * physical column names in the STREAM schema's field order, so rows
+  * from every era are positionally identical — vectorized reads and
+  * row-group pushdown work per era exactly as on the single-era path.
+  */
+final class GraftEraReaderFactory(factories: Map[Int, PartitionReaderFactory])
+  extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): (PartitionReaderFactory, InputPartition) =
+    p match {
+      case GraftEraInputPartition(era, inner) => (factories(era), inner)
+      case other => (factories(factories.keys.max), other)
+    }
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val (f, inner) = unwrap(p); f.createReader(inner)
+  }
+  override def createColumnarReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (f, inner) = unwrap(p); f.createColumnarReader(inner)
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val (f, inner) = unwrap(p); f.supportColumnarReads(inner)
+  }
 }

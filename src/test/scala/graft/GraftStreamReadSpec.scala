@@ -208,4 +208,73 @@ class GraftStreamReadSpec extends SparkSpec {
       Option(e.getCause).exists(_.toString.contains("merge-on-read")),
       s"MoR snapshot start must refuse loudly, got $e")
   }
+
+  test("rename mid-stream fails the run; a restart on the SAME checkpoint re-baselines, exactly-once") {
+    val dir = s"$warehouse/lake/ren" // (forces catalog registration first)
+    spark.sql("CREATE TABLE graftsr.lake.ren (id BIGINT, v STRING) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graftsr.lake.ren SELECT id, concat('v', id) FROM range(1, 11)")
+    val ckpt = tmpDir("sr-ren-ckpt")
+    val out = tmpDir("sr-ren-out").toString
+    def sinkRows(): Seq[(Long, String)] = {
+      // the file sink holds pre-rename batches under 'v' and re-baselined
+      // batches under 'val' — merge and coalesce for the readback
+      val df = spark.read.option("mergeSchema", "true").parquet(out)
+      val vcol =
+        if (df.columns.contains("v") && df.columns.contains("val")) coalesce(col("v"), col("val"))
+        else if (df.columns.contains("v")) col("v")
+        else col("val")
+      df.select(col("id"), vcol).as[(Long, String)].collect().toSeq.sorted
+    }
+    def drain(): Unit = {
+      val q = spark.readStream.table("graftsr.lake.ren").writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(sinkRows().map(_._1) == (1L to 10L))
+    // rename lands while the stream is down, then MORE appends under the new name
+    spark.sql("ALTER TABLE graftsr.lake.ren RENAME COLUMN v TO val")
+    spark.sql("INSERT INTO graftsr.lake.ren SELECT id, concat('v', id) FROM range(11, 16)")
+    // the restarted stream re-baselines onto the new schema and resumes
+    // from its checkpointed offset: the rename commit itself streams
+    // nothing, the post-rename appends deliver exactly once
+    drain()
+    assert(sinkRows() == (1L to 15L).map(i => (i, s"v$i")),
+      s"re-baselined restart must deliver exactly the unseen rows once: ${sinkRows()}")
+    // idle restart: nothing re-delivered across the rename boundary either
+    drain()
+    assert(sinkRows().size == 15)
+    // a rename landing MID-RUN still fails loudly, naming the restart path
+    val q = startInto("sr_ren_live", "graftsr.lake.ren", tmpDir("sr-ren-ckpt2"))
+    try {
+      q.processAllAvailable()
+      spark.sql("ALTER TABLE graftsr.lake.ren RENAME COLUMN val TO label")
+      spark.sql("INSERT INTO graftsr.lake.ren SELECT id, concat('v', id) FROM range(16, 18)")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = Option(e.getCause).map(_.toString).getOrElse(e.toString)
+      assert(msg.contains("renamed or dropped") && msg.contains("RESTART"),
+        s"mid-run rename must fail with the restart contract, got: $msg")
+    } finally q.stop()
+  }
+
+  test("a starting snapshot SPANNING rename eras streams every era under the current names") {
+    val _ = warehouse // forces catalog registration
+    spark.sql("CREATE TABLE graftsr.lake.renq (id BIGINT, v STRING) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graftsr.lake.renq SELECT id, concat('old', id) FROM range(1, 6)")
+    spark.sql("ALTER TABLE graftsr.lake.renq RENAME COLUMN v TO val")
+    spark.sql("INSERT INTO graftsr.lake.renq SELECT id, concat('new', id) FROM range(6, 9)")
+    // pre-rename files hold bytes under 'v'; the snapshot must read both
+    // eras and emit them under 'val' (previously refused outright)
+    val q = startInto("sr_renq", "graftsr.lake.renq", tmpDir("sr-renq-ckpt"))
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sr_renq").select("id", "val")
+        .as[(Long, String)].collect().toSeq.sorted
+      val want = (1L to 5L).map(i => (i, s"old$i")) ++ (6L to 8L).map(i => (i, s"new$i"))
+      assert(got == want, s"era-union snapshot: $got")
+    } finally q.stop()
+  }
 }
