@@ -603,6 +603,70 @@ object Storage {
       },
     ),
     Q(
+      "q223_branch_wap",
+      "WRITE-AUDIT-PUBLISH ON A BRANCH (Iceberg's spark.wap.branch " +
+        "workflow; ManifestTable.createBranch/commitToBranch/" +
+        "fastForward): two correction batches stage as SHADOW " +
+        "snapshots on a 'corrections' branch — main readers never see " +
+        "them, expiry/vacuum treat the branch head as a retention root " +
+        "— the audit reads the branch (exactly the bytes that would " +
+        "publish) and gates on it, then fast-forward links the audited " +
+        "chain onto main METADATA-ONLY (ancestor-only, " +
+        "crash-resumable; no data file moves). The readback proves the " +
+        "published head carries base + both batches and that the " +
+        "intermediate branch commit became a time-travelable main " +
+        "version. Oracle reconstructs the union relationally.",
+      Some(s"""
+        WITH adj1 AS (
+          SELECT -event_id AS event_id, ts, user_id, 'adjustment' AS event_type, value, props
+          FROM events WHERE event_type = 'purchase' AND user_id BETWEEN 50 AND 55
+        ),
+        adj2 AS (
+          SELECT -event_id AS event_id, ts, user_id, 'adjustment' AS event_type, value, props
+          FROM events WHERE event_type = 'purchase' AND user_id BETWEEN 56 AND 60
+        ),
+        fin AS (
+          SELECT * FROM events
+          UNION ALL SELECT * FROM adj1
+          UNION ALL SELECT * FROM adj2
+        )
+        SELECT event_type, count(*) AS n, $d30_2 AS sum_value,
+               CAST(3 AS BIGINT) AS head_version
+        FROM fin GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        val p = graft.Artifacts.cached(s"branch-wap:$dir") { t =>
+          val ev = Tables(spark, dir).events
+          ManifestTable.commit(ev.repartitionByRange(8, col("ts")), t, track = Seq("ts"))
+          ManifestTable.createBranch(t, "corrections")
+          def adj(lo: Int, hi: Int) = ev
+            .filter(col("event_type") === "purchase"
+              && col("user_id").between(lo, hi))
+            .selectExpr("-event_id AS event_id", "ts", "user_id",
+              "'adjustment' AS event_type", "value", "props")
+          ManifestTable.commitToBranch(adj(50, 55), t, "corrections", Seq("ts"))
+          ManifestTable.commitToBranch(adj(56, 60), t, "corrections", Seq("ts"))
+          // the audit gate reads the BRANCH — exactly what would publish
+          val staged = ManifestTable.branchSnapshot(spark, t, "corrections")
+          require(staged.filter(col("event_id").isNull || col("value") < 0).count() == 0,
+            "audit failed: corrections carry null ids or negative values")
+          ManifestTable.fastForward(t, "corrections"): Unit
+        }
+        val headV = ManifestTable.latestVersion(p).get
+        assert(headV == 3L && ManifestTable.branches(p).isEmpty,
+          s"publish must land both staged commits and fold the branch (head=$headV)")
+        // the intermediate branch commit is now ordinary main history
+        assert(ManifestTable.snapshot(spark, p, asOf = Some(2L)).count() >
+          ManifestTable.snapshot(spark, p, asOf = Some(1L)).count())
+        ManifestTable.snapshot(spark, p)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+              .cast("double").as("sum_value"))
+          .withColumn("head_version", lit(headV))
+      },
+    ),
+    Q(
       "q222_sql_mor_delete",
       "q196's GDPR-erasure lifecycle with EVERY step SQL: CTAS into the " +
         "catalog, CALL graft.system.delete_by_key (the merge-on-read " +

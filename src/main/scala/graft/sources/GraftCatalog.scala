@@ -117,19 +117,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     load(ident, None)
   }
 
-  /** `VERSION AS OF <v>` / `VERSION AS OF '<tag>'` — the SQL spelling
+  /** `VERSION AS OF <v>` / `VERSION AS OF '<name>'` — the SQL spelling
     * of snapshot time travel; a non-numeric version string resolves as
-    * an immutable named tag ([[ManifestTable.tag]]).
+    * an immutable tag ([[ManifestTable.tag]]) or, failing that, a
+    * writable BRANCH head ([[ManifestTable.branchManifest]] — the
+    * audit-side read of write-audit-publish staging).
     */
-  override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, Some(
-      try version.toLong
-      catch { case _: NumberFormatException =>
-        ManifestTable.resolveTag(dirOf(ident), version).getOrElse(
-          throw new IllegalArgumentException(
-            s"VERSION AS OF: '$version' is neither a numeric snapshot version nor " +
-              s"a tag of $ident (tags: ${ManifestTable.tags(dirOf(ident)).keys.mkString(", ")})"))
-      }))
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    val numeric = try Some(version.toLong) catch { case _: NumberFormatException => None }
+    numeric match {
+      case Some(v) => load(ident, Some(v))
+      case None =>
+        ManifestTable.resolveTag(dir, version) match {
+          case Some(v) => load(ident, Some(v))
+          case None if ManifestTable.branches(dir).contains(version) =>
+            GraftLakeTable(ident.toString, dir, ManifestTable.branchManifest(dir, version))
+          case None => throw new IllegalArgumentException(
+            s"VERSION AS OF: '$version' is neither a numeric snapshot version, a tag, " +
+              s"nor a branch of $ident (tags: " +
+              s"${ManifestTable.tags(dir).keys.mkString(", ")}; branches: " +
+              s"${ManifestTable.branches(dir).keys.mkString(", ")})")
+        }
+    }
+  }
 
   /** `TIMESTAMP AS OF <t>` — Spark hands the literal as epoch micros;
     * resolution is the monotonized commit-clock scan

@@ -110,8 +110,8 @@ object GraftMetaTables {
     }
   }
 
-  /** Named refs: immutable tags and registered cursor pins (the two
-    * retention anchors expiry respects).
+  /** Named refs: immutable tags, writable branches, and registered
+    * cursor pins (the three retention anchors expiry respects).
     */
   private final case class RefsTable(tableName: String, dir: String) extends MetaTable {
     override def name(): String = tableName
@@ -122,9 +122,11 @@ object GraftMetaTables {
     override def rows(): Array[InternalRow] = {
       val tags = ManifestTable.tags(dir).toSeq.sortBy(_._1)
         .map { case (n, v) => InternalRow(utf8(n), utf8("tag"), v) }
+      val brs = ManifestTable.branches(dir).toSeq.sortBy(_._1)
+        .map { case (n, v) => InternalRow(utf8(n), utf8("branch"), v) }
       val pins = ManifestTable.cursorPins(dir).toSeq.sortBy(_._1)
         .map { case (n, v) => InternalRow(utf8(n), utf8("pin"), v) }
-      (tags ++ pins).toArray
+      (tags ++ brs ++ pins).toArray
     }
   }
 }

@@ -33,7 +33,7 @@ object GraftProcedures {
 
   def list(): Array[String] = Array(
     "maintain", "expire_snapshots", "compact", "materialize_deletes", "tag", "rollback",
-    "vacuum", "delete_by_key")
+    "vacuum", "delete_by_key", "create_branch", "fast_forward", "drop_branch")
 
   def load(catalogName: String, warehouse: () => String, name: String): UnboundProcedure = {
     def dirOf(table: String): String =
@@ -80,6 +80,32 @@ object GraftProcedures {
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("version", LongType).build()),
         r => ManifestTable.restore(dirOf(str(r, 0)), r.getLong(1)))
+      case "create_branch" => proc(name,
+        "fork a writable branch at a retained version (default: the head) — the " +
+          "multi-commit write-audit-publish staging ref; read it via " +
+          "VERSION AS OF '<name>', publish via fast_forward",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("version", LongType).defaultValue("-1").build()),
+        r => ManifestTable.createBranch(dirOf(str(r, 0)), str(r, 1),
+          Some(r.getLong(2)).filter(_ >= 0)))
+      case "fast_forward" => proc(name,
+        "publish a branch onto main (ancestor-only, metadata-only, " +
+          "crash-resumable); returns the new main head",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        r => ManifestTable.fastForward(dirOf(str(r, 0)), str(r, 1)))
+      case "drop_branch" => proc(name,
+        "abandon a branch: its shadow snapshots and any data only they referenced fold away",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        r => {
+          ManifestTable.dropBranch(dirOf(str(r, 0)), str(r, 1))
+          ManifestTable.latestVersion(dirOf(str(r, 0))).getOrElse(-1L)
+        })
       case "delete_by_key" => proc(name,
         "merge-on-read erasure from SQL: tombstone rows by key (O(keys) bytes " +
           "written, ZERO data files rewritten — where DELETE FROM routes to " +

@@ -588,43 +588,47 @@ object ManifestTable {
       // single-flight); other writers just move the head we append to
       val head = latestVersion(dir)
       val parent = if (replace) None else head.map(v => manifest(dir, Some(v)))
-      parent.foreach(p => validateEvolution(p, schema, track))
-      // an append may only WIDEN nullability, never tighten it: a batch
-      // whose analyzed schema marks an evolved column non-null (a
-      // VALUES literal, a NOT NULL source) must not flip the TABLE
-      // schema — older files have no value for columns added after
-      // them (read as NULL), and a non-null declaration would both
-      // fail those reads and let Catalyst rewrite count(col) into
-      // count(*). New columns are forced nullable for the same reason.
-      val tableSchema = parent match {
-        case Some(p) =>
-          val pByName = DataFrameSchema.fromJson(p.schemaJson)
-            .fields.map(f => f.name -> f).toMap
-          StructType(schema.fields.map { f =>
-            pByName.get(f.name) match {
-              case Some(pf) => f.copy(nullable = pf.nullable || f.nullable)
-              case None => f.copy(nullable = true)
-            }
-          })
-        case None => schema
-      }
       val v = head.getOrElse(0L) + 1
-      // appends carry the parent's pending merge-on-read deletes: the
-      // new files enter with seq = v > every pending delete's seq, so
-      // fresh rows are never shadowed; replace clears them (the content
-      // they applied to is gone)
-      val m = Manifest(v, head, txn, tableSchema.json, track,
-        parent.map(_.files).getOrElse(Seq.empty) ++ newFiles.map(_.copy(seq = v)),
-        parent.map(_.deleteKeys).getOrElse(Nil),
-        parent.map(_.deleteFiles).getOrElse(Nil),
-        parent.map(_.posDeleteFiles).getOrElse(Nil),
-        // appends inherit the rename chain (their files carry seq = v,
-        // past every step); replace starts clean — no old file survives
-        renames = parent.map(_.renames).getOrElse(Nil),
-        retired = parent.map(_.retired).getOrElse(Nil))
+      val m = parent match {
+        case Some(p) => appendOnto(p, schema, track, newFiles, v, txn)
+        // replace starts clean: no old file, tombstone, or rename
+        // chain survives (the content they applied to is gone)
+        case None => Manifest(v, head, txn, schema.json, track,
+          newFiles.map(_.copy(seq = v)))
+      }
       committed = tryInstall(dir, m)
     }
     committed
+  }
+
+  /** Append-commit manifest construction, shared by the MAIN install
+    * loop and branch commits ([[commitToBranch]]): evolution-validated
+    * against the parent; nullability may only WIDEN (a batch whose
+    * analyzed schema marks an evolved column non-null — a VALUES
+    * literal, a NOT NULL source — must not flip the TABLE schema:
+    * older files have no value for columns added after them, and a
+    * non-null declaration would both fail those reads and let Catalyst
+    * rewrite count(col) into count(*)); the parent's pending
+    * merge-on-read tombstones and rename chain carry forward, and the
+    * new files enter with seq = v > every pending delete's seq, so
+    * fresh rows are never shadowed.
+    */
+  private def appendOnto(
+      parent: Manifest, schema: StructType, track: Seq[String],
+      newFiles: Seq[FileEntry], v: Long, txn: Option[String]): Manifest = {
+    validateEvolution(parent, schema, track)
+    val pByName = DataFrameSchema.fromJson(parent.schemaJson)
+      .fields.map(f => f.name -> f).toMap
+    val tableSchema = StructType(schema.fields.map { f =>
+      pByName.get(f.name) match {
+        case Some(pf) => f.copy(nullable = pf.nullable || f.nullable)
+        case None => f.copy(nullable = true)
+      }
+    })
+    Manifest(v, Some(parent.version), txn, tableSchema.json, track,
+      parent.files ++ newFiles.map(_.copy(seq = v)),
+      parent.deleteKeys, parent.deleteFiles, parent.posDeleteFiles,
+      renames = parent.renames, retired = parent.retired)
   }
 
   /** Write-audit-publish (Iceberg's WAP discipline, as one call): stage
@@ -1267,12 +1271,26 @@ object ManifestTable {
     * to O_EXCL create (still exclusive; visibility of the write itself
     * is then the documented weaker guarantee).
     */
-  private[graft] def tryInstall(dir: String, m: Manifest): Long = {
-    val (segNames, freshSeg) = writeSegments(dir, m)
+  private[graft] def tryInstall(dir: String, m: Manifest): Long =
+    tryInstallAs(dir, m, manifestName(m.version), reuseParentSegs = true)
+
+  /** [[tryInstall]] under an explicit head file name — the branch
+    * install path. Branch heads never reuse parent segments
+    * (segment-composition lookups are keyed by MAIN version numbers,
+    * which a branch parent is not), so each branch commit writes one
+    * full segment: O(branch snapshot) manifest bytes per staged commit,
+    * the documented trade for keeping the main lineage machinery
+    * untouched — and exactly what lets [[fastForward]] publish branch
+    * heads as main heads verbatim.
+    */
+  private def tryInstallAs(
+      dir: String, m: Manifest, fileName: String, reuseParentSegs: Boolean): Long = {
+    val (segNames, freshSeg) =
+      writeSegments(dir, if (reuseParentSegs) m else m.copy(parent = None))
     val bytes = renderHead(m, segNames).getBytes("UTF-8")
     val tmp = java.nio.file.Paths.get(dir, "_manifests", s".tmp-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.write(tmp, bytes)
-    val dst = java.nio.file.Paths.get(dir, "_manifests", manifestName(m.version))
+    val dst = java.nio.file.Paths.get(dir, "_manifests", fileName)
     try {
       try java.nio.file.Files.createLink(dst, tmp)
       catch {
@@ -1622,7 +1640,11 @@ object ManifestTable {
     // version >= the oldest pin stays, so a lagging consumer's next
     // bounded change feed is always computable (drop the pin to release)
     val minPin = cursorPins(dir).values.minOption.getOrElse(Long.MaxValue)
-    val drop = vs.dropRight(keepLast).filterNot(tagged).filter(_ < minPin)
+    // a branch BASE stays readable while its branch lives (a commit-less
+    // branch's head IS the base manifest)
+    val branchBases = branches(dir).keys.flatMap(n => branchBase(dir, n)).toSet
+    val drop = vs.dropRight(keepLast).filterNot(tagged).filterNot(branchBases)
+      .filter(_ < minPin)
     if (drop.isEmpty) return
     val dropped = drop.map(v => manifest(dir, Some(v)))
     val droppedSegs = drop.flatMap(v => segComposition(dir, v).map(_._1)).toSet
@@ -1630,7 +1652,11 @@ object ManifestTable {
       java.nio.file.Paths.get(dir, "_manifests", manifestName(v))): Unit)
     def allPaths(m: Manifest) =
       m.files.map(_.path) ++ m.deleteFiles.map(_.path) ++ m.posDeleteFiles.map(_.path)
-    val kept = versions(dir).flatMap(v => allPaths(manifest(dir, Some(v)))).toSet
+    // branch heads are retention roots too: an unpublished branch's
+    // snapshot (which carries its base's files) must stay readable
+    val kept = (versions(dir).map(v => manifest(dir, Some(v))) ++
+        branches(dir).keys.map(n => branchManifest(dir, n)))
+      .flatMap(allPaths).toSet
     dropped.flatMap(allPaths).distinct
       .filterNot(kept)
       .foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)): Unit)
@@ -1666,9 +1692,9 @@ object ManifestTable {
     // (data/c-stream-<uuid>/e<epoch>/part-*.parquet), and marking only
     // "e<epoch>" would leave "c-stream-<uuid>" looking unreferenced.
     val dataRoot = java.nio.file.Paths.get(dir, "data").toAbsolutePath.normalize
-    val referenced = versions(dir)
-      .flatMap { v =>
-        val m = manifest(dir, Some(v))
+    val referenced = (versions(dir).map(v => manifest(dir, Some(v))) ++
+        branches(dir).keys.map(n => branchManifest(dir, n)))
+      .flatMap { m =>
         m.files.map(_.path) ++ m.deleteFiles.map(_.path) ++ m.posDeleteFiles.map(_.path)
       }
       .flatMap { p =>
@@ -1777,6 +1803,232 @@ object ManifestTable {
       .collect { case n if n.startsWith("ref-") && n.endsWith(".json") =>
         n.stripPrefix("ref-").stripSuffix(".json") }
       .flatMap(n => resolveTag(dir, n).map(n -> _)).toMap
+
+  // ---------------------------------------------------------------- branches
+
+  /** WRITABLE BRANCHES — the mutable sibling of a [[tag]], and the
+    * staging half of write-audit-publish at multi-commit granularity
+    * (Iceberg's `spark.wap.branch` workflow): [[createBranch]] forks a
+    * name at a retained version, [[commitToBranch]] appends SHADOW
+    * snapshots visible only through the branch (main readers never see
+    * them), audits run against [[branchSnapshot]] — exactly the bytes
+    * that would publish — and [[fastForward]] publishes the whole
+    * audited chain onto main atomically-per-commit, metadata-only.
+    *
+    * Representation: branch heads are ordinary [[Manifest]]s stored
+    * under branch-scoped file names (`b-<name>-NNN.json`), their
+    * version numbers continuing the MAIN sequence from the branch
+    * base. Fast-forward therefore only hard-links each branch head to
+    * its main name IN ORDER (create-if-absent): if main moved past the
+    * base meanwhile, the first link collides and the publish fails
+    * loudly with main untouched beyond already-linked prefix commits —
+    * each of which is a complete, correct main snapshot (the chain
+    * property), so a crashed publish RESUMES idempotently (identical
+    * bytes pass the collision check). Ancestor-only by construction:
+    * exactly Iceberg's `fast_forward` contract. Branch heads hold full
+    * file lists, so [[expireSnapshots]]/[[vacuum]] treat them as
+    * retention roots and an unpublished branch never loses data.
+    */
+  def createBranch(dir: String, name: String, from: Option[Long] = None): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"branch names are [A-Za-z0-9_-]+: '$name'")
+    require(resolveTag(dir, name).isEmpty,
+      s"'$name' is already a tag of $dir; tags and branches share the name space")
+    val base = from.getOrElse(latestVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $dir")))
+    require(versions(dir).contains(base),
+      s"cannot branch from absent/expired version $base of $dir")
+    val p = java.nio.file.Paths.get(dir, "_manifests", branchMarker(name))
+    try java.nio.file.Files.write(p,
+      s"""{"name":"$name","base":$base}""".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        require(branchBase(dir, name).contains(base),
+          s"branch '$name' already exists at base ${branchBase(dir, name).getOrElse(-1L)}")
+    }
+    base
+  }
+
+  private def branchMarker(name: String) = s"branch-$name.json"
+  private def branchManifestName(name: String, v: Long) = f"b-$name-$v%012d.json"
+
+  private def branchBase(dir: String, name: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(dir, "_manifests", branchMarker(name))
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmt: Formats = DefaultFormats
+      Some((JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        \ "base").extract[Long])
+    }
+  }
+
+  /** Branch-local snapshot versions, newest last. Digit-tail parse: a
+    * branch name may itself contain '-' ("a" prefixes "a-b"), so only
+    * a remainder that IS the zero-padded version tail belongs here.
+    */
+  private def branchVersions(dir: String, name: String): Seq[Long] =
+    Option(new java.io.File(dir, "_manifests").listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case n if n.startsWith(s"b-$name-") && n.endsWith(".json") =>
+        n.stripPrefix(s"b-$name-").stripSuffix(".json") }
+      .filter(rest => rest.nonEmpty && rest.forall(_.isDigit))
+      .map(_.toLong).toSeq
+
+  /** Every branch, resolved to its head version (= base when no commit
+    * has landed on it yet).
+    */
+  def branches(dir: String): Map[String, Long] =
+    Option(new java.io.File(dir, "_manifests").listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case n if n.startsWith("branch-") && n.endsWith(".json") =>
+        n.stripPrefix("branch-").stripSuffix(".json") }
+      .flatMap { n =>
+        branchBase(dir, n).map(b => n -> branchVersions(dir, n).maxOption.getOrElse(b))
+      }.toMap
+
+  /** The branch head as a [[Manifest]] (the base's manifest before the
+    * first branch commit).
+    */
+  def branchManifest(dir: String, name: String): Manifest = {
+    val base = branchBase(dir, name).getOrElse(throw new IllegalArgumentException(
+      s"no branch '$name' of $dir (branches: ${branches(dir).keys.mkString(", ")})"))
+    branchVersions(dir, name).maxOption match {
+      case Some(v) =>
+        val p = java.nio.file.Paths.get(dir, "_manifests", branchManifestName(name, v))
+        parse(dir, new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      case None => manifest(dir, Some(base))
+    }
+  }
+
+  /** Read the branch head (pending merge-on-read tombstones applied,
+    * rename eras grouped — the same applied read main snapshots get).
+    */
+  def branchSnapshot(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val m = branchManifest(dir, name)
+    appliedRead(spark, m, m.files.map(_.path))
+  }
+
+  /** Append `df` to the BRANCH: a shadow snapshot main readers never
+    * see, version-numbered as the main commit it would become on
+    * [[fastForward]]. Same staging, stats, evolution validation, and
+    * optimistic install as a main append; racing branch writers both
+    * land exactly once.
+    */
+  def commitToBranch(df: DataFrame, dir: String, name: String, track: Seq[String]): Long = {
+    val spark = df.sparkSession
+    require(branchBase(dir, name).isDefined,
+      s"no branch '$name' of $dir — createBranch first")
+    val missing = track.filterNot(df.schema.fieldNames.contains)
+    require(missing.isEmpty, s"tracked column(s) ${missing.mkString(", ")} not in schema")
+    requireNoReservedColumns(df.schema)
+    val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
+    df.write.parquet(stage)
+    val newFiles = collectStats(spark, stage, track, df.schema)
+    var committed = -1L
+    while (committed < 0) {
+      val parent = branchManifest(dir, name)
+      val v = parent.version + 1
+      val m = appendOnto(parent, df.schema, track, newFiles, v, txn = None)
+      committed = tryInstallAs(dir, m, branchManifestName(name, v), reuseParentSegs = false)
+    }
+    committed
+  }
+
+  /** Publish the branch onto main: link each branch head to its main
+    * name in version order (create-if-absent), then drop the branch.
+    * Ancestor-only — if main advanced past the branch base, the first
+    * collision aborts loudly (rebase by re-branching); a collision with
+    * IDENTICAL bytes is our own crashed publish resuming and continues.
+    * Metadata-only: no data file moves. Returns the new main head.
+    */
+  def fastForward(dir: String, name: String): Long = {
+    val bvs = branchVersions(dir, name).sorted
+    require(branchBase(dir, name).isDefined,
+      s"no branch '$name' of $dir — nothing to fast-forward")
+    bvs.foreach { v =>
+      val src = java.nio.file.Paths.get(dir, "_manifests", branchManifestName(name, v))
+      val dst = java.nio.file.Paths.get(dir, "_manifests", manifestName(v))
+      val bytes = java.nio.file.Files.readAllBytes(src)
+      try {
+        try java.nio.file.Files.createLink(dst, src)
+        catch {
+          case _: UnsupportedOperationException =>
+            java.nio.file.Files.write(dst, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+        }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (!java.util.Arrays.equals(bytes, java.nio.file.Files.readAllBytes(dst)))
+            throw new IllegalStateException(
+              s"fast-forward of branch '$name': main already has a DIFFERENT v$v " +
+                "(main advanced past the branch base); re-branch from the new head " +
+                "and re-stage — fast-forward is ancestor-only, main is untouched " +
+                "beyond the already-published prefix")
+        // identical bytes: our own crashed publish — continue
+      }
+    }
+    dropBranch(dir, name, publishedUpTo = bvs.maxOption)
+    latestVersion(dir).getOrElse(-1L)
+  }
+
+  /** Remove the branch: its marker, heads, and (for an UNPUBLISHED
+    * drop) the segments and data files only its heads referenced.
+    */
+  def dropBranch(dir: String, name: String): Boolean = dropBranch(dir, name, None)
+
+  private def dropBranch(dir: String, name: String, publishedUpTo: Option[Long]): Boolean = {
+    val base = branchBase(dir, name)
+    if (base.isEmpty) return false
+    val bvs = branchVersions(dir, name)
+    val heads = bvs.map(v => branchManifestName(name, v))
+    // segments/files referenced only by the dropped heads fold away —
+    // unless they were just published to main (fastForward), where the
+    // linked main heads still reference them
+    if (publishedUpTo.isEmpty && bvs.nonEmpty) {
+      val dropped = heads.map(h => parse(dir,
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, "_manifests", h)), "UTF-8")))
+      val droppedSegs = branchSegNames(dir, name).toSet
+      val keptM = versions(dir).map(v => manifest(dir, Some(v))) ++
+        branches(dir).keys.filterNot(_ == name).map(n => branchManifest(dir, n))
+      def allPaths(m: Manifest) =
+        m.files.map(_.path) ++ m.deleteFiles.map(_.path) ++ m.posDeleteFiles.map(_.path)
+      val kept = keptM.flatMap(allPaths).toSet
+      // heads first (crash leaves re-collectable orphans, never a head
+      // pointing at deleted data)
+      heads.foreach(h => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "_manifests", h)): Unit)
+      dropped.flatMap(allPaths).distinct.filterNot(kept).foreach(p =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)): Unit)
+      // branch segments are written fresh per branch commit and only
+      // their own heads reference them; with the heads gone they fold
+      val keptSegs = (versions(dir).flatMap(v => segComposition(dir, v).map(_._1)) ++
+        branches(dir).keys.filterNot(_ == name)
+          .flatMap(n => branchSegNames(dir, n))).toSet
+      droppedSegs.filterNot(keptSegs).foreach { n =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "_manifests", n))
+        segCache.remove((dir, n)): Unit
+      }
+    } else {
+      heads.foreach(h => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "_manifests", h)): Unit)
+    }
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "_manifests", branchMarker(name)))
+  }
+
+  private def branchSegNames(dir: String, name: String): Seq[String] =
+    branchVersions(dir, name).flatMap { v =>
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmt: Formats = DefaultFormats
+      val p = java.nio.file.Paths.get(dir, "_manifests", branchManifestName(name, v))
+      if (!java.nio.file.Files.exists(p)) Nil
+      else (JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        \ "segments").extractOpt[Seq[String]].getOrElse(Nil)
+    }
 
   /** Register (or advance) a named CURSOR PIN at `version` — the
     * movable sibling of a [[tag]], playing the role Iceberg branch

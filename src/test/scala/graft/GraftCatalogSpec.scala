@@ -70,7 +70,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.lake.tagged").head().getLong(0) == 1001)
     val e = intercept[Exception](
       spark.sql("SELECT * FROM graft.lake.tagged VERSION AS OF 'nope'").collect())
-    assert(e.getMessage.contains("neither a numeric snapshot version nor a tag"))
+    assert(e.getMessage.contains("neither a numeric snapshot version, a tag, nor a branch"))
   }
 
   test("TIMESTAMP AS OF resolves monotonized commit clocks; SHOW NAMESPACES lists warehouse dirs") {
@@ -578,6 +578,38 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("CALL graft.system.materialize_deletes(table => 'lake.gdpr')")
     assert(!ManifestTable.manifest(dir, None).hasMorDeletes)
     assert(spark.sql("SELECT count(*) FROM graft.lake.gdpr").head().getLong(0) == 997L)
+  }
+
+  test("branches from SQL: CALL create_branch / VERSION AS OF '<branch>' / $refs / fast_forward") {
+    val dir = mkTable("lake", "br")
+    spark.sql("CALL graft.system.create_branch(table => 'lake.br', name => 'wap')")
+    ManifestTable.commitToBranch(
+      Seq((5001L, 1L, "staged")).toDF("id", "k", "cat"), dir, "wap", Seq("id"))
+    // isolation: main head unchanged; the branch reads via VERSION AS OF
+    assert(spark.sql("SELECT count(*) FROM graft.lake.br").head().getLong(0) == 1000)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.br VERSION AS OF 'wap'")
+      .head().getLong(0) == 1001)
+    assert(spark.sql("SELECT cat FROM graft.lake.br VERSION AS OF 'wap' WHERE id = 5001")
+      .head().getString(0) == "staged")
+    // $refs lists the branch at its head version
+    val refs = spark.sql("SELECT name, type, version FROM graft.lake.`br$refs`")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(refs.contains(("wap", "branch", 2L)), s"got $refs")
+    // publish: head advances, branch gone, staged row visible on main
+    val head = spark.sql("CALL graft.system.fast_forward(table => 'lake.br', name => 'wap')")
+      .head().getLong(0)
+    assert(head == 2L)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.br").head().getLong(0) == 1001)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft.lake.br VERSION AS OF 'wap'").collect())
+    assert(e.getMessage.contains("branch"), e.getMessage)
+    // abandon path: drop_branch leaves main untouched
+    spark.sql("CALL graft.system.create_branch(table => 'lake.br', name => 'scratch')")
+    ManifestTable.commitToBranch(
+      Seq((9999L, 0L, "junk")).toDF("id", "k", "cat"), dir, "scratch", Seq("id"))
+    spark.sql("CALL graft.system.drop_branch(table => 'lake.br', name => 'scratch')")
+    assert(ManifestTable.branches(dir).isEmpty)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.br").head().getLong(0) == 1001)
   }
 
   test("DROP TABLE removes the table; dropping a missing table reports false") {

@@ -54,6 +54,51 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.snapshot(spark, dir).count() == 1)
   }
 
+  test("writable branches: shadow commits, isolation, fast-forward publish, ancestor-only refusal") {
+    val dir = freshDir()
+    ManifestTable.commit((1L to 50L).toDF("id"), dir, Seq("id"))  // v1
+    ManifestTable.commit((51L to 80L).toDF("id"), dir, Seq("id")) // v2
+    // fork + two staged commits, invisible to main
+    assert(ManifestTable.createBranch(dir, "audit") == 2L)
+    ManifestTable.commitToBranch((81L to 90L).toDF("id"), dir, "audit", Seq("id"))
+    ManifestTable.commitToBranch((91L to 100L).toDF("id"), dir, "audit", Seq("id"))
+    assert(ManifestTable.latestVersion(dir).contains(2L), "main must not see branch commits")
+    assert(ManifestTable.snapshot(spark, dir).count() == 80)
+    assert(ManifestTable.branchSnapshot(spark, dir, "audit").count() == 100)
+    assert(ManifestTable.branches(dir) == Map("audit" -> 4L))
+    // branch files are retention roots: expiry + vacuum keep them
+    ManifestTable.expireSnapshots(dir, keepLast = 1)
+    ManifestTable.vacuum(dir, minAgeMs = -1L)
+    assert(ManifestTable.branchSnapshot(spark, dir, "audit").count() == 100,
+      "expiry/vacuum must never collect an unpublished branch's data")
+    // audited → publish: metadata-only fast-forward, branch folds away
+    val head = ManifestTable.fastForward(dir, "audit")
+    assert(head == 4L && ManifestTable.latestVersion(dir).contains(4L))
+    assert(ManifestTable.snapshot(spark, dir).as[Long].collect().sorted.toSeq == (1L to 100L))
+    assert(ManifestTable.branches(dir).isEmpty)
+    // time travel still reaches the published intermediate commit
+    assert(ManifestTable.snapshot(spark, dir, asOf = Some(3L)).count() == 90)
+    // divergence: main advances past a new branch's base -> ancestor-only refusal
+    ManifestTable.createBranch(dir, "stale")
+    ManifestTable.commitToBranch(Seq(500L).toDF("id"), dir, "stale", Seq("id"))
+    val staleFiles = ManifestTable.branchManifest(dir, "stale").files.map(_.path).toSet
+    ManifestTable.commit(Seq(200L).toDF("id"), dir, Seq("id")) // main v5
+    val e = intercept[IllegalStateException](ManifestTable.fastForward(dir, "stale"))
+    assert(e.getMessage.contains("ancestor-only"), e.getMessage)
+    assert(ManifestTable.snapshot(spark, dir).count() == 101, "main untouched by failed publish")
+    // abandoning the stale branch reclaims the data only it referenced
+    val mainFiles = ManifestTable.manifest(dir, None).files.map(_.path).toSet
+    assert(ManifestTable.dropBranch(dir, "stale"))
+    (staleFiles -- mainFiles).foreach(p =>
+      assert(!new java.io.File(p).exists(), s"unpublished branch data must fold away: $p"))
+    assert(ManifestTable.snapshot(spark, dir).count() == 101)
+    // guards: tag/branch name space shared; absent branch refuses
+    ManifestTable.tag(dir, "rel", 4L)
+    val e2 = intercept[IllegalArgumentException](ManifestTable.createBranch(dir, "rel"))
+    assert(e2.getMessage.contains("already a tag"))
+    intercept[IllegalArgumentException](ManifestTable.branchManifest(dir, "nope"))
+  }
+
   test("cursor pins with dash-prefixed names never collide (a vs a-b)") {
     val dir = freshDir()
     ManifestTable.commit(Seq(1L).toDF("id"), dir, Seq("id"))
