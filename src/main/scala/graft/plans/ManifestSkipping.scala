@@ -108,16 +108,28 @@ object ManifestSkipping extends PredicateHelper {
         * never reused, so at most one key matches per file — the alias
         * walk cannot pick up a stranger's envelope.
         */
-      aliases: Map[String, Seq[String]] = Map.empty) {
+      aliases: Map[String, Seq[String]] = Map.empty,
+      /** This FILE's entry sequence + the manifest's track-spec
+        * evolution watermarks: a column tracked since a version AFTER
+        * this file was written has no envelope here — `tracked` is
+        * false for it, so the file is always scanned (never conflated
+        * with the skippable all-null case, whose key is also absent).
+        */
+      fileSeq: Long = Long.MaxValue,
+      trackSince: Map[String, Long] = Map.empty) {
     private def keys(col: String): Seq[String] = col +: aliases.getOrElse(col, Nil)
-    /** A column prunes if the CURRENT name is tracked, or if it is a
+    private def covered(cur: String): Boolean =
+      trackSince.get(cur).forall(_ <= fileSeq)
+    /** A column prunes if the CURRENT name is tracked (and this file
+      * postdates the column's track-spec entry), or if it is a
       * historical alias of a tracked column (filters pushed under a
       * rename-era projection arrive in era names — those hit the old
       * files' stat keys directly).
       */
     def tracked(col: String): Boolean =
-      track.contains(col) ||
-        aliases.exists { case (cur, hs) => hs.contains(col) && track.contains(cur) }
+      (track.contains(col) && covered(col)) ||
+        aliases.exists { case (cur, hs) =>
+          hs.contains(col) && track.contains(cur) && covered(cur) }
     def mn(col: String): Option[String] =
       keys(col).collectFirst { case k if rawMins.contains(k) => rawMins(k) }.flatten
     def mx(col: String): Option[String] =
@@ -322,7 +334,8 @@ object ManifestSkipping extends PredicateHelper {
       dir -> cache.computeIfAbsent(key, { _ =>
         ManifestTable.versions(dir).flatMap { v =>
           val m = ManifestTable.manifest(dir, Some(v))
-          m.files.map(f => f.path -> Stats(dir, m.track, f.mins, f.maxs, aliasesOf(m)))
+          m.files.map(f => f.path -> Stats(dir, m.track, f.mins, f.maxs, aliasesOf(m),
+            fileSeq = f.seq, trackSince = m.trackSince))
         }.toMap
       })
     }.toMap

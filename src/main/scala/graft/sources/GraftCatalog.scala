@@ -641,6 +641,10 @@ final class GraftLakeScanBuilder(
     // Some(value-or-null) = answerable; None = decline the whole push
     def bound(f: StructField, wantMin: Boolean): Option[Any] = {
       if (!m.track.contains(f.name) || !envelopeSafe(f.dataType)) return None
+      // track-spec evolution: a live file predating the column's entry
+      // carries no envelope — its rows could hold the true min/max, so
+      // the push declines until compaction rewrites it into the spec
+      if (m.files.exists(fe => !m.envelopeCovers(f.name, fe.seq))) return None
       val keys = f.name +: aliases.getOrElse(f.name, Nil)
       val present = m.files.flatMap { fe =>
         val mp = if (wantMin) fe.mins else fe.maxs
@@ -701,7 +705,8 @@ final class GraftLakeScanBuilder(
       case Some(cond) if enabled =>
         val stats = m.files.map(f =>
           f.path -> ManifestSkipping.Stats(
-            dir, m.track, f.mins, f.maxs, ManifestSkipping.aliasesOf(m))).toMap
+            dir, m.track, f.mins, f.maxs, ManifestSkipping.aliasesOf(m),
+            fileSeq = f.seq, trackSince = m.trackSince)).toMap
         ManifestSkipping.survivors(cond, all, stats).getOrElse(all)
       case _ => all
     }
@@ -789,7 +794,8 @@ final class GraftLakeScan(
     val conds = filters.toSeq.flatMap(catalystOf)
     conds.reduceOption(And).foreach { cond =>
       val stats = m.files.map(f => f.path -> ManifestSkipping.Stats(
-        dir, m.track, f.mins, f.maxs, ManifestSkipping.aliasesOf(m))).toMap
+        dir, m.track, f.mins, f.maxs, ManifestSkipping.aliasesOf(m),
+        fileSeq = f.seq, trackSince = m.trackSince)).toMap
       ManifestSkipping.survivors(cond, plannedPaths, stats).foreach { s =>
         if (s.length < plannedPaths.length) {
           GraftLakeScan.lastRuntimePrune.set((plannedPaths.length, s.length))

@@ -33,7 +33,8 @@ object GraftProcedures {
 
   def list(): Array[String] = Array(
     "maintain", "expire_snapshots", "compact", "materialize_deletes", "tag", "rollback",
-    "vacuum", "delete_by_key", "create_branch", "fast_forward", "drop_branch")
+    "vacuum", "delete_by_key", "create_branch", "fast_forward", "drop_branch",
+    "add_tracked_column")
 
   def load(catalogName: String, warehouse: () => String, name: String): UnboundProcedure = {
     def dirOf(table: String): String =
@@ -80,6 +81,15 @@ object GraftProcedures {
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("version", LongType).build()),
         r => ManifestTable.restore(dirOf(str(r, 0)), r.getLong(1)))
+      case "add_tracked_column" => proc(name,
+        "track-spec evolution (Iceberg's ADD PARTITION FIELD): the column " +
+          "gains min/max envelopes + planning-time skipping for FUTURE files, " +
+          "metadata-only; pre-evolution files always scan (correct, unpruned) " +
+          "until compact/maintain rewrites them into the evolved spec",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("column", StringType).build()),
+        r => ManifestTable.addTrackedColumn(dirOf(str(r, 0)), str(r, 1)))
       case "create_branch" => proc(name,
         "fork a writable branch at a retained version (default: the head) — the " +
           "multi-commit write-audit-publish staging ref; read it via " +

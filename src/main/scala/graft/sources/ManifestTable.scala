@@ -141,7 +141,18 @@ object ManifestTable {
       /** Names no column may ever (re)use: renamed-away and dropped
         * column names, whose bytes old files still hold.
         */
-      retired: Seq[String] = Nil) {
+      retired: Seq[String] = Nil,
+      /** TRACK-SPEC EVOLUTION watermarks ([[addTrackedColumn]]): for a
+        * column tracked since version v, files with seq < v carry NO
+        * envelope for it — skipping must keep them (scan-always, the
+        * Iceberg partition-spec-evolution contract) and metadata
+        * aggregates must decline. Empty for columns tracked from
+        * table creation (every file covered).
+        */
+      trackSince: Map[String, Long] = Map.empty) {
+    /** Does file-seq `seq` carry an envelope for tracked column `col`? */
+    def envelopeCovers(col: String, seq: Long): Boolean =
+      trackSince.get(col).forall(_ <= seq)
     def hasMorDeletes: Boolean = deleteFiles.nonEmpty || posDeleteFiles.nonEmpty
     /** applied(this) == applied(parent): no visible row changed. */
     def statePreserving: Boolean = op.exists(StatePreservingOps)
@@ -198,6 +209,36 @@ object ManifestTable {
     committed
   }
 
+  /** TRACK-SPEC EVOLUTION as a METADATA-ONLY commit (Iceberg's
+    * partition-spec evolution, in envelope terms): the column joins
+    * the tracked set FOR FUTURE FILES — commits from here on collect
+    * its min/max envelope and prune on it, while files already
+    * committed carry no envelope for it and are simply ALWAYS SCANNED
+    * for predicates on the new column (correct, never pruned — the
+    * [[Manifest.trackSince]] watermark is what keeps the skipping
+    * machinery from conflating "no envelope" with "all-null column",
+    * which IS skippable). Metadata aggregates on the new column
+    * decline until every live pre-evolution file is rewritten;
+    * [[compact]] / [[maintain]] repay exactly that debt (rewritten
+    * files collect the full evolved spec), after which pruning covers
+    * the whole table. Zero data I/O at any table size.
+    */
+  def addTrackedColumn(dir: String, column: String): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val cur = manifest(dir, None)
+      val schema = DataFrameSchema.fromJson(cur.schemaJson)
+      require(schema.fieldNames.contains(column), s"no such column: $column")
+      require(!cur.track.contains(column), s"column $column is already tracked")
+      val v = cur.version + 1
+      committed = tryInstall(dir, cur.copy(
+        version = v, parent = Some(cur.version), txn = None, op = None,
+        track = cur.track :+ column,
+        trackSince = cur.trackSince + (column -> v)))
+    }
+    committed
+  }
+
   /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit — zero data
     * I/O at any table size, where a naive lake rename is a full
     * rewrite. Old files keep their bytes under the old physical name;
@@ -235,7 +276,9 @@ object ManifestTable {
         deleteKeys = cur.deleteKeys.map(k => if (k == from) to else k),
         op = None,
         renames = cur.renames :+ RenameStep(v, from, to),
-        retired = cur.retired :+ from)
+        retired = cur.retired :+ from,
+        trackSince = cur.trackSince.map { case (k, sv) =>
+          (if (k == from) to else k) -> sv })
       committed = tryInstall(dir, m)
     }
     committed
@@ -263,7 +306,8 @@ object ManifestTable {
         schemaJson = StructType(schema.fields.filterNot(f => names.contains(f.name))).json,
         track = cur.track.filterNot(names.contains),
         op = None,
-        retired = cur.retired ++ names)
+        retired = cur.retired ++ names,
+        trackSince = cur.trackSince -- names)
       committed = tryInstall(dir, m)
     }
     committed
@@ -532,7 +576,8 @@ object ManifestTable {
       committed = tryInstall(dir,
         Manifest(v, head, None, src.schemaJson, src.track, src.files,
           src.deleteKeys, src.deleteFiles, src.posDeleteFiles,
-          renames = src.renames, retired = src.retired))
+          renames = src.renames, retired = src.retired,
+          trackSince = src.trackSince))
     }
     committed
   }
@@ -628,7 +673,8 @@ object ManifestTable {
     Manifest(v, Some(parent.version), txn, tableSchema.json, track,
       parent.files ++ newFiles.map(_.copy(seq = v)),
       parent.deleteKeys, parent.deleteFiles, parent.posDeleteFiles,
-      renames = parent.renames, retired = parent.retired)
+      renames = parent.renames, retired = parent.retired,
+      trackSince = parent.trackSince)
   }
 
   /** Write-audit-publish (Iceberg's WAP discipline, as one call): stage
@@ -1191,7 +1237,8 @@ object ManifestTable {
         if (clearDeletes) Nil else base.deleteFiles,
         if (clearDeletes) Nil else base.posDeleteFiles,
         op = op,
-        renames = cur.renames, retired = cur.retired)
+        renames = cur.renames, retired = cur.retired,
+        trackSince = cur.trackSince)
       committed = tryInstall(dir, m)
     }
     committed
@@ -1536,11 +1583,15 @@ object ManifestTable {
     require(m.track.contains(trackedCol),
       s"column $trackedCol is not tracked (tracked: ${m.track.mkString(", ")})")
     if (m.files.isEmpty) return Seq.empty
+    // track-spec evolution: files predating the column's entry have no
+    // envelope — they scan unconditionally (correct, never pruned)
+    val (covered, uncovered) = m.files.partition(f => m.envelopeCovers(trackedCol, f.seq))
+    if (covered.isEmpty) return m.files.map(_.path)
     val typ = DataFrameSchema.fromJson(m.schemaJson)(trackedCol).dataType
     val entries = spark.createDataFrame(
       // a column absent from the maps is a null envelope: JSON object
       // rendering omits None-valued keys, so absence and None coincide
-      spark.sparkContext.parallelize(m.files.map(f =>
+      spark.sparkContext.parallelize(covered.map(f =>
         org.apache.spark.sql.Row(f.path,
           f.mins.getOrElse(trackedCol, None).orNull,
           f.maxs.getOrElse(trackedCol, None).orNull)), 1),
@@ -1548,7 +1599,7 @@ object ManifestTable {
         StructField("path", StringType), StructField("mn", StringType), StructField("mx", StringType))))
     entries
       .filter(statColumn(col("mx"), typ) >= lo && statColumn(col("mn"), typ) <= hi)
-      .collect().map(_.getString(0)).toIndexedSeq
+      .collect().map(_.getString(0)).toIndexedSeq ++ uncovered.map(_.path)
   }
 
   /** Current column name -> its HISTORICAL names (newest first) from
@@ -2162,7 +2213,8 @@ object ManifestTable {
         ("posDeleteFiles" -> delJson(m.posDeleteFiles)) ~ ("op" -> m.op) ~
         ("renames" -> m.renames.map(r =>
           ("v" -> r.v) ~ ("from" -> r.from) ~ ("to" -> r.to))) ~
-        ("retired" -> m.retired)))
+        ("retired" -> m.retired) ~
+        ("trackSince" -> m.trackSince)))
   }
 
   private def renderSegment(entries: Seq[FileEntry]): String = {
@@ -2253,6 +2305,10 @@ object ManifestTable {
       ((j \ "retired") match {
         case JNothing => Nil
         case r => r.extract[Seq[String]]
+      }),
+      ((j \ "trackSince") match {
+        case JNothing => Map.empty[String, Long]
+        case t => t.extract[Map[String, Long]]
       }))
   }
 

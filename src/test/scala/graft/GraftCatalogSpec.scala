@@ -612,6 +612,55 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.lake.br").head().getLong(0) == 1001)
   }
 
+  test("track-spec evolution: new files prune on the added column, old files always scan, aggregates decline until compaction") {
+    val dir = mkTable("lake", "spec_evo") // 5 files tracked by id only
+    val nOld = ManifestTable.manifest(dir, None).files.size
+    spark.sql("CALL graft.system.add_tracked_column(table => 'lake.spec_evo', column => 'k')")
+    // metadata-only: same files, evolved spec
+    val m = ManifestTable.manifest(dir, None)
+    assert(m.files.size == nOld && m.track == Seq("id", "k") && m.trackSince("k") == m.version)
+    // post-evolution files carry k envelopes (k-clustered -> tight)
+    ManifestTable.commit(
+      (1 to 400).map(i => (10000L + i, 2000L + i, "new")).toDF("id", "k", "cat")
+        .repartitionByRange(4, $"k"),
+      dir, track = Seq("id", "k"))
+    val total = ManifestTable.manifest(dir, None).files.size
+    assert(total == nOld + 4)
+    // a k-predicate prunes NEW files but must keep every OLD file (no
+    // envelope there — pruning them would be wrong, Iceberg
+    // spec-evolution semantics)
+    val q = spark.sql("SELECT id FROM graft.lake.spec_evo WHERE k = 2001")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(10001L))
+    val scanned = scannedFiles(q)
+    assert(scanned.size < total, "new files must prune on the evolved column")
+    assert(scanned.size >= nOld + 1,
+      s"pre-evolution files must ALWAYS scan (got ${scanned.size} of $total)")
+    // rows in old files still found through the unpruned scan
+    assert(spark.sql("SELECT count(*) FROM graft.lake.spec_evo WHERE k = 613")
+      .head().getLong(0) == 1)
+    // min/max on the evolved column must NOT answer from metadata while
+    // uncovered files live (their rows could hold the true extremum)
+    val aggPlan = spark.sql("SELECT min(k) FROM graft.lake.spec_evo")
+      .queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("LocalTableScan"),
+      s"metadata aggregate must decline on a partially-covered column:\n$aggPlan")
+    // compaction rewrites every file into the evolved spec: full
+    // pruning and metadata aggregates come back
+    spark.sql("CALL graft.system.compact(table => 'lake.spec_evo', cluster_by => 'k', num_files => 6)")
+    val q2 = spark.sql("SELECT id FROM graft.lake.spec_evo WHERE k = 2001")
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(10001L))
+    assert(scannedFiles(q2).size <= 2,
+      "after compaction the evolved column prunes the whole table")
+    val agg2 = spark.sql("SELECT min(k) AS mn, max(k) AS mx FROM graft.lake.spec_evo")
+    assert(agg2.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "full coverage restores the metadata-aggregate path")
+    assert(agg2.head() == org.apache.spark.sql.Row(0L, 2400L))
+    // guards
+    val e = intercept[Exception](spark.sql(
+      "CALL graft.system.add_tracked_column(table => 'lake.spec_evo', column => 'k')").collect())
+    assert(e.getMessage.contains("already tracked"))
+  }
+
   test("DROP TABLE removes the table; dropping a missing table reports false") {
     mkTable("lake", "dropme")
     spark.sql("DROP TABLE graft.lake.dropme")
