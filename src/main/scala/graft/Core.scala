@@ -191,8 +191,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   * of `base`.
   */
 object Sorting {
-  def projected(base: DataFrame, keys: Column*)(project: DataFrame => DataFrame): DataFrame =
-    project(base.repartitionByRange(keys: _*)).sortWithinPartitions(keys: _*)
+  def projected(base: DataFrame, keys: Column*)(project: DataFrame => DataFrame): DataFrame = {
+    // EXPLICIT partition count: AQE coalesces a no-N range repartition
+    // by the BASE's byte size, and a few MB of text coalesce to one
+    // partition — running the expensive projection (the whole reason
+    // this helper exists) on one core. The projection's cost is
+    // invisible to AQE's byte-based advisory; a user-specified N is
+    // never coalesced. (Measured on the WAV-codec path: 32x-wide vs
+    // single-core at the sf1 slope point.)
+    val n = base.sparkSession.sessionState.conf.numShufflePartitions
+    project(base.repartitionByRange(n, keys: _*)).sortWithinPartitions(keys: _*)
+  }
 }
 
 object Num {

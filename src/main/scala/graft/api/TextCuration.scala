@@ -1316,7 +1316,11 @@ object TextCuration {
     val wCanon = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
     val canon = df.withColumn("__rn", row_number().over(wCanon))
       .filter(col("__rn") === 1).select(idCol)
-    val neardup = jaccardNearDups(df, idCol, textCol, jaccardThreshold)
+    // near-dup sweep through the CAPPED candidate path (the q26 lever):
+    // provably identical below the volume budget, linear-by-construction
+    // above it — curation is exactly the boilerplate-heavy-corpus
+    // workload the uncapped inverted index goes quadratic on
+    val neardup = jaccardNearDupsAuto(df, idCol, textCol, jaccardThreshold)._1
       .select(col("id_b").as(idCol)).distinct()
     // restrict FIRST, score LAST: the dedup joins only need (id, text
     // hash / shingles), so quality + lang-ID — the expensive per-doc

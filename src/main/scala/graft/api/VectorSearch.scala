@@ -462,9 +462,17 @@ object VectorSearch {
           "to run the quadratic join deliberately")
     }
     val n = withNorm(df, vecCol)
-    val a = n.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
+    // the n² join is COMPUTE-bound (a dot product per ordered pair):
+    // spread the streamed side across every core and broadcast the
+    // other explicitly — a small-file parquet corpus otherwise runs
+    // the whole cross product on one or two input partitions
+    // (measured 8x wall-clock at the sf1 slope point). The row guard
+    // above bounds the broadcast to maxRows vectors.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val a = n.repartition(par)
+      .select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
     val b = n.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .selectExpr("id_a", "id_b", s"${dotSpark("va", "vb")} / (na * nb) AS cosine")
       .filter(col("cosine") >= threshold)
   }

@@ -305,10 +305,19 @@ object Similarity {
         ORDER BY vec_a, vec_b
       """.trim),
       (spark, dir) => {
+        val emb = Tables(spark, dir).embeddings
         val (pairs, planes) = graft.api.VectorSearch.lshNearDupsAuto(
-          Tables(spark, dir).embeddings, "vec_id", "embedding", 0.4)
-        assert(planes == graft.operators.VectorKit.LshPlanes,
-          s"at oracle scale the derived plane count must match the pinned config, got $planes")
+          emb, "vec_id", "embedding", 0.4)
+        // decision pin: the derived count must follow the occupancy
+        // formula for THIS corpus — at oracle scale that is exactly the
+        // pinned 4-plane config (so the routed path shares q34's oracle
+        // verbatim); at slope-run scales it grows with the corpus,
+        // which is the point
+        val n = emb.count()
+        var expected = graft.operators.VectorKit.LshPlanes
+        while (expected < 16 && (n >> expected) > 250L) expected += 1
+        assert(planes == expected,
+          s"derived plane count must follow the occupancy probe: got $planes, want $expected")
         pairs.select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
           col("bucket"), col("cosine"))
       },
