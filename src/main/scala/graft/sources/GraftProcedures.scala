@@ -34,7 +34,7 @@ object GraftProcedures {
   def list(): Array[String] = Array(
     "maintain", "expire_snapshots", "compact", "materialize_deletes", "tag", "rollback",
     "vacuum", "delete_by_key", "create_branch", "fast_forward", "drop_branch",
-    "add_tracked_column")
+    "cherry_pick", "add_tracked_column")
 
   def load(catalogName: String, warehouse: () => String, name: String): UnboundProcedure = {
     def dirOf(table: String): String =
@@ -107,6 +107,15 @@ object GraftProcedures {
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("name", StringType).build()),
         r => ManifestTable.fastForward(dirOf(str(r, 0)), str(r, 1)))
+      case "cherry_pick" => proc(name,
+        "replay ONE branch append commit onto main (metadata-only, files " +
+          "shared) — the rebase escape hatch when fast_forward refuses a " +
+          "diverged base; returns the new main head",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("version", LongType).build()),
+        r => ManifestTable.cherryPick(dirOf(str(r, 0)), str(r, 1), r.getLong(2)))
       case "drop_branch" => proc(name,
         "abandon a branch: its shadow snapshots and any data only they referenced fold away",
         Seq(

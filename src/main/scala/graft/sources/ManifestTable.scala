@@ -2024,6 +2024,52 @@ object ManifestTable {
     latestVersion(dir).getOrElse(-1L)
   }
 
+  /** CHERRY-PICK one branch commit onto main (Iceberg's
+    * cherrypick_snapshot for append snapshots): the files the branch
+    * commit ADDED over its branch parent replay as a fresh main append
+    * — metadata-only (entries and their committed stats are shared, no
+    * data copies; they enter main with seq = the new main version), and
+    * main may have diverged since the branch point (this is the
+    * rebase-one-commit escape hatch when [[fastForward]] refuses).
+    * Append-only by contract: a branch commit that removed files or
+    * carries a different track spec than main refuses loudly. The
+    * branch itself is untouched.
+    */
+  def cherryPick(dir: String, name: String, branchVersion: Long): Long = {
+    val base = branchBase(dir, name).getOrElse(throw new IllegalArgumentException(
+      s"no branch '$name' of $dir"))
+    require(branchVersions(dir, name).contains(branchVersion),
+      s"branch '$name' has no commit v$branchVersion " +
+        s"(has: ${branchVersions(dir, name).sorted.mkString(", ")})")
+    val bv = {
+      val p = java.nio.file.Paths.get(dir, "_manifests", branchManifestName(name, branchVersion))
+      parse(dir, new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    }
+    val bParent =
+      if (branchVersions(dir, name).contains(branchVersion - 1)) {
+        val p = java.nio.file.Paths.get(
+          dir, "_manifests", branchManifestName(name, branchVersion - 1))
+        parse(dir, new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      } else manifest(dir, Some(base))
+    val parentPaths = bParent.files.map(_.path).toSet
+    val removed = bParent.files.map(_.path).filterNot(bv.files.map(_.path).toSet)
+    require(removed.isEmpty,
+      s"cherry-pick of '$name' v$branchVersion: the commit removed ${removed.size} " +
+        "file(s); only append commits cherry-pick (replay the operation instead)")
+    val added = bv.files.filterNot(f => parentPaths(f.path))
+    val schema = DataFrameSchema.fromJson(bv.schemaJson)
+    var committed = -1L
+    while (committed < 0) {
+      val head = manifest(dir, None)
+      require(bv.track == head.track,
+        s"cherry-pick of '$name' v$branchVersion: branch track spec " +
+          s"[${bv.track.mkString(", ")}] differs from main's [${head.track.mkString(", ")}]")
+      val v = head.version + 1
+      committed = tryInstall(dir, appendOnto(head, schema, head.track, added, v, txn = None))
+    }
+    committed
+  }
+
   /** Remove the branch: its marker, heads, and (for an UNPUBLISHED
     * drop) the segments and data files only its heads referenced.
     */

@@ -99,6 +99,37 @@ class ManifestTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](ManifestTable.branchManifest(dir, "nope"))
   }
 
+  test("cherry-pick replays one branch append onto a DIVERGED main, metadata-only") {
+    val dir = freshDir()
+    ManifestTable.commit((1L to 10L).toDF("id"), dir, Seq("id")) // v1
+    ManifestTable.createBranch(dir, "fix")
+    ManifestTable.commitToBranch((11L to 15L).toDF("id"), dir, "fix", Seq("id")) // fix@v2
+    ManifestTable.commitToBranch((16L to 20L).toDF("id"), dir, "fix", Seq("id")) // fix@v3
+    ManifestTable.commit(Seq(100L).toDF("id"), dir, Seq("id")) // main v2 — diverged
+    intercept[IllegalStateException](ManifestTable.fastForward(dir, "fix"))
+    // pick ONLY the first branch commit onto the diverged main
+    val pickedFiles = ManifestTable.branchManifest(dir, "fix").files.map(_.path).toSet
+    val v = ManifestTable.cherryPick(dir, "fix", 2L)
+    assert(v == 3L)
+    assert(ManifestTable.snapshot(spark, dir).as[Long].collect().sorted.toSeq ==
+      ((1L to 15L) :+ 100L))
+    // metadata-only: the picked entries are the branch's own files
+    val mainFiles = ManifestTable.manifest(dir, None).files.map(_.path).toSet
+    assert(mainFiles.subsetOf(pickedFiles ++ mainFiles), "no data copy")
+    assert(ManifestTable.manifest(dir, None).files
+      .filter(f => pickedFiles(f.path)).nonEmpty)
+    // the branch is untouched and still independently readable
+    assert(ManifestTable.branchSnapshot(spark, dir, "fix").count() == 20)
+    // a picked file shared with main survives dropping the branch
+    ManifestTable.dropBranch(dir, "fix")
+    assert(ManifestTable.snapshot(spark, dir).count() == 16,
+      "dropBranch must not reclaim files main now references")
+    // guards: absent commit refuses
+    ManifestTable.createBranch(dir, "g")
+    val e = intercept[IllegalArgumentException](ManifestTable.cherryPick(dir, "g", 99L))
+    assert(e.getMessage.contains("no commit"))
+  }
+
   test("cursor pins with dash-prefixed names never collide (a vs a-b)") {
     val dir = freshDir()
     ManifestTable.commit(Seq(1L).toDF("id"), dir, Seq("id"))
