@@ -1302,7 +1302,7 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.latestVersion(dir) == head)
   }
 
-  test("model-based property: random commit/delete/merge/compact/MoR-delete/materialize/RENAME sequences match an in-memory model at every version") {
+  test("model-based property: random commit/delete/merge/compact/MoR-delete/materialize/RENAME/BRANCH sequences match an in-memory model at every version") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
     sealed trait Op
@@ -1314,6 +1314,8 @@ class ManifestTableSpec extends SparkSpec {
     case class PosDelete(lo: Long, hi: Long) extends Op
     case object Materialize extends Op
     case object Rename extends Op
+    case class BranchCycle(r1: Map[Long, Long], r2: Map[Long, Long]) extends Op
+    case class BranchPick(br: Map[Long, Long], mr: Map[Long, Long]) extends Op
 
     val rowsGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 999L)))
     val opGen: Gen[Op] = Gen.frequency(
@@ -1330,7 +1332,12 @@ class ManifestTableSpec extends SparkSpec {
       // era-grouped read, the feed's head-chain adoption, and the CoW
       // rewrites must all stay model-exact across name boundaries (the
       // VALUE column renames; the delete-key column is guarded)
-      2 -> Gen.const(Rename))
+      2 -> Gen.const(Rename),
+      // branch lifecycle interleaves with everything: stage two shadow
+      // commits, audit the branch read against the model, fast-forward
+      // — and the diverged variant cherry-picks one commit instead
+      2 -> Gen.zip(rowsGen, rowsGen).map { case (a, b) => BranchCycle(a, b) },
+      2 -> Gen.zip(rowsGen, rowsGen).map { case (a, b) => BranchPick(a, b) })
     val seqGen = Gen.choose(3, 7).flatMap(n => Gen.listOfN(n, opGen))
 
     (0 until 6).foreach { trial =>
@@ -1342,6 +1349,7 @@ class ManifestTableSpec extends SparkSpec {
       var history = Vector.empty[(Long, Vector[(Long, Long)])]
       var curVal = "v" // current name of the value column (renames retire old names)
       var renameN = 0
+      var branchN = 0
       def df(rows: Map[Long, Long]) = rows.toSeq.toDF("k", curVal)
       // a cursor-driven CDF consumer rides along: after every op it
       // drains the feed and folds into a materialized per-key rollup —
@@ -1397,6 +1405,39 @@ class ManifestTableSpec extends SparkSpec {
           val v = ManifestTable.renameColumn(dir, curVal, to)
           curVal = to
           history :+= (v, model)
+        case BranchCycle(r1, r2) if history.nonEmpty && r1.nonEmpty && r2.nonEmpty =>
+          branchN += 1; val b = s"wap$branchN"
+          ManifestTable.createBranch(dir, b)
+          ManifestTable.commitToBranch(df(r1), dir, b, Seq("k"))
+          ManifestTable.commitToBranch(df(r2), dir, b, Seq("k"))
+          // main is isolated while staged; the branch read (the audit
+          // surface) is exactly model ++ staged
+          assert(ManifestTable.snapshot(spark, dir).count() == model.size,
+            s"trial $trial: staged branch commits must be invisible to main")
+          val staged = ManifestTable.branchSnapshot(spark, dir, b)
+            .as[(Long, Long)].collect().toVector
+          assert(staged.sorted == (model ++ r1.toVector ++ r2.toVector).sorted,
+            s"trial $trial: branch audit read diverged from the model")
+          val head = ManifestTable.fastForward(dir, b)
+          model = model ++ r1.toVector
+          history :+= (head - 1, model)
+          model = model ++ r2.toVector
+          history :+= (head, model)
+        case BranchPick(br, mr) if history.nonEmpty && br.nonEmpty && mr.nonEmpty =>
+          branchN += 1; val b = s"pick$branchN"
+          ManifestTable.createBranch(dir, b)
+          ManifestTable.commitToBranch(df(br), dir, b, Seq("k"))
+          val bv = ManifestTable.branches(dir)(b)
+          // main diverges past the branch point...
+          val v1 = ManifestTable.commit(df(mr), dir, Seq("k"))
+          model = model ++ mr.toVector
+          history :+= (v1, model)
+          // ...so fast-forward must refuse, and cherry-pick replays it
+          intercept[IllegalStateException](ManifestTable.fastForward(dir, b))
+          val v2 = ManifestTable.cherryPick(dir, b, bv)
+          model = model ++ br.toVector
+          history :+= (v2, model)
+          ManifestTable.dropBranch(dir, b): Unit
         case _ => ()
       }; consume() }
       // every recorded version must read back as its model state —
