@@ -452,8 +452,19 @@ object VectorSearch {
     * The count costs one partial-agg job on the id column — noise next
     * to the n² join it gates.
     */
+  /** Ceiling on the one-sided broadcast [[cosineNearDups]] uses to
+    * parallelize its n² join: far under Spark's 8 GB broadcast limit
+    * and a comfortable driver allocation, yet high enough that every
+    * corpus the row guard admits (and the sf1 slope corpus) stays on
+    * the fast path. An `exactOk = true` corpus estimated ABOVE it
+    * falls back to the plain repartitioned join — slower, but it
+    * completes where the broadcast would OOM the driver.
+    */
+  val ExactNearDupMaxBroadcastBytes: Long = 64L << 20
+
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      maxRows: Long = ExactNearDupMaxRows, exactOk: Boolean = false): DataFrame = {
+      maxRows: Long = ExactNearDupMaxRows, exactOk: Boolean = false,
+      maxBroadcastBytes: Long = ExactNearDupMaxBroadcastBytes): DataFrame = {
     if (!exactOk) {
       val rows = df.select(col(idCol)).count()
       require(rows <= maxRows,
@@ -466,13 +477,21 @@ object VectorSearch {
     // spread the streamed side across every core and broadcast the
     // other explicitly — a small-file parquet corpus otherwise runs
     // the whole cross product on one or two input partitions
-    // (measured 8x wall-clock at the sf1 slope point). The row guard
-    // above bounds the broadcast to maxRows vectors.
+    // (measured 8x wall-clock at the sf1 slope point). The broadcast
+    // is BYTE-guarded, not row-guarded: `exactOk = true` deliberately
+    // bypasses the row guard, so a documented large-corpus run must
+    // degrade to the repartitioned join instead of hitting Spark's
+    // broadcast limit / driver OOM mid-flight.
     val par = df.sparkSession.sparkContext.defaultParallelism
     val a = n.repartition(par)
       .select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
-    val b = n.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    val b0 = n.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    val rowCap = math.max(maxBroadcastBytes / 32L, 0L)
+    val (bRows, bElems) = boundedSize(df, vecCol, rowCap)
+    val b =
+      if (bRows <= rowCap && estBytes(bRows, bElems) <= maxBroadcastBytes) broadcast(b0)
+      else b0
+    a.join(b, col("id_a") < col("id_b"))
       .selectExpr("id_a", "id_b", s"${dotSpark("va", "vb")} / (na * nb) AS cosine")
       .filter(col("cosine") >= threshold)
   }

@@ -1817,6 +1817,12 @@ object ManifestTable {
   def tag(dir: String, name: String, version: Long): Unit = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"tag names are [A-Za-z0-9_-]+: '$name'")
+    // mirror of createBranch's reverse check: tags and branches share
+    // one name space, and VERSION AS OF resolves tags FIRST — a tag
+    // created over a live branch's name would silently shadow the
+    // branch and duplicate the name in the $refs meta table
+    require(branchBase(dir, name).isEmpty,
+      s"'$name' is already a branch of $dir; tags and branches share the name space")
     require(versions(dir).contains(version),
       s"cannot tag absent/expired version $version of $dir")
     val p = java.nio.file.Paths.get(dir, "_manifests", s"ref-$name.json")
@@ -1994,11 +2000,41 @@ object ManifestTable {
     * collision aborts loudly (rebase by re-branching); a collision with
     * IDENTICAL bytes is our own crashed publish resuming and continues.
     * Metadata-only: no data file moves. Returns the new main head.
+    *
+    * The ancestor check is POSITIONAL, not collision-based: main's
+    * CURRENT head must be the branch base (or sit inside this branch's
+    * own already-published prefix — the crash-resume case, verified by
+    * byte equality). Collisions alone cannot carry the safety proof:
+    * [[expireSnapshots]] keeps the branch base as a retention root but
+    * may delete main versions ABOVE it, so a stale branch's heads
+    * could otherwise link into the expired-history hole without ever
+    * colliding — silently resurrecting mid-history version numbers
+    * with a conflicting parent chain while the real head stays newer
+    * and the audited commits never become visible.
     */
   def fastForward(dir: String, name: String): Long = {
     val bvs = branchVersions(dir, name).sorted
-    require(branchBase(dir, name).isDefined,
-      s"no branch '$name' of $dir — nothing to fast-forward")
+    val base = branchBase(dir, name).getOrElse(throw new IllegalArgumentException(
+      s"no branch '$name' of $dir — nothing to fast-forward"))
+    val mainHead = latestVersion(dir).getOrElse(-1L)
+    if (bvs.nonEmpty && mainHead != base) {
+      // crash-resume: our own earlier publish linked a prefix of this
+      // branch and died — main's head must BE one of this branch's
+      // versions with identical bytes; anything else is divergence
+      val resuming = bvs.contains(mainHead) && {
+        val b = java.nio.file.Paths.get(dir, "_manifests", branchManifestName(name, mainHead))
+        val m = java.nio.file.Paths.get(dir, "_manifests", manifestName(mainHead))
+        java.nio.file.Files.exists(m) && java.util.Arrays.equals(
+          java.nio.file.Files.readAllBytes(b), java.nio.file.Files.readAllBytes(m))
+      }
+      if (!resuming)
+        throw new IllegalStateException(
+          s"fast-forward of branch '$name': main head is v$mainHead but the branch " +
+            s"base is v$base (main advanced past the branch base); re-branch from " +
+            "the new head and re-stage — fast-forward is ancestor-only, and " +
+            "link-time collisions cannot prove ancestry once intermediate main " +
+            "versions have been expired")
+    }
     bvs.foreach { v =>
       val src = java.nio.file.Paths.get(dir, "_manifests", branchManifestName(name, v))
       val dst = java.nio.file.Paths.get(dir, "_manifests", manifestName(v))

@@ -74,6 +74,25 @@ class ApiSpecs extends SparkSpec {
     val opted = VectorSearch.cosineNearDups(vecs, "vid", "vec", 0.9, maxRows = 2L, exactOk = true)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(opted === Set((1L, 2L)))
+    // the parallelizing broadcast is BYTE-guarded: exactOk bypasses the
+    // row guard by design, so a corpus estimated over the broadcast
+    // budget must degrade to the plain join (no driver OOM / 8 GB
+    // broadcast-limit failure), with identical pairs
+    def hasBroadcast(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.contains("Broadcast")
+    // auto-broadcast off isolates the EXPLICIT hint: with it, Spark
+    // would pick BroadcastNestedLoopJoin for any tiny side on its own
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(hasBroadcast(VectorSearch.cosineNearDups(vecs, "vid", "vec", 0.9)),
+        "an under-budget corpus must take the forced-broadcast fast path")
+      val big = VectorSearch.cosineNearDups(vecs, "vid", "vec", 0.9,
+        exactOk = true, maxBroadcastBytes = 1L)
+      assert(!hasBroadcast(big), "over-budget corpus must fall back to the plain join")
+      assert(big.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("knn on a (vid, vec) frame returns k ranked neighbors excluding self") {

@@ -99,6 +99,51 @@ class ManifestTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](ManifestTable.branchManifest(dir, "nope"))
   }
 
+  test("fast-forward refuses a stale branch even when expiry opened a history hole") {
+    val dir = freshDir()
+    ManifestTable.commit((1L to 10L).toDF("id"), dir, Seq("id"))  // v1
+    ManifestTable.commit((11L to 20L).toDF("id"), dir, Seq("id")) // v2
+    ManifestTable.createBranch(dir, "stale")                      // base = 2
+    ManifestTable.commitToBranch((21L to 25L).toDF("id"), dir, "stale", Seq("id")) // b-stale-3
+    ManifestTable.commit(Seq(100L).toDF("id"), dir, Seq("id"))    // main v3 — diverged
+    ManifestTable.commit(Seq(200L).toDF("id"), dir, Seq("id"))    // main v4
+    // expiry keeps the head + the branch base (v2) but deletes main v3:
+    // the branch's next head number now points INTO the expired hole,
+    // so a link there cannot collide — collision-based safety is blind
+    ManifestTable.expireSnapshots(dir, keepLast = 1)
+    assert(!ManifestTable.versions(dir).contains(3L),
+      "precondition: expiry must open the v3 hole for this test to bite")
+    // the positional head-vs-base check refuses; pre-fix this publish
+    // silently 'succeeded' (linked into the hole, dropped the branch,
+    // left head at v4 with a resurrected v3 of conflicting parentage)
+    val e = intercept[IllegalStateException](ManifestTable.fastForward(dir, "stale"))
+    assert(e.getMessage.contains("ancestor-only"), e.getMessage)
+    assert(!ManifestTable.versions(dir).contains(3L),
+      "no manifest may appear inside the expired hole")
+    assert(ManifestTable.branches(dir).contains("stale"),
+      "a refused publish must not drop the branch")
+    assert(ManifestTable.latestVersion(dir).contains(4L))
+    assert(ManifestTable.snapshot(spark, dir).count() == 22)
+    // the staged commit remains publishable the sanctioned way
+    assert(ManifestTable.cherryPick(dir, "stale", 3L) == 5L)
+    assert(ManifestTable.snapshot(spark, dir).count() == 27)
+  }
+
+  test("tag cannot shadow a live branch name (shared name space, both directions)") {
+    val dir = freshDir()
+    ManifestTable.commit(Seq(1L).toDF("id"), dir, Seq("id"))
+    ManifestTable.createBranch(dir, "wip")
+    // createBranch already refuses tag names; the reverse must hold too
+    // — VERSION AS OF resolves tags first, so a tag over a live branch
+    // name would silently shadow the branch
+    val e = intercept[IllegalArgumentException](ManifestTable.tag(dir, "wip", 1L))
+    assert(e.getMessage.contains("already a branch"), e.getMessage)
+    // dropping the branch releases the name for tagging
+    ManifestTable.dropBranch(dir, "wip")
+    ManifestTable.tag(dir, "wip", 1L)
+    assert(ManifestTable.resolveTag(dir, "wip").contains(1L))
+  }
+
   test("cherry-pick replays one branch append onto a DIVERGED main, metadata-only") {
     val dir = freshDir()
     ManifestTable.commit((1L to 10L).toDF("id"), dir, Seq("id")) // v1
