@@ -496,6 +496,104 @@ object VectorSearch {
       .filter(col("cosine") >= threshold)
   }
 
+  /** [[cosineNearDups]] with the candidate volume BOUNDED BY A
+    * CORPUS-PROBED budget — the exact-cosine near-dup use case's
+    * budget-bounded member, the embedding-space sibling of
+    * [[graft.api.TextCuration.jaccardNearDupsAuto]]'s df cap:
+    *
+    *   - BELOW the budget (n ≤ 2·budgetPairsPerVec + 1, where the full
+    *     n(n-1)/2 exact join already fits budget·n pairs) this is
+    *     [[cosineNearDups]] VERBATIM — a provable no-op, the regime
+    *     the oracle-gate scales sit in.
+    *   - ABOVE it, candidates come from multi-band sign-LSH
+    *     amplification ([[graft.operators.VectorKit.bucketSparkBand]]:
+    *     `bands` independent plane slices, OR-of-ANDs), with the
+    *     planes-per-band count derived so each band's expected bucket
+    *     occupancy is ~2·budget/bands — expected candidate volume
+    *     ~budget·n, LINEAR in the corpus. Candidates are verified with
+    *     the SAME left-fold exact cosine as the quadratic path, so
+    *     precision is 1 and every reported cosine is bit-identical to
+    *     what [[cosineNearDups]] would report for that pair; the
+    *     documented trade is RECALL (per-pair 1 - (1 - r^p)^bands,
+    *     r = 1 - θ/π) — the standard sign-LSH amplification trade,
+    *     spent on the pairs FARTHEST from the threshold.
+    *
+    * The derived count is then AUDITED, not trusted: one bounded
+    * aggregate measures the true candidate volume (Σ occ·(occ-1)/2
+    * over every band's buckets — exact, not expected) and planes grow
+    * until the measured volume fits the budget. A degenerate corpus
+    * that no plane count can split (identical-vector mass shares every
+    * sign) fails LOUDLY at `maxPlanesPerBand`, pointing at exact
+    * dedup first — the [[semDedup]] eager-audit discipline: the
+    * failure lands before the pair join is ever planned, never a
+    * silent corpus² re-creation inside one bucket.
+    *
+    * Scale shape: candidate generation self-joins a slim (id, band,
+    * bucket) frame — one shuffle of n·bands 24-byte rows, vectors
+    * never ship — and only verification joins vector payloads, for
+    * candidate rows only (≤ budget·n by the audit above). Returns
+    * (pairs, decision) — the q162/q197/q208 decision-string
+    * discipline; pairs are (id_a, id_b, cosine) exactly like
+    * [[cosineNearDups]].
+    */
+  def cosineNearDupsAuto(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      budgetPairsPerVec: Long = 500L, bands: Int = 4,
+      maxPlanesPerBand: Int = 16): (DataFrame, String) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(budgetPairsPerVec >= 1, s"budgetPairsPerVec >= 1: $budgetPairsPerVec")
+    require(bands >= 1 && maxPlanesPerBand >= 1,
+      s"need bands >= 1 and maxPlanesPerBand >= 1: $bands/$maxPlanesPerBand")
+    val n = df.count()
+    if (n <= 2L * budgetPairsPerVec + 1L)
+      // whole corpus under budget: the exact quadratic join IS within
+      // the candidate budget — run it verbatim (provably identical
+      // output, and cheaper: no bucketing, no dedup, no re-join)
+      (cosineNearDups(df, idCol, vecCol, threshold, exactOk = true), s"exact(n=$n)")
+    else {
+      val targetOcc = math.max(1L, 2L * budgetPairsPerVec / bands)
+      var p = 1
+      while (p < maxPlanesPerBand && (n >> p) > targetOcc) p += 1
+      val nm = withNorm(df, vecCol)
+      // slim (id, band, bucket): the only corpus-wide frame candidate
+      // generation touches; pinned so the bands·p plane dots compute
+      // once and feed the audit loop AND both join sides
+      def slim(pl: Int) = graft.operators.Lineage.pin(
+        nm.select(col(idCol).as("__id"), posexplode(expr(
+          (0 until bands).map(b =>
+            graft.operators.VectorKit.bucketSparkBand(vecCol, pl, b * pl))
+            .mkString("array(", ", ", ")"))).as(Seq("band", "bucket"))))
+      def volume(s: DataFrame): Long = s
+        .groupBy("band", "bucket").agg(count(lit(1)).as("occ"))
+        .agg(sum(expr("occ * (occ - 1) DIV 2"))).head().getLong(0)
+      var sl = slim(p)
+      var vol = volume(sl)
+      while (vol > budgetPairsPerVec * n && p < maxPlanesPerBand) {
+        p += 1; sl = slim(p); vol = volume(sl)
+      }
+      require(vol <= budgetPairsPerVec * n,
+        s"cosineNearDupsAuto: $vol candidate pairs exceed the ${budgetPairsPerVec * n} " +
+          s"budget even at $maxPlanesPerBand planes/band — either an identical-vector " +
+          "mass shares every sign (exact-dedup the corpus first: exactDups / semDedup), " +
+          "or the vectors are not dim-64 (a plane projection on a mismatched length is " +
+          "NULL, folding every row into bucket 0 — the VectorKit planes are 64-wide); " +
+          "or raise the budget knowingly")
+      val cand = sl.select(col("__id").as("id_a"), col("band"), col("bucket"))
+        .join(sl.select(col("__id").as("id_b"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val va = nm.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
+      val vb = nm.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+      val pairs = cand
+        .join(va.hint("SHUFFLE_HASH"), "id_a")
+        .join(vb.hint("SHUFFLE_HASH"), "id_b")
+        .selectExpr("id_a", "id_b", s"${dotSpark("va", "vb")} / (na * nb) AS cosine")
+        .filter(col("cosine") >= threshold)
+      (pairs, s"lsh(bands=$bands,planesPerBand=$p,n=$n,candidates=$vol)")
+    }
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication", 2023 — public literature, not code): cluster the

@@ -81,4 +81,19 @@ object VectorKit {
     (0 until planes).map(j => s"(CASE WHEN ${projSpark(v, j)} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
   def bucketDuck(v: String, planes: Int = LshPlanes): String =
     (0 until planes).map(j => s"(CASE WHEN ${projDuck(v, j)} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
+  /** Sign-LSH bucket id for one AMPLIFICATION BAND: `planes` planes
+    * drawn from the shared deterministic family starting at
+    * `planeOffset`, so band b of width p uses planes [b*p, b*p + p) —
+    * disjoint slices, hence independent hashes in the classic
+    * OR-of-ANDs LSH amplification (Indyk–Motwani; Charikar's sign
+    * hashes). A pair is a candidate if ALL planes of SOME band agree:
+    * per-pair recall 1 - (1 - r^p)^bands for sign-agreement
+    * probability r = 1 - θ/π, against each band's occupancy staying
+    * ~n / 2^p.
+    */
+  def bucketSparkBand(v: String, planes: Int, planeOffset: Int): String =
+    (0 until planes).map(j =>
+      s"(CASE WHEN ${projSpark(v, planeOffset + j)} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
 }

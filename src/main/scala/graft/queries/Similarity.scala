@@ -351,6 +351,43 @@ object Similarity {
           "vec_id", "embedding", "label", k = 5)
       },
     ),
+    Q(
+      "q224_cosine_auto",
+      "Exact-cosine near-dups with the candidate volume BOUNDED BY A " +
+        "CORPUS-PROBED budget (VectorSearch.cosineNearDupsAuto — q33's " +
+        "budget-bounded member, the embedding-space twin of q26/q160's " +
+        "jaccard df cap): below the budget the exact n² join runs " +
+        "verbatim (the oracle-gate regime — provable no-op, this " +
+        "oracle is q33's verbatim); above it, multi-band sign-LSH " +
+        "amplification generates ~budget*n candidates (measured by an " +
+        "eager occupancy audit, planes grow until the TRUE volume " +
+        "fits) and exact left-fold cosine verifies each, so precision " +
+        "is 1 and reported cosines are bit-identical to q33's for " +
+        "every surviving pair — the recall trade buys the linear sf1 " +
+        "slope q33's O(n²)-by-contract baseline cannot have.",
+      Some(s"""
+        WITH n AS ($duckNorm)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.45
+        ORDER BY vec_a, vec_b
+      """.trim),
+      (spark, dir) => {
+        val emb = Tables(spark, dir).embeddings
+        val (pairs, decision) = graft.api.VectorSearch.cosineNearDupsAuto(
+          emb, "vec_id", "embedding", 0.45)
+        // decision pin: the regime must follow the probe formula for
+        // THIS corpus — exact (= q33 verbatim, oracle-comparable) iff
+        // the full quadratic volume fits the budget, LSH-blocked above
+        // (the q208 decision-pin discipline)
+        val n = emb.count()
+        val expectExact = n <= 2L * 500L + 1L
+        assert(decision.startsWith(if (expectExact) "exact(" else "lsh("),
+          s"regime must follow the volume probe: n=$n got $decision")
+        pairs.select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cosine"))
+      },
+    ),
   )
 
   /** q188's oracle: the q32 rep chain (min-id medoid per label), the

@@ -95,6 +95,50 @@ class ApiSpecs extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("cosineNearDupsAuto: exact no-op below budget; bounded verified candidates above; loud on unsplittable mass") {
+    // a deterministic 40-vector corpus with a few engineered near-dups.
+    // Dim 64 — the LSH planes are 64-wide (VectorKit stride), so
+    // narrower vectors would degenerate every projection. Seeded RNG
+    // per vector: a plain Knuth hash over consecutive flat indices
+    // makes near-LINEAR vectors that share every LSH sign.
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed * 7919 + 13)
+      Array.fill(64)(r.nextFloat() - 0.5f)
+    }
+    val base = (0 until 40).map(i => (i.toLong, vec(i)))
+    val withDups = base ++ Seq( // 100..102 are near-copies of 0..2
+      (100L, vec(0).map(x => x * 1.01f)), (101L, vec(1).map(x => x * 0.99f)),
+      (102L, vec(2).map(x => x * 1.02f)))
+    val corpus = withDups.toDF("vid", "vec")
+    val exact = VectorSearch.cosineNearDups(corpus, "vid", "vec", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // (1) below budget: verbatim no-op — identical pairs AND cosines
+    val (ex, dEx) = VectorSearch.cosineNearDupsAuto(corpus, "vid", "vec", 0.9)
+    assert(dEx == s"exact(n=${corpus.count()})")
+    assert(ex.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      === exact)
+    // (2) above budget: LSH-blocked — every reported pair is a TRUE
+    // near-dup with the bit-identical exact cosine (precision 1; the
+    // trade is recall), and the audited candidate volume fits budget*n
+    val (bl, dBl) = VectorSearch.cosineNearDupsAuto(corpus, "vid", "vec", 0.9,
+      budgetPairsPerVec = 4L, bands = 2, maxPlanesPerBand = 8)
+    assert(dBl.startsWith("lsh("), dBl)
+    val cands = "candidates=(\\d+)".r.findFirstMatchIn(dBl).get.group(1).toLong
+    assert(cands <= 4L * corpus.count(), s"audit bound violated: $dBl")
+    val blocked = bl.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(blocked.nonEmpty, "engineered near-copies must survive some band")
+    blocked.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos),
+        s"$pair must carry the exact path's bit-identical cosine") }
+    // (3) an identical-vector mass shares every sign: no plane count
+    // splits it — the eager audit fails loudly, before the pair join
+    val clones = (0 until 10).map(i => (i.toLong, vec(7))).toDF("vid", "vec")
+    val e = intercept[IllegalArgumentException] {
+      VectorSearch.cosineNearDupsAuto(clones, "vid", "vec", 0.9, budgetPairsPerVec = 1L)
+    }
+    assert(e.getMessage.contains("identical-vector mass"), e.getMessage)
+  }
+
   test("knn on a (vid, vec) frame returns k ranked neighbors excluding self") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
