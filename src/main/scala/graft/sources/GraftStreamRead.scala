@@ -42,6 +42,12 @@ object GraftStreamOffset {
   *    subsequent batch delivers exactly the files APPENDED by commits
   *    the stream has not yet seen. `option("startingVersion", N)`
   *    skips the snapshot and starts with commit N's appends instead.
+  *    A snapshot with PENDING merge-on-read tombstones delivers the
+  *    APPLIED view: both delete kinds convert to per-file doomed row
+  *    positions driver-side (affected files only, capped by
+  *    `option("maxSnapshotTombstones", N)`, default 1M, loud above)
+  *    and affected files read through position-skipping readers —
+  *    Delta-parity snapshot semantics without materializing first.
   *  - STATE-PRESERVING maintenance commits (`materializeDeletes`,
   *    `compactSmall` — op-marked, applied view bit-identical to the
   *    parent) are skipped silently: their added files carry only rows
@@ -157,11 +163,6 @@ final class GraftMicroBatchStream(
         // commit `sv` itself is the first thing delivered
         GraftStreamOffset(sv - 1, snapshotDone = true)
       case None =>
-        require(!startManifest.hasMorDeletes,
-          s"streaming read of $dir: the starting snapshot has pending merge-on-read " +
-            "deletes a streaming scan cannot apply; run " +
-            "ManifestTable.materializeDeletes first (or start from a later " +
-            "version with option(\"startingVersion\", N))")
         GraftStreamOffset(startManifest.version, snapshotDone = false)
     }
     ManifestTable.pinCursor(dir, pinName, math.max(off.version, 0L))
@@ -197,9 +198,9 @@ final class GraftMicroBatchStream(
       if (start.version >= 1) manifestAt(start.version) else null
     if (!start.snapshotDone) {
       require(parent != null, s"streaming read of $dir: no snapshot at v${start.version}")
-      require(!parent.hasMorDeletes,
-        s"streaming read of $dir: starting snapshot v${start.version} has pending " +
-          "merge-on-read deletes a streaming scan cannot apply")
+      // pending MoR tombstones are fine HERE: the snapshot batch's
+      // affected files route through the position-filtering readers
+      // (snapshotDoomed), so the delivered rows are the APPLIED view
       out ++= parent.files.map(f => (f.path, f.seq))
     }
     ((start.version + 1) to end.version).foreach { v =>
@@ -284,7 +285,7 @@ final class GraftMicroBatchStream(
     * pruned columns — one call plans partitions, the zero-path template
     * builds the shared reader factory.
     */
-  private def parquetBatch(paths: Seq[String], era: Int): Batch = {
+  private def parquetBatch(paths: Seq[String], era: Int, withFilters: Boolean = true): Batch = {
     val nameMap = eraNameMap(era)
     val identity = nameMap.forall { case (a, b) => a == b }
     val schema =
@@ -304,9 +305,49 @@ final class GraftMicroBatchStream(
     val idx = new InMemoryFileIndex(
       spark, paths.map(new Path(_)), Map.empty[String, String], Some(schema))
     val psb = ParquetScanBuilder(spark, idx, schema, schema, options)
-    psb.pushFilters(push)
+    // the MoR position-filtering path plans with NO pushed filters:
+    // parquet row-group/row-level skipping would desynchronize the
+    // sequential row counter from _metadata.row_index; the enclosing
+    // plan re-evaluates every filter, so pruning here is I/O-only
+    if (withFilters) psb.pushFilters(push)
     psb.pruneColumns(req)
     psb.build().toBatch
+  }
+
+  // ---- MoR-applying initial snapshot ------------------------------------
+  // A starting snapshot with pending merge-on-read tombstones delivers
+  // the APPLIED view: one bounded driver-side probe converts BOTH
+  // delete kinds into per-file doomed row positions (affected files
+  // only, capped and refused loudly above maxSnapshotTombstones), and
+  // each affected file reads as ONE whole-file partition through a
+  // position-skipping reader — clean files stream through the normal
+  // vectorized path untouched. Deterministic from the start manifest,
+  // so a checkpoint replay of batch 0 recomputes the identical doom
+  // set: exactly-once holds. Later change commits are judged exactly
+  // as before (append-only refusal / skipChangeCommits), and a
+  // subsequent materializeDeletes is op-marked state-preserving — its
+  // rewrite carries only rows this snapshot already delivered, so the
+  // stream skips it: no duplicates, no loss.
+
+  private lazy val snapshotDoomed: Map[String, Array[Long]] =
+    if (!startManifest.hasMorDeletes) Map.empty
+    else ManifestTable.morDoomedPositions(spark, startManifest,
+      Option(options.get("maxSnapshotTombstones")).map(_.toLong).getOrElse(1000000L))
+
+  /** The file as ONE sequentially-read partition: its no-filter splits
+    * merged in byte order, so the reader visits rows exactly in
+    * `_metadata.row_index` order and a running counter reproduces the
+    * positions the doom set names.
+    */
+  private def wholeFilePartition(path: String, era: Int): InputPartition = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val parts = parquetBatch(Seq(path), era, withFilters = false).planInputPartitions()
+    val pfs = parts.flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"unexpected non-file parquet partition ${other.getClass} for $path")
+    }.sortBy(_.start)
+    FilePartition(0, pfs)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -315,21 +356,48 @@ final class GraftMicroBatchStream(
     // retention floor: this batch (and any replay of it) needs every
     // commit AFTER s — pin before reading so expiry can't race the scan
     ManifestTable.pinCursor(dir, pinName, math.max(s.version, 0L))
-    val files = batchFiles(s, e)
-    if (files.isEmpty) Array.empty
-    else if (renameSteps.isEmpty)
-      parquetBatch(files.map(_._1), currentEra).planInputPartitions()
-    else files.groupBy { case (_, seq) => eraOf(seq) }.toArray.sortBy(_._1).flatMap {
-      case (era, fs) =>
-        parquetBatch(fs.map(_._1), era).planInputPartitions()
-          .map(p => GraftEraInputPartition(era, p): InputPartition)
+    val allFiles = batchFiles(s, e)
+    if (allFiles.isEmpty) return Array.empty
+    // the snapshot batch subtracts tombstoned rows from affected files
+    // (basenames only a start-manifest file can carry — later commits
+    // add NEW files); every other batch takes the fast path untouched
+    val doomed = if (!s.snapshotDone) snapshotDoomed else Map.empty[String, Array[Long]]
+    val (aff, files) =
+      allFiles.partition { case (p, _) => doomed.contains(ManifestTable.fileBasename(p)) }
+    val clean: Array[InputPartition] =
+      if (files.isEmpty) Array.empty
+      else if (renameSteps.isEmpty)
+        parquetBatch(files.map(_._1), currentEra).planInputPartitions()
+      else files.groupBy { case (_, seq) => eraOf(seq) }.toArray.sortBy(_._1).flatMap {
+        case (era, fs) =>
+          parquetBatch(fs.map(_._1), era).planInputPartitions()
+            .map(p => GraftEraInputPartition(era, p): InputPartition)
+      }
+    if (aff.isEmpty) clean
+    else {
+      // Spark refuses mixed row/columnar partitions within one scan:
+      // the snapshot batch holding position-filtered (row-based) files
+      // demotes its CLEAN siblings to row mode too — batch 0 only;
+      // every later batch has no affected files and stays vectorized
+      clean.map(p => GraftRowModePartition(p): InputPartition) ++
+        aff.map { case (p, seq) =>
+          val era = if (renameSteps.isEmpty) currentEra else eraOf(seq)
+          GraftMorFilterPartition(era, doomed(ManifestTable.fileBasename(p)),
+            wholeFilePartition(p, era)): InputPartition
+        }
     }
   }
 
-  private lazy val readerFactory: PartitionReaderFactory =
-    if (renameSteps.isEmpty) parquetBatch(Nil, currentEra).createReaderFactory()
-    else new GraftEraReaderFactory(
-      (0 to currentEra).map(e => e -> parquetBatch(Nil, e).createReaderFactory()).toMap)
+  private lazy val readerFactory: PartitionReaderFactory = {
+    val base: PartitionReaderFactory =
+      if (renameSteps.isEmpty) parquetBatch(Nil, currentEra).createReaderFactory()
+      else new GraftEraReaderFactory(
+        (0 to currentEra).map(e => e -> parquetBatch(Nil, e).createReaderFactory()).toMap)
+    if (!startManifest.hasMorDeletes) base
+    else new GraftMorReaderFactory(base,
+      (0 to currentEra).map(e =>
+        e -> parquetBatch(Nil, e, withFilters = false).createReaderFactory()).toMap)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
@@ -380,4 +448,73 @@ final class GraftEraReaderFactory(factories: Map[Int, PartitionReaderFactory])
   override def supportColumnarReads(p: InputPartition): Boolean = {
     val (f, inner) = unwrap(p); f.supportColumnarReads(inner)
   }
+}
+
+/** One affected file of the MoR-applying snapshot batch: a whole-file
+  * sequential partition plus the ASCENDING row positions its pending
+  * tombstones doom. Tagged with its name era so the no-filter scan
+  * template with the right physical column names decodes the bytes.
+  */
+final case class GraftMorFilterPartition(
+    era: Int, doomed: Array[Long], inner: InputPartition) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** A clean (no tombstoned rows) partition of the MoR-applying snapshot
+  * batch, demoted to row-based reads: its batch-mates are the
+  * position-filtered readers, and one scan cannot mix row and columnar
+  * partitions. Content-identical to the undecorated partition.
+  */
+final case class GraftRowModePartition(inner: InputPartition) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Routes [[GraftMorFilterPartition]]s to a NO-pushed-filter reader
+  * wrapped with the position skipper (row-wise — the counter needs
+  * every row in `_metadata.row_index` order, so columnar reads and
+  * parquet row-level skipping are both off for exactly these
+  * partitions); every other partition flows to the normal delegate
+  * (vectorized, pushdown intact) untouched.
+  */
+final class GraftMorReaderFactory(
+    delegate: PartitionReaderFactory,
+    noFilter: Map[Int, PartitionReaderFactory]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    p match {
+      case GraftMorFilterPartition(era, doomed, inner) =>
+        new MorPositionFilterReader(noFilter(era).createReader(inner), doomed)
+      case GraftRowModePartition(inner) => delegate.createReader(inner)
+      case other => delegate.createReader(other)
+    }
+  override def createColumnarReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    delegate.createColumnarReader(p)
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case _: GraftMorFilterPartition | _: GraftRowModePartition => false
+    case other => delegate.supportColumnarReads(other)
+  }
+}
+
+/** Skips the rows at `doomed` positions (ascending) while counting the
+  * delegate's rows — position i IS `_metadata.row_index` because the
+  * enclosing partition reads its whole file sequentially with no
+  * row-level skipping. One pointer into the sorted array: O(1) per row.
+  */
+final class MorPositionFilterReader(
+    inner: org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow],
+    doomed: Array[Long])
+  extends org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+  private var pos = -1L
+  private var di = 0
+  override def next(): Boolean = {
+    while (inner.next()) {
+      pos += 1
+      if (di < doomed.length && doomed(di) == pos) di += 1
+      else return true
+    }
+    false
+  }
+  override def get(): org.apache.spark.sql.catalyst.InternalRow = inner.get()
+  override def close(): Unit = inner.close()
 }

@@ -1467,7 +1467,7 @@ object ManifestTable {
   private val posDeleteSchema = StructType(Seq(
     StructField("__dbname", StringType), StructField("__dpos", LongType)))
 
-  private def fileBasename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+  private[sources] def fileBasename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
   /** The rows/files pending deletes still REMOVE from `paths` — the
     * bounded probe [[materializeDeletes]] plans its rewrite set from.
@@ -1496,6 +1496,52 @@ object ManifestTable {
         .select("__dbname").distinct()
         .collect().map(_.getString(0)).toSet
     (eqDoomed ++ posDoomed).flatMap(byName.get)
+  }
+
+  /** Every row the manifest's pending MoR tombstones doom, as
+    * (file-basename -> ASCENDING row positions) — positions are
+    * parquet `_metadata.row_index`, the row's ordinal within its file.
+    * This is the row-side form of the applied read: a consumer that
+    * must serve raw file bytes and subtract tombstoned rows itself
+    * (the STREAMING initial snapshot, whose DSv2 batch cannot swap in
+    * the anti-join plan) filters each affected file by its position
+    * set while reading sequentially.
+    *
+    * Scale shape: probes AFFECTED files only ([[morDoomedPaths]] — one
+    * bounded metadata/semi-join pass), then one semi-join per delete
+    * kind over those files. The collected set is the number of
+    * tombstoned ROWS, capped at `cap` and refused LOUDLY above it
+    * (pointing at [[materializeDeletes]]) — the driver never silently
+    * holds an unbounded doom set.
+    */
+  private[sources] def morDoomedPositions(
+      spark: SparkSession, m: Manifest, cap: Long): Map[String, Array[Long]] = {
+    if (!m.hasMorDeletes) return Map.empty
+    val affected = morDoomedPaths(spark, m, m.files.map(_.path)).toSeq
+    if (affected.isEmpty) return Map.empty
+    val withB = readData(spark, m, affected, withBname = true, withRowIdx = true)
+    val pos =
+      if (m.posDeleteFiles.isEmpty) None
+      else {
+        val dels = spark.read.schema(posDeleteSchema)
+          .parquet(m.posDeleteFiles.map(_.path): _*)
+        Some(withB.join(dels,
+          col("__bname") === col("__dbname") && col("__rowidx") === col("__dpos"),
+          "left_semi").select(col("__bname"), col("__rowidx")))
+      }
+    val eq =
+      if (m.deleteFiles.isEmpty) None
+      else Some(morJoin(spark, m, withB, affected, "left_semi")
+        .select(col("__bname"), col("__rowidx")))
+    val doomed = (pos.toSeq ++ eq.toSeq).reduce(_ unionByName _).distinct()
+    val probe = math.min(cap + 1L, Int.MaxValue.toLong).toInt
+    val rows = doomed.limit(probe).collect()
+    require(rows.length <= cap,
+      s"MoR-applying snapshot (manifest v${m.version}): more than $cap tombstoned rows pending — " +
+        "too many to apply row-side; run ManifestTable.materializeDeletes first " +
+        "(the maintenance-cadence read-debt repayment), or raise the cap knowingly")
+    rows.groupBy(_.getString(0))
+      .map { case (b, rs) => b -> rs.map(_.getLong(1)).sorted }
   }
 
   /** Sequence-scoped EQUALITY-delete join against an already-built

@@ -187,7 +187,7 @@ class GraftStreamReadSpec extends SparkSpec {
     ManifestTable.cursorPins(dir) // (pins exercised; content is the contract)
   }
 
-  test("startingVersion streams changes-only from that commit; MoR snapshot start refused") {
+  test("startingVersion streams changes-only from that commit") {
     val dir = mkTable("sv", 1 to 10) // v1
     append(dir, 11 to 13) // v2
     append(dir, 14 to 15) // v3
@@ -198,15 +198,53 @@ class GraftStreamReadSpec extends SparkSpec {
       assert(memIds("sr_sv") == (11L to 15L),
         s"startingVersion=2 must deliver v2..head, no snapshot: ${memIds("sr_sv")}")
     } finally q.stop()
-    // a starting snapshot with pending MoR tombstones cannot be applied by a bare scan
-    ManifestTable.deleteByKey(Seq(3L).toDF("id"), dir, keys = Seq("id"))
-    val e = intercept[Exception] {
-      val q2 = startInto("sr_sv2", "graftsr.lake.sv", tmpDir("sr-sv-ckpt2"))
-      try q2.processAllAvailable() finally q2.stop()
+    ManifestTable.cursorPins(dir): Unit
+  }
+
+  test("MoR-applying snapshot: pending tombstones subtract from batch 0; exactly-once; materialize skipped") {
+    val dir = mkTable("mor", 1 to 10) // v1 (2 files)
+    append(dir, 11 to 15)             // v2
+    // BOTH tombstone kinds pending at stream start: an equality delete
+    // (id in {3, 12}) and a positional delete (v > 'v13' dooms 14, 15)
+    ManifestTable.deleteByKey(Seq(3L, 12L).toDF("id"), dir, keys = Seq("id"))
+    ManifestTable.deleteWhere(spark, dir, $"id" >= 14L)
+    val ckpt = tmpDir("sr-mor-ckpt")
+    val out = tmpDir("sr-mor-out").toString
+    def sinkIds(): Seq[Long] =
+      spark.read.parquet(out).select("id").as[Long].collect().toSeq.sorted
+    def drain(): Unit = {
+      val q = spark.readStream.table("graftsr.lake.mor").writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
     }
-    assert(e.toString.contains("merge-on-read") ||
-      Option(e.getCause).exists(_.toString.contains("merge-on-read")),
-      s"MoR snapshot start must refuse loudly, got $e")
+    drain()
+    assert(sinkIds() == Seq(1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L, 13L),
+      s"snapshot must be the APPLIED view: ${sinkIds()}")
+    // folding the tombstones into the files is state-preserving: the
+    // stream already delivered exactly those rows — nothing re-streams
+    ManifestTable.materializeDeletes(spark, dir)
+    append(dir, 16 to 17)
+    drain()
+    assert(sinkIds() ==
+      Seq(1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L, 13L, 16L, 17L),
+      s"materialize must stream nothing, appends must: ${sinkIds()}")
+    // exactly-once across another restart on the SAME checkpoint
+    append(dir, 18 to 18)
+    drain()
+    assert(sinkIds() ==
+      Seq(1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L, 13L, 16L, 17L, 18L),
+      s"restart must resume exactly-once: ${sinkIds()}")
+    // the doom-set cap refuses LOUDLY, pointing at materializeDeletes
+    val dir2 = mkTable("morcap", 1 to 10)
+    ManifestTable.deleteByKey((1L to 5L).toDF("id"), dir2, keys = Seq("id"))
+    val e = intercept[Exception] {
+      val qc = startInto("sr_morcap", "graftsr.lake.morcap", tmpDir("sr-morcap-ckpt"),
+        Map("maxSnapshotTombstones" -> "2"))
+      try qc.processAllAvailable() finally qc.stop()
+    }
+    assert(e.toString.contains("materializeDeletes") ||
+      Option(e.getCause).exists(_.toString.contains("materializeDeletes")), e.toString)
   }
 
   test("rename mid-stream fails the run; a restart on the SAME checkpoint re-baselines, exactly-once") {
