@@ -153,6 +153,22 @@ object ManifestSkipping extends PredicateHelper {
       cond: Expression, files: Seq[String], stats: Map[String, Stats]): Option[Seq[String]] = {
     val constraints = extract(cond)
     if (constraints.isEmpty) return None
+    // HIDDEN PARTITIONING: a track spec may be a transform of a source
+    // column (days/bucket/truncate — graft.sources.TrackSpec). A
+    // predicate on the SOURCE derives a constraint on the TRANSFORMED
+    // envelope: monotone transforms derive ranges (strict bounds
+    // conservatively widened to non-strict), the hash bucket derives
+    // equality/IN only. Derived per owning table dir — track specs are
+    // per-table.
+    val derivedByDir: Map[String, Seq[Constraint]] =
+      stats.values.map(s => (s.dir, s.track)).toSet.toSeq
+        .groupBy((p: (String, Seq[String])) => p._1)
+        .map { case (d, ts) =>
+          val specs = ts.flatMap(_._2).distinct
+            .map(t => graft.sources.TrackSpec.parse(t))
+            .filterNot(_.isInstanceOf[graft.sources.TrackSpec.Identity])
+          d -> specs.flatMap(sp => constraints.flatMap(c => derive(c, sp)))
+        }
     // equality/IN conjuncts additionally consult the Bloom sidecar
     // (MemberIndex) when one exists for the column: a point lookup on a
     // column the table is NOT clustered by has useless min/max envelopes,
@@ -173,6 +189,7 @@ object ManifestSkipping extends PredicateHelper {
       val p = stripScheme(f)
       val entry = stats(p)
       constraints.forall(_.mayMatch(entry)) &&
+        derivedByDir.getOrElse(entry.dir, Nil).forall(_.mayMatch(entry)) &&
         memberChecks.forall { case (c, _, _) =>
           bloom.get((entry.dir, c)) match {
             case Some((ix, poss)) => poss.exists(ps => MemberIndex.mightContain(ix, p, ps))
@@ -219,6 +236,36 @@ object ManifestSkipping extends PredicateHelper {
             values.exists(v => ord.gteq(v, fMin) && ord.lteq(v, fMax))
         case _ => false
       }
+  }
+
+  /** A source-column constraint mapped through one hidden-partitioning
+    * transform spec, targeting the spec's envelope key. Soundness:
+    * monotone transforms (days, truncate) preserve ordering, so
+    * `lo <= x <= hi` implies `T(lo) <= T(x) <= T(hi)` — strict source
+    * bounds widen to non-strict (T collapses distinct values); the
+    * hash bucket preserves only equality, so ranges derive nothing and
+    * point/IN predicates map value-wise. `TrackSpec.literal` is
+    * defined value-identical to the commit-time stats expression, so
+    * the derived comparison is against the exact envelope domain.
+    */
+  private def derive(
+      c: Constraint, s: graft.sources.TrackSpec.Spec): Option[Constraint] = c match {
+    case Range(col, dt, lo, loS, hi, hiS) if col == s.source =>
+      val ot = graft.sources.TrackSpec.outputType(s, dt)
+      if (graft.sources.TrackSpec.monotone(s))
+        Some(Range(s.key, ot,
+          lo.map(graft.sources.TrackSpec.literal(s, _, dt)), loStrict = false,
+          hi.map(graft.sources.TrackSpec.literal(s, _, dt)), hiStrict = false))
+      else (lo, hi) match {
+        case (Some(a), Some(b)) if !loS && !hiS && a == b =>
+          val t = graft.sources.TrackSpec.literal(s, a, dt)
+          Some(Range(s.key, ot, Some(t), loStrict = false, Some(t), hiStrict = false))
+        case _ => None
+      }
+    case InList(col, dt, vs) if col == s.source =>
+      Some(InList(s.key, graft.sources.TrackSpec.outputType(s, dt),
+        vs.map(graft.sources.TrackSpec.literal(s, _, dt))))
+    case _ => None
   }
 
   /** Tracked-column constraints from the filter's top-level conjuncts.

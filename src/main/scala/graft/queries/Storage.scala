@@ -1508,6 +1508,73 @@ object Storage {
         """)
       },
     ),
+    Q(
+      "q225_hidden_partition",
+      "HIDDEN PARTITIONING (Iceberg's signature idea on the engine's " +
+        "envelope machinery — graft.sources.TrackSpec): the events " +
+        "lake table tracks days(ts) and bucket(8, user_id), so " +
+        "per-file envelopes are collected on the TRANSFORMED values, " +
+        "and a plain ts-range query — no synthetic day column " +
+        "anywhere, the user never learns the table is day-partitioned " +
+        "— prunes files through constraints DERIVED from the source " +
+        "predicate (monotone day range; the hash bucket serves " +
+        "equality). Plan-audited in-query: the V2 scan must open a " +
+        "strict subset of the day-clustered files. Results are " +
+        "bit-identical to the raw-table oracle by construction (the " +
+        "retained filter runs exactly).",
+      Some(s"""
+        SELECT event_type, count(*) AS n, $d30_2 AS sum_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        val wh = graft.Artifacts.cached(s"hidden-partition-warehouse:$dir") { w =>
+          val p = s"$w/lake/hpev"
+          new java.io.File(p).mkdirs()
+          val ev = Tables(spark, dir).events
+            .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+          ManifestTable.commit(ev.repartitionByRange(12, col("ts")), p,
+            track = Seq("days(ts)", "bucket(8,user_id)")): Unit
+        }
+        spark.conf.set("spark.sql.catalog.grafthp", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.grafthp.warehouse", wh)
+        val q = spark.sql(s"""
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+          FROM grafthp.lake.hpev
+          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+            AND ts < TIMESTAMP '2024-01-11 00:00:00'
+          GROUP BY event_type
+        """)
+        // plan audit: the derived days(ts) constraint must prune the
+        // day-clustered file set — a 3-of-30-day window cannot need
+        // every file. Audited on an agg-free probe of the SAME
+        // predicate (AQE wraps the agg plan and hides the scan node;
+        // the scan builder prunes identically either way).
+        val probe = spark.sql(s"""
+          SELECT ts FROM grafthp.lake.hpev
+          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+            AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        """)
+        val total = ManifestTable.manifest(s"$wh/lake/hpev", None).files.size
+        val scanned = probe.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            (b.scan match {
+              case g: graft.sources.GraftLakeScan => g.underlying
+              case o => o
+            }) match {
+              case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+                p.fileIndex.inputFiles.length
+              case _ => 0
+            }
+        }.sum
+        assert(scanned > 0 && scanned < total,
+          s"hidden partitioning must prune the ts range: scanned $scanned of $total")
+        q
+      },
+    ),
   )
 
   /** Built once per (session, sf dir): a star pair for the runtime-

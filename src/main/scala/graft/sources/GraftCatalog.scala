@@ -226,10 +226,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val track = partitions.toSeq.map { t =>
-      require(t.name == "identity" && t.references.length == 1,
-        s"CREATE TABLE $ident: only identity PARTITIONED BY columns are supported " +
-          s"(got ${t.describe()}); they declare the manifest's stat-tracked columns")
-      t.references.head.fieldNames.mkString(".")
+      def ref: String = {
+        require(t.references.length == 1,
+          s"CREATE TABLE $ident: ${t.describe()} must reference exactly one column")
+        t.references.head.fieldNames.mkString(".")
+      }
+      def width: Int = t.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value match {
+          case i: Integer => i.toInt
+          case l2: java.lang.Long => l2.toInt
+          case other => throw new IllegalArgumentException(
+            s"CREATE TABLE $ident: ${t.describe()} needs an integer argument, got $other")
+        }
+      }.getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE $ident: ${t.describe()} needs an integer argument"))
+      t.name match {
+        // identity declares the manifest's stat-tracked column; the
+        // transforms declare HIDDEN partitioning (TrackSpec): envelopes
+        // on the transformed value, predicates on the source derive the
+        // pruning — Iceberg's date-range-prunes-without-a-day-column
+        case "identity" => ref
+        case "days" => s"days($ref)"
+        case "bucket" => s"bucket($width,$ref)"
+        case "truncate" => s"truncate($width,$ref)"
+        case other => throw new IllegalArgumentException(
+          s"CREATE TABLE $ident: unsupported PARTITIONED BY transform '$other' " +
+            s"(${t.describe()}); supported: identity columns, days(col), " +
+            "bucket(n, col), truncate(w, col)")
+      }
     }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident.toString)
     ManifestTable.createEmpty(dirOf(ident), schema, track)
@@ -772,7 +796,12 @@ final class GraftLakeScan(
   // fact files only — the other files are never opened.
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    m.track.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+    // SOURCE columns: runtime join-key filters arrive on real columns;
+    // a transform track spec prunes via the derived-constraint path in
+    // ManifestSkipping.survivors, so advertising its source is exactly
+    // what makes a join on that column runtime-prunable
+    m.track.map(t => TrackSpec.parse(t).source).distinct
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
 
   override def filter(filters: Array[Filter]): Unit = {
     if (rebuild == null || plannedPaths.isEmpty) return

@@ -224,17 +224,23 @@ object ManifestTable {
     * the whole table. Zero data I/O at any table size.
     */
   def addTrackedColumn(dir: String, column: String): Long = {
+    // accepts hidden-partitioning transform specs too ("days(ts)",
+    // "bucket(16,id)", "truncate(4,name)") — normalized to the
+    // canonical key; the trackSince watermark applies identically
+    // (pre-evolution files carry no transformed envelope: always scan)
+    val spec = TrackSpec.parse(column)
     var committed = -1L
     while (committed < 0) {
       val cur = manifest(dir, None)
       val schema = DataFrameSchema.fromJson(cur.schemaJson)
-      require(schema.fieldNames.contains(column), s"no such column: $column")
-      require(!cur.track.contains(column), s"column $column is already tracked")
+      require(schema.fieldNames.contains(spec.source), s"no such column: ${spec.source}")
+      TrackSpec.validate(spec, schema(spec.source).dataType)
+      require(!cur.track.contains(spec.key), s"column ${spec.key} is already tracked")
       val v = cur.version + 1
       committed = tryInstall(dir, cur.copy(
         version = v, parent = Some(cur.version), txn = None, op = None,
-        track = cur.track :+ column,
-        trackSince = cur.trackSince + (column -> v)))
+        track = cur.track :+ spec.key,
+        trackSince = cur.trackSince + (spec.key -> v)))
     }
     committed
   }
@@ -268,6 +274,11 @@ object ManifestTable {
         s"cannot rename delete-key column $from while merge-on-read tombstones are " +
           "pending (their key files are written under the old name); run " +
           "materializeDeletes first")
+      require(!cur.track.exists(t =>
+        TrackSpec.isTransform(t) && TrackSpec.parse(t).source == from),
+        s"cannot rename column $from: it is the source of a hidden-partitioning " +
+          "transform track spec (committed envelopes are keyed by the spec string); " +
+          "evolve the skipping spec via replace/compact first")
       val v = cur.version + 1
       val m = cur.copy(version = v, parent = Some(cur.version), txn = None,
         schemaJson = StructType(schema.fields.map(f =>
@@ -302,6 +313,10 @@ object ManifestTable {
       require(!(cur.hasMorDeletes && cur.deleteKeys.exists(names.contains)),
         s"cannot drop delete-key column(s) while merge-on-read tombstones are " +
           "pending; run materializeDeletes first")
+      require(!cur.track.exists(t => TrackSpec.isTransform(t) &&
+        names.contains(TrackSpec.parse(t).source)),
+        "cannot drop the source column of a hidden-partitioning transform track " +
+          "spec; evolve the skipping spec via replace/compact first")
       val m = cur.copy(version = cur.version + 1, parent = Some(cur.version), txn = None,
         schemaJson = StructType(schema.fields.filterNot(f => names.contains(f.name))).json,
         track = cur.track.filterNot(names.contains),
@@ -321,8 +336,14 @@ object ManifestTable {
     * CREATE) loses loudly instead of overwriting it.
     */
   def createEmpty(dir: String, schema: StructType, track: Seq[String]): Long = {
-    val missing = track.filterNot(schema.fieldNames.contains)
+    // a track entry may be a hidden-partitioning TRANSFORM spec: its
+    // SOURCE column must exist and suit the transform
+    val missing = track.map(TrackSpec.parse(_).source).filterNot(schema.fieldNames.contains)
     require(missing.isEmpty, s"tracked column(s) ${missing.mkString(", ")} not in schema")
+    track.foreach { t =>
+      val spec = TrackSpec.parse(t)
+      TrackSpec.validate(spec, schema(spec.source).dataType)
+    }
     requireNoReservedColumns(schema)
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "_manifests").mkdirs()
@@ -591,7 +612,7 @@ object ManifestTable {
     // replay short-circuit BEFORE staging: a re-fired batch must not
     // even write duplicate (orphan) data
     txn.flatMap(committedTxn(dir, _)).getOrElse {
-      val missing = track.filterNot(df.schema.fieldNames.contains)
+      val missing = track.map(TrackSpec.parse(_).source).filterNot(df.schema.fieldNames.contains)
       require(missing.isEmpty, s"tracked column(s) ${missing.mkString(", ")} not in schema")
       requireNoReservedColumns(df.schema)
       val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
@@ -701,7 +722,7 @@ object ManifestTable {
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "_manifests").mkdirs()
     txn.flatMap(committedTxn(dir, _)).getOrElse {
-      val missing = track.filterNot(df.schema.fieldNames.contains)
+      val missing = track.map(TrackSpec.parse(_).source).filterNot(df.schema.fieldNames.contains)
       require(missing.isEmpty, s"tracked column(s) ${missing.mkString(", ")} not in schema")
       requireNoReservedColumns(df.schema)
       val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
@@ -1261,8 +1282,15 @@ object ManifestTable {
     // envelopes that under/overstate numeric columns, making pruning
     // silently wrong on mixed-width values
     val aggs = track.flatMap { c =>
-      Seq(statString(min(col(c)), schema(c).dataType).as(s"min_$c"),
-        statString(max(col(c)), schema(c).dataType).as(s"max_$c"))
+      // a track entry may be a TRANSFORM spec (hidden partitioning):
+      // envelopes are collected on the transformed value, keyed by the
+      // spec string, typed by the transform's output
+      val spec = TrackSpec.parse(c)
+      val srcType = schema(spec.source).dataType
+      val tcol = TrackSpec.column(spec, srcType)
+      val ot = TrackSpec.outputType(spec, srcType)
+      Seq(statString(min(tcol), ot).as(s"min_$c"),
+        statString(max(tcol), ot).as(s"max_$c"))
     } :+ count(lit(1)).as("rows")
     spark.read.schema(schema).parquet(stage)
       .groupBy(input_file_name().as("path"))
@@ -1597,8 +1625,10 @@ object ManifestTable {
       lo: Column, hi: Column, asOf: Option[Long] = None): DataFrame = {
     val m = manifest(dir, asOf)
     val live = overlappingPaths(spark, m, trackedCol, lo, hi)
+    val spec = TrackSpec.parse(trackedCol)
+    val srcType = DataFrameSchema.fromJson(m.schemaJson)(spec.source).dataType
     appliedRead(spark, m, live)
-      .filter(col(trackedCol).between(lo, hi))
+      .filter(TrackSpec.column(spec, srcType).between(lo, hi))
   }
 
   /** Register the table (at `asOf` or the head) as a temp view — the
@@ -1633,7 +1663,11 @@ object ManifestTable {
     // envelope — they scan unconditionally (correct, never pruned)
     val (covered, uncovered) = m.files.partition(f => m.envelopeCovers(trackedCol, f.seq))
     if (covered.isEmpty) return m.files.map(_.path)
-    val typ = DataFrameSchema.fromJson(m.schemaJson)(trackedCol).dataType
+    val typ = {
+      val spec = TrackSpec.parse(trackedCol)
+      TrackSpec.outputType(spec,
+        DataFrameSchema.fromJson(m.schemaJson)(spec.source).dataType)
+    }
     val entries = spark.createDataFrame(
       // a column absent from the maps is a null envelope: JSON object
       // rendering omits None-valued keys, so absence and None coincide
@@ -2024,7 +2058,7 @@ object ManifestTable {
     val spark = df.sparkSession
     require(branchBase(dir, name).isDefined,
       s"no branch '$name' of $dir — createBranch first")
-    val missing = track.filterNot(df.schema.fieldNames.contains)
+    val missing = track.map(TrackSpec.parse(_).source).filterNot(df.schema.fieldNames.contains)
     require(missing.isEmpty, s"tracked column(s) ${missing.mkString(", ")} not in schema")
     requireNoReservedColumns(df.schema)
     val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"

@@ -231,10 +231,13 @@ class GraftCatalogSpec extends SparkSpec {
     val dup = intercept[Exception](
       spark.sql("CREATE TABLE graft.lake.ctas_dst (x INT)").collect())
     assert(dup.getMessage.toLowerCase.contains("exists"), s"got: ${dup.getMessage}")
-    val bucketed = intercept[Exception](
-      spark.sql("CREATE TABLE graft.lake.bad (id BIGINT) PARTITIONED BY (bucket(4, id))")
-        .collect())
-    assert(bucketed.getMessage.contains("identity"), s"got: ${bucketed.getMessage}")
+    // bucket/days/truncate are the supported hidden-partitioning
+    // transforms; anything else still refuses loudly
+    val years = intercept[Exception](
+      spark.sql("CREATE TABLE graft.lake.bad (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (years(ts))").collect())
+    assert(years.getMessage.contains("unsupported PARTITIONED BY transform"),
+      s"got: ${years.getMessage}")
   }
 
   test("SQL insert into a table with PENDING MoR tombstones: sequence rule holds") {
@@ -659,6 +662,85 @@ class GraftCatalogSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql(
       "CALL graft.system.add_tracked_column(table => 'lake.spec_evo', column => 'k')").collect())
     assert(e.getMessage.contains("already tracked"))
+  }
+
+  test("hidden partitioning: days/bucket/truncate transforms prune from SOURCE-column predicates") {
+    val _ = warehouse
+    spark.sql("CREATE TABLE graft.lake.hidden (ts TIMESTAMP, user_id BIGINT, name STRING) " +
+      "PARTITIONED BY (days(ts), bucket(8, user_id), truncate(3, name))")
+    // 4 inserts, one per calendar day (a 1h span each), each with ONE
+    // user_id and ONE 3-char name prefix — so every transform gets
+    // tight per-file envelopes
+    val uids = Seq(101L, 202L, 303L, 404L)
+    val pfx = Seq("aaa", "bbb", "ccc", "ddd")
+    for (d <- 1 to 4)
+      spark.sql(
+        s"INSERT INTO graft.lake.hidden SELECT timestamp'2026-01-0$d 01:00:00' + " +
+          s"make_interval(0, 0, 0, 0, 0, 0, id), ${uids(d - 1)}, " +
+          s"concat('${pfx(d - 1)}', id) FROM range(0, 100, 1, 1)")
+    // days: a range on ts (never on a day column) prunes to one file
+    val qd = spark.sql("SELECT ts FROM graft.lake.hidden WHERE " +
+      "ts >= timestamp'2026-01-02 00:30:00' AND ts < timestamp'2026-01-02 23:00:00'")
+    assert(scannedFiles(qd).size == 1,
+      s"days(ts) must prune a ts range to 1 file, got ${scannedFiles(qd).size}")
+    assert(qd.count() == 100)
+    // bucket: equality on user_id prunes to the files sharing 202's bucket
+    import graft.sources.TrackSpec
+    val spec = TrackSpec.parse("bucket(8,user_id)")
+    val b202 = TrackSpec.literal(spec, 202L, org.apache.spark.sql.types.LongType)
+    val expectBucketFiles =
+      uids.count(u => TrackSpec.literal(spec, u, org.apache.spark.sql.types.LongType) == b202)
+    val qb = spark.sql("SELECT user_id FROM graft.lake.hidden WHERE user_id = 202")
+    assert(scannedFiles(qb).size == expectBucketFiles,
+      s"bucket(8,user_id) must prune to the $expectBucketFiles file(s) sharing the " +
+        s"bucket, got ${scannedFiles(qb).size}")
+    assert(qb.count() == 100)
+    // truncate: a point predicate on name prunes via the 3-char prefix
+    val qt = spark.sql("SELECT name FROM graft.lake.hidden WHERE name = 'ccc7'")
+    assert(scannedFiles(qt).size == 1,
+      s"truncate(3,name) must prune a name point to 1 file, got ${scannedFiles(qt).size}")
+    assert(qt.count() == 1)
+    // and a range on name prunes too (monotone prefix)
+    val qtr = spark.sql(
+      "SELECT name FROM graft.lake.hidden WHERE name >= 'bba' AND name <= 'bzz'")
+    assert(scannedFiles(qtr).size == 1)
+    assert(qtr.count() == 100)
+    // the transforms are HIDDEN: no synthetic column in the schema
+    assert(spark.table("graft.lake.hidden").columns.toSeq == Seq("ts", "user_id", "name"))
+    // renaming/dropping a transform source refuses loudly
+    val er = intercept[Exception](
+      spark.sql("ALTER TABLE graft.lake.hidden RENAME COLUMN ts TO event_ts"))
+    assert(er.getMessage.contains("hidden-partitioning"), er.getMessage)
+    val ed = intercept[Exception](
+      spark.sql("ALTER TABLE graft.lake.hidden DROP COLUMN name"))
+    assert(ed.getMessage.contains("hidden-partitioning"), ed.getMessage)
+  }
+
+  test("track-spec evolution extends to transforms: add_tracked_column('days(ts)')") {
+    val _ = warehouse
+    spark.sql("CREATE TABLE graft.lake.hevo (ts TIMESTAMP, v BIGINT)")
+    spark.sql("INSERT INTO graft.lake.hevo SELECT timestamp'2026-03-01 01:00:00' + " +
+      "make_interval(0, 0, 0, 0, 0, 0, id), id FROM range(0, 50, 1, 1)") // pre-evolution file
+    spark.sql("CALL graft.system.add_tracked_column('lake.hevo', 'days(ts)')")
+    spark.sql("INSERT INTO graft.lake.hevo SELECT timestamp'2026-03-05 01:00:00' + " +
+      "make_interval(0, 0, 0, 0, 0, 0, id), id FROM range(0, 50, 1, 1)") // post-evolution file
+    // a day range matching NEITHER insert: the post-evolution file is
+    // pruned by its transformed envelope; the pre-evolution file has no
+    // envelope and must ALWAYS scan (the Iceberg spec-evolution contract)
+    val q = spark.sql("SELECT ts FROM graft.lake.hevo WHERE " +
+      "ts >= timestamp'2026-03-10 00:00:00' AND ts < timestamp'2026-03-11 00:00:00'")
+    assert(scannedFiles(q).size == 1,
+      s"pre-evolution file must scan, post-evolution must prune: got ${scannedFiles(q).size}")
+    assert(q.count() == 0)
+    // compaction rewrites everything under the current spec: now both prune
+    graft.sources.ManifestTable.replace(
+      graft.sources.ManifestTable.snapshot(spark, s"$warehouse/lake/hevo"),
+      s"$warehouse/lake/hevo",
+      graft.sources.ManifestTable.manifest(s"$warehouse/lake/hevo", None).track)
+    val q2 = spark.sql("SELECT ts FROM graft.lake.hevo WHERE " +
+      "ts >= timestamp'2026-03-10 00:00:00' AND ts < timestamp'2026-03-11 00:00:00'")
+    assert(scannedFiles(q2).isEmpty,
+      s"after compaction every file carries the transformed envelope: ${scannedFiles(q2)}")
   }
 
   test("DROP TABLE removes the table; dropping a missing table reports false") {

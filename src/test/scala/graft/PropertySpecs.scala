@@ -448,4 +448,46 @@ class PropertySpecs extends SparkSpec {
       assert(got === want, s"zdiv=$zdiv range=[$lo,$hi]")
     }
   }
+
+  test("TrackSpec: Spark-side transform column == driver-side literal transform (edge values)") {
+    import graft.sources.TrackSpec
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    // days over timestamps: the 1970 boundary, exact day multiples, a
+    // far-future point -- floorDiv on micros, zone-free on both sides
+    val micros = Seq(-86400000001L, -86400000000L, -1L, 0L, 1L,
+      86399999999L, 86400000000L, 1767225600123456L)
+    val dSpec = TrackSpec.parse("days(ts)")
+    val dSpark = micros.toDF("us").selectExpr("timestamp_micros(us) AS ts")
+      .select(TrackSpec.column(dSpec, TimestampType).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(dSpark == micros.map(m =>
+      TrackSpec.literal(dSpec, m, TimestampType).asInstanceOf[Long]))
+    // truncate over negative/positive longs: floor-to-multiple, exact
+    val longs = Seq(-15L, -8L, -7L, -1L, 0L, 1L, 6L, 7L, 8L, 999L)
+    val tSpec = TrackSpec.parse("truncate(7,v)")
+    val tSpark = longs.toDF("v").select(TrackSpec.column(tSpec, LongType).as("t"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(tSpark == longs.map(v =>
+      TrackSpec.literal(tSpec, v, LongType).asInstanceOf[Long]))
+    // truncate over unicode strings: CHARACTER prefix on both sides
+    val strs = Seq("", "a", "ab", "abcd", "h\u00e9llo", "\u65e5\u672c\u8a9e\u30c6\u30b9\u30c8")
+    val sSpec = TrackSpec.parse("truncate(3,s)")
+    val sSpark = strs.toDF("s").select(TrackSpec.column(sSpec, StringType).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(sSpark == strs.map(v =>
+      TrackSpec.literal(sSpec, UTF8String.fromString(v), StringType).toString))
+    // bucket: one hash family (xxhash64 seed 42) on both sides
+    val bSpec = TrackSpec.parse("bucket(16,v)")
+    val bSpark = longs.toDF("v").select(TrackSpec.column(bSpec, LongType).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(bSpark == longs.map(v =>
+      TrackSpec.literal(bSpec, v, LongType).asInstanceOf[Long]))
+    assert(bSpark.forall(b => b >= 0 && b < 16))
+    val bsSpec = TrackSpec.parse("bucket(16,s)")
+    val bsSpark = strs.toDF("s").select(TrackSpec.column(bsSpec, StringType).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(bsSpark == strs.map(v =>
+      TrackSpec.literal(bsSpec, UTF8String.fromString(v), StringType).asInstanceOf[Long]))
+  }
 }
