@@ -1575,6 +1575,82 @@ object Storage {
         q
       },
     ),
+    Q(
+      "q226_wap_sql",
+      "q223's write-audit-publish lifecycle with EVERY step SQL — " +
+        "Iceberg's spark.wap.branch parity (spark.graft.wap.branch): " +
+        "while the session knob names a branch, plain INSERT INTOs " +
+        "stage as shadow snapshots on it and plain SELECTs serve the " +
+        "branch head (the audit reads exactly the bytes that would " +
+        "publish, no VERSION AS OF ceremony), main stays isolated " +
+        "(asserted mid-lifecycle by unsetting the knob), non-append " +
+        "writes refuse while routing is on, and CALL fast_forward " +
+        "publishes the audited chain metadata-only. Same oracle as " +
+        "q223: the SQL-only surface and the typed API converge on the " +
+        "identical published table.",
+      Some(s"""
+        WITH adj1 AS (
+          SELECT -event_id AS event_id, ts, user_id, 'adjustment' AS event_type, value, props
+          FROM events WHERE event_type = 'purchase' AND user_id BETWEEN 50 AND 55
+        ),
+        adj2 AS (
+          SELECT -event_id AS event_id, ts, user_id, 'adjustment' AS event_type, value, props
+          FROM events WHERE event_type = 'purchase' AND user_id BETWEEN 56 AND 60
+        ),
+        fin AS (
+          SELECT * FROM events
+          UNION ALL SELECT * FROM adj1
+          UNION ALL SELECT * FROM adj2
+        )
+        SELECT event_type, count(*) AS n, $d30_2 AS sum_value,
+               CAST(3 AS BIGINT) AS head_version
+        FROM fin GROUP BY event_type
+      """.trim),
+      (spark, dir) => {
+        val wh = graft.Artifacts.cached(s"wap-sql-warehouse:$dir") { w =>
+          val t = s"$w/lake/wapev"
+          new java.io.File(t).mkdirs()
+          val ev = Tables(spark, dir).events
+          ManifestTable.commit(ev.repartitionByRange(8, col("ts")), t, track = Seq("ts"))
+          spark.conf.set("spark.sql.catalog.graftwap", "graft.sources.GraftCatalog")
+          spark.conf.set("spark.sql.catalog.graftwap.warehouse", w)
+          spark.sql("CALL graftwap.system.create_branch(table => 'lake.wapev', name => 'corrections')")
+          spark.conf.set("spark.graft.wap.branch", "corrections")
+          try {
+            def adj(lo: Int, hi: Int) = spark.sql(
+              s"""INSERT INTO graftwap.lake.wapev
+                  SELECT -event_id AS event_id, ts, user_id,
+                         'adjustment' AS event_type, value, props
+                  FROM graftwap.lake.wapev VERSION AS OF 1
+                  WHERE event_type = 'purchase' AND user_id BETWEEN $lo AND $hi""")
+            adj(50, 55); adj(56, 60)
+            // main isolation while staged (the knob off = main)
+            spark.conf.unset("spark.graft.wap.branch")
+            val mainN = spark.sql("SELECT count(*) FROM graftwap.lake.wapev").head().getLong(0)
+            val baseN = Tables(spark, dir).events.count()
+            assert(mainN == baseN, s"main must stay isolated while staged: $mainN != $baseN")
+            spark.conf.set("spark.graft.wap.branch", "corrections")
+            // the audit is a PLAIN select — reads serve the branch
+            val bad = spark.sql(
+              "SELECT count(*) FROM graftwap.lake.wapev WHERE event_id IS NULL OR value < 0")
+              .head().getLong(0)
+            require(bad == 0, "audit failed: corrections carry null ids or negative values")
+            spark.sql("CALL graftwap.system.fast_forward(table => 'lake.wapev', name => 'corrections')"): Unit
+          } finally spark.conf.unset("spark.graft.wap.branch")
+        }
+        spark.conf.set("spark.sql.catalog.graftwap", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftwap.warehouse", wh)
+        val headV = ManifestTable.latestVersion(s"$wh/lake/wapev").get
+        assert(headV == 3L && ManifestTable.branches(s"$wh/lake/wapev").isEmpty,
+          s"SQL publish must land both staged commits and fold the branch (head=$headV)")
+        spark.sql(s"""
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+                 CAST($headV AS BIGINT) AS head_version
+          FROM graftwap.lake.wapev GROUP BY event_type
+        """)
+      },
+    ),
   )
 
   /** Built once per (session, sf dir): a star pair for the runtime-

@@ -155,12 +155,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
     val dir = dirOf(ident)
     if (ManifestTable.latestVersion(dir).isEmpty) throw new NoSuchTableException(ident)
-    // pending merge-on-read deletes are fine here: the injected
-    // resolution rule (graft.plans.MorApplyRewrite) replaces the V2
-    // relation with the applied-read plan before planning; a session
-    // WITHOUT the extensions fails loudly in newScanBuilder instead of
-    // returning un-applied rows
-    GraftLakeTable(ident.toString, dir, ManifestTable.manifest(dir, asOf))
+    // spark.graft.wap.branch routing (Iceberg's spark.wap.branch): a
+    // PLAIN read while staging serves the branch head — the audit half
+    // of SQL-only write-audit-publish; explicit VERSION/TIMESTAMP AS
+    // OF stays literal, and a table with no such branch reads main
+    // (the knob names the staging lane, not every table on it)
+    val wap = if (asOf.isEmpty)
+      GraftWrites.wapBranch(SparkSession.active)
+        .filter(b => ManifestTable.branches(dir).contains(b))
+    else None
+    wap match {
+      case Some(b) =>
+        GraftLakeTable(ident.toString, dir, ManifestTable.branchManifest(dir, b))
+      case None =>
+        // pending merge-on-read deletes are fine here: the injected
+        // resolution rule (graft.plans.MorApplyRewrite) replaces the V2
+        // relation with the applied-read plan before planning; a session
+        // WITHOUT the extensions fails loudly in newScanBuilder instead
+        // of returning un-applied rows
+        GraftLakeTable(ident.toString, dir, ManifestTable.manifest(dir, asOf))
+    }
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -465,6 +479,10 @@ final case class GraftLakeTable(
     filters.forall(GraftCatalog.filterColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(GraftWrites.wapBranch(SparkSession.active).isEmpty,
+      s"DELETE on $tableName cannot run while ${GraftWrites.WapBranchConf} routes " +
+        "writes onto a branch (it would commit to main past the staged audit); " +
+        "publish or unset the branch first")
     val cond = filters.toSeq.flatMap(GraftCatalog.filterColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
@@ -492,6 +510,10 @@ final case class GraftLakeTable(
     */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(GraftWrites.wapBranch(SparkSession.active).isEmpty,
+      s"${info.command} on $tableName cannot run while ${GraftWrites.WapBranchConf} " +
+        "routes writes onto a branch (the CoW rewrite would read the branch and " +
+        "commit to main); publish or unset the branch first, or use the typed API")
     require(!m.hasMorDeletes,
       s"${info.command} on $tableName: table has pending merge-on-read deletes the " +
         "copy-on-write rewrite cannot apply; run ManifestTable.materializeDeletes " +

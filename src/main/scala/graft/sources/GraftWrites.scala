@@ -54,6 +54,21 @@ object GraftWrites {
   final case class ReplaceFiles(base: ManifestTable.Manifest, removed: () => Set[String])
     extends Mode
 
+  /** Iceberg's `spark.wap.branch` parity knob: while set, plain SQL
+    * appends (`INSERT INTO`, `writeStream.toTable`) land as SHADOW
+    * snapshots on the named branch and plain reads serve the branch
+    * head — the whole write-audit-publish lifecycle runs in SQL with
+    * no per-commit `CALL`s; `CALL graft.system.fast_forward` publishes.
+    * The branch must already exist (a typo must not silently fork a
+    * table), and non-append SQL writes (OVERWRITE, UPDATE/MERGE/
+    * DELETE rewrites) refuse while routing is on — branch commits are
+    * appends by contract.
+    */
+  val WapBranchConf = "spark.graft.wap.branch"
+
+  def wapBranch(spark: SparkSession): Option[String] =
+    Option(spark.conf.get(WapBranchConf, "")).map(_.trim).filter(_.nonEmpty)
+
   /** Hadoop conf an executor-side [[ParquetWriteSupport]] needs: the
     * session's hadoop conf plus the SQL settings Spark's own parquet
     * write path pins explicitly (`ParquetWriteSupport.init` asserts
@@ -134,7 +149,12 @@ final class GraftStreamingWrite(
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val txn = s"stream-$queryId-$epochId"
     val stage = s"$stageRoot/e$epochId"
-    if (ManifestTable.committedTxn(dir, txn).isDefined) {
+    val wap = GraftWrites.wapBranch(spark)
+    // replay check spans BOTH sides: an epoch staged on a branch may
+    // since have been published (its txn marker now lives on main)
+    val replayed = ManifestTable.committedTxn(dir, txn).isDefined ||
+      wap.exists(b => ManifestTable.committedTxnOnBranch(dir, b, txn).isDefined)
+    if (replayed) {
       // replayed epoch: the data is already visible under this txn —
       // drop the fresh duplicate staging and ack
       Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty).foreach(_.delete())
@@ -146,8 +166,17 @@ final class GraftStreamingWrite(
     Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
       .filterNot(f => committed(f.getAbsolutePath))
       .foreach(_.delete())
-    ManifestTable.installStaged(
-      spark, dir, schema, track, Some(txn), stage, replace = replaceEach): Unit
+    wap match {
+      case Some(b) =>
+        require(!replaceEach,
+          s"Complete/truncate output mode cannot route onto WAP branch '$b' " +
+            s"(branch commits are appends); unset ${GraftWrites.WapBranchConf}")
+        ManifestTable.installStagedToBranch(
+          spark, dir, b, schema, track, stage, Some(txn)): Unit
+      case None =>
+        ManifestTable.installStaged(
+          spark, dir, schema, track, Some(txn), stage, replace = replaceEach): Unit
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -189,10 +218,23 @@ final class GraftBatchWrite(
       .foreach(_.delete())
     mode match {
       case GraftWrites.Append =>
-        ManifestTable.installStaged(spark, dir, schema, track, None, stage, replace = false): Unit
+        GraftWrites.wapBranch(spark) match {
+          case Some(b) =>
+            ManifestTable.installStagedToBranch(spark, dir, b, schema, track, stage): Unit
+          case None =>
+            ManifestTable.installStaged(spark, dir, schema, track, None, stage, replace = false): Unit
+        }
       case GraftWrites.Replace =>
+        require(GraftWrites.wapBranch(spark).isEmpty,
+          s"INSERT OVERWRITE cannot route onto WAP branch " +
+            s"'${GraftWrites.wapBranch(spark).get}' (branch commits are appends); " +
+            s"publish or unset ${GraftWrites.WapBranchConf} first")
         ManifestTable.installStaged(spark, dir, schema, track, None, stage, replace = true): Unit
       case GraftWrites.ReplaceFiles(base, removed) =>
+        require(GraftWrites.wapBranch(spark).isEmpty,
+          s"row-level SQL rewrites cannot route onto WAP branch " +
+            s"'${GraftWrites.wapBranch(spark).get}' (branch commits are appends); " +
+            s"publish or unset ${GraftWrites.WapBranchConf} first, or use the typed API")
         ManifestTable.installStagedRewrite(spark, stage, schema, dir, base, removed(), None): Unit
     }
   }

@@ -2063,16 +2063,44 @@ object ManifestTable {
     requireNoReservedColumns(df.schema)
     val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
     df.write.parquet(stage)
-    val newFiles = collectStats(spark, stage, track, df.schema)
+    installStagedToBranch(spark, dir, name, df.schema, track, stage)
+  }
+
+  /** Branch-side twin of [[installStaged]]: commit ALREADY-STAGED files
+    * as the branch's next shadow snapshot — the SQL write path's
+    * `spark.graft.wap.branch` routing lands here (the V2 BatchWrite
+    * stages via executor tasks, then the driver commits onto the
+    * branch instead of main). Same appendOnto evolution validation and
+    * optimistic install as [[commitToBranch]]; `txn` gives streaming
+    * epochs their replay marker ([[committedTxnOnBranch]]).
+    */
+  private[sources] def installStagedToBranch(
+      spark: SparkSession, dir: String, name: String, schema: StructType,
+      track: Seq[String], stage: String, txn: Option[String] = None): Long = {
+    require(branchBase(dir, name).isDefined,
+      s"no branch '$name' of $dir — createBranch (CALL graft.system.create_branch) first")
+    val newFiles = collectStats(spark, stage, track, schema)
     var committed = -1L
     while (committed < 0) {
       val parent = branchManifest(dir, name)
       val v = parent.version + 1
-      val m = appendOnto(parent, df.schema, track, newFiles, v, txn = None)
+      val m = appendOnto(parent, schema, track, newFiles, v, txn)
       committed = tryInstallAs(dir, m, branchManifestName(name, v), reuseParentSegs = false)
     }
     committed
   }
+
+  /** Has `txn` already committed on this branch? The branch-side half
+    * of the streaming replay check — a publish moves the txn-carrying
+    * manifests onto MAIN, so callers consult [[committedTxn]] too.
+    * O(branch length) metadata reads; branches are short-lived staging.
+    */
+  private[sources] def committedTxnOnBranch(
+      dir: String, name: String, txn: String): Option[Long] =
+    branchVersions(dir, name).sorted.reverse.find { v =>
+      val p = java.nio.file.Paths.get(dir, "_manifests", branchManifestName(name, v))
+      parse(dir, new String(java.nio.file.Files.readAllBytes(p), "UTF-8")).txn.contains(txn)
+    }
 
   /** Publish the branch onto main: link each branch head to its main
     * name in version order (create-if-absent), then drop the branch.

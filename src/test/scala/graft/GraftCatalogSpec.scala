@@ -664,6 +664,73 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("already tracked"))
   }
 
+  test("spark.graft.wap.branch: SQL-only write-audit-publish, main isolated while staged") {
+    val dir = mkTable("lake", "wapsql")
+    spark.sql("CALL graft.system.create_branch(table => 'lake.wapsql', name => 'audit')")
+    spark.conf.set("spark.graft.wap.branch", "audit")
+    try {
+      // plain INSERTs route onto the branch; plain reads serve it
+      spark.sql("INSERT INTO graft.lake.wapsql VALUES (6001, 1, 'staged')")
+      spark.sql("INSERT INTO graft.lake.wapsql VALUES (6002, 2, 'staged')")
+      assert(spark.sql("SELECT count(*) FROM graft.lake.wapsql").head().getLong(0) == 1002,
+        "a plain read while staging must serve the branch (the audit half)")
+      // MAIN ISOLATION while staged: unset the knob, main is untouched
+      spark.conf.unset("spark.graft.wap.branch")
+      assert(spark.sql("SELECT count(*) FROM graft.lake.wapsql").head().getLong(0) == 1000,
+        "main must not see staged branch commits")
+      assert(ManifestTable.latestVersion(dir).contains(1L))
+      spark.conf.set("spark.graft.wap.branch", "audit")
+      // non-append writes refuse while routing is on
+      val eo = intercept[Exception](
+        spark.sql("INSERT OVERWRITE graft.lake.wapsql VALUES (1, 1, 'x')"))
+      assert(eo.getMessage.contains("WAP branch"), eo.getMessage)
+      val eu = intercept[Exception](
+        spark.sql("UPDATE graft.lake.wapsql SET cat = 'y' WHERE id = 6001"))
+      assert(eu.getMessage.contains("branch"), eu.getMessage)
+      // a table with NO such branch reads main (the knob names the
+      // staging lane, not every table on it)
+      mkTable("lake", "wapother")
+      assert(spark.sql("SELECT count(*) FROM graft.lake.wapother").head().getLong(0) == 1000)
+      // a typo'd branch must not silently fork: insert refuses
+      spark.conf.set("spark.graft.wap.branch", "no-such-branch")
+      val et = intercept[Exception](
+        spark.sql("INSERT INTO graft.lake.wapsql VALUES (6003, 3, 'lost')"))
+      assert(et.getMessage.contains("create_branch"), et.getMessage)
+      spark.conf.set("spark.graft.wap.branch", "audit")
+      // SQL audit gate over the branch, then SQL publish
+      assert(spark.sql(
+        "SELECT count(*) FROM graft.lake.wapsql WHERE cat = 'staged'").head().getLong(0) == 2)
+      spark.sql("CALL graft.system.fast_forward(table => 'lake.wapsql', name => 'audit')")
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.wapsql").head().getLong(0) == 1002,
+      "publish must land the audited chain on main")
+    assert(ManifestTable.branches(dir).isEmpty)
+    assert(ManifestTable.latestVersion(dir).contains(3L))
+  }
+
+  test("spark.graft.wap.branch: writeStream.toTable routes epochs onto the branch, exactly-once") {
+    val dir = mkTable("lake", "wapstream")
+    spark.sql("CALL graft.system.create_branch(table => 'lake.wapstream', name => 'ingest')")
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+    src.addData(7001L, 7002L)
+    spark.conf.set("spark.graft.wap.branch", "ingest")
+    try {
+      val q = src.toDF().selectExpr("value AS id", "0L AS k", "'streamed' AS cat")
+        .writeStream.option("checkpointLocation", tmpDir("wap-stream-ckpt").toString)
+        .toTable("graft.lake.wapstream")
+      try q.processAllAvailable() finally q.stop()
+      assert(spark.sql("SELECT count(*) FROM graft.lake.wapstream").head().getLong(0) == 1002,
+        "streamed epochs must land on the branch")
+      spark.conf.unset("spark.graft.wap.branch")
+      assert(spark.sql("SELECT count(*) FROM graft.lake.wapstream").head().getLong(0) == 1000,
+        "main must not see streamed branch epochs")
+      spark.conf.set("spark.graft.wap.branch", "ingest")
+      spark.sql("CALL graft.system.fast_forward(table => 'lake.wapstream', name => 'ingest')")
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    assert(spark.sql("SELECT id FROM graft.lake.wapstream WHERE cat = 'streamed'")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(7001L, 7002L))
+  }
+
   test("hidden partitioning: days/bucket/truncate transforms prune from SOURCE-column predicates") {
     val _ = warehouse
     spark.sql("CREATE TABLE graft.lake.hidden (ts TIMESTAMP, user_id BIGINT, name STRING) " +
