@@ -2102,6 +2102,55 @@ object ManifestTable {
       parse(dir, new String(java.nio.file.Files.readAllBytes(p), "UTF-8")).txn.contains(txn)
     }
 
+  /** Row-level copy-on-write DELETE ON A BRANCH — [[delete]]'s
+    * semantics computed against the BRANCH head and committed as the
+    * branch's next shadow snapshot: the staging half of an
+    * audit-then-publish correction that REMOVES rows, and the producer
+    * of the rewrite commits [[cherryPick]] can replay onto a diverged
+    * main. Same applied-view probe (composes with pending merge-on-read
+    * tombstones), same file-granular swap, same optimistic install as
+    * the main-side triad; main readers never see it until publish.
+    */
+  def deleteOnBranch(spark: SparkSession, dir: String, name: String, cond: Column): Long = {
+    val head = branchManifest(dir, name)
+    val snap = appliedReadWithFile(spark, head, head.files.map(_.path))
+    require(
+      snap.select(cond.as("__c")).queryExecution.analyzed.expressions.forall(_.deterministic),
+      s"delete condition must be deterministic: $cond")
+    val byName = head.files.map(f => fileBasename(f.path) -> f.path).toMap
+    val touched = snap.where(cond)
+      .select("__bname").distinct()
+      .collect().map(r => byName(r.getString(0))).toSet
+    if (touched.isEmpty) return head.version
+    val kept = appliedRead(spark, head, touched.toSeq)
+      .where(coalesce(!cond, lit(true)))
+    val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
+    kept.write.parquet(stage)
+    val schema = DataFrameSchema.fromJson(head.schemaJson)
+    val newFiles = collectStats(spark, stage, head.track, schema)
+    var committed = -1L
+    while (committed < 0) {
+      val cur = branchManifest(dir, name)
+      // the same mid-rewrite conflict rules as installStagedRewrite,
+      // branch-scoped: a tombstone or file removal that landed on the
+      // branch since the probe would silently resurrect rows
+      if (cur.deleteFiles != head.deleteFiles || cur.posDeleteFiles != head.posDeleteFiles ||
+        cur.deleteKeys != head.deleteKeys)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent merge-on-read delete landed on branch '$name' mid-rewrite; recompute")
+      val gone = touched.filterNot(cur.files.map(_.path).toSet)
+      if (gone.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent branch writer removed ${gone.size} file(s) this rewrite depends on")
+      val v = cur.version + 1
+      committed = tryInstallAs(dir, cur.copy(
+        version = v, parent = Some(cur.version), txn = None, op = None,
+        files = cur.files.filterNot(f => touched(f.path)) ++ newFiles.map(_.copy(seq = v))),
+        branchManifestName(name, v), reuseParentSegs = false)
+    }
+    committed
+  }
+
   /** Publish the branch onto main: link each branch head to its main
     * name in version order (create-if-absent), then drop the branch.
     * Ancestor-only — if main advanced past the branch base, the first
@@ -2169,15 +2218,23 @@ object ManifestTable {
   }
 
   /** CHERRY-PICK one branch commit onto main (Iceberg's
-    * cherrypick_snapshot for append snapshots): the files the branch
-    * commit ADDED over its branch parent replay as a fresh main append
-    * — metadata-only (entries and their committed stats are shared, no
-    * data copies; they enter main with seq = the new main version), and
-    * main may have diverged since the branch point (this is the
-    * rebase-one-commit escape hatch when [[fastForward]] refuses).
-    * Append-only by contract: a branch commit that removed files or
-    * carries a different track spec than main refuses loudly. The
-    * branch itself is untouched.
+    * cherrypick_snapshot): metadata-only (entries and their committed
+    * stats are shared, no data copies), onto a main that may have
+    * DIVERGED since the branch point — the rebase-one-commit escape
+    * hatch when [[fastForward]] refuses. Two replayable shapes:
+    *
+    *  - APPEND commits: the files added over the branch parent enter
+    *    main as a fresh append (seq = the new main version).
+    *  - COPY-ON-WRITE REWRITE commits (delete/update/merge computed on
+    *    the branch): the removed→added file swap replays IFF main
+    *    still carries every rewritten file live and no merge-on-read
+    *    delete landed since the branch point; anything else is a
+    *    genuine file-set conflict and refuses loudly (Iceberg's
+    *    replace-snapshot cherry-pick conflict rule).
+    *
+    * Tombstone-carrying and schema-evolving rewrite commits refuse (a
+    * tombstone's sequence scoping cannot replay under a fresh
+    * version). The branch itself is untouched.
     */
   def cherryPick(dir: String, name: String, branchVersion: Long): Long = {
     val base = branchBase(dir, name).getOrElse(throw new IllegalArgumentException(
@@ -2196,11 +2253,19 @@ object ManifestTable {
         parse(dir, new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
       } else manifest(dir, Some(base))
     val parentPaths = bParent.files.map(_.path).toSet
-    val removed = bParent.files.map(_.path).filterNot(bv.files.map(_.path).toSet)
-    require(removed.isEmpty,
-      s"cherry-pick of '$name' v$branchVersion: the commit removed ${removed.size} " +
-        "file(s); only append commits cherry-pick (replay the operation instead)")
+    val removed = bParent.files.map(_.path).filterNot(bv.files.map(_.path).toSet).toSet
     val added = bv.files.filterNot(f => parentPaths(f.path))
+    // tombstone-carrying commits still refuse: equality tombstones are
+    // sequence-scoped against the BRANCH's file seqs, and replaying
+    // them under a fresh main version would re-scope what they apply to
+    require(bv.deleteFiles == bParent.deleteFiles &&
+      bv.posDeleteFiles == bParent.posDeleteFiles && bv.deleteKeys == bParent.deleteKeys,
+      s"cherry-pick of '$name' v$branchVersion: the commit adds or changes " +
+        "merge-on-read tombstones, whose sequence scoping cannot replay onto a " +
+        "diverged head; fastForward the branch, or re-apply the delete on main")
+    require(removed.isEmpty || bv.schemaJson == bParent.schemaJson,
+      s"cherry-pick of '$name' v$branchVersion: a rewrite commit that also evolves " +
+        "the schema does not cherry-pick; fastForward the branch instead")
     val schema = DataFrameSchema.fromJson(bv.schemaJson)
     var committed = -1L
     while (committed < 0) {
@@ -2209,7 +2274,38 @@ object ManifestTable {
         s"cherry-pick of '$name' v$branchVersion: branch track spec " +
           s"[${bv.track.mkString(", ")}] differs from main's [${head.track.mkString(", ")}]")
       val v = head.version + 1
-      committed = tryInstall(dir, appendOnto(head, schema, head.track, added, v, txn = None))
+      if (removed.isEmpty)
+        // append commit: the added entries replay onto the head as a
+        // fresh append (the original contract)
+        committed = tryInstall(dir, appendOnto(head, schema, head.track, added, v, txn = None))
+      else {
+        // COPY-ON-WRITE REWRITE REPLAY (Iceberg's cherry-pick of a
+        // replace snapshot): the commit swapped `removed` for `added`.
+        // Replaying onto a diverged head is sound iff main still
+        // carries every rewritten file LIVE (main's divergence never
+        // touched them) and no merge-on-read delete landed since the
+        // branch point (it would apply to `removed` but not to the
+        // fresh-seq replacements — silent row resurrection). Anything
+        // else is a GENUINE file-set conflict and refuses loudly.
+        val headPaths = head.files.map(_.path).toSet
+        val gone = removed.filterNot(headPaths)
+        if (gone.nonEmpty) throw new IllegalStateException(
+          s"cherry-pick of '$name' v$branchVersion: ${gone.size} file(s) this " +
+            s"rewrite replaces are no longer live on main (e.g. ${gone.head} — " +
+            "concurrently rewritten, compacted, or deleted); genuine file-set " +
+            "conflict — re-apply the operation against the current head")
+        if (head.deleteFiles != bParent.deleteFiles ||
+          head.posDeleteFiles != bParent.posDeleteFiles ||
+          head.deleteKeys != bParent.deleteKeys) throw new IllegalStateException(
+          s"cherry-pick of '$name' v$branchVersion: a merge-on-read delete landed " +
+            "on main since the branch point; its tombstones would not apply to the " +
+            "replayed rewrite's fresh-sequence files — materializeDeletes first, " +
+            "or re-apply the operation against the current head")
+        validateEvolution(head, schema, head.track)
+        committed = tryInstall(dir, head.copy(
+          version = v, parent = Some(head.version), txn = None, op = None,
+          files = head.files.filterNot(f => removed(f.path)) ++ added.map(_.copy(seq = v))))
+      }
     }
     committed
   }

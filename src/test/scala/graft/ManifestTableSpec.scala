@@ -175,6 +175,52 @@ class ManifestTableSpec extends SparkSpec {
     assert(e.getMessage.contains("no commit"))
   }
 
+  test("cherry-pick replays a branch CoW REWRITE onto a diverged main; genuine conflicts refuse") {
+    val dir = freshDir()
+    ManifestTable.commit((1L to 10L).toDF("id").repartition(2), dir, Seq("id")) // v1
+    ManifestTable.createBranch(dir, "fix")
+    ManifestTable.commitToBranch((11L to 15L).toDF("id"), dir, "fix", Seq("id")) // fix@2 append
+    val rwV = ManifestTable.deleteOnBranch(spark, dir, "fix",
+      $"id" === 3L || $"id" === 12L) // fix@3: CoW rewrite on the branch
+    assert(rwV == 3L)
+    assert(ManifestTable.branchSnapshot(spark, dir, "fix").as[Long].collect().sorted.toSeq ==
+      (1L to 15L).filterNot(Set(3L, 12L)))
+    ManifestTable.commit(Seq(100L).toDF("id"), dir, Seq("id")) // main v2 — diverged
+    intercept[IllegalStateException](ManifestTable.fastForward(dir, "fix"))
+    // replay IN ORDER: the append first (its files go live on main),
+    // then the rewrite (swaps branch-visible files, incl. the appended)
+    assert(ManifestTable.cherryPick(dir, "fix", 2L) == 3L)
+    assert(ManifestTable.snapshot(spark, dir).as[Long].collect().sorted.toSeq ==
+      ((1L to 15L) :+ 100L).sorted)
+    assert(ManifestTable.cherryPick(dir, "fix", 3L) == 4L)
+    assert(ManifestTable.snapshot(spark, dir).as[Long].collect().sorted.toSeq ==
+      ((1L to 15L).filterNot(Set(3L, 12L)) :+ 100L).sorted)
+    ManifestTable.dropBranch(dir, "fix")
+    assert(ManifestTable.snapshot(spark, dir).count() == 14,
+      "dropBranch must keep files main history references")
+    // GENUINE CONFLICT: main rewrote the very file the branch rewrite
+    // replaces — refuse loudly, main untouched
+    val d2 = freshDir()
+    ManifestTable.commit((1L to 10L).toDF("id").repartition(1), d2, Seq("id"))
+    ManifestTable.createBranch(d2, "c2")
+    val bv2 = ManifestTable.deleteOnBranch(spark, d2, "c2", $"id" === 5L)
+    ManifestTable.delete(spark, d2, $"id" === 6L) // main rewrites the same file
+    val e = intercept[IllegalStateException](ManifestTable.cherryPick(d2, "c2", bv2))
+    assert(e.getMessage.contains("file-set conflict"), e.getMessage)
+    assert(ManifestTable.snapshot(spark, d2).as[Long].collect().sorted.toSeq ==
+      (1L to 10L).filterNot(_ == 6L))
+    // MoR DELTA: a merge-on-read delete landed on main since the fork —
+    // its tombstones would not bind the replayed fresh-seq files
+    val d3 = freshDir()
+    ManifestTable.commit((1L to 10L).toDF("id").repartition(1), d3, Seq("id"))
+    ManifestTable.commit((11L to 20L).toDF("id").repartition(1), d3, Seq("id"))
+    ManifestTable.createBranch(d3, "c3")
+    val bv3 = ManifestTable.deleteOnBranch(spark, d3, "c3", $"id" === 5L)
+    ManifestTable.deleteByKey(Seq(15L).toDF("id"), d3, keys = Seq("id"))
+    val e3 = intercept[IllegalStateException](ManifestTable.cherryPick(d3, "c3", bv3))
+    assert(e3.getMessage.contains("merge-on-read"), e3.getMessage)
+  }
+
   test("cursor pins with dash-prefixed names never collide (a vs a-b)") {
     val dir = freshDir()
     ManifestTable.commit(Seq(1L).toDF("id"), dir, Seq("id"))
@@ -1361,6 +1407,7 @@ class ManifestTableSpec extends SparkSpec {
     case object Rename extends Op
     case class BranchCycle(r1: Map[Long, Long], r2: Map[Long, Long]) extends Op
     case class BranchPick(br: Map[Long, Long], mr: Map[Long, Long]) extends Op
+    case class BranchPickRewrite(br: Map[Long, Long], mr: Map[Long, Long]) extends Op
 
     val rowsGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 999L)))
     val opGen: Gen[Op] = Gen.frequency(
@@ -1382,7 +1429,10 @@ class ManifestTableSpec extends SparkSpec {
       // commits, audit the branch read against the model, fast-forward
       // — and the diverged variant cherry-picks one commit instead
       2 -> Gen.zip(rowsGen, rowsGen).map { case (a, b) => BranchCycle(a, b) },
-      2 -> Gen.zip(rowsGen, rowsGen).map { case (a, b) => BranchPick(a, b) })
+      2 -> Gen.zip(rowsGen, rowsGen).map { case (a, b) => BranchPick(a, b) },
+      // the rewrite variant: the branch stages an append AND a CoW
+      // delete; both replay onto the diverged main in order
+      1 -> Gen.zip(rowsGen, rowsGen).map { case (a, b) => BranchPickRewrite(a, b) })
     val seqGen = Gen.choose(3, 7).flatMap(n => Gen.listOfN(n, opGen))
 
     (0 until 6).foreach { trial =>
@@ -1482,6 +1532,33 @@ class ManifestTableSpec extends SparkSpec {
           val v2 = ManifestTable.cherryPick(dir, b, bv)
           model = model ++ br.toVector
           history :+= (v2, model)
+          ManifestTable.dropBranch(dir, b): Unit
+        case BranchPickRewrite(br, mr) if history.nonEmpty && br.nonEmpty && mr.nonEmpty =>
+          branchN += 1; val b = s"rw$branchN"
+          val m0 = model // main state at the fork
+          ManifestTable.createBranch(dir, b)
+          ManifestTable.commitToBranch(df(br), dir, b, Seq("k"))
+          val appendV = ManifestTable.branches(dir)(b)
+          // the branch CoW delete removes one appended key — the
+          // rewrite touches every branch-visible file holding it
+          val d = br.keys.min
+          val delV = ManifestTable.deleteOnBranch(spark, dir, b, $"k" === d)
+          assert(delV == appendV + 1, s"trial $trial: branch delete must commit")
+          // main diverges past the fork
+          val v1 = ManifestTable.commit(df(mr), dir, Seq("k"))
+          model = model ++ mr.toVector
+          history :+= (v1, model)
+          intercept[IllegalStateException](ManifestTable.fastForward(dir, b))
+          // replay in order: append first (files go live on main), then
+          // the rewrite (swaps fork-time + appended files; mr's file,
+          // committed after the fork, is untouched — k == d rows from
+          // mr SURVIVE, exactly like a rebased rewrite should behave)
+          val v2 = ManifestTable.cherryPick(dir, b, appendV)
+          model = model ++ br.toVector
+          history :+= (v2, model)
+          val v3 = ManifestTable.cherryPick(dir, b, delV)
+          model = m0.filterNot(_._1 == d) ++ br.toVector.filterNot(_._1 == d) ++ mr.toVector
+          history :+= (v3, model)
           ManifestTable.dropBranch(dir, b): Unit
         case _ => ()
       }; consume() }
