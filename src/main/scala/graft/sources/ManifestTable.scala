@@ -1668,13 +1668,18 @@ object ManifestTable {
       TrackSpec.outputType(spec,
         DataFrameSchema.fromJson(m.schemaJson)(spec.source).dataType)
     }
+    // rename-alias walk (the graft.plans.ManifestSkipping.Stats lookup):
+    // a pre-rename file's envelope is keyed under the name its bytes
+    // carry — without the walk such files would read as null-envelope
+    // and silently over-prune
+    val statKeys = trackedCol +: renameAliases(m).getOrElse(trackedCol, Nil)
+    def stat(mp: Map[String, Option[String]]): String =
+      statKeys.collectFirst { case k if mp.contains(k) => mp(k) }.flatten.orNull
     val entries = spark.createDataFrame(
       // a column absent from the maps is a null envelope: JSON object
       // rendering omits None-valued keys, so absence and None coincide
       spark.sparkContext.parallelize(covered.map(f =>
-        org.apache.spark.sql.Row(f.path,
-          f.mins.getOrElse(trackedCol, None).orNull,
-          f.maxs.getOrElse(trackedCol, None).orNull)), 1),
+        org.apache.spark.sql.Row(f.path, stat(f.mins), stat(f.maxs))), 1),
       StructType(Seq(
         StructField("path", StringType), StructField("mn", StringType), StructField("mx", StringType))))
     entries

@@ -175,6 +175,24 @@ class ManifestTableSpec extends SparkSpec {
     assert(e.getMessage.contains("no commit"))
   }
 
+  test("livePaths walks rename aliases: pre-rename files keep pruning by their old-name envelopes") {
+    val dir = freshDir()
+    ManifestTable.commit((1L to 100L).map(i => (i, i)).toDF("k", "v")
+      .repartitionByRange(4, $"v"), dir, Seq("v"))
+    ManifestTable.renameColumn(dir, "v", "val")
+    ManifestTable.commit(Seq((200L, 200L)).toDF("k", "val"), dir, Seq("val"))
+    // pre-rename files hold their envelopes under 'v'; without the
+    // alias walk they read as null-envelope and silently over-prune
+    val all = ManifestTable.livePaths(spark, dir, "val", lit(1L), lit(200L))
+    assert(all.size == 5, s"every file overlaps the full range, got ${all.size}")
+    val some = ManifestTable.livePaths(spark, dir, "val", lit(30L), lit(40L))
+    assert(some.nonEmpty && some.size < 5,
+      s"a narrow range must prune pre-rename files BY ENVELOPE, got ${some.size}")
+    // and the pruned scan stays bit-identical to the plain filter
+    assert(ManifestTable.prunedScan(spark, dir, "val", lit(30L), lit(40L))
+      .select("k").as[Long].collect().sorted.toSeq == (30L to 40L))
+  }
+
   test("cherry-pick replays a branch CoW REWRITE onto a diverged main; genuine conflicts refuse") {
     val dir = freshDir()
     ManifestTable.commit((1L to 10L).toDF("id").repartition(2), dir, Seq("id")) // v1
@@ -1408,6 +1426,7 @@ class ManifestTableSpec extends SparkSpec {
     case class BranchCycle(r1: Map[Long, Long], r2: Map[Long, Long]) extends Op
     case class BranchPick(br: Map[Long, Long], mr: Map[Long, Long]) extends Op
     case class BranchPickRewrite(br: Map[Long, Long], mr: Map[Long, Long]) extends Op
+    case object AddTrack extends Op
 
     val rowsGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 999L)))
     val opGen: Gen[Op] = Gen.frequency(
@@ -1432,7 +1451,11 @@ class ManifestTableSpec extends SparkSpec {
       2 -> Gen.zip(rowsGen, rowsGen).map { case (a, b) => BranchPick(a, b) },
       // the rewrite variant: the branch stages an append AND a CoW
       // delete; both replay onto the diverged main in order
-      1 -> Gen.zip(rowsGen, rowsGen).map { case (a, b) => BranchPickRewrite(a, b) })
+      1 -> Gen.zip(rowsGen, rowsGen).map { case (a, b) => BranchPickRewrite(a, b) },
+      // track-spec evolution mid-history: first an identity column,
+      // then a hidden-partitioning transform; every later op re-audits
+      // scan-vs-prune per file (auditPrune)
+      2 -> Gen.const(AddTrack))
     val seqGen = Gen.choose(3, 7).flatMap(n => Gen.listOfN(n, opGen))
 
     (0 until 6).foreach { trial =>
@@ -1445,7 +1468,36 @@ class ManifestTableSpec extends SparkSpec {
       var curVal = "v" // current name of the value column (renames retire old names)
       var renameN = 0
       var branchN = 0
+      var trackStage = 0 // 0: only k tracked; 1: +identity curVal; 2: +truncate(8,k)
       def df(rows: Map[Long, Long]) = rows.toSeq.toDF("k", curVal)
+      // appends must carry the table's LIVE track spec (track-spec
+      // evolution mid-sequence changes it; a stale spec refuses)
+      def curTrack: Seq[String] =
+        ManifestTable.latestVersion(dir)
+          .map(_ => ManifestTable.manifest(dir, None).track).getOrElse(Seq("k"))
+      // scan-vs-prune audit per file per version: once a column is
+      // tracked mid-history, files predating the watermark must ALWAYS
+      // scan (for any range) and covered files must prune by envelope —
+      // run after every subsequent op, over every live file
+      def auditPrune(): Unit = if (trackStage > 0 && history.nonEmpty) {
+        val m = ManifestTable.manifest(dir, None)
+        m.track.filterNot(_ == "k").foreach { t =>
+          val spec = graft.sources.TrackSpec.parse(t)
+          val uncovered = m.files.filterNot(f => m.envelopeCovers(t, f.seq)).map(_.path).toSet
+          // a range no value can hit: live == exactly the uncovered files
+          val none = ManifestTable.livePaths(spark, dir, t, lit(-9L), lit(-1L)).toSet
+          assert(none == uncovered,
+            s"trial $trial: impossible range on $t must scan exactly the " +
+              s"pre-evolution files (got ${none.size}, want ${uncovered.size})")
+          // the full domain: every file scans (values are 0..999, keys
+          // 0..30, truncate(8,k) in 0..24 — never null)
+          val lo = lit(0L)
+          val hi = if (spec.isInstanceOf[graft.sources.TrackSpec.Identity]) lit(999L) else lit(24L)
+          val all = ManifestTable.livePaths(spark, dir, t, lo, hi).toSet
+          assert(all == m.files.map(_.path).toSet,
+            s"trial $trial: full-domain range on $t must scan every file")
+        }
+      }
       // a cursor-driven CDF consumer rides along: after every op it
       // drains the feed and folds into a materialized per-key rollup —
       // random sequences thus ALSO fuzz ChangeFeedStream + fold across
@@ -1467,7 +1519,7 @@ class ManifestTableSpec extends SparkSpec {
       // the sequences interleave freely — no forced materialize cadence
       ops.foreach { op => (op: @unchecked) match {
         case Commit(rows) if rows.nonEmpty =>
-          val v = ManifestTable.commit(df(rows), dir, Seq("k"))
+          val v = ManifestTable.commit(df(rows), dir, curTrack)
           model = model ++ rows.toVector
           history :+= (v, model)
         case Commit(_) => ()
@@ -1503,8 +1555,8 @@ class ManifestTableSpec extends SparkSpec {
         case BranchCycle(r1, r2) if history.nonEmpty && r1.nonEmpty && r2.nonEmpty =>
           branchN += 1; val b = s"wap$branchN"
           ManifestTable.createBranch(dir, b)
-          ManifestTable.commitToBranch(df(r1), dir, b, Seq("k"))
-          ManifestTable.commitToBranch(df(r2), dir, b, Seq("k"))
+          ManifestTable.commitToBranch(df(r1), dir, b, curTrack)
+          ManifestTable.commitToBranch(df(r2), dir, b, curTrack)
           // main is isolated while staged; the branch read (the audit
           // surface) is exactly model ++ staged
           assert(ManifestTable.snapshot(spark, dir).count() == model.size,
@@ -1521,10 +1573,10 @@ class ManifestTableSpec extends SparkSpec {
         case BranchPick(br, mr) if history.nonEmpty && br.nonEmpty && mr.nonEmpty =>
           branchN += 1; val b = s"pick$branchN"
           ManifestTable.createBranch(dir, b)
-          ManifestTable.commitToBranch(df(br), dir, b, Seq("k"))
+          ManifestTable.commitToBranch(df(br), dir, b, curTrack)
           val bv = ManifestTable.branches(dir)(b)
           // main diverges past the branch point...
-          val v1 = ManifestTable.commit(df(mr), dir, Seq("k"))
+          val v1 = ManifestTable.commit(df(mr), dir, curTrack)
           model = model ++ mr.toVector
           history :+= (v1, model)
           // ...so fast-forward must refuse, and cherry-pick replays it
@@ -1537,7 +1589,7 @@ class ManifestTableSpec extends SparkSpec {
           branchN += 1; val b = s"rw$branchN"
           val m0 = model // main state at the fork
           ManifestTable.createBranch(dir, b)
-          ManifestTable.commitToBranch(df(br), dir, b, Seq("k"))
+          ManifestTable.commitToBranch(df(br), dir, b, curTrack)
           val appendV = ManifestTable.branches(dir)(b)
           // the branch CoW delete removes one appended key — the
           // rewrite touches every branch-visible file holding it
@@ -1545,7 +1597,7 @@ class ManifestTableSpec extends SparkSpec {
           val delV = ManifestTable.deleteOnBranch(spark, dir, b, $"k" === d)
           assert(delV == appendV + 1, s"trial $trial: branch delete must commit")
           // main diverges past the fork
-          val v1 = ManifestTable.commit(df(mr), dir, Seq("k"))
+          val v1 = ManifestTable.commit(df(mr), dir, curTrack)
           model = model ++ mr.toVector
           history :+= (v1, model)
           intercept[IllegalStateException](ManifestTable.fastForward(dir, b))
@@ -1560,8 +1612,13 @@ class ManifestTableSpec extends SparkSpec {
           model = m0.filterNot(_._1 == d) ++ br.toVector.filterNot(_._1 == d) ++ mr.toVector
           history :+= (v3, model)
           ManifestTable.dropBranch(dir, b): Unit
+        case AddTrack if history.nonEmpty && trackStage < 2 =>
+          trackStage += 1
+          val t = if (trackStage == 1) curVal else "truncate(8,k)"
+          val v = ManifestTable.addTrackedColumn(dir, t)
+          history :+= (v, model)
         case _ => ()
-      }; consume() }
+      }; consume(); auditPrune() }
       // every recorded version must read back as its model state —
       // snapshot isolation means later ops never disturb old versions
       history.foreach { case (v, want) =>
