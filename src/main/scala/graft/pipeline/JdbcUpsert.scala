@@ -155,7 +155,15 @@ object JdbcUpsert {
     df.foreachPartition { (rows: Iterator[Row]) =>
       val conn = java.sql.DriverManager.getConnection(url, props)
       try writePartition(conn, sql, bindOrdinals, rows, batchSize, maxRetries, queryTimeoutSec)
-      finally conn.close()
+      finally {
+        // a task killed mid-batch (speculation, executor shutdown, an
+        // interrupt between executeBatch and commit) leaves an OPEN
+        // transaction; strict drivers (Derby) then refuse close() —
+        // which would MASK the real failure. Roll back best-effort
+        // first; the per-batch-commit contract makes the replay safe.
+        try if (!conn.getAutoCommit) conn.rollback() catch { case _: Exception => () }
+        conn.close()
+      }
     }
   }
 

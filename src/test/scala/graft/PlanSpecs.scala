@@ -251,6 +251,9 @@ class PlanSpecs extends SparkSpec {
       "q31_knn_brute",          // broadcast query set x corpus (guarded)
       "q32_ann_ivf",            // broadcast reps + broadcast probe (guarded)
       "q33_embedding_neardup",  // documented O(n^2) exact recall baseline
+      "q224_cosine_auto",       // exact regime at oracle scale = q33's byte-guarded
+                                // broadcast theta-join; above the probed cutoff the
+                                // LSH-blocked path replaces it (equi-join on bucket)
       "q20_scalar_subquery",    // scalar subquery result joined as a 1-row side
       "q80_bigram_lm",          // vocabulary size: a broadcast 1-row aggregate side
       "q85_histogram",          // min/max bounds: a broadcast 1-row aggregate side
