@@ -66,7 +66,10 @@ case class MorApplyRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           // scan would read pre-rename files' renamed columns as NULL;
           // the snapshot plan groups files by rename era instead
           case t: GraftLakeTable if t.m.hasMorDeletes || t.m.renamesApply =>
-            val applied = ManifestTable.snapshot(spark, t.dir, Some(t.m.version))
+            // plan from the relation's RESOLVED manifest, not a version
+            // re-resolution: the table may be a branch head (wap.branch
+            // read routing) whose number is not a main snapshot
+            val applied = ManifestTable.appliedSnapshot(spark, t.m)
             val child = applied.queryExecution.analyzed
             val byName = child.output.map(a => a.name -> a).toMap
             // keep the relation's exprIds: every downstream reference

@@ -1440,6 +1440,17 @@ object ManifestTable {
     appliedRead(spark, m, m.files.map(_.path))
   }
 
+  /** The applied read of an ALREADY-RESOLVED manifest — what the
+    * injected [[graft.plans.MorApplyRewrite]] plans from. The relation
+    * may hold a BRANCH head (`spark.graft.wap.branch` read routing)
+    * whose version number is not a main snapshot, so re-resolving by
+    * version would either miss it or bind a different snapshot; using
+    * the resolved manifest is also immune to an expiry racing the
+    * analysis.
+    */
+  private[graft] def appliedSnapshot(spark: SparkSession, m: Manifest): DataFrame =
+    appliedRead(spark, m, m.files.map(_.path))
+
   /** Read `paths` of snapshot `m` with pending merge-on-read deletes
     * APPLIED: each data row carries its file's sequence number, each
     * delete row its delete file's, and one anti join on the delete keys

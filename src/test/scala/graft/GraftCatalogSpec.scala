@@ -708,6 +708,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ManifestTable.latestVersion(dir).contains(3L))
   }
 
+  test("spark.graft.wap.branch: a branch read with pending MoR tombstones serves the APPLIED view") {
+    val dir = mkTable("lake", "wapmor")
+    // tombstones land on MAIN before the fork: the branch inherits them
+    ManifestTable.deleteByKey(Seq(5L, 6L).toDF("id"), dir, keys = Seq("id"))
+    spark.sql("CALL graft.system.create_branch(table => 'lake.wapmor', name => 'stage')")
+    spark.conf.set("spark.graft.wap.branch", "stage")
+    try {
+      spark.sql("INSERT INTO graft.lake.wapmor VALUES (7001, 1, 'staged')")
+      // the plain read is the branch head THROUGH MorApplyRewrite:
+      // tombstoned keys gone, staged row visible
+      val got = spark.sql(
+        "SELECT count(*) AS n, count(CASE WHEN id IN (5, 6) THEN 1 END) AS doomed, " +
+          "count(CASE WHEN id = 7001 THEN 1 END) AS staged FROM graft.lake.wapmor").head()
+      assert(got.getLong(0) == 999 && got.getLong(1) == 0 && got.getLong(2) == 1,
+        s"branch read must apply inherited tombstones: $got")
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    // main: tombstones applied, no staged row
+    assert(spark.sql("SELECT count(*) FROM graft.lake.wapmor").head().getLong(0) == 998)
+  }
+
   test("spark.graft.wap.branch: writeStream.toTable routes epochs onto the branch, exactly-once") {
     val dir = mkTable("lake", "wapstream")
     spark.sql("CALL graft.system.create_branch(table => 'lake.wapstream', name => 'ingest')")

@@ -247,6 +247,30 @@ class GraftStreamReadSpec extends SparkSpec {
       Option(e.getCause).exists(_.toString.contains("materializeDeletes")), e.toString)
   }
 
+  test("MoR-applying snapshot SPANS rename eras: per-era position filters compose with the rename chain") {
+    val _ = warehouse
+    spark.sql("CREATE TABLE graftsr.lake.morren (id BIGINT, v STRING) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graftsr.lake.morren SELECT id, concat('v', id) " +
+      "FROM range(1, 11, 1, 1)") // era-0 file
+    spark.sql("ALTER TABLE graftsr.lake.morren RENAME COLUMN v TO val")
+    spark.sql("INSERT INTO graftsr.lake.morren SELECT id, concat('v', id) " +
+      "FROM range(11, 21, 1, 1)") // era-1 file
+    val dir = s"$warehouse/lake/morren"
+    // tombstones touch BOTH eras: equality delete on an era-0 row and
+    // an era-1 row, positional delete on one more era-0 row
+    ManifestTable.deleteByKey(Seq(3L, 13L).toDF("id"), dir, keys = Seq("id"))
+    ManifestTable.deleteWhere(spark, dir, col("id") === 7L)
+    val q = startInto("sr_morren", "graftsr.lake.morren", tmpDir("sr-morren-ckpt"))
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sr_morren").select("id", "val")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val want = (1L to 20L).filterNot(Set(3L, 7L, 13L)).map(i => (i, s"v$i"))
+      assert(got == want,
+        s"snapshot must apply tombstones per era AND read era-0 bytes under 'val': $got")
+    } finally q.stop()
+  }
+
   test("rename mid-stream fails the run; a restart on the SAME checkpoint re-baselines, exactly-once") {
     val dir = s"$warehouse/lake/ren" // (forces catalog registration first)
     spark.sql("CREATE TABLE graftsr.lake.ren (id BIGINT, v STRING) PARTITIONED BY (id)")
