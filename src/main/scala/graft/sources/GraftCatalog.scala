@@ -261,12 +261,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // pruning — Iceberg's date-range-prunes-without-a-day-column
         case "identity" => ref
         case "days" => s"days($ref)"
+        case "hours" => s"hours($ref)"
+        case "months" => s"months($ref)"
+        case "years" => s"years($ref)"
         case "bucket" => s"bucket($width,$ref)"
         case "truncate" => s"truncate($width,$ref)"
         case other => throw new IllegalArgumentException(
           s"CREATE TABLE $ident: unsupported PARTITIONED BY transform '$other' " +
-            s"(${t.describe()}); supported: identity columns, days(col), " +
-            "bucket(n, col), truncate(w, col)")
+            s"(${t.describe()}); supported: identity columns, " +
+            "years/months/days/hours(col), bucket(n, col), truncate(w, col)")
       }
     }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident.toString)

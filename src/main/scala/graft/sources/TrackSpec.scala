@@ -27,7 +27,12 @@ import org.apache.spark.sql.types._
   *  - `days(ts)`: floorDiv(epoch micros, 86_400_000_000) — the UTC day
   *    ordinal, zone-free (DATE columns use their day ordinal as is).
   *    MONOTONE, so range predicates on the source derive range
-  *    constraints on the envelope.
+  *    constraints on the envelope. `hours(ts)` is the same floorDiv at
+  *    hour granularity (TIMESTAMP only); `months(ts)`/`years(ts)` map
+  *    the UTC day through the proleptic Gregorian civil calendar
+  *    (months-since-1970-01 / years-since-1970 — `LocalDate` driver-
+  *    side, `date_from_unix_date` + `year`/`month` engine-side, the
+  *    same calendar). All MONOTONE.
   *  - `truncate(w, s)`: strings truncate to `w` leading characters
   *    (UTF-8 byte order is code-point order, so a character prefix is
   *    monotone); integrals floor to the nearest multiple of `w`
@@ -54,6 +59,9 @@ object TrackSpec {
   }
   final case class Identity(source: String) extends Spec { def key: String = source }
   final case class Days(source: String) extends Spec { def key: String = s"days($source)" }
+  final case class Hours(source: String) extends Spec { def key: String = s"hours($source)" }
+  final case class Months(source: String) extends Spec { def key: String = s"months($source)" }
+  final case class Years(source: String) extends Spec { def key: String = s"years($source)" }
   final case class Bucket(n: Int, source: String) extends Spec {
     def key: String = s"bucket($n,$source)"
   }
@@ -62,6 +70,9 @@ object TrackSpec {
   }
 
   private val DaysRe = """days\(\s*([^(),\s]+)\s*\)""".r
+  private val HoursRe = """hours\(\s*([^(),\s]+)\s*\)""".r
+  private val MonthsRe = """months\(\s*([^(),\s]+)\s*\)""".r
+  private val YearsRe = """years\(\s*([^(),\s]+)\s*\)""".r
   private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
   private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
 
@@ -71,6 +82,9 @@ object TrackSpec {
     */
   def parse(s: String): Spec = s.trim match {
     case DaysRe(c) => Days(c)
+    case HoursRe(c) => Hours(c)
+    case MonthsRe(c) => Months(c)
+    case YearsRe(c) => Years(c)
     case BucketRe(n, c) =>
       require(n.toInt >= 1, s"bucket count must be >= 1: $s"); Bucket(n.toInt, c)
     case TruncRe(w, c) =>
@@ -81,11 +95,12 @@ object TrackSpec {
   def isTransform(s: String): Boolean = !parse(s).isInstanceOf[Identity]
 
   private val MicrosPerDay = 86400000000L
+  private val MicrosPerHour = 3600000000L
 
   /** The envelope's value type for a spec over a source of `srcType`. */
   def outputType(spec: Spec, srcType: DataType): DataType = spec match {
     case Identity(_) => srcType
-    case Days(_) => LongType
+    case Days(_) | Hours(_) | Months(_) | Years(_) => LongType
     case Bucket(_, _) => LongType
     case Truncate(_, _) => srcType match {
       case StringType => StringType
@@ -96,15 +111,22 @@ object TrackSpec {
   /** Validate spec-vs-source-type at declaration time, loudly. */
   def validate(spec: Spec, srcType: DataType): Unit = spec match {
     case Identity(_) => ()
-    case Days(c) => require(
-      srcType == TimestampType || srcType == DateType,
-      s"days($c) needs a TIMESTAMP or DATE source, got ${srcType.simpleString} " +
-        "(TIMESTAMP_NTZ has no zone-free epoch; cast it explicitly first)")
+    case Days(c) => requireTemporal("days", c, srcType)
+    case Months(c) => requireTemporal("months", c, srcType)
+    case Years(c) => requireTemporal("years", c, srcType)
+    case Hours(c) => require(srcType == TimestampType,
+      s"hours($c) needs a TIMESTAMP source, got ${srcType.simpleString} " +
+        "(a DATE has no hour; TIMESTAMP_NTZ has no zone-free epoch)")
     case Bucket(_, c) => require(integral(srcType) || srcType == StringType,
       s"bucket(n,$c) needs an integral or string source, got ${srcType.simpleString}")
     case Truncate(_, c) => require(integral(srcType) || srcType == StringType,
       s"truncate(w,$c) needs an integral or string source, got ${srcType.simpleString}")
   }
+
+  private def requireTemporal(kind: String, c: String, srcType: DataType): Unit = require(
+    srcType == TimestampType || srcType == DateType,
+    s"$kind($c) needs a TIMESTAMP or DATE source, got ${srcType.simpleString} " +
+      "(TIMESTAMP_NTZ has no zone-free epoch; cast it explicitly first)")
 
   private def integral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -114,12 +136,33 @@ object TrackSpec {
   /** The transform as a Spark Column over the source — what commit-time
     * stats collection aggregates (value-identical to [[literal]]).
     */
+  /** floorDiv of epoch micros as a SQL fragment (pmod first: `div`
+    * truncates toward zero, wrong pre-1970).
+    */
+  private def floorDivSql(c: String, unit: Long): String =
+    s"(unix_micros($c) - pmod(unix_micros($c), ${unit}L)) div ${unit}L"
+
+  /** Epoch-DAY ordinal of the source as a SQL fragment (zone-free). */
+  private def epochDaySql(c: String, srcType: DataType): String =
+    if (srcType == TimestampType) floorDivSql(c, MicrosPerDay)
+    else s"datediff($c, DATE'1970-01-01')"
+
+  /** The UTC day as a DATE value, for calendar (month/year) transforms
+    * — `date_from_unix_date`/`year`/`month` are zone-free on DATE, and
+    * Spark 3+'s proleptic Gregorian matches `java.time.LocalDate`.
+    */
+  private def utcDateSql(c: String, srcType: DataType): String =
+    s"date_from_unix_date(CAST(${epochDaySql(c, srcType)} AS INT))"
+
   def column(spec: Spec, srcType: DataType): Column = spec match {
     case Identity(c) => col(c)
-    case Days(c) if srcType == TimestampType =>
-      // floorDiv via pmod: `div` truncates toward zero (wrong pre-1970)
-      expr(s"(unix_micros($c) - pmod(unix_micros($c), ${MicrosPerDay}L)) div ${MicrosPerDay}L")
+    case Days(c) if srcType == TimestampType => expr(floorDivSql(c, MicrosPerDay))
     case Days(c) => datediff(col(c), to_date(lit("1970-01-01"))).cast("long")
+    case Hours(c) => expr(floorDivSql(c, MicrosPerHour))
+    case Months(c) =>
+      val d = utcDateSql(c, srcType)
+      expr(s"CAST((year($d) - 1970) * 12 + month($d) - 1 AS BIGINT)")
+    case Years(c) => expr(s"CAST(year(${utcDateSql(c, srcType)}) - 1970 AS BIGINT)")
     case Bucket(n, c) => pmod(xxhash64(col(c)), lit(n.toLong))
     case Truncate(w, c) if srcType == StringType => substring(col(c), 1, w)
     case Truncate(w, c) =>
@@ -131,11 +174,22 @@ object TrackSpec {
     * UTF8String) — what planning-time constraint derivation applies to
     * predicate bounds. Defined value-identical to [[column]].
     */
+  /** Catalyst temporal literal → epoch-day ordinal (timestamps are
+    * epoch micros, dates day-ordinal ints).
+    */
+  private def epochDay(v: Any, srcType: DataType): Long =
+    if (srcType == TimestampType) Math.floorDiv(v.asInstanceOf[Long], MicrosPerDay)
+    else v.asInstanceOf[Int].toLong
+
   def literal(spec: Spec, v: Any, srcType: DataType): Any = spec match {
     case Identity(_) => v
-    case Days(_) if srcType == TimestampType =>
-      Math.floorDiv(v.asInstanceOf[Long], MicrosPerDay)
-    case Days(_) => v.asInstanceOf[Int].toLong
+    case Days(_) => epochDay(v, srcType)
+    case Hours(_) => Math.floorDiv(v.asInstanceOf[Long], MicrosPerHour)
+    case Months(_) =>
+      val d = java.time.LocalDate.ofEpochDay(epochDay(v, srcType))
+      (d.getYear - 1970).toLong * 12 + d.getMonthValue - 1
+    case Years(_) =>
+      (java.time.LocalDate.ofEpochDay(epochDay(v, srcType)).getYear - 1970).toLong
     case Bucket(n, _) =>
       val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
         Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(v, srcType)))

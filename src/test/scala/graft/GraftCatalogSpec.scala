@@ -231,13 +231,13 @@ class GraftCatalogSpec extends SparkSpec {
     val dup = intercept[Exception](
       spark.sql("CREATE TABLE graft.lake.ctas_dst (x INT)").collect())
     assert(dup.getMessage.toLowerCase.contains("exists"), s"got: ${dup.getMessage}")
-    // bucket/days/truncate are the supported hidden-partitioning
-    // transforms; anything else still refuses loudly
-    val years = intercept[Exception](
+    // years/months/days/hours/bucket/truncate are the supported
+    // hidden-partitioning transforms; anything else still refuses loudly
+    val bad = intercept[Exception](
       spark.sql("CREATE TABLE graft.lake.bad (id BIGINT, ts TIMESTAMP) " +
-        "PARTITIONED BY (years(ts))").collect())
-    assert(years.getMessage.contains("unsupported PARTITIONED BY transform"),
-      s"got: ${years.getMessage}")
+        "PARTITIONED BY (foo(ts))").collect())
+    assert(bad.getMessage.contains("unsupported PARTITIONED BY transform"),
+      s"got: ${bad.getMessage}")
   }
 
   test("SQL insert into a table with PENDING MoR tombstones: sequence rule holds") {
@@ -794,6 +794,21 @@ class GraftCatalogSpec extends SparkSpec {
     assert(qtr.count() == 100)
     // the transforms are HIDDEN: no synthetic column in the schema
     assert(spark.table("graft.lake.hidden").columns.toSeq == Seq("ts", "user_id", "name"))
+    // calendar transforms: a months(ts) table prunes a month-straddling
+    // ts range to the overlapping month's files only
+    spark.sql("CREATE TABLE graft.lake.hiddenm (ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (months(ts))")
+    for (m <- Seq("01", "02", "03"))
+      spark.sql(s"INSERT INTO graft.lake.hiddenm SELECT timestamp'2026-$m-10 01:00:00' + " +
+        "make_interval(0, 0, 0, 0, 0, 0, id), id FROM range(0, 50, 1, 1)")
+    // (a bound at exactly the month boundary would admit March too:
+    // strict source bounds derive as NON-strict transformed bounds —
+    // the conservative widening a collapsing transform requires)
+    val qm = spark.sql("SELECT ts FROM graft.lake.hiddenm WHERE " +
+      "ts >= timestamp'2026-02-01 00:00:00' AND ts < timestamp'2026-02-20 00:00:00'")
+    assert(scannedFiles(qm).size == 1,
+      s"months(ts) must prune a month range to 1 file, got ${scannedFiles(qm).size}")
+    assert(qm.count() == 50)
     // renaming/dropping a transform source refuses loudly
     val er = intercept[Exception](
       spark.sql("ALTER TABLE graft.lake.hidden RENAME COLUMN ts TO event_ts"))

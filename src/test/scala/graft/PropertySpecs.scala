@@ -477,6 +477,37 @@ class PropertySpecs extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(sSpark == strs.map(v =>
       TrackSpec.literal(sSpec, UTF8String.fromString(v), StringType).toString))
+    // hours/months/years over the same timestamp edges: floorDiv and
+    // proleptic-Gregorian civil calendar on both sides (LocalDate vs
+    // date_from_unix_date + year/month — leap years, pre-1970)
+    val hSpec = TrackSpec.parse("hours(ts)")
+    val hSpark = micros.toDF("us").selectExpr("timestamp_micros(us) AS ts")
+      .select(TrackSpec.column(hSpec, TimestampType).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(hSpark == micros.map(m =>
+      TrackSpec.literal(hSpec, m, TimestampType).asInstanceOf[Long]))
+    val calMicros = micros ++ Seq(
+      -62135596800000000L + 86400000000L * 31, // year 1 CE, Feb (deep proleptic)
+      951782400000000L,   // 2000-02-29 (leap day)
+      4107542400000000L)  // 2100-03-01 (after the NON-leap century year)
+    for (t <- Seq("months(ts)", "years(ts)")) {
+      val spec = TrackSpec.parse(t)
+      val got = calMicros.toDF("us").selectExpr("timestamp_micros(us) AS ts")
+        .select(TrackSpec.column(spec, TimestampType).as("x"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == calMicros.map(m =>
+        TrackSpec.literal(spec, m, TimestampType).asInstanceOf[Long]), t)
+    }
+    // and over DATE sources (day-ordinal ints on the driver side)
+    val days = Seq(-719162, -1, 0, 59, 11016, 18321)
+    for (t <- Seq("days(d)", "months(d)", "years(d)")) {
+      val spec = TrackSpec.parse(t)
+      val got = days.toDF("ord").selectExpr("date_from_unix_date(ord) AS d")
+        .select(TrackSpec.column(spec, DateType).as("x"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == days.map(v =>
+        TrackSpec.literal(spec, v, DateType).asInstanceOf[Long]), t)
+    }
     // bucket: one hash family (xxhash64 seed 42) on both sides
     val bSpec = TrackSpec.parse("bucket(16,v)")
     val bSpark = longs.toDF("v").select(TrackSpec.column(bSpec, LongType).as("b"))
