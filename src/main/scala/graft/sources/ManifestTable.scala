@@ -2140,16 +2140,114 @@ object ManifestTable {
     if (touched.isEmpty) return head.version
     val kept = appliedRead(spark, head, touched.toSeq)
       .where(coalesce(!cond, lit(true)))
+    installRewriteOnBranch(spark, dir, name, head, touched, kept)
+  }
+
+  /** Row-level copy-on-write UPDATE ON A BRANCH — [[update]]'s
+    * semantics committed as the branch's next shadow snapshot (same
+    * determinism and type pins, same applied-view probe).
+    */
+  def updateOnBranch(
+      spark: SparkSession, dir: String, name: String, cond: Column,
+      set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    val head = branchManifest(dir, name)
+    val schema = DataFrameSchema.fromJson(head.schemaJson)
+    val missing = set.keys.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"SET column(s) ${missing.mkString(", ")} not in schema")
+    val snap = appliedReadWithFile(spark, head, head.files.map(_.path))
+    val exprs = cond +: set.values.toSeq
+    require(
+      snap.select(exprs.zipWithIndex.map { case (c, i) => c.as(s"__e$i") }: _*)
+        .queryExecution.analyzed.expressions.forall(_.deterministic),
+      "update condition and SET expressions must be deterministic")
+    val probe = snap.select(set.map { case (k, c) => c.as(k) }.toSeq: _*)
+    set.keys.foreach { k =>
+      val got = probe.schema(k).dataType
+      require(got == schema(k).dataType,
+        s"SET retypes column $k: ${schema(k).dataType} -> $got; cast the expression")
+    }
+    val byName = head.files.map(f => fileBasename(f.path) -> f.path).toMap
+    val touched = snap.where(cond)
+      .select("__bname").distinct()
+      .collect().map(r => byName(r.getString(0))).toSet
+    if (touched.isEmpty) return head.version
+    val updatedCols = schema.fieldNames.map { f =>
+      set.get(f) match {
+        case Some(e) => when(coalesce(cond, lit(false)), e).otherwise(col(f)).as(f)
+        case None => col(f)
+      }
+    }
+    val rewritten = appliedRead(spark, head, touched.toSeq)
+      .select(updatedCols.toIndexedSeq: _*)
+    installRewriteOnBranch(spark, dir, name, head, touched, rewritten)
+  }
+
+  /** Keyed MERGE (upsert) ON A BRANCH — [[merge]]'s semantics committed
+    * as the branch's next shadow snapshot: matched keys replace, new
+    * keys append, only touched files rewrite, and the same key-unique/
+    * non-null source audits apply. A concurrent branch APPEND whose
+    * keys collide with the merged set conflicts exactly as on main.
+    */
+  def mergeOnBranch(
+      source: DataFrame, dir: String, name: String, keys: Seq[String]): Long = {
+    val spark = source.sparkSession
+    val head = branchManifest(dir, name)
+    val schema = DataFrameSchema.fromJson(head.schemaJson)
+    require(source.columns.sorted.sameElements(schema.fieldNames.sorted),
+      s"source columns [${source.columns.sorted.mkString(", ")}] must match table " +
+        s"columns [${schema.fieldNames.sorted.mkString(", ")}]")
+    val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    src.schema.fields.zip(schema.fields).foreach { case (s, t) =>
+      require(s.dataType == t.dataType,
+        s"source column ${s.name}: ${s.dataType} != table's ${t.dataType}")
+    }
+    val badKeys = keys.filterNot(schema.fieldNames.contains)
+    require(badKeys.isEmpty, s"key column(s) ${badKeys.mkString(", ")} not in schema")
+    val nullKeyCond = keys.map(col(_).isNull).reduce(_ || _)
+    val Array(nSrc, nKeys, nNull) = src
+      .agg(count(lit(1)), count_distinct(struct(keys.map(col).toIndexedSeq: _*)),
+        count(when(nullKeyCond, 1)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nNull == 0, s"merge source has $nNull row(s) with a null key; keys must be non-null")
+    require(nSrc == nKeys,
+      s"merge source has ${nSrc - nKeys} duplicate-key row(s); keys must be unique")
+    val snap = appliedReadWithFile(spark, head, head.files.map(_.path))
+    val srcKeys = src.select(keys.map(col).toIndexedSeq: _*).distinct()
+    val byName = head.files.map(f => fileBasename(f.path) -> f.path).toMap
+    val touched = snap
+      .select((col("__bname") +: keys.map(col)).toIndexedSeq: _*)
+      .join(srcKeys, keys, "left_semi")
+      .select("__bname").distinct()
+      .collect().map(r => byName(r.getString(0))).toSet
+    if (touched.isEmpty) return commitToBranch(src, dir, name, head.track)
+    val kept = appliedRead(spark, head, touched.toSeq)
+      .join(srcKeys, keys, "left_anti")
+      .unionByName(src)
+    installRewriteOnBranch(spark, dir, name, head, touched, kept,
+      appendKeyConflict = Some((srcKeys, keys)))
+  }
+
+  /** Stage `rewritten` and swap it for `touched`'s entries as the
+    * branch's next shadow snapshot — the branch-scoped twin of
+    * [[installRewrite]]/[[installStagedRewrite]] with the same
+    * mid-rewrite conflict rules: a tombstone delta, a removed
+    * dependency file, or (for merges) a racing branch append colliding
+    * with the merged keys all refuse rather than silently resurrect or
+    * duplicate rows.
+    */
+  private def installRewriteOnBranch(
+      spark: SparkSession, dir: String, name: String, head: Manifest,
+      touched: Set[String], rewritten: DataFrame,
+      appendKeyConflict: Option[(DataFrame, Seq[String])] = None): Long = {
     val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
-    kept.write.parquet(stage)
+    rewritten.write.parquet(stage)
     val schema = DataFrameSchema.fromJson(head.schemaJson)
     val newFiles = collectStats(spark, stage, head.track, schema)
+    val basePaths = head.files.map(_.path).toSet
     var committed = -1L
     while (committed < 0) {
       val cur = branchManifest(dir, name)
-      // the same mid-rewrite conflict rules as installStagedRewrite,
-      // branch-scoped: a tombstone or file removal that landed on the
-      // branch since the probe would silently resurrect rows
       if (cur.deleteFiles != head.deleteFiles || cur.posDeleteFiles != head.posDeleteFiles ||
         cur.deleteKeys != head.deleteKeys)
         throw new java.util.ConcurrentModificationException(
@@ -2158,6 +2256,18 @@ object ManifestTable {
       if (gone.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"concurrent branch writer removed ${gone.size} file(s) this rewrite depends on")
+      appendKeyConflict.foreach { case (srcKeys, keyCols) =>
+        val appended = cur.files.map(_.path).filterNot(basePaths)
+        if (appended.nonEmpty) {
+          val clash = readData(spark, cur, appended)
+            .select(keyCols.map(col).toIndexedSeq: _*)
+            .join(srcKeys, keyCols, "left_semi")
+            .limit(1).count()
+          if (clash > 0)
+            throw new java.util.ConcurrentModificationException(
+              "concurrent branch append collides with the merged keys; recompute")
+        }
+      }
       val v = cur.version + 1
       committed = tryInstallAs(dir, cur.copy(
         version = v, parent = Some(cur.version), txn = None, op = None,

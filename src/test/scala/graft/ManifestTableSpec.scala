@@ -175,6 +175,40 @@ class ManifestTableSpec extends SparkSpec {
     assert(e.getMessage.contains("no commit"))
   }
 
+  test("branch DML triad: delete/update/merge stage on the branch, audit, publish; main isolated") {
+    val dir = freshDir()
+    ManifestTable.commit((1L to 10L).map(i => (i, i * 10L)).toDF("k", "v")
+      .repartition(2), dir, Seq("k")) // v1
+    ManifestTable.createBranch(dir, "corr")
+    // the whole correction is staged ON the branch: remove k=3, double
+    // v where k <= 2, upsert k=5 (replace) and k=11 (insert)
+    ManifestTable.deleteOnBranch(spark, dir, "corr", $"k" === 3L)                 // corr@2
+    ManifestTable.updateOnBranch(spark, dir, "corr", $"k" <= 2L,
+      Map("v" -> ($"v" * 2L)))                                                    // corr@3
+    ManifestTable.mergeOnBranch(Seq((5L, 555L), (11L, 111L)).toDF("k", "v"),
+      dir, "corr", Seq("k"))                                                      // corr@4
+    // audit surface = the branch; main untouched
+    val staged = ManifestTable.branchSnapshot(spark, dir, "corr")
+      .as[(Long, Long)].collect().toMap
+    val want = ((1L to 10L).filterNot(_ == 3L).map(i => i -> i * 10L).toMap
+      + (1L -> 20L) + (2L -> 40L) + (5L -> 555L) + (11L -> 111L))
+    assert(staged == want, s"staged correction must compose all three ops: $staged")
+    assert(ManifestTable.snapshot(spark, dir).as[(Long, Long)].collect().toMap ==
+      (1L to 10L).map(i => i -> i * 10L).toMap, "main must stay isolated while staged")
+    // publish: fast-forward lands the audited chain, each commit time-travelable
+    val headV = ManifestTable.fastForward(dir, "corr")
+    assert(headV == 4L)
+    assert(ManifestTable.snapshot(spark, dir).as[(Long, Long)].collect().toMap == want)
+    assert(ManifestTable.snapshot(spark, dir, asOf = Some(2L)).count() == 9,
+      "published intermediate rewrite must be time-travelable")
+    // no-match ops are no-ops (no empty commits)
+    ManifestTable.createBranch(dir, "noop")
+    assert(ManifestTable.deleteOnBranch(spark, dir, "noop", $"k" === 999L) == 4L)
+    assert(ManifestTable.updateOnBranch(spark, dir, "noop", $"k" === 999L,
+      Map("v" -> lit(0L))) == 4L)
+    ManifestTable.dropBranch(dir, "noop")
+  }
+
   test("livePaths walks rename aliases: pre-rename files keep pruning by their old-name envelopes") {
     val dir = freshDir()
     ManifestTable.commit((1L to 100L).map(i => (i, i)).toDF("k", "v")
