@@ -139,6 +139,40 @@ class ApiSpecs extends SparkSpec {
     assert(e.getMessage.contains("identical-vector mass"), e.getMessage)
   }
 
+  test("cosineNearDupsAuto recall: near-identical pairs survive the blocked regime almost surely") {
+    // 200 well-spread base vectors + 120 near-copies (cos >= ~0.999 to
+    // their source): the near-dup population a dedup sweep exists for.
+    // At threshold 0.95 the per-plane sign-agreement for a true pair is
+    // ~1 - theta/pi >= 0.99, so even one 8-plane band keeps ~92% and
+    // two bands ~99% — assert a 90% floor, deterministic (fixed corpus,
+    // fixed planes, no RNG at query time).
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed * 104729 + 7)
+      Array.fill(64)(r.nextFloat() - 0.5f)
+    }
+    val base = (0 until 200).map(i => (i.toLong, vec(i)))
+    val dups = (0 until 120).map { i =>
+      val r = new scala.util.Random(i * 31 + 5)
+      val src = vec(i)
+      // tiny deterministic perturbation: stays within ~1 degree
+      (1000L + i, src.map(x => x + (r.nextFloat() - 0.5f) * 0.01f))
+    }
+    val corpus = (base ++ dups).toDF("vid", "vec")
+    val exact = VectorSearch.cosineNearDups(corpus, "vid", "vec", 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 100, s"corpus must contain a real near-dup population: ${exact.size}")
+    val (blocked, decision) = VectorSearch.cosineNearDupsAuto(corpus, "vid", "vec", 0.95,
+      budgetPairsPerVec = 20L, bands = 2, maxPlanesPerBand = 8)
+    assert(decision.startsWith("lsh("), decision)
+    val found = blocked.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(exact), "precision must be 1 (exact verification)")
+    val recall = found.size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"near-identical recall must stay high in the blocked regime: $recall " +
+        s"(${found.size}/${exact.size}, $decision)")
+  }
+
   test("knn on a (vid, vec) frame returns k ranked neighbors excluding self") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
