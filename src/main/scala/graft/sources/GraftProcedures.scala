@@ -34,7 +34,7 @@ object GraftProcedures {
   def list(): Array[String] = Array(
     "maintain", "expire_snapshots", "compact", "materialize_deletes", "tag", "rollback",
     "vacuum", "delete_by_key", "create_branch", "fast_forward", "drop_branch",
-    "cherry_pick", "add_tracked_column")
+    "cherry_pick", "add_tracked_column", "delete_on_branch")
 
   def load(catalogName: String, warehouse: () => String, name: String): UnboundProcedure = {
     def dirOf(table: String): String =
@@ -108,14 +108,28 @@ object GraftProcedures {
           ProcedureParameter.in("name", StringType).build()),
         r => ManifestTable.fastForward(dirOf(str(r, 0)), str(r, 1)))
       case "cherry_pick" => proc(name,
-        "replay ONE branch append commit onto main (metadata-only, files " +
-          "shared) — the rebase escape hatch when fast_forward refuses a " +
-          "diverged base; returns the new main head",
+        "replay ONE branch commit onto main (metadata-only, files shared) — " +
+          "appends and copy-on-write rewrites both replay; genuine file-set " +
+          "conflicts refuse. The rebase escape hatch when fast_forward " +
+          "refuses a diverged base; returns the new main head",
         Seq(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("name", StringType).build(),
           ProcedureParameter.in("version", LongType).build()),
         r => ManifestTable.cherryPick(dirOf(str(r, 0)), str(r, 1), r.getLong(2)))
+      case "delete_on_branch" => proc(name,
+        "row-level copy-on-write DELETE staged ON A BRANCH — the SQL-only " +
+          "write-audit-publish lifecycle's row-correction step (row-level " +
+          "DML refuses while spark.graft.wap.branch routes, because it " +
+          "would commit to main): `condition` is a SQL boolean over the " +
+          "table's columns, computed against the branch head and committed " +
+          "as the next shadow snapshot; returns the new branch head",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("condition", StringType).build()),
+        r => ManifestTable.deleteOnBranch(SparkSession.active, dirOf(str(r, 0)), str(r, 1),
+          org.apache.spark.sql.functions.expr(str(r, 2))))
       case "drop_branch" => proc(name,
         "abandon a branch: its shadow snapshots and any data only they referenced fold away",
         Seq(

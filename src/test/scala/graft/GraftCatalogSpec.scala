@@ -672,8 +672,15 @@ class GraftCatalogSpec extends SparkSpec {
       // plain INSERTs route onto the branch; plain reads serve it
       spark.sql("INSERT INTO graft.lake.wapsql VALUES (6001, 1, 'staged')")
       spark.sql("INSERT INTO graft.lake.wapsql VALUES (6002, 2, 'staged')")
-      assert(spark.sql("SELECT count(*) FROM graft.lake.wapsql").head().getLong(0) == 1002,
+      spark.sql("INSERT INTO graft.lake.wapsql VALUES (6003, 3, 'mistake')")
+      assert(spark.sql("SELECT count(*) FROM graft.lake.wapsql").head().getLong(0) == 1003,
         "a plain read while staging must serve the branch (the audit half)")
+      // row correction stays on the branch too: the CALL form of the
+      // row-level DML that refuses while routing is on
+      spark.sql("CALL graft.system.delete_on_branch(table => 'lake.wapsql', " +
+        "name => 'audit', condition => \"cat = 'mistake'\")")
+      assert(spark.sql("SELECT count(*) FROM graft.lake.wapsql").head().getLong(0) == 1002,
+        "the staged correction must apply on the branch read")
       // MAIN ISOLATION while staged: unset the knob, main is untouched
       spark.conf.unset("spark.graft.wap.branch")
       assert(spark.sql("SELECT count(*) FROM graft.lake.wapsql").head().getLong(0) == 1000,
@@ -705,7 +712,8 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.lake.wapsql").head().getLong(0) == 1002,
       "publish must land the audited chain on main")
     assert(ManifestTable.branches(dir).isEmpty)
-    assert(ManifestTable.latestVersion(dir).contains(3L))
+    assert(ManifestTable.latestVersion(dir).contains(5L),
+      "3 staged appends + 1 staged rewrite publish as 4 main commits")
   }
 
   test("spark.graft.wap.branch: a branch read with pending MoR tombstones serves the APPLIED view") {
