@@ -58,6 +58,15 @@ ADJUDICATIONS = {
                   "plane count from the occupancy probe",
         "linear_sibling": "q208_lsh_auto",
     },
+    "q217_substring_dedup": {
+        "status": "threshold-boundary",
+        "reason": "measured 13.7-14.9x per decade across same-day runs "
+                  "vs the 14.0 linear ceiling — threshold wobble on a "
+                  "linear slope, not growth (r14 judge-adjudicated: the "
+                  "hash-prefilter df shuffle ships 8-byte hashes, never "
+                  "documents; the oracle ships full strings)",
+        "linear_sibling": "q105_span_dup",
+    },
 }
 
 FAMILIES = [
