@@ -556,20 +556,24 @@ object VectorSearch {
       while (p < maxPlanesPerBand && (n >> p) > targetOcc) p += 1
       val nm = withNorm(df, vecCol)
       // slim (id, band, bucket): the only corpus-wide frame candidate
-      // generation touches; pinned so the bands·p plane dots compute
-      // once and feed the audit loop AND both join sides
-      def slim(pl: Int) = graft.operators.Lineage.pin(
+      // generation touches
+      def slim(pl: Int) =
         nm.select(col(idCol).as("__id"), posexplode(expr(
           (0 until bands).map(b =>
             graft.operators.VectorKit.bucketSparkBand(vecCol, pl, b * pl))
-            .mkString("array(", ", ", ")"))).as(Seq("band", "bucket"))))
+            .mkString("array(", ", ", ")"))).as(Seq("band", "bucket")))
       def volume(s: DataFrame): Long = s
         .groupBy("band", "bucket").agg(count(lit(1)).as("occ"))
         .agg(sum(expr("occ * (occ - 1) DIV 2"))).head().getLong(0)
-      var sl = slim(p)
-      var vol = volume(sl)
+      // the audit loop runs on the UNPINNED plan — each probe is one
+      // map-only projection + aggregate, and pinning per iteration
+      // would leak up to maxPlanesPerBand materialized frames of
+      // executor storage (localCheckpoints have no unpersist hook);
+      // only the ACCEPTED plane count pins, once, so the bands·p plane
+      // dots compute once for both join sides below
+      var vol = volume(slim(p))
       while (vol > budgetPairsPerVec * n && p < maxPlanesPerBand) {
-        p += 1; sl = slim(p); vol = volume(sl)
+        p += 1; vol = volume(slim(p))
       }
       require(vol <= budgetPairsPerVec * n,
         s"cosineNearDupsAuto: $vol candidate pairs exceed the ${budgetPairsPerVec * n} " +
@@ -578,6 +582,7 @@ object VectorSearch {
           "or the vectors are not dim-64 (a plane projection on a mismatched length is " +
           "NULL, folding every row into bucket 0 — the VectorKit planes are 64-wide); " +
           "or raise the budget knowingly")
+      val sl = graft.operators.Lineage.pin(slim(p))
       val cand = sl.select(col("__id").as("id_a"), col("band"), col("bucket"))
         .join(sl.select(col("__id").as("id_b"), col("band"), col("bucket")),
           Seq("band", "bucket"))

@@ -1580,15 +1580,21 @@ object Storage {
       "q223's write-audit-publish lifecycle with EVERY step SQL — " +
         "Iceberg's spark.wap.branch parity (spark.graft.wap.branch): " +
         "while the session knob names a branch, plain INSERT INTOs " +
-        "stage as shadow snapshots on it and plain SELECTs serve the " +
+        "stage as shadow snapshots on it, plain SELECTs serve the " +
         "branch head (the audit reads exactly the bytes that would " +
-        "publish, no VERSION AS OF ceremony), main stays isolated " +
-        "(asserted mid-lifecycle by unsetting the knob), non-append " +
-        "writes refuse while routing is on, and CALL fast_forward " +
-        "publishes the audited chain metadata-only. Same oracle as " +
-        "q223: the SQL-only surface and the typed API converge on the " +
-        "identical published table.",
+        "publish, no VERSION AS OF ceremony), and ROW CORRECTIONS are " +
+        "plain DELETE FROM / UPDATE — each a branch-scoped CoW " +
+        "rewrite commit, zero CALLs: a mistake batch is deleted " +
+        "outright and a typo'd label is updated in place, both " +
+        "staged. Main stays isolated (asserted mid-lifecycle by " +
+        "unsetting the knob) and CALL fast_forward publishes the " +
+        "audited chain metadata-only. Same oracle as q223: the " +
+        "SQL-only surface and the typed API converge on the identical " +
+        "published table.",
       Some(s"""
+        -- the mistake batch and the typo'd label are corrected ON THE
+        -- BRANCH by plain DML before publish, so the oracle's final
+        -- content is exactly base + the two (corrected) adjustments
         WITH adj1 AS (
           SELECT -event_id AS event_id, ts, user_id, 'adjustment' AS event_type, value, props
           FROM events WHERE event_type = 'purchase' AND user_id BETWEEN 50 AND 55
@@ -1603,7 +1609,7 @@ object Storage {
           UNION ALL SELECT * FROM adj2
         )
         SELECT event_type, count(*) AS n, $d30_2 AS sum_value,
-               CAST(3 AS BIGINT) AS head_version
+               CAST(6 AS BIGINT) AS head_version
         FROM fin GROUP BY event_type
       """.trim),
       (spark, dir) => {
@@ -1617,13 +1623,27 @@ object Storage {
           spark.sql("CALL graftwap.system.create_branch(table => 'lake.wapev', name => 'corrections')")
           spark.conf.set("spark.graft.wap.branch", "corrections")
           try {
-            def adj(lo: Int, hi: Int) = spark.sql(
+            def adj(lo: Int, hi: Int, label: String) = spark.sql(
               s"""INSERT INTO graftwap.lake.wapev
                   SELECT -event_id AS event_id, ts, user_id,
-                         'adjustment' AS event_type, value, props
+                         '$label' AS event_type, value, props
                   FROM graftwap.lake.wapev VERSION AS OF 1
                   WHERE event_type = 'purchase' AND user_id BETWEEN $lo AND $hi""")
-            adj(50, 55); adj(56, 60)
+            adj(50, 55, "adjustment")
+            adj(56, 60, "adjustmnt") // typo'd label — corrected below
+            // a mistaken batch — removed below by plain DELETE; any
+            // rows do (they never publish), but there must BE some at
+            // every sf, so take them from the base snapshot itself
+            spark.sql(
+              """INSERT INTO graftwap.lake.wapev
+                 SELECT -event_id - 9000000 AS event_id, ts, user_id,
+                        'mistake' AS event_type, value, props
+                 FROM graftwap.lake.wapev VERSION AS OF 1 LIMIT 5""")
+            // ROW CORRECTIONS are plain SQL DML while routing: each is
+            // a branch-scoped CoW rewrite commit, zero CALLs
+            spark.sql("DELETE FROM graftwap.lake.wapev WHERE event_type = 'mistake'")
+            spark.sql("UPDATE graftwap.lake.wapev SET event_type = 'adjustment' " +
+              "WHERE event_type = 'adjustmnt'")
             // main isolation while staged (the knob off = main)
             spark.conf.unset("spark.graft.wap.branch")
             val mainN = spark.sql("SELECT count(*) FROM graftwap.lake.wapev").head().getLong(0)
@@ -1632,17 +1652,20 @@ object Storage {
             spark.conf.set("spark.graft.wap.branch", "corrections")
             // the audit is a PLAIN select — reads serve the branch
             val bad = spark.sql(
-              "SELECT count(*) FROM graftwap.lake.wapev WHERE event_id IS NULL OR value < 0")
+              "SELECT count(*) FROM graftwap.lake.wapev WHERE event_id IS NULL OR value < 0 " +
+                "OR event_type IN ('mistake', 'adjustmnt')")
               .head().getLong(0)
-            require(bad == 0, "audit failed: corrections carry null ids or negative values")
+            require(bad == 0,
+              "audit failed: corrections carry null ids, negative values, or uncorrected rows")
             spark.sql("CALL graftwap.system.fast_forward(table => 'lake.wapev', name => 'corrections')"): Unit
           } finally spark.conf.unset("spark.graft.wap.branch")
         }
         spark.conf.set("spark.sql.catalog.graftwap", "graft.sources.GraftCatalog")
         spark.conf.set("spark.sql.catalog.graftwap.warehouse", wh)
         val headV = ManifestTable.latestVersion(s"$wh/lake/wapev").get
-        assert(headV == 3L && ManifestTable.branches(s"$wh/lake/wapev").isEmpty,
-          s"SQL publish must land both staged commits and fold the branch (head=$headV)")
+        assert(headV == 6L && ManifestTable.branches(s"$wh/lake/wapev").isEmpty,
+          s"SQL publish must land 3 staged appends + 2 staged CoW rewrites and fold " +
+            s"the branch (head=$headV)")
         spark.sql(s"""
           SELECT event_type, count(*) AS n,
                  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,

@@ -132,7 +132,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ManifestTable.resolveTag(dir, version) match {
           case Some(v) => load(ident, Some(v))
           case None if ManifestTable.branches(dir).contains(version) =>
-            GraftLakeTable(ident.toString, dir, ManifestTable.branchManifest(dir, version))
+            GraftLakeTable(ident.toString, dir,
+              ManifestTable.branchManifest(dir, version), fromBranch = Some(version))
           case None => throw new IllegalArgumentException(
             s"VERSION AS OF: '$version' is neither a numeric snapshot version, a tag, " +
               s"nor a branch of $ident (tags: " +
@@ -166,7 +167,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else None
     wap match {
       case Some(b) =>
-        GraftLakeTable(ident.toString, dir, ManifestTable.branchManifest(dir, b))
+        GraftLakeTable(ident.toString, dir,
+          ManifestTable.branchManifest(dir, b), fromBranch = Some(b))
       case None =>
         // pending merge-on-read deletes are fine here: the injected
         // resolution rule (graft.plans.MorApplyRewrite) replaces the V2
@@ -420,7 +422,15 @@ object GraftCatalog {
   * transactional commit API by [[GraftLakeWriteBuilder]].
   */
 final case class GraftLakeTable(
-    tableName: String, dir: String, m: ManifestTable.Manifest)
+    tableName: String, dir: String, m: ManifestTable.Manifest,
+    /** Set when `m` is a BRANCH head (explicit `VERSION AS OF 'branch'`
+      * or `spark.graft.wap.branch` read routing). Branch manifests use
+      * branch-local version numbers: a streaming read baselined on one
+      * would checkpoint offsets that alias MAIN versions — after the
+      * branch is dropped and main advances past the number, a restart
+      * silently binds a DIFFERENT snapshot. Streaming refuses instead.
+      */
+    fromBranch: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations with SupportsMetadataColumns
   with TruncatableTable {
@@ -435,6 +445,10 @@ final case class GraftLakeTable(
     */
   override def truncateTable(): Boolean = {
     val spark = SparkSession.active
+    require(GraftWrites.wapBranch(spark).isEmpty,
+      s"TRUNCATE TABLE $tableName cannot run while ${GraftWrites.WapBranchConf} routes " +
+        "writes onto a branch (it would replace MAIN's snapshot past the staged audit); " +
+        "publish or unset the branch first")
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
     ManifestTable.replace(empty, dir, m.track)
@@ -482,14 +496,26 @@ final case class GraftLakeTable(
     filters.forall(GraftCatalog.filterColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    require(GraftWrites.wapBranch(SparkSession.active).isEmpty,
-      s"DELETE on $tableName cannot run while ${GraftWrites.WapBranchConf} routes " +
-        "writes onto a branch (it would commit to main past the staged audit); " +
-        "publish or unset the branch first")
+    val spark = SparkSession.active
     val cond = filters.toSeq.flatMap(GraftCatalog.filterColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    ManifestTable.delete(SparkSession.active, dir, cond): Unit
+    GraftWrites.wapBranch(spark) match {
+      case Some(b) =>
+        // while routing, a plain DELETE is a BRANCH CoW rewrite — the
+        // row-correction step of the SQL-only write-audit-publish
+        // lifecycle; main stays isolated until fast_forward. The
+        // relation must itself have resolved through the routing (the
+        // same statement's read), or the condition was planned against
+        // a different snapshot than the one it would rewrite.
+        require(fromBranch.contains(b),
+          s"DELETE on $tableName: ${GraftWrites.WapBranchConf}='$b' was set after this " +
+            "relation resolved (or it resolved against a different branch); re-run the " +
+            "statement so read and rewrite bind the same branch head")
+        ManifestTable.deleteOnBranch(spark, dir, b, cond): Unit
+      case None =>
+        ManifestTable.delete(spark, dir, cond): Unit
+    }
   }
 
   /** SQL `UPDATE` / `MERGE INTO` (and DELETEs whose condition the
@@ -513,10 +539,19 @@ final case class GraftLakeTable(
     */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
-    require(GraftWrites.wapBranch(SparkSession.active).isEmpty,
-      s"${info.command} on $tableName cannot run while ${GraftWrites.WapBranchConf} " +
-        "routes writes onto a branch (the CoW rewrite would read the branch and " +
-        "commit to main); publish or unset the branch first, or use the typed API")
+    // while spark.graft.wap.branch routes, the CoW rewrite reads the
+    // BRANCH head (load() resolved this relation there) and its write
+    // commits the swap as the branch's next shadow snapshot — plain
+    // UPDATE/MERGE INTO/DELETE are the row-correction steps of the
+    // SQL-only write-audit-publish lifecycle, zero CALLs needed. The
+    // relation must have resolved through the routing, or scan and
+    // rewrite would bind different snapshots.
+    GraftWrites.wapBranch(SparkSession.active).foreach { b =>
+      require(fromBranch.contains(b),
+        s"${info.command} on $tableName: ${GraftWrites.WapBranchConf}='$b' was set " +
+          "after this relation resolved (or it resolved against a different branch); " +
+          "re-run the statement so read and rewrite bind the same branch head")
+    }
     require(!m.hasMorDeletes,
       s"${info.command} on $tableName: table has pending merge-on-read deletes the " +
         "copy-on-write rewrite cannot apply; run ManifestTable.materializeDeletes " +
@@ -526,7 +561,9 @@ final case class GraftLakeTable(
         "which the rewrite's bare scan would mis-read; run ManifestTable.compact " +
         "first (rewrites every file into the current name era), or use the typed API")
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation = new GraftRowLevelOperation(dir, m, info.command)
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(dir, m, info.command,
+          GraftWrites.wapBranch(SparkSession.active).filter(fromBranch.contains))
     }
   }
 
@@ -538,7 +575,8 @@ final case class GraftLakeTable(
     // STREAMING surface reads rename eras natively (per-era scan
     // templates in GraftMicroBatchStream) and enforces its own MoR
     // rules at the offset level
-    new GraftLakeScanBuilder(SparkSession.active, dir, m, options)
+    new GraftLakeScanBuilder(SparkSession.active, dir, m, options,
+      fromBranch = fromBranch)
 }
 
 /** Write builder: `INSERT INTO` → append, `INSERT OVERWRITE` →
@@ -579,7 +617,13 @@ object GraftLakeTable {
   * writers that raced in between.
   */
 final class GraftRowLevelOperation(
-    dir: String, m: ManifestTable.Manifest, cmd: RowLevelOperation.Command)
+    dir: String, m: ManifestTable.Manifest, cmd: RowLevelOperation.Command,
+    /** Set while `spark.graft.wap.branch` routes and `m` is that
+      * branch's head: the commit swaps files as the branch's next
+      * shadow snapshot instead of a main commit. Captured at build time
+      * so a conf flip mid-statement cannot split read and write.
+      */
+    onBranch: Option[String] = None)
   extends RowLevelOperation {
 
   @volatile private var planned: Seq[String] = null
@@ -598,7 +642,7 @@ final class GraftRowLevelOperation(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(SparkSession.active, dir, m, options,
-      onPlanned = fs => planned = fs)
+      onPlanned = fs => planned = fs, wholeGroups = true)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
     override def build(): Write = new GraftBatchWrite(
@@ -607,7 +651,7 @@ final class GraftRowLevelOperation(
         require(planned != null,
           s"row-level $cmd write committed before its scan was planned")
         planned.toSet
-      }))
+      }, onBranch))
   }
 }
 
@@ -627,7 +671,20 @@ final class GraftLakeScanBuilder(
       * how a row-level operation learns which files its write must
       * replace ([[GraftRowLevelOperation]]).
       */
-    onPlanned: Seq[String] => Unit = _ => ())
+    onPlanned: Seq[String] => Unit = _ => (),
+    fromBranch: Option[String] = None,
+    /** True when this scan feeds a GROUP-BASED row-level rewrite
+      * ([[GraftRowLevelOperation]]): the pushed condition then prunes
+      * FILES only (manifest envelopes/Blooms — safe: a pruned file
+      * provably holds no matching row, so its group is untouched) and
+      * is NEVER handed to the parquet scan. The ReplaceData plan has
+      * no upstream Filter re-evaluating it — it must read the WHOLE
+      * content of every surviving group to write it back — so
+      * parquet-level pushdown (row-group stats, column-index page
+      * skipping) would silently drop the group's non-matching rows
+      * from the rewrite: committed data loss.
+      */
+    wholeGroups: Boolean = false)
   extends ScanBuilder with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
@@ -773,18 +830,27 @@ final class GraftLakeScanBuilder(
       val idx = new InMemoryFileIndex(
         spark, ps.map(new Path(_)), Map.empty[String, String], Some(schema))
       val psb = ParquetScanBuilder(spark, idx, schema, schema, options)
-      psb.pushFilters(pushed)
+      // group reads re-write every surviving file's FULL content: no
+      // parquet-level pushdown (see the wholeGroups param scaladoc)
+      if (!wholeGroups) psb.pushFilters(pushed)
       psb.pruneColumns(dataRequired)
       psb.build()
     }
     val scan = parquetScan(paths)
+    val lake = new GraftLakeScan(scan, spark, dir, m, options, pushed, dataRequired,
+      paths, parquetScan, fromBranch, onPlanned)
     if (wantsVersion) {
       require(required.fields.last.name == GraftLakeTable.VersionColumn,
         s"metadata column ${GraftLakeTable.VersionColumn} must be required last, " +
           s"got ${required.fieldNames.mkString(", ")}")
-      new ConstLongAppendScan(scan, required, m.version)
-    } else new GraftLakeScan(scan, spark, dir, m, options, pushed, dataRequired,
-      paths, parquetScan)
+      // the wrapper DELEGATES runtime filtering to the lake scan: the
+      // row-level operations' scans always carry `_version` and land
+      // here, and Spark's runtime group filtering only fires on a
+      // SupportsRuntimeV2Filtering scan — without the delegation, an
+      // UPDATE/MERGE whose predicate no envelope can prune would
+      // rewrite the WHOLE table instead of the groups holding matches
+      new ConstLongAppendScan(lake, required, m.version)
+    } else lake
   }
 }
 
@@ -799,7 +865,18 @@ final class GraftLakeScan(
     options: CaseInsensitiveStringMap,
     pushed: Seq[Expression], required: StructType,
     plannedPaths: Seq[String] = Nil,
-    rebuild: Seq[String] => Scan = null)
+    rebuild: Seq[String] => Scan = null,
+    fromBranch: Option[String] = None,
+    /** Re-fired with the NARROWED file list when a runtime filter
+      * prunes this scan. A row-level operation's `removed()` set MUST
+      * track what the ReplaceData plan actually read: Spark's runtime
+      * group filtering narrows the scan to the groups holding matches,
+      * and a commit still swapping the PLANNING-time survivor list
+      * would replace un-read files with nothing — silent data loss for
+      * any UPDATE/MERGE predicate on an untracked column (where static
+      * pruning can't narrow but the runtime group filter can).
+      */
+    onPlanned: Seq[String] => Unit = _ => ())
   extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -854,6 +931,9 @@ final class GraftLakeScan(
         if (s.length < plannedPaths.length) {
           GraftLakeScan.lastRuntimePrune.set((plannedPaths.length, s.length))
           current = rebuild(s)
+          // keep the row-level op's removed() set in lockstep with what
+          // the rewrite will actually read (see the param scaladoc)
+          onPlanned(s)
         }
       }
     }
@@ -903,8 +983,23 @@ final class GraftLakeScan(
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String = current.description()
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // A branch head is NOT a streamable baseline: branch-local version
+    // numbers alias main versions, so checkpointed offsets would bind a
+    // different snapshot after the branch is dropped and main advances.
+    // This catches both routes onto a branch manifest — explicit
+    // `VERSION AS OF 'branch'` and `spark.graft.wap.branch` read
+    // routing — mirroring how non-append writes refuse while routing.
+    fromBranch.foreach { b =>
+      throw new UnsupportedOperationException(
+        s"readStream of $dir resolved to branch '$b' (explicit branch read, or " +
+          "spark.graft.wap.branch routing is on); branch manifests use branch-local " +
+          "version numbers that a streaming checkpoint cannot bind durably. Stream " +
+          "from main (unset spark.graft.wap.branch for the reading session), or " +
+          "publish the branch (fastForward) first")
+    }
     new GraftMicroBatchStream(spark, dir, m, options, pushed, required, checkpointLocation)
+  }
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     inner.supportedCustomMetrics()
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
@@ -944,11 +1039,26 @@ final class GraftAggScan(
   */
 final class ConstLongAppendScan(
     inner: Scan, out: StructType, value: Long)
-  extends Scan with org.apache.spark.sql.connector.read.Batch {
+  extends Scan with org.apache.spark.sql.connector.read.Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = out
   override def description(): String = s"${inner.description()} +const(${out.fields.last.name}=$value)"
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  // runtime filters pass through to the wrapped lake scan (`b` stays
+  // lazy, so partitions plan AFTER any runtime prune lands) — this is
+  // what lets Spark's row-level group filtering narrow a rewrite whose
+  // scan carries `_version`
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsRuntimeFiltering => s.filterAttributes()
+      case _ => Array.empty
+    }
+  override def filter(filters: Array[Filter]): Unit = inner match {
+    case s: org.apache.spark.sql.connector.read.SupportsRuntimeFiltering => s.filter(filters)
+    case _ => ()
+  }
 
   private lazy val b = inner.toBatch
   override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =

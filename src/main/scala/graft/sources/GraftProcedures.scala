@@ -118,12 +118,13 @@ object GraftProcedures {
           ProcedureParameter.in("version", LongType).build()),
         r => ManifestTable.cherryPick(dirOf(str(r, 0)), str(r, 1), r.getLong(2)))
       case "delete_on_branch" => proc(name,
-        "row-level copy-on-write DELETE staged ON A BRANCH — the SQL-only " +
-          "write-audit-publish lifecycle's row-correction step (row-level " +
-          "DML refuses while spark.graft.wap.branch routes, because it " +
-          "would commit to main): `condition` is a SQL boolean over the " +
-          "table's columns, computed against the branch head and committed " +
-          "as the next shadow snapshot; returns the new branch head",
+        "row-level copy-on-write DELETE staged ON A BRANCH, addressed by " +
+          "name — the explicit form of what plain `DELETE FROM` does while " +
+          "spark.graft.wap.branch routes (useful when correcting a branch " +
+          "WITHOUT switching the session's routing): `condition` is a SQL " +
+          "boolean over the table's columns, computed against the branch " +
+          "head and committed as the next shadow snapshot; returns the new " +
+          "branch head",
         Seq(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("name", StringType).build(),

@@ -45,9 +45,13 @@ object GraftStreamOffset {
   *    A snapshot with PENDING merge-on-read tombstones delivers the
   *    APPLIED view: both delete kinds convert to per-file doomed row
   *    positions driver-side (affected files only, capped by
-  *    `option("maxSnapshotTombstones", N)`, default 1M, loud above)
-  *    and affected files read through position-skipping readers —
-  *    Delta-parity snapshot semantics without materializing first.
+  *    `option("maxSnapshotTombstones", N)`, default 1M) and affected
+  *    files read through position-skipping readers — Delta-parity
+  *    snapshot semantics without materializing first. ABOVE the cap
+  *    the stream degrades instead of refusing: the applied view
+  *    materializes once (distributed anti-join plan, no driver doom
+  *    set) under the checkpoint and serves as batch 0, reclaimed on
+  *    commit.
   *  - STATE-PRESERVING maintenance commits (`materializeDeletes`,
   *    `compactSmall` — op-marked, applied view bit-identical to the
   *    parent) are skipped silently: their added files carry only rows
@@ -155,15 +159,60 @@ final class GraftMicroBatchStream(
     s"stream-$h"
   }
 
+  // ---- durable stream baseline -------------------------------------------
+  // Spark's offset WAL holds only batch END offsets: a replayed batch 0
+  // (offset logged, commit missing) gets its START from initialOffset()
+  // — called on a FRESH stream instance whose startManifest re-resolved
+  // to the CURRENT head. Computing the baseline live would re-bind the
+  // replayed snapshot to whatever the table looks like NOW: appends
+  // landed in the crash window would deliver twice (inside the snapshot
+  // AND again as their own commits), and a moved MoR tombstone set
+  // would silently resurrect or over-delete rows. The first start
+  // therefore persists its offset beside the checkpoint and every
+  // restart reads it back: initialOffset is a pure function of the
+  // checkpoint, like every other offset.
+
+  private def baselinePath = new Path(checkpointLocation, "graft-baseline.json")
+
+  private def readBaseline(): Option[GraftStreamOffset] = {
+    val fs = baselinePath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(baselinePath)) None
+    else {
+      val in = fs.open(baselinePath)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(GraftStreamOffset.fromJson(out.toString("UTF-8")))
+      } finally in.close()
+    }
+  }
+
+  private def writeBaseline(off: GraftStreamOffset): Unit = {
+    val fs = baselinePath.getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      val o = fs.create(baselinePath, false) // no-overwrite: first writer wins
+      try o.write(off.json().getBytes("UTF-8")) finally o.close()
+    } catch {
+      // a racing (re)start already wrote one — equally valid, read back
+      case _: java.io.IOException => ()
+    }
+  }
+
   override def initialOffset(): Offset = {
-    val off = Option(options.get("startingVersion")) match {
-      case Some(v) =>
-        val sv = v.toLong
-        require(sv >= 1, s"startingVersion must be >= 1, got $sv")
-        // commit `sv` itself is the first thing delivered
-        GraftStreamOffset(sv - 1, snapshotDone = true)
-      case None =>
-        GraftStreamOffset(startManifest.version, snapshotDone = false)
+    val off = readBaseline().getOrElse {
+      val computed = Option(options.get("startingVersion")) match {
+        case Some(v) =>
+          val sv = v.toLong
+          require(sv >= 1, s"startingVersion must be >= 1, got $sv")
+          // commit `sv` itself is the first thing delivered
+          GraftStreamOffset(sv - 1, snapshotDone = true)
+        case None =>
+          GraftStreamOffset(startManifest.version, snapshotDone = false)
+      }
+      writeBaseline(computed)
+      readBaseline().getOrElse(computed)
     }
     ManifestTable.pinCursor(dir, pinName, math.max(off.version, 0L))
     off
@@ -182,18 +231,19 @@ final class GraftMicroBatchStream(
     * retention contract spelled out (the stream's own pin prevents
     * this unless an operator dropped it).
     */
+  private def manifestAt(v: Long): ManifestTable.Manifest =
+    try ManifestTable.manifest(dir, Some(v))
+    catch {
+      case e: IllegalArgumentException =>
+        throw new IllegalStateException(
+          s"streaming read of $dir: version $v was expired while this stream still " +
+            s"needed it (pin '$pinName' dropped, or a pre-pin expiry); restart the " +
+            "stream from a fresh checkpoint to re-baseline", e)
+    }
+
   private def batchFiles(
       start: GraftStreamOffset, end: GraftStreamOffset): Seq[(String, Long)] = {
     val out = Seq.newBuilder[(String, Long)]
-    def manifestAt(v: Long): ManifestTable.Manifest =
-      try ManifestTable.manifest(dir, Some(v))
-      catch {
-        case e: IllegalArgumentException =>
-          throw new IllegalStateException(
-            s"streaming read of $dir: version $v was expired while this stream still " +
-              s"needed it (pin '$pinName' dropped, or a pre-pin expiry); restart the " +
-              "stream from a fresh checkpoint to re-baseline", e)
-      }
     var parent: ManifestTable.Manifest =
       if (start.version >= 1) manifestAt(start.version) else null
     if (!start.snapshotDone) {
@@ -328,11 +378,65 @@ final class GraftMicroBatchStream(
   // subsequent materializeDeletes is op-marked state-preserving — its
   // rewrite carries only rows this snapshot already delivered, so the
   // stream skips it: no duplicates, no loss.
+  //
+  // REPLAY DETERMINISM: the doom set derives from the manifest AT THE
+  // CHECKPOINTED OFFSET's version — the same manifest batchFiles plans
+  // the snapshot from — never from `startManifest`, which re-resolves
+  // to the CURRENT head on every (re)start. If batch 0's offset was
+  // logged but uncommitted and the table advanced before restart (a
+  // materializeDeletes cleared the tombstones, or a new MoR delete
+  // changed the set), deriving from the head would silently resurrect
+  // tombstoned rows or over-delete; deriving from the offset's own
+  // manifest replans the byte-identical batch.
 
-  private lazy val snapshotDoomed: Map[String, Array[Long]] =
-    if (!startManifest.hasMorDeletes) Map.empty
-    else ManifestTable.morDoomedPositions(spark, startManifest,
-      Option(options.get("maxSnapshotTombstones")).map(_.toLong).getOrElse(1000000L))
+  private val doomCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Option[Map[String, Array[Long]]]]()
+
+  /** The snapshot-at-`version` doom set, or None when the pending
+    * tombstone volume exceeds `maxSnapshotTombstones` (default 1M) —
+    * too many positions to hold driver-side. None is NOT a refusal:
+    * the caller degrades to the staged applied snapshot
+    * ([[stagedSnapshotFiles]]), trading a one-time whole-table rewrite
+    * under the checkpoint for bounded driver memory.
+    */
+  private def snapshotDoomed(version: Long): Option[Map[String, Array[Long]]] =
+    doomCache.computeIfAbsent(version, v => {
+      val snap = if (v == startManifest.version) startManifest else manifestAt(v)
+      if (!snap.hasMorDeletes) Some(Map.empty)
+      else ManifestTable.morDoomedPositions(spark, snap,
+        Option(options.get("maxSnapshotTombstones")).map(_.toLong).getOrElse(1000000L))
+    })
+
+  /** OVER-CAP MoR snapshot: materialize the applied view at `version`
+    * (the same distributed anti-join plan batch reads use — no
+    * driver-side doom set at all) as parquet under the CHECKPOINT, once,
+    * and serve those files as batch 0. Staging is idempotent — a replay
+    * finds the `_SUCCESS`-marked directory and reuses it byte-for-byte,
+    * so exactly-once holds — and [[commit]] reclaims the space as soon
+    * as the snapshot batch is committed (after which no replay can need
+    * it). The trade vs the position-filtered path: one extra write+read
+    * of the table, in exchange for streaming through ANY pending
+    * tombstone volume; the files stage with the version's own era
+    * names, so the per-era readers serve them like any manifest file.
+    */
+  private def stagedSnapshotFiles(version: Long): Seq[String] = {
+    val stage = new Path(checkpointLocation, s"graft-snapshot-v$version")
+    val fs = stage.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(stage, "_SUCCESS"))) {
+      val tmp = new Path(checkpointLocation, s".graft-snapshot-v$version.tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true): Unit
+      val m = if (version == startManifest.version) startManifest else manifestAt(version)
+      ManifestTable.appliedRead(spark, m, m.files.map(_.path))
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, stage)) {
+        fs.delete(tmp, true): Unit // a racing replay staged it first
+        require(fs.exists(new Path(stage, "_SUCCESS")),
+          s"staging the over-cap MoR snapshot at v$version under $checkpointLocation failed")
+      }
+    }
+    fs.listStatus(stage).map(_.getPath).filter(_.getName.startsWith("part-"))
+      .map(_.toString).toSeq.sorted
+  }
 
   /** The file as ONE sequentially-read partition: its no-filter splits
     * merged in byte order, so the reader visits rows exactly in
@@ -350,29 +454,45 @@ final class GraftMicroBatchStream(
     FilePartition(0, pfs)
   }
 
+  /** Plan `(path, seq)` files through the normal vectorized parquet
+    * path, era-tagged when the table has rename history.
+    */
+  private def planClean(files: Seq[(String, Long)]): Array[InputPartition] =
+    if (files.isEmpty) Array.empty
+    else if (renameSteps.isEmpty)
+      parquetBatch(files.map(_._1), currentEra).planInputPartitions()
+    else files.groupBy { case (_, seq) => eraOf(seq) }.toArray.sortBy(_._1).flatMap {
+      case (era, fs) =>
+        parquetBatch(fs.map(_._1), era).planInputPartitions()
+          .map(p => GraftEraInputPartition(era, p): InputPartition)
+    }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset]
     val e = end.asInstanceOf[GraftStreamOffset]
     // retention floor: this batch (and any replay of it) needs every
     // commit AFTER s — pin before reading so expiry can't race the scan
     ManifestTable.pinCursor(dir, pinName, math.max(s.version, 0L))
-    val allFiles = batchFiles(s, e)
-    if (allFiles.isEmpty) return Array.empty
     // the snapshot batch subtracts tombstoned rows from affected files
     // (basenames only a start-manifest file can carry — later commits
     // add NEW files); every other batch takes the fast path untouched
-    val doomed = if (!s.snapshotDone) snapshotDoomed else Map.empty[String, Array[Long]]
+    val doomedOpt =
+      if (!s.snapshotDone) snapshotDoomed(s.version)
+      else Some(Map.empty[String, Array[Long]])
+    val doomed = doomedOpt.getOrElse {
+      // over-cap degrade: the snapshot half of batch 0 is the STAGED
+      // applied view (its files carry the snapshot version's own era
+      // names, so seq = snapshot version routes them correctly); the
+      // incremental half — commits in (s, e] — plans exactly as usual
+      val staged = stagedSnapshotFiles(s.version).map(p => (p, s.version))
+      val incr = batchFiles(s.copy(snapshotDone = true), e)
+      return planClean(staged ++ incr)
+    }
+    val allFiles = batchFiles(s, e)
+    if (allFiles.isEmpty) return Array.empty
     val (aff, files) =
       allFiles.partition { case (p, _) => doomed.contains(ManifestTable.fileBasename(p)) }
-    val clean: Array[InputPartition] =
-      if (files.isEmpty) Array.empty
-      else if (renameSteps.isEmpty)
-        parquetBatch(files.map(_._1), currentEra).planInputPartitions()
-      else files.groupBy { case (_, seq) => eraOf(seq) }.toArray.sortBy(_._1).flatMap {
-        case (era, fs) =>
-          parquetBatch(fs.map(_._1), era).planInputPartitions()
-            .map(p => GraftEraInputPartition(era, p): InputPartition)
-      }
+    val clean: Array[InputPartition] = planClean(files)
     if (aff.isEmpty) clean
     else {
       // Spark refuses mixed row/columnar partitions within one scan:
@@ -393,8 +513,14 @@ final class GraftMicroBatchStream(
       if (renameSteps.isEmpty) parquetBatch(Nil, currentEra).createReaderFactory()
       else new GraftEraReaderFactory(
         (0 to currentEra).map(e => e -> parquetBatch(Nil, e).createReaderFactory()).toMap)
-    if (!startManifest.hasMorDeletes) base
-    else new GraftMorReaderFactory(base,
+    // ALWAYS MoR-capable: the factory must serve a REPLAYED batch 0
+    // whose checkpointed snapshot version still had pending tombstones
+    // even when the CURRENT head (startManifest) has none — gating on
+    // startManifest.hasMorDeletes would strand the replay's
+    // position-filtered partitions. Pass-through for clean partitions
+    // (vectorized reads and pushdown untouched); the extra no-filter
+    // templates cost one driver-side plan per era, never a scan.
+    new GraftMorReaderFactory(base,
       (0 to currentEra).map(e =>
         e -> parquetBatch(Nil, e, withFilters = false).createReaderFactory()).toMap)
   }
@@ -410,7 +536,22 @@ final class GraftMicroBatchStream(
       case o => GraftStreamOffset.fromJson(o.json()).version
     }
     ManifestTable.pinCursor(dir, pinName, math.max(v, 0L))
+    // ANY commit means batch 0 (the snapshot) is durable — no replay can
+    // need an over-cap staged applied view again. One exists-probe per
+    // stream INSTANCE (not per epoch), keyed off the persisted baseline
+    // rather than instance state, because the instance that staged may
+    // have crashed and the restart instance is the one that commits.
+    if (!snapshotStageCleaned) {
+      snapshotStageCleaned = true
+      readBaseline().foreach { b =>
+        val stage = new Path(checkpointLocation, s"graft-snapshot-v${b.version}")
+        val fs = stage.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(stage)) fs.delete(stage, true): Unit
+      }
+    }
   }
+
+  @volatile private var snapshotStageCleaned = false
 
   override def stop(): Unit = ()
 }

@@ -49,20 +49,29 @@ object GraftWrites {
   /** Copy-on-write row-level op: swap `removed()` (the files the
     * operation's scan planned) for the staged replacements. The thunk
     * defers to commit time because Spark builds the write before the
-    * scan records its plan.
+    * scan records its plan. `onBranch` (set while
+    * `spark.graft.wap.branch` routed the statement's read onto that
+    * branch) commits the swap as the branch's next shadow snapshot —
+    * captured at plan time so a conf flip mid-statement cannot split
+    * read and write.
     */
-  final case class ReplaceFiles(base: ManifestTable.Manifest, removed: () => Set[String])
+  final case class ReplaceFiles(
+      base: ManifestTable.Manifest, removed: () => Set[String],
+      onBranch: Option[String] = None)
     extends Mode
 
   /** Iceberg's `spark.wap.branch` parity knob: while set, plain SQL
     * appends (`INSERT INTO`, `writeStream.toTable`) land as SHADOW
-    * snapshots on the named branch and plain reads serve the branch
-    * head — the whole write-audit-publish lifecycle runs in SQL with
-    * no per-commit `CALL`s; `CALL graft.system.fast_forward` publishes.
+    * snapshots on the named branch, plain reads serve the branch head,
+    * and row-level DML (`DELETE FROM`/`UPDATE`/`MERGE INTO`) commits
+    * as branch-scoped CoW rewrites — the whole write-audit-publish
+    * lifecycle, row corrections included, runs in SQL with no
+    * per-commit `CALL`s; `CALL graft.system.fast_forward` publishes.
     * The branch must already exist (a typo must not silently fork a
-    * table), and non-append SQL writes (OVERWRITE, UPDATE/MERGE/
-    * DELETE rewrites) refuse while routing is on — branch commits are
-    * appends by contract.
+    * table). Whole-snapshot replacements (INSERT OVERWRITE, TRUNCATE,
+    * Complete-mode streams) still refuse while routing is on: a branch
+    * is a staged DELTA against its base, and replacing the snapshot
+    * on a branch has no publishable meaning.
     */
   val WapBranchConf = "spark.graft.wap.branch"
 
@@ -230,11 +239,18 @@ final class GraftBatchWrite(
             s"'${GraftWrites.wapBranch(spark).get}' (branch commits are appends); " +
             s"publish or unset ${GraftWrites.WapBranchConf} first")
         ManifestTable.installStaged(spark, dir, schema, track, None, stage, replace = true): Unit
-      case GraftWrites.ReplaceFiles(base, removed) =>
+      case GraftWrites.ReplaceFiles(base, removed, Some(b)) =>
+        // the statement's read resolved on branch `b` (wap.branch
+        // routing, captured at plan time): the swap is the branch's
+        // next shadow snapshot — main stays isolated until publish
+        ManifestTable.installStagedRewriteOnBranch(
+          spark, stage, schema, dir, b, base, removed()): Unit
+      case GraftWrites.ReplaceFiles(base, removed, None) =>
         require(GraftWrites.wapBranch(spark).isEmpty,
-          s"row-level SQL rewrites cannot route onto WAP branch " +
-            s"'${GraftWrites.wapBranch(spark).get}' (branch commits are appends); " +
-            s"publish or unset ${GraftWrites.WapBranchConf} first, or use the typed API")
+          s"row-level SQL rewrites planned OFF-branch cannot commit while " +
+            s"${GraftWrites.WapBranchConf} routes onto " +
+            s"'${GraftWrites.wapBranch(spark).get}' (the rewrite read main); " +
+            s"re-run the statement under the routing, or unset it")
         ManifestTable.installStagedRewrite(spark, stage, schema, dir, base, removed(), None): Unit
     }
   }

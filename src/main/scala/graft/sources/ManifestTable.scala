@@ -1549,15 +1549,17 @@ object ManifestTable {
     * Scale shape: probes AFFECTED files only ([[morDoomedPaths]] — one
     * bounded metadata/semi-join pass), then one semi-join per delete
     * kind over those files. The collected set is the number of
-    * tombstoned ROWS, capped at `cap` and refused LOUDLY above it
-    * (pointing at [[materializeDeletes]]) — the driver never silently
-    * holds an unbounded doom set.
+    * tombstoned ROWS, capped at `cap`: above it this returns None —
+    * the driver never silently holds an unbounded doom set — and the
+    * caller degrades to the DISTRIBUTED applied-read plan (the
+    * streaming source stages the applied snapshot once, under its
+    * checkpoint, and serves those files as batch 0).
     */
   private[sources] def morDoomedPositions(
-      spark: SparkSession, m: Manifest, cap: Long): Map[String, Array[Long]] = {
-    if (!m.hasMorDeletes) return Map.empty
+      spark: SparkSession, m: Manifest, cap: Long): Option[Map[String, Array[Long]]] = {
+    if (!m.hasMorDeletes) return Some(Map.empty)
     val affected = morDoomedPaths(spark, m, m.files.map(_.path)).toSeq
-    if (affected.isEmpty) return Map.empty
+    if (affected.isEmpty) return Some(Map.empty)
     val withB = readData(spark, m, affected, withBname = true, withRowIdx = true)
     val pos =
       if (m.posDeleteFiles.isEmpty) None
@@ -1575,12 +1577,12 @@ object ManifestTable {
     val doomed = (pos.toSeq ++ eq.toSeq).reduce(_ unionByName _).distinct()
     val probe = math.min(cap + 1L, Int.MaxValue.toLong).toInt
     val rows = doomed.limit(probe).collect()
-    require(rows.length <= cap,
-      s"MoR-applying snapshot (manifest v${m.version}): more than $cap tombstoned rows pending — " +
-        "too many to apply row-side; run ManifestTable.materializeDeletes first " +
-        "(the maintenance-cadence read-debt repayment), or raise the cap knowingly")
-    rows.groupBy(_.getString(0))
-      .map { case (b, rs) => b -> rs.map(_.getLong(1)).sorted }
+    // over the cap, the positions don't fit driver-side: return None and
+    // let the caller degrade to the DISTRIBUTED applied-read plan (the
+    // streaming source stages the applied snapshot instead of refusing)
+    if (rows.length > cap) None
+    else Some(rows.groupBy(_.getString(0))
+      .map { case (b, rs) => b -> rs.map(_.getLong(1)).sorted })
   }
 
   /** Sequence-scoped EQUALITY-delete join against an already-built
@@ -2109,13 +2111,24 @@ object ManifestTable {
   /** Has `txn` already committed on this branch? The branch-side half
     * of the streaming replay check — a publish moves the txn-carrying
     * manifests onto MAIN, so callers consult [[committedTxn]] too.
-    * O(branch length) metadata reads; branches are short-lived staging.
+    *
+    * Installed branch manifests are immutable per (dir, name, version),
+    * so the txn marker memoizes after one parse — the same discipline
+    * as [[txnCache]] on main. Without it, a streaming write's
+    * per-epoch replay check re-parses EVERY branch manifest (each
+    * O(files) JSON) and a long staging run goes quadratic in epoch
+    * count; with it, the steady state is O(branch length) in-memory
+    * lookups plus ONE parse for the single new version per epoch.
     */
+  private val branchTxnCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), Option[String]]()
   private[sources] def committedTxnOnBranch(
       dir: String, name: String, txn: String): Option[Long] =
     branchVersions(dir, name).sorted.reverse.find { v =>
-      val p = java.nio.file.Paths.get(dir, "_manifests", branchManifestName(name, v))
-      parse(dir, new String(java.nio.file.Files.readAllBytes(p), "UTF-8")).txn.contains(txn)
+      branchTxnCache.computeIfAbsent((dir, name, v), { case (_, _, _) =>
+        val p = java.nio.file.Paths.get(dir, "_manifests", branchManifestName(name, v))
+        parse(dir, new String(java.nio.file.Files.readAllBytes(p), "UTF-8")).txn
+      }).contains(txn)
     }
 
   /** Row-level copy-on-write DELETE ON A BRANCH — [[delete]]'s
@@ -2242,7 +2255,24 @@ object ManifestTable {
       appendKeyConflict: Option[(DataFrame, Seq[String])] = None): Long = {
     val stage = s"$dir/data/c-${java.util.UUID.randomUUID()}"
     rewritten.write.parquet(stage)
-    val schema = DataFrameSchema.fromJson(head.schemaJson)
+    installStagedRewriteOnBranch(spark, stage,
+      DataFrameSchema.fromJson(head.schemaJson), dir, name, head, touched,
+      appendKeyConflict)
+  }
+
+  /** [[installRewriteOnBranch]] for ALREADY-STAGED files — the SQL
+    * row-level write path's branch route: while
+    * `spark.graft.wap.branch` is set, a plain `UPDATE`/`MERGE INTO`/
+    * rewrite-`DELETE`'s V2 write stages its replacement files through
+    * executor tasks and the driver commits them here, swapping exactly
+    * the files the operation's (branch-resolved) scan planned — the
+    * branch twin of [[installStagedRewrite]], with the same
+    * mid-rewrite conflict refusals.
+    */
+  private[sources] def installStagedRewriteOnBranch(
+      spark: SparkSession, stage: String, schema: StructType,
+      dir: String, name: String, head: Manifest, touched: Set[String],
+      appendKeyConflict: Option[(DataFrame, Seq[String])] = None): Long = {
     val newFiles = collectStats(spark, stage, head.track, schema)
     val basePaths = head.files.map(_.path).toSet
     var committed = -1L
@@ -2478,6 +2508,9 @@ object ManifestTable {
       heads.foreach(h => java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(dir, "_manifests", h)): Unit)
     }
+    // a later createBranch of the SAME name can reuse version numbers;
+    // the memoized txn markers would lie for the new incarnation
+    branchTxnCache.keySet.removeIf(k => k._1 == dir && k._2 == name)
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(dir, "_manifests", branchMarker(name)))
   }

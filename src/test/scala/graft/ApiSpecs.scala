@@ -131,12 +131,19 @@ class ApiSpecs extends SparkSpec {
       assert(exact.get(pair).contains(cos),
         s"$pair must carry the exact path's bit-identical cosine") }
     // (3) an identical-vector mass shares every sign: no plane count
-    // splits it — the eager audit fails loudly, before the pair join
+    // splits it — the eager audit fails loudly, before the pair join —
+    // and the audit LOOP leaves no pinned probe frames behind (only the
+    // ACCEPTED plane count ever localCheckpoints, and a failing audit
+    // accepts none)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val clones = (0 until 10).map(i => (i.toLong, vec(7))).toDF("vid", "vec")
     val e = intercept[IllegalArgumentException] {
       VectorSearch.cosineNearDupsAuto(clones, "vid", "vec", 0.9, budgetPairsPerVec = 1L)
     }
     assert(e.getMessage.contains("identical-vector mass"), e.getMessage)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(leaked.isEmpty,
+      s"the occupancy-audit loop must not leak pinned probe frames: $leaked")
   }
 
   test("cosineNearDupsAuto recall: near-identical pairs survive the blocked regime almost surely") {

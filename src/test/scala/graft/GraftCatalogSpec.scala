@@ -675,25 +675,37 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("INSERT INTO graft.lake.wapsql VALUES (6003, 3, 'mistake')")
       assert(spark.sql("SELECT count(*) FROM graft.lake.wapsql").head().getLong(0) == 1003,
         "a plain read while staging must serve the branch (the audit half)")
-      // row correction stays on the branch too: the CALL form of the
-      // row-level DML that refuses while routing is on
-      spark.sql("CALL graft.system.delete_on_branch(table => 'lake.wapsql', " +
-        "name => 'audit', condition => \"cat = 'mistake'\")")
+      // row corrections are PLAIN SQL DML while routing — each commits
+      // as a branch-scoped CoW rewrite, zero CALLs:
+      spark.sql("DELETE FROM graft.lake.wapsql WHERE cat = 'mistake'")
       assert(spark.sql("SELECT count(*) FROM graft.lake.wapsql").head().getLong(0) == 1002,
-        "the staged correction must apply on the branch read")
+        "the staged DELETE must apply on the branch read")
+      spark.sql("UPDATE graft.lake.wapsql SET cat = 'fixed' WHERE id = 6002")
+      assert(spark.sql("SELECT cat FROM graft.lake.wapsql WHERE id = 6002")
+        .head().getString(0) == "fixed", "the staged UPDATE must apply on the branch read")
+      spark.sql(
+        """MERGE INTO graft.lake.wapsql t
+          |USING (SELECT 6001L AS id, 1L AS k, 'merged' AS cat
+          |       UNION ALL SELECT 6004L, 4L, 'staged') s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.sql("SELECT cat FROM graft.lake.wapsql WHERE id = 6001")
+        .head().getString(0) == "merged", "the staged MERGE must upsert on the branch")
+      assert(spark.sql("SELECT count(*) FROM graft.lake.wapsql").head().getLong(0) == 1003,
+        "MERGE must have appended its unmatched row on the branch")
       // MAIN ISOLATION while staged: unset the knob, main is untouched
       spark.conf.unset("spark.graft.wap.branch")
       assert(spark.sql("SELECT count(*) FROM graft.lake.wapsql").head().getLong(0) == 1000,
-        "main must not see staged branch commits")
+        "main must not see staged branch commits (3 appends + 3 CoW rewrites)")
       assert(ManifestTable.latestVersion(dir).contains(1L))
       spark.conf.set("spark.graft.wap.branch", "audit")
-      // non-append writes refuse while routing is on
+      // whole-snapshot replacements still refuse while routing is on
       val eo = intercept[Exception](
         spark.sql("INSERT OVERWRITE graft.lake.wapsql VALUES (1, 1, 'x')"))
       assert(eo.getMessage.contains("WAP branch"), eo.getMessage)
-      val eu = intercept[Exception](
-        spark.sql("UPDATE graft.lake.wapsql SET cat = 'y' WHERE id = 6001"))
-      assert(eu.getMessage.contains("branch"), eu.getMessage)
+      val et2 = intercept[Exception](spark.sql("TRUNCATE TABLE graft.lake.wapsql"))
+      assert(et2.getMessage.contains("wap.branch"), et2.getMessage)
       // a table with NO such branch reads main (the knob names the
       // staging lane, not every table on it)
       mkTable("lake", "wapother")
@@ -706,14 +718,68 @@ class GraftCatalogSpec extends SparkSpec {
       spark.conf.set("spark.graft.wap.branch", "audit")
       // SQL audit gate over the branch, then SQL publish
       assert(spark.sql(
-        "SELECT count(*) FROM graft.lake.wapsql WHERE cat = 'staged'").head().getLong(0) == 2)
+        "SELECT count(*) FROM graft.lake.wapsql " +
+          "WHERE cat IN ('staged', 'fixed', 'merged')").head().getLong(0) == 3)
       spark.sql("CALL graft.system.fast_forward(table => 'lake.wapsql', name => 'audit')")
     } finally spark.conf.unset("spark.graft.wap.branch")
-    assert(spark.sql("SELECT count(*) FROM graft.lake.wapsql").head().getLong(0) == 1002,
+    assert(spark.sql("SELECT count(*) FROM graft.lake.wapsql").head().getLong(0) == 1003,
       "publish must land the audited chain on main")
+    assert(spark.sql("SELECT cat FROM graft.lake.wapsql WHERE id IN (6001, 6002, 6004) " +
+      "ORDER BY id").collect().map(_.getString(0)).toSeq == Seq("merged", "fixed", "staged"),
+      "every SQL DML correction must survive the publish")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.wapsql WHERE id = 6003")
+      .head().getLong(0) == 0, "the deleted mistake must stay deleted on main")
     assert(ManifestTable.branches(dir).isEmpty)
-    assert(ManifestTable.latestVersion(dir).contains(5L),
-      "3 staged appends + 1 staged rewrite publish as 4 main commits")
+    assert(ManifestTable.latestVersion(dir).contains(7L),
+      "3 staged appends + 3 staged CoW rewrites publish as 6 main commits")
+  }
+
+  test("SQL UPDATE on an UNTRACKED column: runtime group filtering narrows the rewrite without losing rows") {
+    // matches confined to one file's id range, predicate on a column
+    // with no envelope stats: static pruning can't narrow, so Spark's
+    // runtime group filter does (via the matched rows' TRACKED id
+    // values) — and the commit's removed() set must follow the
+    // narrowed scan, or every un-read file is swapped away (the
+    // silent-data-loss shape this spec pins)
+    val dir = s"$warehouse/lake/rtup"
+    new java.io.File(dir).mkdirs()
+    val df = (1 to 1000).map(i => (i.toLong, i.toLong, if (i <= 10) "hot" else s"s${i % 13}"))
+      .toDF("id", "k", "cat")
+    ManifestTable.commit(df.repartitionByRange(5, $"id"), dir, track = Seq("id"))
+    val before = ManifestTable.manifest(dir, None).files.map(_.path).toSet
+    spark.sql("UPDATE graft.lake.rtup SET k = -1 WHERE cat = 'hot'")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.rtup").head().getLong(0) == 1000,
+      "rows outside the rewritten groups must survive the commit")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.rtup WHERE k = -1")
+      .head().getLong(0) == 10, "exactly the matching rows must update")
+    val after = ManifestTable.manifest(dir, None).files.map(_.path).toSet
+    assert((before intersect after).size >= 4,
+      s"the rewrite must swap only the group(s) holding matches: " +
+        s"${(before -- after).size} of ${before.size} files replaced")
+  }
+
+  test("a plain-SQL-DML branch rewrite cherry-picks onto a diverged main") {
+    val dir = mkTable("lake", "wappick")
+    spark.sql("CALL graft.system.create_branch(table => 'lake.wappick', name => 'fix')")
+    spark.conf.set("spark.graft.wap.branch", "fix")
+    try
+      // plain DELETE while routing = branch CoW rewrite commit (v2)
+      spark.sql("DELETE FROM graft.lake.wappick WHERE id <= 5")
+    finally spark.conf.unset("spark.graft.wap.branch")
+    // main diverges with an unrelated append: fast_forward refuses...
+    spark.sql("INSERT INTO graft.lake.wappick VALUES (8001, 1, 'later')")
+    val ef = intercept[Exception](spark.sql(
+      "CALL graft.system.fast_forward(table => 'lake.wappick', name => 'fix')"))
+    assert(ef.getMessage.contains("advanced past the branch base"), ef.getMessage)
+    // ...but the rewrite commit REPLAYS: same file swap, fresh main version
+    spark.sql(
+      "CALL graft.system.cherry_pick(table => 'lake.wappick', name => 'fix', version => 2)")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.wappick").head().getLong(0) == 996,
+      "1000 - 5 deleted + 1 diverged append")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.wappick WHERE id <= 5")
+      .head().getLong(0) == 0, "the cherry-picked SQL DELETE must apply on main")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.wappick WHERE id = 8001")
+      .head().getLong(0) == 1, "the diverged append must survive the replay")
   }
 
   test("spark.graft.wap.branch: a branch read with pending MoR tombstones serves the APPLIED view") {
@@ -757,6 +823,28 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.wap.branch")
     assert(spark.sql("SELECT id FROM graft.lake.wapstream WHERE cat = 'streamed'")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(7001L, 7002L))
+  }
+
+  test("spark.graft.wap.branch: streaming reads REFUSE a branch-head baseline") {
+    // branch manifests use branch-local version numbers that alias
+    // main's: a stream baselined on one would checkpoint offsets that
+    // bind a DIFFERENT main snapshot after the branch is dropped
+    val _ = mkTable("lake", "wapsr")
+    spark.sql("CALL graft.system.create_branch(table => 'lake.wapsr', name => 'stage')")
+    spark.conf.set("spark.graft.wap.branch", "stage")
+    try {
+      val e = intercept[Exception] {
+        val q = spark.readStream.table("graft.lake.wapsr").writeStream
+          .format("memory").queryName("wapsr_mem")
+          .option("checkpointLocation", tmpDir("wapsr-ckpt").toString).start()
+        try q.processAllAvailable() finally { try q.stop() catch { case _: Exception => () } }
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.toString +: chain(t.getCause)
+      val msgs = chain(e).mkString(" | ")
+      assert(msgs.contains("branch") && msgs.contains("wap.branch"),
+        s"refusal must name the branch baseline and the routing knob: $msgs")
+    } finally spark.conf.unset("spark.graft.wap.branch")
   }
 
   test("hidden partitioning: days/bucket/truncate transforms prune from SOURCE-column predicates") {

@@ -235,16 +235,106 @@ class GraftStreamReadSpec extends SparkSpec {
     assert(sinkIds() ==
       Seq(1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L, 13L, 16L, 17L, 18L),
       s"restart must resume exactly-once: ${sinkIds()}")
-    // the doom-set cap refuses LOUDLY, pointing at materializeDeletes
-    val dir2 = mkTable("morcap", 1 to 10)
-    ManifestTable.deleteByKey((1L to 5L).toDF("id"), dir2, keys = Seq("id"))
-    val e = intercept[Exception] {
-      val qc = startInto("sr_morcap", "graftsr.lake.morcap", tmpDir("sr-morcap-ckpt"),
-        Map("maxSnapshotTombstones" -> "2"))
-      try qc.processAllAvailable() finally qc.stop()
+  }
+
+  test("over-cap MoR snapshot DEGRADES to the staged applied view: correct, exactly-once, space reclaimed") {
+    // 5 tombstoned rows against a cap of 2: the doom set refuses to
+    // materialize driver-side, so batch 0 serves the DISTRIBUTED
+    // applied view, staged once under the checkpoint
+    val dir = mkTable("morcap", 1 to 10)
+    ManifestTable.deleteByKey((1L to 5L).toDF("id"), dir, keys = Seq("id"))
+    val ckpt = tmpDir("sr-morcap-ckpt")
+    val out = tmpDir("sr-morcap-out").toString
+    def sinkIds(): Seq[Long] =
+      spark.read.parquet(out).select("id").as[Long].collect().toSeq.sorted
+    def drain(): Unit = {
+      val q = spark.readStream.option("maxSnapshotTombstones", "2")
+        .table("graftsr.lake.morcap").writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
     }
-    assert(e.toString.contains("materializeDeletes") ||
-      Option(e.getCause).exists(_.toString.contains("materializeDeletes")), e.toString)
+    drain()
+    assert(sinkIds() == (6L to 10L),
+      s"over-cap snapshot must still be the APPLIED view: ${sinkIds()}")
+    // appends flow; nothing re-delivers across the checkpointed restart
+    append(dir, 11 to 12)
+    drain()
+    assert(sinkIds() == (6L to 12L), s"exactly-once after degrade: ${sinkIds()}")
+    // the staged applied view is reclaimed once the snapshot batch is
+    // durable (the commit callback fires within a later trigger cycle)
+    drain()
+    val walk = java.nio.file.Files.walk(ckpt)
+    val leftover =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("graft-snapshot")).toList
+      } finally walk.close()
+    assert(leftover.isEmpty, s"staged snapshot must be reclaimed after commit: $leftover")
+  }
+
+  test("batch-0 replay is deterministic: appends landing in the crash window do not deliver twice") {
+    // batch 0's offset reaches the WAL, then the SINK crashes before the
+    // commit log entry; the replayed batch must re-plan the snapshot at
+    // the BASELINE version (persisted beside the checkpoint), not at the
+    // current head — or the crash-window append enters the snapshot AND
+    // streams again as its own commit
+    val dir = mkTable("crashwin", 1 to 10)
+    val ckpt = tmpDir("sr-cw-ckpt")
+    val out = tmpDir("sr-cw-out").toString
+    val crash = spark.readStream.table("graftsr.lake.crashwin").writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) =>
+        throw new RuntimeException("injected sink crash"))
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      crash.processAllAvailable())
+    try crash.stop() catch { case _: Exception => () }
+    append(dir, 11 to 12) // lands between crash and restart
+    val q = spark.readStream.table("graftsr.lake.crashwin").writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out).select("id").as[Long].collect().toSeq.sorted
+    assert(got == (1L to 12L),
+      s"replayed snapshot must bind the baseline version — no duplicates, no loss: $got")
+  }
+
+  test("MoR snapshot replay derives its doom set from the checkpointed version, not the current head") {
+    val dir = mkTable("morrep", 1 to 10)
+    ManifestTable.deleteByKey(Seq(3L).toDF("id"), dir, keys = Seq("id")) // v2
+    ManifestTable.deleteWhere(spark, dir, $"id" >= 9L)                   // v3
+    // applied view at the stream's baseline (v3): 1,2,4,5,6,7,8
+    val ckpt = tmpDir("sr-morrep-ckpt")
+    val out = tmpDir("sr-morrep-out").toString
+    val crash = spark.readStream.table("graftsr.lake.morrep").writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) =>
+        throw new RuntimeException("injected sink crash"))
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      crash.processAllAvailable())
+    try crash.stop() catch { case _: Exception => () }
+    // the tombstone set MOVES before the restart: a doom set derived
+    // from the head would over-delete id 5 out of the replayed snapshot
+    ManifestTable.deleteByKey(Seq(5L).toDF("id"), dir, keys = Seq("id")) // v4
+    val q = spark.readStream.table("graftsr.lake.morrep").writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out))
+      .start()
+    // batch 0 replays the v3 applied view, then the v4 delete commit is
+    // judged exactly as live: refused as a non-append-only change
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q.processAllAvailable())
+    try q.stop() catch { case _: Exception => () }
+    val got = spark.read.parquet(out).select("id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 2L, 4L, 5L, 6L, 7L, 8L),
+      s"replayed batch 0 must be the applied view AT THE CHECKPOINTED VERSION " +
+        s"(id 5 delivered — its delete landed after the offset was logged): $got")
   }
 
   test("MoR-applying snapshot SPANS rename eras: per-era position filters compose with the rename chain") {
