@@ -161,13 +161,25 @@ object ManifestSkipping extends PredicateHelper {
     // equality/IN only. Derived per owning table dir — track specs are
     // per-table.
     val derivedByDir: Map[String, Seq[Constraint]] =
-      stats.values.map(s => (s.dir, s.track)).toSet.toSeq
-        .groupBy((p: (String, Seq[String])) => p._1)
+      stats.values.map(s => (s.dir, s.track, s.aliases)).toSet.toSeq
+        .groupBy((p: (String, Seq[String], Map[String, Seq[String]])) => p._1)
         .map { case (d, ts) =>
+          val aliasUnion: Map[String, Seq[String]] = ts.flatMap(_._3)
+            .groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2).distinct }
           val specs = ts.flatMap(_._2).distinct
             .map(t => graft.sources.TrackSpec.parse(t))
             .filterNot(_.isInstanceOf[graft.sources.TrackSpec.Identity])
-          d -> specs.flatMap(sp => constraints.flatMap(c => derive(c, sp)))
+          // ERA EXPANSION: a filter pushed under a rename-era projection
+          // arrives in that era's SOURCE name, and each V1-rule relation
+          // holds exactly one era's files — the spec re-rendered over
+          // each historical source name derives the constraint under the
+          // key those files' envelopes actually carry (current-name
+          // filters keep deriving via the unmodified spec; the Stats
+          // alias walk resolves each key against each file)
+          val expanded = specs.flatMap(sp =>
+            sp +: aliasUnion.getOrElse(sp.source, Nil).map(o =>
+              graft.sources.TrackSpec.withSource(sp, o)))
+          d -> expanded.flatMap(sp => constraints.flatMap(c => derive(c, sp)))
         }
     // equality/IN conjuncts additionally consult the Bloom sidecar
     // (MemberIndex) when one exists for the column: a point lookup on a

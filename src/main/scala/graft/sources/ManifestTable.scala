@@ -274,22 +274,25 @@ object ManifestTable {
         s"cannot rename delete-key column $from while merge-on-read tombstones are " +
           "pending (their key files are written under the old name); run " +
           "materializeDeletes first")
-      require(!cur.track.exists(t =>
-        TrackSpec.isTransform(t) && TrackSpec.parse(t).source == from),
-        s"cannot rename column $from: it is the source of a hidden-partitioning " +
-          "transform track spec (committed envelopes are keyed by the spec string); " +
-          "evolve the skipping spec via replace/compact first")
       val v = cur.version + 1
+      // hidden-partitioning transform specs SURVIVE the rename: the
+      // spec string re-renders over the new source name (days(ts) ->
+      // days(event_ts)), and old files' envelopes — keyed by the spec
+      // string their commit rendered — stay reachable through the
+      // rename-alias chain ([[renameAliases]] extends key-wise)
+      def inSpec(t: String): String = {
+        val spec = TrackSpec.parse(t)
+        if (spec.source != from) t else TrackSpec.withSource(spec, to).key
+      }
       val m = cur.copy(version = v, parent = Some(cur.version), txn = None,
         schemaJson = StructType(schema.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f)).json,
-        track = cur.track.map(t => if (t == from) to else t),
+        track = cur.track.map(inSpec),
         deleteKeys = cur.deleteKeys.map(k => if (k == from) to else k),
         op = None,
         renames = cur.renames :+ RenameStep(v, from, to),
         retired = cur.retired :+ from,
-        trackSince = cur.trackSince.map { case (k, sv) =>
-          (if (k == from) to else k) -> sv })
+        trackSince = cur.trackSince.map { case (k, sv) => inSpec(k) -> sv })
       committed = tryInstall(dir, m)
     }
     committed
@@ -1705,15 +1708,30 @@ object ManifestTable {
     * use ([[graft.plans.ManifestSkipping.Stats]]). Empty for the
     * overwhelmingly common never-renamed table.
     */
-  private[graft] def renameAliases(m: Manifest): Map[String, Seq[String]] =
-    if (m.renames.isEmpty) Map.empty
-    else DataFrameSchema.fromJson(m.schemaJson).fieldNames.flatMap { cur =>
+  private[graft] def renameAliases(m: Manifest): Map[String, Seq[String]] = {
+    if (m.renames.isEmpty) return Map.empty
+    val base = DataFrameSchema.fromJson(m.schemaJson).fieldNames.flatMap { cur =>
       val hist = Seq.newBuilder[String]
       var n = cur
       m.renames.reverseIterator.foreach(st => if (st.to == n) { n = st.from; hist += n })
       val h = hist.result()
       if (h.isEmpty) None else Some(cur -> h)
     }.toMap
+    // hidden partitioning across renames: a TRANSFORM spec's envelopes
+    // are keyed by the rendered spec string, so files predating a
+    // SOURCE rename carry keys rendered with the old source name — the
+    // alias chain extends key-wise (days(event_ts) -> [days(ts)]).
+    // Retired names never reuse, so a key alias is as unambiguous as a
+    // column alias.
+    val transformKeys = m.track.flatMap { t =>
+      val spec = TrackSpec.parse(t)
+      if (spec.isInstanceOf[TrackSpec.Identity]) None
+      else base.get(spec.source).map { olds =>
+        spec.key -> olds.map(o => TrackSpec.withSource(spec, o).key)
+      }
+    }.toMap
+    base ++ transformKeys
+  }
 
   /** Read data `paths` of `m` with its rename chain applied, optionally
     * attaching the applied-read machinery's attribution columns

@@ -94,6 +94,24 @@ object TrackSpec {
 
   def isTransform(s: String): Boolean = !parse(s).isInstanceOf[Identity]
 
+  /** The same spec re-rendered over a renamed source column —
+    * `days(ts)` becomes `days(event_ts)`. How hidden partitioning
+    * SURVIVES a source rename: the committed envelopes stay keyed by
+    * the spec string they were written under, and the rename-alias
+    * chain maps the current key back to them (Iceberg gets this from
+    * field ids; this engine's manifests are name-keyed, so the alias
+    * walk is the binding).
+    */
+  def withSource(spec: Spec, src: String): Spec = spec match {
+    case Identity(_) => Identity(src)
+    case Days(_) => Days(src)
+    case Hours(_) => Hours(src)
+    case Months(_) => Months(src)
+    case Years(_) => Years(src)
+    case Bucket(n, _) => Bucket(n, src)
+    case Truncate(w, _) => Truncate(w, src)
+  }
+
   private val MicrosPerDay = 86400000000L
   private val MicrosPerHour = 3600000000L
 

@@ -905,10 +905,12 @@ class GraftCatalogSpec extends SparkSpec {
     assert(scannedFiles(qm).size == 1,
       s"months(ts) must prune a month range to 1 file, got ${scannedFiles(qm).size}")
     assert(qm.count() == 50)
-    // renaming/dropping a transform source refuses loudly
-    val er = intercept[Exception](
-      spark.sql("ALTER TABLE graft.lake.hidden RENAME COLUMN ts TO event_ts"))
-    assert(er.getMessage.contains("hidden-partitioning"), er.getMessage)
+    // renaming a transform source SURVIVES (spec re-renders, envelopes
+    // reachable through the key-alias chain — the dedicated rename spec
+    // audits pruning); dropping one still refuses loudly
+    spark.sql("ALTER TABLE graft.lake.hidden RENAME COLUMN ts TO event_ts")
+    assert(ManifestTable.manifest(mkTableDir("lake", "hidden"), None).track
+      .contains("days(event_ts)"))
     val ed = intercept[Exception](
       spark.sql("ALTER TABLE graft.lake.hidden DROP COLUMN name"))
     assert(ed.getMessage.contains("hidden-partitioning"), ed.getMessage)
@@ -939,6 +941,49 @@ class GraftCatalogSpec extends SparkSpec {
       "ts >= timestamp'2026-03-10 00:00:00' AND ts < timestamp'2026-03-11 00:00:00'")
     assert(scannedFiles(q2).isEmpty,
       s"after compaction every file carries the transformed envelope: ${scannedFiles(q2)}")
+  }
+
+  test("hidden partitioning SURVIVES renaming the transform's source column") {
+    val _ = warehouse
+    spark.sql("CREATE TABLE graft.lake.hren (ts TIMESTAMP, v BIGINT) PARTITIONED BY (days(ts))")
+    for (d <- 1 to 2) // two PRE-rename day files, envelopes keyed days(ts)
+      spark.sql(s"INSERT INTO graft.lake.hren SELECT timestamp'2026-04-0$d 01:00:00' + " +
+        s"make_interval(0, 0, 0, 0, 0, 0, id), id FROM range(0, 100, 1, 1)")
+    spark.sql("ALTER TABLE graft.lake.hren RENAME COLUMN ts TO event_ts")
+    val dir = mkTableDir("lake", "hren")
+    // the spec string re-renders over the new source name...
+    assert(ManifestTable.manifest(dir, None).track.contains("days(event_ts)"),
+      s"track spec must follow the rename: ${ManifestTable.manifest(dir, None).track}")
+    // ...and post-rename commits envelope under the NEW key
+    spark.sql("INSERT INTO graft.lake.hren SELECT timestamp'2026-04-03 01:00:00' + " +
+      "make_interval(0, 0, 0, 0, 0, 0, id), id FROM range(0, 100, 1, 1)")
+    // renamed tables read through the era-union plan (V1 relations);
+    // collect what each era's relation will actually open
+    def optFiles(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.toSeq
+      }.flatten
+    // a day-2 range on the NEW name prunes to the one PRE-rename file
+    // (old envelope found through the key-alias chain days(event_ts) ->
+    // days(ts); the day-3 post-rename file prunes on its own new key)
+    // (23:00 upper bounds: a bound at exactly midnight widens to the
+    // NEXT day ordinal — strict source bounds derive as non-strict
+    // transformed bounds, the conservative collapsing-transform rule)
+    val q2 = spark.sql("SELECT event_ts FROM graft.lake.hren WHERE " +
+      "event_ts >= timestamp'2026-04-02 00:00:00' AND event_ts < timestamp'2026-04-02 23:00:00'")
+    assert(optFiles(q2).size == 1, s"want 1 pre-rename file, got ${optFiles(q2)}")
+    assert(q2.count() == 100)
+    // a day-3 range prunes to the one POST-rename file
+    val q3 = spark.sql("SELECT event_ts FROM graft.lake.hren WHERE " +
+      "event_ts >= timestamp'2026-04-03 00:00:00' AND event_ts < timestamp'2026-04-03 23:00:00'")
+    assert(optFiles(q3).size == 1, s"want 1 post-rename file, got ${optFiles(q3)}")
+    assert(q3.count() == 100)
+    // the API proof surface agrees: livePaths on the re-rendered spec
+    val day2 = java.time.LocalDate.of(2026, 4, 2).toEpochDay
+    assert(ManifestTable.livePaths(spark, dir, "days(event_ts)", lit(day2), lit(day2)).size == 1,
+      "livePaths must resolve old envelopes through the key-alias chain")
   }
 
   test("DROP TABLE removes the table; dropping a missing table reports false") {

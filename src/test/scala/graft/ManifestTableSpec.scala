@@ -1502,7 +1502,7 @@ class ManifestTableSpec extends SparkSpec {
       var curVal = "v" // current name of the value column (renames retire old names)
       var renameN = 0
       var branchN = 0
-      var trackStage = 0 // 0: only k tracked; 1: +identity curVal; 2: +truncate(8,k)
+      var trackStage = 0 // 0: only k; 1: +identity curVal; 2: +truncate(8,k); 3: +truncate(16,curVal)
       def df(rows: Map[Long, Long]) = rows.toSeq.toDF("k", curVal)
       // appends must carry the table's LIVE track spec (track-spec
       // evolution mid-sequence changes it; a stale spec refuses)
@@ -1526,7 +1526,9 @@ class ManifestTableSpec extends SparkSpec {
           // the full domain: every file scans (values are 0..999, keys
           // 0..30, truncate(8,k) in 0..24 — never null)
           val lo = lit(0L)
-          val hi = if (spec.isInstanceOf[graft.sources.TrackSpec.Identity]) lit(999L) else lit(24L)
+          // domains: k-sourced truncate(8,k) spans 0..24; the identity
+          // value column and truncate(16,value) both fit 0..999
+          val hi = if (spec.source == "k") lit(24L) else lit(999L)
           val all = ManifestTable.livePaths(spark, dir, t, lo, hi).toSet
           assert(all == m.files.map(_.path).toSet,
             s"trial $trial: full-domain range on $t must scan every file")
@@ -1646,9 +1648,17 @@ class ManifestTableSpec extends SparkSpec {
           model = m0.filterNot(_._1 == d) ++ br.toVector.filterNot(_._1 == d) ++ mr.toVector
           history :+= (v3, model)
           ManifestTable.dropBranch(dir, b): Unit
-        case AddTrack if history.nonEmpty && trackStage < 2 =>
+        case AddTrack if history.nonEmpty && trackStage < 3 =>
           trackStage += 1
-          val t = if (trackStage == 1) curVal else "truncate(8,k)"
+          val t = trackStage match {
+            case 1 => curVal
+            case 2 => "truncate(8,k)"
+            // a transform whose SOURCE is the rename-prone value column:
+            // a later Rename exercises hidden partitioning ACROSS the
+            // source rename (the spec string re-renders, old files'
+            // envelopes stay reachable through the key-alias chain)
+            case _ => s"truncate(16,$curVal)"
+          }
           val v = ManifestTable.addTrackedColumn(dir, t)
           history :+= (v, model)
         case _ => ()
