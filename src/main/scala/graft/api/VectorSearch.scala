@@ -539,11 +539,23 @@ object VectorSearch {
   def cosineNearDupsAuto(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       budgetPairsPerVec: Long = 500L, bands: Int = 4,
-      maxPlanesPerBand: Int = 16): (DataFrame, String) = {
+      maxPlanesPerBand: Int = 16,
+      /** When > 0, the band count DERIVES from (threshold, targetRecall)
+        * instead of the fixed `bands` default: per-pair recall at the
+        * threshold is the closed form 1 - (1 - r^p)^B (r = 1 - θ/π in
+        * angle terms — the sign-agreement probability AT θ; every pair
+        * above θ does better), so B = ⌈ln(1-targetRecall)/ln(1-r^p)⌉
+        * the way p derives from the budget — and B GROWS with p inside
+        * the occupancy-audit loop, so shrinking buckets to fit the
+        * budget never silently spends the recall the caller pinned.
+        */
+      targetRecall: Double = 0.0): (DataFrame, String) = {
     require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
     require(budgetPairsPerVec >= 1, s"budgetPairsPerVec >= 1: $budgetPairsPerVec")
     require(bands >= 1 && maxPlanesPerBand >= 1,
       s"need bands >= 1 and maxPlanesPerBand >= 1: $bands/$maxPlanesPerBand")
+    require(targetRecall >= 0 && targetRecall < 1,
+      s"targetRecall in [0,1) (0 disables recall sizing): $targetRecall")
     val n = df.count()
     if (n <= 2L * budgetPairsPerVec + 1L)
       // whole corpus under budget: the exact quadratic join IS within
@@ -551,15 +563,29 @@ object VectorSearch {
       // output, and cheaper: no bucketing, no dedup, no re-join)
       (cosineNearDups(df, idCol, vecCol, threshold, exactOk = true), s"exact(n=$n)")
     else {
-      val targetOcc = math.max(1L, 2L * budgetPairsPerVec / bands)
+      // bands per plane count: fixed (the `bands` param) unless
+      // targetRecall pins the amplification level — then derived from
+      // the closed form at each candidate p (the plane family is an
+      // unbounded deterministic sequence, so B·p disjoint slices never
+      // run out of planes)
+      val rAgree = 1.0 - math.acos(threshold) / math.Pi
+      def bandsFor(pl: Int): Int =
+        if (targetRecall <= 0) bands
+        else {
+          val keep = math.pow(rAgree, pl)
+          if (keep >= targetRecall) 1
+          else math.max(1, math.ceil(
+            math.log1p(-targetRecall) / math.log1p(-keep)).toInt)
+        }
       var p = 1
-      while (p < maxPlanesPerBand && (n >> p) > targetOcc) p += 1
+      while (p < maxPlanesPerBand &&
+        (n >> p) > math.max(1L, 2L * budgetPairsPerVec / bandsFor(p))) p += 1
       val nm = withNorm(df, vecCol)
       // slim (id, band, bucket): the only corpus-wide frame candidate
       // generation touches
       def slim(pl: Int) =
         nm.select(col(idCol).as("__id"), posexplode(expr(
-          (0 until bands).map(b =>
+          (0 until bandsFor(pl)).map(b =>
             graft.operators.VectorKit.bucketSparkBand(vecCol, pl, b * pl))
             .mkString("array(", ", ", ")"))).as(Seq("band", "bucket")))
       def volume(s: DataFrame): Long = s
@@ -595,7 +621,8 @@ object VectorSearch {
         .join(vb.hint("SHUFFLE_HASH"), "id_b")
         .selectExpr("id_a", "id_b", s"${dotSpark("va", "vb")} / (na * nb) AS cosine")
         .filter(col("cosine") >= threshold)
-      (pairs, s"lsh(bands=$bands,planesPerBand=$p,n=$n,candidates=$vol)")
+      val recallNote = if (targetRecall > 0) s",targetRecall=$targetRecall" else ""
+      (pairs, s"lsh(bands=${bandsFor(p)},planesPerBand=$p,n=$n,candidates=$vol$recallNote)")
     }
   }
 

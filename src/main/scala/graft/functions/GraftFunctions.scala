@@ -36,6 +36,12 @@ object GraftFunctions {
     // graft.plans.MorApplyRewrite (tables without pending tombstones
     // never match; the V2 scan fast path is untouched)
     ext.injectResolutionRule(graft.plans.MorApplyRewrite.apply)
+    // SQL views over catalog tables (DSv2 ViewCatalog) — OSS Spark
+    // ships the API without analyzer support, so the engine wires it:
+    // view DDL rewrites at parse time, view reads expand at resolution
+    // (see graft.plans.GraftViews)
+    ext.injectParser((s, delegate) => new graft.plans.GraftSqlParser(s, delegate))
+    ext.injectResolutionRule(graft.plans.ResolveGraftViews.apply)
     // the sort-merge AS-OF JOIN physical operator — see graft.plans.AsofJoin
     ext.injectPlannerStrategy(graft.plans.AsofJoinStrategy.apply)
     ext.injectFunction((

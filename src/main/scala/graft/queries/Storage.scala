@@ -1674,6 +1674,51 @@ object Storage {
         """)
       },
     ),
+    Q(
+      "q227_sql_view",
+      "SQL views over catalog tables — the DSv2 ViewCatalog, wired in " +
+        "by the engine's extensions (OSS Spark ships the API with no " +
+        "analyzer support; a parse-time rewrite handles CREATE/DROP/" +
+        "SHOW VIEWS, a resolution rule expands view reads): CREATE " +
+        "VIEW persists one JSON document in the warehouse (restart-" +
+        "surviving, nothing materialized), a SELECT through the view " +
+        "re-resolves the definition text against the catalog — so it " +
+        "plans through the same scan builder and prunes like the " +
+        "direct query — and the final aggregate reads ONLY the view.",
+      Some(s"""
+        WITH purview AS (
+          SELECT user_id, event_type, value FROM events WHERE event_type = 'purchase'
+        )
+        SELECT user_id, count(*) AS n, $d30_2 AS sum_value
+        FROM purview GROUP BY user_id
+      """.trim),
+      (spark, dir) => {
+        val wh = graft.Artifacts.cached(s"sql-view-warehouse:$dir") { w =>
+          val t = s"$w/lake/vev"
+          new java.io.File(t).mkdirs()
+          val ev = Tables(spark, dir).events
+          ManifestTable.commit(ev.repartitionByRange(8, col("ts")), t, track = Seq("ts"))
+          spark.conf.set("spark.sql.catalog.graftvw", "graft.sources.GraftCatalog")
+          spark.conf.set("spark.sql.catalog.graftvw.warehouse", w)
+          spark.sql("CREATE VIEW graftvw.lake.purview AS " +
+            "SELECT user_id, event_type, value FROM graftvw.lake.vev " +
+            "WHERE event_type = 'purchase'")
+          // the document is on disk under the warehouse, not in session
+          // state — the restart-survival contract
+          assert(new java.io.File(s"$w/lake/_views/purview.json").isFile,
+            "view must persist as one warehouse JSON document")
+        }
+        spark.conf.set("spark.sql.catalog.graftvw", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftvw.warehouse", wh)
+        assert(spark.sql("SHOW VIEWS IN graftvw.lake").collect()
+          .exists(_.getString(1) == "purview"), "SHOW VIEWS must list it")
+        spark.sql(s"""
+          SELECT user_id, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+          FROM graftvw.lake.purview GROUP BY user_id
+        """)
+      },
+    ),
   )
 
   /** Built once per (session, sf dir): a star pair for the runtime-

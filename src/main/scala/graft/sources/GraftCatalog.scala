@@ -73,7 +73,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * disguise and stays refused, pointing at the typed API.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog with ViewCatalog {
 
   private var catName: String = "graft"
 
@@ -381,6 +381,116 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
     finally walk.close()
+  }
+
+  // ---- SQL views (CREATE/DROP/SHOW VIEW) — Spark 4's DSv2 ViewCatalog.
+  // A view is its SQL TEXT plus the resolution context it was defined
+  // under (catalog, namespace, analyzed schema, output aliases),
+  // persisted as one JSON document at <warehouse>/<ns>/_views/<name>
+  // .json — so it survives session restarts like a table does, and a
+  // SELECT through it re-resolves the text against THIS catalog: a
+  // view over a manifest table plans through the same scan builder and
+  // prunes identically to querying the table directly. O(1) metadata
+  // per view; nothing is materialized.
+
+  private def viewFile(ident: Identifier): java.nio.file.Path = {
+    require(!ident.name.contains('/') && !ident.name.contains('$'),
+      s"illegal view name: ${ident.name}")
+    java.nio.file.Paths.get(
+      ident.namespace().foldLeft(warehouse)((a, b) => s"$a/$b"), "_views",
+      s"${ident.name}.json")
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val base = namespace.foldLeft(warehouse)((a, b) => s"$a/$b")
+    Option(new java.io.File(s"$base/_views").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".json"))
+      .map(f => Identifier.of(namespace.toArray, f.getName.stripSuffix(".json")))
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    java.nio.file.Files.exists(viewFile(ident))
+
+  override def loadView(ident: Identifier): View = {
+    val p = viewFile(ident)
+    if (!java.nio.file.Files.exists(p))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    GraftView.read(ident.toString, p)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val p = viewFile(info.ident)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val doc = GraftView.render(info)
+    try java.nio.file.Files.write(p, doc.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW) // atomic no-overwrite
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident)
+    }
+    GraftView.read(info.ident.toString, p)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    unsupported("ALTER VIEW (drop and recreate: view documents are immutable)")
+
+  override def dropView(ident: Identifier): Boolean =
+    java.nio.file.Files.deleteIfExists(viewFile(ident))
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    val src = viewFile(from)
+    if (!java.nio.file.Files.exists(src))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
+    val dst = viewFile(to)
+    java.nio.file.Files.createDirectories(dst.getParent)
+    if (java.nio.file.Files.exists(dst))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(to)
+    java.nio.file.Files.move(src, dst): Unit
+  }
+}
+
+/** One persisted SQL view: the definition text plus its resolution
+  * context, round-tripped through a single JSON document (see the
+  * ViewCatalog section of [[GraftCatalog]]).
+  */
+object GraftView {
+  private case class Doc(
+      sql: String, currentCatalog: String, currentNamespace: Seq[String],
+      schemaJson: String, queryColumnNames: Seq[String],
+      columnAliases: Seq[String], columnComments: Seq[Option[String]],
+      properties: Map[String, String])
+
+  private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+
+  private[sources] def render(info: ViewInfo): String = {
+    def arr(a: Array[String]): Seq[String] = Option(a).map(_.toSeq).getOrElse(Nil)
+    org.json4s.jackson.Serialization.write(Doc(
+      info.sql(), info.currentCatalog(), arr(info.currentNamespace()),
+      info.schema().json, arr(info.queryColumnNames()),
+      arr(info.columnAliases()),
+      Option(info.columnComments()).map(_.toSeq.map(Option(_))).getOrElse(Nil),
+      Option(info.properties())
+        .map(p => { import scala.jdk.CollectionConverters._; p.asScala.toMap })
+        .getOrElse(Map.empty)))
+  }
+
+  private[sources] def read(name: String, p: java.nio.file.Path): View = {
+    val doc = org.json4s.jackson.JsonMethods
+      .parse(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")).extract[Doc]
+    new View {
+      override def name(): String = name
+      override def query(): String = doc.sql
+      override def currentCatalog(): String = doc.currentCatalog
+      override def currentNamespace(): Array[String] = doc.currentNamespace.toArray
+      override def schema(): StructType = DataFrameSchema.fromJson(doc.schemaJson)
+      override def queryColumnNames(): Array[String] = doc.queryColumnNames.toArray
+      override def columnAliases(): Array[String] = doc.columnAliases.toArray
+      override def columnComments(): Array[String] = doc.columnComments.map(_.orNull).toArray
+      override def properties(): java.util.Map[String, String] = {
+        import scala.jdk.CollectionConverters._
+        doc.properties.asJava
+      }
+    }
   }
 }
 

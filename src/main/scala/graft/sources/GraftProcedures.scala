@@ -32,8 +32,8 @@ object GraftProcedures {
   val Namespace = "system"
 
   def list(): Array[String] = Array(
-    "maintain", "expire_snapshots", "compact", "materialize_deletes", "tag", "rollback",
-    "vacuum", "delete_by_key", "create_branch", "fast_forward", "drop_branch",
+    "maintain", "expire_snapshots", "compact", "zorder", "materialize_deletes", "tag",
+    "rollback", "vacuum", "delete_by_key", "create_branch", "fast_forward", "drop_branch",
     "cherry_pick", "add_tracked_column", "delete_on_branch")
 
   def load(catalogName: String, warehouse: () => String, name: String): UnboundProcedure = {
@@ -41,15 +41,22 @@ object GraftProcedures {
       table.split('.').foldLeft(warehouse())((a, b) => s"$a/$b")
     def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
     name match {
-      case "maintain" => proc(name, "run the full maintenance cadence; returns the head version",
+      case "maintain" => proc(name,
+        "run the full maintenance cadence; returns the head version. " +
+          "zorder_x + zorder_y swap the incremental binpack for a full " +
+          "z-order re-clustering of the pair",
         Seq(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("cluster_by", StringType).build(),
           ProcedureParameter.in("small_file_rows", LongType).defaultValue("100000").build(),
           ProcedureParameter.in("target_files", IntegerType).defaultValue("8").build(),
-          ProcedureParameter.in("keep_last", IntegerType).defaultValue("3").build()),
+          ProcedureParameter.in("keep_last", IntegerType).defaultValue("3").build(),
+          ProcedureParameter.in("zorder_x", StringType).defaultValue("''").build(),
+          ProcedureParameter.in("zorder_y", StringType).defaultValue("''").build()),
         r => ManifestTable.maintain(SparkSession.active, dirOf(str(r, 0)), str(r, 1),
-          r.getLong(2), r.getInt(3), r.getInt(4)))
+          r.getLong(2), r.getInt(3), r.getInt(4),
+          zorderBy = (Some(str(r, 5)).filter(_.nonEmpty), Some(str(r, 6)).filter(_.nonEmpty))
+            match { case (Some(x), Some(y)) => Some((x, y)); case _ => None }))
       case "expire_snapshots" => proc(name, "drop old snapshots (tags and cursor pins retained)",
         Seq(
           ProcedureParameter.in("table", StringType).build(),
@@ -64,6 +71,20 @@ object GraftProcedures {
           ProcedureParameter.in("cluster_by", StringType).build(),
           ProcedureParameter.in("num_files", IntegerType).defaultValue("8").build()),
         r => ManifestTable.compact(SparkSession.active, dirOf(str(r, 0)), str(r, 1), r.getInt(2)))
+      case "zorder" => proc(name,
+        "full Z-ORDER re-clustering rewrite on TWO columns (Delta/Iceberg " +
+          "OPTIMIZE ZORDER BY): files written in Morton-interleaved order " +
+          "carry tight envelopes on BOTH dimensions, so either-column (and " +
+          "two-column) filters prune; content-neutral, state-preserving, " +
+          "materializes pending deletes like compact",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("x", StringType).build(),
+          ProcedureParameter.in("y", StringType).build(),
+          ProcedureParameter.in("bits", IntegerType).defaultValue("16").build(),
+          ProcedureParameter.in("num_files", IntegerType).defaultValue("8").build()),
+        r => ManifestTable.zorderCompact(SparkSession.active, dirOf(str(r, 0)),
+          str(r, 1), str(r, 2), r.getInt(3), r.getInt(4)))
       case "materialize_deletes" => proc(name, "fold pending merge-on-read tombstones into data files",
         Seq(ProcedureParameter.in("table", StringType).build()),
         r => ManifestTable.materializeDeletes(SparkSession.active, dirOf(str(r, 0))))

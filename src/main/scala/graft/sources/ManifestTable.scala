@@ -423,6 +423,40 @@ object ManifestTable {
     }
   }
 
+  /** Rewrite the current snapshot into `numFiles` files clustered by
+    * the Z-ORDER (Morton) interleaving of TWO columns — Delta/Iceberg
+    * `OPTIMIZE ZORDER BY (x, y)` as a transactional manifest rewrite:
+    * [[graft.operators.Layout.zorder]] range-partitions + sorts on the
+    * interleaved z-value, so each written file's (x, y) bounding box
+    * tiles the plane instead of spanning it, and the commit-time
+    * envelopes on BOTH columns turn selective (a reader filtering on
+    * either dimension — or both — skips most files). Content-neutral
+    * by construction (every file rewrites through the applied view;
+    * pending tombstones fold and clear, like a full [[compact]]) and
+    * op-marked state-preserving, so streaming readers skip it and the
+    * change feed stitches across it. Conflict-checked swap: concurrent
+    * appends rebase, a racing remover refuses.
+    *
+    * Layout only — correctness never depends on the z semantics, so
+    * any integral columns work; the TIGHTEST tiling comes from
+    * non-negative values within 2^bits (beyond-range values fold into
+    * the top slice, still correct, coarser).
+    */
+  def zorderCompact(
+      spark: SparkSession, dir: String, xCol: String, yCol: String,
+      bits: Int = 16, numFiles: Int = 8): Long = {
+    val head = manifest(dir, None)
+    if (head.files.isEmpty) return head.version
+    val schema = DataFrameSchema.fromJson(head.schemaJson)
+    Seq(xCol, yCol).foreach(c => require(schema.fieldNames.contains(c),
+      s"zorder: no such column $c (has: ${schema.fieldNames.mkString(", ")})"))
+    val df = appliedRead(spark, head, head.files.map(_.path))
+    installRewrite(
+      graft.operators.Layout.zorder(df, xCol, yCol, bits, numFiles),
+      dir, head, head.files.map(_.path).toSet, None, clearDeletes = true,
+      op = Some("compact"))
+  }
+
   /** Row-level change feed between two committed versions (Delta CDF /
     * Iceberg changelog): every row inserted and every row deleted going
     * `fromV` -> `toV`; an update surfaces as its delete+insert pair.
@@ -1897,9 +1931,17 @@ object ManifestTable {
   def maintain(
       spark: SparkSession, dir: String, clusterBy: String,
       smallFileRows: Long = 100000L, targetFiles: Int = 8,
-      keepLast: Int = 3, vacuumMinAgeMs: Long = 24L * 3600 * 1000): Long = {
+      keepLast: Int = 3, vacuumMinAgeMs: Long = 24L * 3600 * 1000,
+      /** Both set = re-cluster the WHOLE table by the z-order of the
+        * pair instead of the incremental small-file binpack (a full
+        * rewrite — schedule accordingly); [[zorderCompact]].
+        */
+      zorderBy: Option[(String, String)] = None): Long = {
     materializeDeletes(spark, dir)
-    val v = compactSmall(spark, dir, clusterBy, smallFileRows, targetFiles)
+    val v = zorderBy match {
+      case Some((x, y)) => zorderCompact(spark, dir, x, y, numFiles = targetFiles)
+      case None => compactSmall(spark, dir, clusterBy, smallFileRows, targetFiles)
+    }
     expireSnapshots(dir, keepLast)
     vacuum(dir, vacuumMinAgeMs)
     math.max(v, latestVersion(dir).getOrElse(v))

@@ -178,6 +178,28 @@ class ApiSpecs extends SparkSpec {
     assert(recall >= 0.9,
       s"near-identical recall must stay high in the blocked regime: $recall " +
         s"(${found.size}/${exact.size}, $decision)")
+    // TARGET-RECALL SIZING: bands derive from (threshold, targetRecall)
+    // via the closed-form amplification recall, and grow with the plane
+    // count inside the audit loop — the measured recall must meet each
+    // pinned target, and a tighter target must never size FEWER bands
+    // (12-plane headroom: the 0.99 target sizes ~9-10 bands, whose
+    // candidate volume only fits the budget once buckets halve past
+    // the 8-plane cap — the audit loop growing BOTH is the point)
+    val byTarget = Seq(0.9, 0.99).map { tr =>
+      val (prs, dec) = VectorSearch.cosineNearDupsAuto(corpus, "vid", "vec", 0.95,
+        budgetPairsPerVec = 20L, maxPlanesPerBand = 12, targetRecall = tr)
+      assert(dec.contains(s"targetRecall=$tr"), dec)
+      val got = prs.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.subsetOf(exact), s"precision must stay 1 at targetRecall=$tr")
+      val rec = got.size.toDouble / exact.size
+      assert(rec >= tr,
+        s"measured recall $rec must meet the pinned target $tr ($dec)")
+      val b = "bands=(\\d+)".r.findFirstMatchIn(dec).get.group(1).toInt
+      (tr, b, rec)
+    }
+    assert(byTarget(1)._2 >= byTarget(0)._2,
+      s"a tighter recall target must never size fewer bands: $byTarget")
   }
 
   test("knn on a (vid, vec) frame returns k ranked neighbors excluding self") {

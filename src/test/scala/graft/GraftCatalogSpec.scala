@@ -943,6 +943,41 @@ class GraftCatalogSpec extends SparkSpec {
       s"after compaction every file carries the transformed envelope: ${scannedFiles(q2)}")
   }
 
+  test("CALL graft.system.zorder: two-dimension pruning after re-clustering, content-neutral") {
+    val _ = warehouse
+    spark.sql("CREATE TABLE graft.lake.zod (x BIGINT, y BIGINT, v BIGINT) " +
+      "PARTITIONED BY (x, y)")
+    // hash-scattered load: every one of the 8 files spans the full
+    // range of BOTH dimensions, so no filter can prune anything
+    spark.sql("INSERT INTO graft.lake.zod SELECT pmod(id * 48271, 1024), " +
+      "pmod(id * 69621, 1024), id FROM range(0, 20000, 1, 8)")
+    def content() = spark.sql(
+      "SELECT count(*) AS n, CAST(sum(hash(x, y, v)) AS BIGINT) AS h FROM graft.lake.zod")
+      .head()
+    def filesFor(cond: String): Int =
+      scannedFiles(spark.sql(s"SELECT v FROM graft.lake.zod WHERE $cond")).size
+    val before = content()
+    assert(filesFor("x >= 0 AND x < 128") == 8, "scattered layout must defeat pruning")
+    spark.sql("CALL graft.system.zorder(table => 'lake.zod', x => 'x', y => 'y', " +
+      "bits => 10, num_files => 16)")
+    assert(content() == before, "z-order re-clustering must be content-neutral")
+    // z-ordered files tile the (x, y) plane: a stripe on EITHER
+    // dimension prunes to the tiles it crosses, and a corner query to
+    // nearly one
+    val xs = filesFor("x >= 0 AND x < 128")
+    val ys = filesFor("y >= 0 AND y < 128")
+    val xy = filesFor("x >= 0 AND x < 128 AND y >= 0 AND y < 128")
+    assert(xs <= 8 && ys <= 8,
+      s"either-dimension stripes must prune z-ordered tiles: x=$xs, y=$ys of 16")
+    assert(xy <= 4, s"a corner query must prune to ~one tile: $xy of 16")
+    // maintain chains it: the cadence with zorder_x/zorder_y re-clusters
+    // instead of binpacking, same content
+    spark.sql("CALL graft.system.maintain(table => 'lake.zod', cluster_by => 'x', " +
+      "target_files => 16, zorder_x => 'x', zorder_y => 'y')")
+    assert(content() == before, "maintain's z-order pass must stay content-neutral")
+    assert(filesFor("x >= 0 AND x < 128 AND y >= 0 AND y < 128") <= 4)
+  }
+
   test("hidden partitioning SURVIVES renaming the transform's source column") {
     val _ = warehouse
     spark.sql("CREATE TABLE graft.lake.hren (ts TIMESTAMP, v BIGINT) PARTITIONED BY (days(ts))")
@@ -984,6 +1019,39 @@ class GraftCatalogSpec extends SparkSpec {
     val day2 = java.time.LocalDate.of(2026, 4, 2).toEpochDay
     assert(ManifestTable.livePaths(spark, dir, "days(event_ts)", lit(day2), lit(day2)).size == 1,
       "livePaths must resolve old envelopes through the key-alias chain")
+  }
+
+  test("CREATE VIEW through the catalog: persisted on disk, pruning intact, DROP works") {
+    val _ = mkTable("lake", "vbase")
+    spark.sql("CREATE VIEW graft.lake.v_recent AS " +
+      "SELECT id, k FROM graft.lake.vbase WHERE id >= 900")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.v_recent").head().getLong(0) == 101)
+    // the view expands to its text and plans through the same catalog
+    // scan: the id-range predicate prunes files exactly like the
+    // direct query would
+    val qv = spark.sql("SELECT id FROM graft.lake.v_recent")
+    assert(scannedFiles(qv).size == 1,
+      s"a view over a manifest table must still prune: ${scannedFiles(qv).size} of 5 files")
+    assert(spark.sql("SHOW VIEWS IN graft.lake").collect()
+      .map(_.getString(1)).contains("v_recent"))
+    // duplicate name refuses; a second CATALOG INSTANCE over the same
+    // warehouse resolves the persisted document (restart survival —
+    // the JSON file, not session state, is the source of truth)
+    val dup = intercept[Exception](spark.sql(
+      "CREATE VIEW graft.lake.v_recent AS SELECT 1 AS one"))
+    assert(dup.getMessage.toLowerCase.contains("already exists"), dup.getMessage)
+    spark.conf.set("spark.sql.catalog.graftv2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftv2.warehouse", warehouse)
+    assert(spark.sql("SELECT count(*) FROM graftv2.lake.v_recent").head().getLong(0) == 101,
+      "a fresh catalog instance must serve the persisted view document")
+    // rename + drop round-trip (ALTER VIEW RENAME rides the same
+    // parse-time rewrite; the document moves, the definition survives)
+    spark.sql("ALTER VIEW graft.lake.v_recent RENAME TO v_tail")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.v_tail").head().getLong(0) == 101)
+    spark.sql("DROP VIEW graft.lake.v_tail")
+    val gone = intercept[Exception](spark.sql("SELECT * FROM graft.lake.v_tail").collect())
+    assert(gone.getMessage.toLowerCase.contains("cannot be found") ||
+      gone.getMessage.toLowerCase.contains("not found"), gone.getMessage)
   }
 
   test("DROP TABLE removes the table; dropping a missing table reports false") {
