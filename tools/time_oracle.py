@@ -11,8 +11,10 @@ comparable. Each query is fully materialized via fetchall() so DuckDB
 cannot defer work past the timer. 32 threads to mirror local[32].
 
 Writes one JSON object {"total": sec, "queries": {name: sec}, "sf": dir,
-"threads": N, "sweeps": 3} to outJson (default ORACLE_TIMES.json next to
-this script's repo root).
+"threads": N, "sweeps": S} to outJson (default ORACLE_TIMES.json next to
+this script's repo root). Optional 4th arg = sweep count (default 5 —
+drop to 2-3 for the sf1 subset floor, where one sweep is minutes);
+optional trailing args = query-name subset.
 """
 import duckdb, glob, json, pathlib, sys, time
 
@@ -25,12 +27,16 @@ def main() -> int:
     oracle_path = sys.argv[2]
     out = sys.argv[3] if len(sys.argv) > 3 else str(
         pathlib.Path(__file__).resolve().parent.parent / "ORACLE_TIMES.json")
+    global SWEEPS
+    if len(sys.argv) > 4:
+        SWEEPS = int(sys.argv[4])
+    only = set(sys.argv[5:])
     con = duckdb.connect()
     con.execute(f"SET threads TO {THREADS}")
     for p in glob.glob(f"{sfdir}/*.parquet"):
         con.execute(f"CREATE VIEW {pathlib.Path(p).stem} AS SELECT * FROM '{p}'")
     oracle = json.load(open(oracle_path))
-    names = sorted(oracle)
+    names = sorted(n for n in oracle if not only or n in only)
     best = {}
     failed = []
     for _ in range(SWEEPS):
