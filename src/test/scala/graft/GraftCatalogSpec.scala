@@ -1054,6 +1054,70 @@ class GraftCatalogSpec extends SparkSpec {
       gone.getMessage.toLowerCase.contains("not found"), gone.getMessage)
   }
 
+  test("CREATE OR REPLACE VIEW and IF NOT EXISTS follow the session-catalog semantics") {
+    val _ = mkTable("lake", "vbase2")
+    spark.sql("CREATE VIEW graft.lake.v_sem AS SELECT id FROM graft.lake.vbase2 WHERE id <= 10")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.v_sem").head().getLong(0) == 10)
+    // IF NOT EXISTS: existing definition wins, silently
+    spark.sql("CREATE VIEW IF NOT EXISTS graft.lake.v_sem AS SELECT 1 AS one")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.v_sem").head().getLong(0) == 10,
+      "IF NOT EXISTS must keep the existing definition")
+    // OR REPLACE: the new definition swaps in (one document overwrite)
+    spark.sql("CREATE OR REPLACE VIEW graft.lake.v_sem AS " +
+      "SELECT id FROM graft.lake.vbase2 WHERE id <= 25")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.v_sem").head().getLong(0) == 25,
+      "OR REPLACE must swap the definition")
+    // a view over a view: the expansion re-enters resolution, so the
+    // inner reference (itself a persisted document) expands in turn
+    spark.sql("CREATE VIEW graft.lake.v_outer AS " +
+      "SELECT id FROM graft.lake.v_sem WHERE id > 5")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.v_outer").head().getLong(0) == 20,
+      "a view over a view must expand recursively")
+    spark.sql("DROP VIEW graft.lake.v_outer")
+    spark.sql("DROP VIEW IF EXISTS graft.lake.v_sem")
+    spark.sql("DROP VIEW IF EXISTS graft.lake.v_sem") // second drop: silent
+    val e = intercept[Exception](spark.sql("DROP VIEW graft.lake.v_sem"))
+    assert(e.getMessage.toLowerCase.contains("view"), e.getMessage)
+  }
+
+  test("DELETE with an un-pushable condition falls back to the group rewrite, losing nothing") {
+    // `id % 7 = 0` is outside the deleteWhere filter algebra
+    // (canDeleteWhere false), so the statement runs as a group-based
+    // CoW rewrite: matched groups re-write WITHOUT the matching rows,
+    // every other row survives — the same whole-group read discipline
+    // as UPDATE/MERGE (a pushed condition here would flip the output
+    // to ONLY the matching rows' complement per surviving page)
+    val dir = s"$warehouse/lake/rtdel"
+    new java.io.File(dir).mkdirs()
+    val df = (1 to 1000).map(i => (i.toLong, i.toLong, s"s${i % 13}")).toDF("id", "k", "cat")
+    ManifestTable.commit(df.repartitionByRange(5, $"id"), dir, track = Seq("id"))
+    spark.sql("DELETE FROM graft.lake.rtdel WHERE id % 7 = 0")
+    val n = spark.sql("SELECT count(*) FROM graft.lake.rtdel").head().getLong(0)
+    assert(n == 1000 - 142, s"exactly the 142 multiples of 7 must go: $n")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.rtdel WHERE id % 7 = 0")
+      .head().getLong(0) == 0)
+  }
+
+  test("SQL MERGE on an UNTRACKED column predicate: narrowed group rewrite loses nothing") {
+    // the MERGE twin of the UPDATE data-loss pin: matches confined to
+    // one file, join key untracked — the commit's removed() set must
+    // follow the runtime-narrowed scan
+    val dir = s"$warehouse/lake/rtmg"
+    new java.io.File(dir).mkdirs()
+    val df = (1 to 1000).map(i => (i.toLong, i.toLong, if (i <= 10) "hot" else s"s${i % 13}"))
+      .toDF("id", "k", "cat")
+    ManifestTable.commit(df.repartitionByRange(5, $"id"), dir, track = Seq("id"))
+    spark.sql(
+      """MERGE INTO graft.lake.rtmg t
+        |USING (SELECT 'hot' AS cat, -7L AS newk) s
+        |ON t.cat = s.cat
+        |WHEN MATCHED THEN UPDATE SET k = s.newk""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.rtmg").head().getLong(0) == 1000,
+      "rows outside the rewritten groups must survive the merge commit")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.rtmg WHERE k = -7")
+      .head().getLong(0) == 10, "exactly the matching rows must update")
+  }
+
   test("DROP TABLE removes the table; dropping a missing table reports false") {
     mkTable("lake", "dropme")
     spark.sql("DROP TABLE graft.lake.dropme")
