@@ -26,9 +26,20 @@ object Layout {
     */
   def zValueSql(x: String, y: String, bits: Int): String = {
     require(bits >= 1 && bits <= 31, s"bits in [1,31]: $bits")
-    (0 until bits).map { i =>
-      s"(((($x) >> $i) & 1) << ${2 * i}) + (((($y) >> $i) & 1) << ${2 * i + 1})"
-    }.mkString("(", " + ", ")")
+    zValueSqlN(Seq(x, y), bits)
+  }
+
+  /** N-dimensional Morton interleaving: bit i of column j lands at
+    * position i·n + j (round-robin), so `bits`·n stays within a signed
+    * 64-bit value. Same engine/oracle-identical pure-integer SQL as
+    * the 2-column form, which delegates here.
+    */
+  def zValueSqlN(cols: Seq[String], bits: Int): String = {
+    val n = cols.length
+    require(n >= 2, s"z-order needs at least 2 columns, got $n")
+    require(bits >= 1 && bits * n <= 62, s"bits*cols must fit a long: $bits*$n")
+    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      s"(((($c) >> $i) & 1) << ${i * n + j})").mkString("(", " + ", ")")
   }
 
   /** Idempotent partitioned ingestion: write `df` into a
@@ -103,9 +114,16 @@ object Layout {
     * exchange (sampled on the cheap z integer, not on payload
     * columns); the sort is per-partition.
     */
-  def zorder(df: DataFrame, xCol: String, yCol: String, bits: Int, nParts: Int): DataFrame = {
+  def zorder(df: DataFrame, xCol: String, yCol: String, bits: Int, nParts: Int): DataFrame =
+    zorderN(df, Seq(xCol, yCol), bits, nParts)
+
+  /** [[zorder]] over ANY number of dimensions (≥ 2) — Delta/Iceberg
+    * `OPTIMIZE ZORDER BY (c1, ..., cn)` parity; bounding boxes tile
+    * the n-dimensional space.
+    */
+  def zorderN(df: DataFrame, cols: Seq[String], bits: Int, nParts: Int): DataFrame = {
     require(nParts > 0, s"nParts must be positive: $nParts")
-    df.withColumn("__z", expr(zValueSql(xCol, yCol, bits)))
+    df.withColumn("__z", expr(zValueSqlN(cols, bits)))
       .repartitionByRange(nParts, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -51,12 +51,10 @@ object GraftProcedures {
           ProcedureParameter.in("small_file_rows", LongType).defaultValue("100000").build(),
           ProcedureParameter.in("target_files", IntegerType).defaultValue("8").build(),
           ProcedureParameter.in("keep_last", IntegerType).defaultValue("3").build(),
-          ProcedureParameter.in("zorder_x", StringType).defaultValue("''").build(),
-          ProcedureParameter.in("zorder_y", StringType).defaultValue("''").build()),
+          ProcedureParameter.in("zorder_by", StringType).defaultValue("''").build()),
         r => ManifestTable.maintain(SparkSession.active, dirOf(str(r, 0)), str(r, 1),
           r.getLong(2), r.getInt(3), r.getInt(4),
-          zorderBy = (Some(str(r, 5)).filter(_.nonEmpty), Some(str(r, 6)).filter(_.nonEmpty))
-            match { case (Some(x), Some(y)) => Some((x, y)); case _ => None }))
+          zorderBy = str(r, 5).split(',').map(_.trim).filter(_.nonEmpty).toSeq))
       case "expire_snapshots" => proc(name, "drop old snapshots (tags and cursor pins retained)",
         Seq(
           ProcedureParameter.in("table", StringType).build(),
@@ -72,19 +70,20 @@ object GraftProcedures {
           ProcedureParameter.in("num_files", IntegerType).defaultValue("8").build()),
         r => ManifestTable.compact(SparkSession.active, dirOf(str(r, 0)), str(r, 1), r.getInt(2)))
       case "zorder" => proc(name,
-        "full Z-ORDER re-clustering rewrite on TWO columns (Delta/Iceberg " +
-          "OPTIMIZE ZORDER BY): files written in Morton-interleaved order " +
-          "carry tight envelopes on BOTH dimensions, so either-column (and " +
-          "two-column) filters prune; content-neutral, state-preserving, " +
-          "materializes pending deletes like compact",
+        "full Z-ORDER re-clustering rewrite on N >= 2 comma-separated " +
+          "columns (Delta/Iceberg OPTIMIZE ZORDER BY): files written in " +
+          "Morton-interleaved order carry tight envelopes on EVERY listed " +
+          "dimension, so any-column (and multi-column) filters prune; " +
+          "content-neutral, state-preserving, materializes pending deletes " +
+          "like compact",
         Seq(
           ProcedureParameter.in("table", StringType).build(),
-          ProcedureParameter.in("x", StringType).build(),
-          ProcedureParameter.in("y", StringType).build(),
+          ProcedureParameter.in("cols", StringType).build(),
           ProcedureParameter.in("bits", IntegerType).defaultValue("16").build(),
           ProcedureParameter.in("num_files", IntegerType).defaultValue("8").build()),
         r => ManifestTable.zorderCompact(SparkSession.active, dirOf(str(r, 0)),
-          str(r, 1), str(r, 2), r.getInt(3), r.getInt(4)))
+          str(r, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          r.getInt(2), r.getInt(3)))
       case "materialize_deletes" => proc(name, "fold pending merge-on-read tombstones into data files",
         Seq(ProcedureParameter.in("table", StringType).build()),
         r => ManifestTable.materializeDeletes(SparkSession.active, dirOf(str(r, 0))))

@@ -443,16 +443,16 @@ object ManifestTable {
     * the top slice, still correct, coarser).
     */
   def zorderCompact(
-      spark: SparkSession, dir: String, xCol: String, yCol: String,
+      spark: SparkSession, dir: String, cols: Seq[String],
       bits: Int = 16, numFiles: Int = 8): Long = {
     val head = manifest(dir, None)
     if (head.files.isEmpty) return head.version
     val schema = DataFrameSchema.fromJson(head.schemaJson)
-    Seq(xCol, yCol).foreach(c => require(schema.fieldNames.contains(c),
+    cols.foreach(c => require(schema.fieldNames.contains(c),
       s"zorder: no such column $c (has: ${schema.fieldNames.mkString(", ")})"))
     val df = appliedRead(spark, head, head.files.map(_.path))
     installRewrite(
-      graft.operators.Layout.zorder(df, xCol, yCol, bits, numFiles),
+      graft.operators.Layout.zorderN(df, cols, bits, numFiles),
       dir, head, head.files.map(_.path).toSet, None, clearDeletes = true,
       op = Some("compact"))
   }
@@ -1932,16 +1932,15 @@ object ManifestTable {
       spark: SparkSession, dir: String, clusterBy: String,
       smallFileRows: Long = 100000L, targetFiles: Int = 8,
       keepLast: Int = 3, vacuumMinAgeMs: Long = 24L * 3600 * 1000,
-      /** Both set = re-cluster the WHOLE table by the z-order of the
-        * pair instead of the incremental small-file binpack (a full
+      /** Non-empty = re-cluster the WHOLE table by the z-order of these
+        * columns instead of the incremental small-file binpack (a full
         * rewrite — schedule accordingly); [[zorderCompact]].
         */
-      zorderBy: Option[(String, String)] = None): Long = {
+      zorderBy: Seq[String] = Nil): Long = {
     materializeDeletes(spark, dir)
-    val v = zorderBy match {
-      case Some((x, y)) => zorderCompact(spark, dir, x, y, numFiles = targetFiles)
-      case None => compactSmall(spark, dir, clusterBy, smallFileRows, targetFiles)
-    }
+    val v =
+      if (zorderBy.nonEmpty) zorderCompact(spark, dir, zorderBy, numFiles = targetFiles)
+      else compactSmall(spark, dir, clusterBy, smallFileRows, targetFiles)
     expireSnapshots(dir, keepLast)
     vacuum(dir, vacuumMinAgeMs)
     math.max(v, latestVersion(dir).getOrElse(v))

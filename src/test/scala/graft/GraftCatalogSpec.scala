@@ -958,7 +958,7 @@ class GraftCatalogSpec extends SparkSpec {
       scannedFiles(spark.sql(s"SELECT v FROM graft.lake.zod WHERE $cond")).size
     val before = content()
     assert(filesFor("x >= 0 AND x < 128") == 8, "scattered layout must defeat pruning")
-    spark.sql("CALL graft.system.zorder(table => 'lake.zod', x => 'x', y => 'y', " +
+    spark.sql("CALL graft.system.zorder(table => 'lake.zod', cols => 'x,y', " +
       "bits => 10, num_files => 16)")
     assert(content() == before, "z-order re-clustering must be content-neutral")
     // z-ordered files tile the (x, y) plane: a stripe on EITHER
@@ -970,12 +970,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(xs <= 8 && ys <= 8,
       s"either-dimension stripes must prune z-ordered tiles: x=$xs, y=$ys of 16")
     assert(xy <= 4, s"a corner query must prune to ~one tile: $xy of 16")
-    // maintain chains it: the cadence with zorder_x/zorder_y re-clusters
+    // maintain chains it: the cadence with zorder_by re-clusters
     // instead of binpacking, same content
     spark.sql("CALL graft.system.maintain(table => 'lake.zod', cluster_by => 'x', " +
-      "target_files => 16, zorder_x => 'x', zorder_y => 'y')")
+      "target_files => 16, zorder_by => 'x,y')")
     assert(content() == before, "maintain's z-order pass must stay content-neutral")
     assert(filesFor("x >= 0 AND x < 128 AND y >= 0 AND y < 128") <= 4)
+    // N-dimensional: a THREE-column z-order tiles the cube — every
+    // single-dimension stripe prunes, and the corner query prunes most
+    spark.sql("CREATE TABLE graft.lake.zod3 (x BIGINT, y BIGINT, z BIGINT, v BIGINT) " +
+      "PARTITIONED BY (x, y, z)")
+    spark.sql("INSERT INTO graft.lake.zod3 SELECT pmod(id * 48271, 512), " +
+      "pmod(id * 69621, 512), pmod(id * 16807, 512), id FROM range(0, 20000, 1, 8)")
+    spark.sql("CALL graft.system.zorder(table => 'lake.zod3', cols => 'x,y,z', " +
+      "bits => 9, num_files => 16)")
+    def files3(cond: String): Int =
+      scannedFiles(spark.sql(s"SELECT v FROM graft.lake.zod3 WHERE $cond")).size
+    assert(files3("x < 64") <= 10 && files3("y < 64") <= 10 && files3("z < 64") <= 10,
+      s"each dimension must prune: x=${files3("x < 64")}, y=${files3("y < 64")}, " +
+        s"z=${files3("z < 64")} of 16")
+    assert(files3("x < 64 AND y < 64 AND z < 64") <= 3,
+      s"the corner must prune to ~one tile: ${files3("x < 64 AND y < 64 AND z < 64")}")
   }
 
   test("hidden partitioning SURVIVES renaming the transform's source column") {
