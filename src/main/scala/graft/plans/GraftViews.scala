@@ -108,6 +108,14 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
           }
         GraftRenameViewCommand(cat, from, to): LogicalPlan
       }).getOrElse(plan)
+    case org.apache.spark.sql.catalyst.plans.logical.DescribeRelation(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView(p, _, _),
+        _, isExtended, output) =>
+      (for {
+        (cat, id) <- GraftViewSupport.viewTarget(spark, p)
+        if cat.viewExists(id)
+      } yield GraftDescribeViewCommand(cat, id, isExtended, output): LogicalPlan)
+        .getOrElse(plan)
     case sv @ ShowViews(UnresolvedNamespace(p, _), pattern, output) =>
       (for {
         (cat, _) <- GraftViewSupport.viewTarget(spark, p :+ "*")
@@ -191,6 +199,24 @@ final case class GraftDropViewCommand(
     if (!catalog.dropView(ident) && !ifExists)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
     Nil
+  }
+}
+
+final case class GraftDescribeViewCommand(
+    catalog: ViewCatalog, ident: Identifier, isExtended: Boolean,
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = catalog.loadView(ident)
+    val cols = v.schema().fields.toSeq.map(f =>
+      Row(f.name, f.dataType.simpleString, f.getComment().orNull))
+    if (!isExtended) cols
+    else cols ++ Seq(
+      Row("", "", ""),
+      Row("# View Information", "", ""),
+      Row("View Text", v.query(), ""),
+      Row("View Catalog and Namespace",
+        (v.currentCatalog() +: v.currentNamespace().toSeq).mkString("."), ""))
   }
 }
 

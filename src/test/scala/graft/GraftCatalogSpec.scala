@@ -1082,6 +1082,11 @@ class GraftCatalogSpec extends SparkSpec {
       "SELECT id FROM graft.lake.vbase2 WHERE id <= 25")
     assert(spark.sql("SELECT count(*) FROM graft.lake.v_sem").head().getLong(0) == 25,
       "OR REPLACE must swap the definition")
+    // DESCRIBE resolves the persisted document (extended carries the text)
+    val desc = spark.sql("DESCRIBE EXTENDED graft.lake.v_sem").collect()
+    assert(desc.exists(r => r.getString(0) == "id" && r.getString(1) == "bigint"), desc.toSeq)
+    assert(desc.exists(r => r.getString(0) == "View Text" && r.getString(1).contains("SELECT")),
+      desc.toSeq)
     // a view over a view: the expansion re-enters resolution, so the
     // inner reference (itself a persisted document) expands in turn
     spark.sql("CREATE VIEW graft.lake.v_outer AS " +

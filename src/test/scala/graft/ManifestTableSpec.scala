@@ -1461,6 +1461,7 @@ class ManifestTableSpec extends SparkSpec {
     case class BranchPick(br: Map[Long, Long], mr: Map[Long, Long]) extends Op
     case class BranchPickRewrite(br: Map[Long, Long], mr: Map[Long, Long]) extends Op
     case object AddTrack extends Op
+    case object Zorder extends Op
 
     val rowsGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 999L)))
     val opGen: Gen[Op] = Gen.frequency(
@@ -1469,6 +1470,9 @@ class ManifestTableSpec extends SparkSpec {
         Delete(math.min(a, b), math.max(a, b)) },
       3 -> rowsGen.map(Merge(_)),
       1 -> Gen.const(Compact),
+      // the z-order rewrite is compact's multi-dimension sibling: same
+      // state-preserving contract, so it must interleave invisibly too
+      1 -> Gen.const(Zorder),
       2 -> Gen.nonEmptyListOf(Gen.choose(0L, 30L)).map(ks => MorDelete(ks.toSet)),
       2 -> Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)).map { case (a, b) =>
         PosDelete(math.min(a, b), math.max(a, b)) },
@@ -1570,6 +1574,10 @@ class ManifestTableSpec extends SparkSpec {
         case Merge(_) => ()
         case Compact if history.nonEmpty =>
           val v = ManifestTable.compact(spark, dir, "k", numFiles = 2)
+          history :+= (v, model)
+        case Zorder if history.nonEmpty =>
+          val v = ManifestTable.zorderCompact(spark, dir, Seq("k", curVal),
+            bits = 10, numFiles = 2)
           history :+= (v, model)
         case MorDelete(keys) if history.nonEmpty =>
           val v = ManifestTable.deleteByKey(keys.toSeq.toDF("k"), dir, Seq("k"))
