@@ -1719,6 +1719,64 @@ object Storage {
         """)
       },
     ),
+    Q(
+      "q228_zorder_prune",
+      "CALL graft.system.zorder as a first-class oracled operation: a " +
+        "hash-scattered two-dimension lake table (every file spans the " +
+        "full range of BOTH dimensions — provably un-prunable) " +
+        "re-clusters by Morton interleaving through the transactional " +
+        "rewrite swap; the corner-range aggregate then matches the " +
+        "oracle bit-for-bit (content neutrality THROUGH the oracle " +
+        "gate, not just a hash spec) and an in-query plan audit proves " +
+        "the re-clustered envelopes pruned the V2 scan.",
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey % 1024 AS x, l_partkey % 1024 AS y, l_quantity FROM lineitem
+        )
+        SELECT count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        FROM t WHERE x < 256 AND y < 256
+      """.trim),
+      (spark, dir) => {
+        val wh = graft.Artifacts.cached(s"zorder-warehouse:$dir") { w =>
+          val t = s"$w/lake/zli"
+          new java.io.File(t).mkdirs()
+          val li = Tables(spark, dir).lineitem
+            .selectExpr("l_orderkey % 1024 AS x", "l_partkey % 1024 AS y", "l_quantity")
+          // round-robin scatter: every file spans both dimensions
+          ManifestTable.commit(li.repartition(8), t, track = Seq("x", "y"))
+          spark.conf.set("spark.sql.catalog.graftzo", "graft.sources.GraftCatalog")
+          spark.conf.set("spark.sql.catalog.graftzo.warehouse", w)
+          spark.sql("CALL graftzo.system.zorder(table => 'lake.zli', cols => 'x,y', " +
+            "bits => 10, num_files => 16)"): Unit
+        }
+        spark.conf.set("spark.sql.catalog.graftzo", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftzo.warehouse", wh)
+        // plan audit on an agg-free probe of the SAME predicate (AQE
+        // wraps the agg plan; the scan builder prunes identically)
+        val probe = spark.sql(
+          "SELECT x FROM graftzo.lake.zli WHERE x < 256 AND y < 256")
+        val total = ManifestTable.manifest(s"$wh/lake/zli", None).files.size
+        val scanned = probe.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            (b.scan match {
+              case g: graft.sources.GraftLakeScan => g.underlying
+              case o => o
+            }) match {
+              case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+                p.fileIndex.inputFiles.length
+              case _ => 0
+            }
+        }.sum
+        assert(scanned > 0 && scanned < total,
+          s"the z-ordered corner query must prune: scanned $scanned of $total")
+        spark.sql("""
+          SELECT count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+          FROM graftzo.lake.zli WHERE x < 256 AND y < 256
+        """)
+      },
+    ),
   )
 
   /** Built once per (session, sf dir): a star pair for the runtime-
