@@ -1777,6 +1777,60 @@ object Storage {
         """)
       },
     ),
+    Q(
+      "q229_delete_mode",
+      "write.delete.mode as a PERSISTED TBLPROPERTY steering plain SQL " +
+        "DELETE FROM (Iceberg's table-config contract): CTAS declares " +
+        "merge-on-read, so the first DELETE commits O(matching rows) " +
+        "positional tombstones and rewrites ZERO data files (audited: " +
+        "identical file list, tombstones present — at 100 TB a " +
+        "GDPR-class erasure costs kilobytes); ALTER TABLE SET " +
+        "TBLPROPERTIES flips to copy-on-write and the SAME statement " +
+        "shape now swaps rewritten files while CARRYING the pending " +
+        "tombstones. The readback rides MorApplyRewrite (tombstones " +
+        "apply seq-scoped on read) and must match the oracle's direct " +
+        "double-NOT-IN reconstruction bit for bit.",
+      Some("""
+        SELECT count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM orders WHERE o_orderkey % 10 <> 3 AND o_orderkey % 10 <> 7
+      """.trim),
+      (spark, dir) => {
+        val wh = graft.Artifacts.cached(s"delete-mode-warehouse:$dir") { w =>
+          val t = s"$w/lake/dmord"
+          new java.io.File(t).mkdirs()
+          val o = Tables(spark, dir).orders
+            .selectExpr("o_orderkey", "o_orderkey % 10 AS bucket", "o_totalprice")
+          ManifestTable.commit(o.repartitionByRange(8, col("o_orderkey")), t,
+            track = Seq("o_orderkey"))
+          ManifestTable.setProperties(t, Map("write.delete.mode" -> "merge-on-read"))
+          spark.conf.set("spark.sql.catalog.graftdm", "graft.sources.GraftCatalog")
+          spark.conf.set("spark.sql.catalog.graftdm.warehouse", w)
+          val before = ManifestTable.manifest(t, None)
+          spark.sql("DELETE FROM graftdm.lake.dmord WHERE bucket = 3"): Unit
+          val mor = ManifestTable.manifest(t, None)
+          assert(mor.files.map(_.path) == before.files.map(_.path),
+            "merge-on-read DELETE must rewrite no data files")
+          assert(mor.posDeleteFiles.nonEmpty,
+            "merge-on-read DELETE must land positional tombstones")
+          spark.sql("ALTER TABLE graftdm.lake.dmord " +
+            "SET TBLPROPERTIES('write.delete.mode'='copy-on-write')"): Unit
+          spark.sql("DELETE FROM graftdm.lake.dmord WHERE bucket = 7"): Unit
+          val cow = ManifestTable.manifest(t, None)
+          assert(cow.files.map(_.path) != mor.files.map(_.path),
+            "copy-on-write DELETE must swap rewritten files")
+          assert(cow.posDeleteFiles.size == mor.posDeleteFiles.size,
+            "the CoW rewrite carries the pending tombstones")
+        }
+        spark.conf.set("spark.sql.catalog.graftdm", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftdm.warehouse", wh)
+        spark.sql("""
+          SELECT count(*) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+          FROM graftdm.lake.dmord
+        """)
+      },
+    ),
   )
 
   /** Built once per (session, sf dir): a star pair for the runtime-

@@ -275,7 +275,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident.toString)
-    ManifestTable.createEmpty(dirOf(ident), schema, track)
+    ManifestTable.createEmpty(dirOf(ident), schema, track,
+      GraftCatalog.userProps(properties))
     load(ident, None)
   }
 
@@ -303,13 +304,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "(pre-evolution files have no value for it)")
         StructField(top(a.fieldNames, "added"), a.dataType, nullable = true)
     }
-    val others = changes.filterNot(_.isInstanceOf[TableChange.AddColumn]).map {
-      case r: TableChange.RenameColumn => () =>
-        ManifestTable.renameColumn(dir, top(r.fieldNames, "renamed"), r.newName): Unit
-      case d: TableChange.DeleteColumn => () =>
-        ManifestTable.dropColumns(dir, Seq(top(d.fieldNames, "dropped"))): Unit
-      case other => unsupported(s"ALTER TABLE (${other.getClass.getSimpleName})")
-    }
+    // SET/UNSET TBLPROPERTIES batch into ONE metadata commit each (a
+    // multi-key SET is atomic); vocabulary-validated eagerly so a bad
+    // write.delete.mode fails before any column change applies
+    val sets = changes.collect { case s: TableChange.SetProperty => s.property -> s.value }
+    val unsets = changes.collect { case r: TableChange.RemoveProperty => r.property }
+    ManifestTable.validateProps(sets.toMap)
+    val others = changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.SetProperty] || c.isInstanceOf[TableChange.RemoveProperty])
+      .map {
+        case r: TableChange.RenameColumn => () =>
+          ManifestTable.renameColumn(dir, top(r.fieldNames, "renamed"), r.newName): Unit
+        case d: TableChange.DeleteColumn => () =>
+          ManifestTable.dropColumns(dir, Seq(top(d.fieldNames, "dropped"))): Unit
+        case other => unsupported(s"ALTER TABLE (${other.getClass.getSimpleName})")
+      }
     // Pre-validate the WHOLE change set against the current snapshot so a
     // multi-change ALTER either fully applies or fully fails — without
     // this, the second of two renames failing (say, targeting a retired
@@ -348,6 +357,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     if (adds.nonEmpty) ManifestTable.addColumns(dir, adds)
     others.foreach(_.apply())
+    if (sets.nonEmpty) ManifestTable.setProperties(dir, sets.toMap): Unit
+    if (unsets.nonEmpty) ManifestTable.unsetProperties(dir, unsets): Unit
     loadTable(ident)
   }
 
@@ -498,6 +509,24 @@ object GraftCatalog {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
 
+  /** The TBLPROPERTIES the USER wrote, split from the bookkeeping keys
+    * Spark folds into the same map on CREATE (provider/location/owner
+    * and `option.`-prefixed write options) — those describe the
+    * statement, not the table, and persisting them would shadow the
+    * live values [[GraftLakeTable.properties]] synthesizes.
+    */
+  private[sources] def userProps(
+      properties: java.util.Map[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    properties.asScala.toMap.filter { case (k, _) =>
+      !SparkManagedProps(k) && !k.startsWith("option.")
+    }
+  }
+  private val SparkManagedProps = Set(
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+    TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_COMMENT, TableCatalog.PROP_IS_MANAGED_LOCATION)
+
   /** Source-filter → Column translation for the DELETE path: Some for
     * the filter algebra [[ManifestTable.delete]] can express (the SQL
     * null semantics line up — a NULL-valued comparison is not TRUE, so
@@ -586,9 +615,17 @@ final case class GraftLakeTable(
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
-  override def properties(): java.util.Map[String, String] =
-    java.util.Map.of("provider", "graft-manifest", "location", dir,
-      "version", m.version.toString)
+  override def properties(): java.util.Map[String, String] = {
+    // synthesized live metadata first, persisted TBLPROPERTIES on top
+    // (reserved keys can never persist, so the union is disjoint);
+    // SHOW TBLPROPERTIES / DESCRIBE EXTENDED read this map directly
+    val out = new java.util.HashMap[String, String]()
+    out.put("provider", "graft-manifest")
+    out.put("location", dir)
+    out.put("version", m.version.toString)
+    m.props.foreach { case (k, v) => out.put(k, v) }
+    java.util.Collections.unmodifiableMap(out)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftLakeWriteBuilder(dir, m, info)
@@ -624,7 +661,17 @@ final case class GraftLakeTable(
             "statement so read and rewrite bind the same branch head")
         ManifestTable.deleteOnBranch(spark, dir, b, cond): Unit
       case None =>
-        ManifestTable.delete(spark, dir, cond): Unit
+        // the TABLE declares its delete regime (Iceberg's
+        // write.delete.mode): merge-on-read commits O(matching rows)
+        // positional tombstones and rewrites NOTHING — at 100 TB a
+        // GDPR-class DELETE FROM costs kilobytes, readers apply the
+        // pairs via MorApplyRewrite until the maintenance cadence
+        // materializes; default copy-on-write rewrites the touched
+        // files and reads stay clean
+        if (m.props.get(ManifestTable.WriteDeleteModeProp).contains("merge-on-read"))
+          ManifestTable.deleteWhere(spark, dir, cond): Unit
+        else
+          ManifestTable.delete(spark, dir, cond): Unit
     }
   }
 
@@ -662,14 +709,27 @@ final case class GraftLakeTable(
           "after this relation resolved (or it resolved against a different branch); " +
           "re-run the statement so read and rewrite bind the same branch head")
     }
-    require(!m.hasMorDeletes,
-      s"${info.command} on $tableName: table has pending merge-on-read deletes the " +
-        "copy-on-write rewrite cannot apply; run ManifestTable.materializeDeletes " +
-        "first, or use the typed API (merge/update/delete), which applies them")
-    require(!m.renamesApply,
-      s"${info.command} on $tableName: table has files predating a column rename, " +
-        "which the rewrite's bare scan would mis-read; run ManifestTable.compact " +
-        "first (rewrites every file into the current name era), or use the typed API")
+    // DELETE is exempt from the analysis-time tombstone/rename-era
+    // guards: Spark's OptimizeMetadataOnlyDeleteFromTable converts a
+    // filter-convertible DELETE back to the SupportsDelete path AFTER
+    // this builder runs, and that path (ManifestTable.delete /
+    // deleteWhere) computes through the APPLIED view — fully tombstone-
+    // and era-aware. Refusing here would break consecutive DELETEs
+    // under write.delete.mode=merge-on-read (each delete leaves the
+    // tombstones the next would trip on). A DELETE whose condition the
+    // filter algebra can't express falls through to this group rewrite
+    // and still fails LOUDLY — at GraftLakeScan.toBatch, whose message
+    // names materializeDeletes/compact — never silently mis-reads.
+    if (info.command != RowLevelOperation.Command.DELETE) {
+      require(!m.hasMorDeletes,
+        s"${info.command} on $tableName: table has pending merge-on-read deletes the " +
+          "copy-on-write rewrite cannot apply; run ManifestTable.materializeDeletes " +
+          "first, or use the typed API (merge/update/delete), which applies them")
+      require(!m.renamesApply,
+        s"${info.command} on $tableName: table has files predating a column rename, " +
+          "which the rewrite's bare scan would mis-read; run ManifestTable.compact " +
+          "first (rewrites every file into the current name era), or use the typed API")
+    }
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
         new GraftRowLevelOperation(dir, m, info.command,

@@ -149,7 +149,20 @@ object ManifestTable {
         * aggregates must decline. Empty for columns tracked from
         * table creation (every file covered).
         */
-      trackSince: Map[String, Long] = Map.empty) {
+      trackSince: Map[String, Long] = Map.empty,
+      /** Persisted TABLE PROPERTIES (Iceberg's table-config role —
+        * `TBLPROPERTIES` at CREATE, `ALTER TABLE SET/UNSET
+        * TBLPROPERTIES` after): configuration the table CARRIES rather
+        * than every session re-declaring, e.g.
+        * `write.delete.mode = merge-on-read` routing plain SQL
+        * `DELETE FROM` to positional tombstones instead of
+        * copy-on-write rewrites. Rides the manifest, so properties are
+        * snapshot-versioned: time travel (and [[restore]]) sees the
+        * config as it was — an audit can answer "what mode wrote this
+        * commit". Carried forward verbatim by every commit kind
+        * (append, replace, rewrite, maintenance, branch).
+        */
+      props: Map[String, String] = Map.empty) {
     /** Does file-seq `seq` carry an envelope for tracked column `col`? */
     def envelopeCovers(col: String, seq: Long): Boolean =
       trackSince.get(col).forall(_ <= seq)
@@ -338,7 +351,77 @@ object ManifestTable {
     * every commit — racing a concurrent first commit (or another
     * CREATE) loses loudly instead of overwriting it.
     */
-  def createEmpty(dir: String, schema: StructType, track: Seq[String]): Long = {
+  /** `write.delete.mode`: how plain SQL `DELETE FROM` commits —
+    * `copy-on-write` (default; file-granular rewrite, reads stay clean)
+    * or `merge-on-read` (positional tombstones via [[deleteWhere]] —
+    * O(matching rows) bytes written, nothing rewritten, readers apply
+    * with one anti join until [[materializeDeletes]]). The Iceberg
+    * table-property contract: the TABLE declares its write regime once
+    * instead of every writer choosing per statement.
+    */
+  val WriteDeleteModeProp = "write.delete.mode"
+  private val DeleteModes = Set("copy-on-write", "merge-on-read")
+
+  /** Keys the engine synthesizes on [[GraftLakeTable.properties]] —
+    * persisting them would shadow live metadata with a stale copy.
+    */
+  private val ReservedProps = Set("provider", "location", "version")
+
+  /** Eager vocabulary check, shared by CREATE / ALTER SET: unknown keys
+    * are fine (users annotate tables), but a recognized key with a
+    * value the engine would silently ignore must fail NOW, not at the
+    * DELETE that reads it.
+    */
+  private[sources] def validateProps(props: Map[String, String]): Unit = {
+    props.keys.foreach { k =>
+      require(k.nonEmpty, "table property keys must be non-empty")
+      require(!ReservedProps(k),
+        s"table property '$k' is reserved (synthesized from live table metadata)")
+    }
+    props.get(WriteDeleteModeProp).foreach(v => require(DeleteModes(v),
+      s"$WriteDeleteModeProp must be one of ${DeleteModes.mkString(", ")}: got '$v'"))
+  }
+
+  /** ALTER TABLE SET TBLPROPERTIES — a METADATA-ONLY commit (zero data
+    * I/O at any table size): the new head carries the parent's exact
+    * file/tombstone state with the merged property map. Snapshot-
+    * versioned like every other commit: VERSION AS OF an older head
+    * reads the config that governed it.
+    */
+  def setProperties(dir: String, props: Map[String, String]): Long = {
+    require(props.nonEmpty, "no properties to set")
+    validateProps(props)
+    var committed = -1L
+    while (committed < 0) {
+      val cur = manifest(dir, None)
+      if (props.forall { case (k, v) => cur.props.get(k).contains(v) }) return cur.version
+      committed = tryInstall(dir, cur.copy(version = cur.version + 1,
+        parent = Some(cur.version), txn = None, op = None,
+        props = cur.props ++ props))
+    }
+    committed
+  }
+
+  /** ALTER TABLE UNSET TBLPROPERTIES — absent keys are a no-op (SQL
+    * UNSET semantics), present ones drop in one metadata commit.
+    */
+  def unsetProperties(dir: String, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "no properties to unset")
+    var committed = -1L
+    while (committed < 0) {
+      val cur = manifest(dir, None)
+      if (!keys.exists(cur.props.contains)) return cur.version
+      committed = tryInstall(dir, cur.copy(version = cur.version + 1,
+        parent = Some(cur.version), txn = None, op = None,
+        props = cur.props -- keys))
+    }
+    committed
+  }
+
+  def createEmpty(
+      dir: String, schema: StructType, track: Seq[String],
+      props: Map[String, String] = Map.empty): Long = {
+    validateProps(props)
     // a track entry may be a hidden-partitioning TRANSFORM spec: its
     // SOURCE column must exist and suit the transform
     val missing = track.map(TrackSpec.parse(_).source).filterNot(schema.fieldNames.contains)
@@ -351,7 +434,8 @@ object ManifestTable {
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "_manifests").mkdirs()
     require(latestVersion(dir).isEmpty, s"manifest table already exists at $dir")
-    val v = tryInstall(dir, Manifest(1L, None, None, schema.json, track, Seq.empty))
+    val v = tryInstall(dir, Manifest(1L, None, None, schema.json, track, Seq.empty,
+      props = props))
     if (v < 0) throw new IllegalStateException(
       s"manifest table already exists at $dir (lost the creation race)")
     v
@@ -635,7 +719,10 @@ object ManifestTable {
         Manifest(v, head, None, src.schemaJson, src.track, src.files,
           src.deleteKeys, src.deleteFiles, src.posDeleteFiles,
           renames = src.renames, retired = src.retired,
-          trackSince = src.trackSince))
+          trackSince = src.trackSince,
+          // properties are snapshot-versioned: restore brings back the
+          // restored snapshot's config along with its content
+          props = src.props))
     }
     committed
   }
@@ -695,9 +782,12 @@ object ManifestTable {
       val m = parent match {
         case Some(p) => appendOnto(p, schema, track, newFiles, v, txn)
         // replace starts clean: no old file, tombstone, or rename
-        // chain survives (the content they applied to is gone)
+        // chain survives (the content they applied to is gone) — but
+        // table PROPERTIES are config, not content: INSERT OVERWRITE /
+        // TRUNCATE must not silently reset write.delete.mode
         case None => Manifest(v, head, txn, schema.json, track,
-          newFiles.map(_.copy(seq = v)))
+          newFiles.map(_.copy(seq = v)),
+          props = head.map(h => manifest(dir, Some(h)).props).getOrElse(Map.empty))
       }
       committed = tryInstall(dir, m)
     }
@@ -732,7 +822,7 @@ object ManifestTable {
       parent.files ++ newFiles.map(_.copy(seq = v)),
       parent.deleteKeys, parent.deleteFiles, parent.posDeleteFiles,
       renames = parent.renames, retired = parent.retired,
-      trackSince = parent.trackSince)
+      trackSince = parent.trackSince, props = parent.props)
   }
 
   /** Write-audit-publish (Iceberg's WAP discipline, as one call): stage
@@ -1296,7 +1386,7 @@ object ManifestTable {
         if (clearDeletes) Nil else base.posDeleteFiles,
         op = op,
         renames = cur.renames, retired = cur.retired,
-        trackSince = cur.trackSince)
+        trackSince = cur.trackSince, props = cur.props)
       committed = tryInstall(dir, m)
     }
     committed
@@ -2718,7 +2808,8 @@ object ManifestTable {
         ("renames" -> m.renames.map(r =>
           ("v" -> r.v) ~ ("from" -> r.from) ~ ("to" -> r.to))) ~
         ("retired" -> m.retired) ~
-        ("trackSince" -> m.trackSince)))
+        ("trackSince" -> m.trackSince) ~
+        ("props" -> m.props)))
   }
 
   private def renderSegment(entries: Seq[FileEntry]): String = {
@@ -2813,6 +2904,10 @@ object ManifestTable {
       ((j \ "trackSince") match {
         case JNothing => Map.empty[String, Long]
         case t => t.extract[Map[String, Long]]
+      }),
+      ((j \ "props") match {
+        case JNothing => Map.empty[String, String]
+        case p => p.extract[Map[String, String]]
       }))
   }
 

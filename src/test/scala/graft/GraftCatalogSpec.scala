@@ -1246,4 +1246,129 @@ class GraftCatalogSpec extends SparkSpec {
       TableChange.deleteColumn(Array("category"), java.lang.Boolean.FALSE))
     assert(spark.table("graft.lake.atomalt").columns.toSeq == Seq("id", "kk"))
   }
+
+  test("TBLPROPERTIES persist in the manifest: CTAS writes them, commits carry them, a fresh catalog reads them") {
+    warehouse: Unit
+    spark.sql(
+      "CREATE TABLE graft.lake.props TBLPROPERTIES('team'='curation', 'pii'='true') " +
+        "AS SELECT * FROM VALUES (1L, 'a'), (2L, 'b') AS t(id, v)")
+    def shown(tbl: String): Map[String, String] =
+      spark.sql(s"SHOW TBLPROPERTIES $tbl").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val p0 = shown("graft.lake.props")
+    assert(p0.get("team").contains("curation") && p0.get("pii").contains("true"))
+    // Spark's CTAS bookkeeping keys must NOT have persisted
+    val dir = mkTableDir("lake", "props")
+    val persisted = ManifestTable.manifest(dir, None).props
+    assert(persisted == Map("team" -> "curation", "pii" -> "true"),
+      s"only user TBLPROPERTIES persist, got $persisted")
+    // every commit kind carries them: append, overwrite-replace, CoW rewrite
+    spark.sql("INSERT INTO graft.lake.props VALUES (3L, 'c')")
+    spark.sql("INSERT OVERWRITE graft.lake.props SELECT * FROM VALUES (9L, 'z') AS t(id, v)")
+    spark.sql("DELETE FROM graft.lake.props WHERE id = 9")
+    assert(ManifestTable.manifest(dir, None).props == persisted,
+      "append/replace/rewrite commits must carry table properties forward")
+    // a different catalog instance over the same warehouse sees them
+    spark.conf.set("spark.sql.catalog.graftp2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftp2.warehouse", warehouse)
+    assert(shown("graftp2.lake.props").get("team").contains("curation"))
+  }
+
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES: metadata-only, snapshot-versioned, validated eagerly") {
+    val dir = mkTable("lake", "propalter")
+    val before = ManifestTable.manifest(dir, None)
+    spark.sql("ALTER TABLE graft.lake.propalter SET TBLPROPERTIES('tier'='hot', 'owner.team'='ml')")
+    val after = ManifestTable.manifest(dir, None)
+    assert(after.props == Map("tier" -> "hot", "owner.team" -> "ml"))
+    assert(after.files.map(_.path) == before.files.map(_.path),
+      "SET TBLPROPERTIES must be a metadata-only commit (zero data I/O)")
+    assert(after.version == before.version + 1, "one atomic commit for a multi-key SET")
+    // versioned: the pre-SET snapshot reads the old (empty) config
+    assert(ManifestTable.manifest(dir, Some(before.version)).props.isEmpty)
+    spark.sql("ALTER TABLE graft.lake.propalter UNSET TBLPROPERTIES('tier', 'never-set')")
+    assert(ManifestTable.manifest(dir, None).props == Map("owner.team" -> "ml"),
+      "UNSET drops present keys; absent keys are a no-op")
+    // setting the same value again commits nothing
+    val v = ManifestTable.latestVersion(dir).get
+    spark.sql("ALTER TABLE graft.lake.propalter SET TBLPROPERTIES('owner.team'='ml')")
+    assert(ManifestTable.latestVersion(dir).get == v, "idempotent SET must not commit")
+    // vocabulary: reserved keys and bad recognized values refuse
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE graft.lake.propalter SET TBLPROPERTIES('write.delete.mode'='sideways')")
+    ).getMessage.contains("write.delete.mode"))
+    assert(intercept[Exception](
+      ManifestTable.setProperties(dir, Map("provider" -> "x"))
+    ).getMessage.contains("reserved"))
+    // restore brings back the restored snapshot's config with its content
+    ManifestTable.restore(dir, before.version)
+    assert(ManifestTable.manifest(dir, None).props.isEmpty,
+      "properties are snapshot-versioned: restore restores the config too")
+  }
+
+  test("write.delete.mode=merge-on-read: plain DELETE FROM commits positional tombstones, zero files rewritten") {
+    warehouse: Unit
+    spark.sql(
+      "CREATE TABLE graft.lake.mormode TBLPROPERTIES('write.delete.mode'='merge-on-read') " +
+        "AS SELECT id, id % 7 AS grp FROM range(1000)")
+    val dir = mkTableDir("lake", "mormode")
+    val before = ManifestTable.manifest(dir, None)
+    spark.sql("DELETE FROM graft.lake.mormode WHERE grp = 3")
+    val after = ManifestTable.manifest(dir, None)
+    assert(after.files.map(_.path) == before.files.map(_.path),
+      "merge-on-read DELETE must rewrite NO data files")
+    assert(after.posDeleteFiles.nonEmpty, "the delete lands as positional tombstones")
+    // readers apply the tombstones through MorApplyRewrite
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.mormode").head().getLong(0)
+      == (0L until 1000L).count(_ % 7 != 3))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.mormode WHERE grp = 3")
+      .head().getLong(0) == 0)
+    // flip the regime: the SAME statement now pays the rewrite and reads clean
+    spark.sql("ALTER TABLE graft.lake.mormode SET TBLPROPERTIES('write.delete.mode'='copy-on-write')")
+    spark.sql("DELETE FROM graft.lake.mormode WHERE grp = 5")
+    val cow = ManifestTable.manifest(dir, None)
+    assert(cow.files.map(_.path) != after.files.map(_.path),
+      "copy-on-write DELETE rewrites the touched files")
+    assert(cow.posDeleteFiles.size == after.posDeleteFiles.size,
+      "the CoW rewrite composes with (and does not disturb) pending positional tombstones")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.mormode").head().getLong(0)
+      == (0L until 1000L).count(i => i % 7 != 3 && i % 7 != 5))
+  }
+
+  test("DELETE guard relaxation stays safe: repeated MoR deletes chain; UPDATE/MERGE still refuse on pending tombstones; nothing silently mis-reads") {
+    warehouse: Unit
+    spark.sql(
+      "CREATE TABLE graft.lake.morchain TBLPROPERTIES('write.delete.mode'='merge-on-read') " +
+        "AS SELECT id, id % 10 AS d FROM range(400)")
+    val dir = mkTableDir("lake", "morchain")
+    // consecutive DELETEs: the second runs WITH pending tombstones —
+    // the exact sequence the old analysis-time guard broke
+    spark.sql("DELETE FROM graft.lake.morchain WHERE d = 1")
+    spark.sql("DELETE FROM graft.lake.morchain WHERE d = 2")
+    val m2 = ManifestTable.manifest(dir, None)
+    assert(m2.posDeleteFiles.size >= 2 && m2.files.nonEmpty)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.morchain").head().getLong(0)
+      == (0L until 400L).count(i => i % 10 != 1 && i % 10 != 2))
+    // UPDATE / MERGE keep the analysis-time refusal: their group
+    // rewrite has no metadata-conversion escape hatch
+    val eu = intercept[Exception](
+      spark.sql("UPDATE graft.lake.morchain SET d = 99 WHERE id = 5"))
+    assert(eu.getMessage.contains("materializeDeletes"), s"got: ${eu.getMessage}")
+    val em = intercept[Exception](spark.sql(
+      "MERGE INTO graft.lake.morchain t USING (SELECT 5 AS id) s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE"))
+    assert(em.getMessage.contains("materializeDeletes"), s"got: ${em.getMessage}")
+    // an un-pushable DELETE on the tombstoned table must fail LOUDLY
+    // (group rewrite -> toBatch guard), never drop tombstoned rows
+    val ed = intercept[Exception](
+      spark.sql("DELETE FROM graft.lake.morchain WHERE id % 3 = 0"))
+    assert(ed.getMessage.contains("pending merge-on-read"), s"got: ${ed.getMessage}")
+    // and the table is untouched by the failed statement
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.morchain").head().getLong(0)
+      == (0L until 400L).count(i => i % 10 != 1 && i % 10 != 2))
+    // after materialization the same un-pushable DELETE succeeds as CoW
+    ManifestTable.materializeDeletes(spark, dir)
+    spark.sql("DELETE FROM graft.lake.morchain WHERE id % 3 = 0")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.morchain").head().getLong(0)
+      == (0L until 400L).count(i => i % 10 != 1 && i % 10 != 2 && i % 3 != 0))
+  }
 }
