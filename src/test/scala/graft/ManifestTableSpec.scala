@@ -1462,6 +1462,7 @@ class ManifestTableSpec extends SparkSpec {
     case class BranchPickRewrite(br: Map[Long, Long], mr: Map[Long, Long]) extends Op
     case object AddTrack extends Op
     case object Zorder extends Op
+    case object ToggleMode extends Op
 
     val rowsGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 999L)))
     val opGen: Gen[Op] = Gen.frequency(
@@ -1493,7 +1494,13 @@ class ManifestTableSpec extends SparkSpec {
       // track-spec evolution mid-history: first an identity column,
       // then a hidden-partitioning transform; every later op re-audits
       // scan-vs-prune per file (auditPrune)
-      2 -> Gen.const(AddTrack))
+      2 -> Gen.const(AddTrack),
+      // table properties are snapshot-versioned config every commit
+      // kind must CARRY verbatim (append, CoW rewrite, compact/zorder,
+      // MoR tombstones, materialize, rename, branch publish,
+      // cherry-pick) — the toggle alternates write.delete.mode and the
+      // per-op audit proves no commit path drops or mutates the map
+      2 -> Gen.const(ToggleMode))
     val seqGen = Gen.choose(3, 7).flatMap(n => Gen.listOfN(n, opGen))
 
     (0 until 6).foreach { trial =>
@@ -1507,6 +1514,13 @@ class ManifestTableSpec extends SparkSpec {
       var renameN = 0
       var branchN = 0
       var trackStage = 0 // 0: only k; 1: +identity curVal; 2: +truncate(8,k); 3: +truncate(16,curVal)
+      var expectedProps = Map.empty[String, String]
+      var modeN = 0
+      def auditProps(): Unit = if (history.nonEmpty) {
+        val got = ManifestTable.manifest(dir, None).props
+        assert(got == expectedProps,
+          s"trial $trial: head props $got diverged from expected $expectedProps")
+      }
       def df(rows: Map[Long, Long]) = rows.toSeq.toDF("k", curVal)
       // appends must carry the table's LIVE track spec (track-spec
       // evolution mid-sequence changes it; a stale spec refuses)
@@ -1669,8 +1683,15 @@ class ManifestTableSpec extends SparkSpec {
           }
           val v = ManifestTable.addTrackedColumn(dir, t)
           history :+= (v, model)
+        case ToggleMode if history.nonEmpty =>
+          modeN += 1
+          val mode = if (modeN % 2 == 1) "merge-on-read" else "copy-on-write"
+          expectedProps = expectedProps +
+            ("write.delete.mode" -> mode) + ("fuzz.marker" -> s"m$modeN")
+          val v = ManifestTable.setProperties(dir, expectedProps)
+          history :+= (v, model)
         case _ => ()
-      }; consume(); auditPrune() }
+      }; consume(); auditPrune(); auditProps() }
       // every recorded version must read back as its model state —
       // snapshot isolation means later ops never disturb old versions
       history.foreach { case (v, want) =>
