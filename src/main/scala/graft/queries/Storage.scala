@@ -1831,6 +1831,87 @@ object Storage {
         """)
       },
     ),
+    Q(
+      "q230_write_distribution",
+      "write.distribution-mode=range as a persisted table property " +
+        "(Iceberg's write-layout contract via DSv2 " +
+        "RequiresDistributionAndOrdering): a plain SQL INSERT INTO from " +
+        "a hash-scattered source — every input partition spans the " +
+        "whole key domain — lands as range-clustered, internally sorted " +
+        "files with DISJOINT envelopes (audited from the committed " +
+        "manifest), sized by write.target-file-bytes; the narrow range " +
+        "readback then prunes the V2 scan (plan-audited in-query) and " +
+        "matches the oracle bit-for-bit. At 100 TB: one write-side " +
+        "shuffle, declared ONCE on the table, buys every subsequent " +
+        "range query its file skipping.",
+      Some("""
+        SELECT count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem WHERE l_orderkey % 100000 < 5000
+      """.trim),
+      (spark, dir) => {
+        val wh = graft.Artifacts.cached(s"write-dist-warehouse:$dir") { w =>
+          spark.conf.set("spark.sql.catalog.graftwd", "graft.sources.GraftCatalog")
+          spark.conf.set("spark.sql.catalog.graftwd.warehouse", w)
+          new java.io.File(s"$w/lake").mkdirs()
+          spark.sql("CREATE TABLE graftwd.lake.wdli (k BIGINT, l_quantity DOUBLE) " +
+            "PARTITIONED BY (k) TBLPROPERTIES('write.distribution-mode'='range', " +
+            "'write.target-file-bytes'='262144')")
+          Tables(spark, dir).lineitem
+            .selectExpr("l_orderkey % 100000 AS k", "l_quantity")
+            // hash-scatter so the write-side shuffle is the ONLY thing
+            // that can produce a clustered layout
+            .repartition(8).createOrReplaceTempView("wd_src")
+          // unit scales sit under AQE's 1MB coalesce floor; lower it so
+          // the table's advisory binds, then restore
+          val minKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+          val prevMin = spark.conf.getOption(minKey)
+          spark.conf.set(minKey, "16384")
+          try spark.sql("INSERT INTO graftwd.lake.wdli SELECT * FROM wd_src"): Unit
+          finally prevMin match {
+            case Some(v) => spark.conf.set(minKey, v)
+            case None => spark.conf.unset(minKey)
+          }
+          val m = ManifestTable.manifest(s"$w/lake/wdli", None)
+          assert(m.files.size > 1, "the clustered insert must write several files")
+          val envs = m.files.map(f => (f.mins("k").get.toLong, f.maxs("k").get.toLong))
+            .sortBy(_._1)
+          envs.sliding(2).foreach {
+            case Seq((_, aMax), (bMin, _)) =>
+              assert(aMax <= bMin, s"range-mode envelopes must be disjoint: $envs")
+            case _ => ()
+          }
+        }
+        spark.conf.set("spark.sql.catalog.graftwd", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftwd.warehouse", wh)
+        val head = ManifestTable.manifest(s"$wh/lake/wdli", None)
+        val total = head.files.size
+        // audit probe below the SECOND file's min envelope: with the
+        // disjointness the build asserted, exactly the first file(s)
+        // can match — prunable at ANY scale, independent of where the
+        // range split landed relative to the oracle's fixed predicate
+        val cut = head.files.map(_.mins("k").get.toLong).sorted.apply(1)
+        val probe = spark.sql(s"SELECT k FROM graftwd.lake.wdli WHERE k < $cut")
+        val scanned = probe.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            (b.scan match {
+              case g: graft.sources.GraftLakeScan => g.underlying
+              case o => o
+            }) match {
+              case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+                p.fileIndex.inputFiles.length
+              case _ => 0
+            }
+        }.sum
+        assert(scanned > 0 && scanned < total,
+          s"the clustered layout must prune the narrow range: scanned $scanned of $total")
+        spark.sql("""
+          SELECT count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+          FROM graftwd.lake.wdli WHERE k < 5000
+        """)
+      },
+    ),
   )
 
   /** Built once per (session, sf dir): a star pair for the runtime-

@@ -769,7 +769,8 @@ final class GraftLakeWriteBuilder(
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
   override def build(): Write = new GraftWrite(
-    SparkSession.active, dir, info.schema(), m.track, overwrite, info.queryId())
+    SparkSession.active, dir, info.schema(), m.track, overwrite, info.queryId(),
+    props = m.props)
 }
 
 object GraftLakeTable {

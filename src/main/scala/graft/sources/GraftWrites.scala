@@ -75,6 +75,16 @@ object GraftWrites {
     */
   val WapBranchConf = "spark.graft.wap.branch"
 
+  /** Persisted table property steering write layout — see
+    * [[GraftWrite.requiredDistribution]]. Values: none | hash | range.
+    */
+  val DistributionModeProp = "write.distribution-mode"
+
+  /** Advisory staged-file size for distribution-mode shuffles — see
+    * [[GraftWrite.advisoryPartitionSizeInBytes]].
+    */
+  val TargetFileBytesProp = "write.target-file-bytes"
+
   def wapBranch(spark: SparkSession): Option[String] =
     Option(spark.conf.get(WapBranchConf, "")).map(_.trim).filter(_.nonEmpty)
 
@@ -124,14 +134,76 @@ object GraftWrites {
   */
 final class GraftWrite(
     spark: SparkSession, dir: String, schema: StructType, track: Seq[String],
-    overwrite: Boolean, queryId: String)
-  extends Write {
+    overwrite: Boolean, queryId: String,
+    props: Map[String, String] = Map.empty)
+  extends Write with RequiresDistributionAndOrdering {
   override def description(): String = s"graft-manifest write -> $dir"
   override def toBatch: BatchWrite = new GraftBatchWrite(
     spark, dir, schema, track,
     if (overwrite) GraftWrites.Replace else GraftWrites.Append)
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new GraftStreamingWrite(spark, dir, schema, track, overwrite, queryId)
+
+  /** `write.distribution-mode` (Iceberg's table property, persisted in
+    * the manifest): how incoming rows arrange BEFORE they hit the
+    * executor writers — the lever that decides whether SQL-written
+    * files carry tight, prunable envelopes or span the whole domain.
+    *   - absent/`none`: rows land as the query left them (fastest
+    *     write; envelope quality is the caller's problem);
+    *   - `hash`: cluster by the track SOURCE columns — co-locates
+    *     equal values so each file holds few distinct keys;
+    *   - `range`: globally range-partition AND sort by the track
+    *     sources — files carry disjoint envelopes, so every later
+    *     range query prunes like the table had been compacted.
+    * Clustering keys are the track SOURCES (not the transforms):
+    * identity and monotone transforms (days/truncate) inherit the
+    * tightness directly, and bucket envelopes serve equality lookups
+    * regardless of layout — while requiring the transform itself would
+    * drag in a FunctionCatalog registration for nothing. At 100 TB the
+    * one extra shuffle at WRITE time is bought back by every read
+    * skipping the files a scattered layout would force it to open.
+    */
+  private def distributionKeys: Array[String] =
+    track.map(t => TrackSpec.parse(t).source).distinct
+      .filter(schema.fieldNames.contains).toArray
+
+  private def sortOrders: Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    distributionKeys.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+  }
+
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.distributions.Distributions
+    props.get(GraftWrites.DistributionModeProp) match {
+      case Some("range") if distributionKeys.nonEmpty => Distributions.ordered(sortOrders)
+      case Some("hash") if distributionKeys.nonEmpty =>
+        Distributions.clustered(distributionKeys.map(
+          org.apache.spark.sql.connector.expressions.Expressions.column(_)))
+      case _ => Distributions.unspecified()
+    }
+  }
+
+  /** `write.target-file-bytes` (Iceberg's write.target-file-size-bytes
+    * role): the advisory size AQE aims each shuffle partition — hence
+    * each staged file — at, when a distribution mode requires the
+    * write-side shuffle. Absent → Spark's session advisory (64 MB)
+    * governs; at 100 TB that default is right, while ingest jobs that
+    * want smaller or larger files declare it ON THE TABLE instead of
+    * tuning every writer's session.
+    */
+  override def advisoryPartitionSizeInBytes(): Long =
+    props.get(GraftWrites.TargetFileBytesProp).map(_.toLong).getOrElse(0L)
+
+  /** Both clustered modes also sort WITHIN each writer task: each
+    * staged file is then internally ordered and its envelope is as
+    * tight as its partition's slice — free for `range` (the global
+    * sort implies it) and the whole envelope win for `hash`.
+    */
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    props.get(GraftWrites.DistributionModeProp) match {
+      case Some("range") | Some("hash") => sortOrders
+      case _ => Array.empty
+    }
 }
 
 /** `df.writeStream.toTable("graft.lake.t")`: each micro-batch epoch

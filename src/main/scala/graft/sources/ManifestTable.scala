@@ -380,7 +380,14 @@ object ManifestTable {
     }
     props.get(WriteDeleteModeProp).foreach(v => require(DeleteModes(v),
       s"$WriteDeleteModeProp must be one of ${DeleteModes.mkString(", ")}: got '$v'"))
+    props.get(GraftWrites.DistributionModeProp).foreach(v => require(DistModes(v),
+      s"${GraftWrites.DistributionModeProp} must be one of " +
+        s"${DistModes.mkString(", ")}: got '$v'"))
+    props.get(GraftWrites.TargetFileBytesProp).foreach(v => require(
+      scala.util.Try(v.toLong).toOption.exists(_ > 0),
+      s"${GraftWrites.TargetFileBytesProp} must be a positive byte count: got '$v'"))
   }
+  private val DistModes = Set("none", "hash", "range")
 
   /** ALTER TABLE SET TBLPROPERTIES — a METADATA-ONLY commit (zero data
     * I/O at any table size): the new head carries the parent's exact

@@ -1371,4 +1371,70 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM graft.lake.morchain").head().getLong(0)
       == (0L until 400L).count(i => i % 10 != 1 && i % 10 != 2 && i % 3 != 0))
   }
+
+  test("write.distribution-mode=range: SQL INSERT lands range-clustered files with disjoint prunable envelopes") {
+    warehouse: Unit
+    // AQE's 1MB minimum partition size would swallow this unit-scale
+    // insert into one file regardless of the table's advisory — lower
+    // the session floor so the write.target-file-bytes advisory is the
+    // binding constraint, exactly as it is at real file sizes
+    val minKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val prevMin = spark.conf.getOption(minKey)
+    spark.conf.set(minKey, "4096")
+    try {
+    // scattered input: 8 partitions, each spanning the whole id domain
+    spark.range(0, 8000).selectExpr("(id * 2654435761) % 8000 AS id", "id AS payload")
+      .createOrReplaceTempView("scatter_src")
+    // write.target-file-bytes keeps AQE from coalescing this tiny
+    // insert into one file — the same knob a real ingest tunes
+    spark.sql("CREATE TABLE graft.lake.distrange (id BIGINT, payload BIGINT) " +
+      "PARTITIONED BY (id) TBLPROPERTIES('write.distribution-mode'='range', " +
+      "'write.target-file-bytes'='16384')")
+    spark.sql("INSERT INTO graft.lake.distrange SELECT /*+ REPARTITION(8) */ * FROM scatter_src")
+    val dir = mkTableDir("lake", "distrange")
+    val m = ManifestTable.manifest(dir, None)
+    assert(m.files.size > 1, s"multi-partition insert must write several files")
+    // disjoint envelopes: sorted by min, each file's max < next file's min
+    val envs = m.files.map(f => (f.mins("id").get.toLong, f.maxs("id").get.toLong))
+      .sortBy(_._1)
+    envs.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"range-mode files must carry disjoint envelopes: $envs")
+      case _ => ()
+    }
+    // ...so a narrow range query prunes to a strict file subset
+    val probe = spark.sql("SELECT payload FROM graft.lake.distrange WHERE id < 500")
+    assert(scannedFiles(probe).size < m.files.size,
+      "the clustered layout must prune the narrow range query")
+    assert(probe.count() == 500)
+    // the same insert WITHOUT the property scatters: every file spans the domain
+    spark.sql("CREATE TABLE graft.lake.distnone (id BIGINT, payload BIGINT) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graft.lake.distnone SELECT /*+ REPARTITION(8) */ * FROM scatter_src")
+    val mn = ManifestTable.manifest(mkTableDir("lake", "distnone"), None)
+    val spans = mn.files.map(f => (f.mins("id").get.toLong, f.maxs("id").get.toLong))
+    assert(spans.forall { case (lo, hi) => lo < 1000 && hi > 7000 },
+      s"default mode leaves the caller's scatter in place: $spans")
+    // hash mode: equal ids co-locate — every id lives in exactly one file
+    spark.sql("CREATE TABLE graft.lake.disthash (id BIGINT, payload BIGINT) " +
+      "PARTITIONED BY (id) TBLPROPERTIES('write.distribution-mode'='hash', " +
+      "'write.target-file-bytes'='16384')")
+    // duplicate each id across all 8 source partitions to make co-location observable
+    spark.sql("INSERT INTO graft.lake.disthash " +
+      "SELECT /*+ REPARTITION(8) */ id % 100 AS id, id AS payload FROM range(8000)")
+    val dh = mkTableDir("lake", "disthash")
+    val perId = ManifestTable.snapshot(spark, dh)
+      .select($"id", org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().groupBy("id").count().agg(max("count")).head().getLong(0)
+    assert(perId == 1L, "hash mode must co-locate every id into one file")
+    // vocabulary guard
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE graft.lake.distnone SET TBLPROPERTIES('write.distribution-mode'='diagonal')")
+    ).getMessage.contains("write.distribution-mode"))
+    } finally {
+      prevMin match {
+        case Some(v) => spark.conf.set(minKey, v)
+        case None => spark.conf.unset(minKey)
+      }
+    }
+  }
 }
