@@ -62,6 +62,29 @@ case class MorApplyRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => plan.resolveOperatorsUp {
       case r: DataSourceV2Relation =>
         r.table match {
+          // the MERGE-ON-READ delta path's READ side (SupportsDelta —
+          // graft.sources.GraftDeltaOperation): unlike the group-based
+          // CoW rewrite (whose target must stay a real V2 relation for
+          // the planned-file bookkeeping, and which refuses tombstoned
+          // tables at analysis), a delta never swaps files — its read
+          // just needs the APPLIED rows, so a tombstone-/rename-era-
+          // carrying target swaps for the applied view exactly like a
+          // plain SELECT. This is what lets MoR UPDATE/MERGE chain:
+          // statement N's read applies statement N-1's tombstones.
+          case t if org.apache.spark.sql.GraftSqlBridge.rowLevelOperationOf(t)
+              .exists {
+                case op: graft.sources.GraftDeltaOperation =>
+                  op.m.hasMorDeletes || op.m.renamesApply
+                case _ => false
+              } =>
+            val op = org.apache.spark.sql.GraftSqlBridge.rowLevelOperationOf(t)
+              .get.asInstanceOf[graft.sources.GraftDeltaOperation]
+            val applied = ManifestTable.appliedSnapshot(spark, op.m)
+            val child = applied.queryExecution.analyzed
+            val byName = child.output.map(a => a.name -> a).toMap
+            Project(
+              r.output.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)),
+              child)
           // same treatment for rename-era tables: a single fixed-schema
           // scan would read pre-rename files' renamed columns as NULL;
           // the snapshot plan groups files by rename era instead

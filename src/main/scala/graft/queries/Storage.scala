@@ -1912,6 +1912,74 @@ object Storage {
         """)
       },
     ),
+    Q(
+      "q231_mor_upsert_sql",
+      "MERGE-ON-READ row-level SQL DML end to end (SupportsDelta + the " +
+        "Iceberg identifier-field contract): the table declares " +
+        "identifier.columns plus write.update.mode / write.merge.mode = " +
+        "merge-on-read, so a plain UPDATE and a three-clause MERGE INTO " +
+        "(matched update, matched delete, not-matched insert) each " +
+        "commit as ONE atomic delta — equality tombstones for the " +
+        "touched identifiers + fresh files for the new row versions — " +
+        "with ZERO files rewritten (audited: every original file " +
+        "survives both statements verbatim). The MERGE's read applies " +
+        "the UPDATE's pending tombstones (MorApplyRewrite on the delta " +
+        "read — MoR DML chains), the readback applies all of it " +
+        "seq-scoped, and the oracle reconstructs the full lifecycle " +
+        "relationally. At 100 TB: a CDC upsert stream in O(delta) bytes " +
+        "per statement, debt repaid on the maintenance cadence.",
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice * 2 ELSE o_totalprice END AS p
+          FROM orders),
+        after_merge AS (
+          SELECT k, CASE WHEN k % 7 = 0 THEN 1000.0 ELSE p END AS p
+          FROM base WHERE NOT (k % 7 = 0 AND k % 14 <> 0)),
+        ins AS (SELECT -(o_orderkey + 1) AS k, 5.0 AS p FROM orders WHERE o_orderkey % 11 = 0)
+        SELECT count(*) AS n,
+               CAST(sum(CAST(p AS DECIMAL(30,2))) AS DOUBLE) AS sum_p
+        FROM (SELECT * FROM after_merge UNION ALL SELECT * FROM ins)
+      """.trim),
+      (spark, dir) => {
+        val wh = graft.Artifacts.cached(s"mor-upsert-warehouse:$dir") { w =>
+          spark.conf.set("spark.sql.catalog.graftmu", "graft.sources.GraftCatalog")
+          spark.conf.set("spark.sql.catalog.graftmu.warehouse", w)
+          new java.io.File(s"$w/lake").mkdirs()
+          Tables(spark, dir).orders.selectExpr("o_orderkey AS k", "o_totalprice AS p")
+            .createOrReplaceTempView("mu_src")
+          spark.sql("CREATE TABLE graftmu.lake.muord TBLPROPERTIES(" +
+            "'identifier.columns'='k', 'write.update.mode'='merge-on-read', " +
+            "'write.merge.mode'='merge-on-read') AS SELECT * FROM mu_src")
+          val t = s"$w/lake/muord"
+          val before = ManifestTable.manifest(t, None)
+          spark.sql("UPDATE graftmu.lake.muord SET p = p * 2 WHERE k % 10 = 4"): Unit
+          val m1 = ManifestTable.manifest(t, None)
+          assert(before.files.map(_.path).forall(m1.files.map(_.path).contains) &&
+            m1.deleteFiles.nonEmpty,
+            "MoR UPDATE must add tombstones + new rows, never rewrite")
+          spark.sql("SELECT k, CAST(1000.0 AS DOUBLE) AS nv FROM mu_src WHERE k % 7 = 0 " +
+            "UNION ALL SELECT -(k + 1) AS k, CAST(5.0 AS DOUBLE) AS nv FROM mu_src WHERE k % 11 = 0")
+            .createOrReplaceTempView("mu_delta")
+          spark.sql("""
+            MERGE INTO graftmu.lake.muord t USING mu_delta s ON t.k = s.k
+            WHEN MATCHED AND t.k % 14 = 0 THEN UPDATE SET p = s.nv
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED THEN INSERT (k, p) VALUES (s.k, s.nv)
+          """): Unit
+          val m2 = ManifestTable.manifest(t, None)
+          assert(before.files.map(_.path).forall(m2.files.map(_.path).contains),
+            "MoR MERGE must leave every original file in place")
+        }
+        spark.conf.set("spark.sql.catalog.graftmu", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftmu.warehouse", wh)
+        spark.sql("""
+          SELECT count(*) AS n,
+                 CAST(sum(CAST(p AS DECIMAL(30,2))) AS DOUBLE) AS sum_p
+          FROM graftmu.lake.muord
+        """)
+      },
+    ),
   )
 
   /** Built once per (session, sf dir): a star pair for the runtime-

@@ -593,7 +593,23 @@ final case class GraftLakeTable(
     ManifestTable.replace(empty, dir, m.track)
     true
   }
-  override def schema(): StructType = DataFrameSchema.fromJson(m.schemaJson)
+  /** `identifier.columns` (the Iceberg identifier-field contract)
+    * makes the named columns REQUIRED at the table surface: row-level
+    * delta rewrites demand non-nullable row ids (Spark refuses
+    * otherwise), SQL writes then enforce non-nullness through Spark's
+    * own output resolver, and [[ManifestTable.setProperties]] scans for
+    * existing nulls when the property is adopted on a non-empty table
+    * — so the surface claim is sound end to end.
+    */
+  override def schema(): StructType = {
+    val s = DataFrameSchema.fromJson(m.schemaJson)
+    ManifestTable.identifierColumns(m) match {
+      case ids if ids.nonEmpty =>
+        StructType(s.fields.map(f =>
+          if (ids.contains(f.name)) f.copy(nullable = false) else f))
+      case _ => s
+    }
+  }
 
   /** `_version`: the manifest snapshot version serving the row — a
     * CONSTANT per scan, appended by the reader wrapper when requested
@@ -709,6 +725,40 @@ final case class GraftLakeTable(
           "after this relation resolved (or it resolved against a different branch); " +
           "re-run the statement so read and rewrite bind the same branch head")
     }
+    // write.update.mode / write.merge.mode = merge-on-read route the
+    // statement through the DELTA operation (equality tombstones + new
+    // rows, nothing rewritten) instead of the group CoW rewrite. Needs
+    // identifier.columns (the Iceberg identifier-field contract);
+    // tombstone-carrying reads are handled by MorApplyRewrite, so MoR
+    // DML chains freely — no analysis-time tombstone guard here.
+    val deltaMode = info.command match {
+      case RowLevelOperation.Command.UPDATE =>
+        m.props.get("write.update.mode").contains("merge-on-read")
+      case RowLevelOperation.Command.MERGE =>
+        m.props.get("write.merge.mode").contains("merge-on-read")
+      case _ => false
+    }
+    if (deltaMode) {
+      require(GraftWrites.wapBranch(SparkSession.active).isEmpty,
+        s"${info.command} on $tableName: merge-on-read DML cannot route onto a WAP " +
+          s"branch (${GraftWrites.WapBranchConf} is set) — branches stage copy-on-write " +
+          "deltas only; unset the branch or use copy-on-write mode")
+      val keys = m.props.get("identifier.columns").toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      require(keys.nonEmpty,
+        s"${info.command} on $tableName: write.${if (info.command == RowLevelOperation.Command.UPDATE) "update" else "merge"}.mode=merge-on-read needs " +
+          "identifier.columns (comma-separated row-identity columns, the Iceberg " +
+          "identifier-field contract) set on the table")
+      val schemaFields = schema().fieldNames.toSet
+      val missing = keys.filterNot(schemaFields.contains)
+      require(missing.isEmpty,
+        s"${info.command} on $tableName: identifier.columns name(s) " +
+          s"${missing.mkString(", ")} not in the table schema")
+      return new RowLevelOperationBuilder {
+        override def build(): RowLevelOperation =
+          new GraftDeltaOperation(dir, m, info.command, keys)
+      }
+    }
     // DELETE is exempt from the analysis-time tombstone/rename-era
     // guards: Spark's OptimizeMetadataOnlyDeleteFromTable converts a
     // filter-convertible DELETE back to the SupportsDelete path AFTER
@@ -787,6 +837,55 @@ object GraftLakeTable {
   * files for the staged replacements, conflict-checked against
   * writers that raced in between.
   */
+/** MERGE-ON-READ row-level operation (the SupportsDelta side of the
+  * regime split — group-based CoW is [[GraftRowLevelOperation]]): SQL
+  * UPDATE / MERGE INTO on a table declaring `write.update.mode` /
+  * `write.merge.mode` = merge-on-read plan through Spark's DELTA
+  * rewrites instead of the whole-group ReplaceData plan. The row
+  * identity is the table's `identifier.columns` property (Iceberg's
+  * identifier-field contract: the named columns must uniquely identify
+  * a row and be non-null — a duplicate-identity table would lose
+  * unmatched siblings, exactly as in Iceberg/Flink-CDC equality
+  * deletes). Updates split into delete+insert records
+  * ([[representUpdateAsDeleteAndInsert]]), the writer stages equality
+  * tombstones + new rows, and ONE atomic commit lands both
+  * ([[ManifestTable.installStagedDelta]]) — nothing rewrites, so a
+  * selective 100 TB upsert costs O(Δ) bytes. The read side needs no
+  * planned-file bookkeeping (no files swap): a tombstone-free table
+  * reads through the plain pruned V2 scan WITH parquet pushdown (a
+  * delta only needs the MATCHING rows, unlike the whole-group
+  * rewrite), and a tombstone-carrying table's read is swapped for the
+  * applied view by [[graft.plans.MorApplyRewrite]] — which is what
+  * lets MoR updates CHAIN: each commit's tombstones are applied by the
+  * next statement's read.
+  */
+final class GraftDeltaOperation(
+    val dir: String, val m: ManifestTable.Manifest,
+    cmd: RowLevelOperation.Command, keys: Seq[String])
+  extends RowLevelOperation with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-manifest MoR delta $cmd $dir"
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    keys.map(org.apache.spark.sql.connector.expressions.Expressions.column(_)).toArray
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLakeScanBuilder(SparkSession.active, dir, m, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new GraftDeltaWrite(SparkSession.active, dir, m, info.schema(), keys)
+    }
+}
+
 final class GraftRowLevelOperation(
     dir: String, m: ManifestTable.Manifest, cmd: RowLevelOperation.Command,
     /** Set while `spark.graft.wap.branch` routes and `m` is that

@@ -335,6 +335,118 @@ final class GraftBatchWrite(
 
 final case class GraftCommitMessage(path: String) extends WriterCommitMessage
 
+/** MERGE-ON-READ row-level DELTA write (SQL UPDATE / MERGE INTO under
+  * `write.update.mode` / `write.merge.mode` = merge-on-read, planned by
+  * Spark's delta-based rewrites via [[GraftDeltaOperation]]): executor
+  * tasks stream the delta's two halves into separate staged parquet
+  * sets — equality-tombstone KEY rows (the touched rows' identifier
+  * values) and full INSERT rows (the new row versions; updates arrive
+  * split as delete+insert) — and the driver commits both in ONE atomic
+  * manifest version ([[ManifestTable.installStagedDelta]]): tombstones
+  * at seq v kill every earlier file's matching rows, the new files
+  * enter at seq v and are never shadowed. NOTHING rewrites — a
+  * selective 100 TB upsert costs O(Δ) bytes where the copy-on-write
+  * route rewrites every touched file.
+  */
+final class GraftDeltaWrite(
+    spark: SparkSession, dir: String, base: ManifestTable.Manifest,
+    rowSchema: StructType, keys: Seq[String])
+  extends DeltaWrite with DeltaBatchWrite {
+
+  private val stage = s"$dir/data/c-delta-${java.util.UUID.randomUUID()}"
+  private val dataStage = s"$stage/rows"
+  private val keysStage = s"$stage/keys"
+  new java.io.File(dataStage).mkdirs()
+  new java.io.File(keysStage).mkdirs()
+
+  private def keySchema: StructType = {
+    val table = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+      .asInstanceOf[StructType]
+    StructType(keys.map(k => table(k)))
+  }
+
+  override def description(): String = s"graft-manifest MoR delta -> $dir"
+  override def toBatch: DeltaBatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new GraftDeltaWriterFactory(dataStage, keysStage,
+      new GraftWrites.ConfCarrier(GraftWrites.writeConf(spark, rowSchema)),
+      new GraftWrites.ConfCarrier(GraftWrites.writeConf(spark, keySchema)))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.collect {
+      case GraftDeltaCommitMessage(d, k) => Seq(Option(d), Option(k)).flatten
+    }.flatten.toSet
+    // exactly-once at the task level: drop files from attempts that
+    // never task-committed (same discipline as GraftBatchWrite)
+    Seq(dataStage, keysStage).foreach { s =>
+      Option(new java.io.File(s).listFiles()).getOrElse(Array.empty)
+        .filterNot(f => committed(f.getAbsolutePath))
+        .foreach(_.delete())
+    }
+    ManifestTable.installStagedDelta(
+      spark, dir, base, rowSchema, keys, dataStage, keysStage): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    Seq(dataStage, keysStage, stage).foreach { s =>
+      Option(new java.io.File(s).listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      new java.io.File(s).delete(): Unit
+    }
+  }
+}
+
+final case class GraftDeltaCommitMessage(dataPath: String, keysPath: String)
+  extends WriterCommitMessage
+
+final class GraftDeltaWriterFactory(
+    dataStage: String, keysStage: String,
+    rowConf: GraftWrites.ConfCarrier, keyConf: GraftWrites.ConfCarrier)
+  extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaDataWriter(
+      s"$dataStage/part-$partitionId-$taskId.parquet",
+      s"$keysStage/part-$partitionId-$taskId.parquet",
+      rowConf.conf, keyConf.conf)
+}
+
+/** Streams one task's delta: deletes' identifier rows into the keys
+  * file, inserts into the rows file (both opened lazily, so a task
+  * with only one kind stages only that file). `update` never fires —
+  * [[GraftDeltaOperation.representUpdateAsDeleteAndInsert]] makes
+  * Spark split updates before they reach the writer.
+  */
+final class GraftDeltaDataWriter(
+    dataPath: String, keysPath: String, rowConf: Configuration, keyConf: Configuration)
+  extends DeltaWriter[InternalRow] {
+
+  private val rows = new GraftDataWriter(dataPath, rowConf)
+  private val keys = new GraftDataWriter(keysPath, keyConf)
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    require(!id.anyNull,
+      "merge-on-read delta: a touched row carries NULL in an identifier column " +
+        "(identifier.columns must be non-null row identifiers — the Iceberg " +
+        "identifier-field contract); fall back to copy-on-write for this table")
+    keys.write(id.copy())
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "updates are represented as delete+insert; update() must never be called")
+
+  override def insert(row: InternalRow): Unit = rows.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    val d = rows.commit() match { case GraftCommitMessage(p) => p }
+    val k = keys.commit() match { case GraftCommitMessage(p) => p }
+    GraftDeltaCommitMessage(d, k)
+  }
+
+  override def abort(): Unit = { rows.abort(); keys.abort() }
+  override def close(): Unit = { rows.close(); keys.close() }
+}
+
 final class GraftWriterFactory(
     stage: String, schemaJson: String, conf: GraftWrites.ConfCarrier)
   extends DataWriterFactory {

@@ -380,6 +380,12 @@ object ManifestTable {
     }
     props.get(WriteDeleteModeProp).foreach(v => require(DeleteModes(v),
       s"$WriteDeleteModeProp must be one of ${DeleteModes.mkString(", ")}: got '$v'"))
+    Seq("write.update.mode", "write.merge.mode").foreach(k =>
+      props.get(k).foreach(v => require(DeleteModes(v),
+        s"$k must be one of ${DeleteModes.mkString(", ")}: got '$v'")))
+    props.get("identifier.columns").foreach(v => require(
+      v.split(",").exists(_.trim.nonEmpty),
+      s"identifier.columns must name at least one column: got '$v'"))
     props.get(GraftWrites.DistributionModeProp).foreach(v => require(DistModes(v),
       s"${GraftWrites.DistributionModeProp} must be one of " +
         s"${DistModes.mkString(", ")}: got '$v'"))
@@ -388,6 +394,13 @@ object ManifestTable {
       s"${GraftWrites.TargetFileBytesProp} must be a positive byte count: got '$v'"))
   }
   private val DistModes = Set("none", "hash", "range")
+
+  /** The `identifier.columns` row-identity spec (Iceberg's identifier
+    * fields): comma-separated, empty when unset.
+    */
+  def identifierColumns(m: Manifest): Seq[String] =
+    m.props.get("identifier.columns").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
 
   /** ALTER TABLE SET TBLPROPERTIES — a METADATA-ONLY commit (zero data
     * I/O at any table size): the new head carries the parent's exact
@@ -398,6 +411,29 @@ object ManifestTable {
   def setProperties(dir: String, props: Map[String, String]): Long = {
     require(props.nonEmpty, "no properties to set")
     validateProps(props)
+    // adopting identifier.columns promotes the named columns to
+    // REQUIRED at the table surface (row-level deltas need non-null
+    // row ids) — sound only if the existing rows honor it, so a
+    // non-empty table pays ONE column-pruned applied-view scan here;
+    // from then on Spark's output resolver enforces it per write
+    props.get("identifier.columns").foreach { spec =>
+      val ids = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val cur = manifest(dir, None)
+      val schema = DataFrameSchema.fromJson(cur.schemaJson)
+      val missing = ids.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"identifier.columns name(s) ${missing.mkString(", ")} not in the table schema")
+      if (cur.files.nonEmpty) {
+        val spark = SparkSession.active
+        val nNull = appliedSnapshot(spark, cur)
+          .select(ids.map(col).toIndexedSeq: _*)
+          .filter(ids.map(col(_).isNull).reduce(_ || _))
+          .limit(1).count()
+        require(nNull == 0,
+          s"cannot adopt identifier.columns=[${ids.mkString(", ")}]: existing rows " +
+            "carry NULL in an identifier column (identifier fields are required)")
+      }
+    }
     var committed = -1L
     while (committed < 0) {
       val cur = manifest(dir, None)
@@ -1093,6 +1129,60 @@ object ManifestTable {
       }
       committed
     }
+  }
+
+  /** The publish half of a MERGE-ON-READ row-level DELTA (SQL UPDATE /
+    * MERGE INTO under `write.update.mode` / `write.merge.mode` =
+    * merge-on-read, via [[GraftDeltaOperation]]): ONE atomic commit
+    * carrying both halves of the delta — equality tombstones for the
+    * touched rows' identifier keys (`keysStage`, applying seq-scoped to
+    * every EARLIER file) and fresh data files for the new row versions
+    * (`dataStage`, entering at seq = v so the tombstones never shadow
+    * them). Nothing rewrites: a selective 100 TB upsert costs O(Δ)
+    * bytes, and the atomicity means no reader can ever observe the
+    * tombstones without their replacement rows. The Iceberg/Flink-CDC
+    * equality-delete commit shape.
+    *
+    * Pure-insert deltas (MERGE with only NOT MATCHED hits) commit as a
+    * plain append; an empty delta commits nothing. Key-spec and
+    * rename-era races refuse like every other staged install.
+    */
+  private[sources] def installStagedDelta(
+      spark: SparkSession, dir: String, base: Manifest, schema: StructType,
+      keys: Seq[String], dataStage: String, keysStage: String): Long = {
+    val newFiles =
+      if (Option(new java.io.File(dataStage).listFiles()).exists(_.nonEmpty))
+        collectStats(spark, dataStage, base.track, schema)
+      else Nil
+    val tableSchema = DataFrameSchema.fromJson(base.schemaJson)
+    val keySchema = StructType(keys.map(k => tableSchema(k)))
+    val stagedKeys: Seq[(String, Long)] =
+      if (Option(new java.io.File(keysStage).listFiles()).exists(_.nonEmpty))
+        spark.read.schema(keySchema).parquet(keysStage)
+          .groupBy(input_file_name().as("p")).agg(count(lit(1)).as("n"))
+          .collect().map(r => stripScheme(r.getString(0)) -> r.getLong(1)).toSeq
+      else Nil
+    if (newFiles.isEmpty && stagedKeys.isEmpty) return base.version
+    var committed = -1L
+    while (committed < 0) {
+      val cur = manifest(dir, None)
+      require(cur.deleteKeys.isEmpty || cur.deleteKeys == keys,
+        s"table already has pending deletes keyed by [${cur.deleteKeys.mkString(", ")}]; " +
+          s"this delta's identifier is [${keys.mkString(", ")}] — materialize first")
+      // staged bytes and tombstone keys were computed under base's
+      // schema and name era; a concurrent evolution makes them stale
+      if (cur.schemaJson != base.schemaJson || cur.renames != base.renames)
+        throw new java.util.ConcurrentModificationException(
+          s"$dir: schema evolved (v${base.version} -> v${cur.version}) while this " +
+            "delta was staged; re-run the statement against the new head")
+      val v = cur.version + 1
+      val appended = appendOnto(cur, schema, track = cur.track, newFiles, v, None)
+      committed = tryInstall(dir, appended.copy(
+        deleteKeys = if (stagedKeys.isEmpty) appended.deleteKeys else keys,
+        deleteFiles = appended.deleteFiles ++
+          stagedKeys.map { case (p, n) => DeleteEntry(p, n, v) }))
+    }
+    committed
   }
 
   /** MERGE-ON-READ positional delete — write-cheap `DELETE WHERE` for

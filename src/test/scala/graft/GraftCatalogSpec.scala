@@ -1372,6 +1372,87 @@ class GraftCatalogSpec extends SparkSpec {
       == (0L until 400L).count(i => i % 10 != 1 && i % 10 != 2 && i % 3 != 0))
   }
 
+  test("write.update.mode=merge-on-read: SQL UPDATE commits equality tombstones + new rows, rewrites nothing, and CHAINS") {
+    warehouse: Unit
+    spark.sql(
+      "CREATE TABLE graft.lake.morupd TBLPROPERTIES(" +
+        "'write.update.mode'='merge-on-read', 'identifier.columns'='id') " +
+        "AS SELECT id, id % 5 AS grp, CAST(id AS DOUBLE) AS v FROM range(500)")
+    val dir = mkTableDir("lake", "morupd")
+    val before = ManifestTable.manifest(dir, None)
+    spark.sql("UPDATE graft.lake.morupd SET v = v * 10 WHERE grp = 2")
+    val m1 = ManifestTable.manifest(dir, None)
+    // old files untouched; the delta ADDS tombstones and new rows
+    assert(before.files.map(_.path).forall(m1.files.map(_.path).contains),
+      "merge-on-read UPDATE must not rewrite or drop any existing file")
+    assert(m1.deleteFiles.nonEmpty, "the touched rows' ids land as equality tombstones")
+    assert(m1.files.size > before.files.size, "the new row versions land as fresh files")
+    assert(m1.deleteKeys == Seq("id"))
+    def sumV: Double = spark.sql("SELECT sum(v) AS s FROM graft.lake.morupd").head().getDouble(0)
+    def expect(f: Long => Double): Double = (0L until 500L).map(f).sum
+    assert(sumV == expect(i => if (i % 5 == 2) i * 10.0 else i.toDouble))
+    // CHAINING: the second update's read must apply the first's
+    // tombstones (MorApplyRewrite on the delta read) — the old pre-
+    // update rows must not resurrect or double-update
+    spark.sql("UPDATE graft.lake.morupd SET v = v + 1 WHERE grp = 2")
+    assert(sumV == expect(i => if (i % 5 == 2) i * 10.0 + 1 else i.toDouble),
+      "chained MoR updates must read through the prior delta's tombstones")
+    // row count stable: updates replace, never duplicate
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.morupd").head().getLong(0) == 500)
+    // time travel: the pre-update snapshot is intact
+    assert(spark.sql(s"SELECT sum(v) AS s FROM graft.lake.morupd VERSION AS OF ${before.version}")
+      .head().getDouble(0) == expect(_.toDouble))
+    // maintenance folds the debt and preserves content
+    ManifestTable.materializeDeletes(spark, dir)
+    assert(sumV == expect(i => if (i % 5 == 2) i * 10.0 + 1 else i.toDouble))
+    assert(ManifestTable.manifest(dir, None).deleteFiles.isEmpty)
+  }
+
+  test("write.merge.mode=merge-on-read: SQL MERGE INTO lands matched updates, deletes, and inserts as one O(delta) commit") {
+    warehouse: Unit
+    spark.sql(
+      "CREATE TABLE graft.lake.mormrg TBLPROPERTIES(" +
+        "'write.merge.mode'='merge-on-read', 'identifier.columns'='id') " +
+        "AS SELECT id, CAST(id AS DOUBLE) AS v FROM range(300)")
+    val dir = mkTableDir("lake", "mormrg")
+    val before = ManifestTable.manifest(dir, None)
+    // source: ids 250..349 (half matched, half new) + a delete band
+    spark.sql("SELECT id, CAST(id * 100 AS DOUBLE) AS nv FROM range(250, 350)")
+      .createOrReplaceTempView("mrg_src")
+    spark.sql("""
+      MERGE INTO graft.lake.mormrg t USING mrg_src s ON t.id = s.id
+      WHEN MATCHED AND t.id % 2 = 0 THEN UPDATE SET v = s.nv
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)
+    """)
+    val m1 = ManifestTable.manifest(dir, None)
+    assert(before.files.map(_.path).forall(m1.files.map(_.path).contains),
+      "merge-on-read MERGE must not rewrite or drop any existing file")
+    assert(m1.deleteFiles.nonEmpty)
+    val got = spark.sql("SELECT id, v FROM graft.lake.mormrg").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = ((0L until 250L).map(i => i -> i.toDouble) ++
+      (250L until 300L).collect { case i if i % 2 == 0 => i -> i * 100.0 } ++
+      (300L until 350L).map(i => i -> i * 100.0)).toMap
+    assert(got == want, s"size got=${got.size} want=${want.size}")
+    // guards: MoR DML needs identifier.columns, and refuses on a WAP branch
+    spark.sql("CREATE TABLE graft.lake.mornokey " +
+      "TBLPROPERTIES('write.update.mode'='merge-on-read') " +
+      "AS SELECT id, CAST(id AS DOUBLE) AS v FROM range(10)")
+    val ek = intercept[Exception](
+      spark.sql("UPDATE graft.lake.mornokey SET v = 0 WHERE id = 1"))
+    assert(ek.getMessage.contains("identifier.columns"), s"got: ${ek.getMessage}")
+    ManifestTable.createBranch(dir, "stage")
+    spark.conf.set(graft.sources.GraftWrites.WapBranchConf, "stage")
+    try {
+      val eb = intercept[Exception](spark.sql(
+        "MERGE INTO graft.lake.mormrg t USING (SELECT 1 AS id) s ON t.id = s.id " +
+          "WHEN MATCHED THEN DELETE"))
+      assert(eb.getMessage.contains("merge-on-read DML cannot route onto a WAP branch"),
+        s"got: ${eb.getMessage}")
+    } finally spark.conf.unset(graft.sources.GraftWrites.WapBranchConf)
+  }
+
   test("write.distribution-mode=range: SQL INSERT lands range-clustered files with disjoint prunable envelopes") {
     warehouse: Unit
     // AQE's 1MB minimum partition size would swallow this unit-scale
