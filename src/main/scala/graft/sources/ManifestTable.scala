@@ -1060,6 +1060,59 @@ object ManifestTable {
       }
     }
 
+  /** MERGE-ON-READ row-level UPDATE — the typed twin of SQL UPDATE
+    * under `write.update.mode=merge-on-read` ([[GraftDeltaOperation]]):
+    * the matching rows' `keys` tuples stage as equality tombstones and
+    * their updated versions stage as fresh data files, committed
+    * together in ONE atomic version by [[installStagedDelta]] — nothing
+    * rewrites, cost is O(matching rows) bytes. Same SQL semantics as
+    * [[update]] (FALSE/NULL conditions leave rows, SET keeps committed
+    * types) and the same identifier contract as the SQL path: `keys`
+    * must identify rows uniquely and non-null, and the condition must
+    * not split duplicate-key groups (an equality tombstone kills the
+    * whole group; only matching rows re-insert).
+    */
+  def updateMor(
+      spark: SparkSession, dir: String, cond: Column,
+      set: Map[String, Column], keys: Seq[String]): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    require(keys.nonEmpty, "need at least one identifier column")
+    val head = manifest(dir, None)
+    val schema = DataFrameSchema.fromJson(head.schemaJson)
+    val missing = (set.keys ++ keys).filterNot(schema.fieldNames.contains).toSeq.distinct
+    require(missing.isEmpty, s"column(s) ${missing.mkString(", ")} not in schema")
+    require(head.deleteKeys.isEmpty || head.deleteKeys == keys,
+      s"table already has pending deletes keyed by [${head.deleteKeys.mkString(", ")}]")
+    val snap = appliedSnapshot(spark, head)
+    val exprs = cond +: set.values.toSeq
+    require(
+      snap.select(exprs.zipWithIndex.map { case (c, i) => c.as(s"__e$i") }: _*)
+        .queryExecution.analyzed.expressions.forall(_.deterministic),
+      "update condition and SET expressions must be deterministic")
+    val probe = snap.select(set.map { case (k, c) => c.as(k) }.toSeq: _*)
+    set.keys.foreach { k =>
+      val got = probe.schema(k).dataType
+      require(got == schema(k).dataType,
+        s"SET retypes column $k: ${schema(k).dataType} -> $got; cast the expression")
+    }
+    val touched = snap.where(coalesce(cond, lit(false)))
+    val nNullKey = touched.filter(keys.map(col(_).isNull).reduce(_ || _)).limit(1).count()
+    require(nNullKey == 0,
+      "merge-on-read update: a touched row carries NULL in an identifier column")
+    val stage = s"$dir/data/c-delta-${java.util.UUID.randomUUID()}"
+    val dataStage = s"$stage/rows"
+    val keysStage = s"$stage/keys"
+    touched.select(keys.map(col).toIndexedSeq: _*).distinct().write.parquet(keysStage)
+    val updatedCols = schema.fieldNames.map { f =>
+      set.get(f) match {
+        case Some(e) => e.as(f)
+        case None => col(f)
+      }
+    }
+    touched.select(updatedCols.toIndexedSeq: _*).write.parquet(dataStage)
+    installStagedDelta(spark, dir, head, schema, keys, dataStage, keysStage)
+  }
+
   /** MERGE-ON-READ equality delete — the WRITE-cheap sibling of the
     * copy-on-write [[delete]]: committing removes NOTHING from data
     * files; it stages only the distinct key tuples (`keyRows`, columns

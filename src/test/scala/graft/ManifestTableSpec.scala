@@ -1445,6 +1445,37 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.latestVersion(dir) == head)
   }
 
+  test("updateMor: one atomic delta commit, whole-group semantics, guards") {
+    val dir = freshDir()
+    // duplicate key 7 on purpose: the identifier contract says a
+    // k-keyed update touches the WHOLE group
+    ManifestTable.commit(Seq((1L, 10L), (7L, 70L), (7L, 71L), (9L, 90L)).toDF("k", "v"),
+      dir, Seq("k"))
+    val before = ManifestTable.manifest(dir, None)
+    val v1 = ManifestTable.updateMor(spark, dir, $"k" === 7L,
+      Map("v" -> (col("v") * 100)), Seq("k"))
+    val m1 = ManifestTable.manifest(dir, None)
+    assert(v1 == before.version + 1, "tombstones + new rows land as ONE version")
+    assert(before.files.map(_.path).forall(m1.files.map(_.path).contains) &&
+      m1.deleteFiles.nonEmpty && m1.deleteKeys == Seq("k"))
+    assert(ManifestTable.snapshot(spark, dir).as[(Long, Long)].collect().sorted.toSeq
+      == Seq((1L, 10L), (7L, 7000L), (7L, 7100L), (9L, 90L)),
+      "both rows of the duplicate-key group update; nothing resurrects or doubles")
+    // no-match: no version
+    assert(ManifestTable.updateMor(spark, dir, $"k" === 999L,
+      Map("v" -> (col("v") + 1)), Seq("k")) == v1)
+    // retype refused; NULL-condition rows untouched (SQL semantics)
+    assert(intercept[IllegalArgumentException](ManifestTable.updateMor(spark, dir,
+      $"k" === 1L, Map("v" -> col("v").cast("string")), Seq("k"))
+    ).getMessage.contains("retypes"))
+    val v2 = ManifestTable.updateMor(spark, dir,
+      when($"k" === 1L, lit(null).cast("boolean")).otherwise($"k" === 9L),
+      Map("v" -> lit(0L)), Seq("k"))
+    assert(v2 > v1)
+    assert(ManifestTable.snapshot(spark, dir).as[(Long, Long)].collect().sorted.toSeq
+      == Seq((1L, 10L), (7L, 7000L), (7L, 7100L), (9L, 0L)))
+  }
+
   test("model-based property: random commit/delete/merge/compact/MoR-delete/materialize/RENAME/BRANCH sequences match an in-memory model at every version") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
@@ -1463,6 +1494,7 @@ class ManifestTableSpec extends SparkSpec {
     case object AddTrack extends Op
     case object Zorder extends Op
     case object ToggleMode extends Op
+    case class MorUpdate(lo: Long, hi: Long, add: Long) extends Op
 
     val rowsGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 999L)))
     val opGen: Gen[Op] = Gen.frequency(
@@ -1500,7 +1532,17 @@ class ManifestTableSpec extends SparkSpec {
       // MoR tombstones, materialize, rename, branch publish,
       // cherry-pick) — the toggle alternates write.delete.mode and the
       // per-op audit proves no commit path drops or mutates the map
-      2 -> Gen.const(ToggleMode))
+      2 -> Gen.const(ToggleMode),
+      // the merge-on-read UPDATE delta (equality tombstones + fresh
+      // rows in ONE commit, zero rewrites) interleaves with every
+      // other op — its tombstones must apply seq-scoped beside the
+      // equality/positional kinds, survive rewrites, and fold on
+      // materialize. Key-range conditions only: dup-key groups must
+      // not split (the identifier contract). NOTE: a k-keyed MorUpdate
+      // updates EVERY row of a matching key (the whole group
+      // re-inserts updated).
+      2 -> Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L), Gen.choose(1L, 9L))
+        .map { case (a, b, d) => MorUpdate(math.min(a, b), math.max(a, b), d) })
     val seqGen = Gen.choose(3, 7).flatMap(n => Gen.listOfN(n, opGen))
 
     (0 until 6).foreach { trial =>
@@ -1682,6 +1724,11 @@ class ManifestTableSpec extends SparkSpec {
             case _ => s"truncate(16,$curVal)"
           }
           val v = ManifestTable.addTrackedColumn(dir, t)
+          history :+= (v, model)
+        case MorUpdate(lo, hi, add) if history.nonEmpty =>
+          val v = ManifestTable.updateMor(spark, dir,
+            $"k".between(lo, hi), Map(curVal -> (col(curVal) + add)), Seq("k"))
+          model = model.map { case (k, x) => if (k >= lo && k <= hi) (k, x + add) else (k, x) }
           history :+= (v, model)
         case ToggleMode if history.nonEmpty =>
           modeN += 1
