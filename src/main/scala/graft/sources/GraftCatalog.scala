@@ -736,6 +736,16 @@ final case class GraftLakeTable(
         m.props.get("write.update.mode").contains("merge-on-read")
       case RowLevelOperation.Command.MERGE =>
         m.props.get("write.merge.mode").contains("merge-on-read")
+      // DELETE rides the delta only when the table ALSO declares a row
+      // identity: a filter-convertible DELETE still converts back to
+      // the positional SupportsDelete path afterwards (Spark's
+      // OptimizeMetadataOnlyDeleteFromTable matches WriteDelta too),
+      // so the delta is exactly the UNCONVERTIBLE-condition fallback —
+      // equality tombstones in O(matching rows) bytes where the group
+      // rewrite would rewrite files (or refuse on pending tombstones)
+      case RowLevelOperation.Command.DELETE =>
+        m.props.get(ManifestTable.WriteDeleteModeProp).contains("merge-on-read") &&
+          m.props.contains("identifier.columns")
       case _ => false
     }
     if (deltaMode) {

@@ -1229,7 +1229,12 @@ object ManifestTable {
           s"$dir: schema evolved (v${base.version} -> v${cur.version}) while this " +
             "delta was staged; re-run the statement against the new head")
       val v = cur.version + 1
-      val appended = appendOnto(cur, schema, track = cur.track, newFiles, v, None)
+      // a pure-delete delta's write schema is just the rowId columns
+      // (Spark's delete plan carries no full rows) — with no new files
+      // the manifest keeps the table schema verbatim
+      val evolveAs =
+        if (newFiles.isEmpty) DataFrameSchema.fromJson(cur.schemaJson) else schema
+      val appended = appendOnto(cur, evolveAs, track = cur.track, newFiles, v, None)
       committed = tryInstall(dir, appended.copy(
         deleteKeys = if (stagedKeys.isEmpty) appended.deleteKeys else keys,
         deleteFiles = appended.deleteFiles ++

@@ -1453,6 +1453,35 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.conf.unset(graft.sources.GraftWrites.WapBranchConf)
   }
 
+  test("delta DELETE: with identifier.columns, an UN-PUSHABLE DELETE on a tombstoned MoR table lands as equality tombstones") {
+    warehouse: Unit
+    spark.sql(
+      "CREATE TABLE graft.lake.mordel3 TBLPROPERTIES(" +
+        "'write.delete.mode'='merge-on-read', 'identifier.columns'='id') " +
+        "AS SELECT id, id % 10 AS d FROM range(400)")
+    val dir = mkTableDir("lake", "mordel3")
+    // pushable DELETE still converts to the POSITIONAL metadata path
+    spark.sql("DELETE FROM graft.lake.mordel3 WHERE d = 1")
+    val m1 = ManifestTable.manifest(dir, None)
+    assert(m1.posDeleteFiles.nonEmpty && m1.deleteFiles.isEmpty)
+    // un-pushable DELETE, pending tombstones present: previously a loud
+    // refusal — with the identifier it rides the delta as EQUALITY
+    // tombstones, still zero rewrites
+    spark.sql("DELETE FROM graft.lake.mordel3 WHERE id % 3 = 0")
+    val m2 = ManifestTable.manifest(dir, None)
+    assert(m2.files.map(_.path) == m1.files.map(_.path),
+      "delta DELETE must rewrite no data files")
+    assert(m2.deleteFiles.nonEmpty && m2.deleteKeys == Seq("id"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.mordel3").head().getLong(0)
+      == (0L until 400L).count(i => i % 10 != 1 && i % 3 != 0))
+    // and both tombstone kinds fold together on maintenance
+    ManifestTable.materializeDeletes(spark, dir)
+    val m3 = ManifestTable.manifest(dir, None)
+    assert(m3.deleteFiles.isEmpty && m3.posDeleteFiles.isEmpty)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.mordel3").head().getLong(0)
+      == (0L until 400L).count(i => i % 10 != 1 && i % 3 != 0))
+  }
+
   test("write.distribution-mode=range: SQL INSERT lands range-clustered files with disjoint prunable envelopes") {
     warehouse: Unit
     // AQE's 1MB minimum partition size would swallow this unit-scale
