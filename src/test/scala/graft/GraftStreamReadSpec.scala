@@ -109,6 +109,38 @@ class GraftStreamReadSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("a merge-on-read DELTA commit is a change commit: refused by default, skipped wholesale with the opt-out") {
+    // updateMor lands tombstones + new rows in ONE version: an append
+    // stream that delivered the old rows cannot retract them, so the
+    // commit must classify as a change commit even though it REMOVES
+    // no file — the tombstone-set growth is the signal
+    val dir = mkTable("dlt", 1 to 10)
+    val ckpt = tmpDir("sr-dlt-ckpt")
+    val q = startInto("sr_dlt", "graftsr.lake.dlt", ckpt)
+    try {
+      q.processAllAvailable()
+      assert(memIds("sr_dlt") == (1L to 10L))
+      ManifestTable.updateMor(spark, dir, col("id") <= 3L,
+        Map("id" -> (col("id") + 100L)), Seq("id"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = Option(e.getCause).map(_.toString).getOrElse(e.toString)
+      assert(msg.contains("not append-only") && msg.contains("newTombstones=true"),
+        s"delta commit must refuse as a change commit, got: $msg")
+    } finally q.stop()
+    // opt-out: the WHOLE delta skips — tombstones AND its re-inserts
+    // (the documented skipChangeCommits trade); later appends flow
+    append(dir, 11 to 12)
+    val q2 = startInto("sr_dlt2", "graftsr.lake.dlt", tmpDir("sr-dlt-ckpt2"),
+      Map("skipChangeCommits" -> "true", "startingVersion" -> "2"))
+    try {
+      q2.processAllAvailable()
+      assert(memIds("sr_dlt2") == (11L to 12L),
+        s"delta commit skipped wholesale, append delivered: ${memIds("sr_dlt2")}")
+    } finally q2.stop()
+  }
+
   test("state-preserving maintenance commits stream nothing (no duplicates)") {
     val dir = mkTable("mnt", 1 to 6)
     // many small files so compactSmall has work

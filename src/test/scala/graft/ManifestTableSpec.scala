@@ -1476,6 +1476,35 @@ class ManifestTableSpec extends SparkSpec {
       == Seq((1L, 10L), (7L, 7000L), (7L, 7100L), (9L, 0L)))
   }
 
+  test("racing updateMor deltas on the SAME key converge last-writer-wins, no duplicates") {
+    // two deltas computed against the same base both CAS-retry in:
+    // the later commit's tombstone (seq v+1) kills BOTH the original
+    // row (seq 1) and the earlier delta's re-insert (seq v) — the
+    // Iceberg sequence rule makes concurrent equality-delete upserts
+    // serialize by commit order with no duplicate survivors
+    val dir = freshDir()
+    ManifestTable.commit((0L to 9L).map(k => (k, 0L)).toDF("k", "v"), dir, Seq("k"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def race(add: Long) = scala.concurrent.Future {
+      barrier.await()
+      ManifestTable.updateMor(spark, dir, $"k" < 5L, Map("v" -> lit(add)), Seq("k"))
+    }
+    val vs = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(race(100L), race(200L))),
+      scala.concurrent.duration.Duration("120s"))
+    pool.shutdown()
+    assert(vs.toSet.size == 2, s"both deltas must commit distinct versions: $vs")
+    val got = ManifestTable.snapshot(spark, dir).as[(Long, Long)].collect().sorted.toSeq
+    assert(got.size == 10, s"no duplicate survivors: $got")
+    val winner = got.filter(_._1 < 5L).map(_._2).distinct
+    assert(winner.size == 1 && Set(100L, 200L).contains(winner.head),
+      s"updated keys must all carry ONE writer's value (LWW by commit order): $got")
+    assert(got.filter(_._1 >= 5L).forall(_._2 == 0L))
+  }
+
   test("model-based property: random commit/delete/merge/compact/MoR-delete/materialize/RENAME/BRANCH sequences match an in-memory model at every version") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
