@@ -297,6 +297,14 @@ object ManifestTable {
         val spec = TrackSpec.parse(t)
         if (spec.source != from) t else TrackSpec.withSource(spec, to).key
       }
+      // identifier.columns follows the rename too (same contract as the
+      // track specs — config names live columns, never stale ones)
+      val renamedProps = cur.props.get("identifier.columns") match {
+        case Some(spec) => cur.props + ("identifier.columns" ->
+          spec.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(c => if (c == from) to else c).mkString(","))
+        case None => cur.props
+      }
       val m = cur.copy(version = v, parent = Some(cur.version), txn = None,
         schemaJson = StructType(schema.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f)).json,
@@ -305,7 +313,8 @@ object ManifestTable {
         op = None,
         renames = cur.renames :+ RenameStep(v, from, to),
         retired = cur.retired :+ from,
-        trackSince = cur.trackSince.map { case (k, sv) => inSpec(k) -> sv })
+        trackSince = cur.trackSince.map { case (k, sv) => inSpec(k) -> sv },
+        props = renamedProps)
       committed = tryInstall(dir, m)
     }
     committed
@@ -333,6 +342,13 @@ object ManifestTable {
         names.contains(TrackSpec.parse(t).source)),
         "cannot drop the source column of a hidden-partitioning transform track " +
           "spec; evolve the skipping spec via replace/compact first")
+      // a row-identity column can't just vanish: the merge-on-read DML
+      // regime keys its tombstones on it — unset identifier.columns
+      // (ALTER TABLE UNSET TBLPROPERTIES) before dropping
+      require(!identifierColumns(cur).exists(names.contains),
+        s"cannot drop identifier column(s) " +
+          s"${identifierColumns(cur).filter(names.contains).mkString(", ")}; " +
+          "UNSET TBLPROPERTIES('identifier.columns') first")
       val m = cur.copy(version = cur.version + 1, parent = Some(cur.version), txn = None,
         schemaJson = StructType(schema.fields.filterNot(f => names.contains(f.name))).json,
         track = cur.track.filterNot(names.contains),

@@ -1482,6 +1482,32 @@ class GraftCatalogSpec extends SparkSpec {
       == (0L until 400L).count(i => i % 10 != 1 && i % 3 != 0))
   }
 
+  test("identifier.columns follows ALTER TABLE RENAME COLUMN; DROP of an identifier column refuses") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graft.lake.idren TBLPROPERTIES(" +
+      "'identifier.columns'='id', 'write.update.mode'='merge-on-read') " +
+      "AS SELECT id, CAST(id AS DOUBLE) AS v FROM range(50)")
+    val dir = mkTableDir("lake", "idren")
+    spark.sql("ALTER TABLE graft.lake.idren RENAME COLUMN id TO ident")
+    assert(ManifestTable.manifest(dir, None).props("identifier.columns") == "ident",
+      "the row-identity spec must re-render over the new name")
+    // the MoR delta still works against the renamed identifier
+    spark.sql("UPDATE graft.lake.idren SET v = v + 1 WHERE ident < 10")
+    assert(spark.sql("SELECT sum(v) AS s FROM graft.lake.idren").head().getDouble(0)
+      == (0 until 50).map(i => if (i < 10) i + 1.0 else i.toDouble).sum)
+    // with tombstones pending the delete-key guard refuses first; once
+    // materialized, the IDENTIFIER guard still refuses the drop with
+    // the actionable path
+    ManifestTable.materializeDeletes(spark, dir)
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.lake.idren DROP COLUMN ident"))
+    assert(e.getMessage.contains("UNSET TBLPROPERTIES"), s"got: ${e.getMessage}")
+    // after unsetting, the drop is legal again (v must survive alone)
+    spark.sql("ALTER TABLE graft.lake.idren UNSET TBLPROPERTIES('identifier.columns')")
+    spark.sql("ALTER TABLE graft.lake.idren DROP COLUMN ident")
+    assert(spark.table("graft.lake.idren").columns.toSeq == Seq("v"))
+  }
+
   test("write.distribution-mode=range: SQL INSERT lands range-clustered files with disjoint prunable envelopes") {
     warehouse: Unit
     // AQE's 1MB minimum partition size would swallow this unit-scale
