@@ -631,6 +631,28 @@ final case class GraftLakeTable(
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
+
+  /** The track spec reported as V2 partitioning metadata — what
+    * `SHOW CREATE TABLE` renders as `PARTITIONED BY` and catalog
+    * tooling introspects. Identity entries are stat-tracked columns,
+    * transform entries the hidden-partitioning vocabulary; this is the
+    * same round-trip [[GraftCatalog.createTable]] parses back in, so
+    * SHOW CREATE TABLE output re-creates an equivalent table.
+    */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    m.track.map(TrackSpec.parse).map {
+      case TrackSpec.Identity(c) => Expressions.identity(c)
+      case TrackSpec.Days(c) => Expressions.days(c)
+      case TrackSpec.Hours(c) => Expressions.hours(c)
+      case TrackSpec.Months(c) => Expressions.months(c)
+      case TrackSpec.Years(c) => Expressions.years(c)
+      case TrackSpec.Bucket(n, c) => Expressions.bucket(n, c)
+      case TrackSpec.Truncate(w, c) =>
+        Expressions.apply("truncate",
+          Expressions.literal(Integer.valueOf(w)), Expressions.column(c))
+    }.toArray
+  }
   override def properties(): java.util.Map[String, String] = {
     // synthesized live metadata first, persisted TBLPROPERTIES on top
     // (reserved keys can never persist, so the union is disjoint);

@@ -1090,7 +1090,8 @@ object ManifestTable {
     */
   def updateMor(
       spark: SparkSession, dir: String, cond: Column,
-      set: Map[String, Column], keys: Seq[String]): Long = {
+      set: Map[String, Column], keys: Seq[String],
+      txn: Option[String] = None): Long = txn.flatMap(committedTxn(dir, _)).getOrElse {
     require(set.nonEmpty, "UPDATE needs at least one SET column")
     require(keys.nonEmpty, "need at least one identifier column")
     val head = manifest(dir, None)
@@ -1126,7 +1127,7 @@ object ManifestTable {
       }
     }
     touched.select(updatedCols.toIndexedSeq: _*).write.parquet(dataStage)
-    installStagedDelta(spark, dir, head, schema, keys, dataStage, keysStage)
+    installStagedDelta(spark, dir, head, schema, keys, dataStage, keysStage, txn)
   }
 
   /** MERGE-ON-READ equality delete — the WRITE-cheap sibling of the
@@ -1218,7 +1219,8 @@ object ManifestTable {
     */
   private[sources] def installStagedDelta(
       spark: SparkSession, dir: String, base: Manifest, schema: StructType,
-      keys: Seq[String], dataStage: String, keysStage: String): Long = {
+      keys: Seq[String], dataStage: String, keysStage: String,
+      txn: Option[String] = None): Long = {
     val newFiles =
       if (Option(new java.io.File(dataStage).listFiles()).exists(_.nonEmpty))
         collectStats(spark, dataStage, base.track, schema)
@@ -1250,7 +1252,7 @@ object ManifestTable {
       // the manifest keeps the table schema verbatim
       val evolveAs =
         if (newFiles.isEmpty) DataFrameSchema.fromJson(cur.schemaJson) else schema
-      val appended = appendOnto(cur, evolveAs, track = cur.track, newFiles, v, None)
+      val appended = appendOnto(cur, evolveAs, track = cur.track, newFiles, v, txn)
       committed = tryInstall(dir, appended.copy(
         deleteKeys = if (stagedKeys.isEmpty) appended.deleteKeys else keys,
         deleteFiles = appended.deleteFiles ++

@@ -1482,6 +1482,29 @@ class GraftCatalogSpec extends SparkSpec {
       == (0L until 400L).count(i => i % 10 != 1 && i % 3 != 0))
   }
 
+  test("SHOW CREATE TABLE round-trips: schema (identifier NOT NULL), PARTITIONED BY track spec, TBLPROPERTIES") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graft.lake.sct (id BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (days(ts), bucket(8, id)) " +
+      "TBLPROPERTIES('write.distribution-mode'='range', 'identifier.columns'='id')")
+    val ddl = spark.sql("SHOW CREATE TABLE graft.lake.sct").head().getString(0)
+    assert(ddl.contains("id BIGINT NOT NULL"), s"identifier reads as required:\n$ddl")
+    assert(ddl.contains("days(ts)") && ddl.contains("bucket(8, id)"),
+      s"the track spec must render as PARTITIONED BY:\n$ddl")
+    assert(ddl.contains("'write.distribution-mode' = 'range'"), ddl)
+    // the rendered DDL re-creates an equivalent table in another namespace
+    val ddl2 = ddl.replace("graft.lake.sct", "graft.lake.sct2")
+      .replace("USING graft-manifest", "")
+      .replaceAll("(?s)LOCATION '[^']*'\n?", "")
+      .replaceAll("'version' = '[^']*',?\\s*", "")
+      .replaceAll("'location' = '[^']*',?\\s*", "")
+      .replaceAll("'provider' = '[^']*',?\\s*", "")
+    spark.sql(ddl2)
+    assert(ManifestTable.manifest(mkTableDir("lake", "sct2"), None).track
+      == ManifestTable.manifest(mkTableDir("lake", "sct"), None).track,
+      "round-tripped DDL must re-create the same track spec")
+  }
+
   test("identifier.columns follows ALTER TABLE RENAME COLUMN; DROP of an identifier column refuses") {
     warehouse: Unit
     spark.sql("CREATE TABLE graft.lake.idren TBLPROPERTIES(" +

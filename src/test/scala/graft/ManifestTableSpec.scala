@@ -1155,6 +1155,27 @@ class ManifestTableSpec extends SparkSpec {
     assert(tombed.size <= 1, s"probe must open only the file holding k=3,4: $tombed")
   }
 
+  test("netChanges over a MoR-UPDATE delta commit: deletes + re-inserts in one version, bounded to touched files") {
+    val dir = freshDir()
+    ManifestTable.commit((1 to 20).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+      .repartitionByRange(4, $"k"), dir, Seq("k"))
+    val v1Files = ManifestTable.manifest(dir, Some(1L)).files.map(_.path).toSet
+    // the delta: keys 3,4 tombstoned AND re-inserted doubled, one commit
+    ManifestTable.updateMor(spark, dir, $"k".between(3L, 4L),
+      Map("v" -> (col("v") * 2)), Seq("k"))
+    val feed = ManifestTable.netChanges(spark, dir, 1L, 2L)
+    val got = feed.select($"k", $"v", $"_change").as[(Long, Long, String)].collect().toSet
+    assert(got == Set((3L, 3L, "delete"), (4L, 4L, "delete"),
+      (3L, 6L, "insert"), (4L, 8L, "insert")),
+      s"the delta's feed is retraction + new version, got $got")
+    // bounded: the feed reads the ONE v1 file holding k=3,4 (for the
+    // tombstoned old rows) plus the delta's new file — never the three
+    // untouched range files
+    val read = feed.inputFiles.map(_.replaceFirst("^file:", "")).toSet
+    assert(read.intersect(v1Files).size <= 1,
+      s"feed must open only the tombstoned keys' file: ${read.intersect(v1Files)}")
+  }
+
   test("stitched netChanges across a full COMPACT boundary (tombstones cleared in the rewrite)") {
     val dir = freshDir()
     ManifestTable.commit((1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v")
@@ -1474,6 +1495,20 @@ class ManifestTableSpec extends SparkSpec {
     assert(v2 > v1)
     assert(ManifestTable.snapshot(spark, dir).as[(Long, Long)].collect().sorted.toSeq
       == Seq((1L, 10L), (7L, 7000L), (7L, 7100L), (9L, 0L)))
+  }
+
+  test("updateMor txn marker makes crash-replay exactly-once") {
+    val dir = freshDir()
+    ManifestTable.commit((0L to 9L).map(k => (k, 1L)).toDF("k", "v"), dir, Seq("k"))
+    val v1 = ManifestTable.updateMor(spark, dir, $"k" < 5L,
+      Map("v" -> (col("v") + 10L)), Seq("k"), txn = Some("upsert-epoch-7"))
+    // the replayed epoch finds its marker and commits NOTHING
+    val v2 = ManifestTable.updateMor(spark, dir, $"k" < 5L,
+      Map("v" -> (col("v") + 10L)), Seq("k"), txn = Some("upsert-epoch-7"))
+    assert(v2 == v1 && ManifestTable.latestVersion(dir).get == v1)
+    assert(ManifestTable.snapshot(spark, dir).as[(Long, Long)].collect().sorted.toSeq
+      == (0L to 9L).map(k => (k, if (k < 5) 11L else 1L)),
+      "the delta applied exactly once across the replay")
   }
 
   test("racing updateMor deltas on the SAME key converge last-writer-wins, no duplicates") {
