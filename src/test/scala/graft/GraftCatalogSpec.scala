@@ -1482,6 +1482,62 @@ class GraftCatalogSpec extends SparkSpec {
       == (0L until 400L).count(i => i % 10 != 1 && i % 3 != 0))
   }
 
+  test("write.distribution-mode applies to streaming toTable epochs: files land sorted per epoch") {
+    warehouse: Unit
+    val minKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val prevMin = spark.conf.getOption(minKey)
+    spark.conf.set(minKey, "4096")
+    try {
+      spark.sql("CREATE TABLE graft.lake.strdist (id BIGINT, v BIGINT) " +
+        "PARTITIONED BY (id) TBLPROPERTIES('write.distribution-mode'='range', " +
+        "'write.target-file-bytes'='16384')")
+      val dir = mkTableDir("lake", "strdist")
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)](
+        spark)
+      // one epoch of scattered rows across 8 partitions
+      src.addData((0L until 8000L).map(i => ((i * 2654435761L) % 8000L, i)))
+      val q = src.toDF().toDF("id", "v").repartition(8)
+        .writeStream.option("checkpointLocation", tmpDir("strdist-ckpt").toString)
+        .toTable("graft.lake.strdist")
+      try q.processAllAvailable() finally q.stop()
+      val m = ManifestTable.manifest(dir, None)
+      assert(m.files.size > 1, s"epoch must write several files, got ${m.files.size}")
+      val envs = m.files.map(f => (f.mins("id").get.toLong, f.maxs("id").get.toLong))
+        .sortBy(_._1)
+      envs.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) =>
+          assert(aMax <= bMin,
+            s"range mode must cluster the streaming epoch's files too: $envs")
+        case _ => ()
+      }
+    } finally prevMin match {
+      case Some(v) => spark.conf.set(minKey, v)
+      case None => spark.conf.unset(minKey)
+    }
+  }
+
+  test("MoR UPDATE composes with a rename era: the delta read spans pre-rename files") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graft.lake.morera TBLPROPERTIES(" +
+      "'write.update.mode'='merge-on-read', 'identifier.columns'='id') " +
+      "AS SELECT id, CAST(id AS DOUBLE) AS amount FROM range(100)")
+    val dir = mkTableDir("lake", "morera")
+    // metadata-only rename: old files keep bytes under 'amount'
+    spark.sql("ALTER TABLE graft.lake.morera RENAME COLUMN amount TO total")
+    spark.sql("INSERT INTO graft.lake.morera VALUES (100, 100.0)")
+    assert(ManifestTable.manifest(dir, None).renamesApply,
+      "precondition: live pre-rename files")
+    // the delta's READ must group eras (MorApplyRewrite swap), its
+    // WRITE lands new-era rows; updated pre-rename rows re-insert
+    // under the committed schema
+    spark.sql("UPDATE graft.lake.morera SET total = total * 10 WHERE id % 10 = 0")
+    val m = ManifestTable.manifest(dir, None)
+    assert(m.deleteFiles.nonEmpty, "the update landed as a delta")
+    assert(spark.sql("SELECT sum(total) AS s FROM graft.lake.morera").head().getDouble(0)
+      == (0 to 100).map(i => if (i % 10 == 0) i * 10.0 else i.toDouble).sum)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.morera").head().getLong(0) == 101)
+  }
+
   test("SHOW CREATE TABLE round-trips: schema (identifier NOT NULL), PARTITIONED BY track spec, TBLPROPERTIES") {
     warehouse: Unit
     spark.sql("CREATE TABLE graft.lake.sct (id BIGINT, ts TIMESTAMP, v DOUBLE) " +
