@@ -374,6 +374,13 @@ final class GraftDeltaWrite(
       new GraftWrites.ConfCarrier(GraftWrites.writeConf(spark, keySchema)))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // parity with GraftBatchWrite: the routing knob is re-read at
+    // COMMIT time — a wap.branch set after this statement's analysis
+    // must not let a MAIN delta slip past the staged-audit discipline
+    require(GraftWrites.wapBranch(spark).isEmpty,
+      s"merge-on-read delta cannot commit while ${GraftWrites.WapBranchConf} routes " +
+        s"onto '${GraftWrites.wapBranch(spark).getOrElse("")}' (branches stage " +
+        "copy-on-write deltas only); unset the branch or use copy-on-write mode")
     val committed = messages.collect {
       case GraftDeltaCommitMessage(d, k) => Seq(Option(d), Option(k)).flatten
     }.flatten.toSet
