@@ -1159,9 +1159,11 @@ object Storage {
         "(executors stage parquet, driver installs the manifest via " +
         "atomic create-if-absent; envelope stats collected at commit " +
         "time, so SQL-written files prune — GraftCatalogSpec pins 1-of-4 " +
-        "file scans and the two-racing-inserts convergence). The " +
-        "readback joins the head against VERSION AS OF 3 (the " +
-        "pre-overwrite snapshot), hash-gating both the final content " +
+        "file scans and the two-racing-inserts convergence). CTAS is " +
+        "ATOMIC (StagingTableCatalog: definition + data land as ONE " +
+        "v1 manifest; a failed CTAS is invisible), so the readback " +
+        "joins the head against VERSION AS OF 2 (the pre-overwrite " +
+        "snapshot), hash-gating both the final content " +
         "and the overwrite's time-travel-preserved history against the " +
         "oracle's reconstruction.",
       Some(s"""
@@ -1183,7 +1185,7 @@ object Storage {
                        CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
                 FROM graftw.lake.evsql GROUP BY event_type) cur
           CROSS JOIN (SELECT count(*) AS pre_overwrite_rows
-                      FROM graftw.lake.evsql VERSION AS OF 3) pre
+                      FROM graftw.lake.evsql VERSION AS OF 2) pre
         """)
       },
     ),
@@ -1197,8 +1199,9 @@ object Storage {
         "matching rows, ONLY those are rewritten, and the manifest " +
         "swaps atomically — at 100 TB a selective DELETE FROM rewrites " +
         "a handful of files while the pre-delete snapshot keeps " +
-        "time-traveling (the readback joins VERSION AS OF 2 to pin " +
-        "that). Oracle reconstructs the surviving multiset from raw " +
+        "time-traveling (the readback joins VERSION AS OF 1 — the " +
+        "atomic CTAS commit — to pin that). Oracle reconstructs the " +
+        "surviving multiset from raw " +
         "events.",
       Some(s"""
         WITH cur AS (
@@ -1220,7 +1223,7 @@ object Storage {
                        CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
                 FROM graftd.lake.evdel GROUP BY event_type) cur
           CROSS JOIN (SELECT count(*) AS pre_delete_rows
-                      FROM graftd.lake.evdel VERSION AS OF 2) pre
+                      FROM graftd.lake.evdel VERSION AS OF 1) pre
         """)
       },
     ),
@@ -1239,7 +1242,8 @@ object Storage {
         "file set) and the NATIVE batch write (executor tasks stream " +
         "parquet, driver swaps exactly the planned files, " +
         "conflict-checked). The readback also rides the _version " +
-        "metadata column (max = head version 5) and VERSION AS OF 2 " +
+        "metadata column (max = head version 4 — the CTAS is one " +
+        "atomic commit) and VERSION AS OF 1 " +
         "(pre-DML content preserved) — all hash-gated against the " +
         "oracle's reconstruction of flag-update + merge algebra, the " +
         "BY-SOURCE delete composed as an anti-join (DuckDB lacks the " +
@@ -1273,7 +1277,7 @@ object Storage {
         ),
         pre AS (SELECT count(*) AS pre_rows FROM events)
         SELECT cur.event_type, cur.n, cur.sum_value, pre.pre_rows,
-               CAST(5 AS BIGINT) AS head_version
+               CAST(4 AS BIGINT) AS head_version
         FROM cur CROSS JOIN pre
       """.trim),
       (spark, dir) => {
@@ -1286,7 +1290,7 @@ object Storage {
                        CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
                 FROM graftu.lake.evupd GROUP BY event_type) cur
           CROSS JOIN (SELECT count(*) AS pre_rows
-                      FROM graftu.lake.evupd VERSION AS OF 2) pre
+                      FROM graftu.lake.evupd VERSION AS OF 1) pre
           CROSS JOIN (SELECT max(_version) AS head_version FROM graftu.lake.evupd) hv
         """)
       },

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, Expression}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -73,7 +73,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * disguise and stays refused, pointing at the typed API.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with org.apache.spark.sql.connector.catalog.ProcedureCatalog with ViewCatalog {
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog with ViewCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catName: String = "graft"
 
@@ -238,10 +239,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * version-1 snapshot via the same atomic create-if-absent as every
     * commit, so racing writers can never each think they created it.
     */
-  override def createTable(
-      ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table = {
-    val track = partitions.toSeq.map { t =>
+  /** `PARTITIONED BY` transforms → the manifest track spec (shared by
+    * plain CREATE and the atomic staged CTAS/RTAS path).
+    */
+  private def trackOf(ident: Identifier, partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
       def ref: String = {
         require(t.references.length == 1,
           s"CREATE TABLE $ident: ${t.describe()} must reference exactly one column")
@@ -274,11 +276,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "years/months/days/hours(col), bucket(n, col), truncate(w, col)")
       }
     }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val track = trackOf(ident, partitions)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident.toString)
     ManifestTable.createEmpty(dirOf(ident), schema, track,
       GraftCatalog.userProps(properties))
     load(ident, None)
   }
+
+  /** ATOMIC CTAS / RTAS ([[org.apache.spark.sql.connector.catalog.StagingTableCatalog]]
+    * — the Iceberg shape): the staged table's write lands data files
+    * under the (manifest-less, hence invisible) table directory, and
+    * `commitStagedChanges` installs definition + data as ONE manifest
+    * via the same atomic create-if-absent install every commit uses.
+    * A failed or aborted CTAS leaves NO visible table (plain
+    * `createTable`-then-append exposes an empty table in the gap);
+    * `REPLACE TABLE ... AS SELECT` swaps definition AND content in one
+    * version — the old head stays time-travelable, and the statement's
+    * OWN properties/partitioning replace the old config (REPLACE
+    * redefines the table; contrast INSERT OVERWRITE, which replaces
+    * content but carries config).
+    */
+  private def staged(
+      ident: Identifier, info: org.apache.spark.sql.connector.catalog.TableInfo,
+      allowCreate: Boolean, allowReplace: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!allowReplace && tableExists(ident))
+      throw new TableAlreadyExistsException(ident.toString)
+    if (!allowCreate && !tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new GraftStagedTable(SparkSession.active, ident.toString, dirOf(ident),
+      info.schema(), trackOf(ident, info.partitions()),
+      GraftCatalog.userProps(info.properties()), allowCreate, allowReplace)
+  }
+
+  override def stageCreate(
+      ident: Identifier, info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, info, allowCreate = true, allowReplace = false)
+
+  override def stageReplace(
+      ident: Identifier, info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, info, allowCreate = false, allowReplace = true)
+
+  override def stageCreateOrReplace(
+      ident: Identifier, info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, info, allowCreate = true, allowReplace = true)
 
   /** `ALTER TABLE ... ADD / RENAME / DROP COLUMN(S)`: all three are
     * METADATA-ONLY commits — zero data I/O at any table size
@@ -869,6 +917,73 @@ object GraftLakeTable {
   * files for the staged replacements, conflict-checked against
   * writers that raced in between.
   */
+/** The in-flight half of an atomic CTAS / RTAS (see
+  * [[GraftCatalog.stageCreate]]): data stages under the table dir with
+  * NO manifest, so nothing is visible until `commitStagedChanges`
+  * installs definition + files as one version.
+  */
+final class GraftStagedTable(
+    spark: SparkSession, tableName: String, dir: String,
+    tableSchema: StructType, track: Seq[String], props: Map[String, String],
+    allowCreate: Boolean, allowReplace: Boolean)
+  extends org.apache.spark.sql.connector.catalog.StagedTable with SupportsWrite {
+
+  private val createdDir = !new java.io.File(dir, "_manifests").exists()
+  new java.io.File(dir, "data").mkdirs()
+  new java.io.File(dir, "_manifests").mkdirs()
+  private val stage = s"$dir/data/c-ctas-${java.util.UUID.randomUUID()}"
+  new java.io.File(stage).mkdirs()
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  // REPLACE TABLE AS SELECT models the atomic replace as truncate+append
+  // ON THE STAGED TABLE — which starts empty, so truncate is a no-op
+  // (the replacement happens at commitStagedChanges)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+    override def truncate(): WriteBuilder = this
+    override def build(): Write =
+      new Write with org.apache.spark.sql.connector.write.BatchWrite {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
+      override def description(): String = s"graft-manifest staged CTAS -> $dir"
+      override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
+        new GraftWriterFactory(stage, tableSchema.json,
+          new GraftWrites.ConfCarrier(GraftWrites.writeConf(spark, tableSchema)))
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        // task-level exactly-once: drop files no committed task named
+        val committed = messages.collect {
+          case GraftCommitMessage(p) if p != null => p
+        }.toSet
+        Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
+          .filterNot(f => committed(f.getAbsolutePath))
+          .foreach(_.delete())
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
+          .foreach(_.delete())
+    }
+  }
+
+  override def commitStagedChanges(): Unit =
+    ManifestTable.installStagedDefinition(
+      spark, dir, tableSchema, track, props, stage, allowCreate, allowReplace): Unit
+
+  override def abortStagedChanges(): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+      f.delete(): Unit
+    }
+    rec(new java.io.File(stage))
+    // a CREATE we started from nothing leaves no trace on abort
+    if (createdDir &&
+      Option(new java.io.File(dir, "_manifests").listFiles()).forall(_.isEmpty))
+      rec(new java.io.File(dir))
+  }
+}
+
 /** MERGE-ON-READ row-level operation (the SupportsDelta side of the
   * regime split — group-based CoW is [[GraftRowLevelOperation]]): SQL
   * UPDATE / MERGE INTO on a table declaring `write.update.mode` /

@@ -477,6 +477,63 @@ object ManifestTable {
     committed
   }
 
+  /** The atomic install behind staged CTAS / RTAS
+    * ([[GraftStagedTable.commitStagedChanges]]): definition (schema,
+    * track spec, properties) and staged data files land as ONE
+    * manifest version — v1 for a create (create-if-absent race-safe:
+    * the loser gets TableAlreadyExists and its staged files never
+    * become visible), head+1 for a replace (the old head stays
+    * time-travelable; the NEW definition replaces the old config —
+    * REPLACE TABLE redefines, unlike INSERT OVERWRITE which carries).
+    */
+  private[sources] def installStagedDefinition(
+      spark: SparkSession, dir: String, schema: StructType, track: Seq[String],
+      props: Map[String, String], stage: String,
+      allowCreate: Boolean, allowReplace: Boolean): Long = {
+    validateDefinition(schema, track)
+    validateProps(props)
+    val files =
+      if (Option(new java.io.File(stage).listFiles()).exists(_.nonEmpty))
+        collectStats(spark, stage, track, schema)
+      else Nil
+    var committed = -1L
+    while (committed < 0) {
+      val head = latestVersion(dir)
+      head match {
+        case None =>
+          if (!allowCreate) throw new IllegalStateException(
+            s"REPLACE TABLE: no table at $dir (dropped since staging?)")
+          committed = tryInstall(dir,
+            Manifest(1L, None, None, schema.json, track,
+              files.map(_.copy(seq = 1L)), props = props))
+          if (committed < 0 && !allowReplace) throw new IllegalStateException(
+            s"manifest table already exists at $dir (lost the creation race); " +
+              "staged CTAS files were not published")
+        case Some(h) =>
+          if (!allowReplace) throw new IllegalStateException(
+            s"manifest table already exists at $dir")
+          val v = h + 1
+          committed = tryInstall(dir,
+            Manifest(v, Some(h), None, schema.json, track,
+              files.map(_.copy(seq = v)), props = props))
+      }
+    }
+    committed
+  }
+
+  /** Schema/track validation shared by [[createEmpty]] and the staged
+    * CTAS install.
+    */
+  private def validateDefinition(schema: StructType, track: Seq[String]): Unit = {
+    val missing = track.map(TrackSpec.parse(_).source).filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"tracked column(s) ${missing.mkString(", ")} not in schema")
+    track.foreach { t =>
+      val spec = TrackSpec.parse(t)
+      TrackSpec.validate(spec, schema(spec.source).dataType)
+    }
+    requireNoReservedColumns(schema)
+  }
+
   def createEmpty(
       dir: String, schema: StructType, track: Seq[String],
       props: Map[String, String] = Map.empty): Long = {

@@ -1482,6 +1482,58 @@ class GraftCatalogSpec extends SparkSpec {
       == (0L until 400L).count(i => i % 10 != 1 && i % 3 != 0))
   }
 
+  test("atomic CTAS: definition + data land as ONE v1 manifest; abort leaves no table") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graft.lake.actas PARTITIONED BY (id) " +
+      "TBLPROPERTIES('tier'='bronze') AS SELECT id, id * 2 AS v FROM range(100)")
+    val dir = mkTableDir("lake", "actas")
+    val m = ManifestTable.manifest(dir, None)
+    assert(m.version == 1L, "CTAS must be one atomic commit, not create-then-append")
+    assert(m.files.nonEmpty && m.props == Map("tier" -> "bronze") && m.track == Seq("id"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.actas").head().getLong(0) == 100)
+    // an aborted staging leaves NO table and no directory residue
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableInfo}
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.StagingTableCatalog]
+    val st = cat.stageCreate(Identifier.of(Array("lake"), "aborted"),
+      new TableInfo.Builder().withColumns(
+        Array(org.apache.spark.sql.connector.catalog.Column.create(
+          "id", org.apache.spark.sql.types.LongType)))
+        .withProperties(java.util.Map.of())
+        .withPartitions(Array.empty).build())
+    st.abortStagedChanges()
+    assert(!cat.tableExists(Identifier.of(Array("lake"), "aborted")))
+    assert(!new java.io.File(mkTableDir("lake", "aborted")).exists(),
+      "an aborted CREATE staging must leave no directory")
+  }
+
+  test("REPLACE TABLE AS SELECT: definition AND content swap in one version, old head time-travels") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graft.lake.rtas PARTITIONED BY (id) " +
+      "TBLPROPERTIES('tier'='bronze') AS SELECT id, id * 2 AS v FROM range(50)")
+    val dir = mkTableDir("lake", "rtas")
+    // RTAS redefines schema, partitioning, AND properties
+    spark.sql("REPLACE TABLE graft.lake.rtas PARTITIONED BY (k) " +
+      "TBLPROPERTIES('tier'='silver') AS " +
+      "SELECT id AS k, CAST(id AS DOUBLE) AS amount FROM range(10)")
+    val m = ManifestTable.manifest(dir, None)
+    assert(m.version == 2L, "RTAS is one commit on top of the v1 CTAS")
+    assert(m.track == Seq("k") && m.props == Map("tier" -> "silver"),
+      s"REPLACE must adopt the statement's definition, got ${m.track}/${m.props}")
+    assert(spark.table("graft.lake.rtas").columns.toSeq == Seq("k", "amount"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.rtas").head().getLong(0) == 10)
+    // the replaced world stays readable
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.rtas VERSION AS OF 1")
+      .head().getLong(0) == 50)
+    // CREATE OR REPLACE on a missing table creates
+    spark.sql("CREATE OR REPLACE TABLE graft.lake.corts AS SELECT id FROM range(7)")
+    assert(ManifestTable.manifest(mkTableDir("lake", "corts"), None).version == 1L)
+    // plain REPLACE on a missing table refuses
+    assert(intercept[Exception](spark.sql(
+      "REPLACE TABLE graft.lake.nosuch AS SELECT id FROM range(1)")
+    ).getMessage.toLowerCase.contains("table"))
+  }
+
   test("write.distribution-mode applies to streaming toTable epochs: files land sorted per epoch") {
     warehouse: Unit
     val minKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
