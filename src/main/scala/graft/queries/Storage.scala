@@ -1984,6 +1984,69 @@ object Storage {
         """)
       },
     ),
+    Q(
+      "q232_rtas",
+      "Atomic REPLACE TABLE AS SELECT (StagingTableCatalog — the " +
+        "Iceberg atomic-swap shape): a raw per-order table is REPLACED " +
+        "in one commit by its per-customer rollup with a DIFFERENT " +
+        "schema, partitioning column, and property set (REPLACE " +
+        "redefines the table; the staged write lands invisibly and " +
+        "commitStagedChanges installs definition + data as one " +
+        "version). The readback joins the new head against VERSION AS " +
+        "OF 1 — the replaced raw world stays time-travelable — so the " +
+        "hash gate proves both the swap's content and the preserved " +
+        "history. At 100 TB: publish a recomputed gold table under the " +
+        "same name with zero partially-visible states and an O(1) " +
+        "rollback (restore v1).",
+      Some("""
+        WITH rolled AS (
+          SELECT o_custkey,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS spend
+          FROM orders GROUP BY o_custkey
+        ),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_customers,
+                 CAST(sum(CAST(spend AS DECIMAL(30,2))) AS DOUBLE) AS total_spend,
+                 CAST(max(n_orders) AS BIGINT) AS max_orders
+          FROM rolled
+        ),
+        pre AS (SELECT CAST(count(*) AS BIGINT) AS raw_rows FROM orders)
+        SELECT agg.n_customers, agg.total_spend, agg.max_orders, pre.raw_rows
+        FROM agg CROSS JOIN pre
+      """.trim),
+      (spark, dir) => {
+        val wh = graft.Artifacts.cached(s"rtas-warehouse:$dir") { w =>
+          spark.conf.set("spark.sql.catalog.graftrt", "graft.sources.GraftCatalog")
+          spark.conf.set("spark.sql.catalog.graftrt.warehouse", w)
+          new java.io.File(s"$w/lake").mkdirs()
+          Tables(spark, dir).orders.selectExpr("o_orderkey", "o_custkey", "o_totalprice")
+            .createOrReplaceTempView("rt_src")
+          spark.sql("CREATE TABLE graftrt.lake.gold PARTITIONED BY (o_orderkey) " +
+            "TBLPROPERTIES('tier'='raw') AS SELECT * FROM rt_src")
+          spark.sql("REPLACE TABLE graftrt.lake.gold PARTITIONED BY (o_custkey) " +
+            "TBLPROPERTIES('tier'='gold') AS " +
+            "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS spend " +
+            "FROM rt_src GROUP BY o_custkey"): Unit
+          val m = ManifestTable.manifest(s"$w/lake/gold", None)
+          assert(m.version == 2L && m.track == Seq("o_custkey") &&
+            m.props == Map("tier" -> "gold"),
+            "RTAS must swap definition and content in ONE commit")
+        }
+        spark.conf.set("spark.sql.catalog.graftrt", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftrt.warehouse", wh)
+        spark.sql("""
+          SELECT agg.n_customers, agg.total_spend, agg.max_orders, pre.raw_rows
+          FROM (SELECT CAST(count(*) AS BIGINT) AS n_customers,
+                       CAST(sum(CAST(spend AS DECIMAL(30,2))) AS DOUBLE) AS total_spend,
+                       CAST(max(n_orders) AS BIGINT) AS max_orders
+                FROM graftrt.lake.gold) agg
+          CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS raw_rows
+                      FROM graftrt.lake.gold VERSION AS OF 1) pre
+        """)
+      },
+    ),
   )
 
   /** Built once per (session, sf dir): a star pair for the runtime-
