@@ -1507,6 +1507,30 @@ class GraftCatalogSpec extends SparkSpec {
       "an aborted CREATE staging must leave no directory")
   }
 
+  test("racing staged CTAS creates: one wins atomically, the loser throws and publishes nothing") {
+    warehouse: Unit
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableInfo}
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.StagingTableCatalog]
+    def info = new TableInfo.Builder().withColumns(
+      Array(org.apache.spark.sql.connector.catalog.Column.create(
+        "id", org.apache.spark.sql.types.LongType)))
+      .withProperties(java.util.Map.of())
+      .withPartitions(Array.empty).build()
+    val ident = Identifier.of(Array("lake"), "ctasrace")
+    // both stage BEFORE either commits — the install race is the test
+    val s1 = cat.stageCreate(ident, info)
+    val s2 = cat.stageCreate(ident, info)
+    s1.commitStagedChanges()
+    val e = intercept[Exception](s2.commitStagedChanges())
+    assert(e.getMessage.contains("creation race") || e.getMessage.contains("already exists"),
+      s"got: ${e.getMessage}")
+    val dir = mkTableDir("lake", "ctasrace")
+    assert(ManifestTable.latestVersion(dir).contains(1L),
+      "exactly one create must have published")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.ctasrace").head().getLong(0) == 0)
+  }
+
   test("REPLACE TABLE AS SELECT: definition AND content swap in one version, old head time-travels") {
     warehouse: Unit
     spark.sql("CREATE TABLE graft.lake.rtas PARTITIONED BY (id) " +
