@@ -1992,28 +1992,27 @@ object Storage {
         "schema, partitioning column, and property set (REPLACE " +
         "redefines the table; the staged write lands invisibly and " +
         "commitStagedChanges installs definition + data as one " +
-        "version). The readback joins the new head against VERSION AS " +
-        "OF 1 — the replaced raw world stays time-travelable — so the " +
-        "hash gate proves both the swap's content and the preserved " +
-        "history. At 100 TB: publish a recomputed gold table under the " +
-        "same name with zero partially-visible states and an O(1) " +
-        "rollback (restore v1).",
+        "version). The readback folds a scalar subquery over VERSION " +
+        "AS OF 1 into the head's aggregate — the replaced raw world " +
+        "stays time-travelable, and the 1-row history side plugs in as " +
+        "a pre-executed ScalarSubquery, not a join — so the hash gate " +
+        "proves both the swap's content and the preserved history. At " +
+        "100 TB: publish a recomputed gold table under the same name " +
+        "with zero partially-visible states and an O(1) rollback " +
+        "(restore v1).",
       Some("""
         WITH rolled AS (
           SELECT o_custkey,
                  CAST(count(*) AS BIGINT) AS n_orders,
                  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS spend
           FROM orders GROUP BY o_custkey
-        ),
-        agg AS (
-          SELECT CAST(count(*) AS BIGINT) AS n_customers,
-                 CAST(sum(CAST(spend AS DECIMAL(30,2))) AS DOUBLE) AS total_spend,
-                 CAST(max(n_orders) AS BIGINT) AS max_orders
-          FROM rolled
-        ),
-        pre AS (SELECT CAST(count(*) AS BIGINT) AS raw_rows FROM orders)
-        SELECT agg.n_customers, agg.total_spend, agg.max_orders, pre.raw_rows
-        FROM agg CROSS JOIN pre
+        )
+        SELECT agg.n_customers, agg.total_spend, agg.max_orders,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders) AS raw_rows
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n_customers,
+                     CAST(sum(CAST(spend AS DECIMAL(30,2))) AS DOUBLE) AS total_spend,
+                     CAST(max(n_orders) AS BIGINT) AS max_orders
+              FROM rolled) agg
       """.trim),
       (spark, dir) => {
         val wh = graft.Artifacts.cached(s"rtas-warehouse:$dir") { w =>
@@ -2037,13 +2036,13 @@ object Storage {
         spark.conf.set("spark.sql.catalog.graftrt", "graft.sources.GraftCatalog")
         spark.conf.set("spark.sql.catalog.graftrt.warehouse", wh)
         spark.sql("""
-          SELECT agg.n_customers, agg.total_spend, agg.max_orders, pre.raw_rows
+          SELECT agg.n_customers, agg.total_spend, agg.max_orders,
+                 (SELECT CAST(count(*) AS BIGINT)
+                  FROM graftrt.lake.gold VERSION AS OF 1) AS raw_rows
           FROM (SELECT CAST(count(*) AS BIGINT) AS n_customers,
                        CAST(sum(CAST(spend AS DECIMAL(30,2))) AS DOUBLE) AS total_spend,
                        CAST(max(n_orders) AS BIGINT) AS max_orders
                 FROM graftrt.lake.gold) agg
-          CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS raw_rows
-                      FROM graftrt.lake.gold VERSION AS OF 1) pre
         """)
       },
     ),
