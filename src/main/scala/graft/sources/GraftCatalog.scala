@@ -570,10 +570,14 @@ object GraftCatalog {
       !SparkManagedProps(k) && !k.startsWith("option.")
     }
   }
+  // NOT filtered: `comment` — Spark folds a COMMENT clause into the
+  // property map, but unlike provider/location/owner it IS user
+  // metadata; dropping it would silently lose it. Persisted like any
+  // other property, it surfaces through properties()/DESCRIBE.
   private val SparkManagedProps = Set(
     TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
     TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
-    TableCatalog.PROP_COMMENT, TableCatalog.PROP_IS_MANAGED_LOCATION)
+    TableCatalog.PROP_IS_MANAGED_LOCATION)
 
   /** Source-filter → Column translation for the DELETE path: Some for
     * the filter algebra [[ManifestTable.delete]] can express (the SQL
@@ -946,7 +950,14 @@ final class GraftStagedTable(
     new WriteBuilder with SupportsTruncate {
     override def truncate(): WriteBuilder = this
     override def build(): Write =
-      new Write with org.apache.spark.sql.connector.write.BatchWrite {
+      new Write with org.apache.spark.sql.connector.write.BatchWrite
+        with GraftWriteLayout {
+      // the STAGED definition's layout, not an existing table's: a
+      // CTAS/RTAS declaring write.distribution-mode gets its initial
+      // (often largest) load clustered exactly like later INSERTs
+      override protected def layoutSchema: StructType = tableSchema
+      override protected def layoutTrack: Seq[String] = track
+      override protected def layoutProps: Map[String, String] = props
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
       override def description(): String = s"graft-manifest staged CTAS -> $dir"
       override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =

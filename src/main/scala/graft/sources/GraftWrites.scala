@@ -136,13 +136,30 @@ final class GraftWrite(
     spark: SparkSession, dir: String, schema: StructType, track: Seq[String],
     overwrite: Boolean, queryId: String,
     props: Map[String, String] = Map.empty)
-  extends Write with RequiresDistributionAndOrdering {
+  extends Write with GraftWriteLayout {
+  override protected def layoutSchema: StructType = schema
+  override protected def layoutTrack: Seq[String] = track
+  override protected def layoutProps: Map[String, String] = props
   override def description(): String = s"graft-manifest write -> $dir"
   override def toBatch: BatchWrite = new GraftBatchWrite(
     spark, dir, schema, track,
     if (overwrite) GraftWrites.Replace else GraftWrites.Append)
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new GraftStreamingWrite(spark, dir, schema, track, overwrite, queryId)
+}
+
+/** The declared write layout (`write.distribution-mode` /
+  * `write.target-file-bytes`) expressed as DSv2 required
+  * distribution+ordering — shared by the regular table write
+  * ([[GraftWrite]]) and the staged CTAS/RTAS write
+  * ([[GraftStagedTable]]), so the INITIAL load (often the largest
+  * write the table ever sees) lands clustered exactly like every
+  * later INSERT INTO, instead of being a layout exemption.
+  */
+private[sources] trait GraftWriteLayout extends RequiresDistributionAndOrdering {
+  protected def layoutSchema: StructType
+  protected def layoutTrack: Seq[String]
+  protected def layoutProps: Map[String, String]
 
   /** `write.distribution-mode` (Iceberg's table property, persisted in
     * the manifest): how incoming rows arrange BEFORE they hit the
@@ -164,8 +181,8 @@ final class GraftWrite(
     * skipping the files a scattered layout would force it to open.
     */
   private def distributionKeys: Array[String] =
-    track.map(t => TrackSpec.parse(t).source).distinct
-      .filter(schema.fieldNames.contains).toArray
+    layoutTrack.map(t => TrackSpec.parse(t).source).distinct
+      .filter(layoutSchema.fieldNames.contains).toArray
 
   private def sortOrders: Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
@@ -174,7 +191,7 @@ final class GraftWrite(
 
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution = {
     import org.apache.spark.sql.connector.distributions.Distributions
-    props.get(GraftWrites.DistributionModeProp) match {
+    layoutProps.get(GraftWrites.DistributionModeProp) match {
       case Some("range") if distributionKeys.nonEmpty => Distributions.ordered(sortOrders)
       case Some("hash") if distributionKeys.nonEmpty =>
         Distributions.clustered(distributionKeys.map(
@@ -192,7 +209,7 @@ final class GraftWrite(
     * tuning every writer's session.
     */
   override def advisoryPartitionSizeInBytes(): Long =
-    props.get(GraftWrites.TargetFileBytesProp).map(_.toLong).getOrElse(0L)
+    layoutProps.get(GraftWrites.TargetFileBytesProp).map(_.toLong).getOrElse(0L)
 
   /** Both clustered modes also sort WITHIN each writer task: each
     * staged file is then internally ordered and its envelope is as
@@ -200,7 +217,7 @@ final class GraftWrite(
     * sort implies it) and the whole envelope win for `hash`.
     */
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    props.get(GraftWrites.DistributionModeProp) match {
+    layoutProps.get(GraftWrites.DistributionModeProp) match {
       case Some("range") | Some("hash") => sortOrders
       case _ => Array.empty
     }

@@ -1298,11 +1298,18 @@ object ManifestTable {
         s"table already has pending deletes keyed by [${cur.deleteKeys.mkString(", ")}]; " +
           s"this delta's identifier is [${keys.mkString(", ")}] — materialize first")
       // staged bytes and tombstone keys were computed under base's
-      // schema and name era; a concurrent evolution makes them stale
-      if (cur.schemaJson != base.schemaJson || cur.renames != base.renames)
+      // schema, name era, AND track spec; a concurrent evolution makes
+      // them stale. The track check matters for correctness, not just
+      // layout: collectStats above ran under base.track, so a column
+      // tracked concurrently (addTrackedColumn) would get no stat
+      // envelope in these files — yet their seq v postdates the new
+      // trackSince watermark, so skipping would treat the absent key
+      // as an all-NULL envelope and silently prune live rows.
+      if (cur.schemaJson != base.schemaJson || cur.renames != base.renames ||
+          cur.track != base.track || cur.trackSince != base.trackSince)
         throw new java.util.ConcurrentModificationException(
-          s"$dir: schema evolved (v${base.version} -> v${cur.version}) while this " +
-            "delta was staged; re-run the statement against the new head")
+          s"$dir: schema or track spec evolved (v${base.version} -> v${cur.version}) " +
+            "while this delta was staged; re-run the statement against the new head")
       val v = cur.version + 1
       // a pure-delete delta's write schema is just the rowId columns
       // (Spark's delete plan carries no full rows) — with no new files

@@ -1637,6 +1637,26 @@ class GraftCatalogSpec extends SparkSpec {
       "round-tripped DDL must re-create the same track spec")
   }
 
+  test("CREATE TABLE ... COMMENT persists in the manifest and surfaces via properties") {
+    warehouse: Unit
+    spark.sql(
+      "CREATE TABLE graft.lake.cmt (id BIGINT) COMMENT 'customer gold rollup'")
+    assert(ManifestTable.manifest(mkTableDir("lake", "cmt"), None)
+      .props.get("comment").contains("customer gold rollup"),
+      "the COMMENT clause must persist, not silently drop")
+    // SHOW TBLPROPERTIES deliberately hides Spark's reserved keys
+    // (comment/provider/location) — the user-visible surface for the
+    // comment is DESCRIBE EXTENDED's dedicated Comment row
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft.lake.cmt")
+      .collect().map(_.toString).mkString("\n")
+    assert(desc.contains("customer gold rollup"), desc)
+    // CTAS carries it through the staged path too
+    spark.sql("CREATE TABLE graft.lake.cmt2 COMMENT 'staged comment' " +
+      "AS SELECT id FROM range(5)")
+    assert(ManifestTable.manifest(mkTableDir("lake", "cmt2"), None)
+      .props.get("comment").contains("staged comment"))
+  }
+
   test("identifier.columns follows ALTER TABLE RENAME COLUMN; DROP of an identifier column refuses") {
     warehouse: Unit
     spark.sql("CREATE TABLE graft.lake.idren TBLPROPERTIES(" +
@@ -1721,6 +1741,42 @@ class GraftCatalogSpec extends SparkSpec {
     assert(intercept[Exception](spark.sql(
       "ALTER TABLE graft.lake.distnone SET TBLPROPERTIES('write.distribution-mode'='diagonal')")
     ).getMessage.contains("write.distribution-mode"))
+    } finally {
+      prevMin match {
+        case Some(v) => spark.conf.set(minKey, v)
+        case None => spark.conf.unset(minKey)
+      }
+    }
+  }
+
+  test("write.distribution-mode=range applies to the CTAS initial load too") {
+    warehouse: Unit
+    // the staged CTAS write must honor the declared layout — the
+    // initial load is often the largest write the table ever sees,
+    // and exempting it would leave the bulk of the data unprunable
+    val minKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val prevMin = spark.conf.getOption(minKey)
+    spark.conf.set(minKey, "4096")
+    try {
+      spark.range(0, 8000).selectExpr("(id * 2654435761) % 8000 AS id", "id AS payload")
+        .createOrReplaceTempView("ctas_scatter_src")
+      spark.sql("CREATE TABLE graft.lake.distctas PARTITIONED BY (id) " +
+        "TBLPROPERTIES('write.distribution-mode'='range', " +
+        "'write.target-file-bytes'='16384') AS " +
+        "SELECT /*+ REPARTITION(8) */ * FROM ctas_scatter_src")
+      val m = ManifestTable.manifest(mkTableDir("lake", "distctas"), None)
+      assert(m.files.size > 1, "multi-partition CTAS must write several files")
+      val envs = m.files.map(f => (f.mins("id").get.toLong, f.maxs("id").get.toLong))
+        .sortBy(_._1)
+      envs.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) =>
+          assert(aMax <= bMin, s"range-mode CTAS files must carry disjoint envelopes: $envs")
+        case _ => ()
+      }
+      val probe = spark.sql("SELECT payload FROM graft.lake.distctas WHERE id < 500")
+      assert(scannedFiles(probe).size < m.files.size,
+        "the CTAS-clustered layout must prune the narrow range query")
+      assert(probe.count() == 500)
     } finally {
       prevMin match {
         case Some(v) => spark.conf.set(minKey, v)
