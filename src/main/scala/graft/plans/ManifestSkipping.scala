@@ -193,8 +193,13 @@ object ManifestSkipping extends PredicateHelper {
     val bloom: Map[(String, String), (MemberIndex.Index, Seq[Seq[Int]])] =
       tableDirs.flatMap { d =>
         memberChecks.flatMap { case (c, dt, vals) =>
-          MemberIndex.newest(d, c).map(ix =>
-            ((d, c), (ix, vals.map(v => MemberIndex.positionsOf(ix, v, dt)))))
+          // probe values hash under the CURRENT column type — an index
+          // fingerprinted under a narrower pre-widening type would
+          // produce Bloom false negatives (wrongly pruned live files)
+          MemberIndex.newest(d, c)
+            .filter(ix => MemberIndex.typeConsistent(ix, d, dt))
+            .map(ix =>
+              ((d, c), (ix, vals.map(v => MemberIndex.positionsOf(ix, v, dt)))))
         }
       }.toMap
     Some(files.filter { f =>
@@ -391,7 +396,14 @@ object ManifestSkipping extends PredicateHelper {
       // forbids mutating inside the mapping function)
       cache.keySet.removeIf(k => k._1 == dir && k != key)
       dir -> cache.computeIfAbsent(key, { _ =>
-        ManifestTable.versions(dir).flatMap { v =>
+        // ascending, so a path live in several snapshots resolves to
+        // its NEWEST entry — before type widening all versions carried
+        // a file's stats verbatim and order was irrelevant, but a
+        // float -> double widen REWRITES the column's envelopes in
+        // place (ManifestTable.widenColumn), and resolving the stale
+        // narrow-era string under the widened predicate type would
+        // prune the exact files the rewrite exists to keep
+        ManifestTable.versions(dir).sorted.flatMap { v =>
           val m = ManifestTable.manifest(dir, Some(v))
           m.files.map(f => f.path -> Stats(dir, m.track, f.mins, f.maxs, aliasesOf(m),
             fileSeq = f.seq, trackSince = m.trackSince))

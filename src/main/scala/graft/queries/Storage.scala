@@ -2046,6 +2046,74 @@ object Storage {
         """)
       },
     ),
+    Q(
+      "q233_widen",
+      "Metadata-only safe type widening (Iceberg's schema-evolution " +
+        "matrix, `ALTER TABLE ... ALTER COLUMN ... TYPE`): a lineitem " +
+        "rollup lands under NARROW types (int keys, float price), three " +
+        "ALTERs widen them to bigint/double touching ZERO data files " +
+        "(old files read under the wide schema via the parquet reader's " +
+        "widening promotions; float envelopes re-render through the " +
+        "exact float->double conversion so range pruning stays " +
+        "bit-correct), and an INSERT then lands a row only the wide " +
+        "types can hold. The readback aggregates across both eras. At " +
+        "100 TB: outgrowing int32 keys costs one O(files)-metadata " +
+        "commit, not a table rewrite.",
+      Some("""
+        WITH src AS (
+          SELECT CAST(l_orderkey AS INTEGER) AS ok,
+                 CAST(l_quantity AS INTEGER) AS qty,
+                 CAST(l_extendedprice AS REAL) AS price
+          FROM lineitem
+        ),
+        wide AS (
+          SELECT CAST(ok AS BIGINT) AS ok, CAST(qty AS BIGINT) AS qty,
+                 CAST(price AS DOUBLE) AS price
+          FROM src
+          UNION ALL SELECT CAST(9000000000 AS BIGINT), CAST(7 AS BIGINT), 0.125
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qty) AS BIGINT) AS total_qty,
+               CAST(max(ok) AS BIGINT) AS max_ok,
+               min(price) AS min_price,
+               max(price) AS max_price
+        FROM wide
+      """.trim),
+      (spark, dir) => {
+        val wh = graft.Artifacts.cached(s"widen-warehouse:$dir") { w =>
+          spark.conf.set("spark.sql.catalog.graftwd", "graft.sources.GraftCatalog")
+          spark.conf.set("spark.sql.catalog.graftwd.warehouse", w)
+          new java.io.File(s"$w/lake").mkdirs()
+          Tables(spark, dir).lineitem
+            .selectExpr("CAST(l_orderkey AS INT) AS ok",
+              "CAST(l_quantity AS INT) AS qty",
+              "CAST(l_extendedprice AS FLOAT) AS price")
+            .createOrReplaceTempView("wd_src")
+          spark.sql("CREATE TABLE graftwd.lake.wide PARTITIONED BY (ok) AS " +
+            "SELECT /*+ REPARTITION_BY_RANGE(8, ok) */ * FROM wd_src")
+          val before = ManifestTable.manifest(s"$w/lake/wide", None)
+          spark.sql("ALTER TABLE graftwd.lake.wide ALTER COLUMN ok TYPE BIGINT")
+          spark.sql("ALTER TABLE graftwd.lake.wide ALTER COLUMN qty TYPE BIGINT")
+          spark.sql("ALTER TABLE graftwd.lake.wide ALTER COLUMN price TYPE DOUBLE")
+          val m = ManifestTable.manifest(s"$w/lake/wide", None)
+          assert(m.files.map(_.path) == before.files.map(_.path) &&
+            m.retypes.size == 3,
+            "widening must be three metadata-only commits over the same files")
+          spark.sql("INSERT INTO graftwd.lake.wide VALUES " +
+            "(CAST(9000000000 AS BIGINT), CAST(7 AS BIGINT), CAST(0.125 AS DOUBLE))"): Unit
+        }
+        spark.conf.set("spark.sql.catalog.graftwd", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftwd.warehouse", wh)
+        spark.sql("""
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(qty) AS BIGINT) AS total_qty,
+                 CAST(max(ok) AS BIGINT) AS max_ok,
+                 min(price) AS min_price,
+                 max(price) AS max_price
+          FROM graftwd.lake.wide
+        """)
+      },
+    ),
   )
 
   /** Built once per (session, sf dir): a star pair for the runtime-

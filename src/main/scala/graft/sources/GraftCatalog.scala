@@ -365,6 +365,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           ManifestTable.renameColumn(dir, top(r.fieldNames, "renamed"), r.newName): Unit
         case d: TableChange.DeleteColumn => () =>
           ManifestTable.dropColumns(dir, Seq(top(d.fieldNames, "dropped"))): Unit
+        // ALTER COLUMN ... TYPE: metadata-only for the SAFE widening
+        // set (integral widening, float -> double, decimal precision);
+        // widenColumn refuses anything lossy with the full explanation
+        case t: TableChange.UpdateColumnType => () =>
+          ManifestTable.widenColumn(dir, top(t.fieldNames, "retyped"), t.newDataType): Unit
         case other => unsupported(s"ALTER TABLE (${other.getClass.getSimpleName})")
       }
     // Pre-validate the WHOLE change set against the current snapshot so a

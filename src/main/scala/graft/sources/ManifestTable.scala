@@ -107,6 +107,18 @@ object ManifestTable {
     */
   final case class RenameStep(v: Long, from: String, to: String)
 
+  /** One committed SAFE TYPE WIDENING ([[widenColumn]]). `v` is the
+    * widen commit's version: data files with `seq < v` physically hold
+    * the narrow type (`fromJson`), files with `seq >= v` the widened
+    * one — the parquet reader's widening promotions (Spark 4 reads
+    * int32 under a long schema, float under double, narrow decimal
+    * under wide) cast old files up at scan time, so unlike renames no
+    * era-grouped read is needed; the step is kept for provenance and
+    * for guards that must know a narrow era exists (member-index
+    * build types, fuzz audits).
+    */
+  final case class RetypeStep(v: Long, column: String, fromJson: String)
+
   final case class Manifest(
       version: Long,
       parent: Option[Long],
@@ -162,7 +174,11 @@ object ManifestTable {
         * commit". Carried forward verbatim by every commit kind
         * (append, replace, rewrite, maintenance, branch).
         */
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      /** Committed safe type widenings, ascending by version (see
+        * [[RetypeStep]]). Empty for every table that never widened.
+        */
+      retypes: Seq[RetypeStep] = Nil) {
     /** Does file-seq `seq` carry an envelope for tracked column `col`? */
     def envelopeCovers(col: String, seq: Long): Boolean =
       trackSince.get(col).forall(_ <= seq)
@@ -314,10 +330,104 @@ object ManifestTable {
         renames = cur.renames :+ RenameStep(v, from, to),
         retired = cur.retired :+ from,
         trackSince = cur.trackSince.map { case (k, sv) => inSpec(k) -> sv },
-        props = renamedProps)
+        props = renamedProps,
+        // retype provenance follows the live name (the step's era rule
+        // keys on file seq, not the name, so re-keying is safe)
+        retypes = cur.retypes.map(r =>
+          if (r.column == from) r.copy(column = to) else r))
       committed = tryInstall(dir, m)
     }
     committed
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN ... TYPE as a METADATA-ONLY commit,
+    * for the SAFE widening set only (Iceberg's evolution matrix):
+    * integral widening (byte/short/int up to long), float -> double,
+    * and decimal(p,s) -> decimal(p',s) with p' > p. Zero data I/O:
+    * old files keep their narrow physical bytes and Spark 4's parquet
+    * widening promotions cast them up at scan time — both readers,
+    * filters included. Anything lossy (narrowing, scale change,
+    * cross-family) refuses loudly; use [[replace]] to restructure.
+    *
+    * Envelope stats: integral and decimal stat strings parse EXACTLY
+    * under the widened type, so they carry verbatim. Float stats do
+    * NOT — the shortest-round-trip rendering of a float parses to a
+    * smaller double than the float widens to (stat "1.1" reads as
+    * 1.1d, the stored value reads as 1.100000023841858d), so a range
+    * probe in that gap would silently prune a live file. A float ->
+    * double widen therefore re-renders that column's envelopes
+    * through the exact float -> double value conversion IN THE SAME
+    * COMMIT (O(files) metadata, like every commit).
+    *
+    * A column serving as a bucket(n, col) track source refuses: the
+    * bucket envelope holds hash values of the NARROW type, and a
+    * widened probe hashes differently — equality lookups would
+    * silently prune live files. Monotone numeric transforms
+    * (truncate) are value-stable across the widen and carry over.
+    * Member-index fingerprints are invalidated by the index's own
+    * recorded build type ([[MemberIndex]]), not here.
+    */
+  def widenColumn(dir: String, column: String, to: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    var committed = -1L
+    while (committed < 0) {
+      val cur = manifest(dir, None)
+      val schema = DataFrameSchema.fromJson(cur.schemaJson)
+      require(schema.fieldNames.contains(column), s"no such column: $column")
+      val from = schema(column).dataType
+      require(safeWiden(from, to),
+        s"ALTER COLUMN $column TYPE: ${from.catalogString} -> ${to.catalogString} is " +
+          "not a safe metadata-only widening (allowed: integral widening, " +
+          "float -> double, decimal precision widening at the same scale); " +
+          "use replace to restructure")
+      cur.track.map(TrackSpec.parse).foreach {
+        case TrackSpec.Bucket(n, src) if src == column =>
+          throw new IllegalArgumentException(
+            s"cannot widen $column: it is the source of bucket($n, $column), whose " +
+              "envelopes hold hash values of the narrow type; replace/re-cluster first")
+        case _ => ()
+      }
+      val v = cur.version + 1
+      val statKeys: Set[String] =
+        (column +: renameAliases(cur).getOrElse(column, Nil)).toSet
+      def fix(mp: Map[String, Option[String]]): Map[String, Option[String]] =
+        mp.map { case (k, sv) =>
+          k -> (if (statKeys(k))
+            sv.map(s => java.lang.Float.parseFloat(s).toDouble.toString)
+          else sv)
+        }
+      val files =
+        if (from != FloatType) cur.files
+        else cur.files.map(f => f.copy(mins = fix(f.mins), maxs = fix(f.maxs)))
+      val m = cur.copy(version = v, parent = Some(cur.version), txn = None,
+        schemaJson = StructType(schema.fields.map(f =>
+          if (f.name == column) f.copy(dataType = to) else f)).json,
+        files = files, op = None,
+        retypes = cur.retypes :+ RetypeStep(v, column, from.json))
+      // the float stat rewrite CHANGES entries for unchanged paths —
+      // parent-segment reuse diffs by path membership and would keep
+      // the stale narrow-stat segment, so that commit writes fresh
+      committed = tryInstallAs(dir, m, manifestName(v),
+        reuseParentSegs = from != FloatType)
+    }
+    committed
+  }
+
+  /** The metadata-only widening matrix — exact-value, order-preserving
+    * conversions the parquet reader promotes natively.
+    */
+  private[graft] def safeWiden(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) => b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
   }
 
   /** ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the column
@@ -838,7 +948,7 @@ object ManifestTable {
           trackSince = src.trackSince,
           // properties are snapshot-versioned: restore brings back the
           // restored snapshot's config along with its content
-          props = src.props))
+          props = src.props, retypes = src.retypes))
     }
     committed
   }
@@ -938,7 +1048,8 @@ object ManifestTable {
       parent.files ++ newFiles.map(_.copy(seq = v)),
       parent.deleteKeys, parent.deleteFiles, parent.posDeleteFiles,
       renames = parent.renames, retired = parent.retired,
-      trackSince = parent.trackSince, props = parent.props)
+      trackSince = parent.trackSince, props = parent.props,
+      retypes = parent.retypes)
   }
 
   /** Write-audit-publish (Iceberg's WAP discipline, as one call): stage
@@ -1623,7 +1734,8 @@ object ManifestTable {
         if (clearDeletes) Nil else base.posDeleteFiles,
         op = op,
         renames = cur.renames, retired = cur.retired,
-        trackSince = cur.trackSince, props = cur.props)
+        trackSince = cur.trackSince, props = cur.props,
+        retypes = cur.retypes)
       committed = tryInstall(dir, m)
     }
     committed
@@ -3046,7 +3158,9 @@ object ManifestTable {
           ("v" -> r.v) ~ ("from" -> r.from) ~ ("to" -> r.to))) ~
         ("retired" -> m.retired) ~
         ("trackSince" -> m.trackSince) ~
-        ("props" -> m.props)))
+        ("props" -> m.props) ~
+        ("retypes" -> m.retypes.map(r =>
+          ("v" -> r.v) ~ ("column" -> r.column) ~ ("from" -> r.fromJson)))))
   }
 
   private def renderSegment(entries: Seq[FileEntry]): String = {
@@ -3145,6 +3259,12 @@ object ManifestTable {
       ((j \ "props") match {
         case JNothing => Map.empty[String, String]
         case p => p.extract[Map[String, String]]
+      }),
+      ((j \ "retypes") match {
+        case JNothing => Nil
+        case r => r.extract[Seq[JValue]].map(s => RetypeStep(
+          (s \ "v").extract[Long], (s \ "column").extract[String],
+          (s \ "from").extract[String]))
       }))
   }
 

@@ -43,13 +43,20 @@ import org.apache.spark.sql.functions._
   */
 object MemberIndex {
 
-  /** One built index: fingerprints per live data file of one snapshot. */
+  /** One built index: fingerprints per live data file of one snapshot.
+    * `dataType` records the column type the fingerprints were HASHED
+    * under (xxhash64 of an int and of the same value as a long differ)
+    * — a type widening invalidates the bitsets, and the recorded type
+    * is what lets consumers notice. None only on legacy pre-recording
+    * index files.
+    */
   final case class Index(
       version: Long,
       column: String,
       bits: Int,
       probes: Int,
-      files: Map[String, String])
+      files: Map[String, String],
+      dataType: Option[String] = None)
 
   /** Build (or reuse) the index for `column` at snapshot `asOf` (head
     * by default) and return the indexed version. Incremental: files
@@ -70,12 +77,24 @@ object MemberIndex {
       s"column $column is not in the committed schema (${schema.fieldNames.mkString(", ")})")
     if (load(dir, column, m.version).exists(ix => ix.bits == bits && ix.probes == probes))
       return m.version
+    val dt = schema(column).dataType
     val carried: Map[String, String] =
       priorIndex(dir, column, bits, probes, m.version) match {
-        case Some(prior) =>
+        // fingerprints only carry across versions when they were hashed
+        // under the SAME column type: a widen between the prior build
+        // and this snapshot changes every value's xxhash64, and carried
+        // bitsets would answer "definitely absent" for present keys —
+        // Bloom false negatives, i.e. wrongly pruned live files. A
+        // legacy prior (no recorded type) proves its build type through
+        // the schema committed at its own version; an expired manifest
+        // there just forfeits the carry (re-fingerprint, never guess).
+        case Some(prior) if prior.dataType.map(_ == dt.catalogString).getOrElse(
+            scala.util.Try(DataFrameSchema.fromJson(
+              ManifestTable.manifest(dir, Some(prior.version)).schemaJson)(column)
+              .dataType == dt).getOrElse(false)) =>
           val live = m.files.map(_.path).toSet
           prior.files.filter { case (p, _) => live.contains(p) }
-        case None => Map.empty
+        case _ => Map.empty
       }
     val newPaths = m.files.map(_.path).filterNot(carried.contains)
     val fresh: Map[String, String] =
@@ -99,7 +118,8 @@ object MemberIndex {
         // that would force the fallback path
         newPaths.map(p => p -> grouped.getOrElse(p, toHex(Nil, bits))).toMap
       }
-    val ix = Index(m.version, column, bits, probes, carried ++ fresh)
+    val ix = Index(m.version, column, bits, probes, carried ++ fresh,
+      dataType = Some(dt.catalogString))
     write(dir, ix)
     m.version
   }
@@ -247,7 +267,8 @@ object MemberIndex {
     java.nio.file.Files.createDirectories(d)
     val body = JsonMethods.compact(JsonMethods.render(
       ("version" -> ix.version) ~ ("column" -> ix.column) ~ ("bits" -> ix.bits) ~
-        ("probes" -> ix.probes) ~ ("files" -> ix.files)))
+        ("probes" -> ix.probes) ~ ("files" -> ix.files) ~
+        ("dataType" -> ix.dataType)))
     try java.nio.file.Files.write(d.resolve(ixName(ix.version)),
       body.getBytes("UTF-8"), java.nio.file.StandardOpenOption.CREATE_NEW): Unit
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
@@ -263,8 +284,24 @@ object MemberIndex {
       (j \ "column").extract[String],
       (j \ "bits").extract[Int],
       (j \ "probes").extract[Int],
-      (j \ "files").extract[Map[String, String]])
+      (j \ "files").extract[Map[String, String]],
+      (j \ "dataType").extractOpt[String])
   }
+
+  /** Were `ix`'s fingerprints hashed under type `dt`? Consumers that
+    * probe with planner-side values of the CURRENT column type
+    * (xxhash64 is type-sensitive) must refuse an index built under a
+    * narrower pre-widening type. A legacy index (no recorded type) is
+    * consistent iff the column was never widened on this table.
+    */
+  private[graft] def typeConsistent(
+      ix: Index, dir: String, dt: org.apache.spark.sql.types.DataType): Boolean =
+    ix.dataType match {
+      case Some(s) => s == dt.catalogString
+      case None => scala.util.Try(
+        ManifestTable.manifest(dir, None).retypes.forall(_.column != ix.column)
+      ).getOrElse(false)
+    }
 
   /** Distinct bit positions -> fixed-width lowercase hex (4 bits per
     * char, position 0 = LSB of the last char, so width = bits/4).

@@ -1657,6 +1657,45 @@ class GraftCatalogSpec extends SparkSpec {
       .props.get("comment").contains("staged comment"))
   }
 
+  test("ALTER COLUMN TYPE: safe widening is metadata-only through SQL; unsafe refuses") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graft.lake.wd (id INT, f FLOAT, v STRING) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graft.lake.wd " +
+      "SELECT CAST(id AS INT) AS i, CAST(id/10.0 AS FLOAT) AS ff, " +
+      "CAST(id AS STRING) AS vv FROM range(100) DISTRIBUTE BY CAST(id DIV 25 AS INT)")
+    val dir = mkTableDir("lake", "wd")
+    val before = ManifestTable.manifest(dir, None)
+    spark.sql("ALTER TABLE graft.lake.wd ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.lake.wd ALTER COLUMN f TYPE DOUBLE")
+    val m = ManifestTable.manifest(dir, None)
+    assert(m.files.map(_.path) == before.files.map(_.path),
+      "SQL widening must be metadata-only (same data files)")
+    assert(spark.table("graft.lake.wd").schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // values beyond the narrow ranges land fine now
+    spark.sql("INSERT INTO graft.lake.wd VALUES (CAST(8000000000 AS BIGINT), 1e200, 'wide')")
+    assert(spark.sql("SELECT max(id) FROM graft.lake.wd").head.getLong(0) == 8000000000L)
+    assert(spark.sql("SELECT sum(id) FROM graft.lake.wd").head.getLong(0)
+      == (0 until 100).sum + 8000000000L)
+    // envelope pruning still engages across the widen era split
+    val probe = spark.sql("SELECT v FROM graft.lake.wd WHERE id BETWEEN 10 AND 20")
+    assert(scannedFiles(probe).size < m.files.size + 1,
+      "narrow-era files must still prune on their (exactly parseable) int stats")
+    assert(probe.count() == 11)
+    // unsafe retypes refuse with the full story
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.lake.wd ALTER COLUMN v TYPE INT"))
+    assert(e.getMessage.contains("not a safe") || e.getMessage.contains("INT"),
+      e.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.lake.wd ALTER COLUMN id TYPE INT"))
+    assert(e2.getMessage.contains("not a safe") || e2.getMessage.contains("INT"),
+      e2.getMessage)
+    // time travel reads the narrow world under its committed schema
+    assert(spark.sql(s"SELECT * FROM graft.lake.wd VERSION AS OF ${before.version}")
+      .schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+  }
+
   test("identifier.columns follows ALTER TABLE RENAME COLUMN; DROP of an identifier column refuses") {
     warehouse: Unit
     spark.sql("CREATE TABLE graft.lake.idren TBLPROPERTIES(" +

@@ -1559,6 +1559,7 @@ class ManifestTableSpec extends SparkSpec {
     case object Zorder extends Op
     case object ToggleMode extends Op
     case class MorUpdate(lo: Long, hi: Long, add: Long) extends Op
+    case object Widen extends Op
 
     val rowsGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 999L)))
     val opGen: Gen[Op] = Gen.frequency(
@@ -1606,7 +1607,12 @@ class ManifestTableSpec extends SparkSpec {
       // updates EVERY row of a matching key (the whole group
       // re-inserts updated).
       2 -> Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L), Gen.choose(1L, 9L))
-        .map { case (a, b, d) => MorUpdate(math.min(a, b), math.max(a, b), d) })
+        .map { case (a, b, d) => MorUpdate(math.min(a, b), math.max(a, b), d) },
+      // metadata-only type widening mid-history: the value column
+      // STARTS int and widens to long once — every later op (and the
+      // per-op scan-vs-prune audit + riding CDF consumer) must stay
+      // model-exact across narrow-era files read under the wide type
+      2 -> Gen.const(Widen))
     val seqGen = Gen.choose(3, 7).flatMap(n => Gen.listOfN(n, opGen))
 
     (0 until 6).foreach { trial =>
@@ -1627,7 +1633,13 @@ class ManifestTableSpec extends SparkSpec {
         assert(got == expectedProps,
           s"trial $trial: head props $got diverged from expected $expectedProps")
       }
-      def df(rows: Map[Long, Long]) = rows.toSeq.toDF("k", curVal)
+      // the value column starts NARROW (int) and widens to long when a
+      // Widen op fires — appends must always carry the head's exact type
+      var widened = false
+      def df(rows: Map[Long, Long]) = {
+        val base = rows.toSeq.toDF("k", curVal)
+        if (widened) base else base.withColumn(curVal, col(curVal).cast("int"))
+      }
       // appends must carry the table's LIVE track spec (track-spec
       // evolution mid-sequence changes it; a stale spec refuses)
       def curTrack: Seq[String] =
@@ -1791,8 +1803,15 @@ class ManifestTableSpec extends SparkSpec {
           history :+= (v, model)
         case MorUpdate(lo, hi, add) if history.nonEmpty =>
           val v = ManifestTable.updateMor(spark, dir,
-            $"k".between(lo, hi), Map(curVal -> (col(curVal) + add)), Seq("k"))
+            $"k".between(lo, hi),
+            Map(curVal -> (col(curVal) + add).cast(if (widened) "bigint" else "int")),
+            Seq("k"))
           model = model.map { case (k, x) => if (k >= lo && k <= hi) (k, x + add) else (k, x) }
+          history :+= (v, model)
+        case Widen if history.nonEmpty && !widened =>
+          val v = ManifestTable.widenColumn(dir, curVal,
+            org.apache.spark.sql.types.LongType)
+          widened = true
           history :+= (v, model)
         case ToggleMode if history.nonEmpty =>
           modeN += 1
