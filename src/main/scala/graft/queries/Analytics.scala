@@ -1173,11 +1173,17 @@ object Analytics {
     val (dn, dd) = (85L, 100L)
     val base = (scale * (dd - dn)) / dd
     val sb = new StringBuilder
-    sb ++= "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),\n"
-    sb ++= "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM li a " +
+    // MATERIALIZED: DuckDB inlines plain CTEs, so every iteration's
+    // join would RE-RUN the quadratic co-purchase self-join — at sf1
+    // that recomputation spills past the disk and kills the oracle
+    // outright (r16 ORACLE_TIMES_SF1 recorded -1). Pinning the shared
+    // subgraphs is the oracle's own best plan, not a handicap: sf1
+    // finishes in ~39 s materialized vs. out-of-disk inlined.
+    sb ++= "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),\n"
+    sb ++= "e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM li a " +
       "JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),\n"
-    sb ++= "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),\n"
-    sb ++= "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),\n"
+    sb ++= "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),\n"
+    sb ++= "nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),\n"
     sb ++= s"r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nodes),\n"
     for (i <- 1 to iters) {
       sb ++= s"c$i AS (SELECT e.dst, sum(r.rank // d.outdeg) AS s FROM e " +

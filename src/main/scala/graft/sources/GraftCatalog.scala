@@ -1334,8 +1334,13 @@ final class GraftLakeScan(
     // SOURCE columns: runtime join-key filters arrive on real columns;
     // a transform track spec prunes via the derived-constraint path in
     // ManifestSkipping.survivors, so advertising its source is exactly
-    // what makes a join on that column runtime-prunable
+    // what makes a join on that column runtime-prunable. Restricted to
+    // the READ schema: Spark's PartitionPruning rule resolves every
+    // advertised attribute against the scan output and throws on a
+    // tracked-but-unread column (a join key is always read, so this
+    // costs no pruning opportunity)
     m.track.map(t => TrackSpec.parse(t).source).distinct
+      .filter(readSchema().fieldNames.contains)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
 
   override def filter(filters: Array[Filter]): Unit = {
@@ -1398,20 +1403,93 @@ final class GraftLakeScan(
     }
   }
 
-  /** Statistics pass through from the delegated parquet scan (post
-    * manifest pruning, so a selective filter shrinks the estimate) —
-    * hiding them would make every catalog table look default-huge and
-    * kill Catalyst's automatic broadcast-join selection.
+  /** Statistics for the optimizer: byte size passes through from the
+    * delegated parquet scan (post manifest pruning, so a selective
+    * filter shrinks the broadcast estimate), row count is the exact
+    * manifest sum over the planned files, and COLUMN statistics come
+    * from the commit-time envelopes — per-column min/max (union of
+    * live file envelopes), null counts (all-null envelopes), and a
+    * member-index NDV estimate when a type-consistent Bloom sidecar
+    * covers the snapshot. With CBO on, join reordering and broadcast
+    * decisions then see real numbers instead of the default-huge
+    * guess. Estimates, not gates: a column with partial envelope
+    * coverage (track-spec evolution), uncastable stats, or pending
+    * MoR tombstones (row counts would overcount) simply contributes
+    * less — never wrong-by-construction values.
     */
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    inner match {
-      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-        s.estimateStatistics()
-      case _ => new org.apache.spark.sql.connector.read.Statistics {
-        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
-        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+    val delegated: Option[org.apache.spark.sql.connector.read.Statistics] =
+      current match {
+        case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+          Some(s.estimateStatistics())
+        case _ => None
       }
+    val live: Seq[ManifestTable.FileEntry] =
+      if (plannedPaths.nonEmpty) {
+        val keep = plannedPaths.toSet
+        m.files.filter(f => keep(f.path))
+      } else m.files
+    val exactRows = !m.hasMorDeletes
+    val rowSum = live.map(_.rows).sum
+    val aliases = ManifestSkipping.aliasesOf(m)
+    val schema = DataFrameSchema.fromJson(m.schemaJson)
+    val colStats = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    readSchema().fields.filter(f => schema.fieldNames.contains(f.name)).foreach { f =>
+      val dt = f.dataType
+      val keys = f.name +: aliases.getOrElse(f.name, Nil)
+      def stat(mp: Map[String, Option[String]]): Option[Option[String]] =
+        keys.collectFirst { case k if mp.contains(k) => mp(k) }
+      // envelopes exist only for tracked-and-covered columns; a single
+      // uncovered file forfeits min/max (its rows could hold the bound)
+      val enveloped = m.track.contains(f.name) &&
+        live.forall(fe => m.envelopeCovers(f.name, fe.seq))
+      val (minV, maxV, nullLB) =
+        if (!enveloped || live.isEmpty) (None, None, None)
+        else {
+          val per = live.map(fe => (stat(fe.mins).flatten, stat(fe.maxs).flatten, fe.rows))
+          val mins = per.flatMap(_._1).map(s => ManifestSkipping.castStat(s, dt))
+          val maxs = per.flatMap(_._2).map(s => ManifestSkipping.castStat(s, dt))
+          if (mins.exists(_ == null) || maxs.exists(_ == null)) (None, None, None)
+          else {
+            val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+              .getInterpretedOrdering(dt).asInstanceOf[Ordering[Any]]
+            // rows of all-null-envelope files are definitely null — a
+            // sound lower-bound null estimate (value files may add more)
+            val nulls = per.collect { case (None, _, r) => r }.sum
+            (mins.reduceOption((a, b) => ord.min(a, b)),
+              maxs.reduceOption((a, b) => ord.max(a, b)), Some(nulls))
+          }
+        }
+      val ndv: Option[Long] = MemberIndex.newest(dir, f.name)
+        .filter(ix => MemberIndex.typeConsistent(ix, dir, dt))
+        .flatMap(ix => MemberIndex.estimatedDistinct(ix, live.map(_.path)))
+        .map(n => math.min(n, rowSum))
+      if (minV.isDefined || maxV.isDefined || ndv.isDefined)
+        colStats.put(Expressions.column(f.name), new ColumnStatistics {
+          override def min(): java.util.Optional[Object] =
+            minV.map(_.asInstanceOf[Object]).fold(
+              java.util.Optional.empty[Object]())(java.util.Optional.of)
+          override def max(): java.util.Optional[Object] =
+            maxV.map(_.asInstanceOf[Object]).fold(
+              java.util.Optional.empty[Object]())(java.util.Optional.of)
+          override def nullCount(): java.util.OptionalLong =
+            nullLB.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+          override def distinctCount(): java.util.OptionalLong =
+            ndv.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+        })
     }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        delegated.map(_.sizeInBytes()).getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        if (exactRows) java.util.OptionalLong.of(rowSum)
+        else delegated.map(_.numRows()).getOrElse(java.util.OptionalLong.empty())
+      override def columnStats(): java.util.Map[NamedReference, ColumnStatistics] =
+        colStats
+    }
+  }
 
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String = current.description()

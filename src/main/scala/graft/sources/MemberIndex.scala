@@ -288,6 +288,31 @@ object MemberIndex {
       (j \ "dataType").extractOpt[String])
   }
 
+  /** Distinct-count ESTIMATE for `paths` from the Bloom fill ratios —
+    * the standard inversion n ≈ -(bits/probes)·ln(1 - k/bits) per
+    * file, summed. An UPPER-bound-flavored estimate (values shared
+    * across files count once per file) for the CBO's
+    * `Statistics.columnStats`, never a pruning decision. None when the
+    * index does not cover every path (a partial sum would silently
+    * understate) or any fingerprint is saturated (the inversion
+    * diverges).
+    */
+  private[graft] def estimatedDistinct(ix: Index, paths: Seq[String]): Option[Long] = {
+    var sum = 0.0
+    paths.foreach { p =>
+      ix.files.get(p) match {
+        case None => return None
+        case Some(hex) =>
+          var k = 0
+          var i = 0
+          while (i < hex.length) { k += Integer.bitCount(Character.digit(hex.charAt(i), 16)); i += 1 }
+          if (k >= ix.bits) return None
+          sum += -(ix.bits.toDouble / ix.probes) * math.log1p(-k.toDouble / ix.bits)
+      }
+    }
+    Some(math.max(0L, math.round(sum)))
+  }
+
   /** Were `ix`'s fingerprints hashed under type `dt`? Consumers that
     * probe with planner-side values of the CURRENT column type
     * (xxhash64 is type-sensitive) must refuse an index built under a

@@ -112,6 +112,77 @@ class GraftCatalogSpec extends SparkSpec {
 
   private def mkTableDir(ns: String, name: String): String = s"$warehouse/$ns/$name"
 
+  test("envelope statistics feed the CBO: exact row counts, min/max, index NDV; a selective filter flips the join to broadcast") {
+    warehouse: Unit
+    // fact: 40k rows, keys tracked so envelopes exist; two dims whose
+    // PARQUET sizes are deliberately misleading (the small dim carries
+    // a fat payload column) — only real row/column statistics tell the
+    // optimizer which side is the cheap build side
+    // the filler column makes the PARQUET bytes big (so size-only
+    // estimation can never call the filtered fact small) while the
+    // queries below never read it (so the CBO's row-level estimate is
+    // what shrinks); keys scatter across all files, so file-level
+    // envelope pruning removes nothing either — statistics or bust
+    spark.sql("CREATE TABLE graft.lake.cfact PARTITIONED BY (k1, k2) AS " +
+      "SELECT id % 200 AS k1, id % 10 AS k2, id AS payload, " +
+      "concat(md5(CAST(id AS STRING)), md5(CAST(id + 7 AS STRING))) AS filler " +
+      "FROM range(100000) DISTRIBUTE BY id % 8")
+    spark.sql("CREATE TABLE graft.lake.cdim AS " +
+      "SELECT id AS k, CAST(id AS STRING) AS attr FROM range(200)")
+    val factDir = mkTableDir("lake", "cfact")
+    MemberIndex.build(spark, factDir, "k1")
+    val prev = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val stats = spark.table("graft.lake.cfact")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(100000)),
+        s"manifest row count must reach the CBO, got ${stats.rowCount}")
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      val k1 = byName.getOrElse("k1", fail(s"no k1 column stats in $byName"))
+      assert(k1.min.contains(0L) && k1.max.contains(199L),
+        s"envelope min/max must surface: $k1")
+      val ndv = k1.distinctCount.getOrElse(fail(s"no NDV from the member index: $k1"))
+      assert(ndv >= BigInt(150) && ndv <= BigInt(260),
+        s"Bloom-fill NDV estimate must land near the true 200: $ndv")
+      val k2 = byName.getOrElse("k2", fail(s"no k2 column stats in $byName"))
+      assert(k2.min.contains(0L) && k2.max.contains(9L), s"$k2")
+      assert(k2.distinctCount.isEmpty, "no index on k2: no NDV claim")
+      // the decision the stats exist for: a selective range filter on
+      // the tracked column shrinks the fact's estimate (min/max-based
+      // selectivity), flipping the join against a big dim to broadcast
+      // — size-only estimation cannot shrink a Filter, so without CBO
+      // the same query stays sort-merge
+      spark.sql("CREATE TABLE graft.lake.cdimbig AS " +
+        "SELECT id AS k, id * 7 AS attr, md5(CAST(id AS STRING)) AS filler " +
+        "FROM range(100000)")
+      val thPrev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (512 * 1024).toString)
+        def joins(cboOn: Boolean): Seq[String] = {
+          spark.conf.set("spark.sql.cbo.enabled", cboOn.toString)
+          spark.sql(
+            "SELECT sum(b.attr) FROM graft.lake.cfact f " +
+              "JOIN graft.lake.cdimbig b ON f.payload = b.k " +
+              "WHERE f.k1 BETWEEN 0 AND 9")
+            .queryExecution.sparkPlan.collect {
+              case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+                "broadcast"
+              case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => "smj"
+              case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => "shj"
+            }
+        }
+        assert(joins(cboOn = true) == Seq("broadcast"),
+          "CBO + envelope stats must see through the filter and broadcast the fact side")
+        assert(!joins(cboOn = false).contains("broadcast"),
+          "without CBO the filtered fact still reads as too big to broadcast")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thPrev)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("member-index Bloom pruning engages for catalog point lookups too") {
     val dir = mkTable("lake", "bloomed")
     MemberIndex.build(spark, dir, "k")
