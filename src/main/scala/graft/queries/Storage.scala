@@ -2114,6 +2114,68 @@ object Storage {
         """)
       },
     ),
+    Q(
+      "q234_zorder_write",
+      "Write-time z-order clustering (`write.distribution-mode = " +
+        "'zorder'`): the table DECLARES 2-D clustering on (p_size, " +
+        "bucketed partkey) and every plain SQL INSERT range-partitions " +
+        "+ sorts by the Morton value (the catalog's own zorder " +
+        "ScalarFunction resolved through RequiresDistributionAndOrdering " +
+        "— the q228 maintenance pass's key, applied at ingest so no " +
+        "separate CALL is ever needed). The readback is the corner " +
+        "window q228 exists for, and the query asserts it PRUNES files " +
+        "whose bounding boxes miss the corner. At 100 TB: corner-query " +
+        "locality is a property of the table, not of remembering to " +
+        "run maintenance.",
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p_retailprice_cents) AS BIGINT) AS cents
+        FROM (SELECT CAST(p_retailprice * 100 AS BIGINT) AS p_retailprice_cents,
+                     CAST(p_size AS BIGINT) AS x,
+                     CAST(p_partkey % 1024 AS BIGINT) AS y
+              FROM part)
+        WHERE x < 13 AND y < 256
+      """.trim),
+      (spark, dir) => {
+        val wh = graft.Artifacts.cached(s"zorder-write-warehouse:$dir") { w =>
+          spark.conf.set("spark.sql.catalog.graftzw", "graft.sources.GraftCatalog")
+          spark.conf.set("spark.sql.catalog.graftzw.warehouse", w)
+          new java.io.File(s"$w/lake").mkdirs()
+          Tables(spark, dir).part
+            .selectExpr("CAST(p_retailprice * 100 AS BIGINT) AS cents",
+              "CAST(p_size AS BIGINT) AS x",
+              "CAST(p_partkey % 1024 AS BIGINT) AS y")
+            .createOrReplaceTempView("zw_src")
+          spark.sql("CREATE TABLE graftzw.lake.zw (cents BIGINT, x BIGINT, y BIGINT) " +
+            "PARTITIONED BY (x, y) TBLPROPERTIES(" +
+            "'write.distribution-mode'='zorder', 'write.target-file-bytes'='16384')")
+          spark.sql("INSERT INTO graftzw.lake.zw " +
+            "SELECT /*+ REPARTITION(8) */ * FROM zw_src"): Unit
+        }
+        spark.conf.set("spark.sql.catalog.graftzw", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftzw.warehouse", wh)
+        val q = spark.sql("""
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS cents
+          FROM graftzw.lake.zw WHERE x < 13 AND y < 256
+        """)
+        val total = ManifestTable.manifest(s"$wh/lake/zw", None).files.size
+        val scanned = q.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            (b.scan match {
+              case g: graft.sources.GraftLakeScan => g.underlying
+              case o => o
+            }) match {
+              case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+                p.fileIndex.inputFiles.length
+              case _ => 0
+            }
+        }.sum
+        assert(total < 2 || scanned < total,
+          s"the corner window must prune ingest-clustered files ($scanned of $total)")
+        q
+      },
+    ),
   )
 
   /** Built once per (session, sf dir): a star pair for the runtime-

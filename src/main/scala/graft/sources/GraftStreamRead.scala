@@ -98,9 +98,23 @@ final class GraftMicroBatchStream(
     options: CaseInsensitiveStringMap,
     pushed: Seq[Expression], required: StructType,
     checkpointLocation: String) extends MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val skipChangeCommits = options.getBoolean("skipChangeCommits", false)
+
+  /** `Trigger.AvailableNow`'s backfill-then-stop contract: the head
+    * captured HERE is the drain target — commits landing after the
+    * query started are not chased (they are the next run's work), and
+    * `latestOffset(start, limit)` never advances past it, so the query
+    * drains whole-commit batches (honoring `maxFilesPerTrigger`) up to
+    * exactly this snapshot and stops. A restart reads its start from
+    * the checkpoint as always, so later commits deliver exactly-once.
+    */
+  @volatile private var availableNowTarget: Option[GraftStreamOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestOffset().asInstanceOf[GraftStreamOffset])
 
   /** `option("maxFilesPerTrigger", N)`: admission control for
     * backfills — a stream starting against a long table history drains
@@ -121,7 +135,9 @@ final class GraftMicroBatchStream(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftStreamOffset]
-    val head = ManifestTable.latestVersion(dir).getOrElse(startManifest.version)
+    val head0 = ManifestTable.latestVersion(dir).getOrElse(startManifest.version)
+    // AvailableNow: never admit past the head captured at query start
+    val head = availableNowTarget.fold(head0)(t => math.min(head0, t.version))
     val end = GraftStreamOffset(math.max(head, startManifest.version), snapshotDone = true)
     limit match {
       case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>

@@ -189,10 +189,38 @@ private[sources] trait GraftWriteLayout extends RequiresDistributionAndOrdering 
     distributionKeys.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
   }
 
+  /** `zorder` mode: ONE sort key — the Morton value of the track
+    * sources ([[ZOrderFunction]], resolved through the catalog's
+    * FunctionCatalog) — range-partitions AND sorts every SQL write, so
+    * each staged file's n-dimensional bounding box TILES the space
+    * instead of spanning it: corner queries prune at ingest with no
+    * separate `CALL graft.system.zorder` pass. Refuses loudly (not a
+    * silent range fallback) when the declared layout cannot z-order —
+    * fewer than two source columns, or a non-integral one.
+    */
+  private def zorderOrders: Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val ks = distributionKeys
+    require(ks.length >= 2,
+      s"${GraftWrites.DistributionModeProp}=zorder needs >= 2 tracked source " +
+        s"columns, got [${ks.mkString(", ")}]")
+    ks.foreach(c => layoutSchema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"${GraftWrites.DistributionModeProp}=zorder: column $c is " +
+          s"${dt.catalogString}; z-ordering interleaves integral bits")
+    })
+    Array(Expressions.sort(
+      Expressions.apply("zorder", ks.map(Expressions.column).toIndexedSeq: _*),
+      SortDirection.ASCENDING))
+  }
+
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution = {
     import org.apache.spark.sql.connector.distributions.Distributions
     layoutProps.get(GraftWrites.DistributionModeProp) match {
       case Some("range") if distributionKeys.nonEmpty => Distributions.ordered(sortOrders)
+      case Some("zorder") => Distributions.ordered(zorderOrders)
       case Some("hash") if distributionKeys.nonEmpty =>
         Distributions.clustered(distributionKeys.map(
           org.apache.spark.sql.connector.expressions.Expressions.column(_)))
@@ -219,6 +247,7 @@ private[sources] trait GraftWriteLayout extends RequiresDistributionAndOrdering 
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     layoutProps.get(GraftWrites.DistributionModeProp) match {
       case Some("range") | Some("hash") => sortOrders
+      case Some("zorder") => zorderOrders
       case _ => Array.empty
     }
 }

@@ -519,7 +519,7 @@ object ManifestTable {
       scala.util.Try(v.toLong).toOption.exists(_ > 0),
       s"${GraftWrites.TargetFileBytesProp} must be a positive byte count: got '$v'"))
   }
-  private val DistModes = Set("none", "hash", "range")
+  private val DistModes = Set("none", "hash", "range", "zorder")
 
   /** The `identifier.columns` row-identity spec (Iceberg's identifier
     * fields): comma-separated, empty when unset.

@@ -1859,6 +1859,54 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("write.distribution-mode=zorder: plain INSERTs land corner-prunable files, no maintenance pass") {
+    warehouse: Unit
+    val minKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val prevMin = spark.conf.getOption(minKey)
+    spark.conf.set(minKey, "4096")
+    try {
+      // a 64x64 grid arriving hash-scattered: without clustering every
+      // file spans the whole (x, y) plane and a corner query reads all
+      spark.sql("CREATE TABLE graft.lake.distz (x BIGINT, y BIGINT, payload BIGINT) " +
+        "PARTITIONED BY (x, y) TBLPROPERTIES('write.distribution-mode'='zorder', " +
+        "'write.target-file-bytes'='16384')")
+      spark.sql("INSERT INTO graft.lake.distz " +
+        "SELECT ((id * 2654435761) % 4096) DIV 64 AS x, " +
+        "((id * 2654435761) % 4096) % 64 AS y, id AS payload " +
+        "FROM range(65536) DISTRIBUTE BY id % 8")
+      val m = ManifestTable.manifest(mkTableDir("lake", "distz"), None)
+      assert(m.files.size >= 2, s"multi-partition insert must write several files, got ${m.files.size}")
+      // z-clustered files TILE the plane: every file's bounding box is
+      // a strict sub-rectangle on at least one axis
+      val boxes = m.files.map { f =>
+        (f.mins("x").get.toLong, f.maxs("x").get.toLong,
+          f.mins("y").get.toLong, f.maxs("y").get.toLong)
+      }
+      assert(boxes.forall { case (x0, x1, y0, y1) =>
+        (x1 - x0) < 63 || (y1 - y0) < 63 },
+        s"z-order must shrink bounding boxes on at least one axis: $boxes")
+      // the corner query prunes files at ingest — no CALL zorder ran
+      val corner = spark.sql(
+        "SELECT count(*) AS n FROM graft.lake.distz WHERE x < 8 AND y < 8")
+      assert(scannedFiles(corner).size < m.files.size,
+        "the corner query must skip files whose boxes miss the corner")
+      assert(corner.head.getLong(0) ==
+        (0 until 65536).map(i => (i.toLong * 2654435761L) % 4096)
+          .count(v => v / 64 < 8 && v % 64 < 8))
+      // declared-but-impossible layouts refuse loudly at write time
+      spark.sql("CREATE TABLE graft.lake.distzbad (x BIGINT, s STRING) " +
+        "PARTITIONED BY (x, s) TBLPROPERTIES('write.distribution-mode'='zorder')")
+      val e = intercept[Exception](
+        spark.sql("INSERT INTO graft.lake.distzbad VALUES (1, 'a')"))
+      assert(e.getMessage.contains("zorder"), e.getMessage)
+    } finally {
+      prevMin match {
+        case Some(v) => spark.conf.set(minKey, v)
+        case None => spark.conf.unset(minKey)
+      }
+    }
+  }
+
   test("write.distribution-mode=range applies to the CTAS initial load too") {
     warehouse: Unit
     // the staged CTAS write must honor the declared layout — the

@@ -81,6 +81,54 @@ class GraftStreamReadSpec extends SparkSpec {
       s"stream must pin its processed version for retention, got $pins")
   }
 
+  test("Trigger.AvailableNow drains whole-commit batches to the captured head, stops, and a rerun delivers only newer commits") {
+    val dir = mkTable("anow", 1 to 6)   // initial snapshot: 2 files
+    append(dir, 7 to 8)
+    append(dir, 9 to 10)
+    val ckpt = tmpDir("anow-ckpt")
+    val out = tmpDir("anow-out").toString
+    def sinkIds(): Seq[Long] =
+      spark.read.parquet(out).select("id").as[Long].collect().toSeq.sorted
+    def run(): Unit = {
+      // startingVersion=1: the three pre-existing commits drain as
+      // individual commits (a stream starting at the head would fold
+      // them into one indivisible initial snapshot)
+      val q = spark.readStream
+        .option("maxFilesPerTrigger", "1")
+        .option("startingVersion", "1")
+        .table("graftsr.lake.anow")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000),
+        "AvailableNow must drain to the captured head and stop on its own")
+    }
+    run()
+    assert(sinkIds() == (1L to 10L),
+      "the first run must deliver the snapshot plus every committed append")
+    // maxFilesPerTrigger=1 closes over whole commits: the indivisible
+    // 2-file snapshot, then one commit per batch => at least 3 batches
+    def offsetCount(): Int =
+      Option(new java.io.File(ckpt.toFile, "offsets").list())
+        .getOrElse(Array.empty).count(!_.startsWith("."))
+    val firstRunBatches = offsetCount()
+    assert(firstRunBatches >= 3,
+      s"commit-bounded admission must split the backfill, got $firstRunBatches batches")
+    // a second run picks up ONLY the commits that landed in between —
+    // exactly-once from the checkpoint, then stops again
+    append(dir, 11 to 12)
+    append(dir, 13 to 14)
+    run()
+    assert(sinkIds() == (1L to 14L),
+      s"the rerun must deliver exactly the two new commits once, got ${sinkIds().size} rows")
+    assert(offsetCount() >= firstRunBatches + 2,
+      "each new commit drains as its own bounded batch")
+    // an idle rerun delivers nothing and still stops
+    run()
+    assert(sinkIds() == (1L to 14L), "an idle AvailableNow run must re-deliver nothing")
+  }
+
   test("a change commit is refused loudly by default; skipChangeCommits skips it wholesale") {
     val dir = mkTable("chg", 1 to 10)
     val ckpt = tmpDir("sr-chg-ckpt")

@@ -1816,8 +1816,12 @@ class ManifestTableSpec extends SparkSpec {
         case ToggleMode if history.nonEmpty =>
           modeN += 1
           val mode = if (modeN % 2 == 1) "merge-on-read" else "copy-on-write"
+          // the write-layout property cycles too: every commit kind
+          // must CARRY it verbatim (only SQL writes act on it)
+          val dist = Seq("none", "hash", "range", "zorder")(modeN % 4)
           expectedProps = expectedProps +
-            ("write.delete.mode" -> mode) + ("fuzz.marker" -> s"m$modeN")
+            ("write.delete.mode" -> mode) + ("fuzz.marker" -> s"m$modeN") +
+            ("write.distribution-mode" -> dist)
           val v = ManifestTable.setProperties(dir, expectedProps)
           history :+= (v, model)
         case _ => ()
