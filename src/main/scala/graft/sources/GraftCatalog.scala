@@ -695,11 +695,28 @@ final case class GraftLakeTable(
     override def isNullable: Boolean = false
     override def comment(): String = "manifest snapshot version serving this row"
   })
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
+    // `write.schema.accept-additive = true` (Delta's autoMerge role):
+    // arms Spark's `MERGE WITH SCHEMA EVOLUTION` clause, which
+    // computes the source's new columns and drives this catalog's own
+    // alterTable AddColumn path before the merge plans — the same
+    // additive rules API appends use (old files read the columns as
+    // NULL). Without the property the capability stays off and the
+    // clause is inert: an unexpected source column is a pipeline bug
+    // until the table says otherwise. Deliberately NOT
+    // ACCEPT_ANY_SCHEMA: that capability makes Spark skip output
+    // resolution wholesale, which breaks MERGE reference resolution —
+    // and positional INSERT casting with it. SQL INSERT with extra
+    // columns keeps refusing (Delta draws the same line); API appends
+    // already evolve additively.
+    if (m.props.get(GraftWrites.AcceptAdditiveProp).contains("true"))
+      caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION): Unit
+    caps
+  }
 
   /** The track spec reported as V2 partitioning metadata — what
     * `SHOW CREATE TABLE` renders as `PARTITIONED BY` and catalog

@@ -85,6 +85,11 @@ object GraftWrites {
     */
   val TargetFileBytesProp = "write.target-file-bytes"
 
+  /** Opt-in for SQL DML schema evolution — see
+    * [[GraftLakeTable.capabilities]].
+    */
+  val AcceptAdditiveProp = "write.schema.accept-additive"
+
   def wapBranch(spark: SparkSession): Option[String] =
     Option(spark.conf.get(WapBranchConf, "")).map(_.trim).filter(_.nonEmpty)
 

@@ -413,6 +413,24 @@ object ManifestTable {
     committed
   }
 
+  /** `incoming` with every column that safely widens to the table's
+    * type replaced by the TABLE's type — the schema stats collection
+    * reads staged files under ([[installStaged]]): the parquet reader
+    * widens the narrow bytes, so min/max strings and bucket-transform
+    * hashes land in the domain readers probe in.
+    */
+  private def upcastForStats(incoming: StructType, tableJson: String): StructType = {
+    val byName = DataFrameSchema.fromJson(tableJson)
+      .fields.map(f => f.name -> f.dataType).toMap
+    StructType(incoming.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(td) if td != f.dataType && safeWiden(f.dataType, td) =>
+          f.copy(dataType = td)
+        case _ => f
+      }
+    })
+  }
+
   /** The metadata-only widening matrix — exact-value, order-preserving
     * conversions the parquet reader promotes natively.
     */
@@ -518,6 +536,9 @@ object ManifestTable {
     props.get(GraftWrites.TargetFileBytesProp).foreach(v => require(
       scala.util.Try(v.toLong).toOption.exists(_ > 0),
       s"${GraftWrites.TargetFileBytesProp} must be a positive byte count: got '$v'"))
+    props.get(GraftWrites.AcceptAdditiveProp).foreach(v => require(
+      v == "true" || v == "false",
+      s"${GraftWrites.AcceptAdditiveProp} must be true or false: got '$v'"))
   }
   private val DistModes = Set("none", "hash", "range", "zorder")
 
@@ -997,13 +1018,25 @@ object ManifestTable {
   private[sources] def installStaged(
       spark: SparkSession, dir: String, schema: StructType, track: Seq[String],
       txn: Option[String], stage: String, replace: Boolean): Long = {
-    val newFiles = collectStats(spark, stage, track, schema)
+    // stats read the staged files under the TABLE's (possibly wider)
+    // types, re-collected if a retry observes a different head schema:
+    // an upcast append's envelopes and bucket hashes must live in the
+    // same domain every reader probes in (a float stat rendered narrow
+    // would under-cover its widened read; a bucket hash of an int is
+    // not the hash of the same value as a long)
+    var statsSchema: StructType = null
+    var newFiles: Seq[FileEntry] = null
     var committed = -1L
     while (committed < 0) {
       // another writer with OUR txn can't exist (txn ids are per-stream,
       // single-flight); other writers just move the head we append to
       val head = latestVersion(dir)
       val parent = if (replace) None else head.map(v => manifest(dir, Some(v)))
+      val forStats = parent.map(p => upcastForStats(schema, p.schemaJson)).getOrElse(schema)
+      if (statsSchema != forStats) {
+        newFiles = collectStats(spark, stage, track, forStats)
+        statsSchema = forStats
+      }
       val v = head.getOrElse(0L) + 1
       val m = parent match {
         case Some(p) => appendOnto(p, schema, track, newFiles, v, txn)
@@ -1040,7 +1073,10 @@ object ManifestTable {
       .fields.map(f => f.name -> f).toMap
     val tableSchema = StructType(schema.fields.map { f =>
       pByName.get(f.name) match {
-        case Some(pf) => f.copy(nullable = pf.nullable || f.nullable)
+        // the PARENT type wins on overlap: equal, or wider than an
+        // upcast append's narrow frame (validateEvolution admitted it)
+        // — the committed schema must never narrow
+        case Some(pf) => f.copy(dataType = pf.dataType, nullable = pf.nullable || f.nullable)
         case None => f.copy(nullable = true)
       }
     })
@@ -1121,9 +1157,20 @@ object ManifestTable {
         case None => throw new IllegalArgumentException(
           s"append drops column ${f.name}; appends may only ADD columns " +
             "(use replace to restructure)")
-        case Some(dt) if dt != f.dataType => throw new IllegalArgumentException(
-          s"append retypes column ${f.name}: ${f.dataType} -> $dt; " +
-            "appends may only ADD columns (use replace to restructure)")
+        // a value-preserving UPCAST is legal: the incoming frame's
+        // column safely widens to the table's type (an old writer
+        // still producing ints after an int -> long widen, a literal
+        // narrower than the column) — files keep their narrow bytes,
+        // the manifest schema stays the table's, and the parquet
+        // reader widens at scan exactly like the retype-era machinery.
+        // Stats for such appends are collected READING the staged
+        // files under the TABLE type (see upcastForStats), so
+        // envelopes and bucket hashes live in the wide domain.
+        case Some(dt) if dt != f.dataType && !safeWiden(dt, f.dataType) =>
+          throw new IllegalArgumentException(
+            s"append retypes column ${f.name}: ${f.dataType} -> $dt; " +
+              "appends may only ADD columns or narrow-to-wide upcast " +
+              "(use replace to restructure)")
         case _ => ()
       }
     }
@@ -1391,7 +1438,10 @@ object ManifestTable {
       txn: Option[String] = None): Long = {
     val newFiles =
       if (Option(new java.io.File(dataStage).listFiles()).exists(_.nonEmpty))
-        collectStats(spark, dataStage, base.track, schema)
+        // under the table's types (upcast appends, see installStaged);
+        // safe against the base-schema race because the install loop
+        // refuses on any base-vs-head schema drift
+        collectStats(spark, dataStage, base.track, upcastForStats(schema, base.schemaJson))
       else Nil
     val tableSchema = DataFrameSchema.fromJson(base.schemaJson)
     val keySchema = StructType(keys.map(k => tableSchema(k)))
@@ -2595,10 +2645,17 @@ object ManifestTable {
       track: Seq[String], stage: String, txn: Option[String] = None): Long = {
     require(branchBase(dir, name).isDefined,
       s"no branch '$name' of $dir — createBranch (CALL graft.system.create_branch) first")
-    val newFiles = collectStats(spark, stage, track, schema)
+    var statsSchema: StructType = null
+    var newFiles: Seq[FileEntry] = null
     var committed = -1L
     while (committed < 0) {
       val parent = branchManifest(dir, name)
+      // under the branch head's types — see installStaged
+      val forStats = upcastForStats(schema, parent.schemaJson)
+      if (statsSchema != forStats) {
+        newFiles = collectStats(spark, stage, track, forStats)
+        statsSchema = forStats
+      }
       val v = parent.version + 1
       val m = appendOnto(parent, schema, track, newFiles, v, txn)
       committed = tryInstallAs(dir, m, branchManifestName(name, v), reuseParentSegs = false)

@@ -1708,6 +1708,53 @@ class GraftCatalogSpec extends SparkSpec {
       "round-tripped DDL must re-create the same track spec")
   }
 
+  test("write.schema.accept-additive arms MERGE WITH SCHEMA EVOLUTION; off by default; INSERT arity still refuses") {
+    warehouse: Unit
+    // an unexpected INSERT column is a pipeline bug in every mode
+    // (Delta draws the same line: evolution is a MERGE/writer feature)
+    spark.sql("CREATE TABLE graft.lake.sev " +
+      "TBLPROPERTIES('write.schema.accept-additive'='true') " +
+      "AS SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(10)")
+    val e0 = intercept[Exception](spark.sql(
+      "INSERT INTO graft.lake.sev SELECT id AS k, CAST(0.5 AS DOUBLE) AS v, 'x' AS tag FROM range(10, 12)"))
+    assert(e0.getMessage.contains("DATA_COLUMNS") || e0.getMessage.contains("columns"), e0.getMessage)
+    // the evolution clause computes the source's new columns and
+    // drives this catalog's alterTable AddColumn path before planning
+    spark.sql("SELECT CAST(5 AS BIGINT) AS k, CAST(55.0 AS DOUBLE) AS v, 9000 AS score")
+      .createOrReplaceTempView("sev_src")
+    spark.sql("MERGE WITH SCHEMA EVOLUTION INTO graft.lake.sev t USING sev_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val t2 = spark.table("graft.lake.sev")
+    assert(t2.schema.fieldNames.toSeq == Seq("k", "v", "score"),
+      "MERGE evolution must add the source column")
+    assert(spark.sql("SELECT score FROM graft.lake.sev WHERE k = 5").head.getInt(0) == 9000)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sev WHERE score IS NULL").head.getLong(0)
+      == t2.count() - 1, "pre-evolution rows read the new column as NULL")
+    // the evolved MERGE composes with the MoR delta regime too: the
+    // ALTER lands first, the delta stages against the evolved head
+    spark.sql("CREATE TABLE graft.lake.sevm " +
+      "TBLPROPERTIES('write.schema.accept-additive'='true', " +
+      "'identifier.columns'='k', 'write.merge.mode'='merge-on-read') " +
+      "AS SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(10)")
+    spark.sql("MERGE WITH SCHEMA EVOLUTION INTO graft.lake.sevm t USING sev_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val dm = ManifestTable.manifest(mkTableDir("lake", "sevm"), None)
+    assert(dm.deleteFiles.nonEmpty, "the evolved merge must still land as a MoR delta")
+    assert(spark.sql("SELECT score FROM graft.lake.sevm WHERE k = 5").head.getInt(0) == 9000)
+    assert(spark.sql("SELECT count(*) FROM graft.lake.sevm").head.getLong(0) == 10)
+    // without the property the same clause leaves the schema alone
+    // (the AUTOMATIC_SCHEMA_EVOLUTION capability is the gate)
+    spark.sql("CREATE TABLE graft.lake.sev2 AS SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(5)")
+    spark.sql("MERGE WITH SCHEMA EVOLUTION INTO graft.lake.sev2 t USING sev_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.table("graft.lake.sev2").schema.fieldNames.toSeq == Seq("k", "v"),
+      "no property, no evolution")
+    // bad property values refuse eagerly
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE graft.lake.sev2 SET TBLPROPERTIES('write.schema.accept-additive'='yes')")
+    ).getMessage.contains("accept-additive"))
+  }
+
   test("CREATE TABLE ... COMMENT persists in the manifest and surfaces via properties") {
     warehouse: Unit
     spark.sql(

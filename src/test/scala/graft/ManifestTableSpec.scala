@@ -630,11 +630,16 @@ class ManifestTableSpec extends SparkSpec {
       ManifestTable.commit(Seq((3L, 1.0)).toDF("id", "score"), dir, Seq("id"))
     }
     assert(drop.getMessage.contains("drops column"))
-    // retyping is rejected
+    // LOSSY retyping is rejected (a narrow-to-wide upcast — int id
+    // into the bigint column — is legal by design: see WidenSpec)
     val retype = intercept[IllegalArgumentException] {
-      ManifestTable.commit(Seq((4, "c", 1.0)).toDF("id", "s", "score"), dir, Seq("id"))
+      ManifestTable.commit(Seq((4L, "c", "oops")).toDF("id", "s", "score"), dir, Seq("id"))
     }
     assert(retype.getMessage.contains("retypes column"))
+    ManifestTable.commit(Seq((4, "c", 1.0)).toDF("id", "s", "score")
+      .selectExpr("CAST(id AS INT) AS id", "s", "score"), dir, Seq("id"))
+    assert(ManifestTable.snapshot(spark, dir).schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
     // changing the tracked columns on append is rejected (stat holes)
     val tr = intercept[IllegalArgumentException] {
       ManifestTable.commit(Seq((5L, "d", Some(1.0))).toDF("id", "s", "score"), dir, Seq("score"))

@@ -137,6 +137,44 @@ class WidenSpec extends graft.SparkSpec {
     assert(ManifestTable.snapshot(spark, dir).schema("k").dataType == LongType)
   }
 
+  test("a narrow-frame append upcasts; stats land in the wide domain (bucket hashes included)") {
+    // an old writer still producing ints after an int -> long widen
+    // must keep working: the frame upcasts, the committed schema stays
+    // long, and the new file's stats are collected READING it under
+    // long — not rendered from the narrow frame
+    val dir = tmpDir("widen-upcast").toString
+    ManifestTable.commit((1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      dir, track = Seq("id"))
+    ManifestTable.commit((11 to 20).map(i => (i, s"v$i")).toDF("id", "v")
+      .selectExpr("CAST(id AS INT) AS id", "v"), dir, Seq("id"))
+    val m = ManifestTable.manifest(dir, None)
+    assert(DataFrameSchema.fromJson(m.schemaJson)("id").dataType == LongType,
+      "the committed schema must never narrow")
+    assert(ManifestTable.snapshot(spark, dir).count() == 20)
+    val got = ManifestTable.prunedScan(spark, dir, "id", lit(12L), lit(15L))
+      .select("v").as[String].collect().toSeq.sorted
+    assert(got == (12 to 15).map(i => s"v$i"),
+      "the upcast file's envelope must prune correctly under the wide type")
+    // mismatched cross-family frames still refuse
+    assert(intercept[IllegalArgumentException](
+      ManifestTable.commit(Seq(("x", "v")).toDF("id", "v"), dir, Seq("id"))
+    ).getMessage.contains("retypes"))
+    // the sharp case: a BUCKET-tracked long column appended with an
+    // int frame — bucket envelopes hold hash values, and xxhash64 of
+    // an int is NOT the hash of the same value as a long. Stats read
+    // the staged file under long, so the derived bucket constraint
+    // (hashing long probe values) must still FIND the rows.
+    val bdir = tmpDir("widen-upcast-bucket").toString
+    ManifestTable.commit(Seq((100L, "wide")).toDF("k", "v"), bdir, Seq("bucket(8,k)"))
+    ManifestTable.commit(Seq((7, "narrow")).toDF("k", "v")
+      .selectExpr("CAST(k AS INT) AS k", "v"), bdir, Seq("bucket(8,k)"))
+    ManifestTable.createView(spark, bdir, "upcast_bucket_view")
+    val hit = spark.sql("SELECT v FROM upcast_bucket_view WHERE k = 7")
+      .as[String].collect().toSeq
+    assert(hit == Seq("narrow"),
+      "bucket pruning must not skip the upcast file (its hashes live in the wide domain)")
+  }
+
   test("rename after widen re-keys the retype step; widen after rename uses alias stats") {
     val dir = tmpDir("widen-rename").toString
     ManifestTable.commit(Seq((1, 2.5f)).toDF("a", "f"), dir, track = Seq("f"))
