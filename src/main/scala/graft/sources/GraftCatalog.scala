@@ -1446,7 +1446,21 @@ final class GraftLakeScan(
     * MoR tombstones (row counts would overcount) simply contributes
     * less — never wrong-by-construction values.
     */
+  // memoized per scan instance: the column-stat derivation walks every
+  // live file entry, and Spark may consult stats several times while
+  // planning one query. Keyed on the runtime-pruned scan identity so a
+  // SupportsRuntimeFiltering narrowing invalidates the cache.
+  @volatile private var statsCache: (Scan, org.apache.spark.sql.connector.read.Statistics) = null
+
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val cached = statsCache
+    if (cached != null && (cached._1 eq current)) return cached._2
+    val computed = computeStatistics()
+    statsCache = (current, computed)
+    computed
+  }
+
+  private def computeStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
     import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
     val delegated: Option[org.apache.spark.sql.connector.read.Statistics] =
