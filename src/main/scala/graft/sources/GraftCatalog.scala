@@ -362,7 +362,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(a.isNullable,
           s"ALTER TABLE $ident: new column ${a.fieldNames.head} must be nullable " +
             "(pre-evolution files have no value for it)")
-        StructField(top(a.fieldNames, "added"), a.dataType, nullable = true)
+        val meta = Option(a.comment()).fold(
+          org.apache.spark.sql.types.Metadata.empty)(c =>
+          new org.apache.spark.sql.types.MetadataBuilder().putString("comment", c).build())
+        StructField(top(a.fieldNames, "added"), a.dataType, nullable = true, metadata = meta)
     }
     // SET/UNSET TBLPROPERTIES batch into ONE metadata commit each (a
     // multi-key SET is atomic); vocabulary-validated eagerly so a bad
@@ -382,6 +385,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // widenColumn refuses anything lossy with the full explanation
         case t: TableChange.UpdateColumnType => () =>
           ManifestTable.widenColumn(dir, top(t.fieldNames, "retyped"), t.newDataType): Unit
+        case c: TableChange.UpdateColumnComment => () =>
+          ManifestTable.updateColumnMeta(dir, top(c.fieldNames, "commented"),
+            comment = Some(c.newComment)): Unit
+        case nl: TableChange.UpdateColumnNullability => () =>
+          if (nl.nullable)
+            ManifestTable.updateColumnMeta(dir, top(nl.fieldNames, "relaxed"),
+              relaxNullable = true): Unit
+          else throw new IllegalArgumentException(
+            s"ALTER TABLE $ident: SET NOT NULL is a data claim over every committed " +
+              "file (pre-evolution files read added columns as NULL unconditionally); " +
+              "refused without a validation scan — rewrite (replace) into a NOT NULL " +
+              "definition instead")
         case other => unsupported(s"ALTER TABLE (${other.getClass.getSimpleName})")
       }
     // Pre-validate the WHOLE change set against the current snapshot so a

@@ -431,6 +431,39 @@ object ManifestTable {
     })
   }
 
+  /** ALTER COLUMN refinements that are PURE METADATA — a comment, or
+    * RELAXING NOT NULL to nullable — as one metadata-only commit.
+    * Tightening to NOT NULL refuses by design: it is a data CLAIM over
+    * every committed file (and over every pre-ADD-COLUMN file, which
+    * reads the column as NULL unconditionally) — accepting it without
+    * a validation scan would let count(col) silently rewrite to
+    * count(*) over rows that are in fact null.
+    */
+  def updateColumnMeta(
+      dir: String, column: String,
+      comment: Option[String] = None, relaxNullable: Boolean = false): Long = {
+    require(comment.isDefined || relaxNullable, "nothing to change")
+    var committed = -1L
+    while (committed < 0) {
+      val cur = manifest(dir, None)
+      val schema = DataFrameSchema.fromJson(cur.schemaJson)
+      require(schema.fieldNames.contains(column), s"no such column: $column")
+      val m = cur.copy(version = cur.version + 1, parent = Some(cur.version),
+        txn = None, op = None,
+        schemaJson = StructType(schema.fields.map { f =>
+          if (f.name != column) f
+          else {
+            val withC = comment.fold(f)(c => f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata).putString("comment", c).build()))
+            if (relaxNullable) withC.copy(nullable = true) else withC
+          }
+        }).json)
+      committed = tryInstall(dir, m)
+    }
+    committed
+  }
+
   /** The metadata-only widening matrix — exact-value, order-preserving
     * conversions the parquet reader promotes natively.
     */
@@ -1075,8 +1108,14 @@ object ManifestTable {
       pByName.get(f.name) match {
         // the PARENT type wins on overlap: equal, or wider than an
         // upcast append's narrow frame (validateEvolution admitted it)
-        // — the committed schema must never narrow
-        case Some(pf) => f.copy(dataType = pf.dataType, nullable = pf.nullable || f.nullable)
+        // — the committed schema must never narrow. Parent field
+        // METADATA (column comments) carries too: incoming frames
+        // never declare it, and rebuilding from their bare fields
+        // would silently drop it on every append.
+        case Some(pf) =>
+          f.copy(dataType = pf.dataType, nullable = pf.nullable || f.nullable,
+            metadata = if (f.metadata == org.apache.spark.sql.types.Metadata.empty)
+              pf.metadata else f.metadata)
         case None => f.copy(nullable = true)
       }
     })

@@ -1760,6 +1760,38 @@ class GraftCatalogSpec extends SparkSpec {
     ).getMessage.contains("accept-additive"))
   }
 
+  test("column comments persist end-to-end; DROP NOT NULL relaxes; SET NOT NULL refuses") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graft.lake.ccmt (id BIGINT COMMENT 'the key', v DOUBLE)")
+    def commentOf(c: String): String =
+      spark.sql("DESCRIBE graft.lake.ccmt").collect()
+        .find(_.getString(0) == c).map(_.getString(2)).orNull
+    assert(commentOf("id") == "the key")
+    // an INSERT must not drop the metadata (appends rebuild the schema
+    // from the incoming frame's bare fields)
+    spark.sql("INSERT INTO graft.lake.ccmt SELECT id, CAST(id AS DOUBLE) FROM range(5)")
+    assert(commentOf("id") == "the key", "appends must carry column comments")
+    // ALTER COLUMN ... COMMENT is a metadata-only commit
+    val before = ManifestTable.manifest(mkTableDir("lake", "ccmt"), None)
+    spark.sql("ALTER TABLE graft.lake.ccmt ALTER COLUMN v COMMENT 'the value'")
+    assert(commentOf("v") == "the value")
+    assert(ManifestTable.manifest(mkTableDir("lake", "ccmt"), None).files == before.files)
+    // ADD COLUMN carries its comment too
+    spark.sql("ALTER TABLE graft.lake.ccmt ADD COLUMN tag STRING COMMENT 'a tag'")
+    assert(commentOf("tag") == "a tag")
+    // nullability: relaxing is metadata, tightening is a data claim
+    spark.sql("ALTER TABLE graft.lake.ccmt ALTER COLUMN v DROP NOT NULL")
+    // Spark's own analysis refuses the tighten before our handler can
+    // (and our handler refuses it as a data claim if reached directly)
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.lake.ccmt ALTER COLUMN v SET NOT NULL"))
+    assert(e.getMessage.contains("data claim") ||
+      e.getMessage.contains("non-nullable"), e.getMessage)
+    // time travel sees the pre-comment schema
+    assert(spark.sql(s"SELECT * FROM graft.lake.ccmt VERSION AS OF ${before.version}")
+      .schema("v").metadata.contains("comment") == false)
+  }
+
   test("CREATE TABLE ... COMMENT persists in the manifest and surfaces via properties") {
     warehouse: Unit
     spark.sql(

@@ -68,6 +68,39 @@ class WidenSpec extends graft.SparkSpec {
     assert(got == Seq(1L), "the widened row must be found through the pruned scan")
   }
 
+  test("decimal precision widen is metadata-only and exact") {
+    val dir = tmpDir("widen-dec").toString
+    val df = (1 to 50).map(i => (i.toLong, BigDecimal(i) * BigDecimal("1.25")))
+      .toDF("id", "amt")
+      .selectExpr("id", "CAST(amt AS DECIMAL(10,2)) AS amt")
+      .repartitionByRange(3, $"amt")
+    ManifestTable.commit(df, dir, track = Seq("amt"))
+    val before = ManifestTable.manifest(dir, None)
+    ManifestTable.widenColumn(dir, "amt", DecimalType(25, 2))
+    val m = ManifestTable.manifest(dir, None)
+    assert(m.files == before.files, "decimal widen must not touch any file entry")
+    assert(DataFrameSchema.fromJson(m.schemaJson)("amt").dataType == DecimalType(25, 2))
+    // narrow-file reads widen exactly; a value only the wide precision
+    // can hold appends fine
+    ManifestTable.commit(
+      spark.sql("SELECT CAST(99 AS BIGINT) AS id, " +
+        "CAST('123456789012345678901.50' AS DECIMAL(25,2)) AS amt"), dir, Seq("amt"))
+    val total = ManifestTable.snapshot(spark, dir)
+      .agg(sum($"amt")).head.getDecimal(0)
+    val want = (1 to 50).map(i => BigDecimal(i) * BigDecimal("1.25")).sum +
+      BigDecimal("123456789012345678901.50")
+    assert(BigDecimal(total) == want, s"got $total want $want")
+    // decimal stat strings parse exactly under the wide type: pruning
+    // on the widened tracked column opens only the overlapping era file
+    val got = ManifestTable.prunedScan(spark, dir, "amt",
+        lit(BigDecimal("2.00")), lit(BigDecimal("5.00")))
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got == (2 to 4).map(_.toLong), s"got $got")
+    val live = ManifestTable.livePaths(spark, dir, "amt",
+      lit(BigDecimal("2.00")), lit(BigDecimal("5.00")))
+    assert(live.size == 1, s"range-clustered narrow files must still prune: $live")
+  }
+
   test("unsafe retypes refuse loudly; bucket-source widen refuses") {
     val dir = tmpDir("widen-refuse").toString
     ManifestTable.commit(
