@@ -441,6 +441,60 @@ class GraftStreamReadSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("widen mid-stream fails loudly; a restart on the SAME checkpoint re-baselines onto the wide type, exactly-once") {
+    val _ = s"$warehouse/lake/wid" // forces catalog registration first
+    spark.sql("CREATE TABLE graftsr.lake.wid (id BIGINT, n INT) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graftsr.lake.wid SELECT id, CAST(id AS INT) FROM range(1, 11)")
+    val ckpt = tmpDir("sr-wid-ckpt")
+    val out = tmpDir("sr-wid-out").toString
+    def sinkRows(): Seq[(Long, Long)] = {
+      // pre-widen batches landed int files, post-widen long — the
+      // explicit wide schema reads both (the same parquet widening
+      // promotion the table itself leans on)
+      val wide = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType)))
+      spark.read.schema(wide).parquet(out).as[(Long, Long)].collect().toSeq.sorted
+    }
+    def drain(): Unit = {
+      val q = spark.readStream.table("graftsr.lake.wid").writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(sinkRows().map(_._1) == (1L to 10L))
+    // the widen lands while the stream is down, then appends only the
+    // wide type can hold
+    spark.sql("ALTER TABLE graftsr.lake.wid ALTER COLUMN n TYPE BIGINT")
+    spark.sql("INSERT INTO graftsr.lake.wid SELECT id, id + 5000000000 FROM range(11, 14)")
+    drain()
+    assert(sinkRows() == ((1L to 10L).map(i => (i, i)) ++
+      (11L to 13L).map(i => (i, i + 5000000000L))),
+      s"re-baselined restart must deliver exactly the unseen commits once: ${sinkRows()}")
+    drain()
+    assert(sinkRows().size == 13, "idle restart must re-deliver nothing")
+    // a widen of a CAPTURED column landing MID-RUN fails loudly (the
+    // parquet reader refuses narrowing long bytes into the captured
+    // int schema — never a silent truncation); the restart contract
+    // above is the recovery
+    spark.sql("CREATE TABLE graftsr.lake.wid2 (id BIGINT, n INT) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graftsr.lake.wid2 SELECT id, CAST(id AS INT) FROM range(1, 6)")
+    val q = startInto("sr_wid_live", "graftsr.lake.wid2", tmpDir("sr-wid-ckpt2"))
+    try {
+      q.processAllAvailable()
+      assert(memIds("sr_wid_live") == (1L to 5L))
+      spark.sql("ALTER TABLE graftsr.lake.wid2 ALTER COLUMN n TYPE BIGINT")
+      spark.sql("INSERT INTO graftsr.lake.wid2 SELECT id, id + 5000000000 FROM range(6, 8)")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = Option(e.getCause).map(_.toString).getOrElse(e.toString)
+      assert(msg.contains("PARQUET_COLUMN_DATA_TYPE_MISMATCH") || msg.contains("INT64"),
+        s"mid-run widen must fail loudly, got: $msg")
+    } finally q.stop()
+  }
+
   test("rename mid-stream fails the run; a restart on the SAME checkpoint re-baselines, exactly-once") {
     val dir = s"$warehouse/lake/ren" // (forces catalog registration first)
     spark.sql("CREATE TABLE graftsr.lake.ren (id BIGINT, v STRING) PARTITIONED BY (id)")
