@@ -199,9 +199,43 @@ object Sorting {
     // invisible to AQE's byte-based advisory; a user-specified N is
     // never coalesced. (Measured on the WAV-codec path: 32x-wide vs
     // single-core at the sf1 slope point.)
-    val n = base.sparkSession.sessionState.conf.numShufflePartitions
-    project(base.repartitionByRange(n, keys: _*)).sortWithinPartitions(keys: _*)
+    //
+    // TINY bases skip the exchange entirely: the range repartition's
+    // fixed machinery — a sampling job over the base plus a shuffle
+    // stage — costs ~0.3-0.5 s at the local job floor no matter how
+    // few partitions it lands (measured: the q63 r17 regression, where
+    // a 600 KB corpus paid 0.68-0.96 s through ANY range width vs
+    // 0.40 s projecting its single scan partition directly). Below the
+    // threshold: merge to ONE partition (narrow, no shuffle), local
+    // sort, then project — row-wise projection preserves order, so the
+    // single partition IS the total order, with zero exchange jobs.
+    // A non-file base whose stats are the default-huge guess simply
+    // takes the parallel path — the safe direction.
+    val spark = base.sparkSession
+    val bytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= Sorting.singleCoreBytes) {
+      project(base.coalesce(1).sortWithinPartitions(keys: _*))
+    } else {
+      // wide path, sized to the base's planning-time bytes at a far
+      // smaller per-partition target than AQE's 64 MB advisory (the
+      // projection multiplies per-byte cost ~50x); never above the
+      // session's shuffle parallelism. At the sf1 slope point (~6 MB
+      // of compressed text) this still lands near the full width —
+      // the single-core WAV-codec pass there was the r14 regression.
+      val cap = spark.sessionState.conf.numShufflePartitions
+      val target = 256L * 1024
+      val parts = (bytes + target - 1) / target
+      val n = math.max(2, if (parts > cap) cap else parts.toInt)
+      project(base.repartitionByRange(n, keys: _*)).sortWithinPartitions(keys: _*)
+    }
   }
+
+  /** Base-plan size below which [[projected]] runs single-partition:
+    * ~2 MB of compressed text projects in well under the fixed cost of
+    * a range exchange on the local job floor, and on a cluster a base
+    * this small never needed a fan-out.
+    */
+  private[graft] val singleCoreBytes: Long = 2L << 20
 }
 
 object Num {

@@ -19,10 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** SQL text for the z-value of two non-negative integer expressions
-    * over `bits` low bits each (values beyond 2^bits-1 fold into the
-    * top slice: callers clamp or mask first). Identical text in both
-    * dialects; fully parenthesized so precedence cannot differ.
+  /** SQL text for the z-value of two integer expressions over `bits`
+    * low bits each. Identical text in both dialects; fully
+    * parenthesized so precedence cannot differ.
     */
   def zValueSql(x: String, y: String, bits: Int): String = {
     require(bits >= 1 && bits <= 31, s"bits in [1,31]: $bits")
@@ -33,12 +32,24 @@ object Layout {
     * position i·n + j (round-robin), so `bits`·n stays within a signed
     * 64-bit value. Same engine/oracle-identical pure-integer SQL as
     * the 2-column form, which delegates here.
+    *
+    * Each column is SATURATING-CLAMPED into [0, 2^bits) before
+    * interleaving — a weakly-monotone coarsening, so the tiling
+    * property survives any input range: negatives collide at the
+    * origin slice (BELOW all positives, where a raw low-bit extract
+    * would wrap them above), beyond-range values collide at the top
+    * slice instead of wrapping mod 2^bits. Non-negative in-range data
+    * — the typical id/count/epoch track source — keeps full
+    * resolution. Layout-only either way: correctness never reads the
+    * z-value.
     */
   def zValueSqlN(cols: Seq[String], bits: Int): String = {
     val n = cols.length
     require(n >= 2, s"z-order needs at least 2 columns, got $n")
     require(bits >= 1 && bits * n <= 62, s"bits*cols must fit a long: $bits*$n")
-    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+    val mask = (1L << bits) - 1
+    val clamped = cols.map(c => s"GREATEST(LEAST(($c), $mask), 0)")
+    (for { i <- 0 until bits; (c, j) <- clamped.zipWithIndex } yield
       s"(((($c) >> $i) & 1) << ${i * n + j})").mkString("(", " + ", ")")
   }
 

@@ -408,8 +408,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // concurrent-writer race.
     locally {
       val cur = ManifestTable.manifest(dir, None)
-      var names = DataFrameSchema.fromJson(cur.schemaJson).fieldNames.toVector
+      var types: Vector[(String, org.apache.spark.sql.types.DataType)] =
+        DataFrameSchema.fromJson(cur.schemaJson).fields
+          .map(f => f.name -> f.dataType).toVector
+      def names = types.map(_._1)
       var retired = cur.retired.toSet
+      // the bucket envelope's hash domain is the track SOURCE's narrow
+      // type; follow the source name through in-batch renames so a
+      // rename-then-widen still hits the refusal
+      var bucketSrc: Set[String] = cur.track.map(TrackSpec.parse).collect {
+        case TrackSpec.Bucket(_, src) => src
+      }.toSet
       def requireFresh(n: String, what: String): Unit = {
         require(!n.startsWith("__") && n != GraftLakeTable.VersionColumn,
           s"ALTER TABLE $ident: column name $n is reserved ($what)")
@@ -419,19 +428,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"old files still hold bytes under it — pick a fresh name ($what)")
       }
       // simulate in APPLICATION order: all adds land first, then the rest
-      adds.foreach { f => requireFresh(f.name, "ADD COLUMN"); names :+= f.name }
+      adds.foreach { f => requireFresh(f.name, "ADD COLUMN"); types :+= (f.name -> f.dataType) }
       changes.foreach {
         case _: TableChange.AddColumn => ()
         case r: TableChange.RenameColumn =>
           val from = top(r.fieldNames, "renamed")
           require(names.contains(from), s"ALTER TABLE $ident: no such column: $from")
           requireFresh(r.newName, "RENAME COLUMN")
-          names = names.map(n => if (n == from) r.newName else n); retired += from
+          types = types.map { case (n, t) => (if (n == from) r.newName else n) -> t }
+          if (bucketSrc.contains(from)) bucketSrc = bucketSrc - from + r.newName
+          retired += from
         case d: TableChange.DeleteColumn =>
           val n = top(d.fieldNames, "dropped")
           require(names.contains(n), s"ALTER TABLE $ident: no such column: $n")
-          require(names.size > 1, s"ALTER TABLE $ident: cannot drop every column")
-          names = names.filterNot(_ == n); retired += n
+          require(types.size > 1, s"ALTER TABLE $ident: cannot drop every column")
+          types = types.filterNot(_._1 == n); retired += n
+        case t: TableChange.UpdateColumnType =>
+          val n = top(t.fieldNames, "retyped")
+          val from = types.collectFirst { case (`n`, dt) => dt }
+            .getOrElse(throw new IllegalArgumentException(
+              s"ALTER TABLE $ident: no such column: $n"))
+          require(ManifestTable.safeWiden(from, t.newDataType),
+            s"ALTER TABLE $ident: ALTER COLUMN $n TYPE: ${from.catalogString} -> " +
+              s"${t.newDataType.catalogString} is not a safe metadata-only widening " +
+              "(allowed: integral widening, float -> double, decimal precision " +
+              "widening at the same scale); use replace to restructure")
+          require(!bucketSrc.contains(n),
+            s"ALTER TABLE $ident: cannot widen $n: it is a bucket track source whose " +
+              "envelopes hold hash values of the narrow type; replace/re-cluster first")
+          types = types.map { case (m, dt) => m -> (if (m == n) t.newDataType else dt) }
+        case c: TableChange.UpdateColumnComment =>
+          val n = top(c.fieldNames, "commented")
+          require(names.contains(n), s"ALTER TABLE $ident: no such column: $n")
+        case nl: TableChange.UpdateColumnNullability =>
+          val n = top(nl.fieldNames, "relaxed")
+          require(names.contains(n), s"ALTER TABLE $ident: no such column: $n")
+          require(nl.nullable,
+            s"ALTER TABLE $ident: SET NOT NULL is a data claim over every committed " +
+              "file (pre-evolution files read added columns as NULL unconditionally); " +
+              "refused without a validation scan — rewrite (replace) into a NOT NULL " +
+              "definition instead")
         case _ => ()
       }
     }
@@ -1315,7 +1351,7 @@ final class GraftLakeScanBuilder(
     }
     val scan = parquetScan(paths)
     val lake = new GraftLakeScan(scan, spark, dir, m, options, pushed, dataRequired,
-      paths, parquetScan, fromBranch, onPlanned)
+      Some(paths), parquetScan, fromBranch, onPlanned)
     if (wantsVersion) {
       require(required.fields.last.name == GraftLakeTable.VersionColumn,
         s"metadata column ${GraftLakeTable.VersionColumn} must be required last, " +
@@ -1341,7 +1377,12 @@ final class GraftLakeScan(
     inner: Scan, spark: SparkSession, dir: String, m: ManifestTable.Manifest,
     options: CaseInsensitiveStringMap,
     pushed: Seq[Expression], required: StructType,
-    plannedPaths: Seq[String] = Nil,
+    /** Planning-time survivor files. `None` = no planning info (stats
+      * fall back to every live file); `Some(Nil)` = statically pruned
+      * to EMPTY — distinct on purpose: an empty scan must report zero
+      * rows, not the full table's exact count.
+      */
+    plannedPaths: Option[Seq[String]] = None,
     rebuild: Seq[String] => Scan = null,
     fromBranch: Option[String] = None,
     /** Re-fired with the NARROWED file list when a runtime filter
@@ -1361,6 +1402,14 @@ final class GraftLakeScan(
     * filter prunes the file list ([[filter]]).
     */
   @volatile private var current: Scan = inner
+
+  /** The CURRENT live file list — planning-time survivors, narrowed
+    * further when a runtime filter prunes ([[filter]]). Statistics
+    * read THIS, not the planning-time list, so the advertised cache
+    * invalidation (keyed on `current`) actually changes row/column
+    * stats after a runtime narrowing.
+    */
+  @volatile private var livePaths: Option[Seq[String]] = plannedPaths
 
   /** The delegated parquet scan (plan-inspection hook for specs). */
   private[graft] def underlying: Scan = current
@@ -1388,7 +1437,8 @@ final class GraftLakeScan(
       .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
 
   override def filter(filters: Array[Filter]): Unit = {
-    if (rebuild == null || plannedPaths.isEmpty) return
+    val planned = plannedPaths.getOrElse(Nil)
+    if (rebuild == null || planned.isEmpty) return
     val schema = DataFrameSchema.fromJson(m.schemaJson)
     def attr(n: String) =
       schema.fields.find(_.name == n).map(f =>
@@ -1409,10 +1459,11 @@ final class GraftLakeScan(
       val stats = m.files.map(f => f.path -> ManifestSkipping.Stats(
         dir, m.track, f.mins, f.maxs, ManifestSkipping.aliasesOf(m),
         fileSeq = f.seq, trackSince = m.trackSince)).toMap
-      ManifestSkipping.survivors(cond, plannedPaths, stats).foreach { s =>
-        if (s.length < plannedPaths.length) {
-          GraftLakeScan.lastRuntimePrune.set((plannedPaths.length, s.length))
+      ManifestSkipping.survivors(cond, planned, stats).foreach { s =>
+        if (s.length < planned.length) {
+          GraftLakeScan.lastRuntimePrune.set((planned.length, s.length))
           current = rebuild(s)
+          livePaths = Some(s)
           // keep the row-level op's removed() set in lockstep with what
           // the rewrite will actually read (see the param scaladoc)
           onPlanned(s)
@@ -1485,10 +1536,12 @@ final class GraftLakeScan(
         case _ => None
       }
     val live: Seq[ManifestTable.FileEntry] =
-      if (plannedPaths.nonEmpty) {
-        val keep = plannedPaths.toSet
-        m.files.filter(f => keep(f.path))
-      } else m.files
+      livePaths match {
+        // Some(Nil) keeps meaning EMPTY here — a statically-pruned-to-
+        // nothing scan reports zero rows, not the whole table's count
+        case Some(ps) => val keep = ps.toSet; m.files.filter(f => keep(f.path))
+        case None => m.files
+      }
     val exactRows = !m.hasMorDeletes
     val rowSum = live.map(_.rows).sum
     val aliases = ManifestSkipping.aliasesOf(m)

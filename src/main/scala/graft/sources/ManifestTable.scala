@@ -1109,13 +1109,21 @@ object ManifestTable {
         // the PARENT type wins on overlap: equal, or wider than an
         // upcast append's narrow frame (validateEvolution admitted it)
         // — the committed schema must never narrow. Parent field
-        // METADATA (column comments) carries too: incoming frames
-        // never declare it, and rebuilding from their bare fields
-        // would silently drop it on every append.
+        // METADATA merges OVER incoming rather than whole-object
+        // replacement: DataFrames commonly carry field metadata (ML
+        // attributes, source annotations), and letting a non-empty
+        // incoming object win would silently replace or drop the
+        // table's column comment on an ordinary append. Incoming keys
+        // the parent doesn't claim ride along; on conflict (notably
+        // "comment", the ALTER-TABLE-owned key) the parent wins.
         case Some(pf) =>
+          val merged =
+            if (f.metadata == org.apache.spark.sql.types.Metadata.empty) pf.metadata
+            else if (pf.metadata == org.apache.spark.sql.types.Metadata.empty) f.metadata
+            else new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).withMetadata(pf.metadata).build()
           f.copy(dataType = pf.dataType, nullable = pf.nullable || f.nullable,
-            metadata = if (f.metadata == org.apache.spark.sql.types.Metadata.empty)
-              pf.metadata else f.metadata)
+            metadata = merged)
         case None => f.copy(nullable = true)
       }
     })

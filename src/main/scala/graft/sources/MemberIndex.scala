@@ -305,7 +305,14 @@ object MemberIndex {
         case Some(hex) =>
           var k = 0
           var i = 0
-          while (i < hex.length) { k += Integer.bitCount(Character.digit(hex.charAt(i), 16)); i += 1 }
+          while (i < hex.length) {
+            val d = Character.digit(hex.charAt(i), 16)
+            // corrupt (non-hex) fingerprint: refuse like saturation —
+            // bitCount(-1) = 32 would silently inflate the fill count
+            // and feed a garbage NDV to the CBO
+            if (d < 0) return None
+            k += Integer.bitCount(d); i += 1
+          }
           if (k >= ix.bits) return None
           sum += -(ix.bits.toDouble / ix.probes) * math.log1p(-k.toDouble / ix.bits)
       }

@@ -40,6 +40,7 @@ object ZOrderFunction extends UnboundFunction {
   private final class Bound(in: StructType) extends ScalarFunction[java.lang.Long] {
     private val n = in.fields.length
     private val bits = 62 / n
+    private val mask = (1L << bits) - 1
     private val types = in.fields.map(_.dataType)
     override def inputTypes(): Array[DataType] = types
     override def resultType(): DataType = LongType
@@ -51,7 +52,7 @@ object ZOrderFunction extends UnboundFunction {
       var z = 0L
       var j = 0
       while (j < n) {
-        val v: Long =
+        val raw: Long =
           if (input.isNullAt(j)) 0L // nulls cluster together at the origin
           else types(j) match {
             case LongType => input.getLong(j)
@@ -59,6 +60,13 @@ object ZOrderFunction extends UnboundFunction {
             case ShortType => input.getShort(j).toLong
             case _ => input.getByte(j).toLong
           }
+        // saturating clamp into [0, 2^bits) — same weakly-monotone
+        // coarsening as [[graft.operators.Layout.zValueSqlN]]: raw
+        // low-bit extraction would put negatives (two's-complement
+        // high low-bits) ABOVE all positives and wrap values differing
+        // only beyond bit 62/n onto each other, degrading the tiling
+        // property for bigint keys with large or negative ranges
+        val v = if (raw < 0L) 0L else if (raw > mask) mask else raw
         var i = 0
         while (i < bits) { z |= ((v >> i) & 1L) << (i * n + j); i += 1 }
         j += 1

@@ -1323,6 +1323,80 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("graft.lake.atomalt").columns.toSeq == Seq("id", "kk"))
   }
 
+  test("multi-change ALTER pre-validates widen/comment/nullability too: no partial commit") {
+    warehouse: Unit
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    spark.sql("CREATE TABLE graft.lake.atomalt2 (id BIGINT, n INT, cat STRING)")
+    spark.sql("INSERT INTO graft.lake.atomalt2 VALUES (1, 2, 'a')")
+    val dir = mkTableDir("lake", "atomalt2")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = Identifier.of(Array("lake"), "atomalt2")
+    val vBefore = ManifestTable.latestVersion(dir).get
+    val schemaBefore = ManifestTable.manifest(dir, None).schemaJson
+    // a comment batched with an UNSAFE retype: neither may land
+    val e = intercept[Exception](cat.alterTable(ident,
+      TableChange.updateColumnComment(Array("id"), "the key"),
+      TableChange.updateColumnType(Array("cat"), LongType)))
+    assert(e.getMessage.contains("not a safe metadata-only widening"), e.getMessage)
+    assert(ManifestTable.latestVersion(dir).get == vBefore,
+      "the batched comment must not have committed")
+    assert(ManifestTable.manifest(dir, None).schemaJson == schemaBefore)
+    // an ADD batched with SET NOT NULL: the add must not land either
+    val e2 = intercept[Exception](cat.alterTable(ident,
+      TableChange.addColumn(Array("tag"), StringType),
+      TableChange.updateColumnNullability(Array("n"), false)))
+    assert(e2.getMessage.contains("data claim"), e2.getMessage)
+    assert(ManifestTable.latestVersion(dir).get == vBefore,
+      "the batched ADD COLUMN must not have committed")
+    // retyping a column renamed EARLIER in the same batch validates
+    // against the post-rename name, and a valid widen + comment batch
+    // applies as a whole
+    cat.alterTable(ident,
+      TableChange.renameColumn(Array("n"), "nn"),
+      TableChange.updateColumnType(Array("nn"), LongType),
+      TableChange.updateColumnComment(Array("nn"), "widened"))
+    val after = spark.table("graft.lake.atomalt2").schema
+    assert(after("nn").dataType == LongType)
+    assert(after("nn").metadata.getString("comment") == "widened")
+    // a bucket track source refuses the widen even behind its own
+    // in-batch rename — and the batched comment stays un-committed
+    spark.sql("CREATE TABLE graft.lake.atomalt3 (id INT, v STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO graft.lake.atomalt3 VALUES (7, 'x')")
+    val dir3 = mkTableDir("lake", "atomalt3")
+    val v3 = ManifestTable.latestVersion(dir3).get
+    val e3 = intercept[Exception](cat.alterTable(Identifier.of(Array("lake"), "atomalt3"),
+      TableChange.updateColumnComment(Array("v"), "val"),
+      TableChange.renameColumn(Array("id"), "key"),
+      TableChange.updateColumnType(Array("key"), LongType)))
+    assert(e3.getMessage.contains("bucket"), e3.getMessage)
+    assert(ManifestTable.latestVersion(dir3).get == v3, "nothing may have committed")
+  }
+
+  test("a statically-pruned-to-empty scan reports ZERO rows to the CBO, not the table's count") {
+    mkTable("lake", "emptyprune") // ids 1..1000, tracked on id
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // every file's id envelope tops out at 1000: the pushed filter
+      // prunes the survivor list to EMPTY, which must not be confused
+      // with "no planning info" (the full-table fallback)
+      val scan = spark.table("graft.lake.emptyprune").filter($"id" > 5000)
+      val stats = scan.queryExecution.optimizedPlan.collectLeaves().head.stats
+      assert(stats.rowCount.contains(BigInt(0)),
+        s"an empty scan must advertise 0 rows, got ${stats.rowCount}")
+      assert(scan.count() == 0)
+      // the non-empty path still reports the exact pruned-file row sum
+      val some = spark.table("graft.lake.emptyprune").filter($"id" <= 200)
+        .queryExecution.optimizedPlan.collectLeaves().head.stats
+      assert(some.rowCount.exists(rc => rc > 0 && rc < BigInt(1000)),
+        s"a pruned scan must report the survivor files' rows, got ${some.rowCount}")
+    } finally prev.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+      spark.conf.set("spark.sql.cbo.enabled", _))
+  }
+
   test("TBLPROPERTIES persist in the manifest: CTAS writes them, commits carry them, a fresh catalog reads them") {
     warehouse: Unit
     spark.sql(
@@ -1792,6 +1866,31 @@ class GraftCatalogSpec extends SparkSpec {
       .schema("v").metadata.contains("comment") == false)
   }
 
+  test("an append whose frame carries its own field metadata must not clobber the column comment") {
+    warehouse: Unit
+    import org.apache.spark.sql.types.{DoubleType, LongType, MetadataBuilder, StructField, StructType}
+    spark.sql("CREATE TABLE graft.lake.cmtm (id BIGINT COMMENT 'the key', v DOUBLE)")
+    spark.sql("INSERT INTO graft.lake.cmtm VALUES (1, 1.0)")
+    val dir = mkTableDir("lake", "cmtm")
+    // DataFrames commonly carry field metadata (ML attributes, source
+    // annotations) — including a DIFFERENT "comment" key; the table's
+    // ALTER-owned comment must survive an ordinary append, and the
+    // frame's foreign keys ride along instead of whole-object loss
+    val meta = new MetadataBuilder()
+      .putString("ml_attr", "numeric").putString("comment", "frame-side junk").build()
+    val base = spark.range(2).selectExpr("id + 10 AS id", "CAST(id AS DOUBLE) AS v")
+    val df = spark.createDataFrame(base.rdd, StructType(Seq(
+      StructField("id", LongType, nullable = true, metadata = meta),
+      StructField("v", DoubleType))))
+    ManifestTable.commit(df, dir, track = Nil)
+    val after = spark.table("graft.lake.cmtm").schema("id").metadata
+    assert(after.getString("comment") == "the key",
+      s"the persisted column comment must win over incoming frame metadata: $after")
+    assert(after.getString("ml_attr") == "numeric",
+      s"non-conflicting incoming metadata keys should carry: $after")
+    assert(spark.table("graft.lake.cmtm").count() == 3)
+  }
+
   test("CREATE TABLE ... COMMENT persists in the manifest and surfaces via properties") {
     warehouse: Unit
     spark.sql(
@@ -1989,6 +2088,34 @@ class GraftCatalogSpec extends SparkSpec {
         case None => spark.conf.unset(minKey)
       }
     }
+  }
+
+  test("zorder clamps each dimension: negatives sit at the origin slice, overflow saturates instead of wrapping") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val f = graft.sources.ZOrderFunction.bind(StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[java.lang.Long]]
+    def z(a: Long, b: Long): Long =
+      f.produceResult(org.apache.spark.sql.catalyst.InternalRow(a, b))
+    // raw low-bit two's-complement interleave would put -1 (all ones)
+    // ABOVE every positive; the clamp keeps negatives at the origin
+    assert(z(-1L, 0L) == z(0L, 0L))
+    assert(z(-1000L, 7L) <= z(5L, 7L), "negatives must sort below positives")
+    // values differing only above bit 31 saturate into the top slice
+    // instead of wrapping onto small values
+    val mask = (1L << 31) - 1
+    assert(z(Long.MaxValue, 0L) == z(mask, 0L), "overflow saturates at the top slice")
+    assert(z(Long.MaxValue, 0L) > z(1000L, 0L), "…never wraps below in-range values")
+    // monotone per dimension with the other fixed (the tiling property)
+    assert(z(3L, 9L) < z(300L, 9L) && z(4L, 2L) < z(4L, 60L))
+    // and the SQL maintenance form computes the identical value at the
+    // same bit budget — ingest-time and CALL-zorder clustering agree
+    val sqlZ = spark.sql("SELECT CAST(" +
+      graft.operators.Layout.zValueSqlN(Seq("5", "9"), 31) + " AS BIGINT)").head.getLong(0)
+    assert(sqlZ == z(5L, 9L), s"SQL form $sqlZ != function form ${z(5L, 9L)}")
+    val sqlNeg = spark.sql("SELECT CAST(" +
+      graft.operators.Layout.zValueSqlN(Seq("-8", "9"), 31) + " AS BIGINT)").head.getLong(0)
+    assert(sqlNeg == z(-8L, 9L), "the clamp must match in both forms")
   }
 
   test("write.distribution-mode=range applies to the CTAS initial load too") {

@@ -121,6 +121,21 @@ class MemberIndexSpec extends SparkSpec {
     assert(e3.getMessage.contains("bits >= 64"))
   }
 
+  test("NDV estimate: a corrupt (non-hex) fingerprint declines instead of inflating") {
+    val good = MemberIndex.Index(1L, "k", bits = 1024, probes = 3,
+      files = Map("f1" -> "00ff00ff", "f2" -> "0f0f0f0f"))
+    val est = MemberIndex.estimatedDistinct(good, Seq("f1", "f2"))
+    assert(est.exists(_ > 0), s"healthy fingerprints must estimate: $est")
+    // Character.digit('z', 16) == -1; Integer.bitCount(-1) == 32 would
+    // silently add 32 phantom set bits per bad char and feed a garbage
+    // NDV to the CBO — a corrupt sidecar must refuse like saturation
+    val corrupt = good.copy(files = good.files + ("f2" -> "zz0f0f0f"))
+    assert(MemberIndex.estimatedDistinct(corrupt, Seq("f1", "f2")).isEmpty,
+      "a non-hex fingerprint char must decline the estimate")
+    // an uncovered path still declines (partial sums understate)
+    assert(MemberIndex.estimatedDistinct(good, Seq("f1", "f3")).isEmpty)
+  }
+
   private def parseFiles(s: String): Map[String, String] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods

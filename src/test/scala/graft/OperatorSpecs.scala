@@ -1216,8 +1216,31 @@ class CoreSpec extends SparkSpec {
     def proj(df: org.apache.spark.sql.DataFrame) =
       df.withColumn("h", md5(concat_ws(":", $"k", $"i")))
     val viaOrderBy = proj(base).orderBy("k", "i").collect().toSeq
-    val viaProjected = graft.Sorting.projected(base, col("k"), col("i"))(proj).collect().toSeq
-    assert(viaProjected === viaOrderBy)
+    val projected = graft.Sorting.projected(base, col("k"), col("i"))(proj)
+    assert(projected.collect().toSeq === viaOrderBy)
+    // a base this small must take the exchange-free path: ONE partition,
+    // locally sorted (the range shuffle's fixed cost was the q63 r17
+    // regression) — row-wise projection preserves the order
+    assert(base.queryExecution.optimizedPlan.stats.sizeInBytes <= (2L << 20))
+    assert(projected.rdd.getNumPartitions == 1,
+      "a tiny base must sort without a range exchange")
+  }
+
+  test("Sorting.projected wide path: a big base fans out and still matches orderBy") {
+    // ~10 MB of planning-time bytes: well past the single-core
+    // threshold, so the range-partitioned parallel path engages
+    val base = spark.range(120000L)
+      .selectExpr("id * 7919 % 4999 AS k", "id AS i",
+        "repeat('x', 80) AS pad")
+    assert(base.queryExecution.optimizedPlan.stats.sizeInBytes > (2L << 20),
+      "test setup: the base must exceed the single-core threshold")
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("h", md5(concat_ws(":", $"k", $"i")))
+    val projected = graft.Sorting.projected(base, col("k"), col("i"))(proj)
+    assert(projected.rdd.getNumPartitions > 1,
+      "a big base must range-partition the projection across cores")
+    assert(projected.select("k", "i", "h").collect().toSeq ===
+      proj(base).orderBy("k", "i").select("k", "i", "h").collect().toSeq)
   }
 
   test("Tables.invalidate drops the cached listing so a rewritten dir is re-read") {
