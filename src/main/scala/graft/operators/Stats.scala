@@ -237,7 +237,26 @@ object Stats {
     * tables, or sample upstream, when that product bites). The 1-wide
     * result row unpivots map-only via stack().
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileImpl(df, cols, approxNdvRsd = None)
+
+  /** [[profile]] with SKETCHED distinct counts: `ndv` is HyperLogLog++
+    * (`approx_count_distinct` at `rsd` relative standard deviation)
+    * instead of the exact Expand-based multi-distinct. The 100 TB
+    * first-look shape: every stat — counts, HLL registers, numeric
+    * min/max — is an ordinary partially-aggregable function, so the
+    * whole profile is ONE map-side combine pass per scan with a
+    * 1-row-per-partition exchange and NO Expand (input × cols row
+    * multiplication) and NO per-column dedup shuffle (PlanSpecs pins
+    * the plan). Exact twin stays [[profile]]; q235 gates the sketch's
+    * error against it the q55 way.
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(rsd > 0 && rsd < 1, s"rsd in (0,1): $rsd")
+    profileImpl(df, cols, approxNdvRsd = Some(rsd))
+  }
+
+  private def profileImpl(df: DataFrame, cols: Seq[String], approxNdvRsd: Option[Double]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
     require(cols.distinct.size == cols.size, s"duplicate profile columns: $cols")
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -269,10 +288,14 @@ object Stats {
     // a second, UNEXPANDED single-scan aggregate (SortAggregate with an
     // empty grouping key degenerates to a fold — no sort, no expand)
     // cross-joined back as a 1-row broadcast side.
+    val ndvAgg: String => String = approxNdvRsd match {
+      case Some(rsd) => c => s"approx_count_distinct($c, $rsd)"
+      case None => c => s"count(DISTINCT $c)"
+    }
     val hashAggs = cols.flatMap { c =>
       Seq(
         s"CAST(count($c) AS BIGINT) AS `__nn_$c`",
-        s"CAST(count(DISTINCT $c) AS BIGINT) AS `__ndv_$c`") ++
+        s"CAST(${ndvAgg(c)} AS BIGINT) AS `__ndv_$c`") ++
         numExpr(c).map(e => Seq(
           s"CAST(min($e) AS DOUBLE) AS `__mnn_$c`", s"CAST(max($e) AS DOUBLE) AS `__mxn_$c`"))
           .getOrElse(Seq.empty)

@@ -644,6 +644,51 @@ object Analytics {
           Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")),
     ),
     Q(
+      "q235_profile_approx",
+      "Sketched column profiling — q110's 100 TB first-look twin: ndv " +
+        "via HyperLogLog++ (approx_count_distinct, rsd 2%) instead of " +
+        "the exact Expand-based multi-distinct, so every stat is an " +
+        "ordinary partially-aggregable function and the whole profile " +
+        "is ONE map-side combine pass with a 1-row-per-partition " +
+        "exchange — no input x cols Expand, no per-column dedup " +
+        "shuffle (PlanSpecs pins the plan). Sketch values are engine-" +
+        "specific, so the oracled output is the error GATE the q55 " +
+        "way: exact profile columns plus whether each column's HLL " +
+        "landed within 5% of its exact ndv.",
+      Some({
+        def entry(c: String, mn: String, mx: String, mns: String, mxs: String) = s"""
+          SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+            CAST(count(*) - count($c) AS BIGINT) AS n_null,
+            CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+            $mn AS min_num, $mx AS max_num, $mns AS min_str, $mxs AS max_str,
+            true AS ndv_within_5pct
+          FROM lineitem"""
+        def num(c: String) = entry(c, s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        def str(c: String) = entry(c, "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+        def ts(c: String) = entry(c, s"CAST(min(epoch_us($c)) AS DOUBLE)",
+          s"CAST(max(epoch_us($c)) AS DOUBLE)", "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+          str("l_returnflag"), ts("l_shipdate")).mkString(" UNION ALL ")
+      }),
+      (spark, dir) => {
+        val t = Tables(spark, dir).lineitem
+        val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+        // the sketch pass is the operator under test; the exact pass
+        // exists to PRICE it (the oracle hashes literal trues, so a
+        // drifting sketch fails the round gate). 5-row sides: broadcast.
+        val ap = graft.operators.Stats.profileApprox(t, cols, rsd = 0.02)
+          .select(col("col_name"), col("ndv").as("__andv"))
+        graft.operators.Stats.profile(t, cols)
+          .join(broadcast(ap), "col_name")
+          .select(col("col_name"), col("n"), col("n_null"), col("ndv"),
+            col("min_num"), col("max_num"), col("min_str"), col("max_str"),
+            (abs(col("__andv").cast("double") - col("ndv").cast("double"))
+              / col("ndv").cast("double") <= lit(0.05)).as("ndv_within_5pct"))
+      },
+    ),
+    Q(
       "q121_pagerank",
       "PageRank centrality over the part co-purchase graph (parts linked " +
         "when they share an order), 5 damped iterations in EXACT scaled-" +

@@ -290,4 +290,36 @@ class PlanSpecs extends SparkSpec {
     }
     assert(offenders.isEmpty, s"unexpected unbounded join shapes:\n${offenders.mkString("\n")}")
   }
+
+  test("profileApprox: no Expand, no dedup shuffle — every exchange carries 1-row partial states") {
+    val t = Tables(spark, dir).lineitem
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+    // rsd 2% against a 5% gate — the q235 configuration (2.5 sigma of
+    // headroom; the default 5% rsd measured 6.4% off on sf0.001
+    // l_orderkey, exactly the drift the gate exists to catch)
+    val ap = graft.operators.Stats.profileApprox(t, cols, rsd = 0.02)
+    val p = planString(ap)
+    // the exact profile pays input x cols through Expand (the standard
+    // multi-distinct cost); the sketched twin must NOT
+    assert(!p.contains("Expand"), s"profileApprox must not Expand:\n$p")
+    assert(p.contains("approx_count_distinct"), p)
+    // every shuffle is a SinglePartition rollup of per-partition
+    // partial states — nothing reshuffles input rows by value
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      .filterNot(_.contains("BroadcastExchange"))
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("SinglePartition")),
+      s"profileApprox exchanges must be 1-row partial rollups:\n${exchanges.mkString("\n")}")
+    // contrast pin: the exact twin DOES Expand (if Spark ever changes
+    // that, the q110-vs-q235 trade documentation is stale)
+    val exact = planString(graft.operators.Stats.profile(t, cols))
+    assert(exact.contains("Expand"), exact)
+    // and the sketch is honest: within 5% of exact on every column here
+    val got = ap.select("col_name", "ndv").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = graft.operators.Stats.profile(t, cols)
+      .select("col_name", "ndv").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cols.foreach { c =>
+      assert(math.abs(got(c).toDouble - want(c)) / math.max(1.0, want(c).toDouble) <= 0.05,
+        s"$c: approx ${got(c)} vs exact ${want(c)}")
+    }
+  }
 }
