@@ -2176,6 +2176,64 @@ object Storage {
         q
       },
     ),
+    Q(
+      "q236_zorder_write_mixed",
+      "Write-time z-order on NON-INTEGRAL dimensions: the table declares " +
+        "2-D clustering on a raw (timestamp, string) pair and every SQL " +
+        "INSERT clusters through the zorder function's monotone per-type " +
+        "surrogates (minutes-since-epoch for the timestamp, binary " +
+        "prefix for the string — graft.sources.ZOrderFunction), no " +
+        "integral pre-transform anywhere in the schema. The readback is " +
+        "the time-window x category corner every event table serves, and " +
+        "the query asserts it PRUNES files on both envelope dimensions. " +
+        "At 100 TB: (ts, region) ingest locality without maintaining a " +
+        "derived integer twin of every dimension.",
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(30,2)) * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-08 00:00:00' AND event_type = 'click'
+      """.trim),
+      (spark, dir) => {
+        val wh = graft.Artifacts.cached(s"zorder-write-mixed-warehouse:$dir") { w =>
+          spark.conf.set("spark.sql.catalog.graftzm", "graft.sources.GraftCatalog")
+          spark.conf.set("spark.sql.catalog.graftzm.warehouse", w)
+          new java.io.File(s"$w/lake").mkdirs()
+          Tables(spark, dir).events
+            .selectExpr("ts", "event_type AS etype",
+              "CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents")
+            .createOrReplaceTempView("zm_src")
+          spark.sql("CREATE TABLE graftzm.lake.zm (ts TIMESTAMP, etype STRING, cents BIGINT) " +
+            "PARTITIONED BY (ts, etype) TBLPROPERTIES(" +
+            "'write.distribution-mode'='zorder', 'write.target-file-bytes'='16384')")
+          spark.sql("INSERT INTO graftzm.lake.zm " +
+            "SELECT /*+ REPARTITION(8) */ * FROM zm_src"): Unit
+        }
+        spark.conf.set("spark.sql.catalog.graftzm", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftzm.warehouse", wh)
+        val q = spark.sql("""
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS cents
+          FROM graftzm.lake.zm
+          WHERE ts < TIMESTAMP '2024-01-08 00:00:00' AND etype = 'click'
+        """)
+        val total = ManifestTable.manifest(s"$wh/lake/zm", None).files.size
+        val scanned = q.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            (b.scan match {
+              case g: graft.sources.GraftLakeScan => g.underlying
+              case o => o
+            }) match {
+              case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+                p.fileIndex.inputFiles.length
+              case _ => 0
+            }
+        }.sum
+        assert(total < 2 || scanned < total,
+          s"the (ts, etype) corner must prune ingest-clustered files ($scanned of $total)")
+        q
+      },
+    ),
   )
 
   /** Built once per (session, sf dir): a star pair for the runtime-

@@ -199,9 +199,14 @@ private[sources] trait GraftWriteLayout extends RequiresDistributionAndOrdering 
     * FunctionCatalog) — range-partitions AND sorts every SQL write, so
     * each staged file's n-dimensional bounding box TILES the space
     * instead of spanning it: corner queries prune at ingest with no
-    * separate `CALL graft.system.zorder` pass. Refuses loudly (not a
-    * silent range fallback) when the declared layout cannot z-order —
-    * fewer than two source columns, or a non-integral one.
+    * separate `CALL graft.system.zorder` pass. Non-integral sources
+    * z-order through the function's monotone per-type surrogates
+    * (timestamps at minute grain, dates as epoch days, strings by
+    * binary prefix, float/double by IEEE total order — see
+    * [[ZOrderFunction]]), so a `(ts, region)` table clusters at ingest
+    * without pre-transforming. Refuses loudly (not a silent range
+    * fallback) when the declared layout cannot z-order — fewer than
+    * two source columns, or a type with no monotone surrogate.
     */
   private def zorderOrders: Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
@@ -209,13 +214,11 @@ private[sources] trait GraftWriteLayout extends RequiresDistributionAndOrdering 
     require(ks.length >= 2,
       s"${GraftWrites.DistributionModeProp}=zorder needs >= 2 tracked source " +
         s"columns, got [${ks.mkString(", ")}]")
-    ks.foreach(c => layoutSchema(c).dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
-      case dt => throw new IllegalArgumentException(
-        s"${GraftWrites.DistributionModeProp}=zorder: column $c is " +
-          s"${dt.catalogString}; z-ordering interleaves integral bits")
-    })
+    ks.foreach(c => require(ZOrderFunction.supported(layoutSchema(c).dataType),
+      s"${GraftWrites.DistributionModeProp}=zorder: column $c is " +
+        s"${layoutSchema(c).dataType.catalogString}; no monotone integral " +
+        "surrogate exists for this type (supported: integral, date, " +
+        "timestamp, string, float/double) — derive one in the schema and track that"))
     Array(Expressions.sort(
       Expressions.apply("zorder", ks.map(Expressions.column).toIndexedSeq: _*),
       SortDirection.ASCENDING))

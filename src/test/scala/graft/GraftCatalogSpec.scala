@@ -2077,11 +2077,52 @@ class GraftCatalogSpec extends SparkSpec {
         (0 until 65536).map(i => (i.toLong * 2654435761L) % 4096)
           .count(v => v / 64 < 8 && v % 64 < 8))
       // declared-but-impossible layouts refuse loudly at write time
-      spark.sql("CREATE TABLE graft.lake.distzbad (x BIGINT, s STRING) " +
-        "PARTITIONED BY (x, s) TBLPROPERTIES('write.distribution-mode'='zorder')")
+      // (booleans have no useful monotone surrogate; strings/timestamps
+      // DO z-order now — covered by the mixed-type test below)
+      spark.sql("CREATE TABLE graft.lake.distzbad (x BIGINT, b BOOLEAN) " +
+        "PARTITIONED BY (x, b) TBLPROPERTIES('write.distribution-mode'='zorder')")
       val e = intercept[Exception](
-        spark.sql("INSERT INTO graft.lake.distzbad VALUES (1, 'a')"))
+        spark.sql("INSERT INTO graft.lake.distzbad VALUES (1, true)"))
       assert(e.getMessage.contains("zorder"), e.getMessage)
+    } finally {
+      prevMin match {
+        case Some(v) => spark.conf.set(minKey, v)
+        case None => spark.conf.unset(minKey)
+      }
+    }
+  }
+
+  test("write.distribution-mode=zorder on a (timestamp, string) table: ingest clusters through the type surrogates, the corner query prunes") {
+    warehouse: Unit
+    val minKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val prevMin = spark.conf.getOption(minKey)
+    spark.conf.set(minKey, "4096")
+    try {
+      // a year of events across 16 regions, arriving hash-scattered:
+      // without clustering every file spans the whole (ts, region)
+      // plane. No integral pre-transform anywhere — the declared
+      // sources ARE the timestamp and the string.
+      spark.sql("CREATE TABLE graft.lake.distzts (ts TIMESTAMP, region STRING, v BIGINT) " +
+        "PARTITIONED BY (ts, region) TBLPROPERTIES(" +
+        "'write.distribution-mode'='zorder', 'write.target-file-bytes'='16384')")
+      spark.sql("INSERT INTO graft.lake.distzts " +
+        "SELECT timestamp_micros(CAST(1704067200000000 + ((id * 2654435761) % 31536000) * 1000000 AS BIGINT)) AS ts, " +
+        "concat('region-', lpad(CAST((id * 40503) % 16 AS STRING), 2, '0')) AS region, " +
+        "id AS v FROM range(40000) DISTRIBUTE BY id % 8")
+      val m = ManifestTable.manifest(mkTableDir("lake", "distzts"), None)
+      assert(m.files.size >= 2, s"need several files, got ${m.files.size}")
+      // corner: january x one region — both envelope dimensions must
+      // prune (the tiling property through the minute/prefix surrogates)
+      val corner = spark.sql(
+        "SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv FROM graft.lake.distzts " +
+          "WHERE ts < TIMESTAMP'2024-02-01 00:00:00Z' AND region = 'region-03'")
+      assert(scannedFiles(corner).size < m.files.size,
+        s"the (ts, region) corner must skip files (${scannedFiles(corner).size} of ${m.files.size})")
+      val want = (0L until 40000L)
+        .map(i => (1704067200L + (i * 2654435761L) % 31536000L, (i * 40503) % 16, i))
+        .filter { case (s, r, _) => s < 1706745600L && r == 3 }
+      assert(corner.head.getLong(0) == want.size.toLong)
+      assert(corner.head.getLong(1) == want.map(_._3).sum)
     } finally {
       prevMin match {
         case Some(v) => spark.conf.set(minKey, v)
