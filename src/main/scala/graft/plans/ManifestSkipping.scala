@@ -116,24 +116,55 @@ object ManifestSkipping extends PredicateHelper {
         * with the skippable all-null case, whose key is also absent).
         */
       fileSeq: Long = Long.MaxValue,
-      trackSince: Map[String, Long] = Map.empty) {
+      trackSince: Map[String, Long] = Map.empty,
+      /** Initial-default claims ([[ManifestTable.defaultSince]]):
+        * CURRENT column name -> (version the column was added in, its
+        * initial default as a stat string — None for NULL). A file
+        * with seq < added-in version physically misses the column and
+        * reads the initial default unconditionally, so it behaves as
+        * min = max = default (or all-null) for skipping — WITHOUT
+        * these claims every pre-add file is always scanned for
+        * predicates on the evolved column.
+        */
+      defaults: Map[String, (Long, Option[String])] = Map.empty) {
     private def keys(col: String): Seq[String] = col +: aliases.getOrElse(col, Nil)
     private def covered(cur: String): Boolean =
       trackSince.get(cur).forall(_ <= fileSeq)
+    /** `col` (possibly an era alias) resolved to its CURRENT name. */
+    private def currentOf(col: String): String =
+      if (defaults.contains(col) || track.contains(col)) col
+      else aliases.collectFirst {
+        case (cur, hs) if hs.contains(col) => cur }.getOrElse(col)
+    /** This file predates the column's ADD COLUMN commit: it reads the
+      * initial default unconditionally — a known-constant column.
+      */
+    private def preAdd(col: String): Boolean =
+      defaults.get(currentOf(col)).exists(_._1 > fileSeq)
     /** A column prunes if the CURRENT name is tracked (and this file
       * postdates the column's track-spec entry), or if it is a
       * historical alias of a tracked column (filters pushed under a
       * rename-era projection arrive in era names — those hit the old
-      * files' stat keys directly).
+      * files' stat keys directly), or — TRACKED OR NOT — if this file
+      * predates the column's ADD COLUMN commit: the initial default IS
+      * the envelope then, no commit-time stats required.
       */
     def tracked(col: String): Boolean =
-      (track.contains(col) && covered(col)) ||
+      preAdd(col) ||
+        (track.contains(col) && covered(col)) ||
         aliases.exists { case (cur, hs) =>
           hs.contains(col) && track.contains(cur) && covered(cur) }
     def mn(col: String): Option[String] =
-      keys(col).collectFirst { case k if rawMins.contains(k) => rawMins(k) }.flatten
+      keys(col).collectFirst { case k if rawMins.contains(k) => rawMins(k) } match {
+        case Some(raw) => raw
+        case None if preAdd(col) => defaults(currentOf(col))._2
+        case None => None
+      }
     def mx(col: String): Option[String] =
-      keys(col).collectFirst { case k if rawMaxs.contains(k) => rawMaxs(k) }.flatten
+      keys(col).collectFirst { case k if rawMaxs.contains(k) => rawMaxs(k) } match {
+        case Some(raw) => raw
+        case None if preAdd(col) => defaults(currentOf(col))._2
+        case None => None
+      }
   }
 
   /** The rename-alias map for `m`'s committed schema (empty for the
@@ -406,7 +437,8 @@ object ManifestSkipping extends PredicateHelper {
         ManifestTable.versions(dir).sorted.flatMap { v =>
           val m = ManifestTable.manifest(dir, Some(v))
           m.files.map(f => f.path -> Stats(dir, m.track, f.mins, f.maxs, aliasesOf(m),
-            fileSeq = f.seq, trackSince = m.trackSince))
+            fileSeq = f.seq, trackSince = m.trackSince,
+            defaults = ManifestTable.defaultSince(m)))
         }.toMap
       })
     }.toMap

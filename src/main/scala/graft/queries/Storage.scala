@@ -2234,6 +2234,83 @@ object Storage {
         q
       },
     ),
+    Q(
+      "q237_column_defaults",
+      "Column DEFAULT values as PURE METADATA (Iceberg v3's " +
+        "initial-default/write-default split on Spark 4's " +
+        "SUPPORT_COLUMN_DEFAULT_VALUE surface): an orders rollup gains " +
+        "region (DEFAULT 'emea') and flag (no default) via ADD COLUMN " +
+        "touching ZERO data files — every pre-add file reads the " +
+        "IMMUTABLE initial default natively in the parquet reader; " +
+        "INSERTs that omit the column fill the WRITE default at " +
+        "analysis; SET DEFAULT moves only future writes. The query also " +
+        "audits the pruning claim: pre-add files are known-constant " +
+        "'emea', so the region='apac' probe must skip them without any " +
+        "envelope. At 100 TB: backfilling a new dimension costs one " +
+        "O(files)-metadata commit, not a table rewrite.",
+      Some("""
+        WITH rws AS (
+          SELECT o_orderkey AS ok, 'emea' AS region, CAST(NULL AS BIGINT) AS flag
+          FROM orders
+          UNION ALL SELECT CAST(9000000001 AS BIGINT), 'apac', CAST(5 AS BIGINT)
+          UNION ALL SELECT CAST(9000000002 AS BIGINT), 'emea', CAST(NULL AS BIGINT)
+          UNION ALL SELECT CAST(9000000003 AS BIGINT), 'apac', CAST(NULL AS BIGINT)
+        )
+        SELECT region, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(flag) AS BIGINT) AS n_flag,
+               CAST(max(ok) AS BIGINT) AS max_ok
+        FROM rws GROUP BY region ORDER BY region
+      """.trim),
+      (spark, dir) => {
+        val wh = graft.Artifacts.cached(s"defaults-warehouse:$dir") { w =>
+          spark.conf.set("spark.sql.catalog.graftdf", "graft.sources.GraftCatalog")
+          spark.conf.set("spark.sql.catalog.graftdf.warehouse", w)
+          new java.io.File(s"$w/lake").mkdirs()
+          Tables(spark, dir).orders.selectExpr("o_orderkey AS ok")
+            .createOrReplaceTempView("df_src")
+          spark.sql("CREATE TABLE graftdf.lake.defs PARTITIONED BY (ok) AS " +
+            "SELECT /*+ REPARTITION_BY_RANGE(4, ok) */ ok FROM df_src")
+          val before = ManifestTable.manifest(s"$w/lake/defs", None)
+          spark.sql("ALTER TABLE graftdf.lake.defs " +
+            "ADD COLUMN region STRING DEFAULT 'emea'")
+          spark.sql("ALTER TABLE graftdf.lake.defs ADD COLUMN flag BIGINT")
+          val after = ManifestTable.manifest(s"$w/lake/defs", None)
+          assert(after.files == before.files,
+            "ADD COLUMN ... DEFAULT must be a metadata-only commit")
+          spark.sql("INSERT INTO graftdf.lake.defs VALUES (9000000001, 'apac', 5)")
+          spark.sql("INSERT INTO graftdf.lake.defs (ok) VALUES (9000000002)")
+          spark.sql("ALTER TABLE graftdf.lake.defs ALTER COLUMN region SET DEFAULT 'apac'")
+          spark.sql("INSERT INTO graftdf.lake.defs (ok) VALUES (9000000003)"): Unit
+        }
+        spark.conf.set("spark.sql.catalog.graftdf", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftdf.warehouse", wh)
+        // prune audit: the pre-add files are known-constant 'emea' on an
+        // UNTRACKED column (the claim comes from the added-in stamp, no
+        // envelope exists) — region = 'apac' must skip all of them
+        val probe = spark.sql(
+          "SELECT count(*) FROM graftdf.lake.defs WHERE region = 'apac'")
+        val total = ManifestTable.manifest(s"$wh/lake/defs", None).files.size
+        val scanned = probe.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            (b.scan match {
+              case g: graft.sources.GraftLakeScan => g.underlying
+              case o => o
+            }) match {
+              case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+                p.fileIndex.inputFiles.length
+              case _ => 0
+            }
+        }.sum
+        assert(scanned < total,
+          s"pre-add files must prune on the initial-default claim ($scanned of $total)")
+        spark.sql("""
+          SELECT region, CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(flag) AS BIGINT) AS n_flag,
+                 CAST(max(ok) AS BIGINT) AS max_ok
+          FROM graftdf.lake.defs GROUP BY region ORDER BY region
+        """)
+      },
+    ),
   )
 
   /** Built once per (session, sf dir): a star pair for the runtime-

@@ -88,6 +88,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) Array(Identifier.of(namespace, "zorder")) else Array.empty
 
+  /** Arms column DEFAULT values end-to-end: CREATE TABLE encodes them
+    * into the persisted schema's field metadata (Spark's analyzer does
+    * the encoding once this capability is on), INSERTs that omit a
+    * defaulted column fill the WRITE default in at analysis, ADD
+    * COLUMN ... DEFAULT stamps both the write default and the
+    * immutable INITIAL default pre-add files read — Iceberg v3's
+    * initial-default/write-default split, all pure metadata.
+    */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private var catName: String = "graft"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -362,10 +375,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(a.isNullable,
           s"ALTER TABLE $ident: new column ${a.fieldNames.head} must be nullable " +
             "(pre-evolution files have no value for it)")
-        val meta = Option(a.comment()).fold(
-          org.apache.spark.sql.types.Metadata.empty)(c =>
-          new org.apache.spark.sql.types.MetadataBuilder().putString("comment", c).build())
-        StructField(top(a.fieldNames, "added"), a.dataType, nullable = true, metadata = meta)
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        Option(a.comment()).foreach(mb.putString("comment", _))
+        // ADD COLUMN ... DEFAULT <v> (Iceberg v3's initial-default +
+        // write-default as pure metadata): CURRENT_DEFAULT carries the
+        // statement's SQL text (what future INSERTs that omit the
+        // column fill in — Spark's analyzer reads it off the table
+        // schema), EXISTS_DEFAULT the analyzer-folded literal (what
+        // every pre-add file reads for the column — applied natively
+        // by Spark's parquet readers, zero data I/O at any size). The
+        // fold to a literal happened at ANALYSIS, so v3's immutable-
+        // initial-default contract holds: later SET DEFAULTs move only
+        // CURRENT_DEFAULT.
+        Option(a.defaultValue()).foreach { dv =>
+          val lit = dv.getValue
+          require(lit != null,
+            s"ALTER TABLE $ident: DEFAULT for ${a.fieldNames.head} did not fold " +
+              "to a constant; only literal defaults are storable as metadata")
+          mb.putString(ManifestTable.CurrentDefaultKey,
+            Option(dv.getSql).getOrElse(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                lit.value, lit.dataType).sql))
+          mb.putString(ManifestTable.ExistsDefaultKey,
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              lit.value, lit.dataType).sql)
+        }
+        StructField(top(a.fieldNames, "added"), a.dataType, nullable = true,
+          metadata = mb.build())
     }
     // SET/UNSET TBLPROPERTIES batch into ONE metadata commit each (a
     // multi-key SET is atomic); vocabulary-validated eagerly so a bad
@@ -397,6 +433,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               "file (pre-evolution files read added columns as NULL unconditionally); " +
               "refused without a validation scan — rewrite (replace) into a NOT NULL " +
               "definition instead")
+        // ALTER COLUMN ... SET/DROP DEFAULT: the WRITE default only
+        // (CURRENT_DEFAULT); the initial default pre-add files read is
+        // immutable — see ManifestTable.updateColumnDefault
+        case u: TableChange.UpdateColumnDefaultValue => () =>
+          ManifestTable.updateColumnDefault(dir, top(u.fieldNames, "defaulted"),
+            GraftCatalog.defaultSqlOf(u)): Unit
         case other => unsupported(s"ALTER TABLE (${other.getClass.getSimpleName})")
       }
     // Pre-validate the WHOLE change set against the current snapshot so a
@@ -468,6 +510,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               "file (pre-evolution files read added columns as NULL unconditionally); " +
               "refused without a validation scan — rewrite (replace) into a NOT NULL " +
               "definition instead")
+        case u: TableChange.UpdateColumnDefaultValue =>
+          val n = top(u.fieldNames, "defaulted")
+          require(names.contains(n), s"ALTER TABLE $ident: no such column: $n")
+          GraftCatalog.defaultSqlOf(u): Unit // constant-or-refuse, eagerly
         case _ => ()
       }
     }
@@ -624,6 +670,27 @@ object GraftView {
 object GraftCatalog {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
+
+  /** The SET DEFAULT statement's SQL text from an
+    * UpdateColumnDefaultValue change; None = DROP DEFAULT (Spark
+    * signals it with a null/empty default). The text must be a
+    * CONSTANT — validated eagerly so a bad SET DEFAULT fails the
+    * whole ALTER, not the next INSERT.
+    */
+  private[sources] def defaultSqlOf(
+      u: org.apache.spark.sql.connector.catalog.TableChange.UpdateColumnDefaultValue)
+      : Option[String] = {
+    val sql = Option(u.newCurrentDefault()).flatMap(d => Option(d.getSql))
+      .orElse(Option(u.newDefaultValue()))
+      .map(_.trim).filter(_.nonEmpty)
+    sql.foreach { s =>
+      val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(s)
+      require(parsed.foldable,
+        s"SET DEFAULT $s: only constant defaults are supported (the value is " +
+          "stored as table metadata and filled in at INSERT analysis)")
+    }
+    sql
+  }
 
   /** The TBLPROPERTIES the USER wrote, split from the bookkeeping keys
     * Spark folds into the same map on CREATE (provider/location/owner
@@ -1325,7 +1392,8 @@ final class GraftLakeScanBuilder(
         val stats = m.files.map(f =>
           f.path -> ManifestSkipping.Stats(
             dir, m.track, f.mins, f.maxs, ManifestSkipping.aliasesOf(m),
-            fileSeq = f.seq, trackSince = m.trackSince)).toMap
+            fileSeq = f.seq, trackSince = m.trackSince,
+            defaults = ManifestTable.defaultSince(m))).toMap
         ManifestSkipping.survivors(cond, all, stats).getOrElse(all)
       case _ => all
     }
@@ -1458,7 +1526,8 @@ final class GraftLakeScan(
     conds.reduceOption(And).foreach { cond =>
       val stats = m.files.map(f => f.path -> ManifestSkipping.Stats(
         dir, m.track, f.mins, f.maxs, ManifestSkipping.aliasesOf(m),
-        fileSeq = f.seq, trackSince = m.trackSince)).toMap
+        fileSeq = f.seq, trackSince = m.trackSince,
+        defaults = ManifestTable.defaultSince(m))).toMap
       ManifestSkipping.survivors(cond, planned, stats).foreach { s =>
         if (s.length < planned.length) {
           GraftLakeScan.lastRuntimePrune.set((planned.length, s.length))

@@ -231,11 +231,114 @@ object ManifestTable {
         s"column name(s) ${ghost.mkString(", ")} are retired (renamed away or " +
           "dropped): old data files still physically hold bytes under them, and " +
           "re-adding the name would resurrect those bytes as the new column")
-      val m = cur.copy(version = cur.version + 1, parent = Some(cur.version), txn = None,
-        schemaJson = StructType(schema.fields ++ fields).json, op = None)
+      val v = cur.version + 1
+      // Stamp the commit version onto each added field (metadata key
+      // [[AddedInKey]]): every file with seq < v is KNOWN not to hold
+      // the column physically — it reads the INITIAL DEFAULT
+      // (EXISTS_DEFAULT metadata, applied natively by Spark's parquet
+      // readers; NULL when no DEFAULT clause) — which is what lets the
+      // skipping machinery prune pre-add files as constant-valued
+      // ([[defaultSince]]) instead of always scanning them. The stamp
+      // rides the field like a comment: renames carry it, time travel
+      // sees the era's own claims, drops retire it.
+      val stamped = fields.map(f => f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(AddedInKey, v).build()))
+      val m = cur.copy(version = v, parent = Some(cur.version), txn = None,
+        schemaJson = StructType(schema.fields ++ stamped).json, op = None)
       committed = tryInstall(dir, m)
     }
     committed
+  }
+
+  /** Field-metadata key recording the manifest version an evolved
+    * column was ADDED in ([[addColumns]]).
+    */
+  private[graft] val AddedInKey = "graft.added-in"
+
+  /** ALTER COLUMN ... SET/DROP DEFAULT as a METADATA-ONLY commit: the
+    * WRITE default (Spark's CURRENT_DEFAULT metadata key — what an
+    * INSERT that omits the column fills in from now on) changes; the
+    * INITIAL default (EXISTS_DEFAULT — what pre-add files read) is
+    * immutable by design, exactly Iceberg v3's write-default vs
+    * initial-default split: files already committed without the column
+    * physically were promised the initial value at add time, and
+    * moving that target retroactively would rewrite visible history
+    * without touching a byte.
+    */
+  def updateColumnDefault(dir: String, column: String, newSql: Option[String]): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val cur = manifest(dir, None)
+      val schema = DataFrameSchema.fromJson(cur.schemaJson)
+      require(schema.fieldNames.contains(column), s"no such column: $column")
+      val m = cur.copy(version = cur.version + 1, parent = Some(cur.version),
+        txn = None, op = None,
+        schemaJson = StructType(schema.fields.map { f =>
+          if (f.name != column) f
+          else {
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            newSql match {
+              case Some(sql) => mb.putString(CurrentDefaultKey, sql)
+              case None => mb.remove(CurrentDefaultKey)
+            }
+            f.copy(metadata = mb.build())
+          }
+        }).json)
+      committed = tryInstall(dir, m)
+    }
+    committed
+  }
+
+  private[graft] val CurrentDefaultKey =
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
+  private[graft] val ExistsDefaultKey =
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY
+
+  /** Initial-default pruning claims from `m`'s committed schema:
+    * current column name -> (version the column was added in, its
+    * initial default as a STAT STRING — None for a NULL initial
+    * default). A file with seq < added-in version is known-constant on
+    * that column (it reads the initial default unconditionally), so
+    * the skipping machinery may treat it as min = max = default —
+    * or as all-null when the default is NULL. A default whose literal
+    * fails to render declines the CLAIM (column omitted, file always
+    * scanned) rather than risking an unsound all-null reading.
+    */
+  private[graft] def defaultSince(m: Manifest): Map[String, (Long, Option[String])] = {
+    val schema = DataFrameSchema.fromJson(m.schemaJson)
+    schema.fields.iterator.flatMap { f =>
+      if (!f.metadata.contains(AddedInKey)) None
+      else {
+        val v = f.metadata.getLong(AddedInKey)
+        if (!f.metadata.contains(ExistsDefaultKey)) Some(f.name -> (v, None))
+        else scala.util.Try {
+          f.name -> (v, Some(statStringOfLiteral(
+            f.metadata.getString(ExistsDefaultKey), f.dataType)))
+        }.toOption.filter(_._2._2.isDefined) // null/unparseable: no claim
+      }
+    }.toMap
+  }
+
+  /** Render a constant-foldable SQL literal as the stat-string form
+    * the skipping machinery's castStat parses (timestamps as epoch
+    * micros, strings raw, everything else through Spark's cast).
+    */
+  private def statStringOfLiteral(
+      sqlText: String, dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types._
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sqlText)
+    require(parsed.foldable, s"initial default is not a constant: $sqlText")
+    val v = Cast(parsed, dt, tz).eval(null)
+    require(v != null, s"initial default renders null: $sqlText")
+    dt match {
+      case TimestampType | TimestampNTZType => v.toString // epoch micros
+      case _ => Cast(Literal(v, dt), StringType, tz).eval(null).toString
+    }
   }
 
   /** TRACK-SPEC EVOLUTION as a METADATA-ONLY commit (Iceberg's
