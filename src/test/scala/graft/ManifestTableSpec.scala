@@ -1565,6 +1565,8 @@ class ManifestTableSpec extends SparkSpec {
     case object ToggleMode extends Op
     case class MorUpdate(lo: Long, hi: Long, add: Long) extends Op
     case object Widen extends Op
+    case class SqlInsert(rows: Map[Long, Long]) extends Op
+    case class MergeEvolve(rows: Map[Long, Long]) extends Op
 
     val rowsGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 999L)))
     val opGen: Gen[Op] = Gen.frequency(
@@ -1617,7 +1619,19 @@ class ManifestTableSpec extends SparkSpec {
       // STARTS int and widens to long once — every later op (and the
       // per-op scan-vs-prune audit + riding CDF consumer) must stay
       // model-exact across narrow-era files read under the wide type
-      2 -> Gen.const(Widen))
+      2 -> Gen.const(Widen),
+      // the SQL write path mid-sequence: the INSERT faces whatever
+      // write.distribution-mode ToggleMode last cycled to (none/hash/
+      // range/zorder) — clustered modes must land model-exact files,
+      // and a zorder layout the track spec cannot express (< 2 source
+      // columns) must REFUSE the statement, not silently fall back
+      2 -> rowsGen.map(SqlInsert(_)),
+      // MERGE WITH SCHEMA EVOLUTION mid-sequence (accept-additive):
+      // the source carries a NEW column, the merge adds it + updates/
+      // inserts in one statement, the op audits the evolved values and
+      // then drops the column — adds/updates/drop all interleave with
+      // renames, widening, MoR deltas, and the riding CDF consumer
+      2 -> rowsGen.map(MergeEvolve(_)))
     val seqGen = Gen.choose(3, 7).flatMap(n => Gen.listOfN(n, opGen))
 
     (0 until 6).foreach { trial =>
@@ -1627,11 +1641,29 @@ class ManifestTableSpec extends SparkSpec {
       // seeds) — even trials splice one in mid-sequence, so the widen
       // interleaves with whatever surrounds it while the model audit
       // stays deterministic
-      val ops = if (trial % 2 == 0) {
-        val (a, b) = drawn.splitAt(drawn.size / 2)
-        a ++ (Widen +: b)
-      } else drawn
-      val dir = freshDir()
+      val ops = {
+        val spliced = if (trial % 2 == 0) {
+          val (a, b) = drawn.splitAt(drawn.size / 2)
+          a ++ (Widen +: b)
+        } else drawn
+        // same guaranteed-coverage argument for the SQL-path ops: odd
+        // trials splice one SqlInsert + one MergeEvolve mid-sequence
+        // (keys stay inside the 0..30 model domain the prune audits
+        // assume), so the catalog write path and the additive MERGE
+        // face every seed's surrounding op mix
+        if (trial % 2 == 1) {
+          val (a, b) = spliced.splitAt(spliced.size / 2)
+          a ++ (SqlInsert(Map(7L -> 111L, 21L -> 222L)) +:
+            MergeEvolve(Map(3L -> 333L, 29L -> 444L)) +: b)
+        } else spliced
+      }
+      // the table lives under a warehouse layout so the SQL ops
+      // (SqlInsert / MergeEvolve) address the SAME manifest through the
+      // catalog that the API ops hit directly
+      val base = freshDir()
+      val dir = s"$base/lake/t"
+      spark.conf.set("spark.sql.catalog.fuzzcat", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.fuzzcat.warehouse", base)
       // model: multiset of (k, v) rows; commits APPEND (dup keys legal
       // in the table), deletes drop matching rows, merges upsert by key
       var model = Vector.empty[(Long, Long)]
@@ -1642,6 +1674,7 @@ class ManifestTableSpec extends SparkSpec {
       var trackStage = 0 // 0: only k; 1: +identity curVal; 2: +truncate(8,k); 3: +truncate(16,curVal)
       var expectedProps = Map.empty[String, String]
       var modeN = 0
+      var evolveN = 0
       def auditProps(): Unit = if (history.nonEmpty) {
         val got = ManifestTable.manifest(dir, None).props
         assert(got == expectedProps,
@@ -1827,6 +1860,58 @@ class ManifestTableSpec extends SparkSpec {
             org.apache.spark.sql.types.LongType)
           widened = true
           history :+= (v, model)
+        case SqlInsert(rows) if history.nonEmpty && rows.nonEmpty =>
+          df(rows).createOrReplaceTempView("fuzz_sql_src")
+          val srcCols = ManifestTable.manifest(dir, None).track
+            .map(graft.sources.TrackSpec.parse(_).source).distinct
+          val zorderImpossible =
+            expectedProps.get("write.distribution-mode").contains("zorder") &&
+              srcCols.size < 2
+          if (zorderImpossible) {
+            val e = intercept[Exception](
+              spark.sql("INSERT INTO fuzzcat.lake.t SELECT * FROM fuzz_sql_src"))
+            assert(e.getMessage.contains("zorder"), s"trial $trial: ${e.getMessage}")
+          } else {
+            spark.sql("INSERT INTO fuzzcat.lake.t SELECT * FROM fuzz_sql_src")
+            model = model ++ rows.toVector
+            history :+= (ManifestTable.latestVersion(dir).get, model)
+          }
+        case MergeEvolve(rows) if history.nonEmpty && rows.nonEmpty =>
+          evolveN += 1
+          val extra = s"e_$evolveN" // retired each round, never reused
+          if (!expectedProps.contains("write.schema.accept-additive")) {
+            expectedProps += ("write.schema.accept-additive" -> "true")
+            val pv = ManifestTable.setProperties(dir, expectedProps)
+            history :+= (pv, model)
+          }
+          val src = rows.toSeq.map { case (k, x) => (k, x, k * 7 + evolveN) }
+            .toDF("k", curVal, extra)
+          (if (widened) src else src.withColumn(curVal, col(curVal).cast("int")))
+            .createOrReplaceTempView("fuzz_mrg_src")
+          spark.sql("MERGE WITH SCHEMA EVOLUTION INTO fuzzcat.lake.t t " +
+            "USING fuzz_mrg_src s ON t.k = s.k " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+          // SQL MERGE updates EVERY matching row (dup-key groups keep
+          // their multiplicity, all updated); unmatched source keys
+          // insert once
+          val keys = rows.keySet
+          val existing = model.map(_._1).toSet
+          model = model.map { case (k, x) => if (keys(k)) (k, rows(k)) else (k, x) } ++
+            rows.toVector.filterNot { case (k, _) => existing(k) }
+          history :+= (ManifestTable.latestVersion(dir).get, model)
+          // audit the EVOLVED column before dropping it: touched rows
+          // carry the source value, untouched rows read NULL (additive
+          // evolution fills pre-existing files with NULL)
+          val got = ManifestTable.snapshot(spark, dir)
+            .selectExpr("k", s"$extra AS e").collect()
+            .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          got.foreach { case (k, e) =>
+            val want = if (keys(k)) Some(k * 7 + evolveN) else None
+            assert(e == want, s"trial $trial: evolved column $extra at k=$k: " +
+              s"got $e want $want")
+          }
+          spark.sql(s"ALTER TABLE fuzzcat.lake.t DROP COLUMN $extra")
+          history :+= (ManifestTable.latestVersion(dir).get, model)
         case ToggleMode if history.nonEmpty =>
           modeN += 1
           val mode = if (modeN % 2 == 1) "merge-on-read" else "copy-on-write"
@@ -1843,7 +1928,10 @@ class ManifestTableSpec extends SparkSpec {
       // every recorded version must read back as its model state —
       // snapshot isolation means later ops never disturb old versions
       history.foreach { case (v, want) =>
-        val got = ManifestTable.snapshot(spark, dir, asOf = Some(v))
+        // first two columns only: versions inside a MergeEvolve window
+        // carry the (later-dropped) evolved column as a third
+        val snap = ManifestTable.snapshot(spark, dir, asOf = Some(v))
+        val got = snap.select(snap.columns.take(2).map(col).toIndexedSeq: _*)
           .as[(Long, Long)].collect().toVector
         assert(got.sorted == want.sorted,
           s"trial $trial v=$v: got ${got.size} rows, want ${want.size} (ops: $ops)")
