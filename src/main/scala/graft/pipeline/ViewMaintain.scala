@@ -78,7 +78,12 @@ object ViewMaintain {
       .filter(!col(deletedCol)).drop(deletedCol)
 
     val fact2 = fact.join(touched, Seq(keyCol), "left_anti").unionByName(resolved)
-    val delta = resolved.join(dim, col(factJoinCol) === col(dimJoinCol))
+    // the dim side is the INVARIANT of the maintenance loop: broadcast
+    // it explicitly so every fold's delta join is a map-side hash probe
+    // with no dim-side shuffle, whatever the session threshold says
+    // (the view exists to amortize dim-join work to O(|Δ|); shuffling
+    // the dim per fold would charge O(|dim|) per batch anyway)
+    val delta = resolved.join(broadcast(dim), col(factJoinCol) === col(dimJoinCol))
     val view2 = view.join(touched, Seq(keyCol), "left_anti")
       .unionByName(delta.select(view.columns.map(col): _*))
     (fact2, view2)
@@ -101,9 +106,39 @@ object ViewMaintain {
     val factSchema = batches.head.drop(deletedCol)
     val emptyFact = factSchema.limit(0)
     val emptyView = factSchema.join(dim, col(factJoinCol) === col(dimJoinCol)).limit(0)
-    batches.foldLeft((emptyFact, emptyView)) { case ((f, v), b) =>
+    // Pin (localCheckpoint) every SECOND fold — the PageRank cadence
+    // ([[graft.operators.PageRank]] flattens every 8th hop), scaled to
+    // the deeper per-fold plan here (window + 3 keyed joins): each pin
+    // is an EAGER job paying the scheduler floor twice (fact + view),
+    // so pinning all k folds serializes 2k fixed costs; one unpinned
+    // level costs at most one bounded recompute of cheap keyed algebra
+    // (fact' feeds the next fold's semi + anti probes). Always pin the
+    // LAST fold so callers receive materialized, reusable state.
+    batches.zipWithIndex.foldLeft((emptyFact, emptyView)) { case ((f, v), (b, i)) =>
       val (f2, v2) = applyBatch(f, v, b, keyCol, seqCol, deletedCol, dim, factJoinCol, dimJoinCol)
-      (Lineage.pin(f2), Lineage.pin(v2))
+      if (i % 2 == 1 || i == batches.size - 1) pinPair(f2, v2)
+      else (f2, v2)
     }
+  }
+
+  /** Materialize the (fact, view) pair as ONE eager job: the view's
+    * columns are a superset of the fact's, so both states union into a
+    * single tagged frame, localCheckpoint once, and split back with
+    * two filters over the materialized partitions (no recompute). Each
+    * [[Lineage.pin]] is an eager job paying the scheduler floor; the
+    * maintenance loop's fixed cost is 2 jobs/fold pinned separately vs
+    * 1 here — at the local job floor that halves the serialized
+    * latency the fold can never parallelize away.
+    */
+  private def pinPair(f: DataFrame, v: DataFrame): (DataFrame, DataFrame) = {
+    val dimCols = v.columns.filterNot(f.columns.contains).toIndexedSeq
+    val fWide = f.select((f.columns.map(col).toIndexedSeq ++
+        dimCols.map(c => lit(null).cast(v.schema(c).dataType).as(c))): _*)
+      .withColumn("__state", lit(0))
+    val vWide = v.select((f.columns.map(col).toIndexedSeq ++ dimCols.map(col)): _*)
+      .withColumn("__state", lit(1))
+    val pinned = Lineage.pin(fWide.unionByName(vWide))
+    (pinned.filter(col("__state") === 0).select(f.columns.map(col).toIndexedSeq: _*),
+      pinned.filter(col("__state") === 1).select(v.columns.map(col).toIndexedSeq: _*))
   }
 }
