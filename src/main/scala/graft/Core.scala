@@ -200,30 +200,36 @@ object Sorting {
     // never coalesced. (Measured on the WAV-codec path: 32x-wide vs
     // single-core at the sf1 slope point.)
     //
-    // TINY bases skip the exchange entirely: the range repartition's
-    // fixed machinery — a sampling job over the base plus a shuffle
-    // stage — costs ~0.3-0.5 s at the local job floor no matter how
-    // few partitions it lands (measured: the q63 r17 regression, where
-    // a 600 KB corpus paid 0.68-0.96 s through ANY range width vs
-    // 0.40 s projecting its single scan partition directly). Below the
-    // threshold: merge to ONE partition (narrow, no shuffle), local
-    // sort, then project — row-wise projection preserves order, so the
-    // single partition IS the total order, with zero exchange jobs.
-    // A non-file base whose stats are the default-huge guess simply
-    // takes the parallel path — the safe direction.
+    // TRULY-TINY bases skip the exchange entirely: the range
+    // repartition's fixed machinery — a sampling job over the base
+    // plus a shuffle stage — buys nothing when the whole corpus is a
+    // few tens of KB. Below the threshold: merge to ONE partition
+    // (narrow, no shuffle), local sort, then project — row-wise
+    // projection preserves order, so the single partition IS the total
+    // order, with zero exchange jobs. A non-file base whose stats are
+    // the default-huge guess simply takes the parallel path — the safe
+    // direction. (The r18 first cut set this threshold at 2 MB chasing
+    // a WAV regression; the real cause was the codec trying AIFF/AU
+    // readers per row — exception construction per non-matching
+    // provider — fixed at the root in Multimodal.WavCodec, after which
+    // WIDE wins for every codec at a 600 KB corpus.)
     val spark = base.sparkSession
     val bytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes <= Sorting.singleCoreBytes) {
+    val threshold = spark.conf.get(
+      "spark.graft.projected.singleCoreBytes", Sorting.singleCoreBytes.toString).toLong
+    if (bytes <= threshold) {
       project(base.coalesce(1).sortWithinPartitions(keys: _*))
     } else {
-      // wide path, sized to the base's planning-time bytes at a far
+      // wide path, sized to the base's planning-time bytes at a FAR
       // smaller per-partition target than AQE's 64 MB advisory (the
-      // projection multiplies per-byte cost ~50x); never above the
-      // session's shuffle parallelism. At the sf1 slope point (~6 MB
-      // of compressed text) this still lands near the full width —
-      // the single-core WAV-codec pass there was the r14 regression.
+      // projection multiplies per-byte cost ~50x: real codec passes,
+      // JSON round trips); never above the session's shuffle
+      // parallelism. Measured at sf0.1 (600 KB of documents): PNG
+      // enc+dec 0.62 s at 1-way vs 0.36 s at 8-way — the fan-out pays
+      // for its exchange well below 1 MB of compressed text.
       val cap = spark.sessionState.conf.numShufflePartitions
-      val target = 256L * 1024
+      val target = spark.conf.get(
+        "spark.graft.projected.targetBytes", Sorting.targetBytesPerPartition.toString).toLong
       val parts = (bytes + target - 1) / target
       val n = math.max(2, if (parts > cap) cap else parts.toInt)
       project(base.repartitionByRange(n, keys: _*)).sortWithinPartitions(keys: _*)
@@ -231,11 +237,17 @@ object Sorting {
   }
 
   /** Base-plan size below which [[projected]] runs single-partition:
-    * ~2 MB of compressed text projects in well under the fixed cost of
-    * a range exchange on the local job floor, and on a cluster a base
+    * a corpus this small projects in less than the fixed cost of a
+    * range exchange on the local job floor, and on a cluster a base
     * this small never needed a fan-out.
     */
-  private[graft] val singleCoreBytes: Long = 2L << 20
+  private[graft] val singleCoreBytes: Long = 64L * 1024
+
+  /** The wide path's per-partition byte target — deliberately tiny
+    * next to AQE's 64 MB advisory because the projection behind this
+    * helper is 10-100x costlier per byte than the scan.
+    */
+  private[graft] val targetBytesPerPartition: Long = 64L * 1024
 }
 
 object Num {

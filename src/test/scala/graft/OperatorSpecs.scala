@@ -706,6 +706,37 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).head_sample === 65L)
   }
 
+  test("encodeWav is BIT-IDENTICAL to the javax.sound writer (the direct RIFF form replaced it for the AudioSystem global lock)") {
+    import javax.sound.sampled._
+    def jdkWav(samples: Array[Short], rate: Int): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val cases = Seq(
+      (Array[Short](), 8000),
+      (Array[Short](0, 1, -1, Short.MaxValue, Short.MinValue), 8000),
+      (Array.tabulate[Short](1000)(i => ((i * 37) % 65536 - 32768).toShort), 16000),
+      (Array[Short](65, 66, 67), 44100))
+    cases.foreach { case (s, r) =>
+      val ours = Multimodal.encodeWav(s, r)
+      val jdks = jdkWav(s, r)
+      assert(ours.toSeq == jdks.toSeq,
+        s"RIFF bytes diverged from javax.sound for n=${s.length} rate=$r")
+      // and the REAL javax.sound reader round-trips our bytes exactly
+      val dec = Multimodal.decodeWav(ours).get
+      assert(dec.samples.toSeq == s.toSeq && dec.sampleRate == r)
+    }
+  }
+
   test("REAL codec: multi-frame GIF round-trips every byte value 0..255 exactly (indexed gray is lossless)") {
     // 2 frames x 128 bytes covering the full byte range
     val f0 = Array.tabulate[Byte](128)(i => i.toByte)
