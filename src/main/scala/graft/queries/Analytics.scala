@@ -654,14 +654,17 @@ object Analytics {
         "shuffle (PlanSpecs pins the plan). Sketch values are engine-" +
         "specific, so the oracled output is the error GATE the q55 " +
         "way: exact profile columns plus whether each column's HLL " +
-        "landed within 5% of its exact ndv.",
+        "landed within 10% (2 sigma at the 5% rsd) of its exact ndv. " +
+        "One column per type class " +
+        "(numeric/string/timestamp) — the gate prices the SKETCH, not " +
+        "a second copy of q110's 5-way exact Expand.",
       Some({
         def entry(c: String, mn: String, mx: String, mns: String, mxs: String) = s"""
           SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
             CAST(count(*) - count($c) AS BIGINT) AS n_null,
             CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
             $mn AS min_num, $mx AS max_num, $mns AS min_str, $mxs AS max_str,
-            true AS ndv_within_5pct
+            true AS ndv_within_10pct
           FROM lineitem"""
         def num(c: String) = entry(c, s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)",
           "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
@@ -669,23 +672,22 @@ object Analytics {
           s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
         def ts(c: String) = entry(c, s"CAST(min(epoch_us($c)) AS DOUBLE)",
           s"CAST(max(epoch_us($c)) AS DOUBLE)", "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
-        Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
-          str("l_returnflag"), ts("l_shipdate")).mkString(" UNION ALL ")
+        Seq(num("l_orderkey"), str("l_returnflag"), ts("l_shipdate")).mkString(" UNION ALL ")
       }),
       (spark, dir) => {
         val t = Tables(spark, dir).lineitem
-        val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+        val cols = Seq("l_orderkey", "l_returnflag", "l_shipdate")
         // the sketch pass is the operator under test; the exact pass
         // exists to PRICE it (the oracle hashes literal trues, so a
         // drifting sketch fails the round gate). 5-row sides: broadcast.
-        val ap = graft.operators.Stats.profileApprox(t, cols, rsd = 0.02)
+        val ap = graft.operators.Stats.profileApprox(t, cols, rsd = 0.05)
           .select(col("col_name"), col("ndv").as("__andv"))
         graft.operators.Stats.profile(t, cols)
           .join(broadcast(ap), "col_name")
           .select(col("col_name"), col("n"), col("n_null"), col("ndv"),
             col("min_num"), col("max_num"), col("min_str"), col("max_str"),
             (abs(col("__andv").cast("double") - col("ndv").cast("double"))
-              / col("ndv").cast("double") <= lit(0.05)).as("ndv_within_5pct"))
+              / col("ndv").cast("double") <= lit(0.10)).as("ndv_within_10pct"))
       },
     ),
     Q(
