@@ -1243,16 +1243,18 @@ class CoreSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
 
   test("Sorting.projected produces exactly orderBy's row order, keys first to last") {
-    val base = (1L to 5000L).map(i => (i * 7919 % 4999, i)).toDF("k", "i")
+    val base = (1L to 2000L).map(i => (i * 7919 % 1999, i)).toDF("k", "i")
     def proj(df: org.apache.spark.sql.DataFrame) =
       df.withColumn("h", md5(concat_ws(":", $"k", $"i")))
     val viaOrderBy = proj(base).orderBy("k", "i").collect().toSeq
     val projected = graft.Sorting.projected(base, col("k"), col("i"))(proj)
     assert(projected.collect().toSeq === viaOrderBy)
-    // a base this small must take the exchange-free path: ONE partition,
-    // locally sorted (the range shuffle's fixed cost was the q63 r17
-    // regression) — row-wise projection preserves the order
-    assert(base.queryExecution.optimizedPlan.stats.sizeInBytes <= (2L << 20))
+    // a base under the single-core threshold must take the
+    // exchange-free path: ONE partition, locally sorted — row-wise
+    // projection preserves the order
+    assert(base.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      graft.Sorting.singleCoreBytes,
+      "test setup: the base must sit under the single-core threshold")
     assert(projected.rdd.getNumPartitions == 1,
       "a tiny base must sort without a range exchange")
   }

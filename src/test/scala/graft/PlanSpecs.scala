@@ -86,20 +86,28 @@ class PlanSpecs extends SparkSpec {
     assert(!p.contains("filter(tok"), p)
   }
 
-  test("q47: the range exchange for the sort samples the base scan, not the ext-JSON projection") {
-    // q47's plan is a single chain, so in toString everything after the
-    // range-partitioning exchange line is its child subtree. The ext-JSON
-    // kernels must appear only ABOVE the exchange (post-shuffle
-    // projection): below it they would be EXECUTED TWICE — once by the
-    // range-boundary sampling pass, once for real.
+  test("q47: the ext-JSON projection is never executed twice for sort placement") {
+    // Two legal shapes from Sorting.projected: a tiny base (this sf)
+    // takes the exchange-free path — Coalesce 1 + local Sort BELOW the
+    // projection, so there is no sampling pass at all; a big base
+    // range-partitions, where the ext-JSON kernels must appear only
+    // ABOVE the exchange (below it the range-boundary sampling pass
+    // would execute them a second time).
     val p = planString(q("q47_extended_json"))
     val at = p.indexOf("rangepartitioning")
-    assert(at >= 0, s"expected a range exchange in\n$p")
-    val above = p.substring(0, at)
-    val below = p.substring(at)
-    assert(above.contains("graft_ext_json"), s"kernels missing above the exchange\n$p")
-    assert(!below.contains("graft_ext_json"),
-      s"ext-JSON work below the range exchange (sampling would run it twice):\n$below")
+    if (at < 0) {
+      assert(p.contains("Coalesce 1"), s"expected the exchange-free tiny-base shape in\n$p")
+      val sortAt = p.indexOf("Sort [")
+      assert(sortAt >= 0, p)
+      assert(!p.substring(sortAt).contains("graft_ext_json"),
+        s"ext-JSON work below the local sort (projection must run once, post-sort):\n$p")
+    } else {
+      val above = p.substring(0, at)
+      val below = p.substring(at)
+      assert(above.contains("graft_ext_json"), s"kernels missing above the exchange\n$p")
+      assert(!below.contains("graft_ext_json"),
+        s"ext-JSON work below the range exchange (sampling would run it twice):\n$below")
+    }
   }
 
   test("q73: chunking is map-only — no exchange anywhere in the plan") {
@@ -262,6 +270,9 @@ class PlanSpecs extends SparkSpec {
       "q106_rrf_hybrid",        // same 1-row stats side inside its BM25 input list
       "q109_collocations",      // token/bigram totals: two broadcast 1-row aggregate sides
       "q110_profile",           // string min/max: a broadcast 1-row aggregate side
+      "q235_profile_approx",    // exact x sketch gate: both sides 3-row aggregates,
+                                // col_name keys constant-fold to literals so the
+                                // equi-join degenerates — bounded by construction
       "q130_basket_pairs",      // basket count: a broadcast 1-row aggregate side
       "q133_chi2_terms",        // corpus doc count: a broadcast 1-row aggregate side
       "q136_key_skew",          // summary stats: broadcast 1-row aggregate sides
