@@ -42,13 +42,21 @@ object Layout {
     * — the typical id/count/epoch track source — keeps full
     * resolution. Layout-only either way: correctness never reads the
     * z-value.
+    *
+    * NULL dimensions cluster at the ORIGIN slice: SQL GREATEST/LEAST
+    * SKIP nulls (so a bare clamp would map NULL to the mask — the TOP
+    * slice), while the write-time [[graft.sources.ZOrderFunction]]
+    * clusters NULL keys at the origin; COALESCE(c, 0) BEFORE the clamp
+    * keeps the SQL maintenance pass and ingest-time clustering
+    * agreeing on where nullable-dimension rows land, so a mixed
+    * ingest+maintain table doesn't scatter its bounding boxes.
     */
   def zValueSqlN(cols: Seq[String], bits: Int): String = {
     val n = cols.length
     require(n >= 2, s"z-order needs at least 2 columns, got $n")
     require(bits >= 1 && bits * n <= 62, s"bits*cols must fit a long: $bits*$n")
     val mask = (1L << bits) - 1
-    val clamped = cols.map(c => s"GREATEST(LEAST(($c), $mask), 0)")
+    val clamped = cols.map(c => s"GREATEST(LEAST(COALESCE(($c), 0), $mask), 0)")
     (for { i <- 0 until bits; (c, j) <- clamped.zipWithIndex } yield
       s"(((($c) >> $i) & 1) << ${i * n + j})").mkString("(", " + ", ")")
   }

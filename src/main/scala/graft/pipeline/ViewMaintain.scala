@@ -82,8 +82,18 @@ object ViewMaintain {
     // it explicitly so every fold's delta join is a map-side hash probe
     // with no dim-side shuffle, whatever the session threshold says
     // (the view exists to amortize dim-join work to O(|Δ|); shuffling
-    // the dim per fold would charge O(|dim|) per batch anyway)
-    val delta = resolved.join(broadcast(dim), col(factJoinCol) === col(dimJoinCol))
+    // the dim per fold would charge O(|dim|) per batch anyway). The
+    // hint is GATED on estimated dim size: an unconditional broadcast
+    // of a dim larger than driver/executor memory OOMs where the
+    // adaptive plan would shuffle — past the cap, fall back to the
+    // planner's choice (the delta side is O(|Δ|); with AQE it usually
+    // broadcasts the DELTA instead, which is the right inversion).
+    // Escape hatch: spark.graft.viewMaintain.broadcastDimBytes.
+    val capBytes = dim.sparkSession.conf
+      .get("spark.graft.viewMaintain.broadcastDimBytes", (256L << 20).toString).toLong
+    val dimSize = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    val dimSide = if (dimSize <= BigInt(capBytes)) broadcast(dim) else dim
+    val delta = resolved.join(dimSide, col(factJoinCol) === col(dimJoinCol))
     val view2 = view.join(touched, Seq(keyCol), "left_anti")
       .unionByName(delta.select(view.columns.map(col): _*))
     (fact2, view2)
@@ -132,13 +142,18 @@ object ViewMaintain {
     */
   private def pinPair(f: DataFrame, v: DataFrame): (DataFrame, DataFrame) = {
     val dimCols = v.columns.filterNot(f.columns.contains).toIndexedSeq
+    // collision-proof tag name: applyBatch accepts ARBITRARY frames
+    // (unlike catalog tables, where __ names are refused at create),
+    // so a fact that already carries "__state" must not be shadowed —
+    // suffix until free
+    val tag = Iterator.iterate("__state")(_ + "_").find(!v.columns.contains(_)).get
     val fWide = f.select((f.columns.map(col).toIndexedSeq ++
         dimCols.map(c => lit(null).cast(v.schema(c).dataType).as(c))): _*)
-      .withColumn("__state", lit(0))
+      .withColumn(tag, lit(0))
     val vWide = v.select((f.columns.map(col).toIndexedSeq ++ dimCols.map(col)): _*)
-      .withColumn("__state", lit(1))
+      .withColumn(tag, lit(1))
     val pinned = Lineage.pin(fWide.unionByName(vWide))
-    (pinned.filter(col("__state") === 0).select(f.columns.map(col).toIndexedSeq: _*),
-      pinned.filter(col("__state") === 1).select(v.columns.map(col).toIndexedSeq: _*))
+    (pinned.filter(col(tag) === 0).select(f.columns.map(col).toIndexedSeq: _*),
+      pinned.filter(col(tag) === 1).select(v.columns.map(col).toIndexedSeq: _*))
   }
 }

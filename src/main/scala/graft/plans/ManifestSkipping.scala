@@ -436,9 +436,11 @@ object ManifestSkipping extends PredicateHelper {
         // prune the exact files the rewrite exists to keep
         ManifestTable.versions(dir).sorted.flatMap { v =>
           val m = ManifestTable.manifest(dir, Some(v))
+          // hoisted: defaultSince re-parses the manifest schema JSON
+          // and re-folds default SQL — per MANIFEST, never per file
+          val defaults = ManifestTable.defaultSince(m)
           m.files.map(f => f.path -> Stats(dir, m.track, f.mins, f.maxs, aliasesOf(m),
-            fileSeq = f.seq, trackSince = m.trackSince,
-            defaults = ManifestTable.defaultSince(m)))
+            fileSeq = f.seq, trackSince = m.trackSince, defaults = defaults))
         }.toMap
       })
     }.toMap

@@ -396,9 +396,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             Option(dv.getSql).getOrElse(
               org.apache.spark.sql.catalyst.expressions.Literal(
                 lit.value, lit.dataType).sql))
-          mb.putString(ManifestTable.ExistsDefaultKey,
-            org.apache.spark.sql.catalyst.expressions.Literal(
-              lit.value, lit.dataType).sql)
+          // EXISTS_DEFAULT is re-parsed by EVERY future reader session
+          // (Spark's parquet reader for the data path, defaultSince for
+          // the pruning claim) — Literal.sql renders TIMESTAMP wall-
+          // clock under the ALTER session's TZ, so a reader in another
+          // TZ would reconstruct a DIFFERENT instant than the one the
+          // ALTER folded, drifting the claimed min=max envelope from
+          // the value the data path fills. Pin LTZ timestamps to an
+          // explicit-offset UTC rendering: parse-stable in any session.
+          val existsSql = lit.dataType match {
+            case org.apache.spark.sql.types.TimestampType =>
+              val utcWall = org.apache.spark.sql.catalyst.expressions.Cast(
+                org.apache.spark.sql.catalyst.expressions.Literal(lit.value, lit.dataType),
+                org.apache.spark.sql.types.StringType, Some("UTC")).eval(null)
+              s"TIMESTAMP '${utcWall}+00:00'"
+            case _ =>
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                lit.value, lit.dataType).sql
+          }
+          mb.putString(ManifestTable.ExistsDefaultKey, existsSql)
         }
         StructField(top(a.fieldNames, "added"), a.dataType, nullable = true,
           metadata = mb.build())
@@ -1389,11 +1405,15 @@ final class GraftLakeScanBuilder(
     val enabled = spark.conf.get("spark.graft.manifestSkipping.enabled", "true").toBoolean
     val paths = pushed.reduceOption(And) match {
       case Some(cond) if enabled =>
+        // per-manifest, not per-file: defaultSince parses schema JSON
+        // and folds default SQL (O(files) parses hoisted to O(1))
+        val defaults = ManifestTable.defaultSince(m)
+        val aliases = ManifestSkipping.aliasesOf(m)
         val stats = m.files.map(f =>
           f.path -> ManifestSkipping.Stats(
-            dir, m.track, f.mins, f.maxs, ManifestSkipping.aliasesOf(m),
+            dir, m.track, f.mins, f.maxs, aliases,
             fileSeq = f.seq, trackSince = m.trackSince,
-            defaults = ManifestTable.defaultSince(m))).toMap
+            defaults = defaults)).toMap
         ManifestSkipping.survivors(cond, all, stats).getOrElse(all)
       case _ => all
     }
@@ -1524,10 +1544,12 @@ final class GraftLakeScan(
     }
     val conds = filters.toSeq.flatMap(catalystOf)
     conds.reduceOption(And).foreach { cond =>
+      val defaults = ManifestTable.defaultSince(m) // hoisted: per-manifest parse
+      val aliases = ManifestSkipping.aliasesOf(m)
       val stats = m.files.map(f => f.path -> ManifestSkipping.Stats(
-        dir, m.track, f.mins, f.maxs, ManifestSkipping.aliasesOf(m),
+        dir, m.track, f.mins, f.maxs, aliases,
         fileSeq = f.seq, trackSince = m.trackSince,
-        defaults = ManifestTable.defaultSince(m))).toMap
+        defaults = defaults)).toMap
       ManifestSkipping.survivors(cond, planned, stats).foreach { s =>
         if (s.length < planned.length) {
           GraftLakeScan.lastRuntimePrune.set((planned.length, s.length))

@@ -296,6 +296,43 @@ object ManifestTable {
   private[graft] val ExistsDefaultKey =
     org.apache.spark.sql.catalyst.util.ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY
 
+  /** Field-metadata keys a write-side frame must NEVER inject into a
+    * table it is appended to: they are OWNED by this table's own ALTER
+    * history and are load-bearing for correctness, not annotation. A
+    * frame read from ANOTHER graft table (whose column was ADD
+    * COLUMN'd, or carries a DEFAULT) exposes [[AddedInKey]] /
+    * [[ExistsDefaultKey]] through its schema, and attribute metadata
+    * survives INSERT ... SELECT projection — so without stripping, an
+    * ordinary append would inject a FOREIGN added-in version into the
+    * target: target files with seq below it would then be claimed
+    * known-constant (or all-null) by [[defaultSince]] and silently
+    * pruned even though they physically hold real values. "comment" is
+    * ALTER-TABLE-owned for the same reason (annotation, not claims,
+    * but still this table's, not the source's). Inert keys (ML
+    * attributes, source annotations) still ride along.
+    */
+  private val OwnedMetadataKeys =
+    Seq(AddedInKey, CurrentDefaultKey, ExistsDefaultKey, "comment")
+
+  /** Strip table-owned metadata keys ([[OwnedMetadataKeys]]) from every
+    * field of an incoming write frame's schema — see the key list for
+    * why letting them ride along is a silent-wrong-results bug.
+    * `keepComment` is for CTAS/RTAS: the table is NEW, so there is no
+    * target comment to clobber and inheriting the source's column docs
+    * is the standard catalog behavior — only the CLAIM keys must go
+    * (a foreign added-in above the CTAS's own commit version would
+    * claim the staged files known-constant when they hold real values).
+    */
+  private[graft] def sanitizeIncoming(
+      schema: StructType, keepComment: Boolean = false): StructType = {
+    def strip(m: org.apache.spark.sql.types.Metadata) = {
+      val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(m)
+      OwnedMetadataKeys.filterNot(keepComment && _ == "comment").foreach(mb.remove)
+      mb.build()
+    }
+    StructType(schema.fields.map(f => f.copy(metadata = strip(f.metadata))))
+  }
+
   /** Initial-default pruning claims from `m`'s committed schema:
     * current column name -> (version the column was added in, its
     * initial default as a STAT STRING — None for a NULL initial
@@ -754,9 +791,14 @@ object ManifestTable {
     * REPLACE TABLE redefines, unlike INSERT OVERWRITE which carries).
     */
   private[sources] def installStagedDefinition(
-      spark: SparkSession, dir: String, schema: StructType, track: Seq[String],
+      spark: SparkSession, dir: String, rawSchema: StructType, track: Seq[String],
       props: Map[String, String], stage: String,
       allowCreate: Boolean, allowReplace: Boolean): Long = {
+    // the CTAS/RTAS schema is the QUERY's output schema — a SELECT
+    // from another graft table carries that table's claim metadata;
+    // keepComment: inheriting source column docs on a NEW table is
+    // fine, foreign added-in/default claims over seq-1 files are not
+    val schema = sanitizeIncoming(rawSchema, keepComment = true)
     validateDefinition(schema, track)
     validateProps(props)
     val files =
@@ -1179,8 +1221,12 @@ object ManifestTable {
         // replace starts clean: no old file, tombstone, or rename
         // chain survives (the content they applied to is gone) — but
         // table PROPERTIES are config, not content: INSERT OVERWRITE /
-        // TRUNCATE must not silently reset write.delete.mode
-        case None => Manifest(v, head, txn, schema.json, track,
+        // TRUNCATE must not silently reset write.delete.mode. The
+        // incoming schema is sanitized for the same reason as appends:
+        // a foreign graft.added-in HIGHER than this commit's v would
+        // claim the replace's own files (seq = v < foreign version)
+        // known-constant when they hold real values
+        case None => Manifest(v, head, txn, sanitizeIncoming(schema).json, track,
           newFiles.map(_.copy(seq = v)),
           props = head.map(h => manifest(dir, Some(h)).props).getOrElse(Map.empty))
       }
@@ -1202,8 +1248,13 @@ object ManifestTable {
     * fresh rows are never shadowed.
     */
   private def appendOnto(
-      parent: Manifest, schema: StructType, track: Seq[String],
+      parent: Manifest, rawSchema: StructType, track: Seq[String],
       newFiles: Seq[FileEntry], v: Long, txn: Option[String]): Manifest = {
+    // incoming frames never inject table-owned claim keys (see
+    // OwnedMetadataKeys — a foreign graft.added-in would mis-prune
+    // this table's own files); legitimately-NEW columns get a FRESH
+    // added-in stamp below, exactly like ALTER TABLE ADD COLUMN
+    val schema = sanitizeIncoming(rawSchema)
     validateEvolution(parent, schema, track)
     val pByName = DataFrameSchema.fromJson(parent.schemaJson)
       .fields.map(f => f.name -> f).toMap
@@ -1227,7 +1278,14 @@ object ManifestTable {
               .withMetadata(f.metadata).withMetadata(pf.metadata).build()
           f.copy(dataType = pf.dataType, nullable = pf.nullable || f.nullable,
             metadata = merged)
-        case None => f.copy(nullable = true)
+        // a column the parent lacks = append-evolution ADD: stamp the
+        // commit version so pre-add files (every live file — all have
+        // seq < v) carry the sound all-null pruning claim, the same
+        // claim addColumns stamps (no EXISTS_DEFAULT: appends can't
+        // declare a DEFAULT clause, so the initial default is NULL)
+        case None => f.copy(nullable = true, metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(AddedInKey, v).build())
       }
     })
     Manifest(v, Some(parent.version), txn, tableSchema.json, track,

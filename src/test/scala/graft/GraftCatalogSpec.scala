@@ -2157,6 +2157,16 @@ class GraftCatalogSpec extends SparkSpec {
     val sqlNeg = spark.sql("SELECT CAST(" +
       graft.operators.Layout.zValueSqlN(Seq("-8", "9"), 31) + " AS BIGINT)").head.getLong(0)
     assert(sqlNeg == z(-8L, 9L), "the clamp must match in both forms")
+    // NULL dimensions: GREATEST/LEAST SKIP nulls, so without the
+    // COALESCE a NULL would land at the TOP slice in the SQL form
+    // while produceResult clusters it at the origin — the maintenance
+    // pass and ingest-time clustering must agree on nullable keys
+    val sqlNull = spark.sql("SELECT CAST(" +
+      graft.operators.Layout.zValueSqlN(Seq("CAST(NULL AS BIGINT)", "9"), 31) +
+      " AS BIGINT)").head.getLong(0)
+    assert(sqlNull == f.produceResult(
+      org.apache.spark.sql.catalyst.InternalRow(null, 9L)),
+      "NULL dimension must cluster at the origin in BOTH forms")
   }
 
   test("write.distribution-mode=range applies to the CTAS initial load too") {

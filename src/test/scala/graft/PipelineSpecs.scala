@@ -204,4 +204,39 @@ class PipelineRunnerSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("collision"), e.getMessage)
   }
+
+  test("ViewMaintain: a fact payload named __state doesn't collide with the pin tag; oversized dims skip the broadcast hint") {
+    import spark.implicits._
+    import graft.pipeline.ViewMaintain
+    // applyBatch accepts ARBITRARY frames (catalog tables refuse __
+    // names, raw DataFrames don't): the internal pinPair tag must not
+    // shadow a user column literally named __state
+    val dim = Seq((10L, "x"), (20L, "y")).toDF("d_key", "d_name")
+    val batches = Seq(
+      Seq((1L, 10L, 7L, 0L, false), (2L, 20L, 8L, 0L, false))
+        .toDF("k", "fk", "__state", "seq", "deleted"),
+      Seq((1L, 20L, 9L, 1L, false))
+        .toDF("k", "fk", "__state", "seq", "deleted"),
+    )
+    val (fact, view) = ViewMaintain.foldBatches(
+      batches, "k", "seq", "deleted", dim, "fk", "d_key")
+    val gotFact = fact.select("k", "__state").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotFact === Set((1L, 9L), (2L, 8L)),
+      s"the user __state payload must survive the pin round-trip: $gotFact")
+    val gotView = view.select("k", "__state", "d_name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(gotView === Set((1L, 9L, "y"), (2L, 8L, "y")), gotView.toString)
+    // broadcast gating: under a tiny cap the delta join must NOT carry
+    // the explicit broadcast hint on the dim side (the planner decides)
+    val capKey = "spark.graft.viewMaintain.broadcastDimBytes"
+    spark.conf.set(capKey, "1")
+    try {
+      val (f2, v2) = ViewMaintain.applyBatch(fact, view, batches.last,
+        "k", "seq", "deleted", dim, "fk", "d_key")
+      // correctness unchanged either way
+      assert(v2.select("k", "__state", "d_name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet === gotView)
+    } finally spark.conf.unset(capKey)
+  }
 }

@@ -147,4 +147,106 @@ class DefaultsSpec extends SparkSpec {
     assert(f.metadata.getString("comment") == "count")
     assert(f.metadata.contains(ManifestTable.ExistsDefaultKey))
   }
+
+  test("appends never inject a FOREIGN table's claim metadata: INSERT ... SELECT from a defaulted table must not mis-prune the target") {
+    warehouse: Unit
+    // source table: column added with DEFAULT -> its schema carries
+    // graft.added-in + EXISTS_DEFAULT, and both survive SELECT
+    // projection as attribute metadata
+    spark.sql("CREATE TABLE gdef.lake.msrc (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdef.lake.msrc VALUES (1, 'a')")
+    spark.sql("ALTER TABLE gdef.lake.msrc ADD COLUMN region STRING DEFAULT 'emea'")
+    spark.sql("INSERT INTO gdef.lake.msrc VALUES (2, 'b', 'apac')")
+    // several more commits so the source's added-in version exceeds
+    // anything the target will have committed when the insert lands
+    (3 to 6).foreach(i => spark.sql(s"INSERT INTO gdef.lake.msrc VALUES ($i, 'x', 'apac')"))
+    // target table: the SAME column name holds REAL physical values
+    // from version 1 — no defaults ever declared
+    spark.sql("CREATE TABLE gdef.lake.mtgt (id BIGINT, v STRING, region STRING)")
+    spark.sql("INSERT INTO gdef.lake.mtgt VALUES (100, 'pre', 'latam')")
+    spark.sql("INSERT INTO gdef.lake.mtgt SELECT id, v, region FROM gdef.lake.msrc")
+    // the foreign claim keys must NOT be on the target schema: a
+    // ridden-along added-in would claim the target's v1 file (seq
+    // below the foreign version) known-constant 'emea' and silently
+    // prune it under region = 'latam'
+    val tf = DataFrameSchema
+      .fromJson(ManifestTable.manifest(dirOf("mtgt"), None).schemaJson)("region")
+    assert(!tf.metadata.contains(ManifestTable.AddedInKey),
+      "foreign graft.added-in must be stripped on append")
+    assert(!tf.metadata.contains(ManifestTable.ExistsDefaultKey),
+      "foreign EXISTS_DEFAULT must be stripped on append")
+    val latam = spark.sql("SELECT id FROM gdef.lake.mtgt WHERE region = 'latam'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(latam == Seq(100L), s"pre-append rows must survive: $latam")
+    // and CTAS from the defaulted source: the staged files hold REAL
+    // values at seq 1; a ridden-along added-in above 1 would claim
+    // them constant
+    spark.sql("CREATE TABLE gdef.lake.mctas AS SELECT * FROM gdef.lake.msrc")
+    val cf = DataFrameSchema
+      .fromJson(ManifestTable.manifest(dirOf("mctas"), None).schemaJson)("region")
+    assert(!cf.metadata.contains(ManifestTable.AddedInKey) &&
+      !cf.metadata.contains(ManifestTable.ExistsDefaultKey),
+      "CTAS must strip foreign claim metadata")
+    assert(spark.sql("SELECT count(*) FROM gdef.lake.mctas WHERE region = 'apac'")
+      .head.getLong(0) == 5L)
+  }
+
+  test("append-evolution ADD gets a FRESH added-in stamp: pre-add files prune as all-null") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE gdef.lake.aev (id BIGINT, v STRING) PARTITIONED BY (id)")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO gdef.lake.aev VALUES ($i, 'r$i')"))
+    // schema-evolving append (the DataFrame path, not ALTER): new
+    // column 'extra' arrives with the data
+    val df = spark.range(4, 5).selectExpr("id", "'r4' AS v", "42L AS extra")
+    ManifestTable.commit(df, dirOf("aev"), Seq("id"))
+    val f = DataFrameSchema
+      .fromJson(ManifestTable.manifest(dirOf("aev"), None).schemaJson)("extra")
+    assert(f.metadata.contains(ManifestTable.AddedInKey),
+      "append-evolution adds must stamp added-in like ALTER does")
+    // null-rejecting predicate: the 3 pre-add files are provably
+    // all-null on 'extra' and must skip
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val q = spark.sql("SELECT id FROM gdef.lake.aev WHERE extra > 0")
+    val scanned = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => (b.scan match {
+        case g: GraftLakeScan => g.underlying
+        case o => o
+      }) match {
+        case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+          p.fileIndex.inputFiles.length
+        case _ => 0
+      }
+    }.sum
+    assert(scanned == 1, s"pre-add files must prune as all-null: scanned $scanned of 4")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(4L))
+    assert(spark.sql("SELECT count(*) FROM gdef.lake.aev WHERE extra IS NULL")
+      .head.getLong(0) == 3L)
+  }
+
+  test("timestamp initial defaults are TZ-stable: the instant folded at ALTER survives a session TZ change") {
+    warehouse: Unit
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/Los_Angeles")
+      spark.sql("CREATE TABLE gdef.lake.tzd (id BIGINT)")
+      spark.sql("INSERT INTO gdef.lake.tzd VALUES (1)")
+      // folded under LA: denotes the instant 2020-06-01T19:00:00Z
+      spark.sql("ALTER TABLE gdef.lake.tzd ADD COLUMN ts TIMESTAMP " +
+        "DEFAULT TIMESTAMP '2020-06-01 12:00:00'")
+      val wantMicros = spark.sql("SELECT unix_micros(TIMESTAMP '2020-06-01 12:00:00')")
+        .head.getLong(0)
+      // a DIFFERENT session TZ re-parses EXISTS_DEFAULT; without the
+      // explicit-offset rendering the pre-add row would shift 7 hours
+      spark.conf.set(tzKey, "UTC")
+      val got = spark.sql("SELECT unix_micros(ts) FROM gdef.lake.tzd WHERE id = 1")
+        .head.getLong(0)
+      assert(got == wantMicros,
+        s"initial default drifted across session TZs: $got != $wantMicros")
+      // the pruning claim agrees with the data path in the new TZ too:
+      // an instant-exact predicate still finds the row
+      assert(spark.sql("SELECT count(*) FROM gdef.lake.tzd " +
+        s"WHERE ts = timestamp_micros($wantMicros)").head.getLong(0) == 1L)
+    } finally spark.conf.set(tzKey, prev)
+  }
 }
