@@ -469,24 +469,53 @@ object TextCuration {
     */
   def substringDupProfile(df: DataFrame, idCol: String, textCol: String, L: Int): DataFrame = {
     require(L >= 4, s"window length $L too short to mean anything")
-    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val base0 = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
       .filter(length(col("__t")) >= L)
-    val win = base.select(col("__id"), col("__t"),
-      explode(sequence(lit(1), length(col("__t")) - (L - 1))).as("__i"))
-    // derive the window string + hash in the SAME map pass and drop the
-    // document text immediately: nothing downstream ever ships `__t` —
-    // the df shuffle prunes to (hash, doc), the candidate shuffle ships
-    // (doc, gram) = L + 16 bytes, never the 10-100x larger documents
-    val hashed = win.select(col("__id"),
-      expr(s"substring(__t, __i, $L)").as("__g"))
-      .withColumn("__h", xxhash64(col("__g")))
+    // Size the EXPLODE stage by its OUTPUT, not its input bytes: the
+    // window explode amplifies each doc to ~|text| rows, so a docs
+    // table that reads in a handful of partitions (an 18 MB sf1 table
+    // reads in 2) hands each map task MILLIONS of near-unique keys —
+    // the df-aggregate's partial hash map overflows and falls back to
+    // sort-based aggregation with spills (measured 34 s vs 4 s at sf1
+    // for the identical plan at 32 explode tasks). ~500K windows/task
+    // keeps per-task agg state ~25 MB. One control-plane row (sum of
+    // lengths) prices the repartition; tables already partitioned
+    // finer than the target are left alone — at real cluster scale the
+    // scan is naturally wide and this repartition never fires.
+    val nWin = Option(base0.agg(sum(length(col("__t")) - (L - 1))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val targetPerTask = 500000L
+    val wantParts = math.min((nWin + targetPerTask - 1) / targetPerTask, 1L << 20).toInt
+    val base =
+      if (wantParts > base0.rdd.getNumPartitions) base0.repartition(wantParts)
+      else base0
     // "seen in >= 2 distinct docs" == min(doc) != max(doc): ONE
     // aggregation with map-side partial combine — no distinct shuffle,
-    // no count-distinct expand
-    val dupHash = hashed.groupBy("__h")
-      .agg(min(col("__id")).as("__mn"), max(col("__id")).as("__mx"))
+    // no count-distinct expand. The df pass ships (hash, surrogate) =
+    // 16 fixed bytes per window: a per-row long surrogate stands in
+    // for the doc id (only DISTINCTNESS matters to min != max, never
+    // the value), keeping the 16.7M-entry agg state primitive-typed
+    // instead of string-keyed accumulators
+    val slim = base.withColumn("__nid", monotonically_increasing_id())
+      .select(col("__nid"), col("__t"),
+        explode(sequence(lit(1), length(col("__t")) - (L - 1))).as("__i"))
+      .select(col("__nid"), xxhash64(expr(s"substring(__t, __i, $L)")).as("__h"))
+    val dupHash = slim.groupBy("__h")
+      .agg(min(col("__nid")).as("__mn"), max(col("__nid")).as("__mx"))
       .filter(col("__mn") =!= col("__mx")).select("__h")
-    val cand = hashed.join(dupHash.hint("SHUFFLE_HASH"), Seq("__h"), "left_semi")
+    // candidate pass re-derives window strings + hashes in one map pass
+    // and drops the document text immediately: nothing downstream ever
+    // ships `__t` — the candidate shuffle ships (doc, gram) = L + 16
+    // bytes for REPEATED hashes only, never the 10-100x larger
+    // documents. No join-strategy hint: dupHash is a tiny fraction of
+    // windows on a clean corpus and AQE's runtime size check converts
+    // the semi join to broadcast when it fits, while a pathological
+    // all-duplicate corpus degrades to a shuffle join instead of OOM.
+    val hashed = base.select(col("__id"), col("__t"),
+        explode(sequence(lit(1), length(col("__t")) - (L - 1))).as("__i"))
+      .select(col("__id"), expr(s"substring(__t, __i, $L)").as("__g"))
+      .withColumn("__h", xxhash64(col("__g")))
+    val cand = hashed.join(dupHash, Seq("__h"), "left_semi")
       .select(col("__id"), col("__g"))
     // string-exact verification as ONE window pass over the candidates
     // (min/max over the gram partition) instead of a second aggregate +
