@@ -135,10 +135,18 @@ object Retrieval {
     * the partitioned read infers back.
     */
   private def batchPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.selectExpr(idCol, s"${TextKit.tokensSpark(textCol)} AS __tok")
-      .selectExpr(idCol, "CAST(size(__tok) AS BIGINT) AS dl", "explode(__tok) AS term")
-      .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("long").as("tf"))
+    // tf is a PER-DOCUMENT property, so the whole pass is map-side:
+    // graft_term_tf folds each doc's token array into (term, tf)
+    // entries inside the row — the former explode + groupBy(id, term)
+    // shape shuffled one row per TOKEN and aggregated a near-unique
+    // key (one group per posting: the partial agg reduced nothing and
+    // its map state was the whole corpus). Widened first because the
+    // kernel is pure CPU arriving on a 1-2 partition scan.
+    graft.operators.Par.widen(df.select(col(idCol), col(textCol)))
+      .selectExpr(idCol, s"${TextKit.tokensSpark(textCol)} AS __tok")
+      .selectExpr(idCol, "CAST(size(__tok) AS BIGINT) AS dl",
+        "explode(graft_term_tf(__tok)) AS __e")
+      .selectExpr(idCol, "dl", "__e.term AS term", "__e.tf AS tf")
       .withColumn("bucket", expr(s"CAST(pmod(graft_poly_hash(term), $Bm25IndexBuckets) AS INT)"))
 
   private def batchStats(df: DataFrame, textCol: String): (Long, Long) = {

@@ -953,9 +953,13 @@ object TextCuration {
   def collocations(df: DataFrame, textCol: String, minCount: Long, topK: Int): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
     require(topK > 0, s"topK must be positive: $topK")
-    val bgc = df.selectExpr(s"explode(${textBigramsSpark(textCol)}) AS g")
+    // the bigram + unigram kernels are pure CPU over the text bytes; a
+    // few-MB parquet scan arrives 1-2 partitions wide and serializes
+    // them (measured 3.0 -> 1.2 s at sf1 when widened)
+    val wide = graft.operators.Par.widen(df.select(col(textCol)))
+    val bgc = wide.selectExpr(s"explode(${textBigramsSpark(textCol)}) AS g")
       .groupBy("g").agg(count(lit(1)).cast("long").as("n_ab"))
-    val unc = df.selectExpr(s"explode(${tokensSpark(textCol)}) AS t")
+    val unc = wide.selectExpr(s"explode(${tokensSpark(textCol)}) AS t")
       .groupBy("t").agg(count(lit(1)).cast("long").as("n_t"))
     val tot = unc.agg(sum("n_t").cast("long").as("tt"))
     val btot = bgc.agg(sum("n_ab").cast("long").as("bt"))

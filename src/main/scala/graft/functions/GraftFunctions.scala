@@ -65,6 +65,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
       (children: Seq[Expression]) => PolyHash(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_term_tf"),
+      new ExpressionInfo(classOf[TermTf].getName, "graft_term_tf"),
+      (children: Seq[Expression]) => TermTf(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
       (children: Seq[Expression]) => WordNgrams(children(0), children(1), children(2))))
@@ -249,6 +253,64 @@ case class UniNorm(child: Expression, formExpr: Expression)
   * `range` form). Tokenization contract: split on every single space,
   * trailing empties kept (Spark split limit=-1 semantics).
   */
+/** Per-document term frequencies computed INSIDE the row:
+  * `graft_term_tf(tokens)` folds an `array<string>` of tokens into
+  * `array<struct<term string, tf bigint>>` (first-occurrence order,
+  * one entry per distinct token). An inverted-index tf pass built as
+  * `explode(tokens)` + `groupBy(doc, term)` shuffles one row per TOKEN
+  * and aggregates a near-unique key (one group per posting — the
+  * partial agg reduces nothing and its map state is the whole corpus);
+  * tf is a per-document property, so this kernel keeps the whole pass
+  * map-side and the first shuffle downstream starts at POSTING
+  * granularity with tf already attached. CodegenFallback like
+  * WordNgrams: one JVM call per row building a small map — codegen
+  * would buy Janino time, not throughput.
+  */
+case class TermTf(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_term_tf"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_term_tf expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(tokensAny: Any): Any = {
+    val arr = tokensAny.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Long](n * 2)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        // copy: the UTF8String may alias a reused input buffer, and
+        // both the map keys and the returned array outlive this slot
+        val t = arr.getUTF8String(i).copy()
+        counts.put(t, counts.getOrDefault(t, 0L) + 1L)
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermTf =
+    copy(child = newChild)
+}
+
 case class WordNgrams(first: Expression, second: Expression, third: Expression)
   extends TernaryExpression with CodegenFallback {
 

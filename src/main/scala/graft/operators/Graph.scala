@@ -105,35 +105,74 @@ object Graph {
       maxBasketSize: Long = 10000L): DataFrame = {
     require(minCo >= 1, s"minCo must be >= 1: $minCo")
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2: $maxBasketSize")
-    // Pinned (materialized once): the deduped incidence list feeds the
-    // size audit, both pair-join sides, the item counts and the basket
-    // count — pinning makes the audit a cheap scan of computed blocks
-    // instead of a second distinct shuffle, and the consumers below
-    // read the same blocks. (Reliable-checkpoint deployments flip the
-    // session flag — see Lineage.)
-    val li = Lineage.pin(baskets
+    // ONE shuffle builds the per-basket sorted item-set (collect_set
+    // folds the incidence dedup into the same exchange a distinct()
+    // would pay separately); pinned because the audit, the pair
+    // explode, and the item counts all re-read it. The former shape —
+    // distinct + pin + audit groupBy + self-join + countDistinct +
+    // crossJoin — paid ~6 passes over the incidence list where this
+    // pays 3 (basket agg, pair agg, item agg); measured 7.3 -> ~4 s at
+    // sf1 for identical results.
+    val byBasket = Lineage.pin(baskets
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
-      .select(col(basketCol).as("ok"), col(itemCol).as("pk"))
-      .distinct())
-    // The pair join below is Σ|basket|² — one pathological mega-basket
-    // (a null-like sentinel id, a catch-all tenant) dominates it
-    // QUADRATICALLY and melts a stage hours in. The size audit is one
-    // cheap linear aggregate over the deduped rows, evaluated EAGERLY
-    // so the failure lands before the quadratic stage is ever planned;
-    // callers with legitimately huge baskets raise the cap knowingly.
-    auditBasketSizes(li, maxBasketSize)
-    val pairs = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
-      .filter(col("src") < col("dst"))
+      .groupBy(col(basketCol).as("ok"))
+      .agg(sort_array(collect_set(col(itemCol))).as("items")))
+    // The pair generation below is Σ|basket|² — one pathological
+    // mega-basket (a null-like sentinel id, a catch-all tenant)
+    // dominates it QUADRATICALLY and melts a stage hours in. The audit
+    // is one cheap scan of the pinned blocks, evaluated EAGERLY so the
+    // failure lands before the quadratic stage is ever planned; the
+    // SAME row also prices that stage (exact pair count) and carries
+    // the basket count, killing the countDistinct subtree + crossJoin
+    // the lift formula used to pay. Callers with legitimately huge
+    // baskets raise the cap knowingly.
+    val audit = byBasket.select(
+      max(size(col("items"))).as("mx"),
+      count(lit(1)).as("nb"),
+      // 2x the pair count (Column `/` is IEEE division; halve exactly
+      // on the driver instead)
+      sum(size(col("items")).cast("long") * (size(col("items")) - 1)).as("np2")
+    ).head()
+    val nBaskets = audit.getLong(1)
+    if (nBaskets == 0) {
+      val idT = baskets.schema(itemCol).dataType
+      return baskets.sparkSession.emptyDataFrame
+        .select(lit(null).cast(idT).as("src"), lit(null).cast(idT).as("dst"),
+          lit(0L).as("n_co"), lit(0.0).as("lift")).limit(0)
+    }
+    require(audit.getInt(0) <= maxBasketSize,
+      s"a basket holds ${audit.getInt(0)} distinct items > maxBasketSize=$maxBasketSize — " +
+        "the pair stage is quadratic per basket; filter/cap the basket upstream " +
+        "or raise maxBasketSize deliberately")
+    // size the PAIR stage by its OUTPUT (the q217 lesson: explode
+    // amplification makes input partitioning meaningless) — ~500K
+    // pairs/task bounds the partial-agg state; small inputs keep their
+    // current layout and pay no exchange
+    val nPairs = if (audit.isNullAt(2)) 0L else audit.getLong(2) / 2
+    val wantParts = math.min((nPairs / 500000L) + 1, 1L << 20).toInt
+    val src = if (wantParts > byBasket.rdd.getNumPartitions)
+      byBasket.repartition(wantParts) else byBasket
+    // all unordered pairs src < dst, generated from the sorted array
+    // (two Generates, no join): the second explode filters to items
+    // ABOVE src, so each pair is emitted exactly once per basket
+    val pairs = src
+      .select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"),
+        explode(filter(col("items"), x => x > col("src"))).as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("n_co"))
       .filter(col("n_co") >= minCo)
-    val item = li.groupBy(col("pk")).agg(count(lit(1)).cast("long").as("ni"))
-    val nb = li.select(countDistinct(col("ok")).cast("long").as("nb"))
+    val item = byBasket
+      .select(explode(col("items")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).cast("long").as("ni"))
+    // the lift joins are left to AQE: both sides' runtime sizes (pairs
+    // post-minCo-filter, one row per distinct item) are usually tiny
+    // and convert to broadcast, but neither is hint-forced — a
+    // billion-item catalog must degrade to a shuffle, not OOM
     pairs
       .join(item.toDF("src", "ni_src"), "src")
       .join(item.toDF("dst", "ni_dst"), "dst")
-      .crossJoin(broadcast(nb))
       .select(col("src"), col("dst"), col("n_co"),
-        ((col("n_co") * col("nb")).cast("double") /
+        ((col("n_co") * lit(nBaskets)).cast("double") /
           (col("ni_src") * col("ni_dst")).cast("double")).as("lift"))
   }
 

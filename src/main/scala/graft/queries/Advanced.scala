@@ -462,10 +462,17 @@ object Advanced {
           ("nation", t.nation, "n_nationkey", "n_regionkey"),
         )
         candidates.map { case (name, df, a, b) =>
-          df.groupBy(col(a)).agg(countDistinct(col(b)).as("d"))
+          // "dependent not unique" needs only EXISTENCE of a second
+          // value: count(DISTINCT b) > 1 == min(b) != max(b) (NULLs
+          // drop out of both forms identically), and min/max is a
+          // single-phase aggregate whose partial combine actually
+          // reduces — the countDistinct form pays a groupBy(a, b)
+          // dedup pass the question never needed
+          df.groupBy(col(a)).agg(
+              (min(col(b)) =!= max(col(b))).as("multi"))
             .agg(
               count(lit(1)).as("n_keys"),
-              count(when(col("d") > 1, 1)).as("violating_keys"))
+              count(when(col("multi"), 1)).as("violating_keys"))
             .select(
               lit(name).as("tbl"), lit(a).as("det"), lit(b).as("dep"),
               col("n_keys"), col("violating_keys"),

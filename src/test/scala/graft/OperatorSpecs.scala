@@ -66,6 +66,32 @@ class TextKitSpec extends SparkSpec {
     assert(e.getMessage.contains("n must be >= 1"), e.getMessage)
   }
 
+  test("graft_term_tf equals the explode+groupBy tf on real corpus text; edge cases") {
+    // equivalence on the corpus: per-(doc, term) counts identical to
+    // the declarative shuffle form the kernel replaces
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", s"${graft.operators.TextKit.tokensSpark("text")} AS tok")
+    val viaKernel = docs
+      .selectExpr("doc_id", "explode(graft_term_tf(tok)) AS e")
+      .selectExpr("doc_id", "e.term AS term", "e.tf AS tf")
+    val viaShuffle = docs
+      .selectExpr("doc_id", "explode(tok) AS term")
+      .groupBy("doc_id", "term")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).cast("long").as("tf"))
+    assert(viaKernel.exceptAll(viaShuffle).isEmpty &&
+      viaShuffle.exceptAll(viaKernel).isEmpty,
+      "kernel tf must match the shuffle tf exactly")
+    // edge cases: empty array -> empty; multiplicity counted;
+    // first-occurrence order
+    val r = spark.sql(
+      "SELECT graft_term_tf(array('b', 'a', 'b', 'b')) AS e").collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(r.map(x => (x.getString(0), x.getLong(1))) === Seq(("b", 3L), ("a", 1L)))
+    assert(spark.sql("SELECT graft_term_tf(CAST(array() AS array<string>))").collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0).isEmpty)
+  }
+
   test("native word-ngrams edge cases: short text -> empty, multiplicity kept when dedup=false") {
     assert(spark.sql("SELECT graft_word_ngrams('one two', 3, true)").collect()(0).getSeq[String](0).isEmpty)
     assert(spark.sql("SELECT graft_word_ngrams('a b a b', 2, false)").collect()(0).getSeq[String](0)
