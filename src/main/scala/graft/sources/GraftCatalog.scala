@@ -1744,6 +1744,18 @@ final class GraftAggScan(
   override def rows(): Array[InternalRow] = Array(row)
 }
 
+/** Multi-row local scan — the result-set shape for procedures that
+  * return a table (CALL graft.system.profile) rather than one
+  * version row.
+  */
+final class GraftRowsScan(
+    desc: String, out: StructType, data: Array[InternalRow])
+  extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = out
+  override def description(): String = desc
+  override def rows(): Array[InternalRow] = data
+}
+
 /** Wraps a scan to append one constant LONG column to every row —
   * how the `_version` metadata column materializes without touching
   * parquet bytes. Row-granular (the wrapper disables columnar reads

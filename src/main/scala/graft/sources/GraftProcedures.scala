@@ -34,7 +34,7 @@ object GraftProcedures {
   def list(): Array[String] = Array(
     "maintain", "expire_snapshots", "compact", "zorder", "materialize_deletes", "tag",
     "rollback", "vacuum", "delete_by_key", "create_branch", "fast_forward", "drop_branch",
-    "cherry_pick", "add_tracked_column", "delete_on_branch")
+    "cherry_pick", "add_tracked_column", "delete_on_branch", "profile")
 
   def load(catalogName: String, warehouse: () => String, name: String): UnboundProcedure = {
     def dirOf(table: String): String =
@@ -192,6 +192,36 @@ object GraftProcedures {
           // (a literal that fails its cast surfaces as the null refusal)
           ManifestTable.deleteByKey(keyRows, dir, Seq(keyCol))
         })
+      case "profile" =>
+        // column profiling from plain SQL — the 100 TB first-look
+        // ([[graft.operators.Stats.profileApprox]]: counts, HLL ndv,
+        // min/max, ONE map-side-combine pass, no Expand) reachable the
+        // way zorder is. rsd <= 0 selects the EXACT twin
+        // ([[graft.operators.Stats.profile]] — count(DISTINCT), the
+        // Expand pass; right at audit scale, wrong at first-look
+        // scale). Reads through the catalog table (MoR deltas,
+        // renames, defaults all apply), returns the profile rows.
+        procRows(name,
+          "one-pass column profile: n, nulls, ndv (HLL at `rsd`, exact when rsd <= 0), min/max",
+          Seq(
+            ProcedureParameter.in("table", StringType).build(),
+            ProcedureParameter.in("columns", StringType).build(),
+            ProcedureParameter.in("rsd", DoubleType).defaultValue("0.05").build()),
+          r => {
+            val spark = SparkSession.active
+            val df = spark.table(s"$catalogName.${str(r, 0)}")
+            val cols = str(r, 1).split(',').map(_.trim).filter(_.nonEmpty).toIndexedSeq
+            val rsd = r.getDouble(2)
+            val out =
+              if (rsd <= 0) graft.operators.Stats.profile(df, cols)
+              else graft.operators.Stats.profileApprox(df, cols, rsd)
+            (out.schema, out.collect().map(row => InternalRow.fromSeq(
+              row.toSeq.zip(out.schema.fields).map {
+                case (null, _) => null
+                case (s: String, _) => UTF8String.fromString(s)
+                case (v, _) => v
+              })))
+          })
       case "vacuum" => proc(name, "delete unreferenced data files older than min_age_hours",
         Seq(
           ProcedureParameter.in("table", StringType).build(),
@@ -205,6 +235,31 @@ object GraftProcedures {
           s"no such procedure: $Namespace.$other (known: ${list().mkString(", ")})")
     }
   }
+
+  /** Result-set procedure: `run` returns (schema, rows) and the CALL
+    * surfaces them as a local scan — the shape a profiling/reporting
+    * procedure needs (the maintenance procedures return one version
+    * row via [[proc]]).
+    */
+  private def procRows(
+      procName: String, doc: String,
+      params: Seq[ProcedureParameter],
+      run: InternalRow => (StructType, Array[InternalRow])): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = doc
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = doc
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (schema, rows) = run(input)
+          java.util.List.of[Scan](
+            new GraftRowsScan(s"graft-procedure $procName", schema, rows)).iterator()
+        }
+      }
+    }
 
   private def proc(
       procName: String, doc: String,

@@ -619,6 +619,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(bad.getMessage.contains("nope"), bad.getMessage)
   }
 
+  test("CALL graft.system.profile: the one-pass profile from SQL, hash-matching the Scala path") {
+    val dir = mkTableDir("lake", "profp")
+    ManifestTable.commit(
+      spark.range(0, 2000).selectExpr(
+        "id", "CAST(id % 37 AS DOUBLE) AS score",
+        "CASE WHEN id % 11 = 0 THEN NULL ELSE concat('u', id % 100) END AS tag"),
+      dir, Seq("id"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("col_name").collect().map(_.toSeq).toSeq
+    // sketched (the default rsd): identical rows through SQL and Scala
+    val viaSql = spark.sql(
+      "CALL graft.system.profile(table => 'lake.profp', columns => 'id, score, tag')")
+    val viaScala = graft.operators.Stats.profileApprox(
+      spark.table("graft.lake.profp"), Seq("id", "score", "tag"))
+    assert(viaSql.schema.fieldNames.toSeq == viaScala.schema.fieldNames.toSeq)
+    assert(norm(viaSql) == norm(viaScala), "SQL and Scala profiles must match exactly")
+    // exact twin at rsd <= 0: ndv is count(DISTINCT)
+    val exact = spark.sql(
+      "CALL graft.system.profile(table => 'lake.profp', columns => 'tag', rsd => 0.0)")
+      .head()
+    assert(exact.getString(0) == "tag" && exact.getLong(3) == 100L,
+      s"exact ndv must be 100: $exact")
+    assert(exact.getLong(2) == 2000L / 11 + 1, "null count rides the profile")
+  }
+
   test("CALL graft.system.delete_by_key: O(keys) SQL erasure, zero data files rewritten") {
     val dir = mkTable("lake", "gdpr")
     val dataBefore = ManifestTable.manifest(dir, None).files.map(_.path).toSet

@@ -1567,6 +1567,7 @@ class ManifestTableSpec extends SparkSpec {
     case object Widen extends Op
     case class SqlInsert(rows: Map[Long, Long]) extends Op
     case class MergeEvolve(rows: Map[Long, Long]) extends Op
+    case class DefaultCycle(r1: Map[Long, Long], r2: Map[Long, Long]) extends Op
 
     val rowsGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 999L)))
     val opGen: Gen[Op] = Gen.frequency(
@@ -1626,6 +1627,12 @@ class ManifestTableSpec extends SparkSpec {
       // and a zorder layout the track spec cannot express (< 2 source
       // columns) must REFUSE the statement, not silently fall back
       2 -> rowsGen.map(SqlInsert(_)),
+      // the full column-DEFAULT lifecycle (ADD ... DEFAULT, initial-
+      // default reads + prune-claim audit, SET DEFAULT + omitted-column
+      // INSERT, DROP DEFAULT, time travel, DROP COLUMN) against
+      // whatever era mix the sequence drew — q237's surface under the
+      // same adversarial sequencing the DML matrix faces
+      2 -> Gen.zip(rowsGen, rowsGen).map { case (a, b) => DefaultCycle(a, b) },
       // MERGE WITH SCHEMA EVOLUTION mid-sequence (accept-additive):
       // the source carries a NEW column, the merge adds it + updates/
       // inserts in one statement, the op audits the evolved values and
@@ -1654,7 +1661,8 @@ class ManifestTableSpec extends SparkSpec {
         if (trial % 2 == 1) {
           val (a, b) = spliced.splitAt(spliced.size / 2)
           a ++ (SqlInsert(Map(7L -> 111L, 21L -> 222L)) +:
-            MergeEvolve(Map(3L -> 333L, 29L -> 444L)) +: b)
+            MergeEvolve(Map(3L -> 333L, 29L -> 444L)) +:
+            DefaultCycle(Map(11L -> 555L), Map(23L -> 666L)) +: b)
         } else spliced
       }
       // the table lives under a warehouse layout so the SQL ops
@@ -1912,6 +1920,67 @@ class ManifestTableSpec extends SparkSpec {
           }
           spark.sql(s"ALTER TABLE fuzzcat.lake.t DROP COLUMN $extra")
           history :+= (ManifestTable.latestVersion(dir).get, model)
+        case DefaultCycle(r1, r2) if history.nonEmpty =>
+          evolveN += 1
+          val d = s"d_$evolveN" // retired on drop, never reused
+          val init = 1000L + evolveN
+          def latest = ManifestTable.latestVersion(dir).get
+          def cnt(cond: String): Long = spark.sql(
+            s"SELECT count(*) FROM fuzzcat.lake.t WHERE $cond").head().getLong(0)
+          // SQL INSERT respects the write-layout property: zorder mode
+          // with < 2 track sources refuses — same guard as SqlInsert
+          val srcCols = ManifestTable.manifest(dir, None).track
+            .map(graft.sources.TrackSpec.parse(_).source).distinct
+          val insertable =
+            !(expectedProps.get("write.distribution-mode").contains("zorder") &&
+              srcCols.size < 2)
+          spark.sql(s"ALTER TABLE fuzzcat.lake.t ADD COLUMN $d BIGINT DEFAULT $init")
+          val addV = latest
+          val nAtAdd = model.size
+          history :+= (addV, model)
+          // every pre-add row reads the INITIAL default through
+          // whatever era mix precedes (renames, widen, MoR tombstones,
+          // zorder layouts); the non-matching predicate audits the
+          // known-constant pruning claim's CORRECTNESS over that mix
+          assert(cnt(s"$d = $init") == nAtAdd,
+            s"trial $trial: all $nAtAdd pre-add rows must read the initial default $init")
+          assert(cnt(s"$d = -1") == 0L,
+            s"trial $trial: excluded-default predicate must match nothing")
+          assert(cnt(s"$d IS NULL") == 0L,
+            s"trial $trial: a non-null initial default leaves no NULLs")
+          // write-default era: omitted column fills the NEW default,
+          // pre-add rows keep the immutable initial
+          spark.sql(s"ALTER TABLE fuzzcat.lake.t ALTER COLUMN $d SET DEFAULT ${init * 2}")
+          history :+= (latest, model)
+          if (r1.nonEmpty && insertable) {
+            df(r1).createOrReplaceTempView("fuzz_def_src")
+            spark.sql(s"INSERT INTO fuzzcat.lake.t (k, $curVal) SELECT * FROM fuzz_def_src")
+            model = model ++ r1.toVector
+            history :+= (latest, model)
+            assert(cnt(s"$d = ${init * 2}") == r1.size,
+              s"trial $trial: omitted column must fill the CURRENT write default")
+            assert(cnt(s"$d = $init") == nAtAdd,
+              s"trial $trial: SET DEFAULT must not move pre-add rows' initial default")
+          }
+          // dropped default: omitted column is NULL from here on
+          spark.sql(s"ALTER TABLE fuzzcat.lake.t ALTER COLUMN $d DROP DEFAULT")
+          history :+= (latest, model)
+          if (r2.nonEmpty && insertable) {
+            df(r2).createOrReplaceTempView("fuzz_def_src2")
+            spark.sql(s"INSERT INTO fuzzcat.lake.t (k, $curVal) SELECT * FROM fuzz_def_src2")
+            model = model ++ r2.toVector
+            history :+= (latest, model)
+            assert(cnt(s"$d IS NULL") == r2.size,
+              s"trial $trial: after DROP DEFAULT an omitted column is NULL")
+          }
+          // time travel: the add-era snapshot still reads the initial
+          // default for every row it had
+          assert(spark.sql(
+            s"SELECT count(*) FROM fuzzcat.lake.t VERSION AS OF $addV WHERE $d = $init")
+            .head().getLong(0) == nAtAdd,
+            s"trial $trial: the add-era snapshot must read $init for all $nAtAdd rows")
+          spark.sql(s"ALTER TABLE fuzzcat.lake.t DROP COLUMN $d")
+          history :+= (latest, model)
         case ToggleMode if history.nonEmpty =>
           modeN += 1
           val mode = if (modeN % 2 == 1) "merge-on-read" else "copy-on-write"
