@@ -2311,6 +2311,52 @@ object Storage {
         """)
       },
     ),
+    Q(
+      "q238_profile_sql",
+      "Column profiling from plain SQL: CALL graft.system.profile runs " +
+        "the one-pass profile (Stats.profile/profileApprox) through the " +
+        "stored-procedure surface and returns the rows as a result-set " +
+        "scan — the 100 TB first-look reachable the way zorder is. The " +
+        "query pins the EXACT twin (rsd => 0: count(DISTINCT)) so every " +
+        "cell hash-matches the oracle's direct aggregates; serving the " +
+        "sketch is the same CALL at the default rsd.",
+      Some("""
+        WITH b AS (SELECT c_custkey, c_mktsegment FROM customer),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(count(c_custkey) AS BIGINT) AS nn1,
+          CAST(count(DISTINCT c_custkey) AS BIGINT) AS ndv1,
+          CAST(min(c_custkey) AS DOUBLE) AS mn1,
+          CAST(max(c_custkey) AS DOUBLE) AS mx1,
+          CAST(count(c_mktsegment) AS BIGINT) AS nn2,
+          CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS ndv2,
+          CAST(min(c_mktsegment) AS VARCHAR) AS mns2,
+          CAST(max(c_mktsegment) AS VARCHAR) AS mxs2 FROM b)
+        SELECT 'c_custkey' AS col_name, n, n - nn1 AS n_null, ndv1 AS ndv,
+               mn1 AS min_num, mx1 AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM a
+        UNION ALL
+        SELECT 'c_mktsegment', n, n - nn2, ndv2,
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns2, mxs2
+        FROM a
+        ORDER BY col_name
+      """.trim),
+      (spark, dir) => {
+        val wh = graft.Artifacts.cached(s"profile-warehouse:$dir") { w =>
+          spark.conf.set("spark.sql.catalog.graftpf", "graft.sources.GraftCatalog")
+          spark.conf.set("spark.sql.catalog.graftpf.warehouse", w)
+          new java.io.File(s"$w/lake").mkdirs()
+          ManifestTable.commit(
+            Tables(spark, dir).customer.select("c_custkey", "c_mktsegment"),
+            s"$w/lake/prof", track = Seq("c_custkey")): Unit
+        }
+        spark.conf.set("spark.sql.catalog.graftpf", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftpf.warehouse", wh)
+        spark.sql("CALL graftpf.system.profile(" +
+          "table => 'lake.prof', columns => 'c_custkey, c_mktsegment', rsd => 0.0)")
+          .orderBy("col_name")
+      },
+    ),
   )
 
   /** Built once per (session, sf dir): a star pair for the runtime-

@@ -37,7 +37,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {pathlib.Path(p).stem} AS SELECT * FROM '{p}'")
     oracle = json.load(open(oracle_path))
     names = sorted(n for n in oracle if not only or n in only)
-    best = {}
+    samples = {n: [] for n in names}
     failed = []
     for _ in range(SWEEPS):
         for name in names:
@@ -50,12 +50,19 @@ def main() -> int:
                 print(f"[oracle] {name} FAILED: {e}", file=sys.stderr)
                 failed.append(name)
                 continue
-            sec = time.perf_counter() - t0
-            if name not in best or sec < best[name]:
-                best[name] = sec
+            samples[name].append(time.perf_counter() - t0)
+    best = {n: min(s) for n, s in samples.items() if s}
+    # per-sweep spread beside the min: ratio-movement adjudications need
+    # to see whether a floor change is sweep-min luck or a real shift
+    # (the r18 verdict's sf1-volatility item — ±10-30% per query at 2
+    # sweeps was silently re-pricing adjudications each round)
+    def spread(s):
+        ss = sorted(s)
+        return {"min": ss[0], "median": ss[len(ss) // 2], "max": ss[-1]}
     result = {
         "total": sum(best.values()),
         "queries": {n: best.get(n, -1) for n in names},
+        "spreads": {n: spread(s) for n, s in samples.items() if s},
         "sf": sfdir,
         "threads": THREADS,
         "sweeps": SWEEPS,
