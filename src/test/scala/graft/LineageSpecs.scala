@@ -69,3 +69,30 @@ class LineageSpecs extends SparkSpec {
     assert(rddFiles(ckpt).size === before, "flag off must pin locally again")
   }
 }
+
+/** [[graft.operators.Par.widen]] — explode/kernel input sizing. */
+class ParSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("widen repartitions a narrow fat-estimate input and leaves wide/small inputs alone") {
+    import graft.operators.Par
+    // a 1-partition frame whose optimizer estimate is well above the
+    // target must widen to ~bytes/target partitions
+    val narrow = spark.range(0, 200000).toDF("id")
+      .withColumn("pad", org.apache.spark.sql.functions.lpad($"id".cast("string"), 64, "x"))
+      .coalesce(1)
+    val est = narrow.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est > (256L << 10), s"test premise: estimate $est must exceed the default target")
+    val widened = Par.widen(narrow)
+    assert(widened.rdd.getNumPartitions > 1,
+      s"a ${est}B 1-partition input must widen (got ${widened.rdd.getNumPartitions})")
+    // content-neutral
+    assert(widened.count() == 200000L)
+    // already-wide inputs return UNCHANGED (no exchange inserted)
+    val wide = spark.range(0, 1000).toDF("id").repartition(64)
+    assert(Par.widen(wide) eq wide, "an input wider than the target must pass through untouched")
+    // tiny inputs stay put even at 1 partition
+    val tiny = Seq(1, 2, 3).toDF("x").coalesce(1)
+    assert(Par.widen(tiny) eq tiny, "a tiny input must not pay an exchange")
+  }
+}

@@ -223,6 +223,35 @@ class DefaultsSpec extends SparkSpec {
       .head.getLong(0) == 3L)
   }
 
+  test("branch commits strip foreign claim metadata too (the WAP staging path)") {
+    warehouse: Unit
+    // source with a defaulted column -> its read frame carries claim keys
+    spark.sql("CREATE TABLE gdef.lake.bsrc (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdef.lake.bsrc VALUES (1, 'a')")
+    spark.sql("ALTER TABLE gdef.lake.bsrc ADD COLUMN region STRING DEFAULT 'emea'")
+    (2 to 5).foreach(i => spark.sql(s"INSERT INTO gdef.lake.bsrc VALUES ($i, 'x', 'apac')"))
+    // target with REAL values in that column from v1; stage the foreign
+    // frame onto a BRANCH (the WAP path goes through
+    // installStagedToBranch, not installStaged)
+    val dir = dirOf("btgt")
+    spark.sql("CREATE TABLE gdef.lake.btgt (id BIGINT, v STRING, region STRING)")
+    spark.sql("INSERT INTO gdef.lake.btgt VALUES (100, 'pre', 'latam')")
+    ManifestTable.createBranch(dir, "wap")
+    ManifestTable.commitToBranch(
+      spark.sql("SELECT id, v, region FROM gdef.lake.bsrc"), dir, "wap", Seq())
+    val bf = DataFrameSchema
+      .fromJson(ManifestTable.branchManifest(dir, "wap").schemaJson)("region")
+    assert(!bf.metadata.contains(ManifestTable.AddedInKey) &&
+      !bf.metadata.contains(ManifestTable.ExistsDefaultKey),
+      "branch commits must strip foreign claim metadata like main appends")
+    // publish and read: the pre-branch row must survive a region probe
+    ManifestTable.fastForward(dir, "wap")
+    assert(spark.sql("SELECT count(*) FROM gdef.lake.btgt WHERE region = 'latam'")
+      .head.getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) FROM gdef.lake.btgt WHERE region = 'apac'")
+      .head.getLong(0) == 4L)
+  }
+
   test("timestamp initial defaults are TZ-stable: the instant folded at ALTER survives a session TZ change") {
     warehouse: Unit
     val tzKey = "spark.sql.session.timeZone"
