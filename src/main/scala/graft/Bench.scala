@@ -61,9 +61,15 @@ object Bench {
     // Machine-readable artifact: the stdout line is subject to log
     // truncation (round 7 lost 28 queries' timings to it); the file is
     // the audit-grade record. Path override via SPARK_GRAFT_BENCH_OUT.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
+    // Default lives under target/ (untracked) so ad-hoc runs cannot
+    // clobber the committed window artifact; the window script passes
+    // SPARK_GRAFT_BENCH_OUT=bench_full.json explicitly when it means to.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    }
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }

@@ -492,11 +492,14 @@ object TextCuration {
     // "seen in >= 2 distinct docs" == min(doc) != max(doc): ONE
     // aggregation with map-side partial combine — no distinct shuffle,
     // no count-distinct expand. The df pass ships (hash, surrogate) =
-    // 16 fixed bytes per window: a per-row long surrogate stands in
-    // for the doc id (only DISTINCTNESS matters to min != max, never
-    // the value), keeping the 16.7M-entry agg state primitive-typed
-    // instead of string-keyed accumulators
-    val slim = base.withColumn("__nid", monotonically_increasing_id())
+    // 16 fixed bytes per window: a long surrogate stands in for the
+    // doc id (only DISTINCTNESS matters to min != max, never the
+    // value), keeping the 16.7M-entry agg state primitive-typed
+    // instead of string-keyed accumulators. The surrogate is a HASH of
+    // the id, not a per-row counter: duplicate rows carrying the same
+    // id must still count as ONE doc, or a within-doc repeat in a
+    // duplicated row would be flagged as a cross-doc duplicate.
+    val slim = base.withColumn("__nid", xxhash64(col("__id")))
       .select(col("__nid"), col("__t"),
         explode(sequence(lit(1), length(col("__t")) - (L - 1))).as("__i"))
       .select(col("__nid"), xxhash64(expr(s"substring(__t, __i, $L)")).as("__h"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, Window}
 
 /** Input-parallelism sizing for CPU-heavy kernel stages.
   *
@@ -32,8 +33,28 @@ object Par {
     * wide.
     */
   def widen(df: DataFrame, targetBytes: Long = 256L << 10): DataFrame = {
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val want = (bytes / targetBytes).min(BigInt(1L << 20)).toInt + 1
+    val plan = df.queryExecution.optimizedPlan
+    // The byte estimate is trustworthy only when it flows from leaf
+    // scans (real file sizes through project/filter). Join, aggregate,
+    // window and generate outputs are row-size guesses multiplied
+    // together — an inflated guess there must not buy an exchange, and
+    // those operators already shuffled to spark.sql.shuffle.partitions
+    // width anyway, which is the 1-2-task problem widen exists to fix
+    // not having happened.
+    val synthetic = plan.find {
+      case _: Join | _: Aggregate | _: Window | _: Generate => true
+      case _ => false
+    }.isDefined
+    if (synthetic) return df
+    val bytes = plan.stats.sizeInBytes
+    // Cap at a small multiple of the session's core count: widen fixes
+    // degenerate 1-2-task stages; it must never PICK a global shuffle
+    // width (a corpus at bytes >> cores*targetBytes is exactly the
+    // naturally-wide-at-cluster-scale case where the premise says the
+    // exchange shouldn't fire wider than the machine can run).
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val cap = math.max(cores * 4, 32)
+    val want = ((bytes / targetBytes) + 1).min(BigInt(cap)).toInt
     if (want > df.rdd.getNumPartitions) df.repartition(want) else df
   }
 }

@@ -127,6 +127,41 @@ object JdbcUpsert {
     walk(e)
   }
 
+  /** Embedded Derby's known store-layer race under concurrent MERGE
+    * writers: `OpenConglomerate.lockPositionForWrite` NPEs on
+    * `this.container` and surfaces as SQLState XJ001 (the generic
+    * java-exception wrapper) with the NPE chained. XJ001 is NOT
+    * transient in general — it wraps arbitrary failures and the
+    * production classifier must keep refusing it — but THIS signature
+    * is Derby's own bug, not the statement's: the transaction rolls
+    * back cleanly and the idempotent batch replays exactly like a
+    * 40xxx victim. Matched tightly (an NPE raised from a Derby frame,
+    * or XJ001 self-describing an NPE) and applied only for the [[Derby]]
+    * dialect, i.e. the embedded test engine — Postgres/MySQL paths are
+    * untouched.
+    */
+  private[graft] def derbyInternalRace(e: Throwable): Boolean = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean])
+    def walk(t: Throwable): Boolean =
+      t != null && seen.add(t) && seen.size <= 16 && {
+        (t match {
+          case npe: NullPointerException =>
+            npe.getStackTrace.headOption.exists(_.getClassName.startsWith("org.apache.derby."))
+          case sq: java.sql.SQLException =>
+            Option(sq.getSQLState).contains("XJ001") &&
+              Option(sq.getMessage).exists(_.contains("NullPointerException"))
+          case _ => false
+        }) ||
+        (t match {
+          case sq: java.sql.SQLException => walk(sq.getNextException)
+          case _ => false
+        }) ||
+        walk(t.getCause)
+      }
+    walk(e)
+  }
+
   /** Executor-side writer: one connection per partition, batched
     * prepared statements, commit per BATCH. Per-batch commit bounds
     * what a transient abort has to replay to one in-memory batch (a
@@ -152,9 +187,11 @@ object JdbcUpsert {
     // statement-parameter position -> row ordinal, resolved once on the
     // driver (Derby's MERGE binds some columns more than once)
     val bindOrdinals = paramCols(dialect, cols, keys).map(cols.indexOf).toArray
+    val isDerby = dialect == Derby
     df.foreachPartition { (rows: Iterator[Row]) =>
       val conn = java.sql.DriverManager.getConnection(url, props)
-      try writePartition(conn, sql, bindOrdinals, rows, batchSize, maxRetries, queryTimeoutSec)
+      try writePartition(conn, sql, bindOrdinals, rows, batchSize, maxRetries, queryTimeoutSec,
+        extraTransient = if (isDerby) derbyInternalRace _ else (_: Throwable) => false)
       finally {
         // a task killed mid-batch (speculation, executor shutdown, an
         // interrupt between executeBatch and commit) leaves an OPEN
@@ -178,6 +215,7 @@ object JdbcUpsert {
       batchSize: Int,
       maxRetries: Int,
       queryTimeoutSec: Int = 300,
+      extraTransient: Throwable => Boolean = (_: Throwable) => false,
   ): Unit = {
     conn.setAutoCommit(false)
     val st = conn.prepareStatement(sql)
@@ -203,7 +241,15 @@ object JdbcUpsert {
             conn.commit()
             done = true
           } catch {
-            case e: java.sql.SQLException if isTransient(e) && attempt < maxRetries =>
+            // NonFatal + extraTransient (not just SQLException): the
+            // Derby store-layer race can escape as a raw NPE before the
+            // XJ001 wrapper is applied, depending on which latch path
+            // hit it — the dialect classifier sees both shapes.
+            case e: Throwable if scala.util.control.NonFatal(e) && attempt < maxRetries &&
+                ((e match {
+                  case sq: java.sql.SQLException => isTransient(sq)
+                  case _ => false
+                }) || extraTransient(e)) =>
               attempt += 1
               try conn.rollback() catch { case _: java.sql.SQLException => () }
               st.clearBatch()

@@ -405,7 +405,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // the value the data path fills. Pin LTZ timestamps to an
           // explicit-offset UTC rendering: parse-stable in any session.
           val existsSql = lit.dataType match {
-            case org.apache.spark.sql.types.TimestampType =>
+            // Guard lit.value, not just the literal object: DEFAULT NULL
+            // folds to Literal(null, TimestampType), and casting that to
+            // string yields SQL-null — interpolating it would store the
+            // unparseable `TIMESTAMP 'null+00:00'`. NULL needs no TZ pin
+            // (no instant to drift), so Literal.sql's CAST(NULL AS
+            // TIMESTAMP) is the parse-stable rendering.
+            case org.apache.spark.sql.types.TimestampType if lit.value != null =>
               val utcWall = org.apache.spark.sql.catalyst.expressions.Cast(
                 org.apache.spark.sql.catalyst.expressions.Literal(lit.value, lit.dataType),
                 org.apache.spark.sql.types.StringType, Some("UTC")).eval(null)

@@ -94,5 +94,17 @@ class ParSpec extends SparkSpec {
     // tiny inputs stay put even at 1 partition
     val tiny = Seq(1, 2, 3).toDF("x").coalesce(1)
     assert(Par.widen(tiny) eq tiny, "a tiny input must not pay an exchange")
+    // synthetic estimates (join/aggregate outputs multiply row-size
+    // guesses) must never buy an exchange — widen trusts leaf scans only
+    val joined = narrow.as("a").join(narrow.as("b"), "id").coalesce(1)
+    assert(Par.widen(joined) eq joined, "a join-output estimate is synthetic; widen must pass through")
+    val agged = narrow.groupBy("pad").count().coalesce(1)
+    assert(Par.widen(agged) eq agged, "an aggregate-output estimate is synthetic; widen must pass through")
+    // the width is capped at a small multiple of the core count: a huge
+    // estimate fixes the 1-2-task degeneracy, it does not pick a global
+    // shuffle width
+    val cap = math.max(spark.sparkContext.defaultParallelism * 4, 32)
+    assert(widened.rdd.getNumPartitions <= cap,
+      s"widen must cap at $cap (got ${widened.rdd.getNumPartitions})")
   }
 }

@@ -278,4 +278,27 @@ class DefaultsSpec extends SparkSpec {
         s"WHERE ts = timestamp_micros($wantMicros)").head.getLong(0) == 1L)
     } finally spark.conf.set(tzKey, prev)
   }
+
+  test("TIMESTAMP DEFAULT NULL stores a parseable EXISTS_DEFAULT (not the TZ-pinned rendering of a null)") {
+    warehouse: Unit
+    // the TZ-pin renders `TIMESTAMP '<utc-wall>+00:00'` — casting a
+    // NULL literal to string yields SQL-null, so pinning a null default
+    // would store the unparseable `TIMESTAMP 'null+00:00'` and every
+    // future reader session would fail re-parsing the metadata. NULL
+    // has no instant to drift: it must fall through to Literal.sql.
+    spark.sql("CREATE TABLE gdef.lake.tnull (id BIGINT)")
+    spark.sql("INSERT INTO gdef.lake.tnull VALUES (1)")
+    spark.sql("ALTER TABLE gdef.lake.tnull ADD COLUMN ts TIMESTAMP DEFAULT NULL")
+    val stored = spark.table("gdef.lake.tnull").schema("ts")
+      .metadata.getString(ManifestTable.ExistsDefaultKey)
+    assert(!stored.toLowerCase.contains("'null"), s"unparseable rendering stored: $stored")
+    // the stored text must round-trip through the parser the readers use
+    assert(spark.sql(s"SELECT CAST(($stored) AS TIMESTAMP)").head.isNullAt(0))
+    // and the pre-add row reads NULL through the default path
+    spark.sql("INSERT INTO gdef.lake.tnull VALUES (2, TIMESTAMP '2021-03-04 05:06:07')")
+    val rows = spark.sql("SELECT id, ts FROM gdef.lake.tnull ORDER BY id").collect()
+    assert(rows(0).isNullAt(1), "pre-add row must read the NULL initial default")
+    assert(!rows(1).isNullAt(1))
+    assert(spark.sql("SELECT count(*) FROM gdef.lake.tnull WHERE ts IS NULL").head.getLong(0) == 1L)
+  }
 }
