@@ -105,7 +105,32 @@ object Retrieval {
     * the one-time price the q104-per-query scan pays on EVERY query.
     */
   def buildBm25Index(df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
-    val tf = batchPostings(df, idCol, textCol)
+    val spark = df.sparkSession
+    // ONE tokenize pass over the corpus, total. The former build paid
+    // three: the write plan held the tokenize+explode subtree TWICE
+    // (the df-vocabulary aggregate's exchange and the join's posting
+    // exchange hash by different plans, so ReuseExchange cannot unify
+    // them), plus a source count() job and a postings read-back for the
+    // (n, sum_dl) stats. Now: the postings are tokenized once and
+    // PINNED (localCheckpoint — the same materialize-once trade the
+    // optimization guide's §3.3 names: at corpus scale the pinned
+    // blocks are shuffle-sized local-disk state, recomputation would be
+    // a full second tokenize), the df aggregate and the bucket write
+    // both read pinned blocks, and (n, sum_dl) ride the SAME pin job as
+    // an `observe` on the doc-level rows before the explode — n counts
+    // every doc row (zero-token docs have no posting rows but still
+    // count toward avgdl's denominator, exactly as before), sum_dl
+    // skips null-dl rows like the old distinct-(id, dl) read-back.
+    val obs = org.apache.spark.sql.Observation("bm25-build-stats")
+    val docs = graft.operators.Par.widen(df.select(col(idCol), col(textCol)))
+      .selectExpr(idCol, s"${graft.operators.TextKit.tokensSpark(textCol)} AS __tok")
+      .selectExpr(idCol, "CAST(size(__tok) AS BIGINT) AS dl", "graft_term_tf(__tok) AS __tf")
+      .observe(obs, count(lit(1)).cast("long").as("n"),
+        coalesce(sum("dl"), lit(0L)).cast("long").as("sum_dl"))
+    val tf = graft.operators.Lineage.pin(docs
+      .selectExpr(idCol, "dl", "explode(__tf) AS __e")
+      .selectExpr(idCol, "dl", "__e.term AS term", "__e.tf AS tf")
+      .withColumn("bucket", expr(s"CAST(pmod(graft_poly_hash(term), $Bm25IndexBuckets) AS INT)")))
     // corpus-vocabulary df: a plain (unhinted) join — the agg output's
     // runtime size lets AQE broadcast a small vocabulary and fall back
     // to a shuffle join (with skew split on mega-common terms) for a
@@ -116,18 +141,9 @@ object Retrieval {
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/postings")
-    // (n, sum_dl) WITHOUT a second tokenize pass over the corpus: dl
-    // rides every posting row just written, so sum_dl is a 2-column
-    // pruned read of the index (distinct (id, dl) — dl is per-doc
-    // constant), and n is a 1-column count of the SOURCE (zero-token
-    // docs have no posting rows but still count toward n and avgdl's
-    // denominator, exactly as the direct path's tokenize-time count)
-    val spark = df.sparkSession
-    val n = df.select(col(idCol)).count()
-    val sumDl = spark.read.parquet(s"$path/postings")
-      .select(col(idCol), col("dl")).distinct()
-      .agg(coalesce(sum("dl"), lit(0L)).cast("long")).head().getLong(0)
-    writeStats(spark, (n, sumDl), path, batchId = 0L, fresh = true)
+    val st = obs.get
+    writeStats(spark, (st("n").asInstanceOf[Long], st("sum_dl").asInstanceOf[Long]),
+      path, batchId = 0L, fresh = true)
   }
 
   /** (id, dl, term, tf, bucket) postings of one frame — the shared

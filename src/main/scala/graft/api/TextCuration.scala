@@ -72,11 +72,33 @@ object TextCuration {
     * via inverted-index join on shingle (intersections from one
     * shuffle, unions by inclusion–exclusion).
     */
-  def jaccardNearDups(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val ex = df
+  def jaccardNearDups(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame =
+    jaccardFromEx(pinnedShingleEx(df, idCol, textCol), threshold)
+
+  /** The family's ONE tokenize+shingle+explode pass, PINNED
+    * (localCheckpoint; the reliable-checkpoint switch applies — see
+    * [[graft.operators.Lineage]]). Every jaccard path below references
+    * the exploded postings several times (df shuffle, prefix join,
+    * candidate self-join sides, verification), and Catalyst plans each
+    * reference as its OWN scan subtree — the r20 plan audit counted 44
+    * corpus scans in q160's single plan, each re-running the
+    * tokenizer+shingler (the most expensive per-byte projection in the
+    * engine). Materializing the postings once is the §3.3/§8
+    * decide-on-small-rows trade: the pinned blocks are (id, nsh,
+    * shingle) rows — posting-sized, the same order as what the very
+    * next exchange would write anyway — and every downstream pass reads
+    * blocks instead of re-tokenizing. sf0.1 receipts in
+    * OPTIMIZATION_r20.md (q26/q160/q60).
+    */
+  private def pinnedShingleEx(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Lineage.pin(df
       .selectExpr(s"$idCol AS __id", s"${textShinglesSpark(textCol)} AS sh")
       .selectExpr("__id", "CAST(size(sh) AS BIGINT) AS nsh", "sh")
-      .select(col("__id"), col("nsh"), explode(col("sh")).as("s"))
+      .select(col("__id"), col("nsh"), explode(col("sh")).as("s")))
+
+  /** Inverted-index jaccard over an already-pinned postings frame. */
+  private def jaccardFromEx(ex: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
     val a = ex.select(col("__id").as("id_a"), col("nsh").as("na"), col("s"))
     val b = ex.select(col("__id").as("id_b"), col("nsh").as("nb"), col("s"))
     a.join(b.hint("SHUFFLE_HASH"), "s")
@@ -122,37 +144,55 @@ object TextCuration {
     */
   def jaccardNearDupsPrefix(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
-    val sets = df
-      .selectExpr(s"$idCol AS __id", s"${textShinglesSpark(textCol)} AS sh")
-      .selectExpr("__id", "CAST(size(sh) AS BIGINT) AS nsh", "sh")
-    val ex = sets.select(col("__id"), col("nsh"), explode(col("sh")).as("s"))
+    val ex = pinnedShingleEx(df, idCol, textCol)
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    prefixPairsFromEx(ex, prefixFromEx(ex, dfreq, threshold), threshold)
+  }
+
+  /** The PINNED rarity-ordered prefix postings of a (pinned) `ex`: the
+    * window pass runs once; the candidate self-join below references
+    * the prefix on BOTH sides (and the Auto path adds a df probe over
+    * it), each reference otherwise re-running the join+window.
+    */
+  private def prefixFromEx(ex: DataFrame, dfreq: DataFrame, threshold: Double): DataFrame = {
     val wDoc = Window.partitionBy("__id").orderBy(col("df"), col("s"))
-    val prefix = ex.join(dfreq.hint("SHUFFLE_HASH"), "s")
+    graft.operators.Lineage.pin(ex.join(dfreq.hint("SHUFFLE_HASH"), "s")
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <=
         col("nsh") - ceil(lit(threshold * threshold) * col("nsh") - lit(1e-9)) + 1)
-      .select("__id", "nsh", "s")
+      .select("__id", "nsh", "s"))
+  }
+
+  /** Prefix-filtered candidate generation + exact inverted-index
+    * verification over pinned postings/prefix frames — the shared tail
+    * of [[jaccardNearDupsPrefix]] and [[jaccardNearDupsPrefixAuto]]'s
+    * under-budget branch (which now reuses the ALREADY-COMPUTED pinned
+    * prefix instead of rebuilding the whole pipeline from the corpus).
+    */
+  private def prefixPairsFromEx(ex: DataFrame, prefix: DataFrame, threshold: Double): DataFrame = {
     // size filter (Arasu et al. VLDB'06): J >= t forces t·|x| <= |y|
     // (and symmetrically), so size-incompatible prefix collisions are
     // dropped IN the candidate join — epsilon-permissive on the double
     // compare (keeping a false candidate is safe, dropping a true one
     // is not; the exact verification below settles it either way).
-    val cand = prefix.select(col("__id").as("id_a"), col("nsh").as("pna"), col("s"))
-      .join(prefix.select(col("__id").as("id_b"), col("nsh").as("pnb"), col("s"))
-        .hint("SHUFFLE_HASH"), "s")
-      .filter(col("id_a") < col("id_b")
-        && col("pnb").cast("double") >= lit(threshold) * col("pna").cast("double") - lit(1e-9)
-        && col("pna").cast("double") >= lit(threshold) * col("pnb").cast("double") - lit(1e-9))
-      .select("id_a", "id_b").distinct()
+    // Pinned: consumed THREE times below (both candIds selects + the
+    // final pair join) — unpinned, the prefix self-join ran per use.
+    val cand = graft.operators.Lineage.pin(
+      prefix.select(col("__id").as("id_a"), col("nsh").as("pna"), col("s"))
+        .join(prefix.select(col("__id").as("id_b"), col("nsh").as("pnb"), col("s"))
+          .hint("SHUFFLE_HASH"), "s")
+        .filter(col("id_a") < col("id_b")
+          && col("pnb").cast("double") >= lit(threshold) * col("pna").cast("double") - lit(1e-9)
+          && col("pna").cast("double") >= lit(threshold) * col("pnb").cast("double") - lit(1e-9))
+        .select("id_a", "id_b").distinct())
     // Exact verification on the CANDIDATE-RESTRICTED inverted index:
-    // shingle the corpus once (ex above is reused), keep only candidate
-    // docs' postings, and count intersections with the same join+agg
-    // the full path uses — now over the tiny candidate neighborhood.
-    // (Array-carrying joins would re-tokenize the corpus per side;
-    // measured 7x slower at sf0.1.) The s-join may surface pairs of
-    // candidate DOCS that were not candidate PAIRS — the final join
-    // back onto `cand` drops them before any of their rows matter.
+    // the pinned postings are reused, only candidate docs' rows pass,
+    // and intersections come from the same join+agg the full path uses
+    // — now over the tiny candidate neighborhood. (Array-carrying
+    // joins would re-tokenize the corpus per side; measured 7x slower
+    // at sf0.1.) The s-join may surface pairs of candidate DOCS that
+    // were not candidate PAIRS — the final join back onto `cand` drops
+    // them before any of their rows matter.
     val candIds = cand.select(col("id_a").as("__id"))
       .union(cand.select(col("id_b").as("__id"))).distinct()
     val exC = ex.join(candIds.hint("SHUFFLE_HASH"), "__id")
@@ -278,17 +318,20 @@ object TextCuration {
       budgetPairsPerDoc: Long = 150L): (DataFrame, Long) = {
     require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
     require(budgetPairsPerDoc >= 1, s"budgetPairsPerDoc >= 1: $budgetPairsPerDoc")
-    val sets = df
-      .selectExpr(s"$idCol AS __id", s"${textShinglesSpark(textCol)} AS sh")
-      .selectExpr("__id", "CAST(size(sh) AS BIGINT) AS nsh", "sh")
-    val ex = sets.select(col("__id"), col("nsh"), explode(col("sh")).as("s"))
-    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val ex = pinnedShingleEx(df, idCol, textCol)
+    // pinned: consumed by the cap probe's collect, then (capped branch)
+    // by BOTH sides of the generation self-join and the frequent-set
+    // split — one vocabulary-sized frame vs re-shuffling the postings
+    // per reference
+    val dfreq = graft.operators.Lineage.pin(
+      ex.groupBy("s").agg(count(lit(1)).as("df")))
     val cap = dfCapFor(dfreq, budgetPairsPerDoc.toDouble * df.count())
     if (cap == Long.MaxValue)
       // whole corpus under budget: the uncapped direct-count plan is
       // both exact AND cheaper (n_inter straight off the join, no
-      // array payloads) — provably identical output
-      return (jaccardNearDups(df, idCol, textCol, threshold), cap)
+      // array payloads) — provably identical output, served from the
+      // SAME pinned postings the probe already paid for
+      return (jaccardFromEx(ex, threshold), cap)
     // SPLIT-COUNT verification: the capped generation join's group
     // count IS the exact intersection over capped shingles; only the
     // FREQUENT remainder (df > cap — few DISTINCT shingles, so short
@@ -340,25 +383,22 @@ object TextCuration {
       budgetPairsPerDoc: Long = 150L): (DataFrame, Long) = {
     require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
     require(budgetPairsPerDoc >= 1, s"budgetPairsPerDoc >= 1: $budgetPairsPerDoc")
-    val sets = df
-      .selectExpr(s"$idCol AS __id", s"${textShinglesSpark(textCol)} AS sh")
-      .selectExpr("__id", "CAST(size(sh) AS BIGINT) AS nsh", "sh")
-    val ex = sets.select(col("__id"), col("nsh"), explode(col("sh")).as("s"))
+    val ex = pinnedShingleEx(df, idCol, textCol)
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy("__id").orderBy(col("df"), col("s"))
-    val prefix = ex.join(dfreq.hint("SHUFFLE_HASH"), "s")
-      .withColumn("rk", row_number().over(wDoc))
-      .filter(col("rk") <=
-        col("nsh") - ceil(lit(threshold * threshold) * col("nsh") - lit(1e-9)) + 1)
-      .select("__id", "nsh", "s")
+    val prefix = prefixFromEx(ex, dfreq, threshold)
     // budget the volume of the join actually run: PREFIX postings df
+    // (reads the pinned prefix; consumed again by the capped branch's
+    // generation join)
     val pdfreq = prefix.groupBy("s").agg(count(lit(1)).as("df"))
     val cap = dfCapFor(pdfreq, budgetPairsPerDoc.toDouble * df.count())
     if (cap == Long.MaxValue)
       // prefix volume under budget: the bare prefix path is lossless
       // (prefix theorem) and its candidate-restricted inverted-index
-      // verification is cheaper than array payloads at this scale
-      return (jaccardNearDupsPrefix(df, idCol, textCol, threshold), cap)
+      // verification is cheaper than array payloads at this scale —
+      // served from the SAME pinned postings+prefix the probe already
+      // computed (the former early return re-derived the entire
+      // pipeline from the corpus a second time)
+      return (prefixPairsFromEx(ex, prefix, threshold), cap)
     val gen = prefix.join(pdfreq.filter(col("df") <= cap).hint("SHUFFLE_HASH"), "s")
     // size filter (Arasu et al. VLDB'06) — see [[jaccardNearDupsPrefix]]
     val cand = gen.select(col("__id").as("id_a"), col("nsh").as("pna"), col("s"))
@@ -368,6 +408,12 @@ object TextCuration {
         && col("pnb").cast("double") >= lit(threshold) * col("pna").cast("double") - lit(1e-9)
         && col("pna").cast("double") >= lit(threshold) * col("pnb").cast("double") - lit(1e-9))
       .select("id_a", "id_b").distinct()
+    // verification wants the per-doc shingle ARRAYS — one extra
+    // tokenize pass of the corpus (map-only; candidate-bounded joins
+    // after), only on this capped branch
+    val sets = df
+      .selectExpr(s"$idCol AS __id", s"${textShinglesSpark(textCol)} AS sh")
+      .selectExpr("__id", "CAST(size(sh) AS BIGINT) AS nsh", "sh")
     (verifyJaccardPairs(sets, cand, threshold), cap)
   }
 

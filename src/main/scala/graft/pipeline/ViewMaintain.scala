@@ -44,6 +44,37 @@ import graft.operators.Lineage
   */
 object ViewMaintain {
 
+  /** Broadcast-or-not decision per dim FRAME, memoized: the dim is the
+    * maintenance loop's invariant — its size cannot change between
+    * folds/micro-batches of one session by definition — but
+    * `optimizedPlan.stats` runs a full driver-side analyze+optimize of
+    * the dim plan, so estimating it inside [[applyBatch]] charged that
+    * planning cost once PER FOLD (r19 verdict #3: the per-fold estimate
+    * showed up at sf1 as ~0.5 s across q141's 4 folds). Keyed on the
+    * DataFrame instance (identity — DataFrame doesn't override equals)
+    * with weak keys so retired frames don't pin their plans; a caller
+    * that constructs a fresh dim frame per batch simply re-estimates,
+    * which is the old behavior. The decision caches the session conf
+    * (`spark.graft.viewMaintain.broadcastDimBytes`) read at first use
+    * for that frame — flipping the conf mid-loop applies from the next
+    * distinct dim frame, documented here.
+    */
+  private val dimSideMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, DataFrame]())
+
+  private def dimSideOf(dim: DataFrame): DataFrame =
+    dimSideMemo.computeIfAbsent(dim, { d =>
+      // the hint is GATED on estimated dim size: an unconditional
+      // broadcast of a dim larger than driver/executor memory OOMs
+      // where the adaptive plan would shuffle — past the cap, fall back
+      // to the planner's choice (the delta side is O(|Δ|); with AQE it
+      // usually broadcasts the DELTA instead, the right inversion).
+      val capBytes = d.sparkSession.conf
+        .get("spark.graft.viewMaintain.broadcastDimBytes", (256L << 20).toString).toLong
+      val dimSize = d.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (dimSize <= BigInt(capBytes)) broadcast(d) else d
+    })
+
   /** One maintenance step. `fact`/`view` are the current states
     * (`fact`: key ++ payload ++ seq, LWW-resolved, tombstones already
     * gone; `view`: fact columns ++ dim columns). `batch` carries
@@ -82,18 +113,10 @@ object ViewMaintain {
     // it explicitly so every fold's delta join is a map-side hash probe
     // with no dim-side shuffle, whatever the session threshold says
     // (the view exists to amortize dim-join work to O(|Δ|); shuffling
-    // the dim per fold would charge O(|dim|) per batch anyway). The
-    // hint is GATED on estimated dim size: an unconditional broadcast
-    // of a dim larger than driver/executor memory OOMs where the
-    // adaptive plan would shuffle — past the cap, fall back to the
-    // planner's choice (the delta side is O(|Δ|); with AQE it usually
-    // broadcasts the DELTA instead, which is the right inversion).
-    // Escape hatch: spark.graft.viewMaintain.broadcastDimBytes.
-    val capBytes = dim.sparkSession.conf
-      .get("spark.graft.viewMaintain.broadcastDimBytes", (256L << 20).toString).toLong
-    val dimSize = dim.queryExecution.optimizedPlan.stats.sizeInBytes
-    val dimSide = if (dimSize <= BigInt(capBytes)) broadcast(dim) else dim
-    val delta = resolved.join(dimSide, col(factJoinCol) === col(dimJoinCol))
+    // the dim per fold would charge O(|dim|) per batch anyway). Size
+    // gate + memoization in [[dimSideOf]]; escape hatch:
+    // spark.graft.viewMaintain.broadcastDimBytes.
+    val delta = resolved.join(dimSideOf(dim), col(factJoinCol) === col(dimJoinCol))
     val view2 = view.join(touched, Seq(keyCol), "left_anti")
       .unionByName(delta.select(view.columns.map(col): _*))
     (fact2, view2)

@@ -1,0 +1,95 @@
+package graft.tools
+
+import graft.{Engine, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc perf probe for optimization rounds: times named sub-stages of
+  * the expensive queries with the noop sink so a regression can be
+  * attributed to a stage instead of a whole query. Dev tooling only —
+  * nothing here is a declared query or changes one.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.Probe <probe> [reps]"
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Engine.session(appName = "graft-probe")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(name: String)(f: => Unit): Unit = {
+      val best = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"[probe] $name%-40s $best%8.3f s (min of $reps)")
+    }
+    val t = Tables(spark, sfDir)
+    args.headOption.getOrElse("edges") match {
+      case "edges" =>
+        val li0 = t.lineitem
+          .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        time("incidence distinct (primitive agg)") {
+          noop(li0.distinct())
+        }
+        time("byBasket collect_set (object agg)") {
+          noop(li0.groupBy("ok").agg(collect_set(col("pk")).as("items")))
+        }
+        time("old: selfjoin pairs from distinct") {
+          val li = graft.operators.Lineage.pin(li0.distinct())
+          noop(li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+            .filter(col("src") =!= col("dst")).select("src", "dst"))
+        }
+        time("new: explode pairs from collect_set") {
+          val bb = graft.operators.Lineage.pin(
+            li0.groupBy("ok").agg(collect_set(col("pk")).as("items")))
+          noop(bb.select(explode(col("items")).as("src"), col("items"))
+            .select(col("src"),
+              explode(filter(col("items"), x => x =!= col("src"))).as("dst")))
+        }
+        time("new+distinct (what runInt consumes)") {
+          val bb = graft.operators.Lineage.pin(
+            li0.groupBy("ok").agg(collect_set(col("pk")).as("items")))
+          noop(bb.select(explode(col("items")).as("src"), col("items"))
+            .select(col("src"),
+              explode(filter(col("items"), x => x =!= col("src"))).as("dst"))
+            .distinct())
+        }
+        time("old+distinct (what runInt consumed)") {
+          val li = graft.operators.Lineage.pin(li0.distinct())
+          noop(li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+            .filter(col("src") =!= col("dst")).select("src", "dst").distinct())
+        }
+      case "runint" =>
+        val li0 = t.lineitem
+          .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        def oldEdges(): DataFrame = {
+          val li = graft.operators.Lineage.pin(li0.distinct())
+          li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+            .filter(col("src") =!= col("dst")).select("src", "dst")
+        }
+        def newEdges(): DataFrame = {
+          val bb = graft.operators.Lineage.pin(
+            li0.groupBy("ok").agg(collect_set(col("pk")).as("items")))
+          bb.select(explode(col("items")).as("src"), col("items"))
+            .select(col("src"),
+              explode(filter(col("items"), x => x =!= col("src"))).as("dst"))
+        }
+        time("runInt on OLD selfjoin edges") {
+          noop(graft.operators.PageRank.runInt(oldEdges(), "src", "dst", iters = 5))
+        }
+        time("runInt on NEW explode edges") {
+          noop(graft.operators.PageRank.runInt(newEdges(), "src", "dst", iters = 5))
+        }
+      case "q121" =>
+        time("q121 full") {
+          noop(graft.SparkEntry.queries("q121_pagerank")(spark, sfDir))
+        }
+      case other => sys.error(s"unknown probe: $other")
+    }
+    spark.stop()
+  }
+}
