@@ -227,7 +227,10 @@ object Retrieval {
       s"chain regression: index $path already holds stats/batch=$applied > batch $batchId " +
         "— restarted stream with a stale checkpoint? Use a fresh index dir " +
         "(or the original checkpoint) instead of appending")
-    val batch = batchPostings(newRows, idCol, textCol)
+    // pinned: the touched-bucket collect and the merge below each
+    // consume the batch postings, and every reference otherwise
+    // re-tokenizes the whole batch (same fix as the build path)
+    val batch = graft.operators.Lineage.pin(batchPostings(newRows, idCol, textCol))
     val touched = batch.select("bucket").distinct().collect().map(_.getInt(0))
     if (touched.isEmpty) return
     val stored = spark.read.parquet(s"$path/postings")

@@ -57,8 +57,12 @@ object TextCuration {
     * contract.
     */
   def exactDupsAgainstIndex(batch: DataFrame, idCol: String, textCol: String, path: String): DataFrame = {
-    val b = batch.select(col(idCol).as("batch_id"), md5(col(textCol)).as("content_hash"))
-      .withColumn("bucket", expr("conv(substring(content_hash, 1, 2), 16, 10)").cast("int"))
+    // pinned: the touched-bucket collect below and the hash join both
+    // consume `b`, and each reference otherwise re-scans + re-md5s the
+    // whole batch (the q160 repeated-subtree lesson at batch scale)
+    val b = graft.operators.Lineage.pin(
+      batch.select(col(idCol).as("batch_id"), md5(col(textCol)).as("content_hash"))
+        .withColumn("bucket", expr("conv(substring(content_hash, 1, 2), 16, 10)").cast("int")))
     val touched = b.select("bucket").distinct().collect().map(_.getInt(0))
     val idx = batch.sparkSession.read.parquet(path)
       .where(col("bucket").isin(touched.map(Int.box): _*))

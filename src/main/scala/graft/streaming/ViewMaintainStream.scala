@@ -110,11 +110,14 @@ object ViewMaintainStream {
     val storedKeyType = BucketStore
       .storedSchema(spark, ffs, factPath, factSchemaDf.schema)
       .fields.find(_.name == keyCol).map(_.dataType)
-    val routed = storedKeyType match {
+    // pinned: the touched-bucket collect, applyBatch's touched-key
+    // distinct, and its LWW union all consume the batch — each
+    // reference otherwise re-executes the batch's source plan
+    val routed = graft.operators.Lineage.pin(storedKeyType match {
       case Some(t) if t != batch.schema(keyCol).dataType =>
         batch.withColumn(keyCol, col(keyCol).cast(t))
       case _ => batch
-    }
+    })
 
     val touched = routed.select(BucketStore.bucketCol(keyCols, nb).as("__b"))
       .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq

@@ -84,6 +84,19 @@ object Probe {
         time("runInt on NEW explode edges") {
           noop(graft.operators.PageRank.runInt(newEdges(), "src", "dst", iters = 5))
         }
+      case "phrase" =>
+        val docs = t.documents
+        time("buildPhraseIndex (write only)") {
+          val p = graft.Artifacts.scratch("probe_phrase")
+          graft.api.TextCuration.buildPhraseIndex(docs, "doc_id", "text", n = 2, path = p)
+        }
+        val p2 = graft.Artifacts.scratch("probe_phrase2")
+        graft.api.TextCuration.buildPhraseIndex(docs, "doc_id", "text", n = 2, path = p2)
+        time("q98 summary read-back") {
+          noop(spark.read.parquet(p2)
+            .groupBy(col("bucket").cast("long").as("bucket"))
+            .agg(count(lit(1)).as("n_postings"), countDistinct(col("nh")).as("n_ngrams")))
+        }
       case "q121" =>
         time("q121 full") {
           noop(graft.SparkEntry.queries("q121_pagerank")(spark, sfDir))
