@@ -189,26 +189,58 @@ object JdbcUpsert {
     val bindOrdinals = paramCols(dialect, cols, keys).map(cols.indexOf).toArray
     val isDerby = dialect == Derby
     df.foreachPartition { (rows: Iterator[Row]) =>
-      val conn = java.sql.DriverManager.getConnection(url, props)
-      try writePartition(conn, sql, bindOrdinals, rows, batchSize, maxRetries, queryTimeoutSec,
+      writePartition(() => java.sql.DriverManager.getConnection(url, props),
+        sql, bindOrdinals, rows, batchSize, maxRetries, queryTimeoutSec,
         extraTransient = if (isDerby) derbyInternalRace _ else (_: Throwable) => false)
-      finally {
-        // a task killed mid-batch (speculation, executor shutdown, an
-        // interrupt between executeBatch and commit) leaves an OPEN
-        // transaction; strict drivers (Derby) then refuse close() —
-        // which would MASK the real failure. Roll back best-effort
-        // first; the per-batch-commit contract makes the replay safe.
-        try if (!conn.getAutoCommit) conn.rollback() catch { case _: Exception => () }
-        conn.close()
-      }
     }
   }
 
-  /** One partition's write loop against an open connection; seam for the
-    * live specs to drive with a fault-injecting connection proxy.
+  /** Connection-severity failure (08xxx SQLState anywhere in the chain,
+    * or the driver's non-transient/recoverable connection exception
+    * classes): the CONNECTION is gone, so a same-connection retry can
+    * never succeed — but a RECONNECT retry can, and for this writer it
+    * is always safe: commits are per batch and the upsert is
+    * idempotent, so whether the in-flight batch's commit landed before
+    * the connection died or not, replaying it on a fresh connection
+    * converges to the same rows. This is the standard posture for an
+    * idempotent batched sink against a real network database (failover,
+    * proxy restart, idle-kill) — and it is also what de-flakes the
+    * embedded-Derby suite, where one writer hitting Derby's internal
+    * race can escalate to a database-severity error that closes every
+    * SIBLING task's connection ("No current connection", 08003).
+    */
+  private[graft] def isConnectionDeath(e: Throwable): Boolean = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean])
+    def walk(t: Throwable): Boolean =
+      t != null && seen.add(t) && seen.size <= 16 && {
+        (t match {
+          case _: java.sql.SQLNonTransientConnectionException => true
+          case _: java.sql.SQLTransientConnectionException => true
+          case _: java.sql.SQLRecoverableException => true
+          case sq: java.sql.SQLException => Option(sq.getSQLState).exists(_.startsWith("08"))
+          case _ => false
+        }) ||
+        (t match {
+          case sq: java.sql.SQLException => walk(sq.getNextException)
+          case _ => false
+        }) ||
+        walk(t.getCause)
+      }
+    walk(e)
+  }
+
+  /** One partition's write loop, OWNING its connection lifecycle via
+    * `connect` (the specs drive it with fault-injecting proxy
+    * factories). Per-batch commit; transient aborts retry on the same
+    * connection; connection-severity failures ([[isConnectionDeath]])
+    * retry by RECONNECTING and replaying the current in-memory batch —
+    * safe because committed batches are durable and the upsert is
+    * idempotent (an in-doubt commit at death simply replays to the
+    * same rows).
     */
   private[graft] def writePartition(
-      conn: java.sql.Connection,
+      connect: () => java.sql.Connection,
       sql: String,
       bindOrdinals: Array[Int],
       rows: Iterator[Row],
@@ -217,16 +249,33 @@ object JdbcUpsert {
       queryTimeoutSec: Int = 300,
       extraTransient: Throwable => Boolean = (_: Throwable) => false,
   ): Unit = {
-    conn.setAutoCommit(false)
-    val st = conn.prepareStatement(sql)
-    // Bounded statement time: a lock wait the engine never times out
-    // (observed live: two concurrent Derby MERGE writers parking
-    // executeBatch indefinitely in a latch-level wait the 40xxx
-    // deadlock detector does not see) must become an abort-and-retry,
-    // never a hung executor task. The timeout abort rolls back cleanly,
-    // so the idempotent batch replays under the transient-retry path.
-    try st.setQueryTimeout(queryTimeoutSec)
-    catch { case _: java.sql.SQLException => () } // driver may not support it
+    var conn: java.sql.Connection = null
+    var st: java.sql.PreparedStatement = null
+    def open(): Unit = {
+      conn = connect()
+      conn.setAutoCommit(false)
+      st = conn.prepareStatement(sql)
+      // Bounded statement time: a lock wait the engine never times out
+      // (observed live: two concurrent Derby MERGE writers parking
+      // executeBatch indefinitely in a latch-level wait the 40xxx
+      // deadlock detector does not see) must become an abort-and-retry,
+      // never a hung executor task. The timeout abort rolls back
+      // cleanly, so the idempotent batch replays under the
+      // transient-retry path.
+      try st.setQueryTimeout(queryTimeoutSec)
+      catch { case _: java.sql.SQLException => () } // driver may not support it
+    }
+    // a task killed mid-batch (speculation, executor shutdown, an
+    // interrupt between executeBatch and commit) leaves an OPEN
+    // transaction; strict drivers (Derby) then refuse close() — which
+    // would MASK the real failure. Roll back best-effort first; the
+    // per-batch-commit contract makes the replay safe.
+    def closeQuietly(): Unit = {
+      try if (st != null) st.close() catch { case _: Exception => () }
+      try if (conn != null && !conn.getAutoCommit) conn.rollback() catch { case _: Exception => () }
+      try if (conn != null) conn.close() catch { case _: Exception => () }
+    }
+    open()
     try {
       batches(rows, batchSize).foreach { batch =>
         var attempt = 0
@@ -249,14 +298,19 @@ object JdbcUpsert {
                 ((e match {
                   case sq: java.sql.SQLException => isTransient(sq)
                   case _ => false
-                }) || extraTransient(e)) =>
+                }) || extraTransient(e) || isConnectionDeath(e)) =>
               attempt += 1
-              try conn.rollback() catch { case _: java.sql.SQLException => () }
-              st.clearBatch()
+              val dead = isConnectionDeath(e) ||
+                (try conn.isClosed catch { case _: Exception => true })
+              if (dead) { closeQuietly(); open() }
+              else {
+                try conn.rollback() catch { case _: java.sql.SQLException => () }
+                st.clearBatch()
+              }
               Thread.sleep(50L * attempt) // linear backoff: victims re-collide less
           }
         }
       }
-    } finally st.close()
+    } finally closeQuietly()
   }
 }

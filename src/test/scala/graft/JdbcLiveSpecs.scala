@@ -125,7 +125,7 @@ class JdbcLiveSpecs extends SparkSpec {
     // 2 injected deadlocks across 3 batches (batchSize=2): all rows land
     val fails = new java.util.concurrent.atomic.AtomicInteger(2)
     withConn(url) { real =>
-      JdbcUpsert.writePartition(faultyConn(real, fails, "40001"), sql, ords,
+      JdbcUpsert.writePartition(() => faultyConn(real, fails, "40001"), sql, ords,
         rows.iterator, batchSize = 2, maxRetries = 3)
     }
     assert(fails.get() <= 0, "injected aborts were never hit")
@@ -136,7 +136,7 @@ class JdbcLiveSpecs extends SparkSpec {
     val tooMany = new java.util.concurrent.atomic.AtomicInteger(10)
     val e1 = intercept[java.sql.SQLException] {
       withConn(url) { real =>
-        JdbcUpsert.writePartition(faultyConn(real, tooMany, "40XL1"), sql, ords,
+        JdbcUpsert.writePartition(() => faultyConn(real, tooMany, "40XL1"), sql, ords,
           Seq(Row(9L, "x")).iterator, batchSize = 2, maxRetries = 2)
       }
     }
@@ -145,7 +145,7 @@ class JdbcLiveSpecs extends SparkSpec {
     val oneFail = new java.util.concurrent.atomic.AtomicInteger(1)
     val e2 = intercept[java.sql.SQLException] {
       withConn(url) { real =>
-        JdbcUpsert.writePartition(faultyConn(real, oneFail, "23505"), sql, ords,
+        JdbcUpsert.writePartition(() => faultyConn(real, oneFail, "23505"), sql, ords,
           Seq(Row(10L, "y")).iterator, batchSize = 2, maxRetries = 3)
       }
     }
@@ -217,7 +217,7 @@ class JdbcLiveSpecs extends SparkSpec {
     }
     val fails = new java.util.concurrent.atomic.AtomicInteger(2)
     withConn(url) { real =>
-      JdbcUpsert.writePartition(racyConn(real, fails), sql, ords,
+      JdbcUpsert.writePartition(() => racyConn(real, fails), sql, ords,
         Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")).iterator, batchSize = 2, maxRetries = 3,
         extraTransient = JdbcUpsert.derbyInternalRace _)
     }
@@ -229,10 +229,75 @@ class JdbcLiveSpecs extends SparkSpec {
     val once = new java.util.concurrent.atomic.AtomicInteger(1)
     intercept[java.sql.SQLException] {
       withConn(url) { real =>
-        JdbcUpsert.writePartition(racyConn(real, once), sql, ords,
+        JdbcUpsert.writePartition(() => racyConn(real, once), sql, ords,
           Seq(Row(9L, "x")).iterator, batchSize = 2, maxRetries = 3)
       }
     }
+  }
+
+  test("connection death mid-write reconnects and replays the in-flight batch (08xxx collateral)") {
+    // the full-suite flake shape: one concurrent writer trips Derby's
+    // internal race, the error escalates to database severity, and
+    // SIBLING tasks' connections die mid-executeBatch with "No current
+    // connection" (08003). A same-connection retry can never succeed;
+    // the writer must reconnect and replay the current batch — safe by
+    // per-batch commit + idempotent MERGE.
+    import java.lang.reflect.{InvocationHandler, InvocationTargetException, Method, Proxy}
+    import org.apache.spark.sql.Row
+    val url = freshDb()
+    withConn(url)(_.createStatement().execute(
+      "CREATE TABLE cd (k BIGINT PRIMARY KEY, v VARCHAR(16))"))
+    val cols = Seq("k", "v")
+    val sql = JdbcUpsert.upsertSql(Derby, "cd", cols, Seq("k"))
+    val ords = JdbcUpsert.paramCols(Derby, cols, Seq("k")).map(cols.indexOf).toArray
+    // first connection: proxy whose executeBatch kills the underlying
+    // REAL connection then throws 08003 (so the post-failure liveness
+    // check sees a genuinely closed connection, like the Derby
+    // collateral); subsequent factory calls hand out plain connections
+    val deaths = new java.util.concurrent.atomic.AtomicInteger(1)
+    val opened = new java.util.concurrent.atomic.AtomicInteger(0)
+    def dyingConn(real: java.sql.Connection): java.sql.Connection = {
+      def unwrap[A](f: => A): A =
+        try f catch { case e: InvocationTargetException => throw e.getCause }
+      def stProxy(st: java.sql.PreparedStatement): java.sql.PreparedStatement =
+        Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[java.sql.PreparedStatement]),
+          new InvocationHandler {
+            def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = {
+              if (m.getName == "executeBatch" && deaths.getAndDecrement() > 0) {
+                try real.rollback() catch { case _: Exception => () }
+                real.close()
+                throw new java.sql.SQLNonTransientConnectionException("No current connection.", "08003")
+              }
+              unwrap(m.invoke(st, Option(args).getOrElse(Array.empty): _*))
+            }
+          }).asInstanceOf[java.sql.PreparedStatement]
+      Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+        new InvocationHandler {
+          def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = {
+            val r = unwrap(m.invoke(real, Option(args).getOrElse(Array.empty): _*))
+            if (m.getName == "prepareStatement") stProxy(r.asInstanceOf[java.sql.PreparedStatement]) else r
+          }
+        }).asInstanceOf[java.sql.Connection]
+    }
+    def connect(): java.sql.Connection = {
+      val real = java.sql.DriverManager.getConnection(url)
+      if (opened.getAndIncrement() == 0) dyingConn(real) else real
+    }
+    JdbcUpsert.writePartition(connect _, sql, ords,
+      (1L to 5L).map(i => Row(i, s"v$i")).iterator, batchSize = 2, maxRetries = 3)
+    assert(deaths.get() <= 0, "the injected connection death was never hit")
+    assert(opened.get() === 2, "exactly one reconnect expected")
+    assert(readAll(url, "SELECT k, v FROM cd ORDER BY k") ===
+      (1L to 5L).map(i => Seq(i, s"v$i")))
+    // classifier sanity: 08xxx chains match, unrelated states don't
+    assert(JdbcUpsert.isConnectionDeath(
+      new java.sql.SQLException("boom", "08006")))
+    val wrapped = new java.sql.BatchUpdateException("batch", "XJ208", 0, Array.empty[Int])
+    wrapped.setNextException(new java.sql.SQLNonTransientConnectionException("gone", "08003"))
+    assert(JdbcUpsert.isConnectionDeath(wrapped))
+    assert(!JdbcUpsert.isConnectionDeath(new java.sql.SQLException("dup", "23505")))
+    assert(!JdbcUpsert.isTransient(new java.sql.SQLException("boom", "08006")),
+      "isTransient (same-connection retry) must NOT claim connection death — only the reconnect path may")
   }
 
   test("crash-replay sync loop: watermark advances only after commit, replays are harmless, NO_DATA closes out") {
