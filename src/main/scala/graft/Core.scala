@@ -70,8 +70,12 @@ object Engine {
       // keeps the reclaim prompt on exactly such sessions — measured
       // r20, sf1 8-query mix: 68.2 -> 61.6 s (q160 0.81x, q217 0.86x,
       // q108 0.83x) with sf0.1 neutral. Same reasoning holds for a
-      // long-lived cluster driver; override via SPARK_GRAFT_EXTRA_CONF
-      // or this env.
+      // long-lived cluster driver; note the cost is a driver-side
+      // System.gc() per interval, so a deployment with a very large
+      // driver heap and few pin-cycling operators should RAISE this
+      // (2-5min) via SPARK_GRAFT_PERIODIC_GC / SPARK_GRAFT_EXTRA_CONF —
+      // the win is specific to sessions that cycle truncated-lineage
+      // blocks faster than the 30min default reclaims them.
       .config("spark.cleaner.periodicGC.interval",
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30s"))
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader

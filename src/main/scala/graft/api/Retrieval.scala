@@ -121,11 +121,23 @@ object Retrieval {
     // every doc row (zero-token docs have no posting rows but still
     // count toward avgdl's denominator, exactly as before), sum_dl
     // skips null-dl rows like the old distinct-(id, dl) read-back.
+    // The observe()-carried stats are only valid when the pin below is a
+    // localCheckpoint (one execution of the plan). With
+    // graft.checkpoint.reliable=true, Lineage.pin uses eager
+    // Dataset.checkpoint, which executes the plan TWICE (the eager
+    // materialize job plus the reliable-checkpoint write recomputing the
+    // lineage) — the CollectMetrics accumulators would double-count and
+    // corrupt idf for every query against the index. In reliable mode,
+    // skip the observe and read (n, sum_dl) back with the exact
+    // source-side aggregate the pre-observe build used (one extra
+    // tokenize pass — the price of loss-safe pins, paid only there).
+    val reliablePin = spark.conf.get(graft.operators.Lineage.ReliableFlag, "false").toBoolean
     val obs = org.apache.spark.sql.Observation("bm25-build-stats")
-    val docs = graft.operators.Par.widen(df.select(col(idCol), col(textCol)))
+    val docsBase = graft.operators.Par.widen(df.select(col(idCol), col(textCol)))
       .selectExpr(idCol, s"${graft.operators.TextKit.tokensSpark(textCol)} AS __tok")
       .selectExpr(idCol, "CAST(size(__tok) AS BIGINT) AS dl", "graft_term_tf(__tok) AS __tf")
-      .observe(obs, count(lit(1)).cast("long").as("n"),
+    val docs = if (reliablePin) docsBase
+      else docsBase.observe(obs, count(lit(1)).cast("long").as("n"),
         coalesce(sum("dl"), lit(0L)).cast("long").as("sum_dl"))
     val tf = graft.operators.Lineage.pin(docs
       .selectExpr(idCol, "dl", "explode(__tf) AS __e")
@@ -141,9 +153,9 @@ object Retrieval {
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/postings")
-    val st = obs.get
-    writeStats(spark, (st("n").asInstanceOf[Long], st("sum_dl").asInstanceOf[Long]),
-      path, batchId = 0L, fresh = true)
+    val st = if (reliablePin) batchStats(df, textCol)
+      else { val m = obs.get; (m("n").asInstanceOf[Long], m("sum_dl").asInstanceOf[Long]) }
+    writeStats(spark, st, path, batchId = 0L, fresh = true)
   }
 
   /** (id, dl, term, tf, bucket) postings of one frame — the shared

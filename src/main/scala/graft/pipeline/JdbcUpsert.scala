@@ -302,7 +302,25 @@ object JdbcUpsert {
               attempt += 1
               val dead = isConnectionDeath(e) ||
                 (try conn.isClosed catch { case _: Exception => true })
-              if (dead) { closeQuietly(); open() }
+              if (dead) {
+                closeQuietly()
+                // the reconnect itself can fail while the database is
+                // briefly unavailable (failover/restart — the exact
+                // scenario this path targets); spend the remaining retry
+                // budget on it instead of letting the reconnect error
+                // escape with the original failure discarded.
+                var opened = false
+                while (!opened) {
+                  try { open(); opened = true }
+                  catch {
+                    case oe: Throwable if scala.util.control.NonFatal(oe) =>
+                      closeQuietly() // half-open connection from a failed open()
+                      if (attempt >= maxRetries) { oe.addSuppressed(e); throw oe }
+                      attempt += 1
+                      Thread.sleep(50L * attempt)
+                  }
+                }
+              }
               else {
                 try conn.rollback() catch { case _: java.sql.SQLException => () }
                 st.clearBatch()

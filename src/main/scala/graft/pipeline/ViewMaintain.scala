@@ -60,10 +60,14 @@ object ViewMaintain {
     * distinct dim frame, documented here.
     */
   private val dimSideMemo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[DataFrame, DataFrame]())
+    new java.util.WeakHashMap[DataFrame, java.lang.Boolean]())
 
-  private def dimSideOf(dim: DataFrame): DataFrame =
-    dimSideMemo.computeIfAbsent(dim, { d =>
+  private def dimSideOf(dim: DataFrame): DataFrame = {
+    // Memoize the DECISION (a boxed Boolean), never the frame: a value
+    // that references the key (directly, or via a broadcast() wrapper
+    // over its plan) would make the weak entry strongly reachable from
+    // itself and leak retired dim plans for the JVM lifetime.
+    val shouldBroadcast = dimSideMemo.computeIfAbsent(dim, { d =>
       // the hint is GATED on estimated dim size: an unconditional
       // broadcast of a dim larger than driver/executor memory OOMs
       // where the adaptive plan would shuffle — past the cap, fall back
@@ -72,8 +76,10 @@ object ViewMaintain {
       val capBytes = d.sparkSession.conf
         .get("spark.graft.viewMaintain.broadcastDimBytes", (256L << 20).toString).toLong
       val dimSize = d.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (dimSize <= BigInt(capBytes)) broadcast(d) else d
+      java.lang.Boolean.valueOf(dimSize <= BigInt(capBytes))
     })
+    if (shouldBroadcast) broadcast(dim) else dim
+  }
 
   /** One maintenance step. `fact`/`view` are the current states
     * (`fact`: key ++ payload ++ seq, LWW-resolved, tombstones already
