@@ -536,6 +536,17 @@ object TextCuration {
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val targetPerTask = 500000L
     val wantParts = math.min((nWin + targetPerTask - 1) / targetPerTask, 1L << 20).toInt
+    // NOT pinned, deliberately (r21 receipt): three consumers read
+    // `base` (the hash df-pass, the candidate gram pass, the per-doc
+    // n_windows projection), each re-planning its own scan + filter +
+    // round-robin repartition of the 2-column corpus — 4 corpus reads
+    // total with the sizing job. Collapsing them behind a Lineage.pin
+    // was measured BOTH scales and lost: dedicated A/B 2.18 -> 2.43 s
+    // at sf0.1 (the pin's blocking materialization outweighs three
+    // narrow re-scans), 7.92 -> 7.62 s at sf1 (~4%, inside noise) —
+    // the repeated scans are cheap because they ship 16-byte projected
+    // rows, never the exploded windows; the expensive work (two window
+    // explodes) is unavoidable in the hash-prefilter design.
     val base =
       if (wantParts > base0.rdd.getNumPartitions) base0.repartition(wantParts)
       else base0
@@ -702,8 +713,18 @@ object TextCuration {
     * cost at sf0.1, and a pathological file count at corpus scale);
     * with it each directory is written by exactly the tasks that own
     * its bucket.
+    *
+    * Returns the posting rows (idCol, nh, bucket) that were written,
+    * PINNED (Lineage.pin before the write — the write then reads pinned
+    * blocks instead of re-deriving the explode): a caller that needs a
+    * build summary (q98 reports per-bucket posting/ngram counts)
+    * aggregates the returned frame instead of reading the 64-dir
+    * partitioned layout back — the read-back paid file-listing + open
+    * cost over tasks×buckets small files for rows the build had just
+    * materialized. Same rows by construction; callers that only want
+    * the artifact discard the value.
     */
-  def buildPhraseIndex(df: DataFrame, idCol: String, textCol: String, n: Int, path: String): Unit = {
+  def buildPhraseIndex(df: DataFrame, idCol: String, textCol: String, n: Int, path: String): DataFrame = {
     require(n >= 2, s"phrase n-grams need n >= 2: $n")
     // the index stores only the n-gram HASH, not the string: the search
     // path re-verifies every candidate against the source text, so hash
@@ -711,11 +732,14 @@ object TextCuration {
     // posting list shrinks to two BIGINTs per entry instead of a string
     // per n-gram, which is what the write (and at corpus scale the
     // storage) is bounded by
-    df.selectExpr(idCol, s"explode(graft_word_ngrams($textCol, $n, true)) AS __ngram")
-      .selectExpr(idCol, "graft_poly_hash(__ngram) AS nh")
-      .selectExpr(idCol, "nh", s"pmod(nh, $PhraseIndexBuckets) AS bucket")
+    val postings = graft.operators.Lineage.pin(
+      df.selectExpr(idCol, s"explode(graft_word_ngrams($textCol, $n, true)) AS __ngram")
+        .selectExpr(idCol, "graft_poly_hash(__ngram) AS nh")
+        .selectExpr(idCol, "nh", s"pmod(nh, $PhraseIndexBuckets) AS bucket"))
+    postings
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    postings
   }
 
   /** Exact token-aligned phrase search against a [[buildPhraseIndex]]

@@ -87,12 +87,30 @@ object PageRank {
     require(nNodes > 0, "empty graph: no non-loop edges")
     val eff = effectiveScale(nNodes, scale, dampNum)
     val base = (eff * (dampDen - dampNum)) / dampDen
+    // Join strategy for the iteration, decided from the EXACT |V| just
+    // counted (guide §3.1 — broadcast the side that fits, deliberately):
+    // a pinned RDD reports UnknownPartitioning, so the shuffle-join
+    // iteration re-exchanges the STATIC pinned edge list by u AND the
+    // pinned node list by node EVERY hop (the r21 before-plan holds 32
+    // exchanges for 5 iterations; only the contribution aggregate's
+    // exchange is fundamental). Below the cap, what moves per hop is
+    // the RANK VECTOR — |V| rows of two BIGINTs — so broadcast it: both
+    // hop joins become BroadcastHashJoins over pinned blocks and the
+    // per-hop shuffle count drops to ONE (the contribution aggregate).
+    // Above the cap (a billion-node rank vector cannot broadcast) the
+    // shuffle shape stays; the arithmetic is identical either way, so
+    // results are bit-equal by construction (oracle-gated).
+    val bcastCapBytes = edges.sparkSession.conf
+      .get("spark.graft.pagerank.broadcastRanksBytes", (64L << 20).toString).toLong
+    val bcastRanks = nNodes <= bcastCapBytes / 32L // ~32 B/row in the built hash relation
     var ranks = nodes.withColumn("rank", lit(eff))
     for (i <- 1 to iters) {
-      val contrib = ed.join(ranks, col("u") === col("node"))
+      val rankSide = if (bcastRanks) broadcast(ranks) else ranks
+      val contrib = ed.join(rankSide, col("u") === col("node"))
         .select(col("v"), expr("rank DIV outdeg").as("__c"))
         .groupBy("v").agg(sum("__c").as("__s"))
-      ranks = nodes.join(contrib, col("node") === col("v"), "left")
+      val contribSide = if (bcastRanks) broadcast(contrib) else contrib
+      ranks = nodes.join(contribSide, col("node") === col("v"), "left")
         .select(col("node"),
           expr(s"${base}L + ($dampNum * coalesce(__s, 0L)) DIV $dampDen").as("rank"))
       // A checkpoint EXECUTES a job, so flattening every iteration

@@ -406,8 +406,13 @@ object TextOps {
       (spark, dir) => {
         val docs = Tables(spark, dir).documents
         val path = graft.Artifacts.scratch("phrasebuild")
+        // the summary aggregates the RETURNED pinned posting frame —
+        // the same rows the build just wrote — instead of reading the
+        // 64-dir partitioned layout back (file listing + per-file open
+        // over tasks×buckets small files, ~0.5 s of the 1.9 s query at
+        // sf0.1, pure toy-scale write-side overhead the r20 scaling
+        // block flagged: 8 cores beat 32 at ratio 0.62)
         graft.api.TextCuration.buildPhraseIndex(docs, "doc_id", "text", n = 2, path = path)
-        spark.read.parquet(path)
           .groupBy(col("bucket").cast("long").as("bucket"))
           .agg(count(lit(1)).as("n_postings"), countDistinct(col("nh")).as("n_ngrams"))
       },
